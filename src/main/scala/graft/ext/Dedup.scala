@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable._
+
+/** Deduplication operators for the LLM-data pipeline surface: exact
+  * (hash-groupBy), MinHash signatures + banded candidate generation, and
+  * SimHash (BASELINE.json north star; public constructions — Broder '97
+  * minwise hashing, Charikar '02 simhash).
+  *
+  * Scale design: signatures are per-row expression chains (no shuffle);
+  * candidate generation shuffles once on the band key — the standard
+  * LSH band-bucket join. Bucket skew at 100 TB is handled by banding
+  * (more, narrower bands) + AQE skew-join; exact dedup is a single
+  * hash-aggregate on the content hash.
+  */
+object Dedup {
+
+  /** Adjacent-token 2-shingles. Caller must ensure >= 2 tokens
+    * (sequence(1, n-1) with n < 2 would produce a descending sequence in
+    * Spark while DuckDB range(1, n) yields empty — semantics diverge). */
+  def shingles2(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+  def shingles2Sql(toks: String): String =
+    s"list_transform(range(1, len($toks)), i -> ($toks)[i] || ' ' || ($toks)[i+1])"
+
+  /** Shingle hashes: portable charFold per shingle. */
+  def shingleHashes(toks: Column): Column =
+    transform(shingles2(toks), s => charFold(s))
+  def shingleHashesSql(toks: String): String =
+    s"list_transform(${shingles2Sql(toks)}, s -> ${charFoldSql("s")})"
+
+  /** j-th MinHash of a hash array: min over (a_j*h + b_j) mod P. */
+  def minhash(hashes: Column, j: Int): Column = {
+    val (a, b) = MinhashPerms(j)
+    array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(MinhashP)))
+  }
+  def minhashSql(hashes: String, j: Int): String = {
+    val (a, b) = MinhashPerms(j)
+    s"list_min(list_transform($hashes, h -> ($a*h + $b) % $MinhashP))"
+  }
+
+  /** 16-bit SimHash over token hashes: bit_j = sign of Σ_t (±1 by bit j of
+    * hash(t)); assembled LSB-first. Integer arithmetic only — exact. */
+  def simhash16(toks: Column): Column = {
+    val hs = transform(toks, t => charFold(t) % lit(65536L))
+    (0 until 16).map { j =>
+      val w = 1L << j
+      val sj = aggregate(hs, lit(0L),
+        (acc, h) => acc + (((h / lit(w)).cast("long") % 2) * 2 - 1))
+      when(sj >= 0, lit(w)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+  def simhash16Sql(toks: String): String = {
+    val hs = s"list_transform($toks, t -> ${charFoldSql("t")} % 65536)"
+    (0 until 16).map { j =>
+      val w = 1L << j
+      val sj = s"list_reduce(list_prepend(0::BIGINT, " +
+        s"list_transform($hs, h -> ((h // $w) % 2) * 2 - 1)), (a, b) -> a + b)"
+      s"(CASE WHEN $sj >= 0 THEN ${w}::BIGINT ELSE 0::BIGINT END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** MinHash signature table for a documents DataFrame:
+    * (doc_id, mh0..mh3). Rows with < 2 tokens are dropped (no shingles). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val withHashes = docs
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"), shingleHashes(toks).as("hh"))
+    MinhashPerms.indices.foldLeft(withHashes) { (df, j) =>
+      df.withColumn(s"mh$j", minhash(col("hh"), j))
+    }.drop("hh")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic primitives.
+  *
+  * Every helper has a Column form (the Spark plan) and a `...Sql` form (the
+  * DuckDB oracle dialect) generated from the same constants, so the Verify
+  * oracle cannot drift from the Spark implementation.
+  *
+  * Determinism rules (BASELINE hash-match):
+  *  - integer arithmetic only inside hashes (exact, order-fixed);
+  *  - double folds are sequential left folds with an explicit 0 seed on BOTH
+  *    engines (Spark `aggregate` HOF ≡ DuckDB `list_reduce(list_prepend(0,…))`)
+  *    so float summation order is identical bit-for-bit;
+  *  - no engine-native hash functions (Spark murmur3 ≠ DuckDB hash).
+  *
+  * All helpers are built-in higher-order functions — no UDFs, no
+  * serialization boundary; Catalyst sees the whole expression tree
+  * (SURVEY.md §7 "custom work deliberately minimal").
+  */
+object Portable {
+
+  /** Modulus for the character fold: a prime comfortably below 2^31 so
+    * `acc*31 + c` never overflows a long. */
+  val FoldMod = 1000003L
+
+  /** MinHash permutation constants (a_j, b_j) and the Mersenne prime modulus:
+    * h_j(x) = (a_j * x + b_j) mod P. Public textbook construction
+    * (Broder's minwise hashing). */
+  val MinhashPerms: Seq[(Long, Long)] = Seq(
+    (1299709L, 104729L), (1299721L, 104743L),
+    (1299743L, 104759L), (1299763L, 104773L))
+  val MinhashP = 2147483647L
+
+  // ---- tokenization -------------------------------------------------------
+
+  /** Whitespace tokens, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+  def tokensSql(e: String): String =
+    s"list_filter(string_split($e, ' '), t -> t <> '')"
+
+  // ---- portable string hash ----------------------------------------------
+
+  /** Deterministic polynomial rolling hash over characters:
+    * h = fold(0, (acc, c) => (acc*31 + ascii(c)) % FoldMod).
+    * Engine-portable replacement for murmur3 in dedup/minhash pipelines. */
+  def charFold(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % FoldMod)
+  def charFoldSql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_transform(regexp_split_to_array($e, ''), c -> ascii(c)::BIGINT)), " +
+      s"(a, b) -> (a*31 + b) % $FoldMod)"
+
+  // ---- sequential double folds -------------------------------------------
+
+  /** Dot product of two ARRAY<DOUBLE> columns as a sequential left fold —
+    * bit-identical across engines (same products, same summation order).
+    * At scale this runs inside whole-stage-codegen'd projection; for the
+    * 100 TB path a custom Catalyst Expression with doGenCode is the upgrade
+    * (same semantics, tighter loop). */
+  def dotFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, p) => s + p)
+  def dotFoldSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0::DOUBLE, " +
+      s"list_transform($a, (x, i) -> x * ($b)[i])), (p, q) -> p + q)"
+
+  /** Sum of an ARRAY<BIGINT> column, sequential with 0 seed. */
+  def sumFold(a: Column): Column =
+    aggregate(a, lit(0L), (s, x) => s + x)
+  def sumFoldSql(a: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, $a), (p, q) -> p + q)"
+
+  /** Cosine similarity over ARRAY<DOUBLE>: dot / (sqrt(|a|²) * sqrt(|b|²)).
+    * sqrt is IEEE-exact, so this inherits dotFold's bit-stability. */
+  def cosine(a: Column, b: Column): Column =
+    dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
+  def cosineSql(a: String, b: String): String =
+    s"${dotFoldSql(a, b)} / (sqrt(${dotFoldSql(a, a)}) * sqrt(${dotFoldSql(b, b)}))"
+
+  /** float32 embedding column → ARRAY<DOUBLE> (exact widening on both
+    * engines). */
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+  def asDoubleSql(e: String): String = s"($e)::DOUBLE[]"
+}

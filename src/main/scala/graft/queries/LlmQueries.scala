@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.functions.Portable._
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operators (BASELINE.json north star): text analysis,
+  * dedup (exact / MinHash / SimHash / n-gram Jaccard), similarity search
+  * (brute-force cosine top-k + LSH-bucketed ANN) over `documents` /
+  * `embeddings`.
+  *
+  * Oracle SQL for the hash-heavy operators is program-generated from the
+  * same constants as the Spark plans (graft.functions.Portable) so the two
+  * sides cannot drift.
+  */
+object LlmQueries {
+
+  import TextAnalysis._
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token statistics: counts, mean token length, stopword density.
+    "q24_text_stats" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stopN = countIn(toks, LangProfiles.head._2)
+      documents(s, d).select(
+        col("doc_id"),
+        nTok.as("n_tok"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        (tokenLenSum(toks).cast("double") / nTok).as("avg_tok_len"),
+        stopN.as("stop_n"),
+        (stopN.cast("double") / nTok).as("stop_ratio"))
+    }),
+
+    // Language-ID heuristic: stopword-profile argmax, deterministic
+    // tie-break by profile order.
+    "q25_lang_id" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val scores = langScores(toks)
+      val scoreCols = scores.map { case (lang, c) => c.as(s"${lang}_n") }
+      documents(s, d).select(
+        (col("doc_id") +: scoreCols :+
+          langPick(scores).as("pred") :+ col("lang")): _*)
+    }),
+
+    // Quality score: length/stopword/size-band composite in [0,1].
+    "q26_quality_score" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stopN = countIn(toks, LangProfiles.head._2)
+      documents(s, d).select(
+        col("doc_id"),
+        qualityScore(nTok, stopN, length(col("text"))).as("quality"))
+    }),
+
+    // Token counting two ways: whitespace + BPE-ish regex word pieces.
+    "q27_token_counts" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .cast("long").as("n_re"))
+    }),
+
+    // Document fingerprint: portable rolling content hash.
+    "q28_fingerprint" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // Exact dedup: hash-groupBy on a normalized key (first 3 tokens);
+    // keep lowest doc_id, count duplicates. Single hash-aggregate shuffle.
+    "q29_dedup_exact" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val key = md5(concat_ws(" ", slice(toks, 1, 3)))
+      documents(s, d)
+        .select(key.as("key_hash"), col("doc_id"))
+        .groupBy(col("key_hash"))
+        .agg(min(col("doc_id")).as("keep_id"),
+             count(lit(1)).as("n_dups"))
+    }),
+
+    // MinHash signatures (4 permutations over 2-shingle hashes).
+    "q30_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(documents(s, d))),
+
+    // MinHash candidate pairs: full-signature band join, symmetric
+    // per-doc candidate count. One shuffle on the band key.
+    "q31_minhash_candidates" -> ((s, d) => {
+      val sig = Dedup.minhashSignatures(documents(s, d))
+      val a = sig.select(col("doc_id").as("da"), col("mh0"), col("mh1"),
+                         col("mh2"), col("mh3"))
+      val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
+                         col("mh1").as("nh1"), col("mh2").as("nh2"),
+                         col("mh3").as("nh3"))
+      a.join(b,
+          col("mh0") === col("nh0") && col("mh1") === col("nh1") &&
+          col("mh2") === col("nh2") && col("mh3") === col("nh3") &&
+          col("da") =!= col("db"))
+        .groupBy(col("da").as("doc_id"))
+        .agg(count(lit(1)).as("n_cand"))
+    }),
+
+    // SimHash (16-bit) per document.
+    "q32_simhash" -> ((s, d) =>
+      documents(s, d).select(
+        col("doc_id"),
+        Dedup.simhash16(tokens(col("text"))).as("simhash"))),
+
+    // n-gram Jaccard near-dup over blocked pairs (same source + id block):
+    // |A∩B| / |A∪B| on distinct 2-shingles. Block key bounds the pair count.
+    "q33_ngram_jaccard" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val docs = documents(s, d)
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), col("source"),
+                (col("doc_id") / 100).cast("long").as("blk"),
+                array_distinct(Dedup.shingles2(toks)).as("sh"))
+      val a = docs.select(col("doc_id").as("da"), col("source"), col("blk"),
+                          col("sh").as("sha"))
+      val b = docs.select(col("doc_id").as("db"), col("source").as("sourceb"),
+                          col("blk").as("blkb"), col("sh").as("shb"))
+      a.join(b, col("source") === col("sourceb") && col("blk") === col("blkb") &&
+                col("da") < col("db"))
+        .select(col("da"), col("db"),
+          size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
+          (size(col("sha")) + size(col("shb")) -
+            size(array_intersect(col("sha"), col("shb")))).cast("long").as("n_union"))
+        .select(col("da"), col("db"), col("n_inter"), col("n_union"),
+          (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
+    }),
+
+    // Brute-force cosine top-10 against the vec_id=0 query vector.
+    "q34_cosine_topk" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      Similarity.cosineTopK(emb, q, 10, 0L)
+    }),
+
+    // Near-dup pairs: top-3 by cosine per (label, id-block) — blocked
+    // all-pairs with deterministic rank.
+    "q35_embed_neardup" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("label"),
+        (col("vec_id") / 500).cast("long").as("blk"),
+        asDouble(col("embedding")).as("e"))
+      val a = emb.select(col("vec_id").as("va"), col("label"), col("blk"),
+                         col("e").as("ea"))
+      val b = emb.select(col("vec_id").as("vb"), col("label").as("labelb"),
+                         col("blk").as("blkb"), col("e").as("eb"))
+      val w = Window.partitionBy(col("label"), col("blk"))
+        .orderBy(col("sim").desc, col("va"), col("vb"))
+      a.join(b, col("label") === col("labelb") && col("blk") === col("blkb") &&
+                col("va") < col("vb"))
+        .select(col("label"), col("blk"), col("va"), col("vb"),
+                cosine(col("ea"), col("eb")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+    }),
+
+    // LSH-bucketed ANN: bucket by 8 hyperplane signs, exact re-rank inside
+    // the query's bucket, top-5. The scale path: candidates are one
+    // bucket, not the full table.
+    "q36_ann_lsh" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        .withColumn("bucket", Similarity.lshBucket(col("e")))
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("bucket").as("qbucket"), col("e").as("qe"))
+      emb.join(broadcast(q), col("bucket") === col("qbucket"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("bucket"), cosine(col("e"), col("qe")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(5)
+    }),
+  )
+
+  // ---- oracle SQL (generated from the same constants) ----------------------
+
+  private val T  = tokensSql("text")
+
+  val oracle: Map[String, String] = {
+    val stopEn = LangProfiles.head._2
+
+    val sigSql =
+      s"""SELECT doc_id,
+            ${Dedup.minhashSql("hh", 0)} AS mh0,
+            ${Dedup.minhashSql("hh", 1)} AS mh1,
+            ${Dedup.minhashSql("hh", 2)} AS mh2,
+            ${Dedup.minhashSql("hh", 3)} AS mh3
+          FROM (SELECT doc_id, ${Dedup.shingleHashesSql("tk")} AS hh
+                FROM (SELECT doc_id, $T AS tk FROM documents)
+                WHERE len(tk) >= 2)"""
+
+    val langScoreSql = (lang: String) =>
+      countInSql("tk", LangProfiles.find(_._1 == lang).get._2)
+
+    Map(
+      "q24_text_stats" ->
+        s"""SELECT doc_id,
+              len(tk)::BIGINT AS n_tok,
+              length(text)::BIGINT AS n_chars_calc,
+              CAST(${tokenLenSumSql("tk")} AS DOUBLE) / len(tk)::BIGINT AS avg_tok_len,
+              ${countInSql("tk", stopEn)} AS stop_n,
+              CAST(${countInSql("tk", stopEn)} AS DOUBLE) / len(tk)::BIGINT AS stop_ratio
+            FROM (SELECT doc_id, text, $T AS tk FROM documents)""",
+      "q25_lang_id" ->
+        s"""SELECT doc_id,
+              ${LangProfiles.map { case (l, set) => s"${countInSql("tk", set)} AS ${l}_n" }.mkString(", ")},
+              ${langPickSql(langScoreSql)} AS pred,
+              lang
+            FROM (SELECT doc_id, lang, $T AS tk FROM documents)""",
+      "q26_quality_score" ->
+        s"""SELECT doc_id,
+              ${qualityScoreSql(s"len(tk)::BIGINT", countInSql("tk", stopEn), "length(text)")} AS quality
+            FROM (SELECT doc_id, text, $T AS tk FROM documents)""",
+      "q27_token_counts" ->
+        s"""SELECT doc_id,
+              len($T)::BIGINT AS n_ws,
+              len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_re
+            FROM documents""",
+      "q28_fingerprint" ->
+        s"SELECT doc_id, ${fingerprintSql("text")} AS fp FROM documents",
+      "q29_dedup_exact" ->
+        s"""SELECT key_hash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+            FROM (SELECT md5(array_to_string(list_slice($T, 1, 3), ' ')) AS key_hash,
+                         doc_id
+                  FROM documents)
+            GROUP BY key_hash""",
+      "q30_minhash_sig" -> sigSql,
+      "q31_minhash_candidates" ->
+        s"""WITH sig AS ($sigSql)
+            SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_cand
+            FROM sig a JOIN sig b
+              ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
+             AND a.mh3 = b.mh3 AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id""",
+      "q32_simhash" ->
+        s"""SELECT doc_id, ${Dedup.simhash16Sql("tk")} AS simhash
+            FROM (SELECT doc_id, $T AS tk FROM documents)""",
+      "q33_ngram_jaccard" ->
+        s"""WITH docs AS (
+              SELECT doc_id, source, doc_id // 100 AS blk,
+                     list_distinct(${Dedup.shingles2Sql("tk")}) AS sh
+              FROM (SELECT doc_id, source, $T AS tk FROM documents)
+              WHERE len(tk) >= 2)
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS jaccard
+            FROM docs a JOIN docs b
+              ON a.source = b.source AND a.blk = b.blk AND a.doc_id < b.doc_id""",
+      "q34_cosine_topk" ->
+        s"""WITH e AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e FROM embeddings),
+                 q AS (SELECT e AS qe FROM e WHERE vec_id = 0)
+            SELECT vec_id, ${cosineSql("e.e", "q.qe")} AS sim
+            FROM e, q WHERE vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 10""",
+      "q35_embed_neardup" ->
+        s"""WITH emb AS (SELECT vec_id, label, vec_id // 500 AS blk,
+                                ${asDoubleSql("embedding")} AS e
+                         FROM embeddings)
+            SELECT label, blk, va, vb, sim, rk FROM (
+              SELECT a.label AS label, a.blk AS blk,
+                     a.vec_id AS va, b.vec_id AS vb,
+                     ${cosineSql("a.e", "b.e")} AS sim,
+                     row_number() OVER (PARTITION BY a.label, a.blk
+                                        ORDER BY ${cosineSql("a.e", "b.e")} DESC,
+                                                 a.vec_id, b.vec_id) AS rk
+              FROM emb a JOIN emb b
+                ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id)
+            WHERE rk <= 3""",
+      "q36_ann_lsh" ->
+        s"""WITH emb AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e FROM embeddings),
+                 bk AS (SELECT vec_id, e, ${Similarity.lshBucketSql("e")} AS bucket FROM emb),
+                 q AS (SELECT bucket AS qbucket, e AS qe FROM bk WHERE vec_id = 0)
+            SELECT vec_id, bucket, ${cosineSql("bk.e", "q.qe")} AS sim
+            FROM bk, q WHERE bucket = qbucket AND vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 5""",
+    )
+  }
+}
