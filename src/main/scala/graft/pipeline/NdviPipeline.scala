@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.raster.{Clip, NdviKernel}
+import graft.sink.Writers
+
+/** End-to-end pipeline composition — the reference's §3 trace as ONE lazy
+  * DataFrame lineage (reference main.py:94-158): scene-catalog predicates →
+  * band pairing (J4/N1) → NDVI kernel (N2–N8) → AOI clip (J5/C5-C6) →
+  * per-scene mean (A1) → conflict-semantic sinks (K3–K6).
+  *
+  * Where the reference materializes GeoTIFFs on the local filesystem
+  * between stages (main.py:124-125), this plan pipelines: Catalyst sees
+  * filter→join→project→join→aggregate and the only exchanges are the band
+  * join and the final aggregation (SURVEY.md §3 "Spark equivalent").
+  */
+object NdviPipeline {
+
+  /** Extract-stage catalog filtering (F1–F4 on a scene_catalog frame). */
+  def filterCatalog(catalog: DataFrame, maxCloud: Double,
+                    start: String, end: String, maxItems: Int): DataFrame =
+    catalog
+      .filter(col("cloud_cover") <= maxCloud)
+      .filter(col("datetime").between(lit(start).cast("timestamp"),
+                                      lit(end).cast("timestamp")))
+      .orderBy(col("scene_id")).limit(maxItems) // deterministic L1 bound
+      .filter(!col("scene_id").startsWith("LE07"))
+
+  /** Transform stage: tiles of the selected scenes → clipped NDVI tiles +
+    * per-scene mean. Returns (ndviTiles, clippedTiles, meanPerScene). */
+  def transformStage(tiles: DataFrame, aoi: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val ndvi = NdviKernel.computeNdvi(tiles)
+    val clipped = Clip.clipToAoi(ndvi, aoi)
+    val mean = NdviKernel.meanNdviPerScene(clipped)
+    (ndvi, clipped, mean)
+  }
+
+  /** Load stage with reference conflict semantics: ndvi_full is
+    * insert-if-absent on scene_id (K4), ndvi_clipped merges on
+    * (scene_id, aoi_id) (K5). */
+  def loadStage(existingFull: DataFrame, newFull: DataFrame,
+                existingClipped: DataFrame, newClipped: DataFrame): (DataFrame, DataFrame) = {
+    val full = existingFull.unionByName(
+      Writers.insertIfAbsent(existingFull, newFull, Seq("scene_id")))
+    val clipped = Writers.merge(existingClipped, newClipped,
+      Seq("scene_id", "aoi_id"), tieBreak = "scene_id")
+    (full, clipped)
+  }
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Tile-table raster operators in oracle-checkable form: the NDVI array
+  * kernel (N2–N8), per-pixel clip masking (C6), and overview downsampling
+  * (A2) over tiles synthesized deterministically from the TPC-H tables.
+  *
+  * These are the double-precision oracle-parity twins of the float32
+  * raster module (graft.raster.*, tested against FIXTURES.md golden values
+  * in ScalaTest): DuckDB has no float32 arithmetic, so the cross-engine
+  * check runs the same kernel in DOUBLE — all IEEE-exact ops, no rounding.
+  *
+  * Scale notes: every query is a per-row array projection (no shuffle
+  * except declared group-bys); pixels arrays stay inside one projection so
+  * the 100 TB path is scan → project → (partial agg) with nothing wide.
+  */
+object RasterQueries {
+
+  /** Synthesized 16-pixel DN bands from lineitem keys (zeros occur →
+    * mask branch taken). 1-based pixel index i matches DuckDB range(1,17). */
+  private def redDn(i: Column): Column = (col("l_partkey") * 17 + i * 13) % 4096
+  private def nirDn(i: Column): Column =
+    (col("l_partkey") * 7 + i * 11 + col("l_linenumber")) % 4096
+  private val redDnSql = "(l_partkey*17 + i*13) % 4096"
+  private val nirDnSql = "(l_partkey*7 + i*11 + l_linenumber) % 4096"
+
+  /** Double-precision NDVI kernel on a DN pair (mask zeros → NULL, scale,
+    * eps ratio, clamp) — same chain as ExtractQueries.ndviKernel but
+    * NULL-for-nodata (the internal convention, N7). */
+  private def ndviPx(r: Column, n: Column): Column = {
+    val rs = r.cast("double") * lit(0.0000275) - lit(0.2)
+    val ns = n.cast("double") * lit(0.0000275) - lit(0.2)
+    when(r === 0 || n === 0, lit(null).cast("double"))
+      .otherwise(least(greatest((ns - rs) / (ns + rs + lit(0.000001)), lit(-1.0)), lit(1.0)))
+  }
+  private def ndviPxSql(r: String, n: String): String = {
+    // CAST to DOUBLE first: a bare BIGINT * 0.0000275 would run in DuckDB's
+    // exact DECIMAL arithmetic and diverge from Spark's per-step doubles.
+    val rs = s"(CAST($r AS DOUBLE)*0.0000275 - 0.2)"
+    val ns = s"(CAST($n AS DOUBLE)*0.0000275 - 0.2)"
+    s"""CASE WHEN ($r) = 0 OR ($n) = 0 THEN NULL
+        ELSE least(greatest(($ns - $rs) / ($ns + $rs + 0.000001), -1.0), 1.0)
+        END"""
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Array-kernel NDVI per tile + nodata-aware per-tile mean: one fold
+    // for (sum, count) — the explode-free A1 partial.
+    "q37_tile_ndvi_mean" -> ((s, d) => {
+      val px = transform(sequence(lit(1), lit(16)), i => ndviPx(redDn(i), nirDn(i)))
+      val acc = aggregate(px,
+        struct(lit(0.0).as("sm"), lit(0L).as("c")),
+        (a, p) => struct((a("sm") + coalesce(p, lit(0.0))).as("sm"),
+                         (a("c") + p.isNotNull.cast("long")).as("c")))
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(acc("c") > 0, acc("sm") / acc("c")).otherwise(lit(null)).as("mean_ndvi"),
+        acc("c").as("n_valid"))
+    }),
+
+    // Per-pixel clip masking: count 4x4-tile pixel centers inside each
+    // overlapping AOI box (C6's mask+crop, numerically).
+    "q38_tile_clip_count" -> ((s, d) => {
+      val tminx = (col("l_orderkey") % 50).cast("double")
+      val tmaxy = -(col("l_suppkey") % 50).cast("double")
+      val tiles = lineitem(s, d).select(
+        col("l_orderkey").as("tile_id"), col("l_linenumber").as("tile_ln"),
+        tminx.as("tminx"), tmaxy.as("tmaxy"),
+        (tminx + lit(0.4)).as("tmaxx"), (tmaxy - lit(0.4)).as("tminy"))
+      val aois = nation(s, d).select(
+        col("n_nationkey").as("aoi_id"),
+        (col("n_nationkey") * 2).cast("double").as("aminx"),
+        (-(col("n_nationkey") * 2).cast("double")).as("amaxy"),
+        (col("n_nationkey") * 2 + 10).cast("double").as("amaxx"),
+        ((-(col("n_nationkey") * 2)).cast("double") - 10).as("aminy"))
+      val inside = aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, i) => {
+        val x = col("tminx") + lit(0.1) * ((i % 4).cast("double") + lit(0.5))
+        val y = col("tmaxy") - lit(0.1) * (floor(i / 4).cast("double") + lit(0.5))
+        acc + (x >= col("aminx") && x <= col("amaxx") &&
+               y >= col("aminy") && y <= col("amaxy")).cast("long")
+      })
+      tiles.join(broadcast(aois),
+          !(col("tmaxx") < col("aminx") || col("tminx") > col("amaxx") ||
+            col("tmaxy") < col("aminy") || col("tminy") > col("amaxy")))
+        .select(col("tile_id"), col("tile_ln"), col("aoi_id"), inside.as("n_inside"))
+    }),
+
+    // Overview 2x: block means of a 4x4 synthesized tile as 4 columns.
+    "q39_overview_blocks" -> ((s, d) => {
+      def pxAt(i: Int): Column = ndviPx(redDn(lit(i)), nirDn(lit(i)))
+      def blockMean(ids: Seq[Int]): Column = {
+        val vals = ids.map(pxAt)
+        val cnt = vals.map(_.isNotNull.cast("long")).reduce(_ + _)
+        val sm = vals.map(v => coalesce(v, lit(0.0))).reduce(_ + _)
+        when(cnt > 0, sm / cnt).otherwise(lit(null))
+      }
+      // 4x4 tile, row-major 1..16; 2x2 blocks
+      lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        blockMean(Seq(1, 2, 5, 6)).as("b0"), blockMean(Seq(3, 4, 7, 8)).as("b1"),
+        blockMean(Seq(9, 10, 13, 14)).as("b2"), blockMean(Seq(11, 12, 15, 16)).as("b3"))
+    }),
+  )
+
+  val oracle: Map[String, String] = {
+    def pxAtSql(i: Int) = ndviPxSql(redDnSql.replace("i*13", s"$i*13"),
+                                    nirDnSql.replace("i*11", s"$i*11"))
+    def blockMeanSql(ids: Seq[Int]) = {
+      val cnt = ids.map(i => s"(CASE WHEN ${pxAtSql(i)} IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END)").mkString(" + ")
+      val sm = ids.map(i => s"coalesce(${pxAtSql(i)}, 0.0)").mkString(" + ")
+      s"CASE WHEN ($cnt) > 0 THEN ($sm) / ($cnt) ELSE NULL END"
+    }
+    Map(
+      "q37_tile_ndvi_mean" ->
+        s"""SELECT l_orderkey, l_linenumber,
+              CASE WHEN cnt > 0 THEN sm / cnt ELSE NULL END AS mean_ndvi,
+              cnt AS n_valid
+            FROM (
+              SELECT l_orderkey, l_linenumber,
+                list_reduce(list_prepend(0::DOUBLE,
+                  list_transform(px, p -> coalesce(p, 0.0))), (a, b) -> a + b) AS sm,
+                list_reduce(list_prepend(0::BIGINT,
+                  list_transform(px, p -> (CASE WHEN p IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END))),
+                  (a, b) -> a + b) AS cnt
+              FROM (
+                SELECT l_orderkey, l_linenumber,
+                  list_transform(range(1, 17), i -> ${ndviPxSql(redDnSql, nirDnSql)}) AS px
+                FROM lineitem))""",
+      "q38_tile_clip_count" ->
+        s"""SELECT tile_id, tile_ln, aoi_id,
+              list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 16), i ->
+                (CASE WHEN tminx + 0.1 * ((i % 4)::DOUBLE + 0.5) >= aminx
+                       AND tminx + 0.1 * ((i % 4)::DOUBLE + 0.5) <= amaxx
+                       AND tmaxy - 0.1 * (floor(i / 4)::DOUBLE + 0.5) >= aminy
+                       AND tmaxy - 0.1 * (floor(i / 4)::DOUBLE + 0.5) <= amaxy
+                  THEN 1::BIGINT ELSE 0::BIGINT END))), (a, b) -> a + b) AS n_inside
+            FROM (SELECT l_orderkey AS tile_id, l_linenumber AS tile_ln,
+                         CAST(l_orderkey % 50 AS DOUBLE) AS tminx,
+                         -CAST(l_suppkey % 50 AS DOUBLE) AS tmaxy,
+                         CAST(l_orderkey % 50 AS DOUBLE) + 0.4 AS tmaxx,
+                         -CAST(l_suppkey % 50 AS DOUBLE) - 0.4 AS tminy
+                  FROM lineitem) t
+            JOIN (SELECT n_nationkey AS aoi_id,
+                         CAST(n_nationkey * 2 AS DOUBLE) AS aminx,
+                         -CAST(n_nationkey * 2 AS DOUBLE) AS amaxy,
+                         CAST(n_nationkey * 2 + 10 AS DOUBLE) AS amaxx,
+                         -CAST(n_nationkey * 2 AS DOUBLE) - 10 AS aminy
+                  FROM nation) a
+              ON NOT (t.tmaxx < a.aminx OR t.tminx > a.amaxx OR
+                      t.tmaxy < a.aminy OR t.tminy > a.amaxy)""",
+      "q39_overview_blocks" ->
+        s"""SELECT l_orderkey, l_linenumber,
+              ${blockMeanSql(Seq(1, 2, 5, 6))} AS b0,
+              ${blockMeanSql(Seq(3, 4, 7, 8))} AS b1,
+              ${blockMeanSql(Seq(9, 10, 13, 14))} AS b2,
+              ${blockMeanSql(Seq(11, 12, 15, 16))} AS b3
+            FROM lineitem""",
+    )
+  }
+}

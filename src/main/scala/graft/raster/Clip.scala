@@ -1,0 +1,72 @@
+package graft.raster
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.geo.GeoExpressions.st_contains
+
+/** Spatial clip — the reference's raster×AOI "join"
+  * (reference src/transform/compute_ndvi.py:95-160, SURVEY.md §2.4 C1–C6):
+  * a broadcast spatial semi-join on envelope overlap plus an exact per-pixel
+  * point-in-polygon mask.
+  *
+  * Scale design: the AOI side is tiny (one-to-few polygons) and is
+  * broadcast, so the tile table never shuffles; envelope overlap is a
+  * codegen'd comparison that prunes whole tiles (the partition-pruning
+  * analog, SURVEY §4), and the exact PIP expression runs only on the
+  * surviving boundary tiles. "Crop" = wholly-outside tiles dropped by the
+  * join + outside pixels nulled; extent is data (tile bboxes), not schema.
+  */
+object Clip {
+
+  /** Tile envelope from the affine transform (C1): pixel (px,py) maps to
+    * x = c + a·px, y = f + e·py (north-up: b = d = 0, e < 0). */
+  def tileBounds(df: DataFrame): DataFrame = {
+    val a = element_at(col("transform"), 1)
+    val c = element_at(col("transform"), 3)
+    val e = element_at(col("transform"), 5)
+    val f = element_at(col("transform"), 6)
+    val x0 = c + a * (col("tile_col") * lit(graft.model.RasterModel.TileSize))
+    val y0 = f + e * (col("tile_row") * lit(graft.model.RasterModel.TileSize))
+    df.withColumn("t_minx", x0)
+      .withColumn("t_maxx", x0 + a * col("width"))
+      .withColumn("t_maxy", y0)
+      .withColumn("t_miny", y0 + e * col("height"))
+  }
+
+  /** Envelope-overlap predicate (F3/C5). */
+  def bboxOverlap(minx: Column, miny: Column, maxx: Column, maxy: Column,
+                  qminx: Column, qminy: Column, qmaxx: Column, qmaxy: Column): Column =
+    !(maxx < qminx || minx > qmaxx || maxy < qminy || miny > qmaxy)
+
+  /** C5+C6: clip an NDVI tile table to AOI polygons. Returns one row per
+    * (tile × overlapping AOI) with outside pixels nulled. Empty result for
+    * a non-empty input means "Input shapes do not overlap raster"
+    * (compute_ndvi.py:128-131) — see [[requireOverlap]]. */
+  def clipToAoi(ndviTiles: DataFrame, aoi: DataFrame): DataFrame = {
+    val tiles = tileBounds(ndviTiles)
+    val a = element_at(col("transform"), 1)
+    val e = element_at(col("transform"), 5)
+    // pixel-center coords for flat index i: px = i % width, py = i / width
+    def px(i: Column) = col("t_minx") + a * ((i % col("width")).cast("double") + lit(0.5))
+    def py(i: Column) = col("t_maxy") + e * (floor(i / col("width")).cast("double") + lit(0.5))
+    tiles
+      .join(broadcast(aoi),
+        bboxOverlap(col("t_minx"), col("t_miny"), col("t_maxx"), col("t_maxy"),
+                    col("minx"), col("miny"), col("maxx"), col("maxy")))
+      .withColumn("pixels",
+        zip_with(col("pixels"),
+          sequence(lit(0), col("width") * col("height") - 1),
+          (p, i) => when(st_contains(col("geom_wkt"), px(i), py(i)), p)
+            .otherwise(lit(null).cast("float"))))
+      .drop("minx", "miny", "maxx", "maxy")
+  }
+
+  /** The reference's overlap error, as an action-time check (the reference
+    * raises eagerly per scene; our plan-level equivalent validates the
+    * clip result before the sink). */
+  def requireOverlap(clipped: DataFrame, inputNonEmpty: Boolean): DataFrame = {
+    if (inputNonEmpty && clipped.isEmpty)
+      throw new IllegalArgumentException("Input shapes do not overlap raster")
+    clipped
+  }
+}

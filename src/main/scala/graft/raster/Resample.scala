@@ -1,0 +1,141 @@
+package graft.raster
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geo.Geodesy
+import graft.model.RasterModel.BandTile
+
+/** Raster resampling: overview pyramids (A2), bilinear in-tile resample,
+  * and the reprojection warp (R1/R2 — reference
+  * src/transform/compute_ndvi.py:162-179, src/load/load_to_postgis.py:90-136).
+  *
+  * Overviews and in-tile resampling are pure array expressions — per-row
+  * projections, no shuffle, nodata(NULL)-aware. The cross-CRS warp is a
+  * typed mapPartitions kernel (SURVEY.md §7: the (d) last-resort path,
+  * justified because inverse-projecting every destination pixel is
+  * genuinely imperative per-pixel math with no Spark built-in).
+  */
+object Resample {
+
+  /** A2: factor-k overview of each tile (average of k×k blocks, NULLs
+    * excluded, all-NULL block → NULL — matching GDAL average resampling of
+    * nodata). k must divide width and height. Output pixels are
+    * float32 like the reference's overview bands. */
+  def overview(tiles: DataFrame, k: Int): DataFrame = {
+    val wo = (col("width") / k).cast("int")
+    val ho = (col("height") / k).cast("int")
+    val block = sequence(lit(0), lit(k * k - 1))
+    def srcIdx(o: Column, b: Column) = {
+      val or = floor(o / wo).cast("int"); val oc = (o % wo).cast("int")
+      val br = floor(b / k).cast("int");  val bc = (b % k).cast("int")
+      (or * k + br) * col("width") + (oc * k + bc)
+    }
+    val outPixels = transform(
+      sequence(lit(0), wo * ho - 1),
+      o => {
+        val acc = aggregate(block,
+          struct(lit(0.0).as("s"), lit(0L).as("c")),
+          (a, b) => {
+            val p = element_at(col("pixels"), srcIdx(o, b) + 1)
+            struct((a("s") + coalesce(p.cast("double"), lit(0.0))).as("s"),
+                   (a("c") + p.isNotNull.cast("long")).as("c"))
+          })
+        when(acc("c") > 0, (acc("s") / acc("c")).cast("float"))
+          .otherwise(lit(null).cast("float"))
+      })
+    // overview pixel size scales by k: transform a,e *= k
+    val newTransform = array(
+      element_at(col("transform"), 1) * k, element_at(col("transform"), 2),
+      element_at(col("transform"), 3), element_at(col("transform"), 4),
+      element_at(col("transform"), 5) * k, element_at(col("transform"), 6))
+    tiles
+      .withColumn("pixels", outPixels)
+      .withColumn("width", wo).withColumn("height", ho)
+      .withColumn("transform", newTransform)
+      .withColumn("overview_factor", lit(k))
+  }
+
+  /** Overview pyramid: one table per factor, unioned, tagged by
+    * `overview_factor` (reference factors [2,4,8,16,32],
+    * compute_ndvi.py:147). */
+  def pyramid(tiles: DataFrame, factors: Seq[Int] = Seq(2, 4, 8, 16, 32)): DataFrame =
+    factors.map(overview(tiles, _)).reduce(_ unionByName _)
+
+  /** R1/R2 warp: reproject each tile's pixel grid to `dstEpsg` at a fixed
+    * resolution, bilinear for float data / nearest otherwise (the
+    * reference's dtype dispatch, load_to_postgis.py:132), nodata(NULL)
+    * propagated. No-op when the CRS already matches — the reference's
+    * plan-level short-circuit (load_to_postgis.py:98-100).
+    *
+    * Tile-local: each destination tile is computed from its own source tile
+    * (sufficient for the reference's per-scene warp where tiles are
+    * per-scene whole images; multi-tile gather is the round-2 upgrade). */
+  def reprojectTiles(spark: SparkSession, tiles: Dataset[BandTile], dstEpsg: Int,
+                     resM: Double = 30.0, bilinear: Boolean = true): Dataset[BandTile] = {
+    import spark.implicits._
+    if (tiles.isEmpty) return tiles
+    tiles.mapPartitions(_.map { t =>
+      if (t.epsg == dstEpsg) t  // no-op elision
+      else reprojectOne(t, dstEpsg, resM, bilinear)
+    })
+  }
+
+  private[raster] def reprojectOne(t: BandTile, dstEpsg: Int, resM: Double,
+                                   bilinear: Boolean): BandTile = {
+    val Seq(a, _, c, _, e, f) = t.transform
+    // source corner coords → dst bbox via corner transform
+    val corners = Seq((0, 0), (t.width, 0), (0, t.height), (t.width, t.height))
+      .map { case (px, py) =>
+        Geodesy.transformPoint(c + a * px, f + e * py, t.epsg, dstEpsg) }
+    val minX = corners.map(_._1).min; val maxX = corners.map(_._1).max
+    val minY = corners.map(_._2).min; val maxY = corners.map(_._2).max
+    val outW = math.max(1, math.ceil((maxX - minX) / resM).toInt)
+    val outH = math.max(1, math.ceil((maxY - minY) / resM).toInt)
+    val px = new Array[Option[Float]](outW * outH)
+    var j = 0
+    while (j < outH) {
+      var i = 0
+      while (i < outW) {
+        val x = minX + resM * (i + 0.5)
+        val y = maxY - resM * (j + 0.5)
+        val (sx, sy) = Geodesy.transformPoint(x, y, dstEpsg, t.epsg)
+        val fcol = (sx - c) / a - 0.5
+        val frow = (sy - f) / e - 0.5
+        px(j * outW + i) =
+          if (bilinear) bilinearSample(t, fcol, frow)
+          else nearestSample(t, fcol, frow)
+        i += 1
+      }
+      j += 1
+    }
+    t.copy(width = outW, height = outH, epsg = dstEpsg,
+      transform = Seq(resM, 0.0, minX, 0.0, -resM, maxY),
+      pixels = px.toSeq)
+  }
+
+  private def pixelAt(t: BandTile, col: Int, row: Int): Option[Float] =
+    if (col < 0 || row < 0 || col >= t.width || row >= t.height) None
+    else t.pixels(row * t.width + col)
+
+  private def nearestSample(t: BandTile, fcol: Double, frow: Double): Option[Float] =
+    pixelAt(t, math.round(fcol).toInt, math.round(frow).toInt)
+
+  /** Bilinear with nodata awareness: weighted mean of the valid neighbors
+    * (GDAL-style renormalization over available weights). */
+  private def bilinearSample(t: BandTile, fcol: Double, frow: Double): Option[Float] = {
+    val c0 = math.floor(fcol).toInt; val r0 = math.floor(frow).toInt
+    val dx = fcol - c0; val dy = frow - r0
+    val samples = Seq(
+      (pixelAt(t, c0, r0), (1 - dx) * (1 - dy)),
+      (pixelAt(t, c0 + 1, r0), dx * (1 - dy)),
+      (pixelAt(t, c0, r0 + 1), (1 - dx) * dy),
+      (pixelAt(t, c0 + 1, r0 + 1), dx * dy))
+    val valid = samples.collect { case (Some(v), w) if w > 0 => (v, w) }
+    if (valid.isEmpty) None
+    else {
+      val wSum = valid.map(_._2).sum
+      if (wSum <= 0) None
+      else Some((valid.map { case (v, w) => v * w }.sum / wSum).toFloat)
+    }
+  }
+}
