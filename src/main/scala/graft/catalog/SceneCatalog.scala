@@ -1,0 +1,68 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scene-catalog source semantics (SURVEY.md §2.1 S1/S4/S5 + §2.2 F5–F7):
+  * the STAC-item access patterns of the reference's extract stage, over a
+  * catalog DataFrame (offline: parquet; online: a DSv2 scan with
+  * SupportsPushDownFilters — SURVEY §7 skips that here since a parquet
+  * catalog gets pushdown for free).
+  */
+object SceneCatalog {
+
+  /** Reference preference lists (download_landsat_stac.py:64-70). */
+  val RedKeys: Seq[String] = Seq("red", "SR_B3", "SR_B4", "B3", "B4", "B03", "B04")
+  val NirKeys: Seq[String] = Seq("nir08", "SR_B4", "SR_B5", "B4", "B5", "B04", "B05")
+
+  /** F5 `_pick`: case-insensitive first-match over a preference list on a
+    * MAP<STRING,STRING> assets column. Lowercases the map keys once, then
+    * coalesces element_at over the (lowercased) preference keys — pure
+    * expressions, no UDF. */
+  def pickAsset(assets: Column, prefs: Seq[String]): Column = {
+    val lowered = map_from_arrays(
+      transform(map_keys(assets), lower _), map_values(assets))
+    coalesce(prefs.map(k => element_at(lowered, k.toLowerCase)): _*)
+  }
+
+  /** F6 bbox padding (download_landsat_stac.py:44-51): km → degrees with
+    * cos(radians(mean_lat)) clamped at 0.01. */
+  def padBbox(minx: Column, miny: Column, maxx: Column, maxy: Column,
+              padKm: Column): (Column, Column, Column, Column) = {
+    val meanLat = (miny + maxy) / 2
+    val dLat = padKm / lit(110.574)
+    val dLon = padKm / (lit(111.320) * greatest(cos(radians(meanLat)), lit(0.01)))
+    (minx - dLon, miny - dLat, maxx + dLon, maxy + dLat)
+  }
+
+  /** F7 filename parse (load_to_postgis.py:178-186): 7-part underscore
+    * names → (scene_id, sensor, acquisition_date); malformed → null date
+    * (callers filter, matching the reference's skip). */
+  def parseFilename(stem: Column): DataFrame => DataFrame = df => {
+    val parts = split(stem, "_")
+    df.withColumn("scene_id", array_join(slice(parts, 1, 7), "_"))
+      .withColumn("sensor", element_at(parts, 1))
+      .withColumn("acquisition_date", to_date(element_at(parts, 4), "yyyyMMdd"))
+  }
+
+  /** S4 glob-scan with name predicates: the reference's three directory
+    * scans (`*_NDVI.tif` not clipped / `*_NDVI_clipped.tif` not viz /
+    * `*_NDVI_clipped_viz.tif`, load_to_postgis.py:173-279) against a file
+    * listing DataFrame (or spark.read with pathGlobFilter for real dirs). */
+  def globFull(files: DataFrame, nameCol: String = "name"): DataFrame =
+    files.filter(col(nameCol).endsWith("_NDVI.parquet") &&
+                 !col(nameCol).contains("clipped"))
+  def globClipped(files: DataFrame, nameCol: String = "name"): DataFrame =
+    files.filter(col(nameCol).endsWith("_NDVI_clipped.parquet") &&
+                 !col(nameCol).contains("viz"))
+  def globViz(files: DataFrame, nameCol: String = "name"): DataFrame =
+    files.filter(col(nameCol).endsWith("_NDVI_clipped_viz.parquet"))
+
+  /** F10 validation predicates (download_landsat_stac.py:53-62,
+    * load_to_postgis.py:190-192): content-type + min-size + nonzero dims. */
+  def validDownload(contentType: Column, sizeBytes: Column): Column =
+    (contentType.contains("tiff") || contentType.contains("geotiff")) &&
+      sizeBytes >= lit(1024L * 1024L)
+  def validRaster(width: Column, height: Column): Column =
+    width > 0 && height > 0
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.catalog.SceneCatalog
+import graft.ext.Multimodal
+import graft.functions.Portable._
+import graft.streaming.EventsStream
+
+/** Streaming, multimodal and catalog-source operators as driver queries.
+  * The streaming entries run REAL Structured Streaming queries (memory
+  * sink, AvailableNow trigger, drained synchronously) whose final tables
+  * are checked against the same batch DuckDB oracle — stream/batch parity
+  * is the assertion.
+  */
+object StreamQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Watermarked tumbling-window rollup, streaming — oracle is the batch
+    // hourly rollup (q21's shape through window() instead of date_trunc).
+    "q40_stream_rollup" -> ((s, d) =>
+      EventsStream.hourlyRollupStreaming(s, d)),
+
+    // Stateful flatMapGroupsWithState per-user totals (exact cents state).
+    "q41_stream_user_totals" -> ((s, d) =>
+      EventsStream.perUserTotalsStreaming(s, d)),
+
+    // Multimodal decode stage: binary payloads → typed metadata via the
+    // batch-iterating kernel (deterministic fake decode; ASCII payloads
+    // make the checksum reproducible in SQL as the char fold).
+    "q42_media_meta" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(s, documents(s, d))
+      Multimodal.decodeStage(s, media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
+                col("width").cast("long").as("width"),
+                col("height").cast("long").as("height"), col("checksum"))
+    }),
+
+    // F5 asset pick over a real MAP<STRING,STRING> column with mixed-case
+    // keys and a missing-nir variant (dropped, download_landsat_stac.py:150-151).
+    "q43_asset_pick_map" -> ((s, d) => {
+      val v = (col("o_orderkey") % 4).cast("int")
+      val rHref = concat(lit("href_"), col("o_orderkey"), lit("_r"))
+      val nHref = concat(lit("href_"), col("o_orderkey"), lit("_n"))
+      val assets = when(v === 0, map_from_arrays(array(lit("red"), lit("nir08")), array(rHref, nHref)))
+        .when(v === 1, map_from_arrays(array(lit("SR_B3"), lit("SR_B5")), array(rHref, nHref)))
+        .when(v === 2, map_from_arrays(array(lit("B03"), lit("B05")), array(rHref, nHref)))
+        .otherwise(map_from_arrays(array(lit("red")), array(rHref)))
+      orders(s, d)
+        .select(col("o_orderkey"),
+                SceneCatalog.pickAsset(assets, SceneCatalog.RedKeys).as("red_href"),
+                SceneCatalog.pickAsset(assets, SceneCatalog.NirKeys).as("nir_href"))
+        .filter(col("red_href").isNotNull && col("nir_href").isNotNull)
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_stream_rollup" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q41_stream_user_totals" ->
+      """SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY user_id""",
+    "q42_media_meta" -> {
+      val h = charFoldSql("text")
+      s"""SELECT doc_id AS media_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image'
+                      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                 octet_length(encode(text))::BIGINT AS n_bytes,
+                 (64 + h % 577)::BIGINT AS width,
+                 (64 + (h * 7) % 419)::BIGINT AS height,
+                 h AS checksum
+          FROM (SELECT doc_id, text, $h AS h FROM documents)"""
+    },
+    "q43_asset_pick_map" ->
+      """SELECT o_orderkey,
+                'href_' || o_orderkey || '_r' AS red_href,
+                'href_' || o_orderkey || '_n' AS nir_href
+         FROM orders WHERE o_orderkey % 4 <> 3""",
+  )
+}

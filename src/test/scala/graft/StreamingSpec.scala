@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.catalog.SceneCatalog
+import graft.ext.Multimodal
+import graft.streaming.EventsStream
+
+/** Streaming/batch parity + multimodal plumbing + asset-pick semantics. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly rollup equals the batch rollup") {
+    val streamed = EventsStream.hourlyRollupStreaming(spark, sf, "t_rollup")
+      .select("hour", "event_type", "n").as[(java.sql.Timestamp, String, Long)]
+      .collect().toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("stateful per-user totals equal the batch group-by") {
+    val streamed = EventsStream.perUserTotalsStreaming(spark, sf, "t_user")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+           sum(round(col("value") * 100).cast("long")).as("cents"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("multimodal decode: schema, determinism, partition preservation") {
+    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
+    val decoded = Multimodal.decodeStage(spark, media)
+    assert(decoded.columns.toSeq ==
+      Seq("media_id", "kind", "n_bytes", "width", "height", "checksum"))
+    val r = decoded.orderBy("media_id").head
+    val r2 = Multimodal.decodeStage(spark, media).orderBy("media_id").head
+    assert(r == r2)                       // deterministic fake decode
+    assert(decoded.rdd.getNumPartitions == media.rdd.getNumPartitions)
+    val row = decoded.filter(col("media_id") === 0).head
+    assert(row.width >= 64 && row.height >= 64)
+  }
+
+  test("segment sampling slices payload bytes") {
+    val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf)).toDF()
+    val seg = Multimodal.sampleSegments(media, segmentBytes = 16, everyK = 2)
+    val segs = seg.filter(col("media_id") === 0).head.getSeq[Array[Byte]](2)
+    assert(segs.nonEmpty && segs.head.length == 16)
+  }
+
+  test("pickAsset: case-insensitive preference order and missing-key null") {
+    val df = Seq(
+      (1L, Map("Red" -> "r1", "SR_B5" -> "n1")),
+      (2L, Map("SR_B3" -> "r2", "NIR08" -> "n2")),
+      (3L, Map("B04" -> "x3"))).toDF("id", "assets")
+    val out = df.select(col("id"),
+        SceneCatalog.pickAsset(col("assets"), SceneCatalog.RedKeys).as("r"),
+        SceneCatalog.pickAsset(col("assets"), SceneCatalog.NirKeys).as("n"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "r1" && out(0).getString(2) == "n1")
+    assert(out(1).getString(1) == "r2" && out(1).getString(2) == "n2")
+    // id=3: B04 matches red prefs (4th choice) AND nir prefs; pick returns it
+    assert(out(2).getString(1) == "x3" && out(2).getString(2) == "x3")
+  }
+
+  test("glob-scan name predicates route files to the right product table") {
+    val files = Seq("a_NDVI.parquet", "a_NDVI_clipped.parquet",
+      "a_NDVI_clipped_viz.parquet", "junk.txt").toDF("name")
+    assert(SceneCatalog.globFull(files).as[String].collect().toSeq == Seq("a_NDVI.parquet"))
+    assert(SceneCatalog.globClipped(files).as[String].collect().toSeq == Seq("a_NDVI_clipped.parquet"))
+    assert(SceneCatalog.globViz(files).as[String].collect().toSeq == Seq("a_NDVI_clipped_viz.parquet"))
+  }
+}
