@@ -89,9 +89,12 @@ object LlmQueries {
       Dedup.minhashSignatures(documents(s, d))),
 
     // MinHash candidate pairs: full-signature band join, symmetric
-    // per-doc candidate count. One shuffle on the band key.
+    // per-doc candidate count. One shuffle on the band key. The signature
+    // table is materialized once (localCheckpoint) so the self-join does
+    // not recompute the hash chains on both sides — at scale this is the
+    // "write signatures, then join" two-job shape.
     "q31_minhash_candidates" -> ((s, d) => {
-      val sig = Dedup.minhashSignatures(documents(s, d))
+      val sig = Dedup.minhashSignatures(documents(s, d)).localCheckpoint()
       val a = sig.select(col("doc_id").as("da"), col("mh0"), col("mh1"),
                          col("mh2"), col("mh3"))
       val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
@@ -190,9 +193,13 @@ object LlmQueries {
             ${Dedup.minhashSql("hh", 1)} AS mh1,
             ${Dedup.minhashSql("hh", 2)} AS mh2,
             ${Dedup.minhashSql("hh", 3)} AS mh3
-          FROM (SELECT doc_id, ${Dedup.shingleHashesSql("tk")} AS hh
-                FROM (SELECT doc_id, $T AS tk FROM documents)
-                WHERE len(tk) >= 2)"""
+          FROM (SELECT doc_id,
+                  list_transform(range(1, len(th)),
+                    i -> (th[i] * ${Dedup.ShingleMix} + th[i+1]) % ${graft.functions.Portable.FoldMod}) AS hh
+                FROM (SELECT doc_id,
+                        list_transform(tk, t -> ${graft.functions.Portable.charFoldSql("t")}) AS th
+                      FROM (SELECT doc_id, $T AS tk FROM documents)
+                      WHERE len(tk) >= 2))"""
 
     val langScoreSql = (lang: String) =>
       countInSql("tk", LangProfiles.find(_._1 == lang).get._2)
