@@ -17,7 +17,8 @@ import org.apache.spark.sql.graftbridge.Bridge
   * envelope-overlap pre-filter (the hot path prunes tiles by bbox with
   * codegen'd comparisons; exact PIP runs only on boundary tiles).
   */
-case class PointInPolygon(wktExpr: Expression, xExpr: Expression, yExpr: Expression)
+case class PointInPolygon(wktExpr: Expression, xExpr: Expression, yExpr: Expression,
+                          envApplied: Boolean = false)
     extends TernaryExpression with CodegenFallback {
 
   override def first: Expression = wktExpr

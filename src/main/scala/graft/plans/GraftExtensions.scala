@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.unsafe.types.UTF8String
+import graft.geo.{PointInPolygon, Wkt}
+
+/** The engine's Catalyst surface (SURVEY.md §4 "bbox-overlap pruning needs
+  * a small custom Rule"): rewrite exact point-in-polygon filters on a
+  * CONSTANT polygon into envelope-range conjuncts + the exact test.
+  *
+  *   Filter(st_contains('POLYGON…', x, y))
+  *   ⇒ Filter(x >= minx AND x <= maxx AND y >= miny AND y <= maxy
+  *            AND st_contains…)
+  *
+  * The envelope conjuncts are plain comparisons: whole-stage-codegen'd,
+  * and when x/y are scan columns they reach the parquet reader as
+  * PushedFilters, so row groups prune on min/max stats — the reference's
+  * "only tiles intersecting the AOI are processed" short-circuit
+  * (compute_ndvi.py:128-134) at the storage layer. The exact (interpreted)
+  * PIP then runs only on envelope survivors. Correctness never depends on
+  * the rule (envelope ⊇ polygon).
+  */
+object EnvelopePrefilter extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, _) =>
+      f.copy(condition = cond.transformUp {
+        case p @ PointInPolygon(wktLit: Literal, x, y, false) if wktLit.value != null =>
+          val polys = Wkt.parse(wktLit.value.asInstanceOf[UTF8String].toString)
+          val (minx, miny, maxx, maxy) = Wkt.envelope(polys)
+          val env = And(
+            And(GreaterThanOrEqual(x, Literal(minx, DoubleType)),
+                LessThanOrEqual(x, Literal(maxx, DoubleType))),
+            And(GreaterThanOrEqual(y, Literal(miny, DoubleType)),
+                LessThanOrEqual(y, Literal(maxy, DoubleType))))
+          And(env, p.copy(envApplied = true))
+      })
+  }
+}
+
+/** Session wiring: SparkSession.builder().withExtensions(new GraftExtensions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => EnvelopePrefilter)
+  }
+}
