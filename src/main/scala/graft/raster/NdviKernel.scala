@@ -86,16 +86,25 @@ object NdviKernel {
   }
 
   /** Full kernel over a band_tiles table → NDVI tile table (band='ndvi',
-    * NULL pixels = masked). One join + one codegen'd projection. */
-  def computeNdvi(tiles: DataFrame): DataFrame =
+    * NULL pixels = masked). One join + one per-tile projection.
+    * `useExpr` (default) runs the native NdviKernelExpr imperative loop;
+    * false falls back to the HOF zip_with chain (interpreted lambda —
+    * kept as the cross-checkable reference implementation). */
+  def computeNdvi(tiles: DataFrame, useExpr: Boolean = true): DataFrame = {
+    val kernel =
+      if (useExpr)
+        NdviKernelExpr(col("red_px"), col("nir_px"),
+                       col("red_nodata"), col("nir_nodata"))
+      else
+        zip_with(col("red_px"), col("nir_px"),
+          (r, n) => ndviPixel(r, n, col("red_nodata"), col("nir_nodata")))
     pairBands(tiles).select(
       col("scene_id"), lit("ndvi").as("band"),
       col("tile_col"), col("tile_row"),
       col("width"), col("height"), col("epsg"), col("transform"),
       lit(NodataOut.toDouble).as("nodata"),
-      zip_with(col("red_px"), col("nir_px"),
-        (r, n) => ndviPixel(r, n, col("red_nodata"), col("nir_nodata")))
-        .as("pixels"))
+      kernel.as("pixels"))
+  }
 
   /** N7 at the sink boundary: NULL → -9999f (compute_ndvi.py:68). */
   def materializeNodata(pixels: Column): Column =
