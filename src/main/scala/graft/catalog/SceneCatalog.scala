@@ -15,15 +15,21 @@ object SceneCatalog {
   val RedKeys: Seq[String] = Seq("red", "SR_B3", "SR_B4", "B3", "B4", "B03", "B04")
   val NirKeys: Seq[String] = Seq("nir08", "SR_B4", "SR_B5", "B4", "B5", "B04", "B05")
 
-  /** F5 `_pick`: case-insensitive first-match over a preference list on a
-    * MAP<STRING,STRING> assets column. Lowercases the map keys once, then
-    * coalesces element_at over the (lowercased) preference keys — pure
-    * expressions, no UDF. */
-  def pickAsset(assets: Column, prefs: Seq[String]): Column = {
-    val lowered = map_from_arrays(
-      transform(map_keys(assets), lower _), map_values(assets))
+  /** Lowercase the keys of a MAP<STRING,STRING> column (do this ONCE in
+    * its own projection when several picks follow — the map construction
+    * is not cheap and coalesce references it per preference key). */
+  def lowerKeys(assets: Column): Column =
+    map_from_arrays(transform(map_keys(assets), lower _), map_values(assets))
+
+  /** F5 `_pick` on an already-lowered map: first-match coalesce over the
+    * preference keys — pure expressions, no UDF. */
+  def pickLowered(lowered: Column, prefs: Seq[String]): Column =
     coalesce(prefs.map(k => element_at(lowered, k.toLowerCase)): _*)
-  }
+
+  /** F5 `_pick`: case-insensitive first-match over a preference list on a
+    * MAP<STRING,STRING> assets column. */
+  def pickAsset(assets: Column, prefs: Seq[String]): Column =
+    pickLowered(lowerKeys(assets), prefs)
 
   /** F6 bbox padding (download_landsat_stac.py:44-51): km → degrees with
     * cos(radians(mean_lat)) clamped at 0.01. */

@@ -48,9 +48,12 @@ object StreamQueries {
         .when(v === 2, map_from_arrays(array(lit("B03"), lit("B05")), array(rHref, nHref)))
         .otherwise(map_from_arrays(array(lit("red")), array(rHref)))
       orders(s, d)
+        .select(col("o_orderkey"), assets.as("assets"))
         .select(col("o_orderkey"),
-                SceneCatalog.pickAsset(assets, SceneCatalog.RedKeys).as("red_href"),
-                SceneCatalog.pickAsset(assets, SceneCatalog.NirKeys).as("nir_href"))
+                SceneCatalog.lowerKeys(col("assets")).as("lassets"))
+        .select(col("o_orderkey"),
+                SceneCatalog.pickLowered(col("lassets"), SceneCatalog.RedKeys).as("red_href"),
+                SceneCatalog.pickLowered(col("lassets"), SceneCatalog.NirKeys).as("nir_href"))
         .filter(col("red_href").isNotNull && col("nir_href").isNotNull)
     }),
   )
