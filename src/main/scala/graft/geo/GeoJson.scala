@@ -1,0 +1,80 @@
+package graft.geo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.RasterModel.Aoi
+
+/** GeoJSON vector read (S5 — reference gpd.read_file of the AOI
+  * FeatureCollection, download_landsat_stac.py:72-80 et al.):
+  * spark.read.json on the FeatureCollection + geometry decode into the
+  * `aoi` DataFrame (WKT + envelope). Polygon and MultiPolygon supported;
+  * CRS defaults to EPSG:4326 when absent (reference behavior).
+  *
+  * The feature list is dimension-sized (one-to-few AOIs), so the decode
+  * maps over a typed Dataset — the geometry never needs distributed array
+  * surgery; at scale the AOI side is broadcast anyway (SURVEY §2.4 C6).
+  */
+object GeoJson {
+
+  private case class Feat(name: Option[String],
+                          gtype: String,
+                          poly: Option[Seq[Seq[Seq[Double]]]],
+                          multi: Option[Seq[Seq[Seq[Seq[Double]]]]])
+
+  def readAoi(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val feats = raw.select(explode(col("features")).as("f"))
+    val hasMulti = feats.select(col("f.geometry.type")).as[String]
+      .collect().exists(_ == "MultiPolygon")
+    // spark.read.json infers coordinates at the deepest nesting present;
+    // select per geometry type to keep both shapes decodable.
+    val ds = feats.select(
+      col("f.properties.name").as("name"),
+      col("f.geometry.type").as("gtype"),
+      col("f.geometry.coordinates").as("coords"))
+    val rows = ds.collect().zipWithIndex.map { case (r, i) =>
+      val name = Option(r.getAs[String]("name")).getOrElse(s"aoi_$i")
+      val gtype = r.getAs[String]("gtype")
+      val coords = r.get(r.fieldIndex("coords"))
+      val polys: Seq[Seq[Seq[(Double, Double)]]] = gtype match {
+        case "Polygon" =>
+          Seq(asRings(coords))
+        case "MultiPolygon" =>
+          asSeq(coords).map(asRings)
+        case t => throw new IllegalArgumentException(s"Unsupported geometry: $t")
+      }
+      val wkt = toWkt(polys)
+      val env = Wkt.envelope(Wkt.parse(wkt))
+      Aoi(i + 1L, name, wkt, env._1, env._2, env._3, env._4)
+    }
+    spark.createDataFrame(rows.toSeq)
+  }
+
+  private def asSeq(v: Any): Seq[Any] = v match {
+    case s: Seq[_] => s
+    case a: scala.collection.mutable.ArraySeq[_] => a.toSeq
+    case other => other.asInstanceOf[Seq[Any]]
+  }
+
+  private def asRings(polyCoords: Any): Seq[Seq[(Double, Double)]] =
+    asSeq(polyCoords).map { ring =>
+      asSeq(ring).map { pt =>
+        val xy = asSeq(pt).map {
+          case d: Double => d
+          case l: Long => l.toDouble
+          case n: java.math.BigDecimal => n.doubleValue
+        }
+        (xy.head, xy(1))
+      }
+    }
+
+  private def toWkt(polys: Seq[Seq[Seq[(Double, Double)]]]): String = {
+    def ring(r: Seq[(Double, Double)]): String =
+      r.map { case (x, y) => s"$x $y" }.mkString("(", ", ", ")")
+    def poly(p: Seq[Seq[(Double, Double)]]): String =
+      p.map(ring).mkString("(", ", ", ")")
+    if (polys.length == 1) s"POLYGON ${poly(polys.head)}"
+    else s"MULTIPOLYGON ${polys.map(poly).mkString("(", ", ", ")")}"
+  }
+}
