@@ -39,6 +39,22 @@ object MiscQueries {
       userDays("click").intersect(userDays("purchase")).except(userDays("error"))
     }),
 
+    // NDVI time-series analog (SURVEY §1.1 implicit time series): per-key
+    // date-ordered 3-row moving aggregate. Window sums run over exact
+    // DECIMAL (segment-tree vs linear accumulation order differs between
+    // engines; decimal is order-independent), cast to double at the end.
+    "q48_timeseries_ma" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-2, 0)
+      lineitem(s, d).select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        (sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("qty_ma3"))
+    }),
+
     // Rollup grouping (region → nation → grand total).
     "q47_rollup" -> ((s, d) =>
       customer(s, d)
@@ -74,5 +90,14 @@ object MiscQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+    "q48_timeseries_ma" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+                CAST(l_shipdate AS DATE) AS ship_date,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                  / count(*) OVER w AS qty_ma3
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
   )
 }

@@ -58,6 +58,42 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** foreachBatch merge sink (SURVEY.md §2.11): each micro-batch upserts
+    * into a parquet target with the K5 conflict semantics (merge on key,
+    * new rows win) — the streaming side of the reference's ON CONFLICT DO
+    * UPDATE loads. Epoch-atomic: Spark guarantees foreachBatch runs once
+    * per epoch; the rewrite job is the commit. */
+  def streamMergeInto(spark: SparkSession, sfDir: String, targetPath: String,
+                      queryName: String = "graft_stream_merge"): Unit = {
+    import graft.sink.Writers
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stageDir(sfDir, "events"))
+      .select(col("user_id"), col("event_id"), col("value"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val incoming = batch.groupBy("user_id")
+          .agg(max(col("event_id")).as("event_id"), count(lit(1)).as("n"))
+        val existing =
+          try spark.read.parquet(targetPath)
+          catch { case _: Exception => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
+        Writers.merge(existing, incoming, Seq("user_id"), tieBreak = "event_id")
+          .write.mode("overwrite").parquet(targetPath + ".tmp")
+        // atomic-ish swap: rewrite target from the merged snapshot
+        spark.read.parquet(targetPath + ".tmp")
+          .write.mode("overwrite").parquet(targetPath)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Stateful per-user running aggregate via the typed state API —
     * flatMapGroupsWithState with state = (count, sum-of-cents). Cents keep
     * the accumulation exact and order-independent (double addition in
