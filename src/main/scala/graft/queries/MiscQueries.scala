@@ -45,8 +45,12 @@ object MiscQueries {
     // engines; decimal is order-independent), cast to double at the end.
     "q48_timeseries_ma" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      // (l_orderkey, l_linenumber) is NOT unique in this data — order by
+      // the value columns too so any remaining ties are full-duplicate
+      // rows (frame sums then agree regardless of engine tie order).
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+                 col("l_quantity"), col("l_extendedprice"), col("l_partkey"))
         .rowsBetween(-2, 0)
       lineitem(s, d).select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -97,7 +101,8 @@ object MiscQueries {
                   / count(*) OVER w AS qty_ma3
          FROM lineitem
          WINDOW w AS (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                               l_quantity, l_extendedprice, l_partkey
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
   )
 }
