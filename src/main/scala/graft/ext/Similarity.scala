@@ -46,6 +46,32 @@ object Similarity {
       s"(CASE WHEN ${planeDotSql(e, j)} >= 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END)"
     }.mkString("(", " + ", ")")
 
+  /** IVF coarse quantization (the other ANN scale path): the first K
+    * vectors serve as deterministic coarse centroids (a real deployment
+    * trains k-means; fixed seeds keep the oracle reproducible). Returns
+    * the 1-based index of the nearest centroid by cosine, ties broken by
+    * centroid order. `centroids` is ARRAY<ARRAY<DOUBLE>>. */
+  def ivfCell(e: Column, centroids: Column): Column = {
+    import graft.functions.Portable.cosine
+    // fold over centroid indices carrying (bestIdx, bestSim)
+    aggregate(
+      sequence(lit(1), size(centroids)),
+      struct(lit(0).cast("int").as("bi"), lit(-2.0).as("bs")),
+      (acc, i) => {
+        val sim = cosine(e, element_at(centroids, i))
+        when(sim > acc("bs"), struct(i.cast("int").as("bi"), sim.as("bs")))
+          .otherwise(acc)
+      },
+      acc => acc("bi"))
+  }
+  def ivfCellSql(e: String, centroids: String): String = {
+    import graft.functions.Portable.cosineSql
+    s"""list_reduce(list_prepend({'bi': 0, 'bs': -2.0},
+          list_transform(range(1, len($centroids) + 1),
+            i -> {'bi': i::INT, 'bs': ${cosineSql(e, s"($centroids)[i]")}})),
+          (acc, x) -> CASE WHEN x.bs > acc.bs THEN x ELSE acc END).bi"""
+  }
+
   /** Brute-force cosine top-k of `queryVec` (a 1-row DataFrame with column
     * `qe`) against embeddings (column `e`), excluding `excludeId`. */
   def cosineTopK(emb: DataFrame, queryVec: DataFrame, k: Int,

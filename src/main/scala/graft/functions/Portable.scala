@@ -67,8 +67,11 @@ object Portable {
   def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, p) => s + p)
   def dotFoldSql(a: String, b: String): String =
+    // NB: unique lambda variable names — generated SQL can nest inside
+    // outer lambdas (e.g. a fold over centroids), and DuckDB resolves a
+    // shadowed `i` to the INNER binding, silently breaking the outer index.
     s"list_reduce(list_prepend(0::DOUBLE, " +
-      s"list_transform($a, (x, i) -> x * ($b)[i])), (p, q) -> p + q)"
+      s"list_transform($a, (dfx, dfi) -> dfx * ($b)[dfi])), (dfp, dfq) -> dfp + dfq)"
 
   /** Sum of an ARRAY<BIGINT> column, sequential with 0 seed. */
   def sumFold(a: Column): Column =

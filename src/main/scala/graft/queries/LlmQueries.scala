@@ -164,6 +164,18 @@ object LlmQueries {
         .filter(col("rk") <= 3)
     }),
 
+    // IVF coarse-quantizer cell assignment: nearest of 8 deterministic
+    // centroids by cosine (the k-means-trained IVF's assignment step with
+    // fixed seed centroids). Broadcast centroid list; one pass, no shuffle.
+    "q49_ivf_cells" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .agg(transform(sort_array(collect_list(struct(col("vec_id"), col("e")))),
+          x => x("e")).as("cents"))
+      emb.join(broadcast(cents))
+        .select(col("vec_id"), Similarity.ivfCell(col("e"), col("cents")).as("cell"))
+    }),
+
     // LSH-bucketed ANN: bucket by 8 hyperplane signs, exact re-rank inside
     // the query's bucket, top-5. The scale path: candidates are one
     // bucket, not the full table.
@@ -280,6 +292,11 @@ object LlmQueries {
               FROM emb a JOIN emb b
                 ON a.label = b.label AND a.blk = b.blk AND a.vec_id < b.vec_id)
             WHERE rk <= 3""",
+      "q49_ivf_cells" ->
+        s"""WITH e AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e FROM embeddings),
+                 c AS (SELECT array_agg(e ORDER BY vec_id) AS cents FROM e WHERE vec_id < 8)
+            SELECT vec_id, ${Similarity.ivfCellSql("e.e", "c.cents")} AS cell
+            FROM e, c""",
       "q36_ann_lsh" ->
         s"""WITH emb AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e FROM embeddings),
                  bk AS (SELECT vec_id, e, ${Similarity.lshBucketSql("e")} AS bucket FROM emb),
