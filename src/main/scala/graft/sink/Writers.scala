@@ -50,6 +50,21 @@ object Writers {
     (df.filter(valid),
      df.filter(!valid).withColumn("reject_reason", lit(reason)))
 
+  /** Skew-resistant equi-join (SURVEY.md §4 / the brief's "salting for
+    * skew"): the large side is salted deterministically from its row hash,
+    * the small side replicated saltN ways, and the join key becomes
+    * (key, salt) — a hot key's rows spread over saltN reducers. Result is
+    * row-identical to the plain join. AQE's skew-join handles the same
+    * case adaptively; explicit salting is for static plans / writers. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 saltN: Int): DataFrame = {
+    val salted = large.withColumn("_salt",
+      pmod(hash(large.columns.map(col).toSeq: _*), lit(saltN)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltN - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** K1/K2 tile-table write: zstd parquet, laid out for scan locality —
     * partition by scene prefix would explode small dirs at low SF, so we
     * sort within partitions by the grid key instead (parquet row-group

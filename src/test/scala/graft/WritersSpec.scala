@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.model.RasterModel
+import graft.raster.NdviKernel
+import graft.sink.Writers
+
+/** Writer-side scale mechanics: tile round trip, salted join equivalence,
+  * and date-partitioned layout with partition pruning at the scan. */
+class WritersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeTiles round trip preserves the tile table") {
+    val tiles = RasterModel.dummyConstant(spark)
+    val path = Files.createTempDirectory("tiles").resolve("t").toString
+    Writers.writeTiles(tiles, path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 2)
+    val ndvi = NdviKernel.computeNdvi(back)
+    val px = ndvi.select("pixels").head.getSeq[Any](0)
+    assert(px.length == 10000 && px.head.asInstanceOf[Float] == -0.18965584f)
+  }
+
+  test("saltedJoin equals the plain join row-for-row") {
+    val large = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val small = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = large.join(small, "l_orderkey")
+      .as[(Long, Double, String)].collect().sorted
+    val salted = Writers.saltedJoin(large, small, "l_orderkey", saltN = 8)
+      .select("l_orderkey", "l_quantity", "o_orderstatus")
+      .as[(Long, Double, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("date-partitioned write prunes partitions at the scan") {
+    val path = Files.createTempDirectory("per_date").resolve("t").toString
+    Tables.orders(spark, sf)
+      .withColumn("o_date", col("o_orderdate").cast("date"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").parquet(path)
+    val read = spark.read.parquet(path).filter(col("o_year") === 1997)
+    read.collect()
+    val plan = read.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // partition filter applied → only the 1997 directory is read
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty,
+      "expected partition filters on the scan")
+    assert(scan.relation.location.inputFiles.exists(_.contains("o_year=1997")))
+    // pruning effect shows in the metadata: one selected partition
+    assert(scan.metadata.get("PartitionFilters").exists(_.contains("1997")) ||
+      scan.partitionFilters.mkString.contains("1997"))
+  }
+}
