@@ -137,6 +137,21 @@ object LlmQueries {
           (col("n_inter").cast("double") / col("n_union")).as("jaccard"))
     }),
 
+    // Text cleaning: normalize case, strip non-alphanumerics, collapse
+    // whitespace, drop stopwords — the standard pre-tokenization scrub.
+    "q50_text_clean" -> ((s, d) => {
+      val cleaned = regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+        " +", " ")
+      val toks = filter(split(trim(cleaned), " "), t => t =!= "")
+      val kept = filter(toks, t => !t.isin(TextAnalysis.LangProfiles.head._2: _*))
+      documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(slice(kept, 1, 8), " ").as("head_tokens"))
+    }),
+
     // Brute-force cosine top-10 against the vec_id=0 query vector.
     "q34_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("e"))
@@ -272,6 +287,22 @@ object LlmQueries {
                      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS jaccard
             FROM docs a JOIN docs b
               ON a.source = b.source AND a.blk = b.blk AND a.doc_id < b.doc_id""",
+      "q50_text_clean" -> {
+        val stop = TextAnalysis.LangProfiles.head._2.map(s => s"'$s'").mkString(", ")
+        s"""SELECT doc_id,
+              len(toks)::BIGINT AS n_tok,
+              len(kept)::BIGINT AS n_kept,
+              array_to_string(list_slice(kept, 1, 8), ' ') AS head_tokens
+            FROM (
+              SELECT doc_id, toks,
+                     list_filter(toks, t -> NOT list_contains([$stop], t)) AS kept
+              FROM (
+                SELECT doc_id,
+                       list_filter(string_split(trim(regexp_replace(
+                         regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                         ' +', ' ', 'g')), ' '), t -> t <> '') AS toks
+                FROM documents))"""
+      },
       "q34_cosine_topk" ->
         s"""WITH e AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e FROM embeddings),
                  q AS (SELECT e AS qe FROM e WHERE vec_id = 0)

@@ -88,6 +88,22 @@ object RasterQueries {
         .select(col("tile_id"), col("tile_ln"), col("aoi_id"), inside.as("n_inside"))
     }),
 
+    // The pipeline-shaped rollup (SURVEY §1.1's implicit NDVI time
+    // series): kernel → valid-filter → weekly per-flag mean. Scan →
+    // project → single partial+final aggregate; nothing else shuffles.
+    "q51_ndvi_weekly" -> ((s, d) => {
+      val redDn = (col("l_partkey") % 4096).cast("double")
+      val nirDn = ((col("l_partkey") * 7 + col("l_linenumber")) % 4096).cast("double")
+      val ndvi = ExtractQueries.ndviKernel(redDn, nirDn)
+      val valid = when(ndvi === -9999.0, lit(null)).otherwise(ndvi)
+      lineitem(s, d)
+        .select(date_trunc("week", col("l_shipdate")).cast("date").as("week"),
+                col("l_returnflag"), valid.as("ndvi"))
+        .groupBy(col("week"), col("l_returnflag"))
+        .agg(round(avg(col("ndvi")), 6).as("mean_ndvi"),
+             count(col("ndvi")).as("n_valid"))
+    }),
+
     // Overview 2x: block means of a 4x4 synthesized tile as 4 columns.
     "q39_overview_blocks" -> ((s, d) => {
       def pxAt(i: Int): Column = ndviPx(redDn(lit(i)), nirDn(lit(i)))
@@ -151,6 +167,23 @@ object RasterQueries {
                   FROM nation) a
               ON NOT (t.tmaxx < a.aminx OR t.tminx > a.amaxx OR
                       t.tmaxy < a.aminy OR t.tminy > a.amaxy)""",
+      "q51_ndvi_weekly" ->
+        s"""SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+                   l_returnflag,
+                   round(avg(ndvi), 6) AS mean_ndvi,
+                   CAST(count(ndvi) AS BIGINT) AS n_valid
+            FROM (SELECT l_shipdate, l_returnflag,
+                    CASE WHEN red_dn = 0 OR nir_dn = 0 THEN NULL
+                         ELSE least(greatest(
+                           ((nir_dn*0.0000275 - 0.2) - (red_dn*0.0000275 - 0.2))
+                           / ((nir_dn*0.0000275 - 0.2) + (red_dn*0.0000275 - 0.2) + 0.000001),
+                           -1.0), 1.0)
+                    END AS ndvi
+                  FROM (SELECT l_shipdate, l_returnflag,
+                               CAST(l_partkey % 4096 AS DOUBLE) AS red_dn,
+                               CAST((l_partkey * 7 + l_linenumber) % 4096 AS DOUBLE) AS nir_dn
+                        FROM lineitem))
+            GROUP BY 1, 2""",
       "q39_overview_blocks" ->
         s"""SELECT l_orderkey, l_linenumber,
               ${blockMeanSql(Seq(1, 2, 5, 6))} AS b0,
