@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model.RasterModel
+import graft.raster.NdviKernel
+import graft.stats.NanMeanAggregator
+
+/** SQL-registered custom functions + the typed nan-mean Aggregator. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("st_contains and ndvi_kernel are callable from SQL") {
+    GraftFunctions.register(spark)
+    val in = spark.sql(
+      "SELECT st_contains('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 2.0D, 2.0D) AS a, " +
+      "       st_contains('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 9.0D, 2.0D) AS b")
+      .head
+    assert(in.getBoolean(0) && !in.getBoolean(1))
+    val ndvi = spark.sql(
+      "SELECT ndvi_kernel(array(CAST(1000 AS FLOAT)), array(CAST(3000 AS FLOAT)), " +
+      "                   CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)) AS px")
+      .head.getSeq[Float](0)
+    assert(ndvi.head == -0.18965584f)
+  }
+
+  test("NanMeanAggregator matches meanNdviPerScene on the fixture") {
+    val ndvi = NdviKernel.computeNdvi(RasterModel.dummyConstant(spark))
+    val viaAgg = ndvi.groupBy("scene_id")
+      .agg(NanMeanAggregator.column(col("pixels")).as("mean_ndvi"))
+      .head.getDouble(1)
+    val viaFold = NdviKernel.meanNdviPerScene(ndvi).head.getDouble(1)
+    assert(viaAgg == viaFold)
+  }
+
+  test("NanMeanAggregator: all-masked group yields NULL") {
+    val tiles = Seq(RasterModel.BandTile("S", "ndvi", 0, 0, 2, 1, 4326,
+      Seq(0.1, 0, 0, 0, -0.1, 0), Some(-9999.0), Seq(None, None))).toDF()
+    val r = tiles.groupBy("scene_id")
+      .agg(NanMeanAggregator.column(col("pixels")).as("m")).head
+    assert(r.isNullAt(1))
+  }
+}
