@@ -18,7 +18,6 @@ class ExtensionsSpec extends SparkSpec {
     val before = df.queryExecution.analyzed
     val after = EnvelopePrefilter(before)
     assert(after != before, "rule should rewrite the plan")
-    val exprs = after.expressions.flatMap(e => e +: e.children.flatMap(_.collect { case c => c }))
     val flat = after.expressions.flatMap(_.collect { case e => e })
     assert(flat.exists(_.isInstanceOf[GreaterThanOrEqual]))
     assert(flat.exists(_.isInstanceOf[LessThanOrEqual]))
