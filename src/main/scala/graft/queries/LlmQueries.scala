@@ -108,6 +108,37 @@ object LlmQueries {
         .agg(count(lit(1)).as("n_cand"))
     }),
 
+    // The complete LSH dedup pipeline: signatures → banded candidate
+    // pairs → exact 2-shingle Jaccard verification ≥ 0.5. Candidate
+    // generation is the one shuffle; verification joins the candidate
+    // pairs back to the (distinct-shingle) docs — at 100 TB this is the
+    // standard sig-write / candidate-join / verify three-job shape.
+    "q52_minhash_verified" -> ((s, d) => {
+      val sig = Dedup.minhashSignatures(documents(s, d)).localCheckpoint()
+      val a = sig.select(col("doc_id").as("da"), col("mh0"), col("mh1"),
+                         col("mh2"), col("mh3"))
+      val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
+                         col("mh1").as("nh1"), col("mh2").as("nh2"),
+                         col("mh3").as("nh3"))
+      val cands = a.join(b,
+          col("mh0") === col("nh0") && col("mh1") === col("nh1") &&
+          col("mh2") === col("nh2") && col("mh3") === col("nh3") &&
+          col("da") < col("db"))
+        .select(col("da"), col("db"))
+      val toks = tokens(col("text"))
+      val docs = documents(s, d).filter(size(toks) >= 2)
+        .select(col("doc_id"), array_distinct(Dedup.shingles2(toks)).as("sh"))
+      val withA = cands.join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      val withB = withA.join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      withB
+        .select(col("da"), col("db"),
+          size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
+          (size(col("sha")) + size(col("shb")) -
+            size(array_intersect(col("sha"), col("shb")))).cast("long").as("n_union"))
+        .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+        .filter(col("jaccard") >= 0.5)
+    }),
+
     // SimHash (16-bit) per document.
     "q32_simhash" -> ((s, d) =>
       documents(s, d).select(
@@ -271,6 +302,27 @@ object LlmQueries {
               ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
              AND a.mh3 = b.mh3 AND a.doc_id <> b.doc_id
             GROUP BY a.doc_id""",
+      "q52_minhash_verified" ->
+        s"""WITH sig AS ($sigSql),
+                 cands AS (
+                   SELECT a.doc_id AS da, b.doc_id AS db
+                   FROM sig a JOIN sig b
+                     ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
+                    AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id),
+                 docs AS (
+                   SELECT doc_id, list_distinct(${Dedup.shingles2Sql("tk")}) AS sh
+                   FROM (SELECT doc_id, $T AS tk FROM documents)
+                   WHERE len(tk) >= 2)
+            SELECT da, db, n_inter, n_union,
+                   CAST(n_inter AS DOUBLE) / n_union AS jaccard
+            FROM (
+              SELECT da, db,
+                     len(list_intersect(x.sh, y.sh))::BIGINT AS n_inter,
+                     (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::BIGINT AS n_union
+              FROM cands
+              JOIN docs x ON cands.da = x.doc_id
+              JOIN docs y ON cands.db = y.doc_id)
+            WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""",
       "q32_simhash" ->
         s"""SELECT doc_id, ${Dedup.simhash16Sql("tk")} AS simhash
             FROM (SELECT doc_id, $T AS tk FROM documents)""",
