@@ -127,7 +127,7 @@ object ExtractQueries {
       lineitem(s, d)
         .select(col("l_returnflag"), valid.as("ndvi"))
         .groupBy(col("l_returnflag"))
-        .agg(round(avg(col("ndvi")), 6).as("mean_ndvi"),
+        .agg((round(avg(col("ndvi")), 6) + lit(0.0)).as("mean_ndvi"),
              count(col("ndvi")).as("n_valid"),
              count(lit(1)).as("n_total"))
     }),
@@ -211,7 +211,7 @@ object ExtractQueries {
                FROM lineitem)""",
     "q09_mean_ndvi" ->
       """SELECT l_returnflag,
-                round(avg(ndvi), 6) AS mean_ndvi,
+                round(avg(ndvi), 6) + 0.0 AS mean_ndvi,
                 CAST(count(ndvi) AS BIGINT) AS n_valid,
                 CAST(count(*) AS BIGINT) AS n_total
          FROM (SELECT l_returnflag,

@@ -236,6 +236,31 @@ object LlmQueries {
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(5)
     }),
+    // ANN quality measurement: recall of the LSH bucket's top-10 against
+    // the brute-force top-10 for the vec_id=0 probe — the metric that
+    // justifies (or rejects) the bucketed path at scale.
+    "q53_ann_recall" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        .withColumn("bucket", Similarity.lshBucket(col("e")))
+        .localCheckpoint()
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("bucket").as("qbucket"), col("e").as("qe"))
+      val scored = emb.join(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("bucket"), col("qbucket"),
+                cosine(col("e"), col("qe")).as("sim"))
+      val brute = scored.orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      val lsh = scored.filter(col("bucket") === col("qbucket"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      val common = brute.intersect(lsh)
+      brute.agg(count(lit(1)).as("n_brute")).join(
+        lsh.agg(count(lit(1)).as("n_lsh"))).join(
+        common.agg(count(lit(1)).as("n_common")))
+        .select(col("n_brute"), col("n_lsh"), col("n_common"),
+                (col("n_common").cast("double") / col("n_brute")).as("recall"))
+    }),
   )
 
   // ---- oracle SQL (generated from the same constants) ----------------------
@@ -380,6 +405,23 @@ object LlmQueries {
                  c AS (SELECT array_agg(e ORDER BY vec_id) AS cents FROM e WHERE vec_id < 8)
             SELECT vec_id, ${Similarity.ivfCellSql("e.e", "c.cents")} AS cell
             FROM e, c""",
+      "q53_ann_recall" ->
+        s"""WITH e AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e FROM embeddings),
+                 bk AS (SELECT vec_id, e, ${Similarity.lshBucketSql("e")} AS bucket FROM e),
+                 q AS (SELECT bucket AS qbucket, e AS qe FROM bk WHERE vec_id = 0),
+                 scored AS (
+                   SELECT vec_id, bucket, qbucket,
+                          ${cosineSql("bk.e", "q.qe")} AS sim
+                   FROM bk, q WHERE vec_id <> 0),
+                 brute AS (SELECT vec_id FROM scored ORDER BY sim DESC, vec_id LIMIT 10),
+                 lsh AS (SELECT vec_id FROM scored WHERE bucket = qbucket
+                         ORDER BY sim DESC, vec_id LIMIT 10),
+                 common AS (SELECT vec_id FROM brute INTERSECT SELECT vec_id FROM lsh)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM brute) AS n_brute,
+                   (SELECT CAST(count(*) AS BIGINT) FROM lsh) AS n_lsh,
+                   (SELECT CAST(count(*) AS BIGINT) FROM common) AS n_common,
+                   CAST((SELECT count(*) FROM common) AS DOUBLE)
+                     / (SELECT count(*) FROM brute) AS recall""",
       "q36_ann_lsh" ->
         s"""WITH emb AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e FROM embeddings),
                  bk AS (SELECT vec_id, e, ${Similarity.lshBucketSql("e")} AS bucket FROM emb),

@@ -100,7 +100,7 @@ object RasterQueries {
         .select(date_trunc("week", col("l_shipdate")).cast("date").as("week"),
                 col("l_returnflag"), valid.as("ndvi"))
         .groupBy(col("week"), col("l_returnflag"))
-        .agg(round(avg(col("ndvi")), 6).as("mean_ndvi"),
+        .agg((round(avg(col("ndvi")), 6) + lit(0.0)).as("mean_ndvi"),
              count(col("ndvi")).as("n_valid"))
     }),
 
@@ -170,7 +170,7 @@ object RasterQueries {
       "q51_ndvi_weekly" ->
         s"""SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
                    l_returnflag,
-                   round(avg(ndvi), 6) AS mean_ndvi,
+                   round(avg(ndvi), 6) + 0.0 AS mean_ndvi,
                    CAST(count(ndvi) AS BIGINT) AS n_valid
             FROM (SELECT l_shipdate, l_returnflag,
                     CASE WHEN red_dn = 0 OR nir_dn = 0 THEN NULL

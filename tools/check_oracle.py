@@ -20,7 +20,7 @@ def norm(df):
         if pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.astype("datetime64[us]").astype(str)
         elif pd.api.types.is_float_dtype(s):
-            out[c] = s.map(lambda v: "null" if pd.isna(v) else repr(float(v)))
+            out[c] = s.map(lambda v: "null" if pd.isna(v) else repr(float(v) + 0.0 if float(v) != 0 else 0.0))
         elif pd.api.types.is_bool_dtype(s):
             out[c] = s.map(lambda v: "null" if pd.isna(v) else str(bool(v)))
         else:
