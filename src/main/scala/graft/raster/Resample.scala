@@ -80,7 +80,7 @@ object Resample {
     })
   }
 
-  private[raster] def reprojectOne(t: BandTile, dstEpsg: Int, resM: Double,
+  private[graft] def reprojectOne(t: BandTile, dstEpsg: Int, resM: Double,
                                    bilinear: Boolean): BandTile = {
     val Seq(a, _, c, _, e, f) = t.transform
     // source corner coords → dst bbox via corner transform
@@ -111,6 +111,85 @@ object Resample {
     t.copy(width = outW, height = outH, epsg = dstEpsg,
       transform = Seq(resM, 0.0, minX, 0.0, -resM, maxY),
       pixels = px.toSeq)
+  }
+
+  /** Seam-correct warp: assemble each (scene, band) group's tiles into the
+    * scene mosaic, warp the whole image, and re-tile the result. This is
+    * the reference's whole-image semantics (it warps full scenes,
+    * load_to_postgis.py:90-136) and the honest scale design: a scene is
+    * the bounded work unit (Landsat ≈ 8k×8k), parallelism is ACROSS
+    * scenes — groupByKey shuffles tiles once on (scene_id, band), each
+    * group warps independently. Destination pixels near tile seams sample
+    * across source-tile boundaries correctly because the mosaic is whole. */
+  def reprojectScenes(spark: SparkSession, tiles: Dataset[BandTile], dstEpsg: Int,
+                      resM: Double = 30.0, bilinear: Boolean = true,
+                      tileSize: Int = graft.model.RasterModel.TileSize): Dataset[BandTile] = {
+    import spark.implicits._
+    tiles.groupByKey(t => (t.scene_id, t.band)).flatMapGroups {
+      (_: (String, String), ts: Iterator[BandTile]) =>
+        val group = ts.toSeq
+        if (group.head.epsg == dstEpsg) group.iterator  // no-op elision
+        else {
+          val mosaic = assembleScene(group, tileSize)
+          val warped = reprojectOne(mosaic, dstEpsg, resM, bilinear)
+          retile(warped, tileSize).iterator
+        }
+    }
+  }
+
+  /** Mosaic a scene's tiles (shared transform grid) into one BandTile. */
+  private[graft] def assembleScene(tiles: Seq[BandTile], tileSize: Int): BandTile = {
+    val t0 = tiles.head
+    val Seq(a, b, c0, d0, e, f) = t0.transform
+    val minCol = tiles.map(_.tile_col).min
+    val minRow = tiles.map(_.tile_row).min
+    val maxCol = tiles.map(t => t.tile_col * tileSize + t.width).max - minCol * tileSize
+    val maxRow = tiles.map(t => t.tile_row * tileSize + t.height).max - minRow * tileSize
+    val px = Array.fill[Option[Float]](maxCol * maxRow)(None)
+    tiles.foreach { t =>
+      val ox = (t.tile_col - minCol) * tileSize
+      val oy = (t.tile_row - minRow) * tileSize
+      var r = 0
+      while (r < t.height) {
+        var ccol = 0
+        while (ccol < t.width) {
+          px((oy + r) * maxCol + (ox + ccol)) = t.pixels(r * t.width + ccol)
+          ccol += 1
+        }
+        r += 1
+      }
+    }
+    t0.copy(tile_col = 0, tile_row = 0, width = maxCol, height = maxRow,
+      transform = Seq(a, b, c0 + a * (minCol * tileSize), d0,
+                      e, f + e * (minRow * tileSize)),
+      pixels = px.toSeq)
+  }
+
+  /** Split a (possibly large) tile back into tileSize blocks. */
+  private[graft] def retile(t: BandTile, tileSize: Int): Seq[BandTile] = {
+    val Seq(a, b, c0, d0, e, f) = t.transform
+    val nCols = (t.width + tileSize - 1) / tileSize
+    val nRows = (t.height + tileSize - 1) / tileSize
+    for {
+      tr <- 0 until nRows
+      tc <- 0 until nCols
+    } yield {
+      val w = math.min(tileSize, t.width - tc * tileSize)
+      val h = math.min(tileSize, t.height - tr * tileSize)
+      val px = new Array[Option[Float]](w * h)
+      var r = 0
+      while (r < h) {
+        var ccol = 0
+        while (ccol < w) {
+          px(r * w + ccol) =
+            t.pixels((tr * tileSize + r) * t.width + (tc * tileSize + ccol))
+          ccol += 1
+        }
+        r += 1
+      }
+      t.copy(tile_col = tc, tile_row = tr, width = w, height = h,
+        pixels = px.toSeq)
+    }
   }
 
   private def pixelAt(t: BandTile, col: Int, row: Int): Option[Float] =
