@@ -47,4 +47,56 @@ object NdviPipeline {
       Seq("scene_id", "aoi_id"), tieBreak = "scene_id")
     (full, clipped)
   }
+
+  /** Run summary (A3, reference main.py:114-152): per-scene status rows →
+    * totals / successes / failures. */
+  case class RunSummary(total: Long, succeeded: Long, failed: Long)
+
+  /** Everything the reference's run produces, as lazy frames; callers
+    * write them in stage order (K9 commit ordering). */
+  case class Result(full: DataFrame, clipped: DataFrame, viz: DataFrame,
+                    overviews: Option[DataFrame], mean: DataFrame,
+                    summary: RunSummary)
+
+  /** The complete reference trace on one lazy lineage (main.py:94-158):
+    * settings → catalog predicates → band pairing + NDVI kernel → AOI
+    * clip → overview pyramid → viz warp to products.reproject_crs →
+    * per-scene mean → K4/K5 upserts → run summary. */
+  def run(spark: SparkSession,
+          settings: graft.config.Settings,
+          catalog: DataFrame,
+          tiles: DataFrame,
+          aoi: DataFrame,
+          existingFull: DataFrame,
+          existingClipped: DataFrame): Result = {
+    import spark.implicits._
+    val tileCols = Seq("scene_id", "band", "tile_col", "tile_row", "width",
+      "height", "epsg", "transform", "nodata", "pixels")
+    val selected = filterCatalog(catalog,
+      settings.download.maxCloudCover,
+      settings.dates.start, settings.dates.end,
+      settings.download.maxItems)
+    val selectedTiles = tiles.join(
+      broadcast(selected.select(col("scene_id"))), Seq("scene_id"))
+    val (ndvi, clippedTiles, mean) = transformStage(selectedTiles, aoi)
+    val clippedBands = clippedTiles.select(tileCols.map(col): _*)
+    val overviews =
+      if (settings.products.buildOverviews) Some(graft.raster.Resample.overview(clippedBands, 2))
+      else None
+    val vizEpsg = settings.products.reprojectCrs.stripPrefix("EPSG:").toInt
+    val viz = graft.raster.Resample.reprojectScenes(spark,
+      clippedBands.as[graft.model.RasterModel.BandTile],
+      vizEpsg, resM = 30000.0).toDF()
+    val newFull = ndvi.select(col("scene_id")).distinct()
+      .withColumn("acquisition_date", lit(settings.dates.start).cast("date"))
+    val newClipped = mean.join(broadcast(aoi.select(col("aoi_id"))))
+      .select(col("scene_id"), col("aoi_id"), col("mean_ndvi"))
+    val (full, clippedTable) = loadStage(
+      existingFull, newFull,
+      existingClipped, newClipped)
+    val nScenes = selected.count()
+    val nOk = mean.filter(col("mean_ndvi").isNotNull).count()
+    Result(full, clippedTable, viz, overviews, mean,
+      RunSummary(nScenes, nOk, nScenes - nOk))
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.config.Settings
+import graft.model.RasterModel
+import graft.pipeline.NdviPipeline
+
+/** The reference's full run (main.py:94-158) through NdviPipeline.run on
+  * the replicated fixtures: catalog predicates pick the good scene, the
+  * kernel+clip+mean produce the golden value, upserts land, and a second
+  * run is idempotent. */
+class EndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val settings = Settings.fromString(
+    """aoi:
+      |  bbox: [0.5, -9.5, 9.5, -0.5]
+      |dates:
+      |  start: "2022-06-01"
+      |  end:   "2022-12-31"
+      |download:
+      |  max_cloud_cover: 10
+      |  max_items: 10
+      |products:
+      |  reproject_crs: "EPSG:3857"
+      |  build_overviews: true""".stripMargin)
+
+  private def catalog = Seq(
+    ("TEST_SCENE", 5.0, "2022-06-10 00:00:00"),
+    ("CLOUDY", 90.0, "2022-06-10 00:00:00"),
+    ("LE07_X", 1.0, "2022-06-10 00:00:00"))
+    .toDF("scene_id", "cloud_cover", "dt")
+    .withColumn("datetime", col("dt").cast("timestamp"))
+
+  test("full pipeline run: golden mean, product tables, summary, idempotent reload") {
+    val tiles = RasterModel.dummyConstant(spark)
+    val aoi = RasterModel.aoiOverlap(spark)
+    val emptyFull = Seq.empty[(String, java.sql.Date)]
+      .toDF("scene_id", "acquisition_date")
+    val emptyClipped = Seq.empty[(String, Long, Double)]
+      .toDF("scene_id", "aoi_id", "mean_ndvi")
+
+    val r = NdviPipeline.run(spark, settings, catalog, tiles, aoi,
+      emptyFull, emptyClipped)
+
+    assert(r.summary.total == 1 && r.summary.succeeded == 1 && r.summary.failed == 0)
+    val m = r.mean.head
+    assert(m.getString(0) == "TEST_SCENE")
+    assert(math.abs(m.getDouble(1) - -0.18965584) < 1e-6)
+    assert(m.getLong(2) == 8100)                       // clipped interior
+    assert(r.full.count() == 1)
+    assert(r.clipped.count() == 1)
+    assert(r.viz.count() == 1)
+    val vizRow = r.viz.head
+    assert(vizRow.getAs[Int]("epsg") == 3857)
+    assert(r.overviews.get.head.getAs[Int]("overview_factor") == 2)
+
+    // reload: K4 does nothing for the existing scene, K5 merges in place
+    val r2 = NdviPipeline.run(spark, settings, catalog, tiles, aoi,
+      r.full, r.clipped)
+    assert(r2.full.count() == 1)
+    assert(r2.clipped.count() == 1)
+  }
+}
