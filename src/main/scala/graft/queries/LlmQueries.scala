@@ -126,8 +126,10 @@ object LlmQueries {
           col("da") < col("db"))
         .select(col("da"), col("db"))
       val toks = tokens(col("text"))
+      // materialized once: both verification joins read the shingle sets
       val docs = documents(s, d).filter(size(toks) >= 2)
         .select(col("doc_id"), array_distinct(Dedup.shingles2(toks)).as("sh"))
+        .localCheckpoint()
       val withA = cands.join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
       val withB = withA.join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
       withB
