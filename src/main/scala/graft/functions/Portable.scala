@@ -46,8 +46,16 @@ object Portable {
 
   /** Deterministic polynomial rolling hash over characters:
     * h = fold(0, (acc, c) => (acc*31 + ascii(c)) % FoldMod).
-    * Engine-portable replacement for murmur3 in dedup/minhash pipelines. */
+    * Engine-portable replacement for murmur3 in dedup/minhash pipelines.
+    * Runs as the codegen'd CharFoldExpr; [[charFoldHof]] is the built-in
+    * HOF chain kept for cross-checking the two implementations. */
   def charFold(s: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.toColumn(
+      CharFoldExpr(org.apache.spark.sql.graftbridge.Bridge.toExpression(s)))
+
+  /** Reference HOF implementation of [[charFold]] (interpreted lambdas —
+    * value-identical, slower; the cross-check target). */
+  def charFoldHof(s: Column): Column =
     aggregate(
       transform(filter(split(s, ""), c => c =!= ""), c => ascii(c).cast("long")),
       lit(0L),

@@ -17,6 +17,16 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == 638038L) // duckdb: list_reduce(ascii chars, (a,b)->(a*31+b)%1000003)
   }
 
+  test("codegen charFold equals the HOF chain on varied strings") {
+    val samples = Seq("", "a", "spark", "the quick brown fox", "Hello, World!",
+      "punct!@# $%^", "1234567890", "mixedCASE text", "  spaces  ")
+    val df = samples.toDF("s")
+    val rows = df.select(
+      Portable.charFold(col("s")).as("fast"),
+      Portable.charFoldHof(col("s")).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), s"diverged: $r"))
+  }
+
   test("charFold of empty string is the fold seed (0)") {
     val got = Seq("").toDF("s")
       .select(Portable.charFold(col("s")).as("h")).head.getLong(0)
