@@ -59,6 +59,16 @@ object MiscQueries {
           count(lit(1)).over(w)).as("qty_ma3"))
     }),
 
+    // Exact per-group median (sort-based percentile; Spark and DuckDB use
+    // the same p*(n-1) linear interpolation; integer-valued quantities
+    // make every interpolated value exact).
+    "q54_median" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+             expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+             count(lit(1)).as("n"))),
+
     // Rollup grouping (region → nation → grand total).
     "q47_rollup" -> ((s, d) =>
       customer(s, d)
@@ -94,6 +104,12 @@ object MiscQueries {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP (r_name, n_name)""",
+    "q54_median" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS median_qty,
+                quantile_cont(l_quantity, 0.9) AS p90_qty,
+                CAST(count(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY l_returnflag""",
     "q48_timeseries_ma" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
                 CAST(l_shipdate AS DATE) AS ship_date,
