@@ -3,7 +3,8 @@ package graft.raster
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
@@ -21,8 +22,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
   *
   * Null element = masked pixel (N7: -9999 only at the sink boundary).
   */
-case class NdviKernelExpr(children: Seq[Expression])
-    extends Expression with CodegenFallback {
+case class NdviKernelExpr(children: Seq[Expression]) extends Expression {
 
   require(children.length == 4,
     "NdviKernelExpr(redPx, nirPx, redNodata, nirNodata)")
@@ -34,12 +34,49 @@ case class NdviKernelExpr(children: Seq[Expression])
     val redAny = children(0).eval(input)
     val nirAny = children(1).eval(input)
     if (redAny == null || nirAny == null) return null
-    val red = redAny.asInstanceOf[ArrayData]
-    val nir = nirAny.asInstanceOf[ArrayData]
     val rndAny = children(2).eval(input)
     val nndAny = children(3).eval(input)
-    val rnd = if (rndAny == null) Float.NaN else rndAny.asInstanceOf[Double].toFloat
-    val nnd = if (nndAny == null) Float.NaN else nndAny.asInstanceOf[Double].toFloat
+    NdviKernelExpr.compute(
+      redAny.asInstanceOf[ArrayData], nirAny.asInstanceOf[ArrayData],
+      if (rndAny == null) Float.NaN else rndAny.asInstanceOf[Double].toFloat,
+      if (nndAny == null) Float.NaN else nndAny.asInstanceOf[Double].toFloat)
+  }
+
+  /** Custom codegen, NOT defineCodeGen: a NULL nodata child is a valid
+    * input (no declared nodata → NaN sentinel), so only the two pixel
+    * arrays propagate null. The kernel body is one static call — the
+    * generated projection stays inside whole-stage codegen. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = children(0).genCode(ctx)
+    val n = children(1).genCode(ctx)
+    val rn = children(2).genCode(ctx)
+    val nn = children(3).genCode(ctx)
+    val out = code"""
+      ${r.code}
+      ${n.code}
+      ${rn.code}
+      ${nn.code}
+      boolean ${ev.isNull} = ${r.isNull} || ${n.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        float graft_rnd = ${rn.isNull} ? Float.NaN : (float) ${rn.value};
+        float graft_nnd = ${nn.isNull} ? Float.NaN : (float) ${nn.value};
+        ${ev.value} = graft.raster.NdviKernelExpr.compute(
+          ${r.value}, ${n.value}, graft_rnd, graft_nnd);
+      }"""
+    ev.copy(code = out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+object NdviKernelExpr {
+
+  /** The kernel body (shared by eval and generated code): one imperative
+    * float32 loop per tile. NaN nodata sentinel = no declared nodata
+    * (NaN == x is false for every x, so the mask term vanishes). */
+  def compute(red: ArrayData, nir: ArrayData, rnd: Float, nnd: Float): ArrayData = {
     val nPx = red.numElements()
     val out = new Array[Any](nPx)
     var i = 0
@@ -76,11 +113,6 @@ case class NdviKernelExpr(children: Seq[Expression])
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
-}
-
-object NdviKernelExpr {
   /** Column wrapper: ndvi_kernel(redPx, nirPx, redNodata, nirNodata). */
   def apply(redPx: Column, nirPx: Column,
             redNodata: Column, nirNodata: Column): Column =
