@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, NullType, NumericType}
 
 /** The NDVI kernel (N2–N8) as a native Catalyst expression — the perf
   * path promised in SURVEY.md §7 step 2.
@@ -30,16 +31,43 @@ case class NdviKernelExpr(children: Seq[Expression]) extends Expression {
   override def dataType: DataType = ArrayType(FloatType, containsNull = true)
   override def nullable: Boolean = children.take(2).exists(_.nullable)
 
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def arrOk(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    def nodataOk(dt: DataType) = dt match {
+      case NullType => true
+      case _: NumericType => true
+      case _ => false
+    }
+    if (!arrOk(children(0).dataType) || !arrOk(children(1).dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"ndvi_kernel pixel arguments must be ARRAY<FLOAT>, got " +
+          s"${children(0).dataType.sql}, ${children(1).dataType.sql}")
+    else if (!nodataOk(children(2).dataType) || !nodataOk(children(3).dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"ndvi_kernel nodata arguments must be numeric or NULL, got " +
+          s"${children(2).dataType.sql}, ${children(3).dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  private def nodataToFloat(v: Any): Float = v match {
+    case null => Float.NaN
+    case n: Number => n.floatValue
+    case other => other.toString.toFloat
+  }
+
   override def eval(input: InternalRow): Any = {
     val redAny = children(0).eval(input)
     val nirAny = children(1).eval(input)
     if (redAny == null || nirAny == null) return null
-    val rndAny = children(2).eval(input)
-    val nndAny = children(3).eval(input)
+    // nodata children evaluated only when the arrays are non-null — the
+    // generated code below preserves this order.
     NdviKernelExpr.compute(
       redAny.asInstanceOf[ArrayData], nirAny.asInstanceOf[ArrayData],
-      if (rndAny == null) Float.NaN else rndAny.asInstanceOf[Double].toFloat,
-      if (nndAny == null) Float.NaN else nndAny.asInstanceOf[Double].toFloat)
+      nodataToFloat(children(2).eval(input)),
+      nodataToFloat(children(3).eval(input)))
   }
 
   /** Custom codegen, NOT defineCodeGen: a NULL nodata child is a valid
@@ -49,20 +77,29 @@ case class NdviKernelExpr(children: Seq[Expression]) extends Expression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val r = children(0).genCode(ctx)
     val n = children(1).genCode(ctx)
-    val rn = children(2).genCode(ctx)
-    val nn = children(3).genCode(ctx)
+    val rndVar = ctx.freshName("rnd")
+    val nndVar = ctx.freshName("nnd")
+    // NullType literals generate `((Object) null)` values — emit the NaN
+    // sentinel directly instead of a (float) cast that Janino rejects.
+    def nodataCode(child: Expression, target: String): String =
+      if (child.dataType == NullType) s"float $target = Float.NaN;"
+      else {
+        val c = child.genCode(ctx)
+        s"""${c.code}
+           float $target = ${c.isNull} ? Float.NaN : (float) ${c.value};"""
+      }
+    val rnCode = nodataCode(children(2), rndVar)
+    val nnCode = nodataCode(children(3), nndVar)
     val out = code"""
       ${r.code}
       ${n.code}
-      ${rn.code}
-      ${nn.code}
       boolean ${ev.isNull} = ${r.isNull} || ${n.isNull};
       org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
       if (!${ev.isNull}) {
-        float graft_rnd = ${rn.isNull} ? Float.NaN : (float) ${rn.value};
-        float graft_nnd = ${nn.isNull} ? Float.NaN : (float) ${nn.value};
+        $rnCode
+        $nnCode
         ${ev.value} = graft.raster.NdviKernelExpr.compute(
-          ${r.value}, ${n.value}, graft_rnd, graft_nnd);
+          ${r.value}, ${n.value}, $rndVar, $nndVar);
       }"""
     ev.copy(code = out)
   }

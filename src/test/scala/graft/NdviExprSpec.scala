@@ -50,6 +50,30 @@ class NdviExprSpec extends SparkSpec {
     assert(diffs.isEmpty, s"paths diverged at ${diffs.take(3)}")
   }
 
+  test("NULL-literal and integer-literal nodata are valid inputs on both execution paths") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((Seq(Some(1000f), Some(7f)), Seq(Some(3000f), Some(3000f))))
+      .toDF("r", "n")
+    // NULL nodata: no declared-nodata masking; int nodata 7 masks pixel 2
+    val nullCase = df.select(graft.raster.NdviKernelExpr(
+      col("r"), col("n"), lit(null), lit(null)).as("px")).head.getSeq[Any](0)
+    assert(nullCase.forall(_ != null))
+    val intCase = df.select(graft.raster.NdviKernelExpr(
+      col("r"), col("n"), lit(7), lit(0)).as("px")).head.getSeq[Any](0)
+    assert(intCase(0) != null && intCase(1) == null)
+  }
+
+  test("non-numeric nodata fails at analysis, not at runtime") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((Seq(Some(1f)), Seq(Some(2f)))).toDF("r", "n")
+    val e = intercept[Exception] {
+      df.select(graft.raster.NdviKernelExpr(
+        col("r"), col("n"), lit("oops"), lit(0.0)).as("px")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("nodata") ||
+      e.getMessage.toLowerCase.contains("data type"), e.getMessage)
+  }
+
   test("meanNdvi over expr path matches fixture mean") {
     val ndvi = NdviKernel.computeNdvi(RasterModel.dummyConstant(spark))
     val m = NdviKernel.meanNdviPerScene(ndvi).head
