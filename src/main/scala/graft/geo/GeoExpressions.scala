@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BooleanType, DataType, NumericType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -29,13 +30,32 @@ case class PointInPolygon(wktExpr: Expression, xExpr: Expression, yExpr: Express
   override def nullable: Boolean =
     wktExpr.nullable || xExpr.nullable || yExpr.nullable
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (wktExpr.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"st_contains geometry argument must be STRING WKT, got ${wktExpr.dataType.sql}")
+    else if (!xExpr.dataType.isInstanceOf[NumericType] ||
+             !yExpr.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"st_contains coordinates must be numeric, got " +
+          s"${xExpr.dataType.sql}, ${yExpr.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  // ConcurrentHashMap: an expression instance can be evaluated from
+  // multiple task threads in interpreted paths.
   @transient private lazy val cache =
-    collection.mutable.HashMap.empty[String, Seq[Wkt.Polygon]]
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Wkt.Polygon]]()
+
+  private def toDouble(v: Any): Double = v match {
+    case d: Double => d
+    case n: Number => n.doubleValue
+    case other => other.toString.toDouble
+  }
 
   override protected def nullSafeEval(wkt: Any, x: Any, y: Any): Any = {
     val s = wkt.asInstanceOf[UTF8String].toString
-    val polys = cache.getOrElseUpdate(s, Wkt.parse(s))
-    Wkt.contains(polys, x.asInstanceOf[Double], y.asInstanceOf[Double])
+    val polys = cache.computeIfAbsent(s, k => Wkt.parse(k))
+    Wkt.contains(polys, toDouble(x), toDouble(y))
   }
 
   override protected def withNewChildrenInternal(
