@@ -33,16 +33,25 @@ object Dedup {
     * with FoldMod; products stay < 2^63. */
   val ShingleMix = 8191L
 
-  /** Shingle hashes: portable token-hash fold + pairwise combine. */
-  def shingleHashes(toks: Column): Column = {
-    val hh = transform(toks, t => charFold(t))
-    transform(sequence(lit(1), size(toks) - 1),
-      i => (element_at(hh, i) * ShingleMix + element_at(hh, i + 1)) % FoldMod)
-  }
-  def shingleHashesSql(toks: String): String = {
-    val hh = s"list_transform($toks, t -> ${charFoldSql("t")})"
-    s"list_transform(range(1, len($toks)), i -> (($hh)[i] * $ShingleMix + ($hh)[i+1]) % $FoldMod)"
-  }
+  /** Pairwise combine of an already-materialized token-hash array `th` —
+    * THE shingle-hash formula; minhashSignatures and the generated oracle
+    * both call this so the two sides cannot drift. Guarded: < 2 hashes →
+    * empty (sequence(1, 0) would go DESCENDING through index 0 and throw
+    * INVALID_INDEX_OF_ZERO under Spark 4's default ANSI mode). */
+  def combineAdjacent(th: Column): Column =
+    when(size(th) >= 2,
+      transform(sequence(lit(1), size(th) - 1),
+        i => (element_at(th, i) * ShingleMix + element_at(th, i + 1)) % FoldMod))
+      .otherwise(array().cast("array<bigint>"))
+  def combineAdjacentSql(th: String): String =
+    s"list_transform(range(1, len($th)), i -> (($th)[i] * $ShingleMix + ($th)[i+1]) % $FoldMod)"
+
+  /** Shingle hashes from raw tokens (single-shot form; the production
+    * minhashSignatures path materializes the token hashes first). */
+  def shingleHashes(toks: Column): Column =
+    combineAdjacent(transform(toks, t => charFold(t)))
+  def shingleHashesSql(toks: String): String =
+    combineAdjacentSql(s"list_transform($toks, t -> ${charFoldSql("t")})")
 
   /** j-th MinHash of a hash array: min over (a_j*h + b_j) mod P. */
   def minhash(hashes: Column, j: Int): Column = {
@@ -54,26 +63,36 @@ object Dedup {
     s"list_min(list_transform($hashes, h -> ($a*h + $b) % $MinhashP))"
   }
 
-  /** 16-bit SimHash over token hashes: bit_j = sign of Σ_t (±1 by bit j of
-    * hash(t)); assembled LSB-first. Integer arithmetic only — exact. */
-  def simhash16(toks: Column): Column = {
-    val hs = transform(toks, t => charFold(t) % lit(65536L))
+  /** Truncated token hashes for SimHash (16-bit space). */
+  def simhashTokenHashes(toks: Column): Column =
+    transform(toks, t => charFold(t) % lit(65536L))
+  def simhashTokenHashesSql(toks: String): String =
+    s"list_transform($toks, t -> ${charFoldSql("t")} % 65536)"
+
+  /** 16-bit SimHash from an already-MATERIALIZED hash array (pass a plain
+    * column reference, not the hash expression — the 16 bit-sums each
+    * reference it, and HOFs see no common-subexpression elimination):
+    * bit_j = sign of Σ_t (±1 by bit j of hash(t)); assembled LSB-first.
+    * Integer arithmetic only — exact. */
+  def simhash16FromHashes(hs: Column): Column =
     (0 until 16).map { j =>
       val w = 1L << j
       val sj = aggregate(hs, lit(0L),
         (acc, h) => acc + (((h / lit(w)).cast("long") % 2) * 2 - 1))
       when(sj >= 0, lit(w)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
-  def simhash16Sql(toks: String): String = {
-    val hs = s"list_transform($toks, t -> ${charFoldSql("t")} % 65536)"
+  def simhash16FromHashesSql(hs: String): String =
     (0 until 16).map { j =>
       val w = 1L << j
       val sj = s"list_reduce(list_prepend(0::BIGINT, " +
         s"list_transform($hs, h -> ((h // $w) % 2) * 2 - 1)), (a, b) -> a + b)"
       s"(CASE WHEN $sj >= 0 THEN ${w}::BIGINT ELSE 0::BIGINT END)"
     }.mkString("(", " + ", ")")
-  }
+
+  /** Convenience single-expression form (recomputes the token hashes per
+    * bit — use the FromHashes form with a layered select in hot paths). */
+  def simhash16(toks: Column): Column =
+    simhash16FromHashes(simhashTokenHashes(toks))
 
   /** MinHash signature table for a documents DataFrame:
     * (doc_id, mh0..mh3). Rows with < 2 tokens are dropped (no shingles).
@@ -86,10 +105,7 @@ object Dedup {
       .filter(size(toks) >= 2)
       .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
     val withShingles = withTokenHashes.select(
-      col("doc_id"),
-      transform(sequence(lit(1), size(col("th")) - 1),
-        i => (element_at(col("th"), i) * ShingleMix +
-              element_at(col("th"), i + 1)) % FoldMod).as("hh"))
+      col("doc_id"), combineAdjacent(col("th")).as("hh"))
     withShingles.select(
       (col("doc_id") +: MinhashPerms.indices.map(j =>
         minhash(col("hh"), j).as(s"mh$j"))): _*)

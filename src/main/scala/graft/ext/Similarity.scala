@@ -50,25 +50,31 @@ object Similarity {
     * vectors serve as deterministic coarse centroids (a real deployment
     * trains k-means; fixed seeds keep the oracle reproducible). Returns
     * the 1-based index of the nearest centroid by cosine, ties broken by
-    * centroid order. `centroids` is ARRAY<ARRAY<DOUBLE>>. */
+    * centroid order. `centroids` is ARRAY<ARRAY<DOUBLE>>.
+    *
+    * The query vector's own norm is argmax-invariant (a positive constant
+    * scale), so the score is dot/‖c_j‖ — no redundant ‖e‖ fold per
+    * centroid. Zero-norm centroids → NULL score → never selected. */
   def ivfCell(e: Column, centroids: Column): Column = {
-    import graft.functions.Portable.cosine
-    // fold over centroid indices carrying (bestIdx, bestSim)
+    import graft.functions.Portable.dotFold
     aggregate(
       sequence(lit(1), size(centroids)),
-      struct(lit(0).cast("int").as("bi"), lit(-2.0).as("bs")),
+      struct(lit(0).cast("int").as("bi"), lit(Double.MinValue).as("bs")),
       (acc, i) => {
-        val sim = cosine(e, element_at(centroids, i))
+        val c = element_at(centroids, i)
+        val sim = dotFold(e, c) / nullif(sqrt(dotFold(c, c)), lit(0.0))
         when(sim > acc("bs"), struct(i.cast("int").as("bi"), sim.as("bs")))
           .otherwise(acc)
       },
       acc => acc("bi"))
   }
   def ivfCellSql(e: String, centroids: String): String = {
-    import graft.functions.Portable.cosineSql
-    s"""list_reduce(list_prepend({'bi': 0, 'bs': -2.0},
+    import graft.functions.Portable.dotFoldSql
+    def score(c: String) =
+      s"${dotFoldSql(e, c)} / nullif(sqrt(${dotFoldSql(c, c)}), 0.0)"
+    s"""list_reduce(list_prepend({'bi': 0, 'bs': ${Double.MinValue}},
           list_transform(range(1, len($centroids) + 1),
-            i -> {'bi': i::INT, 'bs': ${cosineSql(e, s"($centroids)[i]")}})),
+            i -> {'bi': i::INT, 'bs': ${score(s"($centroids)[i]")}})),
           (acc, x) -> CASE WHEN x.bs > acc.bs THEN x ELSE acc END).bi"""
   }
 

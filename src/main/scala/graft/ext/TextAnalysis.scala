@@ -64,15 +64,22 @@ object TextAnalysis {
   }
 
   /** Quality score ∈ [0,1]: length term + stopword-density term + size-band
-    * term. Fixed left-associated double arithmetic (deterministic). */
+    * term. Fixed left-associated double arithmetic (deterministic).
+    * Zero-token documents score 0.0 — dividing by nTok unguarded would
+    * raise DIVIDE_BY_ZERO under Spark 4's default ANSI mode and NaN-diverge
+    * from the DuckDB oracle. */
   def qualityScore(nTok: Column, stopN: Column, nChars: Column): Column =
-    least(lit(1.0), nTok.cast("double") / lit(200.0)) * lit(0.5) +
-      least(lit(1.0), stopN.cast("double") * lit(10.0) / nTok.cast("double")) * lit(0.3) +
-      when(nChars.between(100, 2000), lit(0.2)).otherwise(lit(0.0))
+    when(nTok > 0,
+      least(lit(1.0), nTok.cast("double") / lit(200.0)) * lit(0.5) +
+        least(lit(1.0), stopN.cast("double") * lit(10.0) / nTok.cast("double")) * lit(0.3) +
+        when(nChars.between(100, 2000), lit(0.2)).otherwise(lit(0.0)))
+      .otherwise(lit(0.0))
   def qualityScoreSql(nTok: String, stopN: String, nChars: String): String =
-    s"least(1.0::DOUBLE, CAST($nTok AS DOUBLE) / 200.0) * 0.5 + " +
+    s"CASE WHEN $nTok > 0 THEN " +
+      s"least(1.0::DOUBLE, CAST($nTok AS DOUBLE) / 200.0) * 0.5 + " +
       s"least(1.0::DOUBLE, CAST($stopN AS DOUBLE) * 10.0 / CAST($nTok AS DOUBLE)) * 0.3 + " +
-      s"(CASE WHEN $nChars BETWEEN 100 AND 2000 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END)"
+      s"(CASE WHEN $nChars BETWEEN 100 AND 2000 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END) " +
+      s"ELSE 0.0::DOUBLE END"
 
   /** Document fingerprint: rolling char hash of the whole text (portable
     * replacement for a 64-bit content hash). */

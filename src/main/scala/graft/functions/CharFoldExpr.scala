@@ -23,6 +23,13 @@ case class CharFoldExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_fold argument must be STRING, got ${child.dataType.sql}")
+
   override protected def nullSafeEval(input: Any): Any =
     CharFoldExpr.fold(input.asInstanceOf[UTF8String].toString)
 

@@ -88,11 +88,14 @@ object Portable {
     s"list_reduce(list_prepend(0::BIGINT, $a), (p, q) -> p + q)"
 
   /** Cosine similarity over ARRAY<DOUBLE>: dot / (sqrt(|a|²) * sqrt(|b|²)).
-    * sqrt is IEEE-exact, so this inherits dotFold's bit-stability. */
+    * sqrt is IEEE-exact, so this inherits dotFold's bit-stability.
+    * Zero-norm (or empty) vectors → NULL via nullif — Spark 4's default
+    * ANSI mode would otherwise raise DIVIDE_BY_ZERO while DuckDB returns
+    * NaN; NULL is the one value both engines agree on. */
   def cosine(a: Column, b: Column): Column =
-    dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
+    dotFold(a, b) / nullif(sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)), lit(0.0))
   def cosineSql(a: String, b: String): String =
-    s"${dotFoldSql(a, b)} / (sqrt(${dotFoldSql(a, a)}) * sqrt(${dotFoldSql(b, b)}))"
+    s"${dotFoldSql(a, b)} / nullif(sqrt(${dotFoldSql(a, a)}) * sqrt(${dotFoldSql(b, b)}), 0.0)"
 
   /** float32 embedding column → ARRAY<DOUBLE> (exact widening on both
     * engines). */

@@ -26,13 +26,14 @@ object LlmQueries {
       val toks = tokens(col("text"))
       val nTok = size(toks).cast("long")
       val stopN = countIn(toks, LangProfiles.head._2)
+      // nullif guards: zero-token docs → NULL ratios (ANSI-safe, oracle-equal)
       documents(s, d).select(
         col("doc_id"),
         nTok.as("n_tok"),
         length(col("text")).cast("long").as("n_chars_calc"),
-        (tokenLenSum(toks).cast("double") / nTok).as("avg_tok_len"),
+        (tokenLenSum(toks).cast("double") / nullif(nTok, lit(0L))).as("avg_tok_len"),
         stopN.as("stop_n"),
-        (stopN.cast("double") / nTok).as("stop_ratio"))
+        (stopN.cast("double") / nullif(nTok, lit(0L))).as("stop_ratio"))
     }),
 
     // Language-ID heuristic: stopword-profile argmax, deterministic
@@ -141,11 +142,14 @@ object LlmQueries {
         .filter(col("jaccard") >= 0.5)
     }),
 
-    // SimHash (16-bit) per document.
+    // SimHash (16-bit) per document; token hashes materialized once in a
+    // layered select (16 bit-sums reference them).
     "q32_simhash" -> ((s, d) =>
-      documents(s, d).select(
-        col("doc_id"),
-        Dedup.simhash16(tokens(col("text"))).as("simhash"))),
+      documents(s, d)
+        .select(col("doc_id"),
+          Dedup.simhashTokenHashes(tokens(col("text"))).as("hs"))
+        .select(col("doc_id"),
+          Dedup.simhash16FromHashes(col("hs")).as("simhash"))),
 
     // n-gram Jaccard near-dup over blocked pairs (same source + id block):
     // |A∩B| / |A∪B| on distinct 2-shingles. Block key bounds the pair count.
@@ -279,8 +283,7 @@ object LlmQueries {
             ${Dedup.minhashSql("hh", 2)} AS mh2,
             ${Dedup.minhashSql("hh", 3)} AS mh3
           FROM (SELECT doc_id,
-                  list_transform(range(1, len(th)),
-                    i -> (th[i] * ${Dedup.ShingleMix} + th[i+1]) % ${graft.functions.Portable.FoldMod}) AS hh
+                  ${Dedup.combineAdjacentSql("th")} AS hh
                 FROM (SELECT doc_id,
                         list_transform(tk, t -> ${graft.functions.Portable.charFoldSql("t")}) AS th
                       FROM (SELECT doc_id, $T AS tk FROM documents)
@@ -294,9 +297,9 @@ object LlmQueries {
         s"""SELECT doc_id,
               len(tk)::BIGINT AS n_tok,
               length(text)::BIGINT AS n_chars_calc,
-              CAST(${tokenLenSumSql("tk")} AS DOUBLE) / len(tk)::BIGINT AS avg_tok_len,
+              CAST(${tokenLenSumSql("tk")} AS DOUBLE) / nullif(len(tk)::BIGINT, 0) AS avg_tok_len,
               ${countInSql("tk", stopEn)} AS stop_n,
-              CAST(${countInSql("tk", stopEn)} AS DOUBLE) / len(tk)::BIGINT AS stop_ratio
+              CAST(${countInSql("tk", stopEn)} AS DOUBLE) / nullif(len(tk)::BIGINT, 0) AS stop_ratio
             FROM (SELECT doc_id, text, $T AS tk FROM documents)""",
       "q25_lang_id" ->
         s"""SELECT doc_id,
@@ -351,8 +354,9 @@ object LlmQueries {
               JOIN docs y ON cands.db = y.doc_id)
             WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""",
       "q32_simhash" ->
-        s"""SELECT doc_id, ${Dedup.simhash16Sql("tk")} AS simhash
-            FROM (SELECT doc_id, $T AS tk FROM documents)""",
+        s"""SELECT doc_id, ${Dedup.simhash16FromHashesSql("hs")} AS simhash
+            FROM (SELECT doc_id, ${Dedup.simhashTokenHashesSql("tk")} AS hs
+                  FROM (SELECT doc_id, $T AS tk FROM documents))""",
       "q33_ngram_jaccard" ->
         s"""WITH docs AS (
               SELECT doc_id, source, doc_id // 100 AS blk,

@@ -30,14 +30,15 @@ object Writers {
       keys, "left_anti")
 
   /** K5/K6: merge with last-writer-wins on the conflict key — new rows
-    * replace old on key collision; `tieBreak` orders within each source
-    * (deterministic). */
+    * replace old on key collision; among duplicate-key rows within one
+    * side, the LARGEST `tieBreak` (the newest) wins, matching the
+    * last-writer-wins contract. */
   def merge(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
             tieBreak: String): DataFrame = {
     val unioned = existing.withColumn("_is_new", lit(0))
       .unionByName(incoming.withColumn("_is_new", lit(1)))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_is_new").desc, col(tieBreak))
+      .orderBy(col("_is_new").desc, col(tieBreak).desc)
     unioned.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_is_new", "_rn")

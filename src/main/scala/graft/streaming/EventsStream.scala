@@ -20,12 +20,17 @@ object EventsStream {
     * data is one file per table, so stage the file into a scratch dir
     * (what a real deployment has anyway: a landing directory files arrive
     * in). */
-  private def stageDir(sfDir: String, table: String): String = {
+  def stageEvents(sfDir: String, copies: Int): String =
+    stageDir(sfDir, "events", copies)
+
+  private def stageDir(sfDir: String, table: String, copies: Int = 1): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = Files.createTempDirectory(s"graft_stream_$table")
     dir.toFile.deleteOnExit()
-    Files.copy(Paths.get(s"$sfDir/$table.parquet"),
-      dir.resolve(s"$table.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    (0 until copies).foreach { i =>
+      Files.copy(Paths.get(s"$sfDir/$table.parquet"),
+        dir.resolve(s"${table}_$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
     dir.toString
   }
 
@@ -59,33 +64,42 @@ object EventsStream {
   }
 
   /** foreachBatch merge sink (SURVEY.md §2.11): each micro-batch upserts
-    * into a parquet target with the K5 conflict semantics (merge on key,
-    * new rows win) — the streaming side of the reference's ON CONFLICT DO
-    * UPDATE loads. Epoch-atomic: Spark guarantees foreachBatch runs once
-    * per epoch; the rewrite job is the commit. */
-  def streamMergeInto(spark: SparkSession, sfDir: String, targetPath: String,
+    * into a parquet target — the streaming side of the reference's
+    * ON CONFLICT DO UPDATE loads. Counts ACCUMULATE across batches
+    * (max event_id, summed n); exactly-once across restarts comes from
+    * `checkpoint` — re-running with the same checkpoint skips processed
+    * files, so the target is not double-counted.
+    *
+    * Target existence is checked explicitly: a read failure on an
+    * existing target PROPAGATES (a swallowed error here would silently
+    * reset accumulated state to the current batch). */
+  def streamMergeInto(spark: SparkSession, sourceDir: String, targetPath: String,
+                      checkpoint: String,
                       queryName: String = "graft_stream_merge"): Unit = {
-    import graft.sink.Writers
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val batchSchema = spark.read.parquet(sourceDir).schema
     val stream = spark.readStream
       .schema(batchSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(stageDir(sfDir, "events"))
+      .parquet(sourceDir)
       .select(col("user_id"), col("event_id"), col("value"))
     val q = stream.writeStream
       .outputMode("append")
       .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         val incoming = batch.groupBy("user_id")
           .agg(max(col("event_id")).as("event_id"), count(lit(1)).as("n"))
         val existing =
-          try spark.read.parquet(targetPath)
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema) }
-        Writers.merge(existing, incoming, Seq("user_id"), tieBreak = "event_id")
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(targetPath)))
+            spark.read.parquet(targetPath)  // real read errors propagate
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
+        existing.unionByName(incoming)
+          .groupBy("user_id")
+          .agg(max(col("event_id")).as("event_id"), sum(col("n")).as("n"))
           .write.mode("overwrite").parquet(targetPath + ".tmp")
-        // atomic-ish swap: rewrite target from the merged snapshot
+        // rewrite target from the committed snapshot
         spark.read.parquet(targetPath + ".tmp")
           .write.mode("overwrite").parquet(targetPath)
         ()
