@@ -43,10 +43,14 @@ object StreamQueries {
       val v = (col("o_orderkey") % 4).cast("int")
       val rHref = concat(lit("href_"), col("o_orderkey"), lit("_r"))
       val nHref = concat(lit("href_"), col("o_orderkey"), lit("_n"))
-      val assets = when(v === 0, map_from_arrays(array(lit("red"), lit("nir08")), array(rHref, nHref)))
-        .when(v === 1, map_from_arrays(array(lit("SR_B3"), lit("SR_B5")), array(rHref, nHref)))
-        .when(v === 2, map_from_arrays(array(lit("B03"), lit("B05")), array(rHref, nHref)))
-        .otherwise(map_from_arrays(array(lit("red")), array(rHref)))
+      // one map build from branch-selected key/value arrays (a map per
+      // when-branch quadruples the per-row allocations)
+      val keys = when(v === 0, array(lit("red"), lit("nir08")))
+        .when(v === 1, array(lit("SR_B3"), lit("SR_B5")))
+        .when(v === 2, array(lit("B03"), lit("B05")))
+        .otherwise(array(lit("red")))
+      val vals = when(v === 3, array(rHref)).otherwise(array(rHref, nHref))
+      val assets = map_from_arrays(keys, vals)
       orders(s, d)
         .select(col("o_orderkey"), assets.as("assets"))
         .select(col("o_orderkey"),
