@@ -21,14 +21,12 @@ object GeoJson {
                           poly: Option[Seq[Seq[Seq[Double]]]],
                           multi: Option[Seq[Seq[Seq[Seq[Double]]]]])
 
+  /** NOTE: feature collections must be geometry-homogeneous (all Polygon
+    * or all MultiPolygon) — spark.read.json infers ONE array depth for
+    * `coordinates`, so mixing depths in one file is not decodable. */
   def readAoi(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
     val raw = spark.read.option("multiLine", "true").json(path)
     val feats = raw.select(explode(col("features")).as("f"))
-    val hasMulti = feats.select(col("f.geometry.type")).as[String]
-      .collect().exists(_ == "MultiPolygon")
-    // spark.read.json infers coordinates at the deepest nesting present;
-    // select per geometry type to keep both shapes decodable.
     val ds = feats.select(
       col("f.properties.name").as("name"),
       col("f.geometry.type").as("gtype"),

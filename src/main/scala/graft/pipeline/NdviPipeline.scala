@@ -17,13 +17,15 @@ import graft.sink.Writers
   */
 object NdviPipeline {
 
-  /** Extract-stage catalog filtering (F1–F4 on a scene_catalog frame). */
+  /** Extract-stage catalog filtering (F1–F4 on a scene_catalog frame).
+    * The end bound is inclusive of the whole end DAY (the reference's
+    * STAC "start/end" date range treats a date-only end as end-of-day). */
   def filterCatalog(catalog: DataFrame, maxCloud: Double,
                     start: String, end: String, maxItems: Int): DataFrame =
     catalog
       .filter(col("cloud_cover") <= maxCloud)
-      .filter(col("datetime").between(lit(start).cast("timestamp"),
-                                      lit(end).cast("timestamp")))
+      .filter(col("datetime") >= lit(start).cast("timestamp") &&
+              col("datetime") < date_add(lit(end).cast("date"), 1).cast("timestamp"))
       .orderBy(col("scene_id")).limit(maxItems) // deterministic L1 bound
       .filter(!col("scene_id").startsWith("LE07"))
 
@@ -78,24 +80,47 @@ object NdviPipeline {
       settings.download.maxItems)
     val selectedTiles = tiles.join(
       broadcast(selected.select(col("scene_id"))), Seq("scene_id"))
-    val (ndvi, clippedTiles, mean) = transformStage(selectedTiles, aoi)
-    val clippedBands = clippedTiles.select(tileCols.map(col): _*)
+    val ndvi = NdviKernel.computeNdvi(selectedTiles)
+    // AOI into the tiles' CRS (C3) when the scene grid is projected and
+    // uniform; mixed-CRS tile tables clip per-CRS upstream.
+    val tileEpsgs = selectedTiles.select("epsg").distinct()
+      .collect().map(_.getInt(0))
+    val aoiInTileCrs =
+      if (tileEpsgs.length == 1) Clip.reprojectAoi(aoi, tileEpsgs.head)
+      else aoi
+    val clippedTiles = Clip.clipToAoi(ndvi, aoiInTileCrs)
+    // the reference raises eagerly when nothing overlaps
+    // (compute_ndvi.py:128-131)
+    val nScenes = selected.count()
+    Clip.requireOverlap(clippedTiles, inputNonEmpty = nScenes > 0)
+    // mean per (scene, aoi) — the reference keys ndvi_clipped.mean_ndvi by
+    // (full_id, aoi_id); pooling across AOIs would double-count overlap.
+    val mean = NdviKernel.meanNdvi(clippedTiles, Seq("scene_id", "aoi_id"))
+    // per-AOI clipped products: the grid key for downstream per-image ops
+    // is (scene, aoi), encoded in the warp group key.
+    val clippedBands = clippedTiles
+      .withColumn("scene_id", concat_ws("#", col("scene_id"), col("aoi_id")))
+      .select(tileCols.map(col): _*)
     val overviews =
-      if (settings.products.buildOverviews) Some(graft.raster.Resample.overview(clippedBands, 2))
+      if (settings.products.buildOverviews)
+        Some(graft.raster.Resample.pyramid(clippedBands))  // [2,4,8,16,32]
       else None
     val vizEpsg = settings.products.reprojectCrs.stripPrefix("EPSG:").toInt
     val viz = graft.raster.Resample.reprojectScenes(spark,
       clippedBands.as[graft.model.RasterModel.BandTile],
-      vizEpsg, resM = 30000.0).toDF()
+      vizEpsg, resM = 0.0 /* derive from source resolution */).toDF()
+    // acquisition_date per scene from the catalog's datetime
+    // (reference parses it per scene, load_to_postgis.py:178-183)
     val newFull = ndvi.select(col("scene_id")).distinct()
-      .withColumn("acquisition_date", lit(settings.dates.start).cast("date"))
-    val newClipped = mean.join(broadcast(aoi.select(col("aoi_id"))))
+      .join(broadcast(selected.select(col("scene_id"),
+        col("datetime").cast("date").as("acquisition_date"))), Seq("scene_id"))
+    val newClipped = mean
       .select(col("scene_id"), col("aoi_id"), col("mean_ndvi"))
     val (full, clippedTable) = loadStage(
       existingFull, newFull,
       existingClipped, newClipped)
-    val nScenes = selected.count()
-    val nOk = mean.filter(col("mean_ndvi").isNotNull).count()
+    val nOk = mean.filter(col("mean_ndvi").isNotNull)
+      .select(col("scene_id")).distinct().count()
     Result(full, clippedTable, viz, overviews, mean,
       RunSummary(nScenes, nOk, nScenes - nOk))
   }

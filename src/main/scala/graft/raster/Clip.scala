@@ -2,6 +2,7 @@ package graft.raster
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.geo.{Geodesy, Wkt}
 import graft.geo.GeoExpressions.st_contains
 
 /** Spatial clip — the reference's raster×AOI "join"
@@ -38,7 +39,40 @@ object Clip {
                   qminx: Column, qminy: Column, qmaxx: Column, qmaxy: Column): Column =
     !(maxx < qminx || minx > qmaxx || maxy < qminy || miny > qmaxy)
 
-  /** C5+C6: clip an NDVI tile table to AOI polygons. Returns one row per
+  /** C3: reproject the AOI table (EPSG:4326 WKT + envelope) into the tile
+    * CRS (the reference's aoi.to_crs(raster_crs), compute_ndvi.py:114-118).
+    * Vertex-wise transform, driver-side — the AOI side is dimension-sized.
+    * Without this, clipToAoi would compare AOI degrees against tile
+    * meters and silently match nothing on projected scenes. */
+  def reprojectAoi(aoi: DataFrame, dstEpsg: Int, srcEpsg: Int = 4326): DataFrame = {
+    if (dstEpsg == srcEpsg) return aoi
+    val spark = aoi.sparkSession
+    import spark.implicits._
+    val rows = aoi.select("aoi_id", "name", "geom_wkt", "minx", "miny", "maxx", "maxy")
+      .as[(Long, String, String, Double, Double, Double, Double)].collect()
+      .map { case (id, name, wkt, _, _, _, _) =>
+        val polys = Wkt.parse(wkt).map { p =>
+          Wkt.Polygon(p.rings.map(_.map { case (x, y) =>
+            Geodesy.transformPoint(x, y, srcEpsg, dstEpsg) }))
+        }
+        val wkt2 = toWkt(polys)
+        val env = Wkt.envelope(polys)
+        graft.model.RasterModel.Aoi(id, name, wkt2, env._1, env._2, env._3, env._4)
+      }
+    spark.createDataFrame(rows.toSeq)
+  }
+
+  private def toWkt(polys: Seq[Wkt.Polygon]): String = {
+    def ring(r: Seq[(Double, Double)]) =
+      r.map { case (x, y) => s"$x $y" }.mkString("(", ", ", ")")
+    def poly(p: Wkt.Polygon) = p.rings.map(ring).mkString("(", ", ", ")")
+    if (polys.length == 1) s"POLYGON ${poly(polys.head)}"
+    else s"MULTIPOLYGON ${polys.map(poly).mkString("(", ", ", ")")}"
+  }
+
+  /** C5+C6: clip an NDVI tile table to AOI polygons. AOI must be in the
+    * tiles' CRS (use [[reprojectAoi]] first for projected scenes — the
+    * pipeline does). Returns one row per
     * (tile × overlapping AOI) with outside pixels nulled. Empty result for
     * a non-empty input means "Input shapes do not overlap raster"
     * (compute_ndvi.py:128-131) — see [[requireOverlap]]. */

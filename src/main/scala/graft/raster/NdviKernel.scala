@@ -114,20 +114,27 @@ object NdviKernel {
     * partial (sum, count) over non-null pixels via one fold, then a final
     * per-scene combine — the textbook partial+final aggregate; one shuffle
     * on scene_id, constant-size rows into it. NULL when all pixels masked. */
-  def meanNdviPerScene(ndviTiles: DataFrame): DataFrame = {
+  def meanNdviPerScene(ndviTiles: DataFrame): DataFrame =
+    meanNdvi(ndviTiles, Seq("scene_id"))
+
+  /** Grouped nodata-aware mean with caller-chosen keys — per (scene, aoi)
+    * for the clipped product (the reference keys ndvi_clipped.mean_ndvi by
+    * (full_id, aoi_id); pooling across AOIs would double-count overlap). */
+  def meanNdvi(ndviTiles: DataFrame, keys: Seq[String]): DataFrame = {
     val partial = ndviTiles.select(
-      col("scene_id"),
-      aggregate(col("pixels"),
-        struct(lit(0.0).as("s"), lit(0L).as("c")),
-        (acc, p) => struct(
-          (acc("s") + coalesce(p.cast("double"), lit(0.0))).as("s"),
-          (acc("c") + p.isNotNull.cast("long")).as("c"))).as("sc"))
+      (keys.map(col) :+
+        aggregate(col("pixels"),
+          struct(lit(0.0).as("s"), lit(0L).as("c")),
+          (acc, p) => struct(
+            (acc("s") + coalesce(p.cast("double"), lit(0.0))).as("s"),
+            (acc("c") + p.isNotNull.cast("long")).as("c"))).as("sc")): _*)
     partial
-      .groupBy("scene_id")
+      .groupBy(keys.map(col): _*)
       .agg(sum(col("sc")("s")).as("sum_ndvi"), sum(col("sc")("c")).as("n_valid"))
-      .select(col("scene_id"),
-        when(col("n_valid") > 0, col("sum_ndvi") / col("n_valid"))
-          .otherwise(lit(null)).as("mean_ndvi"),
-        col("n_valid"))
+      .select(
+        (keys.map(col) :+
+          when(col("n_valid") > 0, col("sum_ndvi") / col("n_valid"))
+            .otherwise(lit(null)).as("mean_ndvi") :+
+          col("n_valid")): _*)
   }
 }

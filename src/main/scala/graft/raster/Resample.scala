@@ -22,15 +22,19 @@ object Resample {
     * nodata). k must divide width and height. Output pixels are
     * float32 like the reference's overview bands. */
   def overview(tiles: DataFrame, k: Int): DataFrame = {
-    val wo = (col("width") / k).cast("int")
-    val ho = (col("height") / k).cast("int")
+    // greatest(0): a tile smaller than k would make wo*ho-1 = -1 and
+    // sequence(0,-1) infers a DESCENDING step yielding [0,-1] — the
+    // guard turns such tiles into empty 0×0 outputs instead.
+    val wo = greatest((col("width") / k).cast("int"), lit(0))
+    val ho = greatest((col("height") / k).cast("int"), lit(0))
     val block = sequence(lit(0), lit(k * k - 1))
     def srcIdx(o: Column, b: Column) = {
       val or = floor(o / wo).cast("int"); val oc = (o % wo).cast("int")
       val br = floor(b / k).cast("int");  val bc = (b % k).cast("int")
       (or * k + br) * col("width") + (oc * k + bc)
     }
-    val outPixels = transform(
+    val outPixels = when(wo * ho <= 0, array().cast("array<float>"))
+      .otherwise(transform(
       sequence(lit(0), wo * ho - 1),
       o => {
         val acc = aggregate(block,
@@ -42,7 +46,7 @@ object Resample {
           })
         when(acc("c") > 0, (acc("s") / acc("c")).cast("float"))
           .otherwise(lit(null).cast("float"))
-      })
+      }))
     // overview pixel size scales by k: transform a,e *= k
     val newTransform = array(
       element_at(col("transform"), 1) * k, element_at(col("transform"), 2),
@@ -83,21 +87,31 @@ object Resample {
   private[graft] def reprojectOne(t: BandTile, dstEpsg: Int, resM: Double,
                                    bilinear: Boolean): BandTile = {
     val Seq(a, _, c, _, e, f) = t.transform
+    // resM <= 0 → derive destination resolution from the source pixel
+    // size (the reference's calculate_default_transform behavior: output
+    // resolution ≈ input resolution, compute_ndvi.py:169-171).
+    val res =
+      if (resM > 0) resM
+      else {
+        val (x1, y1) = Geodesy.transformPoint(c, f, t.epsg, dstEpsg)
+        val (x2, y2) = Geodesy.transformPoint(c + a, f + e, t.epsg, dstEpsg)
+        math.max(math.abs(x2 - x1), math.abs(y2 - y1))
+      }
     // source corner coords → dst bbox via corner transform
     val corners = Seq((0, 0), (t.width, 0), (0, t.height), (t.width, t.height))
       .map { case (px, py) =>
         Geodesy.transformPoint(c + a * px, f + e * py, t.epsg, dstEpsg) }
     val minX = corners.map(_._1).min; val maxX = corners.map(_._1).max
     val minY = corners.map(_._2).min; val maxY = corners.map(_._2).max
-    val outW = math.max(1, math.ceil((maxX - minX) / resM).toInt)
-    val outH = math.max(1, math.ceil((maxY - minY) / resM).toInt)
+    val outW = math.max(1, math.ceil((maxX - minX) / res).toInt)
+    val outH = math.max(1, math.ceil((maxY - minY) / res).toInt)
     val px = new Array[Option[Float]](outW * outH)
     var j = 0
     while (j < outH) {
       var i = 0
       while (i < outW) {
-        val x = minX + resM * (i + 0.5)
-        val y = maxY - resM * (j + 0.5)
+        val x = minX + res * (i + 0.5)
+        val y = maxY - res * (j + 0.5)
         val (sx, sy) = Geodesy.transformPoint(x, y, dstEpsg, t.epsg)
         val fcol = (sx - c) / a - 0.5
         val frow = (sy - f) / e - 0.5
@@ -109,7 +123,7 @@ object Resample {
       j += 1
     }
     t.copy(width = outW, height = outH, epsg = dstEpsg,
-      transform = Seq(resM, 0.0, minX, 0.0, -resM, maxY),
+      transform = Seq(res, 0.0, minX, 0.0, -res, maxY),
       pixels = px.toSeq)
   }
 

@@ -44,16 +44,21 @@ class EndToEndSpec extends SparkSpec {
       emptyFull, emptyClipped)
 
     assert(r.summary.total == 1 && r.summary.succeeded == 1 && r.summary.failed == 0)
-    val m = r.mean.head
+    val m = r.mean.head  // (scene_id, aoi_id, mean_ndvi, n_valid)
     assert(m.getString(0) == "TEST_SCENE")
-    assert(math.abs(m.getDouble(1) - -0.18965584) < 1e-6)
-    assert(m.getLong(2) == 8100)                       // clipped interior
+    assert(m.getLong(1) == 1L)
+    assert(math.abs(m.getDouble(2) - -0.18965584) < 1e-6)
+    assert(m.getLong(3) == 8100)                       // clipped interior
     assert(r.full.count() == 1)
+    assert(r.full.head.getAs[java.sql.Date]("acquisition_date").toString == "2022-06-10")
     assert(r.clipped.count() == 1)
     assert(r.viz.count() == 1)
     val vizRow = r.viz.head
     assert(vizRow.getAs[Int]("epsg") == 3857)
-    assert(r.overviews.get.head.getAs[Int]("overview_factor") == 2)
+    assert(vizRow.getAs[String]("scene_id") == "TEST_SCENE#1")
+    // full [2,4,8,16,32] pyramid
+    assert(r.overviews.get.select("overview_factor").distinct()
+      .collect().map(_.getInt(0)).toSet == Set(2, 4, 8, 16, 32))
 
     // reload: K4 does nothing for the existing scene, K5 merges in place
     val r2 = NdviPipeline.run(spark, settings, catalog, tiles, aoi,

@@ -48,6 +48,31 @@ class MultiTileClipSpec extends SparkSpec {
     assert(byScene.getOrElse("T11", 0) == 0)
   }
 
+  test("reprojectAoi lets a 4326 AOI clip a projected (3857) scene") {
+    // tile in Web Mercator covering lon 0..~0.036deg, lat ~0..-0.036deg
+    val m = 4000.0 / 4  // 1km pixels, 4x4 tile from (0,0) going south-east
+    val tiles3857 = Seq(RasterModel.BandTile("P", "red", 0, 0, 4, 4, 3857,
+        Seq(1000.0, 0, 0.0, 0, -1000.0, 0.0), Some(0.0), Seq.fill(16)(Some(1000f))),
+      RasterModel.BandTile("P", "nir", 0, 0, 4, 4, 3857,
+        Seq(1000.0, 0, 0.0, 0, -1000.0, 0.0), Some(0.0), Seq.fill(16)(Some(3000f)))).toDF()
+    // AOI in degrees covering roughly the left half of the tile
+    val aoiDeg = Seq(RasterModel.Aoi(1L, "AOI",
+      "POLYGON ((0 -0.04, 0.018 -0.04, 0.018 0.01, 0 0.01, 0 -0.04))",
+      0.0, -0.04, 0.018, 0.01)).toDF()
+    val ndvi = NdviKernel.computeNdvi(tiles3857)
+    // unprojected AOI: degree-sized polygon keeps no pixel centers (all
+    // centers sit 500+ meters from the origin, far outside 0.018 "units")
+    val wrong = Clip.clipToAoi(ndvi, aoiDeg)
+    val wrongKept = wrong.select("pixels").collect()
+      .flatMap(_.getSeq[Any](0)).count(_ != null)
+    assert(wrongKept == 0, s"degree AOI unexpectedly kept $wrongKept pixels")
+    // reprojected AOI clips the left half (0.018 deg ~ 2004m -> 2 columns)
+    val aoiM = Clip.reprojectAoi(aoiDeg, 3857)
+    val clipped = Clip.clipToAoi(ndvi, aoiM)
+    val px = clipped.select("pixels").head.getSeq[Any](0).map(Option(_))
+    assert(px.count(_.isDefined) == 8, s"kept ${px.count(_.isDefined)}")
+  }
+
   test("mean over clipped scene counts only interior pixels") {
     val aoi = Seq(RasterModel.Aoi(1L, "AOI",
       "POLYGON ((0 -4, 6 -4, 6 0, 0 0, 0 -4))", 0.0, -4.0, 6.0, 0.0)).toDF()
