@@ -19,15 +19,32 @@ object Bench {
         "lineitem", "events", "documents", "embeddings")
         .foreach(t => Tables.table(spark, sfDir, t).count())
       SparkEntry.queries.get("q13_star_join").foreach(_(spark, sfDir).count())
-    } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup FAILED: ${e.getClass.getName}: ${e.getMessage}")
     }
+    // Failures are RECORDED, not swallowed: a failed query times as -1 in
+    // the per-query map (a broken query must not silently "pass" as ~0 s)
+    // and its stack reason goes to stderr.
+    // optional local-dev filter (unset for the driver → full sweep)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val failed = results.filter(_._2 < 0).map(_._1)
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} FAILED: ${failed.mkString(", ")}")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

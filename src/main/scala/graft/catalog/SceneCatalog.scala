@@ -31,6 +31,28 @@ object SceneCatalog {
   def pickAsset(assets: Column, prefs: Seq[String]): Column =
     pickLowered(lowerKeys(assets), prefs)
 
+  /** F5 `_pick` specialized for the common catalog shape where the key SET
+    * of each asset-map variant is a plan-time constant (a catalog has a
+    * handful of sensor naming conventions, download_landsat_stac.py:64-70,
+    * not arbitrary per-row keys). The preference coalesce is resolved at
+    * PLAN time — for each variant the first preference key present in its
+    * key set is known — so each row evaluates one `when`-dispatch and one
+    * `element_at`, instead of lowering the map and probing all preference
+    * keys per row. Equivalent to `pickLowered` on the same data (asserted
+    * by SceneCatalogSpec); the map keys must be lowercase already. */
+  def pickStatic(lowered: Column, variant: Column,
+                 variantKeys: Seq[(Int, Seq[String])],
+                 prefs: Seq[String]): Column = {
+    val lprefs = prefs.map(_.toLowerCase)
+    val branches = variantKeys.flatMap { case (v, ks) =>
+      val lk = ks.map(_.toLowerCase)
+      lprefs.find(lk.contains).map(k => (v, k))
+    }
+    branches.reverse.foldLeft(lit(null).cast("string")) {
+      case (acc, (v, k)) => when(variant === v, element_at(lowered, k)).otherwise(acc)
+    }
+  }
+
   /** F6 bbox padding (download_landsat_stac.py:44-51): km → degrees with
     * cos(radians(mean_lat)) clamped at 0.01. */
   def padBbox(minx: Column, miny: Column, maxx: Column, maxy: Column,

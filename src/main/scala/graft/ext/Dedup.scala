@@ -46,8 +46,11 @@ object Dedup {
   def combineAdjacentSql(th: String): String =
     s"list_transform(range(1, len($th)), i -> (($th)[i] * $ShingleMix + ($th)[i+1]) % $FoldMod)"
 
-  /** Shingle hashes from raw tokens (single-shot form; the production
-    * minhashSignatures path materializes the token hashes first). */
+  /** Shingle hashes from raw tokens. SINGLE-SHOT convenience form — do
+    * NOT use in hot paths: combineAdjacent's element_at over the inner
+    * unmaterialized transform re-evaluates the whole token-hash array per
+    * shingle (O(n²) folds). Hot paths materialize `th` in a layered select
+    * first (see minhashSignatures, q52). */
   def shingleHashes(toks: Column): Column =
     combineAdjacent(transform(toks, t => charFold(t)))
   def shingleHashesSql(toks: String): String =

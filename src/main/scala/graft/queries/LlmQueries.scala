@@ -115,7 +115,26 @@ object LlmQueries {
     // pairs back to the (distinct-shingle) docs — at 100 TB this is the
     // standard sig-write / candidate-join / verify three-job shape.
     "q52_minhash_verified" -> ((s, d) => {
-      val sig = Dedup.minhashSignatures(documents(s, d)).localCheckpoint()
+      val toks = tokens(col("text"))
+      // ONE tokenize+charFold pass: the shingle-hash arrays are
+      // materialized once and BOTH the signature table and the exact-
+      // verification sets derive from them (at 100 TB: write the hh table,
+      // then run the minhash job and the verify job against it).
+      // repartition BEFORE the hash chain: the raw table may arrive as a
+      // single input split (one file locally; one oversized scan partition
+      // at scale), which would serialize all per-row fold work onto one
+      // core. Shuffling the (tiny) raw text by doc_id spreads the compute.
+      // Layered selects: token hashes materialized BEFORE combineAdjacent
+      // references them (element_at over an unmaterialized HOF expression
+      // re-evaluates the whole array per element — O(n²) folds).
+      val base = documents(s, d).filter(size(toks) >= 2)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
+        .select(col("doc_id"), Dedup.combineAdjacent(col("th")).as("hh"))
+        .localCheckpoint()
+      val sig = base.select((col("doc_id") +: MinhashPerms.indices.map(j =>
+          Dedup.minhash(col("hh"), j).as(s"mh$j"))): _*)
+        .localCheckpoint()
       val a = sig.select(col("doc_id").as("da"), col("mh0"), col("mh1"),
                          col("mh2"), col("mh3"))
       val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
@@ -126,18 +145,22 @@ object LlmQueries {
           col("mh2") === col("nh2") && col("mh3") === col("nh3") &&
           col("da") < col("db"))
         .select(col("da"), col("db"))
-      val toks = tokens(col("text"))
-      // materialized once: both verification joins read the shingle sets
-      val docs = documents(s, d).filter(size(toks) >= 2)
-        .select(col("doc_id"), array_distinct(Dedup.shingles2(toks)).as("sh"))
-        .localCheckpoint()
+      // Verification compares BIGINT shingle-HASH sets (the same
+      // combineAdjacent formula the signatures minhash over), not shingle
+      // strings: the hot array_intersect runs over long arrays — ~8 B per
+      // element instead of a boxed string — and the oracle is generated
+      // from the same constants so the two sides agree bit-for-bit.
+      val docs = base.select(col("doc_id"), array_distinct(col("hh")).as("sh"))
       val withA = cands.join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
       val withB = withA.join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      // n_inter computed ONCE in a layered select (CollapseProject keeps
+      // multiply-referenced non-cheap expressions un-inlined).
       withB
         .select(col("da"), col("db"),
           size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
-          (size(col("sha")) + size(col("shb")) -
-            size(array_intersect(col("sha"), col("shb")))).cast("long").as("n_union"))
+          (size(col("sha")) + size(col("shb"))).cast("long").as("sz_sum"))
+        .select(col("da"), col("db"), col("n_inter"),
+          (col("sz_sum") - col("n_inter")).as("n_union"))
         .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
         .filter(col("jaccard") >= 0.5)
     }),
@@ -155,11 +178,14 @@ object LlmQueries {
     // |A∩B| / |A∪B| on distinct 2-shingles. Block key bounds the pair count.
     "q33_ngram_jaccard" -> ((s, d) => {
       val toks = tokens(col("text"))
+      // tk materialized first: shingles2's element_at over an unmaterialized
+      // tokens() expression would re-split the text per shingle (O(n²)).
       val docs = documents(s, d)
         .filter(size(toks) >= 2)
         .select(col("doc_id"), col("source"),
-                (col("doc_id") / 100).cast("long").as("blk"),
-                array_distinct(Dedup.shingles2(toks)).as("sh"))
+                (col("doc_id") / 100).cast("long").as("blk"), toks.as("tk"))
+        .select(col("doc_id"), col("source"), col("blk"),
+                array_distinct(Dedup.shingles2(col("tk"))).as("sh"))
       val a = docs.select(col("doc_id").as("da"), col("source"), col("blk"),
                           col("sh").as("sha"))
       val b = docs.select(col("doc_id").as("db"), col("source").as("sourceb"),
@@ -340,19 +366,19 @@ object LlmQueries {
                      ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
                     AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id),
                  docs AS (
-                   SELECT doc_id, list_distinct(${Dedup.shingles2Sql("tk")}) AS sh
+                   SELECT doc_id, list_distinct(${Dedup.shingleHashesSql("tk")}) AS sh
                    FROM (SELECT doc_id, $T AS tk FROM documents)
                    WHERE len(tk) >= 2)
-            SELECT da, db, n_inter, n_union,
-                   CAST(n_inter AS DOUBLE) / n_union AS jaccard
+            SELECT da, db, n_inter, (sz_sum - n_inter) AS n_union,
+                   CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) AS jaccard
             FROM (
               SELECT da, db,
                      len(list_intersect(x.sh, y.sh))::BIGINT AS n_inter,
-                     (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))::BIGINT AS n_union
+                     (len(x.sh) + len(y.sh))::BIGINT AS sz_sum
               FROM cands
               JOIN docs x ON cands.da = x.doc_id
               JOIN docs y ON cands.db = y.doc_id)
-            WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""",
+            WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.5""",
       "q32_simhash" ->
         s"""SELECT doc_id, ${Dedup.simhash16FromHashesSql("hs")} AS simhash
             FROM (SELECT doc_id, ${Dedup.simhashTokenHashesSql("tk")} AS hs

@@ -39,25 +39,33 @@ object StreamQueries {
 
     // F5 asset pick over a real MAP<STRING,STRING> column with mixed-case
     // keys and a missing-nir variant (dropped, download_landsat_stac.py:150-151).
+    // The four key-set variants are plan-time constants: the map is built
+    // ONCE per row from pre-lowered constant key arrays (no per-row
+    // lowerKeys pass) and the preference coalesce is resolved at plan time
+    // via pickStatic — one element_at per band instead of 14.
     "q43_asset_pick_map" -> ((s, d) => {
       val v = (col("o_orderkey") % 4).cast("int")
       val rHref = concat(lit("href_"), col("o_orderkey"), lit("_r"))
       val nHref = concat(lit("href_"), col("o_orderkey"), lit("_n"))
-      // one map build from branch-selected key/value arrays (a map per
-      // when-branch quadruples the per-row allocations)
-      val keys = when(v === 0, array(lit("red"), lit("nir08")))
-        .when(v === 1, array(lit("SR_B3"), lit("SR_B5")))
-        .when(v === 2, array(lit("B03"), lit("B05")))
-        .otherwise(array(lit("red")))
+      val variantKeys = Seq(
+        0 -> Seq("red", "nir08"),
+        1 -> Seq("SR_B3", "SR_B5"),
+        2 -> Seq("B03", "B05"),
+        3 -> Seq("red"))
+      // constant (foldable) pre-lowered key arrays per variant
+      val keys = when(v === 0, array(variantKeys(0)._2.map(k => lit(k.toLowerCase)): _*))
+        .when(v === 1, array(variantKeys(1)._2.map(k => lit(k.toLowerCase)): _*))
+        .when(v === 2, array(variantKeys(2)._2.map(k => lit(k.toLowerCase)): _*))
+        .otherwise(array(variantKeys(3)._2.map(k => lit(k.toLowerCase)): _*))
       val vals = when(v === 3, array(rHref)).otherwise(array(rHref, nHref))
-      val assets = map_from_arrays(keys, vals)
       orders(s, d)
-        .select(col("o_orderkey"), assets.as("assets"))
+        .select(col("o_orderkey"), (col("o_orderkey") % 4).cast("int").as("v"),
+                map_from_arrays(keys, vals).as("lassets"))
         .select(col("o_orderkey"),
-                SceneCatalog.lowerKeys(col("assets")).as("lassets"))
-        .select(col("o_orderkey"),
-                SceneCatalog.pickLowered(col("lassets"), SceneCatalog.RedKeys).as("red_href"),
-                SceneCatalog.pickLowered(col("lassets"), SceneCatalog.NirKeys).as("nir_href"))
+                SceneCatalog.pickStatic(col("lassets"), col("v"), variantKeys,
+                  SceneCatalog.RedKeys).as("red_href"),
+                SceneCatalog.pickStatic(col("lassets"), col("v"), variantKeys,
+                  SceneCatalog.NirKeys).as("nir_href"))
         .filter(col("red_href").isNotNull && col("nir_href").isNotNull)
     }),
   )

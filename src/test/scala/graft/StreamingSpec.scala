@@ -66,6 +66,26 @@ class StreamingSpec extends SparkSpec {
     assert(out(2).getString(1) == "x3" && out(2).getString(2) == "x3")
   }
 
+  test("pickStatic equals pickLowered when variant key sets are plan-time constants") {
+    val variantKeys = Seq(
+      0 -> Seq("red", "nir08"), 1 -> Seq("SR_B3", "SR_B5"),
+      2 -> Seq("B03", "B05"), 3 -> Seq("red"))
+    val rows = (0L until 40L).map { id =>
+      val v = (id % 4).toInt
+      val ks = variantKeys(v.toInt)._2.map(_.toLowerCase)
+      val vs = ks.zipWithIndex.map { case (_, i) => s"href_${id}_$i" }
+      (id, v, ks.zip(vs).toMap)
+    }
+    val df = rows.toDF("id", "v", "lassets")
+    Seq(SceneCatalog.RedKeys, SceneCatalog.NirKeys).foreach { prefs =>
+      val out = df.select(col("id"),
+          SceneCatalog.pickStatic(col("lassets"), col("v"), variantKeys, prefs).as("s"),
+          SceneCatalog.pickLowered(col("lassets"), prefs).as("g"))
+        .collect()
+      out.foreach(r => assert(r.get(1) == r.get(2), s"id=${r.getLong(0)} prefs=$prefs"))
+    }
+  }
+
   test("glob-scan name predicates route files to the right product table") {
     val files = Seq("a_NDVI.parquet", "a_NDVI_clipped.parquet",
       "a_NDVI_clipped_viz.parquet", "junk.txt").toDF("name")
