@@ -19,20 +19,26 @@ object EventsStream {
   /** The parquet file-stream source requires a directory; the driver test
     * data is one file per table, so stage the file into a scratch dir
     * (what a real deployment has anyway: a landing directory files arrive
-    * in). */
+    * in). Staged dirs are CACHED per (sfDir, table, copies) for the JVM's
+    * lifetime — repeated streaming queries in one session (bench, specs)
+    * reuse the same landing dir instead of re-copying per call. */
   def stageEvents(sfDir: String, copies: Int): String =
     stageDir(sfDir, "events", copies)
 
-  private def stageDir(sfDir: String, table: String, copies: Int = 1): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val dir = Files.createTempDirectory(s"graft_stream_$table")
-    dir.toFile.deleteOnExit()
-    (0 until copies).foreach { i =>
-      Files.copy(Paths.get(s"$sfDir/$table.parquet"),
-        dir.resolve(s"${table}_$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    }
-    dir.toString
-  }
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), String]()
+
+  private def stageDir(sfDir: String, table: String, copies: Int = 1): String =
+    stagedDirs.computeIfAbsent((sfDir, table, copies), { _ =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Files.createTempDirectory(s"graft_stream_$table")
+      dir.toFile.deleteOnExit()
+      (0 until copies).foreach { i =>
+        Files.copy(Paths.get(s"$sfDir/$table.parquet"),
+          dir.resolve(s"${table}_$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      }
+      dir.toString
+    })
 
   /** Hourly tumbling-window rollup of the events table, executed as a real
     * streaming query over the parquet directory and drained synchronously
@@ -42,9 +48,11 @@ object EventsStream {
   def hourlyRollupStreaming(spark: SparkSession, sfDir: String,
                             queryName: String = "graft_stream_rollup"): DataFrame = {
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // no maxFilesPerTrigger: AvailableNow drains everything in one batch —
+    // per-file trigger pacing only adds micro-batch overhead here (multi-
+    // batch accumulation semantics are exercised by streamMergeInto).
     val stream = spark.readStream
       .schema(batchSchema)
-      .option("maxFilesPerTrigger", "1")
       .parquet(stageDir(sfDir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
@@ -63,6 +71,12 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Number of key-hash buckets the merge target is partitioned into.
+    * Locally 32 keeps partition dirs ≈ core count; at 100 TB this is the
+    * knob that bounds per-batch rewrite I/O to |touched buckets| / nBuckets
+    * of the target. */
+  val MergeBuckets = 32
+
   /** foreachBatch merge sink (SURVEY.md §2.11): each micro-batch upserts
     * into a parquet target — the streaming side of the reference's
     * ON CONFLICT DO UPDATE loads. Counts ACCUMULATE across batches
@@ -70,12 +84,21 @@ object EventsStream {
     * `checkpoint` — re-running with the same checkpoint skips processed
     * files, so the target is not double-counted.
     *
+    * The target is PARTITIONED by a key-hash bucket (`bucket =
+    * user_id mod nBuckets`) and each batch rewrites ONLY the buckets its
+    * keys touch, via dynamic-partition-overwrite: read back just the
+    * touched partitions (partition-pruned scan), merge, write those
+    * partitions in a single job. Untouched partitions' files are not read
+    * or rewritten — per-batch I/O is O(|touched buckets|), not O(|target|)
+    * (a full-target read+rewrite per micro-batch is a scale-killer).
+    *
     * Target existence is checked explicitly: a read failure on an
     * existing target PROPAGATES (a swallowed error here would silently
     * reset accumulated state to the current batch). */
   def streamMergeInto(spark: SparkSession, sourceDir: String, targetPath: String,
                       checkpoint: String,
-                      queryName: String = "graft_stream_merge"): Unit = {
+                      queryName: String = "graft_stream_merge",
+                      nBuckets: Int = MergeBuckets): Unit = {
     val batchSchema = spark.read.parquet(sourceDir).schema
     val stream = spark.readStream
       .schema(batchSchema)
@@ -90,18 +113,29 @@ object EventsStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val incoming = batch.groupBy("user_id")
           .agg(max(col("event_id")).as("event_id"), count(lit(1)).as("n"))
-        val existing =
+          .withColumn("bucket", pmod(col("user_id"), lit(nBuckets)).cast("int"))
+        val touched = incoming.select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        // localCheckpoint materializes the touched partitions BEFORE the
+        // write: Spark (correctly) refuses to overwrite a path that is
+        // also being read in the same plan; the checkpoint holds exactly
+        // the state being merged — O(|touched|), not O(|target|).
+        val existingTouched =
           if (java.nio.file.Files.exists(java.nio.file.Paths.get(targetPath)))
             spark.read.parquet(targetPath)  // real read errors propagate
+              .filter(col("bucket").isin(touched.map(Int.box): _*))
+              .localCheckpoint()
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
-        existing.unionByName(incoming)
-          .groupBy("user_id")
+        existingTouched.unionByName(incoming)
+          .groupBy("user_id", "bucket")
           .agg(max(col("event_id")).as("event_id"), sum(col("n")).as("n"))
-          .write.mode("overwrite").parquet(targetPath + ".tmp")
-        // rewrite target from the committed snapshot
-        spark.read.parquet(targetPath + ".tmp")
-          .write.mode("overwrite").parquet(targetPath)
+          .select(col("user_id"), col("event_id"), col("n"), col("bucket"))
+          .write
+          .partitionBy("bucket")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(targetPath)
         ()
       }
       .start()
