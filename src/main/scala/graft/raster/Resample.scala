@@ -65,6 +65,41 @@ object Resample {
   def pyramid(tiles: DataFrame, factors: Seq[Int] = Seq(2, 4, 8, 16, 32)): DataFrame =
     factors.map(overview(tiles, _)).reduce(_ unionByName _)
 
+  // ---- primitive warp internals -------------------------------------------
+  // All mosaic/warp/retile intermediates are dense Array[Float] buffers
+  // with NaN as the masked sentinel — ~4 B/pixel instead of ~16–24 B of
+  // boxed Option[Float] (an 8k×8k scene mosaic is 256 MB vs >1 GB, and the
+  // per-pixel sample loop allocates nothing). The boxed Option form exists
+  // only on the BandTile row boundary (where NULL = masked is the
+  // DataFrame-level contract every operator shares).
+
+  /** Dense primitive raster: row-major Array[Float], NaN = masked. */
+  private[graft] final case class Grid(width: Int, height: Int, epsg: Int,
+      transform: Seq[Double], data: Array[Float])
+
+  private[graft] def toGrid(t: BandTile): Grid = {
+    val d = new Array[Float](t.width * t.height)
+    var i = 0
+    val it = t.pixels.iterator
+    while (it.hasNext) {
+      d(i) = it.next() match { case Some(v) => v; case None => Float.NaN }
+      i += 1
+    }
+    Grid(t.width, t.height, t.epsg, t.transform, d)
+  }
+
+  /** Boundary conversion back to the row model (NaN → NULL). */
+  private[graft] def gridTile(proto: BandTile, g: Grid, tc: Int, tr: Int): BandTile = {
+    val px = new Array[Option[Float]](g.data.length)
+    var i = 0
+    while (i < g.data.length) {
+      px(i) = if (java.lang.Float.isNaN(g.data(i))) None else Some(g.data(i))
+      i += 1
+    }
+    proto.copy(tile_col = tc, tile_row = tr, width = g.width, height = g.height,
+      epsg = g.epsg, transform = g.transform, pixels = px.toSeq)
+  }
+
   /** R1/R2 warp: reproject each tile's pixel grid to `dstEpsg` at a fixed
     * resolution, bilinear for float data / nearest otherwise (the
     * reference's dtype dispatch, load_to_postgis.py:132), nodata(NULL)
@@ -73,7 +108,7 @@ object Resample {
     *
     * Tile-local: each destination tile is computed from its own source tile
     * (sufficient for the reference's per-scene warp where tiles are
-    * per-scene whole images; multi-tile gather is the round-2 upgrade). */
+    * per-scene whole images; reprojectScenes is the seam-correct path). */
   def reprojectTiles(spark: SparkSession, tiles: Dataset[BandTile], dstEpsg: Int,
                      resM: Double = 30.0, bilinear: Boolean = true): Dataset[BandTile] = {
     import spark.implicits._
@@ -85,46 +120,48 @@ object Resample {
   }
 
   private[graft] def reprojectOne(t: BandTile, dstEpsg: Int, resM: Double,
-                                   bilinear: Boolean): BandTile = {
-    val Seq(a, _, c, _, e, f) = t.transform
+                                   bilinear: Boolean): BandTile =
+    gridTile(t, warpGrid(toGrid(t), dstEpsg, resM, bilinear), t.tile_col, t.tile_row)
+
+  private[graft] def warpGrid(g: Grid, dstEpsg: Int, resM: Double,
+                              bilinear: Boolean): Grid = {
+    val Seq(a, _, c, _, e, f) = g.transform
     // resM <= 0 → derive destination resolution from the source pixel
     // size (the reference's calculate_default_transform behavior: output
     // resolution ≈ input resolution, compute_ndvi.py:169-171).
     val res =
       if (resM > 0) resM
       else {
-        val (x1, y1) = Geodesy.transformPoint(c, f, t.epsg, dstEpsg)
-        val (x2, y2) = Geodesy.transformPoint(c + a, f + e, t.epsg, dstEpsg)
+        val (x1, y1) = Geodesy.transformPoint(c, f, g.epsg, dstEpsg)
+        val (x2, y2) = Geodesy.transformPoint(c + a, f + e, g.epsg, dstEpsg)
         math.max(math.abs(x2 - x1), math.abs(y2 - y1))
       }
     // source corner coords → dst bbox via corner transform
-    val corners = Seq((0, 0), (t.width, 0), (0, t.height), (t.width, t.height))
+    val corners = Seq((0, 0), (g.width, 0), (0, g.height), (g.width, g.height))
       .map { case (px, py) =>
-        Geodesy.transformPoint(c + a * px, f + e * py, t.epsg, dstEpsg) }
+        Geodesy.transformPoint(c + a * px, f + e * py, g.epsg, dstEpsg) }
     val minX = corners.map(_._1).min; val maxX = corners.map(_._1).max
     val minY = corners.map(_._2).min; val maxY = corners.map(_._2).max
     val outW = math.max(1, math.ceil((maxX - minX) / res).toInt)
     val outH = math.max(1, math.ceil((maxY - minY) / res).toInt)
-    val px = new Array[Option[Float]](outW * outH)
+    val out = new Array[Float](outW * outH)
     var j = 0
     while (j < outH) {
       var i = 0
       while (i < outW) {
         val x = minX + res * (i + 0.5)
         val y = maxY - res * (j + 0.5)
-        val (sx, sy) = Geodesy.transformPoint(x, y, dstEpsg, t.epsg)
+        val (sx, sy) = Geodesy.transformPoint(x, y, dstEpsg, g.epsg)
         val fcol = (sx - c) / a - 0.5
         val frow = (sy - f) / e - 0.5
-        px(j * outW + i) =
-          if (bilinear) bilinearSample(t, fcol, frow)
-          else nearestSample(t, fcol, frow)
+        out(j * outW + i) =
+          if (bilinear) bilinearSample(g.data, g.width, g.height, fcol, frow)
+          else nearestSample(g.data, g.width, g.height, fcol, frow)
         i += 1
       }
       j += 1
     }
-    t.copy(width = outW, height = outH, epsg = dstEpsg,
-      transform = Seq(res, 0.0, minX, 0.0, -res, maxY),
-      pixels = px.toSeq)
+    Grid(outW, outH, dstEpsg, Seq(res, 0.0, minX, 0.0, -res, maxY), out)
   }
 
   /** Seam-correct warp: assemble each (scene, band) group's tiles into the
@@ -144,91 +181,93 @@ object Resample {
         val group = ts.toSeq
         if (group.head.epsg == dstEpsg) group.iterator  // no-op elision
         else {
-          val mosaic = assembleScene(group, tileSize)
-          val warped = reprojectOne(mosaic, dstEpsg, resM, bilinear)
-          retile(warped, tileSize).iterator
+          // pure-Grid chain: box back to rows only at the final emit
+          val mosaic = assembleGrid(group, tileSize)
+          val warped = warpGrid(mosaic, dstEpsg, resM, bilinear)
+          val proto = group.head
+          retileGrid(warped, tileSize)
+            .map { case (tc, tr, sub) => gridTile(proto, sub, tc, tr) }
+            .iterator
         }
     }
   }
 
-  /** Mosaic a scene's tiles (shared transform grid) into one BandTile. */
-  private[graft] def assembleScene(tiles: Seq[BandTile], tileSize: Int): BandTile = {
+  /** Mosaic a scene's tiles (shared transform grid) into one Grid. */
+  private[graft] def assembleGrid(tiles: Seq[BandTile], tileSize: Int): Grid = {
     val t0 = tiles.head
     val Seq(a, b, c0, d0, e, f) = t0.transform
     val minCol = tiles.map(_.tile_col).min
     val minRow = tiles.map(_.tile_row).min
     val maxCol = tiles.map(t => t.tile_col * tileSize + t.width).max - minCol * tileSize
     val maxRow = tiles.map(t => t.tile_row * tileSize + t.height).max - minRow * tileSize
-    val px = Array.fill[Option[Float]](maxCol * maxRow)(None)
+    val data = Array.fill(maxCol * maxRow)(Float.NaN)
     tiles.foreach { t =>
+      val src = toGrid(t).data
       val ox = (t.tile_col - minCol) * tileSize
       val oy = (t.tile_row - minRow) * tileSize
       var r = 0
       while (r < t.height) {
-        var ccol = 0
-        while (ccol < t.width) {
-          px((oy + r) * maxCol + (ox + ccol)) = t.pixels(r * t.width + ccol)
-          ccol += 1
-        }
+        System.arraycopy(src, r * t.width, data, (oy + r) * maxCol + ox, t.width)
         r += 1
       }
     }
-    t0.copy(tile_col = 0, tile_row = 0, width = maxCol, height = maxRow,
-      transform = Seq(a, b, c0 + a * (minCol * tileSize), d0,
-                      e, f + e * (minRow * tileSize)),
-      pixels = px.toSeq)
+    Grid(maxCol, maxRow, t0.epsg,
+      Seq(a, b, c0 + a * (minCol * tileSize), d0,
+          e, f + e * (minRow * tileSize)), data)
   }
 
-  /** Split a (possibly large) tile back into tileSize blocks. */
-  private[graft] def retile(t: BandTile, tileSize: Int): Seq[BandTile] = {
-    val Seq(a, b, c0, d0, e, f) = t.transform
-    val nCols = (t.width + tileSize - 1) / tileSize
-    val nRows = (t.height + tileSize - 1) / tileSize
+  /** BandTile-facing mosaic (spec surface; production path stays on Grid). */
+  private[graft] def assembleScene(tiles: Seq[BandTile], tileSize: Int): BandTile =
+    gridTile(tiles.head, assembleGrid(tiles, tileSize), 0, 0)
+
+  /** Split a (possibly large) grid back into tileSize blocks. */
+  private[graft] def retileGrid(g: Grid, tileSize: Int): Seq[(Int, Int, Grid)] = {
+    val nCols = (g.width + tileSize - 1) / tileSize
+    val nRows = (g.height + tileSize - 1) / tileSize
     for {
       tr <- 0 until nRows
       tc <- 0 until nCols
     } yield {
-      val w = math.min(tileSize, t.width - tc * tileSize)
-      val h = math.min(tileSize, t.height - tr * tileSize)
-      val px = new Array[Option[Float]](w * h)
+      val w = math.min(tileSize, g.width - tc * tileSize)
+      val h = math.min(tileSize, g.height - tr * tileSize)
+      val data = new Array[Float](w * h)
       var r = 0
       while (r < h) {
-        var ccol = 0
-        while (ccol < w) {
-          px(r * w + ccol) =
-            t.pixels((tr * tileSize + r) * t.width + (tc * tileSize + ccol))
-          ccol += 1
-        }
+        System.arraycopy(g.data, (tr * tileSize + r) * g.width + tc * tileSize,
+          data, r * w, w)
         r += 1
       }
-      t.copy(tile_col = tc, tile_row = tr, width = w, height = h,
-        pixels = px.toSeq)
+      (tc, tr, Grid(w, h, g.epsg, g.transform, data))
     }
   }
 
-  private def pixelAt(t: BandTile, col: Int, row: Int): Option[Float] =
-    if (col < 0 || row < 0 || col >= t.width || row >= t.height) None
-    else t.pixels(row * t.width + col)
+  /** BandTile-facing retile (spec surface). */
+  private[graft] def retile(t: BandTile, tileSize: Int): Seq[BandTile] =
+    retileGrid(toGrid(t), tileSize)
+      .map { case (tc, tr, sub) => gridTile(t, sub, tc, tr) }
 
-  private def nearestSample(t: BandTile, fcol: Double, frow: Double): Option[Float] =
-    pixelAt(t, math.round(fcol).toInt, math.round(frow).toInt)
+  private def pixelAt(d: Array[Float], w: Int, h: Int, col: Int, row: Int): Float =
+    if (col < 0 || row < 0 || col >= w || row >= h) Float.NaN
+    else d(row * w + col)
 
-  /** Bilinear with nodata awareness: weighted mean of the valid neighbors
-    * (GDAL-style renormalization over available weights). */
-  private def bilinearSample(t: BandTile, fcol: Double, frow: Double): Option[Float] = {
+  private def nearestSample(d: Array[Float], w: Int, h: Int,
+                            fcol: Double, frow: Double): Float =
+    pixelAt(d, w, h, math.round(fcol).toInt, math.round(frow).toInt)
+
+  /** Bilinear with nodata awareness: weighted mean of the valid (non-NaN)
+    * neighbors (GDAL-style renormalization over available weights).
+    * Allocation-free — this runs once per destination pixel. */
+  private def bilinearSample(d: Array[Float], w: Int, h: Int,
+                             fcol: Double, frow: Double): Float = {
     val c0 = math.floor(fcol).toInt; val r0 = math.floor(frow).toInt
     val dx = fcol - c0; val dy = frow - r0
-    val samples = Seq(
-      (pixelAt(t, c0, r0), (1 - dx) * (1 - dy)),
-      (pixelAt(t, c0 + 1, r0), dx * (1 - dy)),
-      (pixelAt(t, c0, r0 + 1), (1 - dx) * dy),
-      (pixelAt(t, c0 + 1, r0 + 1), dx * dy))
-    val valid = samples.collect { case (Some(v), w) if w > 0 => (v, w) }
-    if (valid.isEmpty) None
-    else {
-      val wSum = valid.map(_._2).sum
-      if (wSum <= 0) None
-      else Some((valid.map { case (v, w) => v * w }.sum / wSum).toFloat)
-    }
+    var s = 0.0; var ws = 0.0
+    def add(v: Float, wt: Double): Unit =
+      if (wt > 0 && !java.lang.Float.isNaN(v)) { s += v * wt; ws += wt }
+    add(pixelAt(d, w, h, c0, r0), (1 - dx) * (1 - dy))
+    add(pixelAt(d, w, h, c0 + 1, r0), dx * (1 - dy))
+    add(pixelAt(d, w, h, c0, r0 + 1), (1 - dx) * dy)
+    add(pixelAt(d, w, h, c0 + 1, r0 + 1), dx * dy)
+    if (ws <= 0) Float.NaN else (s / ws).toFloat
   }
 }
