@@ -66,6 +66,16 @@ object Dedup {
     s"list_min(list_transform($hashes, h -> ($a*h + $b) % $MinhashP))"
   }
 
+  /** j-th MinHash from the EXTENDED permutation set (banded LSH, q55). */
+  def minhashExt(hashes: Column, j: Int): Column = {
+    val (a, b) = MinhashPermsExt(j)
+    array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(MinhashP)))
+  }
+  def minhashExtSql(hashes: String, j: Int): String = {
+    val (a, b) = MinhashPermsExt(j)
+    s"list_min(list_transform($hashes, h -> ($a*h + $b) % $MinhashP))"
+  }
+
   /** Truncated token hashes for SimHash (16-bit space). */
   def simhashTokenHashes(toks: Column): Column =
     transform(toks, t => charFold(t) % lit(65536L))

@@ -32,6 +32,12 @@ object Portable {
   val MinhashPerms: Seq[(Long, Long)] = Seq(
     (1299709L, 104729L), (1299721L, 104743L),
     (1299743L, 104759L), (1299763L, 104773L))
+  /** Extended permutation set for banded LSH (b bands × r rows needs b·r
+    * independent permutations; q55 uses b=4, r=2 → 8). The first 4 are the
+    * signature-table perms so the two constructions share hashes. */
+  val MinhashPermsExt: Seq[(Long, Long)] = MinhashPerms ++ Seq(
+    (1299791L, 104779L), (1299811L, 104789L),
+    (1299817L, 104801L), (1299821L, 104803L))
   val MinhashP = 2147483647L
 
   // ---- tokenization -------------------------------------------------------

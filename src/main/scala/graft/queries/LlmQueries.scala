@@ -165,6 +165,41 @@ object LlmQueries {
         .filter(col("jaccard") >= 0.5)
     }),
 
+    // Multi-band MinHash LSH candidates (b=4 bands × r=2 rows, OR-
+    // construction): q31's single-band join requires ALL 4 minhashes equal
+    // (r=4) — high precision, limited recall. Banding admits a pair when
+    // ANY band's 2 minhashes agree; pairs are deduped across bands before
+    // the per-doc count. Because the first 4 extended perms ARE the
+    // signature perms, band 0+1 together cover q31's condition — the
+    // candidate set is a strict superset (recall ≥ q31, spec-asserted).
+    // One shuffle on the (band, h1, h2) key; 4× the rows of q31's join but
+    // each band bucket is narrower — the standard b×r trade.
+    "q55_minhash_banded" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val base = documents(s, d).filter(size(toks) >= 2)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
+        .select(col("doc_id"), Dedup.combineAdjacent(col("th")).as("hh"))
+      val sig = base.select((col("doc_id") +: MinhashPermsExt.indices.map(j =>
+          Dedup.minhashExt(col("hh"), j).as(s"mh$j"))): _*)
+      val bandArr = array((0 until 4).map(bd =>
+        struct(lit(bd).as("band"), col(s"mh${2 * bd}").as("h1"),
+               col(s"mh${2 * bd + 1}").as("h2"))): _*)
+      val bands = sig
+        .select(col("doc_id"), explode(bandArr).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+                col("bk.h1").as("h1"), col("bk.h2").as("h2"))
+        .localCheckpoint()
+      val a = bands.select(col("doc_id").as("da"), col("band"), col("h1"), col("h2"))
+      val b = bands.select(col("doc_id").as("db"), col("band").as("bandb"),
+                           col("h1").as("j1"), col("h2").as("j2"))
+      a.join(b, col("band") === col("bandb") && col("h1") === col("j1") &&
+                col("h2") === col("j2") && col("da") =!= col("db"))
+        .select(col("da"), col("db")).distinct()
+        .groupBy(col("da").as("doc_id"))
+        .agg(count(lit(1)).as("n_cand"))
+    }),
+
     // SimHash (16-bit) per document; token hashes materialized once in a
     // layered select (16 bit-sums reference them).
     "q32_simhash" -> ((s, d) =>
@@ -315,6 +350,16 @@ object LlmQueries {
                       FROM (SELECT doc_id, $T AS tk FROM documents)
                       WHERE len(tk) >= 2))"""
 
+    val sig8Sql =
+      s"""SELECT doc_id,
+            ${(0 until 8).map(j => s"${Dedup.minhashExtSql("hh", j)} AS mh$j").mkString(",\n            ")}
+          FROM (SELECT doc_id,
+                  ${Dedup.combineAdjacentSql("th")} AS hh
+                FROM (SELECT doc_id,
+                        list_transform(tk, t -> ${graft.functions.Portable.charFoldSql("t")}) AS th
+                      FROM (SELECT doc_id, $T AS tk FROM documents)
+                      WHERE len(tk) >= 2))"""
+
     val langScoreSql = (lang: String) =>
       countInSql("tk", LangProfiles.find(_._1 == lang).get._2)
 
@@ -379,6 +424,19 @@ object LlmQueries {
               JOIN docs x ON cands.da = x.doc_id
               JOIN docs y ON cands.db = y.doc_id)
             WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.5""",
+      "q55_minhash_banded" ->
+        s"""WITH sig AS ($sig8Sql),
+                 bands AS (
+                   ${(0 until 4).map(bd =>
+                     s"SELECT doc_id, $bd AS band, mh${2 * bd} AS h1, mh${2 * bd + 1} AS h2 FROM sig")
+                     .mkString("\n                   UNION ALL ")}),
+                 pairs AS (
+                   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                   FROM bands a JOIN bands b
+                     ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+                    AND a.doc_id <> b.doc_id)
+            SELECT da AS doc_id, CAST(count(*) AS BIGINT) AS n_cand
+            FROM pairs GROUP BY da""",
       "q32_simhash" ->
         s"""SELECT doc_id, ${Dedup.simhash16FromHashesSql("hs")} AS simhash
             FROM (SELECT doc_id, ${Dedup.simhashTokenHashesSql("tk")} AS hs

@@ -83,4 +83,50 @@ class ExtOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(bs(0) == bs(1) && bs(0) >= 0 && bs(0) < 256)
   }
+
+  test("banded LSH (b=4,r=2) candidates are a superset of the single-band join, recall >= it") {
+    val toks = Portable.tokens(col("text"))
+    val base = Tables.documents(spark, sf).filter(size(toks) >= 2)
+      .select(col("doc_id"), transform(toks, t => Portable.charFold(t)).as("th"))
+      .select(col("doc_id"), Dedup.combineAdjacent(col("th")).as("hh"))
+      .localCheckpoint()
+    // ground truth: all pairs with exact 2-shingle Jaccard >= 0.5
+    val docs = base.select(col("doc_id"), array_distinct(col("hh")).as("sh"))
+    val truth = docs.select(col("doc_id").as("da"), col("sh").as("sha"))
+      .crossJoin(docs.select(col("doc_id").as("db"), col("sh").as("shb")))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sha"), col("shb"))).cast("double").as("ni"),
+        (size(col("sha")) + size(col("shb"))).cast("double").as("ss"))
+      .filter(col("ni") / (col("ss") - col("ni")) >= 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // single-band (q31 shape): all 4 signature minhashes equal
+    val sig4 = base.select((col("doc_id") +: (0 until 4).map(j =>
+      Dedup.minhash(col("hh"), j).as(s"mh$j"))): _*)
+    val single = sig4.select(col("doc_id").as("da"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
+      .join(sig4.select(col("doc_id").as("db"), col("mh0").as("n0"), col("mh1").as("n1"),
+                        col("mh2").as("n2"), col("mh3").as("n3")),
+        col("mh0") === col("n0") && col("mh1") === col("n1") &&
+        col("mh2") === col("n2") && col("mh3") === col("n3") && col("da") < col("db"))
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    // banded: any of the 4 (r=2) bands agrees
+    val sig8 = base.select((col("doc_id") +: (0 until 8).map(j =>
+      Dedup.minhashExt(col("hh"), j).as(s"mh$j"))): _*)
+    val bandArr = array((0 until 4).map(bd =>
+      struct(lit(bd).as("band"), col(s"mh${2 * bd}").as("h1"),
+             col(s"mh${2 * bd + 1}").as("h2"))): _*)
+    val bands = sig8.select(col("doc_id"), explode(bandArr).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.h1").as("h1"), col("bk.h2").as("h2"))
+    val banded = bands.select(col("doc_id").as("da"), col("band"), col("h1"), col("h2"))
+      .join(bands.select(col("doc_id").as("db"), col("band").as("bandb"),
+                         col("h1").as("j1"), col("h2").as("j2")),
+        col("band") === col("bandb") && col("h1") === col("j1") &&
+        col("h2") === col("j2") && col("da") < col("db"))
+      .select("da", "db").distinct().as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(banded))          // OR-construction only admits more
+    assert(truth.nonEmpty)
+    val recallSingle = (truth & single).size.toDouble / truth.size
+    val recallBanded = (truth & banded).size.toDouble / truth.size
+    assert(recallBanded >= recallSingle)
+  }
 }
