@@ -81,13 +81,17 @@ object NdviPipeline {
     val selectedTiles = tiles.join(
       broadcast(selected.select(col("scene_id"))), Seq("scene_id"))
     val ndvi = NdviKernel.computeNdvi(selectedTiles)
+    // C4: repair-or-reject invalid AOI geometry at ingest (the reference's
+    // union + buffer(0) step, compute_ndvi.py:115-126) — BEFORE the CRS
+    // reproject, like the reference's to_crs → buffer(0) order.
+    val aoiValid = Clip.validateAoi(aoi)
     // AOI into the tiles' CRS (C3) when the scene grid is projected and
     // uniform; mixed-CRS tile tables clip per-CRS upstream.
     val tileEpsgs = selectedTiles.select("epsg").distinct()
       .collect().map(_.getInt(0))
     val aoiInTileCrs =
-      if (tileEpsgs.length == 1) Clip.reprojectAoi(aoi, tileEpsgs.head)
-      else aoi
+      if (tileEpsgs.length == 1) Clip.reprojectAoi(aoiValid, tileEpsgs.head)
+      else aoiValid
     val clippedTiles = Clip.clipToAoi(ndvi, aoiInTileCrs)
     // the reference raises eagerly when nothing overlaps
     // (compute_ndvi.py:128-131)

@@ -62,6 +62,30 @@ object Clip {
     spark.createDataFrame(rows.toSeq)
   }
 
+  /** C4: validate-and-repair the AOI table's geometry at ingest (the
+    * reference's union + buffer(0) + TopologicalError fallback,
+    * compute_ndvi.py:115-126). Valid rows pass through untouched; a
+    * self-intersecting ring (bow-tie) is node-split into its simple
+    * sub-rings (same even-odd region); irreparably empty geometry throws.
+    * Driver-side like [[reprojectAoi]] — the AOI side is dimension-sized. */
+  def validateAoi(aoi: DataFrame): DataFrame = {
+    val spark = aoi.sparkSession
+    import spark.implicits._
+    val rows = aoi.select("aoi_id", "name", "geom_wkt", "minx", "miny", "maxx", "maxy")
+      .as[(Long, String, String, Double, Double, Double, Double)].collect()
+      .map { case (id, name, wkt, mnx, mny, mxx, mxy) =>
+        val polys = Wkt.parse(wkt)
+        if (Wkt.isValid(polys))
+          graft.model.RasterModel.Aoi(id, name, wkt, mnx, mny, mxx, mxy)
+        else {
+          val fixed = Wkt.repair(polys)
+          val env = Wkt.envelope(fixed)
+          graft.model.RasterModel.Aoi(id, name, toWkt(fixed), env._1, env._2, env._3, env._4)
+        }
+      }
+    spark.createDataFrame(rows.toSeq)
+  }
+
   private def toWkt(polys: Seq[Wkt.Polygon]): String = {
     def ring(r: Seq[(Double, Double)]) =
       r.map { case (x, y) => s"$x $y" }.mkString("(", ", ", ")")
