@@ -104,6 +104,42 @@ object RasterQueries {
              count(col("ndvi")).as("n_valid"))
     }),
 
+    // R1/R2 oracle: nearest-neighbor warp 4326→3857 through the REAL typed
+    // warp path (Resample.reprojectTiles → warpGrid → Geodesy), on 4×4
+    // synthetic tiles from `nation`. Web-Mercator is closed-form (q44), so
+    // DuckDB replays the same corner-bbox / inverse-transform / NN-index
+    // math. Output per tile: destination dims, origin (rounded 4dp — libm
+    // transcendentals), valid-pixel count and exact integer-valued sum.
+    "q56_warp_nn" -> ((s, d) => {
+      import s.implicits._
+      val tiles = nation(s, d).select(col("n_nationkey").cast("long")).as[Long]
+        .map { k =>
+          val px: Seq[Option[Float]] = (0 until 16).map { i =>
+            if ((k + i) % 11 == 0) None
+            else Some(((k * 31 + i * 7) % 97).toFloat)
+          }
+          graft.model.RasterModel.BandTile(s"N$k", "b", 0, 0, 4, 4, 4326,
+            Seq(1.0, 0.0, (k % 18) * 2.0 - 18.0, 0.0, -1.0, (k % 7) * 4.0 - 12.0),
+            None, px)
+        }
+      val warped = graft.raster.Resample
+        .reprojectTiles(s, tiles, 3857, resM = 50000.0, bilinear = false)
+      val acc = aggregate(col("pixels"),
+        struct(lit(0.0).as("sm"), lit(0L).as("c")),
+        (a, p) => struct((a("sm") + coalesce(p.cast("double"), lit(0.0))).as("sm"),
+                         (a("c") + p.isNotNull.cast("long")).as("c")))
+      warped.toDF()
+        .select(col("scene_id"),
+          col("width").cast("long").as("out_w"),
+          col("height").cast("long").as("out_h"),
+          round(element_at(col("transform"), 3), 4).as("minx"),
+          round(element_at(col("transform"), 6), 4).as("maxy"),
+          acc.as("acc"))
+        .select(col("scene_id"), col("out_w"), col("out_h"),
+          col("minx"), col("maxy"),
+          col("acc.c").as("n_valid"), col("acc.sm").as("sum_px"))
+    }),
+
     // Overview 2x: block means of a 4x4 synthesized tile as 4 columns.
     "q39_overview_blocks" -> ((s, d) => {
       def pxAt(i: Int): Column = ndviPx(redDn(lit(i)), nirDn(lit(i)))
@@ -184,6 +220,52 @@ object RasterQueries {
                                CAST((l_partkey * 7 + l_linenumber) % 4096 AS DOUBLE) AS nir_dn
                         FROM lineitem))
             GROUP BY 1, 2""",
+      "q56_warp_nn" -> {
+        // NN source indices — the EXACT operation order of warpGrid +
+        // nearestSample (math.round = floor(x + 0.5)), so both engines make
+        // identical double-precision decisions: fcol=(lon-c)/a-0.5 etc.
+        val lon = "degrees((minx + 50000.0 * ((wi % ow)::DOUBLE + 0.5)) / 6378137.0)"
+        val lat = "degrees(2.0 * atan(exp((maxy - 50000.0 * (floor(wi / ow)::DOUBLE + 0.5)) / 6378137.0)) - pi() / 2.0)"
+        val sc = s"floor((($lon - c) / 1.0 - 0.5) + 0.5)"
+        val sr = s"floor((($lat - f) / (-1.0) - 0.5) + 0.5)"
+        val idx = s"(CAST($sr AS BIGINT) * 4 + CAST($sc AS BIGINT))"
+        val value =
+          s"(CASE WHEN (k + $idx) % 11 = 0 THEN NULL ELSE CAST((k * 31 + $idx * 7) % 97 AS DOUBLE) END)"
+        val pixel =
+          s"""(CASE WHEN $sc >= 0 AND $sc <= 3 AND $sr >= 0 AND $sr <= 3
+                THEN $value ELSE NULL END)"""
+        s"""WITH t AS (
+              SELECT n_nationkey AS k,
+                     CAST((n_nationkey % 18) * 2.0 - 18.0 AS DOUBLE) AS c,
+                     CAST((n_nationkey % 7) * 4.0 - 12.0 AS DOUBLE) AS f
+              FROM nation),
+            bbox AS (
+              SELECT k, c, f,
+                     least(6378137.0 * radians(c), 6378137.0 * radians(c + 4.0)) AS minx,
+                     greatest(6378137.0 * radians(c), 6378137.0 * radians(c + 4.0)) AS maxx,
+                     least(6378137.0 * ln(tan(pi() / 4.0 + radians(f) / 2.0)),
+                           6378137.0 * ln(tan(pi() / 4.0 + radians(f - 4.0) / 2.0))) AS miny,
+                     greatest(6378137.0 * ln(tan(pi() / 4.0 + radians(f) / 2.0)),
+                              6378137.0 * ln(tan(pi() / 4.0 + radians(f - 4.0) / 2.0))) AS maxy
+              FROM t),
+            dims AS (
+              SELECT *, greatest(1, CAST(ceil((maxx - minx) / 50000.0) AS INT)) AS ow,
+                        greatest(1, CAST(ceil((maxy - miny) / 50000.0) AS INT)) AS oh
+              FROM bbox),
+            px AS (
+              SELECT k, ow, oh, minx, maxy,
+                     list_transform(range(0, CAST(ow AS BIGINT) * oh), wi -> $pixel) AS pxs
+              FROM dims)
+            SELECT 'N' || k AS scene_id,
+                   CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+                   round(minx, 4) AS minx, round(maxy, 4) AS maxy,
+                   list_reduce(list_prepend(0::BIGINT, list_transform(pxs, qp ->
+                     (CASE WHEN qp IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END))),
+                     (qa, qb) -> qa + qb) AS n_valid,
+                   list_reduce(list_prepend(0::DOUBLE, list_transform(pxs, qp ->
+                     coalesce(qp, 0.0))), (qa, qb) -> qa + qb) AS sum_px
+            FROM px"""
+      },
       "q39_overview_blocks" ->
         s"""SELECT l_orderkey, l_linenumber,
               ${blockMeanSql(Seq(1, 2, 5, 6))} AS b0,
