@@ -24,6 +24,31 @@ class WritersSpec extends SparkSpec {
     assert(px.length == 10000 && px.head.asInstanceOf[Float] == -0.18965584f)
   }
 
+  test("writeTiles records a K8 _table_metadata.json sidecar matching the table") {
+    val tiles = RasterModel.dummyConstant(spark)
+    val path = Files.createTempDirectory("tiles_k8").resolve("t").toString
+    Writers.writeTiles(tiles, path)
+    val raw = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_table_metadata.json")), "UTF-8")
+    // parse with Spark's JSON reader — same dialect the sidecar targets
+    val meta = spark.read.json(Seq(raw).toDS()).head
+    def seqOf[T](r: org.apache.spark.sql.Row, name: String): Seq[T] =
+      r.getSeq[T](r.fieldIndex(name)).toSeq
+    assert(seqOf[Long](meta, "srids") == Seq(4326L))
+    assert(seqOf[String](meta, "bands") == Seq("nir", "red"))
+    assert(meta.getAs[Long]("block_width") == 100L &&
+           meta.getAs[Long]("block_height") == 100L)
+    assert(seqOf[Double](meta, "pixel_scale_x") == Seq(0.1))
+    assert(seqOf[Double](meta, "pixel_scale_y") == Seq(-0.1))
+    assert(meta.getAs[Long]("n_tiles") == 2L)
+    // a rewrite recomputes the sidecar (drop + re-add cycle)
+    Writers.writeTiles(tiles.filter(col("band") === "red"), path)
+    val meta2 = spark.read.json(Seq(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_table_metadata.json")), "UTF-8")).toDS()).head
+    assert(seqOf[String](meta2, "bands") == Seq("red"))
+    assert(meta2.getAs[Long]("n_tiles") == 1L)
+  }
+
   test("saltedJoin equals the plain join row-for-row") {
     val large = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val small = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
