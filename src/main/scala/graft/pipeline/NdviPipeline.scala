@@ -70,7 +70,8 @@ object NdviPipeline {
           tiles: DataFrame,
           aoi: DataFrame,
           existingFull: DataFrame,
-          existingClipped: DataFrame): Result = {
+          existingClipped: DataFrame,
+          runLog: graft.sink.RunLog = graft.sink.RunLog.Noop): Result = {
     import spark.implicits._
     val tileCols = Seq("scene_id", "band", "tile_col", "tile_row", "width",
       "height", "epsg", "transform", "nodata", "pixels")
@@ -92,6 +93,21 @@ object NdviPipeline {
     val aoiInTileCrs =
       if (tileEpsgs.length == 1) Clip.reprojectAoi(aoiValid, tileEpsgs.head)
       else aoiValid
+    // C2: footprint sanity log — selected scenes' envelope reprojected to
+    // WGS84, rounded 4dp (compute_ndvi.py:101-106); best-effort like the
+    // reference's try/except-pass.
+    if (tileEpsgs.length == 1) try {
+      val b = Clip.tileBounds(selectedTiles)
+        .agg(min(col("t_minx")), min(col("t_miny")),
+             max(col("t_maxx")), max(col("t_maxy"))).head
+      val corners = Seq((b.getDouble(0), b.getDouble(1)), (b.getDouble(2), b.getDouble(1)),
+                        (b.getDouble(0), b.getDouble(3)), (b.getDouble(2), b.getDouble(3)))
+        .map { case (x, y) => graft.geo.Geodesy.transformPoint(x, y, tileEpsgs.head, 4326) }
+      def r4(v: Double) = math.rint(v * 1e4) / 1e4
+      runLog.info(s"Raster bounds (WGS84): (${r4(corners.map(_._1).min)}, " +
+        s"${r4(corners.map(_._2).min)}, ${r4(corners.map(_._1).max)}, " +
+        s"${r4(corners.map(_._2).max)})")
+    } catch { case _: Exception => () }
     val clippedTiles = Clip.clipToAoi(ndvi, aoiInTileCrs)
     // the reference raises eagerly when nothing overlaps
     // (compute_ndvi.py:128-131)
@@ -125,6 +141,7 @@ object NdviPipeline {
       existingClipped, newClipped)
     val nOk = mean.filter(col("mean_ndvi").isNotNull)
       .select(col("scene_id")).distinct().count()
+    runLog.info(s"Run summary: total=$nScenes succeeded=$nOk failed=${nScenes - nOk}")
     Result(full, clippedTable, viz, overviews, mean,
       RunSummary(nScenes, nOk, nScenes - nOk))
   }

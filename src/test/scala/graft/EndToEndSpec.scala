@@ -40,8 +40,16 @@ class EndToEndSpec extends SparkSpec {
     val emptyClipped = Seq.empty[(String, Long, Double)]
       .toDF("scene_id", "aoi_id", "mean_ndvi")
 
-    val r = NdviPipeline.run(spark, settings, catalog, tiles, aoi,
-      emptyFull, emptyClipped)
+    // K11: per-run timestamped log file + C2 footprint sanity line
+    val logDir = java.nio.file.Files.createTempDirectory("graft_run").toString
+    val runLog = graft.sink.RunLog.open(logDir, echo = false)
+    val r = try NdviPipeline.run(spark, settings, catalog, tiles, aoi,
+      emptyFull, emptyClipped, runLog) finally runLog.close()
+
+    val logLines = new String(java.nio.file.Files.readAllBytes(runLog.path), "UTF-8")
+    assert(runLog.path.getFileName.toString.matches("pipeline_\\d{8}_\\d{6}\\.log"))
+    assert(logLines.contains("[INFO] graft.pipeline: Raster bounds (WGS84): (0.0, -10.0, 10.0, 0.0)"))
+    assert(logLines.contains("Run summary: total=1 succeeded=1 failed=0"))
 
     assert(r.summary.total == 1 && r.summary.succeeded == 1 && r.summary.failed == 0)
     val m = r.mean.head  // (scene_id, aoi_id, mean_ndvi, n_valid)
