@@ -75,10 +75,17 @@ object Portable {
 
   /** Dot product of two ARRAY<DOUBLE> columns as a sequential left fold —
     * bit-identical across engines (same products, same summation order).
-    * At scale this runs inside whole-stage-codegen'd projection; for the
-    * 100 TB path a custom Catalyst Expression with doGenCode is the upgrade
-    * (same semantics, tighter loop). */
+    * Runs as the codegen'd DotFoldExpr (one JIT'd loop per pair);
+    * [[dotFoldHof]] is the built-in HOF chain kept for cross-checking. */
   def dotFold(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.toColumn(
+      DotFoldExpr(
+        org.apache.spark.sql.graftbridge.Bridge.toExpression(a),
+        org.apache.spark.sql.graftbridge.Bridge.toExpression(b)))
+
+  /** Reference HOF implementation of [[dotFold]] (interpreted lambdas —
+    * value-identical, slower; the cross-check target). */
+  def dotFoldHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, p) => s + p)
   def dotFoldSql(a: String, b: String): String =
     // NB: unique lambda variable names — generated SQL can nest inside

@@ -39,6 +39,23 @@ class ExtOpsSpec extends SparkSpec {
     assert(got == 16.125)
   }
 
+  test("codegen dotFold equals the HOF chain bit-for-bit, incl. null cases") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      (Seq.fill(17)(rnd.nextDouble() * 2 - 1), Seq.fill(17)(rnd.nextDouble() * 2 - 1))
+    } :+ ((Seq(1.0, 2.0), Seq(3.0)))  // length mismatch → NULL both paths
+    val df = rows.toDF("a", "b")
+    val out = df.select(
+      Portable.dotFold(col("a"), col("b")).as("fast"),
+      Portable.dotFoldHof(col("a"), col("b")).as("ref")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null mismatch: $r")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+               java.lang.Double.doubleToLongBits(r.getDouble(1)), s"bits differ: $r")
+    }
+  }
+
   test("cosine of a vector with itself is exactly 1.0") {
     val got = Seq((Seq(0.1, -0.2, 0.3), Seq(0.1, -0.2, 0.3))).toDF("a", "b")
       .select(Portable.cosine(col("a"), col("b")).as("c")).head.getDouble(0)
