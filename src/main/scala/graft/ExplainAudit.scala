@@ -17,7 +17,9 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_filter_project", "q12_lookup_join", "q13_star_join",
-               "q16_bbox_join", "q31_minhash_candidates", "q34_cosine_topk")
+               "q16_bbox_join", "q31_minhash_candidates", "q34_cosine_topk",
+               "q43_asset_pick_map", "q52_minhash_verified",
+               "q55_minhash_banded", "q56_warp_nn")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

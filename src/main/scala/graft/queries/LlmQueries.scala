@@ -193,11 +193,12 @@ object LlmQueries {
       val a = bands.select(col("doc_id").as("da"), col("band"), col("h1"), col("h2"))
       val b = bands.select(col("doc_id").as("db"), col("band").as("bandb"),
                            col("h1").as("j1"), col("h2").as("j2"))
+      // countDistinct collapses the cross-band pair dedup and the per-doc
+      // count into ONE shuffle on da (a distinct() + groupBy would be two)
       a.join(b, col("band") === col("bandb") && col("h1") === col("j1") &&
                 col("h2") === col("j2") && col("da") =!= col("db"))
-        .select(col("da"), col("db")).distinct()
         .groupBy(col("da").as("doc_id"))
-        .agg(count(lit(1)).as("n_cand"))
+        .agg(countDistinct(col("db")).as("n_cand"))
     }),
 
     // SimHash (16-bit) per document; token hashes materialized once in a
