@@ -40,6 +40,20 @@ object EventsStream {
       dir.toString
     })
 
+  /** Streaming queries plan their shuffle/state partitioning from
+    * spark.sql.shuffle.partitions at START time, and every micro-batch
+    * commits one state-store delta file PER partition. For the group
+    * cardinalities here (10³–10⁴ keys), 8 partitions bound that commit
+    * fan-out; the session's batch setting is restored afterwards. At real
+    * scale this is the `spark.sql.streaming` sizing knob — state partitions
+    * ≈ executor cores, not the batch shuffle width. */
+  private def withStreamPartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Hourly tumbling-window rollup of the events table, executed as a real
     * streaming query over the parquet directory and drained synchronously
     * (memory sink, complete mode). Returns the final result table —
@@ -61,13 +75,15 @@ object EventsStream {
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -167,13 +183,15 @@ object EventsStream {
           state.update((c, cents))
           Iterator((userId, c, cents))
       }.toDF("user_id", "n_events", "sum_cents")
-    val q = counted.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = counted.writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // last update per user = final state
     import org.apache.spark.sql.expressions.Window
     spark.table(queryName)
