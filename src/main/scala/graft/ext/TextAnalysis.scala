@@ -85,4 +85,11 @@ object TextAnalysis {
     * replacement for a 64-bit content hash). */
   def fingerprint(text: Column): Column = charFold(text)
   def fingerprintSql(e: String): String = charFoldSql(e)
+
+  /** PII detection patterns (q57) — a deliberately simple, cross-engine
+    * subset (Java regex ∩ RE2: no backreferences or lookaround). Real
+    * deployments extend the pattern set; the scrub/count plumbing is the
+    * operator. */
+  val PiiEmailRe = "[a-z0-9._]+@[a-z0-9.]+"
+  val PiiPhoneRe = "555-[0-9]{4}"
 }

@@ -251,6 +251,52 @@ object LlmQueries {
         array_join(slice(kept, 1, 8), " ").as("head_tokens"))
     }),
 
+    // PII scrubbing — the standard pre-training redaction pass: detect and
+    // replace email/phone patterns, count redactions. The corpus text is
+    // synthetic, so deterministic PII is APPENDED first (from doc_id) and
+    // then scrubbed — the regex machinery is tested against known
+    // plant counts. Pure per-row regexp chain, zero shuffle.
+    "q57_pii_scrub" -> ((s, d) => {
+      val withPii = concat(col("text"),
+        lit(" contact_"), col("doc_id"), lit("@mail.example.com call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val emailRe = TextAnalysis.PiiEmailRe
+      val phoneRe = TextAnalysis.PiiPhoneRe
+      documents(s, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(withPii, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(withPii, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(withPii, emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("scrubbed"))
+    }),
+
+    // Benchmark-contamination scan — the n-gram-overlap check run before
+    // training: broadcast the benchmark set's (hashed) shingles, one pass
+    // over the corpus counting shared distinct shingles per document.
+    // Probe set here = doc_id < 5; at 100 TB the probe side is the small
+    // benchmark suite (broadcast), the corpus side never shuffles beyond
+    // the per-doc aggregate.
+    "q58_contamination" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val base = documents(s, d).filter(size(toks) >= 2)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
+        .select(col("doc_id"), array_distinct(Dedup.combineAdjacent(col("th"))).as("sh"))
+        .localCheckpoint()
+      val probes = base.filter(col("doc_id") < 5)
+        .select(explode(col("sh")).as("h")).distinct()
+      val shared = base.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(broadcast(probes), "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      base.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_sh")).as("ratio"))
+    }),
+
     // Brute-force cosine top-10 against the vec_id=0 query vector.
     "q34_cosine_topk" -> ((s, d) => {
       val emb = embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("e"))
@@ -471,6 +517,38 @@ object LlmQueries {
                          ' +', ' ', 'g')), ' '), t -> t <> '') AS toks
                 FROM documents))"""
       },
+      "q57_pii_scrub" -> {
+        val e = TextAnalysis.PiiEmailRe
+        val p = TextAnalysis.PiiPhoneRe
+        s"""SELECT doc_id,
+              len(regexp_extract_all(wp, '$e'))::BIGINT AS n_emails,
+              len(regexp_extract_all(wp, '$p'))::BIGINT AS n_phones,
+              regexp_replace(regexp_replace(wp, '$e', '<EMAIL>', 'g'),
+                '$p', '<PHONE>', 'g') AS scrubbed
+            FROM (SELECT doc_id,
+                    text || ' contact_' || doc_id || '@mail.example.com call 555-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS wp
+                  FROM documents)"""
+      },
+      "q58_contamination" ->
+        s"""WITH docs AS (
+              SELECT doc_id, list_distinct(${Dedup.combineAdjacentSql("th")}) AS sh
+              FROM (SELECT doc_id,
+                      list_transform(tk, t -> ${graft.functions.Portable.charFoldSql("t")}) AS th
+                    FROM (SELECT doc_id, $T AS tk FROM documents)
+                    WHERE len(tk) >= 2)),
+                 probe AS (
+              SELECT DISTINCT unnest(sh) AS h FROM docs WHERE doc_id < 5),
+                 m AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+              FROM (SELECT doc_id, unnest(sh) AS h FROM docs WHERE doc_id >= 5) dd
+              JOIN probe USING (h)
+              GROUP BY doc_id)
+            SELECT d.doc_id, len(d.sh)::BIGINT AS n_sh,
+                   CAST(coalesce(m.n_shared, 0) AS BIGINT) AS n_shared,
+                   CAST(coalesce(m.n_shared, 0) AS DOUBLE) / len(d.sh) AS ratio
+            FROM docs d LEFT JOIN m ON d.doc_id = m.doc_id
+            WHERE d.doc_id >= 5""",
       "q34_cosine_topk" ->
         s"""WITH e AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e FROM embeddings),
                  q AS (SELECT e AS qe FROM e WHERE vec_id = 0)
