@@ -26,6 +26,12 @@ object StreamQueries {
     "q41_stream_user_totals" -> ((s, d) =>
       EventsStream.perUserTotalsStreaming(s, d)),
 
+    // Streaming exact dedup: every event staged TWICE, deduped by
+    // event_id within the watermark — oracle is the single-copy batch
+    // per-user distinct count (stream/batch parity).
+    "q59_stream_dedup" -> ((s, d) =>
+      EventsStream.dedupStreaming(s, d)),
+
     // Multimodal decode stage: binary payloads → typed metadata via the
     // batch-iterating kernel (deterministic fake decode; ASCII payloads
     // make the checksum reproducible in SQL as the char fold).
@@ -80,6 +86,9 @@ object StreamQueries {
       """SELECT user_id,
                 CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY user_id""",
+    "q59_stream_dedup" ->
+      """SELECT user_id, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
          FROM events GROUP BY user_id""",
     "q42_media_meta" -> {
       val h = charFoldSql("text")

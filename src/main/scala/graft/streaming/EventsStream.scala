@@ -93,6 +93,38 @@ object EventsStream {
     * of the target. */
   val MergeBuckets = 32
 
+  /** Streaming exact deduplication — the streaming twin of the batch
+    * exact-dedup operator: duplicates (the landing dir stages the events
+    * file TWICE, so every event arrives twice) are dropped by event_id
+    * within the watermark via dropDuplicatesWithinWatermark, then the
+    * per-user event counts are aggregated. At scale this is the standard
+    * at-least-once-ingest → exactly-once-corpus repair: dedup state is
+    * bounded by the watermark delay, not the stream's lifetime. */
+  def dedupStreaming(spark: SparkSession, sfDir: String,
+                     queryName: String = "graft_stream_dedup"): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .parquet(stageDir(sfDir, "events", copies = 2))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val deduped = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    withStreamPartitions(spark, 8) {
+      val q = deduped.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** foreachBatch merge sink (SURVEY.md §2.11): each micro-batch upserts
     * into a parquet target — the streaming side of the reference's
     * ON CONFLICT DO UPDATE loads. Counts ACCUMULATE across batches
