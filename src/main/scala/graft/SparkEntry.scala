@@ -20,11 +20,13 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ExtractQueries.defs ++ JoinAggQueries.defs ++ LlmQueries.defs ++
-      RasterQueries.defs ++ StreamQueries.defs ++ MiscQueries.defs
+      RasterQueries.defs ++ StreamQueries.defs ++ MiscQueries.defs ++
+      CurationQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ExtractQueries.oracle ++ JoinAggQueries.oracle ++ LlmQueries.oracle ++
-      RasterQueries.oracle ++ StreamQueries.oracle ++ MiscQueries.oracle
+      RasterQueries.oracle ++ StreamQueries.oracle ++ MiscQueries.oracle ++
+      CurationQueries.oracle
 }

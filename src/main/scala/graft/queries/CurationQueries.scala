@@ -1,0 +1,409 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.functions.Portable._
+import graft.ext.{Dedup, TextAnalysis}
+
+/** Corpus-curation operators — the training-data pipeline stages that sit
+  * between raw crawl and tokenizer: deterministic stratified sampling,
+  * passage-level duplication scoring, URL canonicalization, sessionization,
+  * quantile-based quality filtering, duplicate-cluster resolution
+  * (connected components), and TF-IDF keyword extraction.
+  *
+  * Scale notes per operator are inline; the shared design rule is the same
+  * as LlmQueries: per-row work stays in codegen'd scalar chains, every
+  * shuffle is on an explicit key, and iterative algorithms (q65) converge
+  * in O(diameter) distributed rounds with a driver-side loop only for the
+  * fixpoint test.
+  */
+object CurationQueries {
+
+  /** Per-language keep-rate (percent) for deterministic stratified
+    * sampling: downsample the dominant language, keep the tail.
+    * Shared by the Spark plan and the generated oracle SQL. */
+  val SampleRates: Seq[(String, Int)] = Seq(
+    "en" -> 25, "de" -> 75, "es" -> 75, "fr" -> 75, "zh" -> 75)
+  val SampleRateDefault = 50
+
+  /** Passage chunk size (tokens) for passage-level duplication scoring. */
+  val ChunkLen = 3
+
+  /** Session gap: a new session starts after > 4 h of user inactivity. */
+  val SessionGapMicros: Long = 4L * 3600 * 1000000
+
+  private def rateFor(lang: Column): Column =
+    SampleRates.foldRight(lit(SampleRateDefault): Column) {
+      case ((l, r), els) => when(lang === l, lit(r)).otherwise(els)
+    }
+  private def rateForSql(lang: String): String =
+    SampleRates.map { case (l, r) => s"WHEN $lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", s" ELSE $SampleRateDefault END")
+
+  /** Fold a chunk of ChunkLen token hashes into one passage hash — the
+    * same polynomial mix combineAdjacent uses for 2-shingles. */
+  private def passageHashes(th: Column): Column = {
+    val nc = floor(size(th) / lit(ChunkLen)).cast("int")
+    transform(sequence(lit(0), nc - 1), k =>
+      aggregate(slice(th, k * ChunkLen + 1, lit(ChunkLen)), lit(0L),
+        (a, x) => (a * Dedup.ShingleMix + x) % FoldMod))
+  }
+  private def passageHashesSql(th: String): String =
+    s"list_transform(range(0, len($th) // $ChunkLen), pk -> " +
+      s"list_reduce(list_prepend(0::BIGINT, " +
+      s"list_slice($th, pk*$ChunkLen + 1, pk*$ChunkLen + $ChunkLen)), " +
+      s"(pa, pb) -> (pa * ${Dedup.ShingleMix} + pb) % $FoldMod))"
+
+  /** Synthetic raw URL per event (the corpus has no URL column; the
+    * canonicalization machinery is the operator — mixed-case scheme/host,
+    * `www.` prefix, trailing slash, tracking params, all to be stripped). */
+  private def rawUrl: Column =
+    concat(lit("HTTPS://WWW.Shop"), (col("user_id") % 20).cast("string"),
+      lit(".Example.COM/Item/"), (col("event_id") % 500).cast("string"),
+      lit("/?Utm_Source=Feed&Ref="), col("event_type"))
+  private val rawUrlSql =
+    "'HTTPS://WWW.Shop' || CAST(user_id % 20 AS VARCHAR) || " +
+      "'.Example.COM/Item/' || CAST(event_id % 500 AS VARCHAR) || " +
+      "'/?Utm_Source=Feed&Ref=' || event_type"
+
+  /** Near-dup edge list (da < db, exact Jaccard >= 0.5 on 2-shingle hash
+    * sets) via the q52 LSH pipeline: signatures -> banded candidates ->
+    * exact verification. Used by q65's connected components. */
+  private def nearDupEdges(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = documents(s, d).filter(size(toks) >= 2)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
+      .select(col("doc_id"), Dedup.combineAdjacent(col("th")).as("hh"))
+      .localCheckpoint()
+    val sig = base.select((col("doc_id") +: MinhashPerms.indices.map(j =>
+        Dedup.minhash(col("hh"), j).as(s"mh$j"))): _*)
+      .localCheckpoint()
+    val a = sig.select(col("doc_id").as("da"), col("mh0"), col("mh1"),
+                       col("mh2"), col("mh3"))
+    val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
+                       col("mh1").as("nh1"), col("mh2").as("nh2"),
+                       col("mh3").as("nh3"))
+    val cands = a.join(b,
+        col("mh0") === col("nh0") && col("mh1") === col("nh1") &&
+        col("mh2") === col("nh2") && col("mh3") === col("nh3") &&
+        col("da") < col("db"))
+      .select(col("da"), col("db"))
+    val docs = base.select(col("doc_id"), array_distinct(col("hh")).as("sh"))
+    cands
+      .join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
+        (size(col("sha")) + size(col("shb"))).cast("long").as("sz_sum"))
+      .filter(col("n_inter").cast("double") / (col("sz_sum") - col("n_inter")) >= 0.5)
+      .select(col("da"), col("db"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic stratified sampling: keep a document iff its CONTENT
+    // hash falls under the language's keep-rate. Reproducible (re-runs and
+    // re-partitions keep the same rows — no rand()), stratified (per-lang
+    // rates rebalance the corpus). Per-row scalar chain, zero shuffle; at
+    // 100 TB this pipelines inside the scan.
+    "q60_stratified_sample" -> ((s, d) => {
+      val bucket = TextAnalysis.fingerprint(col("text")) % 100
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), bucket.as("bucket"))
+        .filter(col("bucket") < rateFor(col("lang")))
+    }),
+
+    // Passage-level duplication scoring: split each document into
+    // ChunkLen-token passages, hash each, count cross-document passage
+    // occurrences, and score each document by the fraction of its passages
+    // that also appear in ANOTHER document. The per-doc dup_ratio is the
+    // standard "duplicated passage fraction" filter signal. Two shuffles:
+    // passage-hash aggregate, then per-doc rollup — both on explicit keys.
+    "q61_passage_dedup" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val chunks = documents(s, d).filter(size(toks) >= ChunkLen)
+        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
+        .select(col("doc_id"), explode(passageHashes(col("th"))).as("ph"))
+      val freq = chunks.groupBy("ph")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      chunks.join(freq, "ph")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+             sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          (col("n_dup_chunks").cast("double") / col("n_chunks")).as("dup_ratio"))
+    }),
+
+    // URL canonicalization + rollup: lowercase, strip scheme and `www.`,
+    // drop the query string (tracking params), strip the trailing slash,
+    // then aggregate per (domain, url_norm). The canonical web-crawl dedup
+    // key. Scalar regex chain + one hash-aggregate shuffle.
+    "q62_url_normalize" -> ((s, d) => {
+      val l = lower(rawUrl)
+      val domain = regexp_replace(
+        regexp_extract(l, "https://([^/]+)/", 1), "^www\\.", "")
+      val path = regexp_replace(
+        regexp_extract(l, "https://[^/]+([^?]*)", 1), "/$", "")
+      events(s, d)
+        .select(domain.as("domain"), concat(domain, path).as("url_norm"),
+                col("user_id"))
+        .groupBy(col("domain"), col("url_norm"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Sessionization (gaps-and-islands): a session = consecutive events of
+    // one user with gaps <= 4 h. lag + running sum over one (user_id)
+    // window — a single shuffle on user_id; state is per-user and bounded.
+    "q63_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(gap.isNull || gap > SessionGapMicros, 1L).otherwise(0L).as("is_new"))
+        .select(col("user_id"), col("ts"),
+          sum(col("is_new")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("session_id"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(unix_seconds(col("ts"))).as("start_s"),
+             max(unix_seconds(col("ts"))).as("end_s"))
+    }),
+
+    // Quantile-threshold quality filter: per-language exact p25 of the
+    // composite quality score; report the threshold and how much of the
+    // stratum survives. Quality is a per-row scalar; the percentile is one
+    // aggregate per language (tiny); the filter re-scans with a broadcast
+    // threshold join — at 100 TB the quality pass and the filter pass
+    // stay two scans with no wide shuffle.
+    "q64_quality_quantile" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stopN = TextAnalysis.countIn(toks, TextAnalysis.LangProfiles.head._2)
+      val scored = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScore(nTok, stopN, length(col("text"))).as("quality"))
+      val thr = scored.groupBy(col("lang"))
+        .agg(round(expr("percentile(quality, 0.25)"), 9).as("thr"))
+      scored.join(broadcast(thr), "lang")
+        .groupBy(col("lang"))
+        .agg(min(col("thr")).as("p25"),
+             count(lit(1)).as("n_total"),
+             sum(when(col("quality") >= col("thr"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+
+    // Duplicate-cluster resolution: connected components over the verified
+    // near-dup pair graph (LSH edges, Jaccard >= 0.5), labels = min doc_id
+    // per component. Iterative min-label propagation: each round is one
+    // distributed join+aggregate (the large-star/small-star pattern); the
+    // driver loop only tests the fixpoint. Rounds ~ O(component diameter)
+    // — near-dup clusters are shallow, so this converges in a handful of
+    // rounds even at 100 TB.
+    "q65_dedup_clusters" -> ((s, d) => {
+      val edges = nearDupEdges(s, d).localCheckpoint()
+      val bidir = edges.select(col("da").as("src"), col("db").as("dst"))
+        .union(edges.select(col("db").as("src"), col("da").as("dst")))
+        .localCheckpoint()
+      var lbl = bidir.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+        .localCheckpoint()
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < 20) {
+        val nbMin = bidir
+          .join(lbl.select(col("node").as("nb"), col("lbl").as("nlbl")),
+                col("dst") === col("nb"))
+          .groupBy(col("src"))
+          .agg(min(col("nlbl")).as("nmin"))
+        val next = lbl
+          .join(nbMin, col("node") === col("src"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        changed = next.join(lbl.select(col("node").as("n2"), col("lbl").as("old")),
+            col("node") === col("n2"))
+          .filter(col("lbl") =!= col("old")).count()
+        lbl = next
+        it += 1
+      }
+      val sizes = lbl.groupBy(col("lbl").as("cid"))
+        .agg(count(lit(1)).as("cluster_size"))
+      lbl.join(sizes, col("lbl") === col("cid"))
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+                col("cluster_size"))
+    }),
+
+    // TF-IDF keyword extraction: top-5 terms per document by
+    // tf * ln((N+1)/(df+1)). One explode + two hash aggregates; the
+    // document-frequency side is tiny (vocabulary) and broadcast back.
+    // Rounded to 6 dp (ln is libm-derived).
+    "q66_tfidf" -> ((s, d) => {
+      val terms = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("tf").cast("double") *
+            round(log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6),
+            6).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+    }),
+  )
+
+  // ---- oracle SQL (generated from the same constants) ----------------------
+
+  private val T = tokensSql("text")
+
+  /** The q52 verification pipeline as SQL, ending in (da, db) edges. */
+  private val edgesSql: String = {
+    val sigSql =
+      s"""SELECT doc_id,
+            ${Dedup.minhashSql("hh", 0)} AS mh0,
+            ${Dedup.minhashSql("hh", 1)} AS mh1,
+            ${Dedup.minhashSql("hh", 2)} AS mh2,
+            ${Dedup.minhashSql("hh", 3)} AS mh3
+          FROM hh_base"""
+    s"""hh_base AS (
+          SELECT doc_id, ${Dedup.combineAdjacentSql("th")} AS hh
+          FROM (SELECT doc_id,
+                  list_transform(tk, t -> ${charFoldSql("t")}) AS th
+                FROM (SELECT doc_id, $T AS tk FROM documents)
+                WHERE len(tk) >= 2)),
+        sig AS ($sigSql),
+        cands AS (
+          SELECT a.doc_id AS da, b.doc_id AS db
+          FROM sig a JOIN sig b
+            ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
+           AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id),
+        dsets AS (SELECT doc_id, list_distinct(hh) AS sh FROM hh_base),
+        edges AS (
+          SELECT da, db FROM (
+            SELECT da, db,
+                   len(list_intersect(x.sh, y.sh))::BIGINT AS n_inter,
+                   (len(x.sh) + len(y.sh))::BIGINT AS sz_sum
+            FROM cands
+            JOIN dsets x ON cands.da = x.doc_id
+            JOIN dsets y ON cands.db = y.doc_id)
+          WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.5)"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q60_stratified_sample" ->
+      s"""SELECT doc_id, lang, source, bucket FROM (
+            SELECT doc_id, lang, source,
+                   ${TextAnalysis.fingerprintSql("text")} % 100 AS bucket
+            FROM documents)
+          WHERE bucket < ${rateForSql("lang")}""",
+    "q61_passage_dedup" ->
+      s"""WITH chunks AS (
+            SELECT doc_id, unnest(${passageHashesSql("th")}) AS ph
+            FROM (SELECT doc_id, list_transform(tk, t -> ${charFoldSql("t")}) AS th
+                  FROM (SELECT doc_id, $T AS tk FROM documents)
+                  WHERE len(tk) >= $ChunkLen)),
+          freq AS (
+            SELECT ph, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY ph)
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_chunks,
+                 CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+                 CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS dup_ratio
+          FROM chunks JOIN freq USING (ph)
+          GROUP BY doc_id""",
+    "q62_url_normalize" ->
+      s"""SELECT domain, domain || path AS url_norm,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM (
+            SELECT regexp_replace(regexp_extract(l, 'https://([^/]+)/', 1),
+                                  '^www\\.', '') AS domain,
+                   regexp_replace(regexp_extract(l, 'https://[^/]+([^?]*)', 1),
+                                  '/$$', '') AS path,
+                   user_id
+            FROM (SELECT lower($rawUrlSql) AS l, user_id FROM events))
+          GROUP BY domain, url_norm""",
+    "q63_sessionize" ->
+      s"""WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN pts IS NULL
+                          OR epoch_ns(ts) - epoch_ns(pts) > ${SessionGapMicros}000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM (SELECT user_id, event_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS pts
+                  FROM events)),
+          sess AS (
+            SELECT user_id, ts,
+                   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged)
+          SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 min(epoch_ns(ts) // 1000000000) AS start_s,
+                 max(epoch_ns(ts) // 1000000000) AS end_s
+          FROM sess GROUP BY user_id, session_id""",
+    "q64_quality_quantile" -> {
+      val q = TextAnalysis.qualityScoreSql(
+        "len(tk)::BIGINT",
+        TextAnalysis.countInSql("tk", TextAnalysis.LangProfiles.head._2),
+        "length(text)")
+      s"""WITH scored AS (
+            SELECT doc_id, lang, $q AS quality
+            FROM (SELECT doc_id, lang, text, $T AS tk FROM documents)),
+          thr AS (
+            SELECT lang, round(quantile_cont(quality, 0.25), 9) AS thr
+            FROM scored GROUP BY lang)
+          SELECT lang, min(thr) AS p25,
+                 CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(sum(CASE WHEN quality >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM scored JOIN thr USING (lang)
+          GROUP BY lang"""
+    },
+    "q65_dedup_clusters" ->
+      s"""WITH RECURSIVE
+          $edgesSql,
+          bidir AS (SELECT da AS s, db AS t FROM edges
+                    UNION ALL SELECT db, da FROM edges),
+          nodes AS (SELECT DISTINCT s AS n FROM bidir),
+          walk(n, r) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT b.t, w.r FROM walk w JOIN bidir b ON b.s = w.n),
+          comp AS (SELECT n AS doc_id, min(r) AS cluster_id FROM walk GROUP BY n)
+          SELECT doc_id, cluster_id, cluster_size
+          FROM comp
+          JOIN (SELECT cluster_id AS cid, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY cluster_id) sz
+            ON comp.cluster_id = sz.cid""",
+    "q66_tfidf" ->
+      s"""WITH terms AS (
+            SELECT doc_id, unnest(tk) AS term
+            FROM (SELECT doc_id, $T AS tk FROM documents)),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM terms GROUP BY doc_id, term),
+          df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                 FROM terms GROUP BY term),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+          SELECT doc_id, term, tf, score, rk FROM (
+            SELECT doc_id, term, tf,
+                   round(CAST(tf AS DOUBLE) *
+                         round(ln((n_docs + 1.0) / (df + 1.0)), 6), 6) AS score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY round(CAST(tf AS DOUBLE) *
+                                        round(ln((n_docs + 1.0) / (df + 1.0)), 6), 6) DESC,
+                                        term) AS rk
+            FROM tf JOIN df USING (term) CROSS JOIN n)
+          WHERE rk <= 5""",
+  )
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.queries.CurationQueries
+
+/** Property checks for the corpus-curation operators (q60–q66). Exact
+  * value equality is the driver's DuckDB-oracle gate; these specs assert
+  * the semantic invariants each operator promises. */
+class CurationSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q60 stratified sampling is deterministic and respects per-lang rates") {
+    val a = run("q60_stratified_sample").collect().map(_.getLong(0)).sorted
+    val b = run("q60_stratified_sample").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "sampling must be reproducible run-to-run")
+    // every surviving bucket is under its language's keep-rate
+    val rates = CurationQueries.SampleRates.toMap
+    run("q60_stratified_sample").collect().foreach { r =>
+      val rate = rates.getOrElse(r.getString(1), CurationQueries.SampleRateDefault)
+      assert(r.getLong(3) < rate,
+        s"doc ${r.getLong(0)} bucket ${r.getLong(3)} >= rate $rate for lang ${r.getString(1)}")
+    }
+  }
+
+  test("q61 passage stats: chunk counts match token counts, ratios in [0,1]") {
+    val toks = graft.functions.Portable.tokens(col("text"))
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), (size(toks) / CurationQueries.ChunkLen)
+        .cast("long").as("nc"))
+      .filter(col("nc") >= 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = run("q61_passage_dedup").collect()
+    assert(rows.map(_.getLong(0)).toSet == expected.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) == expected(r.getLong(0)), s"n_chunks for doc ${r.getLong(0)}")
+      assert(r.getLong(2) <= r.getLong(1))
+      val ratio = r.getDouble(3)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+  }
+
+  test("q62 url normalization strips scheme, www, query and trailing slash") {
+    val rows = run("q62_url_normalize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val domain = r.getString(0); val url = r.getString(1)
+      assert(domain.matches("shop\\d+\\.example\\.com"), domain)
+      assert(url.startsWith(domain))
+      assert(!url.contains("?") && !url.contains("utm") && !url.endsWith("/"), url)
+      assert(url.matches("shop\\d+\\.example\\.com/item/\\d+"), url)
+    }
+  }
+
+  test("q63 sessions partition the event stream and respect the gap rule") {
+    val sessions = run("q63_sessionize").collect()
+    val totalEvents = Tables.events(spark, sf).count()
+    assert(sessions.map(_.getLong(2)).sum == totalEvents,
+      "every event lands in exactly one session")
+    sessions.foreach(r => assert(r.getLong(3) <= r.getLong(4), "start <= end"))
+    // per-user: sessions are disjoint and ordered, and consecutive sessions
+    // are separated by more than the gap
+    val gapS = CurationQueries.SessionGapMicros / 1000000
+    sessions.groupBy(_.getLong(0)).foreach { case (_, ss) =>
+      val byId = ss.sortBy(_.getLong(1))
+      byId.sliding(2).foreach {
+        case Array(p, n) =>
+          // start_s/end_s are second-truncated, so the strict µs-gap rule
+          // weakens to >= at second granularity
+          assert(n.getLong(3) - p.getLong(4) >= gapS,
+            s"sessions ${p.getLong(1)} and ${n.getLong(1)} closer than the gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("q64 quantile filter keeps at least 75% of each stratum at p25") {
+    val rows = run("q64_quality_quantile").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val thr = r.getDouble(1); val total = r.getLong(2); val kept = r.getLong(3)
+      assert(thr >= 0.0 && thr <= 1.0)
+      assert(kept <= total)
+      // exact p25 ⇒ at least ~75% of rows are >= the threshold
+      assert(kept.toDouble / total >= 0.70, s"lang ${r.getString(0)}: kept $kept/$total")
+    }
+  }
+
+  test("q65 clusters match a brute-force union-find over the verified pairs") {
+    val edges = SparkEntry.queries("q52_minhash_verified")(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(n => n -> find(n)).toMap
+    val rows = run("q65_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet == expected.keySet, "node set")
+    val sizes = expected.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    rows.foreach { case (n, (cid, csz)) =>
+      assert(cid == expected(n), s"cluster label for $n")
+      assert(csz == sizes(cid), s"cluster size for $n")
+      assert(csz >= 2, "every clustered doc has at least one duplicate")
+    }
+  }
+
+  test("q66 tf-idf yields at most 5 ranked terms per doc with positive scores") {
+    val rows = run("q66_tfidf").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (doc, ts) =>
+      assert(ts.length <= 5)
+      assert(ts.map(_.getInt(4)).sorted.sameElements(1 to ts.length),
+        s"ranks for doc $doc")
+      // scores are non-increasing in rank
+      val byRank = ts.sortBy(_.getInt(4)).map(_.getDouble(3))
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) => assert(hi >= lo, s"scores out of order for doc $doc")
+        case _ =>
+      }
+    }
+    // idf > 0 because no term is in every document at sf0.001? Not
+    // guaranteed for a 31-word vocab — assert scores are non-negative
+    // and at least one is strictly positive instead.
+    assert(rows.forall(_.getDouble(3) >= 0.0))
+    assert(rows.exists(_.getDouble(3) > 0.0))
+  }
+}
