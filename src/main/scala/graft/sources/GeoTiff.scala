@@ -8,11 +8,13 @@ import graft.model.RasterModel.{BandTile, TileSize}
 /** S3: pure-JVM reader (and test-fixture writer) for the tiled-GeoTIFF
   * subset the reference ingests (reference src/transform/compute_ndvi.py:38-44
   * reads Landsat band rasters with rasterio; the download stage validates
-  * content-type tiff/geotiff). Scope — the Landsat SR band shape:
-  * single-band, uint16 (BitsPerSample 16, SampleFormat unsigned), tiled,
-  * Compression none(1) or deflate(8), both byte orders, GeoTIFF
-  * ModelPixelScale + ModelTiepoint georeferencing, EPSG from the GeoKey
-  * directory, GDAL_NODATA ascii tag.
+  * content-type tiff/geotiff). Scope — the Landsat SR band shape plus the
+  * common derived-product variants: single-band uint16 or float32
+  * (BitsPerSample 16/32, SampleFormat unsigned/IEEE), tiled OR
+  * strip-organized, Compression none(1), LZW(5, TIFF early-change
+  * variant) or deflate(8), horizontal predictor(2) on uint16, both byte
+  * orders, GeoTIFF ModelPixelScale + ModelTiepoint georeferencing, EPSG
+  * from the GeoKey directory, GDAL_NODATA ascii tag.
   *
   * Output is the engine's `band_tiles` model: one BandTile row per TIFF
   * tile (edge tiles clipped to the image bounds), raw DN values kept —
@@ -33,7 +35,11 @@ object GeoTiff {
   private val TBitsPerSample = 258
   private val TCompression = 259
   private val TPhotometric = 262
+  private val TStripOffsets = 273
   private val TSamplesPerPixel = 277
+  private val TRowsPerStrip = 278
+  private val TStripByteCounts = 279
+  private val TPredictor = 317
   private val TTileWidth = 322
   private val TTileLength = 323
   private val TTileOffsets = 324
@@ -52,7 +58,8 @@ object GeoTiff {
       width: Int, height: Int, tileW: Int, tileH: Int,
       compression: Int, bitsPerSample: Int, sampleFormat: Int,
       epsg: Int, transform: Seq[Double], nodata: Option[Double],
-      tileOffsets: IndexedSeq[Long], tileByteCounts: IndexedSeq[Long])
+      tileOffsets: IndexedSeq[Long], tileByteCounts: IndexedSeq[Long],
+      stripLayout: Boolean = false, predictor: Int = 1)
 
   // ---- reader --------------------------------------------------------------
 
@@ -127,16 +134,21 @@ object GeoTiff {
     val ifd = new Ifd(bytes)
     val width = ifd.longs(TImageWidth).head.toInt
     val height = ifd.longs(TImageLength).head.toInt
-    require(ifd.has(TTileWidth) && ifd.has(TTileOffsets),
-      "Only tiled TIFFs are supported (no strip layout)")
+    val tiled = ifd.has(TTileWidth) && ifd.has(TTileOffsets)
+    require(tiled || ifd.has(TStripOffsets),
+      "Not a tiled or stripped TIFF (no TileOffsets/StripOffsets)")
     val bps = ifd.long1(TBitsPerSample, 1L).toInt
-    require(bps == 16, s"Only 16-bit samples supported, got $bps")
     val fmt = ifd.long1(TSampleFormat, 1L).toInt
-    require(fmt == 1, s"Only unsigned-int samples supported, got format $fmt")
+    require((bps == 16 && fmt == 1) || (bps == 32 && fmt == 3),
+      s"Only uint16 or float32 samples supported, got $bps-bit format $fmt")
     val spp = ifd.long1(TSamplesPerPixel, 1L).toInt
     require(spp == 1, s"Only single-band TIFFs supported, got $spp samples/pixel")
     val comp = ifd.long1(TCompression, 1L).toInt
-    require(comp == 1 || comp == 8, s"Only none/deflate compression supported, got $comp")
+    require(comp == 1 || comp == 5 || comp == 8,
+      s"Only none/lzw/deflate compression supported, got $comp")
+    val predictor = ifd.long1(TPredictor, 1L).toInt
+    require(predictor == 1 || (predictor == 2 && bps == 16),
+      s"Only predictor none (or horizontal on uint16) supported, got $predictor")
     // georeferencing: pixel scale + tiepoint → north-up affine
     val Seq(sx, sy) = ifd.doubles(TModelPixelScale).take(2).toSeq
     val tp = ifd.doubles(TModelTiepoint)
@@ -150,10 +162,144 @@ object GeoTiff {
     val epsg = geoKey(KProjectedCSType).orElse(geoKey(KGeographicType)).getOrElse(0)
     val nodata =
       if (ifd.has(TGdalNodata)) ifd.ascii(TGdalNodata).trim.toDoubleOption else None
-    Info(width, height,
-      ifd.longs(TTileWidth).head.toInt, ifd.longs(TTileLength).head.toInt,
-      comp, bps, fmt, epsg, transform, nodata,
-      ifd.longs(TTileOffsets), ifd.longs(TTileByteCounts))
+    if (tiled)
+      Info(width, height,
+        ifd.longs(TTileWidth).head.toInt, ifd.longs(TTileLength).head.toInt,
+        comp, bps, fmt, epsg, transform, nodata,
+        ifd.longs(TTileOffsets), ifd.longs(TTileByteCounts),
+        stripLayout = false, predictor = predictor)
+    else {
+      // strip layout: one "tile" per strip, full image width, no row padding
+      val rps = ifd.long1(TRowsPerStrip, height.toLong).toInt
+      Info(width, height, width, rps,
+        comp, bps, fmt, epsg, transform, nodata,
+        ifd.longs(TStripOffsets), ifd.longs(TStripByteCounts),
+        stripLayout = true, predictor = predictor)
+    }
+  }
+
+  // ---- TIFF-variant LZW codec (MSB-first bit packing, early change) --------
+
+  private val LzwClear = 256
+  private val LzwEoi = 257
+
+  /** Decode TIFF LZW: 9→12-bit codes, MSB-first, ClearCode 256, EOI 257,
+    * "early change" (code width grows when the NEXT table slot is
+    * (1<<width)-1 — one entry earlier than plain LZW; TIFF 6.0 §13). */
+  private[graft] def lzwDecode(data: Array[Byte], outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var outOff = 0
+    val table = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+    var next = 258
+    var width = 9
+    var old = -1
+    var acc = 0L; var nBits = 0; var pos = 0
+    def read(): Int = {
+      while (nBits < width && pos < data.length) {
+        acc = (acc << 8) | (data(pos) & 0xffL); pos += 1; nBits += 8
+      }
+      if (nBits < width) LzwEoi
+      else { nBits -= width; ((acc >>> nBits) & ((1L << width) - 1)).toInt }
+    }
+    var code = read()
+    while (code != LzwEoi && outOff < outLen) {
+      if (code == LzwClear) {
+        next = 258; width = 9; old = -1
+      } else {
+        val entry =
+          if (old < 0) table(code)
+          else if (code < next && table(code) != null) table(code)
+          else table(old) :+ table(old)(0) // KwKwK case
+        System.arraycopy(entry, 0, out, outOff, math.min(entry.length, outLen - outOff))
+        outOff += entry.length
+        if (old >= 0 && next < 4096) {
+          table(next) = table(old) :+ entry(0)
+          next += 1
+          // early change, decoder side: the decoder's table lags the
+          // encoder's by one entry, so it widens at (1<<w)-2 where the
+          // encoder widens at (1<<w)-1 (TIFF 6.0 §13: 511/1023/2047)
+          if (next == (1 << width) - 2 && width < 12) width += 1
+        }
+        old = code
+      }
+      code = read()
+    }
+    require(outOff >= outLen, s"Truncated LZW segment: $outOff of $outLen bytes")
+    out
+  }
+
+  /** Encode TIFF LZW (fixture writer + sink parity; same early-change rule
+    * as [[lzwDecode]]). */
+  private[graft] def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nBits = 0
+    var width = 9
+    def write(code: Int): Unit = {
+      acc = (acc << width) | code; nBits += width
+      while (nBits >= 8) { nBits -= 8; out.write(((acc >>> nBits) & 0xff).toInt) }
+    }
+    val dict = new java.util.HashMap[Int, Int]() // (prefix<<8 | byte) -> code
+    var next = 258
+    def reset(): Unit = { dict.clear(); next = 258; width = 9 }
+    write(LzwClear)
+    var omega = -1
+    var i = 0
+    while (i < data.length) {
+      val k = data(i) & 0xff
+      if (omega < 0) omega = k
+      else {
+        val key = (omega << 8) | k
+        val hit = dict.getOrDefault(key, -1)
+        if (hit >= 0) omega = hit
+        else {
+          write(omega)
+          dict.put(key, next); next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+          omega = k
+          if (next >= 4094) { write(LzwClear); reset() }
+        }
+      }
+      i += 1
+    }
+    if (omega >= 0) write(omega)
+    write(LzwEoi)
+    if (nBits > 0) out.write(((acc << (8 - nBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Undo TIFF horizontal differencing (predictor 2) in place, 16-bit
+    * samples, row stride `stride` samples. */
+  private def undiffRows16(raw: Array[Byte], order: ByteOrder, stride: Int): Unit = {
+    val bb = ByteBuffer.wrap(raw).order(order)
+    val nRows = raw.length / (stride * 2)
+    var r = 0
+    while (r < nRows) {
+      var c = 1
+      while (c < stride) {
+        val p = (r * stride + c) * 2
+        bb.putShort(p, ((bb.getShort(p) + bb.getShort(p - 2)) & 0xffff).toShort)
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Apply TIFF horizontal differencing (predictor 2), 16-bit samples. */
+  private def diffRows16(raw: Array[Byte], order: ByteOrder, stride: Int): Unit = {
+    val bb = ByteBuffer.wrap(raw).order(order)
+    val nRows = raw.length / (stride * 2)
+    var r = 0
+    while (r < nRows) {
+      var c = stride - 1
+      while (c >= 1) {
+        val p = (r * stride + c) * 2
+        bb.putShort(p, ((bb.getShort(p) - bb.getShort(p - 2)) & 0xffff).toShort)
+        c -= 1
+      }
+      r += 1
+    }
   }
 
   private def inflate(data: Array[Byte], outLen: Int): Array[Byte] = {
@@ -177,27 +323,38 @@ object GeoTiff {
     val info = readInfo(bytes)
     val order =
       if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val bytesPerSample = info.bitsPerSample / 8
     val tilesAcross = (info.width + info.tileW - 1) / info.tileW
     val tilesDown = (info.height + info.tileH - 1) / info.tileH
     (0 until tilesDown).flatMap { tr =>
       (0 until tilesAcross).map { tc =>
         val ti = tr * tilesAcross + tc
-        val rawLen = info.tileW * info.tileH * 2
+        val w = math.min(info.tileW, info.width - tc * info.tileW)
+        val h = math.min(info.tileH, info.height - tr * info.tileH)
+        // tile rows are padded to tileW; strip rows are exactly the image
+        // width and the LAST strip is short — stride and length differ
+        val stride = if (info.stripLayout) info.width else info.tileW
+        val rawLen =
+          (if (info.stripLayout) stride * h else info.tileW * info.tileH) * bytesPerSample
         val payload = java.util.Arrays.copyOfRange(bytes,
           info.tileOffsets(ti).toInt,
           (info.tileOffsets(ti) + info.tileByteCounts(ti)).toInt)
-        val raw =
-          if (info.compression == 8) inflate(payload, rawLen) else payload
+        val raw = info.compression match {
+          case 8 => inflate(payload, rawLen)
+          case 5 => lzwDecode(payload, rawLen)
+          case _ => payload
+        }
+        if (info.predictor == 2) undiffRows16(raw, order, stride)
         val tb = ByteBuffer.wrap(raw).order(order)
-        val w = math.min(info.tileW, info.width - tc * info.tileW)
-        val h = math.min(info.tileH, info.height - tr * info.tileH)
         val px = new Array[Option[Float]](w * h)
         var r = 0
         while (r < h) {
           var c = 0
           while (c < w) {
-            // TIFF tile rows are padded to tileW; read from the padded grid
-            px(r * w + c) = Some((tb.getShort((r * info.tileW + c) * 2) & 0xffff).toFloat)
+            val p = (r * stride + c) * bytesPerSample
+            px(r * w + c) = Some(
+              if (bytesPerSample == 2) (tb.getShort(p) & 0xffff).toFloat
+              else tb.getFloat(p))
             c += 1
           }
           r += 1
@@ -236,37 +393,102 @@ object GeoTiff {
   def write(data: Array[Int], width: Int, height: Int,
             epsg: Int, transform: Seq[Double],
             nodata: Option[Double] = None,
-            tileSize: Int = TileSize, deflate: Boolean = false): Array[Byte] = {
-    require(data.length == width * height, "data length != width*height")
+            tileSize: Int = TileSize, deflate: Boolean = false): Array[Byte] =
+    writeRaster(Left(data), width, height, epsg, transform, nodata,
+      tileSize = tileSize, rowsPerStrip = 0,
+      compression = if (deflate) 8 else 1, predictor = 1)
+
+  /** Write a strip-organized single-band uint16 GeoTIFF. */
+  def writeStrips(data: Array[Int], width: Int, height: Int,
+                  epsg: Int, transform: Seq[Double],
+                  nodata: Option[Double] = None,
+                  rowsPerStrip: Int = 64, compression: Int = 1,
+                  predictor: Int = 1): Array[Byte] =
+    writeRaster(Left(data), width, height, epsg, transform, nodata,
+      tileSize = 0, rowsPerStrip = rowsPerStrip,
+      compression = compression, predictor = predictor)
+
+  /** Write a tiled single-band float32 GeoTIFF (SampleFormat 3). */
+  def writeFloat32(data: Array[Float], width: Int, height: Int,
+                   epsg: Int, transform: Seq[Double],
+                   nodata: Option[Double] = None,
+                   tileSize: Int = TileSize, deflate: Boolean = false): Array[Byte] =
+    writeRaster(Right(data), width, height, epsg, transform, nodata,
+      tileSize = tileSize, rowsPerStrip = 0,
+      compression = if (deflate) 8 else 1, predictor = 1)
+
+  /** Write a tiled uint16 GeoTIFF with an explicit compression code
+    * (1 none / 5 lzw / 8 deflate) and predictor (1 none / 2 horizontal). */
+  def writeTiled(data: Array[Int], width: Int, height: Int,
+                 epsg: Int, transform: Seq[Double],
+                 nodata: Option[Double] = None,
+                 tileSize: Int = TileSize, compression: Int = 1,
+                 predictor: Int = 1): Array[Byte] =
+    writeRaster(Left(data), width, height, epsg, transform, nodata,
+      tileSize = tileSize, rowsPerStrip = 0,
+      compression = compression, predictor = predictor)
+
+  /** Core writer: `samples` is uint16 (Left) or float32 (Right);
+    * `tileSize` > 0 selects the tiled layout, otherwise `rowsPerStrip`
+    * strips. Compression 1/5/8; predictor 2 only for uint16. */
+  private def writeRaster(samples: Either[Array[Int], Array[Float]],
+                          width: Int, height: Int,
+                          epsg: Int, transform: Seq[Double],
+                          nodata: Option[Double],
+                          tileSize: Int, rowsPerStrip: Int,
+                          compression: Int, predictor: Int): Array[Byte] = {
+    val nPix = samples.fold(_.length, _.length)
+    require(nPix == width * height, "data length != width*height")
+    require(compression == 1 || compression == 5 || compression == 8,
+      s"unsupported compression $compression")
+    require(predictor == 1 || (predictor == 2 && samples.isLeft),
+      "predictor 2 requires uint16 samples")
     val Seq(a, _, c, _, e, f) = transform
     require(a > 0 && e < 0, "writer expects a north-up transform")
-    val tilesAcross = (width + tileSize - 1) / tileSize
-    val tilesDown = (height + tileSize - 1) / tileSize
-    val nTiles = tilesAcross * tilesDown
-    // encode tile payloads (rows padded to tileSize; pad value 0)
+    val tiled = tileSize > 0
+    val bytesPerSample = if (samples.isLeft) 2 else 4
+    val tilesAcross = if (tiled) (width + tileSize - 1) / tileSize else 1
+    val tilesDown =
+      if (tiled) (height + tileSize - 1) / tileSize
+      else (height + rowsPerStrip - 1) / rowsPerStrip
+    // encode segment payloads (tile rows padded to tileSize, pad value 0;
+    // strip rows exactly width samples, last strip short)
     val payloads = (0 until tilesDown).flatMap { tr =>
       (0 until tilesAcross).map { tc =>
-        val raw = ByteBuffer.allocate(tileSize * tileSize * 2)
+        val segW = if (tiled) tileSize else width
+        val segH =
+          if (tiled) tileSize else math.min(rowsPerStrip, height - tr * rowsPerStrip)
+        val raw = ByteBuffer.allocate(segW * segH * bytesPerSample)
           .order(ByteOrder.LITTLE_ENDIAN)
+        val baseR = tr * (if (tiled) tileSize else rowsPerStrip)
         var r = 0
-        while (r < tileSize) {
+        while (r < segH) {
           var cc = 0
-          while (cc < tileSize) {
-            val gr = tr * tileSize + r; val gc = tc * tileSize + cc
-            val v = if (gr < height && gc < width) data(gr * width + gc) else 0
-            raw.putShort((v & 0xffff).toShort)
+          while (cc < segW) {
+            val gr = baseR + r; val gc = tc * segW + cc
+            val in = gr < height && gc < width
+            samples match {
+              case Left(u16) => raw.putShort(
+                (if (in) u16(gr * width + gc) & 0xffff else 0).toShort)
+              case Right(f32) => raw.putFloat(
+                if (in) f32(gr * width + gc) else 0f)
+            }
             cc += 1
           }
           r += 1
         }
-        if (!deflate) raw.array()
-        else {
-          val d = new Deflater()
-          d.setInput(raw.array()); d.finish()
-          val buf = new Array[Byte](raw.array().length + raw.array().length / 10 + 64)
-          val n = d.deflate(buf); d.end()
-          require(d.finished(), "deflate buffer too small")
-          java.util.Arrays.copyOf(buf, n)
+        val arr = raw.array()
+        if (predictor == 2) diffRows16(arr, ByteOrder.LITTLE_ENDIAN, segW)
+        compression match {
+          case 1 => arr
+          case 5 => lzwEncode(arr)
+          case 8 =>
+            val d = new Deflater()
+            d.setInput(arr); d.finish()
+            val buf = new Array[Byte](arr.length + arr.length / 10 + 64)
+            val n = d.deflate(buf); d.end()
+            require(d.finished(), "deflate buffer too small")
+            java.util.Arrays.copyOf(buf, n)
         }
       }
     }
@@ -319,21 +541,29 @@ object GeoTiff {
     val geoKey = if (epsg >= 32600 || epsg == 3857) KProjectedCSType else KGeographicType
     val geoKeys = Seq(1, 1, 0, 1, geoKey, 0, 1, epsg)
 
+    val layoutEntries =
+      if (tiled) Seq(
+        intEntry(TTileWidth, 3, Seq(tileSize.toLong)),
+        intEntry(TTileLength, 3, Seq(tileSize.toLong)),
+        intEntry(TTileOffsets, 4, tileOffsets),
+        intEntry(TTileByteCounts, 4, payloads.map(_.length.toLong)))
+      else Seq(
+        intEntry(TRowsPerStrip, 4, Seq(rowsPerStrip.toLong)),
+        intEntry(TStripOffsets, 4, tileOffsets),
+        intEntry(TStripByteCounts, 4, payloads.map(_.length.toLong)))
     val entries = (Seq(
       intEntry(TImageWidth, 3, Seq(width.toLong)),
       intEntry(TImageLength, 3, Seq(height.toLong)),
-      intEntry(TBitsPerSample, 3, Seq(16L)),
-      intEntry(TCompression, 3, Seq(if (deflate) 8L else 1L)),
+      intEntry(TBitsPerSample, 3, Seq(bytesPerSample * 8L)),
+      intEntry(TCompression, 3, Seq(compression.toLong)),
       intEntry(TPhotometric, 3, Seq(1L)),
       intEntry(TSamplesPerPixel, 3, Seq(1L)),
-      intEntry(TTileWidth, 3, Seq(tileSize.toLong)),
-      intEntry(TTileLength, 3, Seq(tileSize.toLong)),
-      intEntry(TTileOffsets, 4, tileOffsets),
-      intEntry(TTileByteCounts, 4, payloads.map(_.length.toLong)),
-      intEntry(TSampleFormat, 3, Seq(1L)),
+      intEntry(TSampleFormat, 3, Seq(if (samples.isLeft) 1L else 3L)),
       doubleEntry(TModelPixelScale, Seq(a, -e, 0.0)),
       doubleEntry(TModelTiepoint, Seq(0.0, 0.0, 0.0, c, f, 0.0)),
       intEntry(TGeoKeyDirectory, 3, geoKeys.map(_.toLong))) ++
+      layoutEntries ++
+      (if (predictor == 2) Seq(intEntry(TPredictor, 3, Seq(2L))) else Seq.empty) ++
       nodata.map(nd => asciiEntry(TGdalNodata,
         if (nd == nd.toLong.toDouble) nd.toLong.toString else nd.toString)).toSeq
     ).sortBy(_.tag)

