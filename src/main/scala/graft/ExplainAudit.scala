@@ -19,7 +19,9 @@ object ExplainAudit {
       else Seq("q01_filter_project", "q12_lookup_join", "q13_star_join",
                "q16_bbox_join", "q31_minhash_candidates", "q34_cosine_topk",
                "q43_asset_pick_map", "q52_minhash_verified",
-               "q55_minhash_banded", "q56_warp_nn")
+               "q55_minhash_banded", "q56_warp_nn", "q58_contamination",
+               "q60_stratified_sample", "q62_url_normalize",
+               "q63_sessionize", "q66_tfidf")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -142,13 +142,19 @@ object CurationQueries {
     // then aggregate per (domain, url_norm). The canonical web-crawl dedup
     // key. Scalar regex chain + one hash-aggregate shuffle.
     "q62_url_normalize" -> ((s, d) => {
-      val l = lower(rawUrl)
-      val domain = regexp_replace(
-        regexp_extract(l, "https://([^/]+)/", 1), "^www\\.", "")
-      val path = regexp_replace(
-        regexp_extract(l, "https://[^/]+([^?]*)", 1), "/$", "")
+      // layered selects: the lowered URL and the extracted domain are each
+      // referenced more than once downstream — materializing them per layer
+      // keeps the regex work at one evaluation per row (CollapseProject
+      // declines to inline multiply-referenced non-cheap expressions)
       events(s, d)
-        .select(domain.as("domain"), concat(domain, path).as("url_norm"),
+        .select(lower(rawUrl).as("l"), col("user_id"))
+        .select(
+          regexp_replace(
+            regexp_extract(col("l"), "https://([^/]+)/", 1), "^www\\.", "").as("domain"),
+          regexp_replace(
+            regexp_extract(col("l"), "https://[^/]+([^?]*)", 1), "/$", "").as("path"),
+          col("user_id"))
+        .select(col("domain"), concat(col("domain"), col("path")).as("url_norm"),
                 col("user_id"))
         .groupBy(col("domain"), col("url_norm"))
         .agg(count(lit(1)).as("n_events"),
@@ -219,15 +225,16 @@ object CurationQueries {
                 col("dst") === col("nb"))
           .groupBy(col("src"))
           .agg(min(col("nlbl")).as("nmin"))
+        // carry the previous label through the propagation join so the
+        // fixpoint test is a filter+count over the SAME materialized frame
+        // (one distributed round per iteration, not two)
         val next = lbl
           .join(nbMin, col("node") === col("src"), "left")
-          .select(col("node"),
+          .select(col("node"), col("lbl").as("old"),
             least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
           .localCheckpoint()
-        changed = next.join(lbl.select(col("node").as("n2"), col("lbl").as("old")),
-            col("node") === col("n2"))
-          .filter(col("lbl") =!= col("old")).count()
-        lbl = next
+        changed = next.filter(col("lbl") =!= col("old")).count()
+        lbl = next.select(col("node"), col("lbl"))
         it += 1
       }
       val sizes = lbl.groupBy(col("lbl").as("cid"))

@@ -32,6 +32,11 @@ object StreamQueries {
     "q59_stream_dedup" -> ((s, d) =>
       EventsStream.dedupStreaming(s, d)),
 
+    // Streaming sessionization (session_window, 4 h gap) — oracle is the
+    // batch gaps-and-islands rollup with the same >= gap rule.
+    "q67_stream_sessions" -> ((s, d) =>
+      EventsStream.sessionizeStreaming(s, d)),
+
     // Multimodal decode stage: binary payloads → typed metadata via the
     // batch-iterating kernel (deterministic fake decode; ASCII payloads
     // make the checksum reproducible in SQL as the char fold).
@@ -90,6 +95,28 @@ object StreamQueries {
     "q59_stream_dedup" ->
       """SELECT user_id, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
          FROM events GROUP BY user_id""",
+    // session_window parity: a new session starts when the gap is >= 4 h
+    // (streaming session windows [t, t+gap) merge only on strict overlap)
+    "q67_stream_sessions" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, ts,
+                  CASE WHEN pts IS NULL
+                         OR epoch_ns(ts) - epoch_ns(pts) >= 14400000000000
+                       THEN 1 ELSE 0 END AS is_new
+           FROM (SELECT user_id, event_id, ts,
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS pts
+                 FROM events)),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged)
+         SELECT user_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                min(epoch_ns(ts) // 1000000000) AS start_s,
+                max(epoch_ns(ts) // 1000000000) AS end_s
+         FROM sess GROUP BY user_id, sid""",
     "q42_media_meta" -> {
       val h = charFoldSql("text")
       s"""SELECT doc_id AS media_id,

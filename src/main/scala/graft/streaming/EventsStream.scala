@@ -125,6 +125,39 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Streaming sessionization via session_window (gap 4 h): the streaming
+    * twin of the batch gaps-and-islands operator. Session-window semantics
+    * start a NEW session when the inter-event gap is >= the gap duration
+    * (windows [t, t+gap) merge only when they overlap), so the batch
+    * oracle uses the same >= rule. State per key is one open session
+    * bounded by the watermark — at 100 TB this is the standard
+    * user-activity rollup: state size ~ |active users|, not |events|. */
+  def sessionizeStreaming(spark: SparkSession, sfDir: String,
+                          queryName: String = "graft_stream_sessions"): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .parquet(stageDir(sfDir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+           min(unix_seconds(col("ts"))).as("start_s"),
+           max(unix_seconds(col("ts"))).as("end_s"))
+      .select(col("user_id"), col("n_events"), col("start_s"), col("end_s"))
+    withStreamPartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** foreachBatch merge sink (SURVEY.md §2.11): each micro-batch upserts
     * into a parquet target — the streaming side of the reference's
     * ON CONFLICT DO UPDATE loads. Counts ACCUMULATE across batches

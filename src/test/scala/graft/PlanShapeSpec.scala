@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Physical-plan shape assertions for queries whose 100 TB posture depends
+  * on a specific topology — the claims PERF.md makes, executable. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def executedPlan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+  private def countIn[T](plan: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Int = {
+    var n = 0
+    def walk(p: SparkPlan): Unit = {
+      if (pf.isDefinedAt(p)) n += 1
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+      // cross adaptive/stage boundaries (reused exchanges, query stages)
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(s.plan)
+        case _ => ()
+      }
+    }
+    walk(plan)
+    n
+  }
+
+  test("q58 contamination probes join via broadcast — the corpus side never shuffles for the join") {
+    val plan = executedPlan(SparkEntry.queries("q58_contamination")(spark, sf))
+    assert(countIn(plan) { case b: BroadcastHashJoinExec => b } >= 1,
+      s"expected a broadcast hash join for the probe set:\n$plan")
+  }
+
+  test("q60 stratified sampling plans with zero shuffles") {
+    val plan = executedPlan(SparkEntry.queries("q60_stratified_sample")(spark, sf))
+    assert(countIn(plan) { case e: ShuffleExchangeExec => e } == 0,
+      s"sampling is a scan-stage filter; found a shuffle:\n$plan")
+  }
+
+  test("q62 url rollup shuffles only on the aggregate keys") {
+    val plan = executedPlan(SparkEntry.queries("q62_url_normalize")(spark, sf))
+    // count(*) + count(distinct user_id) over (domain, url_norm):
+    // partial agg -> exchange on group keys -> distinct-expand exchange; no
+    // join exchanges, nothing keyed on raw event columns
+    val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles <= 2, s"expected <= 2 aggregate exchanges, got $shuffles:\n$plan")
+  }
+
+  test("q63 sessionization shuffles once on user_id and reuses it for both windows and the rollup") {
+    val plan = executedPlan(SparkEntry.queries("q63_sessionize")(spark, sf))
+    val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
+    // lag window, running-sum window and the final group-by all partition by
+    // user_id — one exchange, the rest reuse its partitioning
+    assert(shuffles == 1, s"expected exactly 1 user_id exchange, got $shuffles:\n$plan")
+  }
+
+  test("q66 tf-idf broadcasts the vocabulary sides — the tf table never reshuffles for joins") {
+    val plan = executedPlan(SparkEntry.queries("q66_tfidf")(spark, sf))
+    assert(countIn(plan) { case b: BroadcastHashJoinExec => b } >= 1,
+      s"expected broadcast df join:\n$plan")
+  }
+}
