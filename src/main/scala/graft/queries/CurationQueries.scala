@@ -244,6 +244,39 @@ object CurationQueries {
                 col("cluster_size"))
     }),
 
+    // Adjacent-pair frequency count — the first merge step of BPE-style
+    // tokenizer training: count every adjacent token pair across the
+    // corpus, keep the global top-20. explode + one hash-aggregate +
+    // TakeOrderedAndProject (top-k never materializes the full sort).
+    // Deterministic boundary: ties ordered by pair text.
+    "q68_bpe_pairs" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      // tk materialized first — shingles2's element_at over an
+      // unmaterialized tokens() would re-split the text per shingle (O(n²))
+      documents(s, d).filter(size(toks) >= 2)
+        .select(toks.as("tk"))
+        .select(explode(Dedup.shingles2(col("tk"))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // Exact-k stratified selection: the top 20 documents per language by
+    // content-hash order — the deterministic "take k per stratum" sampler
+    // (vs q60's rate-based thinning). One window shuffle on the stratum
+    // key; at 100 TB strata are few and the per-stratum top-k is a
+    // TakeOrdered within each partition group.
+    "q69_stratified_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("fp"), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+    }),
+
     // TF-IDF keyword extraction: top-5 terms per document by
     // tf * ln((N+1)/(df+1)). One explode + two hash aggregates; the
     // document-frequency side is tiny (vocabulary) and broadcast back.
@@ -393,6 +426,22 @@ object CurationQueries {
           JOIN (SELECT cluster_id AS cid, CAST(count(*) AS BIGINT) AS cluster_size
                 FROM comp GROUP BY cluster_id) sz
             ON comp.cluster_id = sz.cid""",
+    "q68_bpe_pairs" ->
+      s"""SELECT pair, CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT unnest(${Dedup.shingles2Sql("tk")}) AS pair
+                FROM (SELECT $T AS tk FROM documents)
+                WHERE len(tk) >= 2)
+          GROUP BY pair
+          ORDER BY n DESC, pair
+          LIMIT 20""",
+    "q69_stratified_topk" ->
+      s"""SELECT doc_id, lang, fp, rk FROM (
+            SELECT doc_id, lang, fp,
+                   row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rk
+            FROM (SELECT doc_id, lang,
+                         ${TextAnalysis.fingerprintSql("text")} AS fp
+                  FROM documents))
+          WHERE rk <= 20""",
     "q66_tfidf" ->
       s"""WITH terms AS (
             SELECT doc_id, unnest(tk) AS term
