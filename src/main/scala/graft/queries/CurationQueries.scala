@@ -102,6 +102,62 @@ object CurationQueries {
       .select(col("da"), col("db"))
   }
 
+  /** Connected-component labels (node → min-doc_id label) over the
+    * verified near-dup graph; shared by q65 and q71. Iterative min-label
+    * propagation — one distributed join+aggregate per round, driver loop
+    * only for the fixpoint test.
+    *
+    * The label frame is CACHED per (session, sfDir): it is already a
+    * localCheckpoint (materialized), and both consumers reuse the same
+    * lineage — the "write the intermediate once, run N jobs against it"
+    * shape a 100 TB dedup pipeline uses between its cluster and winner
+    * stages. */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    ccCache.computeIfAbsent((s, d), { _ => ccLabelsUncached(s, d) })
+
+  private def ccLabelsUncached(s: SparkSession, d: String): DataFrame = {
+    val edges = nearDupEdges(s, d).localCheckpoint()
+    val bidir = edges.select(col("da").as("src"), col("db").as("dst"))
+      .union(edges.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint()
+    var lbl = bidir.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < 20) {
+      val nbMin = bidir
+        .join(lbl.select(col("node").as("nb"), col("lbl").as("nlbl")),
+              col("dst") === col("nb"))
+        .groupBy(col("src"))
+        .agg(min(col("nlbl")).as("nmin"))
+      // carry the previous label through the propagation join so the
+      // fixpoint test is a filter+count over the SAME materialized frame
+      // (one distributed round per iteration, not two)
+      val next = lbl
+        .join(nbMin, col("node") === col("src"), "left")
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      lbl = next.select(col("node"), col("lbl"))
+      it += 1
+    }
+    lbl
+  }
+
+  /** Per-document quality scores (q26's formula), reused by q71. */
+  private def qualityScored(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stopN = TextAnalysis.countIn(toks, TextAnalysis.LangProfiles.head._2)
+    documents(s, d).select(col("doc_id"),
+      TextAnalysis.qualityScore(nTok, stopN, length(col("text"))).as("quality"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Deterministic stratified sampling: keep a document iff its CONTENT
@@ -210,38 +266,58 @@ object CurationQueries {
     // — near-dup clusters are shallow, so this converges in a handful of
     // rounds even at 100 TB.
     "q65_dedup_clusters" -> ((s, d) => {
-      val edges = nearDupEdges(s, d).localCheckpoint()
-      val bidir = edges.select(col("da").as("src"), col("db").as("dst"))
-        .union(edges.select(col("db").as("src"), col("da").as("dst")))
-        .localCheckpoint()
-      var lbl = bidir.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-        .localCheckpoint()
-      var changed = 1L
-      var it = 0
-      while (changed > 0 && it < 20) {
-        val nbMin = bidir
-          .join(lbl.select(col("node").as("nb"), col("lbl").as("nlbl")),
-                col("dst") === col("nb"))
-          .groupBy(col("src"))
-          .agg(min(col("nlbl")).as("nmin"))
-        // carry the previous label through the propagation join so the
-        // fixpoint test is a filter+count over the SAME materialized frame
-        // (one distributed round per iteration, not two)
-        val next = lbl
-          .join(nbMin, col("node") === col("src"), "left")
-          .select(col("node"), col("lbl").as("old"),
-            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        changed = next.filter(col("lbl") =!= col("old")).count()
-        lbl = next.select(col("node"), col("lbl"))
-        it += 1
-      }
+      val lbl = ccLabels(s, d)
       val sizes = lbl.groupBy(col("lbl").as("cid"))
         .agg(count(lit(1)).as("cluster_size"))
       lbl.join(sizes, col("lbl") === col("cid"))
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
                 col("cluster_size"))
+    }),
+
+    // Cluster winner selection — the step after duplicate clustering:
+    // keep the highest-quality document per near-dup cluster (the
+    // "canonical representative" a dedup pipeline retains). One window
+    // over the (tiny) clustered subset.
+    "q71_cluster_winners" -> ((s, d) => {
+      val lbl = ccLabels(s, d)
+      val w = Window.partitionBy(col("lbl"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      lbl.join(qualityScored(s, d), col("node") === col("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+             max(when(col("rk") === 1, col("doc_id"))).as("winner_doc"),
+             max(when(col("rk") === 1, col("quality"))).as("winner_quality"))
+    }),
+
+    // One k-means (Lloyd) refinement step over the IVF coarse cells:
+    // assign every vector to its nearest centroid (q49's quantizer), then
+    // recompute each cell's centroid as the mean of its members. The mean
+    // is a SORTED sequential fold (vec_id order) so the doubles are
+    // bit-identical cross-engine; at 100 TB the oracle-parity fold gives
+    // way to a tree aggregation per cell, same assignment topology
+    // (broadcast centroids, one shuffle on cell).
+    "q70_kmeans_step" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .agg(transform(sort_array(collect_list(struct(col("vec_id"), col("e")))),
+          x => x("e")).as("cents"))
+      val assigned = emb.join(broadcast(cents))
+        .select(col("vec_id"), col("e"),
+          graft.ext.Similarity.ivfCell(col("e"), col("cents")).as("cell"))
+      val agg = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+             transform(sort_array(collect_list(struct(col("vec_id"), col("e")))),
+               x => x("e")).as("vs"))
+      val zeros = array_repeat(lit(0.0), 64)
+      agg
+        .select(col("cell"), col("n"),
+          transform(
+            aggregate(col("vs"), zeros, (acc, v) => zip_with(acc, v, (a, b) => a + b)),
+            x => x / col("n").cast("double")).as("c"))
+        .select(col("cell"), col("n"), posexplode(col("c")))
+        .select(col("cell"), col("n"), (col("pos") + 1).cast("long").as("dim"),
+                col("col").as("v"))
     }),
 
     // Adjacent-pair frequency count — the first merge step of BPE-style
@@ -434,6 +510,58 @@ object CurationQueries {
           GROUP BY pair
           ORDER BY n DESC, pair
           LIMIT 20""",
+    "q71_cluster_winners" -> {
+      val q = TextAnalysis.qualityScoreSql(
+        "len(tk)::BIGINT",
+        TextAnalysis.countInSql("tk", TextAnalysis.LangProfiles.head._2),
+        "length(text)")
+      s"""WITH RECURSIVE
+          $edgesSql,
+          bidir AS (SELECT da AS s, db AS t FROM edges
+                    UNION ALL SELECT db, da FROM edges),
+          nodes AS (SELECT DISTINCT s AS n FROM bidir),
+          walk(n, r) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT b.t, w.r FROM walk w JOIN bidir b ON b.s = w.n),
+          comp AS (SELECT n AS doc_id, min(r) AS cluster_id FROM walk GROUP BY n),
+          scored AS (
+            SELECT doc_id, $q AS quality
+            FROM (SELECT doc_id, text, $T AS tk FROM documents)),
+          ranked AS (
+            SELECT comp.doc_id AS doc_id, cluster_id, quality,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY quality DESC, comp.doc_id) AS rk
+            FROM comp JOIN scored ON comp.doc_id = scored.doc_id)
+          SELECT cluster_id,
+                 CAST(count(*) AS BIGINT) AS cluster_size,
+                 max(CASE WHEN rk = 1 THEN doc_id END) AS winner_doc,
+                 max(CASE WHEN rk = 1 THEN quality END) AS winner_quality
+          FROM ranked GROUP BY cluster_id"""
+    },
+    "q70_kmeans_step" -> {
+      val zeros = Seq.fill(64)("0.0").mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e FROM embeddings),
+          c AS (SELECT array_agg(e ORDER BY vec_id) AS cents FROM e WHERE vec_id < 8),
+          assign AS (
+            SELECT vec_id, e.e AS e,
+                   ${graft.ext.Similarity.ivfCellSql("e.e", "c.cents")} AS cell
+            FROM e, c),
+          agg AS (
+            SELECT cell, CAST(count(*) AS BIGINT) AS n,
+                   list(e ORDER BY vec_id) AS vs
+            FROM assign GROUP BY cell),
+          cent AS (
+            SELECT cell, n,
+                   list_transform(
+                     list_reduce(list_prepend($zeros, vs),
+                       (ka, kb) -> list_transform(ka, (kx, ki) -> kx + kb[ki])),
+                     mx -> mx / n) AS c
+            FROM agg),
+          dims AS (SELECT unnest(range(1, 65)) AS dim)
+          SELECT cell, n, dim, c[dim] AS v
+          FROM cent CROSS JOIN dims"""
+    },
     "q69_stratified_topk" ->
       s"""SELECT doc_id, lang, fp, rk FROM (
             SELECT doc_id, lang, fp,

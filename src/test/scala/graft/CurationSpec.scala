@@ -112,6 +112,47 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q70 k-means step partitions all vectors and emits one centroid row per (cell, dim)") {
+    val rows = run("q70_kmeans_step").collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val byCell = rows.groupBy(_.getInt(0))
+    // every cell has exactly 64 dims, one count
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.length == 64, s"cell $cell dim rows")
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to 64L).toSeq)
+      assert(rs.map(_.getLong(1)).distinct.length == 1)
+      rs.foreach(r => assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    }
+    assert(byCell.map(_._2.head.getLong(1)).sum == nVecs,
+      "cell member counts partition the vector set")
+    // assignment parity with the q49 quantizer
+    val q49 = SparkEntry.queries("q49_ivf_cells")(spark, sf).collect()
+      .groupBy(_.getInt(1)).map { case (c, vs) => c -> vs.length.toLong }
+    byCell.foreach { case (cell, rs) =>
+      assert(q49.getOrElse(cell, 0L) == rs.head.getLong(1), s"cell $cell count vs q49")
+    }
+  }
+
+  test("q71 winners are the max-quality member of each q65 cluster") {
+    val clusters = run("q65_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+    val quality = SparkEntry.queries("q26_quality_score")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val winners = run("q71_cluster_winners").collect()
+    assert(winners.map(_.getLong(0)).toSet == clusters.map(_._2._1).toSet,
+      "one winner row per cluster")
+    winners.foreach { w =>
+      val cid = w.getLong(0); val csz = w.getLong(1)
+      val wdoc = w.getLong(2); val wq = w.getDouble(3)
+      val members = clusters.filter(_._2._1 == cid).map(_._1)
+      assert(members.length.toLong == csz)
+      assert(members.contains(wdoc), s"winner $wdoc not in cluster $cid")
+      val best = members.map(quality).max
+      assert(wq == best, s"cluster $cid winner quality")
+      assert(quality(wdoc) == best)
+    }
+  }
+
   test("q66 tf-idf yields at most 5 ranked terms per doc with positive scores") {
     val rows = run("q66_tfidf").collect()
     rows.groupBy(_.getLong(0)).foreach { case (doc, ts) =>
