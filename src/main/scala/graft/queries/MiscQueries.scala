@@ -23,6 +23,46 @@ object MiscQueries {
         round(x, 4).as("mx"), round(y, 4).as("my"))
     }),
 
+    // As-of join, single-pass window formulation: attach to every purchase
+    // the most recent click by the same user at-or-before it in
+    // (ts, event_id) order. No join at all — union semantics via one
+    // user_id window with last(..., ignoreNulls) over the merged stream;
+    // one shuffle, state bounded per user. The classic time-series as-of
+    // shape without the range-join blowup.
+    "q72_asof_click" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_seconds(col("ts")).as("ts_s"),
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w).as("click_id"),
+          last(when(col("event_type") === "click", unix_seconds(col("ts"))),
+            ignoreNulls = true).over(w).as("click_ts_s"))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts_s"),
+          col("click_id"), col("click_ts_s"),
+          (col("ts_s") - col("click_ts_s")).as("lag_s"))
+    }),
+
+    // Funnel analysis: per-user first-occurrence ordering of
+    // signup → view → purchase. One conditional-min aggregate per user —
+    // a single shuffle regardless of corpus size.
+    "q73_funnel" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", unix_seconds(col("ts")))).as("s_s"),
+          min(when(col("event_type") === "view", unix_seconds(col("ts")))).as("v_s"),
+          min(when(col("event_type") === "purchase", unix_seconds(col("ts")))).as("p_s"))
+        .select(col("user_id"), col("s_s"), col("v_s"), col("p_s"),
+          (col("s_s").isNotNull && col("v_s").isNotNull && col("p_s").isNotNull &&
+            col("s_s") < col("v_s") && col("v_s") < col("p_s")).as("converted"))),
+
     // Exact distinct aggregate per group.
     "q45_distinct_agg" -> ((s, d) =>
       orders(s, d)
@@ -79,6 +119,38 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q72_asof_click" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type,
+                  epoch_ns(ts) // 1000000000 AS ts_s
+           FROM events WHERE event_type IN ('click', 'purchase')),
+         wf AS (
+           SELECT user_id, event_id, event_type, ts_s,
+                  last_value(CASE WHEN event_type = 'click' THEN event_id END
+                             IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS click_id,
+                  last_value(CASE WHEN event_type = 'click' THEN ts_s END
+                             IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS click_ts_s
+           FROM e)
+         SELECT user_id, event_id AS purchase_id, ts_s,
+                click_id, click_ts_s, ts_s - click_ts_s AS lag_s
+         FROM wf WHERE event_type = 'purchase'""",
+    "q73_funnel" ->
+      """SELECT user_id, s_s, v_s, p_s,
+                (s_s IS NOT NULL AND v_s IS NOT NULL AND p_s IS NOT NULL
+                 AND s_s < v_s AND v_s < p_s) AS converted
+         FROM (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'signup'
+                           THEN epoch_ns(ts) // 1000000000 END) AS s_s,
+                  min(CASE WHEN event_type = 'view'
+                           THEN epoch_ns(ts) // 1000000000 END) AS v_s,
+                  min(CASE WHEN event_type = 'purchase'
+                           THEN epoch_ns(ts) // 1000000000 END) AS p_s
+           FROM events GROUP BY user_id)""",
     "q44_webmercator" ->
       """SELECT c_custkey,
                 round(6378137.0 * radians(lon), 4) AS mx,
