@@ -63,6 +63,65 @@ object MiscQueries {
           (col("s_s").isNotNull && col("v_s").isNotNull && col("p_s").isNotNull &&
             col("s_s") < col("v_s") && col("v_s") < col("p_s")).as("converted"))),
 
+    // Range (interval) join, executed as a BUCKETED equi-join: each
+    // maintenance window is exploded to the hour buckets it covers, events
+    // carry their hour bucket, and the range predicate becomes a residual
+    // filter after a plain hash join on the bucket — the standard rewrite
+    // that keeps an interval join shuffle-bounded at 100 TB (a naive
+    // theta-join would be a broadcast nested loop). Windows derive from
+    // nation (25 disjoint 5 h windows across January).
+    "q74_interval_join" -> ((s, d) => {
+      val base = 1704067200L // 2024-01-01T00:00:00Z
+      val wins = nation(s, d).select(
+        col("n_nationkey").as("win_id"),
+        (lit(base) + col("n_nationkey") * 29L * 3600L).as("w_start"),
+        (lit(base) + col("n_nationkey") * 29L * 3600L + 5L * 3600L).as("w_end"))
+      val winBuckets = wins.select(col("win_id"), col("w_start"), col("w_end"),
+        explode(sequence(floor(col("w_start") / 3600L),
+                         floor((col("w_end") - 1) / 3600L))).as("hb"))
+      val ev = events(s, d).select(col("event_id"),
+          unix_seconds(col("ts")).as("ts_s"))
+        .withColumn("hb", floor(col("ts_s") / 3600L))
+      ev.join(winBuckets, "hb")
+        .filter(col("ts_s") >= col("w_start") && col("ts_s") < col("w_end"))
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts_s")).as("first_s"),
+             max(col("ts_s")).as("last_s"))
+    }),
+
+    // Time-RANGE window frame: per-user trailing 24 h event-value sum —
+    // a value-based frame (all rows within the interval, ties included),
+    // not a row-count frame like q48's MA. One user_id shuffle.
+    "q75_rolling_range" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-86399L, 0L)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_seconds(col("ts")).as("ts_s"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          sum(col("v")).over(w).cast("double").as("day_sum"))
+    }),
+
+    // Pivot: per-user event-type counts as columns (explicit value list →
+    // deterministic schema; one partial+final aggregate, no extra shuffle
+    // vs a plain group-by).
+    "q76_pivot" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        // empty pivot cells are NULL in Spark but 0 under a FILTER count —
+        // coalesce for parity
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("click_n"),
+          coalesce(col("view"), lit(0L)).as("view_n"),
+          coalesce(col("purchase"), lit(0L)).as("purchase_n"),
+          coalesce(col("signup"), lit(0L)).as("signup_n"),
+          coalesce(col("error"), lit(0L)).as("error_n"))),
+
     // Exact distinct aggregate per group.
     "q45_distinct_agg" -> ((s, d) =>
       orders(s, d)
@@ -119,6 +178,37 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // oracle uses the naive range join — the bucketed equi-join rewrite
+    // must be result-identical
+    "q74_interval_join" ->
+      """WITH wins AS (
+           SELECT n_nationkey AS win_id,
+                  1704067200 + n_nationkey * 29 * 3600 AS w_start,
+                  1704067200 + n_nationkey * 29 * 3600 + 5 * 3600 AS w_end
+           FROM nation),
+         ev AS (SELECT event_id, epoch_ns(ts) // 1000000000 AS ts_s FROM events)
+         SELECT win_id,
+                CAST(count(*) AS BIGINT) AS n_events,
+                min(ts_s) AS first_s,
+                max(ts_s) AS last_s
+         FROM ev JOIN wins ON ts_s >= w_start AND ts_s < w_end
+         GROUP BY win_id""",
+    "q75_rolling_range" ->
+      """SELECT user_id, event_id, ts_s,
+                CAST(sum(v) OVER (PARTITION BY user_id ORDER BY ts_s
+                                  RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) AS day_sum
+         FROM (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_s,
+                      CAST(value AS DECIMAL(18,2)) AS v
+               FROM events)""",
+    "q76_pivot" ->
+      """SELECT user_id,
+                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click_n,
+                CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view_n,
+                CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase_n,
+                CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup_n,
+                CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error_n
+         FROM events GROUP BY user_id""",
     "q72_asof_click" ->
       """WITH e AS (
            SELECT user_id, event_id, ts, event_type,
