@@ -122,6 +122,22 @@ object MiscQueries {
           coalesce(col("signup"), lit(0L)).as("signup_n"),
           coalesce(col("error"), lit(0L)).as("error_n"))),
 
+    // Data-quality expectations report — the pre-load validation pass
+    // (null keys, domain violations, duplicate keys, date-range outliers)
+    // as ONE aggregate over the fact table: every expectation is a
+    // conditional sum inside a single scan, no per-check jobs.
+    "q77_data_quality" -> ((s, d) =>
+      lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("n_null_key"),
+        sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("n_bad_qty"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.5, 1L)
+          .otherwise(0L)).as("n_bad_discount"),
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("n_dup_keys"),
+        sum(when(col("l_shipdate") > lit("2026-01-01").cast("timestamp"), 1L)
+          .otherwise(0L)).as("n_future_ship"))),
+
     // Exact distinct aggregate per group.
     "q45_distinct_agg" -> ((s, d) =>
       orders(s, d)
@@ -178,6 +194,14 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q77_data_quality" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
+                CAST(sum(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_qty,
+                CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_discount,
+                CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_dup_keys,
+                CAST(sum(CASE WHEN l_shipdate > TIMESTAMP '2026-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_future_ship
+         FROM lineitem""",
     // oracle uses the naive range join — the bucketed equi-join rewrite
     // must be result-identical
     "q74_interval_join" ->

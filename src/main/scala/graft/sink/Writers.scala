@@ -80,6 +80,45 @@ object Writers {
     addTableMetadata(tiles.sparkSession, path)
   }
 
+  /** Small-file compaction — the table-maintenance job every streaming /
+    * incremental sink needs at scale: micro-batch appends and per-bucket
+    * overwrites accrete small part files until scan task overhead
+    * dominates. Rewrites the table into ceil(bytes / targetBytes) files
+    * (no-op when already at or below that), preserving any
+    * `_table_metadata.json` sidecar. Data is byte-identical (same rows);
+    * only the file layout changes. Returns (filesBefore, filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hPath)
+      .filter(f => f.getPath.getName.startsWith("part-"))
+    val totalBytes = parts.map(_.getLen).sum
+    val target = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    if (target >= parts.length) return (parts.length, parts.length)
+    val sidecar = new org.apache.hadoop.fs.Path(path, "_table_metadata.json")
+    val sidecarBytes =
+      if (fs.exists(sidecar)) {
+        val in = fs.open(sidecar)
+        try Some(org.apache.commons.io.IOUtils.toByteArray(in)) finally in.close()
+      } else None
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
+    spark.read.parquet(path)
+      .repartition(target)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .parquet(tmp.toString)
+    fs.delete(hPath, true)
+    fs.rename(tmp, hPath)
+    sidecarBytes.foreach { bs =>
+      val out = fs.create(sidecar, true)
+      try out.write(bs) finally out.close()
+    }
+    val after = fs.listStatus(hPath)
+      .count(f => f.getPath.getName.startsWith("part-"))
+    (parts.length, after)
+  }
+
   /** K8: the parquet analog of the reference's AddRasterConstraints step
     * (load_to_postgis.py:332-354 — after each load it registers SRID /
     * scale / blocksize metadata so catalog clients can discover raster

@@ -61,6 +61,29 @@ class WritersSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("compact rewrites many small files into few, preserving rows and sidecar") {
+    val path = Files.createTempDirectory("compact").resolve("t").toString
+    val df = Tables.orders(spark, sf).repartition(16)
+    df.write.parquet(path)
+    // give it a sidecar to preserve
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sc = new org.apache.hadoop.fs.Path(path, "_table_metadata.json")
+    val o = fs.create(sc, true); o.write("{\"n\": 1}".getBytes); o.close()
+    val before = spark.read.parquet(path)
+      .orderBy("o_orderkey").collect()
+    val (nBefore, nAfter) = Writers.compact(spark, path, targetBytes = 512L * 1024 * 1024)
+    assert(nBefore == 16 && nAfter < nBefore,
+      s"expected compaction from 16 files, got $nBefore -> $nAfter")
+    val after = spark.read.parquet(path).orderBy("o_orderkey").collect()
+    assert(after.length == before.length)
+    assert(after.map(_.getLong(0)).toSeq == before.map(_.getLong(0)).toSeq)
+    assert(fs.exists(sc), "sidecar must survive compaction")
+    // idempotent: already compact → no-op
+    val (b2, a2) = Writers.compact(spark, path, targetBytes = 512L * 1024 * 1024)
+    assert(b2 == a2 && b2 == nAfter)
+  }
+
   test("date-partitioned write prunes partitions at the scan") {
     val path = Files.createTempDirectory("per_date").resolve("t").toString
     Tables.orders(spark, sf)
