@@ -37,6 +37,16 @@ object StreamQueries {
     "q67_stream_sessions" -> ((s, d) =>
       EventsStream.sessionizeStreaming(s, d)),
 
+    // Stream-stream inner join (click → purchase within 1 h, watermarked
+    // both sides) — oracle is the equivalent batch interval self-join.
+    "q78_stream_join" -> ((s, d) =>
+      EventsStream.clickPurchaseJoinStreaming(s, d)),
+
+    // Stream-static dimension enrichment + windowless rollup — oracle is
+    // the batch join-aggregate.
+    "q79_stream_enrich" -> ((s, d) =>
+      EventsStream.enrichedRollupStreaming(s, d)),
+
     // Multimodal decode stage: binary payloads → typed metadata via the
     // batch-iterating kernel (deterministic fake decode; ASCII payloads
     // make the checksum reproducible in SQL as the char fold).
@@ -95,6 +105,22 @@ object StreamQueries {
     "q59_stream_dedup" ->
       """SELECT user_id, CAST(count(DISTINCT event_id) AS BIGINT) AS n_events
          FROM events GROUP BY user_id""",
+    "q78_stream_join" ->
+      """SELECT c.user_id AS user_id,
+                c.event_id AS click_id,
+                p.event_id AS purchase_id,
+                epoch_ns(p.ts) // 1000000000 - epoch_ns(c.ts) // 1000000000 AS lag_s
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+         JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+    "q79_stream_enrich" ->
+      """SELECT n_name, event_type,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN nation ON user_id % 25 = n_nationkey
+         GROUP BY n_name, event_type""",
     // session_window parity: a new session starts when the gap is >= 4 h
     // (streaming session windows [t, t+gap) merge only on strict overlap)
     "q67_stream_sessions" ->

@@ -158,6 +158,77 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream inner join with a time-range condition: every purchase
+    * matched to the same user's clicks in the preceding hour. Both sides
+    * carry watermarks so buffered state is bounded by the join window +
+    * delay, not the stream's lifetime — the canonical funnel-attribution
+    * topology at scale. Inner joins emit eagerly, so an AvailableNow drain
+    * surfaces every match. */
+  def clickPurchaseJoinStreaming(spark: SparkSession, sfDir: String,
+                                 queryName: String = "graft_stream_join"): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // ONE stream source, two filtered views — a stream self-join scans the
+    // landing dir once per micro-batch, not once per side
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .parquet(stageDir(sfDir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val joined = clicks.join(purchases,
+        expr("user_id = p_user AND pts >= cts AND pts <= cts + interval 1 hour"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_seconds(col("pts")) - unix_seconds(col("cts"))).as("lag_s"))
+    withStreamPartitions(spark, 8) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
+  /** Stream-static enrichment: the event stream joined to a STATIC
+    * dimension (batch nation table keyed by user_id mod 25) inside the
+    * streaming query — Spark broadcasts the static side into every
+    * micro-batch; no state, no shuffle of the stream. The standard
+    * dimension-enrichment topology for continuous ingest. */
+  def enrichedRollupStreaming(spark: SparkSession, sfDir: String,
+                              queryName: String = "graft_stream_enrich"): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dim = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .parquet(stageDir(sfDir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("nk", pmod(col("user_id"), lit(25L)))
+    val agg = stream
+      .join(broadcast(dim), col("nk") === col("n_nationkey"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    withStreamPartitions(spark, 8) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(queryName)
+  }
+
   /** foreachBatch merge sink (SURVEY.md §2.11): each micro-batch upserts
     * into a parquet target — the streaming side of the reference's
     * ON CONFLICT DO UPDATE loads. Counts ACCUMULATE across batches
