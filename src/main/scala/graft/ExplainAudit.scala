@@ -21,7 +21,8 @@ object ExplainAudit {
                "q43_asset_pick_map", "q52_minhash_verified",
                "q55_minhash_banded", "q56_warp_nn", "q58_contamination",
                "q60_stratified_sample", "q62_url_normalize",
-               "q63_sessionize", "q66_tfidf")
+               "q63_sessionize", "q66_tfidf", "q72_asof_click",
+               "q74_interval_join", "q80_corpus_diff")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -353,6 +353,30 @@ object CurationQueries {
         .filter(col("rk") <= 20)
     }),
 
+    // Corpus snapshot diff: FULL OUTER reconciliation of two corpus
+    // versions (derived deterministically: "old" drops doc_id % 5 == 0,
+    // "new" drops % 7 == 0 and revises % 11 == 0) by content fingerprint —
+    // the added/removed/changed/unchanged audit an incremental ingest
+    // publishes per snapshot. One full-outer hash join on doc_id.
+    "q80_corpus_diff" -> ((s, d) => {
+      val fp = TextAnalysis.fingerprint(col("text"))
+      val olds = documents(s, d).filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("o_id"), fp.as("fp_old"))
+      val news = documents(s, d).filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("n_id"),
+          when(col("doc_id") % 11 === 0,
+            TextAnalysis.fingerprint(concat(col("text"), lit(" v2"))))
+            .otherwise(fp).as("fp_new"))
+      olds.join(news, col("o_id") === col("n_id"), "full_outer")
+        .select(
+          coalesce(col("o_id"), col("n_id")).as("doc_id"),
+          col("fp_old"), col("fp_new"),
+          when(col("o_id").isNull, "added")
+            .when(col("n_id").isNull, "removed")
+            .when(col("fp_old") === col("fp_new"), "unchanged")
+            .otherwise("changed").as("status"))
+    }),
+
     // TF-IDF keyword extraction: top-5 terms per document by
     // tf * ln((N+1)/(df+1)). One explode + two hash aggregates; the
     // document-frequency side is tiny (vocabulary) and broadcast back.
@@ -510,6 +534,23 @@ object CurationQueries {
           GROUP BY pair
           ORDER BY n DESC, pair
           LIMIT 20""",
+    "q80_corpus_diff" -> {
+      val fp = TextAnalysis.fingerprintSql("text")
+      val fp2 = TextAnalysis.fingerprintSql("text || ' v2'")
+      s"""WITH olds AS (
+            SELECT doc_id AS o_id, $fp AS fp_old
+            FROM documents WHERE doc_id % 5 <> 0),
+          news AS (
+            SELECT doc_id AS n_id,
+                   CASE WHEN doc_id % 11 = 0 THEN $fp2 ELSE $fp END AS fp_new
+            FROM documents WHERE doc_id % 7 <> 0)
+          SELECT coalesce(o_id, n_id) AS doc_id, fp_old, fp_new,
+                 CASE WHEN o_id IS NULL THEN 'added'
+                      WHEN n_id IS NULL THEN 'removed'
+                      WHEN fp_old = fp_new THEN 'unchanged'
+                      ELSE 'changed' END AS status
+          FROM olds FULL OUTER JOIN news ON o_id = n_id"""
+    },
     "q71_cluster_winners" -> {
       val q = TextAnalysis.qualityScoreSql(
         "len(tk)::BIGINT",

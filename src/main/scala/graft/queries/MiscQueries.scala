@@ -138,6 +138,17 @@ object MiscQueries {
         sum(when(col("l_shipdate") > lit("2026-01-01").cast("timestamp"), 1L)
           .otherwise(0L)).as("n_future_ship"))),
 
+    // CUBE grouping: all 2^2 grouping-set combinations of (region,
+    // market segment) in one pass — partial aggregation expands the
+    // grouping sets map-side, one shuffle total.
+    "q81_cube" -> ((s, d) =>
+      customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+             sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))),
+
     // Exact distinct aggregate per group.
     "q45_distinct_agg" -> ((s, d) =>
       orders(s, d)
@@ -194,6 +205,14 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q81_cube" ->
+      """SELECT r_name, c_mktsegment,
+                CAST(count(*) AS BIGINT) AS n_cust,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY CUBE (r_name, c_mktsegment)""",
     "q77_data_quality" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
                 CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
