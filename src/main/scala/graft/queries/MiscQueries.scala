@@ -149,6 +149,48 @@ object MiscQueries {
         .agg(count(lit(1)).as("n_cust"),
              sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))),
 
+    // Portable HyperLogLog distinct sketch (m = 64): bucket/rho from the
+    // shared ~40-bit char-fold hash, one hash-aggregate to the 64
+    // registers, then the harmonic estimate — every step generated from
+    // the same constants as the DuckDB oracle, so the ESTIMATE itself
+    // hash-matches (engine-native approx_count_distinct never can). The
+    // register table is 64 rows regardless of input size — the same
+    // merge shape a partial-sketch reduction has at 100 TB.
+    "q82_hll_distinct" -> ((s, d) => {
+      import graft.ext.Sketches._
+      val m = HllBuckets
+      // two LCG scrambles: bucket from the first stream, rho bits from the
+      // second (layered selects — each hash column materialized once)
+      val regs = lineitem(s, d)
+        .select(col("l_orderkey").cast("string").as("k"))
+        .select(hllHash(col("k")).as("h0"))
+        .select(hllMix(col("h0")).as("h1"))
+        .select((col("h1") % m).as("bucket"), hllMix(col("h1")).as("w"))
+        .select(col("bucket"), hllRho(col("w")).as("rho"))
+        .groupBy(col("bucket"))
+        .agg(max(col("rho")).as("mx"))
+      val packed = regs.agg(
+        sort_array(collect_list(struct(col("bucket"), col("mx")))).as("rs"),
+        count(lit(1)).as("nb"))
+      val exact = lineitem(s, d)
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      val harmonic =
+        aggregate(col("rs"), lit(0.0), (acc, r) =>
+          acc + lit(1.0) /
+            call_function("shiftleft", lit(1L), r("mx").cast("int")).cast("double")) +
+          (lit(m) - col("nb")).cast("double")
+      packed.crossJoin(exact)
+        .select(col("n_exact"), (lit(m) - col("nb")).as("n_empty"),
+          (hllAlphaM2 / harmonic).as("eraw"), col("nb"))
+        .select(col("n_exact"), col("n_empty"),
+          round(when(col("eraw") <= 2.5 * m && col("n_empty") > 0,
+              lit(m.toDouble) * log(lit(m.toDouble) / col("n_empty").cast("double")))
+            .otherwise(col("eraw")), 6).as("estimate"))
+        .select(col("n_exact"), col("n_empty"), col("estimate"),
+          round(abs(col("estimate") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 6).as("err"))
+    }),
+
     // Exact distinct aggregate per group.
     "q45_distinct_agg" -> ((s, d) =>
       orders(s, d)
@@ -205,6 +247,42 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q82_hll_distinct" -> {
+      import graft.ext.Sketches._
+      val m = HllBuckets
+      s"""WITH regs AS (
+            SELECT bucket, max(rho) AS mx FROM (
+              SELECT bucket, ${hllRhoSql("w")} AS rho FROM (
+                SELECT h1 % $m AS bucket, ${hllMixSql("h1")} AS w FROM (
+                  SELECT ${hllMixSql("h0")} AS h1 FROM (
+                    SELECT ${hllHashSql("CAST(l_orderkey AS VARCHAR)")} AS h0
+                    FROM lineitem))))
+            GROUP BY bucket),
+          packed AS (
+            SELECT list({'bucket': bucket, 'mx': mx} ORDER BY bucket) AS rs,
+                   CAST(count(*) AS BIGINT) AS nb
+            FROM regs),
+          ex AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+                 FROM lineitem),
+          est0 AS (
+            SELECT n_exact, ($m - nb) AS n_empty,
+                   $hllAlphaM2Sql /
+                     (list_reduce(list_prepend(0.0::DOUBLE,
+                        list_transform(rs, rr ->
+                          1.0::DOUBLE / ((1::BIGINT << rr.mx)::DOUBLE))),
+                        (sa, sb) -> sa + sb)
+                      + ($m - nb)::DOUBLE) AS eraw
+            FROM packed CROSS JOIN ex),
+          est1 AS (
+            SELECT n_exact, n_empty,
+                   round(CASE WHEN eraw <= ${2.5 * m} AND n_empty > 0
+                              THEN $m.0 * ln($m.0 / n_empty::DOUBLE)
+                              ELSE eraw END, 6) AS estimate
+            FROM est0)
+          SELECT n_exact, n_empty, estimate,
+                 round(abs(estimate - n_exact::DOUBLE) / n_exact::DOUBLE, 6) AS err
+          FROM est1"""
+    },
     "q81_cube" ->
       """SELECT r_name, c_mktsegment,
                 CAST(count(*) AS BIGINT) AS n_cust,

@@ -153,6 +153,15 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q82 portable HLL estimate lands within the m=64 error band") {
+    val r = SparkEntry.queries("q82_hll_distinct")(spark, sf).collect().head
+    val exact = r.getLong(0); val est = r.getDouble(2); val err = r.getDouble(3)
+    assert(exact > 0)
+    // 1.04/sqrt(64) ≈ 13% std error; allow 2 sigma
+    assert(err < 0.27, s"HLL err $err (exact $exact, est $est)")
+    assert(math.abs(math.abs(est - exact) / exact - err) < 1e-6)
+  }
+
   test("q66 tf-idf yields at most 5 ranked terms per doc with positive scores") {
     val rows = run("q66_tfidf").collect()
     rows.groupBy(_.getLong(0)).foreach { case (doc, ts) =>
