@@ -19,6 +19,13 @@ object Bench {
         "lineitem", "events", "documents", "embeddings")
         .foreach(t => Tables.table(spark, sfDir, t).count())
       SparkEntry.queries.get("q13_star_join").foreach(_(spark, sfDir).count())
+      // streaming warmup: the first streaming query of a session pays
+      // micro-batch engine class-loading + state-store init (~1-2 s);
+      // run a minimal drain at the SMALLEST sf so timed streaming
+      // queries measure plan cost, not one-time init
+      graft.streaming.EventsStream
+        .hourlyRollupStreaming(spark, "/root/testdata/sf0.001", "graft_warmup_stream")
+        .count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup FAILED: ${e.getClass.getName}: ${e.getMessage}")
     }

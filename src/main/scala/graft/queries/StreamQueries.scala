@@ -50,6 +50,25 @@ object StreamQueries {
     // Multimodal decode stage: binary payloads → typed metadata via the
     // batch-iterating kernel (deterministic fake decode; ASCII payloads
     // make the checksum reproducible in SQL as the char fold).
+    // Frame sampling over the video subset: every 2nd 16-byte frame of the
+    // (ASCII) payload, with a portable per-frame checksum — the
+    // frame-sample stage of a video-curation pipeline as pure column
+    // expressions (no decode needed for byte-range frames); one
+    // explode, no shuffle.
+    "q83_media_frames" -> ((s, d) => {
+      import graft.functions.Portable.charFold
+      documents(s, d)
+        .filter(col("doc_id") % 3 === 2 && length(col("text")) >= 16)
+        .select(col("doc_id").as("media_id"),
+          floor(length(col("text")) / 16).cast("long").as("n_frames"),
+          col("text"))
+        .select(col("media_id"), col("n_frames"), col("text"),
+          explode(sequence(lit(0L), col("n_frames") - 1, lit(2L))).as("frame_idx"))
+        .select(col("media_id"), col("n_frames"), col("frame_idx"),
+          charFold(col("text").substr((col("frame_idx") * 16 + 1).cast("int"),
+            lit(16))).as("checksum"))
+    }),
+
     "q42_media_meta" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(s, documents(s, d))
       Multimodal.decodeStage(s, media).toDF()
@@ -143,6 +162,17 @@ object StreamQueries {
                 min(epoch_ns(ts) // 1000000000) AS start_s,
                 max(epoch_ns(ts) // 1000000000) AS end_s
          FROM sess GROUP BY user_id, sid""",
+    "q83_media_frames" -> {
+      val ck = charFoldSql("substring(text, (frame_idx*16+1)::INT, 16)")
+      s"""SELECT media_id, n_frames, frame_idx, $ck AS checksum
+          FROM (
+            SELECT media_id, n_frames, text,
+                   unnest(range(0, n_frames, 2)) AS frame_idx
+            FROM (
+              SELECT doc_id AS media_id, length(text) // 16 AS n_frames, text
+              FROM documents
+              WHERE doc_id % 3 = 2 AND length(text) >= 16))"""
+    },
     "q42_media_meta" -> {
       val h = charFoldSql("text")
       s"""SELECT doc_id AS media_id,
