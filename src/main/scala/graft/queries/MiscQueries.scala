@@ -191,6 +191,31 @@ object MiscQueries {
             col("n_exact").cast("double"), 6).as("err"))
     }),
 
+    // Left-semi join (EXISTS): customers holding at least one URGENT
+    // order — the probe side streams, no row multiplication.
+    "q84_semi_join" -> ((s, d) => {
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // Left-outer join with null-aware aggregation: every customer with
+    // their order count and total — zero/NULL for the orderless third of
+    // the table (the classic outer-join null contract).
+    "q85_left_join_nulls" -> ((s, d) => {
+      val ordAgg = orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      customer(s, d)
+        .join(ordAgg, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          col("total"),
+          col("n_orders").isNull.as("is_orderless"))
+    }),
+
     // Exact distinct aggregate per group.
     "q45_distinct_agg" -> ((s, d) =>
       orders(s, d)
@@ -247,6 +272,22 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q84_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderpriority = '1-URGENT')""",
+    "q85_left_join_nulls" ->
+      """SELECT c_custkey,
+                CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+                total,
+                (n_orders IS NULL) AS is_orderless
+         FROM customer
+         LEFT JOIN (SELECT o_custkey,
+                           CAST(count(*) AS BIGINT) AS n_orders,
+                           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                    FROM orders GROUP BY o_custkey) o
+           ON c_custkey = o_custkey""",
     "q82_hll_distinct" -> {
       import graft.ext.Sketches._
       val m = HllBuckets
