@@ -153,6 +153,45 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q72 as-of join matches a brute-force scan per user") {
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val rows = SparkEntry.queries("q72_asof_click")(spark, sf).collect()
+    val purchases = events.filter(_._4 == "purchase")
+    assert(rows.length == purchases.length, "one row per purchase")
+    val byId = rows.map(r => r.getLong(1) -> r).toMap
+    purchases.foreach { case (u, pid, pts, _) =>
+      val clicks = events.filter(e => e._1 == u && e._4 == "click")
+        .filter(e => e._3 < pts || (e._3 == pts && e._2 < pid))
+      val expected = if (clicks.isEmpty) None
+        else Some(clicks.maxBy(e => (e._3, e._2)))
+      val row = byId(pid)
+      expected match {
+        case None => assert(row.isNullAt(3), s"purchase $pid should have no click")
+        case Some((_, cid, _, _)) =>
+          assert(row.getLong(3) == cid, s"purchase $pid as-of click")
+      }
+    }
+  }
+
+  test("q80 statuses follow the %5 / %7 / %11 snapshot rules exactly") {
+    val rows = SparkEntry.queries("q80_corpus_diff")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val n = Tables.documents(spark, sf).count()
+    (0L until n).foreach { id =>
+      val inOld = id % 5 != 0; val inNew = id % 7 != 0
+      val expected =
+        if (!inOld && !inNew) None
+        else if (!inOld) Some("added")
+        else if (!inNew) Some("removed")
+        else if (id % 11 == 0) Some("changed")
+        else Some("unchanged")
+      assert(rows.get(id) == expected, s"doc $id status")
+    }
+  }
+
   test("q82 portable HLL estimate lands within the m=64 error band") {
     val r = SparkEntry.queries("q82_hll_distinct")(spark, sf).collect().head
     val exact = r.getLong(0); val est = r.getDouble(2); val err = r.getDouble(3)
