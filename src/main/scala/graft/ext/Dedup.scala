@@ -107,6 +107,27 @@ object Dedup {
   def simhash16(toks: Column): Column =
     simhash16FromHashes(simhashTokenHashes(toks))
 
+  /** The shared shingle-hash base table (doc_id, hh): tokenize + charFold
+    * + adjacent-combine, docs with < 2 tokens dropped, repartitioned off
+    * the single input split and MATERIALIZED (localCheckpoint) once per
+    * (session, sfDir). Five operators (signatures, banded LSH, verified
+    * dedup, contamination scan, duplicate clustering) derive from this
+    * one table — the "write the hash table once, run N jobs against it"
+    * shape an interactive 100 TB dedup session uses (cf. incremental
+    * top-k reuse, EDBT '20 — PAPERS.md). */
+  private val baseCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  def shingleBase(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    baseCache.computeIfAbsent((s, d), { _ =>
+      val toks = tokens(col("text"))
+      graft.Tables.documents(s, d).filter(size(toks) >= 2)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
+        .select(col("doc_id"), combineAdjacent(col("th")).as("hh"))
+        .localCheckpoint()
+    })
+
   /** MinHash signature table for a documents DataFrame:
     * (doc_id, mh0..mh3). Rows with < 2 tokens are dropped (no shingles).
     * Layered selects keep each hash array materialized once per row

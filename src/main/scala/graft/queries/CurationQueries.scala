@@ -72,12 +72,7 @@ object CurationQueries {
     * sets) via the q52 LSH pipeline: signatures -> banded candidates ->
     * exact verification. Used by q65's connected components. */
   private def nearDupEdges(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val base = documents(s, d).filter(size(toks) >= 2)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
-      .select(col("doc_id"), Dedup.combineAdjacent(col("th")).as("hh"))
-      .localCheckpoint()
+    val base = Dedup.shingleBase(s, d)
     val sig = base.select((col("doc_id") +: MinhashPerms.indices.map(j =>
         Dedup.minhash(col("hh"), j).as(s"mh$j"))): _*)
       .localCheckpoint()
@@ -238,10 +233,11 @@ object CurationQueries {
 
     // Quantile-threshold quality filter: per-language exact p25 of the
     // composite quality score; report the threshold and how much of the
-    // stratum survives. Quality is a per-row scalar; the percentile is one
-    // aggregate per language (tiny); the filter re-scans with a broadcast
-    // threshold join — at 100 TB the quality pass and the filter pass
-    // stay two scans with no wide shuffle.
+    // stratum survives. Quality is a per-row scalar; the filter re-scans
+    // with a broadcast threshold join. NOTE exact percentile() buffers a
+    // group's values in the aggregation state — fine at oracle scale, but
+    // at 100 TB the swap is approx_percentile (t-digest, bounded state)
+    // with the same two-scan broadcast-threshold topology.
     "q64_quality_quantile" -> ((s, d) => {
       val toks = tokens(col("text"))
       val nTok = size(toks).cast("long")

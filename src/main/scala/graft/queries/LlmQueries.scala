@@ -115,23 +115,13 @@ object LlmQueries {
     // pairs back to the (distinct-shingle) docs — at 100 TB this is the
     // standard sig-write / candidate-join / verify three-job shape.
     "q52_minhash_verified" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      // ONE tokenize+charFold pass: the shingle-hash arrays are
-      // materialized once and BOTH the signature table and the exact-
-      // verification sets derive from them (at 100 TB: write the hh table,
-      // then run the minhash job and the verify job against it).
-      // repartition BEFORE the hash chain: the raw table may arrive as a
-      // single input split (one file locally; one oversized scan partition
-      // at scale), which would serialize all per-row fold work onto one
-      // core. Shuffling the (tiny) raw text by doc_id spreads the compute.
-      // Layered selects: token hashes materialized BEFORE combineAdjacent
-      // references them (element_at over an unmaterialized HOF expression
-      // re-evaluates the whole array per element — O(n²) folds).
-      val base = documents(s, d).filter(size(toks) >= 2)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
-        .select(col("doc_id"), Dedup.combineAdjacent(col("th")).as("hh"))
-        .localCheckpoint()
+      // ONE tokenize+charFold pass: the session-cached shingle-hash base
+      // (Dedup.shingleBase — repartitioned off the single input split,
+      // layered selects against the O(n²) unmaterialized-HOF trap) feeds
+      // BOTH the signature table and the exact-verification sets (at
+      // 100 TB: write the hh table, then run the minhash job and the
+      // verify job against it).
+      val base = Dedup.shingleBase(s, d)
       val sig = base.select((col("doc_id") +: MinhashPerms.indices.map(j =>
           Dedup.minhash(col("hh"), j).as(s"mh$j"))): _*)
         .localCheckpoint()
@@ -175,11 +165,7 @@ object LlmQueries {
     // One shuffle on the (band, h1, h2) key; 4× the rows of q31's join but
     // each band bucket is narrower — the standard b×r trade.
     "q55_minhash_banded" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      val base = documents(s, d).filter(size(toks) >= 2)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
-        .select(col("doc_id"), Dedup.combineAdjacent(col("th")).as("hh"))
+      val base = Dedup.shingleBase(s, d)
       val sig = base.select((col("doc_id") +: MinhashPermsExt.indices.map(j =>
           Dedup.minhashExt(col("hh"), j).as(s"mh$j"))): _*)
       val bandArr = array((0 until 4).map(bd =>
@@ -277,12 +263,8 @@ object LlmQueries {
     // benchmark suite (broadcast), the corpus side never shuffles beyond
     // the per-doc aggregate.
     "q58_contamination" -> ((s, d) => {
-      val toks = tokens(col("text"))
-      val base = documents(s, d).filter(size(toks) >= 2)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
-        .select(col("doc_id"), array_distinct(Dedup.combineAdjacent(col("th"))).as("sh"))
-        .localCheckpoint()
+      val base = Dedup.shingleBase(s, d)
+        .select(col("doc_id"), array_distinct(col("hh")).as("sh"))
       val probes = base.filter(col("doc_id") < 5)
         .select(explode(col("sh")).as("h")).distinct()
       val shared = base.filter(col("doc_id") >= 5)
