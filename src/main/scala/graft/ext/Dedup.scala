@@ -140,8 +140,13 @@ object Dedup {
       .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
     val withShingles = withTokenHashes.select(
       col("doc_id"), combineAdjacent(col("th")).as("hh"))
-    withShingles.select(
+    signaturesFromBase(withShingles)
+  }
+
+  /** Signature projection over an already-built (doc_id, hh) base —
+    * lets queries reuse the session-cached [[shingleBase]]. */
+  def signaturesFromBase(base: DataFrame): DataFrame =
+    base.select(
       (col("doc_id") +: MinhashPerms.indices.map(j =>
         minhash(col("hh"), j).as(s"mh$j"))): _*)
-  }
 }

@@ -87,7 +87,7 @@ object LlmQueries {
 
     // MinHash signatures (4 permutations over 2-shingle hashes).
     "q30_minhash_sig" -> ((s, d) =>
-      Dedup.minhashSignatures(documents(s, d))),
+      Dedup.signaturesFromBase(Dedup.shingleBase(s, d))),
 
     // MinHash candidate pairs: full-signature band join, symmetric
     // per-doc candidate count. One shuffle on the band key. The signature
@@ -95,7 +95,7 @@ object LlmQueries {
     // not recompute the hash chains on both sides — at scale this is the
     // "write signatures, then join" two-job shape.
     "q31_minhash_candidates" -> ((s, d) => {
-      val sig = Dedup.minhashSignatures(documents(s, d)).localCheckpoint()
+      val sig = Dedup.signaturesFromBase(Dedup.shingleBase(s, d)).localCheckpoint()
       val a = sig.select(col("doc_id").as("da"), col("mh0"), col("mh1"),
                          col("mh2"), col("mh3"))
       val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
