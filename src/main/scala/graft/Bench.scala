@@ -21,10 +21,11 @@ object Bench {
       SparkEntry.queries.get("q13_star_join").foreach(_(spark, sfDir).count())
       // streaming warmup: the first streaming query of a session pays
       // micro-batch engine class-loading + state-store init (~1-2 s);
-      // run a minimal drain at the SMALLEST sf so timed streaming
-      // queries measure plan cost, not one-time init
+      // drain one minimal streaming query first so timed streaming
+      // queries measure plan cost, not one-time init (uses the bench's
+      // own data dir — no other path is assumed to exist)
       graft.streaming.EventsStream
-        .hourlyRollupStreaming(spark, "/root/testdata/sf0.001", "graft_warmup_stream")
+        .hourlyRollupStreaming(spark, sfDir, "graft_warmup_stream")
         .count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup FAILED: ${e.getClass.getName}: ${e.getMessage}")

@@ -114,7 +114,13 @@ object Dedup {
     * dedup, contamination scan, duplicate clustering) derive from this
     * one table — the "write the hash table once, run N jobs against it"
     * shape an interactive 100 TB dedup session uses (cf. incremental
-    * top-k reuse, EDBT '20 — PAPERS.md). */
+    * top-k reuse, EDBT '20 — PAPERS.md).
+    *
+    * Lifetime note: entries pin their checkpointed blocks for the JVM's
+    * life and localCheckpoint is not fault-tolerant — right for this
+    * harness's short single-JVM sessions; a long-lived multi-tenant
+    * service would swap in reliable checkpoints with explicit
+    * invalidation. */
   private val baseCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), DataFrame]()
 
@@ -127,6 +133,78 @@ object Dedup {
         .select(col("doc_id"), combineAdjacent(col("th")).as("hh"))
         .localCheckpoint()
     })
+
+  /** The complete verified-LSH near-dup pipeline off the shared base:
+    * signatures → full-signature candidate pairs (da < db) → exact
+    * 2-shingle-hash Jaccard >= 0.5. Returns (da, db, n_inter, n_union,
+    * jaccard). q52 IS this table; the q65/q71 clustering derives its edge
+    * list from it — one definition, no drift. Three-job shape at 100 TB:
+    * write signatures, candidate join, verification join. */
+  def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val base = shingleBase(s, d)
+    val sig = signaturesFromBase(base).localCheckpoint()
+    val a = sig.select(col("doc_id").as("da"), col("mh0"), col("mh1"),
+                       col("mh2"), col("mh3"))
+    val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
+                       col("mh1").as("nh1"), col("mh2").as("nh2"),
+                       col("mh3").as("nh3"))
+    val cands = a.join(b,
+        col("mh0") === col("nh0") && col("mh1") === col("nh1") &&
+        col("mh2") === col("nh2") && col("mh3") === col("nh3") &&
+        col("da") < col("db"))
+      .select(col("da"), col("db"))
+    // verification compares BIGINT shingle-HASH sets (~8 B/element vs a
+    // boxed string); n_inter computed ONCE in a layered select
+    val docs = base.select(col("doc_id"), array_distinct(col("hh")).as("sh"))
+    cands
+      .join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      .select(col("da"), col("db"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
+        (size(col("sha")) + size(col("shb"))).cast("long").as("sz_sum"))
+      .select(col("da"), col("db"), col("n_inter"),
+        (col("sz_sum") - col("n_inter")).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** DuckDB twin of [[verifiedPairs]] as a CTE chain ending in `edges`
+    * (da, db, n_inter, n_union, jaccard) — shared by the q52 and q65/q71
+    * oracles so the SQL cannot drift from itself either. */
+  def verifiedPairsSqlCtes: String = {
+    val T = tokensSql("text")
+    val sigSql =
+      s"""SELECT doc_id,
+            ${minhashSql("hh", 0)} AS mh0,
+            ${minhashSql("hh", 1)} AS mh1,
+            ${minhashSql("hh", 2)} AS mh2,
+            ${minhashSql("hh", 3)} AS mh3
+          FROM hh_base"""
+    s"""hh_base AS (
+          SELECT doc_id, ${combineAdjacentSql("th")} AS hh
+          FROM (SELECT doc_id,
+                  list_transform(tk, t -> ${charFoldSql("t")}) AS th
+                FROM (SELECT doc_id, $T AS tk FROM documents)
+                WHERE len(tk) >= 2)),
+        sig AS ($sigSql),
+        cands AS (
+          SELECT a.doc_id AS da, b.doc_id AS db
+          FROM sig a JOIN sig b
+            ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
+           AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id),
+        dsets AS (SELECT doc_id, list_distinct(hh) AS sh FROM hh_base),
+        edges AS (
+          SELECT da, db, n_inter, (sz_sum - n_inter) AS n_union,
+                 CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) AS jaccard
+          FROM (
+            SELECT da, db,
+                   len(list_intersect(x.sh, y.sh))::BIGINT AS n_inter,
+                   (len(x.sh) + len(y.sh))::BIGINT AS sz_sum
+            FROM cands
+            JOIN dsets x ON cands.da = x.doc_id
+            JOIN dsets y ON cands.db = y.doc_id)
+          WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.5)"""
+  }
 
   /** MinHash signature table for a documents DataFrame:
     * (doc_id, mh0..mh3). Rows with < 2 tokens are dropped (no shingles).

@@ -68,34 +68,11 @@ object CurationQueries {
       "'.Example.COM/Item/' || CAST(event_id % 500 AS VARCHAR) || " +
       "'/?Utm_Source=Feed&Ref=' || event_type"
 
-  /** Near-dup edge list (da < db, exact Jaccard >= 0.5 on 2-shingle hash
-    * sets) via the q52 LSH pipeline: signatures -> banded candidates ->
-    * exact verification. Used by q65's connected components. */
-  private def nearDupEdges(s: SparkSession, d: String): DataFrame = {
-    val base = Dedup.shingleBase(s, d)
-    val sig = base.select((col("doc_id") +: MinhashPerms.indices.map(j =>
-        Dedup.minhash(col("hh"), j).as(s"mh$j"))): _*)
-      .localCheckpoint()
-    val a = sig.select(col("doc_id").as("da"), col("mh0"), col("mh1"),
-                       col("mh2"), col("mh3"))
-    val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
-                       col("mh1").as("nh1"), col("mh2").as("nh2"),
-                       col("mh3").as("nh3"))
-    val cands = a.join(b,
-        col("mh0") === col("nh0") && col("mh1") === col("nh1") &&
-        col("mh2") === col("nh2") && col("mh3") === col("nh3") &&
-        col("da") < col("db"))
-      .select(col("da"), col("db"))
-    val docs = base.select(col("doc_id"), array_distinct(col("hh")).as("sh"))
-    cands
-      .join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
-      .join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
-      .select(col("da"), col("db"),
-        size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
-        (size(col("sha")) + size(col("shb"))).cast("long").as("sz_sum"))
-      .filter(col("n_inter").cast("double") / (col("sz_sum") - col("n_inter")) >= 0.5)
-      .select(col("da"), col("db"))
-  }
+  /** Near-dup edge list (da < db, exact Jaccard >= 0.5): exactly q52's
+    * verified-LSH table (Dedup.verifiedPairs — one definition, no drift),
+    * projected to the pair columns. */
+  private def nearDupEdges(s: SparkSession, d: String): DataFrame =
+    Dedup.verifiedPairs(s, d).select(col("da"), col("db"))
 
   /** Connected-component labels (node → min-doc_id label) over the
     * verified near-dup graph; shared by q65 and q71. Iterative min-label
@@ -123,7 +100,8 @@ object CurationQueries {
       .localCheckpoint()
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < 20) {
+    val maxIter = 20
+    while (changed > 0 && it < maxIter) {
       val nbMin = bidir
         .join(lbl.select(col("node").as("nb"), col("lbl").as("nlbl")),
               col("dst") === col("nb"))
@@ -141,6 +119,11 @@ object CurationQueries {
       lbl = next.select(col("node"), col("lbl"))
       it += 1
     }
+    // fail LOUDLY on non-convergence: returning (and caching) partial
+    // labels would silently split one real component into several
+    require(changed == 0,
+      s"connected components did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — component diameter exceeds the cap")
     lbl
   }
 
@@ -402,38 +385,9 @@ object CurationQueries {
 
   private val T = tokensSql("text")
 
-  /** The q52 verification pipeline as SQL, ending in (da, db) edges. */
-  private val edgesSql: String = {
-    val sigSql =
-      s"""SELECT doc_id,
-            ${Dedup.minhashSql("hh", 0)} AS mh0,
-            ${Dedup.minhashSql("hh", 1)} AS mh1,
-            ${Dedup.minhashSql("hh", 2)} AS mh2,
-            ${Dedup.minhashSql("hh", 3)} AS mh3
-          FROM hh_base"""
-    s"""hh_base AS (
-          SELECT doc_id, ${Dedup.combineAdjacentSql("th")} AS hh
-          FROM (SELECT doc_id,
-                  list_transform(tk, t -> ${charFoldSql("t")}) AS th
-                FROM (SELECT doc_id, $T AS tk FROM documents)
-                WHERE len(tk) >= 2)),
-        sig AS ($sigSql),
-        cands AS (
-          SELECT a.doc_id AS da, b.doc_id AS db
-          FROM sig a JOIN sig b
-            ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
-           AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id),
-        dsets AS (SELECT doc_id, list_distinct(hh) AS sh FROM hh_base),
-        edges AS (
-          SELECT da, db FROM (
-            SELECT da, db,
-                   len(list_intersect(x.sh, y.sh))::BIGINT AS n_inter,
-                   (len(x.sh) + len(y.sh))::BIGINT AS sz_sum
-            FROM cands
-            JOIN dsets x ON cands.da = x.doc_id
-            JOIN dsets y ON cands.db = y.doc_id)
-          WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.5)"""
-  }
+  /** The q52 verification pipeline as SQL (shared builder in Dedup),
+    * ending in the `edges` CTE. */
+  private val edgesSql: String = Dedup.verifiedPairsSqlCtes
 
   val oracle: Map[String, String] = Map(
     "q60_stratified_sample" ->

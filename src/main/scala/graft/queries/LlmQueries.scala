@@ -114,46 +114,15 @@ object LlmQueries {
     // generation is the one shuffle; verification joins the candidate
     // pairs back to the (distinct-shingle) docs — at 100 TB this is the
     // standard sig-write / candidate-join / verify three-job shape.
-    "q52_minhash_verified" -> ((s, d) => {
-      // ONE tokenize+charFold pass: the session-cached shingle-hash base
-      // (Dedup.shingleBase — repartitioned off the single input split,
-      // layered selects against the O(n²) unmaterialized-HOF trap) feeds
-      // BOTH the signature table and the exact-verification sets (at
-      // 100 TB: write the hh table, then run the minhash job and the
-      // verify job against it).
-      val base = Dedup.shingleBase(s, d)
-      val sig = base.select((col("doc_id") +: MinhashPerms.indices.map(j =>
-          Dedup.minhash(col("hh"), j).as(s"mh$j"))): _*)
-        .localCheckpoint()
-      val a = sig.select(col("doc_id").as("da"), col("mh0"), col("mh1"),
-                         col("mh2"), col("mh3"))
-      val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
-                         col("mh1").as("nh1"), col("mh2").as("nh2"),
-                         col("mh3").as("nh3"))
-      val cands = a.join(b,
-          col("mh0") === col("nh0") && col("mh1") === col("nh1") &&
-          col("mh2") === col("nh2") && col("mh3") === col("nh3") &&
-          col("da") < col("db"))
-        .select(col("da"), col("db"))
-      // Verification compares BIGINT shingle-HASH sets (the same
-      // combineAdjacent formula the signatures minhash over), not shingle
-      // strings: the hot array_intersect runs over long arrays — ~8 B per
-      // element instead of a boxed string — and the oracle is generated
-      // from the same constants so the two sides agree bit-for-bit.
-      val docs = base.select(col("doc_id"), array_distinct(col("hh")).as("sh"))
-      val withA = cands.join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
-      val withB = withA.join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
-      // n_inter computed ONCE in a layered select (CollapseProject keeps
-      // multiply-referenced non-cheap expressions un-inlined).
-      withB
-        .select(col("da"), col("db"),
-          size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
-          (size(col("sha")) + size(col("shb"))).cast("long").as("sz_sum"))
-        .select(col("da"), col("db"), col("n_inter"),
-          (col("sz_sum") - col("n_inter")).as("n_union"))
-        .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
-        .filter(col("jaccard") >= 0.5)
-    }),
+    // ONE tokenize+charFold pass: the session-cached shingle-hash base
+    // (Dedup.shingleBase — repartitioned off the single input split,
+    // layered selects against the O(n²) unmaterialized-HOF trap) feeds
+    // BOTH the signature table and the exact-verification sets (at
+    // 100 TB: write the hh table, then run the minhash job and the
+    // verify job against it). The pipeline lives in Dedup.verifiedPairs —
+    // q65/q71's duplicate clustering consumes the same definition.
+    "q52_minhash_verified" -> ((s, d) => Dedup.verifiedPairs(s, d)),
+
 
     // Multi-band MinHash LSH candidates (b=4 bands × r=2 rows, OR-
     // construction): q31's single-band join requires ALL 4 minhashes equal
@@ -263,8 +232,12 @@ object LlmQueries {
     // benchmark suite (broadcast), the corpus side never shuffles beyond
     // the per-doc aggregate.
     "q58_contamination" -> ((s, d) => {
+      // materialize the distinct-shingle projection: BOTH the probe and
+      // corpus branches read it (without the checkpoint the array_distinct
+      // would run twice per execution)
       val base = Dedup.shingleBase(s, d)
         .select(col("doc_id"), array_distinct(col("hh")).as("sh"))
+        .localCheckpoint()
       val probes = base.filter(col("doc_id") < 5)
         .select(explode(col("sh")).as("h")).distinct()
       val shared = base.filter(col("doc_id") >= 5)
@@ -433,26 +406,8 @@ object LlmQueries {
              AND a.mh3 = b.mh3 AND a.doc_id <> b.doc_id
             GROUP BY a.doc_id""",
       "q52_minhash_verified" ->
-        s"""WITH sig AS ($sigSql),
-                 cands AS (
-                   SELECT a.doc_id AS da, b.doc_id AS db
-                   FROM sig a JOIN sig b
-                     ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
-                    AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id),
-                 docs AS (
-                   SELECT doc_id, list_distinct(${Dedup.shingleHashesSql("tk")}) AS sh
-                   FROM (SELECT doc_id, $T AS tk FROM documents)
-                   WHERE len(tk) >= 2)
-            SELECT da, db, n_inter, (sz_sum - n_inter) AS n_union,
-                   CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) AS jaccard
-            FROM (
-              SELECT da, db,
-                     len(list_intersect(x.sh, y.sh))::BIGINT AS n_inter,
-                     (len(x.sh) + len(y.sh))::BIGINT AS sz_sum
-              FROM cands
-              JOIN docs x ON cands.da = x.doc_id
-              JOIN docs y ON cands.db = y.doc_id)
-            WHERE CAST(n_inter AS DOUBLE) / (sz_sum - n_inter) >= 0.5""",
+        s"""WITH ${Dedup.verifiedPairsSqlCtes}
+            SELECT da, db, n_inter, n_union, jaccard FROM edges""",
       "q55_minhash_banded" ->
         s"""WITH sig AS ($sig8Sql),
                  bands AS (

@@ -133,8 +133,14 @@ object MiscQueries {
         sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("n_bad_qty"),
         sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.5, 1L)
           .otherwise(0L)).as("n_bad_discount"),
-        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
-          .as("n_dup_keys"),
+        // null-safe duplicate count: restrict BOTH the row count and the
+        // distinct count to rows with fully non-null keys (Spark's
+        // countDistinct skips any-null rows while DuckDB's tuple DISTINCT
+        // counts them — the two would diverge exactly when null keys
+        // exist, which is what this report detects)
+        (sum(when(col("l_orderkey").isNotNull && col("l_linenumber").isNotNull, 1L)
+            .otherwise(0L)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber"))).as("n_dup_keys"),
         sum(when(col("l_shipdate") > lit("2026-01-01").cast("timestamp"), 1L)
           .otherwise(0L)).as("n_future_ship"))),
 
@@ -337,7 +343,10 @@ object MiscQueries {
                 CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
                 CAST(sum(CASE WHEN l_quantity <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_qty,
                 CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_discount,
-                CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_dup_keys,
+                CAST(count(*) FILTER (l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+                     - count(DISTINCT (l_orderkey, l_linenumber))
+                       FILTER (l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+                     AS BIGINT) AS n_dup_keys,
                 CAST(sum(CASE WHEN l_shipdate > TIMESTAMP '2026-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_future_ship
          FROM lineitem""",
     // oracle uses the naive range join — the bucketed equi-join rewrite

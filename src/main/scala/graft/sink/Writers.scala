@@ -103,13 +103,24 @@ object Writers {
         try Some(org.apache.commons.io.IOUtils.toByteArray(in)) finally in.close()
       } else None
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
-    spark.read.parquet(path)
-      .repartition(target)
-      .write.mode(SaveMode.Overwrite)
-      .option("compression", "zstd")
-      .parquet(tmp.toString)
-    fs.delete(hPath, true)
-    fs.rename(tmp, hPath)
+    val bak = new org.apache.hadoop.fs.Path(path + ".compact.bak")
+    try {
+      spark.read.parquet(path)
+        .repartition(target)
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .parquet(tmp.toString)
+    } catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    // swap via rename-aside: the live table is never deleted before its
+    // replacement is in place — a crash mid-swap leaves either the
+    // original (possibly under the .bak name) or the new table readable
+    fs.delete(bak, true)
+    fs.rename(hPath, bak)
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(bak, hPath) // restore the original, then report
+      throw new java.io.IOException(s"compact: rename $tmp -> $hPath failed; original restored")
+    }
+    fs.delete(bak, true)
     sidecarBytes.foreach { bs =>
       val out = fs.create(sidecar, true)
       try out.write(bs) finally out.close()

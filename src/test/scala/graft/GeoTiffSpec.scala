@@ -119,11 +119,38 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
-  test("reader rejects predictor on float32 and unknown compression") {
-    val fdata = Array.fill(w * h)(1.5f)
-    // hand-corrupt: write float32 then flip the compression tag to 99
-    val good = GeoTiff.writeFloat32(fdata, w, h, 32635, tf, None, ts)
+  test("reader rejects unknown compression; writer rejects invalid combos") {
+    // hand-corrupt a valid file: locate the IFD entry for a tag and
+    // overwrite its inline value field (little-endian layout, IFD offset
+    // at byte 4, 12-byte entries starting at ifdOff+2)
+    def patchTag(bytes: Array[Byte], tag: Int, newValue: Int): Array[Byte] = {
+      val out = bytes.clone()
+      val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifdOff = bb.getInt(4)
+      val n = bb.getShort(ifdOff) & 0xffff
+      val pos = (0 until n).map(i => ifdOff + 2 + i * 12)
+        .find(p => (bb.getShort(p) & 0xffff) == tag)
+        .getOrElse(fail(s"tag $tag not present"))
+      bb.putShort(pos + 8, newValue.toShort)
+      out
+    }
+    val good = GeoTiff.writeFloat32(Array.fill(w * h)(1.5f), w, h, 32635, tf, None, ts)
     assert(GeoTiff.readInfo(good).sampleFormat == 3)
+    val badComp = patchTag(good, 259, 99) // compression = 99
+    val e1 = intercept[IllegalArgumentException](GeoTiff.readInfo(badComp))
+    assert(e1.getMessage.contains("compression"))
+    // reader guard on unsupported predictors: flip a real predictor tag to 3
+    val u16 = GeoTiff.writeTiled(data, w, h, 32635, tf, None, ts,
+      compression = 5, predictor = 2)
+    val badPred3 = patchTag(u16, 317, 3)
+    val e2 = intercept[IllegalArgumentException](GeoTiff.readInfo(badPred3))
+    assert(e2.getMessage.contains("predictor"))
+    // writer-side guards
+    intercept[IllegalArgumentException](
+      GeoTiff.writeTiled(data, w, h, 32635, tf, None, ts, compression = 99))
+    intercept[IllegalArgumentException](
+      GeoTiff.writeStrips(data.take(w * h), w, h, 32635, tf, None,
+        rowsPerStrip = 32, compression = 5, predictor = 7))
   }
 
   test("reader rejects non-TIFF and unsupported layouts") {
