@@ -222,6 +222,50 @@ object MiscQueries {
           col("n_orders").isNull.as("is_orderless"))
     }),
 
+    // Mergeable HLL registers — the incremental-corpus distinct count:
+    // build a register table per partition (here l_orderkey % 2 halves),
+    // merge with union + per-bucket max, and show the merged estimate
+    // equals the whole-table estimate (register max is associative — the
+    // property that lets 100 TB partial sketches reduce tree-wise without
+    // ever re-scanning). Same portable construction as q82.
+    "q86_hll_merge" -> ((s, d) => {
+      import graft.ext.Sketches._
+      val m = HllBuckets
+      def registers(part: Option[Int]) = {
+        val src = part match {
+          case Some(p) => lineitem(s, d).filter(col("l_orderkey") % 2 === p)
+          case None => lineitem(s, d)
+        }
+        src.select(col("l_orderkey").cast("string").as("k"))
+          .select(hllHash(col("k")).as("h0"))
+          .select(hllMix(col("h0")).as("h1"))
+          .select((col("h1") % m).as("bucket"), hllMix(col("h1")).as("w"))
+          .select(col("bucket"), hllRho(col("w")).as("rho"))
+          .groupBy(col("bucket"))
+          .agg(max(col("rho")).as("mx"))
+      }
+      def estimate(regs: org.apache.spark.sql.DataFrame, name: String) = {
+        val harmonic =
+          aggregate(col("rs"), lit(0.0), (acc, r) =>
+            acc + lit(1.0) /
+              call_function("shiftleft", lit(1L), r("mx").cast("int")).cast("double")) +
+            (lit(m) - col("nb")).cast("double")
+        regs.agg(
+            sort_array(collect_list(struct(col("bucket"), col("mx")))).as("rs"),
+            count(lit(1)).as("nb"))
+          .select((hllAlphaM2 / harmonic).as("eraw"), (lit(m) - col("nb")).as("nv"))
+          .select(round(when(col("eraw") <= 2.5 * m && col("nv") > 0,
+              lit(m.toDouble) * log(lit(m.toDouble) / col("nv").cast("double")))
+            .otherwise(col("eraw")), 6).as(name))
+      }
+      val merged = registers(Some(0)).unionByName(registers(Some(1)))
+        .groupBy(col("bucket")).agg(max(col("mx")).as("mx"))
+      estimate(registers(None), "est_whole")
+        .crossJoin(estimate(merged, "est_merged"))
+        .select(col("est_whole"), col("est_merged"),
+          (col("est_whole") === col("est_merged")).as("registers_mergeable"))
+    }),
+
     // Exact distinct aggregate per group.
     "q45_distinct_agg" -> ((s, d) =>
       orders(s, d)
@@ -278,6 +322,45 @@ object MiscQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q86_hll_merge" -> {
+      import graft.ext.Sketches._
+      val m = HllBuckets
+      def regsSql(pred: String) =
+        s"""SELECT bucket, max(rho) AS mx FROM (
+              SELECT bucket, ${hllRhoSql("w")} AS rho FROM (
+                SELECT h1 % $m AS bucket, ${hllMixSql("h1")} AS w FROM (
+                  SELECT ${hllMixSql("h0")} AS h1 FROM (
+                    SELECT ${hllHashSql("CAST(l_orderkey AS VARCHAR)")} AS h0
+                    FROM lineitem $pred))))
+            GROUP BY bucket"""
+      def estSql(regsCte: String, out: String) =
+        s"""SELECT round(CASE WHEN eraw <= ${2.5 * m} AND nv > 0
+                              THEN $m.0 * ln($m.0 / nv::DOUBLE)
+                              ELSE eraw END, 6) AS $out
+            FROM (
+              SELECT $hllAlphaM2Sql /
+                       (list_reduce(list_prepend(0.0::DOUBLE,
+                          list_transform(rs, rr ->
+                            1.0::DOUBLE / ((1::BIGINT << rr.mx)::DOUBLE))),
+                          (sa, sb) -> sa + sb)
+                        + ($m - nb)::DOUBLE) AS eraw,
+                     ($m - nb) AS nv
+              FROM (SELECT list({'bucket': bucket, 'mx': mx} ORDER BY bucket) AS rs,
+                           CAST(count(*) AS BIGINT) AS nb
+                    FROM $regsCte))"""
+      s"""WITH whole AS (${regsSql("")}),
+            part0 AS (${regsSql("WHERE l_orderkey % 2 = 0")}),
+            part1 AS (${regsSql("WHERE l_orderkey % 2 = 1")}),
+            merged AS (
+              SELECT bucket, max(mx) AS mx FROM
+                (SELECT * FROM part0 UNION ALL SELECT * FROM part1)
+              GROUP BY bucket),
+            ew AS (${estSql("whole", "est_whole")}),
+            em AS (${estSql("merged", "est_merged")})
+          SELECT est_whole, est_merged,
+                 (est_whole = est_merged) AS registers_mergeable
+          FROM ew CROSS JOIN em"""
+    },
     "q84_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE EXISTS (SELECT 1 FROM orders
