@@ -116,23 +116,27 @@ object Dedup {
     * shape an interactive 100 TB dedup session uses (cf. incremental
     * top-k reuse, EDBT '20 — PAPERS.md).
     *
-    * Lifetime note: entries pin their checkpointed blocks for the JVM's
-    * life and localCheckpoint is not fault-tolerant — right for this
-    * harness's short single-JVM sessions; a long-lived multi-tenant
-    * service would swap in reliable checkpoints with explicit
-    * invalidation. */
-  private val baseCache = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+    * Lifetime note: entries are evicted when the owning SparkContext ends
+    * and `invalidate(session)` exists for tests that regenerate fixture
+    * parquet under an unchanged path (graft.SessionCache). localCheckpoint
+    * is still not fault-tolerant — right for this harness's single-JVM
+    * sessions; a long-lived multi-tenant service would swap in reliable
+    * checkpoints. */
+  private val baseCache = new graft.SessionCache
+
+  /** Drop this session's cached bases (fixture-rewriting tests). */
+  def invalidate(s: org.apache.spark.sql.SparkSession): Unit =
+    baseCache.invalidate(s)
 
   def shingleBase(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    baseCache.computeIfAbsent((s, d), { _ =>
+    baseCache.getOrElseUpdate(s, d) {
       val toks = tokens(col("text"))
       graft.Tables.documents(s, d).filter(size(toks) >= 2)
         .repartition(col("doc_id"))
         .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
         .select(col("doc_id"), combineAdjacent(col("th")).as("hh"))
         .localCheckpoint()
-    })
+    }
 
   /** The complete verified-LSH near-dup pipeline off the shared base:
     * signatures → full-signature candidate pairs (da < db) → exact

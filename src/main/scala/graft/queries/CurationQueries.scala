@@ -84,11 +84,10 @@ object CurationQueries {
     * lineage — the "write the intermediate once, run N jobs against it"
     * shape a 100 TB dedup pipeline uses between its cluster and winner
     * stages. */
-  private val ccCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val ccCache = new graft.SessionCache
 
   private def ccLabels(s: SparkSession, d: String): DataFrame =
-    ccCache.computeIfAbsent((s, d), { _ => ccLabelsUncached(s, d) })
+    ccCache.getOrElseUpdate(s, d) { ccLabelsUncached(s, d) }
 
   private def ccLabelsUncached(s: SparkSession, d: String): DataFrame = {
     val edges = nearDupEdges(s, d).localCheckpoint()

@@ -132,8 +132,8 @@ object RasterQueries {
         .select(col("scene_id"),
           col("width").cast("long").as("out_w"),
           col("height").cast("long").as("out_h"),
-          round(element_at(col("transform"), 3), 4).as("minx"),
-          round(element_at(col("transform"), 6), 4).as("maxy"),
+          (round(element_at(col("transform"), 3), 4) + lit(0.0)).as("minx"),
+          (round(element_at(col("transform"), 6), 4) + lit(0.0)).as("maxy"),
           acc.as("acc"))
         .select(col("scene_id"), col("out_w"), col("out_h"),
           col("minx"), col("maxy"),
@@ -258,7 +258,7 @@ object RasterQueries {
               FROM dims)
             SELECT 'N' || k AS scene_id,
                    CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
-                   round(minx, 4) AS minx, round(maxy, 4) AS maxy,
+                   round(minx, 4) + 0.0 AS minx, round(maxy, 4) + 0.0 AS maxy,
                    list_reduce(list_prepend(0::BIGINT, list_transform(pxs, qp ->
                      (CASE WHEN qp IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END))),
                      (qa, qb) -> qa + qb) AS n_valid,

@@ -113,7 +113,13 @@ object Writers {
     } catch { case e: Throwable => fs.delete(tmp, true); throw e }
     // swap via rename-aside: the live table is never deleted before its
     // replacement is in place — a crash mid-swap leaves either the
-    // original (possibly under the .bak name) or the new table readable
+    // original (possibly under the .bak name) or the new table on disk.
+    // Caveats (acceptable for this single-JVM harness, by design): between
+    // rename(hPath,bak) and rename(tmp,hPath) the live path does not
+    // exist, so a concurrent reader in the same session can fail, and a
+    // crash in that window strands the table under .bak — recovery is a
+    // manual rename back. A multi-writer deployment would use a
+    // catalog-pointer swap (table format metadata) instead of renames.
     fs.delete(bak, true)
     fs.rename(hPath, bak)
     if (!fs.rename(tmp, hPath)) {

@@ -210,7 +210,10 @@ object EventsStream {
       .schema(batchSchema)
       .parquet(stageDir(sfDir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withColumn("nk", pmod(col("user_id"), lit(25L)))
+      // % (truncated modulo, Remainder) rather than pmod: the DuckDB oracle
+      // uses user_id % 25, and the two only agree when the sign convention
+      // matches — pmod would silently diverge on negative user_ids.
+      .withColumn("nk", col("user_id") % lit(25L))
     val agg = stream
       .join(broadcast(dim), col("nk") === col("n_nationkey"))
       .withWatermark("ts", "1 hour")
