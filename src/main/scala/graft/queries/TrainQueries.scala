@@ -1,0 +1,342 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Portable._
+import graft.ext.Sketches
+
+/** Round-4 training-data pipeline operators: frequency sketching,
+  * corpus mixing, passage chunking, event-gap analysis, embedding
+  * compression, and bloom-filter join pruning. Every query follows the
+  * shared-constants pattern (functions/Portable.scala): the Spark Column
+  * chain and the DuckDB oracle SQL are generated from the same Scala
+  * constants, so the correctness gate checks the ACTUAL sketch/selection
+  * values cross-engine, not just row counts.
+  *
+  * Scale notes per operator are on each entry; the common theme is that
+  * every sketch/selection is a single hash-aggregate or a per-row scalar
+  * chain — nothing quadratic, nothing driver-side.
+  */
+object TrainQueries {
+
+  /** Count-min sketch geometry: depth 3 (reuses the first three MinHash
+    * permutations as the row hash family), width 256. */
+  private val CmsDepth = 3
+  private val CmsWidth = 256L
+  private def cmsBucket(h: Column, j: Int): Column = {
+    val (a, b) = MinhashPerms(j)
+    ((h * a + b) % MinhashP) % CmsWidth
+  }
+  private def cmsBucketSql(h: String, j: Int): String = {
+    val (a, b) = MinhashPerms(j)
+    s"((($h) * $a + $b) % $MinhashP) % $CmsWidth"
+  }
+
+  /** Random-projection sign bits (embedding SimHash): 16 pseudo-random
+    * 64-dim direction vectors with components in [-1, 1], generated from
+    * the shared LCG so both engines hold the same literals. Components
+    * are emitted as INTEGER thousandths and divided by 1000.0 in-engine —
+    * no decimal-literal formatting drift between Scala and SQL. */
+  private val RpBits = 16
+  private val RpDim = 64
+  private[queries] val rpInts: IndexedSeq[IndexedSeq[Long]] =
+    (0 until RpBits).map { j =>
+      (0 until RpDim).map { i =>
+        ((i * RpBits + j).toLong * Sketches.HllA + Sketches.HllB) % Sketches.HllP % 2001L - 1000L
+      }
+    }
+
+  /** Mixture weights in thousandths (en-heavy mix, sums to 700 — a 30%
+    * global downsample while rebalancing strata). */
+  private val MixWeights = Seq("en" -> 300L, "de" -> 100L, "es" -> 100L,
+    "fr" -> 100L, "zh" -> 100L)
+
+  /** Bloom geometry: 65536 bits, 3 hashes (first three MinHash perms). */
+  private val BloomBits = 65536L
+  private val BloomCut = 480000.0
+  private def bloomPos(k: Column, j: Int): Column = {
+    val (a, b) = MinhashPerms(j)
+    ((k * a + b) % MinhashP) % BloomBits
+  }
+  private def bloomPosSql(k: String, j: Int): String = {
+    val (a, b) = MinhashPerms(j)
+    s"((($k) * $a + $b) % $MinhashP) % $BloomBits"
+  }
+
+  /** Chunking geometry: 32-token windows, stride 24 (8-token overlap). */
+  private val ChunkSize = 32L
+  private val ChunkStride = 24L
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Count-min sketch over the corpus term stream + point-query accuracy
+    // check on the top-20 exact terms (Cormode & Muthukrishnan '05). The
+    // register table is ONE hash-aggregate of (row, bucket) — 768 cells
+    // regardless of corpus size, the mergeable-partial shape a 100 TB
+    // frequency sketch has. The top-20 probe uses a global row_number,
+    // fenced to the (small) distinct-term table.
+    "q87_cms_topk" -> ((s, d) => {
+      val hashed = documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .select(col("term"), charFold(col("term")).as("h"))
+      val regs = hashed
+        .select(posexplode(array((0 until CmsDepth).map(j => cmsBucket(col("h"), j)): _*))
+          .as(Seq("r", "bkt")))
+        .groupBy("r", "bkt").agg(count(lit(1)).as("cnt"))
+      val probes = hashed.groupBy("term")
+        .agg(count(lit(1)).as("exact_n"), min(col("h")).as("h"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("exact_n").desc, col("term"))))
+        .filter(col("rk") <= 20)
+      val est = (0 until CmsDepth).foldLeft(probes) { (df, j) =>
+        df.join(
+          broadcast(regs.filter(col("r") === j)
+            .select(col("bkt").as(s"b$j"), col("cnt").as(s"c$j"))),
+          cmsBucket(col("h"), j) === col(s"b$j"))
+      }
+      est.select(col("term"), col("exact_n"),
+        least((0 until CmsDepth).map(j => col(s"c$j")): _*).as("est_n"))
+    }),
+
+    // Deterministic mixture sampling: rank documents inside each language
+    // stratum by content hash and keep rank <= quota, where quota =
+    // weight_l * |corpus| / 1000. The standard "hit a target language mix"
+    // selection for a training corpus — reproducible (hash order, not
+    // random), and one shuffle (the per-stratum window). At 100 TB the
+    // lang partition is coarse; the same rank key supports sub-bucketing
+    // (lang, hash div 2^k) when a stratum outgrows one task.
+    "q88_mixture_sample" -> ((s, d) => {
+      val wm = MixWeights.tail.foldLeft(
+        when(col("lang") === MixWeights.head._1, lit(MixWeights.head._2))) {
+        case (c, (l, w)) => c.when(col("lang") === l, lit(w))
+      }.otherwise(lit(0L))
+      val n = documents(s, d).groupBy().agg(count(lit(1)).as("ntot"))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), charFold(col("text")).as("hk"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))).cast("long"))
+        .crossJoin(broadcast(n))
+        .withColumn("wm", wm)
+        .filter(col("rk") <= expr("(ntot * wm) div 1000"))
+        .select(col("doc_id"), col("lang"), col("rk"))
+    }),
+
+    // Passage chunking: split each document into 32-token windows with
+    // stride 24 (8-token overlap) and fingerprint each chunk — the
+    // context-window packing step of a pretraining pipeline. Pure per-row
+    // generate + project (explode of a computed range): no shuffle, no
+    // state; chunk count is derived with integer arithmetic only so both
+    // engines agree exactly.
+    "q89_doc_chunks" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      documents(s, d)
+        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
+        .select(col("doc_id"), col("th"), size(col("th")).cast("long").as("n"))
+        .select(col("doc_id"), col("th"), col("n"),
+          explode(sequence(lit(0L),
+            when(col("n") <= ChunkSize, lit(0L))
+              .otherwise(expr(s"(n - ${ChunkSize - ChunkStride + 1}) div $ChunkStride")))).as("ci"))
+        .select(col("doc_id"), col("ci").as("chunk_id"),
+          (col("ci") * ChunkStride).as("start_tok"),
+          least(lit(ChunkSize), col("n") - col("ci") * ChunkStride).as("n_tok"),
+          aggregate(
+            slice(col("th"), (col("ci") * ChunkStride + 1).cast("int"), lit(ChunkSize.toInt)),
+            lit(0L), (a, x) => (a * 31 + x) % FoldMod).as("chash"))
+    }),
+
+    // Inter-event gap profile per user: lead() over (user, ts, event_id),
+    // gaps aggregated to count/sum/max milliseconds. Session-analysis
+    // primitive (complement of q63's gap-threshold sessionize). One
+    // shuffle on user_id shared by the window and the aggregate. Integer
+    // MICROS end-to-end (ts div 1000) — DuckDB truncates TIMESTAMP_NS to
+    // micro precision on read, so nano-resolution gaps would diverge.
+    "q90_event_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+      table(s, d, "events") // raw read: ts stays BIGINT nanos
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+        .withColumn("nxt", lead(col("tus"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("user_id"), expr("(nxt - tus) div 1000").as("gap_ms"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_ms")).as("sum_gap_ms"),
+          max(col("gap_ms")).as("max_gap_ms"))
+    }),
+
+    // Embedding SimHash: 16 sign bits of deterministic random projections
+    // packed into a BIGINT — the LSH key family for Hamming-space near-dup
+    // (Charikar '02), computed as a per-row scalar chain (zero shuffle).
+    // The bucketed-join consumer shape is q36; this is the signature
+    // builder at its most scale-friendly: scan → project.
+    "q91_embed_signs" -> ((s, d) => {
+      def dotJ(j: Int): Column = aggregate(
+        zip_with(col("e"), typedLit(rpInts(j)), (x, r) => x * (r / lit(1000.0))),
+        lit(0.0), (acc, p) => acc + p)
+      embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        .select(col("vec_id"),
+          (0 until RpBits).map(j => when(dotJ(j) >= 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("sig"))
+    }),
+
+    // Scalar int8 quantization with a global per-dimension codebook:
+    // pass 1 aggregates min/max per dimension (64 rows), pass 2 broadcasts
+    // the codebook back and quantizes — the classic two-job shape of
+    // corpus-level embedding compression (the 100 TB variant writes the
+    // codebook table once and quantizes in one map pass).
+    "q92_quantize_int8" -> ((s, d) => {
+      val ex = embeddings(s, d)
+        .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("i", "v")))
+      val stats = ex.groupBy("i").agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      ex.join(broadcast(stats), "i")
+        .select(col("vec_id"),
+          (coalesce(floor((col("v") - col("mn")) / nullif(col("mx") - col("mn"), lit(0.0)) * 254 + 0.5)
+            .cast("long"), lit(0L)) - 127).as("q"))
+        .groupBy("vec_id")
+        .agg(sum(col("q")).as("qsum"), min(col("q")).as("qmn"), max(col("q")).as("qmx"))
+    }),
+
+    // Quality-weighted downsampling: keep a document with probability
+    // proportional to a length-derived quality proxy, decided by a
+    // deterministic hash threshold (reproducible Bernoulli — same corpus
+    // in, same sample out, no RNG state). Per-row scalar chain, zero
+    // shuffle; composes with q60 (stratified) and q88 (mixture).
+    "q93_quality_resample" -> ((s, d) => {
+      val pMilli = least(greatest(expr("(n_chars * 1000) div 600"), lit(100L)), lit(900L))
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"), pMilli.as("p_milli"))
+        .filter(Sketches.hllMix(charFold(col("text"))) % 1000 < col("p_milli"))
+        .select(col("doc_id"), col("lang"), col("p_milli"))
+    }),
+
+    // Bloom-filter membership pruning: build a 65536-bit / 3-hash bloom
+    // from high-value order custkeys, probe every customer, and report
+    // survivors with their true-membership flag (false positives are part
+    // of the CONTRACT and deterministic cross-engine). This is the runtime
+    // join-pruning pattern: at 100 TB the bit positions (not the keys)
+    // broadcast to the fact scan and drop non-joining rows before the
+    // shuffle.
+    "q94_bloom_join" -> ((s, d) => {
+      val buildKeys = orders(s, d).filter(col("o_totalprice") > BloomCut)
+        .select(col("o_custkey").as("k")).distinct()
+      val buildPos = (0 until 3)
+        .map(j => buildKeys.select(bloomPos(col("k"), j).as("p")))
+        .reduce(_ union _).distinct()
+      val probePos = customer(s, d)
+        .select(col("c_custkey"),
+          posexplode(array((0 until 3).map(j => bloomPos(col("c_custkey"), j)): _*))
+            .as(Seq("j", "p")))
+      probePos.join(broadcast(buildPos), "p")
+        .groupBy("c_custkey").agg(count(lit(1)).as("nhit"))
+        .filter(col("nhit") === 3)
+        .join(buildKeys, col("c_custkey") === col("k"), "left")
+        .select(col("c_custkey"), col("k").isNotNull.cast("long").as("is_member"))
+    }),
+  )
+
+  val oracle: Map[String, String] = {
+    val tokSql = tokensSql("text")
+    Map(
+      "q87_cms_topk" -> {
+        val regSelects = (0 until CmsDepth).map { j =>
+          s"SELECT $j AS r, ${cmsBucketSql("h", j)} AS bkt, count(*) AS cnt FROM hashed GROUP BY 2"
+        }.mkString(" UNION ALL ")
+        val joins = (0 until CmsDepth).map { j =>
+          s"JOIN (SELECT bkt, cnt AS c$j FROM regs WHERE r = $j) r$j ON ${cmsBucketSql("top.h", j)} = r$j.bkt"
+        }.mkString(" ")
+        s"""WITH toks AS (SELECT unnest($tokSql) AS term FROM documents),
+            hashed AS (SELECT term, ${charFoldSql("term")} AS h FROM toks),
+            regs AS ($regSelects),
+            probes AS (SELECT term, count(*)::BIGINT AS exact_n, min(h) AS h
+                       FROM hashed GROUP BY 1),
+            top AS (SELECT term, exact_n, h FROM (
+                      SELECT *, row_number() OVER (ORDER BY exact_n DESC, term) AS rk
+                      FROM probes) WHERE rk <= 20)
+            SELECT term, exact_n, least(c0, c1, c2)::BIGINT AS est_n
+            FROM top $joins"""
+      },
+      "q88_mixture_sample" -> {
+        val wCase = MixWeights.map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+          .mkString("CASE ", " ", " ELSE 0 END")
+        s"""SELECT doc_id, lang, rk FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY ${charFoldSql("text")}, doc_id)::BIGINT AS rk,
+                     ($wCase) AS wm
+              FROM documents) r,
+            (SELECT count(*) AS ntot FROM documents) n
+            WHERE rk <= (n.ntot * r.wm) // 1000"""
+      },
+      "q89_doc_chunks" ->
+        s"""WITH base AS (
+              SELECT doc_id, list_transform($tokSql, t -> ${charFoldSql("t")}) AS th
+              FROM documents),
+            b2 AS (SELECT doc_id, th, len(th)::BIGINT AS n FROM base),
+            ch AS (SELECT doc_id, th, n,
+                     unnest(range(0, CASE WHEN n <= $ChunkSize THEN 1
+                       ELSE (n - ${ChunkSize - ChunkStride + 1}) // $ChunkStride + 1 END)) AS ci
+                   FROM b2)
+            SELECT doc_id, ci::BIGINT AS chunk_id,
+                   (ci * $ChunkStride)::BIGINT AS start_tok,
+                   least($ChunkSize, n - ci * $ChunkStride)::BIGINT AS n_tok,
+                   list_reduce(list_prepend(0::BIGINT,
+                     list_slice(th, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkSize)),
+                     (qa, qx) -> (qa * 31 + qx) % $FoldMod) AS chash
+            FROM ch""",
+      "q90_event_gaps" ->
+        s"""SELECT user_id, count(*)::BIGINT AS n_gaps,
+                   sum(gap_ms)::BIGINT AS sum_gap_ms,
+                   max(gap_ms)::BIGINT AS max_gap_ms
+            FROM (SELECT user_id,
+                    (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) - epoch_us(ts)) // 1000 AS gap_ms
+                  FROM events)
+            WHERE gap_ms IS NOT NULL
+            GROUP BY 1""",
+      "q91_embed_signs" -> {
+        val dots = (0 until RpBits).map { j =>
+          val lits = rpInts(j).mkString("[", ", ", "]")
+          s"list_reduce(list_prepend(0::DOUBLE, list_transform(e, (qx, qi) -> " +
+            s"qx * ($lits[qi] / 1000.0))), (qa, qb) -> qa + qb) AS d$j"
+        }.mkString(", ")
+        val sig = (0 until RpBits)
+          .map(j => s"(CASE WHEN d$j >= 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString("(", " + ", ")::BIGINT")
+        s"""WITH base AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e FROM embeddings),
+            dots AS (SELECT vec_id, $dots FROM base)
+            SELECT vec_id, $sig AS sig FROM dots"""
+      },
+      "q92_quantize_int8" ->
+        s"""WITH ex AS (
+              SELECT vec_id, i, (embedding::DOUBLE[])[i] AS v
+              FROM embeddings, range(1, ${RpDim + 1}) t(i)),
+            stats AS (SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1),
+            q AS (SELECT vec_id,
+                    coalesce(floor((v - mn) / nullif(mx - mn, 0.0) * 254 + 0.5)::BIGINT, 0) - 127 AS q
+                  FROM ex JOIN stats USING (i))
+            SELECT vec_id, sum(q)::BIGINT AS qsum, min(q)::BIGINT AS qmn,
+                   max(q)::BIGINT AS qmx
+            FROM q GROUP BY 1""",
+      "q93_quality_resample" ->
+        s"""SELECT doc_id, lang, p_milli FROM (
+              SELECT doc_id, lang, text,
+                     least(greatest((n_chars * 1000) // 600, 100), 900)::BIGINT AS p_milli
+              FROM documents)
+            WHERE ${Sketches.hllMixSql(charFoldSql("text"))} % 1000 < p_milli""",
+      "q94_bloom_join" -> {
+        val probeList = (0 until 3).map(j => bloomPosSql("c_custkey", j)).mkString("[", ", ", "]")
+        val buildSelects = (0 until 3)
+          .map(j => s"SELECT ${bloomPosSql("k", j)} AS p FROM bk").mkString(" UNION ")
+        s"""WITH bk AS (SELECT DISTINCT o_custkey AS k FROM orders
+                        WHERE o_totalprice > $BloomCut),
+            bp AS ($buildSelects),
+            pp AS (SELECT c_custkey, unnest($probeList) AS p FROM customer),
+            pass AS (SELECT c_custkey FROM pp JOIN bp USING (p)
+                     GROUP BY 1 HAVING count(*) = 3)
+            SELECT c_custkey,
+                   (CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS is_member
+            FROM pass LEFT JOIN bk ON c_custkey = k"""
+      },
+    )
+  }
+}
