@@ -186,4 +186,30 @@ class GeoTiffSpec extends SparkSpec {
     }
     assert(math.abs(vals.head - expected) < 1e-6)
   }
+
+  test("external LZW fixture (independent encoder) decodes exactly") {
+    // tools/make_lzw_fixture.py writes this file with a from-scratch
+    // Python LZW implementation (TIFF 6.0 §13) — decoding it checks the
+    // Scala codec against bytes it did not produce itself. The pixel
+    // formula and geo tags below are the generator's documented contract.
+    val in = getClass.getResourceAsStream("/graft/external_lzw.tif")
+    assert(in != null, "fixture missing: run tools/make_lzw_fixture.py")
+    val bytes = try in.readAllBytes() finally in.close()
+    val info = GeoTiff.readInfo(bytes)
+    assert(info.width == 64 && info.height == 40 && info.compression == 5)
+    assert(info.stripLayout && info.tileH == 16)
+    assert(info.epsg == 32633)
+    assert(info.transform == Seq(30.0, 0.0, 500000.0, 0.0, -30.0, 4000000.0))
+    assert(info.nodata.contains(0.0))
+    val tiles = GeoTiff.toBandTiles("X", "red", bytes)
+    assert(tiles.length == 3)
+    val flat = tiles.sortBy(_.tile_row).flatMap(_.pixels)
+    assert(flat.length == 64 * 40)
+    flat.zipWithIndex.foreach { case (p, i) =>
+      val expect = ((i.toLong * i / 7 + 13L * i) % 9973).toFloat
+      // value 0 maps to nodata → None; all others must match exactly
+      if (expect == 0f) assert(p.isEmpty || p.contains(0f))
+      else assert(p.contains(expect), s"pixel $i: $p != $expect")
+    }
+  }
 }
