@@ -68,4 +68,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(countIn(plan) { case b: BroadcastHashJoinExec => b } >= 1,
       s"expected broadcast df join:\n$plan")
   }
+
+  test("q87 CMS register joins broadcast — the probe table never shuffles for the estimates") {
+    val plan = executedPlan(SparkEntry.queries("q87_cms_topk")(spark, sf))
+    assert(countIn(plan) { case b: BroadcastHashJoinExec => b } >= 3,
+      s"expected 3 broadcast register joins:\n$plan")
+  }
+
+  test("q91 sign signatures and q93 resampling plan with zero shuffles") {
+    Seq("q91_embed_signs", "q93_quality_resample").foreach { q =>
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
+      assert(countIn(plan) { case e: ShuffleExchangeExec => e } == 0,
+        s"$q is a scan-stage projection/filter; found a shuffle:\n$plan")
+    }
+  }
+
+  test("q89 chunking plans with zero shuffles (generate stays in the scan stage)") {
+    val plan = executedPlan(SparkEntry.queries("q89_doc_chunks")(spark, sf))
+    assert(countIn(plan) { case e: ShuffleExchangeExec => e } == 0,
+      s"chunking is scan -> project -> generate; found a shuffle:\n$plan")
+  }
+
+  test("q92 quantization broadcasts the 64-row codebook back to the explode") {
+    val plan = executedPlan(SparkEntry.queries("q92_quantize_int8")(spark, sf))
+    assert(countIn(plan) { case b: BroadcastHashJoinExec => b } >= 1,
+      s"expected a broadcast codebook join:\n$plan")
+  }
+
+  test("q94 bloom probe joins the bit positions via broadcast") {
+    val plan = executedPlan(SparkEntry.queries("q94_bloom_join")(spark, sf))
+    assert(countIn(plan) { case b: BroadcastHashJoinExec => b } >= 1,
+      s"expected broadcast position join:\n$plan")
+  }
 }
