@@ -41,9 +41,48 @@ object EnvelopePrefilter extends Rule[LogicalPlan] {
   }
 }
 
-/** Session wiring: SparkSession.builder().withExtensions(new GraftExtensions). */
+/** Session wiring: SparkSession.builder().withExtensions(new GraftExtensions).
+  *
+  * Besides the optimizer rule, the engine's custom expressions register in
+  * the SQL function registry, so `spark.sql` users get the same surface as
+  * the Column API: `st_contains(wkt, x, y)`, `char_fold(s)` (the portable
+  * dedup hash) and `dot_fold(a, b)` (the sequential-fold dot product). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => EnvelopePrefilter)
+    GraftExtensions.sqlFunctions.foreach(e.injectFunction)
   }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  /** The SQL-registered expression surface, shared by the builder-time
+    * extension and [[register]] (for sessions that already exist). */
+  val sqlFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("st_contains"),
+      new ExpressionInfo(classOf[PointInPolygon].getName, "st_contains"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "st_contains(wkt, x, y)")
+        PointInPolygon(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("char_fold"),
+      new ExpressionInfo(classOf[graft.functions.CharFoldExpr].getName, "char_fold"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "char_fold(s)")
+        graft.functions.CharFoldExpr(args.head)
+      }),
+    (FunctionIdentifier("dot_fold"),
+      new ExpressionInfo(classOf[graft.functions.DotFoldExpr].getName, "dot_fold"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_fold(a, b)")
+        graft.functions.DotFoldExpr(args(0), args(1))
+      }))
+
+  /** Register the SQL functions on a live session (builder-time
+    * withExtensions is not available after getOrCreate). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -232,6 +232,89 @@ object TrainQueries {
         .join(buildKeys, col("c_custkey") === col("k"), "left")
         .select(col("c_custkey"), col("k").isNotNull.cast("long").as("is_member"))
     }),
+
+    // Mergeable 256-bin histogram sketch + quantile estimates (p50/p90/p99
+    // of document length): the registers are ONE hash-aggregate (<=256
+    // rows regardless of input size — union+sum merges partials, the same
+    // tree-reduction as the HLL registers), and the estimate is the
+    // smallest bin whose cumulative count reaches ceil(p*N). The mergeable
+    // complement of q54's exact percentiles. Cumulative window is fenced
+    // to the 256-row register table.
+    "q95_hist_quantile" -> ((s, d) => {
+      val regs = documents(s, d)
+        .select(least(expr("(n_chars * 256) div 600"), lit(255L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val cum = regs.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val n = documents(s, d).groupBy().agg(count(lit(1)).as("ntot"))
+      val probes = cum.crossJoin(broadcast(n))
+        .select(col("bin"), col("cum"),
+          explode(typedLit(Seq(500L, 900L, 990L))).as("p_milli"),
+          col("ntot"))
+        .filter(col("cum") >= expr("(ntot * p_milli + 999) div 1000"))
+        .groupBy("p_milli").agg(min(col("bin")).as("bin"))
+      probes.join(broadcast(cum), "bin")
+        .select(col("p_milli"), col("bin"), col("cum"))
+    }),
+
+    // Ranking-function family (row_number / ntile / percent_rank /
+    // cume_dist) per order priority — the §2.8 window surface beyond
+    // plain top-k. Deterministic: the order key ends in the unique
+    // o_orderkey, so rank == row_number and the rational rank statistics
+    // are exact. One exchange on the partition key.
+    "q96_window_family" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d).select(
+        col("o_orderkey"), col("o_orderpriority").as("pri"),
+        row_number().over(w).cast("long").as("rk"),
+        ntile(4).over(w).cast("long").as("nt"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }),
+
+    // CDC changelog apply: fold an ordered upsert/delete stream (derived
+    // from orders: one op per order, delete every 97th key) into the
+    // customer base table — last writer wins per key, deletes drop the
+    // row, untouched base rows pass through. The foreachBatch merge
+    // sink's semantics as a pure query: window picks the final op per
+    // key (one shuffle), then one outer join against the base.
+    "q97_cdc_apply" -> ((s, d) => {
+      val chg = orders(s, d).select(
+        col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 97 === 0, "D").otherwise("U").as("op"),
+        col("o_totalprice").as("val"))
+      val last = chg.withColumn("rn", row_number().over(
+          Window.partitionBy("k").orderBy(col("seq").desc)))
+        .filter(col("rn") === 1).drop("rn")
+      customer(s, d).join(last, col("c_custkey") === col("k"), "left")
+        .filter(col("op").isNull || col("op") === "U")
+        .select(col("c_custkey"),
+          when(col("op") === "U", col("val")).otherwise(col("c_acctbal")).as("bal"),
+          when(col("op").isNull, "base").otherwise("cdc").as("src"))
+    }),
+
+    // Salt-and-replicate skew rewrite, proven result-identical: the fact
+    // side funnels a third of all events onto one hot key; the dim side
+    // is replicated across 8 salts and the join runs on (key, salt) so
+    // the hot key spreads over 8 tasks. The oracle is the PLAIN join —
+    // the rewrite must not change the answer. Forced to sort-merge (the
+    // topology where salting matters; broadcast would hide the skew).
+    "q98_salted_join" -> ((s, d) => {
+      val salts = 8L
+      val fact = events(s, d).select(
+        when(col("event_id") % 3 === 0, 0L).otherwise(col("user_id") % 25).as("sk"),
+        (col("event_id") % salts).as("salt"),
+        col("value"))
+      val dimS = nation(s, d)
+        .select(col("n_nationkey").cast("long").as("sk"), col("n_name"))
+        .select(col("sk"), col("n_name"), explode(sequence(lit(0L), lit(salts - 1))).as("salt"))
+      fact.join(dimS.hint("merge"), Seq("sk", "salt"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -337,6 +420,54 @@ object TrainQueries {
                    (CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS is_member
             FROM pass LEFT JOIN bk ON c_custkey = k"""
       },
+      "q95_hist_quantile" ->
+        s"""WITH regs AS (
+              SELECT least((n_chars * 256) // 600, 255)::BIGINT AS bin,
+                     count(*)::BIGINT AS cnt
+              FROM documents GROUP BY 1),
+            cum AS (SELECT bin, cnt,
+                      sum(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+                    FROM regs),
+            n AS (SELECT count(*)::BIGINT AS ntot FROM documents),
+            probes AS (
+              SELECT p_milli, min(bin) AS bin
+              FROM cum, n, unnest([500, 900, 990]) AS t(p_milli)
+              WHERE cum >= (ntot * p_milli + 999) // 1000
+              GROUP BY 1)
+            SELECT p_milli::BIGINT AS p_milli, probes.bin, cum.cum
+            FROM probes JOIN cum ON probes.bin = cum.bin""",
+      "q96_window_family" ->
+        s"""SELECT o_orderkey, o_orderpriority AS pri,
+                   row_number() OVER w::BIGINT AS rk,
+                   ntile(4) OVER w::BIGINT AS nt,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey)""",
+      "q97_cdc_apply" ->
+        s"""WITH chg AS (
+              SELECT o_custkey AS k, o_orderkey AS seq,
+                     CASE WHEN o_orderkey % 97 = 0 THEN 'D' ELSE 'U' END AS op,
+                     o_totalprice AS val
+              FROM orders),
+            last AS (SELECT k, op, val FROM (
+                       SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+                       FROM chg) WHERE rn = 1)
+            SELECT c_custkey,
+                   CASE WHEN op = 'U' THEN val ELSE c_acctbal END AS bal,
+                   CASE WHEN op IS NULL THEN 'base' ELSE 'cdc' END AS src
+            FROM customer LEFT JOIN last ON c_custkey = k
+            WHERE op IS NULL OR op = 'U'""",
+      "q98_salted_join" ->
+        s"""SELECT n_name, count(*)::BIGINT AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM (SELECT CASE WHEN event_id % 3 = 0 THEN 0
+                              ELSE user_id % 25 END AS sk, value
+                  FROM events) f
+            JOIN nation ON f.sk = n_nationkey
+            GROUP BY 1""",
     )
   }
 }

@@ -38,4 +38,20 @@ class ExtensionsSpec extends SparkSpec {
     val rows = rewritten.executeCollect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
     assert(rows == expect.toSet)
   }
+
+  test("custom expressions are callable from spark.sql after registration") {
+    graft.plans.GraftExtensions.register(spark)
+    Seq((5.0, 5.0), (9.0, 9.0)).toDF("x", "y").createOrReplaceTempView("pts")
+    val in = spark.sql(s"SELECT x FROM pts WHERE st_contains('$wkt', x, y)")
+      .as[Double].collect()
+    assert(in.toSeq == Seq(5.0))
+    // SQL char_fold/dot_fold equal their Column-API twins
+    val h = spark.sql("SELECT char_fold('hello')").as[Long].head
+    val hc = Seq("hello").toDF("s")
+      .select(graft.functions.Portable.charFold(col("s"))).as[Long].head
+    assert(h == hc)
+    val dot = spark.sql(
+      "SELECT dot_fold(array(1.0D, 2.0D), array(3.0D, 4.0D))").as[Double].head
+    assert(dot == 11.0)
+  }
 }

@@ -126,4 +126,71 @@ class TrainOpsSpec extends SparkSpec {
     val fp = (passed -- trueKeys).size.toDouble / math.max(1, rows.length)
     assert(fp < 0.2, s"false-positive rate too high: $fp")
   }
+
+  test("q95 histogram quantile estimates bracket the exact quantiles") {
+    val est = run("q95_hist_quantile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = Tables.documents(spark, sf)
+      .select(col("n_chars")).collect().map(_.getLong(0)).sorted
+    est.foreach { case (p, bin) =>
+      val exact = chars(((chars.length * p + 999) / 1000 - 1).toInt)
+      val (lo, hi) = (bin * 600.0 / 256, (bin + 1) * 600.0 / 256)
+      assert(exact >= lo - 600.0 / 256 && exact <= hi + 600.0 / 256,
+        s"p$p: exact $exact outside bin [$lo,$hi] ± one bin")
+    }
+    assert(est(500L) <= est(900L) && est(900L) <= est(990L))
+  }
+
+  test("q96 rank family is internally consistent") {
+    val rows = run("q96_window_family").collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, g) =>
+      val n = g.length
+      g.foreach { r =>
+        val (rk, nt, pr, cd) = (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+        assert(nt >= 1 && nt <= 4)
+        assert(math.abs(pr - (if (n == 1) 0.0 else (rk - 1).toDouble / (n - 1))) < 1e-12)
+        assert(math.abs(cd - rk.toDouble / n) < 1e-12)
+      }
+      assert(g.map(_.getLong(2)).sorted.sameElements(1L to n))
+    }
+  }
+
+  test("q97 cdc apply: deletes drop rows, updates win, base passes through") {
+    val rows = run("q97_cdc_apply").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderkey").desc)
+    val lastOp = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        when(col("o_orderkey") % 97 === 0, "D").otherwise("U"), col("o_totalprice"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    Tables.customer(spark, sf).select("c_custkey", "c_acctbal").collect().foreach { c =>
+      val (k, bal) = (c.getLong(0), c.getDouble(1))
+      lastOp.get(k) match {
+        case Some(("D", _)) => assert(!rows.contains(k), s"deleted key $k survived")
+        case Some(("U", v)) => assert(rows(k) == ((v, "cdc")), s"update lost for $k")
+        case _ => assert(rows(k) == ((bal, "base")), s"base row changed for $k")
+      }
+    }
+  }
+
+  test("q98 salted join equals the plain join (rewrite is result-identical)") {
+    val salted = run("q98_salted_join").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = Tables.events(spark, sf)
+      .select(when(col("event_id") % 3 === 0, 0L)
+        .otherwise(col("user_id") % 25).as("sk"), col("value"))
+      .join(Tables.nation(spark, sf), col("sk") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted == plain)
+    // the hot key holds ~1/3 of all events plus its share of the rest
+    val total = salted.values.map(_._1).sum
+    val hot = salted.maxBy(_._2._1)
+    assert(hot._2._1 > total / 4, s"expected a dominant key, got $salted")
+  }
 }
