@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Portable._
 
@@ -53,6 +53,34 @@ object Sketches {
       s"WHEN (($w) // ${1L << (j - 1)}) % 2 = 1 THEN $j"
     }
     s"CASE ${cases.mkString(" ")} ELSE $HllMaxRho END"
+  }
+
+  /** The (bucket → max rho) register table for a key column — the one
+    * hash-aggregate every HLL consumer (q82 estimate, q86 merge, the
+    * streaming maintainer) derives from. Layered selects: each hash
+    * column materialized once. */
+  def hllRegisters(src: DataFrame, key: Column): DataFrame =
+    src.select(key.cast("string").as("k"))
+      .select(hllHash(col("k")).as("h0"))
+      .select(hllMix(col("h0")).as("h1"))
+      .select((col("h1") % HllBuckets).as("bucket"), hllMix(col("h1")).as("w"))
+      .select(col("bucket"), hllRho(col("w")).as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).cast("long").as("mx"))
+
+  /** Driver-side estimate from a register map (the registers ARE
+    * driver-size — 64 entries no matter the input): harmonic mean with
+    * the standard small-range linear-counting correction, mirroring the
+    * q82 column expression. */
+  def estimateFromRegisters(regs: Map[Long, Long]): Double = {
+    val m = HllBuckets
+    val nEmpty = m - regs.size
+    val harmonic = regs.values.foldLeft(0.0)((a, mx) => a + 1.0 / (1L << mx)) +
+      nEmpty.toDouble
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * (m * m)
+    val eraw = alphaM2 / harmonic
+    if (eraw <= 2.5 * m && nEmpty > 0) m.toDouble * math.log(m.toDouble / nEmpty)
+    else eraw
   }
 
   /** alpha_m * m^2 for m = 64, computed (not hard-coded) so both engines

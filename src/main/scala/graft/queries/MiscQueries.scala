@@ -167,14 +167,7 @@ object MiscQueries {
       val m = HllBuckets
       // two LCG scrambles: bucket from the first stream, rho bits from the
       // second (layered selects — each hash column materialized once)
-      val regs = lineitem(s, d)
-        .select(col("l_orderkey").cast("string").as("k"))
-        .select(hllHash(col("k")).as("h0"))
-        .select(hllMix(col("h0")).as("h1"))
-        .select((col("h1") % m).as("bucket"), hllMix(col("h1")).as("w"))
-        .select(col("bucket"), hllRho(col("w")).as("rho"))
-        .groupBy(col("bucket"))
-        .agg(max(col("rho")).as("mx"))
+      val regs = hllRegisters(lineitem(s, d), col("l_orderkey"))
       val packed = regs.agg(
         sort_array(collect_list(struct(col("bucket"), col("mx")))).as("rs"),
         count(lit(1)).as("nb"))
@@ -236,13 +229,7 @@ object MiscQueries {
           case Some(p) => lineitem(s, d).filter(col("l_orderkey") % 2 === p)
           case None => lineitem(s, d)
         }
-        src.select(col("l_orderkey").cast("string").as("k"))
-          .select(hllHash(col("k")).as("h0"))
-          .select(hllMix(col("h0")).as("h1"))
-          .select((col("h1") % m).as("bucket"), hllMix(col("h1")).as("w"))
-          .select(col("bucket"), hllRho(col("w")).as("rho"))
-          .groupBy(col("bucket"))
-          .agg(max(col("rho")).as("mx"))
+        hllRegisters(src, col("l_orderkey"))
       }
       def estimate(regs: org.apache.spark.sql.DataFrame, name: String) = {
         val harmonic =

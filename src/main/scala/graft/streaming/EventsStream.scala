@@ -338,4 +338,45 @@ object EventsStream {
         Window.partitionBy("user_id").orderBy(col("n_events").desc)))
       .filter(col("_r") === 1).drop("_r")
   }
+
+  /** Incremental sketch maintenance: each micro-batch computes its own
+    * 64-row HLL register partial and foreachBatch merges it into a
+    * driver-held register store (union + per-bucket max — associative, so
+    * batch boundaries cannot change the result). The registers are
+    * driver-size BY CONSTRUCTION — 64 entries regardless of stream volume
+    * — which is exactly why a 100 TB continuous distinct-count keeps its
+    * whole state in the sketch, not in per-key stream state. Two staged
+    * copies + one file per trigger force a genuinely multi-batch run (and
+    * prove duplicate arrivals don't perturb a distinct sketch).
+    * Returns the final (bucket, mx) register table. */
+  def hllMaintainStreaming(spark: SparkSession, sfDir: String,
+                           queryName: String = "graft_stream_hll"): DataFrame = {
+    val store = scala.collection.mutable.Map[Long, Long]()
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir(sfDir, "events", copies = 2))
+      .select(col("event_id"))
+    withStreamPartitions(spark, 8) {
+      val q = stream.writeStream
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val partial = graft.ext.Sketches
+            .hllRegisters(batch, col("event_id")).collect()
+          store.synchronized {
+            partial.foreach { r =>
+              val (b, mx) = (r.getLong(0), r.getLong(1))
+              store(b) = math.max(store.getOrElse(b, 0L), mx)
+            }
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    import spark.implicits._
+    store.toSeq.sortBy(_._1).toDF("bucket", "mx")
+  }
 }

@@ -93,4 +93,24 @@ class StreamingSpec extends SparkSpec {
     assert(SceneCatalog.globClipped(files).as[String].collect().toSeq == Seq("a_NDVI_clipped.parquet"))
     assert(SceneCatalog.globViz(files).as[String].collect().toSeq == Seq("a_NDVI_clipped_viz.parquet"))
   }
+
+  test("streaming-maintained HLL registers equal the batch registers") {
+    import graft.ext.Sketches
+    val streamed = graft.streaming.EventsStream
+      .hllMaintainStreaming(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Sketches
+      .hllRegisters(Tables.table(spark, sf, "events"), col("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // register max is associative: micro-batch boundaries and the
+    // duplicated landing files must not change a single register
+    assert(streamed == batch)
+    // the driver-side estimate mirrors the q82 column expression: same
+    // registers → an estimate within the sketch's error envelope
+    val est = Sketches.estimateFromRegisters(streamed)
+    val exact = Tables.table(spark, sf, "events")
+      .select(col("event_id")).distinct().count()
+    assert(math.abs(est - exact) / exact < 0.35,
+      s"estimate $est vs exact $exact out of HLL-64 envelope")
+  }
 }
