@@ -315,6 +315,55 @@ object TrainQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     }),
+
+    // Unigram language-model scoring: corpus term frequencies → add-one
+    // smoothed per-token log-probabilities → per-doc average. The
+    // model-based quality signal (complement of q26's rule-based score) a
+    // perplexity filter uses. Per-token logprobs are rounded to 9 dp and
+    // summed as DECIMAL so the per-doc sum is exact and order-independent
+    // (a raw double SUM would drift with partitioning). Two aggregates +
+    // one term join; the vocabulary broadcast-joins back to the stream.
+    "q99_unigram_logprob" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      val totals = vocab.agg(sum(col("tf")).as("tt"),
+        count(lit(1)).as("v")).select(col("tt"), col("v"))
+      val lp = round(log((col("tf") + 1).cast("double") /
+        (col("tt") + col("v")).cast("double")), 9).cast("decimal(18,9)")
+      toks.join(broadcast(vocab), "term")
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), lp.as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round((sum(col("lp")) / count(lit(1))).cast("double"), 6).as("avg_lp"))
+    }),
+
+    // Content-defined chunking: a boundary falls after any token whose
+    // hash ≡ 0 (mod 16) — the rolling-hash cut rule dedup systems use so
+    // chunk boundaries survive insertions (unlike q89's fixed stride,
+    // where one inserted token shifts every later chunk). Pure per-row
+    // fold over the token-hash array: zero shuffle, integer-only.
+    "q100_cdc_chunks" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      documents(s, d)
+        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
+        .filter(size(col("th")) >= 1)
+        .select(col("doc_id"),
+          aggregate(col("th"),
+            struct(lit(0L).as("cur"), lit(0L).as("mx"), lit(0L).as("n")),
+            (a, h) =>
+              struct(
+                when(h % 16 === 0, lit(0L)).otherwise(a("cur") + 1).as("cur"),
+                greatest(a("mx"), a("cur") + 1).as("mx"),
+                (a("n") + (h % 16 === 0).cast("long")).as("n")),
+            a => struct(
+              (a("n") + (a("cur") > 0).cast("long")).as("n"),
+              a("mx").as("mx")))
+            .as("acc"))
+        .select(col("doc_id"), col("acc.n").as("n_chunks"),
+          col("acc.mx").as("max_len"))
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -468,6 +517,43 @@ object TrainQueries {
                   FROM events) f
             JOIN nation ON f.sk = n_nationkey
             GROUP BY 1""",
+      "q99_unigram_logprob" ->
+        s"""WITH toks AS (
+              SELECT doc_id, unnest($tokSql) AS term FROM documents),
+            vocab AS (SELECT term, count(*)::BIGINT AS tf FROM toks GROUP BY 1),
+            totals AS (SELECT sum(tf)::BIGINT AS tt, count(*)::BIGINT AS v FROM vocab)
+            SELECT doc_id, count(*)::BIGINT AS n_toks,
+                   round(CAST(sum(CAST(round(ln((tf + 1)::DOUBLE / (tt + v)::DOUBLE), 9)
+                     AS DECIMAL(18,9))) / count(*) AS DOUBLE), 6) AS avg_lp
+            FROM toks JOIN vocab USING (term), totals
+            GROUP BY 1""",
+      "q100_cdc_chunks" -> {
+        // DuckDB list_reduce pitfall: a STRUCT accumulator resolves
+        // earlier fields' names in later field expressions (qa.cur in the
+        // 'mx' slot sees the NEW cur), so the three counters are packed
+        // into one BIGINT instead: acc = cur + mx*2^20 + n*2^40 (each
+        // counter < 2^20 — docs are < 600 chars).
+        val B = 1L << 20
+        val cur = s"(qa % $B)"
+        val mx = s"((qa // $B) % $B)"
+        val n = s"(qa // ${B * B})"
+        val cut = s"(qe % 16 = 0)"
+        s"""SELECT doc_id,
+                   (acc // ${B * B} +
+                    CASE WHEN acc % $B > 0 THEN 1 ELSE 0 END)::BIGINT AS n_chunks,
+                   ((acc // $B) % $B)::BIGINT AS max_len
+            FROM (
+              SELECT doc_id,
+                list_reduce(list_prepend(0::BIGINT, th), (qa, qe) ->
+                  (CASE WHEN $cut THEN 0::BIGINT ELSE $cur + 1 END)
+                  + greatest($mx, $cur + 1) * $B
+                  + ($n + CASE WHEN $cut THEN 1::BIGINT ELSE 0::BIGINT END) * ${B * B}
+                ) AS acc
+              FROM (
+                SELECT doc_id, list_transform($tokSql, t -> ${charFoldSql("t")}) AS th
+                FROM documents)
+              WHERE len(th) >= 1)"""
+      },
     )
   }
 }

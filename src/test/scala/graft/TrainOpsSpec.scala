@@ -193,4 +193,37 @@ class TrainOpsSpec extends SparkSpec {
     val hot = salted.maxBy(_._2._1)
     assert(hot._2._1 > total / 4, s"expected a dominant key, got $salted")
   }
+
+  test("q99 logprobs are valid probabilities and rank common-term docs higher") {
+    val rows = run("q99_unigram_logprob").collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach(r => assert(r.getDouble(2) < 0.0, "log of p<1 must be negative"))
+    // a smoothed unigram logprob is bounded below by ln(1/(T+V))
+    val bound = {
+      val toks = Tables.documents(spark, sf)
+        .select(explode(Portable.tokens(col("text"))).as("t"))
+      val t = toks.count(); val v = toks.distinct().count()
+      math.log(1.0 / (t + v))
+    }
+    rows.foreach(r => assert(r.getDouble(2) >= bound - 1e-9))
+  }
+
+  test("q100 content-defined chunks match a brute-force fold") {
+    val th = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        transform(Portable.tokens(col("text")), t => Portable.charFold(t)).as("th"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val rows = run("q100_cdc_chunks").collect()
+    assert(rows.map(_.getLong(0)).toSet == th.filter(_._2.nonEmpty).keySet)
+    rows.foreach { r =>
+      var cur = 0L; var mx = 0L; var n = 0L
+      th(r.getLong(0)).foreach { h =>
+        mx = math.max(mx, cur + 1)
+        if (h % 16 == 0) { n += 1; cur = 0 } else cur += 1
+      }
+      if (cur > 0) n += 1
+      assert(r.getLong(1) == n && r.getLong(2) == mx,
+        s"doc ${r.getLong(0)}: (${r.getLong(1)},${r.getLong(2)}) != ($n,$mx)")
+    }
+  }
 }
