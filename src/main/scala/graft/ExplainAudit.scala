@@ -22,7 +22,10 @@ object ExplainAudit {
                "q55_minhash_banded", "q56_warp_nn", "q58_contamination",
                "q60_stratified_sample", "q62_url_normalize",
                "q63_sessionize", "q66_tfidf", "q72_asof_click",
-               "q74_interval_join", "q80_corpus_diff")
+               "q74_interval_join", "q80_corpus_diff",
+               "q87_cms_topk", "q88_mixture_sample", "q89_doc_chunks",
+               "q92_quantize_int8", "q94_bloom_join", "q98_salted_join",
+               "q99_unigram_logprob")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -219,9 +219,11 @@ object TrainQueries {
     "q94_bloom_join" -> ((s, d) => {
       val buildKeys = orders(s, d).filter(col("o_totalprice") > BloomCut)
         .select(col("o_custkey").as("k")).distinct()
-      val buildPos = (0 until 3)
-        .map(j => buildKeys.select(bloomPos(col("k"), j).as("p")))
-        .reduce(_ union _).distinct()
+      // one scan: explode the 3 positions per key, then dedup — the union-
+      // of-3-selects formulation reads the build table once per hash
+      val buildPos = buildKeys
+        .select(explode(array((0 until 3).map(j => bloomPos(col("k"), j)): _*)).as("p"))
+        .distinct()
       val probePos = customer(s, d)
         .select(col("c_custkey"),
           posexplode(array((0 until 3).map(j => bloomPos(col("c_custkey"), j)): _*))
