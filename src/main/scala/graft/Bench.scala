@@ -58,10 +58,23 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} FAILED: ${failed.mkString(", ")}")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    // Full-named per-query map first (for humans reading the complete log).
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
+    // The consumer of this output keeps only the LAST ~2000 characters and
+    // parses the JSON line out of that window. Two things have broken that
+    // in the past: (a) the full-named 110-query line is ~4 KB, so its
+    // opening brace fell outside the window; (b) Spark shutdown WARNs
+    // landed after the line and pushed it out entirely. So: silence
+    // logging, stop Spark FIRST, and only then print one compact line
+    // (short qNN keys, millisecond precision, ~1.5 KB) as the final output.
+    org.apache.log4j.LogManager.getRootLogger.setLevel(org.apache.log4j.Level.OFF)
+    try spark.stop() catch { case _: Throwable => () }
+    def r3(v: Double): String = if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qsShort = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
   }
 }
