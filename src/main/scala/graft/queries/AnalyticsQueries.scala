@@ -72,13 +72,18 @@ object AnalyticsQueries {
       // INLINED, re-running the whole O(n²) chain per row inside the
       // Filter (9.2 s vs 0.9 s). No empty sh exists (size >= 2 guard),
       // so outer ≡ inner.
+      // n_types (nd) counts distinct RAW tokens, not distinct charFold
+      // hashes — a hash collision must not understate the type count
+      // versus the Gopher repetition definition. th is still referenced
+      // twice below (size + combineAdjacent) so it stays materialized.
       val toks = tokens(col("text"))
       val base = documents(s, d).filter(size(toks) >= 2)
         .repartition(col("doc_id"))
-        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
+        .select(col("doc_id"),
+          size(array_distinct(toks)).cast("long").as("nd"),
+          transform(toks, t => charFold(t)).as("th"))
         .select(col("doc_id"), size(col("th")).cast("long").as("n"),
-          size(array_distinct(col("th"))).cast("long").as("nd"),
-          Dedup.combineAdjacent(col("th")).as("sh"))
+          col("nd"), Dedup.combineAdjacent(col("th")).as("sh"))
       base.select(col("doc_id"), col("n"), col("nd"), explode_outer(col("sh")).as("bh"))
         .groupBy(col("doc_id"), col("bh"))
         .agg(count(lit(1)).as("c"), max(col("n")).as("n"), max(col("nd")).as("nd"))
@@ -121,7 +126,10 @@ object AnalyticsQueries {
         .select(col("lang"), col("n_docs"), col("n_toks"),
           (col("acc.bins") + (col("acc.cur") > 0).cast("long")).as("n_bins"))
         .select(col("lang"), col("n_docs"), col("n_toks"), col("n_bins"),
-          expr(s"(n_toks * 1000) div (n_bins * $C)").as("fill_milli"))
+          // nullif guards the degenerate stratum whose docs all tokenize
+          // to zero tokens (n_bins = 0): fill_milli is NULL there instead
+          // of an ANSI divide-by-zero error.
+          expr(s"(n_toks * 1000) div (nullif(n_bins, 0) * $C)").as("fill_milli"))
     }),
 
     // Shannon entropy of each document's token distribution (type-token
@@ -212,8 +220,10 @@ object AnalyticsQueries {
     // mining): pmi = ln(c_xy·T_u² / (T_b·c_x·c_y)), support ≥ 5, top 20.
     // Pair and unigram counts are two hash-aggregates over one token
     // scan; the vocabulary joins back broadcast; the final selection is
-    // TakeOrdered. All count products stay < 2^62 (counts < 2^21,
-    // totals < 2^21 at any SF the bench runs).
+    // TakeOrdered. The count products are formed in DOUBLE from the
+    // start (n_pair·tu·tu reaches 2^63 once corpus tokens pass ~2^21,
+    // which a larger SF does) — both engines multiply doubles in the
+    // same left-to-right order, so the hash gate holds.
     "q107_pmi_pairs" -> ((s, d) => {
       val base = documents(s, d)
         .select(tokens(col("text")).as("tk"))
@@ -235,8 +245,10 @@ object AnalyticsQueries {
         .join(broadcast(uni.select(col("t").as("t2"), col("c").as("c2"))), "t2")
         .crossJoin(broadcast(totals))
         .select(col("t1"), col("t2"), col("n_pair"),
-          round(log((col("n_pair") * col("tu") * col("tu")).cast("double") /
-            (col("tb") * col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+          round(log((col("n_pair").cast("double") * col("tu").cast("double") *
+            col("tu").cast("double")) /
+            (col("tb").cast("double") * col("c1").cast("double") *
+              col("c2").cast("double"))), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("t1"), col("t2"))
         .limit(20)
     }),
@@ -281,8 +293,10 @@ object AnalyticsQueries {
           col("n_exact"))
         .select(col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
           col("n_exact"),
+          // nullif: disjoint audiences (n_exact = 0) yield a NULL err
+          // rather than engine-divergent NaN/Inf representations.
           round(abs(col("est_inter") - col("n_exact").cast("double")) /
-            col("n_exact").cast("double"), 6).as("err"))
+            nullif(col("n_exact"), lit(0L)).cast("double"), 6).as("err"))
     }),
 
     // Z-order (Morton) layout keys over (price, order-day): quantize each
@@ -329,10 +343,10 @@ object AnalyticsQueries {
     Map(
       "q101_repetition" ->
         s"""WITH base AS (
-              SELECT doc_id, list_transform($tokSql, t -> ${charFoldSql("t")}) AS th
+              SELECT doc_id, len(list_distinct($tokSql))::BIGINT AS nd,
+                     list_transform($tokSql, t -> ${charFoldSql("t")}) AS th
               FROM documents),
-            b2 AS (SELECT doc_id, len(th)::BIGINT AS n,
-                     len(list_distinct(th))::BIGINT AS nd,
+            b2 AS (SELECT doc_id, len(th)::BIGINT AS n, nd,
                      ${Dedup.combineAdjacentSql("th")} AS sh
                    FROM base WHERE len(th) >= 2),
             bg AS (SELECT doc_id, n, nd, unnest(sh) AS bh FROM b2),
@@ -361,7 +375,7 @@ object AnalyticsQueries {
                     (acc // $B + CASE WHEN acc % $B > 0 THEN 1 ELSE 0 END)::BIGINT AS n_bins
                   FROM g)
             SELECT lang, n_docs, n_toks, n_bins,
-                   ((n_toks * 1000) // (n_bins * $C))::BIGINT AS fill_milli
+                   ((n_toks * 1000) // (nullif(n_bins, 0) * $C))::BIGINT AS fill_milli
             FROM b"""
       },
       "q103_token_entropy" ->
@@ -425,8 +439,8 @@ object AnalyticsQueries {
             totals AS (SELECT (SELECT sum(c)::BIGINT FROM uni) AS tu,
                               (SELECT count(*)::BIGINT FROM pairs) AS tb)
             SELECT t1, t2, n_pair,
-                   round(ln((n_pair * tu * tu)::DOUBLE /
-                     (tb * u1.c * u2.c)::DOUBLE), 6) AS pmi
+                   round(ln((n_pair::DOUBLE * tu::DOUBLE * tu::DOUBLE) /
+                     (tb::DOUBLE * u1.c::DOUBLE * u2.c::DOUBLE)), 6) AS pmi
             FROM pc JOIN uni u1 ON t1 = u1.t JOIN uni u2 ON t2 = u2.t, totals
             ORDER BY pmi DESC, t1, t2 LIMIT 20""",
       "q108_hll_intersect" -> {
@@ -472,8 +486,8 @@ object AnalyticsQueries {
                        round(est_a + est_b - est_union, 6) AS est_inter, n_exact
                      FROM ea, eb, eu, ex)
             SELECT est_a, est_b, est_union, est_inter, n_exact,
-                   round(abs(est_inter - n_exact::DOUBLE) / n_exact::DOUBLE, 6)
-                     AS err
+                   round(abs(est_inter - n_exact::DOUBLE) /
+                     nullif(n_exact, 0)::DOUBLE, 6) AS err
             FROM s0"""
       },
       "q109_zorder" ->
