@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ExtractQueries.defs ++ JoinAggQueries.defs ++ LlmQueries.defs ++
       RasterQueries.defs ++ StreamQueries.defs ++ MiscQueries.defs ++
-      CurationQueries.defs ++ TrainQueries.defs ++ AnalyticsQueries.defs
+      CurationQueries.defs ++ TrainQueries.defs ++ AnalyticsQueries.defs ++
+      SelectionQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ExtractQueries.oracle ++ JoinAggQueries.oracle ++ LlmQueries.oracle ++
       RasterQueries.oracle ++ StreamQueries.oracle ++ MiscQueries.oracle ++
-      CurationQueries.oracle ++ TrainQueries.oracle ++ AnalyticsQueries.oracle
+      CurationQueries.oracle ++ TrainQueries.oracle ++ AnalyticsQueries.oracle ++
+      SelectionQueries.oracle
 }

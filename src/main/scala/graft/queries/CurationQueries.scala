@@ -268,6 +268,25 @@ object CurationQueries {
              max(when(col("rk") === 1, col("quality"))).as("winner_quality"))
     }),
 
+    // Dedup APPLIED end-to-end: the keep-list = every document outside the
+    // near-dup graph plus one representative per connected component (the
+    // component label IS its min doc_id, so the representative is the doc
+    // whose id equals its label — no extra ranking pass). Reported as the
+    // per-language before/after corpus counts a curation run logs. The
+    // label table is the same cached frame q65/q71 consume; the apply step
+    // is one broadcast-size left join over the corpus scan.
+    "q112_dedup_apply" -> ((s, d) => {
+      val lbl = ccLabels(s, d)
+      documents(s, d)
+        .join(broadcast(lbl), col("doc_id") === col("node"), "left")
+        .select(col("lang"),
+          (col("lbl").isNull || col("lbl") === col("doc_id")).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_before"),
+             sum(when(col("keep"), 1L).otherwise(0L)).as("n_after"),
+             sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+    }),
+
     // One k-means (Lloyd) refinement step over the IVF coarse cells:
     // assign every vector to its nearest centroid (q49's quantizer), then
     // recompute each cell's centroid as the mean of its members. The mean
@@ -500,6 +519,25 @@ object CurationQueries {
                       ELSE 'changed' END AS status
           FROM olds FULL OUTER JOIN news ON o_id = n_id"""
     },
+    "q112_dedup_apply" ->
+      s"""WITH RECURSIVE
+          $edgesSql,
+          bidir AS (SELECT da AS s, db AS t FROM edges
+                    UNION ALL SELECT db, da FROM edges),
+          nodes AS (SELECT DISTINCT s AS n FROM bidir),
+          walk(n, r) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT b.t, w.r FROM walk w JOIN bidir b ON b.s = w.n),
+          comp AS (SELECT n AS doc_id, min(r) AS cluster_id FROM walk GROUP BY n)
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_before,
+                 CAST(sum(CASE WHEN cluster_id IS NULL OR cluster_id = documents.doc_id
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+                 CAST(sum(CASE WHEN cluster_id IS NULL OR cluster_id = documents.doc_id
+                               THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+          FROM documents LEFT JOIN comp ON documents.doc_id = comp.doc_id
+          GROUP BY lang""",
     "q71_cluster_winners" -> {
       val q = TextAnalysis.qualityScoreSql(
         "len(tk)::BIGINT",
