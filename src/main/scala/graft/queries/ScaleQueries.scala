@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Portable._
+import graft.ext.{Dedup, Similarity, Sketches}
+
+/** Round-6 second batch — operators whose POINT is the scale path:
+  * multi-probe LSH (recall recovery without widening the index), PageRank
+  * iterated to a fixed horizon (the multi-round convergence loop, not just
+  * one step), per-group HLL sketches (the grouped distinct-count a
+  * reporting layer reads), and duplicated-span detection (Lee et al. '22
+  * exact-substring dedup signals at passage-run granularity).
+  *
+  * Shared-constants discipline as everywhere: Spark plan and DuckDB
+  * oracle generate from the same Scala values.
+  */
+object ScaleQueries {
+
+  /** Node-id offset separating part nodes from supplier nodes in the
+    * bipartite supply graph (partkey space is far below this). */
+  val PrPartOffset = 1000000L
+  /** PageRank damping as an exact rational (17/20 = 0.85): the iteration
+    * runs in fixed-point BIGINT arithmetic, so every round is bit-exact
+    * on both engines BY CONSTRUCTION — no per-term rounding discipline to
+    * defend. (A 12-dp round-then-DECIMAL variant was measured to drift
+    * 2e-12 on ~100 of 21k nodes at sf0.1: three rounds × 1.2 M edge terms
+    * hit enough HALF_UP tie boundaries that engine rounding diverges.) */
+  val PrDampNum = 17L
+  val PrDampDen = 20L
+  /** Fixed-point scale (1 rank unit = 10^-12). Products stay < 2^63:
+    * PrDampNum · S = 1.7e13; denominators ≤ PrDampDen · |nodes|. */
+  val PrScale = 1000000000000L
+  /** Fixed iteration horizon — deterministic, so the oracle can unroll
+    * the same number of rounds. */
+  val PrIters = 3
+
+  /** Minimum cross-document multiplicity for a span position to count as
+    * duplicated. */
+  val SpanMinDocs = 2
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Multi-probe LSH ANN: probe the query's hyperplane bucket AND its 8
+    // Hamming-1 neighbors (flip one sign bit each) — the standard recall
+    // recovery for sign-LSH without adding hash tables. Candidates are 9
+    // buckets instead of 1; the re-rank stays exact. Reported against the
+    // brute-force top-10 (q53's metric) so the recall gain is measured,
+    // not asserted. The probe list is 9 rows broadcast; the scan never
+    // shuffles.
+    "q119_ann_multiprobe" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        .withColumn("bucket", Similarity.lshBucket(col("e")))
+        .localCheckpoint()
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("bucket").as("qb"), col("e").as("qe"))
+      val probes = q.select(col("qe"),
+        explode(array(col("qb") +: (0 until Similarity.LshPlanes).map(j =>
+          col("qb").bitwiseXOR(lit(1L << j))): _*)).as("pb"))
+      val scored = emb.join(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("bucket"), cosine(col("e"), col("qe")).as("sim"))
+        .localCheckpoint()
+      val cand = scored.join(broadcast(probes.select(col("pb"))),
+          col("bucket") === col("pb"))
+        .select(col("vec_id"), col("sim")).distinct()
+      val lsh = cand.orderBy(col("sim").desc, col("vec_id")).limit(10)
+      val brute = scored.orderBy(col("sim").desc, col("vec_id")).limit(10)
+      val common = lsh.select(col("vec_id"))
+        .join(brute.select(col("vec_id")), "vec_id")
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(common.agg(count(lit(1)).as("n_common")))
+        .select(col("n_cand"), col("n_common"),
+          (col("n_common").cast("double") / lit(10.0)).as("recall"))
+    }),
+
+    // PageRank iterated to a fixed 3-round horizon over the UNDIRECTED
+    // supplier↔part supply graph (bidirectional edges make every node
+    // non-dangling, so the walk is well-defined). Each round is q104's
+    // shape — one join of the rank vector against the edge list plus one
+    // destination-key aggregate; only the O(|nodes|) rank vector
+    // reshuffles per round, exactly the 100 TB iteration profile. The
+    // whole iteration runs in fixed-point BIGINT units (1e-12), damping
+    // as the exact rational 17/20 — integer div/sum are bit-identical
+    // cross-engine, so a 3-round (or 30-round) fixpoint cannot drift.
+    "q120_pagerank_iter" -> ((s, d) => {
+      val edges = lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("s"),
+          (col("l_partkey") + PrPartOffset).as("p")).distinct()
+      val bidir = edges.select(col("s").as("src"), col("p").as("dst"))
+        .union(edges.select(col("p").as("src"), col("s").as("dst")))
+        .localCheckpoint()
+      val deg = bidir.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      val nn = deg.count()
+      val baseTerm = (PrDampDen - PrDampNum) * PrScale / (PrDampDen * nn)
+      var r = deg.select(col("node"), lit(PrScale / nn).as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to PrIters) {
+        r = bidir
+          .join(r, col("src") === col("node")).drop("node")
+          .join(deg.select(col("node"), col("deg")), col("src") === col("node"))
+          .select(col("dst"),
+            expr(s"($PrDampNum * r) div ($PrDampDen * deg)").as("c"))
+          .groupBy(col("dst").as("node"))
+          .agg((sum(col("c")) + baseTerm).as("r"))
+          .localCheckpoint()
+      }
+      r.join(deg.select(col("node"), col("deg")), "node")
+        .select(col("node"), col("deg"), col("r").as("rank_fp"),
+          (col("r").cast("double") / lit(PrScale.toDouble)).as("rank"))
+    }),
+
+    // Per-group HLL distinct counts: one register table keyed by
+    // (event_type, bucket) — the grouped distinct-users query a reporting
+    // layer answers from sketches without rescanning events. The exact
+    // count rides along per group as the error check. Register table size
+    // is groups × 64 regardless of input; the estimate fold is the q82/
+    // q108 construction applied per group.
+    "q121_hll_grouped" -> ((s, d) => {
+      import Sketches._
+      val m = HllBuckets
+      val regs = events(s, d)
+        .select(col("event_type"), col("user_id").cast("string").as("k"))
+        .select(col("event_type"), hllHash(col("k")).as("h0"))
+        .select(col("event_type"), hllMix(col("h0")).as("h1"))
+        .select(col("event_type"), (col("h1") % m).as("bucket"),
+          hllMix(col("h1")).as("w"))
+        .select(col("event_type"), col("bucket"), hllRho(col("w")).as("rho"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).cast("long").as("mx"))
+      val harmonic =
+        aggregate(col("rs"), lit(0.0), (acc, rr) =>
+          acc + lit(1.0) /
+            call_function("shiftleft", lit(1L), rr("mx").cast("int")).cast("double")) +
+          (lit(m) - col("nb")).cast("double")
+      val est = regs.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("bucket"), col("mx")))).as("rs"),
+             count(lit(1)).as("nb"))
+        .select(col("event_type"), (hllAlphaM2 / harmonic).as("eraw"),
+          (lit(m) - col("nb")).as("nv"))
+        .select(col("event_type"),
+          round(when(col("eraw") <= 2.5 * m && col("nv") > 0,
+              lit(m.toDouble) * log(lit(m.toDouble) / col("nv").cast("double")))
+            .otherwise(col("eraw")), 6).as("est"))
+      val exact = events(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("est"), col("n_exact"),
+          round(abs(col("est") - col("n_exact").cast("double")) /
+            nullif(col("n_exact"), lit(0L)).cast("double"), 6).as("err"))
+    }),
+
+    // Duplicated-span islands (the exact-substring dedup signal): a span
+    // position is duplicated when its 2-token shingle hash occurs in ≥2
+    // distinct documents; per document, report how many positions are
+    // duplicated and the LONGEST consecutive duplicated run — the span a
+    // substring-dedup pass would cut. Same shingle-hash definition as the
+    // MinHash family (Dedup.combineAdjacent), so the signals agree. Two
+    // keyed shuffles (shingle-hash frequency, per-doc rollup) plus one
+    // windowed gaps-and-islands pass over the duplicated subset.
+    "q122_dup_spans" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val pos = documents(s, d).filter(size(toks) >= 2)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
+        .select(col("doc_id"), Dedup.combineAdjacent(col("th")).as("sh"))
+        // posexplode_OUTER, not posexplode: InferFiltersFromGenerate would
+        // otherwise push size(sh)>0 below the Generate with sh fully
+        // INLINED — element_at over the inlined transform re-runs the
+        // whole token-hash chain per element (O(n²); measured 8.6 s vs
+        // 0.3 s at sf0.1). No empty sh exists (size >= 2 guard), so
+        // outer ≡ inner — the q101 lesson.
+        .select(col("doc_id"), posexplode_outer(col("sh")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("ph"))
+      val freq = pos.groupBy(col("ph"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val flagged = pos.join(freq, "ph")
+        .select(col("doc_id"), col("pos"), (col("nd") >= SpanMinDocs).as("dup"))
+        .localCheckpoint()
+      val runs = flagged.filter(col("dup"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .groupBy(col("doc_id"), (col("pos") - col("rn")).as("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_id")).agg(max(col("run")).as("mr"))
+      flagged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+             sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"), col("n_dup"),
+          coalesce(col("mr"), lit(0L)).as("max_run"))
+    }),
+  )
+
+  val oracle: Map[String, String] = {
+    val tokSql = tokensSql("text")
+    Map(
+      "q119_ann_multiprobe" -> {
+        val probeList = ("qb" +: (0 until Similarity.LshPlanes).map(j =>
+          s"xor(qb, ${1L << j})")).mkString(", ")
+        s"""WITH e AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e FROM embeddings),
+            bk AS (SELECT vec_id, e, ${Similarity.lshBucketSql("e")} AS bucket FROM e),
+            q AS (SELECT bucket AS qb, e AS qe FROM bk WHERE vec_id = 0),
+            probes AS (SELECT unnest([$probeList]) AS pb FROM q),
+            scored AS (
+              SELECT vec_id, bucket, ${cosineSql("bk.e", "q.qe")} AS sim
+              FROM bk, q WHERE vec_id <> 0),
+            cand AS (SELECT DISTINCT vec_id, sim FROM scored
+                     WHERE bucket IN (SELECT pb FROM probes)),
+            lsh AS (SELECT vec_id FROM cand ORDER BY sim DESC, vec_id LIMIT 10),
+            brute AS (SELECT vec_id FROM scored ORDER BY sim DESC, vec_id LIMIT 10),
+            common AS (SELECT vec_id FROM lsh INTERSECT SELECT vec_id FROM brute)
+            SELECT (SELECT count(*)::BIGINT FROM cand) AS n_cand,
+                   (SELECT count(*)::BIGINT FROM common) AS n_common,
+                   (SELECT count(*) FROM common)::DOUBLE / 10.0 AS recall"""
+      },
+      "q120_pagerank_iter" -> {
+        val rounds = (1 to PrIters).map { k =>
+          s"""r$k AS (
+               SELECT b.dst AS node,
+                      (SELECT (${PrDampDen - PrDampNum} * $PrScale) //
+                              ($PrDampDen * nn) FROM n) +
+                        sum(($PrDampNum * r) // ($PrDampDen * deg)) AS r
+               FROM bidir b
+               JOIN r${k - 1} rr ON b.src = rr.node
+               JOIN deg ON b.src = deg.node
+               GROUP BY b.dst)"""
+        }.mkString(",\n")
+        s"""WITH edges AS (
+              SELECT DISTINCT l_suppkey::BIGINT AS s,
+                     l_partkey + $PrPartOffset AS p FROM lineitem),
+            bidir AS (SELECT s AS src, p AS dst FROM edges
+                      UNION ALL SELECT p, s FROM edges),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS deg
+                    FROM bidir GROUP BY 1),
+            n AS (SELECT count(*)::BIGINT AS nn FROM deg),
+            r0 AS (SELECT node, (SELECT $PrScale // nn FROM n)::BIGINT AS r
+                   FROM deg),
+            $rounds
+            SELECT r$PrIters.node AS node, deg, r::BIGINT AS rank_fp,
+                   r::DOUBLE / $PrScale.0 AS rank
+            FROM r$PrIters JOIN deg ON r$PrIters.node = deg.node"""
+      },
+      "q121_hll_grouped" -> {
+        import Sketches._
+        val m = HllBuckets
+        s"""WITH regs AS (
+              SELECT event_type, bucket, max(rho) AS mx FROM (
+                SELECT event_type, bucket, ${hllRhoSql("w")} AS rho FROM (
+                  SELECT event_type, h1 % $m AS bucket, ${hllMixSql("h1")} AS w FROM (
+                    SELECT event_type, ${hllMixSql("h0")} AS h1 FROM (
+                      SELECT event_type,
+                             ${hllHashSql("CAST(user_id AS VARCHAR)")} AS h0
+                      FROM events))))
+              GROUP BY 1, 2),
+            folded AS (
+              SELECT event_type,
+                     list({'bucket': bucket, 'mx': mx} ORDER BY bucket) AS rs,
+                     count(*)::BIGINT AS nb
+              FROM regs GROUP BY 1),
+            est AS (
+              SELECT event_type,
+                     round(CASE WHEN eraw <= ${2.5 * m} AND nv > 0
+                                THEN $m.0 * ln($m.0 / nv::DOUBLE)
+                                ELSE eraw END, 6) AS est
+              FROM (
+                SELECT event_type,
+                       $hllAlphaM2Sql /
+                         (list_reduce(list_prepend(0.0::DOUBLE,
+                            list_transform(rs, rr ->
+                              1.0::DOUBLE / ((1::BIGINT << rr.mx)::DOUBLE))),
+                            (sa, sb) -> sa + sb)
+                          + ($m - nb)::DOUBLE) AS eraw,
+                       ($m - nb) AS nv
+                FROM folded)),
+            exact AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+                      FROM events GROUP BY 1)
+            SELECT event_type, est, n_exact,
+                   round(abs(est - n_exact::DOUBLE) /
+                     nullif(n_exact, 0)::DOUBLE, 6) AS err
+            FROM est JOIN exact USING (event_type)"""
+      },
+      "q122_dup_spans" ->
+        s"""WITH base AS (
+              SELECT doc_id, ${Dedup.combineAdjacentSql("th")} AS sh FROM (
+                SELECT doc_id,
+                       list_transform($tokSql, t -> ${charFoldSql("t")}) AS th
+                FROM documents)
+              WHERE len(th) >= 2),
+            pos AS (SELECT doc_id, i AS pos, sh[i] AS ph FROM (
+                      SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i
+                      FROM base)),
+            freq AS (SELECT ph, count(DISTINCT doc_id)::BIGINT AS nd
+                     FROM pos GROUP BY 1),
+            flagged AS (SELECT doc_id, pos, (nd >= $SpanMinDocs) AS dup
+                        FROM pos JOIN freq USING (ph)),
+            runs AS (
+              SELECT doc_id, max(run) AS mr FROM (
+                SELECT doc_id, count(*)::BIGINT AS run FROM (
+                  SELECT doc_id, pos,
+                         pos - row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) AS grp
+                  FROM flagged WHERE dup)
+                GROUP BY doc_id, grp)
+              GROUP BY 1)
+            SELECT flagged.doc_id AS doc_id, count(*)::BIGINT AS n_spans,
+                   sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+                   coalesce(max(mr), 0)::BIGINT AS max_run
+            FROM flagged LEFT JOIN runs ON flagged.doc_id = runs.doc_id
+            GROUP BY 1""",
+    )
+  }
+}
