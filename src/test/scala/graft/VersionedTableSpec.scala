@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sink.VersionedTable
+
+/** Contract tests for the manifest-based versioned table format:
+  * time travel, snapshot isolation across commits and compaction,
+  * rollback-as-commit, schema-on-write enforcement, and expiry GC. */
+class VersionedTableSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_vt").resolve("t").toString
+
+  private def df(ids: Long*) = {
+    import spark.implicits._
+    ids.toSeq.toDF("id").withColumn("payload", col("id") * 10)
+  }
+
+  private def idsOf(frame: org.apache.spark.sql.DataFrame): Seq[Long] =
+    frame.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("create/append/overwrite produce time-travelable versions") {
+    val root = freshRoot()
+    assert(VersionedTable.create(spark, root, df(1, 2)) == 1)
+    assert(VersionedTable.append(spark, root, df(3)) == 2)
+    assert(VersionedTable.overwrite(spark, root, df(9)) == 3)
+    assert(VersionedTable.versions(spark, root) == Seq(1, 2, 3))
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(9L))
+    assert(idsOf(VersionedTable.read(spark, root, Some(2))) == Seq(1L, 2L, 3L))
+    assert(idsOf(VersionedTable.read(spark, root, Some(1))) == Seq(1L, 2L))
+  }
+
+  test("a resolved reader is isolated from later commits and compaction") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))
+    val snapshot = VersionedTable.read(spark, root, Some(1))
+    VersionedTable.append(spark, root, df(3, 4))
+    VersionedTable.compact(spark, root, targetBytes = 1L) // no-op or rewrite
+    VersionedTable.overwrite(spark, root, df(99))
+    // the old frame still reads version 1's immutable files
+    assert(idsOf(snapshot) == Seq(1L, 2L))
+  }
+
+  test("rollback publishes an old file list as a new version") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1))
+    VersionedTable.overwrite(spark, root, df(2))
+    val v = VersionedTable.rollback(spark, root, to = 1)
+    assert(v == 3)
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L))
+    // history is intact: the overwritten state is still version 2
+    assert(idsOf(VersionedTable.read(spark, root, Some(2))) == Seq(2L))
+  }
+
+  test("append enforces the table schema") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1))
+    import spark.implicits._
+    val bad = Seq(("x", 1)).toDF("name", "n")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, root, bad)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    assert(VersionedTable.versions(spark, root) == Seq(1))
+  }
+
+  test("compact reduces file count as a new version; old versions intact") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 50L: _*).repartition(8))
+    val before = VersionedTable.read(spark, root).inputFiles.length
+    assert(before >= 4, s"expected a fragmented table, got $before files")
+    val v = VersionedTable.compact(spark, root) // default target: 1 file here
+    assert(v == 2)
+    assert(VersionedTable.read(spark, root).inputFiles.length < before)
+    assert(idsOf(VersionedTable.read(spark, root)) == (1L to 50L))
+    assert(idsOf(VersionedTable.read(spark, root, Some(1))) == (1L to 50L))
+  }
+
+  test("expire drops old manifests and GCs unreferenced data files") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))     // v1
+    VersionedTable.overwrite(spark, root, df(3))     // v2 (v1 files now dead)
+    VersionedTable.append(spark, root, df(4))        // v3 (shares v2's files)
+    val (manifests, files) = VersionedTable.expire(spark, root, keepLast = 2)
+    assert(manifests == 1)
+    assert(files >= 1, "v1's unreferenced files are GC'd")
+    assert(VersionedTable.versions(spark, root) == Seq(2, 3))
+    // surviving versions still read correctly (shared files kept)
+    assert(idsOf(VersionedTable.read(spark, root, Some(2))) == Seq(3L))
+    assert(idsOf(VersionedTable.read(spark, root, Some(3))) == Seq(3L, 4L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(1))
+    }
+  }
+
+  test("double-commit of the same version number is refused") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1))
+    intercept[IllegalArgumentException] {
+      VersionedTable.create(spark, root, df(2))
+    }
+    assert(VersionedTable.versions(spark, root) == Seq(1))
+  }
+}
