@@ -58,7 +58,8 @@ object VersionedTable {
   def currentVersion(spark: SparkSession, root: String): Option[Int] =
     versions(spark, root).lastOption
 
-  private case class Manifest(version: Int, schemaDdl: String, files: Seq[String])
+  private case class Manifest(version: Int, schemaDdl: String, files: Seq[String],
+                              txn: Option[Long] = None)
 
   // Minimal JSON (de)serialization — file names are commit-generated
   // (uuid-free parquet part names under our own prefix, no escapes
@@ -85,9 +86,10 @@ object VersionedTable {
   }
 
   private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
+    val txnField = m.txn.map(t => s""" "txn": $t,\n""").getOrElse("")
     val json =
       s"""{"version": ${m.version},
-         | "schema": "${esc(m.schemaDdl)}",
+         |$txnField "schema": "${esc(m.schemaDdl)}",
          | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}]}""".stripMargin
     val target = manifestPath(root, m.version)
     val f = fs(spark, target)
@@ -117,8 +119,15 @@ object VersionedTable {
       .map(_.group(1)).getOrElse("")
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
-    Manifest(v, schema, files)
+    val txn = """"txn": (\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    Manifest(v, schema, files, txn)
   }
+
+  /** Transaction ids recorded by committed versions — the idempotence
+    * ledger a streaming writer consults before re-applying a batch. */
+  def committedTxns(spark: SparkSession, root: String): Set[Long] =
+    versions(spark, root)
+      .flatMap(v => readManifest(spark, root, v).txn).toSet
 
   /** Write `df`'s rows as immutable data files under a version-unique
     * prefix and return their table-relative paths. The parquet job writes
@@ -144,10 +153,10 @@ object VersionedTable {
   }
 
   private def commit(spark: SparkSession, root: String, df: DataFrame,
-                     carryOver: Seq[String]): Int = {
+                     carryOver: Seq[String], txn: Option[Long] = None): Int = {
     val v = currentVersion(spark, root).getOrElse(0) + 1
     val files = carryOver ++ writeDataFiles(spark, root, df, v)
-    writeManifest(spark, root, Manifest(v, df.schema.toDDL, files))
+    writeManifest(spark, root, Manifest(v, df.schema.toDDL, files, txn))
     v
   }
 
@@ -173,6 +182,26 @@ object VersionedTable {
     * truncate-and-load); earlier versions stay readable until expired. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Int =
     commit(spark, root, df, Seq.empty)
+
+  /** Idempotent transactional append — the streaming-sink entry point:
+    * commit `df` under transaction id `txn` (a micro-batch id), creating
+    * the table on first use; if some committed version already carries
+    * `txn`, the call is a NO-OP (returns the current version). This is
+    * what makes a foreachBatch writer exactly-once under batch REPLAY —
+    * checkpoint loss or restart re-delivers a batch, the txn ledger
+    * refuses the double-apply. */
+  def appendTxn(spark: SparkSession, root: String, df: DataFrame, txn: Long): Int =
+    currentVersion(spark, root) match {
+      case None => commit(spark, root, df, Seq.empty, Some(txn))
+      case Some(cur) =>
+        if (committedTxns(spark, root).contains(txn)) cur
+        else {
+          val m = readManifest(spark, root, cur)
+          require(m.schemaDdl == df.schema.toDDL,
+            s"schema mismatch: table has [${m.schemaDdl}], append has [${df.schema.toDDL}]")
+          commit(spark, root, df, m.files, Some(txn))
+        }
+    }
 
   /** Snapshot-isolated read of `version` (default: newest). The returned
     * frame is bound to that version's immutable file list — later commits

@@ -297,6 +297,36 @@ object EventsStream {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming append into a [[graft.sink.VersionedTable]]: every
+    * micro-batch commits as one table version, with the batch id recorded
+    * as the commit's transaction id — exactly-once by construction even
+    * across CHECKPOINT LOSS (re-delivered batches hit the txn ledger and
+    * no-op), not just across checkpoint-tracked restarts. At 100 TB this
+    * is the continuous-ingest sink: appends are new immutable files + one
+    * manifest rename, readers stay snapshot-isolated, and the compaction/
+    * expiry maintenance runs as ordinary commits on the same table. */
+  def appendVersionedStreaming(spark: SparkSession, sourceDir: String,
+                               tableRoot: String, checkpoint: String,
+                               queryName: String = "graft_stream_versioned"): Unit = {
+    val batchSchema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(sourceDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sink.VersionedTable.appendTxn(spark, tableRoot, batch, batchId)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Stateful per-user running aggregate via the typed state API —
     * flatMapGroupsWithState with state = (count, sum-of-cents). Cents keep
     * the accumulation exact and order-independent (double addition in

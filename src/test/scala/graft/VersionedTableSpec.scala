@@ -93,6 +93,31 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("appendTxn is idempotent per transaction id") {
+    val root = freshRoot()
+    assert(VersionedTable.appendTxn(spark, root, df(1), txn = 0L) == 1)
+    assert(VersionedTable.appendTxn(spark, root, df(2), txn = 1L) == 2)
+    // replay of txn 1 with DIFFERENT data must be a no-op
+    assert(VersionedTable.appendTxn(spark, root, df(99), txn = 1L) == 2)
+    assert(VersionedTable.versions(spark, root) == Seq(1, 2))
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 2L))
+    assert(VersionedTable.committedTxns(spark, root) == Set(0L, 1L))
+  }
+
+  test("streaming versioned sink is exactly-once across checkpoint loss") {
+    import graft.streaming.EventsStream
+    val root = freshRoot()
+    val src = EventsStream.stageEvents(sf, copies = 1)
+    val expected = spark.read.parquet(src).count()
+    def ckpt() = java.nio.file.Files.createTempDirectory("graft_vt_ck").toString
+    EventsStream.appendVersionedStreaming(spark, src, root, ckpt())
+    assert(VersionedTable.read(spark, root).count() == expected)
+    // a FRESH checkpoint re-delivers batch 0; the txn ledger refuses the
+    // double-apply, so the table does not double-count
+    EventsStream.appendVersionedStreaming(spark, src, root, ckpt())
+    assert(VersionedTable.read(spark, root).count() == expected)
+  }
+
   test("double-commit of the same version number is refused") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
