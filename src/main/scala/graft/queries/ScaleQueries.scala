@@ -41,7 +41,33 @@ object ScaleQueries {
     * duplicated. */
   val SpanMinDocs = 2
 
-  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Hilbert-curve geometry (q123): 8 bits per dimension (n = 256), the
+    * same (price, order-day) quantization as q109's Z-order so the two
+    * layouts are directly comparable; bucket = h div 1024. */
+  val HilbertN = 256L
+  val HbBucketDiv = 1024L
+  /** One xy2d level (s = 2^k) over the packed state acc = d·2^16 + x·2^8
+    * + y, as engine-neutral integer SQL (`divOp` is `div` for Spark,
+    * `//` for DuckDB). Wikipedia's public xy2d construction: quadrant
+    * digit (3·rx) XOR ry = 2·rx + (rx+ry) mod 2, then the ry=0 rotation
+    * (flip at full n width when rx=1, then swap x/y). */
+  def hilbertLevelSql(s: Long, acc: String, divOp: String): String = {
+    val d = s"(($acc) $divOp 65536)"
+    val x = s"((($acc) $divOp 256) % 256)"
+    val y = s"(($acc) % 256)"
+    val rx = s"(($x $divOp $s) % 2)"
+    val ry = s"(($y $divOp $s) % 2)"
+    val quad = s"(2 * $rx + ($rx + $ry) % 2)"
+    val d1 = s"($d + ${s * s} * $quad)"
+    val x1 = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${HilbertN - 1} - $y ELSE $y END) ELSE $x END)"
+    val y1 = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${HilbertN - 1} - $x ELSE $x END) ELSE $y END)"
+    s"($d1 * 65536 + $x1 * 256 + $y1)"
+  }
+
+  /** Decontamination keep-threshold on q58's shared-shingle ratio. */
+  val DecontamMaxRatio = 0.25
+
+  private val defs1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Multi-probe LSH ANN: probe the query's hyperplane bucket AND its 8
     // Hamming-1 neighbors (flip one sign bit each) — the standard recall
@@ -196,6 +222,86 @@ object ScaleQueries {
     }),
   )
 
+  private val defs2: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Hilbert-curve layout keys over the SAME (price, order-day) grid as
+    // q109's Z-order — the locality-tighter space-filling curve (no Z
+    // "jumps": consecutive h are always grid-adjacent). xy2d runs as 8
+    // LAYERED integer levels over a packed (d, x, y) state; each level is
+    // one projected column, so Catalyst sees attributes, not an
+    // exponentially inlined tree. Same per-bucket occupancy/range audit
+    // as q109 — diff the two outputs to pick a table's SORT BY curve.
+    "q123_hilbert_layout" -> ((s, d) => {
+      var df = orders(s, d)
+        .select(
+          expr(s"least(greatest(cast(floor(o_totalprice / 2000.0) as bigint), 0L), 255L)").as("px"),
+          expr(s"least(greatest(datediff(cast(o_orderdate as date), date'1992-01-01') div 16, 0L), 255L)")
+            .cast("long").as("py"))
+        .select(col("px"), col("py"), expr("px * 256 + py").as("acc"))
+      for (k <- 7 to 0 by -1)
+        df = df.select(col("px"), col("py"),
+          expr(hilbertLevelSql(1L << k, "acc", "div")).as("acc"))
+      df.select(col("px"), col("py"), expr("acc div 65536").as("h"))
+        .groupBy(expr(s"h div $HbBucketDiv").as("hbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("px")).as("px_min"), max(col("px")).as("px_max"),
+          min(col("py")).as("py_min"), max(col("py")).as("py_max"))
+    }),
+
+    // Decontamination APPLIED: q58's shared-shingle contamination signal
+    // (overlap with the doc_id < 5 probe set) turned into the keep/drop
+    // decision, reported as per-language corpus counts — the step between
+    // "measure contamination" and "train on the corpus". Same shared
+    // shingle base as q58 (one definition); the probe set broadcasts; the
+    // corpus side aggregates per doc then per lang.
+    "q124_decontaminate" -> ((s, d) => {
+      val base = Dedup.shingleBase(s, d)
+        .select(col("doc_id"), array_distinct(col("hh")).as("sh"))
+        .localCheckpoint()
+      val probes = base.filter(col("doc_id") < 5)
+        .select(explode(col("sh")).as("h")).distinct()
+      val shared = base.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+        .join(broadcast(probes), "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      val ratio = base.filter(col("doc_id") >= 5)
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_sh")).as("ratio"))
+      documents(s, d).filter(col("doc_id") >= 5)
+        .join(ratio, Seq("doc_id"), "left")
+        .select(col("lang"),
+          (coalesce(col("ratio"), lit(0.0)) <= DecontamMaxRatio).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_before"),
+             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+             sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+    }),
+
+    // Tokenizer fertility per language: tokens/doc and chars/token in
+    // exact integer millis — the table a tokenizer-budget decision reads
+    // (how many training sequences a language's bytes become). One scan,
+    // one 5-group aggregate; all-integer arithmetic, no rounding rules
+    // needed.
+    "q125_tokenizer_fertility" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      documents(s, d)
+        .select(col("lang"), size(toks).cast("long").as("nt"),
+          graft.ext.TextAnalysis.tokenLenSum(toks).as("tc"),
+          col("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_toks"),
+             sum(col("tc")).as("tok_chars"), sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_toks"), col("tok_chars"),
+          col("n_chars"),
+          expr("(n_toks * 1000) div (nullif(n_docs, 0))").as("toks_per_doc_milli"),
+          expr("(tok_chars * 1000) div (nullif(n_toks, 0))").as("chars_per_tok_milli"))
+    }),
+  )
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = defs1 ++ defs2
+
   val oracle: Map[String, String] = {
     val tokSql = tokensSql("text")
     Map(
@@ -284,6 +390,58 @@ object ScaleQueries {
                      nullif(n_exact, 0)::DOUBLE, 6) AS err
             FROM est JOIN exact USING (event_type)"""
       },
+      "q123_hilbert_layout" -> {
+        val levels = (7 to 0 by -1).zipWithIndex.map { case (k, i) =>
+          s"l${i + 1} AS (SELECT px, py, ${hilbertLevelSql(1L << k, "acc", "//")} AS acc FROM l$i)"
+        }.mkString(",\n")
+        s"""WITH q AS (
+              SELECT least(greatest(CAST(floor(o_totalprice / 2000.0) AS BIGINT), 0), 255) AS px,
+                     least(greatest(date_diff('day', DATE '1992-01-01',
+                       CAST(o_orderdate AS DATE)) // 16, 0), 255)::BIGINT AS py
+              FROM orders),
+            l0 AS (SELECT px, py, px * 256 + py AS acc FROM q),
+            $levels
+            SELECT (acc // 65536 // $HbBucketDiv)::BIGINT AS hbucket,
+                   count(*)::BIGINT AS n,
+                   min(px)::BIGINT AS px_min, max(px)::BIGINT AS px_max,
+                   min(py)::BIGINT AS py_min, max(py)::BIGINT AS py_max
+            FROM l8 GROUP BY 1"""
+      },
+      "q124_decontaminate" ->
+        s"""WITH docs AS (
+              SELECT doc_id, list_distinct(${Dedup.combineAdjacentSql("th")}) AS sh
+              FROM (SELECT doc_id,
+                      list_transform(tk, t -> ${charFoldSql("t")}) AS th
+                    FROM (SELECT doc_id, $tokSql AS tk FROM documents)
+                    WHERE len(tk) >= 2)),
+            probe AS (SELECT DISTINCT unnest(sh) AS h FROM docs WHERE doc_id < 5),
+            m AS (SELECT doc_id, count(*)::BIGINT AS n_shared
+                  FROM (SELECT doc_id, unnest(sh) AS h FROM docs WHERE doc_id >= 5) dd
+                  JOIN probe USING (h) GROUP BY doc_id),
+            ratio AS (
+              SELECT d.doc_id,
+                     coalesce(m.n_shared, 0)::DOUBLE / len(d.sh) AS ratio
+              FROM docs d LEFT JOIN m ON d.doc_id = m.doc_id
+              WHERE d.doc_id >= 5)
+            SELECT lang, count(*)::BIGINT AS n_before,
+                   sum(CASE WHEN coalesce(ratio, 0.0) <= $DecontamMaxRatio
+                            THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   sum(CASE WHEN coalesce(ratio, 0.0) <= $DecontamMaxRatio
+                            THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+            FROM documents LEFT JOIN ratio USING (doc_id)
+            WHERE documents.doc_id >= 5
+            GROUP BY lang""",
+      "q125_tokenizer_fertility" ->
+        s"""SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(nt)::BIGINT AS n_toks,
+                   sum(tc)::BIGINT AS tok_chars,
+                   sum(n_chars)::BIGINT AS n_chars,
+                   ((sum(nt) * 1000) // nullif(count(*), 0))::BIGINT AS toks_per_doc_milli,
+                   ((sum(tc) * 1000) // nullif(sum(nt), 0))::BIGINT AS chars_per_tok_milli
+            FROM (SELECT lang, n_chars, len($tokSql)::BIGINT AS nt,
+                         ${graft.ext.TextAnalysis.tokenLenSumSql(tokSql)} AS tc
+                  FROM documents)
+            GROUP BY lang""",
       "q122_dup_spans" ->
         s"""WITH base AS (
               SELECT doc_id, ${Dedup.combineAdjacentSql("th")} AS sh FROM (

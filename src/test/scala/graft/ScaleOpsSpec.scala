@@ -71,6 +71,64 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q123 Hilbert layout matches a brute-force xy2d recomputation") {
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 128L
+      while (s > 0) {
+        val rx = (x / s) % 2; val ry = (y / s) % 2
+        d += s * s * (2 * rx + (rx + ry) % 2)
+        if (ry == 0) {
+          if (rx == 1) { x = 255 - x; y = 255 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val grid = Tables.orders(spark, sf)
+      .selectExpr(
+        "least(greatest(cast(floor(o_totalprice / 2000.0) as bigint), 0L), 255L) as px",
+        "cast(least(greatest(datediff(cast(o_orderdate as date), date'1992-01-01') div 16, 0L), 255L) as long) as py")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = grid.map { case (px, py) => (xy2d(px, py) / 1024L, px, py) }
+      .groupBy(_._1).view.mapValues { g =>
+        (g.size.toLong, g.map(_._2).min, g.map(_._2).max, g.map(_._3).min, g.map(_._3).max)
+      }.toMap
+    val rows = run("q123_hilbert_layout").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows == expect)
+  }
+
+  test("q124 decontamination is consistent with the q58 signal") {
+    import ScaleQueries.DecontamMaxRatio
+    val ratios = run("q58_contamination").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val expectDropped = ratios.count(_._2 > DecontamMaxRatio)
+    val rows = run("q124_decontaminate").collect()
+    assert(rows.map(_.getLong(3)).sum == expectDropped,
+      "dropped docs == q58 rows above the threshold")
+    for (r <- rows)
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), s"partition ${r.getString(0)}")
+  }
+
+  test("q125 fertility stats match a naive recomputation") {
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty), r.getLong(2)))
+    val rows = run("q125_tokenizer_fertility").collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((lang, g) <- docs.groupBy(_._1)) {
+      val nt = g.map(_._2.length.toLong).sum
+      val tc = g.map(_._2.map(_.length.toLong).sum).sum
+      val r = rows(lang)
+      assert(r.getLong(1) == g.length && r.getLong(2) == nt && r.getLong(3) == tc)
+      assert(r.getLong(5) == nt * 1000 / g.length, s"toks_per_doc $lang")
+      if (nt > 0) assert(r.getLong(6) == tc * 1000 / nt, s"chars_per_tok $lang")
+    }
+  }
+
   test("q122 duplicated-span islands match a naive recomputation") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
