@@ -100,4 +100,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(countIn(plan) { case b: BroadcastHashJoinExec => b } >= 1,
       s"expected broadcast position join:\n$plan")
   }
+
+  test("q111 DSIR scoring joins the 64-row weight table via broadcast and selects via TakeOrdered") {
+    val df = SparkEntry.queries("q111_dsir")(spark, sf)
+    val plan = executedPlan(df)
+    assert(countIn(plan) { case b: BroadcastHashJoinExec => b } >= 1,
+      s"expected broadcast weight-table join:\n$plan")
+    assert(countIn(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    } == 1, s"expected TakeOrderedAndProject top-100 (no global sort):\n$plan")
+  }
+
+  test("q114 PQ encoding broadcasts the codebooks — the embedding scan never shuffles before encode") {
+    val plan = executedPlan(SparkEntry.queries("q114_pq_encode")(spark, sf))
+    assert(countIn(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    } >= 1, s"expected the 1-row codebook frame broadcast:\n$plan")
+  }
+
+  test("q118 range sharding assigns via one broadcast of the boundary row") {
+    val plan = executedPlan(SparkEntry.queries("q118_range_shards")(spark, sf))
+    assert(countIn(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    } >= 1, s"expected the percentile-boundary broadcast:\n$plan")
+    // percentile agg + final rollup: no other keyed exchanges
+    val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles <= 2, s"expected <= 2 aggregate exchanges, got $shuffles:\n$plan")
+  }
+
+  test("q125 fertility is one scan and one aggregate exchange") {
+    val plan = executedPlan(SparkEntry.queries("q125_tokenizer_fertility")(spark, sf))
+    val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles <= 1, s"expected a single lang exchange, got $shuffles:\n$plan")
+  }
 }
