@@ -114,4 +114,17 @@ object Portable {
     * engines). */
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
   def asDoubleSql(e: String): String = s"($e)::DOUBLE[]"
+
+  /** |A ∩ B| of two SORTED, duplicate-free ARRAY<BIGINT> columns — the
+    * codegen'd merge-pass [[SortedIntersectCountExpr]] (no per-pair hash
+    * set or output array, unlike `size(array_intersect(a, b))`). The SQL
+    * twin is plain `len(list_intersect(...))`: sortedness doesn't change
+    * the VALUE, only the Spark-side cost. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.toColumn(
+      SortedIntersectCountExpr(
+        org.apache.spark.sql.graftbridge.Bridge.toExpression(a),
+        org.apache.spark.sql.graftbridge.Bridge.toExpression(b)))
+  def sortedIntersectCountSql(a: String, b: String): String =
+    s"len(list_intersect($a, $b))::BIGINT"
 }

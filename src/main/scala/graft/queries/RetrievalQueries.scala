@@ -1,0 +1,427 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Portable._
+import graft.ext.Dedup
+
+/** Round-6 third batch — retrieval and structure operators: an EXACT
+  * set-similarity self-join with prefix filtering (AllPairs/PPJoin family,
+  * Bayardo et al. '07 — the deterministic complement to the probabilistic
+  * MinHash path), an SCD Type-2 dimension build from an event changelog
+  * (validity intervals, the warehouse-history operator), degree-ordered
+  * triangle counting (the standard bounded-wedge algorithm, Schank &
+  * Wagner '05), an inverted-index posting build, BM25 more-like-this
+  * ranking (Robertson & Zaragoza '09), and Matryoshka-style truncated-
+  * embedding recall measurement (Kusupati et al. '22).
+  *
+  * Shared-constants discipline as everywhere: Spark plan and DuckDB
+  * oracle generate from the same Scala values; libm calls (ln) round to
+  * 9 dp before use; per-group double sums route through DECIMAL(18,9).
+  */
+object RetrievalQueries {
+
+  /** Set-similarity join threshold as an exact rational (1/2): the accept
+    * test is `TauDen·|A∩B| ≥ TauNum·|A∪B|` — pure integer compare, no
+    * float threshold to straddle. */
+  val TauNum = 1L
+  val TauDen = 2L
+
+  /** Posting-list head length and report size (q129). */
+  val PostingHead = 8
+  val PostingTop = 10
+
+  /** BM25 parameters (Robertson-Zaragoza defaults) and query size. Both
+    * literals parse to the same double on both engines. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25QueryTerms = 8
+  val Bm25Top = 20
+
+  /** Matryoshka truncation widths measured against the full 64-dim
+    * brute-force top-10 (q53's metric). */
+  val MatDims = Seq(16, 32)
+
+  /** ln rounded to 9 dp — the libm-determinism rule (q116's convention). */
+  private def ln9(x: org.apache.spark.sql.Column) = round(log(x), 9)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // EXACT set-similarity self-join with prefix filtering (AllPairs):
+    // shingle-hash sets sorted by ascending global document frequency
+    // (rarest first, ties by hash); a document's PREFIX is its first
+    // |d| - ceil(τ|d|) + 1 elements, and any pair with Jaccard ≥ τ must
+    // collide on at least one prefix element (the smallest shared element
+    // in the global order sits inside both prefixes). Candidates come
+    // from one equi-join on prefix elements — never all pairs; rare
+    // shingles populate prefixes, so buckets stay small at 100 TB.
+    // Verification is exact set intersection with an integer threshold
+    // test (τ as a rational), computed once per pair. Same shared shingle
+    // base and the same Jaccard definition as the MinHash family: this is
+    // the ZERO-FALSE-NEGATIVE version of the q52 relation (q52 ⊆ q126 by
+    // construction — the recall check SetSimJoinSpec asserts).
+    "q126_setsim_join" -> ((s, d) => {
+      // sets sorted ONCE here so the verify stage can merge-count without
+      // per-pair hashing (SortedIntersectCountExpr's contract)
+      val tok = Dedup.shingleBase(s, d)
+        .select(col("doc_id"), sort_array(array_distinct(col("hh"))).as("ts"))
+        .localCheckpoint() // reused by the df count, the prefix build, and verify
+      val dfreq = tok.select(explode(col("ts")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val pref = tok
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n"),
+          explode(col("ts")).as("h"))
+        .join(dfreq, "h")
+        .groupBy(col("doc_id"), col("n"))
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+        .select(col("doc_id"), col("n"),
+          posexplode(slice(transform(col("ord"), x => x("h")), lit(1),
+            expr("cast(n - (n + 1) div 2 + 1 as int)"))))
+        .select(col("doc_id"), col("n"), (col("pos") + 1).as("p"), col("col").as("h"))
+      // candidate pruning beyond the prefix collision (both LOSSLESS, so
+      // the oracle's plain prefix join yields the same final relation):
+      //  - length filter: τ·|A| ≤ |B| (τ as the TauNum/TauDen rational);
+      //  - PPJoin positional filter: a match at prefix positions (pa, pb)
+      //    caps the overlap at 1 + min(|A|−pa, |B|−pb), which must still
+      //    reach ceil(τ/(1+τ)·(|A|+|B|)) — integer form below.
+      val maxOverlap = lit(1) +
+        least(col("a.n") - col("a.p"), col("b.n") - col("b.p"))
+      val cand = pref.as("a")
+        .join(pref.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") * TauNum <= col("b.n") * TauDen &&
+            col("b.n") * TauNum <= col("a.n") * TauDen &&
+            maxOverlap * (TauNum + TauDen) >= (col("a.n") + col("b.n")) * TauNum)
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      cand
+        .join(broadcast(tok.select(col("doc_id").as("da"), col("ts").as("tsa"))), "da")
+        .join(broadcast(tok.select(col("doc_id").as("db"), col("ts").as("tsb"))), "db")
+        .withColumn("n_inter", sortedIntersectCount(col("tsa"), col("tsb")))
+        .withColumn("n_union",
+          (size(col("tsa")) + size(col("tsb"))).cast("long") - col("n_inter"))
+        .filter(col("n_inter") * TauDen >= col("n_union") * TauNum)
+        .select(col("da"), col("db"), col("n_inter"), col("n_union"),
+          (col("n_inter").cast("double") / col("n_union").cast("double"))
+            .as("jaccard"))
+    }),
+
+    // SCD Type-2 dimension build from the event changelog: per user, keep
+    // only rows where the tracked attribute (event_type) CHANGES, then
+    // derive [valid_from, valid_to) intervals and the is_current flag.
+    // Both window passes partition on user_id with the same (ts, event_id)
+    // order, so one shuffle's partitioning and sort are reused. Timestamps
+    // surface as epoch micros (the q90 rule: DuckDB truncates parquet
+    // nanos to micros on read).
+    "q127_scd2" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("vf_us"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("vf_us"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .withColumn("valid_to_us", lead(col("vf_us"), 1).over(w))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("vf_us").as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+    }),
+
+    // Degree-ordered triangle counting over the urgent-order co-purchase
+    // graph (parts sharing a '1-URGENT' order). Every edge is oriented
+    // from its (degree, id)-smaller endpoint, so each triangle is counted
+    // exactly once — at its minimum vertex, whose two triangle edges are
+    // both out-edges — and the wedge join's fan-out is bounded by
+    // out-degree (O(m^1.5) total, the arboricity bound), never by the raw
+    // degree of hub nodes. Wedge pairs re-normalize by the same order so
+    // the closing-edge probe is a single equi-join.
+    "q128_triangles" -> ((s, d) => {
+      val items = lineitem(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = items.as("x")
+        .join(items.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("u"), col("y.pk").as("v"))
+        .distinct()
+        .localCheckpoint() // reused by deg, orient (×2 sides + probe), and the edge count
+      val deg = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val aFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+      val orient = edges
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(aFirst, col("u")).otherwise(col("v")).as("src"),
+          when(aFirst, col("v")).otherwise(col("u")).as("dst"),
+          when(aFirst, col("dv")).otherwise(col("du")).as("dd"))
+        .localCheckpoint() // three consumers: both wedge sides + the closing probe
+      val bFirst = struct(col("e1.dd"), col("e1.dst")) <
+        struct(col("e2.dd"), col("e2.dst"))
+      val wedges = orient.as("e1")
+        .join(orient.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(
+          when(bFirst, col("e1.dst")).otherwise(col("e2.dst")).as("bb"),
+          when(bFirst, col("e2.dst")).otherwise(col("e1.dst")).as("cc"))
+      val tri = wedges.join(orient,
+          col("bb") === col("src") && col("cc") === col("dst"))
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          (lit(3.0) * col("n_triangles").cast("double") /
+            nullif(col("n_wedges"), lit(0L)).cast("double")).as("transitivity"))
+    }),
+
+    // Inverted-index posting build: token hash → document frequency +
+    // the sorted head of its posting list (serialized, fixed length) for
+    // the PostingTop most frequent tokens. One explode + one hash
+    // aggregate; per-token state is bounded by the head length, so the
+    // build is one pass at any corpus size.
+    "q129_postings" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(tokens(col("text")), t => charFold(t))))
+            .as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(
+            slice(sort_array(collect_list(col("doc_id"))), 1, PostingHead),
+            x => x.cast("string")), ",").as("head"))
+        .orderBy(col("df").desc, col("h"))
+        .limit(PostingTop)),
+
+    // BM25 more-like-this: doc 0's tokens are the query (its
+    // Bm25QueryTerms most frequent terms by document frequency); every
+    // other document scores as Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+    // The query-term table broadcasts; tf comes from one explode + one
+    // (doc, term) aggregate; per-term scores are 9-dp-rounded doubles
+    // summed exactly in DECIMAL(18,9) (partition-order independent).
+    "q130_bm25" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"),
+          transform(tokens(col("text")), t => charFold(t)).as("th"))
+        .localCheckpoint() // reused by dl, df, the query pick, and tf
+      val dl = docs.select(col("doc_id"), size(col("th")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+      val dfreq = docs
+        .select(col("doc_id"), explode(array_distinct(col("th"))).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val qsel = docs.filter(col("doc_id") === 0)
+        .select(explode(array_distinct(col("th"))).as("h"))
+        .join(dfreq, "h")
+        .orderBy(col("df").desc, col("h")).limit(Bm25QueryTerms)
+      val tf = docs.filter(col("doc_id") =!= 0)
+        .select(col("doc_id"), explode(col("th")).as("h"))
+        .join(broadcast(qsel), "h")
+        .groupBy(col("doc_id"), col("h"), col("df"))
+        .agg(count(lit(1)).as("tf"))
+      val avgdl = col("sdl").cast("double") / col("nd").cast("double")
+      val idf = ln9((col("nd").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      val tfPart = (col("tf").cast("double") * lit(Bm25K1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl))
+      tf.join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(idf * tfPart, 9).cast("decimal(18,9)").as("st"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          round(sum(col("st")).cast("double"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(Bm25Top)
+    }),
+
+    // Matryoshka truncation recall: cosine top-10 from the first 16 and
+    // first 32 dims vs the full 64-dim brute-force top-10 (q53's metric)
+    // — the measurement behind "store the prefix, re-rank with the tail".
+    // A truncated index reads 4×/2× fewer bytes per candidate at 100 TB;
+    // this is the table that says what that costs in recall.
+    "q131_matryoshka" -> ((s, d) => {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      val scored = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id") +: (MatDims.map(k =>
+          cosine(slice(col("e"), 1, k), slice(col("qe"), 1, k)).as(s"sim_$k")) :+
+          cosine(col("e"), col("qe")).as("sim_full")): _*)
+        .localCheckpoint() // one scoring pass feeds all three top-10s
+      def top(c: String) = scored.orderBy(col(c).desc, col("vec_id"))
+        .limit(10).select(col("vec_id"))
+      val full = top("sim_full")
+      MatDims.map { k =>
+        top(s"sim_$k").join(full, "vec_id")
+          .agg(count(lit(1)).as(s"n_common_$k"))
+          .select(col(s"n_common_$k"),
+            (col(s"n_common_$k").cast("double") / lit(10.0)).as(s"recall_$k"))
+      }.reduce(_ crossJoin _)
+    }),
+  )
+
+  val oracle: Map[String, String] = {
+    val tokSql = tokensSql("text")
+    val thSql = s"list_transform($tokSql, t -> ${charFoldSql("t")})"
+    Map(
+      "q126_setsim_join" ->
+        s"""WITH tok2 AS (
+              SELECT doc_id, list_distinct(${Dedup.combineAdjacentSql("th")}) AS ts
+              FROM (SELECT doc_id, $thSql AS th FROM documents)
+              WHERE len(th) >= 2),
+            dfreq AS (SELECT h, count(*)::BIGINT AS df
+                      FROM (SELECT doc_id, unnest(ts) AS h FROM tok2)
+                      GROUP BY 1),
+            exp AS (SELECT doc_id, unnest(ts) AS h FROM tok2),
+            ord AS (SELECT doc_id, list(h ORDER BY df, h) AS ordh,
+                           count(*)::BIGINT AS n
+                    FROM exp JOIN dfreq USING (h) GROUP BY 1),
+            pre AS (SELECT doc_id,
+                           unnest(list_slice(ordh, 1, (n - (n + 1) // 2 + 1)::INT)) AS h
+                    FROM ord),
+            cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                     FROM pre a JOIN pre b
+                       ON a.h = b.h AND a.doc_id < b.doc_id),
+            ver AS (SELECT da, db,
+                           len(list_intersect(ta.ts, tb.ts))::BIGINT AS n_inter,
+                           (len(ta.ts) + len(tb.ts))::BIGINT
+                             - len(list_intersect(ta.ts, tb.ts)) AS n_union
+                    FROM cand JOIN tok2 ta ON cand.da = ta.doc_id
+                              JOIN tok2 tb ON cand.db = tb.doc_id)
+            SELECT da, db, n_inter, n_union,
+                   n_inter::DOUBLE / n_union::DOUBLE AS jaccard
+            FROM ver WHERE n_inter * $TauDen >= n_union * $TauNum""",
+      "q127_scd2" ->
+        s"""WITH ev AS (SELECT user_id, event_id, event_type,
+                               epoch_us(ts) AS vf_us FROM events),
+            ch AS (SELECT user_id, event_id, event_type, vf_us,
+                          lag(event_type) OVER
+                            (PARTITION BY user_id ORDER BY vf_us, event_id)
+                            AS prev
+                   FROM ev)
+            SELECT user_id,
+                   row_number() OVER
+                     (PARTITION BY user_id ORDER BY vf_us, event_id)::BIGINT
+                     AS version,
+                   event_type, vf_us AS valid_from_us,
+                   lead(vf_us) OVER
+                     (PARTITION BY user_id ORDER BY vf_us, event_id)
+                     AS valid_to_us,
+                   (lead(vf_us) OVER
+                     (PARTITION BY user_id ORDER BY vf_us, event_id) IS NULL)
+                     AS is_current
+            FROM ch WHERE prev IS NULL OR prev <> event_type""",
+      "q128_triangles" ->
+        s"""WITH items AS (
+              SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderpriority = '1-URGENT'),
+            edges AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+                      FROM items x JOIN items y
+                        ON x.ok = y.ok AND x.pk < y.pk),
+            deg AS (SELECT node, count(*)::BIGINT AS deg
+                    FROM (SELECT u AS node FROM edges
+                          UNION ALL SELECT v FROM edges)
+                    GROUP BY 1),
+            orient AS (
+              SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS src,
+                     CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS dst,
+                     CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS dd
+              FROM (SELECT u, v, a.deg AS du, b.deg AS dv
+                    FROM edges JOIN deg a ON edges.u = a.node
+                               JOIN deg b ON edges.v = b.node)),
+            wedges AS (
+              SELECT CASE WHEN (e1.dd, e1.dst) < (e2.dd, e2.dst)
+                          THEN e1.dst ELSE e2.dst END AS bb,
+                     CASE WHEN (e1.dd, e1.dst) < (e2.dd, e2.dst)
+                          THEN e2.dst ELSE e1.dst END AS cc
+              FROM orient e1 JOIN orient e2
+                ON e1.src = e2.src AND e1.dst < e2.dst),
+            tri AS (SELECT count(*)::BIGINT AS n_triangles
+                    FROM wedges JOIN orient ON bb = src AND cc = dst)
+            SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+                   (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+                   (SELECT sum(deg * (deg - 1) // 2) FROM deg)::BIGINT AS n_wedges,
+                   n_triangles,
+                   3.0 * n_triangles::DOUBLE /
+                     nullif((SELECT sum(deg * (deg - 1) // 2) FROM deg), 0)::DOUBLE
+                     AS transitivity
+            FROM tri""",
+      "q129_postings" ->
+        s"""SELECT h, count(*)::BIGINT AS df,
+                   array_to_string(
+                     list_transform(
+                       list_slice(list(doc_id ORDER BY doc_id), 1, $PostingHead),
+                       x -> x::VARCHAR),
+                     ',') AS head
+            FROM (SELECT doc_id, unnest(list_distinct($thSql)) AS h
+                  FROM documents)
+            GROUP BY h ORDER BY df DESC, h LIMIT $PostingTop""",
+      "q130_bm25" ->
+        s"""WITH docs AS (SELECT doc_id, $thSql AS th FROM documents),
+            dl AS (SELECT doc_id, len(th)::BIGINT AS dl FROM docs),
+            stats AS (SELECT count(*)::BIGINT AS nd, sum(dl)::BIGINT AS sdl
+                      FROM dl),
+            dfreq AS (SELECT h, count(*)::BIGINT AS df
+                      FROM (SELECT doc_id, unnest(list_distinct(th)) AS h
+                            FROM docs)
+                      GROUP BY 1),
+            qsel AS (SELECT h, df
+                     FROM (SELECT unnest(list_distinct(th)) AS h FROM docs
+                           WHERE doc_id = 0) q
+                     JOIN dfreq USING (h)
+                     ORDER BY df DESC, h LIMIT $Bm25QueryTerms),
+            tf AS (SELECT doc_id, h, df, count(*)::BIGINT AS tf
+                   FROM (SELECT doc_id, unnest(th) AS h FROM docs
+                         WHERE doc_id <> 0) e
+                   JOIN qsel USING (h) GROUP BY 1, 2, 3),
+            terms AS (
+              SELECT t.doc_id,
+                     round(
+                       round(ln((nd::DOUBLE - df::DOUBLE + 0.5) /
+                                (df::DOUBLE + 0.5) + 1.0), 9) *
+                       ((tf::DOUBLE * ${Bm25K1 + 1.0}) /
+                        (tf::DOUBLE + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B *
+                          dl.dl::DOUBLE / (sdl::DOUBLE / nd::DOUBLE)))),
+                       9)::DECIMAL(18,9) AS st
+              FROM tf t JOIN dl ON t.doc_id = dl.doc_id, stats)
+            SELECT doc_id, count(*)::BIGINT AS n_terms,
+                   round(sum(st)::DOUBLE, 6) AS score
+            FROM terms GROUP BY 1
+            ORDER BY score DESC, doc_id LIMIT $Bm25Top""",
+      "q131_matryoshka" -> {
+        val sims = MatDims.map(k =>
+          s"${cosineSql(s"(bk.e)[1 : $k]", s"(q.qe)[1 : $k]")} AS sim_$k")
+          .mkString(",\n                     ")
+        val tops = MatDims.map(k =>
+          s"t$k AS (SELECT vec_id FROM scored ORDER BY sim_$k DESC, vec_id LIMIT 10)")
+          .mkString(",\n            ")
+        val cols = MatDims.map(k =>
+          s"""(SELECT count(*) FROM t$k JOIN full_t USING (vec_id))::BIGINT
+                     AS n_common_$k,
+                   (SELECT count(*) FROM t$k JOIN full_t USING (vec_id))::DOUBLE
+                     / 10.0 AS recall_$k""").mkString(",\n                   ")
+        s"""WITH e AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e
+                       FROM embeddings),
+            q AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     $sims,
+                     ${cosineSql("bk.e", "q.qe")} AS sim_full
+              FROM e bk, q WHERE vec_id <> 0),
+            full_t AS (SELECT vec_id FROM scored
+                       ORDER BY sim_full DESC, vec_id LIMIT 10),
+            $tops
+            SELECT $cols"""
+      },
+    )
+  }
+}

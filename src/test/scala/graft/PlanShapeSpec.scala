@@ -133,4 +133,40 @@ class PlanShapeSpec extends SparkSpec {
     val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
     assert(shuffles <= 1, s"expected a single lang exchange, got $shuffles:\n$plan")
   }
+
+  test("q126 set-sim join builds candidates by equi-join — no all-pairs operator anywhere") {
+    val plan = executedPlan(SparkEntry.queries("q126_setsim_join")(spark, sf))
+    assert(countIn(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    } == 0, s"prefix filtering must never plan an all-pairs join:\n$plan")
+  }
+
+  test("q127 SCD2 reuses one user_id exchange for both window passes") {
+    val plan = executedPlan(SparkEntry.queries("q127_scd2")(spark, sf))
+    val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles <= 1,
+      s"lag/row_number/lead share (user_id | vf_us, event_id); got $shuffles exchanges:\n$plan")
+  }
+
+  test("q128 triangle wedge closure is an equi-join — no all-pairs operator") {
+    val plan = executedPlan(SparkEntry.queries("q128_triangles")(spark, sf))
+    assert(countIn(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    } == 0, s"wedge pairs normalize by (deg, id) so the closing probe equi-joins:\n$plan")
+  }
+
+  test("q130 BM25 broadcasts the query-term table — the corpus never shuffles for it") {
+    val plan = executedPlan(SparkEntry.queries("q130_bm25")(spark, sf))
+    assert(countIn(plan) { case b: BroadcastHashJoinExec => b } >= 1,
+      s"expected the Bm25QueryTerms-row term table broadcast:\n$plan")
+    // two TakeOrdereds: the limit-8 query-term pick and the final top-20;
+    // neither may plan as a global sort
+    assert(countIn(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    } == 2, s"expected TakeOrderedAndProject term pick + top-20:\n$plan")
+    assert(countIn(plan) {
+      case t: org.apache.spark.sql.execution.SortExec => t
+    } == 0, s"top-k must not plan a global sort:\n$plan")
+  }
 }
