@@ -22,7 +22,8 @@ object SparkEntry {
     ExtractQueries.defs ++ JoinAggQueries.defs ++ LlmQueries.defs ++
       RasterQueries.defs ++ StreamQueries.defs ++ MiscQueries.defs ++
       CurationQueries.defs ++ TrainQueries.defs ++ AnalyticsQueries.defs ++
-      SelectionQueries.defs ++ ScaleQueries.defs ++ RetrievalQueries.defs
+      SelectionQueries.defs ++ ScaleQueries.defs ++ RetrievalQueries.defs ++
+      StatQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     ExtractQueries.oracle ++ JoinAggQueries.oracle ++ LlmQueries.oracle ++
       RasterQueries.oracle ++ StreamQueries.oracle ++ MiscQueries.oracle ++
       CurationQueries.oracle ++ TrainQueries.oracle ++ AnalyticsQueries.oracle ++
-      SelectionQueries.oracle ++ ScaleQueries.oracle ++ RetrievalQueries.oracle
+      SelectionQueries.oracle ++ ScaleQueries.oracle ++ RetrievalQueries.oracle ++
+      StatQueries.oracle
 }

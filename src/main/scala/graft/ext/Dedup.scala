@@ -158,13 +158,16 @@ object Dedup {
         col("da") < col("db"))
       .select(col("da"), col("db"))
     // verification compares BIGINT shingle-HASH sets (~8 B/element vs a
-    // boxed string); n_inter computed ONCE in a layered select
-    val docs = base.select(col("doc_id"), array_distinct(col("hh")).as("sh"))
+    // boxed string); sets sorted ONCE so n_inter is the codegen'd
+    // allocation-free merge (SortedIntersectCountExpr), computed ONCE in
+    // a layered select
+    val docs = base.select(col("doc_id"),
+      sort_array(array_distinct(col("hh"))).as("sh"))
     cands
       .join(docs.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
       .join(docs.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
       .select(col("da"), col("db"),
-        size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
+        graft.functions.Portable.sortedIntersectCount(col("sha"), col("shb")).as("n_inter"),
         (size(col("sha")) + size(col("shb"))).cast("long").as("sz_sum"))
       .select(col("da"), col("db"), col("n_inter"),
         (col("sz_sum") - col("n_inter")).as("n_union"))

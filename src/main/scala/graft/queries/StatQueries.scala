@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.Portable._
+import graft.ext.Dedup
+
+/** Round-6 fourth batch — statistical analytics: closed-form OLS
+  * regression per group (the trend line a reporting layer fits without
+  * ML machinery), a Zipf-law fit over the token frequency spectrum (the
+  * corpus-health diagnostic), and a train/val/test split-leakage audit
+  * (near-dup pairs crossing split boundaries — the contamination a
+  * random split silently ships).
+  *
+  * Determinism: regressions run on EXACT integer/decimal sums (money as
+  * cents, libm lns rounded to 9 dp then DECIMAL-summed); the final
+  * slope/intercept divisions are single IEEE ops on exactly-convertible
+  * operands.
+  */
+object StatQueries {
+
+  /** Zipf fit depth: the top-N tokens by frequency. */
+  val ZipfTop = 1000
+
+  /** Split-assignment buckets (content-hash mod SplitMod): < SplitTrain →
+    * train, == SplitTrain → val, > SplitTrain → test (8/1/1). */
+  val SplitMod = 10L
+  val SplitTrain = 8L
+
+  /** ln rounded to 9 dp — the libm-determinism rule. */
+  private def ln9(x: org.apache.spark.sql.Column) = round(log(x), 9)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-segment OLS trend of order value over time:
+    // slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) with x = days since
+    // 1992-01-01 and y = order value in CENTS (exact via DECIMAL(18,2)).
+    // Every sum is exact integer arithmetic; the cross products route
+    // through DECIMAL(38,0) (n·Σxy ≈ 3e21 at sf0.1 — past BIGINT); the
+    // two closing divisions are single IEEE ops. One join + one 5-group
+    // aggregate — closed-form regression needs no iteration at any scale.
+    "q132_group_regression" -> ((s, d) => {
+      val base = orders(s, d)
+        .join(customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long").as("x"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
+      val sums = base.groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"))
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val num = d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy"))
+      val den = d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx"))
+      sums
+        .withColumn("slope_milli",
+          round(num.cast("double") / den.cast("double") * 1000.0, 6))
+        .select(col("segment"), col("n"), col("slope_milli"),
+          round((col("sy").cast("double") -
+            col("slope_milli") / 1000.0 * col("sx").cast("double")) /
+            col("n").cast("double") / 100.0, 6).as("intercept"))
+    }),
+
+    // Zipf-law fit: OLS of ln(freq) on ln(rank) over the ZipfTop most
+    // frequent tokens — the slope is the Zipf exponent (healthy natural
+    // text sits near −1; templated/duplicated corpora flatten it). lns
+    // are 9-dp-rounded then DECIMAL-summed (exact, order-independent);
+    // the spectrum is ZipfTop rows, so the rank window is fenced small.
+    "q133_zipf_fit" -> ((s, d) => {
+      val freq = documents(s, d)
+        .select(explode(tokens(col("text"))).as("t"))
+        .select(charFold(col("t")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("h")).limit(ZipfTop)
+      val pts = freq
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("h"))).cast("long"))
+        .select(
+          ln9(col("rank").cast("double")).cast("decimal(18,9)").as("x"),
+          ln9(col("cnt").cast("double")).cast("decimal(18,9)").as("y"))
+      val sums = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      sums.select(col("n"),
+        round(num.cast("double") / den.cast("double"), 6).as("zipf_slope"),
+        round((col("sy").cast("double") -
+          num.cast("double") / den.cast("double") * col("sx").cast("double")) /
+          col("n").cast("double"), 6).as("ln_intercept"))
+    }),
+
+    // Train/val/test split-leakage audit: assign every document to a
+    // split by content hash (8/1/1), then count the exact-verified
+    // near-dup pairs (the q52 relation — shared definition) inside and
+    // ACROSS splits. Cross-split rows are the contamination a random
+    // split ships: the val/test signal those documents carry is already
+    // in train. Pair edges come from the session-cached shingle base;
+    // the split table joins in twice by doc id.
+    "q134_split_leakage" -> ((s, d) => {
+      val splitOf = (b: org.apache.spark.sql.Column) =>
+        when(b < SplitTrain, "train").when(b === SplitTrain, "val")
+          .otherwise("test")
+      val splits = documents(s, d)
+        .select(col("doc_id"), splitOf(charFold(col("text")) % SplitMod).as("split"))
+      val pairs = Dedup.verifiedPairs(s, d)
+        .join(splits.select(col("doc_id").as("da"), col("split").as("sa")), "da")
+        .join(splits.select(col("doc_id").as("db"), col("split").as("sb")), "db")
+        .select(least(col("sa"), col("sb")).as("split_a"),
+          greatest(col("sa"), col("sb")).as("split_b"))
+      pairs.groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("leak", col("split_a") =!= col("split_b"))
+    }),
+  )
+
+  val oracle: Map[String, String] = {
+    val tokSql = tokensSql("text")
+    Map(
+      "q132_group_regression" ->
+        s"""WITH base AS (
+              SELECT c_mktsegment AS segment,
+                     date_diff('day', DATE '1992-01-01',
+                       CAST(o_orderdate AS DATE))::BIGINT AS x,
+                     (o_totalprice::DECIMAL(18,2) * 100)::BIGINT AS y
+              FROM orders JOIN customer ON o_custkey = c_custkey),
+            sums AS (
+              SELECT segment, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                     sum(x * x)::BIGINT AS sxx, sum(y)::BIGINT AS sy,
+                     sum(x * y)::BIGINT AS sxy
+              FROM base GROUP BY 1)
+            SELECT segment, n,
+                   round((n::DECIMAL(38,0) * sxy::DECIMAL(38,0)
+                          - sx::DECIMAL(38,0) * sy::DECIMAL(38,0))::DOUBLE /
+                         (n::DECIMAL(38,0) * sxx::DECIMAL(38,0)
+                          - sx::DECIMAL(38,0) * sx::DECIMAL(38,0))::DOUBLE
+                         * 1000.0, 6) AS slope_milli,
+                   round((sy::DOUBLE -
+                          round((n::DECIMAL(38,0) * sxy::DECIMAL(38,0)
+                                 - sx::DECIMAL(38,0) * sy::DECIMAL(38,0))::DOUBLE /
+                                (n::DECIMAL(38,0) * sxx::DECIMAL(38,0)
+                                 - sx::DECIMAL(38,0) * sx::DECIMAL(38,0))::DOUBLE
+                                * 1000.0, 6) / 1000.0 * sx::DOUBLE) /
+                         n::DOUBLE / 100.0, 6) AS intercept
+            FROM sums""",
+      "q133_zipf_fit" ->
+        s"""WITH freq AS (
+              SELECT h, count(*)::BIGINT AS cnt FROM (
+                SELECT ${charFoldSql("t")} AS h FROM (
+                  SELECT unnest($tokSql) AS t FROM documents))
+              GROUP BY 1 ORDER BY cnt DESC, h LIMIT $ZipfTop),
+            pts AS (
+              SELECT round(ln((row_number() OVER (ORDER BY cnt DESC, h))::DOUBLE), 9)::DECIMAL(18,9) AS x,
+                     round(ln(cnt::DOUBLE), 9)::DECIMAL(18,9) AS y
+              FROM freq),
+            sums AS (
+              SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx,
+                     sum(y) AS sy, sum(x * y) AS sxy
+              FROM pts)
+            SELECT n,
+                   round((n * sxy - sx * sy)::DOUBLE /
+                         (n * sxx - sx * sx)::DOUBLE, 6) AS zipf_slope,
+                   round((sy::DOUBLE -
+                          (n * sxy - sx * sy)::DOUBLE /
+                          (n * sxx - sx * sx)::DOUBLE * sx::DOUBLE) /
+                         n::DOUBLE, 6) AS ln_intercept
+            FROM sums""",
+      "q134_split_leakage" ->
+        s"""WITH ${Dedup.verifiedPairsSqlCtes},
+            splits AS (
+              SELECT doc_id,
+                     CASE WHEN ${charFoldSql("text")} % $SplitMod < $SplitTrain
+                          THEN 'train'
+                          WHEN ${charFoldSql("text")} % $SplitMod = $SplitTrain
+                          THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents)
+            SELECT least(a.split, b.split) AS split_a,
+                   greatest(a.split, b.split) AS split_b,
+                   count(*)::BIGINT AS n_pairs,
+                   (least(a.split, b.split) <> greatest(a.split, b.split)) AS leak
+            FROM edges JOIN splits a ON edges.da = a.doc_id
+                       JOIN splits b ON edges.db = b.doc_id
+            GROUP BY 1, 2""",
+    )
+  }
+}

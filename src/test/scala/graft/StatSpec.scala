@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.StatQueries._
+
+/** Semantic invariants for the round-6 statistics operators (q132–q134):
+  * exact scalar reimplementations of the closed-form regressions (all
+  * sums are integer/decimal-exact, lns 9-dp-rounded — same-JVM math
+  * reproduces Spark bit-for-bit) and a split-leakage recomputation from
+  * the independently-specced q52 edge list. */
+class StatSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def foldHash(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000003L)
+
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r9(x: Double) =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+
+  test("q132 per-segment OLS matches an exact integer reimplementation") {
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+          .cast("long"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val brute = rows.groupBy(_._1).map { case (seg, rs) =>
+      val n = rs.length.toLong
+      val sx = rs.map(_._2).sum
+      val sxx = rs.map(r => r._2 * r._2).sum
+      val sy = rs.map(_._3).sum
+      val sxy = rs.map(r => r._2 * r._3).sum
+      val num = (BigInt(n) * BigInt(sxy) - BigInt(sx) * BigInt(sy)).toDouble
+      val den = (BigInt(n) * BigInt(sxx) - BigInt(sx) * BigInt(sx)).toDouble
+      val slopeMilli = r6(num / den * 1000.0)
+      val intercept = r6((sy.toDouble - slopeMilli / 1000.0 * sx.toDouble) /
+        n.toDouble / 100.0)
+      seg -> (n, slopeMilli, intercept)
+    }
+    val got = run("q132_group_regression").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got == brute, s"got=$got want=$brute")
+  }
+
+  test("q133 Zipf fit matches an exact decimal-sum reimplementation") {
+    val freq = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty).map(foldHash))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (h, c) => (-c, h) }.take(ZipfTop)
+    val pts = freq.zipWithIndex.map { case ((_, c), i) =>
+      (r9(math.log((i + 1).toDouble)), r9(math.log(c.toDouble)))
+    }
+    val n = BigDecimal(pts.length)
+    val sx = pts.map(_._1).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val slope = r6(num.toDouble / den.toDouble)
+    val intercept = r6((sy.toDouble - num.toDouble / den.toDouble * sx.toDouble) /
+      n.toDouble)
+    val row = run("q133_zipf_fit").collect().head
+    assert(row.getLong(0) == pts.length.toLong)
+    assert(row.getDouble(1) == slope, s"slope ${row.getDouble(1)} != $slope")
+    assert(row.getDouble(2) == intercept)
+    assert(slope < 0.0, "token spectrum must be decreasing in rank")
+  }
+
+  test("q134 split-leakage matrix matches a recomputation from the q52 edges") {
+    val splits = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val b = foldHash(r.getString(1)) % SplitMod
+        r.getLong(0) -> (if (b < SplitTrain) "train"
+                         else if (b == SplitTrain) "val" else "test")
+      }.toMap
+    val edges = run("q52_minhash_verified").select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = edges.map { case (da, db) =>
+      val (sa, sb) = (splits(da), splits(db))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).map { case ((sa, sb), g) =>
+      (sa, sb, g.length.toLong, sa != sb)
+    }.toSet
+    val got = run("q134_split_leakage").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == brute, s"got=$got want=$brute")
+  }
+}
