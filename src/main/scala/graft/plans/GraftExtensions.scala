@@ -77,6 +77,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_fold(a, b)")
         graft.functions.DotFoldExpr(args(0), args(1))
+      }),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.SortedIntersectCountExpr].getName,
+        "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_count(a, b)")
+        graft.functions.SortedIntersectCountExpr(args(0), args(1))
       }))
 
   /** Register the SQL functions on a live session (builder-time

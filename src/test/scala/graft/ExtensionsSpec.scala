@@ -53,5 +53,9 @@ class ExtensionsSpec extends SparkSpec {
     val dot = spark.sql(
       "SELECT dot_fold(array(1.0D, 2.0D), array(3.0D, 4.0D))").as[Double].head
     assert(dot == 11.0)
+    val sic = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 7L, 9L), array(3L, 4L, 9L))")
+      .as[Long].head
+    assert(sic == 2L)
   }
 }

@@ -23,6 +23,27 @@ class FunctionsSpec extends SparkSpec {
     assert(ndvi.head == -0.18965584f)
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    import graft.functions.Portable.sortedIntersectCount
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { _ =>
+      val a = rnd.shuffle((0L to 60L).toVector).take(rnd.nextInt(30)).sorted
+      val b = rnd.shuffle((0L to 60L).toVector).take(rnd.nextInt(30)).sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b").select(
+      sortedIntersectCount(col("a"), col("b")).as("got"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("want"))
+    assert(df.filter(col("got") =!= col("want")).count() == 0)
+    // edges: empty side → 0; null side → null
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(sortedIntersectCount(col("a"), col("b"))).head
+    assert(e.getLong(0) == 0L)
+    val n = Seq((null.asInstanceOf[Seq[Long]], Seq(1L))).toDF("a", "b")
+      .select(sortedIntersectCount(col("a"), col("b"))).head
+    assert(n.isNullAt(0))
+  }
+
   test("NanMeanAggregator matches meanNdviPerScene on the fixture") {
     val ndvi = NdviKernel.computeNdvi(RasterModel.dummyConstant(spark))
     val viaAgg = ndvi.groupBy("scene_id")
