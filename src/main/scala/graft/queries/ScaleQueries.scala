@@ -118,17 +118,22 @@ object ScaleQueries {
           (col("l_partkey") + PrPartOffset).as("p")).distinct()
       val bidir = edges.select(col("s").as("src"), col("p").as("dst"))
         .union(edges.select(col("p").as("src"), col("s").as("dst")))
-        .localCheckpoint()
       val deg = bidir.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
+      // source degree FUSED into the materialized edge list once — each
+      // iteration is then ONE broadcast join (the O(|nodes|) rank vector)
+      // + one destination-key aggregate over these edges; the O(|edges|)
+      // table is never joined to deg or reshuffled again
+      val bidirDeg = bidir
+        .join(deg.select(col("node").as("src"), col("deg")), "src")
         .localCheckpoint()
       val nn = deg.count()
       val baseTerm = (PrDampDen - PrDampNum) * PrScale / (PrDampDen * nn)
       var r = deg.select(col("node"), lit(PrScale / nn).as("r"))
         .localCheckpoint()
       for (_ <- 1 to PrIters) {
-        r = bidir
-          .join(r, col("src") === col("node")).drop("node")
-          .join(deg.select(col("node"), col("deg")), col("src") === col("node"))
+        r = bidirDeg
+          .join(broadcast(r), col("src") === col("node")).drop("node")
           .select(col("dst"),
             expr(s"($PrDampNum * r) div ($PrDampDen * deg)").as("c"))
           .groupBy(col("dst").as("node"))
