@@ -241,6 +241,51 @@ object RetrievalQueries {
         .orderBy(col("score").desc, col("doc_id")).limit(Bm25Top)
     }),
 
+    // Incremental dedup — the daily-ingest shape: the 20% "new batch"
+    // (doc_id % 5 == 4) probes the 80% base corpus through its banded
+    // MinHash signature INDEX (q55's b=4 × r=2 construction), then exact
+    // Jaccard ≥ 0.5 verification picks each new doc's best base match.
+    // At 100 TB the band table is the persisted index: per-ingest work is
+    // ∝ batch size; the base corpus is never re-scanned, never re-paired
+    // against itself.
+    "q135_incremental_dedup" -> ((s, d) => {
+      val base = Dedup.shingleBase(s, d)
+      val sig = base.select((col("doc_id") +: MinhashPermsExt.indices.map(j =>
+        Dedup.minhashExt(col("hh"), j).as(s"mh$j"))): _*)
+      val bandArr = array((0 until 4).map(bd =>
+        struct(lit(bd).as("band"), col(s"mh${2 * bd}").as("h1"),
+          col(s"mh${2 * bd + 1}").as("h2"))): _*)
+      val bands = sig.select(col("doc_id"), explode(bandArr).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.h1").as("h1"), col("bk.h2").as("h2"))
+        .localCheckpoint()
+      val idx = bands.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id").as("base_id"), col("band"), col("h1"), col("h2"))
+      val probe = bands.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id").as("new_id"), col("band").as("bandn"),
+          col("h1").as("j1"), col("h2").as("j2"))
+      val cand = probe.join(idx,
+          col("band") === col("bandn") && col("h1") === col("j1") &&
+            col("h2") === col("j2"))
+        .select(col("new_id"), col("base_id")).distinct()
+      val sets = base.select(col("doc_id"),
+        sort_array(array_distinct(col("hh"))).as("sh"))
+      cand
+        .join(sets.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
+        .join(sets.select(col("doc_id").as("base_id"), col("sh").as("shb")), "base_id")
+        .select(col("new_id"), col("base_id"),
+          sortedIntersectCount(col("sha"), col("shb")).as("n_inter"),
+          (size(col("sha")) + size(col("shb"))).cast("long").as("ss"))
+        .select(col("new_id"), col("base_id"), col("n_inter"),
+          (col("ss") - col("n_inter")).as("n_union"))
+        .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+        .filter(col("jaccard") >= 0.5)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("new_id"))
+            .orderBy(col("jaccard").desc, col("base_id"))))
+        .filter(col("rn") === 1).drop("rn")
+    }),
+
     // Matryoshka truncation recall: cosine top-10 from the first 16 and
     // first 32 dims vs the full 64-dim brute-force top-10 (q53's metric)
     // — the measurement behind "store the prefix, re-rank with the tail".
@@ -397,6 +442,44 @@ object RetrievalQueries {
                    round(sum(st)::DOUBLE, 6) AS score
             FROM terms GROUP BY 1
             ORDER BY score DESC, doc_id LIMIT $Bm25Top""",
+      "q135_incremental_dedup" -> {
+        val sig8 = s"""SELECT doc_id,
+              ${(0 until 8).map(j => s"${Dedup.minhashExtSql("hh", j)} AS mh$j")
+                .mkString(",\n              ")}
+            FROM hh_base"""
+        val bandsUnion = (0 until 4).map(bd =>
+          s"SELECT doc_id, $bd AS band, mh${2 * bd} AS h1, mh${2 * bd + 1} AS h2 FROM sig")
+          .mkString("\n              UNION ALL ")
+        s"""WITH hh_base AS (
+              SELECT doc_id, ${Dedup.combineAdjacentSql("th")} AS hh
+              FROM (SELECT doc_id, $thSql AS th FROM documents)
+              WHERE len(th) >= 2),
+            sig AS ($sig8),
+            bands AS (
+              $bandsUnion),
+            idx AS (SELECT doc_id AS base_id, band, h1, h2 FROM bands
+                    WHERE doc_id % 5 <> 4),
+            probe AS (SELECT doc_id AS new_id, band, h1, h2 FROM bands
+                      WHERE doc_id % 5 = 4),
+            cand AS (SELECT DISTINCT new_id, base_id
+                     FROM probe JOIN idx USING (band, h1, h2)),
+            dsets AS (SELECT doc_id, list_distinct(hh) AS sh FROM hh_base),
+            verified AS (
+              SELECT new_id, base_id, n_inter,
+                     (sa + sb - n_inter) AS n_union,
+                     n_inter::DOUBLE / (sa + sb - n_inter) AS jaccard
+              FROM (SELECT new_id, base_id,
+                           len(list_intersect(a.sh, b.sh))::BIGINT AS n_inter,
+                           len(a.sh)::BIGINT AS sa, len(b.sh)::BIGINT AS sb
+                    FROM cand JOIN dsets a ON cand.new_id = a.doc_id
+                              JOIN dsets b ON cand.base_id = b.doc_id)
+              WHERE n_inter::DOUBLE / (sa + sb - n_inter) >= 0.5)
+            SELECT new_id, base_id, n_inter, n_union, jaccard
+            FROM (SELECT *, row_number() OVER
+                    (PARTITION BY new_id ORDER BY jaccard DESC, base_id) AS rn
+                  FROM verified)
+            WHERE rn = 1"""
+      },
       "q131_matryoshka" -> {
         val sims = MatDims.map(k =>
           s"${cosineSql(s"(bk.e)[1 : $k]", s"(q.qe)[1 : $k]")} AS sim_$k")

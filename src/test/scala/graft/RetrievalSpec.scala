@@ -168,6 +168,47 @@ class RetrievalSpec extends SparkSpec {
       s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
   }
 
+  test("q135 incremental dedup matches a banded-index replay (best match per new doc)") {
+    import graft.functions.Portable.{MinhashPermsExt, MinhashP}
+    // raw (non-distinct) shingle-hash LISTS — signatures hash the list
+    val lists = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        if (toks.length < 2) None
+        else Some(r.getLong(0) -> toks.map(foldHash).sliding(2).map {
+          case Array(a, b) => (a * 8191L + b) % 1000003L
+        }.toVector)
+      }.toMap
+    def mh(hh: Vector[Long], j: Int): Long = {
+      val (a, b) = MinhashPermsExt(j)
+      hh.map(h => (a * h + b) % MinhashP).min
+    }
+    val bands = lists.map { case (id, hh) =>
+      id -> (0 until 4).map(bd => (bd, mh(hh, 2 * bd), mh(hh, 2 * bd + 1))).toSet
+    }
+    val (newIds, baseIds) = lists.keys.toSeq.sorted.partition(_ % 5 == 4)
+    val brute = newIds.flatMap { nid =>
+      val cands = baseIds.filter(bid => (bands(nid) & bands(bid)).nonEmpty)
+      val verified = cands.flatMap { bid =>
+        val (sa, sb) = (lists(nid).toSet, lists(bid).toSet)
+        val inter = (sa & sb).size.toLong
+        val union = sa.size + sb.size - inter
+        val j = inter.toDouble / union
+        if (j >= 0.5) Some((bid, inter, union, j)) else None
+      }
+      if (verified.isEmpty) None
+      else {
+        val best = verified.minBy { case (bid, _, _, j) => (-j, bid) }
+        Some((nid, best._1, best._2, best._3, best._4))
+      }
+    }.toSet
+    val got = run("q135_incremental_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(2)} extra=${(got -- brute).take(2)}")
+  }
+
   test("q131 truncated-cosine recalls are the brute-force set overlaps") {
     val vecs = Tables.embeddings(spark, sf).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
