@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.Portable._
-import graft.ext.Dedup
+import graft.ext.{Dedup, TextAnalysis}
 
 /** Round-6 fourth batch — statistical analytics: closed-form OLS
   * regression per group (the trend line a reporting layer fits without
@@ -31,6 +31,12 @@ object StatQueries {
 
   /** ln rounded to 9 dp — the libm-determinism rule. */
   private def ln9(x: org.apache.spark.sql.Column) = round(log(x), 9)
+
+  /** Quantile grid for the drift table (q136). */
+  val DriftGrid = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+
+  /** Jaccard threshold sweep for the dedup calibration curve (q137). */
+  val DedupThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -116,6 +122,51 @@ object StatQueries {
         .agg(count(lit(1)).as("n_pairs"))
         .withColumn("leak", col("split_a") =!= col("split_b"))
     }),
+
+    // Per-source quantile-drift table: the quality-score quantile grid per
+    // source vs the corpus-wide grid, plus the max absolute gap (a
+    // KS-statistic at fixed probes) — the quantile-space complement of
+    // q113's KL view of corpus drift. Exact interpolated percentiles
+    // (9-dp-rounded); the corpus row broadcasts back. At 100 TB the swap
+    // is approx_percentile (t-digest) — same plan shape, bounded state.
+    "q136_quantile_drift" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stopN = TextAnalysis.countIn(toks, TextAnalysis.LangProfiles.head._2)
+      val scored = documents(s, d).select(col("source"),
+          TextAnalysis.qualityScore(nTok, stopN, length(col("text"))).as("q"))
+        .localCheckpoint() // one scoring pass feeds both percentile passes
+      val gridSql = DriftGrid.map(p => s"${p}D").mkString("array(", ", ", ")")
+      val qexpr = s"transform(percentile(q, $gridSql), x -> round(x, 9))"
+      val bySrc = scored.groupBy(col("source")).agg(expr(qexpr).as("qs"))
+      val corpus = scored.agg(expr(qexpr).as("qc"))
+      val gaps = DriftGrid.indices.map(i =>
+        abs(element_at(col("qs"), i + 1) - element_at(col("qc"), i + 1)))
+      bySrc.crossJoin(broadcast(corpus))
+        .select(col("source") +:
+          DriftGrid.zipWithIndex.map { case (p, i) =>
+            element_at(col("qs"), i + 1).as(s"p${(p * 100).toInt}")
+          } :+
+          round(greatest(gaps: _*), 9).as("max_gap"): _*)
+    }),
+
+    // Dedup-threshold calibration curve: for each Jaccard cutoff, the
+    // verified near-dup pairs and the documents they touch — the table
+    // that decides how aggressive a dedup pass should be BEFORE burning a
+    // 100 TB sweep. One threshold fan-out (5 literals) over the shared
+    // verified edge relation; thresholds with zero surviving pairs drop
+    // out identically on both engines.
+    "q137_dedup_rate_curve" -> ((s, d) => {
+      val pt = Dedup.verifiedPairs(s, d)
+        .select(col("da"), col("db"), col("jaccard"),
+          explode(array(DedupThresholds.map(lit): _*)).as("threshold"))
+        .filter(col("jaccard") >= col("threshold"))
+      val np = pt.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+      val nd = pt.select(col("threshold"),
+          explode(array(col("da"), col("db"))).as("doc"))
+        .groupBy(col("threshold")).agg(countDistinct(col("doc")).as("n_docs"))
+      np.join(nd, "threshold")
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -169,6 +220,48 @@ object StatQueries {
                           (n * sxx - sx * sx)::DOUBLE * sx::DOUBLE) /
                          n::DOUBLE, 6) AS ln_intercept
             FROM sums""",
+      "q136_quantile_drift" -> {
+        val q = TextAnalysis.qualityScoreSql(
+          "len(tk)::BIGINT",
+          TextAnalysis.countInSql("tk", TextAnalysis.LangProfiles.head._2),
+          "length(text)")
+        val gridSql = DriftGrid.mkString("[", ", ", "]")
+        val pcols = DriftGrid.zipWithIndex.map { case (p, i) =>
+          s"qs[${i + 1}] AS p${(p * 100).toInt}"
+        }.mkString(", ")
+        val gapTerms = DriftGrid.indices
+          .map(i => s"abs(qs[${i + 1}] - qc[${i + 1}])").mkString(", ")
+        s"""WITH scored AS (
+              SELECT source, $q AS q
+              FROM (SELECT source, text, $tokSql AS tk FROM documents)),
+            bysrc AS (
+              SELECT source,
+                     list_transform(quantile_cont(q, $gridSql),
+                       x -> round(x, 9)) AS qs
+              FROM scored GROUP BY 1),
+            corpus AS (
+              SELECT list_transform(quantile_cont(q, $gridSql),
+                       x -> round(x, 9)) AS qc
+              FROM scored)
+            SELECT source, $pcols,
+                   round(greatest($gapTerms), 9) AS max_gap
+            FROM bysrc, corpus"""
+      },
+      "q137_dedup_rate_curve" -> {
+        val thrList = DedupThresholds.mkString("[", ", ", "]")
+        s"""WITH ${Dedup.verifiedPairsSqlCtes},
+            pt AS (
+              SELECT da, db, jaccard, t.threshold
+              FROM edges, (SELECT unnest($thrList) AS threshold) t
+              WHERE jaccard >= threshold),
+            np AS (SELECT threshold, count(*)::BIGINT AS n_pairs
+                   FROM pt GROUP BY 1),
+            nd AS (SELECT threshold, count(DISTINCT doc)::BIGINT AS n_docs
+                   FROM (SELECT threshold, unnest([da, db]) AS doc FROM pt)
+                   GROUP BY 1)
+            SELECT threshold, n_pairs, n_docs
+            FROM np JOIN nd USING (threshold)"""
+      },
       "q134_split_leakage" ->
         s"""WITH ${Dedup.verifiedPairsSqlCtes},
             splits AS (

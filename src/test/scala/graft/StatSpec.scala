@@ -73,6 +73,33 @@ class StatSpec extends SparkSpec {
     assert(slope < 0.0, "token spectrum must be decreasing in rank")
   }
 
+  test("q136 drift quantiles: source rows bracket the corpus row, max_gap is the grid max") {
+    val rows = run("q136_quantile_drift").collect()
+    assert(rows.length > 1)
+    for (r <- rows) {
+      val qs = (1 to 5).map(r.getDouble)
+      assert(qs == qs.sorted, s"quantiles must be monotone: $qs")
+      val gap = r.getDouble(6)
+      assert(gap >= 0.0 && gap <= 1.0)
+    }
+    // at least one source must actually drift from the corpus mixture
+    assert(rows.map(_.getDouble(6)).max > 0.0)
+  }
+
+  test("q137 dedup curve is monotone non-increasing in the threshold") {
+    val rows = run("q137_dedup_rate_curve").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.head._1 == 0.5)
+    for (Array(a, b) <- rows.sliding(2).map(_.toArray).toSeq if rows.length > 1) {
+      assert(a._2 >= b._2, s"n_pairs must not grow with threshold: $a -> $b")
+      assert(a._3 >= b._3, s"n_docs must not grow with threshold: $a -> $b")
+    }
+    // threshold 0.5 is exactly the full verified relation
+    val full = run("q52_minhash_verified").count()
+    assert(rows.head._2 == full)
+  }
+
   test("q134 split-leakage matrix matches a recomputation from the q52 edges") {
     val splits = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map { r =>
