@@ -20,10 +20,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * CONTRACT: both inputs sorted ascending and distinct — the count is
   * wrong otherwise (callers sort once at the set-build stage). NULL when
   * either side or any element is NULL (HOF-chain semantics, same rule as
-  * [[DotFoldExpr]]).
+  * [[DotFoldExpr]]) — including elements past the point where one side
+  * exhausts, so the result never depends on merge order. The element-null
+  * scan is compiled out entirely when both child array types declare
+  * containsNull = false (the planner-proven common case).
   */
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  /** Static: do the array TYPES admit null elements at all? */
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
+  }
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -41,13 +52,14 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     SortedIntersectCountExpr.count(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], mayHaveNullElems)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("sicRes")
       s"""
-         |java.lang.Long $r = graft.functions.SortedIntersectCountExpr.count($a, $b);
+         |java.lang.Long $r = graft.functions.SortedIntersectCountExpr.count(
+         |  $a, $b, $mayHaveNullElems);
          |if ($r == null) {
          |  ${ev.isNull} = true;
          |} else {
@@ -62,20 +74,29 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 }
 
 object SortedIntersectCountExpr {
-  /** The merge kernel (shared by eval and generated code). */
-  def count(a: ArrayData, b: ArrayData): java.lang.Long = {
+  /** The merge kernel (shared by eval and generated code). `checkNulls`
+    * is a compile-time constant in generated code: when the child types
+    * prove containsNull = false the branch folds away; when nulls are
+    * possible the kernel also scans the tail left after one side
+    * exhausts, so "any element NULL → result NULL" holds unconditionally.
+    */
+  def count(a: ArrayData, b: ArrayData, checkNulls: Boolean): java.lang.Long = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
     var j = 0
     var c = 0L
     while (i < na && j < nb) {
-      if (a.isNullAt(i) || b.isNullAt(j)) return null
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(j))) return null
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x < y) i += 1
       else if (x > y) j += 1
       else { c += 1; i += 1; j += 1 }
+    }
+    if (checkNulls) {
+      while (i < na) { if (a.isNullAt(i)) return null; i += 1 }
+      while (j < nb) { if (b.isNullAt(j)) return null; j += 1 }
     }
     java.lang.Long.valueOf(c)
   }

@@ -319,22 +319,27 @@ object AnalyticsQueries {
     }),
 
     // 2-D skyline (Pareto frontier) of parts maximizing (retail price,
-    // size): after deduping to distinct value pairs, sort by (price desc,
-    // size desc) — a point is on the frontier iff its size exceeds the
-    // running max over all strictly-preferred predecessors. One window
-    // over the distinct-pair table. Skylines are algebraically mergeable
-    // (skyline(∪ partition skylines) = skyline(whole)), so at 100 TB the
-    // same window runs per partition first and the final pass sees only
-    // the tiny candidate union.
+    // size): sort by (price desc, size desc) — a point is on the frontier
+    // iff its size exceeds the running max over all strictly-preferred
+    // predecessors. Skylines are algebraically mergeable (skyline(∪
+    // partition skylines) = skyline(whole)), and that merge is STRUCTURAL
+    // here: a per-partition local skyline pass runs first, so the global
+    // single-partition window only ever sees the union of per-partition
+    // frontiers, not the distinct-pair table.
     "q110_skyline" -> ((s, d) => {
-      val w = Window.orderBy(col("price").desc, col("sz").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      part(s, d)
+      def skyline(df: DataFrame,
+          w: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+        df.withColumn("m", max(col("sz"))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .filter(col("m").isNull || col("sz") > col("m"))
+          .select(col("price"), col("sz"))
+      val pairs = part(s, d)
         .select(col("p_retailprice").as("price"), col("p_size").cast("long").as("sz"))
         .distinct()
-        .withColumn("m", max(col("sz")).over(w))
-        .filter(col("m").isNull || col("sz") > col("m"))
-        .select(col("price"), col("sz"))
+      val local = skyline(pairs, Window.partitionBy(spark_partition_id())
+        .orderBy(col("price").desc, col("sz").desc))
+      // fenced: ≤ Σ per-partition frontier sizes (local pre-pass above)
+      skyline(local, Window.orderBy(col("price").desc, col("sz").desc))
     }),
   )
 

@@ -67,6 +67,7 @@ object JoinAggQueries {
     // J3: AOI-id resolution with fallback — prefer name match, else lowest
     // id (load_to_postgis.py:139-149): prioritized top-1 via window.
     "q15_priority_fallback" -> ((s, d) => {
+      // fenced: ≤25 rows (nation dimension table)
       val w = Window.orderBy(col("n_name") =!= "NATION_7", col("n_nationkey"))
       nation(s, d)
         .withColumn("rn", row_number().over(w))

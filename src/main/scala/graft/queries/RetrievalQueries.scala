@@ -96,9 +96,12 @@ object RetrievalQueries {
             maxOverlap * (TauNum + TauDen) >= (col("a.n") + col("b.n")) * TauNum)
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
+      // verify via SHUFFLE joins keyed on doc_id (q135's shape): the
+      // candidate-pair table is what's small, the corpus set table is not —
+      // broadcasting tok would cap the operator at the 8 GB broadcast limit
       cand
-        .join(broadcast(tok.select(col("doc_id").as("da"), col("ts").as("tsa"))), "da")
-        .join(broadcast(tok.select(col("doc_id").as("db"), col("ts").as("tsb"))), "db")
+        .join(tok.select(col("doc_id").as("da"), col("ts").as("tsa")), "da")
+        .join(tok.select(col("doc_id").as("db"), col("ts").as("tsb")), "db")
         .withColumn("n_inter", sortedIntersectCount(col("tsa"), col("tsb")))
         .withColumn("n_union",
           (size(col("tsa")) + size(col("tsb"))).cast("long") - col("n_inter"))
@@ -185,21 +188,30 @@ object RetrievalQueries {
 
     // Inverted-index posting build: token hash → document frequency +
     // the sorted head of its posting list (serialized, fixed length) for
-    // the PostingTop most frequent tokens. One explode + one hash
-    // aggregate; per-token state is bounded by the head length, so the
-    // build is one pass at any corpus size.
-    "q129_postings" -> ((s, d) =>
-      documents(s, d)
+    // the PostingTop most frequent tokens. The head is selected by a
+    // per-token window BEFORE aggregation (row_number ≤ PostingHead over
+    // the doc_id order), so the collect_list buffer is bounded by the head
+    // length even for hub tokens with O(corpus) document frequency — the
+    // window's sort spills to disk, an aggregate buffer does not. df rides
+    // the same window partitioning as an unordered count.
+    "q129_postings" -> ((s, d) => {
+      val post = documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(transform(tokens(col("text")), t => charFold(t))))
             .as("h"))
+      val wp = Window.partitionBy(col("h"))
+      post
+        .withColumn("rn", row_number().over(wp.orderBy(col("doc_id"))))
+        .withColumn("df", count(lit(1)).over(wp))
+        .filter(col("rn") <= PostingHead)
         .groupBy(col("h"))
-        .agg(count(lit(1)).as("df"),
+        .agg(max(col("df")).as("df"),
           array_join(transform(
-            slice(sort_array(collect_list(col("doc_id"))), 1, PostingHead),
+            sort_array(collect_list(col("doc_id"))),
             x => x.cast("string")), ",").as("head"))
         .orderBy(col("df").desc, col("h"))
-        .limit(PostingTop)),
+        .limit(PostingTop)
+    }),
 
     // BM25 more-like-this: doc 0's tokens are the query (its
     // Bm25QueryTerms most frequent terms by document frequency); every

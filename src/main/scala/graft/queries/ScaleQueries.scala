@@ -120,20 +120,28 @@ object ScaleQueries {
         .union(edges.select(col("p").as("src"), col("s").as("dst")))
       val deg = bidir.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .localCheckpoint()
-      // source degree FUSED into the materialized edge list once — each
-      // iteration is then ONE broadcast join (the O(|nodes|) rank vector)
-      // + one destination-key aggregate over these edges; the O(|edges|)
-      // table is never joined to deg or reshuffled again
+      // source degree FUSED into the materialized edge list once, and the
+      // edge list CO-PARTITIONED by src before the loop — each iteration is
+      // then ONE shuffle join where only the O(|nodes|) rank vector moves
+      // (the O(|edges|) side keeps its partitioning, never reshuffles) + one
+      // destination-key aggregate. No broadcast: at billions of nodes the
+      // rank vector exceeds any broadcast budget; shuffling it per round is
+      // the scale-safe iteration profile. persist (not localCheckpoint) is
+      // load-bearing: under AQE a checkpoint's LogicalRDD reports Unknown-
+      // Partitioning, while the cache pins HashPartitioning(src, N); the
+      // explicit COUNT keeps AQE from coalescing it (REPARTITION_BY_NUM).
+      // PlanShapeSpec asserts this mechanism plan-for-plan.
       val bidirDeg = bidir
         .join(deg.select(col("node").as("src"), col("deg")), "src")
-        .localCheckpoint()
+        .repartition(s.sessionState.conf.numShufflePartitions, col("src"))
+        .persist()
       val nn = deg.count()
       val baseTerm = (PrDampDen - PrDampNum) * PrScale / (PrDampDen * nn)
       var r = deg.select(col("node"), lit(PrScale / nn).as("r"))
         .localCheckpoint()
       for (_ <- 1 to PrIters) {
         r = bidirDeg
-          .join(broadcast(r), col("src") === col("node")).drop("node")
+          .join(r, col("src") === col("node")).drop("node")
           .select(col("dst"),
             expr(s"($PrDampNum * r) div ($PrDampDen * deg)").as("c"))
           .groupBy(col("dst").as("node"))

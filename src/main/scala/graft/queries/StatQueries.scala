@@ -55,10 +55,15 @@ object StatQueries {
           datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
             .cast("long").as("x"),
           (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
+      // per-row products fit BIGINT easily (x·y ≲ 8e11); the SUMS are what
+      // overflow at row counts past ~1e7 (ANSI ARITHMETIC_OVERFLOW), so
+      // each product routes through DECIMAL(38,0) BEFORE aggregation —
+      // exact at any scale factor, map-side partial aggregation unchanged
       val sums = base.groupBy(col("segment"))
         .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"))
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
       def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val num = d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy"))
       val den = d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx"))
@@ -74,29 +79,41 @@ object StatQueries {
     // Zipf-law fit: OLS of ln(freq) on ln(rank) over the ZipfTop most
     // frequent tokens — the slope is the Zipf exponent (healthy natural
     // text sits near −1; templated/duplicated corpora flatten it). lns
-    // are 9-dp-rounded then DECIMAL-summed (exact, order-independent);
-    // the spectrum is ZipfTop rows, so the rank window is fenced small.
+    // are 9-dp-rounded then carried as 1e-9 FIXED-POINT BIGINTs (q120's
+    // discipline): every sum and cross product routes through
+    // DECIMAL(38,0) — bit-identical integer arithmetic on both engines
+    // (no BIGINT×DECIMAL precision-loss multiply — r06 ADVICE), IEEE ops
+    // confined to the closing divisions on exactly-convertible operands.
+    // The spectrum is ZipfTop rows, so the rank window is fenced small.
     "q133_zipf_fit" -> ((s, d) => {
       val freq = documents(s, d)
         .select(explode(tokens(col("text"))).as("t"))
         .select(charFold(col("t")).as("h"))
         .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("h")).limit(ZipfTop)
+      // ln9 value is exact in DECIMAL(18,9); ×1e9 is integral, so the
+      // decimal product's scale adjustment cannot lose digits
+      def fx9(c: org.apache.spark.sql.Column) =
+        (ln9(c).cast("decimal(18,9)") * lit(1000000000L)).cast("long")
       val pts = freq
+        // fenced: ≤ZipfTop rows (post-limit spectrum)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("cnt").desc, col("h"))).cast("long"))
-        .select(
-          ln9(col("rank").cast("double")).cast("decimal(18,9)").as("x"),
-          ln9(col("cnt").cast("double")).cast("decimal(18,9)").as("y"))
+        .select(fx9(col("rank").cast("double")).as("x"),
+          fx9(col("cnt").cast("double")).as("y"))
+      // x·x ≈ 4.8e19 overflows BIGINT per-row, so cast BEFORE the multiply
+      def d19(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
       val sums = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("x") * col("x")).as("sxx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"))
-      val num = col("n") * col("sxy") - col("sx") * col("sy")
-      val den = col("n") * col("sxx") - col("sx") * col("sx")
+        sum(d19(col("x")) * d19(col("x"))).as("sxx"), sum(col("y")).as("sy"),
+        sum(d19(col("x")) * d19(col("y"))).as("sxy"))
+      def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val num = d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy"))
+      val den = d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx"))
       sums.select(col("n"),
         round(num.cast("double") / den.cast("double"), 6).as("zipf_slope"),
-        round((col("sy").cast("double") -
-          num.cast("double") / den.cast("double") * col("sx").cast("double")) /
+        round((col("sy").cast("double") / lit(1.0e9) -
+          num.cast("double") / den.cast("double") *
+            (col("sx").cast("double") / lit(1.0e9))) /
           col("n").cast("double"), 6).as("ln_intercept"))
     }),
 
@@ -181,23 +198,22 @@ object StatQueries {
               FROM orders JOIN customer ON o_custkey = c_custkey),
             sums AS (
               SELECT segment, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-                     sum(x * x)::BIGINT AS sxx, sum(y)::BIGINT AS sy,
-                     sum(x * y)::BIGINT AS sxy
-              FROM base GROUP BY 1)
-            SELECT segment, n,
-                   round((n::DECIMAL(38,0) * sxy::DECIMAL(38,0)
-                          - sx::DECIMAL(38,0) * sy::DECIMAL(38,0))::DOUBLE /
-                         (n::DECIMAL(38,0) * sxx::DECIMAL(38,0)
-                          - sx::DECIMAL(38,0) * sx::DECIMAL(38,0))::DOUBLE
-                         * 1000.0, 6) AS slope_milli,
-                   round((sy::DOUBLE -
-                          round((n::DECIMAL(38,0) * sxy::DECIMAL(38,0)
-                                 - sx::DECIMAL(38,0) * sy::DECIMAL(38,0))::DOUBLE /
-                                (n::DECIMAL(38,0) * sxx::DECIMAL(38,0)
-                                 - sx::DECIMAL(38,0) * sx::DECIMAL(38,0))::DOUBLE
-                                * 1000.0, 6) / 1000.0 * sx::DOUBLE) /
+                     sum((x * x)::DECIMAL(38,0)) AS sxx,
+                     sum(y::DECIMAL(38,0)) AS sy,
+                     sum((x * y)::DECIMAL(38,0)) AS sxy
+              FROM base GROUP BY 1),
+            fit AS (
+              SELECT segment, n, sx, sy,
+                     round((n::HUGEINT * sxy::HUGEINT
+                            - sx::HUGEINT * sy::HUGEINT)::DOUBLE /
+                           (n::HUGEINT * sxx::HUGEINT
+                            - sx::HUGEINT * sx::HUGEINT)::DOUBLE
+                           * 1000.0, 6) AS slope_milli
+              FROM sums)
+            SELECT segment, n, slope_milli,
+                   round((sy::DOUBLE - slope_milli / 1000.0 * sx::DOUBLE) /
                          n::DOUBLE / 100.0, 6) AS intercept
-            FROM sums""",
+            FROM fit""",
       "q133_zipf_fit" ->
         s"""WITH freq AS (
               SELECT h, count(*)::BIGINT AS cnt FROM (
@@ -205,19 +221,25 @@ object StatQueries {
                   SELECT unnest($tokSql) AS t FROM documents))
               GROUP BY 1 ORDER BY cnt DESC, h LIMIT $ZipfTop),
             pts AS (
-              SELECT round(ln((row_number() OVER (ORDER BY cnt DESC, h))::DOUBLE), 9)::DECIMAL(18,9) AS x,
-                     round(ln(cnt::DOUBLE), 9)::DECIMAL(18,9) AS y
+              SELECT (round(ln((row_number() OVER (ORDER BY cnt DESC, h))::DOUBLE), 9)::DECIMAL(28,9)
+                      * 1000000000)::BIGINT AS x,
+                     (round(ln(cnt::DOUBLE), 9)::DECIMAL(28,9)
+                      * 1000000000)::BIGINT AS y
               FROM freq),
             sums AS (
-              SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx,
-                     sum(y) AS sy, sum(x * y) AS sxy
+              SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                     sum(x::DECIMAL(19,0) * x::DECIMAL(19,0)) AS sxx,
+                     sum(y)::BIGINT AS sy,
+                     sum(x::DECIMAL(19,0) * y::DECIMAL(19,0)) AS sxy
               FROM pts)
             SELECT n,
-                   round((n * sxy - sx * sy)::DOUBLE /
-                         (n * sxx - sx * sx)::DOUBLE, 6) AS zipf_slope,
-                   round((sy::DOUBLE -
-                          (n * sxy - sx * sy)::DOUBLE /
-                          (n * sxx - sx * sx)::DOUBLE * sx::DOUBLE) /
+                   round((n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT)::DOUBLE /
+                         (n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT)::DOUBLE,
+                         6) AS zipf_slope,
+                   round((sy::DOUBLE / 1e9 -
+                          (n::HUGEINT * sxy::HUGEINT - sx::HUGEINT * sy::HUGEINT)::DOUBLE /
+                          (n::HUGEINT * sxx::HUGEINT - sx::HUGEINT * sx::HUGEINT)::DOUBLE *
+                          (sx::DOUBLE / 1e9)) /
                          n::DOUBLE, 6) AS ln_intercept
             FROM sums""",
       "q136_quantile_drift" -> {

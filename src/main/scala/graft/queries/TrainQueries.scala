@@ -75,8 +75,8 @@ object TrainQueries {
     // check on the top-20 exact terms (Cormode & Muthukrishnan '05). The
     // register table is ONE hash-aggregate of (row, bucket) — 768 cells
     // regardless of corpus size, the mergeable-partial shape a 100 TB
-    // frequency sketch has. The top-20 probe uses a global row_number,
-    // fenced to the (small) distinct-term table.
+    // frequency sketch has. The top-20 probe selects via TakeOrdered, so
+    // the vocabulary-sized term table never funnels into one partition.
     "q87_cms_topk" -> ((s, d) => {
       val hashed = documents(s, d)
         .select(explode(tokens(col("text"))).as("term"))
@@ -85,10 +85,11 @@ object TrainQueries {
         .select(posexplode(array((0 until CmsDepth).map(j => cmsBucket(col("h"), j)): _*))
           .as(Seq("r", "bkt")))
         .groupBy("r", "bkt").agg(count(lit(1)).as("cnt"))
+      // top-20 via TakeOrdered (per-partition heads + driver merge) — no
+      // single-partition window over the vocabulary-sized term table
       val probes = hashed.groupBy("term")
         .agg(count(lit(1)).as("exact_n"), min(col("h")).as("h"))
-        .withColumn("rk", row_number().over(Window.orderBy(col("exact_n").desc, col("term"))))
-        .filter(col("rk") <= 20)
+        .orderBy(col("exact_n").desc, col("term")).limit(20)
       val est = (0 until CmsDepth).foldLeft(probes) { (df, j) =>
         df.join(
           broadcast(regs.filter(col("r") === j)
@@ -246,6 +247,7 @@ object TrainQueries {
       val regs = documents(s, d)
         .select(least(expr("(n_chars * 256) div 600"), lit(255L)).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      // fenced: ≤256 rows (fixed-width register table)
       val cum = regs.withColumn("cum",
         sum(col("cnt")).over(Window.orderBy("bin")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))

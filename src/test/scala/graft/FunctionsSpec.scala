@@ -44,6 +44,19 @@ class FunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("sorted_intersect_count is NULL for a null element even past the merge point") {
+    GraftFunctions.register(spark)
+    // [1] vs [1, NULL]: the merge exhausts the left side before reaching
+    // the null — the tail scan must still honor "any element NULL → NULL"
+    val tail = spark.sql(
+      "SELECT sorted_intersect_count(array(1L), array(1L, CAST(NULL AS BIGINT)))").head
+    assert(tail.isNullAt(0))
+    // null met during the merge: same answer
+    val mid = spark.sql(
+      "SELECT sorted_intersect_count(array(CAST(NULL AS BIGINT), 1L), array(1L, 2L))").head
+    assert(mid.isNullAt(0))
+  }
+
   test("NanMeanAggregator matches meanNdviPerScene on the fixture") {
     val ndvi = NdviKernel.computeNdvi(RasterModel.dummyConstant(spark))
     val viaAgg = ndvi.groupBy("scene_id")

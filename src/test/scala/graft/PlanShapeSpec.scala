@@ -156,6 +156,36 @@ class PlanShapeSpec extends SparkSpec {
     } == 0, s"wedge pairs normalize by (deg, id) so the closing probe equi-joins:\n$plan")
   }
 
+  test("q120 loop invariant: a src-repartitioned persisted edge list is NOT reshuffled by the per-round rank join") {
+    // q120's iterations are hidden behind checkpoint boundaries, so the
+    // invariant is asserted on the exact mechanism the loop relies on: the
+    // persisted, src-partitioned edge list must satisfy the join's
+    // distribution requirement as-is — one exchange for the rank vector, one
+    // for the dst aggregate, ZERO for the O(|edges|) side. persist (not
+    // localCheckpoint) is load-bearing: under AQE a checkpoint's LogicalRDD
+    // reports UnknownPartitioning, while the cache layer pins the cached
+    // plan's HashPartitioning (canChangeCachedPlanOutputPartitioning=false).
+    // Auto-broadcast is disabled so the shuffle-join (100 TB) shape plans.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (0L until 2000L)
+        .map(i => (i % 97, i % 41, 1L + i % 7)).toDF("src", "dst", "deg")
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
+        .persist()
+      val rank = (0L until 97L).map(i => (i, i * 10)).toDF("node", "r")
+      val round = edges.join(rank, col("src") === col("node")).drop("node")
+        .groupBy(col("dst")).agg(sum(col("r")).as("r"))
+      val plan = executedPlan(round)
+      val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
+      assert(shuffles <= 2,
+        s"expected rank-side + dst-agg exchanges only (edge list reuses its " +
+          s"checkpoint partitioning); got $shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("q130 BM25 broadcasts the query-term table — the corpus never shuffles for it") {
     val plan = executedPlan(SparkEntry.queries("q130_bm25")(spark, sf))
     assert(countIn(plan) { case b: BroadcastHashJoinExec => b } >= 1,
