@@ -153,19 +153,21 @@ object AnalyticsQueries {
 
     // One PageRank power-iteration over the supplier→part supply graph
     // (distinct lineitem edges), uniform start vector: r1(part) =
-    // (1-d)/N + d·Σ r0/outdeg(supp). The iteration is ONE broadcast join
-    // (outdegree table is |suppliers|) plus one aggregate on the
-    // destination key — the exact per-step shape of a 100 TB PageRank,
-    // where only the rank vector reshuffles each step. Per-edge
-    // contributions are rounded to 12 dp and summed as DECIMAL so the
-    // Σ is order-independent.
+    // (1-d)/N + d·Σ r0/outdeg(supp). The iteration is ONE join of the
+    // O(|nodes|) outdegree table against the edge list plus one aggregate
+    // on the destination key — the exact per-step shape of a 100 TB
+    // PageRank, where only the rank vector reshuffles each step. No
+    // broadcast hint on outdeg (node-sized, grows with the graph — AQE
+    // picks from stats); q120 shows the co-partitioned multi-round form.
+    // Per-edge contributions are rounded to 12 dp and summed as DECIMAL
+    // so the Σ is order-independent.
     "q104_pagerank_step" -> ((s, d) => {
       val edges = lineitem(s, d)
         .select(col("l_suppkey"), col("l_partkey")).distinct()
       val outdeg = edges.groupBy(col("l_suppkey")).agg(count(lit(1)).as("od"))
       val totals = edges.agg(
         (countDistinct(col("l_suppkey")) + countDistinct(col("l_partkey"))).as("nn"))
-      edges.join(broadcast(outdeg), "l_suppkey")
+      edges.join(outdeg, "l_suppkey")
         .crossJoin(broadcast(totals))
         .select(col("l_partkey"), col("nn"),
           round(lit(Damping) / (col("nn") * col("od")).cast("double"), 12)
@@ -219,8 +221,8 @@ object AnalyticsQueries {
     // Pointwise mutual information of adjacent token pairs (collocation
     // mining): pmi = ln(c_xy·T_u² / (T_b·c_x·c_y)), support ≥ 5, top 20.
     // Pair and unigram counts are two hash-aggregates over one token
-    // scan; the vocabulary joins back broadcast; the final selection is
-    // TakeOrdered. The count products are formed in DOUBLE from the
+    // scan; the vocabulary joins back by term key (vocabulary-sized —
+    // no broadcast hint, AQE picks); the final selection is TakeOrdered. The count products are formed in DOUBLE from the
     // start (n_pair·tu·tu reaches 2^63 once corpus tokens pass ~2^21,
     // which a larger SF does) — both engines multiply doubles in the
     // same left-to-right order, so the hash gate holds.
@@ -236,13 +238,16 @@ object AnalyticsQueries {
       val pc = pairs.groupBy(col("t1"), col("t2"))
         .agg(count(lit(1)).as("n_pair"))
         .filter(col("n_pair") >= 5)
+      // materialized ONCE: three consumers (t1 join, t2 join, totals) —
+      // without the checkpoint each re-derives the full token aggregate
       val uni = documents(s, d)
         .select(explode(tokens(col("text"))).as("t"))
         .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val totals = uni.agg(sum(col("c")).as("tu"))
         .crossJoin(pairs.agg(count(lit(1)).as("tb")))
-      pc.join(broadcast(uni.select(col("t").as("t1"), col("c").as("c1"))), "t1")
-        .join(broadcast(uni.select(col("t").as("t2"), col("c").as("c2"))), "t2")
+      pc.join(uni.select(col("t").as("t1"), col("c").as("c1")), "t1")
+        .join(uni.select(col("t").as("t2"), col("c").as("c2")), "t2")
         .crossJoin(broadcast(totals))
         .select(col("t1"), col("t2"), col("n_pair"),
           round(log((col("n_pair").cast("double") * col("tu").cast("double") *

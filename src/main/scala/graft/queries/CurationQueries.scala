@@ -274,11 +274,13 @@ object CurationQueries {
     // whose id equals its label — no extra ranking pass). Reported as the
     // per-language before/after corpus counts a curation run logs. The
     // label table is the same cached frame q65/q71 consume; the apply step
-    // is one broadcast-size left join over the corpus scan.
+    // is one left join on doc_id over the corpus scan — the label table
+    // is dup-population-sized (worst case O(corpus) on a duplicate-heavy
+    // crawl), so no broadcast hint: AQE picks from its measured size.
     "q112_dedup_apply" -> ((s, d) => {
       val lbl = ccLabels(s, d)
       documents(s, d)
-        .join(broadcast(lbl), col("doc_id") === col("node"), "left")
+        .join(lbl, col("doc_id") === col("node"), "left")
         .select(col("lang"),
           (col("lbl").isNull || col("lbl") === col("doc_id")).as("keep"))
         .groupBy(col("lang"))
@@ -376,8 +378,9 @@ object CurationQueries {
 
     // TF-IDF keyword extraction: top-5 terms per document by
     // tf * ln((N+1)/(df+1)). One explode + two hash aggregates; the
-    // document-frequency side is tiny (vocabulary) and broadcast back.
-    // Rounded to 6 dp (ln is libm-derived).
+    // document-frequency side joins back by term — vocabulary-sized, so
+    // no broadcast hint (AQE broadcasts while stats allow, shuffles past
+    // the cap). Rounded to 6 dp (ln is libm-derived).
     "q66_tfidf" -> ((s, d) => {
       val terms = documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -388,7 +391,7 @@ object CurationQueries {
       val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("term"))
-      tf.join(broadcast(df), "term")
+      tf.join(df, "term")
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"), col("tf"),
           round(col("tf").cast("double") *

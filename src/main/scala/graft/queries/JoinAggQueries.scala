@@ -22,23 +22,27 @@ object JoinAggQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: scene→full_id lookup as inner equi-join; skip-if-missing = inner
-    // semantics (load_to_postgis.py:236-241). Broadcast the dimension side.
+    // semantics (load_to_postgis.py:236-241). No broadcast HINT: the lookup
+    // side scales with the fact table, so the strategy is left to AQE stats
+    // (broadcast at catalog scale, shuffle hash join at 100 TB).
     "q12_lookup_join" -> ((s, d) =>
       lineitem(s, d)
-        .join(broadcast(orders(s, d)), col("l_orderkey") === col("o_orderkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"), col("o_orderstatus"),
                 col("o_orderpriority"))),
 
     // J1+J2+J3 composed: the full dimension chain, grouped rollup.
-    // lineitem⋈orders⋈customer⋈nation⋈region — all dims broadcast.
+    // lineitem⋈orders⋈customer⋈nation⋈region — only the FIXED-size dims
+    // (nation 25, region 5) carry broadcast hints; orders/customer scale
+    // with SF, so their join strategy is left to AQE stats.
     "q13_star_join" -> ((s, d) => {
       val li = lineitem(s, d)
       val o = orders(s, d)
       val c = customer(s, d)
       val n = nation(s, d)
       val r = region(s, d)
-      li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))

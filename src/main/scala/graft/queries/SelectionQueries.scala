@@ -212,10 +212,11 @@ object SelectionQueries {
     // Interpolated bigram LM scoring (the CCNet/KenLM-style perplexity
     // filter): p(t₂|t₁) = λ·c(t₁t₂)/c(t₁·) + (1−λ)·(c(t₂)+1)/(T+V),
     // per-doc mean log-prob over its bigrams. The LM tables come from one
-    // corpus pass; the unigram table broadcasts; the bigram join is an
-    // equi-join on the pair key (the one real shuffle — at 100 TB both
-    // sides hash-partition on (t1,t2)). Per-position log-probs are 9 dp
-    // DECIMALs; the mean is one exact sum and one IEEE division.
+    // corpus pass and join back by term key — vocabulary-sized, so no
+    // broadcast hints (AQE picks); the bigram join is an equi-join on the
+    // pair key (at 100 TB every LM join hash-partitions on its key).
+    // Per-position log-probs are 9 dp DECIMALs; the mean is one exact sum
+    // and one IEEE division.
     "q116_bigram_lm" -> ((s, d) => {
       val base = documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -235,8 +236,8 @@ object SelectionQueries {
         lit(1.0 - LmLambda) *
           ((col("cu") + 1).cast("double") / (col("tu") + col("v")).cast("double"))
       big.join(bc, Seq("t1", "t2"))
-        .join(broadcast(pfx), Seq("t1"))
-        .join(broadcast(uni.select(col("t").as("t2"), col("cu"))), Seq("t2"))
+        .join(pfx, Seq("t1"))
+        .join(uni.select(col("t").as("t2"), col("cu")), Seq("t2"))
         .crossJoin(broadcast(tv))
         .select(col("doc_id"), ln9(p).cast("decimal(18,9)").as("lp"))
         .groupBy(col("doc_id"))

@@ -326,7 +326,8 @@ object TrainQueries {
     // perplexity filter uses. Per-token logprobs are rounded to 9 dp and
     // summed as DECIMAL so the per-doc sum is exact and order-independent
     // (a raw double SUM would drift with partitioning). Two aggregates +
-    // one term join; the vocabulary broadcast-joins back to the stream.
+    // one term join; the vocabulary joins back by term key (vocabulary-
+    // sized — no broadcast hint, AQE picks).
     "q99_unigram_logprob" -> ((s, d) => {
       val toks = documents(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -335,7 +336,7 @@ object TrainQueries {
         count(lit(1)).as("v")).select(col("tt"), col("v"))
       val lp = round(log((col("tf") + 1).cast("double") /
         (col("tt") + col("v")).cast("double")), 9).cast("decimal(18,9)")
-      toks.join(broadcast(vocab), "term")
+      toks.join(vocab, "term")
         .crossJoin(broadcast(totals))
         .select(col("doc_id"), lp.as("lp"))
         .groupBy("doc_id")
