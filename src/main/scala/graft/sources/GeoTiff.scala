@@ -14,7 +14,10 @@ import graft.model.RasterModel.{BandTile, TileSize}
   * strip-organized, Compression none(1), LZW(5, TIFF early-change
   * variant) or deflate(8), horizontal predictor(2) on uint16, both byte
   * orders, GeoTIFF ModelPixelScale + ModelTiepoint georeferencing, EPSG
-  * from the GeoKey directory, GDAL_NODATA ascii tag.
+  * from the GeoKey directory, GDAL_NODATA ascii tag, multi-IFD chains
+  * (embedded overview pyramids, geo tags optional on overview levels —
+  * the GDAL internal-overview layout of compute_ndvi.py:144-158), and
+  * the BigTIFF container (magic 43, 8-byte counts/values/offsets).
   *
   * Output is the engine's `band_tiles` model: one BandTile row per TIFF
   * tile (edge tiles clipped to the image bounds), raw DN values kept —
@@ -30,6 +33,7 @@ import graft.model.RasterModel.{BandTile, TileSize}
 object GeoTiff {
 
   // TIFF tag ids (TIFF 6.0 + GeoTIFF + GDAL)
+  private val TNewSubfileType = 254
   private val TImageWidth = 256
   private val TImageLength = 257
   private val TBitsPerSample = 258
@@ -63,37 +67,45 @@ object GeoTiff {
 
   // ---- reader --------------------------------------------------------------
 
-  private final class Ifd(bytes: Array[Byte]) {
-    val bb: ByteBuffer = ByteBuffer.wrap(bytes)
-    bb.order(bytes(0) match {
-      case 'I' => ByteOrder.LITTLE_ENDIAN
-      case 'M' => ByteOrder.BIG_ENDIAN
-      case b => throw new IllegalArgumentException(s"Not a TIFF (byte-order mark $b)")
-    })
-    require(bb.getShort(2) == 42, "Not a TIFF (bad magic)")
-    private val ifdOff = bb.getInt(4)
-    private val nEntries = bb.getShort(ifdOff) & 0xffff
+  /** One IFD of a classic or BigTIFF file. `big` selects the BigTIFF
+    * entry layout (8-byte counts/values/offsets, 20-byte entries) over
+    * the classic one (4-byte, 12-byte entries). */
+  private final class Ifd(val bb: ByteBuffer, big: Boolean, ifdOff: Long) {
+    private val entrySize = if (big) 20 else 12
+    private val inlineCap = if (big) 8 else 4
+    private val nEntries: Int =
+      if (big) bb.getLong(ifdOff.toInt).toInt else bb.getShort(ifdOff.toInt) & 0xffff
+    private val entryBase = ifdOff.toInt + (if (big) 8 else 2)
     // tag -> (type, count, valueFieldPos)
     private val entries: Map[Int, (Int, Int, Int)] =
       (0 until nEntries).map { i =>
-        val pos = ifdOff + 2 + i * 12
+        val pos = entryBase + i * entrySize
         val tag = bb.getShort(pos) & 0xffff
         val typ = bb.getShort(pos + 2) & 0xffff
-        val count = bb.getInt(pos + 4)
-        tag -> ((typ, count, pos + 8))
+        val count =
+          if (big) bb.getLong(pos + 4).toInt else bb.getInt(pos + 4)
+        tag -> ((typ, count, pos + (if (big) 12 else 8)))
       }.toMap
 
+    /** File offset of the next IFD in the chain; 0 = end of chain. */
+    val nextIfdOff: Long = {
+      val p = entryBase + nEntries * entrySize
+      if (big) bb.getLong(p) else bb.getInt(p).toLong & 0xffffffffL
+    }
+
     private def typeSize(typ: Int): Int = typ match {
-      case 1 | 2 => 1 // BYTE, ASCII
-      case 3 => 2     // SHORT
-      case 4 => 4     // LONG
-      case 12 => 8    // DOUBLE
+      case 1 | 2 => 1   // BYTE, ASCII
+      case 3 => 2       // SHORT
+      case 4 => 4       // LONG
+      case 12 | 16 => 8 // DOUBLE, LONG8 (BigTIFF)
       case t => throw new IllegalArgumentException(s"Unsupported TIFF type $t")
     }
 
-    /** Where the value bytes live: inline when they fit in 4 bytes. */
+    /** Where the value bytes live: inline when they fit the value field. */
     private def valuePos(typ: Int, count: Int, field: Int): Int =
-      if (typeSize(typ) * count <= 4) field else bb.getInt(field)
+      if (typeSize(typ) * count <= inlineCap) field
+      else if (big) bb.getLong(field).toInt
+      else bb.getInt(field)
 
     def has(tag: Int): Boolean = entries.contains(tag)
 
@@ -104,6 +116,7 @@ object GeoTiff {
         typ match {
           case 3 => (bb.getShort(pos + 2 * i) & 0xffff).toLong
           case 4 => bb.getInt(pos + 4 * i).toLong & 0xffffffffL
+          case 16 => bb.getLong(pos + 8 * i)
           case t => throw new IllegalArgumentException(s"Tag $tag: expected int type, got $t")
         }
       }
@@ -130,8 +143,45 @@ object GeoTiff {
       if (has(tag)) longs(tag).head else default
   }
 
-  def readInfo(bytes: Array[Byte]): Info = {
-    val ifd = new Ifd(bytes)
+  /** Header parse: byte order + classic (42) vs BigTIFF (43) + first-IFD
+    * offset. BigTIFF header: magic 43, offset size 8, pad 0, then the
+    * 8-byte first-IFD offset. */
+  private def openBuffer(bytes: Array[Byte]): (ByteBuffer, Boolean, Long) = {
+    val bb = ByteBuffer.wrap(bytes)
+    bb.order(bytes(0) match {
+      case 'I' => ByteOrder.LITTLE_ENDIAN
+      case 'M' => ByteOrder.BIG_ENDIAN
+      case b => throw new IllegalArgumentException(s"Not a TIFF (byte-order mark $b)")
+    })
+    bb.getShort(2) match {
+      case 42 => (bb, false, bb.getInt(4).toLong & 0xffffffffL)
+      case 43 =>
+        require(bb.getShort(4) == 8 && bb.getShort(6) == 0,
+          "Bad BigTIFF header (offset size must be 8)")
+        (bb, true, bb.getLong(8))
+      case m => throw new IllegalArgumentException(s"Not a TIFF (bad magic $m)")
+    }
+  }
+
+  /** All IFDs in chain order (level 0 = full resolution; subsequent IFDs
+    * are embedded overview levels — the layout GDAL/rasterio produce for
+    * in-file pyramids, reference compute_ndvi.py:144-158). */
+  private def ifdChain(bytes: Array[Byte]): IndexedSeq[Ifd] = {
+    val (bb, big, first) = openBuffer(bytes)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Ifd]
+    var off = first
+    while (off != 0 && out.size < 64) {
+      val ifd = new Ifd(bb, big, off)
+      out += ifd
+      off = ifd.nextIfdOff
+    }
+    out.toIndexedSeq
+  }
+
+  /** Parse one IFD. Overview IFDs (GDAL-style) may omit the geo tags —
+    * `primary` supplies EPSG/nodata and the transform, with pixel size
+    * scaled by the level's width/height ratio. */
+  private def parseInfo(ifd: Ifd, primary: Option[Info]): Info = {
     val width = ifd.longs(TImageWidth).head.toInt
     val height = ifd.longs(TImageLength).head.toInt
     val tiled = ifd.has(TTileWidth) && ifd.has(TTileOffsets)
@@ -149,19 +199,33 @@ object GeoTiff {
     val predictor = ifd.long1(TPredictor, 1L).toInt
     require(predictor == 1 || (predictor == 2 && bps == 16),
       s"Only predictor none (or horizontal on uint16) supported, got $predictor")
-    // georeferencing: pixel scale + tiepoint → north-up affine
-    val Seq(sx, sy) = ifd.doubles(TModelPixelScale).take(2).toSeq
-    val tp = ifd.doubles(TModelTiepoint)
-    val (ti, tj, tx, ty) = (tp(0), tp(1), tp(3), tp(4))
-    val transform = Seq(sx, 0.0, tx - ti * sx, 0.0, -sy, ty + tj * sy)
+    // georeferencing: pixel scale + tiepoint -> north-up affine; overview
+    // IFDs without geo tags inherit the primary grid scaled to level size
+    val transform =
+      if (ifd.has(TModelPixelScale) && ifd.has(TModelTiepoint)) {
+        val Seq(sx, sy) = ifd.doubles(TModelPixelScale).take(2).toSeq
+        val tp = ifd.doubles(TModelTiepoint)
+        val (ti, tj, tx, ty) = (tp(0), tp(1), tp(3), tp(4))
+        Seq(sx, 0.0, tx - ti * sx, 0.0, -sy, ty + tj * sy)
+      } else primary match {
+        case Some(p) =>
+          val fx = p.width.toDouble / width
+          val fy = p.height.toDouble / height
+          Seq(p.transform(0) * fx, 0.0, p.transform(2),
+            0.0, p.transform(4) * fy, p.transform(5))
+        case None => throw new IllegalArgumentException(
+          "Primary IFD lacks ModelPixelScale/ModelTiepoint")
+      }
     // EPSG from the GeoKey directory (projected key wins over geographic)
     val keys = if (ifd.has(TGeoKeyDirectory)) ifd.longs(TGeoKeyDirectory) else IndexedSeq.empty
     def geoKey(id: Int): Option[Int] = keys.drop(4).grouped(4).collectFirst {
       case k if k.length == 4 && k(0) == id && k(1) == 0L => k(3).toInt
     }
-    val epsg = geoKey(KProjectedCSType).orElse(geoKey(KGeographicType)).getOrElse(0)
+    val epsg = geoKey(KProjectedCSType).orElse(geoKey(KGeographicType))
+      .orElse(primary.map(_.epsg)).getOrElse(0)
     val nodata =
-      if (ifd.has(TGdalNodata)) ifd.ascii(TGdalNodata).trim.toDoubleOption else None
+      if (ifd.has(TGdalNodata)) ifd.ascii(TGdalNodata).trim.toDoubleOption
+      else primary.flatMap(_.nodata)
     if (tiled)
       Info(width, height,
         ifd.longs(TTileWidth).head.toInt, ifd.longs(TTileLength).head.toInt,
@@ -177,6 +241,20 @@ object GeoTiff {
         stripLayout = true, predictor = predictor)
     }
   }
+
+  /** Level-0 (full-resolution) metadata. */
+  def readInfo(bytes: Array[Byte]): Info = readInfos(bytes).head
+
+  /** Metadata for every IFD: level 0 first, then each embedded overview. */
+  def readInfos(bytes: Array[Byte]): IndexedSeq[Info] = {
+    val chain = ifdChain(bytes)
+    require(chain.nonEmpty, "TIFF with no IFDs")
+    val head = parseInfo(chain.head, None)
+    head +: chain.tail.map(parseInfo(_, Some(head)))
+  }
+
+  /** Number of IFDs (1 + embedded overview levels). */
+  def numLevels(bytes: Array[Byte]): Int = ifdChain(bytes).size
 
   // ---- TIFF-variant LZW codec (MSB-first bit packing, early change) --------
 
@@ -317,10 +395,20 @@ object GeoTiff {
     out
   }
 
-  /** Decode one TIFF into BandTile rows (one per interior tile, edge tiles
-    * clipped). Raw DN values kept as floats; `nodata` recorded, not masked. */
-  def toBandTiles(sceneId: String, band: String, bytes: Array[Byte]): Seq[BandTile] = {
-    val info = readInfo(bytes)
+  /** Decode one TIFF's level-0 image into BandTile rows (one per interior
+    * tile, edge tiles clipped). Raw DN values kept as floats; `nodata`
+    * recorded, not masked. */
+  def toBandTiles(sceneId: String, band: String, bytes: Array[Byte]): Seq[BandTile] =
+    decodeLevel(sceneId, band, bytes, readInfos(bytes).head)
+
+  /** Decode one IFD level (0 = full resolution, k = k-th embedded
+    * overview) into BandTile rows. */
+  def toBandTiles(sceneId: String, band: String, bytes: Array[Byte],
+                  level: Int): Seq[BandTile] =
+    decodeLevel(sceneId, band, bytes, readInfos(bytes)(level))
+
+  private def decodeLevel(sceneId: String, band: String, bytes: Array[Byte],
+                          info: Info): Seq[BandTile] = {
     val order =
       if (bytes(0) == 'I') ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
     val bytesPerSample = info.bitsPerSample / 8
@@ -428,158 +516,239 @@ object GeoTiff {
       tileSize = tileSize, rowsPerStrip = 0,
       compression = compression, predictor = predictor)
 
-  /** Core writer: `samples` is uint16 (Left) or float32 (Right);
-    * `tileSize` > 0 selects the tiled layout, otherwise `rowsPerStrip`
-    * strips. Compression 1/5/8; predictor 2 only for uint16. */
+  /** One image (one IFD) for the multi-image assembler. `tileSize` > 0
+    * selects the tiled layout, otherwise `rowsPerStrip` strips.
+    * `reduced` marks an overview IFD (NewSubfileType = 1); `geoTags =
+    * false` omits ModelPixelScale/ModelTiepoint/GeoKeys — the GDAL
+    * internal-overview shape the reader's primary-fallback covers. */
+  final case class ImageSpec(
+      samples: Either[Array[Int], Array[Float]],
+      width: Int, height: Int, epsg: Int, transform: Seq[Double],
+      nodata: Option[Double] = None,
+      tileSize: Int = TileSize, rowsPerStrip: Int = 0,
+      compression: Int = 1, predictor: Int = 1,
+      reduced: Boolean = false, geoTags: Boolean = true)
+
+  /** Multi-IFD writer: level-0 image plus embedded overview levels as a
+    * chained-IFD file (the in-file pyramid layout of reference
+    * compute_ndvi.py:144-158). `bigTiff` selects the BigTIFF container
+    * (magic 43, 8-byte offsets — files past 4 GiB at scale). */
+  def writeMultiIfd(images: Seq[ImageSpec], bigTiff: Boolean = false): Array[Byte] =
+    assemble(images, bigTiff)
+
+  /** Single-image writer core (classic container), shared by the typed
+    * wrappers above. */
   private def writeRaster(samples: Either[Array[Int], Array[Float]],
                           width: Int, height: Int,
                           epsg: Int, transform: Seq[Double],
                           nodata: Option[Double],
                           tileSize: Int, rowsPerStrip: Int,
-                          compression: Int, predictor: Int): Array[Byte] = {
-    val nPix = samples.fold(_.length, _.length)
-    require(nPix == width * height, "data length != width*height")
-    require(compression == 1 || compression == 5 || compression == 8,
-      s"unsupported compression $compression")
-    require(predictor == 1 || (predictor == 2 && samples.isLeft),
-      "predictor 2 requires uint16 samples")
-    val Seq(a, _, c, _, e, f) = transform
-    require(a > 0 && e < 0, "writer expects a north-up transform")
-    val tiled = tileSize > 0
-    val bytesPerSample = if (samples.isLeft) 2 else 4
-    val tilesAcross = if (tiled) (width + tileSize - 1) / tileSize else 1
-    val tilesDown =
-      if (tiled) (height + tileSize - 1) / tileSize
-      else (height + rowsPerStrip - 1) / rowsPerStrip
-    // encode segment payloads (tile rows padded to tileSize, pad value 0;
-    // strip rows exactly width samples, last strip short)
-    val payloads = (0 until tilesDown).flatMap { tr =>
-      (0 until tilesAcross).map { tc =>
-        val segW = if (tiled) tileSize else width
-        val segH =
-          if (tiled) tileSize else math.min(rowsPerStrip, height - tr * rowsPerStrip)
-        val raw = ByteBuffer.allocate(segW * segH * bytesPerSample)
-          .order(ByteOrder.LITTLE_ENDIAN)
-        val baseR = tr * (if (tiled) tileSize else rowsPerStrip)
-        var r = 0
-        while (r < segH) {
-          var cc = 0
-          while (cc < segW) {
-            val gr = baseR + r; val gc = tc * segW + cc
-            val in = gr < height && gc < width
-            samples match {
-              case Left(u16) => raw.putShort(
-                (if (in) u16(gr * width + gc) & 0xffff else 0).toShort)
-              case Right(f32) => raw.putFloat(
-                if (in) f32(gr * width + gc) else 0f)
+                          compression: Int, predictor: Int): Array[Byte] =
+    assemble(Seq(ImageSpec(samples, width, height, epsg, transform, nodata,
+      tileSize, rowsPerStrip, compression, predictor)), big = false)
+
+  /** Two-pass IFD-chain assembler. Pass 1 encodes every image's segment
+    * payloads and tag table and derives the byte layout (payloads | ext
+    * values | IFD, per image, in chain order); pass 2 serializes with
+    * absolute offsets. Classic layout: 12-byte entries, 4-byte value
+    * fields/offsets; BigTIFF: 20-byte entries, 8-byte counts, values,
+    * offsets and next-IFD pointers (offsets written as LONG8, type 16). */
+  private def assemble(images: Seq[ImageSpec], big: Boolean): Array[Byte] = {
+    require(images.nonEmpty, "no images")
+    val inlineCap = if (big) 8 else 4
+    val headerLen = if (big) 16 else 8
+
+    sealed trait TagVal
+    final case class Shorts(vs: Seq[Long]) extends TagVal     // type 3
+    final case class Longs(vs: Seq[Long]) extends TagVal      // type 4
+    final case class Doubles(vs: Seq[Double]) extends TagVal  // type 12
+    final case class Ascii(s: String) extends TagVal          // type 2
+    /** Segment offsets, relative to the image block base. */
+    final case class SegOffsets(rel: Seq[Long]) extends TagVal
+
+    def typOf(v: TagVal): Int = v match {
+      case _: Shorts => 3
+      case _: Longs => 4
+      case _: Doubles => 12
+      case _: Ascii => 2
+      case _: SegOffsets => if (big) 16 else 4
+    }
+    def countOf(v: TagVal): Int = v match {
+      case Shorts(vs) => vs.length
+      case Longs(vs) => vs.length
+      case Doubles(vs) => vs.length
+      case Ascii(s) => s.getBytes("US-ASCII").length + 1
+      case SegOffsets(vs) => vs.length
+    }
+    def sizeOf(v: TagVal): Int = v match {
+      case Shorts(vs) => 2 * vs.length
+      case Longs(vs) => 4 * vs.length
+      case Doubles(vs) => 8 * vs.length
+      case Ascii(s) => s.getBytes("US-ASCII").length + 1
+      case SegOffsets(vs) => (if (big) 8 else 4) * vs.length
+    }
+    def serialize(v: TagVal, base: Long): Array[Byte] = {
+      val b = ByteBuffer.allocate(sizeOf(v)).order(ByteOrder.LITTLE_ENDIAN)
+      v match {
+        case Shorts(vs) => vs.foreach(x => b.putShort(x.toShort))
+        case Longs(vs) => vs.foreach(x => b.putInt(x.toInt))
+        case Doubles(vs) => vs.foreach(b.putDouble)
+        case Ascii(s) => b.put(s.getBytes("US-ASCII")).put(0.toByte)
+        case SegOffsets(vs) =>
+          if (big) vs.foreach(x => b.putLong(base + x))
+          else vs.foreach(x => b.putInt((base + x).toInt))
+      }
+      b.array()
+    }
+
+    // ---- pass 1: per-image payload encoding + tag tables --------------------
+    final case class Staged(payloads: IndexedSeq[Array[Byte]],
+                            tags: Seq[(Int, TagVal)])
+    val staged = images.map { im =>
+      val nPix = im.samples.fold(_.length, _.length)
+      require(nPix == im.width * im.height, "data length != width*height")
+      require(im.compression == 1 || im.compression == 5 || im.compression == 8,
+        s"unsupported compression ${im.compression}")
+      require(im.predictor == 1 || (im.predictor == 2 && im.samples.isLeft),
+        "predictor 2 requires uint16 samples")
+      val tiled = im.tileSize > 0
+      val bytesPerSample = if (im.samples.isLeft) 2 else 4
+      val tilesAcross = if (tiled) (im.width + im.tileSize - 1) / im.tileSize else 1
+      val tilesDown =
+        if (tiled) (im.height + im.tileSize - 1) / im.tileSize
+        else (im.height + im.rowsPerStrip - 1) / im.rowsPerStrip
+      // encode segment payloads (tile rows padded to tileSize, pad value 0;
+      // strip rows exactly width samples, last strip short)
+      val payloads = (0 until tilesDown).flatMap { tr =>
+        (0 until tilesAcross).map { tc =>
+          val segW = if (tiled) im.tileSize else im.width
+          val segH =
+            if (tiled) im.tileSize
+            else math.min(im.rowsPerStrip, im.height - tr * im.rowsPerStrip)
+          val raw = ByteBuffer.allocate(segW * segH * bytesPerSample)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          val baseR = tr * (if (tiled) im.tileSize else im.rowsPerStrip)
+          var r = 0
+          while (r < segH) {
+            var cc = 0
+            while (cc < segW) {
+              val gr = baseR + r; val gc = tc * segW + cc
+              val in = gr < im.height && gc < im.width
+              im.samples match {
+                case Left(u16) => raw.putShort(
+                  (if (in) u16(gr * im.width + gc) & 0xffff else 0).toShort)
+                case Right(f32) => raw.putFloat(
+                  if (in) f32(gr * im.width + gc) else 0f)
+              }
+              cc += 1
             }
-            cc += 1
+            r += 1
           }
-          r += 1
+          val arr = raw.array()
+          if (im.predictor == 2) diffRows16(arr, ByteOrder.LITTLE_ENDIAN, segW)
+          im.compression match {
+            case 1 => arr
+            case 5 => lzwEncode(arr)
+            case 8 =>
+              val d = new Deflater()
+              d.setInput(arr); d.finish()
+              val buf = new Array[Byte](arr.length + arr.length / 10 + 64)
+              val n = d.deflate(buf); d.end()
+              require(d.finished(), "deflate buffer too small")
+              java.util.Arrays.copyOf(buf, n)
+          }
         }
-        val arr = raw.array()
-        if (predictor == 2) diffRows16(arr, ByteOrder.LITTLE_ENDIAN, segW)
-        compression match {
-          case 1 => arr
-          case 5 => lzwEncode(arr)
-          case 8 =>
-            val d = new Deflater()
-            d.setInput(arr); d.finish()
-            val buf = new Array[Byte](arr.length + arr.length / 10 + 64)
-            val n = d.deflate(buf); d.end()
-            require(d.finished(), "deflate buffer too small")
-            java.util.Arrays.copyOf(buf, n)
+      }.toIndexedSeq
+      val relOffsets = payloads.scanLeft(0L)(_ + _.length).dropRight(1)
+      val geoEntries: Seq[(Int, TagVal)] =
+        if (!im.geoTags) Seq.empty
+        else {
+          val Seq(a, _, c, _, e, f) = im.transform
+          require(a > 0 && e < 0, "writer expects a north-up transform")
+          // GeoKey directory: version 1.1.0, one key
+          val geoKeyId =
+            if (im.epsg >= 32600 || im.epsg == 3857) KProjectedCSType
+            else KGeographicType
+          Seq(
+            TModelPixelScale -> Doubles(Seq(a, -e, 0.0)),
+            TModelTiepoint -> Doubles(Seq(0.0, 0.0, 0.0, c, f, 0.0)),
+            TGeoKeyDirectory ->
+              Shorts(Seq(1L, 1L, 0L, 1L, geoKeyId.toLong, 0L, 1L, im.epsg.toLong)))
+        }
+      val layoutEntries: Seq[(Int, TagVal)] =
+        if (tiled) Seq(
+          TTileWidth -> Shorts(Seq(im.tileSize.toLong)),
+          TTileLength -> Shorts(Seq(im.tileSize.toLong)),
+          TTileOffsets -> SegOffsets(relOffsets),
+          TTileByteCounts -> Longs(payloads.map(_.length.toLong)))
+        else Seq(
+          TRowsPerStrip -> Longs(Seq(im.rowsPerStrip.toLong)),
+          TStripOffsets -> SegOffsets(relOffsets),
+          TStripByteCounts -> Longs(payloads.map(_.length.toLong)))
+      val tags = (Seq(
+        TImageWidth -> Shorts(Seq(im.width.toLong)),
+        TImageLength -> Shorts(Seq(im.height.toLong)),
+        TBitsPerSample -> Shorts(Seq(bytesPerSample * 8L)),
+        TCompression -> Shorts(Seq(im.compression.toLong)),
+        TPhotometric -> Shorts(Seq(1L)),
+        TSamplesPerPixel -> Shorts(Seq(1L)),
+        TSampleFormat -> Shorts(Seq(if (im.samples.isLeft) 1L else 3L))) ++
+        geoEntries ++ layoutEntries ++
+        (if (im.reduced) Seq(TNewSubfileType -> Longs(Seq(1L))) else Seq.empty) ++
+        (if (im.predictor == 2) Seq(TPredictor -> Shorts(Seq(2L))) else Seq.empty) ++
+        im.nodata.map(nd => TGdalNodata -> Ascii(
+          if (nd == nd.toLong.toDouble) nd.toLong.toString else nd.toString)).toSeq
+      ).sortBy(_._1)
+      Staged(payloads, tags)
+    }
+
+    // ---- pass 2: layout + serialization --------------------------------------
+    val payloadLens = staged.map(_.payloads.map(_.length.toLong).sum)
+    val extLens = staged.map(
+      _.tags.map { case (_, v) => if (sizeOf(v) > inlineCap) sizeOf(v).toLong else 0L }.sum)
+    val ifdLens = staged.map(s =>
+      if (big) 8L + s.tags.length * 20L + 8L else 2L + s.tags.length * 12L + 4L)
+    val blockLens = staged.indices.map(i => payloadLens(i) + extLens(i) + ifdLens(i))
+    val bases = blockLens.scanLeft(headerLen.toLong)(_ + _).dropRight(1)
+    val ifdPositions = staged.indices.map(i => bases(i) + payloadLens(i) + extLens(i))
+    val total = headerLen + blockLens.sum
+
+    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    if (big)
+      out.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0)
+        .putLong(ifdPositions(0))
+    else
+      out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdPositions(0).toInt)
+
+    staged.zipWithIndex.foreach { case (s, i) =>
+      val base = bases(i)
+      s.payloads.foreach(out.put)
+      // external value area: entries too big for the inline field, in tag order
+      var extOff = base + payloadLens(i)
+      val fields: Seq[(Int, TagVal, Either[Array[Byte], Long])] =
+        s.tags.map { case (tag, v) =>
+          if (sizeOf(v) <= inlineCap) (tag, v, Left(serialize(v, base)))
+          else {
+            val off = extOff
+            out.put(serialize(v, base))
+            extOff += sizeOf(v)
+            (tag, v, Right(off))
+          }
+        }
+      // the IFD itself
+      if (big) out.putLong(s.tags.length.toLong)
+      else out.putShort(s.tags.length.toShort)
+      fields.foreach { case (tag, v, fv) =>
+        out.putShort(tag.toShort).putShort(typOf(v).toShort)
+        if (big) out.putLong(countOf(v).toLong) else out.putInt(countOf(v))
+        fv match {
+          case Left(inline) => out.put(java.util.Arrays.copyOf(inline, inlineCap))
+          case Right(off) => if (big) out.putLong(off) else out.putInt(off.toInt)
         }
       }
+      val next = if (i == staged.length - 1) 0L else ifdPositions(i + 1)
+      if (big) out.putLong(next) else out.putInt(next.toInt)
     }
-    val tileDataStart = 8L
-    val tileOffsets = payloads.scanLeft(tileDataStart)(_ + _.length).dropRight(1)
-    val externalStart = tileDataStart + payloads.map(_.length.toLong).sum
-
-    // external value area — appended values that don't fit inline
-    val ext = new java.io.ByteArrayOutputStream()
-    def extPut(bs: Array[Byte]): Long = { val off = externalStart + ext.size(); ext.write(bs); off }
-    def longsBytes(vs: Seq[Long]): Array[Byte] = {
-      val b = ByteBuffer.allocate(4 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
-      vs.foreach(v => b.putInt(v.toInt)); b.array()
-    }
-    def shortsBytes(vs: Seq[Int]): Array[Byte] = {
-      val b = ByteBuffer.allocate(2 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
-      vs.foreach(v => b.putShort(v.toShort)); b.array()
-    }
-    def doublesBytes(vs: Seq[Double]): Array[Byte] = {
-      val b = ByteBuffer.allocate(8 * vs.length).order(ByteOrder.LITTLE_ENDIAN)
-      vs.foreach(b.putDouble); b.array()
-    }
-
-    // entry = (tag, type, count, inlineValue | external offset)
-    final case class Entry(tag: Int, typ: Int, count: Int, value: Long)
-    def intEntry(tag: Int, typ: Int, vs: Seq[Long]): Entry = {
-      val sz = (if (typ == 3) 2 else 4) * vs.length
-      if (sz <= 4) {
-        // pack inline, little-endian field layout
-        val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-        if (typ == 3) vs.foreach(v => b.putShort(v.toShort)) else vs.foreach(v => b.putInt(v.toInt))
-        Entry(tag, typ, vs.length, b.order(ByteOrder.LITTLE_ENDIAN).getInt(0).toLong & 0xffffffffL)
-      } else Entry(tag, typ, vs.length,
-        extPut(if (typ == 3) shortsBytes(vs.map(_.toInt)) else longsBytes(vs)))
-    }
-    def doubleEntry(tag: Int, vs: Seq[Double]): Entry =
-      Entry(tag, 12, vs.length, extPut(doublesBytes(vs)))
-    def asciiEntry(tag: Int, s: String): Entry = {
-      val bs = (s + "\u0000").getBytes("US-ASCII")
-      if (bs.length <= 4) {
-        val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-        b.put(java.util.Arrays.copyOf(bs, 4))
-        Entry(tag, 2, bs.length, b.getInt(0).toLong & 0xffffffffL)
-      } else Entry(tag, 2, bs.length, extPut(bs))
-    }
-
-    // GeoKey directory: version 1.1.0, one key (geographic <32768 is still
-    // written as ProjectedCSType for projected codes; 4326-style geographic
-    // codes use GeographicType)
-    val geoKey = if (epsg >= 32600 || epsg == 3857) KProjectedCSType else KGeographicType
-    val geoKeys = Seq(1, 1, 0, 1, geoKey, 0, 1, epsg)
-
-    val layoutEntries =
-      if (tiled) Seq(
-        intEntry(TTileWidth, 3, Seq(tileSize.toLong)),
-        intEntry(TTileLength, 3, Seq(tileSize.toLong)),
-        intEntry(TTileOffsets, 4, tileOffsets),
-        intEntry(TTileByteCounts, 4, payloads.map(_.length.toLong)))
-      else Seq(
-        intEntry(TRowsPerStrip, 4, Seq(rowsPerStrip.toLong)),
-        intEntry(TStripOffsets, 4, tileOffsets),
-        intEntry(TStripByteCounts, 4, payloads.map(_.length.toLong)))
-    val entries = (Seq(
-      intEntry(TImageWidth, 3, Seq(width.toLong)),
-      intEntry(TImageLength, 3, Seq(height.toLong)),
-      intEntry(TBitsPerSample, 3, Seq(bytesPerSample * 8L)),
-      intEntry(TCompression, 3, Seq(compression.toLong)),
-      intEntry(TPhotometric, 3, Seq(1L)),
-      intEntry(TSamplesPerPixel, 3, Seq(1L)),
-      intEntry(TSampleFormat, 3, Seq(if (samples.isLeft) 1L else 3L)),
-      doubleEntry(TModelPixelScale, Seq(a, -e, 0.0)),
-      doubleEntry(TModelTiepoint, Seq(0.0, 0.0, 0.0, c, f, 0.0)),
-      intEntry(TGeoKeyDirectory, 3, geoKeys.map(_.toLong))) ++
-      layoutEntries ++
-      (if (predictor == 2) Seq(intEntry(TPredictor, 3, Seq(2L))) else Seq.empty) ++
-      nodata.map(nd => asciiEntry(TGdalNodata,
-        if (nd == nd.toLong.toDouble) nd.toLong.toString else nd.toString)).toSeq
-    ).sortBy(_.tag)
-
-    val ifdStart = externalStart + ext.size()
-    val total = ifdStart + 2 + entries.length * 12 + 4
-    val out = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
-    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdStart.toInt)
-    payloads.foreach(out.put)
-    out.put(ext.toByteArray)
-    out.putShort(entries.length.toShort)
-    entries.foreach { en =>
-      out.putShort(en.tag.toShort).putShort(en.typ.toShort)
-        .putInt(en.count).putInt(en.value.toInt)
-    }
-    out.putInt(0) // no next IFD
     out.array()
   }
 }

@@ -212,4 +212,101 @@ class GeoTiffSpec extends SparkSpec {
       else assert(p.contains(expect), s"pixel $i: $p != $expect")
     }
   }
+
+  // ---- multi-IFD overview pyramids + BigTIFF --------------------------------
+
+  // 64×64 full-res, 32-px tiles → 2×2 grid; factor-2 overview → 32×32
+  private val fw = 64; private val fh = 64; private val fts = 32
+  private val fdata = Array.tabulate(fw * fh)(i => (i * 31 + 7) % 60000)
+  private val ftf = Seq(30.0, 0.0, 500000.0, 0.0, -30.0, 4000000.0)
+  private val otf = Seq(60.0, 0.0, 500000.0, 0.0, -60.0, 4000000.0)
+
+  /** Resample.overview(2) rows for the full-res image (q10's semantics),
+    * plus the stitched 32×32 overview image those tiles form. */
+  private def overviewRowsAndImage() = {
+    val fullTiles = GeoTiff.toBandTiles("S", "red",
+      GeoTiff.write(fdata, fw, fh, 32633, ftf, None, fts))
+    val ov = graft.raster.Resample.overview(fullTiles.toDF(), 2)
+      .select("tile_col", "tile_row", "width", "height", "pixels")
+      .collect()
+    val ow = fw / 2; val oh = fh / 2; val ots = fts / 2
+    val oimg = new Array[Float](ow * oh)
+    ov.foreach { r =>
+      val tc = r.getInt(0); val tr = r.getInt(1)
+      val tw = r.getInt(2); val th = r.getInt(3)
+      val px = r.getSeq[Float](4)
+      for (y <- 0 until th; x <- 0 until tw)
+        oimg((tr * ots + y) * ow + (tc * ots + x)) = px(y * tw + x)
+    }
+    (ov, oimg)
+  }
+
+  test("multi-IFD pyramid: embedded level-1 tiles equal Resample.overview(2) output") {
+    import GeoTiff.ImageSpec
+    val (ov, oimg) = overviewRowsAndImage()
+    val bytes = GeoTiff.writeMultiIfd(Seq(
+      ImageSpec(Left(fdata), fw, fh, 32633, ftf, tileSize = fts),
+      ImageSpec(Right(oimg), fw / 2, fh / 2, 32633, otf,
+        tileSize = fts / 2, reduced = true)))
+    assert(GeoTiff.numLevels(bytes) == 2)
+    val infos = GeoTiff.readInfos(bytes)
+    assert(infos(0).width == fw && infos(0).transform == ftf)
+    assert(infos(1).width == fw / 2 && infos(1).transform == otf)
+    assert(infos(1).bitsPerSample == 32 && infos(1).sampleFormat == 3)
+    // level 0 decodes exactly as the single-IFD file does
+    val l0 = GeoTiff.toBandTiles("S", "red", bytes, 0)
+    l0.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width) {
+        val expect = fdata((t.tile_row * fts + r) * fw + (t.tile_col * fts + c)).toFloat
+        assert(t.pixels(r * t.width + c).contains(expect))
+      }
+    }
+    // level 1 tile-for-tile equals the q10 overview relation
+    val byPos = GeoTiff.toBandTiles("S", "red", bytes, 1)
+      .map(t => (t.tile_col, t.tile_row) -> t).toMap
+    ov.foreach { r =>
+      val t = byPos((r.getInt(0), r.getInt(1)))
+      assert(t.width == r.getInt(2) && t.height == r.getInt(3))
+      assert(t.pixels.map(_.get) == r.getSeq[Float](4),
+        s"overview tile (${r.getInt(0)},${r.getInt(1)})")
+    }
+  }
+
+  test("overview IFD without geo tags inherits the primary's scaled grid (GDAL layout)") {
+    import GeoTiff.ImageSpec
+    val (_, oimg) = overviewRowsAndImage()
+    val bytes = GeoTiff.writeMultiIfd(Seq(
+      ImageSpec(Left(fdata), fw, fh, 32633, ftf, nodata = Some(0.0), tileSize = fts),
+      ImageSpec(Right(oimg), fw / 2, fh / 2, 0, Seq.empty,
+        tileSize = fts / 2, reduced = true, geoTags = false)))
+    val infos = GeoTiff.readInfos(bytes)
+    assert(infos(1).transform == otf) // pixel size doubled, same origin
+    assert(infos(1).epsg == 32633)    // inherited
+    assert(infos(1).nodata.contains(0.0))
+  }
+
+  test("BigTIFF (magic 43, 8-byte offsets) round-trips, single and multi-IFD") {
+    import GeoTiff.ImageSpec
+    val bytes = GeoTiff.writeMultiIfd(
+      Seq(ImageSpec(Left(data), w, h, 32635, tf, nodata = Some(0.0), tileSize = ts)),
+      bigTiff = true)
+    assert(bytes(2) == 43 && bytes(3) == 0)
+    val info = GeoTiff.readInfo(bytes)
+    assert(info.width == w && info.height == h && info.epsg == 32635)
+    assert(info.transform == tf && info.nodata.contains(0.0))
+    assertPixelsMatch(bytes)
+    // multi-IFD BigTIFF with an LZW-compressed overview level
+    val (ov, oimg) = overviewRowsAndImage()
+    val pyr = GeoTiff.writeMultiIfd(Seq(
+      ImageSpec(Left(fdata), fw, fh, 32633, ftf, tileSize = fts, compression = 5),
+      ImageSpec(Right(oimg), fw / 2, fh / 2, 32633, otf,
+        tileSize = fts / 2, compression = 8, reduced = true)), bigTiff = true)
+    assert(GeoTiff.numLevels(pyr) == 2)
+    val byPos = GeoTiff.toBandTiles("S", "red", pyr, 1)
+      .map(t => (t.tile_col, t.tile_row) -> t).toMap
+    ov.foreach { r =>
+      val t = byPos((r.getInt(0), r.getInt(1)))
+      assert(t.pixels.map(_.get) == r.getSeq[Float](4))
+    }
+  }
 }
