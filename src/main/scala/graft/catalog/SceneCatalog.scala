@@ -87,10 +87,14 @@ object SceneCatalog {
     files.filter(col(nameCol).endsWith("_NDVI_clipped_viz.parquet"))
 
   /** F10 validation predicates (download_landsat_stac.py:53-62,
-    * load_to_postgis.py:190-192): content-type + min-size + nonzero dims. */
+    * load_to_postgis.py:190-192): content-type + min-size + nonzero dims.
+    * The reference's floor is 1 MiB; the overload takes the floor for
+    * synthetic-fixture tests. */
   def validDownload(contentType: Column, sizeBytes: Column): Column =
+    validDownload(contentType, sizeBytes, 1024L * 1024L)
+  def validDownload(contentType: Column, sizeBytes: Column, minBytes: Long): Column =
     (contentType.contains("tiff") || contentType.contains("geotiff")) &&
-      sizeBytes >= lit(1024L * 1024L)
+      sizeBytes >= lit(minBytes)
   def validRaster(width: Column, height: Column): Column =
     width > 0 && height > 0
 }

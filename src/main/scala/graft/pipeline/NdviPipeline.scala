@@ -145,4 +145,32 @@ object NdviPipeline {
     Result(full, clippedTable, viz, overviews, mean,
       RunSummary(nScenes, nOk, nScenes - nOk))
   }
+
+  /** K9 with snapshot isolation end-to-end: commit the run's product
+    * tables in the reference loader's stage order (full → clipped → viz,
+    * main.py:124-152) as [[graft.sink.VersionedTable]] manifest commits —
+    * create on first run, overwrite after (each post-merge frame IS the
+    * table's complete new state). A reader that resolved a version before
+    * stage 3's commit keeps reading that version's immutable files, and
+    * the pre-merge ndvi_clipped stays reachable by time travel until
+    * expired — the properties the directory-protocol writers can't give.
+    * Returns table name → committed version. */
+  def commitRun(spark: SparkSession, r: Result, rootDir: String): Map[String, Int] = {
+    import graft.sink.VersionedTable
+    def commitTable(name: String, df: DataFrame): (String, Int) = {
+      val root = s"$rootDir/$name"
+      val v =
+        if (VersionedTable.currentVersion(spark, root).isEmpty)
+          VersionedTable.create(spark, root, df)
+        else VersionedTable.overwrite(spark, root, df)
+      name -> v
+    }
+    // stage order is load-bearing (K9): a failure mid-sequence leaves the
+    // earlier tables committed and the later ones at their prior version —
+    // exactly the reference's stop-on-first-failure loader contract.
+    Seq(
+      commitTable("ndvi_full", r.full),
+      commitTable("ndvi_clipped", r.clipped),
+      commitTable("ndvi_viz", r.viz)).toMap
+  }
 }

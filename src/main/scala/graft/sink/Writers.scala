@@ -80,6 +80,24 @@ object Writers {
     addTableMetadata(tiles.sparkSession, path)
   }
 
+  /** [[writeTiles]] through the [[VersionedTable]] commit protocol:
+    * same sorted zstd layout and K8 sidecar, but published as a manifest
+    * commit (create on first write, overwrite after) — concurrent readers
+    * that resolved an earlier version keep reading its immutable files,
+    * and the previous tile table stays reachable by time travel until
+    * expired. This is the 100 TB replacement for the directory-swap
+    * commit. Returns the committed version. */
+  def writeTilesVersioned(tiles: DataFrame, root: String): Int = {
+    val spark = tiles.sparkSession
+    val sorted = tiles.sortWithinPartitions("scene_id", "band", "tile_row", "tile_col")
+    val v =
+      if (VersionedTable.currentVersion(spark, root).isEmpty)
+        VersionedTable.create(spark, root, sorted)
+      else VersionedTable.overwrite(spark, root, sorted)
+    writeMetadataSidecar(spark, VersionedTable.read(spark, root, Some(v)), root)
+    v
+  }
+
   /** Small-file compaction — the table-maintenance job every streaming /
     * incremental sink needs at scale: micro-batch appends and per-bucket
     * overwrites accrete small part files until scan task overhead
@@ -144,8 +162,13 @@ object Writers {
     * sidecar next to the parquet files; a rewrite recomputes it (the
     * DropRasterConstraints + re-add cycle). One aggregate job over the
     * table's metadata columns — pixels are never read. */
-  def addTableMetadata(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val t = spark.read.parquet(path)
+  def addTableMetadata(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    writeMetadataSidecar(spark, spark.read.parquet(path), path)
+
+  /** K8 sidecar from an explicit frame (used by the versioned layout,
+    * where data files live under `root/data` rather than at the root). */
+  private def writeMetadataSidecar(spark: org.apache.spark.sql.SparkSession,
+                                   t: DataFrame, path: String): Unit = {
     val row = t.agg(
       sort_array(collect_set(col("epsg"))).as("srids"),
       sort_array(collect_set(col("band"))).as("bands"),

@@ -74,4 +74,55 @@ class EndToEndSpec extends SparkSpec {
     assert(r2.full.count() == 1)
     assert(r2.clipped.count() == 1)
   }
+
+  test("versioned sinks: snapshot reader survives a stage-3 commit; time travel returns the pre-merge ndvi_clipped") {
+    import graft.sink.VersionedTable
+    val tiles = RasterModel.dummyConstant(spark)
+    val aoi = RasterModel.aoiOverlap(spark)
+    val emptyFull = Seq.empty[(String, java.sql.Date)]
+      .toDF("scene_id", "acquisition_date")
+    val emptyClipped = Seq.empty[(String, Long, Double)]
+      .toDF("scene_id", "aoi_id", "mean_ndvi")
+    val root = java.nio.file.Files.createTempDirectory("graft_vrun").toString
+
+    // run 1 commits version 1 of every product table, in stage order
+    val r1 = NdviPipeline.run(spark, settings, catalog, tiles, aoi,
+      emptyFull, emptyClipped)
+    val v1 = NdviPipeline.commitRun(spark, r1, root)
+    assert(v1 == Map("ndvi_full" -> 1, "ndvi_clipped" -> 1, "ndvi_viz" -> 1))
+    val meanV1 = VersionedTable.read(spark, s"$root/ndvi_clipped")
+      .head.getDouble(2)
+
+    // a concurrent reader resolves ndvi_clipped BEFORE the reload commits:
+    // it is bound to version 1's immutable file list
+    val snapshot = VersionedTable.read(spark, s"$root/ndvi_clipped")
+
+    // run 2: the existing clipped mean is doctored so the K5 merge CHANGES
+    // the row — the reload's stage-3 commit publishes version 2
+    val doctored = VersionedTable.read(spark, s"$root/ndvi_clipped")
+      .withColumn("mean_ndvi", col("mean_ndvi") + 1.0)
+    val r2 = NdviPipeline.run(spark, settings, catalog, tiles, aoi,
+      VersionedTable.read(spark, s"$root/ndvi_full"), doctored)
+    val v2 = NdviPipeline.commitRun(spark, r2, root)
+    assert(v2("ndvi_clipped") == 2)
+
+    // the merge kept the incoming (fresh) mean: the live table changed...
+    val liveMean = VersionedTable.read(spark, s"$root/ndvi_clipped")
+      .head.getDouble(2)
+    assert(math.abs(liveMean - meanV1) < 1e-9)
+    // ...the doctored pre-merge value is what v2 replaced
+    assert(math.abs(doctored.head.getDouble(2) - (meanV1 + 1.0)) < 1e-9)
+    // the concurrent reader still reads version 1's files (snapshot
+    // isolation through the commit)
+    assert(snapshot.count() == 1 &&
+      math.abs(snapshot.head.getDouble(2) - meanV1) < 1e-9)
+    // time travel: version 1 IS the pre-reload ndvi_clipped
+    val travelled = VersionedTable.read(spark, s"$root/ndvi_clipped", Some(1))
+    assert(travelled.count() == 1 &&
+      math.abs(travelled.head.getDouble(2) - meanV1) < 1e-9)
+    // history bounded: expire keeps the newest only, the v1 files go away
+    val (mans, files) = VersionedTable.expire(spark, s"$root/ndvi_clipped", keepLast = 1)
+    assert(mans == 1 && files >= 1)
+    assert(VersionedTable.versions(spark, s"$root/ndvi_clipped") == Seq(2))
+  }
 }

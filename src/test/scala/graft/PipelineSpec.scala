@@ -58,4 +58,56 @@ class PipelineSpec extends SparkSpec {
     assert(ok.count() == 2 && bad.count() == 1)
     assert(bad.head.getString(1) == "negative")
   }
+
+  test("S2 extract: file: URLs fetch -> K7 validation split -> NDVI, rejects counted") {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.{AssetFetch, GeoTiff}
+    import graft.raster.NdviKernel
+    val dir = Files.createTempDirectory("graft_fetch")
+    val w = 64; val h = 64
+    val tf = Seq(30.0, 0.0, 600000.0, 0.0, -30.0, 6700000.0)
+    def tif(name: String, dn: Int): String = {
+      val p = dir.resolve(name)
+      Files.write(p, GeoTiff.write(Array.fill(w * h)(dn), w, h, 32635, tf, Some(0.0), 32))
+      p.toUri.toString
+    }
+    val notTif = {
+      val p = dir.resolve("SCENE2_red.tif")
+      Files.write(p, ("<html>sign-in required</html>" * 64).getBytes("US-ASCII"))
+      p.toUri.toString
+    }
+    // SCENE1: both bands valid; SCENE2: red is an HTML error page (the
+    // reference's non-TIFF response case); SCENE3: dead link
+    val assets = Seq(
+      ("SCENE1", "red", tif("SCENE1_red.tif", 1000)),
+      ("SCENE1", "nir", tif("SCENE1_nir.tif", 3000)),
+      ("SCENE2", "red", notTif),
+      ("SCENE2", "nir", tif("SCENE2_nir.tif", 3000)),
+      ("SCENE3", "red", dir.resolve("missing.tif").toUri.toString))
+      .toDF("scene_id", "band", "href")
+    val (tiles, rejects) = AssetFetch.fetchToTiles(spark, assets, minBytes = 1024L)
+    // K7 counters: 2 rejects with their distinct reasons
+    val rej = rejects.select("scene_id", "band", "reject_reason").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rej.map(t => (t._1, t._2)) == Set(("SCENE2", "red"), ("SCENE3", "red")))
+    assert(rej.exists(t => t._1 == "SCENE2" && t._3 == "invalid_download"))
+    assert(rej.exists(t => t._1 == "SCENE3" && t._3.startsWith("NoSuchFileException")))
+    // valid side decoded: 3 assets x 2x2 tile grid
+    val df = tiles.toDF()
+    assert(df.count() == 12)
+    // extract -> NDVI end-to-end on the fully-fetched scene
+    val ndvi = NdviKernel.computeNdvi(df.filter(col("scene_id") === "SCENE1"))
+    val vals = ndvi.select(explode(col("pixels")).as("p"))
+      .select(col("p").cast("double")).as[Double].collect()
+    assert(vals.length == w * h)
+    val expected = {
+      val red = 1000 * 2.75e-5f - 0.2f; val nir = 3000 * 2.75e-5f - 0.2f
+      ((nir - red) / (nir + red)).toDouble
+    }
+    assert(vals.forall(v => math.abs(v - expected) < 1e-6))
+    // A3 run-summary accounting from the two frames
+    val nScenes = assets.select("scene_id").distinct().count()
+    val nFailed = rejects.select("scene_id").distinct().count()
+    assert(nScenes == 3 && nFailed == 2)
+  }
 }

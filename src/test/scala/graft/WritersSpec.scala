@@ -49,6 +49,26 @@ class WritersSpec extends SparkSpec {
     assert(meta2.getAs[Long]("n_tiles") == 1L)
   }
 
+  test("writeTilesVersioned commits the tile table with the K8 sidecar; overwrite keeps old snapshots readable") {
+    import graft.sink.VersionedTable
+    val tiles = RasterModel.dummyConstant(spark)
+    val root = Files.createTempDirectory("tiles_v").resolve("t").toString
+    assert(Writers.writeTilesVersioned(tiles, root) == 1)
+    assert(VersionedTable.read(spark, root).count() == tiles.count())
+    val meta = spark.read.json(Seq(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_table_metadata.json")), "UTF-8")).toDS()).head
+    assert(meta.getAs[Long]("n_tiles") == tiles.count())
+    // overwrite publishes v2; v1 stays time-travelable, sidecar recomputed
+    val v1Reader = VersionedTable.read(spark, root)
+    assert(Writers.writeTilesVersioned(tiles.filter(col("band") === "red"), root) == 2)
+    assert(VersionedTable.read(spark, root).count() == 1)
+    assert(v1Reader.count() == tiles.count())
+    assert(VersionedTable.read(spark, root, Some(1)).count() == tiles.count())
+    val meta2 = spark.read.json(Seq(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_table_metadata.json")), "UTF-8")).toDS()).head
+    assert(meta2.getAs[Long]("n_tiles") == 1L)
+  }
+
   test("saltedJoin equals the plain join row-for-row") {
     val large = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val small = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
