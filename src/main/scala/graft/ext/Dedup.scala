@@ -144,19 +144,26 @@ object Dedup {
     * jaccard). q52 IS this table; the q65/q71 clustering derives its edge
     * list from it — one definition, no drift. Three-job shape at 100 TB:
     * write signatures, candidate join, verification join. */
-  def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val base = shingleBase(s, d)
-    val sig = signaturesFromBase(base).localCheckpoint()
+  /** The full-signature candidate-pair stage alone (da < db): the input
+    * to ANY verification metric — exact Jaccard (verifiedPairs) or edit
+    * distance (q139). One join on the materialized signature table. */
+  def signatureCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val sig = signaturesFromBase(shingleBase(s, d)).localCheckpoint()
     val a = sig.select(col("doc_id").as("da"), col("mh0"), col("mh1"),
                        col("mh2"), col("mh3"))
     val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
                        col("mh1").as("nh1"), col("mh2").as("nh2"),
                        col("mh3").as("nh3"))
-    val cands = a.join(b,
+    a.join(b,
         col("mh0") === col("nh0") && col("mh1") === col("nh1") &&
         col("mh2") === col("nh2") && col("mh3") === col("nh3") &&
         col("da") < col("db"))
       .select(col("da"), col("db"))
+  }
+
+  def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val base = shingleBase(s, d)
+    val cands = signatureCandidates(s, d)
     // verification compares BIGINT shingle-HASH sets (~8 B/element vs a
     // boxed string); sets sorted ONCE so n_inter is the codegen'd
     // allocation-free merge (SortedIntersectCountExpr), computed ONCE in

@@ -127,4 +127,16 @@ object Portable {
         org.apache.spark.sql.graftbridge.Bridge.toExpression(b)))
   def sortedIntersectCountSql(a: String, b: String): String =
     s"len(list_intersect($a, $b))::BIGINT"
+
+  /** Threshold-bounded edit distance ([[EditWithinExpr]]): the exact
+    * Levenshtein distance when lev·den ≤ num·max(len), else -1. The SQL
+    * twin computes the full distance and lets the caller's threshold
+    * filter discard what the Spark side never computed — same accepted
+    * relation, since distances ≤ threshold are exact. */
+  def editWithin(a: Column, b: Column, num: Long, den: Long): Column =
+    org.apache.spark.sql.graftbridge.Bridge.toColumn(
+      EditWithinExpr(
+        org.apache.spark.sql.graftbridge.Bridge.toExpression(a),
+        org.apache.spark.sql.graftbridge.Bridge.toExpression(b),
+        num, den))
 }

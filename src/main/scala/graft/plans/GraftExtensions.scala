@@ -85,6 +85,20 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "sorted_intersect_count(a, b)")
         graft.functions.SortedIntersectCountExpr(args(0), args(1))
+      }),
+    (FunctionIdentifier("edit_within"),
+      new ExpressionInfo(
+        classOf[graft.functions.EditWithinExpr].getName, "edit_within"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "edit_within(a, b, num, den)")
+        def intLit(e: Expression, name: String): Long = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case _ => throw new IllegalArgumentException(
+            s"edit_within: $name must be an integer literal")
+        }
+        graft.functions.EditWithinExpr(args(0), args(1),
+          intLit(args(2), "num"), intLit(args(3), "den"))
       }))
 
   /** Register the SQL functions on a live session (builder-time

@@ -252,6 +252,17 @@ object CurationQueries {
                 col("cluster_size"))
     }),
 
+    // Cluster SIZE distribution — the shape diagnostic a dedup run logs:
+    // how many near-dup components exist at each size, and how many
+    // documents they absorb. A heavy tail here means template families
+    // (one giant component), not pairwise dupes — different remediation.
+    // Two aggregates over the shared cached label frame.
+    "q141_cluster_sizes" -> ((s, d) =>
+      ccLabels(s, d)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))),
+
     // Cluster winner selection — the step after duplicate clustering:
     // keep the highest-quality document per near-dup cluster (the
     // "canonical representative" a dedup pipeline retains). One window
@@ -481,6 +492,22 @@ object CurationQueries {
           FROM scored JOIN thr USING (lang)
           GROUP BY lang"""
     },
+    "q141_cluster_sizes" ->
+      s"""WITH RECURSIVE
+          $edgesSql,
+          bidir AS (SELECT da AS s, db AS t FROM edges
+                    UNION ALL SELECT db, da FROM edges),
+          nodes AS (SELECT DISTINCT s AS n FROM bidir),
+          walk(n, r) AS (
+            SELECT n, n FROM nodes
+            UNION
+            SELECT b.t, w.r FROM walk w JOIN bidir b ON b.s = w.n),
+          comp AS (SELECT n AS doc_id, min(r) AS cluster_id FROM walk GROUP BY n),
+          sizes AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                    FROM comp GROUP BY 1)
+          SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+                 (cluster_size * count(*))::BIGINT AS n_docs
+          FROM sizes GROUP BY cluster_size""",
     "q65_dedup_clusters" ->
       s"""WITH RECURSIVE
           $edgesSql,

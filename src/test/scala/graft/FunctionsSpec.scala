@@ -45,7 +45,7 @@ class FunctionsSpec extends SparkSpec {
   }
 
   test("sorted_intersect_count is NULL for a null element even past the merge point") {
-    GraftFunctions.register(spark)
+    graft.plans.GraftExtensions.register(spark)
     // [1] vs [1, NULL]: the merge exhausts the left side before reaching
     // the null — the tail scan must still honor "any element NULL → NULL"
     val tail = spark.sql(
@@ -55,6 +55,33 @@ class FunctionsSpec extends SparkSpec {
     val mid = spark.sql(
       "SELECT sorted_intersect_count(array(CAST(NULL AS BIGINT), 1L), array(1L, 2L))").head
     assert(mid.isNullAt(0))
+  }
+
+  test("edit_within equals built-in levenshtein under the threshold, -1 above it") {
+    import graft.functions.Portable.editWithin
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+    def mutate(s: String): String = s.map(c =>
+      if (rnd.nextInt(10) == 0) ('a' + rnd.nextInt(6)).toChar else c)
+    val rows = (1 to 300).map { i =>
+      val a = randStr(5 + rnd.nextInt(60))
+      // mix near-dups (mutations) and unrelated strings
+      val b = if (i % 2 == 0) mutate(a) else randStr(5 + rnd.nextInt(60))
+      (a, b)
+    }
+    val df = rows.toDF("a", "b").select(
+      editWithin(col("a"), col("b"), 3L, 10L).as("got"),
+      levenshtein(col("a"), col("b")).cast("long").as("lev"),
+      greatest(length(col("a")), length(col("b"))).cast("long").as("ml"))
+    val bad = df.filter(
+      (col("got") >= 0 && col("got") =!= col("lev")) ||
+      (col("got") >= 0 && col("lev") * 10 > col("ml") * 3) ||
+      (col("got") === -1 && col("lev") * 10 <= col("ml") * 3)).count()
+    assert(bad == 0)
+    // SQL registration + null propagation
+    graft.plans.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT edit_within('kitten', 'sitting', 1, 1)").head.getLong(0) == 3L)
+    assert(spark.sql("SELECT edit_within(CAST(NULL AS STRING), 'x', 3, 10)").head.isNullAt(0))
   }
 
   test("NanMeanAggregator matches meanNdviPerScene on the fixture") {
