@@ -40,6 +40,20 @@ object ProfilingQueries {
   val CoreK = 3L
   val CorePeels = 2
 
+  /** Reciprocal-rank fusion: the standard k=60 constant, per-ranking
+    * depth, and fused report size (Cormack et al. '09). */
+  val RrfK = 60L
+  val RrfDepth = 50
+  val RrfTop = 20
+
+  /** Asymmetric containment accept threshold: |A∩B|/min(|A|,|B|) ≥ 4/5. */
+  val ContNum = 4L
+  val ContDen = 5L
+
+  /** Trimmed-mean bounds (drop the outer deciles). */
+  val TrimLo = 0.1
+  val TrimHi = 0.9
+
   private def ln9(x: org.apache.spark.sql.Column) = round(log(x), 9)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,6 +228,140 @@ object ProfilingQueries {
       rounds.zipWithIndex.map { case (e, i) => stats(e, i) }
         .reduce(_ unionByName _)
     }),
+
+    // Reciprocal-rank fusion (RRF, k=60) of a LEXICAL ranking (shingle-set
+    // Jaccard vs doc 0) and a SEMANTIC ranking (embedding cosine vs vec 0)
+    // — the standard hybrid-retrieval merge that needs no score
+    // calibration. Each ranking is a TakeOrdered top-RrfDepth, ranked by a
+    // window fenced to those RrfDepth rows; fusion is a full outer join on
+    // the item id, score = Σ 1/(k + rank). Absent-from-one-ranking
+    // contributes 0 — the RRF convention.
+    "q145_rrf_fusion" -> ((s, d) => {
+      val base = Dedup.shingleBase(s, d)
+        .select(col("doc_id"), sort_array(array_distinct(col("hh"))).as("ts"))
+      val q0 = base.filter(col("doc_id") === 0).select(col("ts").as("qs"))
+      val lexTop = base.filter(col("doc_id") =!= 0).crossJoin(broadcast(q0))
+        .select(col("doc_id"), sortedIntersectCount(col("ts"), col("qs")).as("ni"),
+          (size(col("ts")) + size(col("qs"))).cast("long").as("ss"))
+        .select(col("doc_id"),
+          (col("ni").cast("double") / (col("ss") - col("ni")).cast("double")).as("jac"))
+        .orderBy(col("jac").desc, col("doc_id")).limit(RrfDepth)
+      // fenced: ≤RrfDepth rows (post-limit)
+      val lex = lexTop.withColumn("ra",
+        row_number().over(Window.orderBy(col("jac").desc, col("doc_id"))).cast("long"))
+      val emb = embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      val qe = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      val semTop = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qe))
+        .select(col("vec_id").as("doc_id"), round(cosine(col("e"), col("qe")), 9).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(RrfDepth)
+      // fenced: ≤RrfDepth rows (post-limit)
+      val sem = semTop.withColumn("rb",
+        row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))).cast("long"))
+      lex.select(col("doc_id"), col("ra"))
+        .join(sem.select(col("doc_id"), col("rb")), Seq("doc_id"), "full")
+        .select(col("doc_id"), col("ra"), col("rb"),
+          round(coalesce(lit(1.0) / (col("ra") + RrfK).cast("double"), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rb") + RrfK).cast("double"), lit(0.0)), 9).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(RrfTop)
+    }),
+
+    // Asymmetric CONTAINMENT dedup — the near-superset signal resemblance
+    // misses: a short doc quoted/wrapped inside a long one has low Jaccard
+    // but |A∩B|/min(|A|,|B|) ≈ 1. Accept is the integer rational
+    // n_inter·5 ≥ n_small·4 over the shared signature candidates.
+    // (Candidate generation here is the resemblance index; a production
+    // containment pass swaps in size-stratified banding — same verify.)
+    "q146_containment" -> ((s, d) => {
+      val tok = Dedup.shingleBase(s, d)
+        .select(col("doc_id"), sort_array(array_distinct(col("hh"))).as("ts"))
+      Dedup.signatureCandidates(s, d)
+        .join(tok.select(col("doc_id").as("da"), col("ts").as("tsa")), "da")
+        .join(tok.select(col("doc_id").as("db"), col("ts").as("tsb")), "db")
+        .select(col("da"), col("db"),
+          sortedIntersectCount(col("tsa"), col("tsb")).as("n_inter"),
+          least(size(col("tsa")), size(col("tsb"))).cast("long").as("n_small"),
+          when(size(col("tsa")) <= size(col("tsb")), "a_in_b")
+            .otherwise("b_in_a").as("contained_side"))
+        .filter(col("n_inter") * ContDen >= col("n_small") * ContNum)
+        .withColumn("containment",
+          round(col("n_inter").cast("double") / col("n_small").cast("double"), 6))
+    }),
+
+    // n-gram diversity spectrum: distinct/total ratio for 1-, 2- and
+    // 3-grams — the corpus-health diagnostic that catches templated or
+    // over-deduped data (self-BLEU's cheap cousin). One token scan fans
+    // out to three hash-aggregates over n-gram hashes (the shared
+    // ShingleMix/FoldMod fold, so Spark and the oracle cannot drift).
+    "q147_ngram_diversity" -> ((s, d) => {
+      val th = documents(s, d)
+        .select(transform(tokens(col("text")), t => charFold(t)).as("th"))
+        .localCheckpoint() // one tokenize feeds the three spectra
+      def grams(n: Int): org.apache.spark.sql.Column =
+        if (n == 1) col("th")
+        else if (n == 2) Dedup.combineAdjacent(col("th"))
+        else when(size(col("th")) >= 3,
+          transform(sequence(lit(1), size(col("th")) - 2),
+            i => ((element_at(col("th"), i) * Dedup.ShingleMix +
+              element_at(col("th"), i + 1)) % FoldMod * Dedup.ShingleMix +
+              element_at(col("th"), i + 2)) % FoldMod))
+          .otherwise(array().cast("array<bigint>"))
+      (1 to 3).map { n =>
+        th.select(explode(grams(n)).as("g"))
+          .agg(lit(n.toLong).as("n"), count(lit(1)).as("total"),
+            countDistinct(col("g")).as("n_distinct"))
+          .withColumn("diversity",
+            round(col("n_distinct").cast("double") / col("total").cast("double"), 6))
+      }.reduce(_ unionByName _)
+    }),
+
+    // Source-concentration report: exact Gini coefficient and
+    // Herfindahl-Hirschman index of the per-source document counts — the
+    // "is this corpus dominated by one crawl?" number. Counts are an
+    // aggregate-sized table; the rank window is fenced to #sources; Gini
+    // is pure integer arithmetic until one closing division.
+    "q148_source_gini" -> ((s, d) => {
+      val cnt = documents(s, d).groupBy(col("source")).agg(count(lit(1)).as("c"))
+      // fenced: ≤ #sources rows (post-aggregate)
+      val ranked = cnt.withColumn("i",
+        row_number().over(Window.orderBy(col("c"), col("source"))).cast("long"))
+      val agg = ranked.agg(count(lit(1)).as("ns"), sum(col("c")).as("ct"),
+        sum((col("i") * col("c")).cast("decimal(38,0)")).as("sic"))
+      val hhi = cnt.crossJoin(broadcast(agg.select(col("ct").as("ct2"))))
+        .select(round((col("c").cast("double") / col("ct2").cast("double")) *
+          (col("c").cast("double") / col("ct2").cast("double")), 9)
+          .cast("decimal(18,9)").as("t"))
+        .agg(round(sum(col("t")).cast("double"), 6).as("hhi"))
+      val num = lit(2).cast("decimal(38,0)") * col("sic") -
+        (col("ns") + 1).cast("decimal(38,0)") * col("ct")
+      agg.select(col("ns"), col("ct"),
+          round(num.cast("double") /
+            (col("ns").cast("double") * col("ct").cast("double")), 6).as("gini"))
+        .crossJoin(broadcast(hhi))
+    }),
+
+    // Robust per-source quality: the 10%-trimmed mean (drop the outer
+    // deciles, average the middle 80%) — the quality signal a heavy-tailed
+    // crawl doesn't distort. Exact interpolated percentile bounds (the
+    // q54 cross-engine pair) broadcast back per source; kept scores are
+    // 9-dp-rounded and summed exactly in DECIMAL(18,9).
+    "q149_trimmed_quality" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stopN = TextAnalysis.countIn(toks, TextAnalysis.LangProfiles.head._2)
+      val scored = documents(s, d).select(col("source"),
+        TextAnalysis.qualityScore(nTok, stopN, length(col("text"))).as("q"))
+        .localCheckpoint() // one scoring pass feeds bounds + the mean
+      val bounds = scored.groupBy(col("source")).agg(
+        expr(s"round(percentile(q, ${TrimLo}D), 9)").as("p_lo"),
+        expr(s"round(percentile(q, ${TrimHi}D), 9)").as("p_hi"))
+      scored.join(broadcast(bounds), "source")
+        .filter(round(col("q"), 9) >= col("p_lo") && round(col("q"), 9) <= col("p_hi"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          round((sum(round(col("q"), 9).cast("decimal(18,9)")) /
+            count(lit(1))).cast("double"), 6).as("trimmed_mean"))
+        .join(bounds, "source")
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -305,6 +453,101 @@ object ProfilingQueries {
             "user_id", "events", "c_custkey", "customer"),
         ).mkString("\nUNION ALL\n")
       },
+      "q145_rrf_fusion" ->
+        s"""WITH ${Dedup.verifiedPairsSqlCtes},
+            tok AS (SELECT doc_id, list_distinct(hh) AS ts FROM hh_base),
+            q0 AS (SELECT ts AS qs FROM tok WHERE doc_id = 0),
+            lextop AS (
+              SELECT doc_id,
+                     len(list_intersect(ts, qs))::DOUBLE /
+                     ((len(ts) + len(qs))::BIGINT
+                      - len(list_intersect(ts, qs)))::DOUBLE AS jac
+              FROM tok, q0 WHERE doc_id <> 0
+              ORDER BY jac DESC, doc_id LIMIT $RrfDepth),
+            lex AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY jac DESC, doc_id)::BIGINT AS ra
+                    FROM lextop),
+            e AS (SELECT vec_id, ${asDoubleSql("embedding")} AS e FROM embeddings),
+            qe AS (SELECT e AS qe FROM e WHERE vec_id = 0),
+            semtop AS (
+              SELECT vec_id AS doc_id, round(${cosineSql("e.e", "qe.qe")}, 9) AS sim
+              FROM e, qe WHERE vec_id <> 0
+              ORDER BY sim DESC, doc_id LIMIT $RrfDepth),
+            sem AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY sim DESC, doc_id)::BIGINT AS rb
+                    FROM semtop)
+            SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, ra, rb,
+                   round(coalesce(1.0 / (ra + $RrfK)::DOUBLE, 0.0) +
+                         coalesce(1.0 / (rb + $RrfK)::DOUBLE, 0.0), 9) AS rrf
+            FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+            ORDER BY rrf DESC, doc_id LIMIT $RrfTop""",
+      "q146_containment" ->
+        s"""WITH ${Dedup.verifiedPairsSqlCtes},
+            tok AS (SELECT doc_id, list_distinct(hh) AS ts FROM hh_base)
+            SELECT da, db, n_inter, n_small, contained_side,
+                   round(n_inter::DOUBLE / n_small::DOUBLE, 6) AS containment
+            FROM (
+              SELECT da, db,
+                     len(list_intersect(a.ts, b.ts))::BIGINT AS n_inter,
+                     least(len(a.ts), len(b.ts))::BIGINT AS n_small,
+                     CASE WHEN len(a.ts) <= len(b.ts) THEN 'a_in_b'
+                          ELSE 'b_in_a' END AS contained_side
+              FROM cands JOIN tok a ON cands.da = a.doc_id
+                         JOIN tok b ON cands.db = b.doc_id)
+            WHERE n_inter * $ContDen >= n_small * $ContNum""",
+      "q147_ngram_diversity" -> {
+        val th = s"list_transform($tokSql, t -> ${charFoldSql("t")})"
+        val g2 = Dedup.combineAdjacentSql("th")
+        val g3 = s"""list_transform(range(1, len(th) - 1),
+          i -> ((th[i] * ${Dedup.ShingleMix} + th[i+1]) % $FoldMod
+                * ${Dedup.ShingleMix} + th[i+2]) % $FoldMod)"""
+        def spec(n: Int, expr: String): String =
+          s"""SELECT ${n}::BIGINT AS n, count(*)::BIGINT AS total,
+                     count(DISTINCT g)::BIGINT AS n_distinct,
+                     round(count(DISTINCT g)::DOUBLE / count(*)::DOUBLE, 6) AS diversity
+              FROM (SELECT unnest($expr) AS g
+                    FROM (SELECT $th AS th FROM documents))"""
+        s"""${spec(1, "th")}
+            UNION ALL ${spec(2, g2)}
+            UNION ALL ${spec(3, g3)}"""
+      },
+      "q148_source_gini" ->
+        s"""WITH cnt AS (
+              SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+            ranked AS (
+              SELECT c, row_number() OVER (ORDER BY c, source)::BIGINT AS i
+              FROM cnt),
+            agg AS (
+              SELECT count(*)::BIGINT AS ns, sum(c)::BIGINT AS ct,
+                     sum((i * c)::DECIMAL(38,0)) AS sic
+              FROM ranked),
+            hhi AS (
+              SELECT round(sum(round((c::DOUBLE / ct::DOUBLE)
+                                     * (c::DOUBLE / ct::DOUBLE), 9)::DECIMAL(18,9))::DOUBLE,
+                           6) AS hhi
+              FROM cnt, agg)
+            SELECT ns, ct,
+                   round((2::HUGEINT * sic::HUGEINT
+                          - (ns + 1)::HUGEINT * ct::HUGEINT)::DOUBLE /
+                         (ns::DOUBLE * ct::DOUBLE), 6) AS gini,
+                   hhi
+            FROM agg, hhi""",
+      "q149_trimmed_quality" ->
+        s"""WITH scored AS (
+              SELECT source, $qSql AS q
+              FROM (SELECT source, text, $tokSql AS tk FROM documents)),
+            bounds AS (
+              SELECT source,
+                     round(quantile_cont(q, $TrimLo), 9) AS p_lo,
+                     round(quantile_cont(q, $TrimHi), 9) AS p_hi
+              FROM scored GROUP BY 1)
+            SELECT source, count(*)::BIGINT AS n_kept,
+                   round((sum(round(q, 9)::DECIMAL(18,9))
+                          / count(*))::DOUBLE, 6) AS trimmed_mean,
+                   p_lo, p_hi
+            FROM scored JOIN bounds USING (source)
+            WHERE round(q, 9) >= p_lo AND round(q, 9) <= p_hi
+            GROUP BY source, p_lo, p_hi""",
       "q144_kcore" -> {
         def peelSql(prev: String, cur: String): String =
           s"""$cur AS (

@@ -111,6 +111,70 @@ class ProfilingSpec extends SparkSpec {
     assert(byName("customer.c_nationkey->nation.n_nationkey"))
   }
 
+  test("q145 RRF arithmetic: score equals the rank formula; depth respected") {
+    val rows = run("q145_rrf_fusion").collect()
+    assert(rows.nonEmpty && rows.length <= ProfilingQueries.RrfTop)
+    rows.foreach { r =>
+      val ra = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val rb = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(ra.nonEmpty || rb.nonEmpty)
+      ra.foreach(v => assert(v >= 1 && v <= ProfilingQueries.RrfDepth))
+      rb.foreach(v => assert(v >= 1 && v <= ProfilingQueries.RrfDepth))
+      val want = ra.map(v => 1.0 / (v + ProfilingQueries.RrfK)).getOrElse(0.0) +
+        rb.map(v => 1.0 / (v + ProfilingQueries.RrfK)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - want) < 1e-8)
+    }
+    // descending by fused score
+    val scores = rows.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("q146 containment bounds: threshold holds and containment >= jaccard on shared pairs") {
+    val cont = run("q146_containment").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(cont.nonEmpty)
+    cont.values.foreach(c => assert(c >= 0.8 - 1e-9 && c <= 1.0 + 1e-9))
+    // containment uses min-size denominator, jaccard the union: C >= J always
+    val jac = run("q52_minhash_verified").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    jac.foreach { case (k, j) =>
+      cont.get(k).foreach(c => assert(c >= j - 1e-9, s"pair $k")) }
+  }
+
+  test("q147 n-gram diversity grows with n and stays in (0, 1]") {
+    val d = run("q147_ngram_diversity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(d.keySet == Set(1L, 2L, 3L))
+    d.values.foreach(v => assert(v > 0.0 && v <= 1.0))
+    assert(d(1L) <= d(3L)) // longer grams repeat less
+  }
+
+  test("q148 Gini matches a driver-side recomputation from raw counts") {
+    val counts = Tables.documents(spark, sf)
+      .groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(t => (t._2, t._1)).map(_._2)
+    val n = counts.length.toLong
+    val ct = counts.sum
+    val sic = counts.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    val gini = (2.0 * sic - (n + 1) * ct) / (n.toDouble * ct)
+    val hhi = counts.map(c => { val p = c.toDouble / ct; p * p }).sum
+    val got = run("q148_source_gini").head
+    assert(got.getLong(0) == n && got.getLong(1) == ct)
+    assert(math.abs(got.getDouble(2) - gini) < 1e-6)
+    assert(math.abs(got.getDouble(3) - hhi) < 1e-6)
+  }
+
+  test("q149 trimmed mean sits within the kept band") {
+    val rows = run("q149_trimmed_quality").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nk, tm, lo, hi) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(nk > 0 && lo <= hi)
+      assert(tm >= lo - 1e-9 && tm <= hi + 1e-9)
+    }
+  }
+
   test("q144 k-core peel: monotone shrink and every survivor met the bar in the prior round") {
     val rows = run("q144_kcore").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
