@@ -139,14 +139,20 @@ object ScaleQueries {
       val baseTerm = (PrDampDen - PrDampNum) * PrScale / (PrDampDen * nn)
       var r = deg.select(col("node"), lit(PrScale / nn).as("r"))
         .localCheckpoint()
-      for (_ <- 1 to PrIters) {
-        r = bidirDeg
+      // lineage truncation only every CHECKPOINT-EVERY rounds: with the
+      // edge side persisted, a few nested join+agg rounds are a shallow
+      // plan Catalyst handles fine, and each skipped checkpoint saves a
+      // full materialization job; a long (30+) fixpoint still truncates
+      // periodically so the plan cannot grow unboundedly
+      val cpEvery = 8
+      for (it <- 1 to PrIters) {
+        val next = bidirDeg
           .join(r, col("src") === col("node")).drop("node")
           .select(col("dst"),
             expr(s"($PrDampNum * r) div ($PrDampDen * deg)").as("c"))
           .groupBy(col("dst").as("node"))
           .agg((sum(col("c")) + baseTerm).as("r"))
-          .localCheckpoint()
+        r = if (it % cpEvery == 0) next.localCheckpoint() else next
       }
       r.join(deg.select(col("node"), col("deg")), "node")
         .select(col("node"), col("deg"), col("r").as("rank_fp"),

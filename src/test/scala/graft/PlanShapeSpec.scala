@@ -142,6 +142,15 @@ class PlanShapeSpec extends SparkSpec {
     } == 0, s"prefix filtering must never plan an all-pairs join:\n$plan")
   }
 
+  test("q139/q146 dedup verifies run on equi-join candidates — no all-pairs operator") {
+    Seq("q139_edit_dedup", "q146_containment").foreach { q =>
+      val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
+      assert(countIn(plan) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      } == 0, s"$q: signature candidates + key joins must never plan all-pairs:\n$plan")
+    }
+  }
+
   test("q127 SCD2 reuses one user_id exchange for both window passes") {
     val plan = executedPlan(SparkEntry.queries("q127_scd2")(spark, sf))
     val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
