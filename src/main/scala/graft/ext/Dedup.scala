@@ -125,8 +125,10 @@ object Dedup {
   private val baseCache = new graft.SessionCache
 
   /** Drop this session's cached bases (fixture-rewriting tests). */
-  def invalidate(s: org.apache.spark.sql.SparkSession): Unit =
+  def invalidate(s: org.apache.spark.sql.SparkSession): Unit = {
     baseCache.invalidate(s)
+    candCache.invalidate(s)
+  }
 
   def shingleBase(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     baseCache.getOrElseUpdate(s, d) {
@@ -144,22 +146,28 @@ object Dedup {
     * jaccard). q52 IS this table; the q65/q71 clustering derives its edge
     * list from it — one definition, no drift. Three-job shape at 100 TB:
     * write signatures, candidate join, verification join. */
+  private val candCache = new graft.SessionCache
+
   /** The full-signature candidate-pair stage alone (da < db): the input
-    * to ANY verification metric — exact Jaccard (verifiedPairs) or edit
-    * distance (q139). One join on the materialized signature table. */
-  def signatureCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val sig = signaturesFromBase(shingleBase(s, d)).localCheckpoint()
-    val a = sig.select(col("doc_id").as("da"), col("mh0"), col("mh1"),
-                       col("mh2"), col("mh3"))
-    val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
-                       col("mh1").as("nh1"), col("mh2").as("nh2"),
-                       col("mh3").as("nh3"))
-    a.join(b,
-        col("mh0") === col("nh0") && col("mh1") === col("nh1") &&
-        col("mh2") === col("nh2") && col("mh3") === col("nh3") &&
-        col("da") < col("db"))
-      .select(col("da"), col("db"))
-  }
+    * to ANY verification metric — exact Jaccard (verifiedPairs), edit
+    * distance (q139), containment (q146). One join on the materialized
+    * signature table; the RESULT is session-cached too, so the three
+    * verifying consumers share a single candidate materialization. */
+  def signatureCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    candCache.getOrElseUpdate(s, d) {
+      val sig = signaturesFromBase(shingleBase(s, d)).localCheckpoint()
+      val a = sig.select(col("doc_id").as("da"), col("mh0"), col("mh1"),
+                         col("mh2"), col("mh3"))
+      val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
+                         col("mh1").as("nh1"), col("mh2").as("nh2"),
+                         col("mh3").as("nh3"))
+      a.join(b,
+          col("mh0") === col("nh0") && col("mh1") === col("nh1") &&
+          col("mh2") === col("nh2") && col("mh3") === col("nh3") &&
+          col("da") < col("db"))
+        .select(col("da"), col("db"))
+        .localCheckpoint()
+    }
 
   def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val base = shingleBase(s, d)
