@@ -169,6 +169,52 @@ object Dedup {
         .localCheckpoint()
     }
 
+  /** Banded b=4 × r=2 signature rows (doc_id, band, h1, h2) from a
+    * (doc_id, hh) shingle-hash frame — q55's construction, shared by the
+    * batch (q135) and streaming (q150) incremental dedup so the two
+    * cannot drift. */
+  def bandedSignature(hh: DataFrame): DataFrame = {
+    val sig = hh.select((col("doc_id") +: MinhashPermsExt.indices.map(j =>
+      minhashExt(col("hh"), j).as(s"mh$j"))): _*)
+    val bandArr = array((0 until 4).map(bd =>
+      struct(lit(bd).as("band"), col(s"mh${2 * bd}").as("h1"),
+        col(s"mh${2 * bd + 1}").as("h2"))): _*)
+    sig.select(col("doc_id"), explode(bandArr).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.h1").as("h1"), col("bk.h2").as("h2"))
+  }
+
+  /** Incremental-dedup verify: probe the base band INDEX with the new
+    * docs' bands, exact-verify candidates at τ = 1/2, and keep each new
+    * doc's best base match (ties by lowest base_id). `newBands`/`idx`
+    * carry (doc_id|base_id, band, h1, h2); the set frames carry
+    * (doc_id, sh) with sh sorted distinct. Shared by q135 (batch) and
+    * q150 (per micro-batch). */
+  def bestBaseMatches(newBands: DataFrame, newSets: DataFrame,
+                      idx: DataFrame, baseSets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probe = newBands.select(col("doc_id").as("new_id"),
+      col("band").as("bandn"), col("h1").as("j1"), col("h2").as("j2"))
+    val cand = probe.join(idx,
+        col("band") === col("bandn") && col("h1") === col("j1") &&
+          col("h2") === col("j2"))
+      .select(col("new_id"), col("base_id")).distinct()
+    cand
+      .join(newSets.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
+      .join(baseSets.select(col("doc_id").as("base_id"), col("sh").as("shb")), "base_id")
+      .select(col("new_id"), col("base_id"),
+        graft.functions.Portable.sortedIntersectCount(col("sha"), col("shb")).as("n_inter"),
+        (size(col("sha")) + size(col("shb"))).cast("long").as("ss"))
+      .select(col("new_id"), col("base_id"), col("n_inter"),
+        (col("ss") - col("n_inter")).as("n_union"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("new_id"))
+          .orderBy(col("jaccard").desc, col("base_id"))))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
   def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val base = shingleBase(s, d)
     val cands = signatureCandidates(s, d)

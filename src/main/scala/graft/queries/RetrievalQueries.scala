@@ -262,40 +262,13 @@ object RetrievalQueries {
     // against itself.
     "q135_incremental_dedup" -> ((s, d) => {
       val base = Dedup.shingleBase(s, d)
-      val sig = base.select((col("doc_id") +: MinhashPermsExt.indices.map(j =>
-        Dedup.minhashExt(col("hh"), j).as(s"mh$j"))): _*)
-      val bandArr = array((0 until 4).map(bd =>
-        struct(lit(bd).as("band"), col(s"mh${2 * bd}").as("h1"),
-          col(s"mh${2 * bd + 1}").as("h2"))): _*)
-      val bands = sig.select(col("doc_id"), explode(bandArr).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.h1").as("h1"), col("bk.h2").as("h2"))
-        .localCheckpoint()
+      val bands = Dedup.bandedSignature(base).localCheckpoint()
       val idx = bands.filter(col("doc_id") % 5 =!= 4)
         .select(col("doc_id").as("base_id"), col("band"), col("h1"), col("h2"))
-      val probe = bands.filter(col("doc_id") % 5 === 4)
-        .select(col("doc_id").as("new_id"), col("band").as("bandn"),
-          col("h1").as("j1"), col("h2").as("j2"))
-      val cand = probe.join(idx,
-          col("band") === col("bandn") && col("h1") === col("j1") &&
-            col("h2") === col("j2"))
-        .select(col("new_id"), col("base_id")).distinct()
+      val newBands = bands.filter(col("doc_id") % 5 === 4)
       val sets = base.select(col("doc_id"),
         sort_array(array_distinct(col("hh"))).as("sh"))
-      cand
-        .join(sets.select(col("doc_id").as("new_id"), col("sh").as("sha")), "new_id")
-        .join(sets.select(col("doc_id").as("base_id"), col("sh").as("shb")), "base_id")
-        .select(col("new_id"), col("base_id"),
-          sortedIntersectCount(col("sha"), col("shb")).as("n_inter"),
-          (size(col("sha")) + size(col("shb"))).cast("long").as("ss"))
-        .select(col("new_id"), col("base_id"), col("n_inter"),
-          (col("ss") - col("n_inter")).as("n_union"))
-        .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
-        .filter(col("jaccard") >= 0.5)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("new_id"))
-            .orderBy(col("jaccard").desc, col("base_id"))))
-        .filter(col("rn") === 1).drop("rn")
+      Dedup.bestBaseMatches(newBands, sets, idx, sets)
     }),
 
     // Matryoshka truncation recall: cosine top-10 from the first 16 and

@@ -47,6 +47,14 @@ object StreamQueries {
     "q79_stream_enrich" -> ((s, d) =>
       EventsStream.enrichedRollupStreaming(s, d)),
 
+    // Streaming incremental dedup: the q135 daily-ingest relation driven
+    // by a real file stream — per micro-batch the new docs shingle, probe
+    // the static banded index, exact-verify, and commit to a versioned
+    // table under the batch's txn id (exactly-once). Oracle is q135's —
+    // stream/batch parity over the SAME shared probe/verify definitions.
+    "q150_stream_incr_dedup" -> ((s, d) =>
+      graft.streaming.DocsStream.incrementalDedupStreaming(s, d)),
+
     // Multimodal decode stage: binary payloads → typed metadata via the
     // batch-iterating kernel (deterministic fake decode; ASCII payloads
     // make the checksum reproducible in SQL as the char fold).
@@ -111,6 +119,10 @@ object StreamQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // stream/batch parity: the streaming incremental dedup must equal the
+    // batch q135 relation, so it shares q135's oracle verbatim
+    "q150_stream_incr_dedup" ->
+      RetrievalQueries.oracle("q135_incremental_dedup"),
     "q40_stream_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 CAST(count(*) AS BIGINT) AS n,

@@ -28,7 +28,7 @@ object EventsStream {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), String]()
 
-  private def stageDir(sfDir: String, table: String, copies: Int = 1): String =
+  private[streaming] def stageDir(sfDir: String, table: String, copies: Int = 1): String =
     stagedDirs.computeIfAbsent((sfDir, table, copies), { _ =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val dir = Files.createTempDirectory(s"graft_stream_$table")
@@ -47,7 +47,7 @@ object EventsStream {
     * fan-out; the session's batch setting is restored afterwards. At real
     * scale this is the `spark.sql.streaming` sizing knob — state partitions
     * ≈ executor cores, not the batch shuffle width. */
-  private def withStreamPartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+  private[streaming] def withStreamPartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
     spark.conf.set(key, n.toString)

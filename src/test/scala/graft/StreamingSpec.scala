@@ -113,4 +113,13 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(est - exact) / exact < 0.35,
       s"estimate $est vs exact $exact out of HLL-64 envelope")
   }
+
+  test("streaming incremental dedup equals batch q135 row-for-row") {
+    val stream = SparkEntry.queries("q150_stream_incr_dedup")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q135_incremental_dedup")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream.nonEmpty)
+    assert(stream == batch, "stream/batch parity broken")
+  }
 }
