@@ -59,6 +59,52 @@ class PipelineSpec extends SparkSpec {
     assert(bad.head.getString(1) == "negative")
   }
 
+  test("S2 http fetch: Content-Type gate, HTTP errors as rejects, decode of the valid asset (loopback server)") {
+    import graft.sources.{AssetFetch, GeoTiff}
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val w = 64; val h = 64
+    val tf2 = Seq(30.0, 0.0, 600000.0, 0.0, -30.0, 6700000.0)
+    val tifBytes = GeoTiff.write(Array.fill(w * h)(1000), w, h, 32635, tf2, Some(0.0), 32)
+    val htmlBytes = ("<html>auth required</html>" * 100).getBytes("US-ASCII")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def handler(ct: String, body: Array[Byte]): HttpHandler = (ex: HttpExchange) => {
+      ex.getResponseHeaders.add("Content-Type", ct)
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    }
+    server.createContext("/scene_red.tif", handler("image/tiff", tifBytes))
+    server.createContext("/scene_nir.tif", handler("image/tiff", tifBytes))
+    server.createContext("/signin.html", handler("text/html", htmlBytes))
+    server.createContext("/gone.tif", (ex: HttpExchange) => {
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val assets = Seq(
+        ("H1", "red", s"$base/scene_red.tif"),
+        ("H1", "nir", s"$base/scene_nir.tif"),
+        ("H2", "red", s"$base/signin.html"),  // the reference's non-TIFF response
+        ("H3", "red", s"$base/gone.tif"))     // dead link
+        .toDF("scene_id", "band", "href")
+      val (tiles, rejects) = AssetFetch.fetchToTiles(spark, assets, minBytes = 1024L)
+      val rej = rejects.select("scene_id", "reject_reason").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(rej.keySet == Set("H2", "H3"))
+      assert(rej("H2") == "invalid_download") // text/html fails the F10 gate
+      assert(rej("H3") == "HTTP 404")
+      val df = tiles.toDF()
+      assert(df.filter(col("scene_id") === "H1").count() == 8) // 2 bands x 2x2 grid
+      // response metadata captured from the real headers
+      val fetched = AssetFetch.fetch(spark, assets).collect()
+        .map(f => (f.scene_id, f.band) -> f).toMap
+      assert(fetched(("H1", "red")).content_type == "image/tiff")
+      assert(fetched(("H1", "red")).size_bytes == tifBytes.length.toLong)
+      assert(fetched(("H2", "red")).content_type.startsWith("text/html"))
+    } finally server.stop(0)
+  }
+
   test("S2 extract: file: URLs fetch -> K7 validation split -> NDVI, rejects counted") {
     import java.nio.file.{Files, Paths}
     import graft.sources.{AssetFetch, GeoTiff}
