@@ -71,15 +71,20 @@ object AssetFetch {
             .asInstanceOf[java.net.HttpURLConnection]
           conn.setConnectTimeout(ConnectTimeoutMs)
           conn.setReadTimeout(ReadTimeoutMs)
-          val code = conn.getResponseCode
-          if (code >= 400) fail(s"HTTP $code")
-          else {
-            val ct = Option(conn.getContentType).getOrElse("")
-            val bytes =
-              try conn.getInputStream.readAllBytes()
-              finally conn.disconnect()
-            Fetched(sceneId, band, href, ct, bytes.length.toLong, bytes, None)
-          }
+          try {
+            val code = conn.getResponseCode
+            if (code >= 400) {
+              // drain the error body so the connection can be reused/closed
+              Option(conn.getErrorStream).foreach { es =>
+                try es.readAllBytes() finally es.close()
+              }
+              fail(s"HTTP $code")
+            } else {
+              val ct = Option(conn.getContentType).getOrElse("")
+              val bytes = conn.getInputStream.readAllBytes()
+              Fetched(sceneId, band, href, ct, bytes.length.toLong, bytes, None)
+            }
+          } finally conn.disconnect()
         case s => fail(s"unsupported scheme $s")
       }
     } catch {

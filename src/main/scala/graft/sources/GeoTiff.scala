@@ -12,7 +12,9 @@ import graft.model.RasterModel.{BandTile, TileSize}
   * common derived-product variants: single-band uint16 or float32
   * (BitsPerSample 16/32, SampleFormat unsigned/IEEE), tiled OR
   * strip-organized, Compression none(1), LZW(5, TIFF early-change
-  * variant) or deflate(8), horizontal predictor(2) on uint16, both byte
+  * variant) or deflate(8), horizontal predictor(2) on uint16,
+  * floating-point predictor(3) on float32 (TIFF Technical Note 3 — the
+  * reference's own NDVI-product profile, compute_ndvi.py:82-84), both byte
   * orders, GeoTIFF ModelPixelScale + ModelTiepoint georeferencing, EPSG
   * from the GeoKey directory, GDAL_NODATA ascii tag, multi-IFD chains
   * (embedded overview pyramids, geo tags optional on overview levels —
@@ -70,12 +72,22 @@ object GeoTiff {
   /** One IFD of a classic or BigTIFF file. `big` selects the BigTIFF
     * entry layout (8-byte counts/values/offsets, 20-byte entries) over
     * the classic one (4-byte, 12-byte entries). */
+  /** Narrow a BigTIFF 8-byte offset/count to Int, loudly: the byte-array
+    * API caps files at 2 GiB, so anything past that is a malformed (or
+    * unsupported) file, not a silent wrap. */
+  private def toIntChecked(v: Long, what: String): Int = {
+    require(v >= 0 && v <= Int.MaxValue, s"$what $v exceeds the 2 GiB byte-array limit")
+    v.toInt
+  }
+
   private final class Ifd(val bb: ByteBuffer, big: Boolean, ifdOff: Long) {
     private val entrySize = if (big) 20 else 12
     private val inlineCap = if (big) 8 else 4
+    private val ifdPos = toIntChecked(ifdOff, "IFD offset")
     private val nEntries: Int =
-      if (big) bb.getLong(ifdOff.toInt).toInt else bb.getShort(ifdOff.toInt) & 0xffff
-    private val entryBase = ifdOff.toInt + (if (big) 8 else 2)
+      if (big) toIntChecked(bb.getLong(ifdPos), "IFD entry count")
+      else bb.getShort(ifdPos) & 0xffff
+    private val entryBase = ifdPos + (if (big) 8 else 2)
     // tag -> (type, count, valueFieldPos)
     private val entries: Map[Int, (Int, Int, Int)] =
       (0 until nEntries).map { i =>
@@ -83,7 +95,8 @@ object GeoTiff {
         val tag = bb.getShort(pos) & 0xffff
         val typ = bb.getShort(pos + 2) & 0xffff
         val count =
-          if (big) bb.getLong(pos + 4).toInt else bb.getInt(pos + 4)
+          if (big) toIntChecked(bb.getLong(pos + 4), s"Tag $tag count")
+          else bb.getInt(pos + 4)
         tag -> ((typ, count, pos + (if (big) 12 else 8)))
       }.toMap
 
@@ -104,7 +117,7 @@ object GeoTiff {
     /** Where the value bytes live: inline when they fit the value field. */
     private def valuePos(typ: Int, count: Int, field: Int): Int =
       if (typeSize(typ) * count <= inlineCap) field
-      else if (big) bb.getLong(field).toInt
+      else if (big) toIntChecked(bb.getLong(field), "Tag value offset")
       else bb.getInt(field)
 
     def has(tag: Int): Boolean = entries.contains(tag)
@@ -169,8 +182,11 @@ object GeoTiff {
   private def ifdChain(bytes: Array[Byte]): IndexedSeq[Ifd] = {
     val (bb, big, first) = openBuffer(bytes)
     val out = scala.collection.mutable.ArrayBuffer.empty[Ifd]
+    val seen = scala.collection.mutable.HashSet.empty[Long]
     var off = first
-    while (off != 0 && out.size < 64) {
+    while (off != 0) {
+      require(seen.add(off), s"Cyclic IFD chain (offset $off revisited)")
+      require(out.size < 64, "IFD chain exceeds 64 levels")
       val ifd = new Ifd(bb, big, off)
       out += ifd
       off = ifd.nextIfdOff
@@ -197,8 +213,8 @@ object GeoTiff {
     require(comp == 1 || comp == 5 || comp == 8,
       s"Only none/lzw/deflate compression supported, got $comp")
     val predictor = ifd.long1(TPredictor, 1L).toInt
-    require(predictor == 1 || (predictor == 2 && bps == 16),
-      s"Only predictor none (or horizontal on uint16) supported, got $predictor")
+    require(predictor == 1 || (predictor == 2 && bps == 16) || (predictor == 3 && bps == 32),
+      s"Only predictor none, horizontal-uint16 or floating-point-float32 supported, got $predictor")
     // georeferencing: pixel scale + tiepoint -> north-up affine; overview
     // IFDs without geo tags inherit the primary grid scaled to level size
     val transform =
@@ -364,6 +380,69 @@ object GeoTiff {
     }
   }
 
+  /** Undo TIFF floating-point horizontal differencing (predictor 3, TIFF
+    * Technical Note 3) in place: per row, accumulate the byte deltas, then
+    * de-interleave the big-endian byte planes (plane 0 = MSB of every
+    * sample) back into `order`-endian float32 samples. This is the codec
+    * the reference uses for EVERY float32 NDVI product it writes
+    * (reference src/transform/compute_ndvi.py:82-84: deflate, predictor 3). */
+  private def undiffRowsFP(raw: Array[Byte], order: ByteOrder, stride: Int): Unit = {
+    val rowLen = stride * 4
+    val nRows = raw.length / rowLen
+    val tmp = new Array[Byte](rowLen)
+    val le = order == ByteOrder.LITTLE_ENDIAN
+    var r = 0
+    while (r < nRows) {
+      val base = r * rowLen
+      var i = 1
+      while (i < rowLen) {
+        raw(base + i) = (raw(base + i) + raw(base + i - 1)).toByte
+        i += 1
+      }
+      System.arraycopy(raw, base, tmp, 0, rowLen)
+      var s = 0
+      while (s < stride) {
+        var b = 0
+        while (b < 4) {
+          raw(base + s * 4 + (if (le) 3 - b else b)) = tmp(b * stride + s)
+          b += 1
+        }
+        s += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Apply TIFF floating-point differencing (predictor 3): per row, split
+    * `order`-endian float32 samples into big-endian byte planes, then
+    * byte-wise horizontal delta. Inverse of [[undiffRowsFP]]. */
+  private def diffRowsFP(raw: Array[Byte], order: ByteOrder, stride: Int): Unit = {
+    val rowLen = stride * 4
+    val nRows = raw.length / rowLen
+    val tmp = new Array[Byte](rowLen)
+    val le = order == ByteOrder.LITTLE_ENDIAN
+    var r = 0
+    while (r < nRows) {
+      val base = r * rowLen
+      var s = 0
+      while (s < stride) {
+        var b = 0
+        while (b < 4) {
+          tmp(b * stride + s) = raw(base + s * 4 + (if (le) 3 - b else b))
+          b += 1
+        }
+        s += 1
+      }
+      var i = rowLen - 1
+      while (i >= 1) {
+        tmp(i) = (tmp(i) - tmp(i - 1)).toByte
+        i -= 1
+      }
+      System.arraycopy(tmp, 0, raw, base, rowLen)
+      r += 1
+    }
+  }
+
   /** Apply TIFF horizontal differencing (predictor 2), 16-bit samples. */
   private def diffRows16(raw: Array[Byte], order: ByteOrder, stride: Int): Unit = {
     val bb = ByteBuffer.wrap(raw).order(order)
@@ -433,6 +512,7 @@ object GeoTiff {
           case _ => payload
         }
         if (info.predictor == 2) undiffRows16(raw, order, stride)
+        else if (info.predictor == 3) undiffRowsFP(raw, order, stride)
         val tb = ByteBuffer.wrap(raw).order(order)
         val px = new Array[Option[Float]](w * h)
         var r = 0
@@ -504,6 +584,19 @@ object GeoTiff {
     writeRaster(Right(data), width, height, epsg, transform, nodata,
       tileSize = tileSize, rowsPerStrip = 0,
       compression = if (deflate) 8 else 1, predictor = 1)
+
+  /** Write a tiled single-band float32 GeoTIFF with an explicit
+    * compression code (1 none / 5 lzw / 8 deflate) and predictor
+    * (1 none / 3 floating-point) — the reference's NDVI product profile
+    * is deflate + predictor 3 (compute_ndvi.py:82-84). */
+  def writeFloat32Tiled(data: Array[Float], width: Int, height: Int,
+                        epsg: Int, transform: Seq[Double],
+                        nodata: Option[Double] = None,
+                        tileSize: Int = TileSize, compression: Int = 1,
+                        predictor: Int = 1): Array[Byte] =
+    writeRaster(Right(data), width, height, epsg, transform, nodata,
+      tileSize = tileSize, rowsPerStrip = 0,
+      compression = compression, predictor = predictor)
 
   /** Write a tiled uint16 GeoTIFF with an explicit compression code
     * (1 none / 5 lzw / 8 deflate) and predictor (1 none / 2 horizontal). */
@@ -609,8 +702,9 @@ object GeoTiff {
       require(nPix == im.width * im.height, "data length != width*height")
       require(im.compression == 1 || im.compression == 5 || im.compression == 8,
         s"unsupported compression ${im.compression}")
-      require(im.predictor == 1 || (im.predictor == 2 && im.samples.isLeft),
-        "predictor 2 requires uint16 samples")
+      require(im.predictor == 1 || (im.predictor == 2 && im.samples.isLeft)
+          || (im.predictor == 3 && im.samples.isRight),
+        "predictor 2 requires uint16 samples; predictor 3 requires float32")
       val tiled = im.tileSize > 0
       val bytesPerSample = if (im.samples.isLeft) 2 else 4
       val tilesAcross = if (tiled) (im.width + im.tileSize - 1) / im.tileSize else 1
@@ -646,6 +740,7 @@ object GeoTiff {
           }
           val arr = raw.array()
           if (im.predictor == 2) diffRows16(arr, ByteOrder.LITTLE_ENDIAN, segW)
+          else if (im.predictor == 3) diffRowsFP(arr, ByteOrder.LITTLE_ENDIAN, segW)
           im.compression match {
             case 1 => arr
             case 5 => lzwEncode(arr)
@@ -686,8 +781,9 @@ object GeoTiff {
           TStripOffsets -> SegOffsets(relOffsets),
           TStripByteCounts -> Longs(payloads.map(_.length.toLong)))
       val tags = (Seq(
-        TImageWidth -> Shorts(Seq(im.width.toLong)),
-        TImageLength -> Shorts(Seq(im.height.toLong)),
+        // LONG (type 4), not SHORT: dimensions past 65535 must not truncate
+        TImageWidth -> Longs(Seq(im.width.toLong)),
+        TImageLength -> Longs(Seq(im.height.toLong)),
         TBitsPerSample -> Shorts(Seq(bytesPerSample * 8L)),
         TCompression -> Shorts(Seq(im.compression.toLong)),
         TPhotometric -> Shorts(Seq(1L)),
@@ -695,7 +791,8 @@ object GeoTiff {
         TSampleFormat -> Shorts(Seq(if (im.samples.isLeft) 1L else 3L))) ++
         geoEntries ++ layoutEntries ++
         (if (im.reduced) Seq(TNewSubfileType -> Longs(Seq(1L))) else Seq.empty) ++
-        (if (im.predictor == 2) Seq(TPredictor -> Shorts(Seq(2L))) else Seq.empty) ++
+        (if (im.predictor != 1) Seq(TPredictor -> Shorts(Seq(im.predictor.toLong)))
+         else Seq.empty) ++
         im.nodata.map(nd => TGdalNodata -> Ascii(
           if (nd == nd.toLong.toDouble) nd.toLong.toString else nd.toString)).toSeq
       ).sortBy(_._1)

@@ -46,8 +46,7 @@ object DocsStream {
     val baseSets = base
       .select(col("doc_id"), sort_array(array_distinct(col("hh"))).as("sh"))
       .localCheckpoint()
-    val work = java.nio.file.Files.createTempDirectory("graft_incr_dedup")
-    work.toFile.deleteOnExit()
+    val work = EventsStream.scratchDir("graft_incr_dedup")
     val targetRoot = work.resolve("t").toString
     val stream = spark.readStream
       .schema(schema)
@@ -75,6 +74,18 @@ object DocsStream {
         .start()
       try q.processAllAvailable() finally q.stop()
     }
-    VersionedTable.read(spark, targetRoot)
+    VersionedTable.currentVersion(spark, targetRoot) match {
+      case Some(_) => VersionedTable.read(spark, targetRoot)
+      case None =>
+        // an empty/filtered-out stream never commits a micro-batch; the
+        // expected result is then an EMPTY relation with the output
+        // schema, not a missing-table error — derive it from the same
+        // pipeline over zero rows
+        val none = base.limit(0)
+        Dedup.bestBaseMatches(
+          Dedup.bandedSignature(none),
+          none.select(col("doc_id"), sort_array(array_distinct(col("hh"))).as("sh")),
+          idx, baseSets).limit(0)
+    }
   }
 }

@@ -28,11 +28,25 @@ object EventsStream {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), String]()
 
+  /** Temp dir with best-effort recursive cleanup at JVM exit —
+    * File.deleteOnExit cannot remove a non-empty directory, so a shutdown
+    * hook walks the tree instead. */
+  private[streaming] def scratchDir(prefix: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(dir.toFile)
+    }))
+    dir
+  }
+
   private[streaming] def stageDir(sfDir: String, table: String, copies: Int = 1): String =
     stagedDirs.computeIfAbsent((sfDir, table, copies), { _ =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
-      val dir = Files.createTempDirectory(s"graft_stream_$table")
-      dir.toFile.deleteOnExit()
+      val dir = scratchDir(s"graft_stream_$table")
       (0 until copies).foreach { i =>
         Files.copy(Paths.get(s"$sfDir/$table.parquet"),
           dir.resolve(s"${table}_$i.parquet"), StandardCopyOption.REPLACE_EXISTING)

@@ -119,6 +119,81 @@ class GeoTiffSpec extends SparkSpec {
     }
   }
 
+  test("float32 predictor-3 deflate round trip matches its predictor-1 twin " +
+      "(reference NDVI product profile: 256-px tiles, nodata -9999)") {
+    // same shape the reference writes every NDVI product in
+    // (compute_ndvi.py:82-84: deflate, predictor 3, 256x256 tiles)
+    val pw = 320; val ph = 272
+    val fdat = Array.tabulate(pw * ph) { i =>
+      if (i % 37 == 0) -9999f else (i % 4096) * 0.125f - 256f
+    }
+    val p3 = GeoTiff.writeFloat32Tiled(fdat, pw, ph, 32635, tf, Some(-9999.0),
+      tileSize = 256, compression = 8, predictor = 3)
+    val info = GeoTiff.readInfo(p3)
+    assert(info.predictor == 3 && info.compression == 8)
+    assert(info.bitsPerSample == 32 && info.sampleFormat == 3)
+    assert(info.nodata.contains(-9999.0))
+    val p1 = GeoTiff.writeFloat32Tiled(fdat, pw, ph, 32635, tf, Some(-9999.0),
+      tileSize = 256, compression = 8, predictor = 1)
+    val t3 = GeoTiff.toBandTiles("S", "ndvi", p3)
+      .map(t => (t.tile_col, t.tile_row) -> t).toMap
+    val t1 = GeoTiff.toBandTiles("S", "ndvi", p1)
+    assert(t1.length == 4 && t3.size == 4) // 2x2 grid, edges clipped
+    t1.foreach { t =>
+      val twin = t3((t.tile_col, t.tile_row))
+      assert(twin.width == t.width && twin.height == t.height)
+      assert(twin.pixels == t.pixels,
+        s"predictor-3 tile (${t.tile_col},${t.tile_row}) != predictor-1 twin")
+    }
+    // spot-check raw values against the formula (incl. the nodata fill)
+    val t00 = t3((0, 0))
+    assert(t00.pixels(0).contains(-9999f))           // i = 0 → nodata
+    assert(t00.pixels(1).contains(1 * 0.125f - 256f)) // i = 1
+  }
+
+  test("predictor-3 survives lzw and a non-multiple tile width") {
+    // 100x70 at 64-px tiles: edge tiles exercise stride == tileW padding
+    val fdat = Array.tabulate(w * h)(i => (i % 1000) * 0.25f - 125f)
+    Seq(1, 5, 8).foreach { comp =>
+      val bytes = GeoTiff.writeFloat32Tiled(fdat, w, h, 32635, tf, None,
+        tileSize = ts, compression = comp, predictor = 3)
+      val tiles = GeoTiff.toBandTiles("S", "ndvi", bytes)
+      tiles.foreach { t =>
+        for (r <- 0 until t.height; c <- 0 until t.width) {
+          val gr = t.tile_row * ts + r; val gc = t.tile_col * ts + c
+          assert(t.pixels(r * t.width + c).contains(fdat(gr * w + gc)),
+            s"comp=$comp tile (${t.tile_col},${t.tile_row}) px ($c,$r)")
+        }
+      }
+    }
+  }
+
+  test("external predictor-3 fixture (independent encoder) decodes exactly") {
+    // tools/make_predictor3_fixture.py writes this file with a from-scratch
+    // Python implementation of TIFF TechNote 3 floating-point differencing
+    // — decoding it checks undiffRowsFP against bytes it did not produce.
+    // The pixel formula below is the generator's documented contract.
+    val in = getClass.getResourceAsStream("/graft/external_pred3.tif")
+    assert(in != null, "fixture missing: run tools/make_predictor3_fixture.py")
+    val bytes = try in.readAllBytes() finally in.close()
+    val info = GeoTiff.readInfo(bytes)
+    assert(info.width == 320 && info.height == 272)
+    assert(info.compression == 8 && info.predictor == 3)
+    assert(info.bitsPerSample == 32 && info.sampleFormat == 3)
+    assert(info.epsg == 32635 && info.nodata.contains(-9999.0))
+    assert(info.transform == Seq(30.0, 0.0, 600000.0, 0.0, -30.0, 6700000.0))
+    val tiles = GeoTiff.toBandTiles("X", "ndvi", bytes)
+    assert(tiles.length == 4)
+    tiles.foreach { t =>
+      for (r <- 0 until t.height; c <- 0 until t.width) {
+        val i = (t.tile_row * 256 + r) * 320 + (t.tile_col * 256 + c)
+        val expect = if (i % 37 == 0) -9999f else (i % 4096) * 0.125f - 256f
+        assert(t.pixels(r * t.width + c).contains(expect),
+          s"tile (${t.tile_col},${t.tile_row}) px ($c,$r) i=$i")
+      }
+    }
+  }
+
   test("reader rejects unknown compression; writer rejects invalid combos") {
     // hand-corrupt a valid file: locate the IFD entry for a tag and
     // overwrite its inline value field (little-endian layout, IFD offset
