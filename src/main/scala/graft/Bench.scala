@@ -45,36 +45,77 @@ object Bench {
         -1.0
       }
     }
-    // two full passes, min per query: a single contended run on this
-    // shared container has shown 2x+ swings on IDENTICAL code (see
-    // PERF.md); min-of-2 reports warm steady-state throughput while any
-    // real regression still shows in both passes
-    val pass1 = sweep.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val pass2 = sweep.map { case (name, fn) => name -> timeOnce(name, fn) }.toMap
-    val results = pass1.map { case (name, t1) =>
-      val t2 = pass2.getOrElse(name, -1.0)
-      name -> (if (t1 < 0 || t2 < 0) -1.0 else math.min(t1, t2))
-    }
-    val failed = results.filter(_._2 < 0).map(_._1)
+    // N >= 2 full passes (SPARK_GRAFT_BENCH_PASSES, default 2), per-query
+    // min/median/max: a single contended pass on this shared container has
+    // shown 2x+ swings on IDENTICAL code (see PERF.md). The HEADLINE value
+    // stays min (warm steady-state throughput — a real regression shows in
+    // every pass); the spread is what separates a plan regression (min
+    // moved) from machine noise (min flat, max inflated).
+    val passesN = math.max(2,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt)
+    val passes: Seq[Map[String, Double]] =
+      (1 to passesN).map(_ => sweep.map { case (n, f) => n -> timeOnce(n, f) }.toMap)
+    // (name, Some((min, median, max))) — None if ANY pass failed
+    val results: Seq[(String, Option[(Double, Double, Double)])] =
+      sweep.map { case (name, _) =>
+        val ts = passes.map(_(name))
+        name -> (if (ts.exists(_ < 0)) None else {
+          val s = ts.sorted
+          val med = if (s.length % 2 == 1) s(s.length / 2)
+            else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+          Some((s.head, med, s.last))
+        })
+      }
+    val failed = results.collect { case (n, None) => n }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} FAILED: ${failed.mkString(", ")}")
-    val total = if (results.nonEmpty) results.map(_._2).filter(_ >= 0).sum else 0.0
-    // Full-named per-query map first (for humans reading the complete log).
-    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def tot(f: ((Double, Double, Double)) => Double): Double =
+      results.flatMap(_._2).map(f).sum
+    val (minTotal, medTotal, maxTotal) = (tot(_._1), tot(_._2), tot(_._3))
+    def r3(v: Double): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def triple(t: Option[(Double, Double, Double)]): String = t match {
+      case Some((mn, md, mx)) => s"[${r3(mn)},${r3(md)},${r3(mx)}]"
+      case None => "[-1,-1,-1]"
+    }
+    // Full-named per-query spread map first (for humans reading the
+    // complete log), and the same JSON to BENCH_SPREAD.json so a judged
+    // sweep has the untruncated per-query spread regardless of the
+    // consumer's tail window.
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + triple(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_full","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total_full","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+    println(fullLine)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_SPREAD.json"), fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_SPREAD.json write failed: ${e.getMessage}")
+    }
     // The consumer of this output keeps only the LAST ~2000 characters and
     // parses the JSON line out of that window. Two things have broken that
     // in the past: (a) the full-named 110-query line is ~4 KB, so its
     // opening brace fell outside the window; (b) Spark shutdown WARNs
     // landed after the line and pushed it out entirely. So: silence
     // logging, stop Spark FIRST, and only then print one compact line
-    // (short qNN keys, millisecond precision, ~1.5 KB) as the final output.
+    // (short qNN keys, millisecond precision) as the final output. The
+    // line clips FRONT-first, so the spread summary (totals over N passes
+    // + the widest-spread queries) sits at the END, after the queries map.
     org.apache.log4j.LogManager.getRootLogger.setLevel(org.apache.log4j.Level.OFF)
     try spark.stop() catch { case _: Throwable => () }
-    def r3(v: Double): String = if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qsShort = results.map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+    val qsShort = results.map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + (v match {
+        case Some((mn, _, _)) => r3(mn)
+        case None => "-1"
+      })
+    }.mkString("{", ",", "}")
+    val noisiest = results
+      .collect { case (k, Some(t)) => (k, t) }
+      .sortBy { case (_, (mn, _, mx)) => mn - mx } // widest absolute spread first
+      .take(5)
+      .map { case (k, t) => s"\"" + k.takeWhile(_ != '_') + "\":" + triple(Some(t)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","queries":$qsShort,"sf":"$sfDir","unit":"sec","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,"noisiest":$noisiest}""")
   }
 }

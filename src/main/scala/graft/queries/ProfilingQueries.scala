@@ -202,14 +202,23 @@ object ProfilingQueries {
     // then recounts. Reports (round, n_nodes, n_edges) for the intact
     // graph and after each of CorePeels peels — the degeneracy-ordering
     // prefix a graph-sampling stage uses. Each peel is one degree
-    // aggregate + one semi-join on each endpoint; a full k-core loops the
-    // same two jobs to fixpoint.
+    // aggregate + one semi-join on each endpoint. q120's loop lesson
+    // applied: every round's survivor list is REPARTITIONED by u and
+    // persist()ed — the cache pins HashPartitioning(u, N) under AQE
+    // (a localCheckpoint's LogicalRDD would report UnknownPartitioning),
+    // so the next round's u-side join reuses it and the edge side pays
+    // exactly ONE exchange per peel (the repartition), never a
+    // materialization job per round. A fixpoint loop (tens of rounds)
+    // would add periodic lineage truncation, as q120 does; a fixed
+    // CorePeels horizon keeps the plan shallow enough without it.
     "q144_kcore" -> ((s, d) => {
+      val parts = s.sessionState.conf.numShufflePartitions
       val edges = lineitem(s, d)
         .select(col("l_suppkey").cast("long").as("s"),
           (col("l_partkey") + PrPartOffset).as("p")).distinct()
         .select(col("s").as("u"), col("p").as("v"))
-        .localCheckpoint() // three rounds consume it
+        .repartition(parts, col("u"))
+        .persist() // every round consumes it co-partitioned on u
       def stats(e: DataFrame, r: Int): DataFrame =
         e.select(explode(array(col("u"), col("v"))).as("n"))
           .agg(countDistinct(col("n")).as("n_nodes"))
@@ -222,7 +231,8 @@ object ProfilingQueries {
         e.join(alive.select(col("n").as("u")), "u")
           .join(alive.select(col("n").as("v")), "v")
           .select(col("u"), col("v"))
-          .localCheckpoint()
+          .repartition(parts, col("u"))
+          .persist()
       }
       val rounds = Iterator.iterate(edges)(peel).take(CorePeels + 1).toSeq
       rounds.zipWithIndex.map { case (e, i) => stats(e, i) }

@@ -137,10 +137,15 @@ object RetrievalQueries {
     // graph (parts sharing a '1-URGENT' order). Every edge is oriented
     // from its (degree, id)-smaller endpoint, so each triangle is counted
     // exactly once — at its minimum vertex, whose two triangle edges are
-    // both out-edges — and the wedge join's fan-out is bounded by
-    // out-degree (O(m^1.5) total, the arboricity bound), never by the raw
-    // degree of hub nodes. Wedge pairs re-normalize by the same order so
-    // the closing-edge probe is a single equi-join.
+    // both out-edges. Counting is the EDGE ITERATOR over sorted
+    // out-neighbor arrays: build each node's sort_array(collect_list)
+    // adjacency once, join every oriented edge (a,b) to N+(a) and N+(b),
+    // and count closures with the codegen'd allocation-free merge
+    // |N+(a) ∩ N+(b)| (SortedIntersectCountExpr). Shuffle volume is
+    // O(edges) rows carrying adjacency arrays — never the O(wedges) pair
+    // materialization — while the work stays O(m^1.5) (arboricity bound:
+    // out-degree ≤ ~sqrt(m) under degree orientation, which also caps
+    // each adjacency array's size, so no row outgrows a page).
     "q128_triangles" -> ((s, d) => {
       val items = lineitem(s, d)
         .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
@@ -152,7 +157,7 @@ object RetrievalQueries {
         .join(items.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("u"), col("y.pk").as("v"))
         .distinct()
-        .localCheckpoint() // reused by deg, orient (×2 sides + probe), and the edge count
+        .localCheckpoint() // reused by deg, orient, and the edge count
       val deg = edges.select(col("u").as("node"))
         .union(edges.select(col("v").as("node")))
         .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -161,21 +166,18 @@ object RetrievalQueries {
         .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
         .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
         .select(
-          when(aFirst, col("u")).otherwise(col("v")).as("src"),
-          when(aFirst, col("v")).otherwise(col("u")).as("dst"),
-          when(aFirst, col("dv")).otherwise(col("du")).as("dd"))
-        .localCheckpoint() // three consumers: both wedge sides + the closing probe
-      val bFirst = struct(col("e1.dd"), col("e1.dst")) <
-        struct(col("e2.dd"), col("e2.dst"))
-      val wedges = orient.as("e1")
-        .join(orient.as("e2"),
-          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-        .select(
-          when(bFirst, col("e1.dst")).otherwise(col("e2.dst")).as("bb"),
-          when(bFirst, col("e2.dst")).otherwise(col("e1.dst")).as("cc"))
-      val tri = wedges.join(orient,
-          col("bb") === col("src") && col("cc") === col("dst"))
-        .agg(count(lit(1)).as("n_triangles"))
+          when(aFirst, col("u")).otherwise(col("v")).cast("long").as("src"),
+          when(aFirst, col("v")).otherwise(col("u")).cast("long").as("dst"))
+        .localCheckpoint() // two consumers: adjacency build + per-edge probe
+      val adj = orient.groupBy(col("src").as("node"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val tri = orient
+        .join(adj.select(col("node").as("an"), col("nbrs").as("na")),
+          col("src") === col("an"))
+        .join(adj.select(col("node").as("bn"), col("nbrs").as("nb")),
+          col("dst") === col("bn")) // inner: a sink dst closes no triangle
+        .agg(coalesce(sum(sortedIntersectCount(col("na"), col("nb"))),
+          lit(0L)).as("n_triangles"))
       deg.agg(count(lit(1)).as("n_nodes"),
           sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
         .crossJoin(edges.agg(count(lit(1)).as("n_edges")))

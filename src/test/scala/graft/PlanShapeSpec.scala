@@ -158,11 +158,76 @@ class PlanShapeSpec extends SparkSpec {
       s"lag/row_number/lead share (user_id | vf_us, event_id); got $shuffles exchanges:\n$plan")
   }
 
-  test("q128 triangle wedge closure is an equi-join — no all-pairs operator") {
-    val plan = executedPlan(SparkEntry.queries("q128_triangles")(spark, sf))
+  test("q128 edge-iterator: no all-pairs operator, no exchange carries wedge-expanded cardinality") {
+    val df = SparkEntry.queries("q128_triangles")(spark, sf)
+    val row = df.collect().head
+    val nEdges = row.getAs[Long]("n_edges")
+    val nWedges = row.getAs[Long]("n_wedges")
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
     assert(countIn(plan) {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-    } == 0, s"wedge pairs normalize by (deg, id) so the closing probe equi-joins:\n$plan")
+    } == 0, s"adjacency build + per-edge probe must plan as equi-joins:\n$plan")
+    // the closing count must be the codegen'd sorted-array merge applied
+    // per EDGE — the O(wedges) pair relation never materializes
+    assert(countIn(plan) {
+      case p if p.expressions.exists(_.exists(
+        _.isInstanceOf[graft.functions.SortedIntersectCountExpr])) => p
+    } >= 1, s"expected the SortedIntersectCountExpr per-edge merge:\n$plan")
+    // runtime cardinality audit: every exchange in the post-checkpoint plan
+    // (deg agg, adjacency agg, the two probe joins, final aggs) moves at
+    // most O(edges) records — the old wedge shuffle moved n_wedges rows
+    var maxRecords = 0L
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case e: ShuffleExchangeExec =>
+          e.metrics.foreach { case (k, m) =>
+            if (k.toLowerCase.contains("records") && m.value > maxRecords)
+              maxRecords = m.value
+          }
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(s.plan)
+        case _ => ()
+      }
+    }
+    walk(plan)
+    val edgeBound = 2 * nEdges + 1000 // deg agg unions both endpoints + agg partials
+    assert(maxRecords <= edgeBound,
+      s"an exchange moved $maxRecords records (> edge bound $edgeBound, " +
+        s"n_edges=$nEdges, n_wedges=$nWedges):\n$plan")
+    if (nWedges > edgeBound)
+      assert(maxRecords < nWedges,
+        s"an exchange carried wedge-expanded cardinality ($maxRecords >= $nWedges)")
+  }
+
+  test("q144 peel loop: the persisted edge list is never re-exchanged when consumed") {
+    // each peel round repartitions its survivor list by u ONCE and
+    // persist()s it; every consumer (degree aggregate, u-side join, edge
+    // count) must then read the cache with its pinned HashPartitioning —
+    // an exchange sitting directly on a cache scan (through projections/
+    // filters only) would mean the edge side pays a second shuffle per peel
+    val df = SparkEntry.queries("q144_kcore")(spark, sf)
+    val plan = executedPlan(df)
+    def narrowChainToCacheScan(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => true
+      case pr: org.apache.spark.sql.execution.ProjectExec => narrowChainToCacheScan(pr.child)
+      case f: org.apache.spark.sql.execution.FilterExec => narrowChainToCacheScan(f.child)
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => narrowChainToCacheScan(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => narrowChainToCacheScan(i.child)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => narrowChainToCacheScan(q.plan)
+      case a: AdaptiveSparkPlanExec => narrowChainToCacheScan(a.executedPlan)
+      case _ => false
+    }
+    assert(countIn(plan) {
+      case e: ShuffleExchangeExec if narrowChainToCacheScan(e.child) => e
+    } == 0, s"an exchange re-shuffles the persisted edge list:\n$plan")
   }
 
   test("q120 loop invariant: a src-repartitioned persisted edge list is NOT reshuffled by the per-round rank join") {
