@@ -58,8 +58,14 @@ object VersionedTable {
   def currentVersion(spark: SparkSession, root: String): Option[Int] =
     versions(spark, root).lastOption
 
+  /** Per-file, per-column [lo, hi] recorded in the manifest at commit.
+    * `typ` fixes the comparison domain ("long" | "double" | "string");
+    * lo/hi are canonical string renderings of that domain. */
+  final case class ColStat(col: String, typ: String, lo: String, hi: String)
+
   private case class Manifest(version: Int, schemaDdl: String, files: Seq[String],
-                              txn: Option[Long] = None)
+                              txn: Option[Long] = None,
+                              stats: Map[String, Seq[ColStat]] = Map.empty)
 
   // Minimal JSON (de)serialization — file names are commit-generated
   // (uuid-free parquet part names under our own prefix, no escapes
@@ -87,10 +93,17 @@ object VersionedTable {
 
   private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
     val txnField = m.txn.map(t => s""" "txn": $t,\n""").getOrElse("")
+    // stats as a FLAT array of {file, col, t, lo, hi} objects (lo/hi always
+    // quoted+escaped) — regex-parseable without a nesting-aware parser
+    val statsJson = m.stats.toSeq.sortBy(_._1).flatMap { case (file, cs) =>
+      cs.map(c => s"""{"file": "${esc(file)}", "col": "${esc(c.col)}", """ +
+        s""""t": "${c.typ}", "lo": "${esc(c.lo)}", "hi": "${esc(c.hi)}"}""")
+    }.mkString("[", ", ", "]")
     val json =
       s"""{"version": ${m.version},
          |$txnField "schema": "${esc(m.schemaDdl)}",
-         | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}]}""".stripMargin
+         | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
+         | "stats": $statsJson}""".stripMargin
     val target = manifestPath(root, m.version)
     val f = fs(spark, target)
     f.mkdirs(logDir(root))
@@ -120,7 +133,12 @@ object VersionedTable {
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
     val txn = """"txn": (\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-    Manifest(v, schema, files, txn)
+    val S = """\{"file": "((?:[^"\\]|\\.)*)", "col": "((?:[^"\\]|\\.)*)", "t": "(\w+)", "lo": "((?:[^"\\]|\\.)*)", "hi": "((?:[^"\\]|\\.)*)"\}""".r
+    val stats = S.findAllMatchIn(text).map { mm =>
+      (unesc(mm.group(1)), ColStat(unesc(mm.group(2)), mm.group(3),
+        unesc(mm.group(4)), unesc(mm.group(5))))
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    Manifest(v, schema, files, txn, stats)
   }
 
   /** Transaction ids recorded by committed versions — the idempotence
@@ -152,11 +170,96 @@ object VersionedTable {
     moved
   }
 
+  /** Per-file column stats from the parquet FOOTER of a just-committed
+    * file — metadata-only, no second data scan (the Iceberg/Delta recipe:
+    * the writer already paid for row-group stats; commit lifts them to
+    * file granularity so the READER can prune whole files from the
+    * manifest without opening any footer). Row-group mins/maxes fold to
+    * one [lo, hi] per column; a column with any stats-less row group is
+    * omitted (absent stats = never pruned, always safe). Strings compare
+    * in UTF-16 order on read, so record only those whose parquet unsigned-
+    * byte order agrees (pure ASCII bounds) — else pruning could be wrong. */
+  private def fileStats(spark: SparkSession, root: String, rel: String): Seq[ColStat] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new Path(root, rel), spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      if (blocks.isEmpty) return Seq.empty
+      val perBlock: Seq[Map[String, ColStat]] = blocks.map { b =>
+        b.getColumns.asScala.flatMap { c =>
+          val st = c.getStatistics
+          val pt = c.getPrimitiveType
+          val isAscii = (s: String) => s.forall(_ < 128)
+          if (st == null || st.isEmpty || !st.hasNonNullValue) None
+          else pt.getPrimitiveTypeName match {
+            case INT32 | INT64 => Some(ColStat(c.getPath.toDotString, "long",
+              st.genericGetMin.toString, st.genericGetMax.toString))
+            case FLOAT | DOUBLE => Some(ColStat(c.getPath.toDotString, "double",
+              st.genericGetMin.toString.toDouble.toString,
+              st.genericGetMax.toString.toDouble.toString))
+            case BINARY if pt.getLogicalTypeAnnotation ==
+                LogicalTypeAnnotation.stringType() =>
+              val lo = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              val hi = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8
+              if (isAscii(lo) && isAscii(hi))
+                Some(ColStat(c.getPath.toDotString, "string", lo, hi))
+              else None
+            case _ => None
+          }
+        }.map(s => s.col -> s).toMap
+      }
+      // fold: keep a column only if EVERY row group recorded it
+      val common = perBlock.map(_.keySet).reduce(_ intersect _)
+      common.toSeq.sorted.map { col =>
+        val cs = perBlock.map(_(col))
+        val typ = cs.head.typ
+        def lo2 = cs.map(_.lo).minBy(parse(typ, _))(ordering(typ))
+        def hi2 = cs.map(_.hi).maxBy(parse(typ, _))(ordering(typ))
+        ColStat(col, typ, lo2, hi2)
+      }
+    } finally reader.close()
+  }
+
+  private def parse(typ: String, v: String): Any = typ match {
+    case "long" => v.toLong
+    case "double" => v.toDouble
+    case _ => v
+  }
+  private def ordering(typ: String): Ordering[Any] = (typ match {
+    case "long" => Ordering.Long.on[Any](_.asInstanceOf[Long])
+    case "double" => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
+    case _ => Ordering.String.on[Any](_.asInstanceOf[String])
+  })
+  private def cmp(typ: String, a: String, b: Any): Int = {
+    val bv: Any = (typ, b) match {
+      case ("long", n: Number) => n.longValue()
+      case ("double", n: Number) => n.doubleValue()
+      case (_, other) => other.toString match {
+        case s if typ == "long" => s.toLong
+        case s if typ == "double" => s.toDouble
+        case s => s
+      }
+    }
+    ordering(typ).compare(parse(typ, a), bv)
+  }
+
   private def commit(spark: SparkSession, root: String, df: DataFrame,
-                     carryOver: Seq[String], txn: Option[Long] = None): Int = {
+                     carryOver: Seq[String], txn: Option[Long] = None,
+                     carryStats: Map[String, Seq[ColStat]] = Map.empty): Int = {
     val v = currentVersion(spark, root).getOrElse(0) + 1
-    val files = carryOver ++ writeDataFiles(spark, root, df, v)
-    writeManifest(spark, root, Manifest(v, df.schema.toDDL, files, txn))
+    val added = writeDataFiles(spark, root, df, v)
+    val addedStats = added.map(f => f -> fileStats(spark, root, f))
+      .filter(_._2.nonEmpty).toMap
+    val files = carryOver ++ added
+    writeManifest(spark, root,
+      Manifest(v, df.schema.toDDL, files, txn,
+        carryStats.view.filterKeys(carryOver.contains).toMap ++ addedStats))
     v
   }
 
@@ -175,7 +278,7 @@ object VersionedTable {
     val m = readManifest(spark, root, cur)
     require(m.schemaDdl == df.schema.toDDL,
       s"schema mismatch: table has [${m.schemaDdl}], append has [${df.schema.toDDL}]")
-    commit(spark, root, df, m.files)
+    commit(spark, root, df, m.files, carryStats = m.stats)
   }
 
   /** Overwrite: new version references ONLY the new rows' files (logical
@@ -199,7 +302,7 @@ object VersionedTable {
           val m = readManifest(spark, root, cur)
           require(m.schemaDdl == df.schema.toDDL,
             s"schema mismatch: table has [${m.schemaDdl}], append has [${df.schema.toDDL}]")
-          commit(spark, root, df, m.files, Some(txn))
+          commit(spark, root, df, m.files, Some(txn), carryStats = m.stats)
         }
     }
 
@@ -214,12 +317,58 @@ object VersionedTable {
     else spark.read.parquet(m.files.map(f => new Path(root, f).toString): _*)
   }
 
+  /** Inclusive range predicates for manifest-level data skipping:
+    * column -> (lo, hi), either bound open. Values compare in the
+    * recorded stat domain: Long/Int for "long" columns (dates as
+    * days-since-epoch, timestamps as micros — the parquet physical
+    * values), Double for "double", String for "string". */
+  type RangePreds = Map[String, (Option[Any], Option[Any])]
+
+  /** The files of `version` that SURVIVE manifest-stats pruning under
+    * `preds` — the data-skipping decision itself, exposed so callers
+    * (and specs) can see exactly which files a filtered read opens.
+    * A file is pruned only when some predicate range PROVABLY misses
+    * its recorded [lo, hi]; files without stats for a column always
+    * survive (absent stats are never wrong, only unhelpful). */
+  def prunedFiles(spark: SparkSession, root: String, preds: RangePreds,
+                  version: Option[Int] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    m.files.filter { f =>
+      val stats = m.stats.getOrElse(f, Seq.empty).map(s => s.col -> s).toMap
+      preds.forall { case (col, (lo, hi)) =>
+        stats.get(col).forall { s =>
+          val missesLow = hi.exists(h => cmp(s.typ, s.lo, h) > 0)  // file entirely above range
+          val missesHigh = lo.exists(l => cmp(s.typ, s.hi, l) < 0) // file entirely below range
+          !(missesLow || missesHigh)
+        }
+      }
+    }
+  }
+
+  /** Snapshot read that opens ONLY the files surviving stats pruning —
+    * manifest-driven data skipping at FILE granularity (parquet row-group
+    * stats then prune within the opened files; this is the layer above).
+    * Pruning is coarse: the caller still applies the exact filter to the
+    * returned frame; pruning only guarantees no MATCHING row was skipped. */
+  def readWhere(spark: SparkSession, root: String, preds: RangePreds,
+                version: Option[Int] = None): DataFrame = {
+    val keep = prunedFiles(spark, root, preds, version)
+    if (keep.isEmpty) {
+      val v = version.orElse(currentVersion(spark, root)).get
+      val m = readManifest(spark, root, v)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+    } else spark.read.parquet(keep.map(f => new Path(root, f).toString): _*)
+  }
+
   /** Rollback: publish an older version's exact file list as the NEW
     * newest version (history is preserved — undo is itself a commit). */
   def rollback(spark: SparkSession, root: String, to: Int): Int = {
     val m = readManifest(spark, root, to)
     val v = currentVersion(spark, root).get + 1
-    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files))
+    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, stats = m.stats))
     v
   }
 

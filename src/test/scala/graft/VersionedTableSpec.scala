@@ -118,6 +118,75 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == expected)
   }
 
+  // ---- manifest column stats + data skipping --------------------------------
+
+  test("filtered reads open ONLY the files whose recorded [lo, hi] can match") {
+    val root = freshRoot()
+    // three appends with DISJOINT id ranges, one file per commit
+    VersionedTable.create(spark, root, df(1L to 10L: _*).coalesce(1))
+    VersionedTable.append(spark, root, df(11L to 20L: _*).coalesce(1))
+    VersionedTable.append(spark, root, df(21L to 30L: _*).coalesce(1))
+    val all = VersionedTable.prunedFiles(spark, root, Map.empty)
+    assert(all.size == 3)
+    // point-ish range inside the middle commit → exactly the c2 file
+    val mid = VersionedTable.prunedFiles(spark, root,
+      Map("id" -> (Some(14L), Some(16L))))
+    assert(mid.size == 1 && mid.head.contains("c2-"),
+      s"expected only commit 2's file, got $mid")
+    // the pruned READ opens just that file and still answers correctly
+    val r = VersionedTable.readWhere(spark, root, Map("id" -> (Some(14L), Some(16L))))
+    assert(r.inputFiles.length == 1)
+    assert(idsOf(r.filter(col("id").between(14, 16))) == Seq(14L, 15L, 16L))
+    // range spanning two commits keeps both, drops the third
+    val two = VersionedTable.prunedFiles(spark, root,
+      Map("id" -> (Some(8L), Some(12L))))
+    assert(two.size == 2 && two.forall(f => f.contains("c1-") || f.contains("c2-")))
+    // open-ended bound: everything >= 21 → only commit 3
+    val hi = VersionedTable.prunedFiles(spark, root, Map("id" -> (Some(21L), None)))
+    assert(hi.size == 1 && hi.head.contains("c3-"))
+    // a provably-empty range prunes every file; the read is empty but typed
+    val none = VersionedTable.readWhere(spark, root, Map("id" -> (Some(500L), None)))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "payload"))
+  }
+
+  test("string-column stats prune; derived double column prunes independently") {
+    import spark.implicits._
+    val root = freshRoot()
+    def sdf(names: (String, Double)*) = names.toSeq.toDF("name", "score")
+    VersionedTable.create(spark, root, sdf("apple" -> 0.1, "banana" -> 0.2).coalesce(1))
+    VersionedTable.append(spark, root, sdf("melon" -> 0.8, "peach" -> 0.9).coalesce(1))
+    val m = VersionedTable.prunedFiles(spark, root,
+      Map("name" -> (Some("m"), Some("z"))))
+    assert(m.size == 1 && m.head.contains("c2-"), s"expected only c2, got $m")
+    val s = VersionedTable.prunedFiles(spark, root,
+      Map("score" -> (None, Some(0.5))))
+    assert(s.size == 1 && s.head.contains("c1-"), s"expected only c1, got $s")
+  }
+
+  test("stats survive append carry-over, rollback, and time travel; compact recomputes") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 10L: _*).coalesce(1))   // v1
+    VersionedTable.append(spark, root, df(11L to 20L: _*).coalesce(1))  // v2
+    // time travel: pruning at v1 sees only v1's file
+    assert(VersionedTable.prunedFiles(spark, root,
+      Map("id" -> (Some(1L), Some(5L))), version = Some(1)).size == 1)
+    // v2's carried-over v1 file kept its stats: a high range prunes it
+    val hi2 = VersionedTable.prunedFiles(spark, root,
+      Map("id" -> (Some(15L), None)), version = Some(2))
+    assert(hi2.size == 1 && hi2.head.contains("c2-"))
+    VersionedTable.overwrite(spark, root, df(21L to 30L: _*).coalesce(1)) // v3
+    val v4 = VersionedTable.rollback(spark, root, to = 2)                 // v4 = v2's files
+    val hi4 = VersionedTable.prunedFiles(spark, root,
+      Map("id" -> (Some(15L), None)), version = Some(v4))
+    assert(hi4.size == 1 && hi4.head.contains("c2-"),
+      "rollback must carry the rolled-back version's stats")
+    // compaction rewrites files; the new version re-records stats
+    VersionedTable.compact(spark, root, targetBytes = Long.MaxValue)
+    val afterCompact = VersionedTable.prunedFiles(spark, root,
+      Map("id" -> (Some(500L), None)))
+    assert(afterCompact.isEmpty, "compacted file's recorded max must prune id>=500")
+  }
+
   test("double-commit of the same version number is refused") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
