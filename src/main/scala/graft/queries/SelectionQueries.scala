@@ -37,6 +37,10 @@ object SelectionQueries {
   val PqM = 4
   val PqSubDim = 16
   val PqK = 8
+  /** IVF-PQ search geometry: probe the NProbe best coarse cells, PQ-score
+    * their members, exact-re-rank the RerankR-deep shortlist. */
+  val NProbe = 2
+  val RerankR = 20
   /** SemDeDup cosine threshold (within-cell pairs above it are near-dups;
     * the synthetic embeddings are near-orthogonal, so the threshold sits
     * where within-cell positive correlation puts real mass). */
@@ -296,6 +300,86 @@ object SelectionQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
              min(col("k")).as("k_min"), max(col("k")).as("k_max"))
     }),
+
+    // IVF-PQ with exact re-rank — the production 100 TB ANN composition of
+    // q49 (coarse cells), q114 (PQ codebooks) and q119's probe idea:
+    // (1) probe the query's NProbe best coarse cells by centroid score,
+    // (2) PQ asymmetric-distance-score ONLY the probed cells' vectors
+    // (codes via pqNearest, distance query-subvector -> codeword),
+    // (3) exact cosine re-rank of the RerankR-deep shortlist, top-10.
+    // Reported as recall@10 vs the brute-force relation (q53's metric) so
+    // the approximation is measured, not asserted. Plan shape (asserted in
+    // PlanShapeSpec): centroids + codebooks + query + probe list are all
+    // 1-to-NProbe-row broadcast frames, the corpus scan never shuffles,
+    // and both top-k's are TakeOrderedAndProject over candidate-bounded
+    // inputs — no global sort, no all-pairs.
+    "q152_ivfpq" -> ((s, d) => {
+      import graft.ext.Similarity
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+        .localCheckpoint() // consumers: registers, cell scan, brute force
+      val cents = emb.filter(col("vec_id") < 8)
+        .agg(transform(sort_array(collect_list(struct(col("vec_id"), col("e")))),
+          x => x("e")).as("cents"))
+      val subs = emb.select(
+        col("vec_id") +: (0 until PqM).map(m =>
+          slice(col("e"), m * PqSubDim + 1, PqSubDim).as(s"s$m")): _*)
+      val cbCols = (0 until PqM).map(m =>
+        transform(sort_array(collect_list(struct(col("vec_id"), col(s"s$m")))),
+          x => x(s"s$m")).as(s"cb$m"))
+      val cb = subs.filter(col("vec_id") < PqK).agg(cbCols.head, cbCols.tail: _*)
+      val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
+      // (1) coarse probe: score each centroid with ivfCell's exact scoring
+      // rule (dot/‖c‖ — argmax-invariant in the query norm), keep NProbe
+      val cscore = {
+        val c = element_at(col("cents"), col("ci"))
+        dotFold(col("qe"), c) / nullif(sqrt(dotFold(c, c)), lit(0.0))
+      }
+      val probes = q.crossJoin(broadcast(cents))
+        .select(col("qe"), col("cents"),
+          explode(sequence(lit(1), size(col("cents")))).as("ci"))
+        .select(col("ci").cast("int").as("pcell"), cscore.as("cs"))
+        .orderBy(col("cs").desc, col("pcell")).limit(NProbe)
+        .select(col("pcell"))
+      // (2) cell-assign the corpus (per-row chain), keep probed cells only,
+      // PQ-ADC score them: distance(query subvector, assigned codeword)
+      val cand = emb.filter(col("vec_id") =!= 0)
+        .join(broadcast(cents))
+        .select(col("vec_id"), col("e"),
+          Similarity.ivfCell(col("e"), col("cents")).as("cell"))
+        .join(broadcast(probes), col("cell") === col("pcell"))
+      val adist = (0 until PqM).map { m =>
+        val sub = slice(col("e"), m * PqSubDim + 1, PqSubDim)
+        val qsub = slice(col("qe"), m * PqSubDim + 1, PqSubDim)
+        l2(qsub, element_at(col(s"cb$m"), pqNearest(sub, col(s"cb$m"))("bi")))
+      }.reduce(_ + _)
+      val scored = cand.join(broadcast(cb)).join(broadcast(q))
+        .select(col("vec_id"), col("e"), col("qe"), adist.as("adist"))
+        .localCheckpoint() // candidate count + shortlist share one pass
+      // (3) shortlist by approximate distance, exact re-rank on it only.
+      // Both stages keep the Limit(Project(Sort)) shape with PRUNING-only
+      // projections (a computed projection between the limits gets pushed
+      // around by the optimizer and demotes the pattern to a global
+      // sort+limit); the exact cosine lives INSIDE the re-rank's SortOrder,
+      // so it is evaluated only while top-10-scanning the RerankR rows
+      val short = scored.orderBy(col("adist").asc, col("vec_id"))
+        .select(col("vec_id"), col("e"), col("qe"))
+        .limit(RerankR)
+      val rer = short
+        .orderBy(cosine(col("e"), col("qe")).desc, col("vec_id"))
+        .select(col("vec_id"))
+        .limit(10)
+      val brute = emb.join(broadcast(q)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), cosine(col("e"), col("qe")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      val common = rer.join(brute, "vec_id")
+      scored.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(short.agg(count(lit(1)).as("n_short")))
+        .crossJoin(common.agg(count(lit(1)).as("n_common")))
+        .select(col("n_cand"), col("n_short"), col("n_common"),
+          (col("n_common").cast("double") / lit(10.0)).as("recall"))
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -459,6 +543,55 @@ object SelectionQueries {
             SELECT shard, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars,
                    min(k)::BIGINT AS k_min, max(k)::BIGINT AS k_max
             FROM assigned GROUP BY 1"""
+      },
+      "q152_ivfpq" -> {
+        import graft.ext.Similarity
+        val slices = (0 until PqM).map { m =>
+          s"v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}] AS s$m"
+        }.mkString(", ")
+        val cbs = (0 until PqM).map { m =>
+          s"list(s$m ORDER BY vec_id) AS cb$m"
+        }.mkString(", ")
+        def score(c: String) =
+          s"${dotFoldSql("qv", c)} / nullif(sqrt(${dotFoldSql(c, c)}), 0.0)"
+        val adist = (0 until PqM).map { m =>
+          val qsub = s"q.qv[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
+          val sub = s"cand.v[${m * PqSubDim + 1}:${(m + 1) * PqSubDim}]"
+          l2Sql(qsub, s"(cb.cb$m)[(${pqNearestSql(sub, s"cb.cb$m")}).bi]")
+        }.mkString("(", " + ", ")")
+        s"""WITH e AS (SELECT vec_id, ${asDoubleSql("embedding")} AS v FROM embeddings),
+            c AS (SELECT list(v ORDER BY vec_id) AS cents FROM e WHERE vec_id < 8),
+            subs AS (SELECT vec_id, $slices FROM e),
+            cb AS (SELECT $cbs FROM subs WHERE vec_id < $PqK),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            probes AS (
+              SELECT pcell FROM (
+                SELECT ci AS pcell, ${score("(cents)[ci]")} AS cs
+                FROM (SELECT unnest(range(1, len(c.cents) + 1)) AS ci,
+                             c.cents AS cents, q.qv AS qv
+                      FROM c, q))
+              ORDER BY cs DESC, pcell LIMIT $NProbe),
+            cand AS (
+              SELECT vec_id, v FROM (
+                SELECT vec_id, v, ${Similarity.ivfCellSql("e.v", "c.cents")} AS cell
+                FROM e, c WHERE vec_id <> 0) cells
+              JOIN probes ON cells.cell = probes.pcell),
+            scored AS (SELECT vec_id, v, $adist AS adist FROM cand, cb, q),
+            short AS (
+              SELECT vec_id, ${cosineSql("scored.v", "q.qv")} AS sim
+              FROM scored, q ORDER BY adist ASC, vec_id LIMIT $RerankR),
+            rer AS (SELECT vec_id FROM short ORDER BY sim DESC, vec_id LIMIT 10),
+            brute AS (
+              SELECT vec_id FROM (
+                SELECT vec_id, ${cosineSql("e.v", "q.qv")} AS sim
+                FROM e, q WHERE vec_id <> 0
+                ORDER BY sim DESC, vec_id LIMIT 10))
+            SELECT (SELECT count(*) FROM scored)::BIGINT AS n_cand,
+                   (SELECT count(*) FROM short)::BIGINT AS n_short,
+                   (SELECT count(*) FROM rer JOIN brute USING (vec_id))::BIGINT
+                     AS n_common,
+                   (SELECT count(*) FROM rer JOIN brute USING (vec_id))::DOUBLE
+                     / 10.0 AS recall"""
       },
     )
   }

@@ -260,6 +260,31 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("q152 IVF-PQ re-rank is candidate-bounded: TakeOrdered chain, no global sort, no all-pairs") {
+    // the candidate stage (cell assign + probe equi-join + broadcast
+    // registers) reuses the q49/q115/q119 constructions asserted above;
+    // here the visible post-checkpoint plan must show the search itself:
+    // shortlist(RerankR) -> exact re-rank(10) and brute(10) all as
+    // TakeOrderedAndProject — the re-rank never sorts or scans beyond its
+    // candidate list, and the 1-row query frame joins via broadcast
+    val plan = executedPlan(SparkEntry.queries("q152_ivfpq")(spark, sf))
+    // 4: shortlist(RerankR) twice — the n_short count branch and the
+    // re-rank branch each top-k the cached candidate frame — plus the
+    // re-rank(10) and brute(10)
+    assert(countIn(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    } == 4, s"expected shortlist x2 + re-rank + brute as TakeOrdered:\n$plan")
+    assert(countIn(plan) {
+      case t: org.apache.spark.sql.execution.SortExec => t
+    } == 0, s"top-k must not plan a global sort:\n$plan")
+    assert(countIn(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    } == 0, s"1-row frames must broadcast, never cartesian:\n$plan")
+    assert(countIn(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    } >= 1, s"expected the 1-row query-vector broadcast:\n$plan")
+  }
+
   test("q130 BM25 broadcasts the query-term table — the corpus never shuffles for it") {
     val plan = executedPlan(SparkEntry.queries("q130_bm25")(spark, sf))
     assert(countIn(plan) { case b: BroadcastHashJoinExec => b } >= 1,
