@@ -140,6 +140,62 @@ object RasterQueries {
           col("acc.c").as("n_valid"), col("acc.sm").as("sum_px"))
     }),
 
+    // Multi-AOI × date zonal statistics in ONE pass — q38's clip semi-join
+    // generalized to the aggregate a real user asks for (mean NDVI per
+    // (AOI × acquisition date) over MANY AOIs in one job; the reference
+    // loops one AOI at a time). Envelope prefilter against the broadcast
+    // AOI table, per-pixel inside-test (exact PIP for these box AOIs),
+    // per-(tile × AOI) (sum, count) fold INSIDE the projection, then ONE
+    // (aoi_id, date) aggregate exchange — the whole query shuffles once.
+    // Per-pair sums are 9 dp DECIMALs so the cross-tile sum is exact and
+    // partition-order-independent. The real-polygon twin (st_contains over
+    // WKT) is Clip.zonalStats, golden-tested in ScalaTest.
+    "q153_zonal_stats" -> ((s, d) => {
+      val tminx = (col("l_orderkey") % 50).cast("double")
+      val tmaxy = -(col("l_suppkey") % 50).cast("double")
+      val tiles = lineitem(s, d).select(
+        col("l_partkey"), col("l_linenumber"), col("l_shipdate").as("acq_date"),
+        tminx.as("tminx"), tmaxy.as("tmaxy"),
+        (tminx + lit(0.4)).as("tmaxx"), (tmaxy - lit(0.4)).as("tminy"))
+      val aois = nation(s, d).select(
+        col("n_nationkey").as("aoi_id"),
+        (col("n_nationkey") * 2).cast("double").as("aminx"),
+        (-(col("n_nationkey") * 2).cast("double")).as("amaxy"),
+        (col("n_nationkey") * 2 + 10).cast("double").as("amaxx"),
+        ((-(col("n_nationkey") * 2)).cast("double") - 10).as("aminy"))
+      val acc = aggregate(sequence(lit(1), lit(16)),
+        struct(lit(0.0).as("sm"), lit(0L).as("c")),
+        (a, i) => {
+          val x = col("tminx") + lit(0.1) * (((i - 1) % 4).cast("double") + lit(0.5))
+          val y = col("tmaxy") - lit(0.1) * (floor((i - 1) / 4).cast("double") + lit(0.5))
+          val in = x >= col("aminx") && x <= col("amaxx") &&
+                   y >= col("aminy") && y <= col("amaxy")
+          val p = when(in, ndviPx(redDn(i), nirDn(i))).otherwise(lit(null).cast("double"))
+          struct((a("sm") + coalesce(p, lit(0.0))).as("sm"),
+                 (a("c") + p.isNotNull.cast("long")).as("c"))
+        })
+      tiles.join(broadcast(aois),
+          !(col("tmaxx") < col("aminx") || col("tminx") > col("amaxx") ||
+            col("tmaxy") < col("aminy") || col("tminy") > col("amaxy")))
+        .select(col("aoi_id"), col("acq_date"), acc.as("acc"))
+        .select(col("aoi_id"), col("acq_date"),
+          round(col("acc.sm"), 9).cast("decimal(18,9)").as("sm"),
+          col("acc.c").as("c"))
+        .groupBy(col("aoi_id"), col("acq_date"))
+        .agg(count(lit(1)).as("n_pairs"),
+             sum(col("c")).as("n_valid"),
+             // NO final round: the decimal sum is exact, its double cast is
+             // correctly rounded on both engines, and the mean is then one
+             // IEEE division — a round(…, 6) here would re-introduce
+             // engine-specific tie-breaking exactly at x.xxxxx5 means
+             sum(col("sm")).cast("double").as("sum_ndvi"))
+        .select(col("aoi_id"), col("acq_date"), col("n_pairs"), col("n_valid"),
+          col("sum_ndvi"),
+          when(col("n_valid") > 0,
+            col("sum_ndvi") / col("n_valid").cast("double"))
+            .otherwise(lit(null)).as("mean_ndvi"))
+    }),
+
     // Overview 2x: block means of a 4x4 synthesized tile as 4 columns.
     "q39_overview_blocks" -> ((s, d) => {
       def pxAt(i: Int): Column = ndviPx(redDn(lit(i)), nirDn(lit(i)))
@@ -265,6 +321,45 @@ object RasterQueries {
                    list_reduce(list_prepend(0::DOUBLE, list_transform(pxs, qp ->
                      coalesce(qp, 0.0))), (qa, qb) -> qa + qb) AS sum_px
             FROM px"""
+      },
+      "q153_zonal_stats" -> {
+        val x = "(tminx + 0.1 * (((i - 1) % 4)::DOUBLE + 0.5))"
+        val y = "(tmaxy - 0.1 * (floor((i - 1) / 4)::DOUBLE + 0.5))"
+        val inBox =
+          s"$x >= aminx AND $x <= amaxx AND $y >= aminy AND $y <= amaxy"
+        val p = s"(CASE WHEN $inBox THEN ${ndviPxSql(redDnSql, nirDnSql)} ELSE NULL END)"
+        s"""WITH t AS (SELECT l_partkey, l_linenumber, l_shipdate AS acq_date,
+                              CAST(l_orderkey % 50 AS DOUBLE) AS tminx,
+                              -CAST(l_suppkey % 50 AS DOUBLE) AS tmaxy,
+                              CAST(l_orderkey % 50 AS DOUBLE) + 0.4 AS tmaxx,
+                              -CAST(l_suppkey % 50 AS DOUBLE) - 0.4 AS tminy
+                       FROM lineitem),
+            a AS (SELECT n_nationkey AS aoi_id,
+                         CAST(n_nationkey * 2 AS DOUBLE) AS aminx,
+                         -CAST(n_nationkey * 2 AS DOUBLE) AS amaxy,
+                         CAST(n_nationkey * 2 + 10 AS DOUBLE) AS amaxx,
+                         -CAST(n_nationkey * 2 AS DOUBLE) - 10 AS aminy
+                  FROM nation),
+            pairs AS (
+              SELECT aoi_id, acq_date,
+                CAST(round(list_reduce(list_prepend(0::DOUBLE,
+                  list_transform(range(1, 17), i -> coalesce($p, 0.0))),
+                  (qa, qb) -> qa + qb), 9) AS DECIMAL(18,9)) AS sm,
+                list_reduce(list_prepend(0::BIGINT,
+                  list_transform(range(1, 17), i ->
+                    (CASE WHEN $p IS NOT NULL THEN 1::BIGINT ELSE 0::BIGINT END))),
+                  (qa, qb) -> qa + qb) AS c
+              FROM t JOIN a
+                ON NOT (t.tmaxx < a.aminx OR t.tminx > a.amaxx OR
+                        t.tmaxy < a.aminy OR t.tminy > a.amaxy))
+            SELECT aoi_id, acq_date,
+                   count(*)::BIGINT AS n_pairs,
+                   sum(c)::BIGINT AS n_valid,
+                   CAST(sum(sm) AS DOUBLE) AS sum_ndvi,
+                   CASE WHEN sum(c) > 0
+                        THEN CAST(sum(sm) AS DOUBLE) / sum(c)::DOUBLE
+                        ELSE NULL END AS mean_ndvi
+            FROM pairs GROUP BY 1, 2"""
       },
       "q39_overview_blocks" ->
         s"""SELECT l_orderkey, l_linenumber,

@@ -119,6 +119,36 @@ object Clip {
       .drop("minx", "miny", "maxx", "maxy")
   }
 
+  /** Multi-AOI zonal statistics in ONE pass — the query the reference
+    * answers by looping one AOI at a time (compute_ndvi.py runs per-AOI):
+    * nodata-aware mean NDVI per (aoi_id × `dateCol`) over EVERY AOI in one
+    * job. The clip semi-join generalizes unchanged: envelope overlap
+    * prunes (tile × AOI) pairs against the broadcast AOI table, exact PIP
+    * masks pixel centers, and each surviving pair folds to a (sum, count)
+    * partial INSIDE the projection — so the whole query is scan →
+    * broadcast join → project → one (aoi_id, date) aggregate exchange.
+    * At 100 TB that is the minimal shape: the tile table never shuffles
+    * except for the group-by, and the fold means no explode ever
+    * materializes pixels as rows. `ndviTiles` must carry `dateCol`
+    * (the pipeline attaches the scene's acquisition date, F7). */
+  def zonalStats(ndviTiles: DataFrame, aoi: DataFrame,
+                 dateCol: String = "acquisition_date"): DataFrame = {
+    val clipped = clipToAoi(ndviTiles, aoi)
+    val acc = aggregate(col("pixels"),
+      struct(lit(0.0).as("sm"), lit(0L).as("c")),
+      (a, p) => struct(
+        (a("sm") + coalesce(p.cast("double"), lit(0.0))).as("sm"),
+        (a("c") + p.isNotNull.cast("long")).as("c")))
+    clipped
+      .select(col("aoi_id"), col(dateCol), acc.as("acc"))
+      .groupBy(col("aoi_id"), col(dateCol))
+      .agg(sum(col("acc.sm")).as("sum_ndvi"), sum(col("acc.c")).as("n_valid"))
+      .select(col("aoi_id"), col(dateCol),
+        when(col("n_valid") > 0, col("sum_ndvi") / col("n_valid"))
+          .otherwise(lit(null)).as("mean_ndvi"),
+        col("n_valid"))
+  }
+
   /** The reference's overlap error, as an action-time check (the reference
     * raises eagerly per scene; our plan-level equivalent validates the
     * clip result before the sink). */

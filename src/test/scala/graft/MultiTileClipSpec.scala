@@ -82,4 +82,45 @@ class MultiTileClipSpec extends SparkSpec {
     assert(mean.getLong(2) == 8)
     assert(math.abs(mean.getDouble(1) - -0.18965584) < 1e-6)
   }
+
+  test("zonalStats: mean per (AOI x date) over MANY AOIs in one pass") {
+    // two dates x four scene-tiles; two overlapping AOIs — the left AOI
+    // covers T00 + left half of T10, the right AOI covers only T10's
+    // right column (x in [7, 8]); NDVI is constant per scene so expected
+    // means are exact
+    val aois = Seq(
+      RasterModel.Aoi(1L, "L", "POLYGON ((0 -4, 6 -4, 6 0, 0 0, 0 -4))",
+        0.0, -4.0, 6.0, 0.0),
+      RasterModel.Aoi(2L, "R", "POLYGON ((7 -4, 8 -4, 8 0, 7 0, 7 -4))",
+        7.0, -4.0, 8.0, 0.0)).toDF()
+    val ndvi = NdviKernel.computeNdvi(tiles.toDF())
+    val dated = ndvi
+      .withColumn("acquisition_date",
+        when(col("scene_id").isin("T00", "T10"), lit("2024-06-01"))
+          .otherwise(lit("2024-06-02")).cast("date"))
+    val z = Clip.zonalStats(dated, aois)
+    val rows = z.collect().map(r =>
+      (r.getLong(0), r.getDate(1).toString) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Double]), r.getLong(3))).toMap
+    val expectNdvi = {
+      val red = 1000 * 2.75e-5f - 0.2f; val nir = 3000 * 2.75e-5f - 0.2f
+      ((nir - red) / (nir + red)).toDouble
+    }
+    // AOI 1 on 2024-06-01: T00 fully (16 px) + T10 left half (8 px)
+    val (m1, n1) = rows((1L, "2024-06-01"))
+    assert(n1 == 24 && math.abs(m1.get - expectNdvi) < 1e-6)
+    // AOI 2 on 2024-06-01: T10's right column, 4 px
+    val (m2, n2) = rows((2L, "2024-06-01"))
+    assert(n2 == 4 && math.abs(m2.get - expectNdvi) < 1e-6)
+    // bottom-row scenes (2024-06-02) share an envelope EDGE with both
+    // AOIs, so pairs survive the prefilter with zero interior pixels —
+    // the group reports n_valid = 0 and a null mean, never a wrong one
+    Seq(1L, 2L).foreach { a =>
+      rows.get((a, "2024-06-02")).foreach { case (m, n) =>
+        assert(n == 0 && m.isEmpty)
+      }
+    }
+    // exactly one result group per (AOI x date) — one aggregate, one pass
+    assert(z.count() == rows.size)
+  }
 }

@@ -285,6 +285,18 @@ class PlanShapeSpec extends SparkSpec {
     } >= 1, s"expected the 1-row query-vector broadcast:\n$plan")
   }
 
+  test("q153 multi-AOI zonal stats: AOI side broadcasts, ONE aggregate exchange total") {
+    val plan = executedPlan(SparkEntry.queries("q153_zonal_stats")(spark, sf))
+    assert(countIn(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    } >= 1, s"expected the AOI table broadcast (bbox-overlap join):\n$plan")
+    // scan -> broadcast join -> fold projection -> partial agg -> ONE
+    // exchange on (aoi_id, acq_date) -> final agg; the tile side never
+    // shuffles for the join
+    assert(countIn(plan) { case e: ShuffleExchangeExec => e } == 1,
+      s"expected exactly one (aoi_id, date) aggregate exchange:\n$plan")
+  }
+
   test("q130 BM25 broadcasts the query-term table — the corpus never shuffles for it") {
     val plan = executedPlan(SparkEntry.queries("q130_bm25")(spark, sf))
     assert(countIn(plan) { case b: BroadcastHashJoinExec => b } >= 1,
