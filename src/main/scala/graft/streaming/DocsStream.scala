@@ -34,10 +34,17 @@ object DocsStream {
     * concurrent readers snapshot isolation across ingests. */
   def incrementalDedupStreaming(spark: SparkSession, sfDir: String,
       queryName: String = "graft_stream_incr_dedup"): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    // STATIC side, built once from the batch path: the banded index over
-    // the base corpus and the base shingle sets (both materialized — at
-    // scale these are the persisted index tables)
+    val work = EventsStream.scratchDir("graft_incr_dedup")
+    val targetRoot = work.resolve("t").toString
+    drainIncrementalDedup(spark, sfDir, EventsStream.stageDir(sfDir, "documents"),
+      work.resolve("ckpt").toString, targetRoot, queryName)
+    readResult(spark, sfDir, targetRoot)
+  }
+
+  /** The STATIC side, built once from the batch path: the banded index
+    * over the base corpus and the base shingle sets (at scale these are
+    * the persisted index tables a daily ingest probes). */
+  private def staticSide(spark: SparkSession, sfDir: String) = {
     val base = Dedup.shingleBase(spark, sfDir)
     val idx = Dedup.bandedSignature(base)
       .filter(col("doc_id") % 5 =!= 4)
@@ -46,11 +53,23 @@ object DocsStream {
     val baseSets = base
       .select(col("doc_id"), sort_array(array_distinct(col("hh"))).as("sh"))
       .localCheckpoint()
-    val work = EventsStream.scratchDir("graft_incr_dedup")
-    val targetRoot = work.resolve("t").toString
+    (base, idx, baseSets)
+  }
+
+  /** Drain whatever `landing` holds that this checkpoint has not yet
+    * processed, committing each micro-batch's best-base-matches under its
+    * batch id. Exposed (not just wrapped) so specs can drive the REAL
+    * delivery failure modes against one target table: files arriving out
+    * of order across drains (late data), and a batch re-delivered after a
+    * checkpoint rollback — the txn ledger must refuse the double-apply. */
+  def drainIncrementalDedup(spark: SparkSession, sfDir: String,
+      landing: String, ckpt: String, targetRoot: String,
+      queryName: String = "graft_stream_incr_dedup"): Unit = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val (_, idx, baseSets) = staticSide(spark, sfDir)
     val stream = spark.readStream
       .schema(schema)
-      .parquet(EventsStream.stageDir(sfDir, "documents"))
+      .parquet(landing)
       .filter(col("doc_id") % 5 === 4)
     EventsStream.withStreamPartitions(spark, 8) {
       val q = stream.writeStream
@@ -68,24 +87,27 @@ object DocsStream {
           VersionedTable.appendTxn(spark, targetRoot, out, batchId)
           ()
         }
-        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .option("checkpointLocation", ckpt)
         .queryName(queryName)
         .trigger(Trigger.AvailableNow())
         .start()
       try q.processAllAvailable() finally q.stop()
     }
+  }
+
+  /** The drained result: the versioned table's newest snapshot, or — when
+    * an empty/filtered-out stream never committed a micro-batch — an
+    * EMPTY relation with the output schema (not a missing-table error),
+    * derived from the same pipeline over zero rows. */
+  def readResult(spark: SparkSession, sfDir: String, targetRoot: String): DataFrame =
     VersionedTable.currentVersion(spark, targetRoot) match {
       case Some(_) => VersionedTable.read(spark, targetRoot)
       case None =>
-        // an empty/filtered-out stream never commits a micro-batch; the
-        // expected result is then an EMPTY relation with the output
-        // schema, not a missing-table error — derive it from the same
-        // pipeline over zero rows
+        val (base, idx, baseSets) = staticSide(spark, sfDir)
         val none = base.limit(0)
         Dedup.bestBaseMatches(
           Dedup.bandedSignature(none),
           none.select(col("doc_id"), sort_array(array_distinct(col("hh"))).as("sh")),
           idx, baseSets).limit(0)
     }
-  }
 }

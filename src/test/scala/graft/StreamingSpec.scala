@@ -122,4 +122,60 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty)
     assert(stream == batch, "stream/batch parity broken")
   }
+
+  test("q150 late arrival + re-delivered batch: still byte-identical to batch q135") {
+    import graft.streaming.DocsStream
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val work = Files.createTempDirectory("graft_backfill")
+    val landing = work.resolve("landing"); Files.createDirectories(landing)
+    val ckpt = work.resolve("ckpt"); val target = work.resolve("t").toString
+    def copyTree(from: Path, to: Path): Unit =
+      Files.walk(from).iterator().asScala.foreach { p =>
+        val dst = to.resolve(from.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
+    def deleteTree(p: Path): Unit =
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    def deliver(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = work.resolve(s"${name}_stage")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      Files.move(part, landing.resolve(s"$name.parquet"))
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 4)
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val mid = ids(ids.length / 2)
+    // 1) the CHRONOLOGICALLY LATER half arrives first
+    deliver(docs.filter(col("doc_id") >= mid), "b_late_half")
+    DocsStream.drainIncrementalDedup(spark, sf, landing.toString,
+      ckpt.toString, target, "graft_backfill_1")
+    // snapshot the checkpoint as it stands after batch 0
+    val snap = work.resolve("ckpt_snap"); copyTree(ckpt, snap)
+    // 2) the EARLIER half arrives late (out-of-order backfill)
+    deliver(docs.filter(col("doc_id") < mid), "a_early_half")
+    DocsStream.drainIncrementalDedup(spark, sf, landing.toString,
+      ckpt.toString, target, "graft_backfill_2")
+    val afterBackfill = graft.sink.VersionedTable.read(spark, target)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q135_incremental_dedup")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(afterBackfill.nonEmpty && afterBackfill == batch,
+      "out-of-order delivery must not change the drained relation")
+    val versionsBefore = graft.sink.VersionedTable.versions(spark, target)
+    // 3) roll the checkpoint back to the post-batch-0 snapshot: the file
+    // source forgets the early half and RE-DELIVERS it under the same
+    // batch id — the versioned txn ledger must refuse the double-apply
+    deleteTree(ckpt); Files.createDirectories(ckpt); copyTree(snap, ckpt)
+    DocsStream.drainIncrementalDedup(spark, sf, landing.toString,
+      ckpt.toString, target, "graft_backfill_3")
+    assert(graft.sink.VersionedTable.versions(spark, target) == versionsBefore,
+      "a re-delivered batch must not commit a new version")
+    val afterRedelivery = graft.sink.VersionedTable.read(spark, target)
+      .collect().map(_.toSeq).toSet
+    assert(afterRedelivery == batch, "re-delivery must be idempotent")
+  }
 }
