@@ -12,14 +12,28 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSourceV2 scene-catalog source (SURVEY.md §2.1 S1's "at scale a
   * DSv2 Scan with SupportsPushDownFilters + SupportsPushDownLimit"): the
-  * live-STAC access pattern, offline. The "server" is a deterministic
-  * generator; cloud-cover / sensor / limit predicates are evaluated
-  * server-side (inside the partition reader, before rows reach Spark),
-  * exactly where the reference's STAC query parameters run
-  * (download_landsat_stac.py:96-118).
+  * live-STAC access pattern. Two modes share one scan pipeline:
+  *
+  *  - **synthetic** (default): the "server" is a deterministic generator;
+  *    cloud-cover / sensor / limit predicates are evaluated server-side
+  *    (inside the partition reader, before rows reach Spark), exactly
+  *    where the reference's STAC query parameters run
+  *    (download_landsat_stac.py:96-118).
+  *  - **HTTP** (`url` option): a REAL paged STAC item-search client.
+  *    Pushed filters become search parameters (`eo:cloud_cover`
+  *    lte/gte and `platform` eq via the STAC query extension, a pushed
+  *    datetime range as the RFC 3339 `datetime=start/end` param), the
+  *    pushed LIMIT becomes the page `limit`, and the reader follows
+  *    `links[rel=next]` pagination. A pushed datetime range can be split
+  *    across `partitions` input partitions — each queries its own
+  *    sub-window, which is how a catalog harvest parallelizes at scale
+  *    (time-sliced searches, not one serial cursor). Tested against a
+  *    loopback HTTP server (no network in CI), same as AssetFetch (S2).
   *
   * Usage: spark.read.format("graft.sources.SceneCatalogSource")
-  *        .option("scenes", "10000").load()
+  *        .option("scenes", "10000").load()                  // synthetic
+  *        .option("url", "http://host/search")
+  *        .option("pageSize", "100").option("partitions", "4") // live
   */
 class SceneCatalogSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -27,7 +41,10 @@ class SceneCatalogSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new SceneCatalogTable(
-      Option(properties.get("scenes")).map(_.toInt).getOrElse(1000))
+      Option(properties.get("scenes")).map(_.toInt).getOrElse(1000),
+      Option(properties.get("url")),
+      Option(properties.get("pageSize")).map(_.toInt).getOrElse(100),
+      Option(properties.get("partitions")).map(_.toInt).getOrElse(1))
 }
 
 object SceneCatalogSource {
@@ -47,16 +64,19 @@ object SceneCatalogSource {
   }
 }
 
-class SceneCatalogTable(nScenes: Int) extends Table with SupportsRead {
-  override def name(): String = s"scene_catalog($nScenes)"
+class SceneCatalogTable(nScenes: Int, url: Option[String], pageSize: Int,
+                        partitions: Int) extends Table with SupportsRead {
+  override def name(): String =
+    url.map(u => s"scene_catalog($u)").getOrElse(s"scene_catalog($nScenes)")
   override def schema(): StructType = SceneCatalogSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SceneCatalogScanBuilder(nScenes)
+    new SceneCatalogScanBuilder(nScenes, url, pageSize, partitions)
 }
 
-class SceneCatalogScanBuilder(nScenes: Int) extends ScanBuilder
+class SceneCatalogScanBuilder(nScenes: Int, url: Option[String], pageSize: Int,
+                              partitions: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit {
 
@@ -68,6 +88,11 @@ class SceneCatalogScanBuilder(nScenes: Int) extends ScanBuilder
     case LessThanOrEqual("cloud_cover", _) => true
     case GreaterThanOrEqual("cloud_cover", _) => true
     case EqualTo("sensor", _) => true
+    // the HTTP mode ships a datetime range to the server (and uses it to
+    // split the search into parallel time windows); the synthetic reader
+    // has no server to ship it to, so Spark keeps evaluating it there
+    case LessThanOrEqual("datetime", _) => url.isDefined
+    case GreaterThanOrEqual("datetime", _) => url.isDefined
     case _ => false
   }
 
@@ -81,27 +106,32 @@ class SceneCatalogScanBuilder(nScenes: Int) extends ScanBuilder
   override def pushLimit(n: Int): Boolean = { limit = n; true }
 
   override def build(): Scan =
-    new SceneCatalogScan(nScenes, pushed, required, limit)
+    new SceneCatalogScan(nScenes, url, pageSize, partitions, pushed, required, limit)
 }
 
-class SceneCatalogScan(nScenes: Int, pushed: Array[Filter],
+class SceneCatalogScan(nScenes: Int, url: Option[String], pageSize: Int,
+                       partitions: Int, pushed: Array[Filter],
                        required: StructType, limit: Int)
     extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"SceneCatalogScan pushed=[${pushed.mkString(", ")}] limit=$limit"
+    s"SceneCatalogScan pushed=[${pushed.mkString(", ")}] limit=$limit" +
+      url.map(u => s" url=$u").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val nParts = 4
-    (0 until nParts).map { p =>
-      SceneRange(p * nScenes / nParts, (p + 1) * nScenes / nParts): InputPartition
-    }.toArray
+  override def planInputPartitions(): Array[InputPartition] = url match {
+    case Some(u) => StacSearch.plan(u, pageSize, partitions, pushed, limit)
+    case None =>
+      val nParts = 4
+      (0 until nParts).map { p =>
+        SceneRange(p * nScenes / nParts, (p + 1) * nScenes / nParts): InputPartition
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SceneReaderFactory(pushed, required.fieldNames, limit)
+    if (url.isDefined) new StacReaderFactory(required.fieldNames, limit)
+    else new SceneReaderFactory(pushed, required.fieldNames, limit)
 }
 
 case class SceneRange(start: Int, end: Int) extends InputPartition
