@@ -54,6 +54,9 @@ object ProfilingQueries {
   val TrimLo = 0.1
   val TrimHi = 0.9
 
+  /** k-anonymity adversary-strength grid. */
+  val KAnonGrid = Seq(2L, 5L, 20L)
+
   private def ln9(x: org.apache.spark.sql.Column) = round(log(x), 9)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -420,6 +423,66 @@ object ProfilingQueries {
             count(lit(1))).cast("double"), 6).as("trimmed_mean"))
         .join(bounds, "source")
     }),
+
+    // k-anonymity audit over the quasi-identifier (lang, source,
+    // n_chars÷100) — the privacy profile a dataset release runs before
+    // publishing: for each k in the grid, how many QI equivalence classes
+    // are smaller than k, how many documents sit in them (re-identifiable
+    // at that adversary strength), and the risk fraction. ONE corpus
+    // aggregate builds the QI class-size table (aggregate-sized); the
+    // k-grid fans out over THAT table, never the corpus.
+    "q154_k_anonymity" -> ((s, d) => {
+      val classes = documents(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"))
+        .agg(count(lit(1)).as("csize"))
+        .localCheckpoint() // aggregate-sized; feeds every k in the grid
+      val total = classes.agg(sum(col("csize")).as("n_docs"),
+        count(lit(1)).as("n_classes"))
+      classes
+        .crossJoin(broadcast(total))
+        .select(col("csize"), col("n_docs"), col("n_classes"),
+          explode(array(KAnonGrid.map(k => lit(k)): _*)).as("k"))
+        .groupBy(col("k"))
+        .agg(max(col("n_classes")).as("n_classes"),
+          sum(when(col("csize") < col("k"), 1L).otherwise(0L)).as("n_risky_classes"),
+          sum(when(col("csize") < col("k"), col("csize")).otherwise(0L)).as("n_risky_docs"),
+          (sum(when(col("csize") < col("k"), col("csize")).otherwise(0L)).cast("double") /
+            max(col("n_docs")).cast("double")).as("risk_fraction"))
+    }),
+
+    // Per-column table profile over `orders` — the null count, distinct
+    // count, min/max, and modal value a lakehouse catalog records per
+    // column (the read-side companion of the manifest stats the versioned
+    // table now writes). Values profile in the STRING domain (dates cast
+    // to DATE first) so every column type renders identically on both
+    // engines. Per column: one aggregate + one fenced top-1; columns
+    // independent — at 100 TB each is one shuffle on its own value domain
+    // (or one pass of a sketch where exactness isn't required, q82/q87).
+    "q155_column_profile" -> ((s, d) => {
+      val o = orders(s, d)
+      def prof(name: String, c: org.apache.spark.sql.Column): DataFrame = {
+        val v = o.select(c.cast("string").as("v"))
+        val basic = v.agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_present"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        val top = v.filter(col("v").isNotNull)
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("v")).limit(1)
+          .select(col("v").as("top_value"), col("cnt").as("top_count"))
+        basic.crossJoin(top).select(lit(name).as("column"),
+          (col("n_rows") - col("n_present")).as("n_nulls"),
+          col("n_distinct"), col("min_v"), col("max_v"),
+          col("top_value"), col("top_count"))
+      }
+      Seq(
+        prof("o_orderkey", col("o_orderkey")),
+        prof("o_custkey", col("o_custkey")),
+        prof("o_orderstatus", col("o_orderstatus")),
+        prof("o_orderdate", col("o_orderdate").cast("date")),
+        prof("o_orderpriority", col("o_orderpriority"))
+      ).reduce(_ unionByName _)
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -673,6 +736,44 @@ object ProfilingQueries {
             ${statsSql("e0", 0)}
             UNION ALL ${statsSql("e1", 1)}
             UNION ALL ${statsSql("e2", 2)}"""
+      },
+      "q154_k_anonymity" -> {
+        val grid = KAnonGrid.mkString(", ")
+        s"""WITH classes AS (
+              SELECT lang, source, n_chars // 100 AS len_bucket,
+                     count(*)::BIGINT AS csize
+              FROM documents GROUP BY 1, 2, 3),
+            tot AS (SELECT sum(csize)::BIGINT AS n_docs,
+                           count(*)::BIGINT AS n_classes FROM classes)
+            SELECT k, max(n_classes)::BIGINT AS n_classes,
+                   sum(CASE WHEN csize < k THEN 1 ELSE 0 END)::BIGINT AS n_risky_classes,
+                   sum(CASE WHEN csize < k THEN csize ELSE 0 END)::BIGINT AS n_risky_docs,
+                   sum(CASE WHEN csize < k THEN csize ELSE 0 END)::DOUBLE
+                     / max(n_docs)::DOUBLE AS risk_fraction
+            FROM classes, tot, (SELECT unnest([$grid]) AS k) g
+            GROUP BY 1"""
+      },
+      "q155_column_profile" -> {
+        def profSql(name: String, expr: String): String =
+          s"""SELECT '$name' AS "column",
+                (SELECT (count(*) - count(v))::BIGINT
+                 FROM (SELECT $expr AS v FROM orders)) AS n_nulls,
+                (SELECT count(DISTINCT v)::BIGINT
+                 FROM (SELECT $expr AS v FROM orders)) AS n_distinct,
+                (SELECT min(v) FROM (SELECT $expr AS v FROM orders)) AS min_v,
+                (SELECT max(v) FROM (SELECT $expr AS v FROM orders)) AS max_v,
+                t.v AS top_value, t.cnt AS top_count
+              FROM (SELECT v, count(*)::BIGINT AS cnt
+                    FROM (SELECT $expr AS v FROM orders)
+                    WHERE v IS NOT NULL
+                    GROUP BY 1 ORDER BY cnt DESC, v LIMIT 1) t"""
+        Seq(
+          profSql("o_orderkey", "o_orderkey::VARCHAR"),
+          profSql("o_custkey", "o_custkey::VARCHAR"),
+          profSql("o_orderstatus", "o_orderstatus::VARCHAR"),
+          profSql("o_orderdate", "(o_orderdate::DATE)::VARCHAR"),
+          profSql("o_orderpriority", "o_orderpriority::VARCHAR")
+        ).mkString(" UNION ALL ")
       },
     )
   }
