@@ -57,6 +57,10 @@ object ProfilingQueries {
   /** k-anonymity adversary-strength grid. */
   val KAnonGrid = Seq(2L, 5L, 20L)
 
+  /** LSH banding operating points over the 8 extended minhashes:
+    * (bands, rows-per-band). More bands = higher recall, lower precision. */
+  val BandConfigs = Seq((8, 1), (4, 2), (2, 4))
+
   private def ln9(x: org.apache.spark.sql.Column) = round(log(x), 9)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -483,6 +487,62 @@ object ProfilingQueries {
         prof("o_orderpriority", col("o_orderpriority"))
       ).reduce(_ unionByName _)
     }),
+
+    // LSH banding operating curve — the index-design tuning table: for
+    // each (bands, rows/band) split of the 8 extended minhashes, the
+    // candidate-pair count, how many candidates exact-verify at τ = 1/2,
+    // precision, and recall relative to the union of all three configs'
+    // verified pairs (the standard relative-recall protocol — exact
+    // all-pairs ground truth would be quadratic). One signature table and
+    // one sorted-set table feed every config; each config is one banded
+    // equi-join + one candidate-bounded verify — the two jobs whose
+    // volumes this table exists to trade off before a 100 TB run commits
+    // to a banding.
+    "q156_banding_curve" -> ((s, d) => {
+      val base = Dedup.shingleBase(s, d)
+      val sig = base.select((col("doc_id") +: (0 until 8).map(j =>
+        Dedup.minhashExt(col("hh"), j).as(s"mh$j"))): _*).localCheckpoint()
+      val sets = base
+        .select(col("doc_id"), sort_array(array_distinct(col("hh"))).as("sh"))
+        .localCheckpoint()
+      def verified(cand: DataFrame): DataFrame = cand
+        .join(sets.select(col("doc_id").as("da"), col("sh").as("sha")), "da")
+        .join(sets.select(col("doc_id").as("db"), col("sh").as("shb")), "db")
+        .select(col("da"), col("db"),
+          sortedIntersectCount(col("sha"), col("shb")).as("ni"),
+          (size(col("sha")) + size(col("shb"))).cast("long").as("ss"))
+        .select(col("da"), col("db"),
+          (col("ni") * 2 >= col("ss") - col("ni")).as("dup")) // τ = 1/2, integer-exact
+      def cands(b: Int, r: Int): DataFrame = {
+        val rows = sig.select(col("doc_id"), explode(array((0 until b).map { bd =>
+          struct((lit(bd).as("band") +:
+            (0 until r).map(k => col(s"mh${r * bd + k}").as(s"h$k"))): _*)
+        }: _*)).as("bk"))
+        rows.as("x").join(rows.as("y"),
+            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          .distinct()
+      }
+      val perConfig = BandConfigs.map { case (b, r) =>
+        (b, r, verified(cands(b, r)).localCheckpoint())
+      }
+      // relative-recall ground truth: verified dups over the UNION of all
+      // configs' candidates
+      val gt = perConfig.map(_._3.filter(col("dup")).select(col("da"), col("db")))
+        .reduce(_ unionByName _).distinct()
+      val gtCount = gt.agg(count(lit(1)).as("n_gt"))
+      perConfig.map { case (b, r, v) =>
+        v.agg(count(lit(1)).as("n_cand"),
+            sum(col("dup").cast("long")).as("n_dup"))
+          .crossJoin(broadcast(gtCount))
+          .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+            col("n_cand"), coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+            (coalesce(col("n_dup"), lit(0L)).cast("double") /
+              nullif(col("n_cand"), lit(0L)).cast("double")).as("precision"),
+            (coalesce(col("n_dup"), lit(0L)).cast("double") /
+              nullif(col("n_gt"), lit(0L)).cast("double")).as("recall"))
+      }.reduce(_ unionByName _)
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -774,6 +834,60 @@ object ProfilingQueries {
           profSql("o_orderdate", "(o_orderdate::DATE)::VARCHAR"),
           profSql("o_orderpriority", "o_orderpriority::VARCHAR")
         ).mkString(" UNION ALL ")
+      },
+      "q156_banding_curve" -> {
+        val mh = (0 until 8).map(j =>
+          s"${Dedup.minhashExtSql("hh", j)} AS mh$j").mkString(",\n                ")
+        def bandRows(b: Int, r: Int): String =
+          (0 until b).map { bd =>
+            val hs = (0 until r).map(k => s"mh${r * bd + k} AS h$k").mkString(", ")
+            s"SELECT doc_id, $bd AS band, $hs FROM sig8"
+          }.mkString(" UNION ALL ")
+        def candSql(name: String, b: Int, r: Int): String = {
+          val hEq = (0 until r).map(k => s"x.h$k = y.h$k").mkString(" AND ")
+          s"""${name}_rows AS (${bandRows(b, r)}),
+              $name AS (
+                SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                FROM ${name}_rows x JOIN ${name}_rows y
+                  ON x.band = y.band AND $hEq AND x.doc_id < y.doc_id)"""
+        }
+        def verSql(name: String, cand: String): String =
+          s"""$name AS (
+                SELECT da, db,
+                  (2 * ${sortedIntersectCountSql("sa.sh", "sb.sh")}
+                   >= len(sa.sh) + len(sb.sh)
+                      - ${sortedIntersectCountSql("sa.sh", "sb.sh")}) AS dup
+                FROM $cand
+                JOIN sets sa ON sa.doc_id = da
+                JOIN sets sb ON sb.doc_id = db)"""
+        val cfg = BandConfigs.zipWithIndex
+        val cands = cfg.map { case ((b, r), i) => candSql(s"c$i", b, r) }.mkString(",\n            ")
+        val vers = cfg.map { case (_, i) => verSql(s"v$i", s"c$i") }.mkString(",\n            ")
+        val gtUnion = cfg.map { case (_, i) =>
+          s"SELECT da, db FROM v$i WHERE dup" }.mkString(" UNION ")
+        val rows = cfg.map { case ((b, r), i) =>
+          s"""SELECT $b::BIGINT AS bands, $r::BIGINT AS rows_per_band,
+                (SELECT count(*) FROM v$i)::BIGINT AS n_cand,
+                (SELECT count(*) FROM v$i WHERE dup)::BIGINT AS n_dup,
+                (SELECT count(*) FROM v$i WHERE dup)::DOUBLE
+                  / nullif((SELECT count(*) FROM v$i), 0)::DOUBLE AS precision,
+                (SELECT count(*) FROM v$i WHERE dup)::DOUBLE
+                  / nullif((SELECT count(*) FROM gt), 0)::DOUBLE AS recall"""
+        }.mkString(" UNION ALL ")
+        s"""WITH base AS (
+              SELECT doc_id, ${Dedup.combineAdjacentSql("th")} AS hh
+              FROM (SELECT doc_id,
+                      list_transform(tk, t -> ${charFoldSql("t")}) AS th
+                    FROM (SELECT doc_id, $tokSql AS tk FROM documents)
+                    WHERE len(tk) >= 2)),
+            sig8 AS (SELECT doc_id,
+                $mh
+              FROM base),
+            sets AS (SELECT doc_id, list_sort(list_distinct(hh)) AS sh FROM base),
+            $cands,
+            $vers,
+            gt AS ($gtUnion)
+            $rows"""
       },
     )
   }
