@@ -49,6 +49,32 @@ class WritersSpec extends SparkSpec {
     assert(meta2.getAs[Long]("n_tiles") == 1L)
   }
 
+  test("versioned tile table: a scene-range read opens only the files whose manifest stats match") {
+    import graft.sink.VersionedTable
+    // 8 scenes range-partitioned into 4 files -> each file holds a
+    // contiguous scene_id range, recorded in the manifest at commit
+    val tiles = (1 to 8).map(i =>
+        RasterModel.dummyBand(spark, "red", 100f * i, w = 16, h = 16,
+          sceneId = f"S$i%02d"))
+      .reduce(_ unionByName _)
+      .repartitionByRange(4, col("scene_id"))
+    val root = Files.createTempDirectory("tiles_skip").resolve("t").toString
+    Writers.writeTilesVersioned(tiles, root)
+    val all = VersionedTable.prunedFiles(spark, root, Map.empty)
+    assert(all.size == 4)
+    // a high scene range must prune the low-range files from the MANIFEST
+    // alone (no footer reads, no file opens)
+    val pruned = VersionedTable.prunedFiles(spark, root,
+      Map("scene_id" -> (Some("S07"), None)))
+    assert(pruned.size < all.size, s"no files pruned: $pruned")
+    val r = VersionedTable.readWhere(spark, root,
+      Map("scene_id" -> (Some("S07"), None)))
+    assert(r.inputFiles.length == pruned.size)
+    // pruning is file-coarse but never loses a matching row
+    assert(r.filter(col("scene_id") >= "S07")
+      .select("scene_id").distinct().count() == 2)
+  }
+
   test("writeTilesVersioned commits the tile table with the K8 sidecar; overwrite keeps old snapshots readable") {
     import graft.sink.VersionedTable
     val tiles = RasterModel.dummyConstant(spark)
