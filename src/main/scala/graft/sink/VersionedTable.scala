@@ -363,6 +363,40 @@ object VersionedTable {
     } else spark.read.parquet(keep.map(f => new Path(root, f).toString): _*)
   }
 
+  /** DELETE WHERE as a commit — copy-on-write DML at FILE granularity,
+    * with the manifest stats bounding write amplification: only files
+    * whose recorded [lo, hi] can contain a matching row are read and
+    * rewritten (minus the rows where `condition` holds); every other file
+    * carries over untouched, stats and all. `preds` is the range form of
+    * the predicate used for pruning and MUST be implied by `condition`
+    * (a row matching `condition` must fall inside `preds`) — the caller
+    * states both because a Catalyst Column cannot be evaluated against
+    * manifest stats. Earlier versions still read the un-deleted data
+    * (time travel); returns the new version. */
+  def deleteWhere(spark: SparkSession, root: String, preds: RangePreds,
+                  condition: org.apache.spark.sql.Column): Int = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val touched = prunedFiles(spark, root, preds, Some(cur)).toSet
+    val untouched = m.files.filterNot(touched)
+    val v = cur + 1
+    val rewritten =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val df = spark.read
+          .parquet(touched.toSeq.map(f => new Path(root, f).toString): _*)
+          .filter(!condition)
+        writeDataFiles(spark, root, df, v)
+      }
+    val rewrittenStats = rewritten.map(f => f -> fileStats(spark, root, f))
+      .filter(_._2.nonEmpty).toMap
+    writeManifest(spark, root, Manifest(v, m.schemaDdl,
+      untouched ++ rewritten, None,
+      m.stats.view.filterKeys(untouched.contains).toMap ++ rewrittenStats))
+    v
+  }
+
   /** Rollback: publish an older version's exact file list as the NEW
     * newest version (history is preserved — undo is itself a commit). */
   def rollback(spark: SparkSession, root: String, to: Int): Int = {

@@ -187,6 +187,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(afterCompact.isEmpty, "compacted file's recorded max must prune id>=500")
   }
 
+  test("deleteWhere rewrites ONLY the stats-matching files; history intact") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 10L: _*).coalesce(1))
+    VersionedTable.append(spark, root, df(11L to 20L: _*).coalesce(1))
+    VersionedTable.append(spark, root, df(21L to 30L: _*).coalesce(1))
+    val before = VersionedTable.prunedFiles(spark, root, Map.empty)
+    // delete ids 14-16: only commit 2's file can contain them
+    val v = VersionedTable.deleteWhere(spark, root,
+      Map("id" -> (Some(14L), Some(16L))), col("id").between(14, 16))
+    assert(v == 4)
+    val after = VersionedTable.prunedFiles(spark, root, Map.empty)
+    // c1 and c3 files carried over BYTE-identical (same names); c2's file
+    // was replaced by a c4 rewrite
+    assert(after.count(f => f.contains("c1-") || f.contains("c3-")) == 2)
+    assert(before.filter(f => f.contains("c1-") || f.contains("c3-"))
+      .forall(after.contains))
+    assert(after.exists(_.contains("c4-")) && !after.exists(_.contains("c2-")))
+    assert(idsOf(VersionedTable.read(spark, root)) ==
+      ((1L to 13L) ++ (17L to 30L)))
+    // time travel still sees the pre-delete data
+    assert(idsOf(VersionedTable.read(spark, root, Some(3))) == (1L to 30L))
+    // the rewritten file re-recorded stats: the deleted range now prunes
+    // down to nothing inside the old c2 span except the surviving rows
+    val survivors = VersionedTable.readWhere(spark, root,
+      Map("id" -> (Some(11L), Some(20L))))
+    assert(idsOf(survivors.filter(col("id").between(11, 20))) ==
+      ((11L to 13L) ++ (17L to 20L)))
+    // deleting an absent range is a pure carry-over commit (no rewrite)
+    val v2 = VersionedTable.deleteWhere(spark, root,
+      Map("id" -> (Some(500L), None)), col("id") >= 500)
+    assert(v2 == 5)
+    assert(VersionedTable.prunedFiles(spark, root, Map.empty).toSet == after.toSet)
+  }
+
   test("double-commit of the same version number is refused") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
