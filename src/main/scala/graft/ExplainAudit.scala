@@ -25,8 +25,9 @@ object ExplainAudit {
                "q74_interval_join", "q80_corpus_diff",
                "q87_cms_topk", "q88_mixture_sample", "q89_doc_chunks",
                "q92_quantize_int8", "q94_bloom_join", "q98_salted_join",
-               "q99_unigram_logprob", "q126_setsim_join", "q138_filter_auc",
-               "q139_edit_dedup", "q145_rrf_fusion", "q146_containment")
+               "q99_unigram_logprob", "q126_setsim_join", "q128_triangles",
+               "q138_filter_auc", "q139_edit_dedup", "q145_rrf_fusion",
+               "q146_containment", "q152_ivfpq", "q153_zonal_stats")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -497,7 +497,9 @@ object ProfilingQueries {
     // one sorted-set table feed every config; each config is one banded
     // equi-join + one candidate-bounded verify — the two jobs whose
     // volumes this table exists to trade off before a 100 TB run commits
-    // to a banding.
+    // to a banding. At full scale this table is computed on a uniform doc
+    // SAMPLE (an operating curve is a statistic, not the dedup itself) —
+    // the plan shape is identical, only the input shrinks.
     "q156_banding_curve" -> ((s, d) => {
       val base = Dedup.shingleBase(s, d)
       val sig = base.select((col("doc_id") +: (0 until 8).map(j =>
