@@ -397,6 +397,55 @@ object VersionedTable {
     v
   }
 
+  /** MERGE INTO (upsert by key) as a commit — the third copy-on-write DML
+    * next to [[overwrite]] and [[deleteWhere]]: target rows whose key
+    * matches a source row are REPLACED by the source row; source rows
+    * with no match are INSERTED. The SOURCE's observed key bounds prune
+    * which target files can possibly hold a matched key (manifest stats,
+    * no target scan); only those files rewrite (their unmatched rows kept
+    * via anti-join), everything else carries over by name with its stats.
+    * Write amplification is bounded by the source's key locality — a
+    * day's upsert batch against a key-ordered table rewrites only that
+    * day's files. Source keys must be unique (the usual MERGE contract);
+    * schema must match the table. Earlier versions time-travel to the
+    * pre-merge data. */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+                keys: Seq[String]): Int = {
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    require(m.schemaDdl == source.schema.toDDL,
+      s"schema mismatch: table has [${m.schemaDdl}], merge has [${source.schema.toDDL}]")
+    // source key bounds -> range preds, only for stats-comparable domains
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
+    val aggCols = keys.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
+    val bounds = source.agg(aggCols.head, aggCols.tail: _*).head
+    val preds: RangePreds = keys.zipWithIndex.flatMap { case (k, i) =>
+      (bounds.get(2 * i), bounds.get(2 * i + 1)) match {
+        case (lo: Any, hi: Any) if lo.isInstanceOf[Number] || lo.isInstanceOf[String] =>
+          Some(k -> (Some(lo), Some(hi)))
+        case _ => None // null or non-stats type: no safe pruning on this key
+      }
+    }.toMap
+    val touched = prunedFiles(spark, root, preds, Some(cur)).toSet
+    val untouched = m.files.filterNot(touched)
+    val v = cur + 1
+    val merged =
+      if (touched.isEmpty) source
+      else spark.read
+        .parquet(touched.toSeq.map(f => new Path(root, f).toString): _*)
+        .join(source.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(source)
+    val added = writeDataFiles(spark, root, merged, v)
+    val addedStats = added.map(f => f -> fileStats(spark, root, f))
+      .filter(_._2.nonEmpty).toMap
+    writeManifest(spark, root, Manifest(v, m.schemaDdl,
+      untouched ++ added, None,
+      m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats))
+    v
+  }
+
   /** Rollback: publish an older version's exact file list as the NEW
     * newest version (history is preserved — undo is itself a commit). */
   def rollback(spark: SparkSession, root: String, to: Int): Int = {

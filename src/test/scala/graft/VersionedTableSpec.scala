@@ -221,6 +221,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.prunedFiles(spark, root, Map.empty).toSet == after.toSet)
   }
 
+  test("mergeInto upserts by key, rewriting only the source-key-range files") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 10L: _*).coalesce(1))
+    VersionedTable.append(spark, root, df(11L to 20L: _*).coalesce(1))
+    VersionedTable.append(spark, root, df(21L to 30L: _*).coalesce(1))
+    // source: update 14/15 (payload no longer id*10) and insert 17 new ids
+    // 31..47 — key span [14, 47] prunes commit 1's file (ids 1..10) only
+    val source = (Seq(14L, 15L) ++ (31L to 45L)).toDF("id")
+      .withColumn("payload", col("id") * 1000)
+    val v = VersionedTable.mergeInto(spark, root, source, Seq("id"))
+    assert(v == 4)
+    val files = VersionedTable.prunedFiles(spark, root, Map.empty)
+    assert(files.exists(_.contains("c1-")), "out-of-range file must carry over")
+    assert(!files.exists(_.contains("c2-")) && !files.exists(_.contains("c3-")),
+      s"in-range files must be rewritten: $files")
+    val now = VersionedTable.read(spark, root)
+    assert(idsOf(now) == (1L to 45L))
+    // replaced rows carry the SOURCE payload; unmatched target rows kept
+    val payloads = now.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(payloads(14L) == 14000L && payloads(15L) == 15000L)
+    assert(payloads(13L) == 130L && payloads(21L) == 210L)
+    assert(payloads(40L) == 40000L)
+    // pre-merge snapshot is intact
+    assert(idsOf(VersionedTable.read(spark, root, Some(3))) == (1L to 30L))
+    assert(VersionedTable.read(spark, root, Some(3))
+      .filter(col("id") === 14).head.getLong(1) == 140L)
+    // schema enforcement
+    intercept[IllegalArgumentException] {
+      VersionedTable.mergeInto(spark, root,
+        Seq((1L, "x")).toDF("id", "name"), Seq("id"))
+    }
+  }
+
   test("double-commit of the same version number is refused") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
