@@ -488,6 +488,38 @@ object ProfilingQueries {
       ).reduce(_ unionByName _)
     }),
 
+    // Join-skew profile of the events fact side on its join key — the
+    // measurement a planner (or engineer) takes BEFORE deciding to salt
+    // (q98 is the treatment; this is the diagnosis): per-key row counts
+    // → overall skew statistics (max/mean ratio, p50/p99 key sizes) and
+    // the top-5 heavy hitters with their row share, plus the salt count
+    // ceil(max/mean) a salted join would use. One key aggregate (the
+    // per-key count table is key-cardinality-sized), one tiny stats
+    // aggregate over it, one fenced top-5.
+    "q157_join_skew" -> ((s, d) => {
+      val counts = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds stats + top-5
+      val stats = counts.agg(
+        count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        expr("percentile(cnt, 0.5D)").as("p50_cnt"),
+        expr("percentile(cnt, 0.99D)").as("p99_cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("user_id")).limit(5)
+      // fenced: ≤5 rows (post-limit)
+      top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("user_id"))).cast("long"))
+        .crossJoin(broadcast(stats))
+        .select(col("rank"), col("user_id"), col("cnt").as("n_rows_key"),
+          (col("cnt").cast("double") / col("n_rows").cast("double")).as("share"),
+          col("n_keys"), col("max_cnt"), col("p50_cnt"), col("p99_cnt"),
+          (col("max_cnt").cast("double") * col("n_keys").cast("double") /
+            col("n_rows").cast("double")).as("skew_ratio"),
+          ceil(col("max_cnt").cast("double") * col("n_keys").cast("double") /
+            col("n_rows").cast("double")).cast("long").as("rec_salts"))
+    }),
+
     // LSH banding operating curve — the index-design tuning table: for
     // each (bands, rows/band) split of the 8 extended minhashes, the
     // candidate-pair count, how many candidates exact-verify at τ = 1/2,
@@ -837,6 +869,26 @@ object ProfilingQueries {
           profSql("o_orderpriority", "o_orderpriority::VARCHAR")
         ).mkString(" UNION ALL ")
       },
+      "q157_join_skew" ->
+        s"""WITH counts AS (
+              SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+            stats AS (
+              SELECT count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows,
+                     max(cnt)::BIGINT AS max_cnt,
+                     quantile_cont(cnt, 0.5) AS p50_cnt,
+                     quantile_cont(cnt, 0.99) AS p99_cnt
+              FROM counts),
+            top AS (
+              SELECT user_id, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+              FROM counts ORDER BY cnt DESC, user_id LIMIT 5)
+            SELECT rank::BIGINT AS rank, user_id, cnt AS n_rows_key,
+                   cnt::DOUBLE / n_rows::DOUBLE AS share,
+                   n_keys, max_cnt, p50_cnt, p99_cnt,
+                   max_cnt::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE AS skew_ratio,
+                   ceil(max_cnt::DOUBLE * n_keys::DOUBLE / n_rows::DOUBLE)::BIGINT
+                     AS rec_salts
+            FROM top, stats""",
       "q156_banding_curve" -> {
         val mh = (0 until 8).map(j =>
           s"${Dedup.minhashExtSql("hh", j)} AS mh$j").mkString(",\n                ")
