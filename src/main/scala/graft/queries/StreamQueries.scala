@@ -55,6 +55,13 @@ object StreamQueries {
     "q150_stream_incr_dedup" -> ((s, d) =>
       graft.streaming.DocsStream.incrementalDedupStreaming(s, d)),
 
+    // Streaming CDC apply: the q97 changelog through a file stream, each
+    // micro-batch an atomic upsert+delete mergeInto commit on a versioned
+    // customer base (txn-exactly-once, stats-bounded rewrite). Oracle is
+    // q97's — stream/batch parity.
+    "q158_stream_cdc_apply" -> ((s, d) =>
+      graft.streaming.CdcStream.cdcApplyStreaming(s, d)),
+
     // Multimodal decode stage: binary payloads → typed metadata via the
     // batch-iterating kernel (deterministic fake decode; ASCII payloads
     // make the checksum reproducible in SQL as the char fold).
@@ -123,6 +130,10 @@ object StreamQueries {
     // batch q135 relation, so it shares q135's oracle verbatim
     "q150_stream_incr_dedup" ->
       RetrievalQueries.oracle("q135_incremental_dedup"),
+    // stream/batch parity: the streamed CDC apply must equal the batch
+    // changelog fold, so it shares q97's oracle verbatim
+    "q158_stream_cdc_apply" ->
+      TrainQueries.oracle("q97_cdc_apply"),
     "q40_stream_rollup" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
                 CAST(count(*) AS BIGINT) AS n,

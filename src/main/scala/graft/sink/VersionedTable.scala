@@ -408,19 +408,33 @@ object VersionedTable {
     * day's upsert batch against a key-ordered table rewrites only that
     * day's files. Source keys must be unique (the usual MERGE contract);
     * schema must match the table. Earlier versions time-travel to the
-    * pre-merge data. */
+    * pre-merge data.
+    *
+    * `deletes` (key columns only) removes matching target rows in the
+    * SAME commit — the full CDC apply (upsert + delete) as one atomic
+    * version. `txn` makes the merge idempotent per transaction id
+    * (the [[appendTxn]] ledger): a foreachBatch CDC writer replaying a
+    * micro-batch is refused the double-apply. */
   def mergeInto(spark: SparkSession, root: String, source: DataFrame,
-                keys: Seq[String]): Int = {
+                keys: Seq[String], deletes: Option[DataFrame] = None,
+                txn: Option[Long] = None): Int = {
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    if (txn.exists(committedTxns(spark, root).contains)) return cur
     val m = readManifest(spark, root, cur)
     require(m.schemaDdl == source.schema.toDDL,
       s"schema mismatch: table has [${m.schemaDdl}], merge has [${source.schema.toDDL}]")
-    // source key bounds -> range preds, only for stats-comparable domains
     import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
+    // every key this commit touches: upserted + deleted
+    val allKeys = deletes match {
+      case Some(d) => source.select(keys.map(col): _*)
+        .unionByName(d.select(keys.map(col): _*))
+      case None => source.select(keys.map(col): _*)
+    }
+    // touched-key bounds -> range preds, only for stats-comparable domains
     val aggCols = keys.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
-    val bounds = source.agg(aggCols.head, aggCols.tail: _*).head
+    val bounds = allKeys.agg(aggCols.head, aggCols.tail: _*).head
     val preds: RangePreds = keys.zipWithIndex.flatMap { case (k, i) =>
       (bounds.get(2 * i), bounds.get(2 * i + 1)) match {
         case (lo: Any, hi: Any) if lo.isInstanceOf[Number] || lo.isInstanceOf[String] =>
@@ -435,13 +449,13 @@ object VersionedTable {
       if (touched.isEmpty) source
       else spark.read
         .parquet(touched.toSeq.map(f => new Path(root, f).toString): _*)
-        .join(source.select(keys.map(col): _*), keys, "left_anti")
+        .join(allKeys, keys, "left_anti")
         .unionByName(source)
     val added = writeDataFiles(spark, root, merged, v)
     val addedStats = added.map(f => f -> fileStats(spark, root, f))
       .filter(_._2.nonEmpty).toMap
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
-      untouched ++ added, None,
+      untouched ++ added, txn,
       m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats))
     v
   }

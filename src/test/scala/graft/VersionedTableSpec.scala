@@ -255,6 +255,26 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("mergeInto applies deletes in the same commit and is txn-idempotent") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 10L: _*).coalesce(1))
+    val ups = Seq(5L).toDF("id").withColumn("payload", col("id") * 1000)
+    val dels = Seq(7L).toDF("id")
+    assert(VersionedTable.mergeInto(spark, root, ups, Seq("id"),
+      Some(dels), txn = Some(0L)) == 2)
+    assert(idsOf(VersionedTable.read(spark, root)) == ((1L to 6L) ++ (8L to 10L)))
+    assert(VersionedTable.read(spark, root).filter(col("id") === 5)
+      .head.getLong(1) == 5000L)
+    // replay of txn 0 with DIFFERENT data must be a no-op
+    val replay = Seq(9L).toDF("id").withColumn("payload", col("id") * 9999)
+    assert(VersionedTable.mergeInto(spark, root, replay, Seq("id"),
+      None, txn = Some(0L)) == 2)
+    assert(VersionedTable.versions(spark, root) == Seq(1, 2))
+    assert(VersionedTable.read(spark, root).filter(col("id") === 9)
+      .head.getLong(1) == 90L)
+  }
+
   test("double-commit of the same version number is refused") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
