@@ -460,6 +460,30 @@ object VersionedTable {
     v
   }
 
+  /** Change data feed between two committed versions: (rowsAdded,
+    * rowsRemoved). Because data files are immutable and every commit
+    * carries files over BY NAME, the diff reads ONLY the file-set
+    * difference — rows in files v2 references but v1 doesn't, minus rows
+    * both sides re-wrote unchanged (multiset EXCEPT ALL both ways, so a
+    * compaction that rewrites identical rows into new files reports no
+    * changes). Carried-over files are never opened: a small mergeInto
+    * against a huge table diffs in time proportional to the rewrite, not
+    * the table. An update surfaces as remove(old row) + add(new row). */
+  def changesBetween(spark: SparkSession, root: String,
+                     fromV: Int, toV: Int): (DataFrame, DataFrame) = {
+    require(fromV <= toV, s"changesBetween: from $fromV > to $toV")
+    val a = readManifest(spark, root, fromV)
+    val b = readManifest(spark, root, toV)
+    def readFiles(fs: Seq[String], schemaDdl: String): DataFrame =
+      if (fs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      else spark.read.parquet(fs.map(f => new Path(root, f).toString): _*)
+    val onlyNew = readFiles(b.files.filterNot(a.files.toSet), b.schemaDdl)
+    val onlyOld = readFiles(a.files.filterNot(b.files.toSet), a.schemaDdl)
+    (onlyNew.exceptAll(onlyOld), onlyOld.exceptAll(onlyNew))
+  }
+
   /** Rollback: publish an older version's exact file list as the NEW
     * newest version (history is preserved — undo is itself a commit). */
   def rollback(spark: SparkSession, root: String, to: Int): Int = {

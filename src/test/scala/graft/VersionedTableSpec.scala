@@ -275,6 +275,33 @@ class VersionedTableSpec extends SparkSpec {
       .head.getLong(1) == 90L)
   }
 
+  test("changesBetween diffs only the rewritten files; compaction reports no changes") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 10L: _*).coalesce(1))   // v1
+    VersionedTable.append(spark, root, df(11L to 20L: _*).coalesce(1))  // v2
+    // v3: update 14, delete 16, insert 21 — touches only commit 2's file
+    val ups = Seq(14L, 21L).toDF("id").withColumn("payload", col("id") * 1000)
+    VersionedTable.mergeInto(spark, root, ups, Seq("id"),
+      Some(Seq(16L).toDF("id")))                                        // v3
+    val (added, removed) = VersionedTable.changesBetween(spark, root, 2, 3)
+    val addedRows = added.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val removedRows = removed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(addedRows == Set((14L, 14000L), (21L, 21000L)))
+    // removed: the deleted 16 and the pre-update image of 14
+    assert(removedRows == Set((16L, 160L), (14L, 140L)))
+    // the append itself diffs as pure inserts
+    val (a12, r12) = VersionedTable.changesBetween(spark, root, 1, 2)
+    assert(a12.count() == 10 && r12.count() == 0)
+    // compaction rewrites files with IDENTICAL rows -> empty diff
+    val v4 = VersionedTable.compact(spark, root, targetBytes = 1L)
+    if (v4 > 3) {
+      val (a34, r34) = VersionedTable.changesBetween(spark, root, 3, v4)
+      assert(a34.count() == 0 && r34.count() == 0,
+        "compaction must not surface as data change")
+    }
+  }
+
   test("double-commit of the same version number is refused") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
