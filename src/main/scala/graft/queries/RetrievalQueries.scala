@@ -38,6 +38,11 @@ object RetrievalQueries {
   val Bm25K1 = 1.2
   val Bm25B = 0.75
   val Bm25QueryTerms = 8
+
+  /** q159's search phrase (two adjacent tokens; a frequent bigram of the
+    * synthetic corpus so every SF has matches). */
+  val PhraseT1 = "order"
+  val PhraseT2 = "fast"
   val Bm25Top = 20
 
   /** Matryoshka truncation widths measured against the full 64-dim
@@ -213,6 +218,28 @@ object RetrievalQueries {
             x => x.cast("string")), ",").as("head"))
         .orderBy(col("df").desc, col("h"))
         .limit(PostingTop)
+    }),
+
+    // Positional phrase search through the POSTINGS shape, value-checked
+    // against the full-scan definition: the Spark plan explodes token
+    // positions, keeps ONLY the two phrase terms (a pushed-down token
+    // filter — at 100 TB these are two bounded posting-list reads from
+    // q129's index, not a corpus scan), and adjacency is an equi-join on
+    // (doc_id, position+1). The oracle computes the same relation by
+    // scanning every document's token array — two deliberately DIFFERENT
+    // plans whose hash equality is the assertion that the index path
+    // returns exactly the scan's answer.
+    "q159_phrase_search" -> ((s, d) => {
+      val pos = documents(s, d)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "t")))
+        .filter(col("t").isin(PhraseT1, PhraseT2))
+      val p1 = pos.filter(col("t") === PhraseT1)
+        .select(col("doc_id"), col("p"))
+      val p2 = pos.filter(col("t") === PhraseT2)
+        .select(col("doc_id").as("d2"), col("p").as("q"))
+      p1.join(p2, col("doc_id") === col("d2") && col("q") === col("p") + 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_matches"))
     }),
 
     // BM25 more-like-this: doc 0's tokens are the query (its
@@ -397,6 +424,14 @@ object RetrievalQueries {
             FROM (SELECT doc_id, unnest(list_distinct($thSql)) AS h
                   FROM documents)
             GROUP BY h ORDER BY df DESC, h LIMIT $PostingTop""",
+      "q159_phrase_search" ->
+        s"""SELECT doc_id, count(*)::BIGINT AS n_matches
+            FROM (SELECT doc_id, tk[i] AS t1, tk[i + 1] AS t2
+                  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+                        FROM (SELECT doc_id, ${tokensSql("text")} AS tk
+                              FROM documents)))
+            WHERE t1 = '$PhraseT1' AND t2 = '$PhraseT2'
+            GROUP BY 1""",
       "q130_bm25" ->
         s"""WITH docs AS (SELECT doc_id, $thSql AS th FROM documents),
             dl AS (SELECT doc_id, len(th)::BIGINT AS dl FROM docs),
