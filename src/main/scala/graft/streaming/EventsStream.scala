@@ -31,7 +31,7 @@ object EventsStream {
   /** Temp dir with best-effort recursive cleanup at JVM exit —
     * File.deleteOnExit cannot remove a non-empty directory, so a shutdown
     * hook walks the tree instead. */
-  private[streaming] def scratchDir(prefix: String): java.nio.file.Path = {
+  private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def del(f: java.io.File): Unit = {
