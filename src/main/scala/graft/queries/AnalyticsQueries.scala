@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.Portable._
 import graft.ext.{Dedup, Sketches}
+import graft.queries.ScaleQueries.PrPartOffset
 
 /** Round-5 corpus/analytics operators: repetition filtering, sequence
   * packing, token entropy, a PageRank power-iteration, weighted
@@ -25,6 +26,8 @@ object AnalyticsQueries {
 
   /** Greedy sequence-packing capacity (tokens per training sequence). */
   val PackCapacity = 256L
+  /** q161 BFS horizon (bounds the oracle's recursive expansion). */
+  val BfsMaxDepth = 6L
   /** DuckDB fold accumulator packing base for (bins, cur): both counters
     * stay far below 2^32 (docs are < 600 chars). */
   private val PackB = 1L << 32
@@ -346,6 +349,47 @@ object AnalyticsQueries {
       // fenced: ≤ Σ per-partition frontier sizes (local pre-pass above)
       skyline(local, Window.orderBy(col("price").desc, col("sz").desc))
     }),
+
+    // Multi-source BFS shortest-hops over the undirected supplier↔part
+    // supply graph (q120's graph): min hop count from the seed suppliers
+    // {1..5} to every node reachable within 6 hops. Frontier expansion,
+    // not path enumeration: each round is ONE shuffle join where only the
+    // O(frontier) rows move against the co-partitioned persisted edge
+    // list (q120's mechanism — the O(|edges|) side never reshuffles),
+    // then an anti-join against the visited set drops already-discovered
+    // nodes, so a node is labeled the FIRST round it appears = its BFS
+    // distance. Work per round ∝ frontier ∪ visited, never |V|×depth;
+    // the oracle's recursive CTE enumerates (node, dist) pairs and
+    // min-aggregates — same relation, quadratic-in-depth state the
+    // distributed form never materializes.
+    "q161_bfs_hops" -> ((s, d) => {
+      val edges = lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("src"),
+          (col("l_partkey") + PrPartOffset).as("dst")).distinct()
+      val bidir = edges.union(edges.select(col("dst"), col("src")))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("src"))
+        .persist()
+      val sources = edges.select(col("src")).filter(col("src") <= 5).distinct()
+      var visited = sources.select(col("src").as("node"), lit(0L).as("dist"))
+        .localCheckpoint()
+      var frontier = visited.select(col("node"))
+      var depth = 0L
+      while (depth < BfsMaxDepth && !frontier.isEmpty) {
+        depth += 1
+        // next frontier materialized once (frontier-sized); the visited
+        // set stays a UNION of those already-materialized pieces, so no
+        // round re-materializes more than its own discoveries
+        val next = bidir.join(frontier, bidir("src") === frontier("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select(col("node"), lit(depth).as("dist"))
+          .localCheckpoint()
+        visited = visited.unionByName(next)
+        frontier = next.select(col("node"))
+      }
+      bidir.unpersist()
+      visited
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -519,6 +563,21 @@ object AnalyticsQueries {
              FROM (SELECT DISTINCT p_retailprice AS price,
                           p_size::BIGINT AS sz FROM part))
            WHERE m IS NULL OR sz > m""",
+      "q161_bfs_hops" ->
+        s"""WITH RECURSIVE
+              edges AS (SELECT DISTINCT l_suppkey::BIGINT AS src,
+                               (l_partkey + $PrPartOffset)::BIGINT AS dst
+                        FROM lineitem),
+              bidir AS (SELECT src, dst FROM edges
+                        UNION ALL SELECT dst AS src, src AS dst FROM edges),
+              bfs(node, dist) AS (
+                SELECT DISTINCT src AS node, 0::BIGINT AS dist
+                FROM edges WHERE src <= 5
+                UNION
+                SELECT b.dst AS node, bfs.dist + 1 AS dist
+                FROM bfs JOIN bidir b ON b.src = bfs.node
+                WHERE bfs.dist < $BfsMaxDepth)
+            SELECT node, min(dist)::BIGINT AS dist FROM bfs GROUP BY 1""",
     )
   }
 }
