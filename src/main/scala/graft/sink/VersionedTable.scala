@@ -251,16 +251,32 @@ object VersionedTable {
 
   private def commit(spark: SparkSession, root: String, df: DataFrame,
                      carryOver: Seq[String], txn: Option[Long] = None,
-                     carryStats: Map[String, Seq[ColStat]] = Map.empty): Int = {
+                     carryStats: Map[String, Seq[ColStat]] = Map.empty,
+                     tableDdl: Option[String] = None): Int = {
     val v = currentVersion(spark, root).getOrElse(0) + 1
     val added = writeDataFiles(spark, root, df, v)
     val addedStats = added.map(f => f -> fileStats(spark, root, f))
       .filter(_._2.nonEmpty).toMap
     val files = carryOver ++ added
+    // the TABLE schema stays authoritative across appends: a write whose
+    // columns are merely non-nullable variants must not narrow it
     writeManifest(spark, root,
-      Manifest(v, df.schema.toDDL, files, txn,
+      Manifest(v, tableDdl.getOrElse(df.schema.toDDL), files, txn,
         carryStats.view.filterKeys(carryOver.contains).toMap ++ addedStats))
     v
+  }
+
+  /** Write-compatibility: same column names, order, and types; the write
+    * may be NOT NULL where the table is nullable (strictly narrower is
+    * safe), never the reverse. */
+  private def requireWriteCompatible(tableDdl: String, df: DataFrame,
+                                     what: String): Unit = {
+    val t = org.apache.spark.sql.types.StructType.fromDDL(tableDdl)
+    val s = df.schema
+    require(t.length == s.length && t.zip(s).forall { case (tf, sf) =>
+      tf.name == sf.name && tf.dataType == sf.dataType &&
+        (tf.nullable || !sf.nullable)
+    }, s"schema mismatch: table has [$tableDdl], $what has [${s.toDDL}]")
   }
 
   /** Create version 1 of a new table (fails if the table exists). */
@@ -276,9 +292,9 @@ object VersionedTable {
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
-    require(m.schemaDdl == df.schema.toDDL,
-      s"schema mismatch: table has [${m.schemaDdl}], append has [${df.schema.toDDL}]")
-    commit(spark, root, df, m.files, carryStats = m.stats)
+    requireWriteCompatible(m.schemaDdl, df, "append")
+    commit(spark, root, df, m.files, carryStats = m.stats,
+      tableDdl = Some(m.schemaDdl))
   }
 
   /** Overwrite: new version references ONLY the new rows' files (logical
@@ -300,9 +316,9 @@ object VersionedTable {
         if (committedTxns(spark, root).contains(txn)) cur
         else {
           val m = readManifest(spark, root, cur)
-          require(m.schemaDdl == df.schema.toDDL,
-            s"schema mismatch: table has [${m.schemaDdl}], append has [${df.schema.toDDL}]")
-          commit(spark, root, df, m.files, Some(txn), carryStats = m.stats)
+          requireWriteCompatible(m.schemaDdl, df, "append")
+          commit(spark, root, df, m.files, Some(txn), carryStats = m.stats,
+            tableDdl = Some(m.schemaDdl))
         }
     }
 
@@ -313,8 +329,42 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, v)
-    if (m.files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(m.files.map(f => new Path(root, f).toString): _*)
+    readPaths(spark, m.schemaDdl, m.files.map(f => new Path(root, f).toString))
+  }
+
+  /** Read `paths` under the MANIFEST's schema (schema-on-read): files
+    * written before an [[addColumn]] lack the new column and surface NULL
+    * for it — no rewrite, no per-file schema merge pass. Spark's parquet
+    * reader resolves the requested schema against each file by name. */
+  private def readPaths(spark: SparkSession, schemaDdl: String,
+                        paths: Seq[String]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    if (paths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(paths: _*)
+  }
+
+  /** ADD COLUMN as a METADATA-ONLY commit (the Iceberg/Delta recipe): the
+    * new version carries the same data files with a widened schema; rows
+    * from pre-evolution files read as NULL in the new column. At 100 TB
+    * this is the difference between an O(1) catalog operation and a
+    * full-table rewrite. The new column has no stats anywhere, so it can
+    * never mis-prune; earlier versions time-travel to the old schema.
+    * Drop/rename stay out of scope — they need column-id indirection to
+    * be safe against re-add, and nothing in the pipeline requires them. */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                sqlType: String): Int = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists")
+    val widened = schema.add(name, sqlType, nullable = true)
+    val v = cur + 1
+    writeManifest(spark, root, Manifest(v, widened.toDDL, m.files,
+      stats = m.stats))
+    v
   }
 
   /** Inclusive range predicates for manifest-level data skipping:
@@ -355,12 +405,9 @@ object VersionedTable {
   def readWhere(spark: SparkSession, root: String, preds: RangePreds,
                 version: Option[Int] = None): DataFrame = {
     val keep = prunedFiles(spark, root, preds, version)
-    if (keep.isEmpty) {
-      val v = version.orElse(currentVersion(spark, root)).get
-      val m = readManifest(spark, root, v)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-    } else spark.read.parquet(keep.map(f => new Path(root, f).toString): _*)
+    val v = version.orElse(currentVersion(spark, root)).get
+    val m = readManifest(spark, root, v)
+    readPaths(spark, m.schemaDdl, keep.map(f => new Path(root, f).toString))
   }
 
   /** DELETE WHERE as a commit — copy-on-write DML at FILE granularity,
@@ -384,8 +431,8 @@ object VersionedTable {
     val rewritten =
       if (touched.isEmpty) Seq.empty
       else {
-        val df = spark.read
-          .parquet(touched.toSeq.map(f => new Path(root, f).toString): _*)
+        val df = readPaths(spark, m.schemaDdl,
+          touched.toSeq.map(f => new Path(root, f).toString))
           .filter(!condition)
         writeDataFiles(spark, root, df, v)
       }
@@ -423,8 +470,7 @@ object VersionedTable {
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     if (txn.exists(committedTxns(spark, root).contains)) return cur
     val m = readManifest(spark, root, cur)
-    require(m.schemaDdl == source.schema.toDDL,
-      s"schema mismatch: table has [${m.schemaDdl}], merge has [${source.schema.toDDL}]")
+    requireWriteCompatible(m.schemaDdl, source, "merge")
     import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
     // every key this commit touches: upserted + deleted
     val allKeys = deletes match {
@@ -447,8 +493,8 @@ object VersionedTable {
     val v = cur + 1
     val merged =
       if (touched.isEmpty) source
-      else spark.read
-        .parquet(touched.toSeq.map(f => new Path(root, f).toString): _*)
+      else readPaths(spark, m.schemaDdl,
+        touched.toSeq.map(f => new Path(root, f).toString))
         .join(allKeys, keys, "left_anti")
         .unionByName(source)
     val added = writeDataFiles(spark, root, merged, v)
@@ -474,13 +520,13 @@ object VersionedTable {
     require(fromV <= toV, s"changesBetween: from $fromV > to $toV")
     val a = readManifest(spark, root, fromV)
     val b = readManifest(spark, root, toV)
-    def readFiles(fs: Seq[String], schemaDdl: String): DataFrame =
-      if (fs.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
-      else spark.read.parquet(fs.map(f => new Path(root, f).toString): _*)
-    val onlyNew = readFiles(b.files.filterNot(a.files.toSet), b.schemaDdl)
-    val onlyOld = readFiles(a.files.filterNot(b.files.toSet), a.schemaDdl)
+    // both sides read under the TO-version schema: across an addColumn
+    // boundary the pre-evolution rows surface NULL in the new column on
+    // both sides, so carried-over data still cancels in the exceptAll
+    def readFiles(fs: Seq[String]): DataFrame =
+      readPaths(spark, b.schemaDdl, fs.map(f => new Path(root, f).toString))
+    val onlyNew = readFiles(b.files.filterNot(a.files.toSet))
+    val onlyOld = readFiles(a.files.filterNot(b.files.toSet))
     (onlyNew.exceptAll(onlyOld), onlyOld.exceptAll(onlyNew))
   }
 

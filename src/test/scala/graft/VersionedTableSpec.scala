@@ -302,6 +302,47 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("addColumn is metadata-only; old rows read NULL; history keeps the old schema") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))                        // v1
+    val m1files = VersionedTable.read(spark, root).inputFiles.toSet
+    val v2 = VersionedTable.addColumn(spark, root, "tag", "STRING")     // v2
+    assert(v2 == 2)
+    // same data files — nothing was rewritten
+    assert(VersionedTable.read(spark, root).inputFiles.toSet == m1files)
+    // the evolution commit is a zero-data-change commit in the CDC feed
+    val (a12, r12) = VersionedTable.changesBetween(spark, root, 1, 2)
+    assert(a12.count() == 0 && r12.count() == 0)
+    // pre-evolution rows surface NULL in the new column
+    val evolved = VersionedTable.read(spark, root)
+    assert(evolved.schema.fieldNames.toSeq == Seq("id", "payload", "tag"))
+    assert(evolved.filter(col("tag").isNull).count() == 2)
+    // appends now carry the widened schema; mixed-vintage reads line up
+    VersionedTable.append(spark, root,
+      df(3).withColumn("tag", lit("new")))                              // v3
+    val rows = VersionedTable.read(spark, root)
+      .select("id", "tag").as[(Long, Option[String])].collect().toSet
+    assert(rows == Set((1L, None), (2L, None), (3L, Some("new"))))
+    // time travel: v1 still reads with the ORIGINAL two-column schema
+    assert(VersionedTable.read(spark, root, Some(1))
+      .schema.fieldNames.toSeq == Seq("id", "payload"))
+    // copy-on-write DML works across the boundary: replace id=1, filling
+    // its tag — the pre-evolution file rewrites under the new schema
+    VersionedTable.mergeInto(spark, root,
+      df(1).withColumn("payload", lit(111L)).withColumn("tag", lit("up")),
+      Seq("id"))                                                        // v4
+    val after = VersionedTable.read(spark, root)
+      .select("id", "payload", "tag").as[(Long, Long, Option[String])]
+      .collect().toSet
+    assert(after == Set((1L, 111L, Some("up")), (2L, 20L, None),
+      (3L, 30L, Some("new"))))
+    // re-adding an existing column (any case) is refused
+    intercept[IllegalArgumentException] {
+      VersionedTable.addColumn(spark, root, "TAG", "STRING")
+    }
+  }
+
   test("double-commit of the same version number is refused") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
