@@ -63,9 +63,36 @@ object VersionedTable {
     * lo/hi are canonical string renderings of that domain. */
   final case class ColStat(col: String, typ: String, lo: String, hi: String)
 
+  /** Per-file bloom filter over one column's non-null values (stringified
+    * in Spark cast-to-string form): `mBits` bits / `k` probes, bit array
+    * base64-encoded in the manifest. Answers point lookups where [lo, hi]
+    * ranges can't — high-cardinality keys scattered across files. */
+  final case class FileBloom(col: String, mBits: Int, k: Int, bits: String) {
+    def mayContain(value: String): Boolean = {
+      val raw = java.util.Base64.getDecoder.decode(bits)
+      bloomPositions(value, mBits, k).forall(p =>
+        (raw(p >> 3) & (1 << (p & 7))) != 0)
+    }
+  }
+
+  /** The k bit positions of `value` — double hashing over the portable
+    * charFold/hllMix chain, so the Column-side build ([[indexBloom]]) and
+    * this driver-side probe cannot drift: both are the SAME integer
+    * arithmetic on the same constants. */
+  private[sink] def bloomPositions(value: String, mBits: Int, k: Int): Seq[Int] = {
+    import graft.functions.Portable.FoldMod
+    import graft.ext.Sketches.{HllA, HllB, HllP}
+    def fold(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % FoldMod)
+    def mix(h: Long): Long = ((h % HllP) * HllA + HllB) % HllP
+    val h1 = mix(fold(value) * FoldMod + fold(value + "#"))
+    val h2 = mix(h1)
+    (0 until k).map(i => ((h1 + i.toLong * h2) % mBits).toInt)
+  }
+
   private case class Manifest(version: Int, schemaDdl: String, files: Seq[String],
                               txn: Option[Long] = None,
-                              stats: Map[String, Seq[ColStat]] = Map.empty)
+                              stats: Map[String, Seq[ColStat]] = Map.empty,
+                              blooms: Map[String, Seq[FileBloom]] = Map.empty)
 
   // Minimal JSON (de)serialization — file names are commit-generated
   // (uuid-free parquet part names under our own prefix, no escapes
@@ -99,11 +126,20 @@ object VersionedTable {
       cs.map(c => s"""{"file": "${esc(file)}", "col": "${esc(c.col)}", """ +
         s""""t": "${c.typ}", "lo": "${esc(c.lo)}", "hi": "${esc(c.hi)}"}""")
     }.mkString("[", ", ", "]")
+    // blooms as the same flat-object shape (bits are base64: no escapes);
+    // field omitted entirely when no file carries one
+    val bloomsJson =
+      if (m.blooms.isEmpty) ""
+      else ",\n \"blooms\": " + m.blooms.toSeq.sortBy(_._1).flatMap {
+        case (file, bs) => bs.map(b =>
+          s"""{"bfile": "${esc(file)}", "bcol": "${esc(b.col)}", """ +
+            s""""m": ${b.mBits}, "k": ${b.k}, "bits": "${b.bits}"}""")
+      }.mkString("[", ", ", "]")
     val json =
       s"""{"version": ${m.version},
          |$txnField "schema": "${esc(m.schemaDdl)}",
          | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
-         | "stats": $statsJson}""".stripMargin
+         | "stats": $statsJson$bloomsJson}""".stripMargin
     val target = manifestPath(root, m.version)
     val f = fs(spark, target)
     f.mkdirs(logDir(root))
@@ -138,7 +174,12 @@ object VersionedTable {
       (unesc(mm.group(1)), ColStat(unesc(mm.group(2)), mm.group(3),
         unesc(mm.group(4)), unesc(mm.group(5))))
     }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    Manifest(v, schema, files, txn, stats)
+    val B = """\{"bfile": "((?:[^"\\]|\\.)*)", "bcol": "((?:[^"\\]|\\.)*)", "m": (\d+), "k": (\d+), "bits": "([A-Za-z0-9+/=]*)"\}""".r
+    val blooms = B.findAllMatchIn(text).map { mm =>
+      (unesc(mm.group(1)), FileBloom(unesc(mm.group(2)), mm.group(3).toInt,
+        mm.group(4).toInt, mm.group(5)))
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    Manifest(v, schema, files, txn, stats, blooms)
   }
 
   /** Transaction ids recorded by committed versions — the idempotence
@@ -252,7 +293,8 @@ object VersionedTable {
   private def commit(spark: SparkSession, root: String, df: DataFrame,
                      carryOver: Seq[String], txn: Option[Long] = None,
                      carryStats: Map[String, Seq[ColStat]] = Map.empty,
-                     tableDdl: Option[String] = None): Int = {
+                     tableDdl: Option[String] = None,
+                     carryBlooms: Map[String, Seq[FileBloom]] = Map.empty): Int = {
     val v = currentVersion(spark, root).getOrElse(0) + 1
     val added = writeDataFiles(spark, root, df, v)
     val addedStats = added.map(f => f -> fileStats(spark, root, f))
@@ -262,7 +304,8 @@ object VersionedTable {
     // columns are merely non-nullable variants must not narrow it
     writeManifest(spark, root,
       Manifest(v, tableDdl.getOrElse(df.schema.toDDL), files, txn,
-        carryStats.view.filterKeys(carryOver.contains).toMap ++ addedStats))
+        carryStats.view.filterKeys(carryOver.contains).toMap ++ addedStats,
+        carryBlooms.view.filterKeys(carryOver.contains).toMap))
     v
   }
 
@@ -294,7 +337,7 @@ object VersionedTable {
     val m = readManifest(spark, root, cur)
     requireWriteCompatible(m.schemaDdl, df, "append")
     commit(spark, root, df, m.files, carryStats = m.stats,
-      tableDdl = Some(m.schemaDdl))
+      tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms)
   }
 
   /** Overwrite: new version references ONLY the new rows' files (logical
@@ -318,7 +361,7 @@ object VersionedTable {
           val m = readManifest(spark, root, cur)
           requireWriteCompatible(m.schemaDdl, df, "append")
           commit(spark, root, df, m.files, Some(txn), carryStats = m.stats,
-            tableDdl = Some(m.schemaDdl))
+            tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms)
         }
     }
 
@@ -363,7 +406,7 @@ object VersionedTable {
     val widened = schema.add(name, sqlType, nullable = true)
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, widened.toDDL, m.files,
-      stats = m.stats))
+      stats = m.stats, blooms = m.blooms))
     v
   }
 
@@ -410,6 +453,91 @@ object VersionedTable {
     readPaths(spark, m.schemaDdl, keep.map(f => new Path(root, f).toString))
   }
 
+  /** Build per-file bloom filters over `cols` and publish them as a new
+    * version (same data files and stats — index maintenance as a commit,
+    * like Iceberg's rewrite-index actions). One distributed job computes
+    * the k bit positions per non-null value and reduces to the DISTINCT
+    * (file, position) set, so the driver collects at most
+    * files × mBits positions — the same order as the manifest itself,
+    * never the data. Blooms ride carry-over like stats: later appends
+    * keep them for untouched files, new files are simply un-indexed
+    * until the next indexBloom (absent bloom = never pruned, always
+    * safe). Defaults: 8192 bits (1 KiB) / 6 probes ≈ 2% false positives
+    * at 1k distinct keys per file. */
+  def indexBloom(spark: SparkSession, root: String, cols: Seq[String],
+                 mBits: Int = 1 << 13, k: Int = 6): Int = {
+    import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit}
+    import graft.ext.Sketches.{hllHash, hllMix}
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val paths = m.files.map(f => new Path(root, f).toString)
+    val newBlooms: Map[String, Seq[FileBloom]] =
+      if (paths.isEmpty) Map.empty
+      else {
+        val perCol = cols.map { c =>
+          val h1 = hllMix(hllHash(col(c).cast("string")))
+          val h2 = hllMix(h1)
+          val positions = array((0 until k).map(i =>
+            ((h1 + lit(i.toLong) * h2) % mBits).cast("int")): _*)
+          readPaths(spark, m.schemaDdl, paths)
+            .select(input_file_name().as("f"), explode(positions).as("pos"))
+            .where(col("pos").isNotNull)
+            .select(col("f"), col("pos"), lit(c).as("c"))
+        }.reduce(_ unionByName _)
+          .distinct()
+          .collect()
+        perCol.groupBy(r => relName(r.getString(0))).map { case (file, rows) =>
+          file -> rows.groupBy(_.getString(2)).map { case (c, rs) =>
+            val raw = new Array[Byte](mBits / 8)
+            rs.foreach { r =>
+              val p = r.getInt(1); raw(p >> 3) = (raw(p >> 3) | (1 << (p & 7))).toByte
+            }
+            FileBloom(c, mBits, k, java.util.Base64.getEncoder.encodeToString(raw))
+          }.toSeq
+        }
+      }
+    val v = cur + 1
+    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
+      stats = m.stats, blooms = m.blooms ++ newBlooms))
+    v
+  }
+
+  /** `input_file_name()` URI → the manifest-relative "data/<name>" form. */
+  private def relName(uri: String): String =
+    "data/" + uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** The files of `version` that MAY contain `value` (Spark
+    * cast-to-string form) in `column`, per the manifest blooms — the
+    * point-lookup analog of [[prunedFiles]]. Files without a bloom for
+    * the column always survive. */
+  def bloomPrunedFiles(spark: SparkSession, root: String, column: String,
+                       value: String, version: Option[Int] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    m.files.filter { f =>
+      m.blooms.getOrElse(f, Seq.empty).find(_.col == column)
+        .forall(_.mayContain(value))
+    }
+  }
+
+  /** Point-lookup read opening ONLY the bloom-surviving files. Composes
+    * with the range-stat layer ([[readWhere]]) when the caller also has
+    * comparable bounds; each layer alone is sound. The caller still
+    * applies the exact equality filter — pruning guarantees only that no
+    * matching row was skipped. */
+  def readEq(spark: SparkSession, root: String, column: String,
+             value: String, version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    val keep = bloomPrunedFiles(spark, root, column, value, Some(v)).toSet
+    readPaths(spark, m.schemaDdl,
+      m.files.filter(keep.contains).map(f => new Path(root, f).toString))
+  }
+
   /** DELETE WHERE as a commit — copy-on-write DML at FILE granularity,
     * with the manifest stats bounding write amplification: only files
     * whose recorded [lo, hi] can contain a matching row are read and
@@ -440,7 +568,8 @@ object VersionedTable {
       .filter(_._2.nonEmpty).toMap
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
       untouched ++ rewritten, None,
-      m.stats.view.filterKeys(untouched.contains).toMap ++ rewrittenStats))
+      m.stats.view.filterKeys(untouched.contains).toMap ++ rewrittenStats,
+      m.blooms.view.filterKeys(untouched.contains).toMap))
     v
   }
 
@@ -502,7 +631,8 @@ object VersionedTable {
       .filter(_._2.nonEmpty).toMap
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
       untouched ++ added, txn,
-      m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats))
+      m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats,
+      m.blooms.view.filterKeys(untouched.contains).toMap))
     v
   }
 
@@ -535,7 +665,8 @@ object VersionedTable {
   def rollback(spark: SparkSession, root: String, to: Int): Int = {
     val m = readManifest(spark, root, to)
     val v = currentVersion(spark, root).get + 1
-    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, stats = m.stats))
+    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
+      stats = m.stats, blooms = m.blooms))
     v
   }
 

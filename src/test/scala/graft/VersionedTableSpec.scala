@@ -343,6 +343,46 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("bloom index prunes point lookups that range stats cannot") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 4 files with INTERLEAVED ids: every file's [lo, hi] covers the whole
+    // domain, so range-stat pruning keeps all 4 — the bloom's case
+    val rows = (0L until 400L).toDF("id")
+      .withColumn("payload", col("id") * 10)
+      .repartitionByRange(4, col("id") % 4)
+    VersionedTable.create(spark, root, rows)                            // v1
+    val v2 = VersionedTable.indexBloom(spark, root, Seq("id"))          // v2
+    assert(v2 == 2)
+    // same data files: index maintenance is a metadata+scan commit
+    assert(VersionedTable.read(spark, root, Some(1)).inputFiles.toSet ==
+      VersionedTable.read(spark, root, Some(2)).inputFiles.toSet)
+
+    val all = VersionedTable.prunedFiles(spark, root,
+      Map("id" -> (Some(7L), Some(7L))))
+    assert(all.size == 4, "interleaved ids must defeat range pruning")
+    val may = VersionedTable.bloomPrunedFiles(spark, root, "id", "7")
+    assert(may.size < 4, "bloom must prune some files for a point lookup")
+    // soundness: the lookup still finds its row, and only its row
+    val hit = VersionedTable.readEq(spark, root, "id", "7")
+      .filter(col("id") === 7L).select("payload").as[Long].collect().toSeq
+    assert(hit == Seq(70L))
+    // an absent key prunes everything or yields no rows after the filter
+    val miss = VersionedTable.readEq(spark, root, "id", "100000")
+      .filter(col("id") === 100000L)
+    assert(miss.isEmpty)
+
+    // blooms carry over appends for untouched files; new files survive
+    // un-indexed (absent bloom is never wrong)
+    VersionedTable.append(spark, root,
+      Seq(100000L).toDF("id").withColumn("payload", col("id") * 10))    // v3
+    val after = VersionedTable.bloomPrunedFiles(spark, root, "id", "7")
+    assert(after.size == may.size + 1, "new un-indexed file must survive")
+    val hit2 = VersionedTable.readEq(spark, root, "id", "100000")
+      .filter(col("id") === 100000L).select("payload").as[Long].collect().toSeq
+    assert(hit2 == Seq(1000000L))
+  }
+
   test("double-commit of the same version number is refused") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
