@@ -19,6 +19,9 @@ import graft.ext.{Dedup, Similarity, Sketches}
   */
 object ScaleQueries {
 
+  /** Embedding dimensionality of the test corpus (q163's d² state bound). */
+  val EmbedDim = 64
+
   /** Node-id offset separating part nodes from supplier nodes in the
     * bipartite supply graph (partkey space is far below this). */
   val PrPartOffset = 1000000L
@@ -317,6 +320,50 @@ object ScaleQueries {
           expr("(n_toks * 1000) div (nullif(n_docs, 0))").as("toks_per_doc_milli"),
           expr("(tok_chars * 1000) div (nullif(n_toks, 0))").as("chars_per_tok_milli"))
     }),
+
+    // Embedding covariance profile: the top-20 most-correlated feature
+    // pairs of the 64-dim embedding space — the redundancy audit read
+    // before dimension-reduction (a near-duplicate feature pair means
+    // the index pays for a dimension that carries no signal; cf. the
+    // Matryoshka truncation question q131 answers). Raw-moment form
+    // (cov = E[xy] − E[x]E[y]) over DECIMAL-exact sums: each row emits
+    // its 64×64 outer product (values pre-rounded to 7 dp so both
+    // engines multiply identical decimals), one hash-aggregate reduces
+    // to d² = 4096 moment cells — map-side partial aggregation keeps
+    // the shuffle at 4096 rows PER PARTITION regardless of row count,
+    // and the final top-k is TakeOrdered, no global sort. The mean
+    // vector (64 rows) broadcasts into the cov join. At 100 TB the
+    // state is d²-bounded everywhere; only the scan is data-sized.
+    "q163_embed_cov" -> ((s, d) => {
+      val dim = EmbedDim
+      // layered: dv materialized ONCE before the nested-HOF outer
+      // product references it 64× per row (CollapseProject trap)
+      val dv = embeddings(s, d).select(
+        transform(col("embedding"),
+          x => round(x.cast("double"), 7).cast("decimal(12,7)")).as("dv"))
+        .select(col("dv"))
+      val n = dv.agg(count(lit(1)).as("n"))
+      val mu = dv.select(posexplode(col("dv")).as(Seq("i", "x")))
+        .groupBy(col("i").cast("long").as("i")).agg(sum(col("x")).as("sx"))
+        .crossJoin(broadcast(n)) // [bounded: 1 row]
+        .select(col("i"),
+          round(col("sx").cast("double") / col("n").cast("double"), 9).as("mu"))
+      val mom = dv
+        .select(posexplode(flatten(transform(col("dv"),
+          x => transform(col("dv"), y => x * y)))).as(Seq("p", "xy")))
+        .groupBy(expr(s"p div $dim").cast("long").as("i"),
+          (col("p") % dim).cast("long").as("j"))
+        .agg(sum(col("xy")).as("sxy"))
+        .filter(col("j") > col("i"))
+      mom.crossJoin(broadcast(n)) // [bounded: 1 row]
+        .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))), "i")
+        .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
+        // [bounded: mu is EmbedDim rows]
+        .select(col("i"), col("j"),
+          round(round(col("sxy").cast("double") / col("n").cast("double"), 9) -
+            col("mu_i") * col("mu_j"), 9).as("cov"))
+        .orderBy(abs(col("cov")).desc, col("i"), col("j")).limit(20)
+    }),
   )
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = defs1 ++ defs2
@@ -489,6 +536,26 @@ object ScaleQueries {
                    coalesce(max(mr), 0)::BIGINT AS max_run
             FROM flagged LEFT JOIN runs ON flagged.doc_id = runs.doc_id
             GROUP BY 1""",
+      "q163_embed_cov" ->
+        s"""WITH e AS (SELECT list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE), 7) AS DECIMAL(12,7))) AS dv
+                       FROM embeddings),
+            tot AS (SELECT count(*)::BIGINT AS n FROM e),
+            mu AS (SELECT (i - 1)::BIGINT AS i,
+                          round(sum(dv[i])::DOUBLE / max(n)::DOUBLE, 9) AS mu
+                   FROM e CROSS JOIN tot, range(1, ${EmbedDim + 1}) t(i)
+                   GROUP BY 1),
+            mom AS (SELECT (a.i - 1)::BIGINT AS i, (b.i - 1)::BIGINT AS j,
+                           sum(dv[a.i] * dv[b.i]) AS sxy, max(n) AS n
+                    FROM e CROSS JOIN tot, range(1, ${EmbedDim + 1}) a(i),
+                         range(1, ${EmbedDim + 1}) b(i)
+                    WHERE b.i > a.i GROUP BY 1, 2)
+            SELECT mom.i AS i, mom.j AS j,
+                   round(round(sxy::DOUBLE / n::DOUBLE, 9)
+                         - mi.mu * mj.mu, 9) AS cov
+            FROM mom JOIN mu mi ON mom.i = mi.i
+                     JOIN mu mj ON mom.j = mj.i
+            ORDER BY abs(cov) DESC, mom.i, mom.j LIMIT 20""",
     )
   }
 }

@@ -184,6 +184,43 @@ object StatQueries {
         .groupBy(col("threshold")).agg(countDistinct(col("doc")).as("n_docs"))
       np.join(nd, "threshold")
     }),
+
+    // Seasonal-baseline anomaly detection: each (event_type, hour-of-day)
+    // slot's expected hourly event count is its mean over the observed
+    // days; hourly buckets whose count sits > 2σ from their slot's
+    // baseline are anomalies. The monitoring query behind every "traffic
+    // looks weird" alert — seasonality REMOVED before thresholding, so a
+    // nightly lull is not an anomaly and a 3 am spike is. Two exact
+    // integer aggregates (hourly counts; per-slot Σ and Σ²), then scalar
+    // z-scores: means/variances derive from BIGINT sums in a fixed
+    // operation order, sqrt rounded 9 dp (libm rule), z rounded 6 — both
+    // engines compute bit-identical doubles. At 100 TB: the hourly
+    // rollup is the only data-sized aggregate (keyed by type × hour, it
+    // partitions evenly); the profile table is 24 × types rows and the
+    // final join against it broadcasts [bounded: 24 × |event types|].
+    "q162_seasonal_anomaly" -> ((s, d) => {
+      val hourly = events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val profile = hourly
+        .groupBy(col("event_type"), hour(col("h")).as("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sc"),
+          sum(col("cnt") * col("cnt")).as("ssq"))
+        .filter(col("n") >= 2)
+        .withColumn("mean",
+          round(col("sc").cast("double") / col("n").cast("double"), 9))
+        .withColumn("sd", round(sqrt(greatest(
+          round(col("ssq").cast("double") / col("n").cast("double"), 9) -
+            col("mean") * col("mean"), lit(0.0))), 9))
+        .select(col("event_type"), col("hod"), col("mean"), col("sd"))
+      hourly.withColumn("hod", hour(col("h")))
+        .join(broadcast(profile), Seq("event_type", "hod"))
+        .filter(col("sd") > 0)
+        .withColumn("z", round((col("cnt").cast("double") - col("mean")) / col("sd"), 6))
+        .filter(abs(col("z")) > 2)
+        .select(col("event_type"), col("h"), col("cnt"), col("mean"),
+          col("sd"), col("z"))
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -301,6 +338,30 @@ object StatQueries {
             FROM edges JOIN splits a ON edges.da = a.doc_id
                        JOIN splits b ON edges.db = b.doc_id
             GROUP BY 1, 2""",
+      "q162_seasonal_anomaly" ->
+        """WITH hourly AS (
+             SELECT event_type, date_trunc('hour', ts) AS h,
+                    count(*)::BIGINT AS cnt
+             FROM events GROUP BY 1, 2),
+           profile AS (
+             SELECT event_type, extract(hour FROM h) AS hod,
+                    count(*)::BIGINT AS n, sum(cnt)::BIGINT AS sc,
+                    sum(cnt * cnt)::BIGINT AS ssq
+             FROM hourly GROUP BY 1, 2 HAVING count(*) >= 2),
+           prof2 AS (
+             SELECT event_type, hod,
+                    round(sc::DOUBLE / n::DOUBLE, 9) AS mean,
+                    round(sqrt(greatest(
+                      round(ssq::DOUBLE / n::DOUBLE, 9) -
+                        round(sc::DOUBLE / n::DOUBLE, 9) *
+                        round(sc::DOUBLE / n::DOUBLE, 9), 0.0)), 9) AS sd
+             FROM profile)
+           SELECT hourly.event_type, h, cnt, mean, sd,
+                  round((cnt::DOUBLE - mean) / sd, 6) AS z
+           FROM hourly JOIN prof2
+             ON hourly.event_type = prof2.event_type
+            AND extract(hour FROM h) = prof2.hod
+           WHERE sd > 0 AND abs(round((cnt::DOUBLE - mean) / sd, 6)) > 2""",
     )
   }
 }
