@@ -390,6 +390,32 @@ object AnalyticsQueries {
       bidir.unpersist()
       visited
     }),
+
+    // Retention cohort matrix — the product-analytics staple: users
+    // cohorted by first-active day; for each (cohort, day-offset ≤ 13)
+    // the count of cohort members active that day, the cohort size, and
+    // the retention rate in exact integer millis (q125's div rule — no
+    // float rounding to drift). Shapes: distinct (user, day) pairs, one
+    // min-aggregate per user (both partition by user_id), one join back
+    // on user_id — the same key, so the co-partitioning carries — then a
+    // (cohort, offset)-keyed aggregate. The cohort-size table is
+    // day-bounded and broadcasts [bounded: #days rows].
+    "q164_retention_cohorts" -> ((s, d) => {
+      val act = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val coh = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      val sizes = coh.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("cohort_size"))
+      act.join(coh, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+        .filter(col("day_offset") <= 13)
+        .groupBy(col("cohort"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cohort") // [bounded: #days rows]
+        .select(col("cohort"), col("day_offset"), col("n_active"),
+          col("cohort_size"),
+          expr("(n_active * 1000) div cohort_size").as("ret_milli"))
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -578,6 +604,18 @@ object AnalyticsQueries {
                 FROM bfs JOIN bidir b ON b.src = bfs.node
                 WHERE bfs.dist < $BfsMaxDepth)
             SELECT node, min(dist)::BIGINT AS dist FROM bfs GROUP BY 1""",
+      "q164_retention_cohorts" ->
+        """WITH act AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+            coh AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1),
+            sizes AS (SELECT cohort, count(*)::BIGINT AS cohort_size
+                      FROM coh GROUP BY 1),
+            r AS (SELECT cohort, (day - cohort)::BIGINT AS day_offset,
+                         count(*)::BIGINT AS n_active
+                  FROM act JOIN coh USING (user_id)
+                  WHERE (day - cohort) <= 13 GROUP BY 1, 2)
+           SELECT cohort, day_offset, n_active, cohort_size,
+                  (n_active * 1000) // cohort_size AS ret_milli
+           FROM r JOIN sizes USING (cohort)""",
     )
   }
 }

@@ -364,6 +364,70 @@ object ScaleQueries {
             col("mu_i") * col("mu_j"), 9).as("cov"))
         .orderBy(abs(col("cov")).desc, col("i"), col("j")).limit(20)
     }),
+
+    // Rolling 7-day distinct users (the WAU curve) answered from DAILY
+    // HLL register tables merged across the window — the dashboard shape
+    // at 100 TB: per-day registers are days × 64 rows regardless of
+    // traffic, a 7-day merge is a per-bucket rolling MAX over the day
+    // grid (register union == pointwise max), and the exact
+    // count-distinct rides along per day as the error audit (q151's
+    // calibration discipline; the raw stream is never re-scanned per
+    // window — each act row contributes to ≤ 7 windows via the
+    // day-bounded broadcast join only in the AUDIT path). Same
+    // register/fold construction as q121 so the estimates agree across
+    // the sketch family.
+    "q165_rolling_distinct" -> ((s, d) => {
+      import Sketches._
+      val m = HllBuckets
+      val act = events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        .localCheckpoint() // feeds registers, day grid, and the audit
+      val dayReg = act
+        .select(col("day"), col("user_id").cast("string").as("k"))
+        .select(col("day"), hllHash(col("k")).as("h0"))
+        .select(col("day"), hllMix(col("h0")).as("h1"))
+        .select(col("day"), (col("h1") % m).as("bucket"), hllMix(col("h1")).as("w"))
+        .select(col("day"), col("bucket"), hllRho(col("w")).as("rho"))
+        .groupBy(col("day"), col("bucket"))
+        .agg(max(col("rho")).cast("long").as("mx"))
+      val days = act.select(col("day")).distinct()
+        .withColumn("dn",
+          datediff(col("day"), to_date(lit("2000-01-01"))).cast("long"))
+      // dense (day × bucket) grid so a bucket absent TODAY still carries
+      // its window-merged value; bucket-partitioned rolling max = the
+      // union of 7 daily registers, computed on grid-sized state
+      val grid = days.select(col("day"), col("dn"),
+        explode(sequence(lit(0L), lit((m - 1).toLong))).as("bucket"))
+      val rolled = grid.join(dayReg, Seq("day", "bucket"), "left")
+        .withColumn("rmx", max(col("mx")).over(
+          Window.partitionBy(col("bucket")).orderBy(col("dn"))
+            .rangeBetween(-6, 0)))
+      val harmonic =
+        aggregate(col("rs"), lit(0.0), (acc, rr) =>
+          acc + lit(1.0) /
+            call_function("shiftleft", lit(1L), rr("mx").cast("int")).cast("double")) +
+          (lit(m) - col("nb")).cast("double")
+      val est = rolled.filter(col("rmx").isNotNull)
+        .groupBy(col("day"))
+        .agg(sort_array(collect_list(struct(col("bucket"),
+          col("rmx").as("mx")))).as("rs"), count(lit(1)).as("nb"))
+        .select(col("day"), (hllAlphaM2 / harmonic).as("eraw"),
+          (lit(m) - col("nb")).as("nv"))
+        .select(col("day"),
+          round(when(col("eraw") <= 2.5 * m && col("nv") > 0,
+              lit(m.toDouble) * log(lit(m.toDouble) / col("nv").cast("double")))
+            .otherwise(col("eraw")), 6).as("est"))
+      val exact = act
+        .withColumn("adn",
+          datediff(col("day"), to_date(lit("2000-01-01"))).cast("long"))
+        .join(broadcast(days.select(col("day").as("wday"), col("dn").as("wdn"))),
+          (col("wdn") - col("adn")).between(0, 6)) // [bounded: #days rows]
+        .groupBy(col("wday")).agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, est("day") === exact("wday"))
+        .select(col("day"), col("est"), col("n_exact"),
+          round(abs(col("est") - col("n_exact").cast("double")) /
+            nullif(col("n_exact"), lit(0L)).cast("double"), 6).as("err"))
+    }),
   )
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = defs1 ++ defs2
@@ -556,6 +620,59 @@ object ScaleQueries {
             FROM mom JOIN mu mi ON mom.i = mi.i
                      JOIN mu mj ON mom.j = mj.i
             ORDER BY abs(cov) DESC, mom.i, mom.j LIMIT 20""",
+      "q165_rolling_distinct" -> {
+        import Sketches._
+        val m = HllBuckets
+        s"""WITH act AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+            regs AS (
+              SELECT day, bucket, max(rho) AS mx FROM (
+                SELECT day, bucket, ${hllRhoSql("w")} AS rho FROM (
+                  SELECT day, h1 % $m AS bucket, ${hllMixSql("h1")} AS w FROM (
+                    SELECT day, ${hllMixSql("h0")} AS h1 FROM (
+                      SELECT day,
+                             ${hllHashSql("CAST(user_id AS VARCHAR)")} AS h0
+                      FROM act))))
+              GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day,
+                            (day - DATE '2000-01-01')::BIGINT AS dn FROM act),
+            grid AS (SELECT day, dn, b.bucket FROM days, range(0, $m) b(bucket)),
+            rolled AS (
+              SELECT day, dn, bucket,
+                     max(mx) OVER (PARTITION BY bucket ORDER BY dn
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rmx
+              FROM grid LEFT JOIN regs USING (day, bucket)),
+            folded AS (
+              SELECT day,
+                     list({'bucket': bucket, 'mx': rmx} ORDER BY bucket) AS rs,
+                     count(*)::BIGINT AS nb
+              FROM rolled WHERE rmx IS NOT NULL GROUP BY 1),
+            est AS (
+              SELECT day,
+                     round(CASE WHEN eraw <= ${2.5 * m} AND nv > 0
+                                THEN $m.0 * ln($m.0 / nv::DOUBLE)
+                                ELSE eraw END, 6) AS est
+              FROM (
+                SELECT day,
+                       $hllAlphaM2Sql /
+                         (list_reduce(list_prepend(0.0::DOUBLE,
+                            list_transform(rs, rr ->
+                              1.0::DOUBLE / ((1::BIGINT << rr.mx)::DOUBLE))),
+                            (sa, sb) -> sa + sb)
+                          + ($m - nb)::DOUBLE) AS eraw,
+                       ($m - nb) AS nv
+                FROM folded)),
+            exact AS (
+              SELECT d.day AS day, count(DISTINCT a.user_id)::BIGINT AS n_exact
+              FROM days d JOIN (
+                SELECT day, user_id,
+                       (day - DATE '2000-01-01')::BIGINT AS adn FROM act) a
+                ON d.dn - a.adn BETWEEN 0 AND 6
+              GROUP BY 1)
+            SELECT day, est, n_exact,
+                   round(abs(est - n_exact::DOUBLE) /
+                     nullif(n_exact, 0)::DOUBLE, 6) AS err
+            FROM est JOIN exact USING (day)"""
+      },
     )
   }
 }

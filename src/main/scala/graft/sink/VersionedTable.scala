@@ -676,15 +676,31 @@ object VersionedTable {
     * answer to [[Writers.compact]]'s rename-aside caveat. No-op (returns
     * current version) when already at or below the target count. */
   def compact(spark: SparkSession, root: String,
-              targetBytes: Long = 128L * 1024 * 1024): Int = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              clusterBy: Seq[String] = Seq.empty): Int = {
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
     val f = fs(spark, new Path(root))
     val bytes = m.files.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    if (target >= m.files.size) return cur
-    val df = read(spark, root, Some(cur)).repartition(target)
+    if (clusterBy.isEmpty && target >= m.files.size) return cur
+    val base = read(spark, root, Some(cur))
+    // clustering: range-partition + sort on the cluster key, so each
+    // compacted file covers a NARROW disjoint key range and the manifest
+    // [lo, hi] stats prune hard — the OPTIMIZE…CLUSTER BY answer to "my
+    // filter column is scattered across every file". A composite key
+    // clusters hierarchically (major column first), the layout the
+    // z-order/hilbert keys (q109/q123) feed here for multi-column
+    // locality: cluster by the precomputed curve key to get 2-D pruning
+    // out of 1-D range stats.
+    val df =
+      if (clusterBy.isEmpty) base.repartition(target)
+      else {
+        import org.apache.spark.sql.functions.col
+        val ks = clusterBy.map(col)
+        base.repartitionByRange(target, ks: _*).sortWithinPartitions(ks: _*)
+      }
     overwrite(spark, root, df)
   }
 

@@ -383,6 +383,39 @@ class VersionedTableSpec extends SparkSpec {
     assert(hit2 == Seq(1000000L))
   }
 
+  test("clustered compaction makes range stats prune where scattered files cannot") {
+    import spark.implicits._
+    val root = freshRoot()
+    // ids scattered: every file's [lo, hi] spans the whole domain
+    val rows = (0L until 400L).toDF("id")
+      .withColumn("payload", col("id") * 10)
+      .repartitionByRange(4, col("id") % 4)
+    VersionedTable.create(spark, root, rows)                            // v1
+    val before = VersionedTable.prunedFiles(spark, root,
+      Map("id" -> (Some(10L), Some(19L))))
+    assert(before.size == 4, "scattered layout must defeat range pruning")
+
+    val v2 = VersionedTable.compact(spark, root,
+      targetBytes = 4096L, clusterBy = Seq("id"))                       // v2
+    assert(v2 == 2)
+    // clustering is a rewrite of identical rows: CDC reports no change
+    val (a12, r12) = VersionedTable.changesBetween(spark, root, 1, 2)
+    assert(a12.count() == 0 && r12.count() == 0)
+    // now each file covers a disjoint narrow range: the same predicate
+    // opens a strict subset
+    val after = VersionedTable.prunedFiles(spark, root,
+      Map("id" -> (Some(10L), Some(19L))))
+    val total = VersionedTable.read(spark, root).inputFiles.length
+    assert(total > 1 && after.size < total,
+      s"clustered layout must prune (kept ${after.size} of $total)")
+    // soundness: the filtered read still returns exactly the range
+    val got = VersionedTable.readWhere(spark, root,
+        Map("id" -> (Some(10L), Some(19L))))
+      .filter(col("id").between(10L, 19L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (10L to 19L).toSeq)
+  }
+
   test("double-commit of the same version number is refused") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
