@@ -88,6 +88,39 @@ object LakehouseQueries {
       VersionedTable.read(s, mvRoot)
         .select(col("user_id"), col("cnt").as("n_events"),
           col("sv").cast("double").as("sum_value"))
+    }),
+
+    // The versioned table's SQL face end-to-end: orders is committed as a
+    // graft-versioned table clustered by o_orderdate (range-partitioned
+    // files ⇒ narrow disjoint [lo, hi] manifest stats), registered with
+    // CREATE TABLE ... USING, and queried through plain SQL. The pushed
+    // o_orderdate range reaches the relation as Catalyst Filters, which
+    // the provider converts to the manifest stat domain (timestamps →
+    // epoch micros) and prunes: only files overlapping the half-year
+    // window are opened; Spark's parquet scan then row-group-prunes
+    // within them. At 100 TB the WHERE touches ~1/13 of the files
+    // before any footer is read — catalog-level skipping, not scan-level.
+    // VersionedSourceSpec asserts the file counts; this query gates the
+    // RESULT through the full staged round-trip.
+    "q166_versioned_sql" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_vsql")
+      val root = work.resolve("orders").toString
+      Tables.orders(s, d)
+        .repartitionByRange(8, col("o_orderdate"))
+        .write.format("graft-versioned").save(root)
+      s.sql("DROP TABLE IF EXISTS graft_orders_v")
+      s.sql(s"CREATE TABLE graft_orders_v USING `graft-versioned` " +
+        s"OPTIONS (path '$root')")
+      try s.sql(
+        """SELECT o_orderpriority,
+                  count(*) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS total_price
+           FROM graft_orders_v
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate <  TIMESTAMP '1996-07-01'
+           GROUP BY o_orderpriority""").localCheckpoint()
+      finally s.sql("DROP TABLE IF EXISTS graft_orders_v")
     })
   )
 
@@ -107,6 +140,16 @@ object LakehouseQueries {
                   WHERE event_id NOT IN (SELECT event_id FROM srcu))
          SELECT user_id, count(*)::BIGINT AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM v2 GROUP BY 1"""
+         FROM v2 GROUP BY 1""",
+
+    // The staged versioned round-trip must be invisible to the result.
+    "q166_versioned_sql" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_price
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1996-07-01'
+         GROUP BY 1"""
   )
 }

@@ -375,6 +375,44 @@ object VersionedTable {
     readPaths(spark, m.schemaDdl, m.files.map(f => new Path(root, f).toString))
   }
 
+  /** The table schema of `version` (default newest) — the manifest DDL
+    * parsed, for callers (the relation provider) that need the schema
+    * without reading any data. */
+  def schemaOf(spark: SparkSession, root: String,
+               version: Option[Int] = None): org.apache.spark.sql.types.StructType = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    org.apache.spark.sql.types.StructType.fromDDL(readManifest(spark, root, v).schemaDdl)
+  }
+
+  /** Read an explicit subset of `version`'s manifest-relative file names
+    * under the version's schema — the read half of a caller-side pruning
+    * decision ([[prunedFiles]] ∩ [[bloomPrunedFiles]]). Names not in the
+    * manifest are refused: a subset read must never escape the snapshot. */
+  def readSubset(spark: SparkSession, root: String, files: Seq[String],
+                 version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    val known = m.files.toSet
+    require(files.forall(known.contains),
+      s"files not in version $v: ${files.filterNot(known.contains).take(3)}")
+    readPaths(spark, m.schemaDdl, files.map(f => new Path(root, f).toString))
+  }
+
+  /** Total data bytes of `version` from file lengths — the size estimate
+    * the relation provider reports to Catalyst so a SMALL versioned table
+    * is eligible for broadcast in joins (the default estimate for an
+    * unknown relation is effectively infinite, which forces a shuffle). */
+  def tableBytes(spark: SparkSession, root: String,
+                 version: Option[Int] = None): Long = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    val f = fs(spark, new Path(root))
+    m.files.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
+  }
+
   /** Read `paths` under the MANIFEST's schema (schema-on-read): files
     * written before an [[addColumn]] lack the new column and surface NULL
     * for it — no rewrite, no per-file schema merge pass. Spark's parquet

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.sink.VersionedTable
+import graft.sources.VersionedSource
+
+/** The versioned table's SQL/DataFrame face: format registration, save
+  * modes as commits, time travel via option, SQL DDL + INSERT, and —
+  * the scale point — pushed filters pruning manifest files before the
+  * parquet scan (asserted via the recorded scan decision). */
+class VersionedSourceSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_vsrc").resolve("t").toString
+
+  /** 4 files, each covering one disjoint id range of 100. */
+  private def clustered(root: String): Unit = {
+    import spark.implicits._
+    val rows = (0L until 400L).toDF("id")
+      .withColumn("grp", concat(lit("g"), (col("id") % 7).cast("string")))
+      .withColumn("payload", col("id") * 10)
+      .repartitionByRange(4, col("id"))
+    VersionedTable.create(spark, root, rows)
+  }
+
+  test("format round-trip: write modes are commits, load reads the snapshot") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq(1L, 2L).toDF("id").write.format("graft-versioned").save(root)
+    Seq(3L).toDF("id").write.format("graft-versioned")
+      .mode(SaveMode.Append).save(root)
+    assert(VersionedTable.versions(spark, root) == Seq(1, 2))
+    val got = spark.read.format("graft-versioned").load(root)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+    // overwrite is a new version, not a directory mutation
+    Seq(9L).toDF("id").write.format("graft-versioned")
+      .mode(SaveMode.Overwrite).save(root)
+    assert(VersionedTable.versions(spark, root) == Seq(1, 2, 3))
+    val v2 = spark.read.format("graft-versioned")
+      .option("versionAsOf", "2").load(root)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(v2 == Seq(1L, 2L, 3L))
+  }
+
+  test("pushed range filter prunes manifest files before the scan") {
+    import spark.implicits._
+    val root = freshRoot()
+    clustered(root)
+    val df = spark.read.format("graft-versioned").load(root)
+    val hit = df.filter(col("id").between(110L, 130L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(hit == (110L to 130L).toSeq)
+    val scan = VersionedSource.lastScan.get
+    assert(scan.totalFiles == 4 && scan.openedFiles == 1,
+      s"expected 1 of 4 files opened, got $scan")
+    // an unfiltered read opens everything
+    assert(df.count() == 400L)
+    assert(VersionedSource.lastScan.get.openedFiles == 4)
+  }
+
+  test("SQL surface: CREATE TABLE USING, WHERE pushdown, INSERT INTO") {
+    import spark.implicits._
+    val root = freshRoot()
+    clustered(root)
+    spark.sql(s"CREATE TABLE vsrc_t USING `graft-versioned` OPTIONS (path '$root')")
+    try {
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM vsrc_t WHERE id >= 300").as[Long].head()
+      assert(n == 100L)
+      val scan = VersionedSource.lastScan.get
+      assert(scan.openedFiles < scan.totalFiles,
+        s"SQL WHERE must prune files, got $scan")
+      // INSERT INTO is an append commit; the relation re-resolves per query
+      spark.sql("INSERT INTO vsrc_t VALUES (1000, 'g9', 7)")
+      assert(VersionedTable.versions(spark, root).size == 2)
+      val got = spark.sql(
+        "SELECT payload FROM vsrc_t WHERE id = 1000").as[Long].collect().toSeq
+      assert(got == Seq(7L))
+    } finally spark.sql("DROP TABLE vsrc_t")
+  }
+
+  test("equality on a bloom-indexed column prunes scattered files") {
+    import spark.implicits._
+    val root = freshRoot()
+    // keys scattered so range stats cannot help: each file spans the domain
+    val rows = (0L until 400L).toDF("id")
+      .withColumn("key", concat(lit("k"), (col("id") % 100).cast("string")))
+      .repartition(4, col("id") % 4)
+    VersionedTable.create(spark, root, rows)
+    VersionedTable.indexBloom(spark, root, Seq("key"))
+    val df = spark.read.format("graft-versioned").load(root)
+    val got = df.filter(col("key") === "k17")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(17L, 117L, 217L, 317L))
+    val scan = VersionedSource.lastScan.get
+    assert(scan.openedFiles <= scan.totalFiles, s"bloom scan: $scan")
+    // a key absent from the table opens zero files (all blooms reject)
+    assert(df.filter(col("key") === "nosuchkey").count() == 0L)
+    assert(VersionedSource.lastScan.get.openedFiles == 0)
+  }
+
+  test("date-typed pushdown converts to the recorded stat domain") {
+    import spark.implicits._
+    val root = freshRoot()
+    val rows = (0 until 200).toDF("n")
+      .withColumn("d", date_add(to_date(lit("2024-01-01")), col("n")))
+      .withColumn("id", col("n").cast("long")).drop("n")
+      .repartitionByRange(4, col("d"))
+    VersionedTable.create(spark, root, rows)
+    val df = spark.read.format("graft-versioned").load(root)
+    val got = df.filter(col("d") === to_date(lit("2024-03-01"))).count()
+    assert(got == 1L)
+    val scan = VersionedSource.lastScan.get
+    assert(scan.totalFiles == 4 && scan.openedFiles == 1,
+      s"date equality must hit one range-clustered file, got $scan")
+  }
+
+  test("truthful sizeInBytes lets a small snapshot broadcast in a join") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "tag").write
+      .format("graft-versioned").save(root)
+    val dim = spark.read.format("graft-versioned").load(root)
+    val fact = (0L until 1000L).toDF("id")
+    val joined = fact.join(dim, "id")
+    val physical = joined.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"2-row versioned dim must broadcast:\n$physical")
+    assert(joined.count() == 2L)
+  }
+}
