@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
+import graft.raster.CompositeMaxAggregator
 
 /** Tile-table raster operators in oracle-checkable form: the NDVI array
   * kernel (N2–N8), per-pixel clip masking (C6), and overview downsampling
@@ -211,6 +212,34 @@ object RasterQueries {
         blockMean(Seq(1, 2, 5, 6)).as("b0"), blockMean(Seq(3, 4, 7, 8)).as("b1"),
         blockMean(Seq(9, 10, 13, 14)).as("b2"), blockMean(Seq(11, 12, 15, 16)).as("b3"))
     }),
+
+    // Max-value composite (Holben '86 MVC) across the date series: per
+    // spatial cell and pixel, the max NDVI over all scenes, the winning
+    // acquisition date (ties → later date — order-independent), and the
+    // valid-observation count. The aggregation is
+    // [[graft.raster.CompositeMaxAggregator]]: a partial+final fold
+    // whose buffer is one (max, day, n) triple per pixel slot, so the
+    // shuffle carries one buffer per (cell × partition) — compositing a
+    // year of 100 TB scenes moves O(cells × tile) through the exchange,
+    // never O(scenes × tile) exploded pixel rows. The cheap posexplode
+    // to long format happens AFTER the aggregation, on composite-sized
+    // data.
+    "q167_max_composite" -> ((s, d) => {
+      val px = transform(sequence(lit(1), lit(16)), i => ndviPx(redDn(i), nirDn(i)))
+      val day = datediff(col("l_shipdate").cast("date"),
+        to_date(lit("1970-01-01"))).cast("int")
+      val comp = lineitem(s, d)
+        .select((col("l_partkey") % 500).as("cell"), px.as("px"), day.as("day"))
+        .groupBy(col("cell"))
+        .agg(CompositeMaxAggregator.column(col("px"), col("day")).as("c"))
+      comp.select(col("cell"),
+          posexplode(arrays_zip(col("c.mx").as("mx"),
+            col("c.winDay").as("wd"), col("c.nValid").as("nv"))))
+        .select(col("cell"), (col("pos") + 1).cast("long").as("pix"),
+          col("col.mx").as("max_ndvi"),
+          date_add(to_date(lit("1970-01-01")), col("col.wd")).as("win_date"),
+          col("col.nv").as("n_valid"))
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -368,6 +397,31 @@ object RasterQueries {
               ${blockMeanSql(Seq(9, 10, 13, 14))} AS b2,
               ${blockMeanSql(Seq(11, 12, 15, 16))} AS b3
             FROM lineitem""",
+
+      // Long-form recompute: explode pixels, per-(cell, pix) max + valid
+      // count; the winning date re-derived as max(d) among rows hitting
+      // the max (same tie rule as the aggregator, on bit-identical
+      // doubles — the ndviPx chain is IEEE-exact in both engines).
+      "q167_max_composite" ->
+        s"""WITH scenes AS (
+              SELECT l_partkey % 500 AS cell, l_shipdate::DATE AS d,
+                     list_transform(range(1, 17),
+                       i -> ${ndviPxSql(redDnSql, nirDnSql)}) AS px
+              FROM lineitem),
+            long AS (
+              SELECT cell, d, i AS pix, px[i] AS v
+              FROM scenes, range(1, 17) r(i)),
+            agg AS (
+              SELECT cell, pix, max(v) AS max_ndvi,
+                     count(v)::BIGINT AS n_valid
+              FROM long GROUP BY 1, 2),
+            win AS (
+              SELECT l.cell, l.pix, max(l.d) AS win_date
+              FROM long l JOIN agg a
+                ON l.cell = a.cell AND l.pix = a.pix AND l.v = a.max_ndvi
+              GROUP BY 1, 2)
+            SELECT a.cell, a.pix, a.max_ndvi, w.win_date, a.n_valid
+            FROM agg a LEFT JOIN win w ON a.cell = w.cell AND a.pix = w.pix""",
     )
   }
 }
