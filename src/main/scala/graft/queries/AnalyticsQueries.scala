@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.Portable._
-import graft.ext.{Dedup, Sketches}
+import graft.ext.{Dedup, Sketches, TextAnalysis}
 import graft.queries.ScaleQueries.PrPartOffset
 
 /** Round-5 corpus/analytics operators: repetition filtering, sequence
@@ -416,6 +416,128 @@ object AnalyticsQueries {
           col("cohort_size"),
           expr("(n_active * 1000) div cohort_size").as("ret_milli"))
     }),
+
+    // First-order Markov transition matrix over per-user event sequences
+    // (the path-analysis primitive behind "what happens after a click").
+    // One lead window partitioned by user_id, one (from, to) aggregate on
+    // the same exchange's output, then probabilities on the
+    // |types|²-bounded transition table — rates in exact integer millis
+    // (q125's div rule). Ordering ties broken by event_id so the
+    // sequence — and therefore the matrix — is deterministic.
+    "q168_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_state", lead(col("event_type"), 1).over(w))
+        .filter(col("to_state").isNotNull)
+      val trans = pairs
+        .groupBy(col("event_type").as("from_state"), col("to_state"))
+        .agg(count(lit(1)).as("n_trans"))
+      val wf = Window.partitionBy(col("from_state")) // bounded: ≤ |types|² rows
+      trans.withColumn("n_from", sum(col("n_trans")).over(wf))
+        .select(col("from_state"), col("to_state"), col("n_trans"),
+          col("n_from"),
+          expr("(n_trans * 1000) div n_from").as("p_milli"))
+    }),
+
+    // Kaplan-Meier survival over time-to-first-purchase (hours from a
+    // user's first event), users without a purchase right-censored at
+    // their last activity — the estimator that handles censoring
+    // correctly where a naive mean cannot. Per-user reduction is one
+    // aggregate; the KM table lives on the duration grid (≤ observation
+    // window in hours), where the at-risk counts and the cumulative
+    // product run as fenced windows. The product follows the q99 ln
+    // discipline: per-term ln rounded to 9 dp, summed as DECIMAL (exact,
+    // order-free), exp at the end; a step where every at-risk user
+    // converts drives survival to exactly 0 (ln would be -inf — guarded
+    // on both engines).
+    "q169_km_purchase" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      val per = events(s, d).groupBy(col("user_id")).agg(
+        min(us).as("f"), max(us).as("l"),
+        min(when(col("event_type") === "purchase", us)).as("p"))
+      val users = per
+        .withColumn("t", expr("(coalesce(p, l) - f) div 3600000000"))
+        .withColumn("ev", col("p").isNotNull.cast("long"))
+      val byT = users.groupBy(col("t"))
+        .agg(sum(col("ev")).as("n_event"), count(lit(1)).as("n_all"))
+      // fenced: ≤ #distinct durations (observation window in hours)
+      val wRisk = Window.orderBy(col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val wCum = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.withColumn("n_risk", sum(col("n_all")).over(wRisk))
+        .filter(col("n_event") > 0)
+        .withColumn("lnterm",
+          when(col("n_event") < col("n_risk"),
+            round(log(lit(1.0) -
+              col("n_event").cast("double") / col("n_risk").cast("double")), 9)
+              .cast("decimal(18,9)")))
+        .withColumn("nz",
+          sum((col("n_event") === col("n_risk")).cast("long")).over(wCum))
+        .withColumn("cum", sum(col("lnterm")).over(wCum))
+        .select(col("t"), col("n_risk"), col("n_event"),
+          when(col("nz") > 0, lit(0.0))
+            .otherwise(round(exp(col("cum").cast("double")), 6)).as("surv"))
+    }),
+
+    // Reliability (calibration) curve of the quality score against the
+    // lang=='en' gold label — the companion to q138's AUC: AUC says the
+    // filter RANKS well, this says whether the score VALUES mean what
+    // they claim, decile by decile. One corpus aggregate onto a ≤10-row
+    // table; mean score via 9-dp DECIMAL partials (order-free), observed
+    // rate in exact integer millis.
+    "q170_calibration" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stopN = TextAnalysis.countIn(toks, TextAnalysis.LangProfiles.head._2)
+      val scored = documents(s, d).select(
+        TextAnalysis.qualityScore(nTok, stopN, length(col("text"))).as("sc"),
+        (col("lang") === "en").cast("long").as("pos"))
+      scored
+        .select(least(floor(col("sc") * 10).cast("long"), lit(9L)).as("bin"),
+          col("sc"), col("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          round((sum(round(col("sc"), 9).cast("decimal(18,9)")) /
+            count(lit(1))).cast("double"), 6).as("mean_score"))
+        .select(col("bin"), col("n"), col("n_pos"), col("mean_score"),
+          expr("(n_pos * 1000) div n").as("obs_milli"))
+    }),
+
+    // Two-proportion z-test on an A/B split (user_id parity): did group
+    // B's 24-hour first-purchase conversion differ? Per-user reduction
+    // reuses q169's first/ first-purchase micros; the test statistic is
+    // computed from 4 counters on a 1-row frame. Every arithmetic step
+    // (rational-to-double division, sqrt) is IEEE-correctly-rounded, so
+    // the statistic is bit-identical cross-engine; rounded to 9 dp
+    // anyway per house rule.
+    "q171_ab_ztest" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      val per = events(s, d).groupBy(col("user_id")).agg(
+        min(us).as("f"),
+        min(when(col("event_type") === "purchase", us)).as("p"))
+      val conv = per.select((col("user_id") % 2).as("grp"),
+        (col("p").isNotNull &&
+          col("p") - col("f") <= lit(86400000000L)).cast("long").as("cv"))
+      val wide = conv.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cv")).as("x"))
+        .agg(
+          sum(when(col("grp") === 0, col("n"))).as("n_a"),
+          sum(when(col("grp") === 0, col("x"))).as("x_a"),
+          sum(when(col("grp") === 1, col("n"))).as("n_b"),
+          sum(when(col("grp") === 1, col("x"))).as("x_b"))
+      val pa = col("x_a").cast("double") / col("n_a").cast("double")
+      val pb = col("x_b").cast("double") / col("n_b").cast("double")
+      val ph = (col("x_a") + col("x_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      wide.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        round((pa - pb) /
+          sqrt(ph * (lit(1.0) - ph) *
+            (lit(1.0) / col("n_a").cast("double") +
+             lit(1.0) / col("n_b").cast("double"))), 9).as("z"))
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -616,6 +738,97 @@ object AnalyticsQueries {
            SELECT cohort, day_offset, n_active, cohort_size,
                   (n_active * 1000) // cohort_size AS ret_milli
            FROM r JOIN sizes USING (cohort)""",
+      "q168_markov_transitions" ->
+        """WITH pairs AS (
+             SELECT event_type AS from_state,
+                    lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS to_state
+             FROM events),
+           trans AS (
+             SELECT from_state, to_state, count(*)::BIGINT AS n_trans
+             FROM pairs WHERE to_state IS NOT NULL GROUP BY 1, 2)
+           SELECT from_state, to_state, n_trans,
+                  CAST(sum(n_trans) OVER (PARTITION BY from_state) AS BIGINT)
+                    AS n_from,
+                  CAST((n_trans * 1000) //
+                    sum(n_trans) OVER (PARTITION BY from_state) AS BIGINT)
+                    AS p_milli
+           FROM trans""",
+      "q169_km_purchase" ->
+        """WITH per AS (
+             SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l,
+                    min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS p
+             FROM events GROUP BY 1),
+           users AS (
+             SELECT (coalesce(p, l) - f) // 3600000000 AS t,
+                    (p IS NOT NULL)::BIGINT AS ev FROM per),
+           byt AS (
+             SELECT t, sum(ev)::BIGINT AS n_event, count(*)::BIGINT AS n_all
+             FROM users GROUP BY 1),
+           risk AS (
+             SELECT t, n_event,
+                    CAST(sum(n_all) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+             FROM byt),
+           ev AS (
+             SELECT t, n_risk, n_event,
+                    CASE WHEN n_event < n_risk THEN
+                      CAST(round(ln(1.0 - n_event::DOUBLE / n_risk::DOUBLE), 9)
+                        AS DECIMAL(18,9)) END AS lnterm,
+                    (n_event = n_risk)::BIGINT AS z
+             FROM risk WHERE n_event > 0)
+           SELECT t, n_risk, n_event,
+                  CASE WHEN sum(z) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) > 0 THEN 0.0::DOUBLE
+                       ELSE round(exp(CAST(sum(lnterm) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS DOUBLE)), 6) END AS surv
+           FROM ev""",
+      "q170_calibration" -> {
+        val tokSql = tokensSql("text")
+        val qSql = TextAnalysis.qualityScoreSql(
+          "len(tk)::BIGINT",
+          TextAnalysis.countInSql("tk", TextAnalysis.LangProfiles.head._2),
+          "length(text)")
+        s"""WITH scored AS (
+              SELECT $qSql AS sc,
+                     (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+              FROM (SELECT lang, text, $tokSql AS tk FROM documents)),
+            b AS (SELECT least(CAST(floor(sc * 10) AS BIGINT), 9) AS bin,
+                         sc, pos
+                  FROM scored)
+            SELECT bin, count(*)::BIGINT AS n, sum(pos)::BIGINT AS n_pos,
+                   round(CAST(sum(CAST(round(sc, 9) AS DECIMAL(18,9))) /
+                     count(*) AS DOUBLE), 6) AS mean_score,
+                   CAST((sum(pos) * 1000) // count(*) AS BIGINT) AS obs_milli
+            FROM b GROUP BY 1"""
+      },
+      "q171_ab_ztest" ->
+        """WITH per AS (
+             SELECT user_id, min(epoch_us(ts)) AS f,
+                    min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS p
+             FROM events GROUP BY 1),
+           conv AS (
+             SELECT user_id % 2 AS grp,
+                    (CASE WHEN p IS NOT NULL AND p - f <= 86400000000
+                     THEN 1 ELSE 0 END)::BIGINT AS cv
+             FROM per),
+           g AS (SELECT grp, count(*)::BIGINT AS n, sum(cv)::BIGINT AS x
+                 FROM conv GROUP BY 1),
+           wide AS (
+             SELECT CAST(sum(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN grp = 0 THEN x END) AS BIGINT) AS x_a,
+                    CAST(sum(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n_b,
+                    CAST(sum(CASE WHEN grp = 1 THEN x END) AS BIGINT) AS x_b
+             FROM g)
+           SELECT n_a, x_a, n_b, x_b,
+                  round((x_a::DOUBLE / n_a::DOUBLE - x_b::DOUBLE / n_b::DOUBLE) /
+                    sqrt((x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE *
+                      (1.0 - (x_a + x_b)::DOUBLE / (n_a + n_b)::DOUBLE) *
+                      (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 9) AS z
+           FROM wide""",
     )
   }
 }
