@@ -369,6 +369,72 @@ object TrainQueries {
         .select(col("doc_id"), col("acc.n").as("n_chunks"),
           col("acc.mx").as("max_len"))
     }),
+
+    // Join-size estimation from count-min sketches (the AGMS/CMS inner
+    // product, Alon-Matias-Szegedy '99 / Cormode-Muthukrishnan '05): the
+    // self-join size Σ_k c(k)² of the events user_id key — what the
+    // optimizer wants to know BEFORE committing a 100 TB join to a
+    // strategy — estimated as min_j Σ_bkt w_j[bkt]², always ≥ exact
+    // (collisions only add mass). The sketch is depth × 256 counters
+    // regardless of input size; at scale the exact audit column drops
+    // and only the register table is kept/merged. Integer-only, so the
+    // estimate hash-matches the oracle exactly.
+    "q172_join_size_est" -> ((s, d) => {
+      val freq = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      val regs = freq
+        .select(col("c"), posexplode(array(
+          (0 until CmsDepth).map(j => cmsBucket(col("user_id"), j)): _*))
+          .as(Seq("r", "bkt")))
+        .groupBy(col("r"), col("bkt")).agg(sum(col("c")).as("w"))
+      val est = regs.groupBy(col("r"))
+        .agg(sum(col("w") * col("w")).as("e"))
+        .agg(min(col("e")).as("est_pairs"))
+      val exact = freq.agg(count(lit(1)).as("n_keys"),
+        sum(col("c") * col("c")).as("exact_pairs"))
+      exact.crossJoin(broadcast(est)) // [bounded: 1 row]
+        .select(col("n_keys"), col("exact_pairs"), col("est_pairs"),
+          expr("(est_pairs * 1000) div exact_pairs").as("ratio_milli"))
+    }),
+
+    // BPE TRAINING, not just pair counting (q68 ranks one round's pairs;
+    // this runs the actual merge loop, Sennrich et al. '16): 3 rounds of
+    // [count adjacent pairs → pick the most frequent (ties: lexicographic)
+    // → greedily merge left-to-right]. The corpus is carried as a
+    // paren-delimited token string "(a)(b)(c)" so the greedy merge IS the
+    // engine's native non-overlapping left-to-right replace — both
+    // engines share one exactly-specified semantics, parens cannot occur
+    // inside (alnum) tokens, and [a,a,a,a] correctly becomes [aa][aa]
+    // (each match consumes its own parens only). Per round: one pair
+    // aggregate + one 1-row driver collect (the q70 k-means pattern —
+    // the merge DECISION is driver-sized, the merge APPLY is
+    // distributed); lineage truncated per round. At 100 TB each round is
+    // one scan + one vocabulary-sized aggregate — the textbook
+    // distributed BPE trainer profile.
+    "q173_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      var cur = documents(s, d).select(col("doc_id"),
+        concat_ws("", transform(tokens(col("text")),
+          t => concat(lit("("), t, lit(")")))).as("s"))
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      for (round <- 1L to 3L) {
+        val toks = split(expr("substring(s, 2, length(s) - 2)"), "\\)\\(")
+        val pairs = cur.filter(length(col("s")) > 0)
+          .select(explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+            (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .agg(count(lit(1)).as("cnt"))
+        val best = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()(0) // 1 row: the round's merge decision
+        val (bl, br, bc) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((round, bl, br, bc))
+        cur = cur.withColumn("s",
+          expr(s"replace(s, '($bl)($br)', '($bl $br)')")).localCheckpoint()
+      }
+      merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
+    }),
   )
 
   val oracle: Map[String, String] = {
@@ -558,6 +624,57 @@ object TrainQueries {
                 SELECT doc_id, list_transform($tokSql, t -> ${charFoldSql("t")}) AS th
                 FROM documents)
               WHERE len(th) >= 1)"""
+      },
+      "q172_join_size_est" -> {
+        val regSelects = (0 until CmsDepth).map { j =>
+          s"SELECT $j AS r, ${cmsBucketSql("h", j)} AS bkt, c FROM freq"
+        }.mkString(" UNION ALL ")
+        s"""WITH freq AS (
+              SELECT user_id AS h, count(*)::BIGINT AS c
+              FROM events GROUP BY 1),
+            regs AS (
+              SELECT r, bkt, sum(c)::BIGINT AS w
+              FROM ($regSelects) GROUP BY 1, 2),
+            est AS (
+              SELECT min(e)::BIGINT AS est_pairs FROM (
+                SELECT r, sum(w * w)::BIGINT AS e FROM regs GROUP BY 1)),
+            ex AS (
+              SELECT count(*)::BIGINT AS n_keys,
+                     sum(c * c)::BIGINT AS exact_pairs FROM freq)
+            SELECT n_keys, exact_pairs, est_pairs,
+                   CAST((est_pairs * 1000) // exact_pairs AS BIGINT)
+                     AS ratio_milli
+            FROM ex, est"""
+      },
+      "q173_bpe_train" -> {
+        // Same 3 rounds as CTE chain: tN holds the corpus strings entering
+        // round N; bN the round's winning merge; replace() shares Spark's
+        // non-overlapping left-to-right semantics on the paren encoding.
+        val rounds = (1 to 3).map { r =>
+          s"""tk$r AS (SELECT string_split(s[2:length(s)-1], ')(') AS tk
+                       FROM t$r WHERE length(s) > 0),
+              p$r AS (SELECT tk[i] AS lhs, tk[i+1] AS rhs,
+                             count(*)::BIGINT AS cnt
+                      FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                            FROM tk$r)
+                      GROUP BY 1, 2),
+              b$r AS (SELECT lhs, rhs, cnt FROM p$r
+                      ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+              t${r + 1} AS (SELECT replace(s,
+                              '(' || b.lhs || ')(' || b.rhs || ')',
+                              '(' || b.lhs || ' ' || b.rhs || ')') AS s
+                            FROM t$r, b$r b)"""
+        }.mkString(",\n")
+        val outs = (1 to 3).map(r =>
+          s"SELECT $r::BIGINT AS round, lhs, rhs, cnt FROM b$r")
+          .mkString(" UNION ALL ")
+        s"""WITH t1 AS (
+              SELECT array_to_string(
+                list_transform(${tokensSql("text")}, t -> '(' || t || ')'),
+                '') AS s
+              FROM documents),
+            $rounds
+            $outs"""
       },
     )
   }
