@@ -135,4 +135,190 @@ object Multimodal {
         col("text").cast("binary").as("payload"))
       .as[MediaRow]
   }
+
+  // ----- Perceptual image hashing (pHash) + banded near-dup search -----
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic synthetic PNG: a group-keyed SMOOTH 32×32 texture
+    * (four low-frequency cosine plates + mild pixel noise — the
+    * image-like content pHash is designed for; a white-noise texture
+    * would spread energy across every frequency and defeat any
+    * perceptual hash); variant 1 inverts 3 pixels — localized
+    * high-frequency damage a near-dup pipeline must shrug off. Gives a
+    * pHash corpus with constructed ground truth through real codec
+    * bytes end-to-end. */
+  def syntheticImage(group: Long, variant: Int): Array[Byte] = {
+    // signed amplitude per low-frequency DCT bin, with a floor so every
+    // hash coefficient carries margin (≥ ~5·256 after the transform —
+    // several times the worst-case 3-pixel damage) and a 1/f-ish decay
+    // so the pixel swing stays inside [0, 255] without heavy clamping
+    val amps = Array.tabulate(8, 8) { (u, v) =>
+      if (u == 0 && v == 0) 0.0
+      else {
+        val r = mix64(group * 4099L + u * 8 + v)
+        val sign = if ((r & 1L) == 0L) 1.0 else -1.0
+        sign * (5.0 + 16.0 / (1 + u + v))
+      }
+    }
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < 1024) {
+      val x = p % 32; val y = p / 32
+      var s = 128.0 + math.floorMod(mix64(group * 1000003L + p), 7L) - 3.0
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          s += amps(u)(v) * dctCos(u)(y) * dctCos(v)(x)
+          v += 1
+        }
+        u += 1
+      }
+      val vv = math.max(0, math.min(255, s.round.toInt))
+      img.setRGB(x, y, vv | (vv << 8) | (vv << 16))
+      p += 1
+    }
+    if (variant == 1) {
+      var k = 0
+      while (k < 3) {
+        val q = math.floorMod(mix64(group * 7919L + k), 1024).toInt
+        val v = 255 - (img.getRGB(q % 32, q / 32) & 0xff)
+        img.setRGB(q % 32, q / 32, v | (v << 8) | (v << 16))
+        k += 1
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 32×32 box-averaged luminance of a decoded image — a deterministic
+    * resample (plain integer/double arithmetic over getRGB, no
+    * Graphics2D whose interpolation could vary by platform). Rec. 601
+    * luma weights. */
+  def grayResample32(img: java.awt.image.BufferedImage): Array[Double] = {
+    val n = 32
+    val out = new Array[Double](n * n)
+    val w = img.getWidth; val h = img.getHeight
+    var by = 0
+    while (by < n) {
+      val y0 = by * h / n; val y1 = math.max((by + 1) * h / n, y0 + 1)
+      var bx = 0
+      while (bx < n) {
+        val x0 = bx * w / n; val x1 = math.max((bx + 1) * w / n, x0 + 1)
+        var s = 0.0; var c = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            c += 1; x += 1
+          }
+          y += 1
+        }
+        out(by * n + bx) = if (c > 0) s / c else 0.0
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  private lazy val dctCos: Array[Array[Double]] = {
+    val n = 32
+    Array.tabulate(8, n)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
+  }
+
+  /** 64-bit perceptual hash: 32×32 gray → 2-D DCT-II → keep the 8×8
+    * low-frequency block → bit u·8+v set iff coef(u,v) exceeds the mean
+    * of the 63 non-DC coefficients. Invariant to global brightness
+    * shifts (DC-only) and contrast scaling (threshold scales with the
+    * coefficients); small pixel edits flip few low-frequency bits —
+    * near-duplicates land within a small Hamming radius. */
+  def pHash64(gray: Array[Double]): Long = {
+    val n = 32
+    val coef = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < n) {
+          val cy = dctCos(u)(y)
+          var x = 0
+          while (x < n) { s += cy * dctCos(v)(x) * gray(y * n + x); x += 1 }
+          y += 1
+        }
+        coef(u * 8 + v) = s
+        v += 1
+      }
+      u += 1
+    }
+    var mean = 0.0
+    var i = 1
+    while (i < 64) { mean += coef(i); i += 1 }
+    mean /= 63.0
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (coef(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** pHash of an encoded payload: None when no JDK image codec decodes
+    * it (the caller keeps non-images out of the index rather than
+    * hashing garbage). */
+  def pHashOf(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) None else Some(pHash64(grayResample32(img)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode+hash stage (mapPartitions — the sanctioned custom-kernel
+    * path: no Catalyst image codec exists). Output (media_id, phash),
+    * undecodable payloads dropped. */
+  def pHashStage(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(m =>
+      pHashOf(m.payload).map(h => (m.media_id, h))))
+      .toDF("media_id", "phash")
+  }
+
+  /** Banded Hamming near-dup over a (media_id, phash) frame: the 64-bit
+    * hash splits into `bands` equal bit-slices; by pigeonhole any pair
+    * within Hamming distance < `bands` shares at least one slice, so an
+    * equi-join per band finds ALL such pairs (plus candidates that one
+    * cheap popcount verify discards) — the SimHash/LSH recipe (q32), so
+    * the corpus is never all-paired. maxDist must stay < bands for the
+    * recall guarantee. */
+  def pHashNearDup(hashed: DataFrame, bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(maxDist < bands, s"pigeonhole recall needs maxDist < bands")
+    val width = 64 / bands
+    val banded = hashed.select(col("media_id"), col("phash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("phash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1))): _*)).as(Seq("band", "key")))
+    val l = banded.select(col("band"), col("key"),
+      col("media_id").as("a"), col("phash").as("ha"))
+    val r = banded.select(col("band"), col("key"),
+      col("media_id").as("b"), col("phash").as("hb"))
+    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
 }

@@ -84,6 +84,25 @@ object StreamQueries {
             lit(16))).as("checksum"))
     }),
 
+    // Perceptual image near-dup: synthetic PNGs with constructed
+    // near-duplicate pairs (doc_id pairs share a texture, the odd twin
+    // has 3 flipped pixels) → REAL codec decode → 32×32 gray → DCT
+    // pHash → 4-band Hamming LSH → popcount verify ≤ 3. Pigeonhole
+    // guarantees recall (dist < bands ⇒ some 16-bit slice equal), so the
+    // image corpus is never all-paired — the visual twin of the MinHash
+    // dedup family, with the same banded shape. No SQL oracle (DuckDB
+    // cannot decode PNG): the driver records the rows-only check, and
+    // PHashSpec carries the ground-truth assertions (constructed pairs
+    // found, brightness/contrast invariance, cross-group distances).
+    "q174_phash_neardup" -> ((s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => Multimodal.MediaRow(id, "image",
+          Multimodal.syntheticImage(id / 2, (id % 2).toInt))))
+      val hashed = Multimodal.pHashStage(s, media)
+      Multimodal.pHashNearDup(hashed).orderBy(col("a"), col("b"))
+    }),
+
     "q42_media_meta" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(s, documents(s, d))
       Multimodal.decodeStage(s, media).toDF()
