@@ -698,6 +698,56 @@ object VersionedTable {
     (onlyNew.exceptAll(onlyOld), onlyOld.exceptAll(onlyNew))
   }
 
+  /** Follow the commit log as a STREAM: the versioned table is its own
+    * streaming source. The immutable `_log/` manifests drive Spark's
+    * file stream (whose checkpoint remembers which manifests were seen),
+    * and `apply` receives (version, rowsAdded, rowsRemoved) in version
+    * order — each version once per checkpoint lifetime, only NEW commits
+    * on a re-drain with the same checkpoint. This is the Delta-style
+    * "stream FROM a table's change feed" incremental-consumer shape on
+    * public APIs only: the heavy diff work rides [[changesBetween]]
+    * (file-set difference — carried-over files never open), so following
+    * a 100 TB table costs per-commit delta, never table size. Downstream
+    * stays correct across a checkpoint rollback by keying writes on the
+    * version ([[appendTxn]](txn = version) — the q158 discipline:
+    * re-delivery is refused by the txn ledger, not by hope). Drains
+    * synchronously (Trigger.AvailableNow). */
+  def followChanges(spark: SparkSession, root: String, checkpoint: String,
+                    queryName: String = "graft_follow_changes")
+                   (apply: (Int, DataFrame, DataFrame) => Unit): Unit = {
+    import org.apache.spark.sql.functions.input_file_name
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream
+      .format("text")
+      .load(new Path(logDir(root), "*.manifest.json").toString)
+      .select(input_file_name().as("f"))
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vs = batch.select("f").collect() // bounded: manifests new this batch
+          .map(_.getString(0))
+          .flatMap { p =>
+            p.substring(p.lastIndexOf('/') + 1) match {
+              case ManifestRe(n) => Some(n.toInt)
+              case _ => None
+            }
+          }.distinct.sorted
+        vs.foreach { v =>
+          val (add, rem) =
+            if (v == 1) { // first commit: everything is an add
+              val first = read(spark, root, Some(1))
+              (first, first.limit(0))
+            } else changesBetween(spark, root, v - 1, v)
+          apply(v, add, rem)
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Rollback: publish an older version's exact file list as the NEW
     * newest version (history is preserved — undo is itself a commit). */
   def rollback(spark: SparkSession, root: String, to: Int): Int = {
