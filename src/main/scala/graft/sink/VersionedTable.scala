@@ -58,6 +58,29 @@ object VersionedTable {
   def currentVersion(spark: SparkSession, root: String): Option[Int] =
     versions(spark, root).lastOption
 
+  /** Commit history as (version, commitTimeMillis), ascending. The
+    * timestamp is the manifest file's modification time — the rename
+    * that PUBLISHED the version stamped it (the Delta recipe: commit
+    * time from the log file, no extra metadata to keep consistent). */
+  def history(spark: SparkSession, root: String): Seq[(Int, Long)] = {
+    val dir = logDir(root)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(n) => Some(n.toInt -> st.getModificationTime)
+        case _ => None
+      }
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Time travel by wall clock: the newest version committed at or
+    * before `tsMillis` (the snapshot a reader at that instant saw). */
+  def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Int =
+    history(spark, root).takeWhile(_._2 <= tsMillis).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version committed at or before $tsMillis at $root"))._1
+
   /** Per-file, per-column [lo, hi] recorded in the manifest at commit.
     * `typ` fixes the comparison domain ("long" | "double" | "string");
     * lo/hi are canonical string renderings of that domain. */

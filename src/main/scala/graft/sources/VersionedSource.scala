@@ -45,9 +45,24 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
       throw new IllegalArgumentException("graft-versioned requires a path option"))
 
   override def createRelation(sqlContext: SQLContext,
-                              parameters: Map[String, String]): BaseRelation =
-    new VersionedRelation(sqlContext, rootOf(parameters),
-      parameters.get("versionasof").orElse(parameters.get("versionAsOf")).map(_.toInt))
+                              parameters: Map[String, String]): BaseRelation = {
+    val root = rootOf(parameters)
+    val byVersion =
+      parameters.get("versionasof").orElse(parameters.get("versionAsOf")).map(_.toInt)
+    // timestampAsOf: epoch millis or an ISO instant / local datetime (UTC)
+    val byTime = parameters.get("timestampasof")
+      .orElse(parameters.get("timestampAsOf")).map { t =>
+        val millis = scala.util.Try(t.toLong).getOrElse {
+          scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse(
+            java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+        }
+        VersionedTable.versionAsOf(sqlContext.sparkSession, root, millis)
+      }
+    require(byVersion.isEmpty || byTime.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    new VersionedRelation(sqlContext, root, byVersion.orElse(byTime))
+  }
 
   /** DataFrameWriter entry: each SaveMode maps onto one commit — a save
     * is a version, never a directory mutation. */

@@ -117,6 +117,27 @@ class VersionedSourceSpec extends SparkSpec {
       s"date equality must hit one range-clustered file, got $scan")
   }
 
+  test("time travel by wall clock: timestampAsOf resolves the version a reader saw") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq(1L, 2L).toDF("id").write.format("graft-versioned").save(root)
+    Thread.sleep(30) // separate the commit mtimes
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    Seq(3L).toDF("id").write.format("graft-versioned")
+      .mode(SaveMode.Append).save(root)
+    assert(VersionedTable.versionAsOf(spark, root, between) == 1)
+    assert(VersionedTable.history(spark, root).map(_._1) == Seq(1, 2))
+    val got = spark.read.format("graft-versioned")
+      .option("timestampAsOf", between.toString).load(root)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L))
+    val before = intercept[IllegalArgumentException] {
+      VersionedTable.versionAsOf(spark, root, 1L)
+    }
+    assert(before.getMessage.contains("no version"))
+  }
+
   test("truthful sizeInBytes lets a small snapshot broadcast in a join") {
     import spark.implicits._
     val root = freshRoot()
