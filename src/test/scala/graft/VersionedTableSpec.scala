@@ -416,6 +416,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == (10L to 19L).toSeq)
   }
 
+  test("z-order clustering gives 2-D file pruning from 1-D range stats") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 64x64 grid; z = 6-bit Morton interleave. Clustering by z makes each
+    // file a spatial quad, so BOTH x and y get narrow [lo, hi] stats —
+    // the q109/q123 layout keys feeding compact(clusterBy) as designed.
+    val zExpr = (0 until 6).map { j =>
+      val p2 = 1L << j
+      s"((x div $p2) % 2) * ${1L << (2 * j)} + ((y div $p2) % 2) * ${1L << (2 * j + 1)}"
+    }.mkString(" + ")
+    val rows = (0L until 4096L).toDF("i")
+      .select((col("i") % 64).as("x"), (col("i") / 64).cast("long").as("y"))
+      .withColumn("z", expr(zExpr))
+    VersionedTable.create(spark, root, rows.repartition(4))            // scattered
+    VersionedTable.compact(spark, root, targetBytes = 2000L,
+      clusterBy = Seq("z"))
+    val total = VersionedTable.read(spark, root).inputFiles.length
+    assert(total >= 6, s"want several files, got $total")
+    val onX = VersionedTable.prunedFiles(spark, root,
+      Map("x" -> (Some(0L), Some(7L))))
+    val onY = VersionedTable.prunedFiles(spark, root,
+      Map("y" -> (Some(0L), Some(7L))))
+    val onBoth = VersionedTable.prunedFiles(spark, root,
+      Map("x" -> (Some(0L), Some(7L)), "y" -> (Some(0L), Some(7L))))
+    assert(onX.size <= total / 2, s"x alone must prune: ${onX.size}/$total")
+    assert(onY.size <= total / 2, s"y alone must prune: ${onY.size}/$total")
+    assert(onBoth.size <= onX.size && onBoth.size <= onY.size)
+    // soundness: the pruned read still returns the full query box
+    val got = VersionedTable.readWhere(spark, root,
+        Map("x" -> (Some(0L), Some(7L)), "y" -> (Some(0L), Some(7L))))
+      .filter(col("x") <= 7 && col("y") <= 7).count()
+    assert(got == 64L)
+  }
+
   test("double-commit of the same version number is refused") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
