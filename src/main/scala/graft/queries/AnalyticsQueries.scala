@@ -395,23 +395,29 @@ object AnalyticsQueries {
     // cohorted by first-active day; for each (cohort, day-offset ≤ 13)
     // the count of cohort members active that day, the cohort size, and
     // the retention rate in exact integer millis (q125's div rule — no
-    // float rounding to drift). Shapes: distinct (user, day) pairs, one
-    // min-aggregate per user (both partition by user_id), one join back
-    // on user_id — the same key, so the co-partitioning carries — then a
-    // (cohort, offset)-keyed aggregate. The cohort-size table is
-    // day-bounded and broadcasts [bounded: #days rows].
+    // float rounding to drift). Shape: ONE user_id aggregate collapses a
+    // user to their sorted active-day set (bounded: ≤ observation window
+    // days — a naive distinct would partition on (user, day) and force a
+    // second user_id shuffle), the cohort = the set's head, offsets
+    // explode from composite-sized rows, and one (cohort, offset)
+    // aggregate closes. Cohort size needs no join: offset 0 is every
+    // member's first-active day, so n_active(cohort, 0) IS the size —
+    // lifted by a window over the days×14-bounded matrix [fenced].
     "q164_retention_cohorts" -> ((s, d) => {
-      val act = events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val coh = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
-      val sizes = coh.groupBy(col("cohort"))
-        .agg(count(lit(1)).as("cohort_size"))
-      act.join(coh, "user_id")
+      val perUser = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("day"))).as("days"))
+      perUser
+        .select(element_at(col("days"), 1).as("cohort"),
+          explode(col("days")).as("day"))
         .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
         .filter(col("day_offset") <= 13)
         .groupBy(col("cohort"), col("day_offset"))
         .agg(count(lit(1)).as("n_active"))
-        .join(broadcast(sizes), "cohort") // [bounded: #days rows]
+        .withColumn("cohort_size", // fenced: ≤ #days × 14 rows
+          max(when(col("day_offset") === 0, col("n_active")))
+            .over(Window.partitionBy(col("cohort"))))
         .select(col("cohort"), col("day_offset"), col("n_active"),
           col("cohort_size"),
           expr("(n_active * 1000) div cohort_size").as("ret_milli"))

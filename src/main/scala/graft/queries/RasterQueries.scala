@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.raster.CompositeMaxAggregator
 
 /** Tile-table raster operators in oracle-checkable form: the NDVI array
   * kernel (N2–N8), per-pixel clip masking (C6), and overview downsampling
@@ -216,25 +215,32 @@ object RasterQueries {
     // Max-value composite (Holben '86 MVC) across the date series: per
     // spatial cell and pixel, the max NDVI over all scenes, the winning
     // acquisition date (ties → later date — order-independent), and the
-    // valid-observation count. The aggregation is
-    // [[graft.raster.CompositeMaxAggregator]]: a partial+final fold
-    // whose buffer is one (max, day, n) triple per pixel slot, so the
-    // shuffle carries one buffer per (cell × partition) — compositing a
-    // year of 100 TB scenes moves O(cells × tile) through the exchange,
-    // never O(scenes × tile) exploded pixel rows. The cheap posexplode
-    // to long format happens AFTER the aggregation, on composite-sized
-    // data.
+    // valid-observation count. Two implementations share the semantics:
+    // [[graft.raster.CompositeMaxAggregator]] (typed partial+final fold,
+    // any tile size — the general path, spec-covered) and, HERE, for the
+    // compile-time-fixed 4×4 oracle tile, per-position codegen'd
+    // `max(struct(ndvi, day))` aggregates — lexicographic struct max IS
+    // the (greater value, then later date) rule, null structs (masked
+    // pixels) are ignored by max, and the whole thing stays inside
+    // whole-stage codegen with map-side partials (the typed udaf pays
+    // ~10× in per-row encoder traffic: measured 11.7 s vs ~1 s at
+    // sf0.1). Either way the shuffle carries one fixed-width row per
+    // (cell × partition), never exploded pixels; posexplode to long
+    // format runs AFTER aggregation, on composite-sized data.
     "q167_max_composite" -> ((s, d) => {
-      val px = transform(sequence(lit(1), lit(16)), i => ndviPx(redDn(i), nirDn(i)))
       val day = datediff(col("l_shipdate").cast("date"),
         to_date(lit("1970-01-01"))).cast("int")
-      val comp = lineitem(s, d)
-        .select((col("l_partkey") % 500).as("cell"), px.as("px"), day.as("day"))
-        .groupBy(col("cell"))
-        .agg(CompositeMaxAggregator.column(col("px"), col("day")).as("c"))
-      comp.select(col("cell"),
-          posexplode(arrays_zip(col("c.mx").as("mx"),
-            col("c.winDay").as("wd"), col("c.nValid").as("nv"))))
+      val aggs = (1 to 16).flatMap { i =>
+        val p = ndviPx(redDn(lit(i)), nirDn(lit(i)))
+        Seq(max(when(p.isNotNull, struct(p.as("v"), day.as("d")))).as(s"m$i"),
+          sum(p.isNotNull.cast("long")).as(s"n$i"))
+      }
+      lineitem(s, d)
+        .groupBy((col("l_partkey") % 500).as("cell"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("cell"), posexplode(array((1 to 16).map(i =>
+          struct(col(s"m$i.v").as("mx"), col(s"m$i.d").as("wd"),
+            col(s"n$i").as("nv"))): _*)))
         .select(col("cell"), (col("pos") + 1).cast("long").as("pix"),
           col("col.mx").as("max_ndvi"),
           date_add(to_date(lit("1970-01-01")), col("col.wd")).as("win_date"),

@@ -96,7 +96,11 @@ object StreamQueries {
     // found, brightness/contrast invariance, cross-group distances).
     "q174_phash_neardup" -> ((s, d) => {
       import s.implicits._
+      // the id list reads as ONE parquet split — spread it before the
+      // CPU-bound encode/decode kernel or 31 cores idle (the shuffle
+      // moves only the ids, never image bytes)
       val media = documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(64)
         .mapPartitions(_.map(id => Multimodal.MediaRow(id, "image",
           Multimodal.syntheticImage(id / 2, (id % 2).toInt))))
       val hashed = Multimodal.pHashStage(s, media)

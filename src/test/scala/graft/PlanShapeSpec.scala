@@ -310,4 +310,44 @@ class PlanShapeSpec extends SparkSpec {
       case t: org.apache.spark.sql.execution.SortExec => t
     } == 0, s"top-k must not plan a global sort:\n$plan")
   }
+
+  test("q167 composite aggregates BEFORE any explode: no generator feeds an exchange") {
+    val plan = executedPlan(SparkEntry.queries("q167_max_composite")(spark, sf))
+    // exactly one exchange — the (cell) aggregate; the posexplode to long
+    // format must sit ABOVE it (post-aggregation), never below
+    assert(countIn(plan) { case e: ShuffleExchangeExec => e } == 1,
+      s"expected one cell-aggregate exchange:\n$plan")
+    def generatorBelowExchange(p: org.apache.spark.sql.execution.SparkPlan,
+                               belowExchange: Boolean): Boolean = {
+      val here = p match {
+        case _: org.apache.spark.sql.execution.GenerateExec => belowExchange
+        case _ => false
+      }
+      val nowBelow = belowExchange || p.isInstanceOf[ShuffleExchangeExec]
+      here || p.children.exists(generatorBelowExchange(_, nowBelow)) ||
+        (p match {
+          case a: AdaptiveSparkPlanExec => generatorBelowExchange(a.executedPlan, belowExchange)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            generatorBelowExchange(s.plan, nowBelow)
+          case _ => false
+        })
+    }
+    assert(!generatorBelowExchange(plan, belowExchange = false),
+      s"pixel explode must happen on composite-sized data, after the aggregate:\n$plan")
+  }
+
+  test("q164 retention: one user_id exchange of event-scale data, no join at all") {
+    val plan = executedPlan(SparkEntry.queries("q164_retention_cohorts")(spark, sf))
+    // exchanges: user_id aggregate (the only event-scale one), the
+    // (cohort, offset) aggregate, and the cohort window over the
+    // days×14-bounded matrix; cohort size derives from the offset-0 row
+    // so no join exists anywhere
+    val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles <= 3, s"expected ≤3 exchanges, got $shuffles:\n$plan")
+    assert(countIn(plan) {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    } == 0, s"cohort size must come from the matrix itself, not a join:\n$plan")
+  }
 }
