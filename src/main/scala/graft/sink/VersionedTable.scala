@@ -368,6 +368,20 @@ object VersionedTable {
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Int =
     commit(spark, root, df, Seq.empty)
 
+  /** Idempotent transactional overwrite — for read-merge-write streaming
+    * maintenance (a composite/MV table rebuilt per micro-batch from its
+    * own previous snapshot + the batch): replaying `txn` is a NO-OP, so
+    * a non-idempotent merge (counters, sums) stays exactly-once under
+    * checkpoint loss. The [[appendTxn]] ledger, overwrite semantics. */
+  def overwriteTxn(spark: SparkSession, root: String, df: DataFrame,
+                   txn: Long): Int =
+    currentVersion(spark, root) match {
+      case None => commit(spark, root, df, Seq.empty, Some(txn))
+      case Some(cur) =>
+        if (committedTxns(spark, root).contains(txn)) cur
+        else commit(spark, root, df, Seq.empty, Some(txn))
+    }
+
   /** Idempotent transactional append — the streaming-sink entry point:
     * commit `df` under transaction id `txn` (a micro-batch id), creating
     * the table on first use; if some committed version already carries
