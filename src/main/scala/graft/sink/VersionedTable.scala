@@ -28,9 +28,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rename-aside and documents the reader-visible gap; here a compaction
   * or overwrite is just a new manifest — concurrent readers that resolved
   * version N keep reading N's immutable files, and time travel/rollback
-  * fall out for free. Single-JVM single-writer by design (like the
-  * reference loader); a multi-writer deployment adds a catalog CAS on the
-  * version number, not a different layout.
+  * fall out for free.
+  *
+  * Concurrency: the manifest name itself is the CAS — exactly one writer
+  * can claim a version number (hard link on local FS, fail-if-exists
+  * rename on HDFS), so a racing commit is REFUSED, never lost.
+  * [[appendCas]] turns that refusal into retry-with-rebase for the one
+  * conflict class (append/append) that composes automatically; the
+  * read-modify-write DMLs (deleteWhere/mergeInto/compact) pin their base
+  * version and surface the conflict to the caller, whose semantics must
+  * decide (like Delta/Iceberg's conflict taxonomy, public designs).
   */
 object VersionedTable {
 
@@ -166,16 +173,33 @@ object VersionedTable {
     val target = manifestPath(root, m.version)
     val f = fs(spark, target)
     f.mkdirs(logDir(root))
-    val tmp = new Path(logDir(root), s".v${m.version}.tmp")
+    // writer-unique tmp: two writers racing the same version must not
+    // share (and overwrite) one staging file — only the CLAIM may meet
+    val tmp = new Path(logDir(root),
+      s".v${m.version}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = f.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    // the atomic publish: rename into the manifest name. A pre-existing
-    // target (two writers racing the same version) fails the rename —
-    // single-writer is the contract, but we still refuse to clobber.
-    if (f.exists(target) || !f.rename(tmp, target)) {
-      f.delete(tmp, false)
+    // The atomic publish: claim the manifest name with a primitive that
+    // fails-if-exists ATOMICALLY. On local filesystems Hadoop rename
+    // bottoms out in POSIX rename(2), which silently REPLACES an existing
+    // destination — an exists()+rename() pair leaves a window two racing
+    // writers both pass, and the loser clobbers the winner's manifest
+    // (a lost update with both writers reporting success). link(2)
+    // returns EEXIST atomically, so a hard link is the local-FS CAS; on
+    // HDFS, rename itself has fail-if-exists semantics and stays the
+    // claim. This is the commit-protocol core multi-writer safety rests
+    // on — everything else (nonced staging, rebase-on-conflict) assumes
+    // exactly one writer can own a version number.
+    val claimed =
+      if (f.getScheme == "file") {
+        val qt = java.nio.file.Paths.get(f.makeQualified(target).toUri.getPath)
+        val qs = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+        try { java.nio.file.Files.createLink(qt, qs); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !f.exists(target) && f.rename(tmp, target)
+    if (f.getScheme == "file" || !claimed) f.delete(tmp, false)
+    if (!claimed)
       throw new java.io.IOException(s"version ${m.version} already committed at $root")
-    }
   }
 
   private def readManifest(spark: SparkSession, root: String, v: Int): Manifest = {
@@ -217,7 +241,12 @@ object VersionedTable {
     * local to the table root. */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
                              version: Int): Seq[String] = {
-    val scratch = new Path(root, s".stage-v$version")
+    // writer-unique nonce: two writers optimistically staging the SAME
+    // next version must not share a scratch dir or collide on data-file
+    // names — isolation holds all the way to the manifest rename, which
+    // is the one true CAS point
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val scratch = new Path(root, s".stage-v$version-$nonce")
     val f = fs(spark, scratch)
     df.write.mode("overwrite").option("compression", "zstd")
       .parquet(scratch.toString)
@@ -225,7 +254,7 @@ object VersionedTable {
     val moved = f.listStatus(scratch)
       .filter(_.getPath.getName.startsWith("part-"))
       .map { st =>
-        val name = s"c$version-${st.getPath.getName}"
+        val name = s"c$version-$nonce-${st.getPath.getName}"
         val dst = new Path(dataDir(root), name)
         require(f.rename(st.getPath, dst), s"stage move failed: ${st.getPath}")
         s"data/$name"
@@ -317,8 +346,16 @@ object VersionedTable {
                      carryOver: Seq[String], txn: Option[Long] = None,
                      carryStats: Map[String, Seq[ColStat]] = Map.empty,
                      tableDdl: Option[String] = None,
-                     carryBlooms: Map[String, Seq[FileBloom]] = Map.empty): Int = {
-    val v = currentVersion(spark, root).getOrElse(0) + 1
+                     carryBlooms: Map[String, Seq[FileBloom]] = Map.empty,
+                     baseVersion: Option[Int] = None): Int = {
+    // When the caller read a manifest to build carryOver, the commit MUST
+    // target exactly base+1: re-resolving the version here would let a
+    // writer that landed in between be silently overwritten by our stale
+    // carry-over at a fresh number (lost update with no failed rename).
+    // Publishing at base+1 instead makes the manifest rename refuse the
+    // stale commit — the CAS failure appendCas rebases on.
+    val v = baseVersion.map(_ + 1)
+      .getOrElse(currentVersion(spark, root).getOrElse(0) + 1)
     val added = writeDataFiles(spark, root, df, v)
     val addedStats = added.map(f => f -> fileStats(spark, root, f))
       .filter(_._2.nonEmpty).toMap
@@ -360,13 +397,46 @@ object VersionedTable {
     val m = readManifest(spark, root, cur)
     requireWriteCompatible(m.schemaDdl, df, "append")
     commit(spark, root, df, m.files, carryStats = m.stats,
-      tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms)
+      tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
+      baseVersion = Some(cur))
   }
 
   /** Overwrite: new version references ONLY the new rows' files (logical
-    * truncate-and-load); earlier versions stay readable until expired. */
-  def overwrite(spark: SparkSession, root: String, df: DataFrame): Int =
-    commit(spark, root, df, Seq.empty)
+    * truncate-and-load); earlier versions stay readable until expired.
+    * `baseVersion` pins the commit to base+1 when the caller derived the
+    * new content FROM a snapshot (compact does): a commit landing in
+    * between then refuses the publish instead of being silently replaced
+    * by a rewrite that never saw it. */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame,
+                baseVersion: Option[Int] = None): Int =
+    commit(spark, root, df, Seq.empty, baseVersion = baseVersion)
+
+  /** Optimistic-concurrency append: the multi-writer entry point. Each
+    * attempt stages its data files under a writer-unique nonce, reads
+    * the CURRENT manifest, and tries to publish version cur+1; losing
+    * the manifest-rename race (the CAS point) means another writer
+    * committed first — an APPEND conflicts with nothing, so the retry
+    * simply REBASES: re-read the winner's file list as the new
+    * carry-over and publish as the next version. Orphaned data files
+    * from lost attempts are unreferenced and swept by [[expire]].
+    * Overwrite/delete conflicts need application-level semantics and
+    * deliberately have no retrying variant. */
+  def appendCas(spark: SparkSession, root: String, df: DataFrame,
+                maxRetries: Int = 16): Int = {
+    var attempt = 0
+    while (true) {
+      try return append(spark, root, df)
+      catch {
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("already committed") =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new java.io.IOException(
+              s"append lost the commit race $maxRetries times at $root", e)
+      }
+    }
+    -1 // unreachable
+  }
 
   /** Idempotent transactional overwrite — for read-merge-write streaming
     * maintenance (a composite/MV table rebuilt per micro-batch from its
@@ -398,7 +468,8 @@ object VersionedTable {
           val m = readManifest(spark, root, cur)
           requireWriteCompatible(m.schemaDdl, df, "append")
           commit(spark, root, df, m.files, Some(txn), carryStats = m.stats,
-            tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms)
+            tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
+            baseVersion = Some(cur))
         }
     }
 
@@ -410,6 +481,17 @@ object VersionedTable {
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, v)
     readPaths(spark, m.schemaDdl, m.files.map(f => new Path(root, f).toString))
+  }
+
+  /** Version `v`'s manifest file list (table-relative) — the snapshot's
+    * identity, exposed for incremental consumers that diff file-sets
+    * (the streaming source derives "rows new since offset N" from
+    * exactly this, never from row comparisons). */
+  def filesOf(spark: SparkSession, root: String,
+              version: Option[Int] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    readManifest(spark, root, v).files
   }
 
   /** The table schema of `version` (default newest) — the manifest DDL
@@ -826,7 +908,7 @@ object VersionedTable {
         val ks = clusterBy.map(col)
         base.repartitionByRange(target, ks: _*).sortWithinPartitions(ks: _*)
       }
-    overwrite(spark, root, df)
+    overwrite(spark, root, df, baseVersion = Some(cur))
   }
 
   /** Expire all but the newest `keepLast` versions: their manifests are

@@ -450,6 +450,46 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == 64L)
   }
 
+  test("concurrent appendCas writers all land: rebase-on-conflict loses no rows") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(0))                          // v1
+    // 4 writers x 3 appends race the same table; every attempt stages
+    // under its own nonce and publishes at its read-base+1 — losers see
+    // the refused rename and rebase, never silently drop the winner
+    val writers = (1 to 4).map { w =>
+      Future {
+        (1 to 3).foreach { k =>
+          VersionedTable.appendCas(spark, root, df(w * 100L + k))
+        }
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val expected = (Seq(0L) ++
+      (for (w <- 1 to 4; k <- 1 to 3) yield w * 100L + k)).sorted
+    assert(idsOf(VersionedTable.read(spark, root)) == expected,
+      "every concurrent append must survive")
+    assert(VersionedTable.versions(spark, root) == (1 to 13),
+      "13 commits, strictly sequential versions")
+  }
+
+  test("a rewrite pinned to a stale base is refused, not silently applied") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1))                          // v1
+    val base = VersionedTable.currentVersion(spark, root).get
+    VersionedTable.append(spark, root, df(2))                          // v2 lands in between
+    // a compact/overwrite derived from v1 must NOT publish over v2's
+    // commit — the pinned base turns the lost update into a refusal
+    val e = intercept[java.io.IOException] {
+      VersionedTable.overwrite(spark, root, df(9), baseVersion = Some(base))
+    }
+    assert(e.getMessage.contains("already committed"))
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 2L),
+      "the intervening append survives the refused rewrite")
+  }
+
   test("double-commit of the same version number is refused") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
