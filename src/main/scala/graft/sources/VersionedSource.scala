@@ -34,15 +34,45 @@ import graft.sink.VersionedTable
   *
   * Time travel: `option("versionAsOf", n)` binds the relation to version
   * n's immutable file list — concurrent commits never move a bound scan.
+  *
+  * Streaming: `spark.readStream.format("graft-versioned").load(root)` —
+  * the commit log is the offset line (offset = version number), each
+  * micro-batch delivers the rows of the files NEW in `(start, end]`, so
+  * the table is a first-class streaming source composable with
+  * watermarks, windows, and joins (not just the foreachBatch face of
+  * [[VersionedTable.followChanges]]). See [[VersionedStreamSource]].
   */
 class VersionedSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister {
+    with DataSourceRegister with StreamSourceProvider {
 
   override def shortName(): String = "graft-versioned"
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-versioned requires a path option"))
+
+  /** The stream's schema is fixed at stream start: the CURRENT manifest
+    * DDL. Files committed after a mid-stream addColumn still read under
+    * this schema (parquet resolves by name; extra columns prune away). */
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      VersionedTable.schemaOf(sqlContext.sparkSession, rootOf(parameters))))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val root = rootOf(parameters)
+    new VersionedStreamSource(sqlContext, root,
+      schema.getOrElse(VersionedTable.schemaOf(sqlContext.sparkSession, root)),
+      startingVersion = parameters.get("startingversion")
+        .orElse(parameters.get("startingVersion")).map(_.toInt),
+      ignoreChanges = parameters.get("ignorechanges")
+        .orElse(parameters.get("ignoreChanges")).exists(_.toBoolean),
+      maxVersionsPerTrigger = parameters.get("maxversionspertrigger")
+        .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toInt))
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -141,6 +171,122 @@ class VersionedRelation(override val sqlContext: SQLContext, root: String,
     if (overwrite) VersionedTable.overwrite(spark, root, aligned)
     else VersionedTable.append(spark, root, aligned)
   }
+}
+
+/** V1 streaming offset carrying a committed version number. Serialized
+  * form is the bare number, so a checkpoint-recovered `SerializedOffset`
+  * parses back losslessly. */
+final case class VersionOffset(v: Long)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json: String = v.toString
+}
+
+/** Stream a versioned table by following its commit log: offset =
+  * version number, micro-batch (start, end] = the rows of data files
+  * present in end's manifest but not in start's. Because commits carry
+  * files over BY NAME, that diff costs the commit delta — following a
+  * 100 TB table reads only what each commit added, never the table.
+  *
+  * First batch (no checkpoint, no `startingVersion`) delivers the
+  * current snapshot — every file of the newest version — then the
+  * stream is incremental. `startingVersion = s` starts the feed at
+  * commit s instead (s ≤ oldest un-expired version required).
+  *
+  * Append-only is the contract (the Delta readStream default): a commit
+  * in range that REMOVED a file (overwrite, delete, merge-rewrite,
+  * compaction) fails the batch — silently re-emitting rewritten rows
+  * would double-count downstream aggregates. `ignoreChanges = true`
+  * opts into exactly that (rows of rewritten files re-deliver; the
+  * consumer deduplicates by key, same caveat as Delta's).
+  *
+  * Exactly-once: the offset log remembers `end`; replay after a crash
+  * re-reads the SAME immutable file set, so re-delivered batches are
+  * byte-identical — downstream transactional sinks (appendTxn keyed on
+  * batchId) refuse the double-apply. */
+class VersionedStreamSource(sqlContext: SQLContext, root: String,
+                            override val schema: StructType,
+                            startingVersion: Option[Int],
+                            ignoreChanges: Boolean,
+                            maxVersionsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxRows}
+
+  private def spark = sqlContext.sparkSession
+
+  /** Versions at or below the floor predate the stream's start and are
+    * never delivered. */
+  private val floorVersion: Int = startingVersion.map(_ - 1).getOrElse(0)
+
+  /** Trigger.AvailableNow pin: versions committed after prepare() are
+    * the NEXT run's work — this drain stops at the pinned offset. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  private def versionOf(o: org.apache.spark.sql.execution.streaming.Offset): Int =
+    o match {
+      case VersionOffset(v) => v.toInt
+      case other => other.json.trim.toInt // SerializedOffset from the checkpoint
+    }
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    VersionedTable.currentVersion(spark, root)
+      .filter(_ > floorVersion).map(v => VersionOffset(v.toLong))
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = VersionedTable.currentVersion(spark, root).map(_.toLong)
+
+  /** Versions-per-batch cap, carried in ReadLimit's row-count slot (the
+    * unit is OURS to interpret — commits, not rows — exactly as the file
+    * source interprets it as files). This is the admission-control knob
+    * that turns a 10k-commit backfill into bounded micro-batches instead
+    * of one giant first batch. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val startV: Long = Option(startOffset)
+      .map(o => o.json.trim.toLong).getOrElse(floorVersion.toLong)
+    val current = VersionedTable.currentVersion(spark, root).map(_.toLong)
+    val pinned = availableNowCap
+      .map(cap => current.map(math.min(_, cap))).getOrElse(current)
+    val limited = limit match {
+      case r: ReadMaxRows => pinned.map(math.min(_, startV + r.maxRows))
+      case _ => pinned
+    }
+    limited.filter(_ > math.max(startV, floorVersion.toLong))
+      .map(VersionOffset).orNull
+  }
+
+  override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
+                        end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
+    val fromV = start.map(versionOf).getOrElse(floorVersion)
+    val toV = versionOf(end)
+    val before =
+      if (fromV == 0) Set.empty[String]
+      else VersionedTable.filesOf(spark, root, Some(fromV)).toSet
+    val after = VersionedTable.filesOf(spark, root, Some(toV))
+    val removed = before -- after.toSet
+    if (removed.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"versions ($fromV, $toV] of $root removed ${removed.size} data " +
+          "file(s) (overwrite/delete/compaction): not an append-only feed. " +
+          "Set ignoreChanges=true to re-deliver rewritten files' rows.")
+    val fresh = after.filterNot(before)
+    val batch =
+      if (fresh.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema).parquet(
+          fresh.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*)
+    org.apache.spark.sql.graft.StreamingBridge.asStreaming(spark, batch, schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"VersionedStreamSource[$root]"
 }
 
 object VersionedRelation {

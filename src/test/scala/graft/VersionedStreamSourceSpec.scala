@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sink.VersionedTable
+
+/** The versioned table as a first-class streaming SOURCE:
+  * `readStream.format("graft-versioned")` follows the commit log with
+  * offset = version number. Contract under test: initial snapshot then
+  * per-commit deltas across checkpoint restarts (exactly-once), the
+  * append-only guard on rewriting commits (with the ignoreChanges
+  * escape hatch), startingVersion, and composition with a downstream
+  * streaming aggregate — the capability followChanges' foreachBatch
+  * face cannot offer. */
+class VersionedStreamSourceSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_vss").resolve("t").toString
+
+  private def df(ids: Long*) = {
+    import spark.implicits._
+    ids.toSeq.toDF("id").withColumn("payload", col("id") * 10)
+  }
+
+  /** Drain all available commits into a parquet sink (checkpointable),
+    * return the accumulated ids (sorted, with duplicates preserved). */
+  private def drain(root: String, checkpoint: String, outDir: String,
+                    options: Map[String, String] = Map.empty): Seq[Long] = {
+    val reader = spark.readStream.format("graft-versioned")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+  }
+
+  test("initial snapshot, then per-commit deltas, exactly once across restarts") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2)) // v1
+    VersionedTable.append(spark, root, df(3))    // v2
+    val ckpt = Files.createTempDirectory("vss_ckpt").toString
+    val out = Files.createTempDirectory("vss_out").toString
+    assert(drain(root, ckpt, out) == Seq(1L, 2L, 3L),
+      "first drain = the current snapshot")
+    // new commits after the checkpointed offset: ONLY the delta arrives
+    VersionedTable.append(spark, root, df(4))    // v3
+    VersionedTable.appendCas(spark, root, df(5)) // v4
+    assert(drain(root, ckpt, out) == Seq(1L, 2L, 3L, 4L, 5L),
+      "restart delivers exactly the two new commits, nothing re-emitted")
+    // no new commits -> drain is a no-op
+    assert(drain(root, ckpt, out) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("a rewriting commit fails the append-only feed; ignoreChanges re-delivers") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))
+    val ckpt = Files.createTempDirectory("vss_ckpt2").toString
+    val out = Files.createTempDirectory("vss_out2").toString
+    assert(drain(root, ckpt, out) == Seq(1L, 2L))
+    VersionedTable.overwrite(spark, root, df(9)) // removes v1's files
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(root, ckpt, out)
+    }
+    assert(e.getMessage.contains("not an append-only feed"),
+      s"expected the append-only guard, got: ${e.getMessage}")
+    // opting in re-delivers the rewritten files' rows on a fresh feed
+    val ckpt2 = Files.createTempDirectory("vss_ckpt3").toString
+    val out2 = Files.createTempDirectory("vss_out3").toString
+    assert(drain(root, ckpt2, out2, Map("ignoreChanges" -> "true")) == Seq(9L))
+  }
+
+  test("startingVersion skips the history before it") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2)) // v1
+    VersionedTable.append(spark, root, df(3))    // v2
+    VersionedTable.append(spark, root, df(4))    // v3
+    val ckpt = Files.createTempDirectory("vss_ckpt4").toString
+    val out = Files.createTempDirectory("vss_out4").toString
+    assert(drain(root, ckpt, out, Map("startingVersion" -> "2")) == Seq(3L, 4L),
+      "versions before startingVersion never deliver")
+  }
+
+  test("maxVersionsPerTrigger bounds each micro-batch to N commits") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1)) // v1
+    VersionedTable.append(spark, root, df(2)) // v2
+    VersionedTable.append(spark, root, df(3)) // v3
+    val out = Files.createTempDirectory("vss_out5").toString
+    val q = spark.readStream.format("graft-versioned")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", Files.createTempDirectory("vss_ckpt5").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // the drain ran as three single-commit batches, not one big one
+    val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+    assert(nonEmpty >= 3, s"expected >=3 rate-limited batches, saw $nonEmpty")
+  }
+
+  test("the stream composes with a downstream streaming aggregate") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2, 3))
+    VersionedTable.append(spark, root, df(4, 5))
+    val q = spark.readStream.format("graft-versioned").load(root)
+      .groupBy((col("id") % 2).as("parity"))
+      .agg(count(lit(1)).as("n"), sum(col("payload")).as("p"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("vss_agg")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT parity, n, p FROM vss_agg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 2L, 60L), (1L, 3L, 90L)),
+      s"streaming agg over the table feed: $got")
+  }
+}
