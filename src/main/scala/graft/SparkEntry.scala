@@ -23,7 +23,8 @@ object SparkEntry {
       RasterQueries.defs ++ StreamQueries.defs ++ MiscQueries.defs ++
       CurationQueries.defs ++ TrainQueries.defs ++ AnalyticsQueries.defs ++
       SelectionQueries.defs ++ ScaleQueries.defs ++ RetrievalQueries.defs ++
-      StatQueries.defs ++ ProfilingQueries.defs ++ LakehouseQueries.defs
+      StatQueries.defs ++ ProfilingQueries.defs ++ LakehouseQueries.defs ++
+      EntityQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       RasterQueries.oracle ++ StreamQueries.oracle ++ MiscQueries.oracle ++
       CurationQueries.oracle ++ TrainQueries.oracle ++ AnalyticsQueries.oracle ++
       SelectionQueries.oracle ++ ScaleQueries.oracle ++ RetrievalQueries.oracle ++
-      StatQueries.oracle ++ ProfilingQueries.oracle ++ LakehouseQueries.oracle
+      StatQueries.oracle ++ ProfilingQueries.oracle ++ LakehouseQueries.oracle ++
+      EntityQueries.oracle
 }

@@ -139,4 +139,16 @@ object Portable {
         org.apache.spark.sql.graftbridge.Bridge.toExpression(a),
         org.apache.spark.sql.graftbridge.Bridge.toExpression(b),
         num, den))
+
+  /** Jaro-Winkler similarity ([[JaroWinklerExpr]]), semantics fuzzed to
+    * 1e-12 against the SQL twin `jaro_winkler_similarity` — byte-based,
+    * floor-transposition, 0.7 bonus threshold. Callers round the score
+    * before hashing (float-division result; op order may differ). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.toColumn(
+      JaroWinklerExpr(
+        org.apache.spark.sql.graftbridge.Bridge.toExpression(a),
+        org.apache.spark.sql.graftbridge.Bridge.toExpression(b)))
+  def jaroWinklerSql(a: String, b: String): String =
+    s"jaro_winkler_similarity($a, $b)"
 }

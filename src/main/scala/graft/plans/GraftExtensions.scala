@@ -99,6 +99,13 @@ object GraftExtensions {
         }
         graft.functions.EditWithinExpr(args(0), args(1),
           intLit(args(2), "num"), intLit(args(3), "den"))
+      }),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(
+        classOf[graft.functions.JaroWinklerExpr].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler(a, b)")
+        graft.functions.JaroWinklerExpr(args(0), args(1))
       }))
 
   /** Register the SQL functions on a live session (builder-time

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+
+/** Entity resolution (record linkage) over the part-name dictionary —
+  * the fuzzy-matching family a training-data pipeline needs for source /
+  * author / title canonicalization, where near-identical strings must
+  * collapse to one entity before per-entity statistics mean anything.
+  *
+  * The scale shape is DICTIONARY-level matching (Hernández & Stolfo '95
+  * blocking, applied to distinct values): exact-group the corpus first
+  * (one hash-aggregate — the only corpus-sized step), then fuzzy-match
+  * the distinct-value dictionary under a composite blocking key
+  * (first token × length band). Candidate volume is dictionary²/blocks,
+  * independent of corpus row count — at 100 TB the corpus contributes
+  * one aggregate, and the quadratic work stays on the value dictionary.
+  * Matches map back to records by group weight (n_a · n_b record pairs),
+  * never by re-joining pairs against the corpus.
+  *
+  * The verify kernel is the codegen'd [[graft.functions.JaroWinklerExpr]]
+  * — semantics fuzzed to 1e-12 against the oracle's
+  * `jaro_winkler_similarity` (byte-based, floor-transposition, 0.7 bonus
+  * gate), scores 9-dp-rounded on both sides before the threshold so the
+  * accept relation cannot drift on float op order.
+  *
+  * Reference context: the reference pipeline trusts its catalog IDs and
+  * never fuzzy-matches (`/root/reference/src/extract/download_landsat_
+  * stac.py` keys everything on STAC item ids); this family is part of
+  * the beyond-the-reference LLM-curation surface, like the dedup and
+  * similarity families.
+  */
+object EntityQueries {
+
+  /** Jaro-Winkler accept threshold (on the 9-dp-rounded score). */
+  val MatchTau = 0.85
+
+  /** Distinct-name dictionary with group weights and the composite
+    * blocking key: (first token, length band of 4 bytes). */
+  private def dictionary(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("name"), col("n"),
+        split(col("name"), " ").getItem(0).as("w1"),
+        floor(length(col("name")) / 4).cast("long").as("lb"))
+
+  /** Accepted fuzzy matches over the dictionary: blocked candidates
+    * (same first token, adjacent length bands, name_a < name_b),
+    * verified by Jaro-Winkler ≥ τ. No broadcast hint: the dictionary
+    * scales with distinct values, so AQE decides from measured size. */
+  private def matches(s: SparkSession, d: String): DataFrame = {
+    val dict = dictionary(s, d)
+    val a = dict.select(col("name").as("name_a"), col("n").as("na"),
+      col("w1").as("wa"), col("lb").as("la"))
+    val b = dict.select(col("name").as("name_b"), col("n").as("nb"),
+      col("w1").as("wb"), col("lb").as("lbb"))
+    a.join(b, col("wa") === col("wb") &&
+        abs(col("la") - col("lbb")) <= 1 && col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"), col("na"), col("nb"),
+        round(jaroWinkler(col("name_a"), col("name_b")), 9).as("sim"))
+      .filter(col("sim") >= MatchTau)
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The match table itself: every accepted dictionary pair with its
+    // similarity and the record-pair mass it explains. This is the
+    // human-review artifact of an ER pass (the pairs a steward confirms
+    // before the merge applies).
+    "q176_er_matches" -> ((s, d) =>
+      matches(s, d).select(col("name_a"), col("name_b"), col("sim"),
+        (col("na") * col("nb")).as("rec_pairs"))),
+
+    // Entity clusters: connected components over the accepted match
+    // graph (min-name label propagation — one join+aggregate per round,
+    // rounds ~ component diameter), singletons included so the output
+    // is the full entity catalog: canonical name, alias count, and the
+    // record mass each entity absorbs.
+    "q177_er_entities" -> ((s, d) => {
+      val dict = dictionary(s, d).select(col("name"), col("n")).localCheckpoint()
+      val m = matches(s, d).select(col("name_a"), col("name_b")).localCheckpoint()
+      val bidir = m.select(col("name_a").as("src"), col("name_b").as("dst"))
+        .union(m.select(col("name_b").as("src"), col("name_a").as("dst")))
+        .localCheckpoint()
+      var lbl = dict.select(col("name").as("node"), col("name").as("lbl"))
+        .localCheckpoint()
+      var changed = 1L
+      var it = 0
+      val maxIter = 20
+      while (changed > 0 && it < maxIter) {
+        val nbMin = bidir
+          .join(lbl.select(col("node").as("nb"), col("lbl").as("nlbl")),
+            col("dst") === col("nb"))
+          .groupBy(col("src")).agg(min(col("nlbl")).as("nmin"))
+        val next = lbl
+          .join(nbMin, col("node") === col("src"), "left")
+          .select(col("node"), col("lbl").as("old"),
+            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        changed = next.filter(col("lbl") =!= col("old")).count()
+        lbl = next.select(col("node"), col("lbl"))
+        it += 1
+      }
+      require(changed == 0,
+        s"entity components did not converge in $maxIter rounds")
+      lbl.join(dict, col("node") === col("name"))
+        .groupBy(col("lbl").as("entity_id"))
+        .agg(count(lit(1)).as("n_names"), sum(col("n")).as("n_records"))
+    })
+  )
+
+  def oracle: Map[String, String] = {
+    val dictSql =
+      """names AS (
+           SELECT p_name AS name, count(*)::BIGINT AS n,
+                  split_part(p_name, ' ', 1) AS w1,
+                  (length(p_name) // 4)::BIGINT AS lb
+           FROM part GROUP BY 1)"""
+    val matchSql =
+      s"""pairs AS (
+           SELECT a.name AS name_a, b.name AS name_b, a.n AS na, b.n AS nb,
+                  round(${jaroWinklerSql("a.name", "b.name")}, 9) AS sim
+           FROM names a JOIN names b
+             ON a.w1 = b.w1 AND abs(a.lb - b.lb) <= 1 AND a.name < b.name),
+         accepted AS (SELECT * FROM pairs WHERE sim >= $MatchTau)"""
+    Map(
+      "q176_er_matches" ->
+        s"""WITH $dictSql, $matchSql
+            SELECT name_a, name_b, sim, (na * nb)::BIGINT AS rec_pairs
+            FROM accepted""",
+      "q177_er_entities" ->
+        s"""WITH RECURSIVE $dictSql, $matchSql,
+            bidir AS (SELECT name_a AS s, name_b AS t FROM accepted
+                      UNION ALL SELECT name_b, name_a FROM accepted),
+            walk(nd, r) AS (
+              SELECT name, name FROM names
+              UNION
+              SELECT b.t, w.r FROM walk w JOIN bidir b ON b.s = w.nd),
+            comp AS (SELECT nd, min(r) AS cid FROM walk GROUP BY nd)
+            SELECT cid AS entity_id, count(*)::BIGINT AS n_names,
+                   sum(nm.n)::BIGINT AS n_records
+            FROM comp JOIN names nm ON comp.nd = nm.name
+            GROUP BY 1"""
+    )
+  }
+}

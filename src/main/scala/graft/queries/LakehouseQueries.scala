@@ -121,6 +121,39 @@ object LakehouseQueries {
              AND o_orderdate <  TIMESTAMP '1996-07-01'
            GROUP BY o_orderpriority""").localCheckpoint()
       finally s.sql("DROP TABLE IF EXISTS graft_orders_v")
+    }),
+
+    // The versioned table as a first-class STREAMING source, gated
+    // end-to-end: documents commit in three id-striped versions, the
+    // commit log is drained through readStream.format("graft-versioned")
+    // with maxVersionsPerTrigger=1 (offset = version; three rate-limited
+    // micro-batches, not one big first batch), and the accumulated feed
+    // must aggregate to exactly the batch table — stream/batch parity of
+    // the table feed itself. At 100 TB each micro-batch reads only the
+    // files its commit added (manifest diff — carried-over files never
+    // open), so following the table costs per-commit delta, never table
+    // size; admission control bounds a long backlog to N commits/batch.
+    "q175_stream_table_feed" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val work = EventsStream.scratchDir("graft_feed")
+      val root = work.resolve("docs").toString
+      VersionedTable.create(s, root, docs.filter(col("doc_id") % 3 === 0))
+      VersionedTable.append(s, root, docs.filter(col("doc_id") % 3 === 1))
+      VersionedTable.append(s, root, docs.filter(col("doc_id") % 3 === 2))
+      val sink = work.resolve("sink").toString
+      val q = s.readStream.format("graft-versioned")
+        .option("maxVersionsPerTrigger", "1").load(root)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(sink)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
     })
   )
 
@@ -150,6 +183,12 @@ object LakehouseQueries {
          FROM orders
          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate <  TIMESTAMP '1996-07-01'
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    // The three-commit streamed feed must re-assemble the batch table.
+    "q175_stream_table_feed" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents GROUP BY 1"""
   )
 }
