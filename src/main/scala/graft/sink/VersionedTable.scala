@@ -122,7 +122,8 @@ object VersionedTable {
   private case class Manifest(version: Int, schemaDdl: String, files: Seq[String],
                               txn: Option[Long] = None,
                               stats: Map[String, Seq[ColStat]] = Map.empty,
-                              blooms: Map[String, Seq[FileBloom]] = Map.empty)
+                              blooms: Map[String, Seq[FileBloom]] = Map.empty,
+                              partitionCols: Seq[String] = Seq.empty)
 
   // Minimal JSON (de)serialization — file names are commit-generated
   // (uuid-free parquet part names under our own prefix, no escapes
@@ -165,9 +166,15 @@ object VersionedTable {
           s"""{"bfile": "${esc(file)}", "bcol": "${esc(b.col)}", """ +
             s""""m": ${b.mBits}, "k": ${b.k}, "bits": "${b.bits}"}""")
       }.mkString("[", ", ", "]")
+    // hive-partitioned layout flag: the reader needs it to resolve
+    // partition-column values from the data-file directory names
+    val partsField =
+      if (m.partitionCols.isEmpty) ""
+      else s""" "partitionCols": [${m.partitionCols
+        .map(c => "\"" + esc(c) + "\"").mkString(", ")}],\n"""
     val json =
       s"""{"version": ${m.version},
-         |$txnField "schema": "${esc(m.schemaDdl)}",
+         |$txnField$partsField "schema": "${esc(m.schemaDdl)}",
          | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
          | "stats": $statsJson$bloomsJson}""".stripMargin
     val target = manifestPath(root, m.version)
@@ -216,6 +223,10 @@ object VersionedTable {
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
     val txn = """"txn": (\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+    val partitionCols = """"partitionCols": \[([^\]]*)\]""".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).map(unesc).toSeq
     val S = """\{"file": "((?:[^"\\]|\\.)*)", "col": "((?:[^"\\]|\\.)*)", "t": "(\w+)", "lo": "((?:[^"\\]|\\.)*)", "hi": "((?:[^"\\]|\\.)*)"\}""".r
     val stats = S.findAllMatchIn(text).map { mm =>
       (unesc(mm.group(1)), ColStat(unesc(mm.group(2)), mm.group(3),
@@ -226,7 +237,7 @@ object VersionedTable {
       (unesc(mm.group(1)), FileBloom(unesc(mm.group(2)), mm.group(3).toInt,
         mm.group(4).toInt, mm.group(5)))
     }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    Manifest(v, schema, files, txn, stats, blooms)
+    Manifest(v, schema, files, txn, stats, blooms, partitionCols)
   }
 
   /** Transaction ids recorded by committed versions — the idempotence
@@ -240,7 +251,8 @@ object VersionedTable {
     * to a scratch dir; files are MOVED (renamed) under data/ — cheap and
     * local to the table root. */
   private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
-                             version: Int): Seq[String] = {
+                             version: Int,
+                             partitionCols: Seq[String] = Seq.empty): Seq[String] = {
     // writer-unique nonce: two writers optimistically staging the SAME
     // next version must not share a scratch dir or collide on data-file
     // names — isolation holds all the way to the manifest rename, which
@@ -248,19 +260,58 @@ object VersionedTable {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val scratch = new Path(root, s".stage-v$version-$nonce")
     val f = fs(spark, scratch)
-    df.write.mode("overwrite").option("compression", "zstd")
+    val w = df.write.mode("overwrite").option("compression", "zstd")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
       .parquet(scratch.toString)
     f.mkdirs(dataDir(root))
-    val moved = f.listStatus(scratch)
-      .filter(_.getPath.getName.startsWith("part-"))
-      .map { st =>
-        val name = s"c$version-$nonce-${st.getPath.getName}"
-        val dst = new Path(dataDir(root), name)
-        require(f.rename(st.getPath, dst), s"stage move failed: ${st.getPath}")
-        s"data/$name"
-      }.toSeq
+    // collect staged part files with their partition subpath (k=v dirs
+    // between scratch and the file — hive layout when partitioned)
+    def walk(p: Path, sub: String): Seq[(Path, String)] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.contains("="))
+          walk(st.getPath, if (sub.isEmpty) n else s"$sub/$n")
+        else if (n.startsWith("part-")) Seq(st.getPath -> sub)
+        else Seq.empty
+      }
+    val moved = walk(scratch, "").map { case (src, sub) =>
+      val name = s"c$version-$nonce-${src.getName}"
+      val dir = if (sub.isEmpty) dataDir(root) else new Path(dataDir(root), sub)
+      f.mkdirs(dir)
+      val dst = new Path(dir, name)
+      require(f.rename(src, dst), s"stage move failed: $src")
+      if (sub.isEmpty) s"data/$name" else s"data/$sub/$name"
+    }
     f.delete(scratch, true)
     moved
+  }
+
+  /** Exact [lo = hi = value] stats for partition columns, synthesized
+    * from the file's hive directory path — a partitioned file trivially
+    * has one value per partition column, so directory pruning IS range
+    * pruning with a degenerate range; no new pruning machinery needed.
+    * Types follow the table schema (long/double/string stat domains);
+    * escaped or null partition values ("%xx", __HIVE_DEFAULT_PARTITION__)
+    * and non-stat-typed columns contribute nothing (absent stats are
+    * never wrong, only unhelpful). */
+  private def partitionStats(schemaDdl: String, rel: String): Seq[ColStat] = {
+    import org.apache.spark.sql.types._
+    val schema = StructType.fromDDL(schemaDdl)
+    rel.split("/").toSeq.dropRight(1).filter(_.contains("=")).flatMap { seg =>
+      val k = seg.substring(0, seg.indexOf('='))
+      val v = seg.substring(seg.indexOf('=') + 1)
+      if (v.contains("%") || v == "__HIVE_DEFAULT_PARTITION__") None
+      else schema.find(_.name == k).map(_.dataType).flatMap {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(ColStat(k, "long", v, v))
+        case FloatType | DoubleType =>
+          Some(ColStat(k, "double", v.toDouble.toString, v.toDouble.toString))
+        case StringType if v.forall(_ < 128) =>
+          Some(ColStat(k, "string", v, v))
+        case _ => None // dates/timestamps: dir strings don't share the
+                       // pushed-filter stat domain (epoch days/micros)
+      }
+    }
   }
 
   /** Per-file column stats from the parquet FOOTER of a just-committed
@@ -347,7 +398,8 @@ object VersionedTable {
                      carryStats: Map[String, Seq[ColStat]] = Map.empty,
                      tableDdl: Option[String] = None,
                      carryBlooms: Map[String, Seq[FileBloom]] = Map.empty,
-                     baseVersion: Option[Int] = None): Int = {
+                     baseVersion: Option[Int] = None,
+                     partitionCols: Seq[String] = Seq.empty): Int = {
     // When the caller read a manifest to build carryOver, the commit MUST
     // target exactly base+1: re-resolving the version here would let a
     // writer that landed in between be silently overwritten by our stale
@@ -356,16 +408,21 @@ object VersionedTable {
     // stale commit — the CAS failure appendCas rebases on.
     val v = baseVersion.map(_ + 1)
       .getOrElse(currentVersion(spark, root).getOrElse(0) + 1)
-    val added = writeDataFiles(spark, root, df, v)
-    val addedStats = added.map(f => f -> fileStats(spark, root, f))
+    val ddl = tableDdl.getOrElse(df.schema.toDDL)
+    val added = writeDataFiles(spark, root, df, v, partitionCols)
+    // footer stats for file columns + degenerate [v, v] stats for
+    // partition columns (hive dirs carry exactly one value per file)
+    val addedStats = added
+      .map(f => f -> (fileStats(spark, root, f) ++ partitionStats(ddl, f)))
       .filter(_._2.nonEmpty).toMap
     val files = carryOver ++ added
     // the TABLE schema stays authoritative across appends: a write whose
     // columns are merely non-nullable variants must not narrow it
     writeManifest(spark, root,
-      Manifest(v, tableDdl.getOrElse(df.schema.toDDL), files, txn,
+      Manifest(v, ddl, files, txn,
         carryStats.view.filterKeys(carryOver.contains).toMap ++ addedStats,
-        carryBlooms.view.filterKeys(carryOver.contains).toMap))
+        carryBlooms.view.filterKeys(carryOver.contains).toMap,
+        partitionCols))
     v
   }
 
@@ -382,10 +439,17 @@ object VersionedTable {
     }, s"schema mismatch: table has [$tableDdl], $what has [${s.toDDL}]")
   }
 
-  /** Create version 1 of a new table (fails if the table exists). */
-  def create(spark: SparkSession, root: String, df: DataFrame): Int = {
+  /** Create version 1 of a new table (fails if the table exists).
+    * `partitionBy` fixes the table's hive-style partition columns for
+    * its lifetime: every data file lands under k=v directories, every
+    * commit records the layout, and partition predicates prune files
+    * from the manifest alone (degenerate [v, v] range stats). */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+             partitionBy: Seq[String] = Seq.empty): Int = {
     require(currentVersion(spark, root).isEmpty, s"table exists at $root")
-    commit(spark, root, df, Seq.empty)
+    require(partitionBy.forall(df.schema.fieldNames.contains),
+      s"partition columns ${partitionBy.filterNot(df.schema.fieldNames.contains)} not in schema")
+    commit(spark, root, df, Seq.empty, partitionCols = partitionBy)
   }
 
   /** Append: new version = previous files + the new rows' files. The
@@ -398,7 +462,7 @@ object VersionedTable {
     requireWriteCompatible(m.schemaDdl, df, "append")
     commit(spark, root, df, m.files, carryStats = m.stats,
       tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
-      baseVersion = Some(cur))
+      baseVersion = Some(cur), partitionCols = m.partitionCols)
   }
 
   /** Overwrite: new version references ONLY the new rows' files (logical
@@ -409,7 +473,10 @@ object VersionedTable {
     * by a rewrite that never saw it. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
                 baseVersion: Option[Int] = None): Int =
-    commit(spark, root, df, Seq.empty, baseVersion = baseVersion)
+    commit(spark, root, df, Seq.empty, baseVersion = baseVersion,
+      partitionCols = currentVersion(spark, root)
+        .map(v => readManifest(spark, root, v).partitionCols)
+        .getOrElse(Seq.empty))
 
   /** Optimistic-concurrency append: the multi-writer entry point. Each
     * attempt stages its data files under a writer-unique nonce, reads
@@ -449,7 +516,8 @@ object VersionedTable {
       case None => commit(spark, root, df, Seq.empty, Some(txn))
       case Some(cur) =>
         if (committedTxns(spark, root).contains(txn)) cur
-        else commit(spark, root, df, Seq.empty, Some(txn))
+        else commit(spark, root, df, Seq.empty, Some(txn),
+          partitionCols = readManifest(spark, root, cur).partitionCols)
     }
 
   /** Idempotent transactional append — the streaming-sink entry point:
@@ -469,7 +537,7 @@ object VersionedTable {
           requireWriteCompatible(m.schemaDdl, df, "append")
           commit(spark, root, df, m.files, Some(txn), carryStats = m.stats,
             tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
-            baseVersion = Some(cur))
+            baseVersion = Some(cur), partitionCols = m.partitionCols)
         }
     }
 
@@ -480,7 +548,8 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, v)
-    readPaths(spark, m.schemaDdl, m.files.map(f => new Path(root, f).toString))
+    readPaths(spark, m.schemaDdl, m.files.map(f => new Path(root, f).toString),
+      m.partitionCols.nonEmpty, root)
   }
 
   /** Version `v`'s manifest file list (table-relative) — the snapshot's
@@ -516,7 +585,8 @@ object VersionedTable {
     val known = m.files.toSet
     require(files.forall(known.contains),
       s"files not in version $v: ${files.filterNot(known.contains).take(3)}")
-    readPaths(spark, m.schemaDdl, files.map(f => new Path(root, f).toString))
+    readPaths(spark, m.schemaDdl, files.map(f => new Path(root, f).toString),
+      m.partitionCols.nonEmpty, root)
   }
 
   /** Total data bytes of `version` from file lengths — the size estimate
@@ -537,10 +607,21 @@ object VersionedTable {
     * for it — no rewrite, no per-file schema merge pass. Spark's parquet
     * reader resolves the requested schema against each file by name. */
   private def readPaths(spark: SparkSession, schemaDdl: String,
-                        paths: Seq[String]): DataFrame = {
+                        paths: Seq[String],
+                        partitioned: Boolean = false,
+                        root: String = ""): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else if (partitioned)
+      // hive layout: partition-column values resolve from the k=v
+      // directory names under data/ (basePath anchors the discovery);
+      // the final select restores the declared column order, since the
+      // scan appends partition columns after the file columns
+      spark.read.schema(schema)
+        .option("basePath", new Path(root, "data").toString)
+        .parquet(paths: _*)
+        .select(schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
     else spark.read.schema(schema).parquet(paths: _*)
   }
 
@@ -563,7 +644,7 @@ object VersionedTable {
     val widened = schema.add(name, sqlType, nullable = true)
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, widened.toDDL, m.files,
-      stats = m.stats, blooms = m.blooms))
+      stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols))
     v
   }
 
@@ -607,7 +688,8 @@ object VersionedTable {
     val keep = prunedFiles(spark, root, preds, version)
     val v = version.orElse(currentVersion(spark, root)).get
     val m = readManifest(spark, root, v)
-    readPaths(spark, m.schemaDdl, keep.map(f => new Path(root, f).toString))
+    readPaths(spark, m.schemaDdl, keep.map(f => new Path(root, f).toString),
+      m.partitionCols.nonEmpty, root)
   }
 
   /** Build per-file bloom filters over `cols` and publish them as a new
@@ -657,7 +739,8 @@ object VersionedTable {
       }
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
-      stats = m.stats, blooms = m.blooms ++ newBlooms))
+      stats = m.stats, blooms = m.blooms ++ newBlooms,
+      partitionCols = m.partitionCols))
     v
   }
 
@@ -692,7 +775,8 @@ object VersionedTable {
     val m = readManifest(spark, root, v)
     val keep = bloomPrunedFiles(spark, root, column, value, Some(v)).toSet
     readPaths(spark, m.schemaDdl,
-      m.files.filter(keep.contains).map(f => new Path(root, f).toString))
+      m.files.filter(keep.contains).map(f => new Path(root, f).toString),
+      m.partitionCols.nonEmpty, root)
   }
 
   /** DELETE WHERE as a commit — copy-on-write DML at FILE granularity,
@@ -717,16 +801,19 @@ object VersionedTable {
       if (touched.isEmpty) Seq.empty
       else {
         val df = readPaths(spark, m.schemaDdl,
-          touched.toSeq.map(f => new Path(root, f).toString))
+          touched.toSeq.map(f => new Path(root, f).toString),
+          m.partitionCols.nonEmpty, root)
           .filter(!condition)
-        writeDataFiles(spark, root, df, v)
+        writeDataFiles(spark, root, df, v, m.partitionCols)
       }
-    val rewrittenStats = rewritten.map(f => f -> fileStats(spark, root, f))
+    val rewrittenStats = rewritten
+      .map(f => f -> (fileStats(spark, root, f) ++ partitionStats(m.schemaDdl, f)))
       .filter(_._2.nonEmpty).toMap
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
       untouched ++ rewritten, None,
       m.stats.view.filterKeys(untouched.contains).toMap ++ rewrittenStats,
-      m.blooms.view.filterKeys(untouched.contains).toMap))
+      m.blooms.view.filterKeys(untouched.contains).toMap,
+      m.partitionCols))
     v
   }
 
@@ -780,16 +867,19 @@ object VersionedTable {
     val merged =
       if (touched.isEmpty) source
       else readPaths(spark, m.schemaDdl,
-        touched.toSeq.map(f => new Path(root, f).toString))
+        touched.toSeq.map(f => new Path(root, f).toString),
+        m.partitionCols.nonEmpty, root)
         .join(allKeys, keys, "left_anti")
         .unionByName(source)
-    val added = writeDataFiles(spark, root, merged, v)
-    val addedStats = added.map(f => f -> fileStats(spark, root, f))
+    val added = writeDataFiles(spark, root, merged, v, m.partitionCols)
+    val addedStats = added
+      .map(f => f -> (fileStats(spark, root, f) ++ partitionStats(m.schemaDdl, f)))
       .filter(_._2.nonEmpty).toMap
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
       untouched ++ added, txn,
       m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats,
-      m.blooms.view.filterKeys(untouched.contains).toMap))
+      m.blooms.view.filterKeys(untouched.contains).toMap,
+      m.partitionCols))
     v
   }
 
@@ -811,7 +901,8 @@ object VersionedTable {
     // boundary the pre-evolution rows surface NULL in the new column on
     // both sides, so carried-over data still cancels in the exceptAll
     def readFiles(fs: Seq[String]): DataFrame =
-      readPaths(spark, b.schemaDdl, fs.map(f => new Path(root, f).toString))
+      readPaths(spark, b.schemaDdl, fs.map(f => new Path(root, f).toString),
+        b.partitionCols.nonEmpty, root)
     val onlyNew = readFiles(b.files.filterNot(a.files.toSet))
     val onlyOld = readFiles(a.files.filterNot(b.files.toSet))
     (onlyNew.exceptAll(onlyOld), onlyOld.exceptAll(onlyNew))
@@ -873,7 +964,7 @@ object VersionedTable {
     val m = readManifest(spark, root, to)
     val v = currentVersion(spark, root).get + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
-      stats = m.stats, blooms = m.blooms))
+      stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols))
     v
   }
 
@@ -923,12 +1014,27 @@ object VersionedTable {
     val live = keep.flatMap(v => readManifest(spark, root, v).files).toSet
     drop.foreach(v => f.delete(manifestPath(root, v), false))
     val dd = dataDir(root)
+    // recursive walk: partitioned tables nest files under k=v dirs
+    def files(p: Path): Seq[Path] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) files(st.getPath) else Seq(st.getPath)
+      }
+    val base = f.makeQualified(dd).toUri.getPath
     val removed =
       if (!f.exists(dd)) 0
-      else f.listStatus(dd).count { st =>
-        val rel = s"data/${st.getPath.getName}"
-        !live.contains(rel) && f.delete(st.getPath, false)
+      else files(dd).count { p =>
+        val full = f.makeQualified(p).toUri.getPath
+        val rel = "data" + full.stripPrefix(base)
+        !live.contains(rel) && f.delete(p, false)
       }
     (drop.size, removed)
+  }
+
+  /** The table's hive partition columns (empty when unpartitioned). */
+  def partitionColsOf(spark: SparkSession, root: String,
+                      version: Option[Int] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    readManifest(spark, root, v).partitionCols
   }
 }

@@ -102,18 +102,24 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
     val root = rootOf(parameters)
     val spark = data.sparkSession
     val exists = VersionedTable.currentVersion(spark, root).isDefined
+    // hive partition columns for table CREATION (option("partitionBy",
+    // "a,b")); an existing table keeps its manifest-recorded layout
+    val parts = parameters.get("partitionby")
+      .orElse(parameters.get("partitionBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     mode match {
       case SaveMode.ErrorIfExists =>
         require(!exists, s"table already exists at $root")
-        VersionedTable.create(spark, root, data)
+        VersionedTable.create(spark, root, data, parts)
       case SaveMode.Ignore =>
-        if (!exists) VersionedTable.create(spark, root, data)
+        if (!exists) VersionedTable.create(spark, root, data, parts)
       case SaveMode.Append =>
         if (exists) VersionedTable.append(spark, root, data)
-        else VersionedTable.create(spark, root, data)
+        else VersionedTable.create(spark, root, data, parts)
       case SaveMode.Overwrite =>
         if (exists) VersionedTable.overwrite(spark, root, data)
-        else VersionedTable.create(spark, root, data)
+        else VersionedTable.create(spark, root, data, parts)
     }
     createRelation(sqlContext, parameters)
   }
@@ -278,9 +284,19 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
       if (fresh.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else
-        spark.read.schema(schema).parquet(
-          fresh.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*)
+      else {
+        val reader = spark.read.schema(schema)
+        // hive-partitioned table: partition values resolve from the k=v
+        // dir names; re-select restores the declared column order
+        val withBase =
+          if (VersionedTable.partitionColsOf(spark, root).isEmpty) reader
+          else reader.option("basePath",
+            new org.apache.hadoop.fs.Path(root, "data").toString)
+        withBase.parquet(
+            fresh.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*)
+          .select(schema.fieldNames.toSeq.map(
+            org.apache.spark.sql.functions.col): _*)
+      }
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(spark, batch, schema)
   }
 

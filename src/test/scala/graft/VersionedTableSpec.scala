@@ -475,6 +475,80 @@ class VersionedTableSpec extends SparkSpec {
       "13 commits, strictly sequential versions")
   }
 
+  test("hive partition columns: layout, reads, pruning, DML, GC") {
+    import graft.sink.VersionedTable.{ColStat => _, _}
+    val root = freshRoot()
+    val df0 = df(1, 2, 3, 12, 13).withColumn("bucket",
+      (col("id") % 10).cast("int"))
+    VersionedTable.create(spark, root, df0, partitionBy = Seq("bucket"))   // v1
+    assert(VersionedTable.partitionColsOf(spark, root) == Seq("bucket"))
+    // files live under data/bucket=k/ and the manifest records them so
+    val files1 = VersionedTable.filesOf(spark, root)
+    assert(files1.nonEmpty && files1.forall(_.startsWith("data/bucket=")),
+      s"expected hive layout, got $files1")
+    // full read restores partition values and declared column order
+    val got = VersionedTable.read(spark, root)
+    assert(got.columns.toSeq == Seq("id", "payload", "bucket"))
+    assert(got.select("id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 1), (2L, 2), (3L, 3), (12L, 2), (13L, 3)))
+    // partition predicate prunes from the manifest alone: only bucket=2
+    // files open
+    val keep = VersionedTable.prunedFiles(spark, root,
+      Map("bucket" -> (Some(2L), Some(2L))))
+    assert(keep.nonEmpty && keep.forall(_.startsWith("data/bucket=2/")),
+      s"pruning must keep only bucket=2 files: $keep")
+    assert(idsOf(VersionedTable.readWhere(spark, root,
+      Map("bucket" -> (Some(2L), Some(2L))))) == Seq(2L, 12L))
+    // append keeps the layout; time travel sees the old snapshot
+    VersionedTable.append(spark, root,
+      df(22).withColumn("bucket", (col("id") % 10).cast("int")))           // v2
+    assert(VersionedTable.filesOf(spark, root).forall(_.startsWith("data/bucket=")))
+    assert(idsOf(VersionedTable.read(spark, root, Some(1))) ==
+      Seq(1L, 2L, 3L, 12L, 13L))
+    assert(idsOf(VersionedTable.readWhere(spark, root,
+      Map("bucket" -> (Some(2L), Some(2L))))) == Seq(2L, 12L, 22L))
+    // copy-on-write delete bounded by the partition stat
+    VersionedTable.deleteWhere(spark, root,
+      Map("bucket" -> (Some(3L), Some(3L))), col("bucket") === 3)          // v3
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 2L, 12L, 22L))
+    // change feed across partitioned commits
+    val (adds, rems) = VersionedTable.changesBetween(spark, root, 2, 3)
+    assert(adds.count() == 0 && rems.select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 13L))
+    // expire GCs dropped versions' files inside partition dirs
+    val (dropped, removed) = VersionedTable.expire(spark, root, keepLast = 1)
+    assert(dropped == 2 && removed > 0)
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 2L, 12L, 22L))
+  }
+
+  test("partitioned table through the SQL face and the stream source") {
+    val root = freshRoot()
+    val d = df(1, 2, 3, 12).withColumn("bucket", (col("id") % 10).cast("int"))
+    d.write.format("graft-versioned").option("partitionBy", "bucket").save(root)
+    assert(VersionedTable.partitionColsOf(spark, root) == Seq("bucket"))
+    // pushed equality on the partition column prunes files before scan
+    val frame = spark.read.format("graft-versioned").load(root)
+      .filter(col("bucket") === 2).select("id")
+    assert(frame.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 12L))
+    val scan = graft.sources.VersionedSource.lastScan.get
+    assert(scan.openedFiles < scan.totalFiles,
+      s"partition filter should prune: $scan")
+    // the streaming source reconstitutes partition values from the dirs
+    import org.apache.spark.sql.streaming.Trigger
+    val out = java.nio.file.Files.createTempDirectory("vtp_out").toString
+    val q = spark.readStream.format("graft-versioned").load(root)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("vtp_ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out).select("id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == Set((1L, 1), (2L, 2), (3L, 3), (12L, 2)))
+  }
+
   test("a rewrite pinned to a stale base is refused, not silently applied") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))                          // v1
