@@ -606,6 +606,18 @@ object VersionedTable {
     * written before an [[addColumn]] lack the new column and surface NULL
     * for it — no rewrite, no per-file schema merge pass. Spark's parquet
     * reader resolves the requested schema against each file by name. */
+  /** The directory ABOVE the first k=v segment of a partitioned file
+    * path — the basePath partition discovery anchors on. Computed from
+    * the path itself (not the table root) so a shallow clone, whose
+    * manifest references absolute paths into its SOURCE's data dir,
+    * resolves partition values identically. */
+  private def partitionBaseOf(path: String): String = {
+    val parts = path.split('/')
+    val i = parts.indexWhere(_.contains("="))
+    if (i <= 0) path.substring(0, math.max(0, path.lastIndexOf('/')))
+    else parts.take(i).mkString("/")
+  }
+
   private def readPaths(spark: SparkSession, schemaDdl: String,
                         paths: Seq[String],
                         partitioned: Boolean = false,
@@ -613,15 +625,18 @@ object VersionedTable {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     if (paths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else if (partitioned)
+    else if (partitioned) {
       // hive layout: partition-column values resolve from the k=v
-      // directory names under data/ (basePath anchors the discovery);
-      // the final select restores the declared column order, since the
-      // scan appends partition columns after the file columns
-      spark.read.schema(schema)
-        .option("basePath", new Path(root, "data").toString)
-        .parquet(paths: _*)
-        .select(schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*)
+      // directory names (basePath anchors the discovery); files are
+      // grouped by their partition base so a snapshot mixing local and
+      // cloned-from files still resolves every value; the final select
+      // restores the declared column order, since the scan appends
+      // partition columns after the file columns
+      val order = schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col)
+      paths.groupBy(partitionBaseOf).toSeq.sortBy(_._1).map { case (base, ps) =>
+        spark.read.schema(schema).option("basePath", base).parquet(ps: _*)
+      }.reduce(_ unionByName _).select(order: _*)
+    }
     else spark.read.schema(schema).parquet(paths: _*)
   }
 
@@ -1036,5 +1051,49 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     readManifest(spark, root, v).partitionCols
+  }
+
+  /** Read an arbitrary manifest file set of this table under a FIXED
+    * schema — the streaming source's read half (its schema is pinned at
+    * stream start, not at each batch). Partition-aware like every
+    * manifest read. */
+  def readFilesAs(spark: SparkSession, root: String, files: Seq[String],
+                  schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val partitioned = currentVersion(spark, root).exists(v =>
+      readManifest(spark, root, v).partitionCols.nonEmpty)
+    readPaths(spark, schema.toDDL,
+      files.map(f => new Path(root, f).toString), partitioned, root)
+  }
+
+  /** Shallow clone: publish `srcRoot`'s chosen snapshot (default
+    * newest) as version 1 of a NEW table at `dstRoot`, referencing the
+    * SOURCE's immutable data files by absolute path — zero data copied,
+    * O(manifest) time regardless of table size. The clone is a real
+    * table from then on: commits to it stage locally (a snapshot may
+    * mix cloned-from and local files), stats/blooms carry over keyed by
+    * the remapped names so pruning works unchanged, and nothing the
+    * clone does ever mutates the source (its files are never rewritten,
+    * and the clone's [[expire]] only walks its OWN data dir).
+    *
+    * The one hazard is the standard shallow-clone contract (Delta's
+    * too, public docs): expiring/vacuuming the SOURCE can delete files
+    * a clone still references. Clone lifetime must sit inside the
+    * source's retention, or the clone must be re-materialized
+    * ([[compact]] rewrites it onto local files). */
+  def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
+                   version: Option[Int] = None): Int = {
+    require(currentVersion(spark, dstRoot).isEmpty, s"table exists at $dstRoot")
+    val v = version.orElse(currentVersion(spark, srcRoot))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $srcRoot"))
+    val m = readManifest(spark, srcRoot, v)
+    val f = fs(spark, new Path(srcRoot))
+    val abs = m.files.map(rel =>
+      f.makeQualified(new Path(srcRoot, rel)).toUri.getPath)
+    val remap = m.files.zip(abs).toMap
+    writeManifest(spark, dstRoot, Manifest(1, m.schemaDdl, abs,
+      stats = m.stats.map { case (k, s) => remap.getOrElse(k, k) -> s },
+      blooms = m.blooms.map { case (k, b) => remap.getOrElse(k, k) -> b },
+      partitionCols = m.partitionCols))
+    1
   }
 }

@@ -280,23 +280,9 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
           "file(s) (overwrite/delete/compaction): not an append-only feed. " +
           "Set ignoreChanges=true to re-deliver rewritten files' rows.")
     val fresh = after.filterNot(before)
-    val batch =
-      if (fresh.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else {
-        val reader = spark.read.schema(schema)
-        // hive-partitioned table: partition values resolve from the k=v
-        // dir names; re-select restores the declared column order
-        val withBase =
-          if (VersionedTable.partitionColsOf(spark, root).isEmpty) reader
-          else reader.option("basePath",
-            new org.apache.hadoop.fs.Path(root, "data").toString)
-        withBase.parquet(
-            fresh.map(f => new org.apache.hadoop.fs.Path(root, f).toString): _*)
-          .select(schema.fieldNames.toSeq.map(
-            org.apache.spark.sql.functions.col): _*)
-      }
+    // partition-aware read under the stream's PINNED schema (partition
+    // values resolve from the k=v dir names, clones included)
+    val batch = VersionedTable.readFilesAs(spark, root, fresh, schema)
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(spark, batch, schema)
   }
 

@@ -549,6 +549,60 @@ class VersionedTableSpec extends SparkSpec {
     assert(streamed == Set((1L, 1), (2L, 2), (3L, 3), (12L, 2)))
   }
 
+  test("shallow clone: O(1) copy sharing data files, then diverging safely") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))       // src v1
+    VersionedTable.append(spark, root, df(3))          // src v2
+    val cloneRoot = freshRoot()
+    assert(VersionedTable.cloneShallow(spark, root, cloneRoot) == 1)
+    // the clone reads the source snapshot without owning any data files
+    assert(idsOf(VersionedTable.read(spark, cloneRoot)) == Seq(1L, 2L, 3L))
+    val f = new java.io.File(cloneRoot, "data")
+    assert(!f.exists() || f.listFiles().isEmpty, "clone copied data files")
+    // divergence: clone commits stage locally, source never sees them
+    VersionedTable.append(spark, cloneRoot, df(99))
+    assert(idsOf(VersionedTable.read(spark, cloneRoot)) == Seq(1L, 2L, 3L, 99L))
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 2L, 3L))
+    // ...and source commits after the clone point stay invisible to it
+    VersionedTable.append(spark, root, df(4))
+    assert(idsOf(VersionedTable.read(spark, cloneRoot)) == Seq(1L, 2L, 3L, 99L))
+    // carried-over stats still prune on the clone (remapped file keys)
+    val keep = VersionedTable.prunedFiles(spark, cloneRoot,
+      Map("id" -> (Some(99L), Some(99L))))
+    assert(keep.size < VersionedTable.filesOf(spark, cloneRoot).size,
+      s"stats must prune the cloned snapshot: kept $keep")
+    // the clone's GC never reaches into the source
+    VersionedTable.expire(spark, cloneRoot, keepLast = 1)
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 2L, 3L, 4L))
+    assert(idsOf(VersionedTable.read(spark, cloneRoot)) == Seq(1L, 2L, 3L, 99L))
+  }
+
+  test("shallow clone of a partitioned table resolves partition values") {
+    val root = freshRoot()
+    val d = df(1, 2, 3, 12).withColumn("bucket", (col("id") % 10).cast("int"))
+    VersionedTable.create(spark, root, d, partitionBy = Seq("bucket"))
+    val cloneRoot = freshRoot()
+    VersionedTable.cloneShallow(spark, root, cloneRoot)
+    assert(VersionedTable.partitionColsOf(spark, cloneRoot) == Seq("bucket"))
+    val got = VersionedTable.read(spark, cloneRoot)
+    assert(got.columns.toSeq == Seq("id", "payload", "bucket"))
+    assert(got.select("id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 1), (2L, 2), (3L, 3), (12L, 2)))
+    // a local append yields a MIXED snapshot (cloned-from + local files);
+    // both partition bases must resolve
+    VersionedTable.append(spark, cloneRoot,
+      df(22).withColumn("bucket", (col("id") % 10).cast("int")))
+    assert(VersionedTable.read(spark, cloneRoot)
+      .filter(col("bucket") === 2).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 12L, 22L))
+    // partition predicate prunes the mixed snapshot from the manifest
+    val keep = VersionedTable.prunedFiles(spark, cloneRoot,
+      Map("bucket" -> (Some(2L), Some(2L))))
+    assert(keep.nonEmpty &&
+      keep.forall(p => p.contains("bucket=2")), s"pruned set: $keep")
+  }
+
   test("a rewrite pinned to a stale base is refused, not silently applied") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))                          // v1
