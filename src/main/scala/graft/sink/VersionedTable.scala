@@ -1029,6 +1029,23 @@ object VersionedTable {
     val live = keep.flatMap(v => readManifest(spark, root, v).files).toSet
     drop.foreach(v => f.delete(manifestPath(root, v), false))
     val dd = dataDir(root)
+    // clone back-references: any local file a REGISTERED, still-existing
+    // clone references stays live — expire never breaks a clone it knows
+    // about. A marker whose clone is gone (no manifests) is retired.
+    val cloneLive: Set[String] =
+      if (!f.exists(logDir(root))) Set.empty
+      else f.listStatus(logDir(root)).map(_.getPath)
+        .filter(_.getName.startsWith(".clone-"))
+        .flatMap { mk =>
+          val in = f.open(mk)
+          val dst = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          finally in.close()
+          val vs2 = versions(spark, dst)
+          if (vs2.isEmpty) { f.delete(mk, false); Seq.empty }
+          else vs2.flatMap(v2 => readManifest(spark, dst, v2).files)
+            .filter(_.startsWith("/"))
+        }.toSet
     // recursive walk: partitioned tables nest files under k=v dirs
     def files(p: Path): Seq[Path] =
       f.listStatus(p).toSeq.flatMap { st =>
@@ -1040,7 +1057,7 @@ object VersionedTable {
       else files(dd).count { p =>
         val full = f.makeQualified(p).toUri.getPath
         val rel = "data" + full.stripPrefix(base)
-        !live.contains(rel) && f.delete(p, false)
+        !live.contains(rel) && !cloneLive.contains(full) && f.delete(p, false)
       }
     (drop.size, removed)
   }
@@ -1075,11 +1092,13 @@ object VersionedTable {
     * clone does ever mutates the source (its files are never rewritten,
     * and the clone's [[expire]] only walks its OWN data dir).
     *
-    * The one hazard is the standard shallow-clone contract (Delta's
-    * too, public docs): expiring/vacuuming the SOURCE can delete files
-    * a clone still references. Clone lifetime must sit inside the
-    * source's retention, or the clone must be re-materialized
-    * ([[compact]] rewrites it onto local files). */
+    * Unlike the standard shallow-clone contract (where vacuuming the
+    * SOURCE strands clones — the documented Delta hazard), the clone
+    * REGISTERS itself: a `.clone-*` marker lands in the `_log/` of every
+    * root whose files the cloned manifest references (clone chains
+    * propagate to the original owner), and [[expire]] keeps any local
+    * file a registered, still-existing clone references. Deleting the
+    * clone's directory retires its marker on the source's next expire. */
   def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
                    version: Option[Int] = None): Int = {
     require(currentVersion(spark, dstRoot).isEmpty, s"table exists at $dstRoot")
@@ -1094,6 +1113,23 @@ object VersionedTable {
       stats = m.stats.map { case (k, s) => remap.getOrElse(k, k) -> s },
       blooms = m.blooms.map { case (k, b) => remap.getOrElse(k, k) -> b },
       partitionCols = m.partitionCols))
+    // back-reference every owning root (a clone OF a clone references
+    // the original's files — the marker must land with the owner)
+    abs.flatMap(ownerRootOf).distinct.foreach { owner =>
+      val fo = fs(spark, new Path(owner))
+      fo.mkdirs(logDir(owner))
+      val marker = new Path(logDir(owner),
+        s".clone-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fo.create(marker, true)
+      try out.write(dstRoot.getBytes("UTF-8")) finally out.close()
+    }
     1
+  }
+
+  /** The table root owning an absolute data-file path (prefix before
+    * "/data/"), if the path has the table layout. */
+  private def ownerRootOf(absPath: String): Option[String] = {
+    val i = absPath.indexOf("/data/")
+    if (i > 0) Some(absPath.substring(0, i)) else None
   }
 }

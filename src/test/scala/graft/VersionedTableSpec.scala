@@ -577,6 +577,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(idsOf(VersionedTable.read(spark, cloneRoot)) == Seq(1L, 2L, 3L, 99L))
   }
 
+  test("expire keeps files a registered clone references; retires dead markers") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))       // src v1
+    val cloneRoot = freshRoot()
+    VersionedTable.cloneShallow(spark, root, cloneRoot)
+    // source moves on: overwrite orphans v1's files FROM THE SOURCE's view
+    VersionedTable.overwrite(spark, root, df(9))       // src v2
+    val (dropped, removed) = VersionedTable.expire(spark, root, keepLast = 1)
+    assert(dropped == 1 && removed == 0,
+      s"v1 files are clone-referenced and must survive GC (removed=$removed)")
+    assert(idsOf(VersionedTable.read(spark, cloneRoot)) == Seq(1L, 2L),
+      "the clone still reads its snapshot after the source expired it")
+    // delete the clone wholesale -> next expire retires the marker and GCs
+    def rmTree(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rmTree); p.delete()
+    }
+    rmTree(new java.io.File(cloneRoot))
+    val (_, removed2) = VersionedTable.expire(spark, root, keepLast = 1)
+    assert(removed2 > 0, "with the clone gone its files must finally GC")
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(9L))
+  }
+
   test("shallow clone of a partitioned table resolves partition values") {
     val root = freshRoot()
     val d = df(1, 2, 3, 12).withColumn("bucket", (col("id") % 10).cast("int"))
