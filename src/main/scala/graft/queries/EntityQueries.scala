@@ -37,6 +37,13 @@ object EntityQueries {
   /** Jaro-Winkler accept threshold (on the 9-dp-rounded score). */
   val MatchTau = 0.85
 
+  /** Sorted-neighborhood window width (pairs per name, forward only). */
+  val SnmW = 3
+
+  /** Master/batch split for incremental canonicalization: partkeys
+    * divisible by 5 are "incoming", the rest are the master corpus. */
+  val BatchMod = 5
+
   /** Distinct-name dictionary with group weights and the composite
     * blocking key: (first token, length band of 4 bytes). */
   private def dictionary(s: SparkSession, d: String): DataFrame =
@@ -64,6 +71,14 @@ object EntityQueries {
       .filter(col("sim") >= MatchTau)
   }
 
+  /** Distinct-name dictionary of a part subset (master vs batch). */
+  private def dictOf(df: DataFrame): DataFrame =
+    df.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("name"), col("n"),
+        split(col("name"), " ").getItem(0).as("w1"),
+        floor(length(col("name")) / 4).cast("long").as("lb"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The match table itself: every accepted dictionary pair with its
@@ -73,6 +88,56 @@ object EntityQueries {
     "q176_er_matches" -> ((s, d) =>
       matches(s, d).select(col("name_a"), col("name_b"), col("sim"),
         (col("na") * col("nb")).as("rec_pairs"))),
+
+    // The OTHER classic candidate generator: sorted neighborhood
+    // (Hernández & Stolfo '95) — sort the dictionary, pair each name
+    // with its next w neighbors, verify. Catches what key blocking
+    // misses (a typo in the blocking token moves a name to a different
+    // block but rarely far in sort order) at O(dict · w) candidates.
+    // The window is fenced: it orders the distinct-name DICTIONARY
+    // (vocabulary-bounded), never corpus rows; at scale the sort is a
+    // range-partition sort with w rows of boundary overlap per split.
+    "q178_er_neighborhood" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("name")) // fenced: ≤ distinct names
+      dictionary(s, d)
+        .withColumn("nbs",
+          array((1 to SnmW).map(k => lead(col("name"), k).over(w)): _*))
+        .select(col("name").as("name_a"),
+          posexplode(col("nbs")).as(Seq("off", "name_b")))
+        .filter(col("name_b").isNotNull)
+        .select(col("name_a"), col("name_b"),
+          (col("off") + 1).cast("long").as("w_off"),
+          round(jaroWinkler(col("name_a"), col("name_b")), 9).as("sim"))
+        .filter(col("sim") >= MatchTau)
+    }),
+
+    // Canonicalization against a master dictionary — the PRODUCTION ER
+    // apply step: every incoming batch name resolves to its best master
+    // match (blocked candidates, highest similarity, ties → lexicographic
+    // master name) or stays unmatched. Per-ingest work ∝ batch size ×
+    // block width; the master corpus contributes one dictionary
+    // aggregate, and the batch never pairs against corpus ROWS.
+    "q180_er_canonicalize" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val parts = Tables.part(s, d)
+      val master = dictOf(parts.filter(col("p_partkey") % BatchMod =!= 0))
+        .select(col("name").as("m_name"), col("w1").as("mw"), col("lb").as("ml"))
+      val batch = dictOf(parts.filter(col("p_partkey") % BatchMod === 0))
+        .select(col("name").as("name_new"), col("n").as("n_new"),
+          col("w1").as("bw"), col("lb").as("bl"))
+      val cands = batch.join(master,
+        col("bw") === col("mw") && abs(col("bl") - col("ml")) <= 1, "left")
+        .select(col("name_new"), col("n_new"), col("m_name"),
+          round(jaroWinkler(col("name_new"), col("m_name")), 9).as("sim"))
+      val w = Window.partitionBy(col("name_new"))
+        .orderBy(col("sim").desc_nulls_last, col("m_name").asc_nulls_last)
+      cands.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("name_new"), col("n_new"),
+          col("m_name").as("best_match"), col("sim"),
+          (col("sim").isNotNull && col("sim") >= MatchTau).as("matched"))
+    }),
 
     // Entity clusters: connected components over the accepted match
     // graph (min-name label propagation — one join+aggregate per round,
@@ -131,6 +196,48 @@ object EntityQueries {
         s"""WITH $dictSql, $matchSql
             SELECT name_a, name_b, sim, (na * nb)::BIGINT AS rec_pairs
             FROM accepted""",
+      "q178_er_neighborhood" ->
+        s"""WITH $dictSql,
+            nb AS (
+              SELECT name AS name_a,
+                     ${(1 to SnmW).map(k =>
+                       s"lead(name, $k) OVER (ORDER BY name) AS n$k")
+                       .mkString(", ")}
+              FROM names),
+            expanded AS (
+              ${(1 to SnmW).map(k =>
+                s"SELECT name_a, n$k AS name_b, ${k}::BIGINT AS w_off FROM nb WHERE n$k IS NOT NULL")
+                .mkString("\n              UNION ALL ")}),
+            scored AS (
+              SELECT name_a, name_b, w_off,
+                     round(${jaroWinklerSql("name_a", "name_b")}, 9) AS sim
+              FROM expanded)
+            SELECT name_a, name_b, w_off, sim FROM scored
+            WHERE sim >= $MatchTau""",
+      "q180_er_canonicalize" ->
+        s"""WITH masterd AS (
+              SELECT p_name AS m_name,
+                     split_part(p_name, ' ', 1) AS mw,
+                     (length(p_name) // 4)::BIGINT AS ml
+              FROM part WHERE p_partkey % $BatchMod <> 0 GROUP BY 1, 2, 3),
+            batchd AS (
+              SELECT p_name AS name_new, count(*)::BIGINT AS n_new,
+                     split_part(p_name, ' ', 1) AS bw,
+                     (length(p_name) // 4)::BIGINT AS bl
+              FROM part WHERE p_partkey % $BatchMod = 0 GROUP BY 1, 3, 4),
+            cands AS (
+              SELECT name_new, n_new, m_name,
+                     round(${jaroWinklerSql("name_new", "m_name")}, 9) AS sim
+              FROM batchd LEFT JOIN masterd
+                ON bw = mw AND abs(bl - ml) <= 1),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY name_new
+                ORDER BY sim DESC NULLS LAST, m_name ASC NULLS LAST) AS rk
+              FROM cands)
+            SELECT name_new, n_new, m_name AS best_match, sim,
+                   (sim IS NOT NULL AND sim >= $MatchTau) AS matched
+            FROM ranked WHERE rk = 1""",
       "q177_er_entities" ->
         s"""WITH RECURSIVE $dictSql, $matchSql,
             bidir AS (SELECT name_a AS s, name_b AS t FROM accepted

@@ -242,6 +242,35 @@ object ScaleQueries {
         .select(col("doc_id"), col("n_spans"), col("n_dup"),
           coalesce(col("mr"), lit(0L)).as("max_run"))
     }),
+
+    // One synchronous label-propagation round (community detection, the
+    // LPA family next to min-label CC): every node adopts the MOST
+    // FREQUENT label among its neighbors (ties → smallest label), over
+    // the same supplier↔part graph as q120/q161. Labels are seeded with
+    // coarse hash buckets (node % 100) — id-seeded LPA's first round
+    // degenerates to min-neighbor because every vote count is 1. One
+    // edge join + one (node, label) count + one per-node window: per
+    // round exactly the q120 iteration profile, with the rank vector
+    // replaced by a label vector.
+    "q179_lpa_step" -> ((s, d) => {
+      val edges = lineitem(s, d)
+        .select(col("l_suppkey").cast("long").as("sk"),
+          (col("l_partkey") + PrPartOffset).as("pk")).distinct()
+      val bidir = edges.select(col("sk").as("src"), col("pk").as("dst"))
+        .union(edges.select(col("pk").as("src"), col("sk").as("dst")))
+      val labels = bidir.select(col("src").as("node")).distinct()
+        .select(col("node"), (col("node") % 100).as("lbl"))
+      val votes = bidir
+        .join(labels.select(col("node").as("nb"), col("lbl").as("nlbl")),
+          col("dst") === col("nb"))
+        .groupBy(col("src").as("node"), col("nlbl"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("votes").desc, col("nlbl").asc)
+      votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("nlbl").as("lbl"), col("votes"))
+    }),
   )
 
   private val defs2: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -600,6 +629,23 @@ object ScaleQueries {
                    coalesce(max(mr), 0)::BIGINT AS max_run
             FROM flagged LEFT JOIN runs ON flagged.doc_id = runs.doc_id
             GROUP BY 1""",
+      "q179_lpa_step" ->
+        s"""WITH edges AS (
+              SELECT DISTINCT l_suppkey::BIGINT AS sk,
+                     l_partkey + $PrPartOffset AS pk FROM lineitem),
+            bidir AS (SELECT sk AS src, pk AS dst FROM edges
+                      UNION ALL SELECT pk, sk FROM edges),
+            labels AS (SELECT DISTINCT src AS node, src % 100 AS lbl
+                       FROM bidir),
+            votes AS (
+              SELECT b.src AS node, l.lbl AS nlbl, count(*)::BIGINT AS votes
+              FROM bidir b JOIN labels l ON b.dst = l.node
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY node ORDER BY votes DESC, nlbl ASC) AS rk
+              FROM votes)
+            SELECT node, nlbl AS lbl, votes FROM ranked WHERE rk = 1""",
       "q163_embed_cov" ->
         s"""WITH e AS (SELECT list_transform(embedding,
                          x -> CAST(round(CAST(x AS DOUBLE), 7) AS DECIMAL(12,7))) AS dv
