@@ -47,6 +47,13 @@ object StreamQueries {
     "q79_stream_enrich" -> ((s, d) =>
       EventsStream.enrichedRollupStreaming(s, d)),
 
+    // Stream-stream LEFT OUTER join: unmatched clicks emit (click, NULL)
+    // on watermark expiry — the state-eviction semantics the inner join
+    // never exercises. Oracle is the batch LEFT JOIN with the identical
+    // interval condition (stream/batch parity incl. the null rows).
+    "q181_stream_left_join" -> ((s, d) =>
+      EventsStream.clickPurchaseLeftJoinStreaming(s, d)),
+
     // Streaming incremental dedup: the q135 daily-ingest relation driven
     // by a real file stream — per micro-batch the new docs shingle, probe
     // the static banded index, exact-verify, and commit to a versioned
@@ -186,6 +193,16 @@ object StreamQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          GROUP BY n_name, event_type""",
+    "q181_stream_left_join" ->
+      """SELECT c.user_id AS user_id,
+                c.event_id AS click_id,
+                p.event_id AS purchase_id,
+                epoch_ns(p.ts) // 1000000000 - epoch_ns(c.ts) // 1000000000 AS lag_s
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 1 HOUR""",
     // session_window parity: a new session starts when the gap is >= 4 h
     // (streaming session windows [t, t+gap) merge only on strict overlap)
     "q67_stream_sessions" ->

@@ -210,6 +210,101 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream LEFT OUTER join — the state-EXPIRY semantics the
+    * inner join never exercises: a click with no purchase in its 1 h
+    * window emits (click, NULL) only once the watermark proves no match
+    * can still arrive, i.e. the engine must hold the click in state,
+    * watch the watermark pass cts + 1 h + delay, and emit-on-expiry.
+    *
+    * Drain mechanics, which ARE the point: outer results flush only when
+    * the watermark ADVANCES PAST the open windows, and the watermark is
+    * the min over both sides, computed at batch boundaries. So the
+    * landing dir stages the real events plus a LATER sentinel file (one
+    * far-future click + one far-future purchase under unmatchable
+    * user_ids, different keys so they cannot join each other);
+    * maxFilesPerTrigger=1 sequences it into its own micro-batch, whose
+    * end-of-batch watermark update unlocks every real click's expiry,
+    * and the engine's no-data micro-batch then emits the outer rows.
+    * Sentinel artifacts filter out by click_id < 0. */
+  def clickPurchaseLeftJoinStreaming(spark: SparkSession, sfDir: String,
+                                     queryName: String = "graft_stream_ljoin"): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val landing = stagedDirs.computeIfAbsent((sfDir, "events_lj", 1), { _ =>
+      val dir = scratchDir("graft_stream_events_lj")
+      Files.copy(Paths.get(s"$sfDir/events.parquet"),
+        dir.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      // Sentinel rows: one per SIDE (the global watermark is the min over
+      // both inputs), a day past the corpus horizon. Staged OUTSIDE the
+      // landing dir, then copied in TWICE: the first sentinel batch's END
+      // advances the watermark to the far future, and outer-state
+      // eviction only runs during a batch — the second sentinel batch is
+      // that batch, flushing even the click whose expiry sat between the
+      // real data's end-watermark and the sentinel's.
+      val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      val far = batch.agg(max(col("ts"))).head.getLong(0) + 86400L * 1000000000L
+      val one = batch.limit(1)
+      val stage = scratchDir("graft_stream_events_lj_stage")
+      one.withColumn("ts", lit(far))
+        .withColumn("event_id", lit(-1L)).withColumn("user_id", lit(-999999L))
+        .withColumn("event_type", lit("click"))
+        .unionByName(one.withColumn("ts", lit(far))
+          .withColumn("event_id", lit(-2L)).withColumn("user_id", lit(-888888L))
+          .withColumn("event_type", lit("purchase")))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).toArray
+        .map(_.toString).find(_.endsWith(".parquet")).get
+      Files.copy(Paths.get(part), dir.resolve("z1_sentinel.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(Paths.get(part), dir.resolve("z2_sentinel.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      dir.toString
+    })
+    // Watermark policy MAX, scoped to this query: both watermark nodes
+    // are filtered views of the SAME source, so the source's true
+    // event-time high watermark is the max over the views — min-policy
+    // tracks whichever view is sparser (measured: the clicks view's
+    // node pinned the global watermark at its batch-0 max forever and
+    // the last unmatched click never flushed). With one event-time line
+    // there is no cross-source skew for min to protect against.
+    val wmKey = "spark.sql.streaming.multipleWatermarkPolicy"
+    val oldPolicy = spark.conf.getOption(wmKey)
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+              col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val joined = clicks.join(purchases,
+        expr("user_id = p_user AND pts >= cts AND pts <= cts + interval 1 hour"),
+        "leftOuter")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_seconds(col("pts")) - unix_seconds(col("cts"))).as("lag_s"))
+      .filter(col("click_id") >= 0)
+    withStreamPartitions(spark, 8) {
+      spark.conf.set(wmKey, "max")
+      try {
+        val q = joined.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(queryName)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally oldPolicy match {
+        case Some(v) => spark.conf.set(wmKey, v)
+        case None => spark.conf.unset(wmKey)
+      }
+    }
+    spark.table(queryName)
+  }
+
   /** Stream-static enrichment: the event stream joined to a STATIC
     * dimension (batch nation table keyed by user_id mod 25) inside the
     * streaming query — Spark broadcasts the static side into every

@@ -640,6 +640,49 @@ class VersionedTableSpec extends SparkSpec {
       "the intervening append survives the refused rewrite")
   }
 
+  test("mixed churn: CAS writers race compaction and readers; no torn state") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(0))
+    // 3 appendCas writers × 3 appends, a compactor that keeps rewriting
+    // the table (retrying refused stale-base publishes), and a reader
+    // polling full snapshots. Invariants: every append survives, every
+    // read is a CONSISTENT snapshot (a prefix of the commit order, never
+    // a torn mix), versions stay strictly sequential.
+    val writers = (1 to 3).map { w =>
+      Future {
+        (1 to 3).foreach { k =>
+          VersionedTable.appendCas(spark, root, df(w * 10L + k))
+        }
+      }
+    }
+    val compactor = Future {
+      (1 to 4).foreach { _ =>
+        try VersionedTable.compact(spark, root, targetBytes = 1L << 30)
+        catch { case e: java.io.IOException
+            if e.getMessage.contains("already committed") => () } // lost race: fine
+        Thread.sleep(30)
+      }
+    }
+    val readerOk = Future {
+      (1 to 10).forall { _ =>
+        val ids = idsOf(VersionedTable.read(spark, root))
+        Thread.sleep(15)
+        // consistent = contains the seed and never a partial duplicate mix
+        ids.contains(0L) && ids.distinct == ids
+      }
+    }
+    Await.result(Future.sequence(writers :+ compactor), 120.seconds)
+    assert(Await.result(readerOk, 120.seconds), "reader saw a torn snapshot")
+    val expected = (Seq(0L) ++ (for (w <- 1 to 3; k <- 1 to 3) yield w * 10L + k)).sorted
+    assert(idsOf(VersionedTable.read(spark, root)) == expected,
+      "every append survives the churn")
+    val vs = VersionedTable.versions(spark, root)
+    assert(vs == (vs.head to vs.last), "versions strictly sequential")
+  }
+
   test("double-commit of the same version number is refused") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
