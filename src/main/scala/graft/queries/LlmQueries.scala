@@ -259,6 +259,31 @@ object LlmQueries {
       Similarity.cosineTopK(emb, q, 10, 0L)
     }),
 
+    // Hard-negative mining for retrieval/embedding training: for each
+    // query vector, the top-3 most-similar CORPUS vectors with a
+    // DIFFERENT label — near-misses the contrastive loss needs (random
+    // negatives are trivially easy; same-label hits are positives, not
+    // negatives). Query set bounded (broadcast [bounded: fixed 20-query
+    // panel]); the corpus scan never shuffles; the per-query top-3 runs
+    // as WindowGroupLimit (per-partition limit heaps, then merge — the
+    // same physical shape as the window-rank family).
+    "q183_hard_negatives" -> ((s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("e"))
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("e").as("qe"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      emb.join(broadcast(q), col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id"),
+          round(cosine(col("e"), col("qe")), 6).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("vec_id").as("neg_id"), col("rk").cast("long").as("rk"),
+          col("sim"))
+    }),
+
     // Near-dup pairs: top-3 by cosine per (label, id-block) — blocked
     // all-pairs with deterministic rank.
     "q35_embed_neardup" -> ((s, d) => {
@@ -492,6 +517,20 @@ object LlmQueries {
             SELECT vec_id, ${cosineSql("e.e", "q.qe")} AS sim
             FROM e, q WHERE vec_id <> 0
             ORDER BY sim DESC, vec_id LIMIT 10""",
+      "q183_hard_negatives" ->
+        s"""WITH e AS (SELECT vec_id, label, ${asDoubleSql("embedding")} AS e
+                       FROM embeddings),
+            q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe
+                  FROM e WHERE vec_id < 20),
+            scored AS (
+              SELECT qid, vec_id, round(${cosineSql("e.e", "q.qe")}, 6) AS sim
+              FROM e JOIN q ON e.label <> q.qlabel),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY sim DESC, vec_id) AS rk
+              FROM scored)
+            SELECT qid, vec_id AS neg_id, rk::BIGINT AS rk, sim
+            FROM ranked WHERE rk <= 3""",
       "q35_embed_neardup" ->
         s"""WITH emb AS (SELECT vec_id, label, vec_id // 500 AS blk,
                                 ${asDoubleSql("embedding")} AS e

@@ -243,6 +243,55 @@ object ScaleQueries {
           coalesce(col("mr"), lit(0L)).as("max_run"))
     }),
 
+    // The APPLY half of exact-substring dedup (Lee et al. '22 shape):
+    // q122 DETECTS duplicated 2-token shingle spans; this cuts them.
+    // A token is removed when any duplicated shingle covers it (a
+    // shingle at position j covers tokens j and j+1), and the cleaned
+    // text is rebuilt from the surviving tokens in order. Same
+    // tokenizer and shingle-hash definitions as q122/the MinHash
+    // family, so detect and apply cannot disagree. All joins and the
+    // rebuild aggregate partition by doc_id — co-partitioning carries
+    // through; the shingle-frequency exchange is the only global one.
+    "q182_span_dedup_apply" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val base = documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), toks.as("tk"))
+        // layered select: th MATERIALIZED before combineAdjacent's
+        // element_at references it (the q52 O(n²) inlining trap)
+        .select(col("doc_id"), col("tk"),
+          transform(col("tk"), t => charFold(t)).as("th"))
+        .select(col("doc_id"), col("tk"),
+          Dedup.combineAdjacent(col("th")).as("sh"))
+        .localCheckpoint() // shared by the freq pass and the rebuild
+      val pos = base.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), posexplode_outer(col("sh")))
+        .select(col("doc_id"), (col("pos") + 1).as("spos"), col("col").as("ph"))
+      val freq = pos.groupBy(col("ph"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val dupPos = pos.join(freq, "ph").filter(col("nd") >= SpanMinDocs)
+        .select(col("doc_id"), col("spos")).localCheckpoint()
+      val tokPos = base.select(col("doc_id"), posexplode_outer(col("tk")))
+        .select(col("doc_id"), (col("pos") + 1).as("tpos"), col("col").as("tok"))
+        .filter(col("tok").isNotNull)
+      val kept = tokPos
+        .join(dupPos.select(col("doc_id").as("d1"), col("spos").as("p1")),
+          col("doc_id") === col("d1") && col("tpos") === col("p1"), "left_anti")
+        .join(dupPos.select(col("doc_id").as("d2"), (col("spos") + 1).as("p2")),
+          col("doc_id") === col("d2") && col("tpos") === col("p2"), "left_anti")
+      val cleaned = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+              x => x.getField("tok")), " ").as("cleaned"))
+      base.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+        .join(cleaned, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+          coalesce(col("cleaned"), lit("")).as("cleaned"))
+    }),
+
     // One synchronous label-propagation round (community detection, the
     // LPA family next to min-label CC): every node adopts the MOST
     // FREQUENT label among its neighbors (ties → smallest label), over
@@ -629,6 +678,39 @@ object ScaleQueries {
                    coalesce(max(mr), 0)::BIGINT AS max_run
             FROM flagged LEFT JOIN runs ON flagged.doc_id = runs.doc_id
             GROUP BY 1""",
+      "q182_span_dedup_apply" ->
+        s"""WITH tokd AS (SELECT doc_id, $tokSql AS tk FROM documents),
+            base AS (
+              SELECT doc_id, tk, ${Dedup.combineAdjacentSql("th")} AS sh FROM (
+                SELECT doc_id, tk,
+                       list_transform(tk, t -> ${charFoldSql("t")}) AS th
+                FROM tokd)
+              WHERE len(tk) >= 2),
+            pos AS (SELECT doc_id, i AS spos, sh[i] AS ph FROM (
+                      SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS i
+                      FROM base)),
+            freq AS (SELECT ph, count(DISTINCT doc_id) AS nd
+                     FROM pos GROUP BY 1),
+            dup AS (SELECT doc_id, spos FROM pos JOIN freq USING (ph)
+                    WHERE nd >= $SpanMinDocs),
+            tokpos AS (SELECT doc_id, i AS tpos, tk[i] AS tok FROM (
+                         SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+                         FROM tokd)),
+            kept AS (
+              SELECT t.doc_id, t.tpos, t.tok FROM tokpos t
+              WHERE NOT EXISTS (SELECT 1 FROM dup
+                                WHERE dup.doc_id = t.doc_id AND dup.spos = t.tpos)
+                AND NOT EXISTS (SELECT 1 FROM dup
+                                WHERE dup.doc_id = t.doc_id AND dup.spos = t.tpos - 1)),
+            cleaned AS (
+              SELECT doc_id, count(*)::BIGINT AS n_kept,
+                     array_to_string(list(tok ORDER BY tpos), ' ') AS cleaned
+              FROM kept GROUP BY 1)
+            SELECT t.doc_id AS doc_id, len(tk)::BIGINT AS n_tokens,
+                   coalesce(n_kept, 0)::BIGINT AS n_kept,
+                   (len(tk) - coalesce(n_kept, 0))::BIGINT AS n_removed,
+                   coalesce(cleaned, '') AS cleaned
+            FROM tokd t LEFT JOIN cleaned c ON t.doc_id = c.doc_id""",
       "q179_lpa_step" ->
         s"""WITH edges AS (
               SELECT DISTINCT l_suppkey::BIGINT AS sk,
