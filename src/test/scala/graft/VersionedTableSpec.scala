@@ -232,13 +232,22 @@ class VersionedTableSpec extends SparkSpec {
     val source = (Seq(14L, 15L) ++ (31L to 45L)).toDF("id")
       .withColumn("payload", col("id") * 1000)
     val v = VersionedTable.mergeInto(spark, root, source, Seq("id"))
-    assert(v == 4)
+    // diagnostic context for the intermittent failure (NOTES "flake
+    // watch"): the pruning decision + pre-merge stats visibility, so a
+    // failure under full-suite load shows WHICH file kept/lost its
+    // stats rather than just a mismatched id list
+    def pruneDbg = "touched=" +
+      VersionedTable.prunedFiles(spark, root,
+        Map("id" -> (Some(14L), Some(45L))), Some(3)).mkString(",") +
+      " all=" + VersionedTable.filesOf(spark, root).mkString(",")
+    assert(v == 4, s"v=$v $pruneDbg")
     val files = VersionedTable.prunedFiles(spark, root, Map.empty)
-    assert(files.exists(_.contains("c1-")), "out-of-range file must carry over")
+    assert(files.exists(_.contains("c1-")),
+      s"out-of-range file must carry over; $pruneDbg")
     assert(!files.exists(_.contains("c2-")) && !files.exists(_.contains("c3-")),
-      s"in-range files must be rewritten: $files")
+      s"in-range files must be rewritten: $files; $pruneDbg")
     val now = VersionedTable.read(spark, root)
-    assert(idsOf(now) == (1L to 45L))
+    assert(idsOf(now) == (1L to 45L), s"ids=${idsOf(now)}; $pruneDbg")
     // replaced rows carry the SOURCE payload; unmatched target rows kept
     val payloads = now.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(payloads(14L) == 14000L && payloads(15L) == 15000L)
