@@ -350,4 +350,29 @@ class PlanShapeSpec extends SparkSpec {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     } == 0, s"cohort size must come from the matrix itself, not a join:\n$plan")
   }
+
+  test("q183 hard negatives: query panel broadcasts, top-3 runs as WindowGroupLimit") {
+    val plan = executedPlan(SparkEntry.queries("q183_hard_negatives")(spark, sf))
+    // the corpus side must never shuffle FOR THE JOIN: the bounded query
+    // panel arrives by broadcast (nested-loop — the condition is a label
+    // inequality, no equi-key exists)
+    assert(countIn(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case b: BroadcastHashJoinExec => b
+    } >= 1, s"expected the query panel broadcast:\n$plan")
+    // rank<=3 must execute as the group-limit operator (per-partition
+    // top-k heaps), not a full per-query sort feeding a filter
+    assert(countIn(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    } >= 1, s"expected WindowGroupLimit for the per-query top-3:\n$plan")
+  }
+
+  test("q182 span-dedup apply: everything but the shingle-frequency pass stays doc_id-partitioned") {
+    val plan = executedPlan(SparkEntry.queries("q182_span_dedup_apply")(spark, sf))
+    // exchanges: the explicit doc_id repartition, the shingle-frequency
+    // aggregate (ph) + its join-back, and nothing else — the anti-joins
+    // and the rebuild aggregate all reuse doc_id partitioning
+    val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
+    assert(shuffles <= 4, s"expected ≤4 exchanges, got $shuffles:\n$plan")
+  }
 }
