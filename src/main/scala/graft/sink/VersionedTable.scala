@@ -1017,6 +1017,52 @@ object VersionedTable {
     overwrite(spark, root, df, baseVersion = Some(cur))
   }
 
+  /** Incremental compaction — OPTIMIZE scoped by predicate: only files
+    * whose manifest stats can match `preds` (one hot partition, one
+    * day's small-file spray) are rewritten into ceil(bytes/targetBytes)
+    * files; everything else carries over BY NAME with its stats and
+    * blooms. At 100 TB this is the only compaction shape that exists in
+    * practice: continuous ingest keeps producing small recent files
+    * while the cold bulk stays perfectly laid out — rewriting the whole
+    * table (plain [[compact]]) would be a full-table IO storm for a
+    * tail-sized problem. Commits at base+1 (a concurrent commit refuses
+    * it, the caller retries); a reader of any resolved version is
+    * untouched. No-op when the touched set is empty or ≤ 1 file. */
+  def compactWhere(spark: SparkSession, root: String, preds: RangePreds,
+                   targetBytes: Long = 128L * 1024 * 1024,
+                   clusterBy: Seq[String] = Seq.empty): Int = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val touched = prunedFiles(spark, root, preds, Some(cur))
+    if (touched.size <= 1 && clusterBy.isEmpty) return cur
+    val untouched = m.files.filterNot(touched.toSet)
+    val f = fs(spark, new Path(root))
+    val bytes = touched.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
+    val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val base = readPaths(spark, m.schemaDdl,
+      touched.map(p => new Path(root, p).toString),
+      m.partitionCols.nonEmpty, root)
+    val df =
+      if (clusterBy.isEmpty) base.repartition(target)
+      else {
+        import org.apache.spark.sql.functions.col
+        val ks = clusterBy.map(col)
+        base.repartitionByRange(target, ks: _*).sortWithinPartitions(ks: _*)
+      }
+    val v = cur + 1
+    val added = writeDataFiles(spark, root, df, v, m.partitionCols)
+    val addedStats = added
+      .map(p => p -> (fileStats(spark, root, p) ++ partitionStats(m.schemaDdl, p)))
+      .filter(_._2.nonEmpty).toMap
+    writeManifest(spark, root, Manifest(v, m.schemaDdl,
+      untouched ++ added, None,
+      m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats,
+      m.blooms.view.filterKeys(untouched.contains).toMap,
+      m.partitionCols))
+    v
+  }
+
   /** Expire all but the newest `keepLast` versions: their manifests are
     * deleted, then any data file referenced by NO surviving manifest is
     * removed (this also sweeps orphans from crashed commits). Returns

@@ -558,6 +558,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(streamed == Set((1L, 1), (2L, 2), (3L, 3), (12L, 2)))
   }
 
+  test("compactWhere rewrites only the predicate-matched partition; cold files untouched") {
+    val root = freshRoot()
+    val d = df(1L to 40L: _*)
+      .withColumn("bucket", (col("id") % 2).cast("int"))
+    VersionedTable.create(spark, root, d.repartition(8), partitionBy = Seq("bucket"))
+    val before = VersionedTable.filesOf(spark, root)
+    val cold = before.filter(_.contains("bucket=0"))
+    assert(before.count(_.contains("bucket=1")) > 1, s"need a small-file spray: $before")
+    // compact ONLY bucket=1
+    val v = VersionedTable.compactWhere(spark, root,
+      Map("bucket" -> (Some(1L), Some(1L))), targetBytes = 1L << 30)
+    assert(v == 2)
+    val after = VersionedTable.filesOf(spark, root)
+    assert(after.filter(_.contains("bucket=0")).sorted == cold.sorted,
+      "cold partition files must carry over BY NAME")
+    assert(after.count(_.contains("bucket=1")) == 1,
+      s"hot partition must compact to one file: $after")
+    // content identical, stats still prune, history intact
+    assert(idsOf(VersionedTable.read(spark, root)) == (1L to 40L))
+    assert(idsOf(VersionedTable.readWhere(spark, root,
+      Map("bucket" -> (Some(1L), Some(1L))))) == (1L to 39L by 2))
+    assert(idsOf(VersionedTable.read(spark, root, Some(1))) == (1L to 40L))
+    // no-op outside any data: same version back
+    assert(VersionedTable.compactWhere(spark, root,
+      Map("bucket" -> (Some(7L), Some(7L)))) == 2)
+  }
+
   test("shallow clone: O(1) copy sharing data files, then diverging safely") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1, 2))       // src v1
