@@ -19,6 +19,14 @@ class VersionedTableSpec extends SparkSpec {
   private def idsOf(frame: org.apache.spark.sql.DataFrame): Seq[Long] =
     frame.select("id").collect().map(_.getLong(0)).sorted.toSeq
 
+  /** Does this manifest entry belong to commit `v`? Matches the
+    * `cV-nonce-` prefix of the FILE NAME component only — a bare
+    * substring test ("c1-") can false-match the random parquet task
+    * UUID embedded later in the name (observed: a c2 file whose uuid
+    * contained "c1-" flaked two suites). */
+  private def ofCommit(entry: String, v: Int): Boolean =
+    entry.split('/').last.startsWith(s"c$v-")
+
   test("create/append/overwrite produce time-travelable versions") {
     val root = freshRoot()
     assert(VersionedTable.create(spark, root, df(1, 2)) == 1)
@@ -131,7 +139,7 @@ class VersionedTableSpec extends SparkSpec {
     // point-ish range inside the middle commit → exactly the c2 file
     val mid = VersionedTable.prunedFiles(spark, root,
       Map("id" -> (Some(14L), Some(16L))))
-    assert(mid.size == 1 && mid.head.contains("c2-"),
+    assert(mid.size == 1 && ofCommit(mid.head, 2),
       s"expected only commit 2's file, got $mid")
     // the pruned READ opens just that file and still answers correctly
     val r = VersionedTable.readWhere(spark, root, Map("id" -> (Some(14L), Some(16L))))
@@ -140,10 +148,10 @@ class VersionedTableSpec extends SparkSpec {
     // range spanning two commits keeps both, drops the third
     val two = VersionedTable.prunedFiles(spark, root,
       Map("id" -> (Some(8L), Some(12L))))
-    assert(two.size == 2 && two.forall(f => f.contains("c1-") || f.contains("c2-")))
+    assert(two.size == 2 && two.forall(f => ofCommit(f, 1) || ofCommit(f, 2)))
     // open-ended bound: everything >= 21 → only commit 3
     val hi = VersionedTable.prunedFiles(spark, root, Map("id" -> (Some(21L), None)))
-    assert(hi.size == 1 && hi.head.contains("c3-"))
+    assert(hi.size == 1 && ofCommit(hi.head, 3))
     // a provably-empty range prunes every file; the read is empty but typed
     val none = VersionedTable.readWhere(spark, root, Map("id" -> (Some(500L), None)))
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "payload"))
@@ -157,10 +165,10 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.append(spark, root, sdf("melon" -> 0.8, "peach" -> 0.9).coalesce(1))
     val m = VersionedTable.prunedFiles(spark, root,
       Map("name" -> (Some("m"), Some("z"))))
-    assert(m.size == 1 && m.head.contains("c2-"), s"expected only c2, got $m")
+    assert(m.size == 1 && ofCommit(m.head, 2), s"expected only c2, got $m")
     val s = VersionedTable.prunedFiles(spark, root,
       Map("score" -> (None, Some(0.5))))
-    assert(s.size == 1 && s.head.contains("c1-"), s"expected only c1, got $s")
+    assert(s.size == 1 && ofCommit(s.head, 1), s"expected only c1, got $s")
   }
 
   test("stats survive append carry-over, rollback, and time travel; compact recomputes") {
@@ -173,12 +181,12 @@ class VersionedTableSpec extends SparkSpec {
     // v2's carried-over v1 file kept its stats: a high range prunes it
     val hi2 = VersionedTable.prunedFiles(spark, root,
       Map("id" -> (Some(15L), None)), version = Some(2))
-    assert(hi2.size == 1 && hi2.head.contains("c2-"))
+    assert(hi2.size == 1 && ofCommit(hi2.head, 2))
     VersionedTable.overwrite(spark, root, df(21L to 30L: _*).coalesce(1)) // v3
     val v4 = VersionedTable.rollback(spark, root, to = 2)                 // v4 = v2's files
     val hi4 = VersionedTable.prunedFiles(spark, root,
       Map("id" -> (Some(15L), None)), version = Some(v4))
-    assert(hi4.size == 1 && hi4.head.contains("c2-"),
+    assert(hi4.size == 1 && ofCommit(hi4.head, 2),
       "rollback must carry the rolled-back version's stats")
     // compaction rewrites files; the new version re-records stats
     VersionedTable.compact(spark, root, targetBytes = Long.MaxValue)
@@ -200,10 +208,10 @@ class VersionedTableSpec extends SparkSpec {
     val after = VersionedTable.prunedFiles(spark, root, Map.empty)
     // c1 and c3 files carried over BYTE-identical (same names); c2's file
     // was replaced by a c4 rewrite
-    assert(after.count(f => f.contains("c1-") || f.contains("c3-")) == 2)
-    assert(before.filter(f => f.contains("c1-") || f.contains("c3-"))
+    assert(after.count(f => ofCommit(f, 1) || ofCommit(f, 3)) == 2)
+    assert(before.filter(f => ofCommit(f, 1) || ofCommit(f, 3))
       .forall(after.contains))
-    assert(after.exists(_.contains("c4-")) && !after.exists(_.contains("c2-")))
+    assert(after.exists(ofCommit(_, 4)) && !after.exists(ofCommit(_, 2)))
     assert(idsOf(VersionedTable.read(spark, root)) ==
       ((1L to 13L) ++ (17L to 30L)))
     // time travel still sees the pre-delete data
@@ -242,9 +250,9 @@ class VersionedTableSpec extends SparkSpec {
       " all=" + VersionedTable.filesOf(spark, root).mkString(",")
     assert(v == 4, s"v=$v $pruneDbg")
     val files = VersionedTable.prunedFiles(spark, root, Map.empty)
-    assert(files.exists(_.contains("c1-")),
+    assert(files.exists(ofCommit(_, 1)),
       s"out-of-range file must carry over; $pruneDbg")
-    assert(!files.exists(_.contains("c2-")) && !files.exists(_.contains("c3-")),
+    assert(!files.exists(ofCommit(_, 2)) && !files.exists(ofCommit(_, 3)),
       s"in-range files must be rewritten: $files; $pruneDbg")
     val now = VersionedTable.read(spark, root)
     assert(idsOf(now) == (1L to 45L), s"ids=${idsOf(now)}; $pruneDbg")
