@@ -527,9 +527,12 @@ object VersionedTable {
     * what makes a foreachBatch writer exactly-once under batch REPLAY —
     * checkpoint loss or restart re-delivers a batch, the txn ledger
     * refuses the double-apply. */
-  def appendTxn(spark: SparkSession, root: String, df: DataFrame, txn: Long): Int =
+  def appendTxn(spark: SparkSession, root: String, df: DataFrame, txn: Long,
+                partitionBy: Seq[String] = Seq.empty): Int =
     currentVersion(spark, root) match {
-      case None => commit(spark, root, df, Seq.empty, Some(txn))
+      case None =>
+        // first commit fixes the layout (the streaming sink's create path)
+        commit(spark, root, df, Seq.empty, Some(txn), partitionCols = partitionBy)
       case Some(cur) =>
         if (committedTxns(spark, root).contains(txn)) cur
         else {

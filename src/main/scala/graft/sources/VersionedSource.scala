@@ -43,7 +43,7 @@ import graft.sink.VersionedTable
   * [[VersionedTable.followChanges]]). See [[VersionedStreamSource]].
   */
 class VersionedSource extends RelationProvider with CreatableRelationProvider
-    with DataSourceRegister with StreamSourceProvider {
+    with DataSourceRegister with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft-versioned"
 
@@ -92,6 +92,37 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
     require(byVersion.isEmpty || byTime.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
     new VersionedRelation(sqlContext, root, byVersion.orElse(byTime))
+  }
+
+  /** Streaming SINK: `df.writeStream.format("graft-versioned")` — each
+    * micro-batch is one commit carrying the batch id as its transaction
+    * id, so replay after checkpoint recovery is refused by the txn
+    * ledger (exactly-once end to end; the same [[VersionedTable
+    * .appendTxn]] discipline the foreachBatch sinks use, without the
+    * boilerplate). Append mode appends; Complete mode republishes the
+    * whole result per batch (idempotent under replay via overwriteTxn).
+    * Source + sink close the loop: a versioned table can be maintained
+    * FROM a stream and STREAMED from, through one format name. */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    val root = rootOf(parameters)
+    val complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    val parts = parameters.get("partitionby").orElse(parameters.get("partitionBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(partitionColumns)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // the incoming frame is streaming-tagged; re-wrap its rows as a
+        // batch frame before handing it to the commit path
+        val spark = data.sparkSession
+        val batch = org.apache.spark.sql.graft.StreamingBridge.asBatch(spark, data)
+        if (complete) VersionedTable.overwriteTxn(spark, root, batch, batchId)
+        else VersionedTable.appendTxn(spark, root, batch, batchId, parts)
+      }
+      override def toString: String = s"VersionedSink[$root]"
+    }
   }
 
   /** DataFrameWriter entry: each SaveMode maps onto one commit — a save

@@ -24,4 +24,15 @@ object StreamingBridge {
       .queryExecution.toRdd
     classic.internalCreateDataFrame(rdd, schema, isStreaming = true)
   }
+
+  /** The inverse, for a streaming SINK: re-wrap a micro-batch's rows as
+    * a plain batch frame so it can flow into a batch write path (the
+    * commit protocol). Rows are defensively copied — the scan reuses
+    * row objects. */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd.map(_.copy())
+    classic.internalCreateDataFrame(rdd, df.schema, isStreaming = false)
+  }
 }

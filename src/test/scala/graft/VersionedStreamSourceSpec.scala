@@ -105,6 +105,72 @@ class VersionedStreamSourceSpec extends SparkSpec {
     assert(nonEmpty >= 3, s"expected >=3 rate-limited batches, saw $nonEmpty")
   }
 
+  test("streaming SINK: each micro-batch commits exactly-once; source->sink round-trips") {
+    // build a versioned SOURCE table in three commits
+    val src = freshRoot()
+    VersionedTable.create(spark, src, df(1, 2))
+    VersionedTable.append(spark, src, df(3))
+    VersionedTable.append(spark, src, df(4, 5))
+    // stream it INTO a versioned SINK table, one commit per micro-batch
+    val dst = freshRoot()
+    val ckpt = Files.createTempDirectory("vsk_ckpt").toString
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft-versioned")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream.format("graft-versioned")
+        .option("path", dst)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainOnce()
+    assert(spark.read.format("graft-versioned").load(dst)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // each micro-batch became one commit, txn-stamped
+    assert(VersionedTable.versions(spark, dst).size == 3)
+    assert(VersionedTable.committedTxns(spark, dst) == Set(0L, 1L, 2L))
+    // replay with a FRESH checkpoint re-delivers every batch: the txn
+    // ledger... uses batch ids, which restart at 0 — a fresh checkpoint
+    // re-applies txns 0..2 and the ledger refuses all three
+    val ckpt2 = Files.createTempDirectory("vsk_ckpt2").toString
+    val q2 = spark.readStream.format("graft-versioned")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.format("graft-versioned")
+      .option("path", dst)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.format("graft-versioned").load(dst)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      "re-delivered batches must be refused by the txn ledger")
+    // new source commits flow through incrementally on the ORIGINAL checkpoint
+    VersionedTable.append(spark, src, df(6))
+    drainOnce()
+    assert(spark.read.format("graft-versioned").load(dst)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == (1L to 6L))
+  }
+
+  test("streaming sink in Complete mode republishes the aggregate per batch") {
+    val src = freshRoot()
+    VersionedTable.create(spark, src, df(1, 2, 3))
+    VersionedTable.append(spark, src, df(4, 5))
+    val dst = freshRoot()
+    val q = spark.readStream.format("graft-versioned")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .groupBy((col("id") % 2).as("parity"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("graft-versioned").option("path", dst)
+      .option("checkpointLocation", Files.createTempDirectory("vsk_ckpt3").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = VersionedTable.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 2L), (1L, 3L)), s"final snapshot = batch aggregate: $got")
+    // each batch overwrote: final version = #batches, snapshot is newest only
+    assert(VersionedTable.versions(spark, dst).size >= 2)
+  }
+
   test("the stream composes with a downstream streaming aggregate") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1, 2, 3))
