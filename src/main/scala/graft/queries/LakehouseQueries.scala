@@ -154,6 +154,41 @@ object LakehouseQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // The full source->sink loop under one format name: the three-commit
+    // documents table is STREAMED (one commit per micro-batch) into a
+    // second versioned table through the native streaming sink (each
+    // micro-batch a txn-stamped commit), then the stream is re-run on a
+    // FRESH checkpoint — every batch re-delivers and the txn ledger
+    // refuses them all. The oracle sees the batch table: the round-trip
+    // plus the replay must be invisible. At 100 TB this is the
+    // incremental-ETL topology: table feeds table with per-commit cost
+    // and exactly-once re-delivery, no foreachBatch boilerplate.
+    "q184_stream_table_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val work = EventsStream.scratchDir("graft_rt")
+      val src = work.resolve("src").toString
+      VersionedTable.create(s, src, docs.filter(col("doc_id") % 3 === 0))
+      VersionedTable.append(s, src, docs.filter(col("doc_id") % 3 === 1))
+      VersionedTable.append(s, src, docs.filter(col("doc_id") % 3 === 2))
+      val dst = work.resolve("dst").toString
+      def drain(ckpt: String): Unit = {
+        val q = s.readStream.format("graft-versioned")
+          .option("maxVersionsPerTrigger", "1").load(src)
+          .writeStream.format("graft-versioned").option("path", dst)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drain(work.resolve("ckpt1").toString)
+      drain(work.resolve("ckpt2").toString) // full replay: ledger refuses all
+      VersionedTable.read(s, dst)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
     })
   )
 
@@ -187,6 +222,12 @@ object LakehouseQueries {
 
     // The three-commit streamed feed must re-assemble the batch table.
     "q175_stream_table_feed" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents GROUP BY 1""",
+
+    // Source->sink round-trip + full replay must be invisible.
+    "q184_stream_table_roundtrip" ->
       """SELECT source, count(*)::BIGINT AS n_docs,
                 sum(n_chars)::BIGINT AS sum_chars
          FROM documents GROUP BY 1"""
