@@ -511,9 +511,10 @@ object VersionedTable {
     * a non-idempotent merge (counters, sums) stays exactly-once under
     * checkpoint loss. The [[appendTxn]] ledger, overwrite semantics. */
   def overwriteTxn(spark: SparkSession, root: String, df: DataFrame,
-                   txn: Long): Int =
+                   txn: Long, partitionBy: Seq[String] = Seq.empty): Int =
     currentVersion(spark, root) match {
-      case None => commit(spark, root, df, Seq.empty, Some(txn))
+      case None =>
+        commit(spark, root, df, Seq.empty, Some(txn), partitionCols = partitionBy)
       case Some(cur) =>
         if (committedTxns(spark, root).contains(txn)) cur
         else commit(spark, root, df, Seq.empty, Some(txn),

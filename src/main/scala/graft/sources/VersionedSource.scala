@@ -118,7 +118,7 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
         // batch frame before handing it to the commit path
         val spark = data.sparkSession
         val batch = org.apache.spark.sql.graft.StreamingBridge.asBatch(spark, data)
-        if (complete) VersionedTable.overwriteTxn(spark, root, batch, batchId)
+        if (complete) VersionedTable.overwriteTxn(spark, root, batch, batchId, parts)
         else VersionedTable.appendTxn(spark, root, batch, batchId, parts)
       }
       override def toString: String = s"VersionedSink[$root]"
