@@ -139,43 +139,69 @@ object EntityQueries {
           (col("sim").isNotNull && col("sim") >= MatchTau).as("matched"))
     }),
 
+    // ER APPLIED to the corpus — the rewrite that makes the entity work
+    // pay off: every part row carries its canonical entity id (the
+    // cluster's min name), so downstream per-entity statistics group on
+    // ONE key instead of fragmenting across aliases. Detect → cluster →
+    // apply, the same symmetry as dedup (q65→q112) and spans
+    // (q122→q182). One corpus-scan join against the dictionary-sized
+    // label map; no broadcast hint (the map scales with distinct
+    // values — AQE decides from measured size).
+    "q185_er_apply" -> ((s, d) => {
+      val lbl = entityLabels(s, d)
+      Tables.part(s, d)
+        .join(lbl, col("p_name") === col("node"))
+        .select(col("p_partkey"), col("p_name"),
+          col("lbl").as("entity_id"),
+          (col("lbl") =!= col("p_name")).as("aliased"))
+    }),
+
     // Entity clusters: connected components over the accepted match
     // graph (min-name label propagation — one join+aggregate per round,
     // rounds ~ component diameter), singletons included so the output
     // is the full entity catalog: canonical name, alias count, and the
     // record mass each entity absorbs.
     "q177_er_entities" -> ((s, d) => {
-      val dict = dictionary(s, d).select(col("name"), col("n")).localCheckpoint()
-      val m = matches(s, d).select(col("name_a"), col("name_b")).localCheckpoint()
-      val bidir = m.select(col("name_a").as("src"), col("name_b").as("dst"))
-        .union(m.select(col("name_b").as("src"), col("name_a").as("dst")))
-        .localCheckpoint()
-      var lbl = dict.select(col("name").as("node"), col("name").as("lbl"))
-        .localCheckpoint()
-      var changed = 1L
-      var it = 0
-      val maxIter = 20
-      while (changed > 0 && it < maxIter) {
-        val nbMin = bidir
-          .join(lbl.select(col("node").as("nb"), col("lbl").as("nlbl")),
-            col("dst") === col("nb"))
-          .groupBy(col("src")).agg(min(col("nlbl")).as("nmin"))
-        val next = lbl
-          .join(nbMin, col("node") === col("src"), "left")
-          .select(col("node"), col("lbl").as("old"),
-            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        changed = next.filter(col("lbl") =!= col("old")).count()
-        lbl = next.select(col("node"), col("lbl"))
-        it += 1
-      }
-      require(changed == 0,
-        s"entity components did not converge in $maxIter rounds")
-      lbl.join(dict, col("node") === col("name"))
+      val dict = dictionary(s, d).select(col("name"), col("n"))
+      entityLabels(s, d).join(dict, col("node") === col("name"))
         .groupBy(col("lbl").as("entity_id"))
         .agg(count(lit(1)).as("n_names"), sum(col("n")).as("n_records"))
     })
   )
+
+  /** (node, lbl) — every dictionary name labeled with its entity's
+    * canonical (min) name via min-label propagation over the accepted
+    * match graph; singletons label themselves. Shared by q177 (catalog)
+    * and q185 (corpus apply). */
+  private def entityLabels(s: SparkSession, d: String): DataFrame = {
+    val dict = dictionary(s, d).select(col("name"), col("n")).localCheckpoint()
+    val m = matches(s, d).select(col("name_a"), col("name_b")).localCheckpoint()
+    val bidir = m.select(col("name_a").as("src"), col("name_b").as("dst"))
+      .union(m.select(col("name_b").as("src"), col("name_a").as("dst")))
+      .localCheckpoint()
+    var lbl = dict.select(col("name").as("node"), col("name").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    val maxIter = 20
+    while (changed > 0 && it < maxIter) {
+      val nbMin = bidir
+        .join(lbl.select(col("node").as("nb"), col("lbl").as("nlbl")),
+          col("dst") === col("nb"))
+        .groupBy(col("src")).agg(min(col("nlbl")).as("nmin"))
+      val next = lbl
+        .join(nbMin, col("node") === col("src"), "left")
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      lbl = next.select(col("node"), col("lbl"))
+      it += 1
+    }
+    require(changed == 0,
+      s"entity components did not converge in $maxIter rounds")
+    lbl
+  }
 
   def oracle: Map[String, String] = {
     val dictSql =
@@ -238,6 +264,18 @@ object EntityQueries {
             SELECT name_new, n_new, m_name AS best_match, sim,
                    (sim IS NOT NULL AND sim >= $MatchTau) AS matched
             FROM ranked WHERE rk = 1""",
+      "q185_er_apply" ->
+        s"""WITH RECURSIVE $dictSql, $matchSql,
+            bidir AS (SELECT name_a AS s, name_b AS t FROM accepted
+                      UNION ALL SELECT name_b, name_a FROM accepted),
+            walk(nd, r) AS (
+              SELECT name, name FROM names
+              UNION
+              SELECT b.t, w.r FROM walk w JOIN bidir b ON b.s = w.nd),
+            comp AS (SELECT nd, min(r) AS cid FROM walk GROUP BY nd)
+            SELECT p_partkey, p_name, cid AS entity_id,
+                   (cid <> p_name) AS aliased
+            FROM part JOIN comp ON part.p_name = comp.nd""",
       "q177_er_entities" ->
         s"""WITH RECURSIVE $dictSql, $matchSql,
             bidir AS (SELECT name_a AS s, name_b AS t FROM accepted
