@@ -169,11 +169,17 @@ object EntityQueries {
     })
   )
 
+  private val lblCache = new graft.SessionCache
+
   /** (node, lbl) — every dictionary name labeled with its entity's
     * canonical (min) name via min-label propagation over the accepted
     * match graph; singletons label themselves. Shared by q177 (catalog)
-    * and q185 (corpus apply). */
-  private def entityLabels(s: SparkSession, d: String): DataFrame = {
+    * and q185 (corpus apply); cached per (session, sfDir) like
+    * CurationQueries' ccLabels so a sweep runs the loop once. */
+  private def entityLabels(s: SparkSession, d: String): DataFrame =
+    lblCache.getOrElseUpdate(s, d) { entityLabelsUncached(s, d) }
+
+  private def entityLabelsUncached(s: SparkSession, d: String): DataFrame = {
     val dict = dictionary(s, d).select(col("name"), col("n")).localCheckpoint()
     val m = matches(s, d).select(col("name_a"), col("name_b")).localCheckpoint()
     val bidir = m.select(col("name_a").as("src"), col("name_b").as("dst"))
