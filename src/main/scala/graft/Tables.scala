@@ -14,12 +14,46 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Session settings every entry point applies: parquet TIMESTAMP(NANOS)
-    * (events.ts) is not a legal Spark type, so read it as a nanos long and
-    * convert in [[events]]. */
+  /** Session settings every entry point applies: if the testdata
+    * generation wrote events.ts as parquet TIMESTAMP(NANOS) (not a legal
+    * Spark type), read it as a nanos long and convert in [[events]];
+    * harmless when the generation writes MICROS. */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
+
+  /** Normalize an events frame's `ts` to a microsecond TimestampType on
+    * the session's UTC clock — exactly what DuckDB surfaces from the same
+    * file — across BOTH testdata generations: TIMESTAMP(NANOS) arrives as
+    * a nanos BIGINT (under nanosAsLong; integer `div` truncates toward
+    * zero == floor for post-epoch values, matching DuckDB's ns→us
+    * truncation), TIMESTAMP(MICROS) arrives as TIMESTAMP_NTZ (cast to
+    * the instant type keeps the wall clock under a UTC session). Works
+    * on streaming frames too (schema is known up front). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** Raw events with an integer-microseconds column `tus` alongside —
+    * the pure-integer path for window/gap arithmetic that must stay
+    * bit-exact across engines (no timestamp object in the hot loop). */
+  def eventsMicros(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("tus", expr("ts div 1000"))
+      case TimestampNTZType =>
+        raw.withColumn("tus", unix_micros(col("ts").cast(TimestampType)))
+      case _ => raw.withColumn("tus", unix_micros(col("ts")))
+    }
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
@@ -28,13 +62,10 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts arrives as TIMESTAMP(NANOS); surface it as a microsecond
-    * TimestampType (truncated like DuckDB does when reading the same file).
-    * `div` is integer division; ts is post-epoch so truncation == floor. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    table(s, d, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** events with `ts` surfaced as a microsecond TimestampType regardless
+    * of the testdata generation's physical type — see [[normalizeTs]]. */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -239,6 +239,43 @@ object Multimodal {
       math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)))
   }
 
+  /** The DCT basis rounded to exact 1e-9 units (longs) — the shared
+    * constant table the ORACLE-facing pHash math (q186) uses on BOTH
+    * engines, so every coefficient is integer arithmetic and the two
+    * engines agree bit-for-bit (the Portable.scala discipline: libm
+    * values enter cross-engine math only after rounding). */
+  lazy val dctC9: Array[Array[Long]] =
+    Array.tabulate(8, 32)((u, x) => math.round(dctCos(u)(x) * 1e9))
+
+  /** Fixed location of the decoded-pixel stage q186 writes and the
+    * DuckDB oracle reads back. Constant by necessity: oracle SQL is a
+    * static string with no sfDir parameter, so the stage is overwritten
+    * per Verify run and consumed immediately after (the driver runs the
+    * dump, then the compare). */
+  def grayStagePath: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_phash_gray").getPath
+
+  /** The pHash ORACLE split point: synthetic PNG → REAL codec decode →
+    * 32×32 gray, scaled to exact 1e-4 units (long) and staged as parquet.
+    * The codec is the single step no SQL engine can replay; everything
+    * AFTER this boundary — DCT, threshold bits, banded Hamming LSH,
+    * popcount verify — is integer arithmetic both engines compute
+    * identically from this table. Returns the stage path. */
+  def writeGrayStage(spark: SparkSession, docs: DataFrame): String = {
+    import spark.implicits._
+    val media = docs.select(col("doc_id")).as[Long]
+      .repartition(64) // spread the CPU-bound encode/decode kernel
+      .mapPartitions(_.map { id =>
+        val img = javax.imageio.ImageIO.read(
+          new ByteArrayInputStream(syntheticImage(id / 2, (id % 2).toInt)))
+        (id, grayResample32(img).map(g => math.round(g * 1e4)).toSeq)
+      })
+    media.toDF("media_id", "g4").coalesce(8)
+      .write.mode("overwrite").parquet(grayStagePath)
+    grayStagePath
+  }
+
   /** 64-bit perceptual hash: 32×32 gray → 2-D DCT-II → keep the 8×8
     * low-frequency block → bit u·8+v set iff coef(u,v) exceeds the mean
     * of the 63 non-DC coefficients. Invariant to global brightness

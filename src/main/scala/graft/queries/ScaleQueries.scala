@@ -404,42 +404,43 @@ object ScaleQueries {
     // before dimension-reduction (a near-duplicate feature pair means
     // the index pays for a dimension that carries no signal; cf. the
     // Matryoshka truncation question q131 answers). Raw-moment form
-    // (cov = E[xy] − E[x]E[y]) over DECIMAL-exact sums: each row emits
-    // its 64×64 outer product (values pre-rounded to 7 dp so both
-    // engines multiply identical decimals), one hash-aggregate reduces
-    // to d² = 4096 moment cells — map-side partial aggregation keeps
-    // the shuffle at 4096 rows PER PARTITION regardless of row count,
-    // and the final top-k is TakeOrdered, no global sort. The mean
-    // vector (64 rows) broadcasts into the cov join. At 100 TB the
-    // state is d²-bounded everywhere; only the scan is data-sized.
+    // (cov = E[xy] − E[x]E[y]) over DECIMAL-exact sums, aggregated
+    // BEFORE any explode (q167's move): each input row feeds dim
+    // element sums + dim(dim−1)/2 pair-product sums straight into
+    // codegen'd agg buffers — NO generator emits per-row (i, j, xy)
+    // rows, so the per-row encoder tax of a dim² posexplode (4096
+    // generated rows per input row, measured 3.9 s at sf0.1) never
+    // exists. Map-side partials reduce each partition to ONE fixed-
+    // width row (~2 k decimal cells); the explode to (i, j, cov) long
+    // form runs on the single aggregated row. The final top-k is
+    // TakeOrdered, no global sort. At 100 TB the state is d²-bounded
+    // everywhere; only the scan is data-sized.
     "q163_embed_cov" -> ((s, d) => {
       val dim = EmbedDim
-      // layered: dv materialized ONCE before the nested-HOF outer
-      // product references it 64× per row (CollapseProject trap)
-      val dv = embeddings(s, d).select(
+      // values pre-rounded to 7 dp so both engines multiply identical
+      // decimals; flattened to one scalar column per position so every
+      // aggregate below is a plain codegen'd sum over a fixed column
+      val wide = embeddings(s, d).select(
         transform(col("embedding"),
           x => round(x.cast("double"), 7).cast("decimal(12,7)")).as("dv"))
-        .select(col("dv"))
-      val n = dv.agg(count(lit(1)).as("n"))
-      val mu = dv.select(posexplode(col("dv")).as(Seq("i", "x")))
-        .groupBy(col("i").cast("long").as("i")).agg(sum(col("x")).as("sx"))
-        .crossJoin(broadcast(n)) // [bounded: 1 row]
-        .select(col("i"),
-          round(col("sx").cast("double") / col("n").cast("double"), 9).as("mu"))
-      val mom = dv
-        .select(posexplode(flatten(transform(col("dv"),
-          x => transform(col("dv"), y => x * y)))).as(Seq("p", "xy")))
-        .groupBy(expr(s"p div $dim").cast("long").as("i"),
-          (col("p") % dim).cast("long").as("j"))
-        .agg(sum(col("xy")).as("sxy"))
-        .filter(col("j") > col("i"))
-      mom.crossJoin(broadcast(n)) // [bounded: 1 row]
-        .join(broadcast(mu.select(col("i"), col("mu").as("mu_i"))), "i")
-        .join(broadcast(mu.select(col("i").as("j"), col("mu").as("mu_j"))), "j")
-        // [bounded: mu is EmbedDim rows]
-        .select(col("i"), col("j"),
-          round(round(col("sxy").cast("double") / col("n").cast("double"), 9) -
-            col("mu_i") * col("mu_j"), 9).as("cov"))
+        .select((1 to dim).map(i => element_at(col("dv"), i).as(s"x$i")): _*)
+      val pairs = for (i <- 1 to dim; j <- i + 1 to dim) yield (i, j)
+      val aggs: Seq[Column] =
+        count(lit(1)).as("n") +:
+          ((1 to dim).map(i => sum(col(s"x$i")).as(s"s$i")) ++
+            pairs.map { case (i, j) =>
+              sum(col(s"x$i") * col(s"x$j")).as(s"p${i}_$j") })
+      val one = wide.agg(aggs.head, aggs.tail: _*)
+      // one row in: the mean/cov arithmetic and the long-form explode
+      // are driver-cheap regardless of corpus size
+      def mu(i: Int): Column =
+        round(col(s"s$i").cast("double") / col("n").cast("double"), 9)
+      one.select(explode(array(pairs.map { case (i, j) =>
+          struct(lit((i - 1).toLong).as("i"), lit((j - 1).toLong).as("j"),
+            round(round(col(s"p${i}_$j").cast("double") /
+              col("n").cast("double"), 9) - mu(i) * mu(j), 9).as("cov"))
+        }: _*)).as("c"))
+        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.cov").as("cov"))
         .orderBy(abs(col("cov")).desc, col("i"), col("j")).limit(20)
     }),
 

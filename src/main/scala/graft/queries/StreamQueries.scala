@@ -114,6 +114,72 @@ object StreamQueries {
       Multimodal.pHashNearDup(hashed).orderBy(col("a"), col("b"))
     }),
 
+    // pHash near-dup, ORACLE-VERIFIABLE half (the q174 split): the real
+    // JDK codec decode lands 32×32 grays in a parquet stage
+    // (Multimodal.writeGrayStage — the one step no SQL engine replays);
+    // from that boundary on the ENTIRE pipeline — 2-D DCT as two 1-D
+    // passes over the 1e-9-scaled integer basis, non-DC-mean threshold
+    // as the integer compare 63·c_i > Σc, 4×16-bit band keys, banded
+    // equi-join, popcount verify ≤ 3 — is fixed-point arithmetic both
+    // engines compute bit-identically. Ranges by construction: |C9|≤1e9,
+    // g4≤2.55e6 → row-pass terms ≤2.6e15, 32-term sums ≤8.5e16 (long);
+    // the column pass crosses into DECIMAL(38,0) (≤2.7e27; HUGEINT on
+    // the DuckDB side). Same banded-LSH scale shape as q174: the image
+    // corpus is never all-paired, candidates only from shared 16-bit
+    // slices (pigeonhole: dist ≤ 3 < 4 bands ⇒ some slice equal).
+    "q186_phash_math" -> ((s, d) => {
+      val stage = Multimodal.writeGrayStage(s, documents(s, d))
+      val c9 = Multimodal.dctC9
+      val g = s.read.parquet(stage)
+      // 1-D row pass: r_u[x] = Σ_y C9[u][y] · g4[32y+x]  (pure long)
+      val rows = g.select(col("media_id") +: (0 until 8).map { u =>
+        val cu = typedLit(c9(u).toSeq)
+        transform(sequence(lit(0), lit(31)), x =>
+          aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, y) =>
+            acc + element_at(cu, y + 1) * element_at(col("g4"), y * 32 + x + 1)))
+          .as(s"r$u")
+      }: _*)
+      // 1-D column pass, decimal-exact: cf[8u+v] = Σ_x C9[v][x] · r_u[x]
+      val zero38 = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
+      val coefs = rows.select(col("media_id"), array(
+        (for (u <- 0 until 8; v <- 0 until 8) yield {
+          val cv = typedLit(c9(v).toSeq)
+          aggregate(sequence(lit(0), lit(31)), zero38, (acc, x) =>
+            acc + element_at(cv, x + 1).cast("decimal(10,0)") *
+              element_at(col(s"r$u"), x + 1).cast("decimal(18,0)"))
+        }): _*).as("cf"))
+      val pow2 = typedLit((0 until 16).map(1L << _))
+      val keyed = coefs
+        .withColumn("s63",
+          aggregate(col("cf"), zero38, (a, x) => a + x) - element_at(col("cf"), 1))
+        .withColumn("bits", transform(sequence(lit(0), lit(63)), i =>
+          when(element_at(col("cf"), i + 1) * lit(63).cast("decimal(2,0)") >
+            col("s63"), lit(1L)).otherwise(lit(0L))))
+        .select(col("media_id") +: (0 until 4).map { b =>
+          aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, k) =>
+            acc + element_at(col("bits"), k + lit(b * 16 + 1)) *
+              element_at(pow2, k + 1)).as(s"k$b")
+        }: _*)
+        .localCheckpoint() // materialize ONCE before the 2-sided band join
+      val banded = keyed.select(col("media_id"), col("k0"), col("k1"),
+        col("k2"), col("k3"),
+        posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
+          .as(Seq("band", "key")))
+      val l = banded.select(col("band"), col("key"), col("media_id").as("a"),
+        col("k0").as("a0"), col("k1").as("a1"), col("k2").as("a2"), col("k3").as("a3"))
+      val r = banded.select(col("band"), col("key"), col("media_id").as("b"),
+        col("k0").as("b0"), col("k1").as("b1"), col("k2").as("b2"), col("k3").as("b3"))
+      l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          (bit_count(col("a0").bitwiseXOR(col("b0"))) +
+           bit_count(col("a1").bitwiseXOR(col("b1"))) +
+           bit_count(col("a2").bitwiseXOR(col("b2"))) +
+           bit_count(col("a3").bitwiseXOR(col("b3")))).cast("long").as("dist"))
+        .distinct()
+        .filter(col("dist") <= 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     "q42_media_meta" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(s, documents(s, d))
       Multimodal.decodeStage(s, media).toDF()
@@ -252,5 +318,56 @@ object StreamQueries {
                 'href_' || o_orderkey || '_r' AS red_href,
                 'href_' || o_orderkey || '_n' AS nir_href
          FROM orders WHERE o_orderkey % 4 <> 3""",
+    // Post-decode pHash math over the decoded-pixel stage the Spark side
+    // writes (Multimodal.writeGrayStage): the SAME 1e-9 integer DCT
+    // basis (dctC9 — shared-constant discipline), the same fixed-point
+    // passes, the same banded join. Lambda variable names are unique per
+    // nesting level (ry/rx/ra/rb…, the NOTES.md collision rule).
+    "q186_phash_math" -> {
+      val c9 = graft.ext.Multimodal.dctC9
+      def cu(u: Int) = c9(u).mkString("[", ", ", "]")
+      val stage = graft.ext.Multimodal.grayStagePath
+      val rDefs = (0 until 8).map { u =>
+        s"""list_transform(range(0, 32), rx ->
+           |  list_reduce(list_transform(range(0, 32), ry ->
+           |    (${cu(u)})[ry+1] * g4[32*ry + rx + 1]),
+           |  (ra, rb) -> ra + rb)) AS r$u""".stripMargin
+      }.mkString(",\n")
+      val cfExprs = (for (u <- 0 until 8; v <- 0 until 8) yield
+        s"""list_reduce(list_transform(range(0, 32), cx ->
+           |  (${cu(v)})[cx+1]::HUGEINT * r$u[cx+1]::HUGEINT),
+           |(ca, cb) -> ca + cb)""".stripMargin
+      ).mkString("[", ",\n", "]")
+      val keyExprs = (0 until 4).map { b =>
+        s"""list_reduce(list_transform(range(0, 16), kk ->
+           |  bt[16*$b + kk + 1] * (1::BIGINT << kk)),
+           |(ka, kb) -> ka + kb)""".stripMargin
+      }.mkString("[", ",\n", "]")
+      s"""WITH g AS (SELECT media_id, g4
+                     FROM parquet_scan('$stage/*.parquet')),
+          r AS (SELECT media_id, $rDefs FROM g),
+          cf AS (SELECT media_id, $cfExprs AS cf FROM r),
+          th AS (SELECT media_id, cf,
+                        list_reduce(cf, (sa, sb) -> sa + sb) - cf[1] AS s63
+                 FROM cf),
+          bits AS (SELECT media_id,
+                          list_transform(range(0, 64), bi ->
+                            CASE WHEN 63 * cf[bi+1] > s63
+                                 THEN 1::BIGINT ELSE 0::BIGINT END) AS bt
+                   FROM th),
+          keys AS (SELECT media_id, $keyExprs AS ks FROM bits),
+          banded AS (SELECT media_id, ks, bb.band AS band,
+                            ks[bb.band+1] AS key
+                     FROM keys, range(0, 4) bb(band)),
+          pairs AS (SELECT DISTINCT l.media_id AS a, r2.media_id AS b,
+                           (bit_count(xor(l.ks[1], r2.ks[1])) +
+                            bit_count(xor(l.ks[2], r2.ks[2])) +
+                            bit_count(xor(l.ks[3], r2.ks[3])) +
+                            bit_count(xor(l.ks[4], r2.ks[4])))::BIGINT AS dist
+                    FROM banded l JOIN banded r2
+                      ON l.band = r2.band AND l.key = r2.key
+                     AND l.media_id < r2.media_id)
+          SELECT a, b, dist FROM pairs WHERE dist <= 3"""
+    },
   )
 }

@@ -150,12 +150,12 @@ object TrainQueries {
     // gaps aggregated to count/sum/max milliseconds. Session-analysis
     // primitive (complement of q63's gap-threshold sessionize). One
     // shuffle on user_id shared by the window and the aggregate. Integer
-    // MICROS end-to-end (ts div 1000) — DuckDB truncates TIMESTAMP_NS to
-    // micro precision on read, so nano-resolution gaps would diverge.
+    // MICROS end-to-end (eventsMicros' tus) — micro precision is what
+    // DuckDB surfaces from the same file in either testdata generation.
     "q90_event_gaps" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
-      table(s, d, "events") // raw read: ts stays BIGINT nanos
-        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"))
+      graft.Tables.eventsMicros(s, d) // integer path: no timestamp object
+        .select(col("user_id"), col("event_id"), col("tus"))
         .withColumn("nxt", lead(col("tus"), 1).over(w))
         .filter(col("nxt").isNotNull)
         .select(col("user_id"), expr("(nxt - tus) div 1000").as("gap_ms"))

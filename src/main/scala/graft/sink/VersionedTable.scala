@@ -112,7 +112,12 @@ object VersionedTable {
   private[sink] def bloomPositions(value: String, mBits: Int, k: Int): Seq[Int] = {
     import graft.functions.Portable.FoldMod
     import graft.ext.Sketches.{HllA, HllB, HllP}
-    def fold(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % FoldMod)
+    // The fold MUST be the exact kernel the Column-side build runs
+    // (CharFoldExpr.fold: Unicode CODE POINTS, not UTF-16 code units) —
+    // a supplementary-plane value folded differently here would probe
+    // different bit positions than the build set, and mayContain would
+    // wrongly prune files that DO contain the value.
+    def fold(s: String): Long = graft.functions.CharFoldExpr.fold(s)
     def mix(h: Long): Long = ((h % HllP) * HllA + HllB) % HllP
     val h1 = mix(fold(value) * FoldMod + fold(value + "#"))
     val h2 = mix(h1)
@@ -203,11 +208,30 @@ object VersionedTable {
         val qs = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
         try { java.nio.file.Files.createLink(qt, qs); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else !f.exists(target) && f.rename(tmp, target)
+      } else if (AtomicRenameSchemes(f.getScheme)) {
+        // HDFS-family rename is a namenode metadata op that FAILS if the
+        // destination exists — rename itself is the claim.
+        !f.exists(target) && f.rename(tmp, target)
+      } else {
+        // Object stores (s3a/gs/wasb/abfs/oss/...) implement rename as
+        // copy+delete with NO fail-if-exists: two racing writers would
+        // both "succeed" and one manifest is silently clobbered — the
+        // exact lost update the hard-link CAS exists to prevent. Refuse
+        // rather than corrupt; such stores need an external lock or a
+        // conditional-put commit service.
+        f.delete(tmp, false)
+        throw new UnsupportedOperationException(
+          s"scheme '${f.getScheme}' has no atomic fail-if-exists primitive; " +
+            "refusing a non-atomic manifest claim (lost-update risk)")
+      }
     if (f.getScheme == "file" || !claimed) f.delete(tmp, false)
     if (!claimed)
       throw new java.io.IOException(s"version ${m.version} already committed at $root")
   }
+
+  /** Filesystems whose `rename` is an atomic fail-if-exists metadata op
+    * (HDFS family) — safe as the manifest claim without a hard link. */
+  private val AtomicRenameSchemes = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
 
   private def readManifest(spark: SparkSession, root: String, v: Int): Manifest = {
     val p = manifestPath(root, v)
@@ -340,8 +364,18 @@ object VersionedTable {
           val isAscii = (s: String) => s.forall(_ < 128)
           if (st == null || st.isEmpty || !st.hasNonNullValue) None
           else pt.getPrimitiveTypeName match {
-            case INT32 | INT64 => Some(ColStat(c.getPath.toDotString, "long",
-              st.genericGetMin.toString, st.genericGetMax.toString))
+            // DECIMAL(p<=18) stores UNSCALED ints in INT32/INT64: recording
+            // them as plain longs would compare unscaled stats against
+            // SCALED predicate values (123.45 vs 12345) and prune files that
+            // hold matching rows. No safe shared domain exists in the
+            // "long" stat type, so decimal columns are skipped — absent
+            // stats are never wrong, only unhelpful. (Dates/timestamps
+            // stay: their epoch-days/micros physical values ARE the
+            // documented RangePreds domain.)
+            case INT32 | INT64 if !pt.getLogicalTypeAnnotation
+                .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+              Some(ColStat(c.getPath.toDotString, "long",
+                st.genericGetMin.toString, st.genericGetMax.toString))
             case FLOAT | DOUBLE => Some(ColStat(c.getPath.toDotString, "double",
               st.genericGetMin.toString.toDouble.toString,
               st.genericGetMax.toString.toDouble.toString))
@@ -731,6 +765,15 @@ object VersionedTable {
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
     val paths = m.files.map(f => new Path(root, f).toString)
+    // qualified filesystem path -> the manifest's OWN name for the file
+    // (relative "data/..." with hive k=v subdirs preserved, or a clone's
+    // absolute path). Blooms must be keyed exactly as the manifest keys
+    // its files — a basename-only key never matches a partitioned or
+    // cloned entry and the whole index becomes a silent no-op.
+    val fsys = fs(spark, new Path(root))
+    val byPath: Map[String, String] = m.files.map { rel =>
+      fsys.makeQualified(new Path(root, rel)).toUri.getPath -> rel
+    }.toMap
     val newBlooms: Map[String, Seq[FileBloom]] =
       if (paths.isEmpty) Map.empty
       else {
@@ -746,7 +789,7 @@ object VersionedTable {
         }.reduce(_ unionByName _)
           .distinct()
           .collect()
-        perCol.groupBy(r => relName(r.getString(0))).map { case (file, rows) =>
+        perCol.groupBy(r => manifestKeyOf(byPath, r.getString(0))).map { case (file, rows) =>
           file -> rows.groupBy(_.getString(2)).map { case (c, rs) =>
             val raw = new Array[Byte](mBits / 8)
             rs.foreach { r =>
@@ -763,9 +806,17 @@ object VersionedTable {
     v
   }
 
-  /** `input_file_name()` URI → the manifest-relative "data/<name>" form. */
-  private def relName(uri: String): String =
-    "data/" + uri.substring(uri.lastIndexOf('/') + 1)
+  /** `input_file_name()` URI → the manifest's own entry for that file,
+    * resolved against the snapshot's file list (qualified-path keyed) so
+    * hive `k=v` subdirectories and a clone's absolute-path entries map
+    * correctly. The basename fallback only fires for a file outside the
+    * snapshot, which [[readSubset]]-style guards make unreachable. */
+  private def manifestKeyOf(byPath: Map[String, String], uri: String): String = {
+    val p =
+      try new java.net.URI(uri).getPath
+      catch { case _: java.net.URISyntaxException => uri }
+    byPath.getOrElse(p, "data/" + p.substring(p.lastIndexOf('/') + 1))
+  }
 
   /** The files of `version` that MAY contain `value` (Spark
     * cast-to-string form) in `column`, per the manifest blooms — the
@@ -819,10 +870,18 @@ object VersionedTable {
     val rewritten =
       if (touched.isEmpty) Seq.empty
       else {
+        // Survivors are rows where the condition is NOT TRUE — a NULL
+        // predicate value must KEEP the row (SQL DELETE semantics: NULL
+        // never matches). Plain .filter(!condition) would evaluate NULL
+        // under negation to NULL and silently DROP the row — data loss,
+        // and inconsistent with identical rows kept in files the stats
+        // pruning never touched.
         val df = readPaths(spark, m.schemaDdl,
           touched.toSeq.map(f => new Path(root, f).toString),
           m.partitionCols.nonEmpty, root)
-          .filter(!condition)
+          .filter(org.apache.spark.sql.functions.not(
+            org.apache.spark.sql.functions.coalesce(
+              condition, org.apache.spark.sql.functions.lit(false))))
         writeDataFiles(spark, root, df, v, m.partitionCols)
       }
     val rewrittenStats = rewritten

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -82,7 +82,7 @@ object EventsStream {
     val stream = spark.readStream
       .schema(batchSchema)
       .parquet(stageDir(sfDir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -120,7 +120,7 @@ object EventsStream {
     val stream = spark.readStream
       .schema(batchSchema)
       .parquet(stageDir(sfDir, "events", copies = 2))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
       .select(col("user_id"), col("event_id"), col("ts"))
     val deduped = stream
       .withWatermark("ts", "1 hour")
@@ -152,7 +152,7 @@ object EventsStream {
     val stream = spark.readStream
       .schema(batchSchema)
       .parquet(stageDir(sfDir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("sw"))
@@ -186,7 +186,7 @@ object EventsStream {
     val stream = spark.readStream
       .schema(batchSchema)
       .parquet(stageDir(sfDir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
     val clicks = stream.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
       .withWatermark("cts", "1 hour")
@@ -242,13 +242,22 @@ object EventsStream {
       // that batch, flushing even the click whose expiry sat between the
       // real data's end-watermark and the sentinel's.
       val batch = spark.read.parquet(s"$sfDir/events.parquet")
-      val far = batch.agg(max(col("ts"))).head.getLong(0) + 86400L * 1000000000L
+      // a day past the corpus horizon, in the SOURCE's own ts domain
+      // (nanos BIGINT or TIMESTAMP_NTZ depending on the testdata
+      // generation) so the staged sentinel unions cleanly with raw files
+      val far: Column = batch.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          lit(batch.agg(max(col("ts"))).head.getLong(0) + 86400L * 1000000000L)
+        case _ =>
+          lit(batch.agg(max(col("ts"))).head
+            .getAs[java.time.LocalDateTime](0).plusDays(1))
+      }
       val one = batch.limit(1)
       val stage = scratchDir("graft_stream_events_lj_stage")
-      one.withColumn("ts", lit(far))
+      one.withColumn("ts", far)
         .withColumn("event_id", lit(-1L)).withColumn("user_id", lit(-999999L))
         .withColumn("event_type", lit("click"))
-        .unionByName(one.withColumn("ts", lit(far))
+        .unionByName(one.withColumn("ts", far)
           .withColumn("event_id", lit(-2L)).withColumn("user_id", lit(-888888L))
           .withColumn("event_type", lit("purchase")))
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -273,7 +282,7 @@ object EventsStream {
       .schema(batchSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(landing)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
     val clicks = stream.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
       .withWatermark("cts", "1 hour")
@@ -318,7 +327,7 @@ object EventsStream {
     val stream = spark.readStream
       .schema(batchSchema)
       .parquet(stageDir(sfDir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeTs)
       // % (truncated modulo, Remainder) rather than pmod: the DuckDB oracle
       // uses user_id % 25, and the two only agree when the sign convention
       // matches — pmod would silently diverge on negative user_ids.

@@ -375,4 +375,29 @@ class PlanShapeSpec extends SparkSpec {
     val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
     assert(shuffles <= 4, s"expected ≤4 exchanges, got $shuffles:\n$plan")
   }
+
+  test("q163 embed-cov aggregates BEFORE any explode: no generator feeds an exchange") {
+    val plan = executedPlan(SparkEntry.queries("q163_embed_cov")(spark, sf))
+    // the moment sums are per-position aggregates over the scan — the
+    // ONLY generator allowed is the post-aggregation explode of the
+    // single d²-cell row; a generator below an exchange would mean the
+    // dim² per-row outer product came back
+    def generatorBelowExchange(p: org.apache.spark.sql.execution.SparkPlan,
+                               belowExchange: Boolean): Boolean = {
+      val here = p match {
+        case _: org.apache.spark.sql.execution.GenerateExec => belowExchange
+        case _ => false
+      }
+      val nowBelow = belowExchange || p.isInstanceOf[ShuffleExchangeExec]
+      here || p.children.exists(generatorBelowExchange(_, nowBelow)) ||
+        (p match {
+          case a: AdaptiveSparkPlanExec => generatorBelowExchange(a.executedPlan, belowExchange)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            generatorBelowExchange(s.plan, nowBelow)
+          case _ => false
+        })
+    }
+    assert(!generatorBelowExchange(plan, belowExchange = false),
+      s"pair explode must run on the aggregated row, never per input row:\n$plan")
+  }
 }

@@ -59,9 +59,9 @@ class TrainOpsSpec extends SparkSpec {
 
   test("q90 gaps: totals reconcile with per-user event spans") {
     val rows = run("q90_event_gaps").collect()
-    val spans = Tables.table(spark, sf, "events")
+    val spans = Tables.eventsMicros(spark, sf)
       .groupBy("user_id")
-      .agg((expr("max(ts div 1000) - min(ts div 1000)")).as("span_us"),
+      .agg((max(col("tus")) - min(col("tus"))).as("span_us"),
         count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     rows.foreach { r =>

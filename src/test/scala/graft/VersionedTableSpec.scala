@@ -735,4 +735,116 @@ class VersionedTableSpec extends SparkSpec {
     }
     assert(VersionedTable.versions(spark, root) == Seq(1))
   }
+
+  test("deleteWhere keeps rows where the predicate is NULL (SQL DELETE semantics)") {
+    import spark.implicits._
+    val root = freshRoot()
+    // payload NULL for id=2: DELETE WHERE payload = 10 must not touch it —
+    // NULL never MATCHES a delete predicate, so negating it must KEEP the
+    // row, not drop it (the .filter(!cond) trap: NOT NULL is NULL).
+    val rows = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("id", "payload")
+    VersionedTable.create(spark, root, rows)
+    VersionedTable.deleteWhere(spark, root,
+      Map("id" -> (None, None)), col("payload") === 10L)
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(2L, 3L),
+      "the NULL-payload row must survive the delete")
+    // and consistently: the same delete phrased as a range that prunes to
+    // a SUBSET of files must leave identical surviving rows
+    val root2 = freshRoot()
+    VersionedTable.create(spark, root2, rows.repartition(3))
+    VersionedTable.deleteWhere(spark, root2,
+      Map("id" -> (Some(1L), Some(1L))), col("payload") === 10L)
+    assert(idsOf(VersionedTable.read(spark, root2)) == Seq(2L, 3L))
+  }
+
+  test("bloom index prunes on a hive-PARTITIONED table") {
+    import spark.implicits._
+    val root = freshRoot()
+    // interleaved ids across 4 writer partitions × 2 hive partitions:
+    // range stats keep everything, and the manifest entries carry k=v
+    // subdirectories — the shape where a basename-keyed bloom index
+    // silently indexes nothing
+    val rows = (0L until 400L).toDF("id")
+      .withColumn("payload", col("id") * 10)
+      .withColumn("k", (col("id") % 2).cast("int"))
+      .repartitionByRange(4, col("id") % 4)
+    VersionedTable.create(spark, root, rows, partitionBy = Seq("k"))
+    VersionedTable.indexBloom(spark, root, Seq("id"))
+    val total = VersionedTable.read(spark, root).inputFiles.length
+    assert(total >= 4, s"expected a multi-file partitioned table, got $total")
+    val may = VersionedTable.bloomPrunedFiles(spark, root, "id", "7")
+    assert(may.size < total,
+      s"bloom must prune partitioned entries (kept ${may.size} of $total)")
+    assert(may.forall(f => f.contains("k=")),
+      "surviving entries must keep their hive subdirectories")
+    val hit = VersionedTable.readEq(spark, root, "id", "7")
+      .filter(col("id") === 7L).select("payload").as[Long].collect().toSeq
+    assert(hit == Seq(70L), "pruning must never lose the matching row")
+  }
+
+  test("bloom probe agrees with the build for non-BMP (supplementary-plane) values") {
+    import spark.implicits._
+    val root = freshRoot()
+    val emoji = new String(Character.toChars(0x1F600)) // two UTF-16 code units
+    val names = Seq("alpha", "beta", s"x$emoji-suffix", "gamma")
+    val rows = names.zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("id", "name").repartition(4)
+    VersionedTable.create(spark, root, rows)
+    VersionedTable.indexBloom(spark, root, Seq("name"))
+    // the build folds Unicode CODE POINTS (CharFoldExpr); a probe folding
+    // UTF-16 code units would compute different bit positions for the
+    // emoji value and WRONGLY prune the file that contains it
+    val got = VersionedTable.readEq(spark, root, "name", s"x$emoji-suffix")
+      .filter(col("name") === s"x$emoji-suffix")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L), "present non-BMP value must never be bloom-pruned")
+  }
+
+  test("decimal columns carry no long stats — scaled predicates never mis-prune") {
+    import spark.implicits._
+    val root = freshRoot()
+    // DECIMAL(9,2) stores UNSCALED INT32 physically (1.11 -> 111). If the
+    // manifest recorded those as "long" stats, a predicate in the scaled
+    // domain could prove a false miss and prune a file holding matching
+    // rows. The fix skips stats for decimal columns entirely: absent
+    // stats are never wrong, so EVERY file must survive ANY range.
+    val rows = Seq(1L, 2L).toDF("id")
+      .withColumn("price", (col("id") * 111).cast("long").cast("decimal(9,2)") / 100)
+    VersionedTable.create(spark, root, rows.repartition(2, col("id")))
+    val total = VersionedTable.read(spark, root).inputFiles.length
+    assert(total == 2)
+    // had unscaled stats (111, 222) leaked in as longs, hi < 100000 would
+    // prune BOTH files
+    val keep = VersionedTable.prunedFiles(spark, root,
+      Map("price" -> (Some(100000L), None)))
+    assert(keep.size == total, "files must survive predicates on decimal columns")
+    // id stats still prune normally alongside
+    val onId = VersionedTable.prunedFiles(spark, root,
+      Map("id" -> (Some(2L), Some(2L))))
+    assert(onId.size == 1, "non-decimal stats keep working")
+  }
+
+  test("manifest claim refuses non-atomic schemes (object-store lost-update guard)") {
+    import spark.implicits._
+    // a scheme whose rename is NOT fail-if-exists (the object-store
+    // contract) must be refused at the claim, not silently clobbered
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockstore.impl", classOf[MockStoreFileSystem].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt_ms")
+    val root = s"mockstore://host$dir/t"
+    val e = intercept[UnsupportedOperationException] {
+      VersionedTable.create(spark, root, Seq(1L).toDF("id"))
+    }
+    assert(e.getMessage.contains("mockstore"))
+    assert(e.getMessage.contains("atomic"))
+  }
+}
+
+/** A local filesystem masquerading as an object store: reports a non-file,
+  * non-HDFS scheme so the commit protocol's atomicity guard is exercised
+  * without a real S3 endpoint. */
+class MockStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockstore"
+  override def getUri: java.net.URI = java.net.URI.create("mockstore://host/")
 }
