@@ -173,4 +173,25 @@ object NdviPipeline {
       commitTable("ndvi_clipped", r.clipped),
       commitTable("ndvi_viz", r.viz)).toMap
   }
+
+  /** [[commitRun]] upgraded to CROSS-TABLE atomicity: the three product
+    * tables stage as normal per-table commits and become visible through
+    * ONE [[graft.sink.TxnCatalog]] transaction — the engine's analog of
+    * the reference's staged commits inside a single Postgres session
+    * (load_to_postgis.py:370-384), where a failure anywhere before the
+    * final commit leaves a reader on the PREVIOUS versions of ALL three
+    * tables, never a mix. Catalog readers (`TxnCatalog.read(catRoot,
+    * name)`) get the consistent run; raw per-table readers keep the
+    * stop-on-first-failure view [[commitRun]] documents. Returns the txn
+    * number and the per-table pins it published. */
+  def commitRunTxn(spark: SparkSession, r: Result, rootDir: String):
+      (Int, Map[String, Int]) = {
+    import graft.sink.TxnCatalog
+    val txn = TxnCatalog.commitTables(spark, s"$rootDir/_catalog",
+      Seq("ndvi_full" -> r.full, "ndvi_clipped" -> r.clipped,
+        "ndvi_viz" -> r.viz),
+      name => s"$rootDir/$name")
+    val snap = TxnCatalog.snapshot(spark, s"$rootDir/_catalog")
+    (txn, snap.tables.map { case (k, (_, v)) => k -> v })
+  }
 }

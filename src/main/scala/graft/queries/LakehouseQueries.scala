@@ -189,6 +189,55 @@ object LakehouseQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"))
+    }),
+
+    // Multi-table transaction snapshot — the reference's staged-Postgres
+    // atomicity (load_to_postgis.py:370-384) replayed through the
+    // TxnCatalog: two derived tables (per-customer and per-month order
+    // rollups) advance together through txn 1 (cut 1995) and txn 2
+    // (cut 1997); then a stage-3 writer updates the per-customer table
+    // AT THE TABLE LEVEL with the unfiltered corpus and "crashes" before
+    // its catalog claim. The result reads the catalog snapshot — if the
+    // torn write leaked, the by_cust line would carry full-corpus sums
+    // while by_month still carries cut-1997 sums and the cross-table
+    // invariant (equal order counts and totals from both tables) breaks
+    // the oracle hash. At 100 TB the catalog claim is one small file
+    // CAS; atomicity never touches data. Both output lines' totals are
+    // DECIMAL partial sums (order-independent, exact).
+    "q187_txn_snapshot" -> ((s, d) => {
+      import graft.sink.TxnCatalog
+      val dir = EventsStream.scratchDir("graft_txn_q187").toString
+      val cat = s"$dir/_catalog"
+      def stage(cut: String) = {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+        Seq(
+          "by_cust" -> o.groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("total")),
+          "by_month" -> o.groupBy(date_trunc("month", col("o_orderdate"))
+              .cast("date").as("month"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")))
+      }
+      TxnCatalog.commitTables(s, cat, stage("1995-01-01"), n => s"$dir/$n")
+      TxnCatalog.commitTables(s, cat, stage("1997-01-01"), n => s"$dir/$n")
+      // the crash: stage 3 commits by_cust only, dies before the claim
+      VersionedTable.overwrite(s, s"$dir/by_cust",
+        Tables.orders(s, d).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total")))
+      val a = TxnCatalog.read(s, cat, "by_cust")
+      val b = TxnCatalog.read(s, cat, "by_month")
+      a.agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_orders"),
+          sum(col("total")).cast("double").as("total"))
+        .select(lit("by_cust").as("src"), col("n_groups"), col("n_orders"),
+          col("total"))
+        .unionByName(
+          b.agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_orders"),
+              sum(col("rev")).cast("double").as("total"))
+            .select(lit("by_month").as("src"), col("n_groups"),
+              col("n_orders"), col("total")))
     })
   )
 
@@ -230,6 +279,26 @@ object LakehouseQueries {
     "q184_stream_table_roundtrip" ->
       """SELECT source, count(*)::BIGINT AS n_docs,
                 sum(n_chars)::BIGINT AS sum_chars
-         FROM documents GROUP BY 1"""
+         FROM documents GROUP BY 1""",
+
+    // The snapshot must be txn 2's CONSISTENT state of both tables: the
+    // cut-1997 rollups, untouched by the crashed table-level overwrite.
+    "q187_txn_snapshot" ->
+      """WITH o AS (SELECT * FROM orders
+                    WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+           a AS (SELECT o_custkey, count(*)::BIGINT AS n,
+                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                 FROM o GROUP BY 1),
+           b AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                        count(*)::BIGINT AS n,
+                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                 FROM o GROUP BY 1)
+         SELECT 'by_cust' AS src, count(*)::BIGINT AS n_groups,
+                sum(n)::BIGINT AS n_orders, sum(total)::DOUBLE AS total
+         FROM a
+         UNION ALL
+         SELECT 'by_month' AS src, count(*)::BIGINT AS n_groups,
+                sum(n)::BIGINT AS n_orders, sum(rev)::DOUBLE AS total
+         FROM b"""
   )
 }

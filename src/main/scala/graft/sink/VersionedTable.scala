@@ -202,6 +202,20 @@ object VersionedTable {
     // claim. This is the commit-protocol core multi-writer safety rests
     // on — everything else (nonced staging, rebase-on-conflict) assumes
     // exactly one writer can own a version number.
+    val claimed = atomicClaim(f, tmp, target)
+    if (!claimed)
+      throw new java.io.IOException(s"version ${m.version} already committed at $root")
+  }
+
+  /** Filesystems whose `rename` is an atomic fail-if-exists metadata op
+    * (HDFS family) — safe as the manifest claim without a hard link. */
+  private val AtomicRenameSchemes = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
+
+  /** Publish `tmp` under the name `target` iff no one else has — the CAS
+    * every commit point in the format rests on (table manifests here,
+    * txn manifests in [[TxnCatalog]]). Returns whether the claim won;
+    * `tmp` is consumed either way (renamed into place or deleted). */
+  private[sink] def atomicClaim(f: FileSystem, tmp: Path, target: Path): Boolean = {
     val claimed =
       if (f.getScheme == "file") {
         val qt = java.nio.file.Paths.get(f.makeQualified(target).toUri.getPath)
@@ -225,13 +239,8 @@ object VersionedTable {
             "refusing a non-atomic manifest claim (lost-update risk)")
       }
     if (f.getScheme == "file" || !claimed) f.delete(tmp, false)
-    if (!claimed)
-      throw new java.io.IOException(s"version ${m.version} already committed at $root")
+    claimed
   }
-
-  /** Filesystems whose `rename` is an atomic fail-if-exists metadata op
-    * (HDFS family) — safe as the manifest claim without a hard link. */
-  private val AtomicRenameSchemes = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
 
   private def readManifest(spark: SparkSession, root: String, v: Int): Manifest = {
     val p = manifestPath(root, v)

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sink.{TxnCatalog, VersionedTable}
+
+/** Contract tests for multi-table transactions: one catalog claim makes a
+  * batch of table versions visible together; a crash between stages
+  * leaves snapshot readers on the old versions of ALL tables; concurrent
+  * catalog txns rebase when disjoint and conflict when overlapping;
+  * single-table CAS writers keep working underneath pinned snapshots. */
+class TxnCatalogSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_txn").toString
+
+  private def df(ids: Long*) = {
+    import spark.implicits._
+    ids.toSeq.toDF("id").withColumn("payload", col("id") * 10)
+  }
+
+  private def idsOf(frame: org.apache.spark.sql.DataFrame): Seq[Long] =
+    frame.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("one txn makes a batch of table versions visible together; time travel works") {
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    val t1 = TxnCatalog.commitTables(spark, cat,
+      Seq("a" -> df(1, 2), "b" -> df(10)), n => s"$dir/$n")
+    assert(t1 == 1)
+    val t2 = TxnCatalog.commitTables(spark, cat,
+      Seq("a" -> df(1, 2, 3), "b" -> df(10, 20)), n => s"$dir/$n")
+    assert(t2 == 2)
+    assert(idsOf(TxnCatalog.read(spark, cat, "a")) == Seq(1L, 2L, 3L))
+    assert(idsOf(TxnCatalog.read(spark, cat, "b")) == Seq(10L, 20L))
+    // txn 1 is a consistent historical snapshot of BOTH tables
+    assert(idsOf(TxnCatalog.read(spark, cat, "a", Some(1))) == Seq(1L, 2L))
+    assert(idsOf(TxnCatalog.read(spark, cat, "b", Some(1))) == Seq(10L))
+  }
+
+  test("crash between stages: catalog readers stay on the OLD versions of ALL tables") {
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    TxnCatalog.commitTables(spark, cat,
+      Seq("a" -> df(1), "b" -> df(10)), n => s"$dir/$n")
+    // simulate the crash: stage 1 (table a) commits at the TABLE level,
+    // then the writer dies before staging b and before the catalog claim
+    VersionedTable.overwrite(spark, s"$dir/a", df(99))
+    // raw per-table readers see the orphaned new version...
+    assert(idsOf(VersionedTable.read(spark, s"$dir/a")) == Seq(99L))
+    // ...but the transactional view is still the old state of BOTH —
+    // never a's new data with b's old data
+    assert(idsOf(TxnCatalog.read(spark, cat, "a")) == Seq(1L))
+    assert(idsOf(TxnCatalog.read(spark, cat, "b")) == Seq(10L))
+    // recovery = simply re-running the transaction; both flip together
+    TxnCatalog.commitTables(spark, cat,
+      Seq("a" -> df(99), "b" -> df(77)), n => s"$dir/$n")
+    assert(idsOf(TxnCatalog.read(spark, cat, "a")) == Seq(99L))
+    assert(idsOf(TxnCatalog.read(spark, cat, "b")) == Seq(77L))
+  }
+
+  test("a snapshot resolved before a later txn keeps reading its pinned versions") {
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    TxnCatalog.commitTables(spark, cat,
+      Seq("a" -> df(1), "b" -> df(10)), n => s"$dir/$n")
+    val pinnedA = TxnCatalog.read(spark, cat, "a")
+    val pinnedB = TxnCatalog.read(spark, cat, "b")
+    TxnCatalog.commitTables(spark, cat,
+      Seq("a" -> df(5), "b" -> df(50)), n => s"$dir/$n")
+    assert(idsOf(pinnedA) == Seq(1L) && idsOf(pinnedB) == Seq(10L))
+  }
+
+  test("expectedTxn (CAS form) refuses to publish over an unseen catalog state") {
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    TxnCatalog.commitTables(spark, cat, Seq("a" -> df(1)), n => s"$dir/$n")
+    val va = VersionedTable.overwrite(spark, s"$dir/a", df(2))
+    // another txn lands in between
+    TxnCatalog.commit(spark, cat, Map("b" -> (s"$dir/b_x", 1)))
+    intercept[TxnCatalog.ConcurrentTxnException] {
+      TxnCatalog.commit(spark, cat, Map("a" -> (s"$dir/a", va)),
+        expectedTxn = Some(1))
+    }
+  }
+
+  test("concurrent catalog txns: disjoint sets both land via rebase; overlap conflicts") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    TxnCatalog.commitTables(spark, cat,
+      Seq("a" -> df(1), "b" -> df(10), "c" -> df(100)), n => s"$dir/$n")
+    val va = VersionedTable.overwrite(spark, s"$dir/a", df(2))
+    val vb = VersionedTable.overwrite(spark, s"$dir/b", df(20))
+    val vc = VersionedTable.overwrite(spark, s"$dir/c", df(200))
+    // three writers race txns over DISJOINT tables — all must land
+    val fs = Seq("a" -> va, "b" -> vb, "c" -> vc).map { case (t, v) =>
+      Future(TxnCatalog.commit(spark, cat, Map(t -> (s"$dir/$t", v))))
+    }
+    val got = Await.result(Future.sequence(fs), 60.seconds)
+    assert(got.sorted == Seq(2, 3, 4), s"all disjoint txns land, got $got")
+    val snap = TxnCatalog.snapshot(spark, cat)
+    assert(idsOf(TxnCatalog.read(spark, cat, "a")) == Seq(2L))
+    assert(idsOf(TxnCatalog.read(spark, cat, "b")) == Seq(20L))
+    assert(idsOf(TxnCatalog.read(spark, cat, "c")) == Seq(200L))
+    // overlapping txns: loser is refused, not silently last-writer-wins
+    val va2 = VersionedTable.overwrite(spark, s"$dir/a", df(3))
+    val va3 = VersionedTable.overwrite(spark, s"$dir/a", df(4))
+    val both = Seq(va2, va3).map { v =>
+      Future(
+        try Right(TxnCatalog.commit(spark, cat, Map("a" -> (s"$dir/a", v))))
+        catch { case e: TxnCatalog.ConcurrentTxnException => Left(e) })
+    }
+    val results = Await.result(Future.sequence(both), 60.seconds)
+    val (losers, winners) = results.partition(_.isLeft)
+    // serial schedules are legal too (both land in sequence); the races
+    // that DO collide must surface the conflict, never drop a pin
+    assert(winners.nonEmpty, "at least one overlapping txn must land")
+    assert(winners.size + losers.size == 2)
+    val finalA = TxnCatalog.snapshot(spark, cat).tables("a")._2
+    assert(Seq(va2, va3).contains(finalA), "final pin is one of the contenders")
+  }
+
+  test("single-table CAS writers keep landing underneath a pinned catalog") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    TxnCatalog.commitTables(spark, cat, Seq("a" -> df(0)), n => s"$dir/$n")
+    val writers = (1 to 3).map { w =>
+      Future((1 to 3).foreach { k =>
+        VersionedTable.appendCas(spark, s"$dir/a", df(w * 10L + k))
+      })
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    // every append landed at the table level...
+    val expected = (Seq(0L) ++ (for (w <- 1 to 3; k <- 1 to 3) yield w * 10L + k)).sorted
+    assert(idsOf(VersionedTable.read(spark, s"$dir/a")) == expected)
+    // ...while the catalog still serves the pinned txn-1 state
+    assert(idsOf(TxnCatalog.read(spark, cat, "a")) == Seq(0L))
+    // and the next txn can pin the advanced table
+    val cur = VersionedTable.currentVersion(spark, s"$dir/a").get
+    TxnCatalog.commit(spark, cat, Map("a" -> (s"$dir/a", cur)))
+    assert(idsOf(TxnCatalog.read(spark, cat, "a")) == expected)
+  }
+
+  test("pipeline commitRunTxn: the three product tables flip in one claim") {
+    val dir = freshDir()
+    // build a tiny Result-shaped trio through the real pipeline tables
+    import spark.implicits._
+    val full = Seq((1L, 0.5)).toDF("scene_id", "ndvi")
+    val clipped = Seq((1L, 0.4)).toDF("scene_id", "ndvi")
+    val viz = Seq((1L, 128)).toDF("scene_id", "gray")
+    val r = graft.pipeline.NdviPipeline.Result(full, clipped, viz,
+      None, spark.emptyDataFrame,
+      graft.pipeline.NdviPipeline.RunSummary(1, 1, 0))
+    val (txn, vs) = graft.pipeline.NdviPipeline.commitRunTxn(spark, r, dir)
+    assert(txn == 1)
+    assert(vs.keySet == Set("ndvi_full", "ndvi_clipped", "ndvi_viz"))
+    val cat = s"$dir/_catalog"
+    assert(TxnCatalog.read(spark, cat, "ndvi_full").count() == 1)
+    assert(TxnCatalog.read(spark, cat, "ndvi_clipped").count() == 1)
+    assert(TxnCatalog.read(spark, cat, "ndvi_viz").count() == 1)
+  }
+}

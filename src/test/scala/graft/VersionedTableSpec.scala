@@ -736,6 +736,41 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, root) == Seq(1))
   }
 
+  test("compaction racing an append: exactly one wins the version, the loser rebases, no row lost or duplicated") {
+    // deterministic interleaving of the classic Delta conflict class:
+    // a compactor derives its rewrite from version 1, an append lands
+    // version 2 IN BETWEEN, and the compactor's publish — pinned to the
+    // base it actually read — must be REFUSED (its rewrite never saw the
+    // appended rows; silently publishing would drop them). The retry
+    // from current state then succeeds and must change no rows.
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 40L: _*).repartition(8)) // v1, fragmented
+    val compactedFromV1 = VersionedTable.read(spark, root, Some(1)).repartition(1)
+    VersionedTable.append(spark, root, df(100L))                          // v2 wins the race
+    val e = intercept[java.io.IOException] {
+      VersionedTable.overwrite(spark, root, compactedFromV1, baseVersion = Some(1))
+    }
+    assert(e.getMessage.contains("version"), s"stale publish must be refused: ${e.getMessage}")
+    // no partial state: v2 is still current and complete
+    assert(VersionedTable.versions(spark, root) == Seq(1, 2))
+    assert(idsOf(VersionedTable.read(spark, root)) == ((1L to 40L) :+ 100L).sorted)
+    // loser rebases = re-runs compaction from current; the appended row
+    // survives and the rewrite is row-invisible (CDC reports no change)
+    val v3 = VersionedTable.compact(spark, root) // default target: 1 file here
+    assert(v3 == 3)
+    assert(idsOf(VersionedTable.read(spark, root)) == ((1L to 40L) :+ 100L).sorted)
+    val (add, rem) = VersionedTable.changesBetween(spark, root, 2, 3)
+    assert(add.count() == 0 && rem.count() == 0, "compaction must be row-invisible")
+
+    // and the mirror image: compaction wins, the CAS append rebases onto
+    // the compacted file list — nothing lost, nothing doubled
+    VersionedTable.appendCas(spark, root, df(200L))                       // v4
+    assert(idsOf(VersionedTable.read(spark, root)) ==
+      (((1L to 40L) :+ 100L) :+ 200L).sorted)
+    val vs = VersionedTable.versions(spark, root)
+    assert(vs == (vs.head to vs.last), "versions strictly sequential, exactly one writer per number")
+  }
+
   test("deleteWhere keeps rows where the predicate is NULL (SQL DELETE semantics)") {
     import spark.implicits._
     val root = freshRoot()
