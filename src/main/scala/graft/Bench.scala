@@ -69,6 +69,26 @@ object Bench {
     val failed = results.collect { case (n, None) => n }
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} FAILED: ${failed.mkString(", ")}")
+    // Stability pass: queries whose sweep spread is WIDE (max > 3×min and
+    // max-min > 1 s) are contention victims, not plan regressions — but a
+    // reader can't tell from the spread alone. Re-run each flagged query
+    // STABLE_RUNS times consecutively on the now-otherwise-idle JVM (no
+    // interleaved neighbors competing for the 32 threads) and record the
+    // min as `stable_min` in BENCH_SPREAD.json: if stable_min ≈ sweep min
+    // the noise verdict is confirmed; a stable_min near the inflated max
+    // is a real slowdown the sweep's min never caught. Bounded: ≤ 8
+    // queries × 3 runs. Disable with SPARK_GRAFT_BENCH_STABLE_RUNS=0.
+    val stableRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_RUNS", "3").toInt
+    val flagged = results.collect {
+      case (k, Some((mn, _, mx))) if mx > 3 * mn && mx - mn > 1.0 => (k, mx - mn)
+    }.sortBy(-_._2).take(8).map(_._1)
+    val stableMin: Map[String, Double] =
+      if (stableRuns <= 0) Map.empty
+      else flagged.map { n =>
+        val ts = (1 to stableRuns).map(_ => timeOnce(n, SparkEntry.queries(n)))
+          .filter(_ >= 0)
+        n -> (if (ts.isEmpty) -1.0 else ts.min)
+      }.toMap
     def tot(f: ((Double, Double, Double)) => Double): Double =
       results.flatMap(_._2).map(f).sum
     val (minTotal, medTotal, maxTotal) = (tot(_._1), tot(_._2), tot(_._3))
@@ -85,8 +105,10 @@ object Bench {
     // consumer's tail window.
     val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + triple(v) }
       .mkString("{", ",", "}")
+    val stableJson = stableMin.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total_full","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,"unit":"sec","queries":$qsFull,"stable_min":$stableJson,"sf":"$sfDir"}"""
     println(fullLine)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SPREAD.json"), fullLine + "\n")

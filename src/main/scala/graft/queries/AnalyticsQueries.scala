@@ -374,6 +374,11 @@ object AnalyticsQueries {
         .localCheckpoint()
       var frontier = visited.select(col("node"))
       var depth = 0L
+      // per-round DRIVER action: one `frontier.isEmpty` — an existence
+      // probe (first non-empty partition short-circuits), the bounded
+      // scalar BFS termination inherently needs; ≤ BfsMaxDepth rounds,
+      // nothing row-sized ever reaches the driver. PlanShapeSpec pins
+      // the round's exchange shape (frontier-sized only).
       while (depth < BfsMaxDepth && !frontier.isEmpty) {
         depth += 1
         // next frontier materialized once (frontier-sized); the visited

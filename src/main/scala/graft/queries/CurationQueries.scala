@@ -114,6 +114,9 @@ object CurationQueries {
         .select(col("node"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
         .localCheckpoint()
+      // per-round DRIVER action: ONE scalar count over the already-
+      // materialized round frame (the fixpoint test label propagation
+      // inherently needs); ≤ maxIter rounds, never row-sized traffic
       changed = next.filter(col("lbl") =!= col("old")).count()
       lbl = next.select(col("node"), col("lbl"))
       it += 1

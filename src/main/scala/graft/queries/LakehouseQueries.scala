@@ -238,6 +238,52 @@ object LakehouseQueries {
               sum(col("rev")).cast("double").as("total"))
             .select(lit("by_month").as("src"), col("n_groups"),
               col("n_orders"), col("total")))
+    }),
+
+    // File-level HLL registers as a queryable index: a key-partitioned
+    // history (4 hash-disjoint user files + an appended batch whose keys
+    // are ALL repeats) is indexed with per-file registers; the skip
+    // decision (hllRelevantFiles) proves the repeat files register-
+    // dominated, and the distinct-user ESTIMATE is computed from ONLY
+    // the surviving files — by the pointwise-max algebra that subset
+    // reproduces the full register set bit-identically, which is exactly
+    // what the oracle gate checks (DuckDB computes the same estimate
+    // from the raw events, file boundaries drop out). The exact count
+    // rides along as the error audit (q151/q121 discipline). At 100 TB
+    // the registers make per-partition distinct-count dashboards a
+    // manifest read: files × 64 bytes, no data scan.
+    "q188_hll_file_skip" -> ((s, d) => {
+      import graft.ext.Sketches._
+      val m = HllBuckets
+      val work = EventsStream.scratchDir("graft_q188").toString
+      val root = s"$work/users"
+      val ev = Tables.events(s, d).select(col("user_id"))
+      VersionedTable.create(s, root, ev.repartition(4, col("user_id")))
+      VersionedTable.append(s, root,
+        ev.filter(col("user_id") % 2 === 0).repartition(2, col("user_id")))
+      VersionedTable.indexHll(s, root, Seq("user_id"))
+      val relevant = VersionedTable.hllRelevantFiles(s, root, "user_id").get
+      val regs = hllRegisters(
+        VersionedTable.readSubset(s, root, relevant), col("user_id"))
+      val harmonic =
+        aggregate(col("rs"), lit(0.0), (acc, rr) =>
+          acc + lit(1.0) /
+            call_function("shiftleft", lit(1L), rr("mx").cast("int")).cast("double")) +
+          (lit(m) - col("nb")).cast("double")
+      val est = regs
+        .agg(sort_array(collect_list(struct(col("bucket"), col("mx")))).as("rs"),
+             count(lit(1)).as("nb"))
+        .select((hllAlphaM2 / harmonic).as("eraw"),
+          (lit(m) - col("nb")).as("nv"))
+        .select(round(when(col("eraw") <= 2.5 * m && col("nv") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("nv").cast("double")))
+          .otherwise(col("eraw")), 6).as("est"))
+      val exact = Tables.events(s, d)
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.crossJoin(exact) // [bounded: 1 row each]
+        .select(col("est"), col("n_exact"),
+          round(abs(col("est") - col("n_exact").cast("double")) /
+            nullif(col("n_exact"), lit(0L)).cast("double"), 6).as("err"))
     })
   )
 
@@ -299,6 +345,46 @@ object LakehouseQueries {
          UNION ALL
          SELECT 'by_month' AS src, count(*)::BIGINT AS n_groups,
                 sum(n)::BIGINT AS n_orders, sum(rev)::DOUBLE AS total
-         FROM b"""
+         FROM b""",
+
+    // The estimate from the register-relevant file subset must equal the
+    // estimate from ALL the data (pointwise-max algebra: file boundaries
+    // drop out) — so the oracle computes it straight from events with
+    // the shared q121 construction.
+    "q188_hll_file_skip" -> {
+      import graft.ext.Sketches._
+      val m = HllBuckets
+      s"""WITH regs AS (
+            SELECT bucket, max(rho) AS mx FROM (
+              SELECT bucket, ${hllRhoSql("w")} AS rho FROM (
+                SELECT h1 % $m AS bucket, ${hllMixSql("h1")} AS w FROM (
+                  SELECT ${hllMixSql("h0")} AS h1 FROM (
+                    SELECT ${hllHashSql("CAST(user_id AS VARCHAR)")} AS h0
+                    FROM events))))
+            GROUP BY 1),
+          folded AS (
+            SELECT list({'bucket': bucket, 'mx': mx} ORDER BY bucket) AS rs,
+                   count(*)::BIGINT AS nb
+            FROM regs),
+          est AS (
+            SELECT round(CASE WHEN eraw <= ${2.5 * m} AND nv > 0
+                              THEN $m.0 * ln($m.0 / nv::DOUBLE)
+                              ELSE eraw END, 6) AS est
+            FROM (
+              SELECT $hllAlphaM2Sql /
+                       (list_reduce(list_prepend(0.0::DOUBLE,
+                          list_transform(rs, rr ->
+                            1.0::DOUBLE / ((1::BIGINT << rr.mx)::DOUBLE))),
+                          (sa, sb) -> sa + sb)
+                        + ($m - nb)::DOUBLE) AS eraw,
+                     ($m - nb) AS nv
+              FROM folded)),
+          exact AS (SELECT count(DISTINCT user_id)::BIGINT AS n_exact
+                    FROM events)
+          SELECT est, n_exact,
+                 round(abs(est - n_exact::DOUBLE) /
+                   nullif(n_exact, 0)::DOUBLE, 6) AS err
+          FROM est, exact"""
+    }
   )
 }

@@ -404,43 +404,43 @@ object ScaleQueries {
     // before dimension-reduction (a near-duplicate feature pair means
     // the index pays for a dimension that carries no signal; cf. the
     // Matryoshka truncation question q131 answers). Raw-moment form
-    // (cov = E[xy] − E[x]E[y]) over DECIMAL-exact sums, aggregated
-    // BEFORE any explode (q167's move): each input row feeds dim
-    // element sums + dim(dim−1)/2 pair-product sums straight into
-    // codegen'd agg buffers — NO generator emits per-row (i, j, xy)
-    // rows, so the per-row encoder tax of a dim² posexplode (4096
-    // generated rows per input row, measured 3.9 s at sf0.1) never
-    // exists. Map-side partials reduce each partition to ONE fixed-
-    // width row (~2 k decimal cells); the explode to (i, j, cov) long
-    // form runs on the single aggregated row. The final top-k is
-    // TakeOrdered, no global sort. At 100 TB the state is d²-bounded
-    // everywhere; only the scan is data-sized.
+    // (cov = E[xy] − E[x]E[y]) with the WHOLE Gram matrix computed by
+    // ONE typed Aggregator over 1e-7 fixed-point longs (128-bit exact
+    // accumulation — see MomentAggregator's scaladoc for why every
+    // declarative shape loses here: the dim² generator pays per-row
+    // encoder traffic, a 66-column decimal aggregate pays ~3 s/run of
+    // janino compilation once the codegen cache evicts it, and the
+    // dim²/2-column form pays ~12 s of Catalyst analysis). The shuffle
+    // carries one fixed-width buffer per partition; the (i, j) long
+    // form explodes from the SINGLE result row; mu lookups are
+    // element_at over a materialized 64-entry array; top-k is
+    // TakeOrdered. At 100 TB the state is d²-bounded everywhere; only
+    // the scan is data-sized. Exactness: values pre-rounded to 7 dp,
+    // all sums exact integers, converted to double exactly where the
+    // oracle runs `sum(decimal)::DOUBLE`.
     "q163_embed_cov" -> ((s, d) => {
       val dim = EmbedDim
-      // values pre-rounded to 7 dp so both engines multiply identical
-      // decimals; flattened to one scalar column per position so every
-      // aggregate below is a plain codegen'd sum over a fixed column
-      val wide = embeddings(s, d).select(
-        transform(col("embedding"),
-          x => round(x.cast("double"), 7).cast("decimal(12,7)")).as("dv"))
-        .select((1 to dim).map(i => element_at(col("dv"), i).as(s"x$i")): _*)
-      val pairs = for (i <- 1 to dim; j <- i + 1 to dim) yield (i, j)
-      val aggs: Seq[Column] =
-        count(lit(1)).as("n") +:
-          ((1 to dim).map(i => sum(col(s"x$i")).as(s"s$i")) ++
-            pairs.map { case (i, j) =>
-              sum(col(s"x$i") * col(s"x$j")).as(s"p${i}_$j") })
-      val one = wide.agg(aggs.head, aggs.tail: _*)
-      // one row in: the mean/cov arithmetic and the long-form explode
-      // are driver-cheap regardless of corpus size
-      def mu(i: Int): Column =
-        round(col(s"s$i").cast("double") / col("n").cast("double"), 9)
-      one.select(explode(array(pairs.map { case (i, j) =>
-          struct(lit((i - 1).toLong).as("i"), lit((j - 1).toLong).as("j"),
-            round(round(col(s"p${i}_$j").cast("double") /
-              col("n").cast("double"), 9) - mu(i) * mu(j), 9).as("cov"))
-        }: _*)).as("c"))
-        .select(col("c.i").as("i"), col("c.j").as("j"), col("c.cov").as("cov"))
+      val dl = embeddings(s, d).select(
+        transform(col("embedding"), x =>
+          (round(x.cast("double"), 7).cast("decimal(12,7)") *
+            lit(10000000L)).cast("long")).as("v"))
+      val one = dl.agg(
+        graft.stats.MomentAggregator.column(dim, col("v")).as("m"))
+      // layered: mu materialized BEFORE the cov projection references it
+      // twice per pair (CollapseProject keeps multiply-referenced
+      // non-cheap expressions un-inlined across select boundaries)
+      val withMu = one.select(col("m.n").as("n"), col("m.ms").as("ms"),
+        transform(col("m.sx"),
+          v => round(v / col("m.n").cast("double"), 9)).as("mu"))
+      withMu
+        .select(col("n"), col("mu"), posexplode(col("ms")).as(Seq("p", "sxy")))
+        .select(expr(s"p div $dim").cast("long").as("i"),
+          (col("p") % dim).cast("long").as("j"), col("n"), col("mu"), col("sxy"))
+        .filter(col("j") > col("i"))
+        .select(col("i"), col("j"),
+          round(round(col("sxy") / col("n").cast("double"), 9) -
+            element_at(col("mu"), (col("i") + 1).cast("int")) *
+              element_at(col("mu"), (col("j") + 1).cast("int")), 9).as("cov"))
         .orderBy(abs(col("cov")).desc, col("i"), col("j")).limit(20)
     }),
 

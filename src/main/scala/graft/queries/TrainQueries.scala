@@ -426,8 +426,12 @@ object TrainQueries {
             (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
           .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
           .agg(count(lit(1)).as("cnt"))
+        // per-round DRIVER action: ONE row (the argmax merge decision via
+        // TakeOrdered — never a sorted collect); BPE training is
+        // inherently sequential in its merge choices, so this is the
+        // minimum possible driver traffic: 3 rounds × 1 row
         val best = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
-          .limit(1).collect()(0) // 1 row: the round's merge decision
+          .limit(1).collect()(0)
         val (bl, br, bc) = (best.getString(0), best.getString(1), best.getLong(2))
         merges += ((round, bl, br, bc))
         cur = cur.withColumn("s",

@@ -124,11 +124,23 @@ object VersionedTable {
     (0 until k).map(i => ((h1 + i.toLong * h2) % mBits).toInt)
   }
 
+  /** Per-file HLL register set over one column (the [[graft.ext.Sketches]]
+    * construction: `m` buckets, one max-rho byte each, base64 in the
+    * manifest). Registers answer distinct-count questions from METADATA:
+    * the union of per-file registers (pointwise max — associative, so
+    * file boundaries drop out) equals the whole table's register set,
+    * and any file whose registers are dominated by the union of the
+    * others can be skipped without changing the estimate. */
+  final case class FileHll(col: String, m: Int, regs: String) {
+    def registers: Array[Byte] = java.util.Base64.getDecoder.decode(regs)
+  }
+
   private case class Manifest(version: Int, schemaDdl: String, files: Seq[String],
                               txn: Option[Long] = None,
                               stats: Map[String, Seq[ColStat]] = Map.empty,
                               blooms: Map[String, Seq[FileBloom]] = Map.empty,
-                              partitionCols: Seq[String] = Seq.empty)
+                              partitionCols: Seq[String] = Seq.empty,
+                              hlls: Map[String, Seq[FileHll]] = Map.empty)
 
   // Minimal JSON (de)serialization — file names are commit-generated
   // (uuid-free parquet part names under our own prefix, no escapes
@@ -171,6 +183,14 @@ object VersionedTable {
           s"""{"bfile": "${esc(file)}", "bcol": "${esc(b.col)}", """ +
             s""""m": ${b.mBits}, "k": ${b.k}, "bits": "${b.bits}"}""")
       }.mkString("[", ", ", "]")
+    // per-file HLL registers, same flat-object discipline
+    val hllsJson =
+      if (m.hlls.isEmpty) ""
+      else ",\n \"hlls\": " + m.hlls.toSeq.sortBy(_._1).flatMap {
+        case (file, hs) => hs.map(h =>
+          s"""{"hfile": "${esc(file)}", "hcol": "${esc(h.col)}", """ +
+            s""""hm": ${h.m}, "regs": "${h.regs}"}""")
+      }.mkString("[", ", ", "]")
     // hive-partitioned layout flag: the reader needs it to resolve
     // partition-column values from the data-file directory names
     val partsField =
@@ -181,7 +201,7 @@ object VersionedTable {
       s"""{"version": ${m.version},
          |$txnField$partsField "schema": "${esc(m.schemaDdl)}",
          | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
-         | "stats": $statsJson$bloomsJson}""".stripMargin
+         | "stats": $statsJson$bloomsJson$hllsJson}""".stripMargin
     val target = manifestPath(root, m.version)
     val f = fs(spark, target)
     f.mkdirs(logDir(root))
@@ -270,7 +290,12 @@ object VersionedTable {
       (unesc(mm.group(1)), FileBloom(unesc(mm.group(2)), mm.group(3).toInt,
         mm.group(4).toInt, mm.group(5)))
     }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    Manifest(v, schema, files, txn, stats, blooms, partitionCols)
+    val H = """\{"hfile": "((?:[^"\\]|\\.)*)", "hcol": "((?:[^"\\]|\\.)*)", "hm": (\d+), "regs": "([A-Za-z0-9+/=]*)"\}""".r
+    val hlls = H.findAllMatchIn(text).map { mm =>
+      (unesc(mm.group(1)), FileHll(unesc(mm.group(2)), mm.group(3).toInt,
+        mm.group(4)))
+    }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    Manifest(v, schema, files, txn, stats, blooms, partitionCols, hlls)
   }
 
   /** Transaction ids recorded by committed versions — the idempotence
@@ -442,7 +467,8 @@ object VersionedTable {
                      tableDdl: Option[String] = None,
                      carryBlooms: Map[String, Seq[FileBloom]] = Map.empty,
                      baseVersion: Option[Int] = None,
-                     partitionCols: Seq[String] = Seq.empty): Int = {
+                     partitionCols: Seq[String] = Seq.empty,
+                     carryHlls: Map[String, Seq[FileHll]] = Map.empty): Int = {
     // When the caller read a manifest to build carryOver, the commit MUST
     // target exactly base+1: re-resolving the version here would let a
     // writer that landed in between be silently overwritten by our stale
@@ -465,7 +491,8 @@ object VersionedTable {
       Manifest(v, ddl, files, txn,
         carryStats.view.filterKeys(carryOver.contains).toMap ++ addedStats,
         carryBlooms.view.filterKeys(carryOver.contains).toMap,
-        partitionCols))
+        partitionCols,
+        carryHlls.view.filterKeys(carryOver.contains).toMap))
     v
   }
 
@@ -505,7 +532,8 @@ object VersionedTable {
     requireWriteCompatible(m.schemaDdl, df, "append")
     commit(spark, root, df, m.files, carryStats = m.stats,
       tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
-      baseVersion = Some(cur), partitionCols = m.partitionCols)
+      baseVersion = Some(cur), partitionCols = m.partitionCols,
+      carryHlls = m.hlls)
   }
 
   /** Overwrite: new version references ONLY the new rows' files (logical
@@ -584,7 +612,8 @@ object VersionedTable {
           requireWriteCompatible(m.schemaDdl, df, "append")
           commit(spark, root, df, m.files, Some(txn), carryStats = m.stats,
             tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
-            baseVersion = Some(cur), partitionCols = m.partitionCols)
+            baseVersion = Some(cur), partitionCols = m.partitionCols,
+            carryHlls = m.hlls)
         }
     }
 
@@ -706,7 +735,8 @@ object VersionedTable {
     val widened = schema.add(name, sqlType, nullable = true)
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, widened.toDDL, m.files,
-      stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols))
+      stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
+      hlls = m.hlls))
     v
   }
 
@@ -810,7 +840,7 @@ object VersionedTable {
       }
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
-      stats = m.stats, blooms = m.blooms ++ newBlooms,
+      stats = m.stats, blooms = m.blooms ++ newBlooms, hlls = m.hlls,
       partitionCols = m.partitionCols))
     v
   }
@@ -858,6 +888,126 @@ object VersionedTable {
       m.partitionCols.nonEmpty, root)
   }
 
+  /** Build per-file HLL registers over `cols` and publish them as a new
+    * version (same data files, stats and blooms — index maintenance as a
+    * commit, the [[indexBloom]] pattern). One distributed job computes
+    * (file, col, bucket, max rho); the driver collects at most
+    * files × cols × m rows — manifest-order, never the data. Registers
+    * ride carry-over like stats/blooms: untouched files keep theirs
+    * across append/delete/merge/compact-scoped commits; files added
+    * later are simply un-indexed until the next indexHll (and their
+    * absence makes the skip decision refuse, never lie). The register
+    * union across files is pointwise max — associative — so merged
+    * per-file registers EQUAL the whole-table register set: distinct-
+    * count estimates become a metadata read. */
+  def indexHll(spark: SparkSession, root: String, cols: Seq[String],
+               m: Int = graft.ext.Sketches.HllBuckets): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, max}
+    import graft.ext.Sketches.{hllHash, hllMix, hllRho}
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val man = readManifest(spark, root, cur)
+    val paths = man.files.map(f => new Path(root, f).toString)
+    val fsys = fs(spark, new Path(root))
+    val byPath: Map[String, String] = man.files.map { rel =>
+      fsys.makeQualified(new Path(root, rel)).toUri.getPath -> rel
+    }.toMap
+    val newHlls: Map[String, Seq[FileHll]] =
+      if (paths.isEmpty) Map.empty
+      else {
+        val perCol = cols.map { c =>
+          readPaths(spark, man.schemaDdl, paths, man.partitionCols.nonEmpty, root)
+            .select(input_file_name().as("f"), col(c).cast("string").as("k"))
+            .where(col("k").isNotNull)
+            .select(col("f"), hllHash(col("k")).as("h0"))
+            .select(col("f"), hllMix(col("h0")).as("h1"))
+            .select(col("f"), (col("h1") % m).as("bucket"), hllMix(col("h1")).as("w"))
+            .select(col("f"), col("bucket"), hllRho(col("w")).as("rho"))
+            .groupBy(col("f"), col("bucket"))
+            .agg(max(col("rho")).cast("long").as("mx"))
+            .select(col("f"), col("bucket"), col("mx"), lit(c).as("c"))
+        }.reduce(_ unionByName _).collect()
+        val built = perCol.groupBy(r => manifestKeyOf(byPath, r.getString(0))).map {
+          case (file, rows) =>
+            file -> rows.groupBy(_.getString(3)).map { case (c, rs) =>
+              val regs = new Array[Byte](m)
+              rs.foreach { r =>
+                val b = r.getLong(1).toInt
+                if (r.getLong(2) > (regs(b) & 0xff)) regs(b) = r.getLong(2).toByte
+              }
+              FileHll(c, m, java.util.Base64.getEncoder.encodeToString(regs))
+            }.toSeq
+        }
+        // a file with no rows (or no non-null keys) never reaches the job
+        // output; it still gets EXPLICIT all-zero registers — "indexed,
+        // contributes nothing" — so the completeness check below cannot
+        // mistake it for an un-indexed append forever
+        val zero = java.util.Base64.getEncoder.encodeToString(new Array[Byte](m))
+        man.files.map { f =>
+          val have = built.getOrElse(f, Seq.empty)
+          val missing = cols.filterNot(c => have.exists(_.col == c))
+            .map(c => FileHll(c, m, zero))
+          f -> (have ++ missing)
+        }.toMap
+      }
+    val v = cur + 1
+    writeManifest(spark, root, Manifest(v, man.schemaDdl, man.files, None,
+      stats = man.stats, blooms = man.blooms, partitionCols = man.partitionCols,
+      hlls = man.hlls ++ newHlls))
+    v
+  }
+
+  /** The pointwise-max union of `version`'s per-file registers for
+    * `column` — the whole table's register set, computed from METADATA
+    * alone. None when any file lacks registers (an un-indexed append):
+    * absent registers must refuse the shortcut, never understate. */
+  def mergedHllRegisters(spark: SparkSession, root: String, column: String,
+                         version: Option[Int] = None): Option[Array[Byte]] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val man = readManifest(spark, root, v)
+    val per = man.files.map(f =>
+      man.hlls.getOrElse(f, Seq.empty).find(_.col == column))
+    if (per.exists(_.isEmpty) || per.isEmpty) None
+    else {
+      val regs = per.flatten.map(_.registers)
+      val m = regs.head.length
+      val u = new Array[Byte](m)
+      regs.foreach { r =>
+        var i = 0
+        while (i < m) { if ((r(i) & 0xff) > (u(i) & 0xff)) u(i) = r(i); i += 1 }
+      }
+      Some(u)
+    }
+  }
+
+  /** The files whose registers already ACHIEVE the union in every
+    * bucket — reading only these reproduces the register set (and thus
+    * any distinct-count estimate) bit-identically; every other file is
+    * register-DOMINATED and provably cannot change it. Greedy cover in
+    * manifest order: for each non-empty bucket, keep the first file
+    * attaining the union's max. None when any file is un-indexed. */
+  def hllRelevantFiles(spark: SparkSession, root: String, column: String,
+                       version: Option[Int] = None): Option[Seq[String]] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val man = readManifest(spark, root, v)
+    mergedHllRegisters(spark, root, column, Some(v)).map { u =>
+      val per: Seq[(String, Array[Byte])] = man.files.map(f =>
+        f -> man.hlls(f).find(_.col == column).get.registers)
+      val need = scala.collection.mutable.LinkedHashSet[String]()
+      var b = 0
+      while (b < u.length) {
+        if (u(b) != 0) {
+          val hit = per.find { case (_, r) => r(b) == u(b) }.get._1
+          need += hit
+        }
+        b += 1
+      }
+      need.toSeq
+    }
+  }
+
   /** DELETE WHERE as a commit — copy-on-write DML at FILE granularity,
     * with the manifest stats bounding write amplification: only files
     * whose recorded [lo, hi] can contain a matching row are read and
@@ -900,7 +1050,8 @@ object VersionedTable {
       untouched ++ rewritten, None,
       m.stats.view.filterKeys(untouched.contains).toMap ++ rewrittenStats,
       m.blooms.view.filterKeys(untouched.contains).toMap,
-      m.partitionCols))
+      m.partitionCols,
+      m.hlls.view.filterKeys(untouched.contains).toMap))
     v
   }
 
@@ -966,7 +1117,8 @@ object VersionedTable {
       untouched ++ added, txn,
       m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats,
       m.blooms.view.filterKeys(untouched.contains).toMap,
-      m.partitionCols))
+      m.partitionCols,
+      m.hlls.view.filterKeys(untouched.contains).toMap))
     v
   }
 
@@ -1051,7 +1203,8 @@ object VersionedTable {
     val m = readManifest(spark, root, to)
     val v = currentVersion(spark, root).get + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
-      stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols))
+      stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
+      hlls = m.hlls))
     v
   }
 
@@ -1131,7 +1284,8 @@ object VersionedTable {
       untouched ++ added, None,
       m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats,
       m.blooms.view.filterKeys(untouched.contains).toMap,
-      m.partitionCols))
+      m.partitionCols,
+      m.hlls.view.filterKeys(untouched.contains).toMap))
     v
   }
 
@@ -1230,6 +1384,7 @@ object VersionedTable {
     writeManifest(spark, dstRoot, Manifest(1, m.schemaDdl, abs,
       stats = m.stats.map { case (k, s) => remap.getOrElse(k, k) -> s },
       blooms = m.blooms.map { case (k, b) => remap.getOrElse(k, k) -> b },
+      hlls = m.hlls.map { case (k, h) => remap.getOrElse(k, k) -> h },
       partitionCols = m.partitionCols))
     // back-reference every owning root (a clone OF a clone references
     // the original's files — the marker must land with the owner)

@@ -260,6 +260,42 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
 
+  test("q161 loop invariant: per-round exchanges are frontier-sized; the persisted edge list never reshuffles") {
+    // q161's rounds are hidden behind localCheckpoint boundaries, so the
+    // invariant is asserted on the round's exact mechanism (q120's test
+    // discipline): join the persisted src-partitioned bidirectional edge
+    // list to a frontier, distinct the discoveries, anti-join visited.
+    // Every exchange must carry frontier/discovery-sized data — the
+    // O(|edges|) side satisfies the join's distribution as-is. The
+    // per-round DRIVER action is one `frontier.isEmpty` (a bounded
+    // existence probe inherent to BFS termination) — nothing else leaves
+    // the cluster.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (0L until 2000L).map(i => (i % 97, 1000L + i % 41))
+        .toDF("src", "dst")
+        .repartition(spark.sessionState.conf.numShufflePartitions, col("src"))
+        .persist()
+      val frontier = (0L until 5L).toDF("node")
+      val visited = (0L until 5L).map(i => (i, 0L)).toDF("node", "dist")
+      val next = edges.join(frontier, edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+      val plan = executedPlan(next)
+      val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
+      // frontier side of the hop join, the discovery distinct (partial+
+      // final plans as one exchange), and the two anti-join sides — all
+      // frontier/discovery-sized; the edge list contributes NONE
+      assert(shuffles <= 4,
+        s"expected only frontier-sized exchanges (edge list reuses its " +
+          s"persisted partitioning); got $shuffles:\n$plan")
+      edges.unpersist()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("q152 IVF-PQ re-rank is candidate-bounded: TakeOrdered chain, no global sort, no all-pairs") {
     // the candidate stage (cell assign + probe equi-join + broadcast
     // registers) reuses the q49/q115/q119 constructions asserted above;
@@ -376,12 +412,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 4, s"expected ≤4 exchanges, got $shuffles:\n$plan")
   }
 
-  test("q163 embed-cov aggregates BEFORE any explode: no generator feeds an exchange") {
+  test("q163 embed-cov: the moment aggregate sees raw rows — no generator below any exchange, one agg exchange") {
+    // q163's Gram matrix is ONE typed aggregate over the scan: nothing
+    // explodes before aggregation (the dim² posexplode this replaced
+    // generated 4096 rows per input row), and the only exchange is the
+    // global aggregate's single-partition gather of fixed-width
+    // buffers. The (i, j) explode runs ABOVE it, on the one-row result.
     val plan = executedPlan(SparkEntry.queries("q163_embed_cov")(spark, sf))
-    // the moment sums are per-position aggregates over the scan — the
-    // ONLY generator allowed is the post-aggregation explode of the
-    // single d²-cell row; a generator below an exchange would mean the
-    // dim² per-row outer product came back
+    assert(countIn(plan) { case e: ShuffleExchangeExec => e } <= 1,
+      s"expected only the global-aggregate exchange:\n$plan")
     def generatorBelowExchange(p: org.apache.spark.sql.execution.SparkPlan,
                                belowExchange: Boolean): Boolean = {
       val here = p match {
@@ -398,6 +437,6 @@ class PlanShapeSpec extends SparkSpec {
         })
     }
     assert(!generatorBelowExchange(plan, belowExchange = false),
-      s"pair explode must run on the aggregated row, never per input row:\n$plan")
+      s"the pair explode must run on the aggregated row, never per input row:\n$plan")
   }
 }

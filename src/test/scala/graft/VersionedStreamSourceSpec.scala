@@ -187,4 +187,46 @@ class VersionedStreamSourceSpec extends SparkSpec {
     assert(got == Set((0L, 2L, 60L), (1L, 3L, 90L)),
       s"streaming agg over the table feed: $got")
   }
+
+  test("native sink under adversarial delivery: duplicated and out-of-order batches; final table == batch") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // drive the sink's addBatch DIRECTLY with the delivery schedule a
+    // failing/zombie driver produces: commit 0, skip ahead to 2, a LATE
+    // batch 1 lands afterwards, then batch 2 is re-delivered mid-stream
+    // (engine retry after a partial failure). Appends commute, so the
+    // final table must equal the one-of-each union no matter the order;
+    // the txn ledger must refuse exactly the re-delivery.
+    val dst = freshRoot()
+    val sink = new graft.sources.VersionedSource().createSink(
+      spark.sqlContext, Map("path" -> dst), Seq.empty, OutputMode.Append())
+    val b0 = df(1, 2); val b1 = df(3); val b2 = df(4, 5)
+    sink.addBatch(0, b0)
+    sink.addBatch(2, b2)            // arrives before its predecessor
+    sink.addBatch(1, b1)            // the late batch — genuinely new, applies
+    sink.addBatch(2, df(99, 100))   // duplicated mid-stream: MUST be refused,
+                                    // even carrying different (corrupt) data
+    val ids = spark.read.format("graft-versioned").load(dst)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L),
+      s"adversarial delivery must converge to the batch union, got $ids")
+    assert(VersionedTable.committedTxns(spark, dst) == Set(0L, 1L, 2L))
+    // and the same union through the REAL engine equals it byte-for-byte:
+    // stream a 3-commit source into a fresh sink and compare contents
+    val src = freshRoot()
+    VersionedTable.create(spark, src, b0)
+    VersionedTable.append(spark, src, b1)
+    VersionedTable.append(spark, src, b2)
+    val dst2 = freshRoot()
+    val q = spark.readStream.format("graft-versioned")
+      .option("maxVersionsPerTrigger", "1").load(src)
+      .writeStream.format("graft-versioned").option("path", dst2)
+      .option("checkpointLocation", Files.createTempDirectory("vss_adv").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val viaEngine = spark.read.format("graft-versioned").load(dst2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val viaAdversary = spark.read.format("graft-versioned").load(dst)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaEngine == viaAdversary, "order/duplication must be invisible in the rows")
+  }
 }

@@ -860,6 +860,50 @@ class VersionedTableSpec extends SparkSpec {
     assert(onId.size == 1, "non-decimal stats keep working")
   }
 
+  test("per-file HLL registers: dominated files skipped, estimate bit-identical from the subset") {
+    import spark.implicits._
+    val root = freshRoot()
+    // key-partitioned history: 4 hash-disjoint key files, then an append
+    // whose keys are ALL repeats — its registers are pointwise dominated
+    val base = (0L until 200L).toDF("id").withColumn("payload", col("id") * 10)
+    VersionedTable.create(spark, root, base.repartition(4, col("id")))     // v1
+    VersionedTable.append(spark, root,
+      (0L until 200L by 2L).toDF("id").withColumn("payload", col("id") * 10)) // v2: repeats
+    // un-indexed table: the skip decision must REFUSE, never guess
+    assert(VersionedTable.hllRelevantFiles(spark, root, "id").isEmpty)
+    val v3 = VersionedTable.indexHll(spark, root, Seq("id"))               // v3
+    assert(v3 == 3)
+    // same files — index maintenance is a metadata+scan commit
+    assert(VersionedTable.read(spark, root, Some(2)).inputFiles.toSet ==
+      VersionedTable.read(spark, root, Some(3)).inputFiles.toSet)
+    val total = VersionedTable.read(spark, root).inputFiles.length
+    val relevant = VersionedTable.hllRelevantFiles(spark, root, "id").get
+    assert(relevant.size < total,
+      s"repeat-key files must be register-dominated (kept ${relevant.size} of $total)")
+    assert(relevant.forall(f => ofCommit(f, 1)),
+      "every relevant file comes from the disjoint-key commit")
+    // reading ONLY the relevant files reproduces the register set —
+    // and therefore any estimate — bit-identically
+    def regsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sketches.hllRegisters(df, col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fromSubset = regsOf(VersionedTable.readSubset(spark, root, relevant))
+    val fromAll = regsOf(VersionedTable.read(spark, root))
+    assert(fromSubset == fromAll, "dominated files must not carry any bucket max")
+    // the metadata-only union agrees with the data-derived registers
+    val merged = VersionedTable.mergedHllRegisters(spark, root, "id").get
+    val mergedMap = merged.zipWithIndex.collect {
+      case (r, b) if r != 0 => (b.toLong, (r & 0xff).toLong) }.toMap
+    assert(mergedMap == fromAll, "manifest registers == data registers")
+    // registers carry over an append of NEW data; the new file is simply
+    // un-indexed and the skip decision refuses again
+    VersionedTable.append(spark, root, Seq(100000L).toDF("id")
+      .withColumn("payload", col("id") * 10))                              // v4
+    assert(VersionedTable.hllRelevantFiles(spark, root, "id").isEmpty)
+    // history: v3's registers still answer at v3
+    assert(VersionedTable.hllRelevantFiles(spark, root, "id", Some(3)).isDefined)
+  }
+
   test("manifest claim refuses non-atomic schemes (object-store lost-update guard)") {
     import spark.implicits._
     // a scheme whose rename is NOT fail-if-exists (the object-store
