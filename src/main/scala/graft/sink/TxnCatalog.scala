@@ -136,7 +136,16 @@ object TxnCatalog {
         s".t$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = f.create(tmp, true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
-      if (VersionedTable.atomicClaim(f, tmp, target)) return next
+      if (VersionedTable.atomicClaim(f, tmp, target)) {
+        // register the GC back-reference BEFORE returning: from here on
+        // the tables' own expire keeps every version this catalog pins
+        // (marker write is idempotent; a marker registered for a txn
+        // that lost the claim is harmless — it pins nothing extra)
+        updates.values.foreach { case (root, _) =>
+          VersionedTable.registerTxnPin(spark, root, catRoot)
+        }
+        return next
+      }
       // lost the claim: disjoint winner → rebase (its pins are carried
       // by re-reading prev next loop); overlapping winner → conflict
       val winner = snapshot(spark, catRoot, Some(next)).tables
@@ -169,6 +178,20 @@ object TxnCatalog {
       name -> (root, v)
     }
     commit(spark, catRoot, pinned.toMap)
+  }
+
+  /** Expire all but the newest `keepLast` transactions. Old txn
+    * manifests are deleted — and with them their pins, so the table
+    * versions they protected age out through the TABLES' own expire on
+    * its next run (GC ordering: catalog first, then tables; never the
+    * reverse, which [[VersionedTable.expire]]'s pin check enforces). */
+  def expire(spark: SparkSession, catRoot: String, keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least the newest txn")
+    val ts = txns(spark, catRoot)
+    val drop = ts.dropRight(keepLast)
+    val f = fs(spark, logDir(catRoot))
+    drop.foreach(t => f.delete(txnPath(catRoot, t), false))
+    drop.size
   }
 
   final class ConcurrentTxnException(msg: String) extends RuntimeException(msg)

@@ -231,6 +231,22 @@ object VersionedTable {
     * (HDFS family) — safe as the manifest claim without a hard link. */
   private val AtomicRenameSchemes = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
 
+  /** Register a transaction-catalog back-reference in `tableRoot`'s log:
+    * [[expire]] will keep every version a live txn of `catRoot` pins.
+    * Idempotent (marker name is a digest of the catalog path). */
+  private[sink] def registerTxnPin(spark: SparkSession, tableRoot: String,
+                                   catRoot: String): Unit = {
+    val f = fs(spark, new Path(tableRoot))
+    val id = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(catRoot))
+    val mk = new Path(logDir(tableRoot), s".txnpin-$id")
+    if (!f.exists(mk)) {
+      f.mkdirs(logDir(tableRoot))
+      val out = f.create(mk, true)
+      try out.write(catRoot.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Publish `tmp` under the name `target` iff no one else has — the CAS
     * every commit point in the format rests on (table manifests here,
     * txn manifests in [[TxnCatalog]]). Returns whether the claim won;
@@ -1296,8 +1312,39 @@ object VersionedTable {
   def expire(spark: SparkSession, root: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the newest version")
     val vs = versions(spark, root)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
     val f = fs(spark, new Path(root))
+    // transaction-catalog back-references: a version PINNED by a live txn
+    // of a registered catalog stays fully readable — manifest and files —
+    // no matter how old; GC of pinned history goes through the CATALOG's
+    // own expire first (drop the txn, then the table version ages out).
+    // A marker whose catalog no longer exists is retired. Without this,
+    // a table-level expire would silently break every snapshot reader
+    // resolving through an older transaction — the cross-layer twin of
+    // the clone-marker rule below.
+    val pinned: Set[Int] =
+      if (!f.exists(logDir(root))) Set.empty
+      else f.listStatus(logDir(root)).map(_.getPath)
+        .filter(_.getName.startsWith(".txnpin-"))
+        .flatMap { mk =>
+          val in = f.open(mk)
+          val cat = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+          finally in.close()
+          val txns = TxnCatalog.txns(spark, cat)
+          if (txns.isEmpty) { f.delete(mk, false); Seq.empty }
+          else {
+            val mine = f.makeQualified(new Path(root)).toUri.getPath
+            txns.flatMap(t =>
+              TxnCatalog.snapshot(spark, cat, Some(t)).tables.collect {
+                case (_, (r, v))
+                    if fs(spark, new Path(r)).makeQualified(new Path(r))
+                      .toUri.getPath == mine => v
+              })
+          }
+        }.toSet
+    val (dropAged, keepTail) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val drop = dropAged.filterNot(pinned)
+    val keep = keepTail ++ dropAged.filter(pinned)
     val live = keep.flatMap(v => readManifest(spark, root, v).files).toSet
     drop.foreach(v => f.delete(manifestPath(root, v), false))
     val dd = dataDir(root)

@@ -146,6 +146,38 @@ class TxnCatalogSpec extends SparkSpec {
     assert(idsOf(TxnCatalog.read(spark, cat, "a")) == expected)
   }
 
+  test("table expire keeps versions pinned by live txns; catalog expire releases them") {
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    // txn 1 pins a@v1; the table then advances through four more versions
+    TxnCatalog.commitTables(spark, cat, Seq("a" -> df(1)), n => s"$dir/$n")
+    (2 to 5).foreach(k => VersionedTable.overwrite(spark, s"$dir/a", df(k.toLong)))
+    assert(VersionedTable.versions(spark, s"$dir/a") == (1 to 5))
+    // aggressive table GC: v1 is OLD but PINNED — it must survive with
+    // its files; the unpinned middle history goes
+    val (dropped, _) = VersionedTable.expire(spark, s"$dir/a", keepLast = 1)
+    assert(dropped == 3, s"v2..v4 age out, pinned v1 survives (dropped $dropped)")
+    assert(VersionedTable.versions(spark, s"$dir/a") == Seq(1, 5))
+    assert(idsOf(TxnCatalog.read(spark, cat, "a")) == Seq(1L),
+      "the pinned snapshot still reads after table GC")
+    // commit txn 2 pinning v5, then expire the CATALOG down to it: txn 1's
+    // pin is released and the next table expire ages v1 out
+    TxnCatalog.commit(spark, cat, Map("a" -> (s"$dir/a", 5)))
+    assert(TxnCatalog.expire(spark, cat, keepLast = 1) == 1)
+    val (dropped2, _) = VersionedTable.expire(spark, s"$dir/a", keepLast = 1)
+    assert(dropped2 == 1 && VersionedTable.versions(spark, s"$dir/a") == Seq(5))
+    assert(idsOf(TxnCatalog.read(spark, cat, "a")) == Seq(5L))
+    // a marker whose catalog is deleted entirely is retired: expire runs
+    // clean and keeps only the tail
+    def rmrf(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmrf)); p.delete(): Unit
+    }
+    rmrf(new java.io.File(cat))
+    VersionedTable.overwrite(spark, s"$dir/a", df(6))
+    val (dropped3, _) = VersionedTable.expire(spark, s"$dir/a", keepLast = 1)
+    assert(dropped3 == 1 && VersionedTable.versions(spark, s"$dir/a") == Seq(6))
+  }
+
   test("pipeline commitRunTxn: the three product tables flip in one claim") {
     val dir = freshDir()
     // build a tiny Result-shaped trio through the real pipeline tables
