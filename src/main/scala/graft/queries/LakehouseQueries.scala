@@ -240,6 +240,17 @@ object LakehouseQueries {
               col("n_orders"), col("total")))
     }),
 
+    // Cross-table exactly-once streaming: each micro-batch dedups
+    // against the base (at-least-once landing: a duplicate slice file),
+    // appends the base, incrementally merges the per-user MV (decimal
+    // partials), and publishes BOTH through ONE TxnCatalog claim — a
+    // catalog reader can never see a base its MV hasn't caught up to.
+    // The stream then re-runs on a FRESH checkpoint (full re-delivery):
+    // table txn ledgers + no-op txn elision make the replay invisible.
+    // Oracle: the MV must equal the plain batch rollup of events.
+    "q189_txn_stream_mv" -> ((s, d) =>
+      EventsStream.txnMvStreaming(s, d)),
+
     // File-level HLL registers as a queryable index: a key-partitioned
     // history (4 hash-disjoint user files + an appended batch whose keys
     // are ALL repeats) is indexed with per-file registers; the skip
@@ -346,6 +357,14 @@ object LakehouseQueries {
          SELECT 'by_month' AS src, count(*)::BIGINT AS n_groups,
                 sum(n)::BIGINT AS n_orders, sum(rev)::DOUBLE AS total
          FROM b""",
+
+    // The streamed, deduped, txn-committed MV must equal the one-shot
+    // batch rollup — slices, duplicate delivery, replay and the catalog
+    // all invisible in the result.
+    "q189_txn_stream_mv" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
 
     // The estimate from the register-relevant file subset must equal the
     // estimate from ALL the data (pointwise-max algebra: file boundaries

@@ -314,6 +314,89 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Streaming micro-batches committing a BASE table AND its derived MV
+    * through ONE [[graft.sink.TxnCatalog]] transaction each — the
+    * cross-table exactly-once topology: at-least-once file ingest (the
+    * landing dir stages every event TWICE), per-batch incremental dedup
+    * against the base (left-anti on event_id), an incremental MV merge
+    * of DECIMAL partials, and one catalog claim that makes base and MV
+    * visible TOGETHER. A reader through the catalog can never observe a
+    * base that its MV hasn't caught up to — the invariant foreachBatch
+    * pipelines usually only get per-table. Replay safety is layered:
+    * the tables' txn ledgers refuse re-applied batch ids, and a catalog
+    * txn that would pin the already-current versions is elided, so a
+    * FRESH-checkpoint re-run (full re-delivery) changes nothing.
+    * Per-batch driver actions: one emptiness probe on the deduped
+    * increment (bounded; skips all three commits for a fully-duplicate
+    * batch). Returns the MV read through the catalog. */
+  def txnMvStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sink.{TxnCatalog, VersionedTable}
+    val work = scratchDir("graft_txn_mv")
+    val baseRoot = work.resolve("base").toString
+    val mvRoot = work.resolve("mv").toString
+    val cat = work.resolve("cat").toString
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // landing dir: the corpus in THREE slice files (three genuinely
+    // incremental micro-batches) plus one DUPLICATE of the middle slice
+    // (the at-least-once re-delivery the dedup must absorb)
+    val landing = stagedDirs.computeIfAbsent((sfDir, "events_txnmv", 4), { _ =>
+      val dir = scratchDir("graft_stream_events_txnmv")
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      (0 until 3).foreach { k =>
+        ev.filter(col("event_id") % 3 === k)
+          .coalesce(1).write.mode("append").parquet(dir.toString)
+      }
+      ev.filter(col("event_id") % 3 === 1)
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      dir.toString
+    })
+    def drain(ckpt: String): Unit = {
+      val stream = spark.readStream
+        .schema(batchSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .select(col("event_id"), col("user_id"), col("value"))
+      withStreamPartitions(spark, 8) {
+        val q = stream.writeStream
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            val batch = b
+            val haveBase = VersionedTable.currentVersion(spark, baseRoot).isDefined
+            val fresh = (if (haveBase)
+              batch.join(VersionedTable.read(spark, baseRoot)
+                .select(col("event_id")), Seq("event_id"), "left_anti")
+            else batch).localCheckpoint()
+            if (!fresh.isEmpty) { // bounded probe: skip fully-duplicate batches
+              val vBase = VersionedTable.appendTxn(spark, baseRoot, fresh, id)
+              val partial = fresh.groupBy(col("user_id"))
+                .agg(count(lit(1)).as("n_events"),
+                  sum(col("value").cast("decimal(18,2)")).as("sv"))
+              val merged = (if (VersionedTable.currentVersion(spark, mvRoot).isDefined)
+                VersionedTable.read(spark, mvRoot).unionByName(partial)
+              else partial)
+                .groupBy(col("user_id"))
+                .agg(sum(col("n_events")).as("n_events"), sum(col("sv")).as("sv"))
+              val vMv = VersionedTable.overwriteTxn(spark, mvRoot, merged, id)
+              val pins = Map("base" -> (baseRoot, vBase), "mv" -> (mvRoot, vMv))
+              // elide the no-op txn a REPLAYED batch would publish
+              val current = TxnCatalog.currentTxn(spark, cat)
+                .map(t => TxnCatalog.snapshot(spark, cat, Some(t)).tables)
+              if (!current.contains(pins)) TxnCatalog.commit(spark, cat, pins)
+            }
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    drain(work.resolve("ckpt1").toString)
+    drain(work.resolve("ckpt2").toString) // fresh checkpoint: full replay, all refused
+    TxnCatalog.read(spark, cat, "mv")
+      .select(col("user_id"), col("n_events"),
+        col("sv").cast("double").as("sum_value"))
+  }
+
   /** Stream-static enrichment: the event stream joined to a STATIC
     * dimension (batch nation table keyed by user_id mod 25) inside the
     * streaming query — Spark broadcasts the static side into every
