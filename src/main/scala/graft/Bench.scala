@@ -80,7 +80,10 @@ object Bench {
     // queries × 3 runs. Disable with SPARK_GRAFT_BENCH_STABLE_RUNS=0.
     val stableRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_RUNS", "3").toInt
     val flagged = results.collect {
-      case (k, Some((mn, _, mx))) if mx > 3 * mn && mx - mn > 1.0 => (k, mx - mn)
+      // 2× (not 3×): round-9's q181 sat at a genuine 2.4× spread and a
+      // 3× bar never re-ran it; the absolute guard keeps sub-second
+      // queries (where 2× is scheduling jitter) out of the re-run set
+      case (k, Some((mn, _, mx))) if mx > 2 * mn && mx - mn > 1.0 => (k, mx - mn)
     }.sortBy(-_._2).take(8).map(_._1)
     val stableMin: Map[String, Double] =
       if (stableRuns <= 0) Map.empty

@@ -247,14 +247,25 @@ object Multimodal {
   lazy val dctC9: Array[Array[Long]] =
     Array.tabulate(8, 32)((u, x) => math.round(dctCos(u)(x) * 1e9))
 
-  /** Fixed location of the decoded-pixel stage q186 writes and the
-    * DuckDB oracle reads back. Constant by necessity: oracle SQL is a
-    * static string with no sfDir parameter, so the stage is overwritten
-    * per Verify run and consumed immediately after (the driver runs the
-    * dump, then the compare). */
-  def grayStagePath: String =
+  /** Location of the decoded-pixel stage q186 writes and the DuckDB
+    * oracle reads back — PER SOURCE DIRECTORY, so a bench pass at
+    * another SF can never clobber the stage the correctness compare is
+    * about to read. The oracle SQL cannot take a parameter, so the
+    * oracle STRING embeds [[lastGrayStagePath]]: Verify runs the
+    * queries first and serializes `oracleSql` after, within one JVM, so
+    * the recorded path is exactly the stage the dump populated. */
+  def grayStagePathFor(sfDir: String): String = {
+    val id = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(sfDir))
     new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_phash_gray").getPath
+      s"graft_phash_gray_$id").getPath
+  }
+
+  /** The stage most recently written in this JVM (default: the driver's
+    * correctness SF, so an oracle built without a prior dump still
+    * points somewhere deterministic). */
+  @volatile var lastGrayStagePath: String =
+    grayStagePathFor("/root/testdata/sf0.01")
 
   /** The pHash ORACLE split point: synthetic PNG → REAL codec decode →
     * 32×32 gray, scaled to exact 1e-4 units (long) and staged as parquet.
@@ -262,8 +273,11 @@ object Multimodal {
     * AFTER this boundary — DCT, threshold bits, banded Hamming LSH,
     * popcount verify — is integer arithmetic both engines compute
     * identically from this table. Returns the stage path. */
-  def writeGrayStage(spark: SparkSession, docs: DataFrame): String = {
+  def writeGrayStage(spark: SparkSession, docs: DataFrame,
+                     sfDir: String): String = {
     import spark.implicits._
+    val grayStagePath = grayStagePathFor(sfDir)
+    lastGrayStagePath = grayStagePath
     // the stage is a pure function of the doc_id set; a marker records
     // which id-set the current stage holds so repeated calls (bench
     // passes, repeated Verify runs at one SF) skip the codec work

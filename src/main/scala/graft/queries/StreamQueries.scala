@@ -128,7 +128,7 @@ object StreamQueries {
     // corpus is never all-paired, candidates only from shared 16-bit
     // slices (pigeonhole: dist ≤ 3 < 4 bands ⇒ some slice equal).
     "q186_phash_math" -> ((s, d) => {
-      val stage = Multimodal.writeGrayStage(s, documents(s, d))
+      val stage = Multimodal.writeGrayStage(s, documents(s, d), d)
       val c9 = Multimodal.dctC9
       val g = s.read.parquet(stage)
       // 1-D row pass: r_u[x] = Σ_y C9[u][y] · g4[32y+x]  (pure long)
@@ -221,7 +221,7 @@ object StreamQueries {
     }),
   )
 
-  val oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = Map(
     // stream/batch parity: the streaming incremental dedup must equal the
     // batch q135 relation, so it shares q135's oracle verbatim
     "q150_stream_incr_dedup" ->
@@ -326,7 +326,7 @@ object StreamQueries {
     "q186_phash_math" -> {
       val c9 = graft.ext.Multimodal.dctC9
       def cu(u: Int) = c9(u).mkString("[", ", ", "]")
-      val stage = graft.ext.Multimodal.grayStagePath
+      val stage = graft.ext.Multimodal.lastGrayStagePath
       val rDefs = (0 until 8).map { u =>
         s"""list_transform(range(0, 32), rx ->
            |  list_reduce(list_transform(range(0, 32), ry ->

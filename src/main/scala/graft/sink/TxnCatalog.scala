@@ -180,6 +180,22 @@ object TxnCatalog {
     commit(spark, catRoot, pinned.toMap)
   }
 
+  /** SQL face of a snapshot: register every table of `txn` (default
+    * current) as a temp view `prefix_<table>` pinned to its exact
+    * version — `spark.sql` then reads the CONSISTENT cross-table state,
+    * the `AT TXN n` time-travel UX without a custom parser. Returns the
+    * registered view names. */
+  def registerViews(spark: SparkSession, catRoot: String,
+                    prefix: String = "txn",
+                    txn: Option[Int] = None): Seq[String] = {
+    val snap = snapshot(spark, catRoot, txn)
+    snap.tables.toSeq.sortBy(_._1).map { case (name, (root, v)) =>
+      val view = s"${prefix}_$name"
+      VersionedTable.read(spark, root, Some(v)).createOrReplaceTempView(view)
+      view
+    }
+  }
+
   /** Expire all but the newest `keepLast` transactions. Old txn
     * manifests are deleted — and with them their pins, so the table
     * versions they protected age out through the TABLES' own expire on

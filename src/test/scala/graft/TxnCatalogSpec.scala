@@ -146,6 +146,29 @@ class TxnCatalogSpec extends SparkSpec {
     assert(idsOf(TxnCatalog.read(spark, cat, "a")) == expected)
   }
 
+  test("registerViews: spark.sql reads a consistent pinned snapshot, incl. historical txns") {
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    TxnCatalog.commitTables(spark, cat,
+      Seq("a" -> df(1, 2), "b" -> df(10)), n => s"$dir/$n")
+    TxnCatalog.commitTables(spark, cat,
+      Seq("a" -> df(1, 2, 3), "b" -> df(10, 20)), n => s"$dir/$n")
+    // current snapshot through SQL
+    assert(TxnCatalog.registerViews(spark, cat) == Seq("txn_a", "txn_b"))
+    val cur = spark.sql(
+      "SELECT (SELECT count(*) FROM txn_a) AS na, (SELECT count(*) FROM txn_b) AS nb")
+      .head
+    assert((cur.getLong(0), cur.getLong(1)) == ((3L, 2L)))
+    // txn 1, time-traveled, under its own prefix — and immune to a
+    // table-level commit racing ahead
+    VersionedTable.overwrite(spark, s"$dir/a", df(99))
+    TxnCatalog.registerViews(spark, cat, prefix = "t1", txn = Some(1))
+    val old = spark.sql(
+      "SELECT (SELECT count(*) FROM t1_a) AS na, (SELECT count(*) FROM t1_b) AS nb")
+      .head
+    assert((old.getLong(0), old.getLong(1)) == ((2L, 1L)))
+  }
+
   test("table expire keeps versions pinned by live txns; catalog expire releases them") {
     val dir = freshDir()
     val cat = s"$dir/_catalog"
