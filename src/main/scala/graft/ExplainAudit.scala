@@ -27,7 +27,9 @@ object ExplainAudit {
                "q92_quantize_int8", "q94_bloom_join", "q98_salted_join",
                "q99_unigram_logprob", "q126_setsim_join", "q128_triangles",
                "q138_filter_auc", "q139_edit_dedup", "q145_rrf_fusion",
-               "q146_containment", "q152_ivfpq", "q153_zonal_stats")
+               "q146_containment", "q152_ivfpq", "q153_zonal_stats",
+               "q163_embed_cov", "q186_phash_math", "q187_txn_snapshot",
+               "q188_hll_file_skip")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
