@@ -329,9 +329,10 @@ object EventsStream {
     * Per-batch driver actions: one emptiness probe on the deduped
     * increment (bounded; skips all three commits for a fully-duplicate
     * batch). Returns the MV read through the catalog. */
-  def txnMvStreaming(spark: SparkSession, sfDir: String): DataFrame = {
+  def txnMvStreaming(spark: SparkSession, sfDir: String,
+                     workDir: Option[java.nio.file.Path] = None): DataFrame = {
     import graft.sink.{TxnCatalog, VersionedTable}
-    val work = scratchDir("graft_txn_mv")
+    val work = workDir.getOrElse(scratchDir("graft_txn_mv"))
     val baseRoot = work.resolve("base").toString
     val mvRoot = work.resolve("mv").toString
     val cat = work.resolve("cat").toString

@@ -201,6 +201,34 @@ class TxnCatalogSpec extends SparkSpec {
     assert(dropped3 == 1 && VersionedTable.versions(spark, s"$dir/a") == Seq(6))
   }
 
+  test("q189 invariant: at EVERY committed txn, the MV equals the rollup of the base at that txn") {
+    import org.apache.spark.sql.functions.{count => cnt, _}
+    // the atomicity claim itself, checked at every historical snapshot:
+    // a catalog reader at txn t sees a base and an MV that agree — not
+    // just at the end, but at every intermediate commit point
+    val work = java.nio.file.Files.createTempDirectory("graft_txn_mv_spec")
+    graft.streaming.EventsStream.txnMvStreaming(spark, sf, Some(work)).collect()
+    val cat = work.resolve("cat").toString
+    val ts = TxnCatalog.txns(spark, cat)
+    assert(ts.size >= 2, s"expected multiple incremental txns, got $ts")
+    ts.foreach { t =>
+      val base = TxnCatalog.read(spark, cat, "base", Some(t))
+      val mv = TxnCatalog.read(spark, cat, "mv", Some(t))
+      val recomputed = base.groupBy(col("user_id"))
+        .agg(cnt(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDecimal(2).stripTrailingZeros)).toSet
+      val got = mv.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros)).toSet
+      assert(got == recomputed, s"txn $t: MV must equal its base's rollup")
+    }
+    // and the base at the LAST txn is the deduped corpus exactly once
+    val last = TxnCatalog.read(spark, cat, "base", Some(ts.last))
+    val ids = last.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ids.distinct, "no duplicate events survive")
+  }
+
   test("pipeline commitRunTxn: the three product tables flip in one claim") {
     val dir = freshDir()
     // build a tiny Result-shaped trio through the real pipeline tables
