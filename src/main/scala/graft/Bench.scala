@@ -113,11 +113,14 @@ object Bench {
     val fullLine =
       s"""{"metric":"total_full","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,"unit":"sec","queries":$qsFull,"stable_min":$stableJson,"sf":"$sfDir"}"""
     println(fullLine)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_SPREAD.json"), fullLine + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_SPREAD.json write failed: ${e.getMessage}")
-    }
+    // FULL sweeps only: a filtered dev run (SPARK_GRAFT_BENCH_ONLY) must
+    // never clobber the committed full-sweep artifact with a 1-query file
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_SPREAD.json"), fullLine + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_SPREAD.json write failed: ${e.getMessage}")
+      }
     // The consumer of this output keeps only the LAST ~2000 characters and
     // parses the JSON line out of that window. Two things have broken that
     // in the past: (a) the full-named 110-query line is ~4 KB, so its
