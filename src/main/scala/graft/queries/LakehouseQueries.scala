@@ -240,6 +240,49 @@ object LakehouseQueries {
               col("n_orders"), col("total")))
     }),
 
+    // The transaction SQL FACE: q187's consistent-snapshot relation,
+    // but read entirely through spark.sql over TxnCatalog.registerViews
+    // — every table of the txn registered as a version-pinned temp view,
+    // the `AT TXN n` time-travel UX with no custom parser. Same staged
+    // crash as q187 (a table-level overwrite with the unfiltered corpus
+    // lands AFTER txn 2 and before any claim): the views must serve the
+    // txn's pins, not the tables' heads, or the cross-table invariant
+    // in the output breaks the oracle hash.
+    "q190_txn_sql_face" -> ((s, d) => {
+      import graft.sink.TxnCatalog
+      val dir = EventsStream.scratchDir("graft_txn_q190").toString
+      val cat = s"$dir/_catalog"
+      def stage(cut: String) = {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+        Seq(
+          "by_cust" -> o.groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("total")),
+          "by_month" -> o.groupBy(date_trunc("month", col("o_orderdate"))
+              .cast("date").as("month"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).as("rev")))
+      }
+      TxnCatalog.commitTables(s, cat, stage("1995-01-01"), n => s"$dir/$n")
+      TxnCatalog.commitTables(s, cat, stage("1997-01-01"), n => s"$dir/$n")
+      VersionedTable.overwrite(s, s"$dir/by_cust",
+        Tables.orders(s, d).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total")))
+      TxnCatalog.registerViews(s, cat, prefix = "q190")
+      s.sql(
+        """SELECT 'by_cust' AS src, CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(sum(n) AS BIGINT) AS n_orders,
+                  CAST(sum(total) AS DOUBLE) AS total
+           FROM q190_by_cust
+           UNION ALL
+           SELECT 'by_month' AS src, CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(sum(n) AS BIGINT) AS n_orders,
+                  CAST(sum(rev) AS DOUBLE) AS total
+           FROM q190_by_month""")
+    }),
+
     // Cross-table exactly-once streaming: each micro-batch dedups
     // against the base (at-least-once landing: a duplicate slice file),
     // appends the base, incrementally merges the per-user MV (decimal
@@ -341,6 +384,25 @@ object LakehouseQueries {
     // The snapshot must be txn 2's CONSISTENT state of both tables: the
     // cut-1997 rollups, untouched by the crashed table-level overwrite.
     "q187_txn_snapshot" ->
+      """WITH o AS (SELECT * FROM orders
+                    WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+           a AS (SELECT o_custkey, count(*)::BIGINT AS n,
+                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+                 FROM o GROUP BY 1),
+           b AS (SELECT date_trunc('month', o_orderdate)::DATE AS month,
+                        count(*)::BIGINT AS n,
+                        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                 FROM o GROUP BY 1)
+         SELECT 'by_cust' AS src, count(*)::BIGINT AS n_groups,
+                sum(n)::BIGINT AS n_orders, sum(total)::DOUBLE AS total
+         FROM a
+         UNION ALL
+         SELECT 'by_month' AS src, count(*)::BIGINT AS n_groups,
+                sum(n)::BIGINT AS n_orders, sum(rev)::DOUBLE AS total
+         FROM b""",
+
+    // Same consistent snapshot as q187, through the SQL face.
+    "q190_txn_sql_face" ->
       """WITH o AS (SELECT * FROM orders
                     WHERE o_orderdate < TIMESTAMP '1997-01-01'),
            a AS (SELECT o_custkey, count(*)::BIGINT AS n,
