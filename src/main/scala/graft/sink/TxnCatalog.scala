@@ -106,17 +106,41 @@ object TxnCatalog {
     * carries the previous snapshot's pins for every unmentioned table
     * plus the updated pins — ONE atomic claim makes them all visible
     * together. `expectedTxn` (compare-and-set form) refuses to publish
-    * over a catalog state the caller never saw. Losing the claim to a
-    * DISJOINT concurrent txn rebases and retries internally; losing to
-    * an overlapping one throws `ConcurrentTxnException`. */
+    * over a catalog state the caller never saw; it is checked ONCE,
+    * against the state observed at entry — a disjoint winner landing
+    * after that check rebases per the normal contract (the caller's
+    * precondition was verified before any claim was attempted). Losing
+    * the claim to a DISJOINT concurrent txn rebases and retries
+    * internally; losing to an overlapping one throws
+    * `ConcurrentTxnException`.
+    *
+    * `onBeforeClaim` is a deterministic-interleaving seam for specs
+    * (called with the txn number about to be claimed, after the
+    * manifest is staged and immediately before the claim): production
+    * callers leave the default no-op. */
   def commit(spark: SparkSession, catRoot: String,
              updates: Map[String, (String, Int)],
-             expectedTxn: Option[Int] = None, maxRetries: Int = 16): Int = {
+             expectedTxn: Option[Int] = None, maxRetries: Int = 16,
+             onBeforeClaim: Int => Unit = _ => ()): Int = {
     require(updates.nonEmpty, "empty transaction")
+    // GC back-references FIRST — before any claim attempt: a published
+    // txn must never exist without its .txnpin markers, or a concurrent
+    // table-level expire in the claim→register window could delete
+    // manifest versions the live txn pins and break every catalog
+    // reader. Registration is idempotent and a marker for a txn that
+    // never publishes (crash, lost claim, conflict) pins nothing extra.
+    updates.values.foreach { case (root, _) =>
+      VersionedTable.registerTxnPin(spark, root, catRoot)
+    }
     var attempt = 0
     while (true) {
       val cur = currentTxn(spark, catRoot)
-      expectedTxn.foreach { e =>
+      // checked on the FIRST iteration only: once the precondition held
+      // at entry, a disjoint loser rebases (per the scaladoc contract)
+      // rather than spuriously failing its own CAS check against the
+      // winner it is rebasing over; overlap detection below still
+      // refuses any real write-write conflict.
+      if (attempt == 0) expectedTxn.foreach { e =>
         if (cur != Some(e) && !(e == 0 && cur.isEmpty))
           throw new ConcurrentTxnException(
             s"catalog advanced to $cur; expected txn $e — re-run the transaction")
@@ -136,16 +160,8 @@ object TxnCatalog {
         s".t$next-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = f.create(tmp, true)
       try out.write(json.getBytes("UTF-8")) finally out.close()
-      if (VersionedTable.atomicClaim(f, tmp, target)) {
-        // register the GC back-reference BEFORE returning: from here on
-        // the tables' own expire keeps every version this catalog pins
-        // (marker write is idempotent; a marker registered for a txn
-        // that lost the claim is harmless — it pins nothing extra)
-        updates.values.foreach { case (root, _) =>
-          VersionedTable.registerTxnPin(spark, root, catRoot)
-        }
-        return next
-      }
+      onBeforeClaim(next)
+      if (VersionedTable.atomicClaim(f, tmp, target)) return next
       // lost the claim: disjoint winner → rebase (its pins are carried
       // by re-reading prev next loop); overlapping winner → conflict
       val winner = snapshot(spark, catRoot, Some(next)).tables

@@ -247,4 +247,87 @@ class TxnCatalogSpec extends SparkSpec {
     assert(TxnCatalog.read(spark, cat, "ndvi_clipped").count() == 1)
     assert(TxnCatalog.read(spark, cat, "ndvi_viz").count() == 1)
   }
+
+  test("GC race closed: .txnpin markers are registered BEFORE any claim attempt") {
+    // The hazard: a txn that wins the catalog claim but crashes before
+    // registering its GC back-reference leaves a published txn whose
+    // pinned table versions a concurrent table-level expire can delete.
+    // The contract is therefore register-FIRST: by the time commit does
+    // anything that could publish (or even read the catalog), the
+    // marker must already exist. Proven deterministically by a commit
+    // that dies at its earliest possible later point — the expectedTxn
+    // entry check — and still left the marker behind.
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    TxnCatalog.commitTables(spark, cat, Seq("a" -> df(1)), n => s"$dir/$n")
+    val vb = VersionedTable.create(spark, s"$dir/b", df(10))
+    def pinMarkers(root: String): Seq[String] = {
+      val d = new java.io.File(root)
+      if (!d.exists) Seq.empty
+      else d.listFiles.flatMap { sub =>
+        Option(sub.listFiles).getOrElse(Array.empty[java.io.File]) :+ sub
+      }.map(_.getName).filter(_.startsWith(".txnpin-")).toSeq
+    }
+    assert(pinMarkers(s"$dir/b").isEmpty, "fresh table has no marker yet")
+    intercept[TxnCatalog.ConcurrentTxnException] {
+      TxnCatalog.commit(spark, cat, Map("b" -> (s"$dir/b", vb)),
+        expectedTxn = Some(999)) // dies before any claim
+    }
+    assert(pinMarkers(s"$dir/b").nonEmpty,
+      "marker must exist even though the txn never published — " +
+        "registration precedes the claim, closing the expire window")
+    // and the marker-without-txn is benign: table expire still works and
+    // the catalog never saw table b
+    assert(!TxnCatalog.snapshot(spark, cat).tables.contains("b"))
+  }
+
+  test("expectedTxn loser to a DISJOINT claim-time winner rebases (not a spurious CAS failure)") {
+    // Interleaving: caller verifies expectedTxn=1 at entry, then a
+    // disjoint txn (table c) claims t2 at the exact claim point (the
+    // onBeforeClaim seam). The caller's precondition held when checked,
+    // so per the scaladoc it must REBASE onto the disjoint winner and
+    // land as t3 — re-throwing ConcurrentTxnException here was the
+    // doc/code disagreement this spec pins.
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    TxnCatalog.commitTables(spark, cat, Seq("a" -> df(1)), n => s"$dir/$n")
+    val vb = VersionedTable.create(spark, s"$dir/b", df(10))
+    val vc = VersionedTable.create(spark, s"$dir/c", df(100))
+    var injected = false
+    val got = TxnCatalog.commit(spark, cat, Map("b" -> (s"$dir/b", vb)),
+      expectedTxn = Some(1),
+      onBeforeClaim = { _ =>
+        if (!injected) {
+          injected = true
+          TxnCatalog.commit(spark, cat, Map("c" -> (s"$dir/c", vc)))
+        }
+      })
+    assert(got == 3, s"loser rebases over the disjoint winner, got txn $got")
+    val snap = TxnCatalog.snapshot(spark, cat)
+    assert(snap.tables.keySet == Set("a", "b", "c"),
+      "rebase carries the winner's pins AND lands the loser's update")
+    assert(idsOf(TxnCatalog.read(spark, cat, "b")) == Seq(10L))
+    assert(idsOf(TxnCatalog.read(spark, cat, "c")) == Seq(100L))
+  }
+
+  test("expectedTxn loser to an OVERLAPPING claim-time winner still conflicts") {
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    TxnCatalog.commitTables(spark, cat, Seq("a" -> df(1)), n => s"$dir/$n")
+    val va2 = VersionedTable.overwrite(spark, s"$dir/a", df(2))
+    val va3 = VersionedTable.overwrite(spark, s"$dir/a", df(3))
+    var injected = false
+    intercept[TxnCatalog.ConcurrentTxnException] {
+      TxnCatalog.commit(spark, cat, Map("a" -> (s"$dir/a", va2)),
+        expectedTxn = Some(1),
+        onBeforeClaim = { _ =>
+          if (!injected) {
+            injected = true
+            TxnCatalog.commit(spark, cat, Map("a" -> (s"$dir/a", va3)))
+          }
+        })
+    }
+    // the winner's pin survives untouched
+    assert(idsOf(TxnCatalog.read(spark, cat, "a")) == Seq(3L))
+  }
 }
