@@ -129,37 +129,19 @@ object StreamQueries {
     // slices (pigeonhole: dist ≤ 3 < 4 bands ⇒ some slice equal).
     "q186_phash_math" -> ((s, d) => {
       val stage = Multimodal.writeGrayStage(s, documents(s, d), d)
-      val c9 = Multimodal.dctC9
       val g = s.read.parquet(stage)
-      // 1-D row pass: r_u[x] = Σ_y C9[u][y] · g4[32y+x]  (pure long)
-      val rows = g.select(col("media_id") +: (0 until 8).map { u =>
-        val cu = typedLit(c9(u).toSeq)
-        transform(sequence(lit(0), lit(31)), x =>
-          aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, y) =>
-            acc + element_at(cu, y + 1) * element_at(col("g4"), y * 32 + x + 1)))
-          .as(s"r$u")
-      }: _*)
-      // 1-D column pass, decimal-exact: cf[8u+v] = Σ_x C9[v][x] · r_u[x]
-      val zero38 = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
-      val coefs = rows.select(col("media_id"), array(
-        (for (u <- 0 until 8; v <- 0 until 8) yield {
-          val cv = typedLit(c9(v).toSeq)
-          aggregate(sequence(lit(0), lit(31)), zero38, (acc, x) =>
-            acc + element_at(cv, x + 1).cast("decimal(10,0)") *
-              element_at(col(s"r$u"), x + 1).cast("decimal(18,0)"))
-        }): _*).as("cf"))
-      val pow2 = typedLit((0 until 16).map(1L << _))
-      val keyed = coefs
-        .withColumn("s63",
-          aggregate(col("cf"), zero38, (a, x) => a + x) - element_at(col("cf"), 1))
-        .withColumn("bits", transform(sequence(lit(0), lit(63)), i =>
-          when(element_at(col("cf"), i + 1) * lit(63).cast("decimal(2,0)") >
-            col("s63"), lit(1L)).otherwise(lit(0L))))
-        .select(col("media_id") +: (0 until 4).map { b =>
-          aggregate(sequence(lit(0), lit(15)), lit(0L), (acc, k) =>
-            acc + element_at(col("bits"), k + lit(b * 16 + 1)) *
-              element_at(pow2, k + 1)).as(s"k$b")
-        }: _*)
+      // DCT → threshold → band keys as ONE precompiled kernel
+      // (PHashKeysExpr): bit-identical to the 8+64 decimal HOF
+      // aggregates the DuckDB oracle still spells out, without their
+      // ~2.5 s/run Catalyst-analysis + janino tax (the q163
+      // MomentAggregator lesson; PERF.md round 9/10)
+      val keyed = g.select(col("media_id"),
+          graft.functions.PHashKeysExpr.of(col("g4")).as("ks"))
+        .select(col("media_id"),
+          element_at(col("ks"), 1).as("k0"),
+          element_at(col("ks"), 2).as("k1"),
+          element_at(col("ks"), 3).as("k2"),
+          element_at(col("ks"), 4).as("k3"))
         .localCheckpoint() // materialize ONCE before the 2-sided band join
       val banded = keyed.select(col("media_id"), col("k0"), col("k1"),
         col("k2"), col("k3"),

@@ -812,24 +812,35 @@ object VersionedTable {
     * safe). Defaults: 8192 bits (1 KiB) / 6 probes ≈ 2% false positives
     * at 1k distinct keys per file. */
   def indexBloom(spark: SparkSession, root: String, cols: Seq[String],
-                 mBits: Int = 1 << 13, k: Int = 6): Int = {
+                 mBits: Int = 1 << 13, k: Int = 6,
+                 onlyMissing: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit}
     import graft.ext.Sketches.{hllHash, hllMix}
     require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
-    val paths = m.files.map(f => new Path(root, f).toString)
+    // onlyMissing = INCREMENTAL maintenance: index only files lacking a
+    // bloom for some requested column (blooms ride commit carry-over, so
+    // after an append exactly the new files are missing) — O(batch), not
+    // O(table), which is what a per-micro-batch maintainer needs. When
+    // nothing is missing the call is a version-preserving no-op.
+    val targets =
+      if (!onlyMissing) m.files
+      else m.files.filter(f =>
+        cols.exists(c => !m.blooms.getOrElse(f, Seq.empty).exists(_.col == c)))
+    if (onlyMissing && targets.isEmpty) return cur
+    val paths = targets.map(f => new Path(root, f).toString)
     // qualified filesystem path -> the manifest's OWN name for the file
     // (relative "data/..." with hive k=v subdirs preserved, or a clone's
     // absolute path). Blooms must be keyed exactly as the manifest keys
     // its files — a basename-only key never matches a partitioned or
     // cloned entry and the whole index becomes a silent no-op.
     val fsys = fs(spark, new Path(root))
-    val byPath: Map[String, String] = m.files.map { rel =>
+    val byPath: Map[String, String] = targets.map { rel =>
       fsys.makeQualified(new Path(root, rel)).toUri.getPath -> rel
     }.toMap
-    val newBlooms: Map[String, Seq[FileBloom]] =
+    val built: Map[String, Seq[FileBloom]] =
       if (paths.isEmpty) Map.empty
       else {
         val perCol = cols.map { c =>
@@ -854,6 +865,20 @@ object VersionedTable {
           }.toSeq
         }
       }
+    // a scanned file with NO non-null values of a column gets an explicit
+    // all-zero bloom — "indexed, contains nothing" (mayContain always
+    // false, sound for that file) — so it cannot read as an un-indexed
+    // append forever (the indexHll zero-register discipline)
+    val zeroBloom = FileBloom("", mBits, k,
+      java.util.Base64.getEncoder.encodeToString(new Array[Byte](mBits / 8)))
+    val newBlooms: Map[String, Seq[FileBloom]] = targets.map { f =>
+      val have = built.getOrElse(f, Seq.empty)
+      val filled = have ++ cols.filterNot(c => have.exists(_.col == c))
+        .map(c => zeroBloom.copy(col = c))
+      // merge per file: re-indexed columns replace, others carry over
+      f -> (m.blooms.getOrElse(f, Seq.empty)
+        .filterNot(b => cols.contains(b.col)) ++ filled)
+    }.toMap
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms ++ newBlooms, hlls = m.hlls,
@@ -886,6 +911,194 @@ object VersionedTable {
       m.blooms.getOrElse(f, Seq.empty).find(_.col == column)
         .forall(_.mayContain(value))
     }
+  }
+
+  /** The files of `version` that MAY contain AT LEAST ONE of `keys`
+    * (a single string-typed column) in `column` — the key-SET
+    * generalization of [[bloomPrunedFiles]], sized for a streaming
+    * micro-batch probing a large base table: the per-file blooms
+    * (manifest metadata, files × mBits/8 bytes) are broadcast and every
+    * key probes them on the EXECUTORS; the driver collects only the
+    * surviving file names — O(files), never O(keys). Files without a
+    * bloom for `column` always survive (pruning must refuse, never
+    * lie), so composing with [[readSubset]] + an anti-join is exactly
+    * as sound as scanning the whole snapshot. At very large file
+    * counts compose with range-stat pruning ([[prunedFiles]]) first so
+    * the broadcast stays metadata-sized. */
+  def bloomCandidateFiles(spark: SparkSession, root: String, column: String,
+                          keys: DataFrame, version: Option[Int] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    val bloomed: Seq[(String, FileBloom)] = m.files.flatMap(f =>
+      m.blooms.getOrElse(f, Seq.empty).find(_.col == column).map(f -> _))
+    if (bloomed.isEmpty) m.files
+    else {
+      val always = m.files.filterNot(f => bloomed.exists(_._1 == f)).toSet
+      val bc = spark.sparkContext.broadcast(bloomed)
+      import spark.implicits._
+      // one shuffle-free pass: per-partition probing with an early exit
+      // once every file has hit; the collect is per-partition survivor
+      // NAMES (≤ partitions × files), duplicate keys just re-probe.
+      // Bitsets are Base64-decoded ONCE per partition and positions
+      // computed once per key per (mBits, k) shape — the per-key work
+      // is pure bit tests, not decoding.
+      val hit = keys.na.drop()
+        .select(keys.columns.head).as[String]
+        .mapPartitions { it =>
+          val groups = bc.value
+            .map { case (f, b) =>
+              (b.mBits, b.k, f, java.util.Base64.getDecoder.decode(b.bits))
+            }
+            .groupBy(d => (d._1, d._2)).toSeq
+          val total = bc.value.size
+          val seen = new scala.collection.mutable.HashSet[String]
+          it.foreach { key =>
+            if (seen.size < total) groups.foreach { case ((mb, kk), fs) =>
+              val pos = bloomPositions(key, mb, kk)
+              fs.foreach { case (_, _, f, raw) =>
+                if (!seen.contains(f) &&
+                  pos.forall(p => (raw(p >> 3) & (1 << (p & 7))) != 0)) seen += f
+              }
+            }
+          }
+          seen.iterator
+        }
+        .collect().toSet
+      m.files.filter(f => hit.contains(f) || always.contains(f))
+    }
+  }
+
+  /** [[bloomCandidateFiles]] and [[buildBloom]] FUSED into one pass
+    * over `keys`: returns (the files of `version` that may contain at
+    * least one key, the union bloom of ALL keys). The streaming-ingest
+    * shape: one scan of the micro-batch both prunes the duplicate-probe
+    * read set AND produces the bloom the writer will attach to the
+    * files it is about to write — two metadata-sized results, zero
+    * extra passes, zero shuffles. */
+  def probeAndBuildBloom(spark: SparkSession, root: String, column: String,
+                         keys: DataFrame, version: Option[Int] = None,
+                         mBits: Int = 1 << 13, k: Int = 6): (Seq[String], FileBloom) = {
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    val bloomed: Seq[(String, FileBloom)] = m.files.flatMap(f =>
+      m.blooms.getOrElse(f, Seq.empty).find(_.col == column).map(f -> _))
+    val always = m.files.filterNot(f => bloomed.exists(_._1 == f)).toSet
+    val bc = spark.sparkContext.broadcast(bloomed)
+    import spark.implicits._
+    val parts = keys.na.drop().select(keys.columns.head).as[String]
+      .mapPartitions { it =>
+        val groups = bc.value
+          .map { case (f, b) =>
+            (b.mBits, b.k, f, java.util.Base64.getDecoder.decode(b.bits))
+          }
+          .groupBy(d => (d._1, d._2)).toSeq
+        val total = bc.value.size
+        val seen = new scala.collection.mutable.HashSet[String]
+        val raw = new Array[Byte](mBits / 8)
+        it.foreach { key =>
+          val own = bloomPositions(key, mBits, k)
+          own.foreach(p => raw(p >> 3) = (raw(p >> 3) | (1 << (p & 7))).toByte)
+          groups.foreach { case ((mb, kk), fs) =>
+            if (seen.size < total) {
+              // reuse the just-computed positions when the file blooms
+              // share this bloom's exact (mBits, k) shape — the common
+              // case, since one maintainer writes both
+              val pos = if (mb == mBits && kk == k) own
+                        else bloomPositions(key, mb, kk)
+              fs.foreach { case (_, _, f, fraw) =>
+                if (!seen.contains(f) &&
+                  pos.forall(p => (fraw(p >> 3) & (1 << (p & 7))) != 0)) seen += f
+              }
+            }
+          }
+        }
+        Iterator.single((seen.toArray, raw))
+      }.collect()
+    val bits = new Array[Byte](mBits / 8)
+    val hit = new scala.collection.mutable.HashSet[String]
+    parts.foreach { case (fs, r) =>
+      hit ++= fs
+      var i = 0
+      while (i < bits.length) { bits(i) = (bits(i) | r(i)).toByte; i += 1 }
+    }
+    val bloom = FileBloom(column, mBits, k,
+      java.util.Base64.getEncoder.encodeToString(bits))
+    (m.files.filter(f => hit.contains(f) || always.contains(f)), bloom)
+  }
+
+  /** ONE bloom over `keys` (a single string-typed column), built
+    * shuffle-free: each partition fills a local bitset, the driver ORs
+    * the per-partition bitsets (partitions × mBits/8 bytes collected —
+    * metadata-sized, never the keys). Companion of [[attachBlooms]]:
+    * a writer that still holds a batch IN MEMORY can index the files it
+    * just wrote without re-scanning them from disk. Bit positions are
+    * [[bloomPositions]] — the exact arithmetic [[indexBloom]] and the
+    * probe side share, so built and scanned indexes never drift. */
+  def buildBloom(spark: SparkSession, column: String, keys: DataFrame,
+                 mBits: Int = 1 << 13, k: Int = 6): FileBloom = {
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    import spark.implicits._
+    val parts = keys.na.drop().select(keys.columns.head).as[String]
+      .mapPartitions { it =>
+        val raw = new Array[Byte](mBits / 8)
+        it.foreach { key =>
+          bloomPositions(key, mBits, k).foreach { p =>
+            raw(p >> 3) = (raw(p >> 3) | (1 << (p & 7))).toByte
+          }
+        }
+        Iterator.single(raw)
+      }.collect()
+    val bits = new Array[Byte](mBits / 8)
+    parts.foreach { r =>
+      var i = 0
+      while (i < bits.length) { bits(i) = (bits(i) | r(i)).toByte; i += 1 }
+    }
+    FileBloom(column, mBits, k,
+      java.util.Base64.getEncoder.encodeToString(bits))
+  }
+
+  /** Attach caller-built blooms to files of the CURRENT version as a
+    * metadata-only commit — index maintenance with zero data scan. The
+    * caller owns the soundness obligation: each attached bloom must be
+    * a SUPERSET of the file's actual key set (a batch-union bloom from
+    * [[buildBloom]] attached to every file that batch wrote qualifies —
+    * coarser than per-file, still never prunes a file that matches).
+    * Same-column entries are replaced; other columns carry over. Files
+    * not in the manifest are refused. Returns the new version (or the
+    * current one unchanged when `blooms` is empty). */
+  def attachBlooms(spark: SparkSession, root: String,
+                   blooms: Map[String, Seq[FileBloom]]): Int = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    if (blooms.isEmpty) return cur
+    val m = readManifest(spark, root, cur)
+    val known = m.files.toSet
+    require(blooms.keys.forall(known.contains),
+      s"files not in version $cur: ${blooms.keys.filterNot(known.contains).take(3)}")
+    val merged = blooms.map { case (f, bs) =>
+      val cols = bs.map(_.col).toSet
+      f -> (m.blooms.getOrElse(f, Seq.empty)
+        .filterNot(b => cols.contains(b.col)) ++ bs)
+    }
+    val v = cur + 1
+    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
+      stats = m.stats, blooms = m.blooms ++ merged, hlls = m.hlls,
+      partitionCols = m.partitionCols))
+    v
+  }
+
+  /** The files of `version` lacking a bloom for `column` — what a
+    * zero-rescan maintainer ([[attachBlooms]]) still owes an index. */
+  def unbloomedFiles(spark: SparkSession, root: String, column: String,
+                     version: Option[Int] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    m.files.filterNot(f =>
+      m.blooms.getOrElse(f, Seq.empty).exists(_.col == column))
   }
 
   /** Point-lookup read opening ONLY the bloom-surviving files. Composes

@@ -362,30 +362,7 @@ object EventsStream {
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", ckpt)
           .foreachBatch { (b: DataFrame, id: Long) =>
-            val batch = b
-            val haveBase = VersionedTable.currentVersion(spark, baseRoot).isDefined
-            val fresh = (if (haveBase)
-              batch.join(VersionedTable.read(spark, baseRoot)
-                .select(col("event_id")), Seq("event_id"), "left_anti")
-            else batch).localCheckpoint()
-            if (!fresh.isEmpty) { // bounded probe: skip fully-duplicate batches
-              val vBase = VersionedTable.appendTxn(spark, baseRoot, fresh, id)
-              val partial = fresh.groupBy(col("user_id"))
-                .agg(count(lit(1)).as("n_events"),
-                  sum(col("value").cast("decimal(18,2)")).as("sv"))
-              val merged = (if (VersionedTable.currentVersion(spark, mvRoot).isDefined)
-                VersionedTable.read(spark, mvRoot).unionByName(partial)
-              else partial)
-                .groupBy(col("user_id"))
-                .agg(sum(col("n_events")).as("n_events"), sum(col("sv")).as("sv"))
-              val vMv = VersionedTable.overwriteTxn(spark, mvRoot, merged, id)
-              val pins = Map("base" -> (baseRoot, vBase), "mv" -> (mvRoot, vMv))
-              // elide the no-op txn a REPLAYED batch would publish
-              val current = TxnCatalog.currentTxn(spark, cat)
-                .map(t => TxnCatalog.snapshot(spark, cat, Some(t)).tables)
-              if (!current.contains(pins)) TxnCatalog.commit(spark, cat, pins)
-            }
-            ()
+            applyTxnMvBatch(spark, baseRoot, mvRoot, cat, b, id)
           }
           .start()
         try q.processAllAvailable() finally q.stop()
@@ -396,6 +373,90 @@ object EventsStream {
     TxnCatalog.read(spark, cat, "mv")
       .select(col("user_id"), col("n_events"),
         col("sv").cast("double").as("sum_value"))
+  }
+
+  /** One micro-batch of the txn-MV pipeline — the foreachBatch kernel of
+    * [[txnMvStreaming]], public so specs can drive its crash windows
+    * deterministically.
+    *
+    * Two invariants this body carries:
+    *
+    *  1. Dedup and MV merge run against the catalog-PINNED snapshots,
+    *     never the table HEADs. A writer can crash BETWEEN
+    *     `appendTxn(base)` and the catalog commit; on replay the base
+    *     head already holds the batch's events while the catalog (and
+    *     therefore the MV) does not. Head-dedup would anti-join the
+    *     replay away as "duplicate" and the MV would permanently miss
+    *     the batch — a torn catalog state. Pinned-dedup lets the batch
+    *     through; the base's txn ledger absorbs the re-apply as a
+    *     no-op, the MV merge (from the pinned MV) catches up, and one
+    *     claim re-aligns both.
+    *  2. The dedup probe is FILE-PRUNED: each batch attaches its
+    *     batch-union bloom ([[graft.sink.VersionedTable.buildBloom]]
+    *     from the IN-MEMORY frame — no disk re-read, no shuffle) to the
+    *     files it wrote ([[graft.sink.VersionedTable.attachBlooms]], a
+    *     metadata-only commit; sound because a union bloom is a
+    *     superset of every member file's keys), and the next batch
+    *     anti-joins only [[graft.sink.VersionedTable
+    *     .bloomCandidateFiles]] of the pinned version — O(batch-
+    *     relevant files), not O(base). At a 100 TB append-only ledger
+    *     the previous full-base probe was the hot-path scale-killer;
+    *     bloom misses fall back to scanning nothing (an absent key
+    *     needs no file), and files without blooms always survive the
+    *     pruning, so the anti-join stays exactly as sound as a full
+    *     scan. */
+  def applyTxnMvBatch(spark: SparkSession, baseRoot: String, mvRoot: String,
+                      cat: String, batch: DataFrame, id: Long): Unit = {
+    import graft.sink.{TxnCatalog, VersionedTable}
+    val pinned = TxnCatalog.currentTxn(spark, cat)
+      .map(t => TxnCatalog.snapshot(spark, cat, Some(t)).tables)
+    val keysDf = batch.select(col("event_id").cast("string"))
+    // ONE pass over the batch both prunes the duplicate-probe read set
+    // and builds the bloom this batch will attach to its own files
+    val (candidates, batchBloom) = pinned.flatMap(_.get("base")) match {
+      case None =>
+        (Seq.empty[String], VersionedTable.buildBloom(spark, "event_id", keysDf))
+      case Some((_, vPin)) =>
+        VersionedTable.probeAndBuildBloom(spark, baseRoot, "event_id",
+          keysDf, Some(vPin))
+    }
+    val fresh = (pinned.flatMap(_.get("base")) match {
+      case None => batch
+      case Some((_, vPin)) =>
+        if (candidates.isEmpty) batch // no pinned file can hold any batch key
+        else batch.join(
+          VersionedTable.readSubset(spark, baseRoot, candidates, Some(vPin))
+            .select(col("event_id")),
+          Seq("event_id"), "left_anti")
+    }).localCheckpoint()
+    if (!fresh.isEmpty) { // bounded probe: skip fully-duplicate batches
+      VersionedTable.appendTxn(spark, baseRoot, fresh, id)
+      // zero-rescan index maintenance: the un-bloomed files are exactly
+      // this batch's (single-writer; a crash-window replay re-delivers
+      // the SAME content to the files the crashed run left un-bloomed),
+      // and the batch-union bloom is a superset of each one's keys
+      // (fresh ⊆ batch)
+      val owed = VersionedTable.unbloomedFiles(spark, baseRoot, "event_id")
+      val vBase =
+        if (owed.isEmpty) VersionedTable.currentVersion(spark, baseRoot).get
+        else VersionedTable.attachBlooms(spark, baseRoot,
+          owed.map(_ -> Seq(batchBloom)).toMap)
+      val partial = fresh.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"))
+      val merged = (pinned.flatMap(_.get("mv")) match {
+        case None => partial
+        case Some((_, vPin)) =>
+          VersionedTable.read(spark, mvRoot, Some(vPin)).unionByName(partial)
+      })
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_events")).as("n_events"), sum(col("sv")).as("sv"))
+      val vMv = VersionedTable.overwriteTxn(spark, mvRoot, merged, id)
+      val pins = Map("base" -> (baseRoot, vBase), "mv" -> (mvRoot, vMv))
+      // elide the no-op txn a REPLAYED batch would publish
+      if (!pinned.contains(pins)) TxnCatalog.commit(spark, cat, pins)
+    }
+    ()
   }
 
   /** Stream-static enrichment: the event stream joined to a STATIC

@@ -248,6 +248,85 @@ class TxnCatalogSpec extends SparkSpec {
     assert(TxnCatalog.read(spark, cat, "ndvi_viz").count() == 1)
   }
 
+  private def eventsDf(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, i.toLong % 7, i.toDouble))
+      .toDF("event_id", "user_id", "value")
+  }
+
+  test("txn-MV crash window: base landed but catalog didn't — the replayed batch still reaches the MV") {
+    // The exactly-once hazard the pinned-snapshot dedup closes: a writer
+    // crashes BETWEEN appendTxn(base) and the catalog commit, so the
+    // base HEAD holds the batch while the catalog (and the MV) do not.
+    // A head-deduping replay would anti-join the batch away as
+    // "duplicate" and the MV would permanently miss it — the next txn
+    // would then pin a base containing events its MV never saw. The
+    // pinned-base dedup lets the replay through; the base txn ledger
+    // absorbs the re-apply and one claim re-aligns both tables.
+    import graft.streaming.EventsStream
+    val dir = freshDir()
+    val base = s"$dir/base"; val mv = s"$dir/mv"; val cat = s"$dir/_catalog"
+    EventsStream.applyTxnMvBatch(spark, base, mv, cat, eventsDf(0 until 50), 0L)
+    // the crash: batch 1 reaches the base, then the writer dies
+    VersionedTable.appendTxn(spark, base, eventsDf(50 until 100), 1L)
+    assert(TxnCatalog.read(spark, cat, "base").count() == 50,
+      "catalog still on the pre-crash snapshot")
+    // recovery = replaying batch 1 under the same id
+    EventsStream.applyTxnMvBatch(spark, base, mv, cat, eventsDf(50 until 100), 1L)
+    val gotBase = TxnCatalog.read(spark, cat, "base")
+    val ids = gotBase.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 100L), "every event exactly once — no duplicate, no loss")
+    // the MV caught up: it equals the rollup of the base it is pinned with
+    val expect = gotBase.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros)).toSet
+    val got = TxnCatalog.read(spark, cat, "mv")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros)).toSet
+    assert(got == expect, "MV must equal the pinned base's rollup after recovery")
+  }
+
+  test("txn-MV dedup probe scans only bloom-relevant files of the pinned base") {
+    // the 100 TB posture: each micro-batch's duplicate probe must be
+    // O(batch-relevant files), never a full-ledger scan — proven here by
+    // the candidate set excluding files whose blooms cannot hold any
+    // batch key, while the end state stays exactly-once correct
+    import graft.streaming.EventsStream
+    val dir = freshDir()
+    val base = s"$dir/base"; val mv = s"$dir/mv"; val cat = s"$dir/_catalog"
+    EventsStream.applyTxnMvBatch(spark, base, mv, cat,
+      eventsDf(0 until 100).coalesce(1), 0L)
+    EventsStream.applyTxnMvBatch(spark, base, mv, cat,
+      eventsDf(100 until 200).coalesce(1), 1L)
+    val snap = TxnCatalog.snapshot(spark, cat)
+    val (_, vPin) = snap.tables("base")
+    val files = VersionedTable.filesOf(spark, base, Some(vPin))
+    assert(files.size >= 2)
+    // a third batch re-delivering batch 1's span probes the pinned base:
+    // batch-0's file holds none of its keys and must be pruned away
+    val cand = VersionedTable.bloomCandidateFiles(spark, base, "event_id",
+      eventsDf(100 until 200).select(col("event_id").cast("string")),
+      Some(vPin)).toSet
+    import spark.implicits._
+    val keysOf: Map[String, Set[Long]] = files.map(f =>
+      f -> VersionedTable.readSubset(spark, base, Seq(f), Some(vPin))
+        .select("event_id").as[Long].collect().toSet).toMap
+    val probe = (100L until 200L).toSet
+    keysOf.foreach { case (f, ks) =>
+      if ((ks & probe).nonEmpty) assert(cand.contains(f), s"$f wrongly pruned")
+      else assert(!cand.contains(f),
+        s"bloom-irrelevant file $f must be excluded from the probe")
+    }
+    // and the duplicate re-delivery stays invisible end-to-end
+    EventsStream.applyTxnMvBatch(spark, base, mv, cat,
+      eventsDf(100 until 200).coalesce(1), 2L)
+    val ids = TxnCatalog.read(spark, cat, "base")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 200L), "re-delivered batch must be fully absorbed")
+  }
+
   test("GC race closed: .txnpin markers are registered BEFORE any claim attempt") {
     // The hazard: a txn that wins the catalog claim but crashes before
     // registering its GC back-reference leaves a published txn whose

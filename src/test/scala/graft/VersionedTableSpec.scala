@@ -360,6 +360,65 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("indexBloom(onlyMissing) indexes exactly the un-bloomed files and no-ops when complete") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (0L until 100L).toDF("id").withColumn("payload", col("id")).coalesce(2)) // v1
+    VersionedTable.indexBloom(spark, root, Seq("id"))                          // v2 (full)
+    VersionedTable.append(spark, root,
+      (100L until 150L).toDF("id").withColumn("payload", col("id")).coalesce(1)) // v3
+    // incremental: only the appended file is scanned and bloomed
+    val v4 = VersionedTable.indexBloom(spark, root, Seq("id"), onlyMissing = true)
+    assert(v4 == 4)
+    // every file now carries a bloom, so an absent key prunes EVERYTHING
+    assert(VersionedTable.bloomCandidateFiles(spark, root, "id",
+      Seq("99999").toDF("k")).isEmpty,
+      "fully-indexed table must prune an absent key to zero files")
+    // nothing missing → version-preserving no-op, not a fresh manifest
+    assert(VersionedTable.indexBloom(spark, root, Seq("id"), onlyMissing = true) == 4,
+      "complete index must be a no-op")
+    // and the incremental index is sound: the appended key is found
+    val cand = VersionedTable.bloomCandidateFiles(spark, root, "id",
+      Seq("120").toDF("k"))
+    assert(cand.nonEmpty)
+    assert(VersionedTable.readSubset(spark, root, cand)
+      .filter(col("id") === 120L).count() == 1)
+  }
+
+  test("bloomCandidateFiles: a key-SET probe keeps every file holding some key, drops irrelevant ones") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (0L until 400L).toDF("id").withColumn("payload", col("id"))
+        .repartitionByRange(4, col("id")))
+    VersionedTable.indexBloom(spark, root, Seq("id"))
+    val files = VersionedTable.filesOf(spark, root)
+    val idsIn: Map[String, Set[Long]] = files.map(f =>
+      f -> VersionedTable.readSubset(spark, root, Seq(f))
+        .select("id").as[Long].collect().toSet).toMap
+    val probe = (0L until 100L).toSet
+    val cand = VersionedTable.bloomCandidateFiles(spark, root, "id",
+      probe.toSeq.map(_.toString).toDF("k")).toSet
+    // soundness: every file actually holding a probe key MUST survive
+    idsIn.foreach { case (f, ids) =>
+      if ((ids & probe).nonEmpty)
+        assert(cand.contains(f), s"file $f holds probe keys but was pruned")
+    }
+    // effectiveness: at least one file with NO probe key is excluded
+    val irrelevant = files.filter(f => (idsIn(f) & probe).isEmpty)
+    assert(irrelevant.nonEmpty && irrelevant.exists(f => !cand.contains(f)),
+      s"an irrelevant file must be pruned (cand=$cand)")
+    // and the anti-join over the candidate subset equals the full-scan one
+    val fullFresh = probe.toSeq.toDF("event_id")
+      .join(VersionedTable.read(spark, root).select(col("id").as("event_id")),
+        Seq("event_id"), "left_anti").count()
+    val prunedFresh = probe.toSeq.toDF("event_id")
+      .join(VersionedTable.readSubset(spark, root, cand.toSeq)
+        .select(col("id").as("event_id")), Seq("event_id"), "left_anti").count()
+    assert(fullFresh == prunedFresh)
+  }
+
   test("bloom index prunes point lookups that range stats cannot") {
     import spark.implicits._
     val root = freshRoot()
