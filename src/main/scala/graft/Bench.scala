@@ -79,12 +79,31 @@ object Bench {
     // is a real slowdown the sweep's min never caught. Bounded: ≤ 8
     // queries × 3 runs. Disable with SPARK_GRAFT_BENCH_STABLE_RUNS=0.
     val stableRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_STABLE_RUNS", "3").toInt
-    val flagged = results.collect {
+    // Committed per-query stable baseline (previous round's adjudicated
+    // mins): any query whose sweep min regresses vs it gets a stable
+    // re-run even with a TIGHT spread — round 9's q66 sat at 1.7 s in
+    // EVERY pass (per-pass codegen-cache recompile) yet ran 0.8 s
+    // isolated; spread-only flagging can never catch that class.
+    val baseline: Map[String, Double] =
+      try {
+        val p = java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else """"([^"]+)":\s*([0-9.]+)""".r
+          .findAllMatchIn(java.nio.file.Files.readString(p))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    def regressed(name: String, v: Double): Boolean =
+      baseline.get(name).exists(b => v > 1.5 * b && v - b > 0.3)
+    val wideSpread = results.collect {
       // 2× (not 3×): round-9's q181 sat at a genuine 2.4× spread and a
       // 3× bar never re-ran it; the absolute guard keeps sub-second
       // queries (where 2× is scheduling jitter) out of the re-run set
       case (k, Some((mn, _, mx))) if mx > 2 * mn && mx - mn > 1.0 => (k, mx - mn)
     }.sortBy(-_._2).take(8).map(_._1)
+    val vsBaseline = results.collect {
+      case (k, Some((mn, _, _))) if regressed(k, mn) => k
+    }
+    val flagged = (wideSpread ++ vsBaseline).distinct
     val stableMin: Map[String, Double] =
       if (stableRuns <= 0) Map.empty
       else flagged.map { n =>
@@ -92,6 +111,46 @@ object Bench {
           .filter(_ >= 0)
         n -> (if (ts.isEmpty) -1.0 else ts.min)
       }.toMap
+    // The GATE: a query is a REGRESSION when even its adjudicated min
+    // (stable re-run when one happened, else the sweep min) exceeds
+    // 1.5× its committed baseline. Contention and cache-eviction noise
+    // can't reach here — the stable re-run already filtered them — so
+    // an entry means a real plan/kernel slowdown to investigate.
+    def adjudicated(name: String): Option[Double] = {
+      val st = stableMin.get(name).filter(_ >= 0)
+      val sw = results.collectFirst { case (`name`, Some((mn, _, _))) => mn }
+      (st, sw) match {
+        case (Some(a), Some(b)) => Some(math.min(a, b))
+        case (a, b) => a.orElse(b)
+      }
+    }
+    val regressions: Seq[(String, Double, Double)] = results.flatMap {
+      case (name, Some(_)) =>
+        adjudicated(name).filter(v => regressed(name, v))
+          .map(v => (name, v, baseline(name)))
+      case _ => None
+    }
+    if (regressions.nonEmpty)
+      System.err.println(s"[bench] ${regressions.size} REGRESSION(S) vs " +
+        s"stable baseline: " + regressions.map { case (n, v, b) =>
+          f"$n $b%.2f->$v%.2f" }.mkString(", "))
+    // Refresh the committed baseline on demand (full sweeps only):
+    // adjudicated mins for every query, carrying the old entry when a
+    // query was dropped this round.
+    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("1")
+        && only.isEmpty) {
+      val fresh = results.collect { case (k, Some(_)) =>
+        k -> adjudicated(k).getOrElse(-1.0) }.filter(_._2 >= 0).toMap
+      val merged = (baseline ++ fresh).toSeq.sortBy(_._1)
+      val body = merged.map { case (k, v) =>
+        s"""  "$k": ${BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)}"""
+      }.mkString("{\n", ",\n", "\n}\n")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json"), body)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] baseline write failed: ${e.getMessage}")
+      }
+    }
     def tot(f: ((Double, Double, Double)) => Double): Double =
       results.flatMap(_._2).map(f).sum
     val (minTotal, medTotal, maxTotal) = (tot(_._1), tot(_._2), tot(_._3))
@@ -110,8 +169,13 @@ object Bench {
       .mkString("{", ",", "}")
     val stableJson = stableMin.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // [adjudicated, baseline] per regressed query — empty when the round
+    // holds the line, which is the gate a reader checks first
+    val regJson = regressions.sortBy(_._1)
+      .map { case (k, v, b) => s"\"" + k + "\":[" + r3(v) + "," + r3(b) + "]" }
+      .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total_full","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,"unit":"sec","queries":$qsFull,"stable_min":$stableJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,"unit":"sec","queries":$qsFull,"stable_min":$stableJson,"regressions":$regJson,"sf":"$sfDir"}"""
     println(fullLine)
     // FULL sweeps only: a filtered dev run (SPARK_GRAFT_BENCH_ONLY) must
     // never clobber the committed full-sweep artifact with a 1-query file

@@ -247,6 +247,32 @@ object VersionedTable {
     }
   }
 
+  /** External claim arbiter for stores whose rename cannot
+    * fail-if-exists (object stores): `claim` must award the right to
+    * publish `target` to EXACTLY ONE caller across every racing writer,
+    * machine-wide or fleet-wide — the public designs are a lock table
+    * with conditional put (one item per target name, DynamoDB-style)
+    * or the store's own conditional PUT (S3 `If-None-Match: *`), both
+    * of which refuse the second writer of a name. The format then
+    * renames `tmp` into place only in the winner, so the store's
+    * replace-on-rename can no longer lose an update. A provider must
+    * answer `true` at most once per target name, ever — target names
+    * are never reused (version numbers only grow), so no unlock/expiry
+    * protocol is needed for correctness. */
+  trait ClaimProvider {
+    def claim(f: FileSystem, target: Path): Boolean
+  }
+
+  @volatile private var claimProviders: Map[String, ClaimProvider] = Map.empty
+
+  /** Register `provider` as the claim arbiter for `scheme` (e.g. "s3a").
+    * Without one, commits on non-atomic-rename schemes are REFUSED. */
+  def registerClaimProvider(scheme: String, provider: ClaimProvider): Unit =
+    synchronized { claimProviders = claimProviders + (scheme -> provider) }
+
+  def unregisterClaimProvider(scheme: String): Unit =
+    synchronized { claimProviders = claimProviders - scheme }
+
   /** Publish `tmp` under the name `target` iff no one else has — the CAS
     * every commit point in the format rests on (table manifests here,
     * txn manifests in [[TxnCatalog]]). Returns whether the claim won;
@@ -262,17 +288,27 @@ object VersionedTable {
         // HDFS-family rename is a namenode metadata op that FAILS if the
         // destination exists — rename itself is the claim.
         !f.exists(target) && f.rename(tmp, target)
-      } else {
-        // Object stores (s3a/gs/wasb/abfs/oss/...) implement rename as
-        // copy+delete with NO fail-if-exists: two racing writers would
-        // both "succeed" and one manifest is silently clobbered — the
-        // exact lost update the hard-link CAS exists to prevent. Refuse
-        // rather than corrupt; such stores need an external lock or a
-        // conditional-put commit service.
-        f.delete(tmp, false)
-        throw new UnsupportedOperationException(
-          s"scheme '${f.getScheme}' has no atomic fail-if-exists primitive; " +
-            "refusing a non-atomic manifest claim (lost-update risk)")
+      } else claimProviders.get(f.getScheme) match {
+        case Some(p) =>
+          // arbitration decided a single winner; only the winner touches
+          // `target`, so the store's replace-semantics rename is safe
+          val won = p.claim(f, target)
+          if (won && !f.rename(tmp, target))
+            throw new java.io.IOException(
+              s"claimed $target but failed to publish it from $tmp")
+          won
+        case None =>
+          // Object stores (s3a/gs/wasb/abfs/oss/...) implement rename as
+          // copy+delete with NO fail-if-exists: two racing writers would
+          // both "succeed" and one manifest is silently clobbered — the
+          // exact lost update the hard-link CAS exists to prevent. Refuse
+          // rather than corrupt; an external arbiter closes the gap.
+          f.delete(tmp, false)
+          throw new UnsupportedOperationException(
+            s"scheme '${f.getScheme}' has no atomic fail-if-exists primitive; " +
+              "refusing a non-atomic manifest claim (lost-update risk) — " +
+              "register a conditional-put arbiter via " +
+              "VersionedTable.registerClaimProvider(scheme, provider)")
       }
     if (f.getScheme == "file" || !claimed) f.delete(tmp, false)
     claimed

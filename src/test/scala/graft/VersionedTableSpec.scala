@@ -976,6 +976,56 @@ class VersionedTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("mockstore"))
     assert(e.getMessage.contains("atomic"))
+    // the refusal tells the operator exactly which hook closes the gap
+    assert(e.getMessage.contains("registerClaimProvider"))
+  }
+
+  test("conditional-put arbiter makes object-store commits safe: racing writers, one winner per claim") {
+    import spark.implicits._
+    // The adapter path for stores with replace-on-rename: an external
+    // arbiter awards each manifest NAME to exactly one writer (the
+    // public designs — a DynamoDB-style lock table's conditional put,
+    // or S3 If-None-Match — are both putIfAbsent on the target name);
+    // only the winner renames its staged manifest in, so the missing
+    // fail-if-exists can no longer lose an update. Modeled here with
+    // putIfAbsent as the conditional put, over the same mock store the
+    // refusal test uses.
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockstore.impl", classOf[MockStoreFileSystem].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt_cp")
+    val root = s"mockstore://host$dir/t"
+    val puts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val claims = new java.util.concurrent.atomic.AtomicInteger
+    VersionedTable.registerClaimProvider("mockstore",
+      new VersionedTable.ClaimProvider {
+        override def claim(f: org.apache.hadoop.fs.FileSystem,
+                           target: org.apache.hadoop.fs.Path): Boolean = {
+          claims.incrementAndGet()
+          puts.putIfAbsent(target.toString, "claimed") == null
+        }
+      })
+    try {
+      VersionedTable.create(spark, root, Seq(0L).toDF("id"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = (1 to 4).map(i => Future {
+        VersionedTable.appendCas(spark, root, Seq(i.toLong).toDF("id"))
+      })
+      Await.result(Future.sequence(writers), 120.seconds)
+      val ids = VersionedTable.read(spark, root)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == (0L to 4L), s"every racing append lands exactly once: $ids")
+      val vs = VersionedTable.versions(spark, root)
+      assert(vs == (vs.head to vs.last),
+        "strictly sequential versions — exactly one winner per claim")
+      assert(claims.get() >= 4, "every writer went through the arbiter")
+    } finally VersionedTable.unregisterClaimProvider("mockstore")
+    // provider gone → the refusal (and its pointer at the hook) returns
+    val e = intercept[UnsupportedOperationException] {
+      VersionedTable.overwrite(spark, root, Seq(9L).toDF("id"))
+    }
+    assert(e.getMessage.contains("registerClaimProvider"))
   }
 }
 
