@@ -406,21 +406,22 @@ object EventsStream {
     *     pruning, so the anti-join stays exactly as sound as a full
     *     scan. */
   def applyTxnMvBatch(spark: SparkSession, baseRoot: String, mvRoot: String,
-                      cat: String, batch: DataFrame, id: Long): Unit = {
+                      cat: String, batch: DataFrame, id: Long,
+                      baseName: String = "base", mvName: String = "mv"): Unit = {
     import graft.sink.{TxnCatalog, VersionedTable}
     val pinned = TxnCatalog.currentTxn(spark, cat)
       .map(t => TxnCatalog.snapshot(spark, cat, Some(t)).tables)
     val keysDf = batch.select(col("event_id").cast("string"))
     // ONE pass over the batch both prunes the duplicate-probe read set
     // and builds the bloom this batch will attach to its own files
-    val (candidates, batchBloom) = pinned.flatMap(_.get("base")) match {
+    val (candidates, batchBloom) = pinned.flatMap(_.get(baseName)) match {
       case None =>
         (Seq.empty[String], VersionedTable.buildBloom(spark, "event_id", keysDf))
       case Some((_, vPin)) =>
         VersionedTable.probeAndBuildBloom(spark, baseRoot, "event_id",
           keysDf, Some(vPin))
     }
-    val fresh = (pinned.flatMap(_.get("base")) match {
+    val fresh = (pinned.flatMap(_.get(baseName)) match {
       case None => batch
       case Some((_, vPin)) =>
         if (candidates.isEmpty) batch // no pinned file can hold any batch key
@@ -444,7 +445,7 @@ object EventsStream {
       val partial = fresh.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).as("sv"))
-      val merged = (pinned.flatMap(_.get("mv")) match {
+      val merged = (pinned.flatMap(_.get(mvName)) match {
         case None => partial
         case Some((_, vPin)) =>
           VersionedTable.read(spark, mvRoot, Some(vPin)).unionByName(partial)
@@ -452,9 +453,13 @@ object EventsStream {
         .groupBy(col("user_id"))
         .agg(sum(col("n_events")).as("n_events"), sum(col("sv")).as("sv"))
       val vMv = VersionedTable.overwriteTxn(spark, mvRoot, merged, id)
-      val pins = Map("base" -> (baseRoot, vBase), "mv" -> (mvRoot, vMv))
-      // elide the no-op txn a REPLAYED batch would publish
-      if (!pinned.contains(pins)) TxnCatalog.commit(spark, cat, pins)
+      val pins = Map(baseName -> (baseRoot, vBase), mvName -> (mvRoot, vMv))
+      // elide the no-op txn a REPLAYED batch would publish — compare
+      // only OUR pins (a shared catalog carries other pipelines' tables
+      // too, so whole-snapshot equality would never elide)
+      val already = pinned.exists(m =>
+        pins.forall { case (k, v) => m.get(k).contains(v) })
+      if (!already) TxnCatalog.commit(spark, cat, pins)
     }
     ()
   }

@@ -327,6 +327,53 @@ class TxnCatalogSpec extends SparkSpec {
     assert(ids == (0L until 200L), "re-delivered batch must be fully absorbed")
   }
 
+  test("two disjoint streaming pipelines race ONE catalog: every txn lands via rebase, no torn read at any txn") {
+    // The symmetric multi-writer case: pipeline A (base_a, mv_a) and
+    // pipeline B (base_b, mv_b) each publish base+MV txns into the SAME
+    // catalog, concurrently. Their update sets are disjoint, so every
+    // claim loss must REBASE (carrying the winner's pins), never
+    // conflict — and at every committed txn, each pipeline present must
+    // be internally consistent (its MV equals its pinned base's rollup):
+    // the q189 atomicity invariant, now under genuine catalog races.
+    import graft.streaming.EventsStream
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    def run(tag: String, offset: Int): Future[Unit] = Future {
+      (0 until 3).foreach { k =>
+        EventsStream.applyTxnMvBatch(spark,
+          s"$dir/base_$tag", s"$dir/mv_$tag", cat,
+          eventsDf(offset + k * 40 until offset + (k + 1) * 40), k.toLong,
+          baseName = s"base_$tag", mvName = s"mv_$tag")
+      }
+    }
+    Await.result(Future.sequence(Seq(run("a", 0), run("b", 1000))), 300.seconds)
+    val ts = TxnCatalog.txns(spark, cat)
+    assert(ts.size == 6, s"all six txns land (disjoint races rebase): $ts")
+    for (t <- ts; tag <- Seq("a", "b")) {
+      val snap = TxnCatalog.snapshot(spark, cat, Some(t))
+      if (snap.tables.contains(s"base_$tag")) {
+        assert(snap.tables.contains(s"mv_$tag"),
+          s"txn $t pins base_$tag without mv_$tag — a torn pipeline")
+        val base = TxnCatalog.read(spark, cat, s"base_$tag", Some(t))
+        val expect = base.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).as("sv"))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getDecimal(2).stripTrailingZeros)).toSet
+        val got = TxnCatalog.read(spark, cat, s"mv_$tag", Some(t))
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getDecimal(2).stripTrailingZeros)).toSet
+        assert(got == expect, s"txn $t: mv_$tag must equal base_$tag's rollup")
+      }
+    }
+    // final state: both pipelines complete, exactly once each
+    assert(TxnCatalog.read(spark, cat, "base_a").count() == 120)
+    assert(TxnCatalog.read(spark, cat, "base_b").count() == 120)
+  }
+
   test("GC race closed: .txnpin markers are registered BEFORE any claim attempt") {
     // The hazard: a txn that wins the catalog claim but crashes before
     // registering its GC back-reference leaves a published txn whose
