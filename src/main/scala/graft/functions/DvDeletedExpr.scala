@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Is row `pos` of data file `file` marked deleted by a deletion vector?
+  *
+  * The merge-on-read half of [[graft.sink.VersionedTable.deleteWhereVectored]]:
+  * a DV-bearing snapshot reads its files WITH `_metadata.file_name` /
+  * `_metadata.row_index` and drops rows where this predicate holds. The
+  * position sets ride a BROADCAST (one copy per executor, fetched once —
+  * the same shape as a broadcast dim table, never per-task closure bytes),
+  * keyed by file NAME (commit-generated names are table-unique). Membership
+  * is a binary search over the file's sorted position array; the per-row
+  * map lookup is memoized per thread because `file_name` is constant within
+  * a split. Codegen'd (static call), so the surrounding scan + filter stays
+  * one whole-stage span.
+  *
+  * Both inputs are file-source metadata columns and never null.
+  */
+case class DvDeletedExpr(left: Expression, right: Expression,
+                         dv: Broadcast[Map[String, Array[Long]]])
+    extends BinaryExpression with Predicate {
+
+  override def nullable: Boolean = false
+
+  override protected def nullSafeEval(file: Any, pos: Any): Any =
+    DvDeletedExpr.contains(dv.value, file.asInstanceOf[UTF8String],
+      pos.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dvBc", dv, classOf[Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, (f, p) =>
+      s"""${ev.value} = graft.functions.DvDeletedExpr.contains(
+         |  (scala.collection.immutable.Map) $ref.value(), $f, $p);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DvDeletedExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DvDeletedExpr {
+  // per-thread memo of the last (map, file) -> positions resolution:
+  // file_name is constant across a split, so the lookup amortizes to one
+  // per task. The memo keys on the MAP IDENTITY too — two snapshots of
+  // one table share file names but carry different vectors, and a memo
+  // keyed on name alone would serve one version's deletes to the other.
+  private val last = new ThreadLocal[(AnyRef, UTF8String, Array[Long])]
+
+  def contains(m: Map[String, Array[Long]], file: UTF8String, pos: Long): Boolean = {
+    val memo = last.get()
+    val arr =
+      if (memo != null && (memo._1 eq m) && memo._2.equals(file)) memo._3
+      else {
+        val a = m.getOrElse(file.toString, Array.emptyLongArray)
+        last.set((m, file.clone(), a))
+        a
+      }
+    arr.length > 0 && java.util.Arrays.binarySearch(arr, pos) >= 0
+  }
+}

@@ -294,6 +294,105 @@ object LakehouseQueries {
     "q189_txn_stream_mv" -> ((s, d) =>
       EventsStream.txnMvStreaming(s, d)),
 
+    // Merge-on-read DELETE via deletion vectors, oracle-gated end to end:
+    // lineitem lands range-clustered by l_orderkey, then takes TWO
+    // overlapping vectored deletes — each commits row-position sidecars,
+    // never rewriting a data file (the spec asserts the file set; here the
+    // HASH asserts the semantics). The result reads all three snapshots:
+    // v1 (pre-delete — time travel must still see every row through the
+    // version-pinned sidecars), v2 (first delete applied), v3 (merged
+    // vectors). At 100 TB this is the only affordable shape for scattered
+    // deletes (GDPR erasure, bad-batch retraction): write cost ∝ deleted
+    // positions, and the range-stat pruning bounds even the delete's scan
+    // to the l_orderkey-matching files. NULL semantics ride the same IS
+    // TRUE delete-set rule as the CoW path.
+    "q191_dv_delete" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_dv_q191")
+      val root = work.resolve("li").toString
+      val li = Tables.lineitem(s, d)
+      VersionedTable.create(s, root,
+        li.repartitionByRange(8, col("l_orderkey")))                  // v1
+      VersionedTable.deleteWhereVectored(s, root,
+        Map("l_orderkey" -> (Some(1000L), Some(20000L))),
+        col("l_orderkey").between(1000, 20000) && col("l_quantity") <= 10) // v2
+      VersionedTable.deleteWhereVectored(s, root,
+        Map("l_orderkey" -> (Some(15000L), Some(40000L))),
+        col("l_orderkey").between(15000, 40000) &&
+          col("l_returnflag") === "A")                                // v3
+      def snap(v: Int, tag: String) =
+        VersionedTable.read(s, root, Some(v))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("revenue"))
+          .select(lit(tag).as("tag"), col("n"), col("revenue"))
+      snap(1, "v1").unionByName(snap(2, "v2_after_d1"))
+        .unionByName(snap(3, "v3_after_d2"))
+    }),
+
+    // The deletion vector through the CHANGE FEED and compaction: a
+    // vectored delete moves no file, yet changesBetween must report the
+    // vanished rows as removals (the vector DELTA, read at position
+    // granularity — the diff stays delta-sized, never table-sized), and a
+    // subsequent compaction must MATERIALIZE the vector (rewrite the
+    // survivors, drop the sidecar) without changing what readers see.
+    // The output hashes both: the CDC-removed rows' rollup and the
+    // post-compaction head — equal to the delete set and its complement
+    // computed straight from events by the oracle.
+    "q192_dv_cdc" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_dv_q192")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      VersionedTable.create(s, root,
+        ev.repartitionByRange(4, col("user_id")))                     // v1
+      VersionedTable.deleteWhereVectored(s, root, Map.empty,
+        col("event_type") === "click" && col("user_id") % 7 === 0)    // v2
+      val (_, removed) = VersionedTable.changesBetween(s, root, 1, 2)
+      val removedAgg = removed
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(lit("removed").as("tag"), col("n"), col("sum_value"))
+      VersionedTable.compact(s, root, targetBytes = Long.MaxValue / 4) // materialize
+      val headAgg = VersionedTable.read(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(lit("head").as("tag"), col("n"), col("sum_value"))
+      headAgg.unionByName(removedAgg)
+    }),
+
+    // Merge-on-read MERGE — the CDC apply whose write cost ignores key
+    // locality: a CoW merge rewrites every file the source's key range
+    // touches, so a key-SCATTERED CDC batch (the usual case) rewrites
+    // nearly the whole table; mergeIntoVectored instead vectors the
+    // matched rows away (position sidecars) and lands the source as new
+    // files — O(source + matched positions) written, zero target
+    // rewrites. One commit carries upserts (value doubled for
+    // event_id % 5 = 0), inserts (the % 3 = 0 rows held out of the
+    // base) and deletes (% 11 = 0 keys) atomically; the oracle
+    // recomputes the post-merge state from raw events — the MoR and CoW
+    // results must be indistinguishable.
+    "q193_dv_merge" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_dv_q193")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val base = ev.filter(col("event_id") % 3 =!= 0)
+      VersionedTable.create(s, root,
+        base.repartitionByRange(4, col("event_id")))
+      val ups = base.filter(col("event_id") % 5 === 0)
+        .withColumn("value", col("value") * 2)
+      val ins = ev.filter(col("event_id") % 3 === 0)
+      val dels = base
+        .filter(col("event_id") % 11 === 0 && col("event_id") % 5 =!= 0)
+        .select(col("event_id"))
+      VersionedTable.mergeIntoVectored(s, root, ups.unionByName(ins),
+        Seq("event_id"), Some(dels))
+      VersionedTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
+
     // File-level HLL registers as a queryable index: a key-partitioned
     // history (4 hash-disjoint user files + an appended batch whose keys
     // are ALL repeats) is indexed with per-file registers; the skip
@@ -427,6 +526,62 @@ object LakehouseQueries {
       """SELECT user_id, count(*)::BIGINT AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1""",
+
+    // Three snapshots of the vectored-delete history, recomputed from the
+    // raw table: v1 = everything (time travel over the vectors), v2 =
+    // first delete's survivors, v3 = both deletes'. NOT of a non-null
+    // predicate matches the engine's IS-TRUE delete-set rule here.
+    "q191_dv_delete" ->
+      """WITH base AS (SELECT * FROM lineitem),
+           v2 AS (SELECT * FROM base
+                  WHERE NOT (l_orderkey BETWEEN 1000 AND 20000
+                             AND l_quantity <= 10)),
+           v3 AS (SELECT * FROM v2
+                  WHERE NOT (l_orderkey BETWEEN 15000 AND 40000
+                             AND l_returnflag = 'A'))
+         SELECT 'v1' AS tag, count(*)::BIGINT AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM base
+         UNION ALL
+         SELECT 'v2_after_d1', count(*)::BIGINT,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM v2
+         UNION ALL
+         SELECT 'v3_after_d2', count(*)::BIGINT,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM v3""",
+
+    // The CDC-removed rollup must equal the delete set; the post-
+    // compaction head must equal its complement.
+    "q192_dv_cdc" ->
+      """SELECT 'head' AS tag, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE NOT (event_type = 'click' AND user_id % 7 = 0)
+         UNION ALL
+         SELECT 'removed', count(*)::BIGINT,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         FROM events
+         WHERE event_type = 'click' AND user_id % 7 = 0""",
+
+    // Post-merge state recomputed from raw events: survivors of the base
+    // (not upserted, not deleted) + the upserted/inserted source rows.
+    "q193_dv_merge" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, value
+                       FROM events WHERE event_id % 3 <> 0),
+           ups AS (SELECT event_id, user_id, event_type, value * 2 AS value
+                   FROM base WHERE event_id % 5 = 0),
+           ins AS (SELECT event_id, user_id, event_type, value
+                   FROM events WHERE event_id % 3 = 0),
+           src AS (SELECT * FROM ups UNION ALL SELECT * FROM ins),
+           kept AS (SELECT * FROM base
+                    WHERE event_id NOT IN (SELECT event_id FROM src)
+                      AND NOT (event_id % 11 = 0 AND event_id % 5 <> 0)),
+           v2 AS (SELECT * FROM src UNION ALL SELECT * FROM kept)
+         SELECT event_type, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM v2 GROUP BY 1""",
 
     // The estimate from the register-relevant file subset must equal the
     // estimate from ALL the data (pointwise-max algebra: file boundaries

@@ -46,10 +46,92 @@ object VersionedTable {
 
   private def logDir(root: String) = new Path(root, "_log")
   private def dataDir(root: String) = new Path(root, "data")
+  private def dvDir(root: String) = new Path(root, "dv")
+
+  // ---- deletion-vector sidecar codec --------------------------------------
+  // "GDV1" magic + LEB128 count + LEB128 deltas of the sorted positions:
+  // position sets are local-dense (a delete predicate usually hits runs of
+  // a clustered file), so deltas fit 1-2 bytes each.
+
+  private[sink] def encodeDvPositions(sorted: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8 + sorted.length * 2)
+    out.write(Array[Byte]('G', 'D', 'V', '1'))
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    varint(sorted.length.toLong)
+    var prev = 0L
+    var i = 0
+    while (i < sorted.length) { varint(sorted(i) - prev); prev = sorted(i); i += 1 }
+    out.toByteArray
+  }
+
+  private[sink] def decodeDvPositions(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'D' &&
+      bytes(2) == 'V' && bytes(3) == '1', "not a GDV1 deletion vector")
+    var i = 4
+    def varint(): Long = {
+      var v = 0L; var shift = 0
+      while ({ val b = bytes(i); i += 1; v |= (b & 0x7fL) << shift
+               shift += 7; (b & 0x80) != 0 }) ()
+      v
+    }
+    val n = varint().toInt
+    val out = new Array[Long](n)
+    var prev = 0L; var j = 0
+    while (j < n) { prev += varint(); out(j) = prev; j += 1 }
+    out
+  }
+
+  /** Write one DV sidecar under `dv/` and return its table-relative name.
+    * Version+nonce in the name keep sidecars immutable across versions —
+    * an older manifest keeps referencing ITS vector, so time travel over
+    * a vectored delete needs no special casing. */
+  private def writeDvSidecar(spark: SparkSession, root: String, version: Int,
+                             dataFileName: String, sorted: Array[Long]): String = {
+    val f = fs(spark, new Path(root))
+    f.mkdirs(dvDir(root))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val name = s"dv-v$version-$nonce-$dataFileName.gdv"
+    val p = new Path(dvDir(root), name)
+    val out = f.create(p, false)
+    try out.write(encodeDvPositions(sorted)) finally out.close()
+    s"dv/$name"
+  }
+
+  private def loadDvPositions(spark: SparkSession, root: String,
+                              dvFile: String): Array[Long] = {
+    val p = new Path(root, dvFile)
+    val f = fs(spark, p)
+    val in = f.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    decodeDvPositions(bytes)
+  }
+
+  /** The LAST path component of a manifest file entry — the join key
+    * between a manifest's per-file metadata and `_metadata.file_name`
+    * (commit-generated names are table-unique by construction). */
+  private def nameOf(entry: String): String =
+    entry.substring(entry.lastIndexOf('/') + 1)
   private def manifestPath(root: String, v: Int) =
     new Path(logDir(root), f"v$v%08d.manifest.json")
+  private def checkpointPath(root: String, v: Int) =
+    new Path(logDir(root), f"v$v%08d.checkpoint.json")
 
   private val ManifestRe = """v(\d{8})\.manifest\.json""".r
+
+  /** Every Nth commit writes a FULL manifest; the ones in between write
+    * DELTAS (removed files + added/metadata-touched files with their
+    * stats). At 100 TB a full snapshot manifest is O(table files) JSON
+    * per commit — the metadata write itself becomes the append
+    * bottleneck; the delta log makes commit cost O(touched files) and
+    * bounds read-side replay to this many segments (the Delta-log
+    * checkpoint design, public). [[expire]] writes a `.checkpoint.json`
+    * for any surviving version whose parent it drops, so chains never
+    * dangle. */
+  val CheckpointEvery = 8
 
   /** All committed versions, ascending (empty for a non-table path). */
   def versions(spark: SparkSession, root: String): Seq[Int] = {
@@ -135,12 +217,22 @@ object VersionedTable {
     def registers: Array[Byte] = java.util.Base64.getDecoder.decode(regs)
   }
 
+  /** A deletion vector: the sorted row positions of ONE data file that a
+    * merge-on-read delete has removed, stored as a sidecar under `dv/`
+    * (delta-varint coded — immutable per version like everything else the
+    * manifest references, so time travel across a vectored delete works
+    * by construction). `card` = number of deleted positions, kept in the
+    * manifest so planners can reason about live-row counts without
+    * opening the sidecar. */
+  final case class FileDv(dvFile: String, card: Long)
+
   private case class Manifest(version: Int, schemaDdl: String, files: Seq[String],
                               txn: Option[Long] = None,
                               stats: Map[String, Seq[ColStat]] = Map.empty,
                               blooms: Map[String, Seq[FileBloom]] = Map.empty,
                               partitionCols: Seq[String] = Seq.empty,
-                              hlls: Map[String, Seq[FileHll]] = Map.empty)
+                              hlls: Map[String, Seq[FileHll]] = Map.empty,
+                              dvs: Map[String, FileDv] = Map.empty)
 
   // Minimal JSON (de)serialization — file names are commit-generated
   // (uuid-free parquet part names under our own prefix, no escapes
@@ -166,42 +258,105 @@ object VersionedTable {
     b.toString
   }
 
-  private def writeManifest(spark: SparkSession, root: String, m: Manifest): Unit = {
-    val txnField = m.txn.map(t => s""" "txn": $t,\n""").getOrElse("")
-    // stats as a FLAT array of {file, col, t, lo, hi} objects (lo/hi always
-    // quoted+escaped) — regex-parseable without a nesting-aware parser
-    val statsJson = m.stats.toSeq.sortBy(_._1).flatMap { case (file, cs) =>
+  /** The shared per-file-metadata tail of a manifest JSON: stats as a
+    * FLAT array of {file, col, t, lo, hi} objects (regex-parseable
+    * without a nesting-aware parser), blooms / HLL registers / deletion
+    * vectors in the same flat-object discipline, each field omitted
+    * entirely when empty. Full manifests serialize every file's
+    * metadata; delta manifests only the touched files'. */
+  private def perFileJson(stats: Map[String, Seq[ColStat]],
+                          blooms: Map[String, Seq[FileBloom]],
+                          hlls: Map[String, Seq[FileHll]],
+                          dvs: Map[String, FileDv]): String = {
+    val statsJson = stats.toSeq.sortBy(_._1).flatMap { case (file, cs) =>
       cs.map(c => s"""{"file": "${esc(file)}", "col": "${esc(c.col)}", """ +
         s""""t": "${c.typ}", "lo": "${esc(c.lo)}", "hi": "${esc(c.hi)}"}""")
     }.mkString("[", ", ", "]")
-    // blooms as the same flat-object shape (bits are base64: no escapes);
-    // field omitted entirely when no file carries one
     val bloomsJson =
-      if (m.blooms.isEmpty) ""
-      else ",\n \"blooms\": " + m.blooms.toSeq.sortBy(_._1).flatMap {
+      if (blooms.isEmpty) ""
+      else ",\n \"blooms\": " + blooms.toSeq.sortBy(_._1).flatMap {
         case (file, bs) => bs.map(b =>
           s"""{"bfile": "${esc(file)}", "bcol": "${esc(b.col)}", """ +
             s""""m": ${b.mBits}, "k": ${b.k}, "bits": "${b.bits}"}""")
       }.mkString("[", ", ", "]")
-    // per-file HLL registers, same flat-object discipline
     val hllsJson =
-      if (m.hlls.isEmpty) ""
-      else ",\n \"hlls\": " + m.hlls.toSeq.sortBy(_._1).flatMap {
+      if (hlls.isEmpty) ""
+      else ",\n \"hlls\": " + hlls.toSeq.sortBy(_._1).flatMap {
         case (file, hs) => hs.map(h =>
           s"""{"hfile": "${esc(file)}", "hcol": "${esc(h.col)}", """ +
             s""""hm": ${h.m}, "regs": "${h.regs}"}""")
       }.mkString("[", ", ", "]")
+    val dvsJson =
+      if (dvs.isEmpty) ""
+      else ",\n \"dvs\": " + dvs.toSeq.sortBy(_._1).map {
+        case (file, d) =>
+          s"""{"vfile": "${esc(file)}", "dv": "${esc(d.dvFile)}", """ +
+            s""""card": ${d.card}}"""
+      }.mkString("[", ", ", "]")
+    s""""stats": $statsJson$bloomsJson$hllsJson$dvsJson"""
+  }
+
+  private def fullManifestJson(m: Manifest): String = {
+    val txnField = m.txn.map(t => s""" "txn": $t,\n""").getOrElse("")
     // hive-partitioned layout flag: the reader needs it to resolve
     // partition-column values from the data-file directory names
     val partsField =
       if (m.partitionCols.isEmpty) ""
       else s""" "partitionCols": [${m.partitionCols
         .map(c => "\"" + esc(c) + "\"").mkString(", ")}],\n"""
-    val json =
+    s"""{"version": ${m.version},
+       |$txnField$partsField "schema": "${esc(m.schemaDdl)}",
+       | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
+       | ${perFileJson(m.stats, m.blooms, m.hlls, m.dvs)}}""".stripMargin
+  }
+
+  /** `m` as a DELTA against its parent snapshot `p`: removed file
+    * entries, appended ones, and the metadata of exactly the files this
+    * commit added or touched (whose stats/blooms/registers/vectors
+    * differ from the parent's). None when the delta encoding cannot
+    * reproduce `m` exactly — wrong parent version, or a file order the
+    * remove-then-append replay would not recreate (rollback) — in which
+    * case the caller writes a full manifest. */
+  private def deltaManifestJson(m: Manifest, p: Manifest): Option[String] = {
+    if (p.version + 1 != m.version) return None
+    val pset = p.files.toSet
+    val mset = m.files.toSet
+    val removes = p.files.filterNot(mset)
+    val adds = m.files.filterNot(pset)
+    if (p.files.filterNot(removes.toSet) ++ adds != m.files) return None
+    val touch = m.files.filter(pset).filter(f =>
+      m.stats.get(f) != p.stats.get(f) || m.blooms.get(f) != p.blooms.get(f) ||
+        m.hlls.get(f) != p.hlls.get(f) || m.dvs.get(f) != p.dvs.get(f))
+    val sel = (touch ++ adds).toSet
+    def sub[T](mm: Map[String, T]): Map[String, T] =
+      mm.view.filterKeys(sel).toMap
+    val txnField = m.txn.map(t => s""" "txn": $t,\n""").getOrElse("")
+    val partsField =
+      if (m.partitionCols.isEmpty) ""
+      else s""" "partitionCols": [${m.partitionCols
+        .map(c => "\"" + esc(c) + "\"").mkString(", ")}],\n"""
+    def names(fs: Seq[String]) = fs.map(f => "\"" + f + "\"").mkString(", ")
+    Some(
       s"""{"version": ${m.version},
+         | "delta": true,
          |$txnField$partsField "schema": "${esc(m.schemaDdl)}",
-         | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
-         | "stats": $statsJson$bloomsJson$hllsJson}""".stripMargin
+         | "removes": [${names(removes)}],
+         | "adds": [${names(adds)}],
+         | "touch": [${names(touch)}],
+         | ${perFileJson(sub(m.stats), sub(m.blooms), sub(m.hlls), sub(m.dvs))}}"""
+        .stripMargin)
+  }
+
+  private def writeManifest(spark: SparkSession, root: String, m: Manifest,
+                            parent: Option[Manifest] = None): Unit = {
+    // every CheckpointEvery-th version is a full snapshot manifest, the
+    // rest are deltas — commit metadata cost O(touched files), replay
+    // bounded by the checkpoint spacing
+    val json = parent match {
+      case Some(p) if m.version % CheckpointEvery != 0 =>
+        deltaManifestJson(m, p).getOrElse(fullManifestJson(m))
+      case _ => fullManifestJson(m)
+    }
     val target = manifestPath(root, m.version)
     val f = fs(spark, target)
     f.mkdirs(logDir(root))
@@ -225,7 +380,30 @@ object VersionedTable {
     val claimed = atomicClaim(f, tmp, target)
     if (!claimed)
       throw new java.io.IOException(s"version ${m.version} already committed at $root")
+    // the claim won: this in-memory snapshot IS the committed content —
+    // seed the assembly cache so the writer's own next read replays nothing
+    val st = f.getFileStatus(target)
+    cachePut(cacheKey(f, target, st), m)
   }
+
+  // ---- assembled-snapshot cache -------------------------------------------
+  // Manifest content is immutable per (path, length, mtime) — the key a
+  // re-created table at a reused path cannot collide with — so assembled
+  // snapshots (a delta chain replayed to a full Manifest) cache safely.
+  // Bounded LRU; existence is still checked on every read, so an expired
+  // version errors exactly as before.
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, Manifest](128, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Manifest]): Boolean = size > 256
+    }
+  private def cacheKey(f: FileSystem, p: Path,
+                       st: org.apache.hadoop.fs.FileStatus): String =
+    s"${f.makeQualified(p)}#${st.getLen}#${st.getModificationTime}"
+  private def cacheGet(key: String): Option[Manifest] =
+    manifestCache.synchronized(Option(manifestCache.get(key)))
+  private def cachePut(key: String, m: Manifest): Unit =
+    manifestCache.synchronized(manifestCache.put(key, m))
 
   /** Filesystems whose `rename` is an atomic fail-if-exists metadata op
     * (HDFS family) — safe as the manifest claim without a hard link. */
@@ -314,19 +492,13 @@ object VersionedTable {
     claimed
   }
 
-  private def readManifest(spark: SparkSession, root: String, v: Int): Manifest = {
-    val p = manifestPath(root, v)
-    val f = fs(spark, p)
-    require(f.exists(p), s"no version $v at $root (have ${versions(spark, root)})")
-    val in = f.open(p)
-    val text = try new String(
-      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8") finally in.close()
+  /** The scalar fields + per-file metadata shared by full and delta
+    * manifest JSON. */
+  private def parseCommon(text: String): (String, Option[Long], Seq[String],
+      Map[String, Seq[ColStat]], Map[String, Seq[FileBloom]],
+      Map[String, Seq[FileHll]], Map[String, FileDv]) = {
     val schema = """"schema": "((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(text).map(m => unesc(m.group(1))).getOrElse("")
-    val files = """"files": \[([^\]]*)\]""".r.findFirstMatchIn(text)
-      .map(_.group(1)).getOrElse("")
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).toSeq
     val txn = """"txn": (\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
     val partitionCols = """"partitionCols": \[([^\]]*)\]""".r
       .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
@@ -347,7 +519,77 @@ object VersionedTable {
       (unesc(mm.group(1)), FileHll(unesc(mm.group(2)), mm.group(3).toInt,
         mm.group(4)))
     }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    Manifest(v, schema, files, txn, stats, blooms, partitionCols, hlls)
+    val D = """\{"vfile": "((?:[^"\\]|\\.)*)", "dv": "((?:[^"\\]|\\.)*)", "card": (\d+)\}""".r
+    val dvs = D.findAllMatchIn(text).map { mm =>
+      unesc(mm.group(1)) -> FileDv(unesc(mm.group(2)), mm.group(3).toLong)
+    }.toMap
+    (schema, txn, partitionCols, stats, blooms, hlls, dvs)
+  }
+
+  private def parseNameList(text: String, field: String): Seq[String] =
+    (""""""" + field + """": \[([^\]]*)\]""").r.findFirstMatchIn(text)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+
+  private def parseFullManifest(v: Int, text: String): Manifest = {
+    val (schema, txn, partitionCols, stats, blooms, hlls, dvs) = parseCommon(text)
+    Manifest(v, schema, parseNameList(text, "files"), txn, stats, blooms,
+      partitionCols, hlls, dvs)
+  }
+
+  /** Replay a delta manifest over its parent snapshot: removed entries
+    * drop (with their metadata), added entries append in recorded order,
+    * and a touched-or-added file's metadata is REPLACED by exactly what
+    * the delta carries. */
+  private def applyDeltaManifest(v: Int, text: String, parent: Manifest): Manifest = {
+    val (schema, txn, partitionCols, stats, blooms, hlls, dvs) = parseCommon(text)
+    val removes = parseNameList(text, "removes").toSet
+    val adds = parseNameList(text, "adds")
+    val sel = (parseNameList(text, "touch") ++ adds).toSet
+    def merge[T](pm: Map[String, T], dm: Map[String, T]): Map[String, T] =
+      (pm -- removes -- sel) ++ dm
+    Manifest(v, schema, parent.files.filterNot(removes) ++ adds, txn,
+      merge(parent.stats, stats), merge(parent.blooms, blooms),
+      partitionCols, merge(parent.hlls, hlls), merge(parent.dvs, dvs))
+  }
+
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  private def readManifest(spark: SparkSession, root: String, v: Int): Manifest = {
+    val p = manifestPath(root, v)
+    val f = fs(spark, p)
+    // a checkpoint (written by expire when it drops a delta's ancestors)
+    // REPLACES the chain: same assembled content, zero replay
+    val ck = checkpointPath(root, v)
+    val src = if (f.exists(ck)) ck else p
+    require(f.exists(src), s"no version $v at $root (have ${versions(spark, root)})")
+    val st = f.getFileStatus(src)
+    val key = cacheKey(f, src, st)
+    cacheGet(key).getOrElse {
+      val text = readText(f, src)
+      val m =
+        if (!text.contains("\"delta\": true")) parseFullManifest(v, text)
+        else applyDeltaManifest(v, text, readManifest(spark, root, v - 1))
+      cachePut(key, m)
+      m
+    }
+  }
+
+  /** Write `m` as a full-snapshot `.checkpoint.json` — idempotent
+    * (content-equivalent replacements), atomic via tmp + rename. */
+  private def writeCheckpoint(spark: SparkSession, root: String, m: Manifest): Unit = {
+    val target = checkpointPath(root, m.version)
+    val f = fs(spark, target)
+    val tmp = new Path(logDir(root),
+      s".ck${m.version}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(fullManifestJson(m).getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, target)) f.delete(tmp, false) // an existing one is fine
   }
 
   /** Transaction ids recorded by committed versions — the idempotence
@@ -520,7 +762,9 @@ object VersionedTable {
                      carryBlooms: Map[String, Seq[FileBloom]] = Map.empty,
                      baseVersion: Option[Int] = None,
                      partitionCols: Seq[String] = Seq.empty,
-                     carryHlls: Map[String, Seq[FileHll]] = Map.empty): Int = {
+                     carryHlls: Map[String, Seq[FileHll]] = Map.empty,
+                     carryDvs: Map[String, FileDv] = Map.empty,
+                     parent: Option[Manifest] = None): Int = {
     // When the caller read a manifest to build carryOver, the commit MUST
     // target exactly base+1: re-resolving the version here would let a
     // writer that landed in between be silently overwritten by our stale
@@ -544,7 +788,8 @@ object VersionedTable {
         carryStats.view.filterKeys(carryOver.contains).toMap ++ addedStats,
         carryBlooms.view.filterKeys(carryOver.contains).toMap,
         partitionCols,
-        carryHlls.view.filterKeys(carryOver.contains).toMap))
+        carryHlls.view.filterKeys(carryOver.contains).toMap,
+        carryDvs.view.filterKeys(carryOver.contains).toMap), parent)
     v
   }
 
@@ -585,7 +830,7 @@ object VersionedTable {
     commit(spark, root, df, m.files, carryStats = m.stats,
       tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
       baseVersion = Some(cur), partitionCols = m.partitionCols,
-      carryHlls = m.hlls)
+      carryHlls = m.hlls, carryDvs = m.dvs, parent = Some(m))
   }
 
   /** Overwrite: new version references ONLY the new rows' files (logical
@@ -665,7 +910,7 @@ object VersionedTable {
           commit(spark, root, df, m.files, Some(txn), carryStats = m.stats,
             tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
             baseVersion = Some(cur), partitionCols = m.partitionCols,
-            carryHlls = m.hlls)
+            carryHlls = m.hlls, carryDvs = m.dvs, parent = Some(m))
         }
     }
 
@@ -676,8 +921,7 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, v)
-    readPaths(spark, m.schemaDdl, m.files.map(f => new Path(root, f).toString),
-      m.partitionCols.nonEmpty, root)
+    readSnapshotFiles(spark, root, m, m.files)
   }
 
   /** Version `v`'s manifest file list (table-relative) — the snapshot's
@@ -713,8 +957,7 @@ object VersionedTable {
     val known = m.files.toSet
     require(files.forall(known.contains),
       s"files not in version $v: ${files.filterNot(known.contains).take(3)}")
-    readPaths(spark, m.schemaDdl, files.map(f => new Path(root, f).toString),
-      m.partitionCols.nonEmpty, root)
+    readSnapshotFiles(spark, root, m, files)
   }
 
   /** Total data bytes of `version` from file lengths — the size estimate
@@ -746,13 +989,29 @@ object VersionedTable {
     else parts.take(i).mkString("/")
   }
 
+  /** Internal names for the scan-level metadata columns a DV-aware read
+    * threads through (`_metadata` resolves only on the file-source
+    * relation, so they must be selected AT the scan, not above it). */
+  private val DvFileCol = "__graft_dv_file"
+  private val DvPosCol = "__graft_dv_pos"
+
   private def readPaths(spark: SparkSession, schemaDdl: String,
                         paths: Seq[String],
                         partitioned: Boolean = false,
-                        root: String = ""): DataFrame = {
+                        root: String = "",
+                        withMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
-    if (paths.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val metaCols =
+      if (!withMeta) Seq.empty
+      else Seq(col("_metadata.file_name").as(DvFileCol),
+        col("_metadata.row_index").as(DvPosCol))
+    if (paths.isEmpty) {
+      val s2 =
+        if (!withMeta) schema
+        else schema.add(DvFileCol, "string").add(DvPosCol, "bigint")
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s2)
+    }
     else if (partitioned) {
       // hive layout: partition-column values resolve from the k=v
       // directory names (basePath anchors the discovery); files are
@@ -760,12 +1019,60 @@ object VersionedTable {
       // cloned-from files still resolves every value; the final select
       // restores the declared column order, since the scan appends
       // partition columns after the file columns
-      val order = schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col)
       paths.groupBy(partitionBaseOf).toSeq.sortBy(_._1).map { case (base, ps) =>
         spark.read.schema(schema).option("basePath", base).parquet(ps: _*)
-      }.reduce(_ unionByName _).select(order: _*)
+          .select(col("*") +: metaCols: _*)
+      }.reduce(_ unionByName _)
+        .select(schema.fieldNames.map(col) ++
+          (if (withMeta) Seq(col(DvFileCol), col(DvPosCol)) else Seq.empty): _*)
     }
-    else spark.read.schema(schema).parquet(paths: _*)
+    else {
+      val df = spark.read.schema(schema).parquet(paths: _*)
+      if (!withMeta) df else df.select(col("*") +: metaCols: _*)
+    }
+  }
+
+  /** Snapshot read of `files` under `m`, APPLYING deletion vectors:
+    * DV-free files scan exactly as before (zero overhead on the common
+    * path); DV-bearing files scan with `_metadata` row positions and drop
+    * their deleted rows through one codegen'd broadcast-membership filter.
+    * The broadcast carries only the scanned files' position arrays —
+    * bytes ∝ deleted rows of THIS read, the same metadata class as the
+    * manifest blooms. */
+  private def readSnapshotFiles(spark: SparkSession, root: String, m: Manifest,
+                                files: Seq[String],
+                                schemaDdl: Option[String] = None): DataFrame = {
+    val ddl = schemaDdl.getOrElse(m.schemaDdl)
+    val (dvd, plain) = files.partition(m.dvs.contains)
+    val plainDf = readPaths(spark, ddl, plain.map(f => new Path(root, f).toString),
+      m.partitionCols.nonEmpty, root)
+    if (dvd.isEmpty) plainDf
+    else plainDf.unionByName(
+      dvMemberRows(spark, root, m, ddl,
+        dvd.map(f => f -> loadDvPositions(spark, root, m.dvs(f).dvFile)).toMap,
+        keepMembers = false))
+  }
+
+  /** Scan `filesWithPositions.keys` and keep (or drop) exactly the rows at
+    * the given per-file positions — the shared kernel of the DV read path
+    * (`keepMembers = false`: survivors) and the CDC DV delta
+    * (`keepMembers = true`: the removed rows themselves). */
+  private def dvMemberRows(spark: SparkSession, root: String, m: Manifest,
+                           ddl: String,
+                           filesWithPositions: Map[String, Array[Long]],
+                           keepMembers: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val byName = filesWithPositions.map { case (f, ps) => nameOf(f) -> ps }
+    val bc = spark.sparkContext.broadcast(byName)
+    val scanned = readPaths(spark, ddl,
+      filesWithPositions.keys.toSeq.sorted.map(f => new Path(root, f).toString),
+      m.partitionCols.nonEmpty, root, withMeta = true)
+    val member = Bridge.toColumn(graft.functions.DvDeletedExpr(
+      Bridge.toExpression(col(DvFileCol)),
+      Bridge.toExpression(col(DvPosCol)), bc))
+    scanned.filter(if (keepMembers) member else not(member))
+      .drop(DvFileCol, DvPosCol)
   }
 
   /** ADD COLUMN as a METADATA-ONLY commit (the Iceberg/Delta recipe): the
@@ -788,7 +1095,7 @@ object VersionedTable {
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, widened.toDDL, m.files,
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
-      hlls = m.hlls))
+      hlls = m.hlls, dvs = m.dvs), Some(m))
     v
   }
 
@@ -832,8 +1139,7 @@ object VersionedTable {
     val keep = prunedFiles(spark, root, preds, version)
     val v = version.orElse(currentVersion(spark, root)).get
     val m = readManifest(spark, root, v)
-    readPaths(spark, m.schemaDdl, keep.map(f => new Path(root, f).toString),
-      m.partitionCols.nonEmpty, root)
+    readSnapshotFiles(spark, root, m, keep)
   }
 
   /** Build per-file bloom filters over `cols` and publish them as a new
@@ -918,7 +1224,7 @@ object VersionedTable {
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms ++ newBlooms, hlls = m.hlls,
-      partitionCols = m.partitionCols))
+      partitionCols = m.partitionCols, dvs = m.dvs), Some(m))
     v
   }
 
@@ -1122,7 +1428,7 @@ object VersionedTable {
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms ++ merged, hlls = m.hlls,
-      partitionCols = m.partitionCols))
+      partitionCols = m.partitionCols, dvs = m.dvs), Some(m))
     v
   }
 
@@ -1148,9 +1454,7 @@ object VersionedTable {
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, v)
     val keep = bloomPrunedFiles(spark, root, column, value, Some(v)).toSet
-    readPaths(spark, m.schemaDdl,
-      m.files.filter(keep.contains).map(f => new Path(root, f).toString),
-      m.partitionCols.nonEmpty, root)
+    readSnapshotFiles(spark, root, m, m.files.filter(keep.contains))
   }
 
   /** Build per-file HLL registers over `cols` and publish them as a new
@@ -1218,7 +1522,7 @@ object VersionedTable {
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, man.schemaDdl, man.files, None,
       stats = man.stats, blooms = man.blooms, partitionCols = man.partitionCols,
-      hlls = man.hlls ++ newHlls))
+      hlls = man.hlls ++ newHlls, dvs = man.dvs), Some(man))
     v
   }
 
@@ -1300,9 +1604,7 @@ object VersionedTable {
         // under negation to NULL and silently DROP the row — data loss,
         // and inconsistent with identical rows kept in files the stats
         // pruning never touched.
-        val df = readPaths(spark, m.schemaDdl,
-          touched.toSeq.map(f => new Path(root, f).toString),
-          m.partitionCols.nonEmpty, root)
+        val df = readSnapshotFiles(spark, root, m, touched.toSeq)
           .filter(org.apache.spark.sql.functions.not(
             org.apache.spark.sql.functions.coalesce(
               condition, org.apache.spark.sql.functions.lit(false))))
@@ -1316,7 +1618,74 @@ object VersionedTable {
       m.stats.view.filterKeys(untouched.contains).toMap ++ rewrittenStats,
       m.blooms.view.filterKeys(untouched.contains).toMap,
       m.partitionCols,
-      m.hlls.view.filterKeys(untouched.contains).toMap))
+      m.hlls.view.filterKeys(untouched.contains).toMap,
+      m.dvs.view.filterKeys(untouched.contains).toMap), Some(m))
+    v
+  }
+
+  /** DELETE WHERE as a MERGE-ON-READ commit — deletion vectors instead of
+    * file rewrites. [[deleteWhere]] is copy-on-write: a predicate whose
+    * matches scatter across a 100 TB table rewrites nearly every file to
+    * drop a fraction of a percent of its rows. This variant writes NO data
+    * file: per touched file it records the matching rows' POSITIONS
+    * (`_metadata.row_index`, stable because data files are immutable) as a
+    * delta-varint sidecar under `dv/`, and the new manifest references the
+    * same files plus the vectors. Readers apply the vector as a codegen'd
+    * broadcast-membership filter at scan time ([[DvDeletedExpr]]); any
+    * later rewrite of a file — CoW delete, merge, [[compactWhere]] —
+    * MATERIALIZES its vector and drops it, so vectors never stack past one
+    * per file (a re-delete MERGES positions into one new sidecar).
+    *
+    * Same contract as [[deleteWhere]]: `preds` prunes, `condition` decides
+    * (rows where it is not TRUE survive — NULL keeps the row), time travel
+    * reads the pre-delete data (each version pins its own immutable
+    * sidecars). Write cost: one scan of the pruned files + bytes ∝ deleted
+    * positions — a point delete against a 100 TB table is metadata-sized.
+    * The per-file position sets pass through the driver, so BULK deletes
+    * (a large fraction of the table) should use the CoW variant — the
+    * rewrite is the cheaper shape there anyway, and it resets the vector.
+    * Returns the new version. */
+  def deleteWhereVectored(spark: SparkSession, root: String, preds: RangePreds,
+                          condition: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{col, collect_list, lit}
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val touched = prunedFiles(spark, root, preds, Some(cur))
+    val v = cur + 1
+    val newPositions: Map[String, Array[Long]] =
+      if (touched.isEmpty) Map.empty
+      else {
+        val nameToEntry = touched.map(f => nameOf(f) -> f).toMap
+        // IS TRUE, not a bare filter: the delete-set is rows where the
+        // condition PROVABLY holds (NULL survives — SQL DELETE semantics)
+        readPaths(spark, m.schemaDdl,
+          touched.map(f => new Path(root, f).toString),
+          m.partitionCols.nonEmpty, root, withMeta = true)
+          .filter(condition <=> lit(true))
+          .groupBy(col(DvFileCol))
+          .agg(collect_list(col(DvPosCol)).as("ps"))
+          .collect() // bounded: one row per touched file; positions ∝ deleted rows
+          .flatMap { r =>
+            nameToEntry.get(r.getString(0)).map { entry =>
+              entry -> r.getSeq[Long](1).toArray.sorted
+            }
+          }.toMap
+      }
+    val updated: Map[String, FileDv] = newPositions.map { case (entry, ps) =>
+      val merged = m.dvs.get(entry) match {
+        case Some(prev) =>
+          (loadDvPositions(spark, root, prev.dvFile).toSet ++ ps).toArray.sorted
+        case None => ps
+      }
+      entry -> FileDv(writeDvSidecar(spark, root, v, nameOf(entry), merged),
+        merged.length.toLong)
+    }
+    // same files, new vectors; stats/blooms/HLLs stay as conservative
+    // over-approximations of the live rows (pruning may open a file whose
+    // matches are all deleted — it returns nothing; never unsound)
+    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, None,
+      m.stats, m.blooms, m.partitionCols, m.hlls, m.dvs ++ updated), Some(m))
     v
   }
 
@@ -1369,9 +1738,7 @@ object VersionedTable {
     val v = cur + 1
     val merged =
       if (touched.isEmpty) source
-      else readPaths(spark, m.schemaDdl,
-        touched.toSeq.map(f => new Path(root, f).toString),
-        m.partitionCols.nonEmpty, root)
+      else readSnapshotFiles(spark, root, m, touched.toSeq)
         .join(allKeys, keys, "left_anti")
         .unionByName(source)
     val added = writeDataFiles(spark, root, merged, v, m.partitionCols)
@@ -1383,7 +1750,87 @@ object VersionedTable {
       m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats,
       m.blooms.view.filterKeys(untouched.contains).toMap,
       m.partitionCols,
-      m.hlls.view.filterKeys(untouched.contains).toMap))
+      m.hlls.view.filterKeys(untouched.contains).toMap,
+      m.dvs.view.filterKeys(untouched.contains).toMap), Some(m))
+    v
+  }
+
+  /** MERGE INTO as a MERGE-ON-READ commit: same contract as
+    * [[mergeInto]] (upsert by key, optional same-commit deletes, txn
+    * idempotence), but matched target rows are VECTORED AWAY
+    * ([[deleteWhereVectored]]'s sidecars) and the source lands as new
+    * data files — no target file rewrites at all. This is the CDC-apply
+    * shape for a 100 TB key-scattered table: a CoW merge's write
+    * amplification is bounded by the source's key LOCALITY, so a batch
+    * whose keys spray across the keyspace (the usual CDC case) rewrites
+    * nearly everything; here write cost is O(source rows + matched
+    * positions) regardless of locality. The stats-pruned files are still
+    * the only ones SCANNED (to locate matched positions). Compaction
+    * later folds the vectors in. Readers of the new version see exactly
+    * the CoW result; earlier versions time-travel to the pre-merge data. */
+  def mergeIntoVectored(spark: SparkSession, root: String, source: DataFrame,
+                        keys: Seq[String], deletes: Option[DataFrame] = None,
+                        txn: Option[Long] = None): Int = {
+    require(keys.nonEmpty, "mergeIntoVectored needs at least one key column")
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    if (txn.exists(committedTxns(spark, root).contains)) return cur
+    val m = readManifest(spark, root, cur)
+    requireWriteCompatible(m.schemaDdl, source, "merge")
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, col, collect_list}
+    val allKeys = deletes match {
+      case Some(d) => source.select(keys.map(col): _*)
+        .unionByName(d.select(keys.map(col): _*))
+      case None => source.select(keys.map(col): _*)
+    }
+    val aggCols = keys.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
+    val bounds = allKeys.agg(aggCols.head, aggCols.tail: _*).head
+    val preds: RangePreds = keys.zipWithIndex.flatMap { case (k, i) =>
+      (bounds.get(2 * i), bounds.get(2 * i + 1)) match {
+        case (lo: Any, hi: Any) if lo.isInstanceOf[Number] || lo.isInstanceOf[String] =>
+          Some(k -> (Some(lo), Some(hi)))
+        case _ => None
+      }
+    }.toMap
+    val touched = prunedFiles(spark, root, preds, Some(cur))
+    val v = cur + 1
+    // positions of every matched target row (semi-join on the touched
+    // keys) — a key present in several files vectors them all; rows a
+    // vector already hides re-mark harmlessly (position union)
+    val newPositions: Map[String, Array[Long]] =
+      if (touched.isEmpty) Map.empty
+      else {
+        val nameToEntry = touched.map(f => nameOf(f) -> f).toMap
+        readPaths(spark, m.schemaDdl,
+          touched.map(f => new Path(root, f).toString),
+          m.partitionCols.nonEmpty, root, withMeta = true)
+          .join(allKeys, keys, "left_semi")
+          .groupBy(col(DvFileCol))
+          .agg(collect_list(col(DvPosCol)).as("ps"))
+          .collect() // bounded: one row per touched file; positions ∝ matched rows
+          .flatMap { r =>
+            nameToEntry.get(r.getString(0)).map { entry =>
+              entry -> r.getSeq[Long](1).toArray.sorted
+            }
+          }.toMap
+      }
+    val updated: Map[String, FileDv] = newPositions.map { case (entry, ps) =>
+      val merged = m.dvs.get(entry) match {
+        case Some(prev) =>
+          (loadDvPositions(spark, root, prev.dvFile).toSet ++ ps).toArray.sorted
+        case None => ps
+      }
+      entry -> FileDv(writeDvSidecar(spark, root, v, nameOf(entry), merged),
+        merged.length.toLong)
+    }
+    val added = writeDataFiles(spark, root, source, v, m.partitionCols)
+    val addedStats = added
+      .map(f => f -> (fileStats(spark, root, f) ++ partitionStats(m.schemaDdl, f)))
+      .filter(_._2.nonEmpty).toMap
+    writeManifest(spark, root, Manifest(v, m.schemaDdl,
+      m.files ++ added, txn,
+      m.stats ++ addedStats, m.blooms, m.partitionCols, m.hlls,
+      m.dvs ++ updated), Some(m))
     v
   }
 
@@ -1403,13 +1850,39 @@ object VersionedTable {
     val b = readManifest(spark, root, toV)
     // both sides read under the TO-version schema: across an addColumn
     // boundary the pre-evolution rows surface NULL in the new column on
-    // both sides, so carried-over data still cancels in the exceptAll
-    def readFiles(fs: Seq[String]): DataFrame =
-      readPaths(spark, b.schemaDdl, fs.map(f => new Path(root, f).toString),
-        b.partitionCols.nonEmpty, root)
-    val onlyNew = readFiles(b.files.filterNot(a.files.toSet))
-    val onlyOld = readFiles(a.files.filterNot(b.files.toSet))
-    (onlyNew.exceptAll(onlyOld), onlyOld.exceptAll(onlyNew))
+    // both sides, so carried-over data still cancels in the exceptAll.
+    // Each side applies ITS OWN deletion vectors — a row vectored away
+    // before fromV was never visible in either snapshot and must not
+    // surface in the diff.
+    val aSet = a.files.toSet
+    val bSet = b.files.toSet
+    val onlyNew = readSnapshotFiles(spark, root, b,
+      b.files.filterNot(aSet), Some(b.schemaDdl))
+    val onlyOld = readSnapshotFiles(spark, root, a,
+      a.files.filterNot(bSet), Some(b.schemaDdl))
+    // files carried BY NAME whose vectors changed: a position deleted in
+    // (fromV, toV] is a REMOVED row; a position released (rollback across
+    // a vectored delete) is an ADDED row. Only the delta positions' rows
+    // are read — the diff stays file-set + vector-delta sized, never
+    // table-sized.
+    val posCache = scala.collection.mutable.Map.empty[String, Set[Long]]
+    def posOf(m: Manifest, f: String): Set[Long] =
+      m.dvs.get(f).map(d => posCache.getOrElseUpdate(d.dvFile,
+        loadDvPositions(spark, root, d.dvFile).toSet)).getOrElse(Set.empty)
+    val common = b.files.filter(aSet)
+    val dvDeltas = common.map { f =>
+      val pa = posOf(a, f); val pb = posOf(b, f)
+      (f, pa -- pb, pb -- pa) // (re-added, removed)
+    }
+    def deltaRows(side: ((String, Set[Long], Set[Long])) => Set[Long]): DataFrame = {
+      val sets = dvDeltas.collect {
+        case t if side(t).nonEmpty => t._1 -> side(t).toArray.sorted
+      }.toMap
+      dvMemberRows(spark, root, b, b.schemaDdl, sets, keepMembers = true)
+    }
+    val adds = onlyNew.unionByName(deltaRows(_._2))
+    val rems = onlyOld.unionByName(deltaRows(_._3))
+    (adds.exceptAll(rems), rems.exceptAll(adds))
   }
 
   /** Follow the commit log as a STREAM: the versioned table is its own
@@ -1469,7 +1942,7 @@ object VersionedTable {
     val v = currentVersion(spark, root).get + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
-      hlls = m.hlls))
+      hlls = m.hlls, dvs = m.dvs))
     v
   }
 
@@ -1525,14 +1998,15 @@ object VersionedTable {
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
     val touched = prunedFiles(spark, root, preds, Some(cur))
-    if (touched.size <= 1 && clusterBy.isEmpty) return cur
+    // a single touched file still compacts when it carries a deletion
+    // vector — materializing the vector is the point of the rewrite
+    if (touched.size <= 1 && clusterBy.isEmpty &&
+      !touched.exists(m.dvs.contains)) return cur
     val untouched = m.files.filterNot(touched.toSet)
     val f = fs(spark, new Path(root))
     val bytes = touched.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val base = readPaths(spark, m.schemaDdl,
-      touched.map(p => new Path(root, p).toString),
-      m.partitionCols.nonEmpty, root)
+    val base = readSnapshotFiles(spark, root, m, touched)
     val df =
       if (clusterBy.isEmpty) base.repartition(target)
       else {
@@ -1545,12 +2019,15 @@ object VersionedTable {
     val addedStats = added
       .map(p => p -> (fileStats(spark, root, p) ++ partitionStats(m.schemaDdl, p)))
       .filter(_._2.nonEmpty).toMap
+    // rewritten files MATERIALIZE their deletion vectors (the read above
+    // applied them), so the compacted files carry none
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
       untouched ++ added, None,
       m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats,
       m.blooms.view.filterKeys(untouched.contains).toMap,
       m.partitionCols,
-      m.hlls.view.filterKeys(untouched.contains).toMap))
+      m.hlls.view.filterKeys(untouched.contains).toMap,
+      m.dvs.view.filterKeys(untouched.contains).toMap), Some(m))
     v
   }
 
@@ -1594,8 +2071,24 @@ object VersionedTable {
     val (dropAged, keepTail) = vs.splitAt(math.max(0, vs.size - keepLast))
     val drop = dropAged.filterNot(pinned)
     val keep = keepTail ++ dropAged.filter(pinned)
-    val live = keep.flatMap(v => readManifest(spark, root, v).files).toSet
-    drop.foreach(v => f.delete(manifestPath(root, v), false))
+    val keptManifests = keep.map(v => readManifest(spark, root, v))
+    val live = keptManifests.flatMap(_.files).toSet
+    val liveDv = keptManifests.flatMap(_.dvs.values.map(_.dvFile)).toSet
+    // delta chains must not dangle: any surviving version whose parent
+    // this expire drops gets a full .checkpoint.json FIRST (assembled
+    // while the chain is still whole — the Delta checkpoint recipe), so
+    // readers of kept history never need an expired segment
+    val keepSet = keep.toSet
+    keep.zip(keptManifests).foreach { case (v, mm) =>
+      if (v > 1 && !keepSet.contains(v - 1) &&
+        !f.exists(checkpointPath(root, v)) &&
+        readText(f, manifestPath(root, v)).contains("\"delta\": true"))
+        writeCheckpoint(spark, root, mm)
+    }
+    drop.foreach { v =>
+      f.delete(manifestPath(root, v), false)
+      f.delete(checkpointPath(root, v), false) // a dropped version's ck is dead
+    }
     val dd = dataDir(root)
     // clone back-references: any local file a REGISTERED, still-existing
     // clone references stays live — expire never breaks a clone it knows
@@ -1611,8 +2104,10 @@ object VersionedTable {
           finally in.close()
           val vs2 = versions(spark, dst)
           if (vs2.isEmpty) { f.delete(mk, false); Seq.empty }
-          else vs2.flatMap(v2 => readManifest(spark, dst, v2).files)
-            .filter(_.startsWith("/"))
+          else vs2.flatMap { v2 =>
+            val m2 = readManifest(spark, dst, v2)
+            m2.files ++ m2.dvs.values.map(_.dvFile)
+          }.filter(_.startsWith("/"))
         }.toSet
     // recursive walk: partitioned tables nest files under k=v dirs
     def files(p: Path): Seq[Path] =
@@ -1627,7 +2122,19 @@ object VersionedTable {
         val rel = "data" + full.stripPrefix(base)
         !live.contains(rel) && !cloneLive.contains(full) && f.delete(p, false)
       }
-    (drop.size, removed)
+    // deletion-vector sidecars age out with the manifests that reference
+    // them (same rule as data files: live = referenced by any surviving or
+    // pinned version, here or in a registered clone)
+    val dvd = dvDir(root)
+    val dvBase = f.makeQualified(dvd).toUri.getPath
+    val removedDv =
+      if (!f.exists(dvd)) 0
+      else files(dvd).count { p =>
+        val full = f.makeQualified(p).toUri.getPath
+        val rel = "dv" + full.stripPrefix(dvBase)
+        !liveDv.contains(rel) && !cloneLive.contains(full) && f.delete(p, false)
+      }
+    (drop.size, removed + removedDv)
   }
 
   /** The table's hive partition columns (empty when unpartitioned). */
@@ -1643,11 +2150,29 @@ object VersionedTable {
     * stream start, not at each batch). Partition-aware like every
     * manifest read. */
   def readFilesAs(spark: SparkSession, root: String, files: Seq[String],
-                  schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val partitioned = currentVersion(spark, root).exists(v =>
-      readManifest(spark, root, v).partitionCols.nonEmpty)
-    readPaths(spark, schema.toDDL,
-      files.map(f => new Path(root, f).toString), partitioned, root)
+                  schema: org.apache.spark.sql.types.StructType,
+                  version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root))
+    v.map(readManifest(spark, root, _)) match {
+      case Some(m) =>
+        // apply the resolved version's deletion vectors (files absent from
+        // that manifest simply have none) under the caller's FIXED schema
+        readSnapshotFiles(spark, root, m, files, Some(schema.toDDL))
+      case None =>
+        readPaths(spark, schema.toDDL,
+          files.map(f => new Path(root, f).toString), partitioned = false, root)
+    }
+  }
+
+  /** `version`'s deletion-vector references: data file → (sidecar, deleted
+    * row count). Exposed so incremental consumers (the streaming source's
+    * append-only guard, specs) can DETECT row removals that change no file
+    * set — a vectored delete commits the same files with a new vector. */
+  def dvRefs(spark: SparkSession, root: String,
+             version: Option[Int] = None): Map[String, (String, Long)] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    readManifest(spark, root, v).dvs.map { case (f, d) => f -> (d.dvFile, d.card) }
   }
 
   /** Shallow clone: publish `srcRoot`'s chosen snapshot (default
@@ -1677,14 +2202,21 @@ object VersionedTable {
     val abs = m.files.map(rel =>
       f.makeQualified(new Path(srcRoot, rel)).toUri.getPath)
     val remap = m.files.zip(abs).toMap
+    // deletion vectors clone by reference too — sidecars are as immutable
+    // as the data files they annotate, and the same back-reference markers
+    // keep them alive across the source's expire
+    val absDv = m.dvs.map { case (k, d) =>
+      remap.getOrElse(k, k) ->
+        d.copy(dvFile = f.makeQualified(new Path(srcRoot, d.dvFile)).toUri.getPath)
+    }
     writeManifest(spark, dstRoot, Manifest(1, m.schemaDdl, abs,
       stats = m.stats.map { case (k, s) => remap.getOrElse(k, k) -> s },
       blooms = m.blooms.map { case (k, b) => remap.getOrElse(k, k) -> b },
       hlls = m.hlls.map { case (k, h) => remap.getOrElse(k, k) -> h },
-      partitionCols = m.partitionCols))
+      partitionCols = m.partitionCols, dvs = absDv))
     // back-reference every owning root (a clone OF a clone references
     // the original's files — the marker must land with the owner)
-    abs.flatMap(ownerRootOf).distinct.foreach { owner =>
+    (abs ++ absDv.values.map(_.dvFile)).flatMap(ownerRootOf).distinct.foreach { owner =>
       val fo = fs(spark, new Path(owner))
       fo.mkdirs(logDir(owner))
       val marker = new Path(logDir(owner),
@@ -1695,10 +2227,14 @@ object VersionedTable {
     1
   }
 
-  /** The table root owning an absolute data-file path (prefix before
-    * "/data/"), if the path has the table layout. */
+  /** The table root owning an absolute data-file or DV-sidecar path
+    * (prefix before "/data/" or "/dv/"), if the path has the table
+    * layout. */
   private def ownerRootOf(absPath: String): Option[String] = {
     val i = absPath.indexOf("/data/")
-    if (i > 0) Some(absPath.substring(0, i)) else None
+    val j = absPath.indexOf("/dv/")
+    if (i > 0) Some(absPath.substring(0, i))
+    else if (j > 0) Some(absPath.substring(0, j))
+    else None
   }
 }

@@ -310,10 +310,28 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
         s"versions ($fromV, $toV] of $root removed ${removed.size} data " +
           "file(s) (overwrite/delete/compaction): not an append-only feed. " +
           "Set ignoreChanges=true to re-deliver rewritten files' rows.")
+    // a vectored delete removes ROWS while the file set stands still —
+    // detect it from the manifest's deletion-vector references, or the
+    // append-only contract silently loses the deleted rows' absence
+    val dvBefore =
+      if (fromV == 0) Map.empty[String, (String, Long)]
+      else VersionedTable.dvRefs(spark, root, Some(fromV))
+    val dvAfter = VersionedTable.dvRefs(spark, root, Some(toV))
+    val dvChanged = after.exists(f =>
+      before.contains(f) && dvBefore.get(f) != dvAfter.get(f))
+    if (dvChanged && !ignoreChanges)
+      throw new IllegalStateException(
+        s"versions ($fromV, $toV] of $root changed deletion vectors " +
+          "(merge-on-read delete): not an append-only feed. Set " +
+          "ignoreChanges=true to continue (removed rows are never " +
+          "re-delivered).")
     val fresh = after.filterNot(before)
     // partition-aware read under the stream's PINNED schema (partition
-    // values resolve from the k=v dir names, clones included)
-    val batch = VersionedTable.readFilesAs(spark, root, fresh, schema)
+    // values resolve from the k=v dir names, clones included); rows a
+    // vector already deleted AT toV are not delivered — a replay of this
+    // batch re-resolves the same immutable manifest, so re-delivery stays
+    // byte-identical
+    val batch = VersionedTable.readFilesAs(spark, root, fresh, schema, Some(toV))
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(spark, batch, schema)
   }
 
