@@ -563,18 +563,27 @@ object VersionedTable {
   private def readManifest(spark: SparkSession, root: String, v: Int): Manifest = {
     val p = manifestPath(root, v)
     val f = fs(spark, p)
-    // a checkpoint (written by expire when it drops a delta's ancestors)
-    // REPLACES the chain: same assembled content, zero replay
-    val ck = checkpointPath(root, v)
-    val src = if (f.exists(ck)) ck else p
-    require(f.exists(src), s"no version $v at $root (have ${versions(spark, root)})")
-    val st = f.getFileStatus(src)
-    val key = cacheKey(f, src, st)
+    val st =
+      try f.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"no version $v at $root (have ${versions(spark, root)})")
+      }
+    val key = cacheKey(f, p, st)
     cacheGet(key).getOrElse {
-      val text = readText(f, src)
+      val text = readText(f, p)
       val m =
         if (!text.contains("\"delta\": true")) parseFullManifest(v, text)
-        else applyDeltaManifest(v, text, readManifest(spark, root, v - 1))
+        else {
+          // a checkpoint (written by expire when it drops a delta's
+          // ancestors) REPLACES the replay: same assembled content.
+          // Probed only on the cache-miss delta path, so the common
+          // full-manifest read pays nothing for it.
+          val ck = checkpointPath(root, v)
+          if (f.exists(ck)) parseFullManifest(v, readText(f, ck))
+          else applyDeltaManifest(v, text, readManifest(spark, root, v - 1))
+        }
       cachePut(key, m)
       m
     }
@@ -1869,19 +1878,25 @@ object VersionedTable {
     def posOf(m: Manifest, f: String): Set[Long] =
       m.dvs.get(f).map(d => posCache.getOrElseUpdate(d.dvFile,
         loadDvPositions(spark, root, d.dvFile).toSet)).getOrElse(Set.empty)
-    val common = b.files.filter(aSet)
+    // vector-free tables skip this entirely — the diff plan is then
+    // byte-identical to the pre-DV shape (no empty-frame unions on the
+    // hot incremental paths)
+    val common =
+      if (a.dvs.isEmpty && b.dvs.isEmpty) Seq.empty
+      else b.files.filter(aSet)
     val dvDeltas = common.map { f =>
       val pa = posOf(a, f); val pb = posOf(b, f)
       (f, pa -- pb, pb -- pa) // (re-added, removed)
     }
-    def deltaRows(side: ((String, Set[Long], Set[Long])) => Set[Long]): DataFrame = {
+    def deltaRows(side: ((String, Set[Long], Set[Long])) => Set[Long]): Option[DataFrame] = {
       val sets = dvDeltas.collect {
         case t if side(t).nonEmpty => t._1 -> side(t).toArray.sorted
       }.toMap
-      dvMemberRows(spark, root, b, b.schemaDdl, sets, keepMembers = true)
+      if (sets.isEmpty) None
+      else Some(dvMemberRows(spark, root, b, b.schemaDdl, sets, keepMembers = true))
     }
-    val adds = onlyNew.unionByName(deltaRows(_._2))
-    val rems = onlyOld.unionByName(deltaRows(_._3))
+    val adds = deltaRows(_._2).map(onlyNew.unionByName).getOrElse(onlyNew)
+    val rems = deltaRows(_._3).map(onlyOld.unionByName).getOrElse(onlyOld)
     (adds.exceptAll(rems), rems.exceptAll(adds))
   }
 

@@ -267,6 +267,22 @@ class DeletionVectorSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq == Seq(222L))
   }
 
+  test("a catalog-pinned version keeps its vector sidecar through table expire") {
+    import graft.sink.TxnCatalog
+    val dir = Files.createTempDirectory("graft_dvpin")
+    val root = dir.resolve("t").toString
+    val cat = dir.resolve("_cat").toString
+    VersionedTable.create(spark, root, df(1L to 6L: _*))       // v1
+    VersionedTable.deleteWhereVectored(spark, root,
+      Map("id" -> (Some(2L), Some(3L))), col("id").between(2, 3)) // v2 + dv
+    TxnCatalog.commit(spark, cat, Map("t" -> (root, 2)))       // pin v2
+    VersionedTable.overwrite(spark, root, df(9))               // v3
+    VersionedTable.overwrite(spark, root, df(10))              // v4
+    VersionedTable.expire(spark, root, keepLast = 1)
+    // the pinned snapshot — vector included — still reads exactly
+    assert(idsOf(TxnCatalog.read(spark, cat, "t")) == Seq(1L, 4L, 5L, 6L))
+  }
+
   test("DvDeletedExpr compiles under forced codegen (no silent fallback)") {
     // a doGenCode bug would normally degrade to interpreted eval with only
     // a log line — CODEGEN_ONLY + fallback=false turns it into a failure
