@@ -393,6 +393,53 @@ object LakehouseQueries {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     }),
 
+    // The CHANGE-DATA-FEED streaming read (readChangeFeed=true): the
+    // versioned table streamed as its own CHANGELOG — inserts AND
+    // deletes as typed rows — across an append, a copy-on-write merge
+    // and a vectored delete, one commit per micro-batch. The drained
+    // feed is FOLDED by sign (+insert / −delete, decimal partials) and
+    // must reproduce the final table state exactly: the oracle
+    // recomputes that state from raw events, so a feed that loses a
+    // delete, re-delivers a compaction rewrite, or mis-types a row
+    // breaks the hash. At 100 TB each batch reads only the commit's
+    // file-set difference + vector deltas (carried rewrites cancel and
+    // deliver nothing) — the changelog costs per-commit delta, never
+    // table size.
+    "q194_cdf_stream" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = EventsStream.scratchDir("graft_cdf_q194")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val base = ev.filter(col("event_id") % 3 =!= 0)
+      VersionedTable.create(s, root, base.filter(col("event_id") % 3 === 1)
+        .repartitionByRange(2, col("event_id")))                      // v1
+      VersionedTable.append(s, root, base.filter(col("event_id") % 3 === 2)) // v2
+      val ups = base.filter(col("event_id") % 5 === 0)
+        .withColumn("value", col("value") * 2)
+      val ins = ev.filter(col("event_id") % 3 === 0)
+      VersionedTable.mergeInto(s, root, ups.unionByName(ins), Seq("event_id")) // v3 CoW
+      VersionedTable.deleteWhereVectored(s, root, Map.empty,
+        col("event_id") % 7 === 0)                                    // v4 MoR
+      val sink = work.resolve("sink").toString
+      val q = s.readStream.format("graft-versioned")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1").load(root)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(sink)
+        .select(col("user_id"),
+          when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L)).as("sgn"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("sgn")).as("n_events"),
+          sum(col("sgn") * col("v")).cast("double").as("sum_value"))
+        .filter(col("n_events") > 0)
+    }),
+
     // File-level HLL registers as a queryable index: a key-partitioned
     // history (4 hash-disjoint user files + an appended batch whose keys
     // are ALL repeats) is indexed with per-file registers; the skip
@@ -582,6 +629,26 @@ object LakehouseQueries {
          SELECT event_type, count(*)::BIGINT AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM v2 GROUP BY 1""",
+
+    // The folded changelog must equal the final table state, recomputed
+    // from raw events: base (event_id % 3 in {1,2}) merged with the
+    // doubled %5 upserts + %3=0 inserts, minus the %7 vectored deletes.
+    "q194_cdf_stream" ->
+      """WITH base AS (SELECT event_id, user_id, value
+                       FROM events WHERE event_id % 3 <> 0),
+           ups AS (SELECT event_id, user_id, value * 2 AS value
+                   FROM base WHERE event_id % 5 = 0),
+           ins AS (SELECT event_id, user_id, value
+                   FROM events WHERE event_id % 3 = 0),
+           src AS (SELECT * FROM ups UNION ALL SELECT * FROM ins),
+           merged AS (SELECT * FROM src
+                      UNION ALL
+                      SELECT * FROM base
+                      WHERE event_id NOT IN (SELECT event_id FROM src)),
+           final AS (SELECT * FROM merged WHERE event_id % 7 <> 0)
+         SELECT user_id, count(*)::BIGINT AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM final GROUP BY 1""",
 
     // The estimate from the register-relevant file subset must equal the
     // estimate from ALL the data (pointwise-max algebra: file boundaries

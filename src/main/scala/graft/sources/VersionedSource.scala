@@ -51,27 +51,44 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
     parameters.getOrElse("path",
       throw new IllegalArgumentException("graft-versioned requires a path option"))
 
+  private def isChangeFeed(parameters: Map[String, String]): Boolean =
+    parameters.get("readchangefeed").orElse(parameters.get("readChangeFeed"))
+      .exists(_.toBoolean)
+
   /** The stream's schema is fixed at stream start: the CURRENT manifest
     * DDL. Files committed after a mid-stream addColumn still read under
-    * this schema (parquet resolves by name; extra columns prune away). */
+    * this schema (parquet resolves by name; extra columns prune away).
+    * With `readChangeFeed`, a `_change_type` column ("insert"/"delete")
+    * is appended — the stream is then the table's CHANGELOG, not its
+    * append feed. */
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
-                            parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      VersionedTable.schemaOf(sqlContext.sparkSession, rootOf(parameters))))
+                            parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      VersionedTable.schemaOf(sqlContext.sparkSession, rootOf(parameters)))
+    (shortName(),
+      if (isChangeFeed(parameters)) base.add("_change_type", "string", nullable = false)
+      else base)
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
     val root = rootOf(parameters)
+    val cdf = isChangeFeed(parameters)
+    val dataSchema = schema
+      .map(s => StructType(s.filterNot(_.name == "_change_type")))
+      .getOrElse(VersionedTable.schemaOf(sqlContext.sparkSession, root))
     new VersionedStreamSource(sqlContext, root,
-      schema.getOrElse(VersionedTable.schemaOf(sqlContext.sparkSession, root)),
+      if (cdf) dataSchema.add("_change_type", "string", nullable = false)
+      else dataSchema,
       startingVersion = parameters.get("startingversion")
         .orElse(parameters.get("startingVersion")).map(_.toInt),
       ignoreChanges = parameters.get("ignorechanges")
         .orElse(parameters.get("ignoreChanges")).exists(_.toBoolean),
       maxVersionsPerTrigger = parameters.get("maxversionspertrigger")
-        .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toInt))
+        .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toInt),
+      changeFeed = cdf)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -244,7 +261,8 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
                             override val schema: StructType,
                             startingVersion: Option[Int],
                             ignoreChanges: Boolean,
-                            maxVersionsPerTrigger: Option[Int] = None)
+                            maxVersionsPerTrigger: Option[Int] = None,
+                            changeFeed: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -300,6 +318,7 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
                         end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(floorVersion)
     val toV = versionOf(end)
+    if (changeFeed) return changeFeedBatch(fromV, toV)
     val before =
       if (fromV == 0) Set.empty[String]
       else VersionedTable.filesOf(spark, root, Some(fromV)).toSet
@@ -332,6 +351,32 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
     // batch re-resolves the same immutable manifest, so re-delivery stays
     // byte-identical
     val batch = VersionedTable.readFilesAs(spark, root, fresh, schema, Some(toV))
+    org.apache.spark.sql.graft.StreamingBridge.asStreaming(spark, batch, schema)
+  }
+
+  /** CHANGE-FEED delivery for `(fromV, toV]`: the table's changelog as
+    * typed rows. Inserts are the net-new rows, deletes the net-removed
+    * ones — both from [[VersionedTable.changesBetween]], so the batch
+    * reads only the file-set difference plus deletion-vector deltas;
+    * carried-over rewrites (compaction) cancel and deliver NOTHING.
+    * Unlike the append feed, removals are first-class rows here, so the
+    * append-only guard does not apply. A replayed batch re-resolves the
+    * same immutable manifests — re-delivery is byte-identical, and a
+    * downstream folding the feed by key with batch-id txns stays
+    * exactly-once. The initial batch (fromV = floor) delivers the start
+    * snapshot as inserts. */
+  private def changeFeedBatch(fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dataCols = schema.fieldNames.filterNot(_ == "_change_type").map(col).toSeq
+    val (add, rem) =
+      if (fromV == 0) {
+        val first = VersionedTable.read(spark, root, Some(toV))
+        (first, first.limit(0))
+      } else VersionedTable.changesBetween(spark, root, fromV, toV)
+    val batch = add.select(dataCols: _*)
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(rem.select(dataCols: _*)
+        .withColumn("_change_type", lit("delete")))
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(spark, batch, schema)
   }
 

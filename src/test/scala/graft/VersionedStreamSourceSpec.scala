@@ -229,4 +229,30 @@ class VersionedStreamSourceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(viaEngine == viaAdversary, "order/duplication must be invisible in the rows")
   }
+
+  test("readChangeFeed: typed inserts/deletes; a compaction delivers NOTHING") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2, 3).coalesce(1))  // v1
+    VersionedTable.append(spark, root, df(4).coalesce(1))        // v2
+    VersionedTable.deleteWhereVectored(spark, root,
+      Map("id" -> (Some(2L), Some(2L))), col("id") === 2)        // v3: MoR delete
+    VersionedTable.compact(spark, root, targetBytes = Long.MaxValue / 4) // v4: rewrite
+    val out = Files.createTempDirectory("vss_cdf_out").toString
+    val q = spark.readStream.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", Files.createTempDirectory("vss_cdf_ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val feed = spark.read.parquet(out)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // v1 snapshot as inserts, v2's append, v3's vectored delete as a
+    // typed delete row; v4's compaction (a pure rewrite that also
+    // materializes the vector) cancels in the diff and delivers nothing
+    assert(feed == Seq((1L, "insert"), (2L, "delete"), (2L, "insert"),
+      (3L, "insert"), (4L, "insert")), s"got $feed")
+  }
 }
