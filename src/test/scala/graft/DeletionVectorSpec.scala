@@ -267,6 +267,33 @@ class DeletionVectorSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq == Seq(222L))
   }
 
+  test("vector-free files plan WITHOUT the DV filter; vectored reads keep codegen") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 10L: _*))
+    // no vectors yet: the read plans on the unchanged scan path — the
+    // zero-overhead claim, pinned at plan level
+    val clean = VersionedTable.read(spark, root)
+    clean.collect()
+    val cleanPlan = clean.queryExecution.executedPlan.toString
+    assert(!cleanPlan.toLowerCase.contains("dvdeleted"),
+      "a vector-free snapshot must not carry the DV membership filter")
+    VersionedTable.deleteWhereVectored(spark, root,
+      Map("id" -> (Some(3L), Some(6L))), col("id").between(3, 6))
+    val dvd = VersionedTable.read(spark, root)
+    dvd.collect()
+    val plan = dvd.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(planStr.toLowerCase.contains("dvdeleted"),
+      "the vectored file's scan must filter through DvDeletedExpr")
+    // the filter stays inside a whole-stage-codegen span (DvDeletedExpr
+    // implements doGenCode; a fallback would break the span)
+    val inCodegen = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.toLowerCase.contains("dvdeleted") => w
+    }
+    assert(inCodegen.nonEmpty, s"DV filter fell out of codegen:\n$planStr")
+  }
+
   test("a catalog-pinned version keeps its vector sidecar through table expire") {
     import graft.sink.TxnCatalog
     val dir = Files.createTempDirectory("graft_dvpin")

@@ -114,6 +114,21 @@ class ManifestDeltaSpec extends SparkSpec {
     assert(idsOf(VersionedTable.read(spark, dst)) == Seq(1L, 2L, 3L))
   }
 
+  test("a delta manifest's size tracks the commit, not the table") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 30 data files with per-file stats in the full v1 manifest
+    VersionedTable.create(spark, root,
+      (1L to 300L).toDF("id").withColumn("payload", col("id") * 10)
+        .repartition(30))
+    VersionedTable.append(spark, root, df(1000))   // v2: one-file delta
+    val full = Files.size(Paths.get(root, "_log", "v00000001.manifest.json"))
+    val delta = Files.size(Paths.get(root, "_log", "v00000002.manifest.json"))
+    assert(delta * 4 < full,
+      s"delta manifest ($delta B) should be a small fraction of the full " +
+        s"snapshot ($full B) — it must not re-serialize carried files")
+  }
+
   test("concurrent appendCas writers still lose no rows under the delta log") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(0))
