@@ -29,7 +29,8 @@ object ExplainAudit {
                "q138_filter_auc", "q139_edit_dedup", "q145_rrf_fusion",
                "q146_containment", "q152_ivfpq", "q153_zonal_stats",
                "q163_embed_cov", "q186_phash_math", "q187_txn_snapshot",
-               "q188_hll_file_skip", "q191_dv_delete", "q192_dv_cdc")
+               "q188_hll_file_skip", "q191_dv_delete", "q192_dv_cdc",
+               "q195_meta_agg")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

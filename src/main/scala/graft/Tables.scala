@@ -20,7 +20,10 @@ object Tables {
     * harmless when the generation writes MICROS. */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // the engine's Catalyst surface (optimizer rules + SQL functions) —
+    // builder-applied because spark.sql.extensions is a static conf
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
 
   /** Normalize an events frame's `ts` to a microsecond TimestampType on
     * the session's UTC clock — exactly what DuckDB surfaces from the same

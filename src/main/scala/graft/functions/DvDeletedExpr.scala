@@ -8,15 +8,19 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Is row `pos` of data file `file` marked deleted by a deletion vector?
   *
   * The merge-on-read half of [[graft.sink.VersionedTable.deleteWhereVectored]]:
-  * a DV-bearing snapshot reads its files WITH `_metadata.file_name` /
+  * a DV-bearing snapshot reads its files WITH `_metadata.file_path` /
   * `_metadata.row_index` and drops rows where this predicate holds. The
   * position sets ride a BROADCAST (one copy per executor, fetched once —
   * the same shape as a broadcast dim table, never per-task closure bytes),
-  * keyed by file NAME (commit-generated names are table-unique). Membership
-  * is a binary search over the file's sorted position array; the per-row
-  * map lookup is memoized per thread because `file_name` is constant within
-  * a split. Codegen'd (static call), so the surrounding scan + filter stays
-  * one whole-stage span.
+  * keyed by MANIFEST ENTRY and resolved from the row's full file path by
+  * longest boundary-safe suffix match — file NAMES are not unique across
+  * hive partition directories (one write job emits a part-00000 under
+  * every k=v dir), so a name-keyed map would merge distinct files'
+  * vectors and delete the wrong rows. Membership is a binary search over
+  * the file's sorted position array; the per-row resolution is memoized
+  * per thread because `file_path` is constant within a split. Codegen'd
+  * (static call), so the surrounding scan + filter stays one whole-stage
+  * span.
   *
   * Both inputs are file-source metadata columns and never null.
   */
@@ -44,18 +48,40 @@ case class DvDeletedExpr(left: Expression, right: Expression,
 
 object DvDeletedExpr {
   // per-thread memo of the last (map, file) -> positions resolution:
-  // file_name is constant across a split, so the lookup amortizes to one
-  // per task. The memo keys on the MAP IDENTITY too — two snapshots of
-  // one table share file names but carry different vectors, and a memo
-  // keyed on name alone would serve one version's deletes to the other.
+  // file_path is constant across a split, so the suffix resolution
+  // amortizes to one per task. The memo keys on the MAP IDENTITY too —
+  // two snapshots of one table share file paths but carry different
+  // vectors, and a memo keyed on path alone would serve one version's
+  // deletes to the other.
   private val last = new ThreadLocal[(AnyRef, UTF8String, Array[Long])]
+
+  /** The manifest entry (relative "data/…" or absolute clone path) that
+    * `path` — a full scan-reported file path, scheme included — refers
+    * to: the LONGEST entry that is a whole-segment suffix of `path`.
+    * Longest wins because a clone's absolute entry can itself end with
+    * another entry's relative form. Suffix matching sidesteps URI
+    * scheme/encoding renderings entirely; within one read the candidate
+    * set is exactly the scanned entries, so a boundary-safe suffix match
+    * is an identity. */
+  def resolveEntry(entries: Iterable[String], path: String): Option[String] = {
+    // an ABSOLUTE entry (a clone's "/…" path) sits right after the URI
+    // scheme/authority, so the char before it is ':' or an authority —
+    // its own leading '/' is the segment boundary; a relative entry
+    // ("data/…") must be preceded by '/'
+    def matches(e: String): Boolean =
+      path.endsWith(e) && (path.length == e.length ||
+        e.charAt(0) == '/' || path.charAt(path.length - e.length - 1) == '/')
+    val hits = entries.filter(matches)
+    if (hits.isEmpty) None else Some(hits.maxBy(_.length))
+  }
 
   def contains(m: Map[String, Array[Long]], file: UTF8String, pos: Long): Boolean = {
     val memo = last.get()
     val arr =
       if (memo != null && (memo._1 eq m) && memo._2.equals(file)) memo._3
       else {
-        val a = m.getOrElse(file.toString, Array.emptyLongArray)
+        val a = resolveEntry(m.keys, file.toString)
+          .map(m).getOrElse(Array.emptyLongArray)
         last.set((m, file.clone(), a))
         a
       }

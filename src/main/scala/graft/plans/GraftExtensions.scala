@@ -50,6 +50,7 @@ object EnvelopePrefilter extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => EnvelopePrefilter)
+    e.injectOptimizerRule(_ => MetaAggregates)
     GraftExtensions.sqlFunctions.foreach(e.injectFunction)
   }
 }

@@ -1,0 +1,255 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types._
+
+import graft.sink.VersionedTable
+import graft.sink.VersionedTable.FileMeta
+import graft.sources.VersionedRelation
+
+/** Metadata-only aggregates over the versioned format: COUNT(*) /
+  * COUNT(col) / MIN / MAX over a [[VersionedRelation]] snapshot — global,
+  * GROUP BY'd over file-single-valued columns, and/or filtered by a
+  * predicate every file can DECIDE from its metadata — collapse to a
+  * [[LocalRelation]] holding the answer from the MANIFEST: per-file row
+  * counts, deletion-vector cardinalities, footer [lo, hi] and null
+  * counts. The 100 TB `SELECT day, count(*) FROM t WHERE day >= …
+  * GROUP BY day` is one small JSON read, not a cluster scan (the
+  * lakehouse analog of Spark's own `OptimizeMetadataOnlyQuery` /
+  * parquet aggregate pushdown, lifted from footer level to manifest
+  * level; at 1000 executors the difference is a full scan job vs no job
+  * at all).
+  *
+  * Every answer used here is EXACT, never estimated:
+  *  - `count(*)` = Σ file rows − Σ DV cardinalities (DV positions are
+  *    distinct in-range rows, so the subtraction is exact — per file,
+  *    hence also per group and per filtered subset);
+  *  - `count(col)` = Σ (rows − footer null count), refused under DVs
+  *    (a deleted row's null-ness is unknowable from metadata);
+  *  - `min/max(col)` come from footer bounds, refused under DVs (the
+  *    extremum might be deleted) and restricted to the INTEGRAL logical
+  *    types + DATE: footer double stats are NaN-blind (a file holding
+  *    NaN reports non-NaN bounds while Spark's `max` orders NaN above
+  *    everything), string bounds may be writer-truncated, and INT64
+  *    timestamp bounds don't record their unit — each of those falls
+  *    back to the scan rather than risk a wrong answer.
+  *
+  * GROUP BY / WHERE participate only through columns on which every
+  * (surviving) file is SINGLE-VALUED and null-free — degenerate [v, v]
+  * stats with zero nulls: hive partition columns by construction
+  * (dir-derived, exact for every recorded type), or any file-clustered
+  * layout in the "long" footer domain (strings/doubles excluded for the
+  * truncation/NaN reasons above). A WHERE over such columns is constant
+  * per file, so membership is decided by evaluating the predicate once
+  * per file against its literal values.
+  *
+  * All-or-nothing: if ANY aggregate in the list isn't metadata-answerable
+  * (or any file lacks the needed field — e.g. a manifest written before
+  * `nrows` existed), the whole Aggregate is left for the executors.
+  * Time travel holds for free — the relation is bound to a version and
+  * the rule reads that version's manifest. Disable with
+  * `spark.graft.metaAggregates=false`. */
+object MetaAggregates extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.metaAggregates", "true").toBoolean)
+      return plan
+    plan.transform {
+      case agg: Aggregate
+          if agg.aggregateExpressions.nonEmpty &&
+            agg.groupingExpressions.forall(_.isInstanceOf[AttributeReference]) =>
+        (for {
+          (rel, conds) <- relationAndFilters(agg.child)
+          rewritten <- answer(agg, rel, conds)
+        } yield rewritten).getOrElse(agg)
+    }
+  }
+
+  /** The VersionedRelation under the aggregate plus any Filter conditions
+    * on the way down, tolerating only column-pruning Projects (pure
+    * attribute lists) — any alias/computation in between means the
+    * aggregate is NOT over the raw snapshot and must run. */
+  private def relationAndFilters(plan: LogicalPlan)
+      : Option[(VersionedRelation, Seq[Expression])] =
+    plan match {
+      case lr: LogicalRelation => lr.relation match {
+        case vr: VersionedRelation => Some((vr, Seq.empty))
+        case _ => None
+      }
+      case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        relationAndFilters(p.child)
+      case f: Filter =>
+        relationAndFilters(f.child).map { case (vr, cs) => (vr, f.condition +: cs) }
+      case _ => None
+    }
+
+  private def answer(agg: Aggregate, rel: VersionedRelation,
+                     conds: Seq[Expression]): Option[LogicalPlan] = {
+    val spark = rel.sqlContext.sparkSession
+    val all = VersionedTable.metaFiles(spark, rel.root, rel.version)
+    val partCols =
+      VersionedTable.partitionColsOf(spark, rel.root, rel.version).toSet
+    // filter: every file must decide the whole conjunction from metadata
+    val included: Seq[FileMeta] =
+      if (conds.isEmpty) all
+      else {
+        val cond = conds.reduce(And)
+        val decided = all.map(f => fileDecides(cond, f, partCols).map(f -> _))
+        if (decided.exists(_.isEmpty)) return None
+        decided.flatten.collect { case (f, true) => f }
+      }
+    if (agg.groupingExpressions.isEmpty) answerGlobal(agg, included)
+    else answerGrouped(agg, included, partCols)
+  }
+
+  /** Whether `cond` holds for every row of `f` — decidable when each
+    * referenced column is single-valued and null-free in the file, by
+    * evaluating the predicate once on the file's literal values. A
+    * constant NULL verdict drops the file (Filter keeps only TRUE). A
+    * recorded-zero-row file is vacuously excluded. */
+  private def fileDecides(cond: Expression, f: FileMeta,
+                          partCols: Set[String]): Option[Boolean] = {
+    if (!cond.deterministic) return None
+    if (f.rows.contains(0L)) return Some(false)
+    try {
+      var ok = true
+      val subbed = cond.transformUp {
+        case a: AttributeReference =>
+          singleValue(a, f, partCols) match {
+            case Some(v) => Literal(v, a.dataType)
+            case None => ok = false; a
+          }
+      }
+      if (!ok) None
+      else subbed.eval(InternalRow.empty) match {
+        case null => Some(false)
+        case b: java.lang.Boolean => Some(b.booleanValue())
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** `a`'s single value over all of `f`'s rows as its Catalyst-internal
+    * form, when the file's stats prove single-valued-ness exactly.
+    * Hive partition columns take their degenerate stats from the DIR
+    * NAME — exact for every recorded type; footer-derived stats are
+    * trusted only in the "long" domain (footer string bounds may be
+    * writer-truncated — a truncated lo == hi can mask distinct values —
+    * and double bounds are NaN-blind). */
+  private def singleValue(a: AttributeReference, f: FileMeta,
+                          partCols: Set[String]): Option[Any] =
+    f.stats.get(a.name)
+      .filter(s => s.lo == s.hi && s.nulls == 0L &&
+        (partCols.contains(a.name) || s.typ == "long"))
+      .flatMap(s => internalValue(a.dataType, s.typ, s.lo))
+
+  private def answerGlobal(agg: Aggregate,
+                           fs: Seq[FileMeta]): Option[LogicalPlan] = {
+    val values = agg.aggregateExpressions.map {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        aggValue(ae.aggregateFunction, fs)
+      // CollapseProject folds tag columns (`lit("v2").as("tag")`) into the
+      // aggregate list — a constant rides along as its evaluated value
+      case Alias(e, _) if e.foldable && e.deterministic => Some(e.eval())
+      case _ => None
+    }
+    if (values.exists(_.isEmpty)) None
+    else Some(LocalRelation(agg.output,
+      Seq(InternalRow.fromSeq(values.map(_.get)))))
+  }
+
+  /** GROUP BY over columns on which every surviving file is single-valued
+    * and null-free: the groups are unions of whole files, and each
+    * group's aggregate is the same manifest arithmetic as the global
+    * case, per group. A single file with a multi-valued or null-bearing
+    * grouping column refuses the whole rewrite (its rows could land in
+    * several groups, including the null group metadata cannot see). */
+  private def answerGrouped(agg: Aggregate, fs: Seq[FileMeta],
+                            partCols: Set[String]): Option[LogicalPlan] = {
+    val groupAttrs = agg.groupingExpressions.map(_.asInstanceOf[AttributeReference])
+    def keyOf(f: FileMeta): Option[Seq[Any]] = {
+      val vs = groupAttrs.map(a => singleValue(a, f, partCols))
+      if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
+    }
+    val keyed = fs.map(f => keyOf(f).map(_ -> f))
+    if (keyed.exists(_.isEmpty)) return None
+    val groups = keyed.flatten.groupBy(_._1).view.mapValues(_.map(_._2))
+      .toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+    val rows = groups.map { case (key, members) =>
+      val byAttr = groupAttrs.zip(key).toMap
+      val values = agg.aggregateExpressions.map {
+        case a: AttributeReference if byAttr.contains(a) => Some(byAttr(a))
+        case Alias(a: AttributeReference, _) if byAttr.contains(a) =>
+          Some(byAttr(a))
+        case Alias(ae: AggregateExpression, _)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          aggValue(ae.aggregateFunction, members)
+        case Alias(e, _) if e.foldable && e.deterministic => Some(e.eval())
+        case _ => None
+      }
+      if (values.exists(_.isEmpty)) return None
+      InternalRow.fromSeq(values.map(_.get))
+    }
+    Some(LocalRelation(agg.output, rows))
+  }
+
+  /** One file subset's aggregate from metadata — the exactness rules from
+    * the class doc, applied uniformly to the whole table, one group, or a
+    * filtered subset. */
+  private def aggValue(fn: AggregateFunction, fs: Seq[FileMeta]): Option[Any] =
+    fn match {
+      case Count(Seq(l: Literal)) if l.value != null =>
+        if (fs.exists(_.rows.isEmpty)) None
+        else Some(fs.map(_.rows.get).sum - fs.map(_.dvCard).sum)
+      case Count(Seq(a: AttributeReference)) if fs.forall(_.dvCard == 0L) =>
+        val per = fs.map { f =>
+          f.rows match {
+            case Some(0L) => Some(0L) // no rows, no footer stats, no values
+            case Some(n) => f.stats.get(a.name).filter(_.nulls >= 0)
+              .map(n - _.nulls)
+            case None => None
+          }
+        }
+        if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+      case Min(a: AttributeReference) => bound(a, fs, isMin = true)
+      case Max(a: AttributeReference) => bound(a, fs, isMin = false)
+      case _ => None
+    }
+
+  /** min/max over a file subset, only for logical types whose manifest
+    * "long" stat domain is exact AND unambiguous (see class doc for why
+    * doubles, strings, and timestamps refuse); refused under DVs. A
+    * recorded-zero-row file cannot hold the extremum and is exempt from
+    * the must-have-stats coverage rule. */
+  private def bound(a: AttributeReference, fs: Seq[FileMeta],
+                    isMin: Boolean): Option[Any] = {
+    if (fs.exists(_.dvCard != 0L)) return None
+    val counted = fs.filterNot(_.rows.contains(0L))
+    val per = counted.map(_.stats.get(a.name).filter(_.typ == "long"))
+    if (per.exists(_.isEmpty) || per.isEmpty) return None
+    val vals = per.flatten.map(s => (if (isMin) s.lo else s.hi).toLong)
+    internalValue(a.dataType, "long", (if (isMin) vals.min else vals.max).toString)
+  }
+
+  /** A manifest stat-domain value as `dt`'s Catalyst-internal form. The
+    * string and double cases are reachable only via partition-column
+    * stats (dir-derived, exact); the "long" domain is exact everywhere. */
+  private def internalValue(dt: DataType, typ: String, v: String): Option[Any] =
+    (dt, typ) match {
+      case (LongType, "long") => Some(v.toLong)
+      case (IntegerType | DateType, "long") => Some(v.toLong.toInt)
+      case (ShortType, "long") => Some(v.toLong.toShort)
+      case (ByteType, "long") => Some(v.toLong.toByte)
+      case (StringType, "string") =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+      case (DoubleType, "double") => Some(v.toDouble)
+      case (FloatType, "double") => Some(v.toDouble.toFloat)
+      case _ => None
+    }
+}

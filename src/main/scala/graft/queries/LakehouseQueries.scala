@@ -440,6 +440,64 @@ object LakehouseQueries {
         .filter(col("n_events") > 0)
     }),
 
+    // Metadata-only aggregates ([[graft.plans.MetaAggregates]]): the
+    // manifest records per-file row counts, footer [lo, hi] and null
+    // counts, and DV cardinalities — so a global COUNT(*)/COUNT(col)/
+    // MIN/MAX over a snapshot collapses to a LocalRelation read from one
+    // small JSON (at 100 TB: no scan job at all, the lakehouse analog of
+    // Spark's OptimizeMetadataOnlyQuery). Both snapshots here hash
+    // against the oracle's recomputation from raw events; the v2 side is
+    // answered entirely from metadata (MetaAggregateSpec pins the plan),
+    // the v3 side carries deletion vectors, where count(*) stays
+    // metadata-exact (rows − cardinality) but min/max/count(col) must
+    // refuse (the extremum / a null could be a deleted row) — the
+    // all-or-nothing rule sends that whole side to the executors, and
+    // the hash proves refusing was the right call.
+    "q195_meta_agg" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_meta_q195")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          when(col("event_id") % 4 =!= 0, col("user_id")).as("v_null"))
+      VersionedTable.create(s, root,
+        ev.filter(col("event_id") % 3 =!= 0)
+          .repartitionByRange(4, col("event_id")))                    // v1
+      VersionedTable.append(s, root, ev.filter(col("event_id") % 3 === 0)) // v2
+      VersionedTable.deleteWhereVectored(s, root, Map.empty,
+        col("event_id") % 7 === 0)                                    // v3
+      def snap(v: Int, tag: String) =
+        s.read.format("graft-versioned").option("versionAsOf", v.toString)
+          .load(root)
+          .agg(count(lit(1)).as("n"), count(col("v_null")).as("n_nonnull"),
+            min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+          .select(lit(tag).as("tag"), col("n"), col("n_nonnull"),
+            col("lo"), col("hi"))
+      snap(2, "v2_full").unionByName(snap(3, "v3_after_delete"))
+    }),
+
+    // The filtered + grouped metadata path: a partition-bucketed events
+    // table answers the partition-dashboard query — WHERE over the
+    // partition column decided per file, GROUP BY over it grouping whole
+    // files, COUNT/COUNT(col)/MIN/MAX per group from per-file row
+    // counts, footer null counts and [lo, hi] — without opening one data
+    // file (MetaAggregateSpec pins zero relations in the plan). The
+    // oracle recomputes everything from raw events, so the metadata
+    // arithmetic is hash-gated, not just plan-gated.
+    "q196_meta_filter_group" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_meta_q196")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          (col("user_id") % 8).cast("int").as("bucket"),
+          when(col("event_id") % 6 =!= 0, col("event_id")).as("e_null"))
+      VersionedTable.create(s, root, ev, partitionBy = Seq("bucket"))
+      s.read.format("graft-versioned").load(root)
+        .filter(col("bucket").between(2, 6))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), count(col("e_null")).as("n_nonnull"),
+          min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+    }),
+
     // File-level HLL registers as a queryable index: a key-partitioned
     // history (4 hash-disjoint user files + an appended batch whose keys
     // are ALL repeats) is indexed with per-file registers; the skip
@@ -649,6 +707,39 @@ object LakehouseQueries {
          SELECT user_id, count(*)::BIGINT AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM final GROUP BY 1""",
+
+    // Both snapshots recomputed from raw events: v2 = everything (the
+    // engine answers it from the manifest alone), v3 = the %7 delete's
+    // survivors (count from DV cardinalities; min/max/count(col) from
+    // the scan the refusal falls back to).
+    "q195_meta_agg" ->
+      """WITH ev AS (SELECT event_id,
+                            CASE WHEN event_id % 4 <> 0 THEN user_id END
+                              AS v_null
+                     FROM events)
+         SELECT 'v2_full' AS tag, count(*)::BIGINT AS n,
+                count(v_null)::BIGINT AS n_nonnull,
+                min(event_id) AS lo, max(event_id) AS hi
+         FROM ev
+         UNION ALL
+         SELECT 'v3_after_delete', count(*)::BIGINT,
+                count(v_null)::BIGINT, min(event_id), max(event_id)
+         FROM ev WHERE event_id % 7 <> 0""",
+
+    // The partition dashboard recomputed from raw events — any drift in
+    // the per-file row counts, null counts, bounds, or the per-file
+    // WHERE decision breaks the hash.
+    "q196_meta_filter_group" ->
+      """WITH ev AS (SELECT event_id,
+                            CAST(user_id % 8 AS INTEGER) AS bucket,
+                            CASE WHEN event_id % 6 <> 0 THEN event_id END
+                              AS e_null
+                     FROM events)
+         SELECT bucket, count(*)::BIGINT AS n,
+                count(e_null)::BIGINT AS n_nonnull,
+                min(event_id) AS lo, max(event_id) AS hi
+         FROM ev WHERE bucket BETWEEN 2 AND 6
+         GROUP BY 1""",
 
     // The estimate from the register-relevant file subset must equal the
     // estimate from ALL the data (pointwise-max algebra: file boundaries

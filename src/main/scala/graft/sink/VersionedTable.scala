@@ -172,8 +172,12 @@ object VersionedTable {
 
   /** Per-file, per-column [lo, hi] recorded in the manifest at commit.
     * `typ` fixes the comparison domain ("long" | "double" | "string");
-    * lo/hi are canonical string renderings of that domain. */
-  final case class ColStat(col: String, typ: String, lo: String, hi: String)
+    * lo/hi are canonical string renderings of that domain. `nulls` is the
+    * column's null count in the file when the footer recorded one (−1 =
+    * unknown; manifests written before the field parse as unknown) — with
+    * the per-file row counts this answers `count(col)` from metadata. */
+  final case class ColStat(col: String, typ: String, lo: String, hi: String,
+                           nulls: Long = -1L)
 
   /** Per-file bloom filter over one column's non-null values (stringified
     * in Spark cast-to-string form): `mBits` bits / `k` probes, bit array
@@ -232,7 +236,8 @@ object VersionedTable {
                               blooms: Map[String, Seq[FileBloom]] = Map.empty,
                               partitionCols: Seq[String] = Seq.empty,
                               hlls: Map[String, Seq[FileHll]] = Map.empty,
-                              dvs: Map[String, FileDv] = Map.empty)
+                              dvs: Map[String, FileDv] = Map.empty,
+                              rows: Map[String, Long] = Map.empty)
 
   // Minimal JSON (de)serialization — file names are commit-generated
   // (uuid-free parquet part names under our own prefix, no escapes
@@ -267,11 +272,20 @@ object VersionedTable {
   private def perFileJson(stats: Map[String, Seq[ColStat]],
                           blooms: Map[String, Seq[FileBloom]],
                           hlls: Map[String, Seq[FileHll]],
-                          dvs: Map[String, FileDv]): String = {
+                          dvs: Map[String, FileDv],
+                          rows: Map[String, Long]): String = {
     val statsJson = stats.toSeq.sortBy(_._1).flatMap { case (file, cs) =>
-      cs.map(c => s"""{"file": "${esc(file)}", "col": "${esc(c.col)}", """ +
-        s""""t": "${c.typ}", "lo": "${esc(c.lo)}", "hi": "${esc(c.hi)}"}""")
+      cs.map { c =>
+        val nn = if (c.nulls >= 0) s""", "nn": ${c.nulls}""" else ""
+        s"""{"file": "${esc(file)}", "col": "${esc(c.col)}", """ +
+          s""""t": "${c.typ}", "lo": "${esc(c.lo)}", "hi": "${esc(c.hi)}"$nn}"""
+      }
     }.mkString("[", ", ", "]")
+    val rowsJson =
+      if (rows.isEmpty) ""
+      else ",\n \"nrows\": " + rows.toSeq.sortBy(_._1).map {
+        case (file, n) => s"""{"rfile": "${esc(file)}", "n": $n}"""
+      }.mkString("[", ", ", "]")
     val bloomsJson =
       if (blooms.isEmpty) ""
       else ",\n \"blooms\": " + blooms.toSeq.sortBy(_._1).flatMap {
@@ -293,7 +307,7 @@ object VersionedTable {
           s"""{"vfile": "${esc(file)}", "dv": "${esc(d.dvFile)}", """ +
             s""""card": ${d.card}}"""
       }.mkString("[", ", ", "]")
-    s""""stats": $statsJson$bloomsJson$hllsJson$dvsJson"""
+    s""""stats": $statsJson$bloomsJson$hllsJson$dvsJson$rowsJson"""
   }
 
   private def fullManifestJson(m: Manifest): String = {
@@ -307,7 +321,7 @@ object VersionedTable {
     s"""{"version": ${m.version},
        |$txnField$partsField "schema": "${esc(m.schemaDdl)}",
        | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
-       | ${perFileJson(m.stats, m.blooms, m.hlls, m.dvs)}}""".stripMargin
+       | ${perFileJson(m.stats, m.blooms, m.hlls, m.dvs, m.rows)}}""".stripMargin
   }
 
   /** `m` as a DELTA against its parent snapshot `p`: removed file
@@ -326,7 +340,8 @@ object VersionedTable {
     if (p.files.filterNot(removes.toSet) ++ adds != m.files) return None
     val touch = m.files.filter(pset).filter(f =>
       m.stats.get(f) != p.stats.get(f) || m.blooms.get(f) != p.blooms.get(f) ||
-        m.hlls.get(f) != p.hlls.get(f) || m.dvs.get(f) != p.dvs.get(f))
+        m.hlls.get(f) != p.hlls.get(f) || m.dvs.get(f) != p.dvs.get(f) ||
+        m.rows.get(f) != p.rows.get(f))
     val sel = (touch ++ adds).toSet
     def sub[T](mm: Map[String, T]): Map[String, T] =
       mm.view.filterKeys(sel).toMap
@@ -343,7 +358,8 @@ object VersionedTable {
          | "removes": [${names(removes)}],
          | "adds": [${names(adds)}],
          | "touch": [${names(touch)}],
-         | ${perFileJson(sub(m.stats), sub(m.blooms), sub(m.hlls), sub(m.dvs))}}"""
+         | ${perFileJson(sub(m.stats), sub(m.blooms), sub(m.hlls), sub(m.dvs),
+                         sub(m.rows))}}"""
         .stripMargin)
   }
 
@@ -496,7 +512,7 @@ object VersionedTable {
     * manifest JSON. */
   private def parseCommon(text: String): (String, Option[Long], Seq[String],
       Map[String, Seq[ColStat]], Map[String, Seq[FileBloom]],
-      Map[String, Seq[FileHll]], Map[String, FileDv]) = {
+      Map[String, Seq[FileHll]], Map[String, FileDv], Map[String, Long]) = {
     val schema = """"schema": "((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(text).map(m => unesc(m.group(1))).getOrElse("")
     val txn = """"txn": (\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
@@ -504,10 +520,11 @@ object VersionedTable {
       .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).map(unesc).toSeq
-    val S = """\{"file": "((?:[^"\\]|\\.)*)", "col": "((?:[^"\\]|\\.)*)", "t": "(\w+)", "lo": "((?:[^"\\]|\\.)*)", "hi": "((?:[^"\\]|\\.)*)"\}""".r
+    val S = """\{"file": "((?:[^"\\]|\\.)*)", "col": "((?:[^"\\]|\\.)*)", "t": "(\w+)", "lo": "((?:[^"\\]|\\.)*)", "hi": "((?:[^"\\]|\\.)*)"(?:, "nn": (\d+))?\}""".r
     val stats = S.findAllMatchIn(text).map { mm =>
       (unesc(mm.group(1)), ColStat(unesc(mm.group(2)), mm.group(3),
-        unesc(mm.group(4)), unesc(mm.group(5))))
+        unesc(mm.group(4)), unesc(mm.group(5)),
+        Option(mm.group(6)).map(_.toLong).getOrElse(-1L)))
     }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val B = """\{"bfile": "((?:[^"\\]|\\.)*)", "bcol": "((?:[^"\\]|\\.)*)", "m": (\d+), "k": (\d+), "bits": "([A-Za-z0-9+/=]*)"\}""".r
     val blooms = B.findAllMatchIn(text).map { mm =>
@@ -523,7 +540,11 @@ object VersionedTable {
     val dvs = D.findAllMatchIn(text).map { mm =>
       unesc(mm.group(1)) -> FileDv(unesc(mm.group(2)), mm.group(3).toLong)
     }.toMap
-    (schema, txn, partitionCols, stats, blooms, hlls, dvs)
+    val R = """\{"rfile": "((?:[^"\\]|\\.)*)", "n": (\d+)\}""".r
+    val rows = R.findAllMatchIn(text).map { mm =>
+      unesc(mm.group(1)) -> mm.group(2).toLong
+    }.toMap
+    (schema, txn, partitionCols, stats, blooms, hlls, dvs, rows)
   }
 
   private def parseNameList(text: String, field: String): Seq[String] =
@@ -533,9 +554,10 @@ object VersionedTable {
       .filter(_.nonEmpty).toSeq
 
   private def parseFullManifest(v: Int, text: String): Manifest = {
-    val (schema, txn, partitionCols, stats, blooms, hlls, dvs) = parseCommon(text)
+    val (schema, txn, partitionCols, stats, blooms, hlls, dvs, rows) =
+      parseCommon(text)
     Manifest(v, schema, parseNameList(text, "files"), txn, stats, blooms,
-      partitionCols, hlls, dvs)
+      partitionCols, hlls, dvs, rows)
   }
 
   /** Replay a delta manifest over its parent snapshot: removed entries
@@ -543,7 +565,8 @@ object VersionedTable {
     * and a touched-or-added file's metadata is REPLACED by exactly what
     * the delta carries. */
   private def applyDeltaManifest(v: Int, text: String, parent: Manifest): Manifest = {
-    val (schema, txn, partitionCols, stats, blooms, hlls, dvs) = parseCommon(text)
+    val (schema, txn, partitionCols, stats, blooms, hlls, dvs, rows) =
+      parseCommon(text)
     val removes = parseNameList(text, "removes").toSet
     val adds = parseNameList(text, "adds")
     val sel = (parseNameList(text, "touch") ++ adds).toSet
@@ -551,7 +574,8 @@ object VersionedTable {
       (pm -- removes -- sel) ++ dm
     Manifest(v, schema, parent.files.filterNot(removes) ++ adds, txn,
       merge(parent.stats, stats), merge(parent.blooms, blooms),
-      partitionCols, merge(parent.hlls, hlls), merge(parent.dvs, dvs))
+      partitionCols, merge(parent.hlls, hlls), merge(parent.dvs, dvs),
+      merge(parent.rows, rows))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -664,11 +688,12 @@ object VersionedTable {
       if (v.contains("%") || v == "__HIVE_DEFAULT_PARTITION__") None
       else schema.find(_.name == k).map(_.dataType).flatMap {
         case ByteType | ShortType | IntegerType | LongType =>
-          Some(ColStat(k, "long", v, v))
+          Some(ColStat(k, "long", v, v, nulls = 0L))
         case FloatType | DoubleType =>
-          Some(ColStat(k, "double", v.toDouble.toString, v.toDouble.toString))
+          Some(ColStat(k, "double", v.toDouble.toString, v.toDouble.toString,
+            nulls = 0L))
         case StringType if v.forall(_ < 128) =>
-          Some(ColStat(k, "string", v, v))
+          Some(ColStat(k, "string", v, v, nulls = 0L))
         case _ => None // dates/timestamps: dir strings don't share the
                        // pushed-filter stat domain (epoch days/micros)
       }
@@ -683,8 +708,15 @@ object VersionedTable {
     * one [lo, hi] per column; a column with any stats-less row group is
     * omitted (absent stats = never pruned, always safe). Strings compare
     * in UTF-16 order on read, so record only those whose parquet unsigned-
-    * byte order agrees (pure ASCII bounds) — else pruning could be wrong. */
-  private def fileStats(spark: SparkSession, root: String, rel: String): Seq[ColStat] = {
+    * byte order agrees (pure ASCII bounds) — else pruning could be wrong.
+    *
+    * Also returned: the file's exact ROW COUNT (sum of row-group counts —
+    * the manifest's `nrows` entry, what metadata-only `count(*)` answers
+    * from), and per recorded column the footer's NULL COUNT when every
+    * row group set one (−1 = unknown → `count(col)` falls back to a
+    * scan). */
+  private def footerMeta(spark: SparkSession, root: String,
+                         rel: String): (Seq[ColStat], Long) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -693,12 +725,14 @@ object VersionedTable {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      if (blocks.isEmpty) return Seq.empty
+      val rowCount = blocks.map(_.getRowCount).sum
+      if (blocks.isEmpty) return (Seq.empty, rowCount)
       val perBlock: Seq[Map[String, ColStat]] = blocks.map { b =>
         b.getColumns.asScala.flatMap { c =>
           val st = c.getStatistics
           val pt = c.getPrimitiveType
           val isAscii = (s: String) => s.forall(_ < 128)
+          def nn: Long = if (st.isNumNullsSet) st.getNumNulls else -1L
           if (st == null || st.isEmpty || !st.hasNonNullValue) None
           else pt.getPrimitiveTypeName match {
             // DECIMAL(p<=18) stores UNSCALED ints in INT32/INT64: recording
@@ -712,10 +746,10 @@ object VersionedTable {
             case INT32 | INT64 if !pt.getLogicalTypeAnnotation
                 .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
               Some(ColStat(c.getPath.toDotString, "long",
-                st.genericGetMin.toString, st.genericGetMax.toString))
+                st.genericGetMin.toString, st.genericGetMax.toString, nn))
             case FLOAT | DOUBLE => Some(ColStat(c.getPath.toDotString, "double",
               st.genericGetMin.toString.toDouble.toString,
-              st.genericGetMax.toString.toDouble.toString))
+              st.genericGetMax.toString.toDouble.toString, nn))
             case BINARY if pt.getLogicalTypeAnnotation ==
                 LogicalTypeAnnotation.stringType() =>
               val lo = st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
@@ -723,7 +757,7 @@ object VersionedTable {
               val hi = st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
                 .toStringUsingUTF8
               if (isAscii(lo) && isAscii(hi))
-                Some(ColStat(c.getPath.toDotString, "string", lo, hi))
+                Some(ColStat(c.getPath.toDotString, "string", lo, hi, nn))
               else None
             case _ => None
           }
@@ -731,14 +765,32 @@ object VersionedTable {
       }
       // fold: keep a column only if EVERY row group recorded it
       val common = perBlock.map(_.keySet).reduce(_ intersect _)
-      common.toSeq.sorted.map { col =>
+      val stats = common.toSeq.sorted.map { col =>
         val cs = perBlock.map(_(col))
         val typ = cs.head.typ
         def lo2 = cs.map(_.lo).minBy(parse(typ, _))(ordering(typ))
         def hi2 = cs.map(_.hi).maxBy(parse(typ, _))(ordering(typ))
-        ColStat(col, typ, lo2, hi2)
+        val nulls =
+          if (cs.exists(_.nulls < 0)) -1L else cs.map(_.nulls).sum
+        ColStat(col, typ, lo2, hi2, nulls)
       }
+      (stats, rowCount)
     } finally reader.close()
+  }
+
+  /** Footer metadata for a batch of freshly committed files: per-file
+    * column stats (footer columns + degenerate hive partition-dir stats)
+    * and exact per-file row counts — one footer open per file, zero data
+    * re-scan. Shared by every path that adds data files to a manifest. */
+  private def addedMeta(spark: SparkSession, root: String, ddl: String,
+                        added: Seq[String])
+      : (Map[String, Seq[ColStat]], Map[String, Long]) = {
+    val metas = added.map { f =>
+      val (cs, n) = footerMeta(spark, root, f)
+      (f, cs ++ partitionStats(ddl, f), n)
+    }
+    (metas.collect { case (f, cs, _) if cs.nonEmpty => f -> cs }.toMap,
+     metas.map { case (f, _, n) => f -> n }.toMap)
   }
 
   private def parse(typ: String, v: String): Any = typ match {
@@ -773,7 +825,8 @@ object VersionedTable {
                      partitionCols: Seq[String] = Seq.empty,
                      carryHlls: Map[String, Seq[FileHll]] = Map.empty,
                      carryDvs: Map[String, FileDv] = Map.empty,
-                     parent: Option[Manifest] = None): Int = {
+                     parent: Option[Manifest] = None,
+                     carryRows: Map[String, Long] = Map.empty): Int = {
     // When the caller read a manifest to build carryOver, the commit MUST
     // target exactly base+1: re-resolving the version here would let a
     // writer that landed in between be silently overwritten by our stale
@@ -785,10 +838,9 @@ object VersionedTable {
     val ddl = tableDdl.getOrElse(df.schema.toDDL)
     val added = writeDataFiles(spark, root, df, v, partitionCols)
     // footer stats for file columns + degenerate [v, v] stats for
-    // partition columns (hive dirs carry exactly one value per file)
-    val addedStats = added
-      .map(f => f -> (fileStats(spark, root, f) ++ partitionStats(ddl, f)))
-      .filter(_._2.nonEmpty).toMap
+    // partition columns (hive dirs carry exactly one value per file),
+    // plus exact per-file row counts — one footer open per added file
+    val (addedStats, addedRows) = addedMeta(spark, root, ddl, added)
     val files = carryOver ++ added
     // the TABLE schema stays authoritative across appends: a write whose
     // columns are merely non-nullable variants must not narrow it
@@ -798,7 +850,9 @@ object VersionedTable {
         carryBlooms.view.filterKeys(carryOver.contains).toMap,
         partitionCols,
         carryHlls.view.filterKeys(carryOver.contains).toMap,
-        carryDvs.view.filterKeys(carryOver.contains).toMap), parent)
+        carryDvs.view.filterKeys(carryOver.contains).toMap,
+        carryRows.view.filterKeys(carryOver.contains).toMap ++ addedRows),
+      parent)
     v
   }
 
@@ -839,7 +893,8 @@ object VersionedTable {
     commit(spark, root, df, m.files, carryStats = m.stats,
       tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
       baseVersion = Some(cur), partitionCols = m.partitionCols,
-      carryHlls = m.hlls, carryDvs = m.dvs, parent = Some(m))
+      carryHlls = m.hlls, carryDvs = m.dvs, parent = Some(m),
+      carryRows = m.rows)
   }
 
   /** Overwrite: new version references ONLY the new rows' files (logical
@@ -919,7 +974,8 @@ object VersionedTable {
           commit(spark, root, df, m.files, Some(txn), carryStats = m.stats,
             tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
             baseVersion = Some(cur), partitionCols = m.partitionCols,
-            carryHlls = m.hlls, carryDvs = m.dvs, parent = Some(m))
+            carryHlls = m.hlls, carryDvs = m.dvs, parent = Some(m),
+            carryRows = m.rows)
         }
     }
 
@@ -1013,7 +1069,7 @@ object VersionedTable {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     val metaCols =
       if (!withMeta) Seq.empty
-      else Seq(col("_metadata.file_name").as(DvFileCol),
+      else Seq(col("_metadata.file_path").as(DvFileCol),
         col("_metadata.row_index").as(DvPosCol))
     if (paths.isEmpty) {
       val s2 =
@@ -1072,8 +1128,13 @@ object VersionedTable {
                            keepMembers: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
     import org.apache.spark.sql.graftbridge.Bridge
-    val byName = filesWithPositions.map { case (f, ps) => nameOf(f) -> ps }
-    val bc = spark.sparkContext.broadcast(byName)
+    // keyed by MANIFEST ENTRY; the expression resolves a scan row's full
+    // file path to its entry by longest boundary-safe suffix match —
+    // basenames are NOT unique across hive partition directories (one
+    // write job emits part-00000 under every k=v dir), which a
+    // name-keyed map silently merged (positions of two files collapsing
+    // onto one vector: rows deleted from the wrong file)
+    val bc = spark.sparkContext.broadcast(filesWithPositions)
     val scanned = readPaths(spark, ddl,
       filesWithPositions.keys.toSeq.sorted.map(f => new Path(root, f).toString),
       m.partitionCols.nonEmpty, root, withMeta = true)
@@ -1104,7 +1165,7 @@ object VersionedTable {
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, widened.toDDL, m.files,
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
-      hlls = m.hlls, dvs = m.dvs), Some(m))
+      hlls = m.hlls, dvs = m.dvs, rows = m.rows), Some(m))
     v
   }
 
@@ -1233,7 +1294,7 @@ object VersionedTable {
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms ++ newBlooms, hlls = m.hlls,
-      partitionCols = m.partitionCols, dvs = m.dvs), Some(m))
+      partitionCols = m.partitionCols, dvs = m.dvs, rows = m.rows), Some(m))
     v
   }
 
@@ -1437,7 +1498,7 @@ object VersionedTable {
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms ++ merged, hlls = m.hlls,
-      partitionCols = m.partitionCols, dvs = m.dvs), Some(m))
+      partitionCols = m.partitionCols, dvs = m.dvs, rows = m.rows), Some(m))
     v
   }
 
@@ -1531,8 +1592,104 @@ object VersionedTable {
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, man.schemaDdl, man.files, None,
       stats = man.stats, blooms = man.blooms, partitionCols = man.partitionCols,
-      hlls = man.hlls ++ newHlls, dvs = man.dvs), Some(man))
+      hlls = man.hlls ++ newHlls, dvs = man.dvs, rows = man.rows), Some(man))
     v
+  }
+
+  // ── Metadata-only exact aggregates ─────────────────────────────────────
+  // The manifest records, per data file, its exact row count (`nrows`,
+  // summed from row-group counts at commit) and per column the footer's
+  // [lo, hi] and null count. A global COUNT/MIN/MAX over the table is then
+  // O(1 manifest read) at ANY table size — the 100 TB `SELECT count(*)`
+  // answers without opening a single data file. Every accessor is
+  // all-or-nothing: a file missing the needed field (e.g. a manifest
+  // written before the field existed) makes the answer None, and the
+  // caller scans. [[graft.plans.MetaAggregates]] turns these into an
+  // optimizer rewrite so plain `df.agg(...)` / SQL takes the fast path.
+
+  /** Exact LIVE row count of `version`: Σ per-file rows − Σ deletion-
+    * vector cardinalities (DV positions are distinct, in-range rows of
+    * their file, so the subtraction is exact). */
+  def metaRowCount(spark: SparkSession, root: String,
+                   version: Option[Int] = None): Option[Long] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    if (!m.files.forall(m.rows.contains)) None
+    else Some(m.files.map(m.rows).sum -
+      m.files.flatMap(m.dvs.get).map(_.card).sum)
+  }
+
+  /** Exact [lo, hi] of `column` over `version` as (statType, lo, hi) in
+    * the manifest stat domain. Sound only when EVERY live file records the
+    * column (absent stats could hide the extremum) and NO file carries a
+    * deletion vector (the extremum could be a deleted row) — else None.
+    * Footer bounds are actual values from the file for the numeric
+    * domains; the CALLER decides which logical types to trust (strings
+    * may be writer-truncated, doubles NaN-blind — see MetaAggregates). */
+  def metaBounds(spark: SparkSession, root: String, column: String,
+                 version: Option[Int] = None): Option[(String, String, String)] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    if (m.files.isEmpty || m.files.exists(m.dvs.contains)) return None
+    // a recorded-zero-row file cannot hold the extremum — exempt from
+    // the must-have-stats coverage rule (it has no footer stats)
+    val counted = m.files.filterNot(f => m.rows.get(f).contains(0L))
+    val per = counted.map(f =>
+      m.stats.getOrElse(f, Seq.empty).find(_.col == column))
+    if (per.exists(_.isEmpty) || per.isEmpty) None
+    else {
+      val cs = per.flatten
+      val typ = cs.head.typ
+      if (cs.exists(_.typ != typ)) None
+      else Some((typ,
+        cs.map(_.lo).minBy(parse(typ, _))(ordering(typ)),
+        cs.map(_.hi).maxBy(parse(typ, _))(ordering(typ))))
+    }
+  }
+
+  /** Exact non-null count of `column` over `version`: Σ (rows − nulls)
+    * per file. Needs every file to record both the row count and the
+    * column's null count, and no deletion vectors (a deleted row's
+    * null-ness is unknowable from metadata) — else None. */
+  def metaNonNullCount(spark: SparkSession, root: String, column: String,
+                       version: Option[Int] = None): Option[Long] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    if (m.files.exists(m.dvs.contains)) return None
+    val per = m.files.map { f =>
+      m.rows.get(f) match {
+        case Some(0L) => Some(0L) // no rows, no footer stats — and no values
+        case Some(n) => m.stats.getOrElse(f, Seq.empty).find(_.col == column)
+          .filter(_.nulls >= 0).map(n - _.nulls)
+        case None => None
+      }
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+  }
+
+  /** Per-live-file metadata for GROUPED metadata aggregates
+    * ([[graft.plans.MetaAggregates]]'s GROUP BY rewrite): row count
+    * (None when unrecorded), deletion-vector cardinality, and the file's
+    * per-column stats keyed by column. A file whose stat for a grouping
+    * column is degenerate ([v, v], zero nulls) is SINGLE-VALUED on it —
+    * true by construction for hive partition columns, and detectable for
+    * any file-clustered layout — which is what lets whole GROUP BY
+    * queries collapse to manifest arithmetic. */
+  final case class FileMeta(rows: Option[Long], dvCard: Long,
+                            stats: Map[String, ColStat])
+
+  def metaFiles(spark: SparkSession, root: String,
+                version: Option[Int] = None): Seq[FileMeta] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    m.files.map { f =>
+      FileMeta(m.rows.get(f), m.dvs.get(f).map(_.card).getOrElse(0L),
+        m.stats.getOrElse(f, Seq.empty).map(s => s.col -> s).toMap)
+    }
   }
 
   /** The pointwise-max union of `version`'s per-file registers for
@@ -1619,16 +1776,17 @@ object VersionedTable {
               condition, org.apache.spark.sql.functions.lit(false))))
         writeDataFiles(spark, root, df, v, m.partitionCols)
       }
-    val rewrittenStats = rewritten
-      .map(f => f -> (fileStats(spark, root, f) ++ partitionStats(m.schemaDdl, f)))
-      .filter(_._2.nonEmpty).toMap
+    val (rewrittenStats, rewrittenRows) =
+      addedMeta(spark, root, m.schemaDdl, rewritten)
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
       untouched ++ rewritten, None,
       m.stats.view.filterKeys(untouched.contains).toMap ++ rewrittenStats,
       m.blooms.view.filterKeys(untouched.contains).toMap,
       m.partitionCols,
       m.hlls.view.filterKeys(untouched.contains).toMap,
-      m.dvs.view.filterKeys(untouched.contains).toMap), Some(m))
+      m.dvs.view.filterKeys(untouched.contains).toMap,
+      m.rows.view.filterKeys(untouched.contains).toMap ++ rewrittenRows),
+      Some(m))
     v
   }
 
@@ -1665,9 +1823,11 @@ object VersionedTable {
     val newPositions: Map[String, Array[Long]] =
       if (touched.isEmpty) Map.empty
       else {
-        val nameToEntry = touched.map(f => nameOf(f) -> f).toMap
         // IS TRUE, not a bare filter: the delete-set is rows where the
-        // condition PROVABLY holds (NULL survives — SQL DELETE semantics)
+        // condition PROVABLY holds (NULL survives — SQL DELETE semantics).
+        // Positions key by _metadata.file_path resolved to the manifest
+        // entry (suffix match) — file NAMES repeat across hive partition
+        // directories, so a name-keyed grouping merges distinct files.
         readPaths(spark, m.schemaDdl,
           touched.map(f => new Path(root, f).toString),
           m.partitionCols.nonEmpty, root, withMeta = true)
@@ -1676,9 +1836,8 @@ object VersionedTable {
           .agg(collect_list(col(DvPosCol)).as("ps"))
           .collect() // bounded: one row per touched file; positions ∝ deleted rows
           .flatMap { r =>
-            nameToEntry.get(r.getString(0)).map { entry =>
-              entry -> r.getSeq[Long](1).toArray.sorted
-            }
+            graft.functions.DvDeletedExpr.resolveEntry(touched, r.getString(0))
+              .map(entry => entry -> r.getSeq[Long](1).toArray.sorted)
           }.toMap
       }
     val updated: Map[String, FileDv] = newPositions.map { case (entry, ps) =>
@@ -1694,7 +1853,8 @@ object VersionedTable {
     // over-approximations of the live rows (pruning may open a file whose
     // matches are all deleted — it returns nothing; never unsound)
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, None,
-      m.stats, m.blooms, m.partitionCols, m.hlls, m.dvs ++ updated), Some(m))
+      m.stats, m.blooms, m.partitionCols, m.hlls, m.dvs ++ updated,
+      m.rows), Some(m))
     v
   }
 
@@ -1751,16 +1911,16 @@ object VersionedTable {
         .join(allKeys, keys, "left_anti")
         .unionByName(source)
     val added = writeDataFiles(spark, root, merged, v, m.partitionCols)
-    val addedStats = added
-      .map(f => f -> (fileStats(spark, root, f) ++ partitionStats(m.schemaDdl, f)))
-      .filter(_._2.nonEmpty).toMap
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
       untouched ++ added, txn,
       m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats,
       m.blooms.view.filterKeys(untouched.contains).toMap,
       m.partitionCols,
       m.hlls.view.filterKeys(untouched.contains).toMap,
-      m.dvs.view.filterKeys(untouched.contains).toMap), Some(m))
+      m.dvs.view.filterKeys(untouched.contains).toMap,
+      m.rows.view.filterKeys(untouched.contains).toMap ++ addedRows),
+      Some(m))
     v
   }
 
@@ -1809,7 +1969,6 @@ object VersionedTable {
     val newPositions: Map[String, Array[Long]] =
       if (touched.isEmpty) Map.empty
       else {
-        val nameToEntry = touched.map(f => nameOf(f) -> f).toMap
         readPaths(spark, m.schemaDdl,
           touched.map(f => new Path(root, f).toString),
           m.partitionCols.nonEmpty, root, withMeta = true)
@@ -1818,9 +1977,8 @@ object VersionedTable {
           .agg(collect_list(col(DvPosCol)).as("ps"))
           .collect() // bounded: one row per touched file; positions ∝ matched rows
           .flatMap { r =>
-            nameToEntry.get(r.getString(0)).map { entry =>
-              entry -> r.getSeq[Long](1).toArray.sorted
-            }
+            graft.functions.DvDeletedExpr.resolveEntry(touched, r.getString(0))
+              .map(entry => entry -> r.getSeq[Long](1).toArray.sorted)
           }.toMap
       }
     val updated: Map[String, FileDv] = newPositions.map { case (entry, ps) =>
@@ -1833,13 +1991,11 @@ object VersionedTable {
         merged.length.toLong)
     }
     val added = writeDataFiles(spark, root, source, v, m.partitionCols)
-    val addedStats = added
-      .map(f => f -> (fileStats(spark, root, f) ++ partitionStats(m.schemaDdl, f)))
-      .filter(_._2.nonEmpty).toMap
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
       m.files ++ added, txn,
       m.stats ++ addedStats, m.blooms, m.partitionCols, m.hlls,
-      m.dvs ++ updated), Some(m))
+      m.dvs ++ updated, m.rows ++ addedRows), Some(m))
     v
   }
 
@@ -1957,7 +2113,7 @@ object VersionedTable {
     val v = currentVersion(spark, root).get + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
-      hlls = m.hlls, dvs = m.dvs))
+      hlls = m.hlls, dvs = m.dvs, rows = m.rows))
     v
   }
 
@@ -2031,9 +2187,7 @@ object VersionedTable {
       }
     val v = cur + 1
     val added = writeDataFiles(spark, root, df, v, m.partitionCols)
-    val addedStats = added
-      .map(p => p -> (fileStats(spark, root, p) ++ partitionStats(m.schemaDdl, p)))
-      .filter(_._2.nonEmpty).toMap
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
     // rewritten files MATERIALIZE their deletion vectors (the read above
     // applied them), so the compacted files carry none
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
@@ -2042,7 +2196,9 @@ object VersionedTable {
       m.blooms.view.filterKeys(untouched.contains).toMap,
       m.partitionCols,
       m.hlls.view.filterKeys(untouched.contains).toMap,
-      m.dvs.view.filterKeys(untouched.contains).toMap), Some(m))
+      m.dvs.view.filterKeys(untouched.contains).toMap,
+      m.rows.view.filterKeys(untouched.contains).toMap ++ addedRows),
+      Some(m))
     v
   }
 
@@ -2228,7 +2384,8 @@ object VersionedTable {
       stats = m.stats.map { case (k, s) => remap.getOrElse(k, k) -> s },
       blooms = m.blooms.map { case (k, b) => remap.getOrElse(k, k) -> b },
       hlls = m.hlls.map { case (k, h) => remap.getOrElse(k, k) -> h },
-      partitionCols = m.partitionCols, dvs = absDv))
+      partitionCols = m.partitionCols, dvs = absDv,
+      rows = m.rows.map { case (k, n) => remap.getOrElse(k, k) -> n }))
     // back-reference every owning root (a clone OF a clone references
     // the original's files — the marker must land with the owner)
     (abs ++ absDv.values.map(_.dvFile)).flatMap(ownerRootOf).distinct.foreach { owner =>

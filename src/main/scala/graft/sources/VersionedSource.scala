@@ -182,9 +182,12 @@ object VersionedSource {
   @volatile var lastScan: Option[ScanInfo] = None
 }
 
-/** One bound snapshot of a versioned table (root × optional version). */
-class VersionedRelation(override val sqlContext: SQLContext, root: String,
-                        version: Option[Int])
+/** One bound snapshot of a versioned table (root × optional version).
+  * `root`/`version` are public so planner rules (e.g.
+  * [[graft.plans.MetaAggregates]]) can consult the bound snapshot's
+  * manifest. */
+class VersionedRelation(override val sqlContext: SQLContext, val root: String,
+                        val version: Option[Int])
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark = sqlContext.sparkSession

@@ -29,6 +29,31 @@ class DeletionVectorSpec extends SparkSpec {
   private def idsOf(frame: org.apache.spark.sql.DataFrame): Seq[Long] =
     frame.select("id").collect().map(_.getLong(0)).sorted.toSeq
 
+  test("partitioned table: positions attach to the right file despite colliding basenames") {
+    // one write job emits part-00000-<uuid> under EVERY k=v dir — file
+    // NAMES collide across partition directories. A name-keyed position
+    // map merged those files' vectors (rows deleted from the wrong file,
+    // others silently surviving); attribution must go through the full
+    // path → manifest-entry resolution.
+    import spark.implicits._
+    val root = freshRoot()
+    val d = (0L until 120L).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 2).cast("string")))
+    VersionedTable.create(spark, root, d, partitionBy = Seq("src"))
+    val names = VersionedTable.filesOf(spark, root)
+      .map(f => f.substring(f.lastIndexOf('/') + 1))
+    assert(names.distinct.size < names.size,
+      "fixture must actually collide basenames across partition dirs")
+    VersionedTable.deleteWhereVectored(spark, root,
+      Map("id" -> (None, Some(19L))), col("id") < 20L)
+    // every id < 20 gone from BOTH partitions, everything else intact
+    assert(idsOf(VersionedTable.read(spark, root)) == (20L until 120L).toSeq)
+    // per-file cardinalities sum to exactly the deleted rows
+    val cards = VersionedTable.metaFiles(spark, root).map(_.dvCard)
+    assert(cards.sum == 20L)
+    assert(VersionedTable.metaRowCount(spark, root).contains(100L))
+  }
+
   test("vectored delete hides rows without moving a single data file") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1L to 10L: _*))

@@ -1,0 +1,307 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import graft.sink.VersionedTable
+
+/** Metadata-only aggregates ([[graft.plans.MetaAggregates]]): a global
+  * COUNT/MIN/MAX over a versioned-table relation must collapse to a
+  * LocalRelation fed from the manifest (per-file row counts, footer
+  * bounds and null counts, DV cardinalities) — and must REFUSE the
+  * shortcut in exactly the cases where metadata cannot be exact. */
+class MetaAggregateSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_magg").resolve("t").toString
+
+  private def rel(root: String): DataFrame =
+    spark.read.format("graft-versioned").load(root)
+
+  /** True iff the optimizer answered from metadata: no relation (and so
+    * no scan) survives in the optimized plan. */
+  private def metaAnswered(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr
+    }.isEmpty
+
+  test("count(*) is answered from the manifest across appends") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (0L until 100L).toDF("id").withColumn("s", concat(lit("v"), col("id"))))
+    VersionedTable.append(spark, root,
+      (100L until 250L).toDF("id").withColumn("s", concat(lit("v"), col("id"))))
+    val c = rel(root).groupBy().agg(count(lit(1)).as("n"))
+    assert(metaAnswered(c), c.queryExecution.optimizedPlan.toString)
+    assert(c.collect().head.getLong(0) == 250L)
+    assert(rel(root).count() == 250L)
+  }
+
+  test("min/max on integral and date columns rewrite; double and string refuse") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (0 until 200).toDF("n")
+      .withColumn("id", col("n").cast("long") + 5)
+      .withColumn("d", date_add(to_date(lit("2024-01-01")), col("n")))
+      .withColumn("x", col("n").cast("double") / 7.0)
+      .withColumn("s", concat(lit("k"), col("n")))
+      .drop("n").repartition(3)
+    VersionedTable.create(spark, root, df)
+    val mm = rel(root).agg(min("id").as("lo"), max("id").as("hi"),
+      min("d").as("dlo"), max("d").as("dhi"))
+    assert(metaAnswered(mm), mm.queryExecution.optimizedPlan.toString)
+    val r = mm.collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 204L)
+    assert(r.getDate(2).toString == "2024-01-01" &&
+      r.getDate(3).toString == "2024-07-18")
+    // doubles: footer stats are NaN-blind; strings: possibly truncated —
+    // both must run on the executors (and still be right)
+    val d = rel(root).agg(max("x").as("m"))
+    assert(!metaAnswered(d))
+    assert(d.collect().head.getDouble(0) == 199.0 / 7.0)
+    val s = rel(root).agg(max("s").as("m"))
+    assert(!metaAnswered(s))
+    assert(s.collect().head.getString(0) == "k99")
+  }
+
+  test("count(col) uses footer null counts; mixed agg lists are all-or-nothing") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (0L until 300L).toDF("id")
+      .withColumn("v", when(col("id") % 3 === 0, col("id"))) // 1/3 null
+      .repartition(4)
+    VersionedTable.create(spark, root, df)
+    val c = rel(root).agg(count(col("v")).as("nv"), count(lit(1)).as("n"),
+      min("id").as("lo"))
+    assert(metaAnswered(c), c.queryExecution.optimizedPlan.toString)
+    val r = c.collect().head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 300L && r.getLong(2) == 0L)
+    // one non-answerable member (avg) keeps the WHOLE aggregate on the scan
+    val mixed = rel(root).agg(count(lit(1)).as("n"), avg("id").as("a"))
+    assert(!metaAnswered(mixed))
+    assert(mixed.collect().head.getLong(0) == 300L)
+  }
+
+  test("deletion vectors: count stays exact via cardinalities, min/max refuses") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (0L until 100L).toDF("id").repartition(2))
+    VersionedTable.deleteWhereVectored(spark, root,
+      Map("id" -> (None, Some(9L))), col("id") < 10L)
+    val c = rel(root).groupBy().agg(count(lit(1)).as("n"))
+    assert(metaAnswered(c), "count under DVs is exact: rows minus cardinality")
+    assert(c.collect().head.getLong(0) == 90L)
+    // the minimum id might be (is) a deleted row — metadata must refuse
+    val m = rel(root).agg(min("id").as("lo"))
+    assert(!metaAnswered(m))
+    assert(m.collect().head.getLong(0) == 10L)
+    // time travel to the pre-delete version still answers from metadata
+    val t = spark.read.format("graft-versioned").option("versionAsOf", "1")
+      .load(root).groupBy().agg(count(lit(1)).as("n"))
+    assert(metaAnswered(t))
+    assert(t.collect().head.getLong(0) == 100L)
+  }
+
+  test("filters, grouping, and distinct all refuse the shortcut") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (0L until 50L).toDF("id").withColumn("g", col("id") % 5))
+    val f = rel(root).filter(col("id") >= 25L).agg(count(lit(1)).as("n"))
+    assert(!metaAnswered(f))
+    assert(f.collect().head.getLong(0) == 25L)
+    val g = rel(root).groupBy("g").agg(count(lit(1)).as("n"))
+    assert(!metaAnswered(g))
+    assert(g.collect().length == 5)
+    val dc = rel(root).agg(countDistinct("g").as("n"))
+    assert(!metaAnswered(dc))
+    assert(dc.collect().head.getLong(0) == 5L)
+  }
+
+  test("a manifest without row counts falls back to the scan (old format)") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root, (0L until 40L).toDF("id"))
+    // simulate a manifest written before the nrows field existed
+    val mf = java.nio.file.Paths.get(root, "_log", "v00000001.manifest.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+    assert(txt.contains("\"nrows\""), "new commits must record row counts")
+    java.nio.file.Files.write(mf,
+      txt.replaceAll(""",\s*"nrows": \[[^\]]*\]""", "").getBytes("UTF-8"))
+    assert(VersionedTable.metaRowCount(spark, root).isEmpty)
+    val c = rel(root).groupBy().agg(count(lit(1)).as("n"))
+    assert(!metaAnswered(c), "missing nrows must fall back to the scan")
+    assert(c.collect().head.getLong(0) == 40L)
+  }
+
+  test("row counts survive the delta-manifest log and metadata-only commits") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root, Seq(0L).toDF("id"))
+    (1 to 10).foreach(i => VersionedTable.append(spark, root, Seq(i.toLong).toDF("id")))
+    VersionedTable.indexBloom(spark, root, Seq("id")) // metadata-only commit
+    assert(VersionedTable.versions(spark, root).size == 12)
+    assert(VersionedTable.metaRowCount(spark, root).contains(11L))
+    val c = rel(root).groupBy().agg(count(lit(1)).as("n"))
+    assert(metaAnswered(c), "rows must survive delta replay + bloom attach")
+    assert(c.collect().head.getLong(0) == 11L)
+  }
+
+  test("q195: the metadata-answered side carries no scan; values match the data") {
+    val df = graft.queries.LakehouseQueries.defs("q195_meta_agg")(spark, sf)
+    // v2 (no DVs): all four aggregates answered from the manifest —
+    // only the v3 union branch (refused under DVs) still scans
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr
+    }
+    assert(scans.size == 1,
+      s"exactly the DV side may scan, got ${scans.size} relations")
+    val rows = df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"),
+        when(col("event_id") % 4 =!= 0, col("user_id")).as("v_null"))
+    val full = ev.agg(count(lit(1)), count(col("v_null")),
+      min("event_id"), max("event_id")).collect().head
+    assert(rows("v2_full") ==
+      ((full.getLong(0), full.getLong(1), full.getLong(2), full.getLong(3))))
+    val surv = ev.filter(col("event_id") % 7 =!= 0)
+      .agg(count(lit(1)), count(col("v_null")),
+        min("event_id"), max("event_id")).collect().head
+    assert(rows("v3_after_delete") ==
+      ((surv.getLong(0), surv.getLong(1), surv.getLong(2), surv.getLong(3))))
+  }
+
+  test("GROUP BY a partition column is answered from the manifest") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (0L until 300L).toDF("id")
+      .withColumn("bucket", (col("id") % 3).cast("int"))
+      .withColumn("v", when(col("id") % 5 =!= 0, col("id")))
+    VersionedTable.create(spark, root, df, partitionBy = Seq("bucket"))
+    VersionedTable.append(spark, root,
+      (300L until 400L).toDF("id")
+        .withColumn("bucket", lit(7).cast("int"))
+        .withColumn("v", when(col("id") % 5 =!= 0, col("id"))))
+    val g = rel(root).groupBy("bucket")
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+        min("id").as("lo"), max("id").as("hi"))
+    assert(metaAnswered(g), g.queryExecution.optimizedPlan.toString)
+    val got = g.collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(0) == ((100L, 80L, 0L, 297L)))
+    assert(got(1) == ((100L, 80L, 1L, 298L)))
+    assert(got(2) == ((100L, 80L, 2L, 299L)))
+    assert(got(7) == ((100L, 80L, 300L, 399L)))
+  }
+
+  test("GROUP BY a file-clustered long column works; multi-valued files refuse") {
+    import spark.implicits._
+    val root = freshRoot()
+    // repartition(3, g): each g lands wholly in one file, but files may
+    // carry several g values — multi-valued per file → refuse
+    val d = (0L until 90L).toDF("id").withColumn("g", col("id") % 9)
+    VersionedTable.create(spark, root, d.repartition(3, col("g")))
+    val multi = rel(root).groupBy("g").agg(count(lit(1)).as("n"))
+    assert(!metaAnswered(multi))
+    assert(multi.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      (0L until 9L).map(_ -> 10L).toMap)
+    // one-file-per-value clustering → metadata answers
+    val root2 = freshRoot()
+    VersionedTable.create(spark, root2, d.repartition(9, col("g")))
+    val byG = rel(root2).groupBy("g").agg(count(lit(1)).as("n"))
+    val got = byG.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 9L).map(_ -> 10L).toMap)
+    // (repartition(9) on 9 keys may still co-locate two values — only
+    // assert the rewrite when the layout really is single-valued)
+    val singleValued = VersionedTable.metaFiles(spark, root2).forall(f =>
+      f.stats.get("g").exists(s => s.lo == s.hi))
+    assert(metaAnswered(byG) == singleValued)
+  }
+
+  test("grouped: string partition values and DV-bearing groups") {
+    import spark.implicits._
+    val root = freshRoot()
+    val d = (0L until 120L).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 2).cast("string")))
+    VersionedTable.create(spark, root, d, partitionBy = Seq("src"))
+    val g0 = rel(root).groupBy("src").agg(count(lit(1)).as("n"))
+    assert(metaAnswered(g0))
+    assert(g0.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("s0" -> 60L, "s1" -> 60L))
+    // vectored delete: grouped count stays exact via per-file cardinalities
+    VersionedTable.deleteWhereVectored(spark, root,
+      Map("id" -> (None, Some(19L))), col("id") < 20L)
+    val g1 = rel(root).groupBy("src").agg(count(lit(1)).as("n"))
+    assert(metaAnswered(g1), "grouped count under DVs is still exact")
+    assert(g1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("s0" -> 50L, "s1" -> 50L))
+    // ...but grouped min must refuse under DVs
+    val g2 = rel(root).groupBy("src").agg(min("id").as("lo"))
+    assert(!metaAnswered(g2))
+    assert(g2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("s0" -> 20L, "s1" -> 21L))
+  }
+
+  test("WHERE over a partition column is decided per file from metadata") {
+    import spark.implicits._
+    val root = freshRoot()
+    val d = (0L until 400L).toDF("id")
+      .withColumn("bucket", (col("id") % 4).cast("int"))
+      .withColumn("v", when(col("id") % 5 =!= 0, col("id")))
+    VersionedTable.create(spark, root, d, partitionBy = Seq("bucket"))
+    val c = rel(root).filter(col("bucket") >= 2)
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), count(col("v")).as("nv"))
+    assert(metaAnswered(c), c.queryExecution.optimizedPlan.toString)
+    val r = c.collect().head
+    assert(r.getLong(0) == 200L && r.getLong(1) == 2L && r.getLong(2) == 160L)
+    // filtered + grouped together
+    val g = rel(root).filter(col("bucket") =!= 0)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    assert(metaAnswered(g))
+    assert(g.collect().map(r2 => r2.getInt(0) -> r2.getLong(1)).toMap ==
+      Map(1 -> 100L, 2 -> 100L, 3 -> 100L))
+    // a predicate touching a per-file MULTI-valued column must scan
+    val m = rel(root).filter(col("bucket") === 1 && col("id") > 100L)
+      .agg(count(lit(1)).as("n"))
+    assert(!metaAnswered(m))
+    assert(m.collect().head.getLong(0) == 75L)
+    // vectored delete: filtered count stays exact via cardinalities
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty,
+      col("id") % 10 === 0 && col("bucket") === 2)
+    val cd = rel(root).filter(col("bucket") === 2).agg(count(lit(1)).as("n"))
+    assert(metaAnswered(cd))
+    // ids ≡ 10 (mod 20) deleted: 20 of bucket 2's 100 rows
+    assert(cd.collect().head.getLong(0) == 80L)
+  }
+
+  test("q196: the filtered+grouped dashboard runs with zero scans") {
+    val df = graft.queries.LakehouseQueries
+      .defs("q196_meta_filter_group")(spark, sf)
+    assert(metaAnswered(df), df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().map(r => r.getInt(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val truth = Tables.events(spark, sf)
+      .select(col("event_id"), (col("user_id") % 8).cast("int").as("bucket"),
+        when(col("event_id") % 6 =!= 0, col("event_id")).as("e_null"))
+      .filter(col("bucket").between(2, 6)).groupBy("bucket")
+      .agg(count(lit(1)), count(col("e_null")), min("event_id"), max("event_id"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == truth)
+  }
+
+  test("the rewrite can be disabled by conf") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root, (0L until 20L).toDF("id"))
+    spark.conf.set("spark.graft.metaAggregates", "false")
+    try {
+      val c = rel(root).groupBy().agg(count(lit(1)).as("n"))
+      assert(!metaAnswered(c))
+      assert(c.collect().head.getLong(0) == 20L)
+    } finally spark.conf.set("spark.graft.metaAggregates", "true")
+  }
+}

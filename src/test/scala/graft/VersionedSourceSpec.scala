@@ -55,9 +55,15 @@ class VersionedSourceSpec extends SparkSpec {
     val scan = VersionedSource.lastScan.get
     assert(scan.totalFiles == 4 && scan.openedFiles == 1,
       s"expected 1 of 4 files opened, got $scan")
-    // an unfiltered read opens everything
-    assert(df.count() == 400L)
+    // an unfiltered COLUMN read opens everything...
+    assert(df.select("id").collect().length == 400)
     assert(VersionedSource.lastScan.get.openedFiles == 4)
+    // ...but an unfiltered count() is answered from the MANIFEST
+    // (MetaAggregates): no scan runs, so lastScan does not move
+    VersionedSource.lastScan = None
+    assert(df.count() == 400L)
+    assert(VersionedSource.lastScan.isEmpty,
+      "count(*) over the relation must not open any data file")
   }
 
   test("SQL surface: CREATE TABLE USING, WHERE pushdown, INSERT INTO") {
