@@ -99,8 +99,17 @@ object TxnCatalog {
     val (root, v) = snap.tables.getOrElse(table,
       throw new IllegalArgumentException(
         s"table $table not in txn ${snap.txn} (have ${snap.tables.keys.toSeq.sorted})"))
-    VersionedTable.read(spark, root, Some(v))
+    // through the RELATION face, not the raw snapshot read: the pinned
+    // version is identical, but catalog readers then inherit pushed-
+    // filter manifest pruning, truthful sizeInBytes for join planning,
+    // and the metadata-only aggregate path (a catalog-consistent
+    // `count(*)` is one manifest read)
+    boundRelation(spark, root, v)
   }
+
+  private def boundRelation(spark: SparkSession, root: String, v: Int): DataFrame =
+    spark.read.format("graft-versioned")
+      .option("versionAsOf", v.toString).load(root)
 
   /** Publish `updates` as the next transaction: the new txn manifest
     * carries the previous snapshot's pins for every unmentioned table
@@ -207,7 +216,7 @@ object TxnCatalog {
     val snap = snapshot(spark, catRoot, txn)
     snap.tables.toSeq.sortBy(_._1).map { case (name, (root, v)) =>
       val view = s"${prefix}_$name"
-      VersionedTable.read(spark, root, Some(v)).createOrReplaceTempView(view)
+      boundRelation(spark, root, v).createOrReplaceTempView(view)
       view
     }
   }

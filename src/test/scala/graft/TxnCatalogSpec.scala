@@ -37,6 +37,25 @@ class TxnCatalogSpec extends SparkSpec {
     assert(idsOf(TxnCatalog.read(spark, cat, "b", Some(1))) == Seq(10L))
   }
 
+  test("catalog reads go through the relation face: pushdown + metadata count") {
+    val dir = freshDir()
+    val cat = s"$dir/_catalog"
+    TxnCatalog.commitTables(spark, cat,
+      Seq("a" -> df(1L to 50L: _*)), n => s"$dir/$n")
+    // a catalog-consistent count(*) is one manifest read, no scan
+    val c = TxnCatalog.read(spark, cat, "a").agg(count(lit(1)).as("n"))
+    assert(c.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }.isEmpty, "catalog count(*) must answer from the manifest")
+    assert(c.collect().head.getLong(0) == 50L)
+    // pushed filters reach the manifest pruning layer through the catalog
+    graft.sources.VersionedSource.lastScan = None
+    assert(idsOf(TxnCatalog.read(spark, cat, "a")
+      .filter(col("id") <= 3L)) == Seq(1L, 2L, 3L))
+    assert(graft.sources.VersionedSource.lastScan.nonEmpty,
+      "catalog reads must scan through the pruning relation")
+  }
+
   test("crash between stages: catalog readers stay on the OLD versions of ALL tables") {
     val dir = freshDir()
     val cat = s"$dir/_catalog"
