@@ -498,6 +498,30 @@ object LakehouseQueries {
           min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
     }),
 
+    // DESCRIBE HISTORY, oracle-gated: a four-commit lifecycle (create,
+    // append, vectored delete, compaction) read back ENTIRELY from
+    // manifests — operation labels, file counts, exact live rows (per-
+    // file nrows minus DV cardinalities), vectored-away rows. The
+    // oracle recomputes every number from raw events; the compaction row
+    // proves the vectors materialized (deleted back to 0, one file).
+    // At 100 TB the audit trail costs one small JSON read per version.
+    "q197_history" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_hist_q197")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      VersionedTable.create(s, root,
+        ev.filter(col("event_id") % 2 === 0).repartition(4))          // v1
+      VersionedTable.append(s, root,
+        ev.filter(col("event_id") % 2 === 1).repartition(2))          // v2
+      VersionedTable.deleteWhereVectored(s, root, Map.empty,
+        col("event_id") % 5 === 0)                                    // v3
+      VersionedTable.compact(s, root, targetBytes = Long.MaxValue / 4) // v4
+      VersionedTable.describeHistory(s, root)
+        .select(col("version"), col("op"), col("n_files"),
+          col("n_live_rows"), col("n_deleted_rows"))
+    }),
+
     // File-level HLL registers as a queryable index: a key-partitioned
     // history (4 hash-disjoint user files + an appended batch whose keys
     // are ALL repeats) is indexed with per-file registers; the skip
@@ -740,6 +764,23 @@ object LakehouseQueries {
                 min(event_id) AS lo, max(event_id) AS hi
          FROM ev WHERE bucket BETWEEN 2 AND 6
          GROUP BY 1""",
+
+    // Every history number recomputed from raw events: the create holds
+    // the evens, the append completes the corpus, the vectored delete
+    // hides the %5 rows without moving files, the compaction
+    // materializes (deleted falls back to 0 in one file).
+    "q197_history" ->
+      """WITH t AS (SELECT count(*) AS total,
+                         count(*) FILTER (WHERE event_id % 2 = 0) AS evens,
+                         count(*) FILTER (WHERE event_id % 5 = 0) AS dels
+                  FROM events)
+         SELECT CAST(1 AS INTEGER) AS version, 'create' AS op,
+                CAST(4 AS BIGINT) AS n_files,
+                CAST(evens AS BIGINT) AS n_live_rows,
+                CAST(0 AS BIGINT) AS n_deleted_rows FROM t
+         UNION ALL SELECT 2, 'append', 6, total, 0 FROM t
+         UNION ALL SELECT 3, 'delete-vectored', 6, total - dels, dels FROM t
+         UNION ALL SELECT 4, 'compact', 1, total - dels, 0 FROM t""",
 
     // The estimate from the register-relevant file subset must equal the
     // estimate from ALL the data (pointwise-max algebra: file boundaries

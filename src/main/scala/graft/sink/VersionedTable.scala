@@ -237,7 +237,8 @@ object VersionedTable {
                               partitionCols: Seq[String] = Seq.empty,
                               hlls: Map[String, Seq[FileHll]] = Map.empty,
                               dvs: Map[String, FileDv] = Map.empty,
-                              rows: Map[String, Long] = Map.empty)
+                              rows: Map[String, Long] = Map.empty,
+                              op: String = "")
 
   // Minimal JSON (de)serialization — file names are commit-generated
   // (uuid-free parquet part names under our own prefix, no escapes
@@ -312,6 +313,8 @@ object VersionedTable {
 
   private def fullManifestJson(m: Manifest): String = {
     val txnField = m.txn.map(t => s""" "txn": $t,\n""").getOrElse("")
+    val opField =
+      if (m.op.isEmpty) "" else s""" "op": "${esc(m.op)}",\n"""
     // hive-partitioned layout flag: the reader needs it to resolve
     // partition-column values from the data-file directory names
     val partsField =
@@ -319,7 +322,7 @@ object VersionedTable {
       else s""" "partitionCols": [${m.partitionCols
         .map(c => "\"" + esc(c) + "\"").mkString(", ")}],\n"""
     s"""{"version": ${m.version},
-       |$txnField$partsField "schema": "${esc(m.schemaDdl)}",
+       |$opField$txnField$partsField "schema": "${esc(m.schemaDdl)}",
        | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
        | ${perFileJson(m.stats, m.blooms, m.hlls, m.dvs, m.rows)}}""".stripMargin
   }
@@ -346,6 +349,8 @@ object VersionedTable {
     def sub[T](mm: Map[String, T]): Map[String, T] =
       mm.view.filterKeys(sel).toMap
     val txnField = m.txn.map(t => s""" "txn": $t,\n""").getOrElse("")
+    val opField =
+      if (m.op.isEmpty) "" else s""" "op": "${esc(m.op)}",\n"""
     val partsField =
       if (m.partitionCols.isEmpty) ""
       else s""" "partitionCols": [${m.partitionCols
@@ -354,7 +359,7 @@ object VersionedTable {
     Some(
       s"""{"version": ${m.version},
          | "delta": true,
-         |$txnField$partsField "schema": "${esc(m.schemaDdl)}",
+         |$opField$txnField$partsField "schema": "${esc(m.schemaDdl)}",
          | "removes": [${names(removes)}],
          | "adds": [${names(adds)}],
          | "touch": [${names(touch)}],
@@ -553,11 +558,15 @@ object VersionedTable {
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
 
+  private def parseOp(text: String): String =
+    """"op": "((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
+      .map(m => unesc(m.group(1))).getOrElse("")
+
   private def parseFullManifest(v: Int, text: String): Manifest = {
     val (schema, txn, partitionCols, stats, blooms, hlls, dvs, rows) =
       parseCommon(text)
     Manifest(v, schema, parseNameList(text, "files"), txn, stats, blooms,
-      partitionCols, hlls, dvs, rows)
+      partitionCols, hlls, dvs, rows, parseOp(text))
   }
 
   /** Replay a delta manifest over its parent snapshot: removed entries
@@ -575,7 +584,7 @@ object VersionedTable {
     Manifest(v, schema, parent.files.filterNot(removes) ++ adds, txn,
       merge(parent.stats, stats), merge(parent.blooms, blooms),
       partitionCols, merge(parent.hlls, hlls), merge(parent.dvs, dvs),
-      merge(parent.rows, rows))
+      merge(parent.rows, rows), parseOp(text))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -826,7 +835,8 @@ object VersionedTable {
                      carryHlls: Map[String, Seq[FileHll]] = Map.empty,
                      carryDvs: Map[String, FileDv] = Map.empty,
                      parent: Option[Manifest] = None,
-                     carryRows: Map[String, Long] = Map.empty): Int = {
+                     carryRows: Map[String, Long] = Map.empty,
+                     op: String = "append"): Int = {
     // When the caller read a manifest to build carryOver, the commit MUST
     // target exactly base+1: re-resolving the version here would let a
     // writer that landed in between be silently overwritten by our stale
@@ -851,7 +861,8 @@ object VersionedTable {
         partitionCols,
         carryHlls.view.filterKeys(carryOver.contains).toMap,
         carryDvs.view.filterKeys(carryOver.contains).toMap,
-        carryRows.view.filterKeys(carryOver.contains).toMap ++ addedRows),
+        carryRows.view.filterKeys(carryOver.contains).toMap ++ addedRows,
+        op),
       parent)
     v
   }
@@ -879,7 +890,8 @@ object VersionedTable {
     require(currentVersion(spark, root).isEmpty, s"table exists at $root")
     require(partitionBy.forall(df.schema.fieldNames.contains),
       s"partition columns ${partitionBy.filterNot(df.schema.fieldNames.contains)} not in schema")
-    commit(spark, root, df, Seq.empty, partitionCols = partitionBy)
+    commit(spark, root, df, Seq.empty, partitionCols = partitionBy,
+      op = "create")
   }
 
   /** Append: new version = previous files + the new rows' files. The
@@ -894,7 +906,7 @@ object VersionedTable {
       tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
       baseVersion = Some(cur), partitionCols = m.partitionCols,
       carryHlls = m.hlls, carryDvs = m.dvs, parent = Some(m),
-      carryRows = m.rows)
+      carryRows = m.rows, op = "append")
   }
 
   /** Overwrite: new version references ONLY the new rows' files (logical
@@ -904,11 +916,12 @@ object VersionedTable {
     * between then refuses the publish instead of being silently replaced
     * by a rewrite that never saw it. */
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
-                baseVersion: Option[Int] = None): Int =
+                baseVersion: Option[Int] = None,
+                op: String = "overwrite"): Int =
     commit(spark, root, df, Seq.empty, baseVersion = baseVersion,
       partitionCols = currentVersion(spark, root)
         .map(v => readManifest(spark, root, v).partitionCols)
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty), op = op)
 
   /** Optimistic-concurrency append: the multi-writer entry point. Each
     * attempt stages its data files under a writer-unique nonce, reads
@@ -946,11 +959,13 @@ object VersionedTable {
                    txn: Long, partitionBy: Seq[String] = Seq.empty): Int =
     currentVersion(spark, root) match {
       case None =>
-        commit(spark, root, df, Seq.empty, Some(txn), partitionCols = partitionBy)
+        commit(spark, root, df, Seq.empty, Some(txn),
+          partitionCols = partitionBy, op = "create")
       case Some(cur) =>
         if (committedTxns(spark, root).contains(txn)) cur
         else commit(spark, root, df, Seq.empty, Some(txn),
-          partitionCols = readManifest(spark, root, cur).partitionCols)
+          partitionCols = readManifest(spark, root, cur).partitionCols,
+          op = "overwrite")
     }
 
   /** Idempotent transactional append — the streaming-sink entry point:
@@ -965,7 +980,8 @@ object VersionedTable {
     currentVersion(spark, root) match {
       case None =>
         // first commit fixes the layout (the streaming sink's create path)
-        commit(spark, root, df, Seq.empty, Some(txn), partitionCols = partitionBy)
+        commit(spark, root, df, Seq.empty, Some(txn),
+          partitionCols = partitionBy, op = "create")
       case Some(cur) =>
         if (committedTxns(spark, root).contains(txn)) cur
         else {
@@ -975,7 +991,7 @@ object VersionedTable {
             tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
             baseVersion = Some(cur), partitionCols = m.partitionCols,
             carryHlls = m.hlls, carryDvs = m.dvs, parent = Some(m),
-            carryRows = m.rows)
+            carryRows = m.rows, op = "append")
         }
     }
 
@@ -1165,7 +1181,7 @@ object VersionedTable {
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, widened.toDDL, m.files,
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
-      hlls = m.hlls, dvs = m.dvs, rows = m.rows), Some(m))
+      hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-column"), Some(m))
     v
   }
 
@@ -1294,7 +1310,8 @@ object VersionedTable {
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms ++ newBlooms, hlls = m.hlls,
-      partitionCols = m.partitionCols, dvs = m.dvs, rows = m.rows), Some(m))
+      partitionCols = m.partitionCols, dvs = m.dvs, rows = m.rows,
+      op = "index-bloom"), Some(m))
     v
   }
 
@@ -1498,7 +1515,8 @@ object VersionedTable {
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms ++ merged, hlls = m.hlls,
-      partitionCols = m.partitionCols, dvs = m.dvs, rows = m.rows), Some(m))
+      partitionCols = m.partitionCols, dvs = m.dvs, rows = m.rows,
+      op = "attach-blooms"), Some(m))
     v
   }
 
@@ -1592,7 +1610,8 @@ object VersionedTable {
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, man.schemaDdl, man.files, None,
       stats = man.stats, blooms = man.blooms, partitionCols = man.partitionCols,
-      hlls = man.hlls ++ newHlls, dvs = man.dvs, rows = man.rows), Some(man))
+      hlls = man.hlls ++ newHlls, dvs = man.dvs, rows = man.rows,
+      op = "index-hll"), Some(man))
     v
   }
 
@@ -1692,6 +1711,42 @@ object VersionedTable {
     }
   }
 
+  /** The table's commit history as a DataFrame — one row per version:
+    * the recorded operation (commits from before the `op` field parse as
+    * NULL), committed-at wall clock (the manifest file's modification
+    * time — informational, not part of the format), file count, exact
+    * live rows when every file has a recorded count (NULL otherwise),
+    * vectored-away rows, and the commit's transaction id. The whole
+    * answer is manifest reads — `DESCRIBE HISTORY` for a 100 TB table
+    * costs its version count, never its data. */
+  def describeHistory(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val f = fs(spark, new Path(root))
+    val rows = versions(spark, root).map { v =>
+      val m = readManifest(spark, root, v)
+      val ts = new java.sql.Timestamp(
+        f.getFileStatus(manifestPath(root, v)).getModificationTime)
+      val live: Any =
+        if (m.files.forall(m.rows.contains))
+          m.files.map(m.rows).sum - m.files.flatMap(m.dvs.get).map(_.card).sum
+        else null
+      Row(v, if (m.op.isEmpty) null else m.op, ts, m.files.size.toLong,
+        live, m.files.flatMap(m.dvs.get).map(_.card).sum,
+        m.txn.map(Long.box).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("op", StringType, nullable = true),
+        StructField("committed_at", TimestampType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_live_rows", LongType, nullable = true),
+        StructField("n_deleted_rows", LongType, nullable = false),
+        StructField("txn", LongType, nullable = true))))
+  }
+
   /** The pointwise-max union of `version`'s per-file registers for
     * `column` — the whole table's register set, computed from METADATA
     * alone. None when any file lacks registers (an un-indexed append):
@@ -1785,7 +1840,8 @@ object VersionedTable {
       m.partitionCols,
       m.hlls.view.filterKeys(untouched.contains).toMap,
       m.dvs.view.filterKeys(untouched.contains).toMap,
-      m.rows.view.filterKeys(untouched.contains).toMap ++ rewrittenRows),
+      m.rows.view.filterKeys(untouched.contains).toMap ++ rewrittenRows,
+      op = "delete"),
       Some(m))
     v
   }
@@ -1854,7 +1910,7 @@ object VersionedTable {
     // matches are all deleted — it returns nothing; never unsound)
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, None,
       m.stats, m.blooms, m.partitionCols, m.hlls, m.dvs ++ updated,
-      m.rows), Some(m))
+      m.rows, op = "delete-vectored"), Some(m))
     v
   }
 
@@ -1919,7 +1975,8 @@ object VersionedTable {
       m.partitionCols,
       m.hlls.view.filterKeys(untouched.contains).toMap,
       m.dvs.view.filterKeys(untouched.contains).toMap,
-      m.rows.view.filterKeys(untouched.contains).toMap ++ addedRows),
+      m.rows.view.filterKeys(untouched.contains).toMap ++ addedRows,
+      op = "merge"),
       Some(m))
     v
   }
@@ -1995,7 +2052,8 @@ object VersionedTable {
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
       m.files ++ added, txn,
       m.stats ++ addedStats, m.blooms, m.partitionCols, m.hlls,
-      m.dvs ++ updated, m.rows ++ addedRows), Some(m))
+      m.dvs ++ updated, m.rows ++ addedRows, op = "merge-vectored"),
+      Some(m))
     v
   }
 
@@ -2113,7 +2171,7 @@ object VersionedTable {
     val v = currentVersion(spark, root).get + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
-      hlls = m.hlls, dvs = m.dvs, rows = m.rows))
+      hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "rollback"))
     v
   }
 
@@ -2148,7 +2206,7 @@ object VersionedTable {
         val ks = clusterBy.map(col)
         base.repartitionByRange(target, ks: _*).sortWithinPartitions(ks: _*)
       }
-    overwrite(spark, root, df, baseVersion = Some(cur))
+    overwrite(spark, root, df, baseVersion = Some(cur), op = "compact")
   }
 
   /** Incremental compaction — OPTIMIZE scoped by predicate: only files
@@ -2197,7 +2255,8 @@ object VersionedTable {
       m.partitionCols,
       m.hlls.view.filterKeys(untouched.contains).toMap,
       m.dvs.view.filterKeys(untouched.contains).toMap,
-      m.rows.view.filterKeys(untouched.contains).toMap ++ addedRows),
+      m.rows.view.filterKeys(untouched.contains).toMap ++ addedRows,
+      op = "compact"),
       Some(m))
     v
   }
@@ -2385,7 +2444,8 @@ object VersionedTable {
       blooms = m.blooms.map { case (k, b) => remap.getOrElse(k, k) -> b },
       hlls = m.hlls.map { case (k, h) => remap.getOrElse(k, k) -> h },
       partitionCols = m.partitionCols, dvs = absDv,
-      rows = m.rows.map { case (k, n) => remap.getOrElse(k, k) -> n }))
+      rows = m.rows.map { case (k, n) => remap.getOrElse(k, k) -> n },
+      op = "clone"))
     // back-reference every owning root (a clone OF a clone references
     // the original's files — the marker must land with the owner)
     (abs ++ absDv.values.map(_.dvFile)).flatMap(ownerRootOf).distinct.foreach { owner =>

@@ -197,6 +197,19 @@ class MetaAggregateSpec extends SparkSpec {
     assert(got(7) == ((100L, 80L, 300L, 399L)))
   }
 
+  test("SELECT DISTINCT over a partition column is a manifest read") {
+    import spark.implicits._
+    val root = freshRoot()
+    val d = (0L until 60L).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 3).cast("string")))
+    VersionedTable.create(spark, root, d, partitionBy = Seq("src"))
+    val distinct = rel(root).select("src").distinct()
+    assert(metaAnswered(distinct),
+      distinct.queryExecution.optimizedPlan.toString)
+    assert(distinct.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("s0", "s1", "s2"))
+  }
+
   test("GROUP BY a file-clustered long column works; multi-valued files refuse") {
     import spark.implicits._
     val root = freshRoot()

@@ -49,6 +49,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(idsOf(snapshot) == Seq(1L, 2L))
   }
 
+  test("describeHistory: ops, counts, and live rows from manifests alone") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 10L: _*))
+    VersionedTable.append(spark, root, df(11L, 12L))
+    VersionedTable.deleteWhereVectored(spark, root,
+      Map("id" -> (Some(1L), Some(3L))), col("id") <= 3)
+    VersionedTable.indexBloom(spark, root, Seq("id"))
+    VersionedTable.rollback(spark, root, to = 2)
+    val h = VersionedTable.describeHistory(spark, root)
+      .select("version", "op", "n_live_rows", "n_deleted_rows")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(h(1) == (("create", 10L, 0L)))
+    assert(h(2) == (("append", 12L, 0L)))
+    assert(h(3) == (("delete-vectored", 9L, 3L)))
+    assert(h(4) == (("index-bloom", 9L, 3L)))
+    assert(h(5) == (("rollback", 12L, 0L)))
+    // a manifest from before the op field reads back as NULL, and a
+    // missing row count turns n_live_rows NULL — never a wrong number
+    val mf = java.nio.file.Paths.get(root, "_log", "v00000001.manifest.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+    java.nio.file.Files.write(mf, txt
+      .replaceAll("\"op\": \"[a-z-]+\",\\s*", "")
+      .replaceAll(""",\s*"nrows": \[[^\]]*\]""", "").getBytes("UTF-8"))
+    val v1 = VersionedTable.describeHistory(spark, root)
+      .filter(col("version") === 1).collect().head
+    assert(v1.isNullAt(1) && v1.isNullAt(4))
+  }
+
   test("rollback publishes an old file list as a new version") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
