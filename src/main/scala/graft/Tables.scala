@@ -23,7 +23,9 @@ object Tables {
     "spark.sql.session.timeZone" -> "UTC",
     // the engine's Catalyst surface (optimizer rules + SQL functions) —
     // builder-applied because spark.sql.extensions is a static conf
-    "spark.sql.extensions" -> "graft.plans.GraftExtensions")
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
+    // the SQL maintenance face: CALL graft.compact(...) etc.
+    "spark.sql.catalog.graft" -> "graft.catalog.GraftCatalog")
 
   /** Normalize an events frame's `ts` to a microsecond TimestampType on
     * the session's UTC clock — exactly what DuckDB surfaces from the same

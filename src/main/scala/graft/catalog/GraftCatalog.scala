@@ -1,0 +1,182 @@
+package graft.catalog
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sink.VersionedTable
+
+/** The engine's SQL MAINTENANCE face: a Spark 4 [[ProcedureCatalog]], so
+  * every table-format operation a 100 TB deployment runs on a schedule —
+  * compaction, retention, rollback, index builds, merge-on-read deletes,
+  * shallow clones, the audit history — is a plain `CALL` statement:
+  *
+  * {{{
+  *   spark.conf: spark.sql.catalog.graft = graft.catalog.GraftCatalog
+  *   CALL graft.compact('/path/to/table', 134217728)
+  *   CALL graft.delete_where('/path/to/table', 'id % 5 = 0', true)
+  *   CALL graft.history('/path/to/table')
+  * }}}
+  *
+  * Spark binds and type-checks the arguments (ResolveProcedures /
+  * BindProcedures), and each procedure returns its outcome as a result
+  * set through a driver-side [[LocalScan]] — mutations report the
+  * committed version, `history` streams the manifest-level audit rows.
+  * This is the Spark-native answer to the reference's psql maintenance
+  * scripts (`/root/reference/src/load/load_to_postgis.py` drives table
+  * upkeep through SQL statements): same UX, but the statements commit
+  * manifest versions instead of mutating rows in place. */
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftCatalog.procedures.keys.toArray.sorted
+      .map(n => Identifier.of(namespace, n))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system")),
+      s"unknown namespace ${ident.namespace().mkString(".")}")
+    GraftCatalog.procedures.getOrElse(ident.name().toLowerCase,
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.name()}; have " +
+          GraftCatalog.procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+}
+
+object GraftCatalog {
+
+  /** One procedure: fixed IN parameters, driver-side body, result rows
+    * via LocalScan. `bind` is identity — the parameter list IS the
+    * signature, Spark coerces the call-site arguments to it. */
+  private final class Proc(procName: String, procDescription: String,
+                           params: Seq[(String, DataType)],
+                           resultSchema: StructType,
+                           body: (SparkSession, InternalRow) => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] =
+      params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val resultRows = body(SparkSession.active, input).toArray
+      Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = resultRows
+        override def readSchema(): StructType = resultSchema
+        override def description(): String = s"graft.$procName result"
+      }).iterator()
+    }
+  }
+
+  private val versionResult = StructType(Seq(
+    StructField("version", IntegerType, nullable = false)))
+
+  private def versionRow(v: Int): Seq[InternalRow] =
+    Seq(InternalRow(v))
+
+  private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+  private val historySchema = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("op", StringType, nullable = true),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_live_rows", LongType, nullable = true),
+    StructField("n_deleted_rows", LongType, nullable = false),
+    StructField("txn", LongType, nullable = true)))
+
+  private[catalog] val procedures: Map[String, UnboundProcedure] = Seq[UnboundProcedure](
+
+    new Proc("history",
+      "the table's commit audit trail, from manifests alone",
+      Seq("path" -> StringType), historySchema,
+      (spark, in) => VersionedTable.describeHistory(spark, str(in, 0))
+        .queryExecution.executedPlan.executeCollect().toSeq),
+
+    new Proc("compact",
+      "rewrite the newest version into ~target_bytes files (OPTIMIZE)",
+      Seq("path" -> StringType, "target_bytes" -> LongType), versionResult,
+      (spark, in) => versionRow(
+        VersionedTable.compact(spark, str(in, 0), targetBytes = in.getLong(1)))),
+
+    new Proc("expire",
+      "drop all but the newest keep_last versions and sweep unreferenced files",
+      Seq("path" -> StringType, "keep_last" -> IntegerType),
+      StructType(Seq(
+        StructField("removed_versions", IntegerType, nullable = false),
+        StructField("removed_files", IntegerType, nullable = false))),
+      (spark, in) => {
+        val (versions, files) =
+          VersionedTable.expire(spark, str(in, 0), keepLast = in.getInt(1))
+        Seq(InternalRow(versions, files))
+      }),
+
+    new Proc("expire_older_than",
+      "expire versions committed at or before ts_millis, keeping at " +
+        "least keep_at_least newest",
+      Seq("path" -> StringType, "ts_millis" -> LongType,
+        "keep_at_least" -> IntegerType),
+      StructType(Seq(
+        StructField("removed_versions", IntegerType, nullable = false),
+        StructField("removed_files", IntegerType, nullable = false))),
+      (spark, in) => {
+        val (versions, files) = VersionedTable.expireOlderThan(
+          spark, str(in, 0), in.getLong(1), keepAtLeast = in.getInt(2))
+        Seq(InternalRow(versions, files))
+      }),
+
+    new Proc("rollback",
+      "publish an old version's exact file list as the new newest version",
+      Seq("path" -> StringType, "to_version" -> IntegerType), versionResult,
+      (spark, in) => versionRow(
+        VersionedTable.rollback(spark, str(in, 0), to = in.getInt(1)))),
+
+    new Proc("index_bloom",
+      "attach per-file bloom filters over the given comma-separated columns",
+      Seq("path" -> StringType, "columns" -> StringType), versionResult,
+      (spark, in) => versionRow(VersionedTable.indexBloom(spark, str(in, 0),
+        str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))),
+
+    new Proc("index_hll",
+      "attach per-file HLL registers over the given comma-separated columns",
+      Seq("path" -> StringType, "columns" -> StringType), versionResult,
+      (spark, in) => versionRow(VersionedTable.indexHll(spark, str(in, 0),
+        str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))),
+
+    new Proc("delete_where",
+      "DELETE rows matching a SQL predicate; vectored=true commits " +
+        "merge-on-read deletion vectors instead of rewriting files",
+      Seq("path" -> StringType, "predicate" -> StringType,
+        "vectored" -> BooleanType), versionResult,
+      (spark, in) => {
+        val cond = org.apache.spark.sql.functions.expr(str(in, 1))
+        versionRow(
+          if (in.getBoolean(2))
+            VersionedTable.deleteWhereVectored(spark, str(in, 0), Map.empty, cond)
+          else
+            VersionedTable.deleteWhere(spark, str(in, 0), Map.empty, cond))
+      }),
+
+    new Proc("clone",
+      "shallow-clone a table (or a pinned version) by reference",
+      Seq("src" -> StringType, "dst" -> StringType), versionResult,
+      (spark, in) => versionRow(
+        VersionedTable.cloneShallow(spark, str(in, 0), str(in, 1))))
+
+  ).map(p => p.name() -> p).toMap
+}

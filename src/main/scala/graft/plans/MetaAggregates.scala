@@ -88,8 +88,41 @@ object MetaAggregates extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Could `dt` ever come back from a "long"-domain bound? The static
+    * half of the min/max exactness rule, usable before any manifest IO. */
+  private def boundableType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DateType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** Cheap SHAPE check — no manifest IO. The optimizer re-runs this rule
+    * to fixed point, and a refused rewrite is re-attempted every
+    * iteration: a query whose aggregate list can NEVER be answered
+    * (avg, sum, distinct, expressions over aggregates) must bail here,
+    * not after an O(files) metadata walk — at 10⁶ manifest entries that
+    * walk per iteration is real driver time for zero benefit. */
+  private def shapeAnswerable(agg: Aggregate, conds: Seq[Expression]): Boolean =
+    conds.forall(_.deterministic) && agg.aggregateExpressions.forall {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(l: Literal)) => l.value != null
+          case Count(Seq(_: AttributeReference)) => true
+          case Min(a: AttributeReference) => boundableType(a.dataType)
+          case Max(a: AttributeReference) => boundableType(a.dataType)
+          case _ => false
+        }
+      case a: AttributeReference =>
+        agg.groupingExpressions.exists(_.semanticEquals(a))
+      case Alias(a: AttributeReference, _) =>
+        agg.groupingExpressions.exists(_.semanticEquals(a))
+      case Alias(e, _) => e.foldable && e.deterministic
+      case _ => false
+    }
+
   private def answer(agg: Aggregate, rel: VersionedRelation,
                      conds: Seq[Expression]): Option[LogicalPlan] = {
+    if (!shapeAnswerable(agg, conds)) return None
     val spark = rel.sqlContext.sparkSession
     val all = VersionedTable.metaFiles(spark, rel.root, rel.version)
     val partCols =

@@ -522,6 +522,34 @@ object LakehouseQueries {
           col("n_live_rows"), col("n_deleted_rows"))
     }),
 
+    // The SQL MAINTENANCE face end-to-end (GraftCatalog, a Spark 4
+    // ProcedureCatalog): a table's whole upkeep lifecycle — merge-on-read
+    // DELETE with a SQL predicate string, OPTIMIZE, index build — driven
+    // purely by CALL statements, then the post-maintenance state AND the
+    // version ledger are hash-gated against the oracle's recomputation.
+    // The reference runs its maintenance through psql scripts; this is
+    // the same UX where every statement commits a manifest version.
+    "q198_sql_maintenance" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_call_q198")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      VersionedTable.create(s, root, ev.repartition(4))               // v1
+      s.sql(s"CALL graft.delete_where('$root', 'event_id % 7 = 0', true)") // v2
+      s.sql(s"CALL graft.compact('$root', ${Long.MaxValue / 4})")     // v3
+      s.sql(s"CALL graft.index_bloom('$root', 'event_type')")         // v4
+      val rollup = VersionedTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("event_type").as("tag"), col("n"), col("sum_value"))
+      val meta = s.sql(s"CALL graft.history('$root')")
+        .agg(max(col("version")).cast("bigint").as("n"),
+          max(col("n_live_rows")).cast("double").as("sum_value"))
+        .select(lit("_versions").as("tag"), col("n"), col("sum_value"))
+      rollup.unionByName(meta)
+    }),
+
     // File-level HLL registers as a queryable index: a key-partitioned
     // history (4 hash-disjoint user files + an appended batch whose keys
     // are ALL repeats) is indexed with per-file registers; the skip
@@ -781,6 +809,19 @@ object LakehouseQueries {
          UNION ALL SELECT 2, 'append', 6, total, 0 FROM t
          UNION ALL SELECT 3, 'delete-vectored', 6, total - dels, dels FROM t
          UNION ALL SELECT 4, 'compact', 1, total - dels, 0 FROM t""",
+
+    // Post-maintenance state + ledger recomputed from raw events: the
+    // rollup over the %7 delete's survivors, and (_versions, 4, total)
+    // where total is the FULL corpus count — max(n_live_rows) across the
+    // history is v1's pre-delete count, which also pins that time travel
+    // still sees it after compaction materialized the vectors.
+    "q198_sql_maintenance" ->
+      """SELECT event_type AS tag, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_id % 7 <> 0 GROUP BY 1
+         UNION ALL
+         SELECT '_versions', 4,
+                CAST((SELECT count(*) FROM events) AS DOUBLE)""",
 
     // The estimate from the register-relevant file subset must equal the
     // estimate from ALL the data (pointwise-max algebra: file boundaries

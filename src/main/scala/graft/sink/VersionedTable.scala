@@ -2265,6 +2265,19 @@ object VersionedTable {
     * deleted, then any data file referenced by NO surviving manifest is
     * removed (this also sweeps orphans from crashed commits). Returns
     * (manifests deleted, data files deleted). */
+  /** Time-based retention: expire every version committed at or before
+    * `tsMillis` (manifest wall clock), always keeping at least the
+    * newest `keepAtLeast` — the "keep 7 days of history" shape, built on
+    * [[expire]]'s version-count contract so all its GC guarantees
+    * (clone back-references, txn pins, delta-chain checkpoints) apply
+    * unchanged. */
+  def expireOlderThan(spark: SparkSession, root: String, tsMillis: Long,
+                      keepAtLeast: Int = 1): (Int, Int) = {
+    val hist = history(spark, root)
+    val keep = math.max(keepAtLeast, hist.count(_._2 > tsMillis))
+    expire(spark, root, keepLast = keep)
+  }
+
   def expire(spark: SparkSession, root: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the newest version")
     val vs = versions(spark, root)

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sink.VersionedTable
+
+/** The SQL maintenance face ([[graft.catalog.GraftCatalog]]): every
+  * table-format operation as a plain `CALL graft.<proc>(...)` statement,
+  * with Spark binding the arguments and the outcome returned as a result
+  * set. */
+class GraftCatalogSpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_cat").resolve("t").toString
+
+  private def ensureCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+
+  private def idsOf(root: String): Seq[Long] =
+    VersionedTable.read(spark, root).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  test("delete_where / compact / rollback / history through CALL") {
+    import spark.implicits._
+    ensureCatalog()
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (1L to 20L).toDF("id").withColumn("payload", col("id") * 10)
+        .repartition(2))
+    // vectored DELETE through SQL — predicate is a plain SQL expression
+    val v2 = spark.sql(
+      s"CALL graft.delete_where('$root', 'id % 5 = 0', true)")
+      .collect().head.getInt(0)
+    assert(v2 == 2)
+    assert(idsOf(root) == (1L to 20L).filterNot(_ % 5 == 0))
+    // OPTIMIZE through SQL: one file, vectors materialized
+    val v3 = spark.sql(s"CALL graft.compact('$root', ${Long.MaxValue / 4})")
+      .collect().head.getInt(0)
+    assert(v3 == 3)
+    assert(VersionedTable.filesOf(spark, root).size == 1)
+    // audit trail as a result set
+    val hist = spark.sql(s"CALL graft.history('$root')")
+      .select("version", "op", "n_live_rows", "n_deleted_rows")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(hist(1) == (("create", 20L, 0L)))
+    assert(hist(2) == (("delete-vectored", 16L, 4L)))
+    assert(hist(3) == (("compact", 16L, 0L)))
+    // rollback through SQL restores the pre-delete rows
+    val v4 = spark.sql(s"CALL graft.rollback('$root', 1)")
+      .collect().head.getInt(0)
+    assert(v4 == 4)
+    assert(idsOf(root) == (1L to 20L))
+  }
+
+  test("index_bloom / expire / clone through CALL") {
+    import spark.implicits._
+    ensureCatalog()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat2")
+    val root = dir.resolve("src").toString
+    val dst = dir.resolve("dst").toString
+    VersionedTable.create(spark, root, (1L to 9L).toDF("id"))
+    VersionedTable.append(spark, root, Seq(10L).toDF("id"))
+    assert(spark.sql(s"CALL graft.index_bloom('$root', 'id')")
+      .collect().head.getInt(0) == 3)
+    assert(VersionedTable.unbloomedFiles(spark, root, "id").isEmpty)
+    assert(spark.sql(s"CALL graft.clone('$root', '$dst')")
+      .collect().head.getInt(0) == 1)
+    assert(idsOf(dst) == (1L to 10L))
+    val exp = spark.sql(s"CALL graft.expire('$root', 1)").collect().head
+    assert(exp.getInt(0) == 2) // two old versions dropped
+    assert(idsOf(root) == (1L to 10L))
+  }
+
+  test("time-based retention and SHOW PROCEDURES") {
+    import spark.implicits._
+    ensureCatalog()
+    val root = freshRoot()
+    VersionedTable.create(spark, root, Seq(1L).toDF("id"))
+    VersionedTable.append(spark, root, Seq(2L).toDF("id"))
+    VersionedTable.append(spark, root, Seq(3L).toDF("id"))
+    // everything is younger than the epoch cutoff: nothing expires
+    val none = spark.sql(s"CALL graft.expire_older_than('$root', 0, 1)")
+      .collect().head
+    assert(none.getInt(0) == 0)
+    // a far-future cutoff keeps only the enforced minimum
+    val far = System.currentTimeMillis() + 3600L * 1000
+    val gone = spark.sql(s"CALL graft.expire_older_than('$root', $far, 1)")
+      .collect().head
+    assert(gone.getInt(0) == 2)
+    assert(VersionedTable.versions(spark, root) == Seq(3))
+    assert(idsOf(root) == Seq(1L, 2L, 3L))
+    // the procedure surface is discoverable through SQL
+    val procs = spark.sql("SHOW PROCEDURES IN graft")
+      .collect().map(_.toString).mkString(",")
+    assert(procs.contains("compact") && procs.contains("history") &&
+      procs.contains("expire_older_than"), procs)
+  }
+
+  test("unknown procedures and malformed args are refused with clear errors") {
+    ensureCatalog()
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.no_such_proc('/x')").collect()
+    }
+    assert(e.getMessage.contains("no_such_proc") ||
+      e.getMessage.contains("unknown procedure"))
+    intercept[Exception] {
+      spark.sql("CALL graft.compact('/nonexistent/table', 1)").collect()
+    }
+  }
+}
