@@ -172,6 +172,17 @@ object GraftCatalog {
             VersionedTable.deleteWhere(spark, str(in, 0), Map.empty, cond))
       }),
 
+    new Proc("orphans",
+      "dry-run GC report: files no version references and no clone " +
+        "protects (what expire would sweep, without dropping history)",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("bytes", LongType, nullable = false))),
+      (spark, in) => VersionedTable.orphanFiles(spark, str(in, 0))
+        .map { case (rel, bytes) =>
+          InternalRow(UTF8String.fromString(rel), bytes) }),
+
     new Proc("clone",
       "shallow-clone a table (or a pinned version) by reference",
       Seq("src" -> StringType, "dst" -> StringType), versionResult,

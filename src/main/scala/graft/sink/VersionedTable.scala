@@ -2336,27 +2336,8 @@ object VersionedTable {
     // clone back-references: any local file a REGISTERED, still-existing
     // clone references stays live — expire never breaks a clone it knows
     // about. A marker whose clone is gone (no manifests) is retired.
-    val cloneLive: Set[String] =
-      if (!f.exists(logDir(root))) Set.empty
-      else f.listStatus(logDir(root)).map(_.getPath)
-        .filter(_.getName.startsWith(".clone-"))
-        .flatMap { mk =>
-          val in = f.open(mk)
-          val dst = try new String(
-            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-          finally in.close()
-          val vs2 = versions(spark, dst)
-          if (vs2.isEmpty) { f.delete(mk, false); Seq.empty }
-          else vs2.flatMap { v2 =>
-            val m2 = readManifest(spark, dst, v2)
-            m2.files ++ m2.dvs.values.map(_.dvFile)
-          }.filter(_.startsWith("/"))
-        }.toSet
-    // recursive walk: partitioned tables nest files under k=v dirs
-    def files(p: Path): Seq[Path] =
-      f.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) files(st.getPath) else Seq(st.getPath)
-      }
+    val cloneLive: Set[String] = cloneProtected(spark, root, f)
+    def files(p: Path): Seq[Path] = walkFiles(f, p)
     val base = f.makeQualified(dd).toUri.getPath
     val removed =
       if (!f.exists(dd)) 0
@@ -2378,6 +2359,61 @@ object VersionedTable {
         !liveDv.contains(rel) && !cloneLive.contains(full) && f.delete(p, false)
       }
     (drop.size, removed + removedDv)
+  }
+
+  /** clone back-references: every absolute path a REGISTERED,
+    * still-existing clone references (expire never breaks a clone it
+    * knows about); markers whose clone is gone are retired. */
+  private def cloneProtected(spark: SparkSession, root: String,
+                             f: FileSystem): Set[String] =
+    if (!f.exists(logDir(root))) Set.empty
+    else f.listStatus(logDir(root)).map(_.getPath)
+      .filter(_.getName.startsWith(".clone-"))
+      .flatMap { mk =>
+        val in = f.open(mk)
+        val dst = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        val vs2 = versions(spark, dst)
+        if (vs2.isEmpty) { f.delete(mk, false); Seq.empty }
+        else vs2.flatMap { v2 =>
+          val m2 = readManifest(spark, dst, v2)
+          m2.files ++ m2.dvs.values.map(_.dvFile)
+        }.filter(_.startsWith("/"))
+      }.toSet
+
+  /** Recursive listing: partitioned tables nest files under k=v dirs. */
+  private def walkFiles(f: FileSystem, p: Path): Seq[Path] =
+    f.listStatus(p).toSeq.flatMap { st =>
+      if (st.isDirectory) walkFiles(f, st.getPath) else Seq(st.getPath)
+    }
+
+  /** Dry-run GC report: files under data/ and dv/ that NO existing
+    * version references and no registered clone protects — the stranded
+    * writes of crashed commits and lost [[appendCas]] attempts, i.e.
+    * exactly what [[expire]] would sweep WITHOUT dropping any history.
+    * Returns (root-relative path, bytes). Report only: [[expire]] stays
+    * the sole deleter and re-evaluates its full protection set (txn
+    * pins, clone markers, checkpoint rules) at deletion time. */
+  def orphanFiles(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val f = fs(spark, new Path(root))
+    val ms = versions(spark, root).map(v => readManifest(spark, root, v))
+    val live = ms.flatMap(_.files).toSet
+    val liveDv = ms.flatMap(_.dvs.values.map(_.dvFile)).toSet
+    val cloneLive = cloneProtected(spark, root, f)
+    def report(dir: Path, prefix: String, ref: Set[String]): Seq[(String, Long)] =
+      if (!f.exists(dir)) Seq.empty
+      else {
+        val base = f.makeQualified(dir).toUri.getPath
+        walkFiles(f, dir).flatMap { p =>
+          val full = f.makeQualified(p).toUri.getPath
+          val rel = prefix + full.stripPrefix(base)
+          if (ref.contains(rel) || cloneLive.contains(full)) None
+          else Some(rel -> f.getFileStatus(p).getLen)
+        }
+      }
+    (report(dataDir(root), "data", live) ++
+      report(dvDir(root), "dv", liveDv)).sortBy(_._1)
   }
 
   /** The table's hive partition columns (empty when unpartitioned). */

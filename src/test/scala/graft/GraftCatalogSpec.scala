@@ -96,6 +96,26 @@ class GraftCatalogSpec extends SparkSpec {
       procs.contains("expire_older_than"), procs)
   }
 
+  test("orphans: a crashed commit's stranded file is reported, then swept") {
+    import spark.implicits._
+    ensureCatalog()
+    val root = freshRoot()
+    VersionedTable.create(spark, root, (1L to 8L).toDF("id"))
+    VersionedTable.append(spark, root, Seq(9L).toDF("id"))
+    assert(spark.sql(s"CALL graft.orphans('$root')").collect().isEmpty)
+    // a crashed commit: data written, manifest never published
+    val stray = new java.io.File(s"$root/data/c9-deadbeef-stranded.parquet")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    val got = spark.sql(s"CALL graft.orphans('$root')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("data/c9-deadbeef-stranded.parquet", 3L)))
+    // report only — the table is untouched until expire actually sweeps
+    assert(stray.exists())
+    VersionedTable.expire(spark, root, keepLast = 2)
+    assert(!stray.exists())
+    assert(spark.sql(s"CALL graft.orphans('$root')").collect().isEmpty)
+  }
+
   test("unknown procedures and malformed args are refused with clear errors") {
     ensureCatalog()
     val e = intercept[Exception] {
