@@ -75,12 +75,40 @@ object DvDeletedExpr {
     if (hits.isEmpty) None else Some(hits.maxBy(_.length))
   }
 
+  /** An O(1)-per-path resolver over a FIXED candidate set: entries bucket
+    * by basename (the only component two entries can collide past), and a
+    * path probes just its basename's bucket. The linear [[resolveEntry]]
+    * scan would make a wide vectored delete O(files²) on the driver at a
+    * million-file table; this keeps it O(files). */
+  def resolverFor(entries: Seq[String]): String => Option[String] = {
+    val byName = entries.groupBy(e => e.substring(e.lastIndexOf('/') + 1))
+    path => {
+      val name = path.substring(path.lastIndexOf('/') + 1)
+      byName.get(name).flatMap(c => resolveEntry(c, path))
+    }
+  }
+
+  // per-EXECUTOR basename index of each broadcast's entry set, built once
+  // per (broadcast value) rather than once per task — without it every
+  // task's memo miss rescans all entries, O(files²) across a wide read.
+  // WeakHashMap keyed on the map's identity: the index dies with the
+  // broadcast value, never pinning a deserialized snapshot.
+  private val resolverCache =
+    new java.util.WeakHashMap[AnyRef, String => Option[String]]
+
+  private def cachedResolver(m: Map[String, Array[Long]]): String => Option[String] =
+    resolverCache.synchronized {
+      var r = resolverCache.get(m)
+      if (r == null) { r = resolverFor(m.keys.toSeq); resolverCache.put(m, r) }
+      r
+    }
+
   def contains(m: Map[String, Array[Long]], file: UTF8String, pos: Long): Boolean = {
     val memo = last.get()
     val arr =
       if (memo != null && (memo._1 eq m) && memo._2.equals(file)) memo._3
       else {
-        val a = resolveEntry(m.keys, file.toString)
+        val a = cachedResolver(m)(file.toString)
           .map(m).getOrElse(Array.emptyLongArray)
         last.set((m, file.clone(), a))
         a

@@ -1891,8 +1891,9 @@ object VersionedTable {
           .groupBy(col(DvFileCol))
           .agg(collect_list(col(DvPosCol)).as("ps"))
           .collect() // bounded: one row per touched file; positions ∝ deleted rows
-          .flatMap { r =>
-            graft.functions.DvDeletedExpr.resolveEntry(touched, r.getString(0))
+          .flatMap {
+            val resolve = graft.functions.DvDeletedExpr.resolverFor(touched)
+            r => resolve(r.getString(0))
               .map(entry => entry -> r.getSeq[Long](1).toArray.sorted)
           }.toMap
       }
@@ -2033,8 +2034,9 @@ object VersionedTable {
           .groupBy(col(DvFileCol))
           .agg(collect_list(col(DvPosCol)).as("ps"))
           .collect() // bounded: one row per touched file; positions ∝ matched rows
-          .flatMap { r =>
-            graft.functions.DvDeletedExpr.resolveEntry(touched, r.getString(0))
+          .flatMap {
+            val resolve = graft.functions.DvDeletedExpr.resolverFor(touched)
+            r => resolve(r.getString(0))
               .map(entry => entry -> r.getSeq[Long](1).toArray.sorted)
           }.toMap
       }
