@@ -82,9 +82,18 @@ object DvDeletedExpr {
     * million-file table; this keeps it O(files). */
   def resolverFor(entries: Seq[String]): String => Option[String] = {
     val byName = entries.groupBy(e => e.substring(e.lastIndexOf('/') + 1))
-    path => {
+    def probe(path: String): Option[String] = {
       val name = path.substring(path.lastIndexOf('/') + 1)
       byName.get(name).flatMap(c => resolveEntry(c, path))
+    }
+    path => probe(path).orElse {
+      // rendering fallback: a runtime may percent-encode special chars in
+      // _metadata.file_path that the manifest stores in on-disk form
+      // (hive-escaped partition values) — retry with the decoded form
+      val decoded =
+        try new java.net.URI(path).getPath
+        catch { case _: Exception => null }
+      if (decoded != null && decoded != path) probe(decoded) else None
     }
   }
 

@@ -124,9 +124,11 @@ object MetaAggregates extends Rule[LogicalPlan] {
                      conds: Seq[Expression]): Option[LogicalPlan] = {
     if (!shapeAnswerable(agg, conds)) return None
     val spark = rel.sqlContext.sparkSession
-    val all = VersionedTable.metaFiles(spark, rel.root, rel.version)
-    val partCols =
-      VersionedTable.partitionColsOf(spark, rel.root, rel.version).toSet
+    // ONE manifest resolution for both the file metadata and the layout —
+    // two independent reads could straddle a concurrent commit
+    val (all, partColsSeq) =
+      VersionedTable.metaSnapshot(spark, rel.root, rel.version)
+    val partCols = partColsSeq.toSet
     // filter: every file must decide the whole conjunction from metadata
     val included: Seq[FileMeta] =
       if (conds.isEmpty) all
@@ -210,24 +212,44 @@ object MetaAggregates extends Rule[LogicalPlan] {
       val vs = groupAttrs.map(a => singleValue(a, f, partCols))
       if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
     }
-    val keyed = fs.map(f => keyOf(f).map(_ -> f))
+    // a recorded-zero-row file contributes no rows to any group (and has
+    // no stats to key on) — exempt rather than refuse
+    val keyed = fs.filterNot(_.rows.contains(0L)).map(f => keyOf(f).map(_ -> f))
     if (keyed.exists(_.isEmpty)) return None
     val groups = keyed.flatten.groupBy(_._1).view.mapValues(_.map(_._2))
-      .toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
-    val rows = groups.map { case (key, members) =>
-      val byAttr = groupAttrs.zip(key).toMap
-      val values = agg.aggregateExpressions.map {
-        case a: AttributeReference if byAttr.contains(a) => Some(byAttr(a))
-        case Alias(a: AttributeReference, _) if byAttr.contains(a) =>
-          Some(byAttr(a))
-        case Alias(ae: AggregateExpression, _)
-            if !ae.isDistinct && ae.filter.isEmpty =>
-          aggValue(ae.aggregateFunction, members)
-        case Alias(e, _) if e.foldable && e.deterministic => Some(e.eval())
-        case _ => None
+      .toSeq.sortBy(_._1.map(String.valueOf).mkString("|"))
+    val rows = groups.flatMap { case (key, members) =>
+      // a group whose files hold ZERO live rows yields NO output row in a
+      // real scan — emitting ("s0", 0) after a whole partition was
+      // vectored away would be a phantom group (and a phantom DISTINCT
+      // value). Per-file liveness: rows − dvCard when the count is
+      // recorded; an uncounted file with no vector is non-empty (its
+      // grouping stat witnesses a value); uncounted WITH a vector is
+      // undecidable — refuse the whole rewrite.
+      val live = members.map { f =>
+        f.rows match {
+          case Some(n) => Some(n - f.dvCard)
+          case None if f.dvCard == 0L => Some(1L) // non-empty witness
+          case None => None
+        }
       }
-      if (values.exists(_.isEmpty)) return None
-      InternalRow.fromSeq(values.map(_.get))
+      if (live.exists(_.isEmpty)) return None
+      if (live.flatten.sum == 0L) None
+      else {
+        val byAttr = groupAttrs.zip(key).toMap
+        val values = agg.aggregateExpressions.map {
+          case a: AttributeReference if byAttr.contains(a) => Some(byAttr(a))
+          case Alias(a: AttributeReference, _) if byAttr.contains(a) =>
+            Some(byAttr(a))
+          case Alias(ae: AggregateExpression, _)
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            aggValue(ae.aggregateFunction, members)
+          case Alias(e, _) if e.foldable && e.deterministic => Some(e.eval())
+          case _ => None
+        }
+        if (values.exists(_.isEmpty)) return None
+        Some(InternalRow.fromSeq(values.map(_.get)))
+      }
     }
     Some(LocalRelation(agg.output, rows))
   }

@@ -703,8 +703,14 @@ object VersionedTable {
             nulls = 0L))
         case StringType if v.forall(_ < 128) =>
           Some(ColStat(k, "string", v, v, nulls = 0L))
-        case _ => None // dates/timestamps: dir strings don't share the
-                       // pushed-filter stat domain (epoch days/micros)
+        case DateType =>
+          // dir value "2024-01-01" → epoch days, the documented RangePreds
+          // domain for dates — so date-partitioned pruning AND the
+          // metadata GROUP BY day both work; unparseable dirs stay unstated
+          scala.util.Try(java.time.LocalDate.parse(v).toEpochDay.toString)
+            .toOption.map(d => ColStat(k, "long", d, d, nulls = 0L))
+        case _ => None // timestamps: dir renderings don't share the
+                       // pushed-filter stat domain (epoch micros)
       }
     }
   }
@@ -1639,56 +1645,6 @@ object VersionedTable {
       m.files.flatMap(m.dvs.get).map(_.card).sum)
   }
 
-  /** Exact [lo, hi] of `column` over `version` as (statType, lo, hi) in
-    * the manifest stat domain. Sound only when EVERY live file records the
-    * column (absent stats could hide the extremum) and NO file carries a
-    * deletion vector (the extremum could be a deleted row) — else None.
-    * Footer bounds are actual values from the file for the numeric
-    * domains; the CALLER decides which logical types to trust (strings
-    * may be writer-truncated, doubles NaN-blind — see MetaAggregates). */
-  def metaBounds(spark: SparkSession, root: String, column: String,
-                 version: Option[Int] = None): Option[(String, String, String)] = {
-    val v = version.orElse(currentVersion(spark, root))
-      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
-    val m = readManifest(spark, root, v)
-    if (m.files.isEmpty || m.files.exists(m.dvs.contains)) return None
-    // a recorded-zero-row file cannot hold the extremum — exempt from
-    // the must-have-stats coverage rule (it has no footer stats)
-    val counted = m.files.filterNot(f => m.rows.get(f).contains(0L))
-    val per = counted.map(f =>
-      m.stats.getOrElse(f, Seq.empty).find(_.col == column))
-    if (per.exists(_.isEmpty) || per.isEmpty) None
-    else {
-      val cs = per.flatten
-      val typ = cs.head.typ
-      if (cs.exists(_.typ != typ)) None
-      else Some((typ,
-        cs.map(_.lo).minBy(parse(typ, _))(ordering(typ)),
-        cs.map(_.hi).maxBy(parse(typ, _))(ordering(typ))))
-    }
-  }
-
-  /** Exact non-null count of `column` over `version`: Σ (rows − nulls)
-    * per file. Needs every file to record both the row count and the
-    * column's null count, and no deletion vectors (a deleted row's
-    * null-ness is unknowable from metadata) — else None. */
-  def metaNonNullCount(spark: SparkSession, root: String, column: String,
-                       version: Option[Int] = None): Option[Long] = {
-    val v = version.orElse(currentVersion(spark, root))
-      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
-    val m = readManifest(spark, root, v)
-    if (m.files.exists(m.dvs.contains)) return None
-    val per = m.files.map { f =>
-      m.rows.get(f) match {
-        case Some(0L) => Some(0L) // no rows, no footer stats — and no values
-        case Some(n) => m.stats.getOrElse(f, Seq.empty).find(_.col == column)
-          .filter(_.nulls >= 0).map(n - _.nulls)
-        case None => None
-      }
-    }
-    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
-  }
-
   /** Per-live-file metadata for GROUPED metadata aggregates
     * ([[graft.plans.MetaAggregates]]'s GROUP BY rewrite): row count
     * (None when unrecorded), deletion-vector cardinality, and the file's
@@ -1701,14 +1657,21 @@ object VersionedTable {
                             stats: Map[String, ColStat])
 
   def metaFiles(spark: SparkSession, root: String,
-                version: Option[Int] = None): Seq[FileMeta] = {
+                version: Option[Int] = None): Seq[FileMeta] =
+    metaSnapshot(spark, root, version)._1
+
+  /** [[metaFiles]] plus the snapshot's partition columns, from ONE
+    * manifest resolution — so a planner rule cannot pair one version's
+    * files with another's layout when a commit lands mid-plan. */
+  def metaSnapshot(spark: SparkSession, root: String,
+                   version: Option[Int] = None): (Seq[FileMeta], Seq[String]) = {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, v)
-    m.files.map { f =>
+    (m.files.map { f =>
       FileMeta(m.rows.get(f), m.dvs.get(f).map(_.card).getOrElse(0L),
         m.stats.getOrElse(f, Seq.empty).map(s => s.col -> s).toMap)
-    }
+    }, m.partitionCols)
   }
 
   /** The table's commit history as a DataFrame — one row per version:
@@ -2263,23 +2226,30 @@ object VersionedTable {
     v
   }
 
-  /** Expire all but the newest `keepLast` versions: their manifests are
-    * deleted, then any data file referenced by NO surviving manifest is
-    * removed (this also sweeps orphans from crashed commits). Returns
-    * (manifests deleted, data files deleted). */
-  /** Time-based retention: expire every version committed at or before
-    * `tsMillis` (manifest wall clock), always keeping at least the
-    * newest `keepAtLeast` — the "keep 7 days of history" shape, built on
-    * [[expire]]'s version-count contract so all its GC guarantees
-    * (clone back-references, txn pins, delta-chain checkpoints) apply
-    * unchanged. */
+  /** Time-based retention — the "keep 7 days of history" shape, built on
+    * [[expire]]'s version-count contract so all its GC guarantees (clone
+    * back-references, txn pins, delta-chain checkpoints) apply unchanged.
+    * Keeps every version from the OLDEST one whose manifest wall clock is
+    * after `tsMillis` onward (and at least the newest `keepAtLeast`):
+    * a version committed after the cutoff is NEVER expired, even when
+    * manifest mtimes are non-monotonic in version number (clock skew, a
+    * restored copy) — at worst an old-by-clock version sitting above a
+    * young one is conservatively retained. */
   def expireOlderThan(spark: SparkSession, root: String, tsMillis: Long,
                       keepAtLeast: Int = 1): (Int, Int) = {
-    val hist = history(spark, root)
-    val keep = math.max(keepAtLeast, hist.count(_._2 > tsMillis))
+    val hist = history(spark, root).sortBy(_._1)
+    val firstYoung = hist.indexWhere(_._2 > tsMillis)
+    val keep =
+      if (firstYoung < 0) keepAtLeast
+      else math.max(keepAtLeast, hist.size - firstYoung)
     expire(spark, root, keepLast = keep)
   }
 
+  /** Expire all but the newest `keepLast` versions: their manifests are
+    * deleted, then any data file or DV sidecar referenced by NO surviving
+    * manifest (and protected by no txn pin or registered clone) is
+    * removed — which also sweeps orphans from crashed commits. Returns
+    * (manifests deleted, files deleted). */
   def expire(spark: SparkSession, root: String, keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the newest version")
     val vs = versions(spark, root)

@@ -306,6 +306,39 @@ class MetaAggregateSpec extends SparkSpec {
     assert(got == truth)
   }
 
+  test("a fully-vectored partition emits no phantom group or DISTINCT value") {
+    import spark.implicits._
+    val root = freshRoot()
+    val d = (0L until 100L).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 2).cast("string")))
+    VersionedTable.create(spark, root, d, partitionBy = Seq("src"))
+    // vector away EVERY s0 row: the s0 group must vanish, not report 0
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty,
+      col("src") === "s0")
+    val g = rel(root).groupBy("src").agg(count(lit(1)).as("n"))
+    assert(metaAnswered(g))
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("s1" -> 50L))
+    val distinct = rel(root).select("src").distinct()
+    assert(metaAnswered(distinct))
+    assert(distinct.collect().map(_.getString(0)).toSeq == Seq("s1"))
+  }
+
+  test("DATE partition columns: the advertised GROUP BY day dashboard") {
+    import spark.implicits._
+    val root = freshRoot()
+    val d = (0 until 90).toDF("n")
+      .withColumn("day", date_add(to_date(lit("2024-03-01")), col("n") % 3))
+      .withColumn("id", col("n").cast("long")).drop("n")
+    VersionedTable.create(spark, root, d, partitionBy = Seq("day"))
+    val g = rel(root).filter(col("day") >= to_date(lit("2024-03-02")))
+      .groupBy("day").agg(count(lit(1)).as("n"), min("id").as("lo"))
+    assert(metaAnswered(g), g.queryExecution.optimizedPlan.toString)
+    val got = g.collect().map(r =>
+      r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map("2024-03-02" -> ((30L, 1L)), "2024-03-03" -> ((30L, 2L))))
+  }
+
   test("the rewrite can be disabled by conf") {
     import spark.implicits._
     val root = freshRoot()
