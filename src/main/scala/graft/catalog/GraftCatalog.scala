@@ -65,13 +65,18 @@ object GraftCatalog {
   private final class Proc(procName: String, procDescription: String,
                            params: Seq[(String, DataType)],
                            resultSchema: StructType,
-                           body: (SparkSession, InternalRow) => Seq[InternalRow])
+                           body: (SparkSession, InternalRow) => Seq[InternalRow],
+                           defaults: Map[String, String] = Map.empty)
       extends UnboundProcedure with BoundProcedure {
     override def name(): String = procName
     override def description(): String = procDescription
     override def bind(inputType: StructType): BoundProcedure = this
     override def parameters(): Array[ProcedureParameter] =
-      params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+      params.map { case (n, t) =>
+        val b = ProcedureParameter.in(n, t)
+        defaults.get(n).foreach(b.defaultValue)
+        b.build()
+      }.toArray
     override def isDeterministic: Boolean = false
     override def call(input: InternalRow): JIterator[Scan] = {
       val resultRows = body(SparkSession.active, input).toArray
@@ -115,16 +120,20 @@ object GraftCatalog {
         VersionedTable.compact(spark, str(in, 0), targetBytes = in.getLong(1)))),
 
     new Proc("expire",
-      "drop all but the newest keep_last versions and sweep unreferenced files",
-      Seq("path" -> StringType, "keep_last" -> IntegerType),
+      "drop all but the newest keep_last versions and sweep unreferenced " +
+        "files; min_orphan_age_ms protects a concurrent writer's staged " +
+        "(not-yet-published) files from the sweep",
+      Seq("path" -> StringType, "keep_last" -> IntegerType,
+        "min_orphan_age_ms" -> LongType),
       StructType(Seq(
         StructField("removed_versions", IntegerType, nullable = false),
         StructField("removed_files", IntegerType, nullable = false))),
       (spark, in) => {
-        val (versions, files) =
-          VersionedTable.expire(spark, str(in, 0), keepLast = in.getInt(1))
+        val (versions, files) = VersionedTable.expire(spark, str(in, 0),
+          keepLast = in.getInt(1), minOrphanAgeMillis = in.getLong(2))
         Seq(InternalRow(versions, files))
-      }),
+      },
+      defaults = Map("min_orphan_age_ms" -> "0")),
 
     new Proc("expire_older_than",
       "expire versions committed at or before ts_millis, keeping at " +

@@ -2236,21 +2236,35 @@ object VersionedTable {
     * restored copy) — at worst an old-by-clock version sitting above a
     * young one is conservatively retained. */
   def expireOlderThan(spark: SparkSession, root: String, tsMillis: Long,
-                      keepAtLeast: Int = 1): (Int, Int) = {
+                      keepAtLeast: Int = 1,
+                      minOrphanAgeMillis: Long = 0L): (Int, Int) = {
     val hist = history(spark, root).sortBy(_._1)
     val firstYoung = hist.indexWhere(_._2 > tsMillis)
     val keep =
       if (firstYoung < 0) keepAtLeast
       else math.max(keepAtLeast, hist.size - firstYoung)
-    expire(spark, root, keepLast = keep)
+    expire(spark, root, keepLast = keep,
+      minOrphanAgeMillis = minOrphanAgeMillis)
   }
 
   /** Expire all but the newest `keepLast` versions: their manifests are
     * deleted, then any data file or DV sidecar referenced by NO surviving
     * manifest (and protected by no txn pin or registered clone) is
     * removed — which also sweeps orphans from crashed commits. Returns
-    * (manifests deleted, files deleted). */
-  def expire(spark: SparkSession, root: String, keepLast: Int): (Int, Int) = {
+    * (manifests deleted, files deleted).
+    *
+    * `minOrphanAgeMillis` guards the COMMIT-IN-FLIGHT race: a writer
+    * stages its data files BEFORE publishing the manifest, so a
+    * concurrent expire sees them as unreferenced; with an age floor an
+    * unreferenced file younger than the floor survives the sweep (the
+    * in-flight commit then publishes normally; a genuinely crashed
+    * commit's files age past the floor and go next time). 0 — the
+    * default, what single-writer tests and maintenance-window GC want —
+    * sweeps immediately; deployments running expire CONCURRENTLY with
+    * writers should set it comfortably above their longest commit
+    * (Delta's deleted-file-retention default solves the same race). */
+  def expire(spark: SparkSession, root: String, keepLast: Int,
+             minOrphanAgeMillis: Long = 0L): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the newest version")
     val vs = versions(spark, root)
     val f = fs(spark, new Path(root))
@@ -2311,12 +2325,17 @@ object VersionedTable {
     val cloneLive: Set[String] = cloneProtected(spark, root, f)
     def files(p: Path): Seq[Path] = walkFiles(f, p)
     val base = f.makeQualified(dd).toUri.getPath
+    val now = System.currentTimeMillis()
+    def agedOut(p: Path): Boolean =
+      minOrphanAgeMillis <= 0L ||
+        now - f.getFileStatus(p).getModificationTime >= minOrphanAgeMillis
     val removed =
       if (!f.exists(dd)) 0
       else files(dd).count { p =>
         val full = f.makeQualified(p).toUri.getPath
         val rel = "data" + full.stripPrefix(base)
-        !live.contains(rel) && !cloneLive.contains(full) && f.delete(p, false)
+        !live.contains(rel) && !cloneLive.contains(full) && agedOut(p) &&
+          f.delete(p, false)
       }
     // deletion-vector sidecars age out with the manifests that reference
     // them (same rule as data files: live = referenced by any surviving or
@@ -2328,7 +2347,8 @@ object VersionedTable {
       else files(dvd).count { p =>
         val full = f.makeQualified(p).toUri.getPath
         val rel = "dv" + full.stripPrefix(dvBase)
-        !liveDv.contains(rel) && !cloneLive.contains(full) && f.delete(p, false)
+        !liveDv.contains(rel) && !cloneLive.contains(full) && agedOut(p) &&
+          f.delete(p, false)
       }
     (drop.size, removed + removedDv)
   }

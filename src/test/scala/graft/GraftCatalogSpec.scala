@@ -116,6 +116,23 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"CALL graft.orphans('$root')").collect().isEmpty)
   }
 
+  test("min_orphan_age_ms shields a commit-in-flight's staged files from the sweep") {
+    import spark.implicits._
+    ensureCatalog()
+    val root = freshRoot()
+    VersionedTable.create(spark, root, (1L to 5L).toDF("id"))
+    VersionedTable.append(spark, root, Seq(6L).toDF("id"))
+    // a concurrent writer's freshly STAGED file: data written, manifest
+    // not yet published — unreferenced, but must not be swept mid-commit
+    val staged = new java.io.File(s"$root/data/c3-abcd1234-inflight.parquet")
+    java.nio.file.Files.write(staged.toPath, Array[Byte](7))
+    spark.sql(s"CALL graft.expire('$root', 1, ${3600L * 1000})")
+    assert(staged.exists(), "a young unreferenced file must survive the sweep")
+    // once aged past the floor (here: floor 0 — the default), it goes
+    spark.sql(s"CALL graft.expire('$root', 1)")
+    assert(!staged.exists())
+  }
+
   test("unknown procedures and malformed args are refused with clear errors") {
     ensureCatalog()
     val e = intercept[Exception] {
