@@ -490,11 +490,29 @@ object VersionedTable {
       } else claimProviders.get(f.getScheme) match {
         case Some(p) =>
           // arbitration decided a single winner; only the winner touches
-          // `target`, so the store's replace-semantics rename is safe
+          // `target`, so the store's replace-semantics rename is safe.
+          // A won claim is exclusive FOREVER (version names are never
+          // reused), which cuts both ways: the winner may freely RETRY a
+          // transiently failing publish — and without retries a consumed
+          // claim with no manifest would wedge the table for good (every
+          // later attempt re-claims the same name and is refused).
           val won = p.claim(f, target)
-          if (won && !f.rename(tmp, target))
-            throw new java.io.IOException(
-              s"claimed $target but failed to publish it from $tmp")
+          if (won) {
+            var published = false
+            var attempt = 0
+            var lastErr: Throwable = null
+            while (!published && attempt < 5) {
+              try published = f.rename(tmp, target)
+              catch { case e: java.io.IOException => lastErr = e }
+              attempt += 1
+              if (!published && attempt < 5) Thread.sleep(50L << attempt)
+            }
+            if (!published)
+              throw new java.io.IOException(
+                s"claimed $target but failed to publish it after $attempt " +
+                  s"attempts; the claim stays with this writer — recover by " +
+                  s"copying the staged manifest $tmp to $target", lastErr)
+          }
           won
         case None =>
           // Object stores (s3a/gs/wasb/abfs/oss/...) implement rename as
@@ -615,7 +633,16 @@ object VersionedTable {
           // full-manifest read pays nothing for it.
           val ck = checkpointPath(root, v)
           if (f.exists(ck)) parseFullManifest(v, readText(f, ck))
-          else applyDeltaManifest(v, text, readManifest(spark, root, v - 1))
+          else try applyDeltaManifest(v, text, readManifest(spark, root, v - 1))
+          catch {
+            // a CONCURRENT expire can drop this delta's parent after our
+            // no-checkpoint probe but before the recursion reads it — and
+            // expire always writes the checkpoint FIRST, so re-probing
+            // closes the window for a version expire deliberately kept
+            case e: IllegalArgumentException =>
+              if (f.exists(ck)) parseFullManifest(v, readText(f, ck))
+              else throw e
+          }
         }
       cachePut(key, m)
       m
@@ -2154,7 +2181,11 @@ object VersionedTable {
     val f = fs(spark, new Path(root))
     val bytes = m.files.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    if (clusterBy.isEmpty && target >= m.files.size) return cur
+    // a DV-bearing table is never a no-op: the rewrite is what
+    // MATERIALIZES the vectors (the contract every CoW path carries —
+    // compactWhere already had this carve-out)
+    if (clusterBy.isEmpty && target >= m.files.size && m.dvs.isEmpty)
+      return cur
     val base = read(spark, root, Some(cur))
     // clustering: range-partition + sort on the cluster key, so each
     // compacted file covers a NARROW disjoint key range and the manifest
@@ -2406,6 +2437,27 @@ object VersionedTable {
       }
     (report(dataDir(root), "data", live) ++
       report(dvDir(root), "dv", liveDv)).sortBy(_._1)
+  }
+
+  /** The data files the commit carrying transaction `txn` ADDED (its
+    * manifest's file set minus its parent version's) — empty when no
+    * committed version carries `txn`. The streaming bloom-maintenance
+    * anchor: a batch may attach ITS union bloom only to files its own
+    * txn created; stamping any other un-bloomed file (a compaction
+    * rewrite, a pre-seeded base) would violate [[attachBlooms]]'
+    * superset contract and unsoundly prune the dedup probe. */
+  def filesAddedByTxn(spark: SparkSession, root: String,
+                      txn: Long): Seq[String] = {
+    val vs = versions(spark, root)
+    vs.reverse.find(v => readManifest(spark, root, v).txn.contains(txn))
+      .map { v =>
+        val m = readManifest(spark, root, v)
+        val i = vs.indexOf(v)
+        val parentFiles =
+          if (i <= 0) Set.empty[String]
+          else readManifest(spark, root, vs(i - 1)).files.toSet
+        m.files.filterNot(parentFiles)
+      }.getOrElse(Seq.empty)
   }
 
   /** The table's hive partition columns (empty when unpartitioned). */

@@ -432,12 +432,15 @@ object EventsStream {
     }).localCheckpoint()
     if (!fresh.isEmpty) { // bounded probe: skip fully-duplicate batches
       VersionedTable.appendTxn(spark, baseRoot, fresh, id)
-      // zero-rescan index maintenance: the un-bloomed files are exactly
-      // this batch's (single-writer; a crash-window replay re-delivers
-      // the SAME content to the files the crashed run left un-bloomed),
-      // and the batch-union bloom is a superset of each one's keys
-      // (fresh ⊆ batch)
-      val owed = VersionedTable.unbloomedFiles(spark, baseRoot, "event_id")
+      // zero-rescan index maintenance, scoped to THIS txn's files: the
+      // batch-union bloom is a superset of their keys (fresh ⊆ batch) —
+      // and of NO other file's. Stamping every un-bloomed file instead
+      // would mis-bloom files this batch never wrote (a maintenance
+      // compaction's rewrites, a pre-seeded base), silently pruning their
+      // keys out of the dedup probe. A crash-window replay still heals:
+      // the crashed commit CARRIES this txn id, so its files are found.
+      val owed = VersionedTable.filesAddedByTxn(spark, baseRoot, id)
+        .intersect(VersionedTable.unbloomedFiles(spark, baseRoot, "event_id"))
       val vBase =
         if (owed.isEmpty) VersionedTable.currentVersion(spark, baseRoot).get
         else VersionedTable.attachBlooms(spark, baseRoot,

@@ -307,6 +307,42 @@ class TxnCatalogSpec extends SparkSpec {
     assert(got == expect, "MV must equal the pinned base's rollup after recovery")
   }
 
+  test("a base compaction between batches cannot poison the dedup blooms") {
+    // the bloom-maintenance soundness hazard: a maintenance compaction
+    // rewrites the base into NEW files that carry no blooms. If the next
+    // batch stamped every un-bloomed file with ITS union bloom, the
+    // compacted file holding the whole history would advertise only the
+    // new batch's keys — a later at-least-once re-delivery of an OLD
+    // span would be bloom-pruned out of the duplicate probe and appended
+    // twice. Bloom attachment is scoped to the batch's OWN txn files, so
+    // the compacted file stays bloom-less (always probed) and the
+    // re-delivery is absorbed.
+    import graft.streaming.EventsStream
+    val dir = freshDir()
+    val base = s"$dir/base"; val mv = s"$dir/mv"; val cat = s"$dir/_catalog"
+    EventsStream.applyTxnMvBatch(spark, base, mv, cat,
+      eventsDf(0 until 100).repartition(3), 0L)
+    // routine maintenance: 3 files -> 1; the rewrite has NO bloom
+    VersionedTable.compact(spark, base, targetBytes = Long.MaxValue / 4)
+    assert(VersionedTable.filesOf(spark, base).size == 1)
+    EventsStream.applyTxnMvBatch(spark, base, mv, cat,
+      eventsDf(100 until 150).coalesce(1), 1L)
+    // the compacted history file must NOT have been stamped with batch
+    // 1's bloom (it holds ids 0..99, none of which are in that bloom)
+    val owed = VersionedTable.unbloomedFiles(spark, base, "event_id")
+    assert(owed.nonEmpty,
+      "the compaction rewrite must remain bloom-less, not mis-bloomed")
+    // at-least-once re-delivery of the OLD span under a fresh batch id:
+    // the probe must still find the duplicates (bloom-less files always
+    // survive pruning) and refuse them
+    EventsStream.applyTxnMvBatch(spark, base, mv, cat,
+      eventsDf(0 until 100).coalesce(1), 2L)
+    val ids = TxnCatalog.read(spark, cat, "base")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until 150L),
+      "re-delivered old span must be absorbed despite the compaction")
+  }
+
   test("txn-MV dedup probe scans only bloom-relevant files of the pinned base") {
     // the 100 TB posture: each micro-batch's duplicate probe must be
     // O(batch-relevant files), never a full-ledger scan — proven here by
