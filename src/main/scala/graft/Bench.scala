@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** The per-query regression verdict: `v` (this round's adjudicated
+    * min) against the committed stable baseline `b`. Heavy queries
+    * (baseline ≥ 2 s) trip at 1.3×, the rest at 1.5× — the expensive
+    * tail is where sub-1.5× creep is real wall-clock (a 1.4× slide on a
+    * 5 s query costs more than a 3× slide on a 0.2 s one), and every
+    * heavy query now has a stable re-run behind its number, so the
+    * tighter trigger adjudicates isolation time, not contention. The
+    * 0.3 s absolute floor keeps scheduling jitter on fast queries out.
+    * BenchGateSpec pins the matrix (including the planted-1.4×-on-heavy
+    * case the looser gate missed). */
+  private[graft] def isRegression(v: Double, b: Double): Boolean = {
+    val factor = if (b >= 2.0) 1.3 else 1.5
+    v > factor * b && v - b > 0.3
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -93,7 +108,7 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     def regressed(name: String, v: Double): Boolean =
-      baseline.get(name).exists(b => v > 1.5 * b && v - b > 0.3)
+      baseline.get(name).exists(b => Bench.isRegression(v, b))
     val wideSpread = results.collect {
       // 2× (not 3×): round-9's q181 sat at a genuine 2.4× spread and a
       // 3× bar never re-ran it; the absolute guard keeps sub-second
@@ -103,7 +118,17 @@ object Bench {
     val vsBaseline = results.collect {
       case (k, Some((mn, _, _))) if regressed(k, mn) => k
     }
-    val flagged = (wideSpread ++ vsBaseline).distinct
+    // The heavy tail ALWAYS gets a stable re-run: queries ≥ 2 s dominate
+    // the sweep total, and round 10 showed two of them (q126 at 1.47×,
+    // q156 at 1.44×) sliding under the old trigger with no stable datum
+    // on record — sub-threshold creep the spread flags can't see. With
+    // every ≥ 2 s query carrying a stable_min in BENCH_SPREAD.json, the
+    // tighter heavy gate in [[Bench.isRegression]] adjudicates against
+    // isolation numbers, not contended sweep ones.
+    val heavyTail = results.collect {
+      case (k, Some((mn, _, _))) if mn >= 2.0 => k
+    }
+    val flagged = (wideSpread ++ vsBaseline ++ heavyTail).distinct
     val stableMin: Map[String, Double] =
       if (stableRuns <= 0) Map.empty
       else flagged.map { n =>

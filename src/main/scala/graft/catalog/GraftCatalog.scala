@@ -119,10 +119,18 @@ object GraftCatalog {
       (spark, in) => versionRow(
         VersionedTable.compact(spark, str(in, 0), targetBytes = in.getLong(1)))),
 
+    // The SQL face defaults min_orphan_age_ms to ONE HOUR, unlike the
+    // library's explicit-0 default: a scheduled `CALL graft.expire` is
+    // exactly the operator least likely to know about the single-writer
+    // staging window, and a default-0 sweep racing a live commit deletes
+    // its staged (not-yet-published) data files. An hour comfortably
+    // clears any real commit's staging time; pass 0 explicitly for
+    // maintenance-window GC with writers quiesced (Delta's
+    // deleted-file-retention default guards the same race with 7 days).
     new Proc("expire",
       "drop all but the newest keep_last versions and sweep unreferenced " +
-        "files; min_orphan_age_ms protects a concurrent writer's staged " +
-        "(not-yet-published) files from the sweep",
+        "files; min_orphan_age_ms (default 1h) protects a concurrent " +
+        "writer's staged (not-yet-published) files from the sweep",
       Seq("path" -> StringType, "keep_last" -> IntegerType,
         "min_orphan_age_ms" -> LongType),
       StructType(Seq(
@@ -133,21 +141,23 @@ object GraftCatalog {
           keepLast = in.getInt(1), minOrphanAgeMillis = in.getLong(2))
         Seq(InternalRow(versions, files))
       },
-      defaults = Map("min_orphan_age_ms" -> "0")),
+      defaults = Map("min_orphan_age_ms" -> "3600000")),
 
     new Proc("expire_older_than",
       "expire versions committed at or before ts_millis, keeping at " +
-        "least keep_at_least newest",
+        "least keep_at_least newest; min_orphan_age_ms as in expire",
       Seq("path" -> StringType, "ts_millis" -> LongType,
-        "keep_at_least" -> IntegerType),
+        "keep_at_least" -> IntegerType, "min_orphan_age_ms" -> LongType),
       StructType(Seq(
         StructField("removed_versions", IntegerType, nullable = false),
         StructField("removed_files", IntegerType, nullable = false))),
       (spark, in) => {
         val (versions, files) = VersionedTable.expireOlderThan(
-          spark, str(in, 0), in.getLong(1), keepAtLeast = in.getInt(2))
+          spark, str(in, 0), in.getLong(1), keepAtLeast = in.getInt(2),
+          minOrphanAgeMillis = in.getLong(3))
         Seq(InternalRow(versions, files))
-      }),
+      },
+      defaults = Map("min_orphan_age_ms" -> "3600000")),
 
     new Proc("rollback",
       "publish an old version's exact file list as the new newest version",
@@ -180,6 +190,36 @@ object GraftCatalog {
           else
             VersionedTable.deleteWhere(spark, str(in, 0), Map.empty, cond))
       }),
+
+    // The MoR DML face: scheduled CDC apply / upsert without dropping to
+    // Scala. The source is any registered view/table (CREATE TEMP VIEW
+    // over the batch, then CALL) — the one SQL-native way to hand a
+    // relation to a procedure; keys are comma-separated.
+    new Proc("merge_into",
+      "MERGE a registered view/table into the target by key: matched " +
+        "target rows are replaced, unmatched source rows insert; " +
+        "vectored=true commits merge-on-read deletion vectors (no " +
+        "target file rewrites) instead of copy-on-write",
+      Seq("path" -> StringType, "source_view" -> StringType,
+        "keys" -> StringType, "vectored" -> BooleanType), versionResult,
+      (spark, in) => {
+        val src = spark.table(str(in, 1))
+        val keys = str(in, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        versionRow(
+          if (in.getBoolean(3))
+            VersionedTable.mergeIntoVectored(spark, str(in, 0), src, keys)
+          else VersionedTable.mergeInto(spark, str(in, 0), src, keys))
+      },
+      defaults = Map("vectored" -> "false")),
+
+    new Proc("reindex",
+      "rebuild blooms (and existing HLL registers) for the given " +
+        "comma-separated columns on DV-bearing files, from surviving " +
+        "rows only — restores skipping precision after wide vectored " +
+        "deletes without rewriting data",
+      Seq("path" -> StringType, "columns" -> StringType), versionResult,
+      (spark, in) => versionRow(VersionedTable.reindex(spark, str(in, 0),
+        str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))),
 
     new Proc("orphans",
       "dry-run GC report: files no version references and no clone " +

@@ -29,15 +29,20 @@ import graft.sources.VersionedRelation
   *  - `count(*)` = Σ file rows − Σ DV cardinalities (DV positions are
   *    distinct in-range rows, so the subtraction is exact — per file,
   *    hence also per group and per filtered subset);
-  *  - `count(col)` = Σ (rows − footer null count), refused under DVs
-  *    (a deleted row's null-ness is unknowable from metadata);
-  *  - `min/max(col)` come from footer bounds, refused under DVs (the
-  *    extremum might be deleted) and restricted to the INTEGRAL logical
-  *    types + DATE: footer double stats are NaN-blind (a file holding
-  *    NaN reports non-NaN bounds while Spark's `max` orders NaN above
-  *    everything), string bounds may be writer-truncated, and INT64
-  *    timestamp bounds don't record their unit — each of those falls
-  *    back to the scan rather than risk a wrong answer.
+  *  - `count(col)` = Σ (live rows − null count). A DV-bearing file
+  *    answers only from a LIVE stat (survivor-exact nulls, re-derived by
+  *    the vectored DML that last grew its vector — a deleted row's
+  *    null-ness is unknowable from a raw footer count); a fully-vectored
+  *    file contributes 0 without needing stats at all.
+  *  - `min/max(col)` come from footer/live bounds, restricted to the
+  *    INTEGRAL logical types + DATE + timestamps whose stat records its
+  *    time unit ([[graft.sink.VersionedTable.ColStat.unit]] — an
+  *    unlabeled INT64 bound can't prove micros vs millis): footer double
+  *    stats are NaN-blind (a file holding NaN reports non-NaN bounds
+  *    while Spark's `max` orders NaN above everything) and string bounds
+  *    may be writer-truncated — those fall back to the scan rather than
+  *    risk a wrong answer. A DV-bearing file's bound must be LIVE (the
+  *    raw extremum might be deleted); a live-empty file is exempt.
   *
   * GROUP BY / WHERE participate only through columns on which every
   * (surviving) file is SINGLE-VALUED and null-free — degenerate [v, v]
@@ -89,10 +94,46 @@ object MetaAggregates extends Rule[LogicalPlan] {
     }
 
   /** Could `dt` ever come back from a "long"-domain bound? The static
-    * half of the min/max exactness rule, usable before any manifest IO. */
+    * half of the min/max exactness rule, usable before any manifest IO.
+    * Timestamps qualify statically; per-stat, only when the recorded
+    * `unit` proves the conversion (see [[statLong]]). */
   private def boundableType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DateType | ShortType | ByteType => true
+    case TimestampType | TimestampNTZType => true
     case _ => false
+  }
+
+  /** One stat bound as `dt`'s internal LONG domain (micros for
+    * timestamps, days for dates, the value itself for integrals) — None
+    * when the recorded unit can't prove the conversion. Millis stats
+    * (files written by other engines) scale exactly; an unlabeled
+    * timestamp stat (pre-unit manifests) refuses. */
+  private def statLong(dt: DataType, s: graft.sink.VersionedTable.ColStat,
+                       isMin: Boolean): Option[Long] = {
+    val v = (if (isMin) s.lo else s.hi).toLong
+    dt match {
+      case TimestampType => s.unit match {
+        case "ts-micros" => Some(v)
+        case "ts-millis" => Some(Math.multiplyExact(v, 1000L))
+        case _ => None
+      }
+      case TimestampNTZType => s.unit match {
+        case "ts-micros-ntz" => Some(v)
+        case "ts-millis-ntz" => Some(Math.multiplyExact(v, 1000L))
+        case _ => None
+      }
+      case LongType | IntegerType | DateType | ShortType | ByteType => Some(v)
+      case _ => None
+    }
+  }
+
+  /** An internal-long-domain extremum back as `dt`'s Catalyst value. */
+  private def fromLong(dt: DataType, v: Long): Option[Any] = dt match {
+    case LongType | TimestampType | TimestampNTZType => Some(v)
+    case IntegerType | DateType => Some(v.toInt)
+    case ShortType => Some(v.toShort)
+    case ByteType => Some(v.toByte)
+    case _ => None
   }
 
   /** Cheap SHAPE check — no manifest IO. The optimizer re-runs this rule
@@ -181,7 +222,13 @@ object MetaAggregates extends Rule[LogicalPlan] {
     f.stats.get(a.name)
       .filter(s => s.lo == s.hi && s.nulls == 0L &&
         (partCols.contains(a.name) || s.typ == "long"))
-      .flatMap(s => internalValue(a.dataType, s.typ, s.lo))
+      .flatMap { s =>
+        // single-valued-ness is MONOTONE under deletion (every raw row has
+        // the value, so every survivor does too) — no liveness needed here
+        if (s.typ == "long")
+          statLong(a.dataType, s, isMin = true).flatMap(fromLong(a.dataType, _))
+        else internalValue(a.dataType, s.typ, s.lo)
+      }
 
   private def answerGlobal(agg: Aggregate,
                            fs: Seq[FileMeta]): Option[LogicalPlan] = {
@@ -208,9 +255,20 @@ object MetaAggregates extends Rule[LogicalPlan] {
   private def answerGrouped(agg: Aggregate, fs: Seq[FileMeta],
                             partCols: Set[String]): Option[LogicalPlan] = {
     val groupAttrs = agg.groupingExpressions.map(_.asInstanceOf[AttributeReference])
+    // GROUP BY normalizes -0.0 to 0.0 before hashing (Spark's
+    // NormalizeFloatingNumbers); boxed Seq[Any] equality doesn't — a
+    // double-typed hive dir x=-0.0 next to x=0.0 must land in ONE group,
+    // and the emitted key must be the normalized value the scan shows
+    def normKey(v: Any): Any = v match {
+      case d: java.lang.Double if d.doubleValue() == 0.0 =>
+        java.lang.Double.valueOf(0.0)
+      case fl: java.lang.Float if fl.floatValue() == 0.0f =>
+        java.lang.Float.valueOf(0.0f)
+      case x => x
+    }
     def keyOf(f: FileMeta): Option[Seq[Any]] = {
       val vs = groupAttrs.map(a => singleValue(a, f, partCols))
-      if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
+      if (vs.exists(_.isEmpty)) None else Some(vs.map(v => normKey(v.get)))
     }
     // a recorded-zero-row file contributes no rows to any group (and has
     // no stats to key on) — exempt rather than refuse
@@ -262,12 +320,18 @@ object MetaAggregates extends Rule[LogicalPlan] {
       case Count(Seq(l: Literal)) if l.value != null =>
         if (fs.exists(_.rows.isEmpty)) None
         else Some(fs.map(_.rows.get).sum - fs.map(_.dvCard).sum)
-      case Count(Seq(a: AttributeReference)) if fs.forall(_.dvCard == 0L) =>
+      case Count(Seq(a: AttributeReference)) =>
         val per = fs.map { f =>
           f.rows match {
-            case Some(0L) => Some(0L) // no rows, no footer stats, no values
-            case Some(n) => f.stats.get(a.name).filter(_.nulls >= 0)
-              .map(n - _.nulls)
+            // fully vectored (or genuinely empty): zero live rows, no
+            // stats needed — covers the file whose last survivors a
+            // vectored delete just removed
+            case Some(n) if n == f.dvCard => Some(0L)
+            // DV-free files answer from any recorded null count; a
+            // DV-bearing file needs a LIVE one (survivor-exact)
+            case Some(n) => f.stats.get(a.name)
+              .filter(s => s.nulls >= 0 && (f.dvCard == 0L || s.live))
+              .map(s => (n - f.dvCard) - s.nulls)
             case None => None
           }
         }
@@ -279,17 +343,25 @@ object MetaAggregates extends Rule[LogicalPlan] {
 
   /** min/max over a file subset, only for logical types whose manifest
     * "long" stat domain is exact AND unambiguous (see class doc for why
-    * doubles, strings, and timestamps refuse); refused under DVs. A
-    * recorded-zero-row file cannot hold the extremum and is exempt from
-    * the must-have-stats coverage rule. */
+    * doubles and strings refuse; timestamps answer when their stat
+    * records its unit). A DV-bearing file participates only through a
+    * LIVE stat — its raw extremum might be deleted — and a file with
+    * zero LIVE rows (recorded-empty or fully vectored) cannot hold the
+    * extremum, so it is exempt from the coverage rule. */
   private def bound(a: AttributeReference, fs: Seq[FileMeta],
                     isMin: Boolean): Option[Any] = {
-    if (fs.exists(_.dvCard != 0L)) return None
-    val counted = fs.filterNot(_.rows.contains(0L))
-    val per = counted.map(_.stats.get(a.name).filter(_.typ == "long"))
-    if (per.exists(_.isEmpty) || per.isEmpty) return None
-    val vals = per.flatten.map(s => (if (isMin) s.lo else s.hi).toLong)
-    internalValue(a.dataType, "long", (if (isMin) vals.min else vals.max).toString)
+    val counted = fs.filterNot(f =>
+      f.rows.contains(0L) || f.rows.exists(_ == f.dvCard))
+    // per-file: the stat must exist, be long-domain, be live when the
+    // file carries a vector, and prove its unit for the attribute type
+    val vals = counted.map { f =>
+      f.stats.get(a.name)
+        .filter(s => s.typ == "long" && (f.dvCard == 0L || s.live))
+        .flatMap(s => statLong(a.dataType, s, isMin))
+    }
+    if (vals.isEmpty || vals.exists(_.isEmpty)) return None
+    val flat = vals.flatten
+    fromLong(a.dataType, if (isMin) flat.min else flat.max)
   }
 
   /** A manifest stat-domain value as `dt`'s Catalyst-internal form. The

@@ -446,13 +446,14 @@ object LakehouseQueries {
     // MIN/MAX over a snapshot collapses to a LocalRelation read from one
     // small JSON (at 100 TB: no scan job at all, the lakehouse analog of
     // Spark's OptimizeMetadataOnlyQuery). Both snapshots here hash
-    // against the oracle's recomputation from raw events; the v2 side is
-    // answered entirely from metadata (MetaAggregateSpec pins the plan),
-    // the v3 side carries deletion vectors, where count(*) stays
-    // metadata-exact (rows − cardinality) but min/max/count(col) must
-    // refuse (the extremum / a null could be a deleted row) — the
-    // all-or-nothing rule sends that whole side to the executors, and
-    // the hash proves refusing was the right call.
+    // against the oracle's recomputation from raw events, and BOTH are
+    // answered entirely from metadata (MetaAggregateSpec pins the
+    // zero-relation plan): the v2 side from footer stats, the v3 side —
+    // which carries deletion vectors — from the survivor-exact LIVE
+    // stats its vectored delete re-derived in the same distributed pass
+    // that wrote the sidecars (ColStat.live), so count(*), count(col)
+    // AND min/max all stay manifest arithmetic under merge-on-read
+    // deletes. The hash proves the refreshed stats are exact.
     "q195_meta_agg" -> ((s, d) => {
       val work = EventsStream.scratchDir("graft_meta_q195")
       val root = work.resolve("ev").toString
@@ -548,6 +549,102 @@ object LakehouseQueries {
           max(col("n_live_rows")).cast("double").as("sum_value"))
         .select(lit("_versions").as("tag"), col("n"), col("sum_value"))
       rollup.unionByName(meta)
+    }),
+
+    // The MoR DML face end-to-end through SQL (CALL graft.merge_into):
+    // a CoW merge (updates keyed on event_id, source handed over as a
+    // temp view) then a VECTORED merge whose batch both updates scattered
+    // keys and inserts brand-new ones — the CDC-apply shape where
+    // copy-on-write would rewrite nearly every file and merge-on-read
+    // writes none. The final rollup recomputes from raw events in the
+    // oracle, so both merge semantics (replace-by-key + insert) and the
+    // vectored read path are hash-gated; the _versions row pins the
+    // lifecycle length and the final live-row count.
+    "q199_sql_merge" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_merge_q199")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      VersionedTable.create(s, root, ev.repartition(4))               // v1
+      ev.filter(col("event_id") % 10 === 0)
+        .withColumn("event_type", lit("upd"))
+        .withColumn("value", col("value") + lit(1000.0))
+        .createOrReplaceTempView("q199_src_cow")
+      s.sql(s"CALL graft.merge_into('$root', 'q199_src_cow', 'event_id', false)") // v2
+      ev.filter(col("event_id") % 10 === 5)
+        .withColumn("event_type", lit("u2"))
+        .withColumn("value", col("value") - lit(500.0))
+        .unionByName(ev.filter(col("event_id") % 100 === 3)
+          .select((col("event_id") + lit(1000000000L)).as("event_id"),
+            lit("ins").as("event_type"), col("value")))
+        .createOrReplaceTempView("q199_src_mor")
+      s.sql(s"CALL graft.merge_into('$root', 'q199_src_mor', 'event_id', true)")  // v3
+      val rollup = VersionedTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("event_type").as("tag"), col("n"), col("sum_value"))
+      val meta = s.sql(s"CALL graft.history('$root')")
+        .agg(max(col("version")).cast("bigint").as("n"),
+          max(col("n_live_rows")).cast("double").as("sum_value"))
+        .select(lit("_versions").as("tag"), col("n"), col("sum_value"))
+      rollup.unionByName(meta)
+    }),
+
+    // Index maintenance after a wide vectored delete (CALL graft.reindex):
+    // blooms built pre-delete stay sound-but-stale over-approximations
+    // forever (a vector never shrinks an index), so key lookups keep
+    // opening files whose only matching rows were deleted; reindex
+    // rebuilds the touched files' blooms from SURVIVING rows in one
+    // metadata commit — no data rewrite. The query then runs the real
+    // lookup path (bloomCandidateFiles over a 30-key probe set →
+    // readSubset → exact filter) and hashes against the oracle's plain
+    // recompute, proving the rebuilt index never prunes a live match;
+    // GraftCatalogSpec pins the precision gain (deleted-key files now
+    // excluded).
+    "q200_reindex_lookup" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_reidx_q200")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      VersionedTable.create(s, root, ev.repartition(4, col("user_id"))) // v1
+      s.sql(s"CALL graft.index_bloom('$root', 'user_id')")              // v2
+      s.sql(s"CALL graft.delete_where('$root', 'user_id % 3 = 0', true)") // v3
+      s.sql(s"CALL graft.reindex('$root', 'user_id')")                  // v4
+      val keys = s.range(0, 30).select(col("id").cast("string").as("k"))
+      val files = VersionedTable.bloomCandidateFiles(s, root, "user_id", keys)
+      VersionedTable.readSubset(s, root, files)
+        .filter(col("user_id") < 30)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
+
+    // Metadata-only min/max over a TIMESTAMP column: the commit records
+    // the parquet logical annotation as the stat's unit (ColStat.unit =
+    // "ts-micros"), which is what makes an INT64 bound provably epoch
+    // micros — so min(ts)/max(ts) answer from the manifest, and stay
+    // answerable AFTER a vectored delete through the survivor-exact
+    // live stats. Both snapshots hash against the oracle's recompute
+    // from raw events (epoch_us both sides); MetaAggregateSpec pins the
+    // zero-relation plans.
+    "q201_meta_ts" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_meta_q201")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"))
+      VersionedTable.create(s, root,
+        ev.repartitionByRange(4, col("event_id")))                      // v1
+      VersionedTable.deleteWhereVectored(s, root, Map.empty,
+        col("event_id") % 5 === 0)                                      // v2
+      def snap(v: Int, tag: String) =
+        s.read.format("graft-versioned").option("versionAsOf", v.toString)
+          .load(root)
+          .agg(count(lit(1)).as("n"), min(col("ts")).as("mn"),
+            max(col("ts")).as("mx"), count(col("ts")).as("n_ts"))
+          .select(lit(tag).as("tag"), col("n"),
+            unix_micros(col("mn")).as("lo_us"),
+            unix_micros(col("mx")).as("hi_us"), col("n_ts"))
+      snap(1, "v1_full").unionByName(snap(2, "v2_after_delete"))
     }),
 
     // File-level HLL registers as a queryable index: a key-partitioned
@@ -822,6 +919,55 @@ object LakehouseQueries {
          UNION ALL
          SELECT '_versions', 4,
                 CAST((SELECT count(*) FROM events) AS DOUBLE)""",
+
+    // The merged table recomputed from scratch: %10==0 keys replaced by
+    // the CoW batch, %10==5 keys by the vectored batch, %100==3 keys
+    // re-inserted under offset ids; everything else untouched. The
+    // _versions row pins (3 commits, final live count).
+    "q199_sql_merge" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+              final AS (
+                SELECT event_id, event_type, value FROM ev
+                 WHERE event_id % 10 <> 0 AND event_id % 10 <> 5
+                UNION ALL
+                SELECT event_id, 'upd', value + 1000.0 FROM ev
+                 WHERE event_id % 10 = 0
+                UNION ALL
+                SELECT event_id, 'u2', value - 500.0 FROM ev
+                 WHERE event_id % 10 = 5
+                UNION ALL
+                SELECT event_id + 1000000000, 'ins', value FROM ev
+                 WHERE event_id % 100 = 3)
+         SELECT event_type AS tag, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM final GROUP BY 1
+         UNION ALL
+         SELECT '_versions', 3,
+                CAST((SELECT count(*) FROM final) AS DOUBLE)""",
+
+    // The bloom-pruned point-lookup path must return exactly the plain
+    // recompute over survivors: pruning may only skip files with no
+    // matching live row, never one that has any.
+    "q200_reindex_lookup" ->
+      """SELECT user_id, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE user_id % 3 <> 0 AND user_id < 30
+         GROUP BY user_id""",
+
+    // Timestamp bounds from metadata vs the raw recompute (epoch micros
+    // both sides); the DV side exercises the live-stat path.
+    "q201_meta_ts" ->
+      """WITH ev AS (SELECT event_id, ts FROM events)
+         SELECT 'v1_full' AS tag, count(*)::BIGINT AS n,
+                min(epoch_us(ts))::BIGINT AS lo_us,
+                max(epoch_us(ts))::BIGINT AS hi_us,
+                count(ts)::BIGINT AS n_ts
+         FROM ev
+         UNION ALL
+         SELECT 'v2_after_delete', count(*)::BIGINT,
+                min(epoch_us(ts))::BIGINT, max(epoch_us(ts))::BIGINT,
+                count(ts)::BIGINT
+         FROM ev WHERE event_id % 5 <> 0""",
 
     // The estimate from the register-relevant file subset must equal the
     // estimate from ALL the data (pointwise-max algebra: file boundaries

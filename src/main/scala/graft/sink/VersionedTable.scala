@@ -85,6 +85,22 @@ object VersionedTable {
     out
   }
 
+  /** Java-serializable carrier for the Hadoop configuration, so
+    * executor-side tasks (the distributed DV sidecar writes) resolve the
+    * table's FileSystem exactly as the driver would. Hadoop's
+    * Configuration is Writable but not Serializable; this is the standard
+    * wrapper shape (Spark keeps its own equivalent private). */
+  private[sink] class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit =
+      value.write(out)
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Write one DV sidecar under `dv/` and return its table-relative name.
     * Version+nonce in the name keep sidecars immutable across versions —
     * an older manifest keeps referencing ITS vector, so time travel over
@@ -175,9 +191,24 @@ object VersionedTable {
     * lo/hi are canonical string renderings of that domain. `nulls` is the
     * column's null count in the file when the footer recorded one (−1 =
     * unknown; manifests written before the field parse as unknown) — with
-    * the per-file row counts this answers `count(col)` from metadata. */
+    * the per-file row counts this answers `count(col)` from metadata.
+    *
+    * `unit` records the parquet LOGICAL annotation behind a "long" stat
+    * when the physical long alone is ambiguous — "ts-micros"/"ts-millis"/
+    * "ts-nanos" (+"-ntz" when not UTC-adjusted) and "date" — which is
+    * what lets [[graft.plans.MetaAggregates]] answer `min(ts)/max(ts)`
+    * from the manifest (an unlabeled long bound can't prove its time
+    * unit; manifests written before the field parse as "" and refuse).
+    *
+    * `live` marks a stat computed over the file's DV-SURVIVING rows (by
+    * the vectored DMLs' refresh pass) rather than the raw footer: bounds
+    * and null count are exact for the manifest's current deletion vector,
+    * so metadata-only count/min/max stay answerable under merge-on-read
+    * deletes. Invariant: every commit that grows a file's vector
+    * re-derives that file's live stats in the same pass. */
   final case class ColStat(col: String, typ: String, lo: String, hi: String,
-                           nulls: Long = -1L)
+                           nulls: Long = -1L, unit: String = "",
+                           live: Boolean = false)
 
   /** Per-file bloom filter over one column's non-null values (stringified
     * in Spark cast-to-string form): `mBits` bits / `k` probes, bit array
@@ -278,8 +309,10 @@ object VersionedTable {
     val statsJson = stats.toSeq.sortBy(_._1).flatMap { case (file, cs) =>
       cs.map { c =>
         val nn = if (c.nulls >= 0) s""", "nn": ${c.nulls}""" else ""
+        val u = if (c.unit.nonEmpty) s""", "u": "${c.unit}"""" else ""
+        val lv = if (c.live) """, "lv": true""" else ""
         s"""{"file": "${esc(file)}", "col": "${esc(c.col)}", """ +
-          s""""t": "${c.typ}", "lo": "${esc(c.lo)}", "hi": "${esc(c.hi)}"$nn}"""
+          s""""t": "${c.typ}", "lo": "${esc(c.lo)}", "hi": "${esc(c.hi)}"$nn$u$lv}"""
       }
     }.mkString("[", ", ", "]")
     val rowsJson =
@@ -504,6 +537,15 @@ object VersionedTable {
             while (!published && attempt < 5) {
               try published = f.rename(tmp, target)
               catch { case e: java.io.IOException => lastErr = e }
+              // a rename that THREW (or returned false) may still have
+              // completed server-side — object-store renames are
+              // copy+delete, and a timeout can land after the copy. A
+              // later retry then sees tmp gone and keeps "failing" even
+              // though the manifest is up. Only this writer holds the
+              // claim, so an existing target IS our publish — probe
+              // before counting the attempt as failed.
+              if (!published) published =
+                try f.exists(target) catch { case _: java.io.IOException => false }
               attempt += 1
               if (!published && attempt < 5) Thread.sleep(50L << attempt)
             }
@@ -543,11 +585,13 @@ object VersionedTable {
       .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).map(unesc).toSeq
-    val S = """\{"file": "((?:[^"\\]|\\.)*)", "col": "((?:[^"\\]|\\.)*)", "t": "(\w+)", "lo": "((?:[^"\\]|\\.)*)", "hi": "((?:[^"\\]|\\.)*)"(?:, "nn": (\d+))?\}""".r
+    val S = """\{"file": "((?:[^"\\]|\\.)*)", "col": "((?:[^"\\]|\\.)*)", "t": "(\w+)", "lo": "((?:[^"\\]|\\.)*)", "hi": "((?:[^"\\]|\\.)*)"(?:, "nn": (\d+))?(?:, "u": "([\w-]+)")?(?:, "lv": (true))?\}""".r
     val stats = S.findAllMatchIn(text).map { mm =>
       (unesc(mm.group(1)), ColStat(unesc(mm.group(2)), mm.group(3),
         unesc(mm.group(4)), unesc(mm.group(5)),
-        Option(mm.group(6)).map(_.toLong).getOrElse(-1L)))
+        Option(mm.group(6)).map(_.toLong).getOrElse(-1L),
+        Option(mm.group(7)).getOrElse(""),
+        mm.group(8) != null))
     }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val B = """\{"bfile": "((?:[^"\\]|\\.)*)", "bcol": "((?:[^"\\]|\\.)*)", "m": (\d+), "k": (\d+), "bits": "([A-Za-z0-9+/=]*)"\}""".r
     val blooms = B.findAllMatchIn(text).map { mm =>
@@ -681,9 +725,20 @@ object VersionedTable {
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val scratch = new Path(root, s".stage-v$version-$nonce")
     val f = fs(spark, scratch)
-    val w = df.write.mode("overwrite").option("compression", "zstd")
-    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
-      .parquet(scratch.toString)
+    // TABLE data files write timestamps as INT64 TIMESTAMP(MICROS), not
+    // legacy INT96: INT96 footers carry no usable min/max, so manifest
+    // stats (and the metadata-only min(ts)/max(ts) rewrite) need the
+    // annotated physical type. Scoped to THIS write — a global session
+    // default would also retype every consumer-facing parquet the engine
+    // emits, which downstream naive-timestamp readers may not expect.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.get(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      val w = df.write.mode("overwrite").option("compression", "zstd")
+      (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+        .parquet(scratch.toString)
+    } finally spark.conf.set(tsKey, prevTs)
     f.mkdirs(dataDir(root))
     // collect staged part files with their partition subpath (k=v dirs
     // between scratch and the file — hive layout when partitioned)
@@ -787,8 +842,22 @@ object VersionedTable {
             // documented RangePreds domain.)
             case INT32 | INT64 if !pt.getLogicalTypeAnnotation
                 .isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+              // the logical annotation disambiguates what the long MEANS
+              // (epoch micros vs millis vs days) — recorded so min/max over
+              // timestamp columns can be answered from the manifest
+              val unit = pt.getLogicalTypeAnnotation match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                  val base = t.getUnit match {
+                    case LogicalTypeAnnotation.TimeUnit.MILLIS => "ts-millis"
+                    case LogicalTypeAnnotation.TimeUnit.MICROS => "ts-micros"
+                    case _ => "ts-nanos"
+                  }
+                  if (t.isAdjustedToUTC) base else base + "-ntz"
+                case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => "date"
+                case _ => ""
+              }
               Some(ColStat(c.getPath.toDotString, "long",
-                st.genericGetMin.toString, st.genericGetMax.toString, nn))
+                st.genericGetMin.toString, st.genericGetMax.toString, nn, unit))
             case FLOAT | DOUBLE => Some(ColStat(c.getPath.toDotString, "double",
               st.genericGetMin.toString.toDouble.toString,
               st.genericGetMax.toString.toDouble.toString, nn))
@@ -814,7 +883,7 @@ object VersionedTable {
         def hi2 = cs.map(_.hi).maxBy(parse(typ, _))(ordering(typ))
         val nulls =
           if (cs.exists(_.nulls < 0)) -1L else cs.map(_.nulls).sum
-        ColStat(col, typ, lo2, hi2, nulls)
+        ColStat(col, typ, lo2, hi2, nulls, cs.head.unit)
       }
       (stats, rowCount)
     } finally reader.close()
@@ -1648,6 +1717,114 @@ object VersionedTable {
     v
   }
 
+  /** Rebuild skipping indexes for `cols` on the DV-BEARING files of the
+    * current version, from their SURVIVING rows only — index maintenance
+    * after wide vectored deletes. A vector never shrinks an index
+    * (blooms/registers stay sound over-approximations forever), so after
+    * a delete removed a key entirely, bloom-pruned reads still open the
+    * file; compaction would fix that at the cost of rewriting the data.
+    * This is the metadata-only middle path: a DV-applied scan of exactly
+    * the vectored files, fresh per-file blooms for every requested
+    * column (and fresh HLL registers where the file already carries
+    * registers for that column — partial HLL coverage would break
+    * union-estimate completeness, partial bloom coverage is safe by
+    * design), one metadata commit, no data file moves. Files without a
+    * vector are untouched; no-op (current version) when none carries
+    * one. */
+  def reindex(spark: SparkSession, root: String, cols: Seq[String],
+              mBits: Int = 1 << 13, k: Int = 6,
+              hllM: Int = graft.ext.Sketches.HllBuckets): Int = {
+    import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit, max}
+    import graft.ext.Sketches.{hllHash, hllMix, hllRho}
+    require(cols.nonEmpty, "reindex needs at least one column")
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val targets = m.files.filter(m.dvs.contains)
+    if (targets.isEmpty) return cur
+    val fsys = fs(spark, new Path(root))
+    val byPath: Map[String, String] = targets.map { rel =>
+      fsys.makeQualified(new Path(root, rel)).toUri.getPath -> rel
+    }.toMap
+    // the DV-applied read of exactly the vectored files — deleted rows
+    // contribute nothing to the rebuilt indexes
+    def live = readSnapshotFiles(spark, root, m, targets)
+    val bloomRows = cols.map { c =>
+      val h1 = hllMix(hllHash(col(c).cast("string")))
+      val h2 = hllMix(h1)
+      val positions = array((0 until k).map(i =>
+        ((h1 + lit(i.toLong) * h2) % mBits).cast("int")): _*)
+      live.select(input_file_name().as("f"), explode(positions).as("pos"))
+        .where(col("pos").isNotNull)
+        .select(col("f"), col("pos"), lit(c).as("c"))
+    }.reduce(_ unionByName _).distinct().collect()
+    val builtBlooms = bloomRows.groupBy(r => manifestKeyOf(byPath, r.getString(0)))
+      .map { case (file, rows) =>
+        file -> rows.groupBy(_.getString(2)).map { case (c, rs) =>
+          val raw = new Array[Byte](mBits / 8)
+          rs.foreach { r =>
+            val p = r.getInt(1); raw(p >> 3) = (raw(p >> 3) | (1 << (p & 7))).toByte
+          }
+          FileBloom(c, mBits, k, java.util.Base64.getEncoder.encodeToString(raw))
+        }.toSeq
+      }
+    val zeroBloom = FileBloom("", mBits, k,
+      java.util.Base64.getEncoder.encodeToString(new Array[Byte](mBits / 8)))
+    val newBlooms: Map[String, Seq[FileBloom]] = targets.map { f =>
+      val have = builtBlooms.getOrElse(f, Seq.empty)
+      // all survivors of a column deleted/null → explicit contains-nothing
+      val filled = have ++ cols.filterNot(c => have.exists(_.col == c))
+        .map(c => zeroBloom.copy(col = c))
+      f -> (m.blooms.getOrElse(f, Seq.empty)
+        .filterNot(b => cols.contains(b.col)) ++ filled)
+    }.toMap
+    // HLL refresh only where registers for the column already exist
+    val hllTargets: Map[String, Seq[String]] = targets.map(f =>
+      f -> cols.filter(c => m.hlls.getOrElse(f, Seq.empty).exists(_.col == c))
+    ).toMap.filter(_._2.nonEmpty)
+    val hllCols = hllTargets.values.flatten.toSeq.distinct
+    val newHlls: Map[String, Seq[FileHll]] =
+      if (hllCols.isEmpty) Map.empty
+      else {
+        val rows = hllCols.map { c =>
+          live.select(input_file_name().as("f"), col(c).cast("string").as("kk"))
+            .where(col("kk").isNotNull)
+            .select(col("f"), hllMix(hllHash(col("kk"))).as("h1"))
+            .select(col("f"), (col("h1") % hllM).as("bucket"),
+              hllRho(hllMix(col("h1"))).as("rho"))
+            .groupBy(col("f"), col("bucket"))
+            .agg(max(col("rho")).cast("long").as("mx"))
+            .select(col("f"), col("bucket"), col("mx"), lit(c).as("c"))
+        }.reduce(_ unionByName _).collect()
+        val built = rows.groupBy(r => manifestKeyOf(byPath, r.getString(0))).map {
+          case (file, rs0) =>
+            file -> rs0.groupBy(_.getString(3)).map { case (c, rs) =>
+              val regs = new Array[Byte](hllM)
+              rs.foreach { r =>
+                val b = r.getLong(1).toInt
+                if (r.getLong(2) > (regs(b) & 0xff)) regs(b) = r.getLong(2).toByte
+              }
+              FileHll(c, hllM, java.util.Base64.getEncoder.encodeToString(regs))
+            }.toSeq
+        }
+        val zero = java.util.Base64.getEncoder.encodeToString(new Array[Byte](hllM))
+        hllTargets.map { case (f, cs) =>
+          val have = built.getOrElse(f, Seq.empty).filter(h => cs.contains(h.col))
+          val filled = have ++ cs.filterNot(c => have.exists(_.col == c))
+            .map(c => FileHll(c, hllM, zero))
+          f -> (m.hlls.getOrElse(f, Seq.empty)
+            .filterNot(h => cs.contains(h.col)) ++ filled)
+        }
+      }
+    val v = cur + 1
+    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, None,
+      stats = m.stats, blooms = m.blooms ++ newBlooms,
+      partitionCols = m.partitionCols, hlls = m.hlls ++ newHlls,
+      dvs = m.dvs, rows = m.rows, op = "reindex"), Some(m))
+    v
+  }
+
   // ── Metadata-only exact aggregates ─────────────────────────────────────
   // The manifest records, per data file, its exact row count (`nrows`,
   // summed from row-group counts at commit) and per column the footer's
@@ -1836,6 +2013,179 @@ object VersionedTable {
     v
   }
 
+  /** The per-row delete verdict column [[vectoredDmlPass]] aggregates on. */
+  private val DelCol = "__graft_dv_del"
+
+  /** Test observability for the driver-boundedness contract: the row
+    * count of the last [[vectoredDmlPass]] collect() — ONE row per
+    * touched file (entry, sidecar, cardinality, stats), never one per
+    * deleted position. DeletionVectorSpec pins the bound so a regression
+    * back to collecting positions cannot land silently. */
+  @volatile private[graft] var lastDmlPassCollected: Int = -1
+
+  /** The one distributed pass shared by the merge-on-read DMLs
+    * ([[deleteWhereVectored]], [[mergeIntoVectored]]): scan the touched
+    * files DV-AWARE (prior vectors filtered at the scan), let `mark`
+    * stamp each live row's fate into [[DelCol]], then per file — in one
+    * aggregation — collect the newly deleted positions AND re-derive
+    * exact column stats over the SURVIVING rows. The grouped result never
+    * leaves the executors: a `mapPartitions` over it merges each file's
+    * prior vector (read executor-side) with its fresh positions and
+    * writes the merged sidecar inside the task; the driver collects one
+    * row per touched file — (entry, sidecar, cardinality, live count,
+    * refreshed stats), O(touched files × columns), never O(deleted rows).
+    * That is the difference between a key-scattered 100 TB delete whose
+    * positions land gigabytes on the driver and one whose driver cost is
+    * the manifest arithmetic it already pays.
+    *
+    * Survivor-exact stats are marked [[ColStat.live]] so metadata-only
+    * aggregates ([[graft.plans.MetaAggregates]]) keep answering
+    * count(col)/min/max under deletion vectors; refreshed bounds are also
+    * tighter pruning ranges (reads apply the vector, so skipping a file
+    * whose only matching rows are deleted is correct). Only the "long"
+    * stat domain refreshes (ints, dates as epoch days, timestamps as
+    * epoch micros — exactly what MetaAggregates trusts); string/double
+    * columns keep their footer stats, which stay sound
+    * over-approximations. A column whose survivors are all NULL loses its
+    * stat (the [lo, hi] encoding cannot state it; absent stats are never
+    * wrong). Task retries can strand orphan sidecars (nonce-unique names
+    * no manifest references) — [[expire]]'s orphan sweep removes them.
+    *
+    * Returns (updated per-file vectors, refreshed per-file stats) for the
+    * files the scan actually saw live rows of; fully-dead files keep
+    * their old entries untouched. */
+  private def vectoredDmlPass(spark: SparkSession, root: String, v: Int,
+                              m: Manifest, touched: Seq[String],
+                              mark: DataFrame => DataFrame)
+      : (Map[String, FileDv], Map[String, Seq[ColStat]]) = {
+    if (touched.isEmpty) return (Map.empty, Map.empty)
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val partCols = m.partitionCols.toSet
+    val priorDvs: Map[String, FileDv] =
+      touched.flatMap(f => m.dvs.get(f).map(f -> _)).toMap
+    val scanned0 = readPaths(spark, m.schemaDdl,
+      touched.map(f => new Path(root, f).toString),
+      m.partitionCols.nonEmpty, root, withMeta = true)
+    // rows a prior vector hides are already deleted: not survivors, and
+    // never re-marked — fresh positions stay disjoint from the prior
+    // vector, so the executor-side sidecar merge is a sorted-array union
+    val scanned =
+      if (priorDvs.isEmpty) scanned0
+      else {
+        val bc = spark.sparkContext.broadcast(priorDvs.map { case (f, d) =>
+          f -> loadDvPositions(spark, root, d.dvFile)
+        })
+        scanned0.filter(not(Bridge.toColumn(graft.functions.DvDeletedExpr(
+          Bridge.toExpression(col(DvFileCol)),
+          Bridge.toExpression(col(DvPosCol)), bc))))
+      }
+    val del = col(DelCol) <=> lit(true)
+    val surv = !del
+    // refreshable columns: canonical long-domain rendering per type
+    val statCols: Seq[(String, Column, String)] =
+      schema.fields.toSeq.filterNot(f => partCols.contains(f.name)).flatMap { f =>
+        val c = col(f.name)
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some((f.name, c.cast(LongType), ""))
+          case DateType => Some((f.name, unix_date(c).cast(LongType), "date"))
+          case TimestampType => Some((f.name, unix_micros(c), "ts-micros"))
+          case _ => None
+        }
+      }
+    val aggs: Seq[Column] =
+      Seq(sort_array(collect_list(when(del, col(DvPosCol)))).as("__ps"),
+        count(when(surv, lit(1))).as("__live")) ++
+        statCols.zipWithIndex.flatMap { case ((_, lc, _), i) => Seq(
+          min(when(surv, lc)).as(s"__lo$i"),
+          max(when(surv, lc)).as(s"__hi$i"),
+          count(when(surv, lc)).as(s"__nn$i"))
+        }
+    val grouped = mark(scanned).groupBy(col(DvFileCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val priorB = spark.sparkContext.broadcast(priorDvs)
+    val touchedB = spark.sparkContext.broadcast(touched)
+    val rootS = root
+    val nStats = statCols.size
+    val results: Array[(String, String, Long, Long, Seq[(Int, Long, Long, Long)])] =
+      grouped.mapPartitions { it =>
+        val conf = confB.value.value
+        val resolve = graft.functions.DvDeletedExpr.resolverFor(touchedB.value)
+        it.flatMap { row =>
+          resolve(row.getString(0)).iterator.map { entry =>
+            val fresh: Array[Long] = row.getSeq[Long](1).toArray
+            val live = row.getLong(2)
+            val stats: Seq[(Int, Long, Long, Long)] =
+              (0 until nStats).toList.flatMap { i =>
+                if (row.isNullAt(3 + 3 * i)) Nil // all-null survivors (or none)
+                else List((i, row.getLong(3 + 3 * i), row.getLong(4 + 3 * i),
+                  row.getLong(5 + 3 * i)))
+              }
+            val (dvName, card) =
+              if (fresh.isEmpty) priorB.value.get(entry) match {
+                case Some(d) => (d.dvFile, d.card) // vector unchanged
+                case None => ("", 0L)
+              } else {
+                val merged = priorB.value.get(entry) match {
+                  case Some(d) =>
+                    val p = new Path(rootS, d.dvFile)
+                    val in = p.getFileSystem(conf).open(p)
+                    val bytes =
+                      try org.apache.commons.io.IOUtils.toByteArray(in)
+                      finally in.close()
+                    val prior = decodeDvPositions(bytes)
+                    // disjoint sorted union
+                    val out = new Array[Long](prior.length + fresh.length)
+                    var a = 0; var b = 0; var k = 0
+                    while (a < prior.length && b < fresh.length) {
+                      if (prior(a) <= fresh(b)) { out(k) = prior(a); a += 1 }
+                      else { out(k) = fresh(b); b += 1 }
+                      k += 1
+                    }
+                    while (a < prior.length) { out(k) = prior(a); a += 1; k += 1 }
+                    while (b < fresh.length) { out(k) = fresh(b); b += 1; k += 1 }
+                    out
+                  case None => fresh
+                }
+                val dir = new Path(rootS, "dv")
+                val dfs = dir.getFileSystem(conf)
+                dfs.mkdirs(dir)
+                val nonce = java.util.UUID.randomUUID().toString.take(8)
+                val base = entry.substring(entry.lastIndexOf('/') + 1)
+                val name = s"dv-v$v-$nonce-$base.gdv"
+                val out = dfs.create(new Path(dir, name), false)
+                try out.write(encodeDvPositions(merged)) finally out.close()
+                (s"dv/$name", merged.length.toLong)
+              }
+            (entry, dvName, card, live, stats)
+          }
+        }
+      }.collect()
+    lastDmlPassCollected = results.length
+    val updatedDvs = results.collect {
+      case (e, dv, card, _, _) if dv.nonEmpty => e -> FileDv(dv, card)
+    }.toMap
+    val refreshable = statCols.map(_._1).toSet
+    val refreshedStats = results.map { case (e, _, _, live, sts) =>
+      val kept = m.stats.getOrElse(e, Seq.empty)
+        .filterNot(s => refreshable.contains(s.col))
+      val fresh = sts.map { case (i, lo, hi, nonNull) =>
+        val (name, _, unit) = statCols(i)
+        ColStat(name, "long", lo.toString, hi.toString,
+          nulls = live - nonNull, unit = unit, live = true)
+      }
+      e -> (kept ++ fresh)
+    }.toMap
+    (updatedDvs, refreshedStats)
+  }
+
   /** DELETE WHERE as a MERGE-ON-READ commit — deletion vectors instead of
     * file rewrites. [[deleteWhere]] is copy-on-write: a predicate whose
     * matches scatter across a 100 TB table rewrites nearly every file to
@@ -1853,55 +2203,30 @@ object VersionedTable {
     * (rows where it is not TRUE survive — NULL keeps the row), time travel
     * reads the pre-delete data (each version pins its own immutable
     * sidecars). Write cost: one scan of the pruned files + bytes ∝ deleted
-    * positions — a point delete against a 100 TB table is metadata-sized.
-    * The per-file position sets pass through the driver, so BULK deletes
-    * (a large fraction of the table) should use the CoW variant — the
-    * rewrite is the cheaper shape there anyway, and it resets the vector.
-    * Returns the new version. */
+    * positions — a point delete against a 100 TB table is metadata-sized,
+    * and the position sets never transit the driver ([[vectoredDmlPass]]
+    * writes sidecars executor-side; the driver collects one metadata row
+    * per touched file). BULK deletes (a large fraction of the table) may
+    * still prefer the CoW variant — the rewrite resets the vector and
+    * re-compacts. Returns the new version. */
   def deleteWhereVectored(spark: SparkSession, root: String, preds: RangePreds,
                           condition: org.apache.spark.sql.Column): Int = {
-    import org.apache.spark.sql.functions.{col, collect_list, lit}
+    import org.apache.spark.sql.functions.lit
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
     val touched = prunedFiles(spark, root, preds, Some(cur))
     val v = cur + 1
-    val newPositions: Map[String, Array[Long]] =
-      if (touched.isEmpty) Map.empty
-      else {
-        // IS TRUE, not a bare filter: the delete-set is rows where the
-        // condition PROVABLY holds (NULL survives — SQL DELETE semantics).
-        // Positions key by _metadata.file_path resolved to the manifest
-        // entry (suffix match) — file NAMES repeat across hive partition
-        // directories, so a name-keyed grouping merges distinct files.
-        readPaths(spark, m.schemaDdl,
-          touched.map(f => new Path(root, f).toString),
-          m.partitionCols.nonEmpty, root, withMeta = true)
-          .filter(condition <=> lit(true))
-          .groupBy(col(DvFileCol))
-          .agg(collect_list(col(DvPosCol)).as("ps"))
-          .collect() // bounded: one row per touched file; positions ∝ deleted rows
-          .flatMap {
-            val resolve = graft.functions.DvDeletedExpr.resolverFor(touched)
-            r => resolve(r.getString(0))
-              .map(entry => entry -> r.getSeq[Long](1).toArray.sorted)
-          }.toMap
-      }
-    val updated: Map[String, FileDv] = newPositions.map { case (entry, ps) =>
-      val merged = m.dvs.get(entry) match {
-        case Some(prev) =>
-          (loadDvPositions(spark, root, prev.dvFile).toSet ++ ps).toArray.sorted
-        case None => ps
-      }
-      entry -> FileDv(writeDvSidecar(spark, root, v, nameOf(entry), merged),
-        merged.length.toLong)
-    }
-    // same files, new vectors; stats/blooms/HLLs stay as conservative
-    // over-approximations of the live rows (pruning may open a file whose
-    // matches are all deleted — it returns nothing; never unsound)
+    // IS TRUE, not a bare filter: the delete-set is rows where the
+    // condition PROVABLY holds (NULL survives — SQL DELETE semantics)
+    val (updated, refreshed) = vectoredDmlPass(spark, root, v, m, touched,
+      _.withColumn(DelCol, condition <=> lit(true)))
+    // same files, new vectors; touched files get survivor-exact stats
+    // (blooms/HLLs stay conservative over-approximations — pruning may
+    // open a file whose matches are all deleted; it returns nothing)
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, None,
-      m.stats, m.blooms, m.partitionCols, m.hlls, m.dvs ++ updated,
-      m.rows, op = "delete-vectored"), Some(m))
+      m.stats ++ refreshed, m.blooms, m.partitionCols, m.hlls,
+      m.dvs ++ updated, m.rows, op = "delete-vectored"), Some(m))
     v
   }
 
@@ -1994,7 +2319,7 @@ object VersionedTable {
     if (txn.exists(committedTxns(spark, root).contains)) return cur
     val m = readManifest(spark, root, cur)
     requireWriteCompatible(m.schemaDdl, source, "merge")
-    import org.apache.spark.sql.functions.{min => fmin, max => fmax, col, collect_list}
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
     val allKeys = deletes match {
       case Some(d) => source.select(keys.map(col): _*)
         .unionByName(d.select(keys.map(col): _*))
@@ -2011,39 +2336,21 @@ object VersionedTable {
     }.toMap
     val touched = prunedFiles(spark, root, preds, Some(cur))
     val v = cur + 1
-    // positions of every matched target row (semi-join on the touched
-    // keys) — a key present in several files vectors them all; rows a
-    // vector already hides re-mark harmlessly (position union)
-    val newPositions: Map[String, Array[Long]] =
-      if (touched.isEmpty) Map.empty
-      else {
-        readPaths(spark, m.schemaDdl,
-          touched.map(f => new Path(root, f).toString),
-          m.partitionCols.nonEmpty, root, withMeta = true)
-          .join(allKeys, keys, "left_semi")
-          .groupBy(col(DvFileCol))
-          .agg(collect_list(col(DvPosCol)).as("ps"))
-          .collect() // bounded: one row per touched file; positions ∝ matched rows
-          .flatMap {
-            val resolve = graft.functions.DvDeletedExpr.resolverFor(touched)
-            r => resolve(r.getString(0))
-              .map(entry => entry -> r.getSeq[Long](1).toArray.sorted)
-          }.toMap
-      }
-    val updated: Map[String, FileDv] = newPositions.map { case (entry, ps) =>
-      val merged = m.dvs.get(entry) match {
-        case Some(prev) =>
-          (loadDvPositions(spark, root, prev.dvFile).toSet ++ ps).toArray.sorted
-        case None => ps
-      }
-      entry -> FileDv(writeDvSidecar(spark, root, v, nameOf(entry), merged),
-        merged.length.toLong)
-    }
+    // every matched target row (marked by key equality against the
+    // touched keys) is vectored away — a key present in several files
+    // vectors them all. The pass writes sidecars executor-side and
+    // refreshes the touched files' stats over their survivors; the
+    // driver sees only per-file metadata, never the positions.
+    val markKeys = allKeys.distinct
+      .withColumn("__graft_mk", org.apache.spark.sql.functions.lit(true))
+    val (updated, refreshed) = vectoredDmlPass(spark, root, v, m, touched,
+      _.join(markKeys, keys, "left")
+        .withColumn(DelCol, col("__graft_mk").isNotNull))
     val added = writeDataFiles(spark, root, source, v, m.partitionCols)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
       m.files ++ added, txn,
-      m.stats ++ addedStats, m.blooms, m.partitionCols, m.hlls,
+      m.stats ++ refreshed ++ addedStats, m.blooms, m.partitionCols, m.hlls,
       m.dvs ++ updated, m.rows ++ addedRows, op = "merge-vectored"),
       Some(m))
     v
@@ -2453,9 +2760,19 @@ object VersionedTable {
       .map { v =>
         val m = readManifest(spark, root, v)
         val i = vs.indexOf(v)
+        // the diff must be against the txn commit's TRUE parent (v − 1).
+        // If expire dropped intermediate versions while the txn version
+        // survives (a pin), the nearest SURVIVING predecessor is not the
+        // parent and the diff would credit the txn with files it never
+        // wrote — letting a caller stamp a batch bloom onto a foreign
+        // file and unsoundly prune. Diff only when the parent itself
+        // survives; otherwise report nothing (absent knowledge is safe:
+        // the files just stay un-bloomed until the next indexBloom).
         val parentFiles =
-          if (i <= 0) Set.empty[String]
-          else readManifest(spark, root, vs(i - 1)).files.toSet
+          if (v == 1) Set.empty[String] // genesis: every file is the txn's
+          else if (i > 0 && vs(i - 1) == v - 1)
+            readManifest(spark, root, v - 1).files.toSet
+          else return Seq.empty // parent expired: ownership unprovable
         m.files.filterNot(parentFiles)
       }.getOrElse(Seq.empty)
   }

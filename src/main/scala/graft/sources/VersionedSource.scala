@@ -56,11 +56,13 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
       .exists(_.toBoolean)
 
   /** The stream's schema is fixed at stream start: the CURRENT manifest
-    * DDL. Files committed after a mid-stream addColumn still read under
-    * this schema (parquet resolves by name; extra columns prune away).
-    * With `readChangeFeed`, a `_change_type` column ("insert"/"delete")
-    * is appended — the stream is then the table's CHANGELOG, not its
-    * append feed. */
+    * DDL. A mid-stream schema change (addColumn) REFUSES the batch that
+    * crosses it unless `ignoreSchemaChanges = true`, in which case later
+    * files keep reading under the pinned schema (parquet resolves by
+    * name; extra columns prune away) — see
+    * [[VersionedStreamSource.guardSchemaChange]]. With `readChangeFeed`,
+    * a `_change_type` column ("insert"/"delete") is appended — the
+    * stream is then the table's CHANGELOG, not its append feed. */
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
@@ -88,7 +90,9 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
         .orElse(parameters.get("ignoreChanges")).exists(_.toBoolean),
       maxVersionsPerTrigger = parameters.get("maxversionspertrigger")
         .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toInt),
-      changeFeed = cdf)
+      changeFeed = cdf,
+      ignoreSchemaChanges = parameters.get("ignoreschemachanges")
+        .orElse(parameters.get("ignoreSchemaChanges")).exists(_.toBoolean))
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -265,7 +269,8 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
                             startingVersion: Option[Int],
                             ignoreChanges: Boolean,
                             maxVersionsPerTrigger: Option[Int] = None,
-                            changeFeed: Boolean = false)
+                            changeFeed: Boolean = false,
+                            ignoreSchemaChanges: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -317,10 +322,38 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
       .map(VersionOffset).orNull
   }
 
+  /** Mid-stream schema evolution guard, shared by BOTH delivery modes:
+    * a running stream keeps its start-time schema, so a commit that
+    * widened the table would have its new column silently dropped from
+    * every delivered row (and a narrowing would surface phantom nulls).
+    * The contract mirrors the `ignoreChanges` precedent: REFUSE the
+    * batch with the restart instruction, unless the caller opted into
+    * pinned-schema delivery with `ignoreSchemaChanges = true`. Only a
+    * change WITHIN `(fromV, toV]` trips the guard — a table that
+    * evolved before stream start is simply the stream's schema. */
+  private def guardSchemaChange(fromV: Int, toV: Int): Unit = {
+    if (ignoreSchemaChanges || fromV == 0) return
+    val before = VersionedTable.schemaOf(spark, root, Some(fromV))
+    val after = VersionedTable.schemaOf(spark, root, Some(toV))
+    // names + types only: a rewrite (compaction) may relax NOT NULL on
+    // its output files' schema — nullability-widening delivers the same
+    // columns and must not kill the feed
+    def shape(s: StructType): Seq[(String, String)] =
+      s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+    if (shape(before) != shape(after))
+      throw new IllegalStateException(
+        s"versions ($fromV, $toV] of $root changed the table schema from " +
+          s"<${before.toDDL}> to <${after.toDDL}>; a running stream reads " +
+          "under its start-time schema, so the change would be silently " +
+          "dropped. Restart the stream to adopt the new schema, or set " +
+          "ignoreSchemaChanges=true to keep delivering the pinned columns.")
+  }
+
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
                         end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
     val fromV = start.map(versionOf).getOrElse(floorVersion)
     val toV = versionOf(end)
+    guardSchemaChange(fromV, toV)
     if (changeFeed) return changeFeedBatch(fromV, toV)
     val before =
       if (fromV == 0) Set.empty[String]
@@ -370,15 +403,26 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
     * snapshot as inserts. */
   private def changeFeedBatch(fromV: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val dataCols = schema.fieldNames.filterNot(_ == "_change_type").map(col).toSeq
+    val dataFields = schema.filterNot(_.name == "_change_type")
+    // every delivered frame aligns to the STREAM's pinned schema: a
+    // checkpoint-recovery replay re-reads versions that may PREDATE a
+    // later addColumn while the restarted source already pinned the
+    // widened schema — pre-evolution rows null-fill the new column
+    // (exactly what a batch read of the evolved table shows for them)
+    def align(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(dataFields.map(f =>
+        if (have.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+    }
     val (add, rem) =
       if (fromV == 0) {
         val first = VersionedTable.read(spark, root, Some(toV))
         (first, first.limit(0))
       } else VersionedTable.changesBetween(spark, root, fromV, toV)
-    val batch = add.select(dataCols: _*)
+    val batch = align(add)
       .withColumn("_change_type", lit("insert"))
-      .unionByName(rem.select(dataCols: _*)
+      .unionByName(align(rem)
         .withColumn("_change_type", lit("delete")))
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(spark, batch, schema)
   }

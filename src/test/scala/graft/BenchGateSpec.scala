@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench regression gate ([[Bench.isRegression]]): heavy queries
+  * (stable baseline ≥ 2 s) trip at 1.3×, light ones at 1.5×, with a
+  * 0.3 s absolute floor — so the expensive tail can't drift under the
+  * gate via sub-1.5× creep (round 10's q126 sat at 1.47× unflagged). */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("a planted 1.4x slowdown on a heavy query trips the gate") {
+    // 5 s baseline → 7 s adjudicated: 1.4×, over the heavy 1.3× trigger
+    assert(Bench.isRegression(7.0, 5.0))
+    // round 10's exact escape: q126 at 4.0 → 5.88 (1.47×) must now trip
+    assert(Bench.isRegression(5.88, 4.0))
+  }
+
+  test("a 1.4x slowdown on a light query is jitter, not a regression") {
+    assert(!Bench.isRegression(1.4, 1.0))
+    assert(Bench.isRegression(1.6, 1.0)) // over 1.5× AND over the floor
+  }
+
+  test("the absolute floor keeps fast-query scheduling jitter out") {
+    // 0.1 s → 0.25 s is 2.5× but only +0.15 s: noise on a shared box
+    assert(!Bench.isRegression(0.25, 0.1))
+    // 0.1 → 0.5: +0.4 s over the floor and far over 1.5× — real
+    assert(Bench.isRegression(0.5, 0.1))
+  }
+
+  test("boundary behavior: exactly at the trigger is NOT a regression") {
+    assert(!Bench.isRegression(2.6, 2.0))   // exactly 1.3× on heavy
+    assert(Bench.isRegression(2.61, 2.0))
+    assert(!Bench.isRegression(1.5, 1.0))   // exactly 1.5× on light
+  }
+}

@@ -382,4 +382,64 @@ class DeletionVectorSpec extends SparkSpec {
     assert(VersionedTable.dvRefs(spark, root).isEmpty,
       "the CoW rewrite must materialize and drop the vector")
   }
+
+  test("wide scattered delete: the driver collects per-file metadata, never positions") {
+    // the 100 TB contract of the merge-on-read write path: a delete whose
+    // matches scatter across every file must land O(files) rows on the
+    // driver — the position sets group, merge and serialize to sidecars
+    // ENTIRELY on the executors. 50k deleted positions here; the pinned
+    // driver-side result is ≤ one row per touched file.
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (0L until 100000L).toDF("id").withColumn("payload", col("id") * 3)
+        .repartition(8))
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty,
+      col("id") % 2 === 0)
+    val files = VersionedTable.filesOf(spark, root)
+    assert(VersionedTable.lastDmlPassCollected >= 1 &&
+      VersionedTable.lastDmlPassCollected <= files.size,
+      s"driver collected ${VersionedTable.lastDmlPassCollected} rows for " +
+        s"${files.size} files — positions must not transit the driver")
+    // and the delete is exactly right: 50k survivors, all odd
+    val survivors = VersionedTable.read(spark, root)
+    assert(survivors.count() == 50000L)
+    assert(survivors.agg(min("id"), max("id")).collect().head ==
+      org.apache.spark.sql.Row(1L, 99999L))
+    assert(survivors.filter(col("id") % 2 === 0).count() == 0L)
+    // a second scattered delete merges executor-side too (prior vector
+    // read + union inside the task) and stays file-bounded
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty,
+      col("id") % 3 === 0)
+    assert(VersionedTable.lastDmlPassCollected <= files.size)
+    assert(idsOf(VersionedTable.read(spark, root)) ==
+      (0L until 100000L).filter(i => i % 2 != 0 && i % 3 != 0))
+  }
+
+  test("vectored DMLs refresh touched files' stats to survivor-exact LIVE entries") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (0L until 1000L).toDF("id")
+        .withColumn("v", when(col("id") % 5 =!= 0, col("id"))) // 1/5 null
+        .coalesce(1))
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty,
+      col("id") < 100L || col("id") >= 900L)
+    val fm = VersionedTable.metaFiles(spark, root).head
+    assert(fm.dvCard == 200L)
+    val idStat = fm.stats("id")
+    assert(idStat.live, "a vectored delete must re-derive live stats")
+    assert(idStat.lo == "100" && idStat.hi == "899" && idStat.nulls == 0L)
+    val vStat = fm.stats("v")
+    // survivors 100..899: nulls at multiples of 5 → 160
+    assert(vStat.live && vStat.nulls == 160L)
+    assert(vStat.lo == "101" && vStat.hi == "899")
+    // the refreshed bounds are tighter pruning ranges: a range that only
+    // matched deleted rows now prunes the file outright
+    assert(VersionedTable.prunedFiles(spark, root,
+      Map("id" -> (Some(0L), Some(50L)))).isEmpty)
+    // time travel: the pre-delete manifest still carries the raw stats
+    val fm1 = VersionedTable.metaFiles(spark, root, Some(1)).head
+    assert(!fm1.stats("id").live && fm1.stats("id").lo == "0")
+  }
 }

@@ -126,10 +126,14 @@ class GraftCatalogSpec extends SparkSpec {
     // not yet published — unreferenced, but must not be swept mid-commit
     val staged = new java.io.File(s"$root/data/c3-abcd1234-inflight.parquet")
     java.nio.file.Files.write(staged.toPath, Array[Byte](7))
-    spark.sql(s"CALL graft.expire('$root', 1, ${3600L * 1000})")
-    assert(staged.exists(), "a young unreferenced file must survive the sweep")
-    // once aged past the floor (here: floor 0 — the default), it goes
+    // the SQL face DEFAULTS the floor to one hour — the scheduled-GC
+    // caller is exactly who forgets the single-writer staging window
     spark.sql(s"CALL graft.expire('$root', 1)")
+    assert(staged.exists(),
+      "the default floor must shield a young unreferenced file")
+    // an explicit 0 floor is the maintenance-window sweep (writers
+    // quiesced): the stranded file goes
+    spark.sql(s"CALL graft.expire('$root', 1, 0)")
     assert(!staged.exists())
   }
 
@@ -143,5 +147,79 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("CALL graft.compact('/nonexistent/table', 1)").collect()
     }
+  }
+
+  test("merge_into through CALL: CoW and vectored, source as a temp view") {
+    import spark.implicits._
+    ensureCatalog()
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (1L to 10L).toDF("id").withColumn("v", col("id") * 100)
+        .repartition(2))
+    // upsert batch: replace 3 and 7, insert 11 — registered as the view
+    Seq((3L, 999L), (7L, 777L), (11L, 111L)).toDF("id", "v")
+      .createOrReplaceTempView("merge_src_cow")
+    val v2 = spark.sql(
+      s"CALL graft.merge_into('$root', 'merge_src_cow', 'id', false)")
+      .collect().head.getInt(0)
+    assert(v2 == 2)
+    val got = VersionedTable.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) == 999L && got(7L) == 777L && got(11L) == 111L)
+    assert(got(1L) == 100L && got.size == 11)
+    // vectored merge: matched rows vector away, no target file rewrites
+    val filesBefore = VersionedTable.filesOf(spark, root).toSet
+    Seq((5L, 555L), (12L, 222L)).toDF("id", "v")
+      .createOrReplaceTempView("merge_src_mor")
+    val v3 = spark.sql(
+      s"CALL graft.merge_into('$root', 'merge_src_mor', 'id', true)")
+      .collect().head.getInt(0)
+    assert(v3 == 3)
+    assert(filesBefore.subsetOf(VersionedTable.filesOf(spark, root).toSet),
+      "vectored merge must carry every pre-merge file by name")
+    val got3 = VersionedTable.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3(5L) == 555L && got3(12L) == 222L && got3.size == 12)
+    // and the default (vectored omitted) binds to copy-on-write
+    Seq((1L, 101L)).toDF("id", "v").createOrReplaceTempView("merge_src_d")
+    assert(spark.sql(s"CALL graft.merge_into('$root', 'merge_src_d', 'id')")
+      .collect().head.getInt(0) == 4)
+  }
+
+  test("reindex through CALL restores bloom precision after a vectored delete") {
+    import spark.implicits._
+    ensureCatalog()
+    val root = freshRoot()
+    // two disjoint key files, bloom-indexed
+    VersionedTable.create(spark, root,
+      (0L until 50L).toDF("n").select(concat(lit("a"), col("n")).as("k"))
+        .coalesce(1))
+    VersionedTable.append(spark, root,
+      (0L until 50L).toDF("n").select(concat(lit("b"), col("n")).as("k"))
+        .coalesce(1))
+    VersionedTable.indexBloom(spark, root, Seq("k"))
+    val aFile = VersionedTable.filesOf(spark, root).head
+    assert(VersionedTable.bloomPrunedFiles(spark, root, "k", "a10")
+      .contains(aFile))
+    // vector away every a-key: the bloom is now a stale over-approximation
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty,
+      col("k").startsWith("a"))
+    assert(VersionedTable.bloomPrunedFiles(spark, root, "k", "a10")
+      .contains(aFile),
+      "pre-reindex: the stale bloom still admits the deleted key (sound)")
+    val v = spark.sql(s"CALL graft.reindex('$root', 'k')")
+      .collect().head.getInt(0)
+    assert(v == VersionedTable.versions(spark, root).last)
+    // post-reindex: the file whose only matching rows were vectored away
+    // is EXCLUDED from the point lookup; surviving keys still hit
+    assert(!VersionedTable.bloomPrunedFiles(spark, root, "k", "a10")
+      .contains(aFile),
+      "reindex must rebuild the bloom from surviving rows only")
+    assert(VersionedTable.bloomPrunedFiles(spark, root, "k", "b10").nonEmpty)
+    // a reindex with no DV-bearing files is a version-preserving no-op
+    VersionedTable.compact(spark, root, targetBytes = Long.MaxValue / 4)
+    val cur = VersionedTable.versions(spark, root).last
+    assert(spark.sql(s"CALL graft.reindex('$root', 'k')")
+      .collect().head.getInt(0) == cur)
   }
 }

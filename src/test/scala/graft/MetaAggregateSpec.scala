@@ -83,7 +83,7 @@ class MetaAggregateSpec extends SparkSpec {
     assert(mixed.collect().head.getLong(0) == 300L)
   }
 
-  test("deletion vectors: count stays exact via cardinalities, min/max refuses") {
+  test("deletion vectors: count stays exact; min/max answers from LIVE stats") {
     import spark.implicits._
     val root = freshRoot()
     VersionedTable.create(spark, root,
@@ -93,10 +93,16 @@ class MetaAggregateSpec extends SparkSpec {
     val c = rel(root).groupBy().agg(count(lit(1)).as("n"))
     assert(metaAnswered(c), "count under DVs is exact: rows minus cardinality")
     assert(c.collect().head.getLong(0) == 90L)
-    // the minimum id might be (is) a deleted row — metadata must refuse
+    // the minimum id IS a deleted row — but the vectored delete re-derived
+    // survivor-exact (live) stats in its write pass, so metadata answers
+    // the post-delete extremum exactly
     val m = rel(root).agg(min("id").as("lo"))
-    assert(!metaAnswered(m))
+    assert(metaAnswered(m), "live stats answer min/max under DVs")
     assert(m.collect().head.getLong(0) == 10L)
+    // count(col) under DVs: live null counts keep it exact too
+    val nc = rel(root).agg(count(col("id")).as("n"))
+    assert(metaAnswered(nc))
+    assert(nc.collect().head.getLong(0) == 90L)
     // time travel to the pre-delete version still answers from metadata
     val t = spark.read.format("graft-versioned").option("versionAsOf", "1")
       .load(root).groupBy().agg(count(lit(1)).as("n"))
@@ -151,13 +157,14 @@ class MetaAggregateSpec extends SparkSpec {
 
   test("q195: the metadata-answered side carries no scan; values match the data") {
     val df = graft.queries.LakehouseQueries.defs("q195_meta_agg")(spark, sf)
-    // v2 (no DVs): all four aggregates answered from the manifest —
-    // only the v3 union branch (refused under DVs) still scans
+    // BOTH branches answer from manifests: v2 from footer stats, v3 (DV-
+    // bearing) from the survivor-exact LIVE stats its vectored delete
+    // re-derived — the whole union is scan-free
     val scans = df.queryExecution.optimizedPlan.collect {
       case lr: LogicalRelation => lr
     }
-    assert(scans.size == 1,
-      s"exactly the DV side may scan, got ${scans.size} relations")
+    assert(scans.isEmpty,
+      s"both sides answer from metadata, got ${scans.size} relations")
     val rows = df.collect().map(r => r.getString(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val ev = Tables.events(spark, sf)
@@ -251,9 +258,9 @@ class MetaAggregateSpec extends SparkSpec {
     assert(metaAnswered(g1), "grouped count under DVs is still exact")
     assert(g1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       Map("s0" -> 50L, "s1" -> 50L))
-    // ...but grouped min must refuse under DVs
+    // ...and grouped min under DVs answers from the refreshed live stats
     val g2 = rel(root).groupBy("src").agg(min("id").as("lo"))
-    assert(!metaAnswered(g2))
+    assert(metaAnswered(g2), "grouped min under DVs via live stats")
     assert(g2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
       Map("s0" -> 20L, "s1" -> 21L))
   }
@@ -337,6 +344,53 @@ class MetaAggregateSpec extends SparkSpec {
     val got = g.collect().map(r =>
       r.getDate(0).toString -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == Map("2024-03-02" -> ((30L, 1L)), "2024-03-03" -> ((30L, 2L))))
+  }
+
+  test("timestamp min/max answers from the manifest via the recorded stat unit") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (0L until 500L).toDF("id")
+      .withColumn("ts", timestamp_micros(lit(1700000000000000L) +
+        col("id") * 60000000L)) // one-minute grid from a fixed epoch
+      .repartition(3)
+    VersionedTable.create(spark, root, df)
+    // the commit recorded the parquet logical annotation alongside the
+    // long bound — without it an INT64 stat can't prove micros vs millis
+    val stats = VersionedTable.metaFiles(spark, root).map(_.stats("ts"))
+    assert(stats.forall(s => s.typ == "long" && s.unit == "ts-micros"),
+      s"expected ts-micros units, got ${stats.map(_.unit).distinct}")
+    val mm = rel(root).agg(min("ts").as("lo"), max("ts").as("hi"))
+    assert(metaAnswered(mm), mm.queryExecution.optimizedPlan.toString)
+    val r = mm.collect().head
+    assert(r.getTimestamp(0).getTime == 1700000000000L)
+    assert(r.getTimestamp(1).getTime == 1700000000000L + 499L * 60000L)
+    // a pre-unit manifest (unit field absent) must refuse — strip the
+    // "u" fields and re-ask
+    val mf = java.nio.file.Paths.get(root, "_log", "v00000001.manifest.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(mf), "UTF-8")
+    assert(txt.contains("\"u\": \"ts-micros\""))
+    java.nio.file.Files.write(mf,
+      txt.replaceAll(""",\s*"u": "ts-micros"""", "").getBytes("UTF-8"))
+    val again = rel(root).agg(min("ts").as("lo"))
+    assert(!metaAnswered(again), "an unlabeled timestamp bound must refuse")
+    assert(again.collect().head.getTimestamp(0).getTime == 1700000000000L)
+  }
+
+  test("timestamp min/max stays answerable under DVs via live stats") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (0L until 300L).toDF("id")
+        .withColumn("ts", timestamp_micros(lit(1700000000000000L) +
+          col("id") * 1000000L)).coalesce(1))
+    // delete the earliest 50 instants: the raw footer minimum is deleted
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty,
+      col("id") < 50L)
+    val mm = rel(root).agg(min("ts").as("lo"), count(lit(1)).as("n"))
+    assert(metaAnswered(mm), mm.queryExecution.optimizedPlan.toString)
+    val r = mm.collect().head
+    assert(r.getTimestamp(0).getTime == 1700000000000L + 50000L)
+    assert(r.getLong(1) == 250L)
   }
 
   test("the rewrite can be disabled by conf") {

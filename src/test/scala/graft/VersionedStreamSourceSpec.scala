@@ -255,4 +255,72 @@ class VersionedStreamSourceSpec extends SparkSpec {
     assert(feed == Seq((1L, "insert"), (2L, "delete"), (2L, "insert"),
       (3L, "insert"), (4L, "insert")), s"got $feed")
   }
+
+  test("mid-stream schema evolution refuses the crossing batch; ignoreSchemaChanges pins") {
+    // the contract (ignoreChanges precedent): a running stream keeps its
+    // start-time schema, so a commit that widens the table REFUSES the
+    // batch with the restart instruction — silent null-fill would drop
+    // the new column from every delivered row with no sign anything
+    // changed. ignoreSchemaChanges=true opts into exactly that.
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2)) // v1
+    val ckpt = Files.createTempDirectory("vss_ev_ck").toString
+    val out = Files.createTempDirectory("vss_ev_out").toString
+    assert(drain(root, ckpt, out) == Seq(1L, 2L))
+    VersionedTable.addColumn(spark, root, "score", "double") // v2: widen
+    VersionedTable.append(spark, root,
+      df(3).withColumn("score", lit(0.5))) // v3: rows WITH the new column
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(root, ckpt, out)
+    }
+    assert(e.getMessage.contains("changed the table schema"),
+      s"expected the schema-evolution guard, got: ${e.getMessage}")
+    assert(e.getMessage.contains("ignoreSchemaChanges"),
+      "the refusal must name the escape hatch")
+    // opting in: the stream continues under the PINNED (pre-evolution)
+    // schema — new commits deliver, the new column is dropped
+    assert(drain(root, ckpt, out, Map("ignoreSchemaChanges" -> "true")) ==
+      Seq(1L, 2L, 3L))
+    // a FRESH stream adopts the widened schema from its own start
+    val out2 = Files.createTempDirectory("vss_ev_out2").toString
+    val q2 = spark.readStream.format("graft-versioned").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("vss_ev_ck2").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val fresh = spark.read.parquet(out2)
+    assert(fresh.columns.contains("score"))
+    assert(fresh.filter(col("id") === 3).select("score")
+      .collect().head.getDouble(0) == 0.5)
+    assert(fresh.filter(col("id") === 1).select("score")
+      .collect().head.isNullAt(0), "pre-evolution rows null-fill")
+  }
+
+  test("the change feed refuses mid-stream schema evolution the same way") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1).coalesce(1)) // v1
+    val out = Files.createTempDirectory("vss_cdf_ev").toString
+    val ckpt = Files.createTempDirectory("vss_cdf_ev_ck").toString
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-versioned")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainCdf() // snapshot batch under the v1 schema
+    VersionedTable.addColumn(spark, root, "tag", "string")    // v2
+    VersionedTable.append(spark, root,
+      df(2).withColumn("tag", lit("t")).coalesce(1))          // v3
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainCdf()
+    }
+    assert(e.getMessage.contains("changed the table schema") &&
+      e.getMessage.contains("ignoreSchemaChanges"),
+      s"the CDF mode shares the guard, got: ${e.getMessage}")
+  }
 }

@@ -1056,6 +1056,123 @@ class VersionedTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("registerClaimProvider"))
   }
+
+  test("filesAddedByTxn refuses when the txn's true parent version was expired") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1))              // v1
+    VersionedTable.appendTxn(spark, root, df(2), txn = 100L) // v2
+    VersionedTable.append(spark, root, df(3))              // v3
+    // intact chain: exactly the txn's own added file
+    assert(VersionedTable.filesAddedByTxn(spark, root, 100L).size == 1)
+    // expire v1: v2's true parent is gone. Diffing against "nothing"
+    // would credit the txn with v1's carried file — a bloom-maintenance
+    // caller would then stamp a batch bloom onto a foreign file and
+    // unsoundly prune. The only safe answer is EMPTY (the files just
+    // stay un-bloomed until the next indexBloom).
+    VersionedTable.expire(spark, root, keepLast = 2)
+    assert(VersionedTable.versions(spark, root) == Seq(2, 3))
+    assert(VersionedTable.filesAddedByTxn(spark, root, 100L).isEmpty)
+  }
+
+  /** Shared fixture for the arbiter failure-injection matrix: a
+    * flaky-rename store behind a putIfAbsent arbiter. */
+  private def withFlakyStore(test: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.flakystore.impl", classOf[FlakyStoreFileSystem].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vt_fi")
+    val root = s"flakystore://host$dir/t"
+    val puts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    VersionedTable.registerClaimProvider("flakystore",
+      new VersionedTable.ClaimProvider {
+        override def claim(f: org.apache.hadoop.fs.FileSystem,
+                           target: org.apache.hadoop.fs.Path): Boolean =
+          puts.putIfAbsent(target.toString, "claimed") == null
+      })
+    FlakyStoreFileSystem.mode = "ok"
+    FlakyStoreFileSystem.remaining.set(0)
+    try test(root)
+    finally {
+      FlakyStoreFileSystem.mode = "ok"
+      VersionedTable.unregisterClaimProvider("flakystore")
+    }
+  }
+
+  test("arbiter crash matrix: winner dies before publish — claim consumed, staged manifest recovers the version") {
+    import spark.implicits._
+    withFlakyStore { root =>
+      VersionedTable.create(spark, root, Seq(0L).toDF("id"))
+      // the store refuses every publish rename: the writer "dies" holding
+      // a consumed claim — data files staged, manifest not published
+      FlakyStoreFileSystem.mode = "crash"
+      val e = intercept[java.io.IOException] {
+        VersionedTable.append(spark, root, Seq(1L).toDF("id"))
+      }
+      assert(e.getMessage.contains("recover by copying"),
+        "the failure must carry the recovery instruction")
+      FlakyStoreFileSystem.mode = "ok"
+      assert(VersionedTable.versions(spark, root) == Seq(1),
+        "the failed publish must not half-commit")
+      // the claim is exclusive FOREVER: another writer can never win
+      // version 2 — appendCas exhausts its rebase budget and surfaces
+      // the wedge rather than clobbering the consumed name
+      val wedged = intercept[java.io.IOException] {
+        VersionedTable.appendCas(spark, root, Seq(9L).toDF("id"),
+          maxRetries = 2)
+      }
+      assert(wedged.getMessage.contains("lost the commit race"))
+      // the documented recovery: copy the staged manifest into place
+      // (the dead writer's data files already moved under data/)
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val log = new org.apache.hadoop.fs.Path(root, "_log")
+      val tmp = f.listStatus(log).map(_.getPath)
+        .filter(_.getName.startsWith(".v2-")).head
+      val target = new org.apache.hadoop.fs.Path(log, "v00000002.manifest.json")
+      val in = f.open(tmp)
+      val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+                  finally in.close()
+      val out = f.create(target, false)
+      try out.write(bytes) finally out.close()
+      assert(VersionedTable.read(spark, root).select("id").as[Long]
+        .collect().sorted.toSeq == Seq(0L, 1L),
+        "recovery publishes the crashed writer's commit exactly once")
+      // and the table moves on normally afterwards
+      VersionedTable.append(spark, root, Seq(2L).toDF("id"))
+      assert(VersionedTable.versions(spark, root) == Seq(1, 2, 3))
+    }
+  }
+
+  test("arbiter crash matrix: transient store 500s mid-publish are retried to success") {
+    import spark.implicits._
+    withFlakyStore { root =>
+      VersionedTable.create(spark, root, Seq(0L).toDF("id"))
+      FlakyStoreFileSystem.mode = "transient"
+      FlakyStoreFileSystem.remaining.set(2) // two 500s, then the store heals
+      VersionedTable.append(spark, root, Seq(1L).toDF("id"))
+      assert(VersionedTable.versions(spark, root) == Seq(1, 2))
+      assert(VersionedTable.read(spark, root).select("id").as[Long]
+        .collect().sorted.toSeq == Seq(0L, 1L))
+    }
+  }
+
+  test("arbiter crash matrix: a rename that completed server-side before throwing publishes exactly once") {
+    import spark.implicits._
+    withFlakyStore { root =>
+      VersionedTable.create(spark, root, Seq(0L).toDF("id"))
+      // object-store renames are copy+delete; a timeout can land AFTER
+      // the server applied it. The retry loop must probe the target
+      // (only this writer holds the claim, so an existing target IS our
+      // publish) instead of failing five no-op retries and surfacing an
+      // error for a commit that actually landed.
+      FlakyStoreFileSystem.mode = "complete-then-throw"
+      FlakyStoreFileSystem.remaining.set(1)
+      VersionedTable.append(spark, root, Seq(1L).toDF("id"))
+      assert(VersionedTable.versions(spark, root) == Seq(1, 2))
+      assert(VersionedTable.read(spark, root).select("id").as[Long]
+        .collect().sorted.toSeq == Seq(0L, 1L),
+        "no duplicate append after the probe recognized the publish")
+    }
+  }
 }
 
 /** A local filesystem masquerading as an object store: reports a non-file,
@@ -1064,4 +1181,35 @@ class VersionedTableSpec extends SparkSpec {
 class MockStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "mockstore"
   override def getUri: java.net.URI = java.net.URI.create("mockstore://host/")
+}
+
+/** [[MockStoreFileSystem]] with fault injection on MANIFEST publishes
+  * only (data-file stage moves stay reliable, isolating the commit
+  * point): "crash" refuses every publish rename, "transient" throws for
+  * the next `remaining` attempts then heals, "complete-then-throw"
+  * APPLIES the rename then throws — the object-store timeout-after-
+  * server-side-completion shape. */
+class FlakyStoreFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flakystore"
+  override def getUri: java.net.URI = java.net.URI.create("flakystore://host/")
+  override def rename(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (!dst.getName.endsWith(".manifest.json")) super.rename(src, dst)
+    else FlakyStoreFileSystem.mode match {
+      case "crash" =>
+        throw new java.io.IOException("injected: store down at publish")
+      case "transient" if FlakyStoreFileSystem.remaining.getAndDecrement() > 0 =>
+        throw new java.io.IOException("injected: transient 500")
+      case "complete-then-throw"
+          if FlakyStoreFileSystem.remaining.getAndDecrement() > 0 =>
+        super.rename(src, dst)
+        throw new java.io.IOException(
+          "injected: timeout after server-side completion")
+      case _ => super.rename(src, dst)
+    }
+}
+
+object FlakyStoreFileSystem {
+  @volatile var mode: String = "ok"
+  val remaining = new java.util.concurrent.atomic.AtomicInteger(0)
 }
