@@ -212,6 +212,30 @@ object GraftCatalog {
       },
       defaults = Map("vectored" -> "false")),
 
+    new Proc("zorder",
+      "rewrite the table Z-ORDERED on the given comma-separated columns " +
+        "(multi-dimensional clustering: every listed column's per-file " +
+        "range narrows at once, so conjunctive range filters prune on " +
+        "all dimensions)",
+      Seq("path" -> StringType, "columns" -> StringType,
+        "target_bytes" -> LongType), versionResult,
+      (spark, in) => versionRow(VersionedTable.zorderBy(spark, str(in, 0),
+        str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        targetBytes = in.getLong(2))),
+      defaults = Map("target_bytes" -> "134217728")),
+
+    new Proc("index_sums",
+      "attach exact per-file sums (and live-exact bounds/null counts) " +
+        "for the given comma-separated integral columns; " +
+        "only_missing=true indexes just the files lacking one " +
+        "(incremental, O(new files) after appends)",
+      Seq("path" -> StringType, "columns" -> StringType,
+        "only_missing" -> BooleanType), versionResult,
+      (spark, in) => versionRow(VersionedTable.indexSums(spark, str(in, 0),
+        str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        onlyMissing = in.getBoolean(2))),
+      defaults = Map("only_missing" -> "false")),
+
     new Proc("reindex",
       "rebuild blooms (and existing HLL registers) for the given " +
         "comma-separated columns on DV-bearing files, from surviving " +

@@ -46,6 +46,95 @@ case class DvDeletedExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** [[DvDeletedExpr]] with EXECUTOR-side vector loading: the broadcast
+  * carries only (manifest entry → sidecar path) REFERENCES — O(files)
+  * bytes through the driver no matter how many positions the vectors
+  * hold — and each executor lazily reads, decodes and caches exactly
+  * the vectors of the files its own tasks scan. At 100 TB a scattered
+  * delete's vectors total gigabytes; with this expression the driver
+  * never materializes any of them (the read path's old shape), and no
+  * executor holds more than its splits' share. The eager
+  * [[DvDeletedExpr]] stays for callers whose position sets are
+  * COMPUTED, not sidecar contents (the CDC vector-delta rows). */
+case class DvDeletedLazyExpr(left: Expression, right: Expression,
+                             refs: Broadcast[Map[String, String]],
+                             root: String,
+                             conf: Broadcast[graft.sink.VersionedTable.SerializableHadoopConf])
+    extends BinaryExpression with Predicate {
+
+  override def nullable: Boolean = false
+
+  override protected def nullSafeEval(file: Any, pos: Any): Any =
+    DvDeletedLazyExpr.contains(refs, root, conf,
+      file.asInstanceOf[UTF8String], pos.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refsRef = ctx.addReferenceObj("dvRefsBc", refs, classOf[Broadcast[_]].getName)
+    val rootRef = ctx.addReferenceObj("dvRoot", root, "java.lang.String")
+    val confRef = ctx.addReferenceObj("dvConfBc", conf, classOf[Broadcast[_]].getName)
+    nullSafeCodeGen(ctx, ev, (f, p) =>
+      s"""${ev.value} = graft.functions.DvDeletedLazyExpr.contains(
+         |  $refsRef, $rootRef, $confRef, $f, $p);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DvDeletedLazyExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object DvDeletedLazyExpr {
+  // same per-thread memo discipline as DvDeletedExpr (file_path is
+  // constant within a split), keyed on the refs MAP identity
+  private val last = new ThreadLocal[(AnyRef, UTF8String, Array[Long])]
+
+  // per-executor decoded-vector cache, one inner map per broadcast refs
+  // value: lives exactly as long as the broadcast, concurrent tasks of
+  // one read share loads (computeIfAbsent dedups the sidecar IO)
+  private val vecCache =
+    new java.util.WeakHashMap[AnyRef, java.util.concurrent.ConcurrentHashMap[String, Array[Long]]]
+
+  private def cacheFor(refs: AnyRef): java.util.concurrent.ConcurrentHashMap[String, Array[Long]] =
+    vecCache.synchronized {
+      var c = vecCache.get(refs)
+      if (c == null) {
+        c = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]
+        vecCache.put(refs, c)
+      }
+      c
+    }
+
+  // generic Broadcast params keep the codegen call site erasure-clean
+  def contains(refsBc: Broadcast[_], root: String, confBc: Broadcast[_],
+               file: UTF8String, pos: Long): Boolean = {
+    val refs = refsBc.value.asInstanceOf[Map[String, String]]
+    val memo = last.get()
+    val arr =
+      if (memo != null && (memo._1 eq refs) && memo._2.equals(file)) memo._3
+      else {
+        val a = DvDeletedExpr.cachedResolverFor(refs, refs.keys)(file.toString)
+          .map { entry =>
+            cacheFor(refs).computeIfAbsent(entry, { e =>
+              refs.get(e) match {
+                case Some(dvRel) =>
+                  val conf = confBc.value
+                    .asInstanceOf[graft.sink.VersionedTable.SerializableHadoopConf].value
+                  val p = new org.apache.hadoop.fs.Path(root, dvRel)
+                  val in = p.getFileSystem(conf).open(p)
+                  val bytes =
+                    try org.apache.commons.io.IOUtils.toByteArray(in)
+                    finally in.close()
+                  graft.sink.VersionedTable.decodeDvPositions(bytes)
+                case None => Array.emptyLongArray
+              }
+            })
+          }.getOrElse(Array.emptyLongArray)
+        last.set((refs, file.clone(), a))
+        a
+      }
+    arr.length > 0 && java.util.Arrays.binarySearch(arr, pos) >= 0
+  }
+}
+
 object DvDeletedExpr {
   // per-thread memo of the last (map, file) -> positions resolution:
   // file_path is constant across a split, so the suffix resolution
@@ -101,16 +190,21 @@ object DvDeletedExpr {
   // per (broadcast value) rather than once per task — without it every
   // task's memo miss rescans all entries, O(files²) across a wide read.
   // WeakHashMap keyed on the map's identity: the index dies with the
-  // broadcast value, never pinning a deserialized snapshot.
+  // broadcast value, never pinning a deserialized snapshot. Shared with
+  // [[DvDeletedLazyExpr]] (its key is the sidecar-reference map).
   private val resolverCache =
     new java.util.WeakHashMap[AnyRef, String => Option[String]]
 
-  private def cachedResolver(m: Map[String, Array[Long]]): String => Option[String] =
+  private[functions] def cachedResolverFor(
+      key: AnyRef, entries: => Iterable[String]): String => Option[String] =
     resolverCache.synchronized {
-      var r = resolverCache.get(m)
-      if (r == null) { r = resolverFor(m.keys.toSeq); resolverCache.put(m, r) }
+      var r = resolverCache.get(key)
+      if (r == null) { r = resolverFor(entries.toSeq); resolverCache.put(key, r) }
       r
     }
+
+  private def cachedResolver(m: Map[String, Array[Long]]): String => Option[String] =
+    cachedResolverFor(m, m.keys)
 
   def contains(m: Map[String, Array[Long]], file: UTF8String, pos: Long): Boolean = {
     val memo = last.get()

@@ -34,6 +34,15 @@ import graft.sources.VersionedRelation
   *    the vectored DML that last grew its vector — a deleted row's
   *    null-ness is unknowable from a raw footer count); a fully-vectored
   *    file contributes 0 without needing stats at all.
+  *  - `sum(col)` (integral columns) = Σ per-file exact sums
+  *    ([[graft.sink.VersionedTable.indexSums]]'s index, refreshed by
+  *    the vectored DMLs), refused unless every live file carries a sum
+  *    (with a usable null count). The total folds with `addExact` and
+  *    REFUSES on overflow: when the true total is representable the
+  *    answer equals the scan's under every eval mode (ANSI included —
+  *    no overflow occurred, so nothing to throw; TRY — same; legacy —
+  *    wrap never engaged), and when it isn't, the scan keeps its own
+  *    mode's overflow semantics. Metadata never silently wraps.
   *  - `min/max(col)` come from footer/live bounds, restricted to the
   *    INTEGRAL logical types + DATE + timestamps whose stat records its
   *    time unit ([[graft.sink.VersionedTable.ColStat.unit]] — an
@@ -93,6 +102,13 @@ object MetaAggregates extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Integral types (Long-typed `sum` output) — the domain where a
+    * representable Σ per-file sums is bit-exactly the scan's sum. */
+  private def summableType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
   /** Could `dt` ever come back from a "long"-domain bound? The static
     * half of the min/max exactness rule, usable before any manifest IO.
     * Timestamps qualify statically; per-stat, only when the recorded
@@ -109,7 +125,7 @@ object MetaAggregates extends Rule[LogicalPlan] {
     * (files written by other engines) scale exactly; an unlabeled
     * timestamp stat (pre-unit manifests) refuses. */
   private def statLong(dt: DataType, s: graft.sink.VersionedTable.ColStat,
-                       isMin: Boolean): Option[Long] = {
+                       isMin: Boolean): Option[Long] = try {
     val v = (if (isMin) s.lo else s.hi).toLong
     dt match {
       case TimestampType => s.unit match {
@@ -125,6 +141,11 @@ object MetaAggregates extends Rule[LogicalPlan] {
       case LongType | IntegerType | DateType | ShortType | ByteType => Some(v)
       case _ => None
     }
+  } catch {
+    // an unparseable bound or a ts-millis value that overflows the
+    // micros domain (foreign writer's sentinel, corrupt manifest) must
+    // REFUSE to the scan, not fail the query from inside the optimizer
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** An internal-long-domain extremum back as `dt`'s Catalyst value. */
@@ -151,6 +172,10 @@ object MetaAggregates extends Rule[LogicalPlan] {
           case Count(Seq(_: AttributeReference)) => true
           case Min(a: AttributeReference) => boundableType(a.dataType)
           case Max(a: AttributeReference) => boundableType(a.dataType)
+          case s: Sum => s.child match {
+            case a: AttributeReference => summableType(a.dataType)
+            case _ => false
+          }
           case _ => false
         }
       case a: AttributeReference =>
@@ -338,6 +363,33 @@ object MetaAggregates extends Rule[LogicalPlan] {
         if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
       case Min(a: AttributeReference) => bound(a, fs, isMin = true)
       case Max(a: AttributeReference) => bound(a, fs, isMin = false)
+      case s: Sum if s.child.isInstanceOf[AttributeReference] =>
+        val a = s.child.asInstanceOf[AttributeReference]
+        if (!summableType(a.dataType)) None
+        else {
+          // per file: (sum, live non-null count). A DV-bearing file needs
+          // a LIVE sum; a fully-vectored file contributes (0, 0) free.
+          val per = fs.map { f =>
+            f.rows match {
+              case Some(n) if n == f.dvCard => Some((0L, 0L))
+              case Some(n) => f.stats.get(a.name)
+                .filter(s0 => s0.sum.isDefined && s0.nulls >= 0 &&
+                  (f.dvCard == 0L || s0.live))
+                .map(s0 => (s0.sum.get, (n - f.dvCard) - s0.nulls))
+              case None => None
+            }
+          }
+          if (per.exists(_.isEmpty)) None
+          else {
+            val vals = per.flatten
+            // sum over zero non-null values is NULL, like the scan's
+            if (vals.map(_._2).sum == 0L) Some(null)
+            else try Some(vals.foldLeft(0L)((a, b) => Math.addExact(a, b._1)))
+            catch { // representable-total-only: overflow falls to the scan
+              case _: ArithmeticException => None
+            }
+          }
+        }
       case _ => None
     }
 

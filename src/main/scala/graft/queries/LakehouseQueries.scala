@@ -647,6 +647,54 @@ object LakehouseQueries {
       snap(1, "v1_full").unionByName(snap(2, "v2_after_delete"))
     }),
 
+    // Metadata-only SUM: per-file exact sums attached by
+    // CALL graft.index_sums (wrapping Long addition is associative, so
+    // Σ per-file sums is BIT-EXACTLY the scan's non-ANSI sum at any
+    // partitioning), then a vectored delete whose refresh pass keeps the
+    // sums survivor-exact — so the partition dashboard
+    // (bucket, count(*), sum(event_id)) answers from the manifest with
+    // zero scans EVEN AFTER merge-on-read deletes (MetaAggregateSpec
+    // pins the plan). Parquet footers record no sums; this is the index
+    // that closes the one aggregate footer stats can't. The oracle
+    // recomputes everything from raw events.
+    "q202_meta_sums" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_meta_q202")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), (col("user_id") % 8).cast("int").as("bucket"))
+      VersionedTable.create(s, root, ev, partitionBy = Seq("bucket"))   // v1
+      s.sql(s"CALL graft.index_sums('$root', 'event_id')")              // v2
+      VersionedTable.deleteWhereVectored(s, root, Map.empty,
+        col("event_id") % 9 === 0)                                      // v3
+      s.read.format("graft-versioned").load(root)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+    }),
+
+    // OPTIMIZE…ZORDER as a commit (CALL graft.zorder): a deliberately
+    // scattered events table is rewritten Morton-ordered on
+    // (event_id, user_id), then the 2-D box query runs through the
+    // versioned relation — its result must hash-match the raw recompute
+    // (clustering may never change answers), while ZOrderSpec pins the
+    // layout property itself (per-file ranges narrow on BOTH dimensions;
+    // the box and each single-dimension predicate prune files). At
+    // 100 TB this is the difference between opening one zone and
+    // scanning the table for multi-column dashboards.
+    "q203_zorder_prune" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_zorder_q203")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      VersionedTable.create(s, root, ev.repartition(8))               // v1
+      s.sql(s"CALL graft.zorder('$root', 'event_id,user_id', 32768)") // v2
+      s.read.format("graft-versioned").load(root)
+        .filter(col("event_id").between(1000, 3000) &&
+          col("user_id").between(20, 60))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
+
     // File-level HLL registers as a queryable index: a key-partitioned
     // history (4 hash-disjoint user files + an appended batch whose keys
     // are ALL repeats) is indexed with per-file registers; the skip
@@ -968,6 +1016,25 @@ object LakehouseQueries {
                 min(epoch_us(ts))::BIGINT, max(epoch_us(ts))::BIGINT,
                 count(ts)::BIGINT
          FROM ev WHERE event_id % 5 <> 0""",
+
+    // The summed dashboard recomputed from raw survivors — any drift in
+    // the per-file sums, the wrap-add equivalence, or the DV refresh
+    // breaks the hash.
+    "q202_meta_sums" ->
+      """SELECT CAST(user_id % 8 AS INTEGER) AS bucket,
+                count(*)::BIGINT AS n,
+                CAST(sum(event_id) AS BIGINT) AS sum_id
+         FROM events WHERE event_id % 9 <> 0
+         GROUP BY 1""",
+
+    // A physical-layout rewrite must be answer-invisible: the 2-D box
+    // aggregate over the z-ordered table recomputed from raw events.
+    "q203_zorder_prune" ->
+      """SELECT user_id, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE event_id BETWEEN 1000 AND 3000 AND user_id BETWEEN 20 AND 60
+         GROUP BY user_id""",
 
     // The estimate from the register-relevant file subset must equal the
     // estimate from ALL the data (pointwise-max algebra: file boundaries

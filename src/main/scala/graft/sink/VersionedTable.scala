@@ -44,6 +44,10 @@ object VersionedTable {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Serializes [[writeDataFiles]]' outputTimestampType set→write→restore
+    * (see the comment there) across concurrent committers. */
+  private val tsConfLock = new Object
+
   private def logDir(root: String) = new Path(root, "_log")
   private def dataDir(root: String) = new Path(root, "data")
   private def dvDir(root: String) = new Path(root, "dv")
@@ -68,7 +72,7 @@ object VersionedTable {
     out.toByteArray
   }
 
-  private[sink] def decodeDvPositions(bytes: Array[Byte]): Array[Long] = {
+  private[graft] def decodeDvPositions(bytes: Array[Byte]): Array[Long] = {
     require(bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'D' &&
       bytes(2) == 'V' && bytes(3) == '1', "not a GDV1 deletion vector")
     var i = 4
@@ -90,7 +94,7 @@ object VersionedTable {
     * table's FileSystem exactly as the driver would. Hadoop's
     * Configuration is Writable but not Serializable; this is the standard
     * wrapper shape (Spark keeps its own equivalent private). */
-  private[sink] class SerializableHadoopConf(
+  private[graft] class SerializableHadoopConf(
       @transient var value: org.apache.hadoop.conf.Configuration)
     extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit =
@@ -205,10 +209,18 @@ object VersionedTable {
     * and null count are exact for the manifest's current deletion vector,
     * so metadata-only count/min/max stay answerable under merge-on-read
     * deletes. Invariant: every commit that grows a file's vector
-    * re-derives that file's live stats in the same pass. */
+    * re-derives that file's live stats in the same pass.
+    *
+    * `sum` is the file's EXACT column sum in wrapping Long arithmetic
+    * (integral columns only; attached by [[indexSums]] and kept fresh by
+    * the vectored DMLs). Wrap-add is associative, so Σ per-file sums
+    * equals a scan's non-ANSI `sum()` BIT-EXACTLY at any partitioning —
+    * which is what lets a 100 TB `SELECT day, sum(x) GROUP BY day`
+    * collapse to manifest arithmetic. Parquet footers record no sums, so
+    * unlike bounds this field needs one (incremental) scan to exist. */
   final case class ColStat(col: String, typ: String, lo: String, hi: String,
                            nulls: Long = -1L, unit: String = "",
-                           live: Boolean = false)
+                           live: Boolean = false, sum: Option[Long] = None)
 
   /** Per-file bloom filter over one column's non-null values (stringified
     * in Spark cast-to-string form): `mBits` bits / `k` probes, bit array
@@ -311,8 +323,9 @@ object VersionedTable {
         val nn = if (c.nulls >= 0) s""", "nn": ${c.nulls}""" else ""
         val u = if (c.unit.nonEmpty) s""", "u": "${c.unit}"""" else ""
         val lv = if (c.live) """, "lv": true""" else ""
+        val sm = c.sum.map(v => s""", "sm": $v""").getOrElse("")
         s"""{"file": "${esc(file)}", "col": "${esc(c.col)}", """ +
-          s""""t": "${c.typ}", "lo": "${esc(c.lo)}", "hi": "${esc(c.hi)}"$nn$u$lv}"""
+          s""""t": "${c.typ}", "lo": "${esc(c.lo)}", "hi": "${esc(c.hi)}"$nn$u$lv$sm}"""
       }
     }.mkString("[", ", ", "]")
     val rowsJson =
@@ -585,13 +598,14 @@ object VersionedTable {
       .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).map(unesc).toSeq
-    val S = """\{"file": "((?:[^"\\]|\\.)*)", "col": "((?:[^"\\]|\\.)*)", "t": "(\w+)", "lo": "((?:[^"\\]|\\.)*)", "hi": "((?:[^"\\]|\\.)*)"(?:, "nn": (\d+))?(?:, "u": "([\w-]+)")?(?:, "lv": (true))?\}""".r
+    val S = """\{"file": "((?:[^"\\]|\\.)*)", "col": "((?:[^"\\]|\\.)*)", "t": "(\w+)", "lo": "((?:[^"\\]|\\.)*)", "hi": "((?:[^"\\]|\\.)*)"(?:, "nn": (\d+))?(?:, "u": "([\w-]+)")?(?:, "lv": (true))?(?:, "sm": (-?\d+))?\}""".r
     val stats = S.findAllMatchIn(text).map { mm =>
       (unesc(mm.group(1)), ColStat(unesc(mm.group(2)), mm.group(3),
         unesc(mm.group(4)), unesc(mm.group(5)),
         Option(mm.group(6)).map(_.toLong).getOrElse(-1L),
         Option(mm.group(7)).getOrElse(""),
-        mm.group(8) != null))
+        mm.group(8) != null,
+        Option(mm.group(9)).map(_.toLong)))
     }.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val B = """\{"bfile": "((?:[^"\\]|\\.)*)", "bcol": "((?:[^"\\]|\\.)*)", "m": (\d+), "k": (\d+), "bits": "([A-Za-z0-9+/=]*)"\}""".r
     val blooms = B.findAllMatchIn(text).map { mm =>
@@ -731,14 +745,33 @@ object VersionedTable {
     // annotated physical type. Scoped to THIS write — a global session
     // default would also retype every consumer-facing parquet the engine
     // emits, which downstream naive-timestamp readers may not expect.
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.get(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try {
+    // There is no per-write parquet option for this (checked: Spark 4's
+    // ParquetOptions carries only compression/mergeSchema/rebase), so
+    // timestamp-bearing writes take a set→write→restore critical section
+    // under a lock — two unsynchronized committers could interleave
+    // restore-vs-set and strand the session retyped (or write INT96 and
+    // silently lose their stats). Schema-gated: the common ts-free write
+    // never touches the conf and never contends.
+    def writeJob(): Unit = {
       val w = df.write.mode("overwrite").option("compression", "zstd")
       (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
         .parquet(scratch.toString)
-    } finally spark.conf.set(tsKey, prevTs)
+    }
+    def hasTs(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(x => hasTs(x.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasTs(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasTs(m.keyType) || hasTs(m.valueType)
+      case _ => false
+    }
+    if (!df.schema.fields.exists(x => hasTs(x.dataType))) writeJob()
+    else tsConfLock.synchronized {
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val prevTs = spark.conf.get(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try writeJob() finally spark.conf.set(tsKey, prevTs)
+    }
     f.mkdirs(dataDir(root))
     // collect staged part files with their partition subpath (k=v dirs
     // between scratch and the file — hive layout when partitioned)
@@ -1230,10 +1263,31 @@ object VersionedTable {
     val plainDf = readPaths(spark, ddl, plain.map(f => new Path(root, f).toString),
       m.partitionCols.nonEmpty, root)
     if (dvd.isEmpty) plainDf
-    else plainDf.unionByName(
-      dvMemberRows(spark, root, m, ddl,
-        dvd.map(f => f -> loadDvPositions(spark, root, m.dvs(f).dvFile)).toMap,
-        keepMembers = false))
+    else plainDf.unionByName(dvSurvivorRows(spark, root, m, ddl, dvd))
+  }
+
+  /** DV-applied scan of `files` (each carrying a vector in `m`),
+    * returning the SURVIVING rows. The membership filter is
+    * [[graft.functions.DvDeletedLazyExpr]]: the broadcast holds only
+    * sidecar REFERENCES (O(files) driver bytes, not O(deleted rows) —
+    * at 100 TB the vectors of a scattered delete total gigabytes the
+    * driver must never materialize); executors load and cache exactly
+    * the vectors of the files their tasks scan. */
+  private def dvSurvivorRows(spark: SparkSession, root: String, m: Manifest,
+                             ddl: String, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, not}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val refs = spark.sparkContext.broadcast(
+      files.map(f => f -> m.dvs(f).dvFile).toMap)
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val scanned = readPaths(spark, ddl,
+      files.sorted.map(f => new Path(root, f).toString),
+      m.partitionCols.nonEmpty, root, withMeta = true)
+    val member = Bridge.toColumn(graft.functions.DvDeletedLazyExpr(
+      Bridge.toExpression(col(DvFileCol)),
+      Bridge.toExpression(col(DvPosCol)), refs, root, confB))
+    scanned.filter(not(member)).drop(DvFileCol, DvPosCol)
   }
 
   /** Scan `filesWithPositions.keys` and keep (or drop) exactly the rows at
@@ -1372,29 +1426,8 @@ object VersionedTable {
     }.toMap
     val built: Map[String, Seq[FileBloom]] =
       if (paths.isEmpty) Map.empty
-      else {
-        val perCol = cols.map { c =>
-          val h1 = hllMix(hllHash(col(c).cast("string")))
-          val h2 = hllMix(h1)
-          val positions = array((0 until k).map(i =>
-            ((h1 + lit(i.toLong) * h2) % mBits).cast("int")): _*)
-          readPaths(spark, m.schemaDdl, paths)
-            .select(input_file_name().as("f"), explode(positions).as("pos"))
-            .where(col("pos").isNotNull)
-            .select(col("f"), col("pos"), lit(c).as("c"))
-        }.reduce(_ unionByName _)
-          .distinct()
-          .collect()
-        perCol.groupBy(r => manifestKeyOf(byPath, r.getString(0))).map { case (file, rows) =>
-          file -> rows.groupBy(_.getString(2)).map { case (c, rs) =>
-            val raw = new Array[Byte](mBits / 8)
-            rs.foreach { r =>
-              val p = r.getInt(1); raw(p >> 3) = (raw(p >> 3) | (1 << (p & 7))).toByte
-            }
-            FileBloom(c, mBits, k, java.util.Base64.getEncoder.encodeToString(raw))
-          }.toSeq
-        }
-      }
+      else buildBlooms(readPaths(spark, m.schemaDdl, paths), byPath,
+        cols, mBits, k)
     // a scanned file with NO non-null values of a column gets an explicit
     // all-zero bloom — "indexed, contains nothing" (mayContain always
     // false, sound for that file) — so it cannot read as an un-indexed
@@ -1624,6 +1657,18 @@ object VersionedTable {
 
   /** The files of `version` lacking a bloom for `column` — what a
     * zero-rescan maintainer ([[attachBlooms]]) still owes an index. */
+  /** Per-file blooms of `version` for `column` — (mBits, k) by file.
+    * Metadata introspection for operators and specs (e.g. asserting
+    * [[reindex]] preserved a file's index sizing). */
+  def bloomShapes(spark: SparkSession, root: String, column: String,
+                  version: Option[Int] = None): Map[String, (Int, Int)] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    m.files.flatMap(f => m.blooms.getOrElse(f, Seq.empty)
+      .find(_.col == column).map(b => f -> (b.mBits, b.k))).toMap
+  }
+
   def unbloomedFiles(spark: SparkSession, root: String, column: String,
                      version: Option[Int] = None): Seq[String] = {
     val v = version.orElse(currentVersion(spark, root))
@@ -1717,6 +1762,40 @@ object VersionedTable {
     v
   }
 
+  /** One distributed bloom-position build over `frame` for `cols` at
+    * one (mBits, k) shape: per manifest entry, the assembled blooms of
+    * the columns that produced at least one non-null value. Shared by
+    * [[indexBloom]] (raw scan) and [[reindex]] (DV-applied scan, per
+    * existing shape) so the build-side hash chain can never drift
+    * between the two sites — a drift would silently break
+    * build/probe agreement and prune matching files. */
+  private def buildBlooms(frame: DataFrame, byPath: Map[String, String],
+                          cols: Seq[String], mBits: Int,
+                          k: Int): Map[String, Seq[FileBloom]] = {
+    import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit}
+    import graft.ext.Sketches.{hllHash, hllMix}
+    val perCol = cols.map { c =>
+      val h1 = hllMix(hllHash(col(c).cast("string")))
+      val h2 = hllMix(h1)
+      val positions = array((0 until k).map(i =>
+        ((h1 + lit(i.toLong) * h2) % mBits).cast("int")): _*)
+      frame.select(input_file_name().as("f"), explode(positions).as("pos"))
+        .where(col("pos").isNotNull)
+        .select(col("f"), col("pos"), lit(c).as("c"))
+    }.reduce(_ unionByName _)
+      .distinct()
+      .collect()
+    perCol.groupBy(r => manifestKeyOf(byPath, r.getString(0))).map { case (file, rows) =>
+      file -> rows.groupBy(_.getString(2)).map { case (c, rs) =>
+        val raw = new Array[Byte](mBits / 8)
+        rs.foreach { r =>
+          val p = r.getInt(1); raw(p >> 3) = (raw(p >> 3) | (1 << (p & 7))).toByte
+        }
+        FileBloom(c, mBits, k, java.util.Base64.getEncoder.encodeToString(raw))
+      }.toSeq
+    }
+  }
+
   /** Rebuild skipping indexes for `cols` on the DV-BEARING files of the
     * current version, from their SURVIVING rows only — index maintenance
     * after wide vectored deletes. A vector never shrinks an index
@@ -1728,13 +1807,18 @@ object VersionedTable {
     * column (and fresh HLL registers where the file already carries
     * registers for that column — partial HLL coverage would break
     * union-estimate completeness, partial bloom coverage is safe by
-    * design), one metadata commit, no data file moves. Files without a
+    * design), one metadata commit, no data file moves.
+    *
+    * Rebuilt indexes KEEP each file's existing sizing: a bloom built at
+    * 64 Kib for high-cardinality keys must not silently shrink to the
+    * default because the SQL face exposes no m/k — `mBits`/`k` apply
+    * only to files with no existing bloom for the column, and HLL
+    * registers rebuild at their recorded bucket count. Files without a
     * vector are untouched; no-op (current version) when none carries
     * one. */
   def reindex(spark: SparkSession, root: String, cols: Seq[String],
-              mBits: Int = 1 << 13, k: Int = 6,
-              hllM: Int = graft.ext.Sketches.HllBuckets): Int = {
-    import org.apache.spark.sql.functions.{array, col, explode, input_file_name, lit, max}
+              mBits: Int = 1 << 13, k: Int = 6): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, max}
     import graft.ext.Sketches.{hllHash, hllMix, hllRho}
     require(cols.nonEmpty, "reindex needs at least one column")
     require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
@@ -1747,81 +1831,164 @@ object VersionedTable {
     val byPath: Map[String, String] = targets.map { rel =>
       fsys.makeQualified(new Path(root, rel)).toUri.getPath -> rel
     }.toMap
-    // the DV-applied read of exactly the vectored files — deleted rows
-    // contribute nothing to the rebuilt indexes
-    def live = readSnapshotFiles(spark, root, m, targets)
-    val bloomRows = cols.map { c =>
-      val h1 = hllMix(hllHash(col(c).cast("string")))
-      val h2 = hllMix(h1)
-      val positions = array((0 until k).map(i =>
-        ((h1 + lit(i.toLong) * h2) % mBits).cast("int")): _*)
-      live.select(input_file_name().as("f"), explode(positions).as("pos"))
-        .where(col("pos").isNotNull)
-        .select(col("f"), col("pos"), lit(c).as("c"))
-    }.reduce(_ unionByName _).distinct().collect()
-    val builtBlooms = bloomRows.groupBy(r => manifestKeyOf(byPath, r.getString(0)))
-      .map { case (file, rows) =>
-        file -> rows.groupBy(_.getString(2)).map { case (c, rs) =>
-          val raw = new Array[Byte](mBits / 8)
-          rs.foreach { r =>
-            val p = r.getInt(1); raw(p >> 3) = (raw(p >> 3) | (1 << (p & 7))).toByte
-          }
-          FileBloom(c, mBits, k, java.util.Base64.getEncoder.encodeToString(raw))
-        }.toSeq
+    // each (file, col) rebuilds at ITS existing bloom shape (default for
+    // first-time columns); one DV-applied build per distinct shape — the
+    // homogeneous-table common case stays a single scan
+    def shapeOf(f: String, c: String): (Int, Int) =
+      m.blooms.getOrElse(f, Seq.empty).find(_.col == c)
+        .map(b => (b.mBits, b.k)).getOrElse((mBits, k))
+    val pairs = targets.flatMap(f => cols.map(c => (f, c)))
+    val built: Map[String, Seq[FileBloom]] = pairs.groupBy { case (f, c) => shapeOf(f, c) }
+      .toSeq.map { case ((mb, kk), fcs) =>
+        val gFiles = fcs.map(_._1).distinct
+        val gCols = fcs.map(_._2).distinct
+        buildBlooms(readSnapshotFiles(spark, root, m, gFiles), byPath,
+          gCols, mb, kk)
+          .map { case (f, bs) => f -> bs.filter(b => fcs.contains((f, b.col))) }
+      }.foldLeft(Map.empty[String, Seq[FileBloom]]) { (acc, mp) =>
+        (acc.keySet ++ mp.keySet).map(f =>
+          f -> (acc.getOrElse(f, Seq.empty) ++ mp.getOrElse(f, Seq.empty))).toSeq.toMap
       }
-    val zeroBloom = FileBloom("", mBits, k,
-      java.util.Base64.getEncoder.encodeToString(new Array[Byte](mBits / 8)))
     val newBlooms: Map[String, Seq[FileBloom]] = targets.map { f =>
-      val have = builtBlooms.getOrElse(f, Seq.empty)
-      // all survivors of a column deleted/null → explicit contains-nothing
-      val filled = have ++ cols.filterNot(c => have.exists(_.col == c))
-        .map(c => zeroBloom.copy(col = c))
+      val have = built.getOrElse(f, Seq.empty)
+      // all survivors of a column deleted/null -> explicit contains-nothing
+      val filled = have ++ cols.filterNot(c => have.exists(_.col == c)).map { c =>
+        val (mb, kk) = shapeOf(f, c)
+        FileBloom(c, mb, kk,
+          java.util.Base64.getEncoder.encodeToString(new Array[Byte](mb / 8)))
+      }
       f -> (m.blooms.getOrElse(f, Seq.empty)
         .filterNot(b => cols.contains(b.col)) ++ filled)
     }.toMap
-    // HLL refresh only where registers for the column already exist
-    val hllTargets: Map[String, Seq[String]] = targets.map(f =>
-      f -> cols.filter(c => m.hlls.getOrElse(f, Seq.empty).exists(_.col == c))
-    ).toMap.filter(_._2.nonEmpty)
-    val hllCols = hllTargets.values.flatten.toSeq.distinct
+    // HLL refresh only where registers for the column already exist, at
+    // their recorded bucket count
+    val hllPairs = targets.flatMap(f => cols.flatMap(c =>
+      m.hlls.getOrElse(f, Seq.empty).find(_.col == c).map(h => (f, c, h.m))))
     val newHlls: Map[String, Seq[FileHll]] =
-      if (hllCols.isEmpty) Map.empty
-      else {
-        val rows = hllCols.map { c =>
+      if (hllPairs.isEmpty) Map.empty
+      else hllPairs.groupBy(_._3).toSeq.map { case (hm, fch) =>
+        val gFiles = fch.map(_._1).distinct
+        val gCols = fch.map(_._2).distinct
+        val live = readSnapshotFiles(spark, root, m, gFiles)
+        val rows = gCols.map { c =>
           live.select(input_file_name().as("f"), col(c).cast("string").as("kk"))
             .where(col("kk").isNotNull)
             .select(col("f"), hllMix(hllHash(col("kk"))).as("h1"))
-            .select(col("f"), (col("h1") % hllM).as("bucket"),
+            .select(col("f"), (col("h1") % hm).as("bucket"),
               hllRho(hllMix(col("h1"))).as("rho"))
             .groupBy(col("f"), col("bucket"))
             .agg(max(col("rho")).cast("long").as("mx"))
             .select(col("f"), col("bucket"), col("mx"), lit(c).as("c"))
         }.reduce(_ unionByName _).collect()
-        val built = rows.groupBy(r => manifestKeyOf(byPath, r.getString(0))).map {
+        val builtH = rows.groupBy(r => manifestKeyOf(byPath, r.getString(0))).map {
           case (file, rs0) =>
             file -> rs0.groupBy(_.getString(3)).map { case (c, rs) =>
-              val regs = new Array[Byte](hllM)
+              val regs = new Array[Byte](hm)
               rs.foreach { r =>
                 val b = r.getLong(1).toInt
                 if (r.getLong(2) > (regs(b) & 0xff)) regs(b) = r.getLong(2).toByte
               }
-              FileHll(c, hllM, java.util.Base64.getEncoder.encodeToString(regs))
+              FileHll(c, hm, java.util.Base64.getEncoder.encodeToString(regs))
             }.toSeq
         }
-        val zero = java.util.Base64.getEncoder.encodeToString(new Array[Byte](hllM))
-        hllTargets.map { case (f, cs) =>
-          val have = built.getOrElse(f, Seq.empty).filter(h => cs.contains(h.col))
+        val zero = java.util.Base64.getEncoder.encodeToString(new Array[Byte](hm))
+        fch.map(_._1).distinct.map { f =>
+          val cs = fch.collect { case (`f`, c, _) => c }
+          val have = builtH.getOrElse(f, Seq.empty).filter(h => cs.contains(h.col))
           val filled = have ++ cs.filterNot(c => have.exists(_.col == c))
-            .map(c => FileHll(c, hllM, zero))
-          f -> (m.hlls.getOrElse(f, Seq.empty)
-            .filterNot(h => cs.contains(h.col)) ++ filled)
-        }
+            .map(c => FileHll(c, hm, zero))
+          f -> filled
+        }.toMap
+      }.foldLeft(Map.empty[String, Seq[FileHll]]) { (acc, mp) =>
+        (acc.keySet ++ mp.keySet).map(f =>
+          f -> (acc.getOrElse(f, Seq.empty) ++ mp.getOrElse(f, Seq.empty))).toSeq.toMap
+      }.map { case (f, fresh) =>
+        val freshCols = fresh.map(_.col).toSet
+        f -> (m.hlls.getOrElse(f, Seq.empty)
+          .filterNot(h => freshCols.contains(h.col)) ++ fresh)
       }
     val v = cur + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, None,
       stats = m.stats, blooms = m.blooms ++ newBlooms,
       partitionCols = m.partitionCols, hlls = m.hlls ++ newHlls,
       dvs = m.dvs, rows = m.rows, op = "reindex"), Some(m))
+    v
+  }
+
+  /** Attach EXACT per-file column sums (with live-exact bounds and null
+    * counts) for integral columns, as a metadata commit — the index that
+    * turns `SELECT day, sum(x) … GROUP BY day` into manifest arithmetic
+    * ([[graft.plans.MetaAggregates]]). Spark's non-ANSI `sum` is
+    * wrapping Long addition, and wrap-add is associative, so Σ per-file
+    * sums equals the scan's answer BIT-EXACTLY at any partitioning.
+    * Parquet footers record no sums, so unlike bounds this index needs a
+    * scan — `onlyMissing = true` makes maintenance incremental
+    * (O(new files) after appends, the [[indexBloom]] discipline), and
+    * the vectored DMLs keep attached sums fresh in their own refresh
+    * pass, so the index survives merge-on-read deletes. The scan is
+    * DV-applied: sums are live-exact by construction. Non-integral or
+    * partition columns are refused (a partition column's sum is its
+    * single value × rows — already answerable without an index). */
+  def indexSums(spark: SparkSession, root: String, cols: Seq[String],
+                onlyMissing: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum}
+    import org.apache.spark.sql.types._
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val partSet = m.partitionCols.toSet
+    val bad = cols.filter(c => partSet.contains(c) ||
+      !schema.fields.find(_.name == c).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    require(bad.isEmpty,
+      s"indexSums needs integral non-partition columns; refused: $bad")
+    val targets =
+      if (!onlyMissing) m.files
+      else m.files.filter(f => cols.exists(c =>
+        !m.stats.getOrElse(f, Seq.empty).exists(s => s.col == c && s.sum.isDefined)))
+    if (targets.isEmpty) return cur
+    val fsys = fs(spark, new Path(root))
+    val byPath: Map[String, String] = targets.map { rel =>
+      fsys.makeQualified(new Path(root, rel)).toUri.getPath -> rel
+    }.toMap
+    val aggs = Seq(count(lit(1)).as("__live")) ++
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        val lc = col(c).cast(LongType)
+        Seq(min(lc).as(s"__lo$i"), max(lc).as(s"__hi$i"),
+          count(lc).as(s"__nn$i"), sum(lc).as(s"__sm$i"))
+      }
+    val rows = readSnapshotFiles(spark, root, m, targets)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per target file, O(files × cols)
+    val fresh: Map[String, Seq[ColStat]] = rows.map { r =>
+      val f = manifestKeyOf(byPath, r.getString(0))
+      val live = r.getLong(1)
+      f -> cols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(2 + 4 * i)) None // all-null (or no) survivors
+        else Some(ColStat(c, "long", r.getLong(2 + 4 * i).toString,
+          r.getLong(3 + 4 * i).toString,
+          nulls = live - r.getLong(4 + 4 * i), live = true,
+          sum = Some(r.getLong(5 + 4 * i))))
+      }
+    }.toMap
+    // files the scan saw no live rows of (fully vectored, empty) produce
+    // no group — they keep their old stats untouched, and the
+    // rows-==-dvCard exemption answers for them
+    val merged = targets.flatMap { f =>
+      fresh.get(f).map { sts =>
+        f -> (m.stats.getOrElse(f, Seq.empty)
+          .filterNot(s => sts.exists(_.col == s.col)) ++ sts)
+      }
+    }.toMap
+    val v = cur + 1
+    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, None,
+      stats = m.stats ++ merged, blooms = m.blooms,
+      partitionCols = m.partitionCols, hlls = m.hlls, dvs = m.dvs,
+      rows = m.rows, op = "index-sums"), Some(m))
     v
   }
 
@@ -2068,21 +2235,25 @@ object VersionedTable {
     val partCols = m.partitionCols.toSet
     val priorDvs: Map[String, FileDv] =
       touched.flatMap(f => m.dvs.get(f).map(f -> _)).toMap
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val scanned0 = readPaths(spark, m.schemaDdl,
       touched.map(f => new Path(root, f).toString),
       m.partitionCols.nonEmpty, root, withMeta = true)
     // rows a prior vector hides are already deleted: not survivors, and
     // never re-marked — fresh positions stay disjoint from the prior
-    // vector, so the executor-side sidecar merge is a sorted-array union
+    // vector, so the executor-side sidecar merge is a sorted-array
+    // union. The filter is the LAZY expression: prior vectors load on
+    // the executors, never through the driver (same contract as the
+    // sidecar WRITES below).
     val scanned =
       if (priorDvs.isEmpty) scanned0
       else {
-        val bc = spark.sparkContext.broadcast(priorDvs.map { case (f, d) =>
-          f -> loadDvPositions(spark, root, d.dvFile)
-        })
-        scanned0.filter(not(Bridge.toColumn(graft.functions.DvDeletedExpr(
+        val refs = spark.sparkContext.broadcast(
+          priorDvs.map { case (f, d) => f -> d.dvFile })
+        scanned0.filter(not(Bridge.toColumn(graft.functions.DvDeletedLazyExpr(
           Bridge.toExpression(col(DvFileCol)),
-          Bridge.toExpression(col(DvPosCol)), bc))))
+          Bridge.toExpression(col(DvPosCol)), refs, root, confB))))
       }
     val del = col(DelCol) <=> lit(true)
     val surv = !del
@@ -2104,17 +2275,18 @@ object VersionedTable {
         statCols.zipWithIndex.flatMap { case ((_, lc, _), i) => Seq(
           min(when(surv, lc)).as(s"__lo$i"),
           max(when(surv, lc)).as(s"__hi$i"),
-          count(when(surv, lc)).as(s"__nn$i"))
+          count(when(surv, lc)).as(s"__nn$i"),
+          // survivor sum in the same pass: keeps ColStat.sum (attached
+          // by indexSums) exact through vectored deletes for free
+          sum(when(surv, lc)).as(s"__sm$i"))
         }
     val grouped = mark(scanned).groupBy(col(DvFileCol))
       .agg(aggs.head, aggs.tail: _*)
-    val confB = spark.sparkContext.broadcast(
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val priorB = spark.sparkContext.broadcast(priorDvs)
     val touchedB = spark.sparkContext.broadcast(touched)
     val rootS = root
     val nStats = statCols.size
-    val results: Array[(String, String, Long, Long, Seq[(Int, Long, Long, Long)])] =
+    val results: Array[(String, String, Long, Long, Seq[(Int, Long, Long, Long, Long)])] =
       grouped.mapPartitions { it =>
         val conf = confB.value.value
         val resolve = graft.functions.DvDeletedExpr.resolverFor(touchedB.value)
@@ -2122,11 +2294,11 @@ object VersionedTable {
           resolve(row.getString(0)).iterator.map { entry =>
             val fresh: Array[Long] = row.getSeq[Long](1).toArray
             val live = row.getLong(2)
-            val stats: Seq[(Int, Long, Long, Long)] =
+            val stats: Seq[(Int, Long, Long, Long, Long)] =
               (0 until nStats).toList.flatMap { i =>
-                if (row.isNullAt(3 + 3 * i)) Nil // all-null survivors (or none)
-                else List((i, row.getLong(3 + 3 * i), row.getLong(4 + 3 * i),
-                  row.getLong(5 + 3 * i)))
+                if (row.isNullAt(3 + 4 * i)) Nil // all-null survivors (or none)
+                else List((i, row.getLong(3 + 4 * i), row.getLong(4 + 4 * i),
+                  row.getLong(5 + 4 * i), row.getLong(6 + 4 * i)))
               }
             val (dvName, card) =
               if (fresh.isEmpty) priorB.value.get(entry) match {
@@ -2176,10 +2348,13 @@ object VersionedTable {
     val refreshedStats = results.map { case (e, _, _, live, sts) =>
       val kept = m.stats.getOrElse(e, Seq.empty)
         .filterNot(s => refreshable.contains(s.col))
-      val fresh = sts.map { case (i, lo, hi, nonNull) =>
+      val fresh = sts.map { case (i, lo, hi, nonNull, sm) =>
         val (name, _, unit) = statCols(i)
+        // sums only for the genuinely integral columns (unit "") — a
+        // "sum of epoch micros" invites misuse and answers nothing
         ColStat(name, "long", lo.toString, hi.toString,
-          nulls = live - nonNull, unit = unit, live = true)
+          nulls = live - nonNull, unit = unit, live = true,
+          sum = if (unit.isEmpty) Some(sm) else None)
       }
       e -> (kept ++ fresh)
     }.toMap
@@ -2510,6 +2685,79 @@ object VersionedTable {
         base.repartitionByRange(target, ks: _*).sortWithinPartitions(ks: _*)
       }
     overwrite(spark, root, df, baseVersion = Some(cur), op = "compact")
+  }
+
+  /** Rewrite the table Z-ORDERED on `cols` — multi-dimensional
+    * clustering as a commit (the OPTIMIZE…ZORDER BY shape): each
+    * dimension quantizes to 8 bits over its live [min, max] (equal-width
+    * buckets from ONE aggregate over the current snapshot), the
+    * per-dimension bits INTERLEAVE into a Morton key, and the rewrite
+    * range-partitions + sorts on that key before writing. Why not plain
+    * `compact(clusterBy = cols)`: lexicographic clustering narrows
+    * per-file [lo, hi] on the LEADING column only — a filter on the
+    * second column alone still opens every file. On the Morton layout
+    * every zorder column's per-file range is narrow simultaneously, so
+    * conjunctive (and single-column) range predicates prune files on
+    * all dimensions at once — at 100 TB the difference between opening
+    * one zone and scanning the table (the public Delta/Iceberg OPTIMIZE
+    * designs; q109/q123 carry the curve math at query level, this
+    * commits it as the physical layout). Numeric, date and timestamp
+    * columns quantize (dates as epoch days, timestamps as micros);
+    * NULLs land in bucket 0. Deletion vectors materialize like every
+    * copy-on-write rewrite. Returns the new version. */
+  def zorderBy(spark: SparkSession, root: String, cols: Seq[String],
+               targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    require(cols.size >= 2,
+      "zorderBy needs at least two columns (one column: use compact(clusterBy))")
+    require(cols.size <= 4, "zorderBy supports at most 4 dimensions")
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    // each dimension as a double for equal-width bucketing
+    def dim(c: String): Column = {
+      val dt = schema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(s"no column $c"))
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | _: DecimalType => col(c).cast(DoubleType)
+        case DateType => unix_date(col(c)).cast(DoubleType)
+        case TimestampType => unix_micros(col(c)).cast(DoubleType)
+        case other => throw new IllegalArgumentException(
+          s"zorderBy: column $c has unsupported type ${other.catalogString}")
+      }
+    }
+    val base = read(spark, root, Some(cur))
+    val aggCols = cols.flatMap(c => Seq(min(dim(c)), max(dim(c))))
+    val boundsRow = base.agg(aggCols.head, aggCols.tail: _*).head
+    val bits = 8
+    val buckets = 1 << bits
+    val zc = cols.zipWithIndex.map { case (c, d) =>
+      val (lo, hi) =
+        (if (boundsRow.isNullAt(2 * d)) 0.0 else boundsRow.getDouble(2 * d),
+         if (boundsRow.isNullAt(2 * d + 1)) 0.0 else boundsRow.getDouble(2 * d + 1))
+      val b =
+        if (hi <= lo) lit(0L) // constant (or all-null) dimension
+        else least(greatest(
+          floor((dim(c) - lit(lo)) / lit((hi - lo) / buckets)), lit(0.0)),
+          lit((buckets - 1).toDouble)).cast(LongType)
+      val bn = coalesce(b, lit(0L))
+      // spread dimension d's bit i to position i*k + d of the Morton key
+      (0 until bits).map(i =>
+        shiftleft(shiftright(bn, i).bitwiseAND(lit(1L)),
+          i * cols.size + d)).reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    val f = fs(spark, new Path(root))
+    val bytes = m.files.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
+    val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = base.withColumn("__graft_z", zc)
+      .repartitionByRange(target, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+    overwrite(spark, root, df, baseVersion = Some(cur), op = "zorder")
   }
 
   /** Incremental compaction — OPTIMIZE scoped by predicate: only files

@@ -333,20 +333,28 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
     * evolved before stream start is simply the stream's schema. */
   private def guardSchemaChange(fromV: Int, toV: Int): Unit = {
     if (ignoreSchemaChanges || fromV == 0) return
-    val before = VersionedTable.schemaOf(spark, root, Some(fromV))
-    val after = VersionedTable.schemaOf(spark, root, Some(toV))
     // names + types only: a rewrite (compaction) may relax NOT NULL on
     // its output files' schema — nullability-widening delivers the same
     // columns and must not kill the feed
     def shape(s: StructType): Seq[(String, String)] =
       s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
-    if (shape(before) != shape(after))
-      throw new IllegalStateException(
-        s"versions ($fromV, $toV] of $root changed the table schema from " +
-          s"<${before.toDDL}> to <${after.toDDL}>; a running stream reads " +
-          "under its start-time schema, so the change would be silently " +
-          "dropped. Restart the stream to adopt the new schema, or set " +
-          "ignoreSchemaChanges=true to keep delivering the pinned columns.")
+    val before = VersionedTable.schemaOf(spark, root, Some(fromV))
+    val after = VersionedTable.schemaOf(spark, root, Some(toV))
+    if (shape(before) == shape(after)) return // no change in range
+    // the change is only a problem for a stream that predates it: a
+    // RESTARTED stream re-pins the current schema, so its replay of the
+    // crossing range (and everything after) delivers correctly —
+    // pre-evolution files null-fill under the pinned schema. Refusing
+    // here on fromV≠toV alone would wedge the restart forever and make
+    // the error's own remedy a lie.
+    val pinned = shape(StructType(schema.filterNot(_.name == "_change_type")))
+    if (shape(after) == pinned) return
+    throw new IllegalStateException(
+      s"versions ($fromV, $toV] of $root changed the table schema from " +
+        s"<${before.toDDL}> to <${after.toDDL}>; this stream pinned its " +
+        "schema before the change, so delivering would silently drop it. " +
+        "Restart the stream to adopt the new schema, or set " +
+        "ignoreSchemaChanges=true to keep delivering the pinned columns.")
   }
 
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],

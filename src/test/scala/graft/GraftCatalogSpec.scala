@@ -222,4 +222,30 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"CALL graft.reindex('$root', 'k')")
       .collect().head.getInt(0) == cur)
   }
+
+  test("reindex preserves each file's existing bloom sizing") {
+    import spark.implicits._
+    ensureCatalog()
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (0L until 80L).toDF("n").select(concat(lit("x"), col("n")).as("k"))
+        .coalesce(1))
+    // a deliberately LARGE bloom for high-cardinality keys
+    VersionedTable.indexBloom(spark, root, Seq("k"), mBits = 1 << 15, k = 7)
+    assert(VersionedTable.bloomShapes(spark, root, "k").values.toSet ==
+      Set((1 << 15, 7)))
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty,
+      col("k").startsWith("x1"))
+    // the SQL face exposes no m/k — the rebuild must keep the file's own
+    // sizing, not silently shrink it to the 8 Kib default (8x the false
+    // positives on the operation that exists to restore precision)
+    spark.sql(s"CALL graft.reindex('$root', 'k')")
+    assert(VersionedTable.bloomShapes(spark, root, "k").values.toSet ==
+      Set((1 << 15, 7)),
+      "reindex must rebuild at the recorded (mBits, k)")
+    // and the rebuilt index still behaves: a deleted key's file prunes,
+    // a surviving key's file does not
+    assert(VersionedTable.bloomPrunedFiles(spark, root, "k", "x12").isEmpty)
+    assert(VersionedTable.bloomPrunedFiles(spark, root, "k", "x42").nonEmpty)
+  }
 }

@@ -393,6 +393,69 @@ class MetaAggregateSpec extends SparkSpec {
     assert(r.getLong(1) == 250L)
   }
 
+  test("sum answers from metadata after indexSums; stays exact through a vectored delete") {
+    import spark.implicits._
+    val root = freshRoot()
+    val base = (0L until 400L).toDF("id")
+      .withColumn("v", when(col("id") % 4 =!= 0, col("id") * 3)) // 1/4 null
+      .withColumn("x", col("id").cast("double"))
+      .repartition(3)
+    VersionedTable.create(spark, root, base)
+    // footers record no sums: un-indexed sum must refuse (and be right)
+    val pre = rel(root).agg(sum(col("v")).as("s"))
+    assert(!metaAnswered(pre))
+    assert(pre.collect().head.getLong(0) == 180000L)
+    VersionedTable.indexSums(spark, root, Seq("id", "v"))
+    val s1 = rel(root).agg(sum(col("v")).as("s"), sum(col("id")).as("si"),
+      count(lit(1)).as("n"))
+    assert(metaAnswered(s1), s1.queryExecution.optimizedPlan.toString)
+    val r = s1.collect().head
+    assert(r.getLong(0) == 180000L && r.getLong(1) == 79800L &&
+      r.getLong(2) == 400L)
+    // a new un-indexed file refuses the whole answer (all-or-nothing);
+    // incremental maintenance restores it at O(new files)
+    VersionedTable.append(spark, root, (400L until 500L).toDF("id")
+      .withColumn("v", when(col("id") % 4 =!= 0, col("id") * 3))
+      .withColumn("x", col("id").cast("double")))
+    assert(!metaAnswered(rel(root).agg(sum(col("id")).as("s"))))
+    VersionedTable.indexSums(spark, root, Seq("id", "v"), onlyMissing = true)
+    val s2 = rel(root).agg(sum(col("id")).as("s"))
+    assert(metaAnswered(s2))
+    assert(s2.collect().head.getLong(0) == 124750L)
+    // merge-on-read delete: the DML's refresh pass keeps sums live-exact
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty,
+      col("id") % 10 === 0)
+    val s3 = rel(root).agg(sum(col("id")).as("s"), count(lit(1)).as("n"))
+    assert(metaAnswered(s3), "sums must survive a vectored delete")
+    val r3 = s3.collect().head
+    assert(r3.getLong(0) == 112500L && r3.getLong(1) == 450L)
+    // double sums are order-dependent FP accumulation — always refused
+    val d = rel(root).agg(sum(col("x")).as("s"))
+    assert(!metaAnswered(d))
+    // and indexSums refuses non-integral columns outright
+    intercept[IllegalArgumentException] {
+      VersionedTable.indexSums(spark, root, Seq("x"))
+    }
+  }
+
+  test("q202: the summed partition dashboard runs with zero scans") {
+    val df = graft.queries.LakehouseQueries.defs("q202_meta_sums")(spark, sf)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr
+    }
+    assert(scans.isEmpty,
+      s"sum/count after index_sums + vectored delete must be scan-free, " +
+        s"got ${scans.size} relations")
+    val got = df.collect().map(r =>
+      r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exp = Tables.events(spark, sf)
+      .filter(col("event_id") % 9 =!= 0)
+      .groupBy((col("user_id") % 8).cast("int").as("bucket"))
+      .agg(count(lit(1)), sum(col("event_id")))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp)
+  }
+
   test("the rewrite can be disabled by conf") {
     import spark.implicits._
     val root = freshRoot()

@@ -256,68 +256,100 @@ class VersionedStreamSourceSpec extends SparkSpec {
       (3L, "insert"), (4L, "insert")), s"got $feed")
   }
 
-  test("mid-stream schema evolution refuses the crossing batch; ignoreSchemaChanges pins") {
-    // the contract (ignoreChanges precedent): a running stream keeps its
-    // start-time schema, so a commit that widens the table REFUSES the
-    // batch with the restart instruction — silent null-fill would drop
-    // the new column from every delivered row with no sign anything
-    // changed. ignoreSchemaChanges=true opts into exactly that.
+  /** Run `body` while a continuously-triggered stream over `root` is
+    * live (its schema pinned at start), then drain what body committed.
+    * Returns the query so the caller asserts delivery or failure. */
+  private def withLiveStream(root: String, out: String, ckpt: String,
+                             options: Map[String, String] = Map.empty)
+      (body: => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.format("graft-versioned")
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable() // the initial snapshot, under the pinned schema
+    body
+    q
+  }
+
+  test("schema evolution refuses a LIVE pre-change stream; a restart adopts it") {
+    // the contract (ignoreChanges precedent): a RUNNING stream pinned
+    // its schema before the addColumn, so delivering the widened
+    // commits would silently drop the new column — refuse with the
+    // restart instruction. A restart re-pins the current schema, so the
+    // same checkpoint then replays and continues CORRECTLY (null-fill
+    // for pre-evolution files) — the remedy the error names must work.
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1, 2)) // v1
-    val ckpt = Files.createTempDirectory("vss_ev_ck").toString
     val out = Files.createTempDirectory("vss_ev_out").toString
-    assert(drain(root, ckpt, out) == Seq(1L, 2L))
-    VersionedTable.addColumn(spark, root, "score", "double") // v2: widen
-    VersionedTable.append(spark, root,
-      df(3).withColumn("score", lit(0.5))) // v3: rows WITH the new column
+    val ckpt = Files.createTempDirectory("vss_ev_ck").toString
+    val q = withLiveStream(root, out, ckpt) {
+      VersionedTable.addColumn(spark, root, "score", "double") // v2: widen
+      VersionedTable.append(spark, root,
+        df(3).withColumn("score", lit(0.5))) // v3: rows WITH the new column
+    }
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      drain(root, ckpt, out)
+      try q.processAllAvailable() finally q.stop()
     }
     assert(e.getMessage.contains("changed the table schema"),
       s"expected the schema-evolution guard, got: ${e.getMessage}")
     assert(e.getMessage.contains("ignoreSchemaChanges"),
       "the refusal must name the escape hatch")
-    // opting in: the stream continues under the PINNED (pre-evolution)
-    // schema — new commits deliver, the new column is dropped
-    assert(drain(root, ckpt, out, Map("ignoreSchemaChanges" -> "true")) ==
-      Seq(1L, 2L, 3L))
-    // a FRESH stream adopts the widened schema from its own start
-    val out2 = Files.createTempDirectory("vss_ev_out2").toString
+    // restart on the SAME checkpoint (the failed batch never committed):
+    // the new run pins the widened schema and the replay passes the
+    // guard — restart-after-addColumn cannot wedge
     val q2 = spark.readStream.format("graft-versioned").load(root)
       .writeStream.outputMode("append")
-      .format("parquet").option("path", out2)
-      .option("checkpointLocation",
-        Files.createTempDirectory("vss_ev_ck2").toString)
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     try q2.processAllAvailable() finally q2.stop()
-    val fresh = spark.read.parquet(out2)
-    assert(fresh.columns.contains("score"))
-    assert(fresh.filter(col("id") === 3).select("score")
-      .collect().head.getDouble(0) == 0.5)
-    assert(fresh.filter(col("id") === 1).select("score")
-      .collect().head.isNullAt(0), "pre-evolution rows null-fill")
+    val got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L), "the restarted stream delivers the refused commits")
+    assert(got.columns.contains("score"))
+    assert(got.filter(col("id") === 3).select("score")
+      .collect().head.getDouble(0) == 0.5,
+      "post-restart delivery carries the new column")
+  }
+
+  test("ignoreSchemaChanges keeps a live stream delivering under its pinned schema") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2)) // v1
+    val out = Files.createTempDirectory("vss_ev_out2").toString
+    val q = withLiveStream(root, out,
+      Files.createTempDirectory("vss_ev_ck2").toString,
+      Map("ignoreSchemaChanges" -> "true")) {
+      VersionedTable.addColumn(spark, root, "score", "double")
+      VersionedTable.append(spark, root, df(3).withColumn("score", lit(0.5)))
+    }
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L), "opting in keeps the feed alive across the change")
+    assert(!got.columns.contains("score"),
+      "pinned-schema delivery drops the post-evolution column")
   }
 
   test("the change feed refuses mid-stream schema evolution the same way") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1).coalesce(1)) // v1
     val out = Files.createTempDirectory("vss_cdf_ev").toString
-    val ckpt = Files.createTempDirectory("vss_cdf_ev_ck").toString
-    def drainCdf(): Unit = {
-      val q = spark.readStream.format("graft-versioned")
-        .option("readChangeFeed", "true").load(root)
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      try q.processAllAvailable() finally q.stop()
-    }
-    drainCdf() // snapshot batch under the v1 schema
+    val q = spark.readStream.format("graft-versioned")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("vss_cdf_ev_ck").toString)
+      .start()
+    q.processAllAvailable() // snapshot batch under the v1 schema
     VersionedTable.addColumn(spark, root, "tag", "string")    // v2
     VersionedTable.append(spark, root,
       df(2).withColumn("tag", lit("t")).coalesce(1))          // v3
     val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      drainCdf()
+      try q.processAllAvailable() finally q.stop()
     }
     assert(e.getMessage.contains("changed the table schema") &&
       e.getMessage.contains("ignoreSchemaChanges"),
