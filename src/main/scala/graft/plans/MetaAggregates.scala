@@ -160,7 +160,7 @@ object MetaAggregates extends Rule[LogicalPlan] {
   /** Cheap SHAPE check — no manifest IO. The optimizer re-runs this rule
     * to fixed point, and a refused rewrite is re-attempted every
     * iteration: a query whose aggregate list can NEVER be answered
-    * (avg, sum, distinct, expressions over aggregates) must bail here,
+    * (avg, distinct, expressions over aggregates) must bail here,
     * not after an O(files) metadata walk — at 10⁶ manifest entries that
     * walk per iteration is real driver time for zero benefit. */
   private def shapeAnswerable(agg: Aggregate, conds: Seq[Expression]): Boolean =

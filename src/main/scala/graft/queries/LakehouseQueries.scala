@@ -688,8 +688,8 @@ object LakehouseQueries {
       VersionedTable.create(s, root, ev.repartition(8))               // v1
       s.sql(s"CALL graft.zorder('$root', 'event_id,user_id', 32768)") // v2
       s.read.format("graft-versioned").load(root)
-        .filter(col("event_id").between(1000, 3000) &&
-          col("user_id").between(20, 60))
+        .filter(col("event_id").between(100, 900) &&
+          col("user_id").between(5, 40)) // in-domain at every test SF
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -1033,7 +1033,7 @@ object LakehouseQueries {
       """SELECT user_id, count(*)::BIGINT AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events
-         WHERE event_id BETWEEN 1000 AND 3000 AND user_id BETWEEN 20 AND 60
+         WHERE event_id BETWEEN 100 AND 900 AND user_id BETWEEN 5 AND 40
          GROUP BY user_id""",
 
     // The estimate from the register-relevant file subset must equal the

@@ -48,6 +48,26 @@ object VersionedTable {
     * (see the comment there) across concurrent committers. */
   private val tsConfLock = new Object
 
+  /** One Hadoop-configuration broadcast per SparkContext, shared by every
+    * DV-lazy read and DML pass — re-broadcasting an identical serialized
+    * Configuration per read would leak one broadcast per snapshot read
+    * until the ContextCleaner catches up. Cached per context (tests
+    * recreate sessions); conf mutations AFTER first use are not
+    * reflected, which matches Hadoop configuration being launch-time
+    * state. */
+  @volatile private var confBcCache:
+      (org.apache.spark.SparkContext,
+       org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]) = null
+  private def hadoopConfBc(spark: SparkSession)
+      : org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] =
+    synchronized {
+      val sc = spark.sparkContext
+      if (confBcCache == null || (confBcCache._1 ne sc))
+        confBcCache =
+          (sc, sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration)))
+      confBcCache._2
+    }
+
   private def logDir(root: String) = new Path(root, "_log")
   private def dataDir(root: String) = new Path(root, "data")
   private def dvDir(root: String) = new Path(root, "dv")
@@ -211,13 +231,14 @@ object VersionedTable {
     * deletes. Invariant: every commit that grows a file's vector
     * re-derives that file's live stats in the same pass.
     *
-    * `sum` is the file's EXACT column sum in wrapping Long arithmetic
-    * (integral columns only; attached by [[indexSums]] and kept fresh by
-    * the vectored DMLs). Wrap-add is associative, so Σ per-file sums
-    * equals a scan's non-ANSI `sum()` BIT-EXACTLY at any partitioning —
-    * which is what lets a 100 TB `SELECT day, sum(x) GROUP BY day`
-    * collapse to manifest arithmetic. Parquet footers record no sums, so
-    * unlike bounds this field needs one (incremental) scan to exist. */
+    * `sum` is the file's EXACT column sum (integral columns only;
+    * attached by [[indexSums]] and kept fresh by the vectored DMLs).
+    * Exact-or-absent: builds use try_sum, so a file whose total
+    * overflows Long stores NO sum rather than a wrapped one — which is
+    * what lets a 100 TB `SELECT day, sum(x) GROUP BY day` collapse to
+    * manifest arithmetic without ever serving a silently wrapped total
+    * under ANSI. Parquet footers record no sums, so unlike bounds this
+    * field needs one (incremental) scan to exist. */
   final case class ColStat(col: String, typ: String, lo: String, hi: String,
                            nulls: Long = -1L, unit: String = "",
                            live: Boolean = false, sum: Option[Long] = None)
@@ -1279,8 +1300,7 @@ object VersionedTable {
     import org.apache.spark.sql.graftbridge.Bridge
     val refs = spark.sparkContext.broadcast(
       files.map(f => f -> m.dvs(f).dvFile).toMap)
-    val confB = spark.sparkContext.broadcast(
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val confB = hadoopConfBc(spark)
     val scanned = readPaths(spark, ddl,
       files.sorted.map(f => new Path(root, f).toString),
       m.partitionCols.nonEmpty, root, withMeta = true)
@@ -1655,8 +1675,6 @@ object VersionedTable {
     v
   }
 
-  /** The files of `version` lacking a bloom for `column` — what a
-    * zero-rescan maintainer ([[attachBlooms]]) still owes an index. */
   /** Per-file blooms of `version` for `column` — (mBits, k) by file.
     * Metadata introspection for operators and specs (e.g. asserting
     * [[reindex]] preserved a file's index sizing). */
@@ -1669,6 +1687,8 @@ object VersionedTable {
       .find(_.col == column).map(b => f -> (b.mBits, b.k))).toMap
   }
 
+  /** The files of `version` lacking a bloom for `column` — what a
+    * zero-rescan maintainer ([[attachBlooms]]) still owes an index. */
   def unbloomedFiles(spark: SparkSession, root: String, column: String,
                      version: Option[Int] = None): Seq[String] = {
     val v = version.orElse(currentVersion(spark, root))
@@ -1838,13 +1858,19 @@ object VersionedTable {
       m.blooms.getOrElse(f, Seq.empty).find(_.col == c)
         .map(b => (b.mBits, b.k)).getOrElse((mBits, k))
     val pairs = targets.flatMap(f => cols.map(c => (f, c)))
-    val built: Map[String, Seq[FileBloom]] = pairs.groupBy { case (f, c) => shapeOf(f, c) }
-      .toSeq.map { case ((mb, kk), fcs) =>
-        val gFiles = fcs.map(_._1).distinct
-        val gCols = fcs.map(_._2).distinct
-        buildBlooms(readSnapshotFiles(spark, root, m, gFiles), byPath,
-          gCols, mb, kk)
-          .map { case (f, bs) => f -> bs.filter(b => fcs.contains((f, b.col))) }
+    // one build per (shape, column-set): within a shape, files group by
+    // the EXACT columns they need at it, so no file is ever scanned for
+    // a column it rebuilds at a different shape — a homogeneous table
+    // stays one scan, and heterogeneous shapes cost only their own files
+    val built: Map[String, Seq[FileBloom]] = pairs
+      .groupBy { case (f, c) => shapeOf(f, c) }
+      .toSeq.flatMap { case ((mb, kk), fcs) =>
+        val colsOf: Map[String, Seq[String]] =
+          fcs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+        colsOf.groupBy(_._2).toSeq.map { case (gCols, byFile) =>
+          buildBlooms(readSnapshotFiles(spark, root, m, byFile.keys.toSeq),
+            byPath, gCols, mb, kk)
+        }
       }.foldLeft(Map.empty[String, Seq[FileBloom]]) { (acc, mp) =>
         (acc.keySet ++ mp.keySet).map(f =>
           f -> (acc.getOrElse(f, Seq.empty) ++ mp.getOrElse(f, Seq.empty))).toSeq.toMap
@@ -1918,9 +1944,10 @@ object VersionedTable {
   /** Attach EXACT per-file column sums (with live-exact bounds and null
     * counts) for integral columns, as a metadata commit — the index that
     * turns `SELECT day, sum(x) … GROUP BY day` into manifest arithmetic
-    * ([[graft.plans.MetaAggregates]]). Spark's non-ANSI `sum` is
-    * wrapping Long addition, and wrap-add is associative, so Σ per-file
-    * sums equals the scan's answer BIT-EXACTLY at any partitioning.
+    * ([[graft.plans.MetaAggregates]]): Σ of exact per-file sums is the
+    * exact total at any partitioning, and the exact-or-absent rule
+    * (try_sum — overflowed files store no sum) means the metadata path
+    * can never serve a wrapped value any eval mode would reject.
     * Parquet footers record no sums, so unlike bounds this index needs a
     * scan — `onlyMissing = true` makes maintenance incremental
     * (O(new files) after appends, the [[indexBloom]] discipline), and
@@ -1931,7 +1958,7 @@ object VersionedTable {
     * single value × rows — already answerable without an index). */
   def indexSums(spark: SparkSession, root: String, cols: Seq[String],
                 onlyMissing: Boolean = false): Int = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum}
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, try_sum}
     import org.apache.spark.sql.types._
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
@@ -1957,8 +1984,11 @@ object VersionedTable {
     val aggs = Seq(count(lit(1)).as("__live")) ++
       cols.zipWithIndex.flatMap { case (c, i) =>
         val lc = col(c).cast(LongType)
+        // try_sum: a file whose total overflows Long gets bounds and
+        // null count but NO sum (stored sums are always exact) — and
+        // the build itself cannot abort under ANSI
         Seq(min(lc).as(s"__lo$i"), max(lc).as(s"__hi$i"),
-          count(lc).as(s"__nn$i"), sum(lc).as(s"__sm$i"))
+          count(lc).as(s"__nn$i"), try_sum(lc).as(s"__sm$i"))
       }
     val rows = readSnapshotFiles(spark, root, m, targets)
       .groupBy(input_file_name().as("__f"))
@@ -1972,7 +2002,8 @@ object VersionedTable {
         else Some(ColStat(c, "long", r.getLong(2 + 4 * i).toString,
           r.getLong(3 + 4 * i).toString,
           nulls = live - r.getLong(4 + 4 * i), live = true,
-          sum = Some(r.getLong(5 + 4 * i))))
+          sum = if (r.isNullAt(5 + 4 * i)) None // try_sum overflow
+                else Some(r.getLong(5 + 4 * i))))
       }
     }.toMap
     // files the scan saw no live rows of (fully vectored, empty) produce
@@ -2235,8 +2266,7 @@ object VersionedTable {
     val partCols = m.partitionCols.toSet
     val priorDvs: Map[String, FileDv] =
       touched.flatMap(f => m.dvs.get(f).map(f -> _)).toMap
-    val confB = spark.sparkContext.broadcast(
-      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val confB = hadoopConfBc(spark)
     val scanned0 = readPaths(spark, m.schemaDdl,
       touched.map(f => new Path(root, f).toString),
       m.partitionCols.nonEmpty, root, withMeta = true)
@@ -2277,8 +2307,15 @@ object VersionedTable {
           max(when(surv, lc)).as(s"__hi$i"),
           count(when(surv, lc)).as(s"__nn$i"),
           // survivor sum in the same pass: keeps ColStat.sum (attached
-          // by indexSums) exact through vectored deletes for free
-          sum(when(surv, lc)).as(s"__sm$i"))
+          // by indexSums) exact through vectored deletes for free.
+          // try_sum, NOT sum: under ANSI a plain sum ABORTS the whole
+          // DML when any file's survivor total overflows Long (real for
+          // epoch-micros canonical values — ~25k rows of 2024 timestamps
+          // cross 2^63), and under legacy it would store a silently
+          // WRAPPED value a later ANSI query would serve as truth.
+          // try_sum yields NULL on overflow → the sum field is dropped
+          // for that file (stored sums are always exact or absent).
+          try_sum(when(surv, lc)).as(s"__sm$i"))
         }
     val grouped = mark(scanned).groupBy(col(DvFileCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -2286,7 +2323,7 @@ object VersionedTable {
     val touchedB = spark.sparkContext.broadcast(touched)
     val rootS = root
     val nStats = statCols.size
-    val results: Array[(String, String, Long, Long, Seq[(Int, Long, Long, Long, Long)])] =
+    val results: Array[(String, String, Long, Long, Seq[(Int, Long, Long, Long, Option[Long])])] =
       grouped.mapPartitions { it =>
         val conf = confB.value.value
         val resolve = graft.functions.DvDeletedExpr.resolverFor(touchedB.value)
@@ -2294,11 +2331,14 @@ object VersionedTable {
           resolve(row.getString(0)).iterator.map { entry =>
             val fresh: Array[Long] = row.getSeq[Long](1).toArray
             val live = row.getLong(2)
-            val stats: Seq[(Int, Long, Long, Long, Long)] =
+            val stats: Seq[(Int, Long, Long, Long, Option[Long])] =
               (0 until nStats).toList.flatMap { i =>
                 if (row.isNullAt(3 + 4 * i)) Nil // all-null survivors (or none)
                 else List((i, row.getLong(3 + 4 * i), row.getLong(4 + 4 * i),
-                  row.getLong(5 + 4 * i), row.getLong(6 + 4 * i)))
+                  row.getLong(5 + 4 * i),
+                  // bounds non-null but sum NULL = try_sum overflow
+                  if (row.isNullAt(6 + 4 * i)) None
+                  else Some(row.getLong(6 + 4 * i))))
               }
             val (dvName, card) =
               if (fresh.isEmpty) priorB.value.get(entry) match {
@@ -2354,7 +2394,7 @@ object VersionedTable {
         // "sum of epoch micros" invites misuse and answers nothing
         ColStat(name, "long", lo.toString, hi.toString,
           nulls = live - nonNull, unit = unit, live = true,
-          sum = if (unit.isEmpty) Some(sm) else None)
+          sum = if (unit.isEmpty) sm else None)
       }
       e -> (kept ++ fresh)
     }.toMap
@@ -2731,14 +2771,37 @@ object VersionedTable {
       }
     }
     val base = read(spark, root, Some(cur))
-    val aggCols = cols.flatMap(c => Seq(min(dim(c)), max(dim(c))))
-    val boundsRow = base.agg(aggCols.head, aggCols.tail: _*).head
+    // bucketing bounds: per-column [lo, hi] folded from MANIFEST stats
+    // when every live file records one — zero extra scan. Bounds only
+    // steer the layout (out-of-range values clamp; answers never depend
+    // on them), so even conservative stats are fine; any file missing a
+    // stat for any column falls back to ONE bounds aggregate.
+    def statBounds(): Option[Seq[(Double, Double)]] = {
+      val fms = metaFiles(spark, root, Some(cur))
+        .filterNot(f => f.rows.contains(0L) || f.rows.exists(_ == f.dvCard))
+      if (fms.isEmpty) return None
+      val per = cols.map { c =>
+        val ss = fms.map(_.stats.get(c))
+        if (ss.exists(s => s.isEmpty || (s.get.typ != "long" && s.get.typ != "double")))
+          None
+        else scala.util.Try {
+          val vs = ss.flatten
+          (vs.map(_.lo.toDouble).min, vs.map(_.hi.toDouble).max)
+        }.toOption
+      }
+      if (per.exists(_.isEmpty)) None else Some(per.flatten)
+    }
+    val bounds: Seq[(Double, Double)] = statBounds().getOrElse {
+      val aggCols = cols.flatMap(c => Seq(min(dim(c)), max(dim(c))))
+      val boundsRow = base.agg(aggCols.head, aggCols.tail: _*).head
+      cols.indices.map(d =>
+        (if (boundsRow.isNullAt(2 * d)) 0.0 else boundsRow.getDouble(2 * d),
+         if (boundsRow.isNullAt(2 * d + 1)) 0.0 else boundsRow.getDouble(2 * d + 1)))
+    }
     val bits = 8
     val buckets = 1 << bits
     val zc = cols.zipWithIndex.map { case (c, d) =>
-      val (lo, hi) =
-        (if (boundsRow.isNullAt(2 * d)) 0.0 else boundsRow.getDouble(2 * d),
-         if (boundsRow.isNullAt(2 * d + 1)) 0.0 else boundsRow.getDouble(2 * d + 1))
+      val (lo, hi) = bounds(d)
       val b =
         if (hi <= lo) lit(0L) // constant (or all-null) dimension
         else least(greatest(

@@ -416,6 +416,29 @@ class DeletionVectorSpec extends SparkSpec {
       (0L until 100000L).filter(i => i % 2 != 0 && i % 3 != 0))
   }
 
+  test("a vectored delete on a timestamp table survives survivor-sum overflow (ANSI)") {
+    import spark.implicits._
+    val root = freshRoot()
+    // the survivors' canonical-micros total exceeds Long.MaxValue: the
+    // refresh pass's sum must be try_sum — a plain sum ABORTS the whole
+    // DML under ANSI (exactly how q201 first failed at sf0.1, where
+    // ~25k rows of 2024 timestamps cross 2^63) — and must never store
+    // a wrapped value under legacy either
+    val d = (0L until 200L).toDF("id")
+      .withColumn("ts", timestamp_micros(lit(90000000000000000L) + col("id")))
+      .coalesce(1)
+    VersionedTable.create(spark, root, d)
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty, col("id") < 10)
+    assert(idsOf2(VersionedTable.read(spark, root)) == (10L until 200L))
+    val stats = VersionedTable.metaFiles(spark, root).head.stats
+    assert(stats("ts").live && stats("ts").sum.isEmpty)
+    // the integral column's total fits — its refreshed sum survives
+    assert(stats("id").sum.contains((10L until 200L).sum))
+  }
+
+  private def idsOf2(frame: org.apache.spark.sql.DataFrame): Seq[Long] =
+    frame.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
   test("vectored DMLs refresh touched files' stats to survivor-exact LIVE entries") {
     import spark.implicits._
     val root = freshRoot()

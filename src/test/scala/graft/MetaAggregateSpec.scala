@@ -436,6 +436,18 @@ class MetaAggregateSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       VersionedTable.indexSums(spark, root, Seq("x"))
     }
+    // exact-or-absent: a file whose total overflows Long stores NO sum
+    // (try_sum) — the build cannot abort under ANSI, nothing wrapped is
+    // ever served, and the query refuses to the scan
+    val root2 = freshRoot()
+    VersionedTable.create(spark, root2,
+      (0L until 10L).toDF("n")
+        .select((lit(Long.MaxValue / 4) + col("n")).as("big")).coalesce(1))
+    VersionedTable.indexSums(spark, root2, Seq("big"))
+    assert(VersionedTable.metaFiles(spark, root2).head.stats("big").sum.isEmpty,
+      "an overflowed per-file sum must store as absent, never wrapped")
+    assert(!metaAnswered(rel(root2).agg(sum(col("big")).as("s"))),
+      "absent sums refuse to the scan (which keeps its own mode's semantics)")
   }
 
   test("q202: the summed partition dashboard runs with zero scans") {
