@@ -212,6 +212,27 @@ object GraftCatalog {
       },
       defaults = Map("vectored" -> "false")),
 
+    // assignments parse as "col = <sql expr>" pairs split on ';' (not
+    // ',' — commas appear inside expressions); every right-hand side
+    // sees the OLD row, standard UPDATE semantics
+    new Proc("update_where",
+      "merge-on-read UPDATE: rows matching the SQL predicate are " +
+        "vectored away and re-written with the ';'-separated " +
+        "assignments (col = expr) applied — no target file rewrites",
+      Seq("path" -> StringType, "predicate" -> StringType,
+        "assignments" -> StringType), versionResult,
+      (spark, in) => {
+        val cond = org.apache.spark.sql.functions.expr(str(in, 1))
+        val set = str(in, 2).split(";").map(_.trim).filter(_.nonEmpty).map { a =>
+          val i = a.indexOf('=')
+          require(i > 0, s"malformed assignment '$a' (want: col = expr)")
+          a.substring(0, i).trim ->
+            org.apache.spark.sql.functions.expr(a.substring(i + 1).trim)
+        }.toMap
+        versionRow(VersionedTable.updateWhereVectored(
+          spark, str(in, 0), Map.empty, cond, set))
+      }),
+
     new Proc("zorder",
       "rewrite the table Z-ORDERED on the given comma-separated columns " +
         "(multi-dimensional clustering: every listed column's per-file " +

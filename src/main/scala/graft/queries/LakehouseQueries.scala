@@ -647,6 +647,33 @@ object LakehouseQueries {
       snap(1, "v1_full").unionByName(snap(2, "v2_after_delete"))
     }),
 
+    // Merge-on-read UPDATE through SQL (CALL graft.update_where): rows
+    // matching the predicate vector away and re-land with the SET
+    // assignments applied over the OLD row — one commit, no target file
+    // rewrites (the scattered-predicate shape where copy-on-write would
+    // rewrite nearly every file at 100 TB). The rollup and the version
+    // ledger hash against the raw recompute; DeletionVectorSpec pins
+    // old-row SET semantics (swap) and the carried file set.
+    "q204_sql_update" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_update_q204")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      VersionedTable.create(s, root, ev.repartition(4))               // v1
+      s.sql(s"CALL graft.update_where('$root', 'event_id % 6 = 0', " +
+        "'value = value + 50 ; event_type = concat(event_type, ''_u'')')") // v2
+      val rollup = VersionedTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("event_type").as("tag"), col("n"), col("sum_value"))
+      val meta = s.sql(s"CALL graft.history('$root')")
+        .agg(max(col("version")).cast("bigint").as("n"),
+          max(col("n_live_rows")).cast("double").as("sum_value"))
+        .select(lit("_versions").as("tag"), col("n"), col("sum_value"))
+      rollup.unionByName(meta)
+    }),
+
     // Metadata-only SUM: per-file exact sums attached by
     // CALL graft.index_sums (wrapping Long addition is associative, so
     // Σ per-file sums is BIT-EXACTLY the scan's non-ANSI sum at any
@@ -1016,6 +1043,23 @@ object LakehouseQueries {
                 min(epoch_us(ts))::BIGINT, max(epoch_us(ts))::BIGINT,
                 count(ts)::BIGINT
          FROM ev WHERE event_id % 5 <> 0""",
+
+    // The updated table recomputed from scratch: %6==0 rows re-written
+    // with both assignments applied over the OLD row, the rest
+    // untouched; (_versions, 2, live count) pins the one-commit shape.
+    "q204_sql_update" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+              final AS (
+                SELECT event_type, value FROM ev WHERE event_id % 6 <> 0
+                UNION ALL
+                SELECT event_type || '_u', value + 50 FROM ev
+                 WHERE event_id % 6 = 0)
+         SELECT event_type AS tag, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM final GROUP BY 1
+         UNION ALL
+         SELECT '_versions', 2,
+                CAST((SELECT count(*) FROM final) AS DOUBLE)""",
 
     // The summed dashboard recomputed from raw survivors — any drift in
     // the per-file sums, the wrap-add equivalence, or the DV refresh

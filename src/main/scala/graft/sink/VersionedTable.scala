@@ -2445,6 +2445,60 @@ object VersionedTable {
     v
   }
 
+  /** UPDATE WHERE as a MERGE-ON-READ commit — the third MoR DML next to
+    * [[deleteWhereVectored]] and [[mergeIntoVectored]]: rows where
+    * `condition` IS TRUE are vectored away from their files and
+    * re-written, with `set` applied, as NEW data files — one atomic
+    * version, no target file rewrites. A copy-on-write update's write
+    * amplification is bounded by the predicate's file locality (a
+    * scattered predicate rewrites nearly everything at 100 TB); here
+    * write cost is O(matched rows) regardless.
+    *
+    * `set` maps column → expression evaluated over the row's OLD values
+    * (standard UPDATE semantics: `SET a = b, b = a` swaps — all
+    * right-hand sides see the pre-update row, which is why the new rows
+    * build from ONE select, not chained withColumns). Expressions cast
+    * to the column's declared type; unknown columns are refused.
+    * `preds` prunes which files are scanned; a NULL condition keeps the
+    * row (SQL semantics, matching the deletes). The matched-position
+    * sidecars write executor-side ([[vectoredDmlPass]] — the same
+    * driver-boundedness contract), and touched files get survivor-exact
+    * live stats. Time travel sees the pre-update data. Returns the new
+    * version. */
+  def updateWhereVectored(spark: SparkSession, root: String, preds: RangePreds,
+                          condition: org.apache.spark.sql.Column,
+                          set: Map[String, org.apache.spark.sql.Column]): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(set.nonEmpty, "updateWhereVectored needs at least one SET column")
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val unknown = set.keys.filterNot(c => schema.fieldNames.contains(c))
+    require(unknown.isEmpty, s"SET on unknown column(s): ${unknown.mkString(", ")}")
+    val touched = prunedFiles(spark, root, preds, Some(cur))
+    val v = cur + 1
+    val (updated, refreshed) = vectoredDmlPass(spark, root, v, m, touched,
+      _.withColumn(DelCol, condition <=> lit(true)))
+    // the updated copies: one DV-applied scan of the touched files, the
+    // matched rows re-projected with every SET expression over the OLD
+    // row (single select — chained withColumn would leak new values into
+    // later expressions), cast back to the declared column types
+    val newRows = readSnapshotFiles(spark, root, m, touched)
+      .filter(condition <=> lit(true))
+      .select(schema.fields.toSeq.map(f =>
+        set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
+          .as(f.name)): _*)
+    val added = writeDataFiles(spark, root, newRows, v, m.partitionCols)
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
+    writeManifest(spark, root, Manifest(v, m.schemaDdl,
+      m.files ++ added, None,
+      m.stats ++ refreshed ++ addedStats, m.blooms, m.partitionCols, m.hlls,
+      m.dvs ++ updated, m.rows ++ addedRows, op = "update-vectored"),
+      Some(m))
+    v
+  }
+
   /** MERGE INTO (upsert by key) as a commit — the third copy-on-write DML
     * next to [[overwrite]] and [[deleteWhere]]: target rows whose key
     * matches a source row are REPLACED by the source row; source rows

@@ -416,6 +416,46 @@ class DeletionVectorSpec extends SparkSpec {
       (0L until 100000L).filter(i => i % 2 != 0 && i % 3 != 0))
   }
 
+  test("updateWhereVectored: old-row SET semantics, no rewrites, time travel") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (1L to 12L).toDF("id").withColumn("a", col("id") * 10)
+        .withColumn("b", col("id") * 100).repartition(2))
+    val filesBefore = VersionedTable.filesOf(spark, root).toSet
+    // SET a = b, b = a must SWAP (every right-hand side sees the OLD
+    // row) — chained withColumn semantics would set both to the old b
+    VersionedTable.updateWhereVectored(spark, root, Map.empty,
+      col("id") % 3 === 0, Map("a" -> col("b"), "b" -> col("a")))
+    assert(filesBefore.subsetOf(VersionedTable.filesOf(spark, root).toSet),
+      "an MoR update must carry every pre-update file by name")
+    val got = VersionedTable.read(spark, root)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (1L to 12L).foreach { i =>
+      if (i % 3 == 0) assert(got(i) == ((i * 100, i * 10)), s"row $i swapped")
+      else assert(got(i) == ((i * 10, i * 100)), s"row $i untouched")
+    }
+    assert(got.size == 12, "update replaces, never duplicates or drops")
+    // a NULL condition keeps the row (SQL semantics)
+    VersionedTable.updateWhereVectored(spark, root, Map.empty,
+      org.apache.spark.sql.functions.when(col("id") === 1, true),
+      Map("a" -> (col("a") + 1)))
+    assert(VersionedTable.read(spark, root).count() == 12)
+    // time travel reads the pre-update data
+    val v1 = VersionedTable.read(spark, root, Some(1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v1(3L) == 30L, "version 1 must still show the pre-update value")
+    // refused shapes
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhereVectored(spark, root, Map.empty,
+        col("id") === 1, Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhereVectored(spark, root, Map.empty,
+        col("id") === 1, Map("nope" -> col("a")))
+    }
+  }
+
   test("a vectored delete on a timestamp table survives survivor-sum overflow (ANSI)") {
     import spark.implicits._
     val root = freshRoot()
