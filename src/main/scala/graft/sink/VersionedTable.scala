@@ -125,36 +125,6 @@ object VersionedTable {
     }
   }
 
-  /** Write one DV sidecar under `dv/` and return its table-relative name.
-    * Version+nonce in the name keep sidecars immutable across versions —
-    * an older manifest keeps referencing ITS vector, so time travel over
-    * a vectored delete needs no special casing. */
-  private def writeDvSidecar(spark: SparkSession, root: String, version: Int,
-                             dataFileName: String, sorted: Array[Long]): String = {
-    val f = fs(spark, new Path(root))
-    f.mkdirs(dvDir(root))
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val name = s"dv-v$version-$nonce-$dataFileName.gdv"
-    val p = new Path(dvDir(root), name)
-    val out = f.create(p, false)
-    try out.write(encodeDvPositions(sorted)) finally out.close()
-    s"dv/$name"
-  }
-
-  private def loadDvPositions(spark: SparkSession, root: String,
-                              dvFile: String): Array[Long] = {
-    val p = new Path(root, dvFile)
-    val f = fs(spark, p)
-    val in = f.open(p)
-    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-    decodeDvPositions(bytes)
-  }
-
-  /** The LAST path component of a manifest file entry — the join key
-    * between a manifest's per-file metadata and `_metadata.file_name`
-    * (commit-generated names are table-unique by construction). */
-  private def nameOf(entry: String): String =
-    entry.substring(entry.lastIndexOf('/') + 1)
   private def manifestPath(root: String, v: Int) =
     new Path(logDir(root), f"v$v%08d.manifest.json")
   private def checkpointPath(root: String, v: Int) =
@@ -1308,33 +1278,6 @@ object VersionedTable {
       Bridge.toExpression(col(DvFileCol)),
       Bridge.toExpression(col(DvPosCol)), refs, root, confB))
     scanned.filter(not(member)).drop(DvFileCol, DvPosCol)
-  }
-
-  /** Scan `filesWithPositions.keys` and keep (or drop) exactly the rows at
-    * the given per-file positions — the shared kernel of the DV read path
-    * (`keepMembers = false`: survivors) and the CDC DV delta
-    * (`keepMembers = true`: the removed rows themselves). */
-  private def dvMemberRows(spark: SparkSession, root: String, m: Manifest,
-                           ddl: String,
-                           filesWithPositions: Map[String, Array[Long]],
-                           keepMembers: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions.{col, not}
-    import org.apache.spark.sql.graftbridge.Bridge
-    // keyed by MANIFEST ENTRY; the expression resolves a scan row's full
-    // file path to its entry by longest boundary-safe suffix match —
-    // basenames are NOT unique across hive partition directories (one
-    // write job emits part-00000 under every k=v dir), which a
-    // name-keyed map silently merged (positions of two files collapsing
-    // onto one vector: rows deleted from the wrong file)
-    val bc = spark.sparkContext.broadcast(filesWithPositions)
-    val scanned = readPaths(spark, ddl,
-      filesWithPositions.keys.toSeq.sorted.map(f => new Path(root, f).toString),
-      m.partitionCols.nonEmpty, root, withMeta = true)
-    val member = Bridge.toColumn(graft.functions.DvDeletedExpr(
-      Bridge.toExpression(col(DvFileCol)),
-      Bridge.toExpression(col(DvPosCol)), bc))
-    scanned.filter(if (keepMembers) member else not(member))
-      .drop(DvFileCol, DvPosCol)
   }
 
   /** ADD COLUMN as a METADATA-ONLY commit (the Iceberg/Delta recipe): the
@@ -2653,32 +2596,45 @@ object VersionedTable {
       a.files.filterNot(bSet), Some(b.schemaDdl))
     // files carried BY NAME whose vectors changed: a position deleted in
     // (fromV, toV] is a REMOVED row; a position released (rollback across
-    // a vectored delete) is an ADDED row. Only the delta positions' rows
-    // are read — the diff stays file-set + vector-delta sized, never
-    // table-sized.
-    val posCache = scala.collection.mutable.Map.empty[String, Set[Long]]
-    def posOf(m: Manifest, f: String): Set[Long] =
-      m.dvs.get(f).map(d => posCache.getOrElseUpdate(d.dvFile,
-        loadDvPositions(spark, root, d.dvFile).toSet)).getOrElse(Set.empty)
-    // vector-free tables skip this entirely — the diff plan is then
+    // a vectored delete) is an ADDED row. The CHANGED set is decided
+    // from manifest metadata alone (sidecar names — immutable, so a
+    // different name IS a different vector), and the delta rows come
+    // from one scan of exactly those files filtered by TWO lazy
+    // membership expressions (in one version's vector AND NOT the
+    // other's) — the positions themselves never transit the driver,
+    // completing the DV layer's driver-boundedness (the old shape
+    // loaded both sides' full vectors driver-side to set-diff them:
+    // O(all changed files' positions) heap on the CDC path).
+    // Vector-free tables skip this entirely — the diff plan is then
     // byte-identical to the pre-DV shape (no empty-frame unions on the
-    // hot incremental paths)
-    val common =
-      if (a.dvs.isEmpty && b.dvs.isEmpty) Seq.empty
-      else b.files.filter(aSet)
-    val dvDeltas = common.map { f =>
-      val pa = posOf(a, f); val pb = posOf(b, f)
-      (f, pa -- pb, pb -- pa) // (re-added, removed)
+    // hot incremental paths).
+    val changed =
+      if (a.dvs.isEmpty && b.dvs.isEmpty) Seq.empty[String]
+      else b.files.filter(f => aSet.contains(f) && a.dvs.get(f) != b.dvs.get(f))
+    def vectorDeltaRows(inSide: Manifest, notSide: Manifest): Option[DataFrame] = {
+      // metadata-decidable emptiness: a side whose vectors are ABSENT on
+      // every changed file can have no member rows — the first-delete
+      // CDC flow then skips the re-added scan entirely
+      if (changed.isEmpty || changed.forall(f => inSide.dvs.get(f).isEmpty))
+        return None
+      import org.apache.spark.sql.functions.{col, not}
+      import org.apache.spark.sql.graftbridge.Bridge
+      def refsOf(m: Manifest) = spark.sparkContext.broadcast(
+        changed.flatMap(f => m.dvs.get(f).map(f -> _.dvFile)).toMap)
+      val confB = hadoopConfBc(spark)
+      val scanned = readPaths(spark, b.schemaDdl,
+        changed.sorted.map(f => new Path(root, f).toString),
+        b.partitionCols.nonEmpty, root, withMeta = true)
+      def member(m: Manifest) = Bridge.toColumn(graft.functions.DvDeletedLazyExpr(
+        Bridge.toExpression(col(DvFileCol)),
+        Bridge.toExpression(col(DvPosCol)), refsOf(m), root, confB))
+      Some(scanned.filter(member(inSide) && not(member(notSide)))
+        .drop(DvFileCol, DvPosCol))
     }
-    def deltaRows(side: ((String, Set[Long], Set[Long])) => Set[Long]): Option[DataFrame] = {
-      val sets = dvDeltas.collect {
-        case t if side(t).nonEmpty => t._1 -> side(t).toArray.sorted
-      }.toMap
-      if (sets.isEmpty) None
-      else Some(dvMemberRows(spark, root, b, b.schemaDdl, sets, keepMembers = true))
-    }
-    val adds = deltaRows(_._2).map(onlyNew.unionByName).getOrElse(onlyNew)
-    val rems = deltaRows(_._3).map(onlyOld.unionByName).getOrElse(onlyOld)
+    // re-added: in the FROM vector but no longer in TO's (rollback);
+    // removed: in TO's vector but not in FROM's (the delete itself)
+    val adds = vectorDeltaRows(a, b).map(onlyNew.unionByName).getOrElse(onlyNew)
+    val rems = vectorDeltaRows(b, a).map(onlyOld.unionByName).getOrElse(onlyOld)
     (adds.exceptAll(rems), rems.exceptAll(adds))
   }
 
