@@ -223,7 +223,18 @@ object GraftCatalog {
         "assignments" -> StringType), versionResult,
       (spark, in) => {
         val cond = org.apache.spark.sql.functions.expr(str(in, 1))
-        val set = str(in, 2).split(";").map(_.trim).filter(_.nonEmpty).map { a =>
+        // quote-aware split: a ';' inside a SQL string literal is part
+        // of the expression, not a separator ('' is the escape)
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        val sb = new StringBuilder
+        var inQuote = false
+        str(in, 2).foreach {
+          case '\'' => inQuote = !inQuote; sb += '\''
+          case ';' if !inQuote => parts += sb.toString; sb.clear()
+          case c => sb += c
+        }
+        parts += sb.toString
+        val set = parts.map(_.trim).filter(_.nonEmpty).map { a =>
           val i = a.indexOf('=')
           require(i > 0, s"malformed assignment '$a' (want: col = expr)")
           a.substring(0, i).trim ->

@@ -84,8 +84,14 @@ case class DvDeletedLazyExpr(left: Expression, right: Expression,
 
 object DvDeletedLazyExpr {
   // same per-thread memo discipline as DvDeletedExpr (file_path is
-  // constant within a split), keyed on the refs MAP identity
-  private val last = new ThreadLocal[(AnyRef, UTF8String, Array[Long])]
+  // constant within a split), keyed WEAKLY on the refs MAP identity: a
+  // strong ThreadLocal reference would pin the WeakHashMap cache entry
+  // (every decoded vector this executor loaded for the read) long after
+  // the query and its broadcast die — pooled task threads live for the
+  // executor lifetime, so a streaming CDF creating fresh refs per
+  // micro-batch would accumulate one dead cache per thread
+  private val last =
+    new ThreadLocal[(java.lang.ref.WeakReference[AnyRef], UTF8String, Array[Long])]
 
   // per-executor decoded-vector cache, one inner map per broadcast refs
   // value: lives exactly as long as the broadcast, concurrent tasks of
@@ -109,7 +115,7 @@ object DvDeletedLazyExpr {
     val refs = refsBc.value.asInstanceOf[Map[String, String]]
     val memo = last.get()
     val arr =
-      if (memo != null && (memo._1 eq refs) && memo._2.equals(file)) memo._3
+      if (memo != null && (memo._1.get eq refs) && memo._2.equals(file)) memo._3
       else {
         val a = DvDeletedExpr.cachedResolverFor(refs, refs.keys)(file.toString)
           .map { entry =>
@@ -128,7 +134,7 @@ object DvDeletedLazyExpr {
               }
             })
           }.getOrElse(Array.emptyLongArray)
-        last.set((refs, file.clone(), a))
+        last.set((new java.lang.ref.WeakReference[AnyRef](refs), file.clone(), a))
         a
       }
     arr.length > 0 && java.util.Arrays.binarySearch(arr, pos) >= 0
@@ -141,8 +147,11 @@ object DvDeletedExpr {
   // amortizes to one per task. The memo keys on the MAP IDENTITY too —
   // two snapshots of one table share file paths but carry different
   // vectors, and a memo keyed on path alone would serve one version's
-  // deletes to the other.
-  private val last = new ThreadLocal[(AnyRef, UTF8String, Array[Long])]
+  // deletes to the other. Weakly referenced: a pooled task thread must
+  // not pin a dead broadcast's position map (and with it the resolver
+  // cache entry) for the executor's lifetime.
+  private val last =
+    new ThreadLocal[(java.lang.ref.WeakReference[AnyRef], UTF8String, Array[Long])]
 
   /** The manifest entry (relative "data/…" or absolute clone path) that
     * `path` — a full scan-reported file path, scheme included — refers
@@ -209,11 +218,11 @@ object DvDeletedExpr {
   def contains(m: Map[String, Array[Long]], file: UTF8String, pos: Long): Boolean = {
     val memo = last.get()
     val arr =
-      if (memo != null && (memo._1 eq m) && memo._2.equals(file)) memo._3
+      if (memo != null && (memo._1.get eq m) && memo._2.equals(file)) memo._3
       else {
         val a = cachedResolver(m)(file.toString)
           .map(m).getOrElse(Array.emptyLongArray)
-        last.set((m, file.clone(), a))
+        last.set((new java.lang.ref.WeakReference[AnyRef](m), file.clone(), a))
         a
       }
     arr.length > 0 && java.util.Arrays.binarySearch(arr, pos) >= 0

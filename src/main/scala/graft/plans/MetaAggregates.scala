@@ -216,7 +216,12 @@ object MetaAggregates extends Rule[LogicalPlan] {
   private def fileDecides(cond: Expression, f: FileMeta,
                           partCols: Set[String]): Option[Boolean] = {
     if (!cond.deterministic) return None
-    if (f.rows.contains(0L)) return Some(false)
+    // recorded-empty AND fully-vectored files contribute no live rows:
+    // exclude them rather than demand stats they may no longer carry (a
+    // vectored delete that emptied a file drops its refreshable stats —
+    // without this exemption every filtered metadata query on the table
+    // would silently fall back to a full scan)
+    if (f.rows.contains(0L) || f.rows.exists(_ == f.dvCard)) return Some(false)
     try {
       var ok = true
       val subbed = cond.transformUp {
@@ -295,9 +300,12 @@ object MetaAggregates extends Rule[LogicalPlan] {
       val vs = groupAttrs.map(a => singleValue(a, f, partCols))
       if (vs.exists(_.isEmpty)) None else Some(vs.map(v => normKey(v.get)))
     }
-    // a recorded-zero-row file contributes no rows to any group (and has
-    // no stats to key on) — exempt rather than refuse
-    val keyed = fs.filterNot(_.rows.contains(0L)).map(f => keyOf(f).map(_ -> f))
+    // a recorded-zero-row or FULLY-VECTORED file contributes no rows to
+    // any group (and may have lost its refreshable stats when its last
+    // survivors were deleted) — exempt rather than refuse
+    val keyed = fs
+      .filterNot(f => f.rows.contains(0L) || f.rows.exists(_ == f.dvCard))
+      .map(f => keyOf(f).map(_ -> f))
     if (keyed.exists(_.isEmpty)) return None
     val groups = keyed.flatten.groupBy(_._1).view.mapValues(_.map(_._2))
       .toSeq.sortBy(_._1.map(String.valueOf).mkString("|"))

@@ -2412,7 +2412,14 @@ object VersionedTable {
                           condition: org.apache.spark.sql.Column,
                           set: Map[String, org.apache.spark.sql.Column]): Int = {
     import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.graftbridge.Bridge
     require(set.nonEmpty, "updateWhereVectored needs at least one SET column")
+    // a random-valued condition would mark DIFFERENT rows in the vector
+    // pass and the rewrite scan — rows silently lost or duplicated (the
+    // reason Delta refuses nondeterministic UPDATE conditions)
+    require(!Bridge.toExpression(condition).exists(e => !e.deterministic),
+      "updateWhereVectored refuses a nondeterministic condition: the two " +
+        "halves of the update (vector away, re-write) must mark the SAME rows")
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
@@ -2420,19 +2427,31 @@ object VersionedTable {
     val unknown = set.keys.filterNot(c => schema.fieldNames.contains(c))
     require(unknown.isEmpty, s"SET on unknown column(s): ${unknown.mkString(", ")}")
     val touched = prunedFiles(spark, root, preds, Some(cur))
+    if (touched.isEmpty) return cur // nothing can match: no-op, no commit
     val v = cur + 1
+    // ONE evaluation of the condition feeds BOTH halves: the marked scan
+    // is cached, so the vector pass and the rewrite read the same
+    // verdicts even for time-dependent predicates (now() resolves per
+    // QUERY — two independent jobs would run at different instants and
+    // rows crossing the boundary would vector away without re-landing)
+    var marked: Option[DataFrame] = None
     val (updated, refreshed) = vectoredDmlPass(spark, root, v, m, touched,
-      _.withColumn(DelCol, condition <=> lit(true)))
-    // the updated copies: one DV-applied scan of the touched files, the
-    // matched rows re-projected with every SET expression over the OLD
-    // row (single select — chained withColumn would leak new values into
-    // later expressions), cast back to the declared column types
-    val newRows = readSnapshotFiles(spark, root, m, touched)
-      .filter(condition <=> lit(true))
+      df => {
+        val mk = df.withColumn(DelCol, condition <=> lit(true)).persist()
+        marked = Some(mk)
+        mk
+      })
+    // the updated copies: the matched rows of the SAME marked scan,
+    // re-projected with every SET expression over the OLD row (single
+    // select — chained withColumn would leak new values into later
+    // expressions), cast back to the declared column types
+    val newRows = marked.get.filter(col(DelCol))
       .select(schema.fields.toSeq.map(f =>
         set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
           .as(f.name)): _*)
-    val added = writeDataFiles(spark, root, newRows, v, m.partitionCols)
+    val added =
+      try writeDataFiles(spark, root, newRows, v, m.partitionCols)
+      finally marked.foreach(_.unpersist())
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
       m.files ++ added, None,
@@ -2611,12 +2630,24 @@ object VersionedTable {
     val changed =
       if (a.dvs.isEmpty && b.dvs.isEmpty) Seq.empty[String]
       else b.files.filter(f => aSet.contains(f) && a.dvs.get(f) != b.dvs.get(f))
+    // vectors only GROW except across a rollback (the MoR DMLs merge
+    // prior ∪ fresh; CoW rewrites drop the file from `common` entirely) —
+    // so when no version in the range is a rollback (or a pre-op-field
+    // manifest whose operation is unknowable), fromV's vector is a
+    // subset of toV's on every carried file and the RE-ADDED side is
+    // provably empty without opening anything. This keeps the
+    // delete-only CDC flow at ONE scan of the changed files.
+    lazy val mayShrink = ((fromV + 1) to toV).exists { v =>
+      val op = readManifest(spark, root, v).op
+      op.isEmpty || op == "rollback"
+    }
     def vectorDeltaRows(inSide: Manifest, notSide: Manifest): Option[DataFrame] = {
       // metadata-decidable emptiness: a side whose vectors are ABSENT on
       // every changed file can have no member rows — the first-delete
       // CDC flow then skips the re-added scan entirely
       if (changed.isEmpty || changed.forall(f => inSide.dvs.get(f).isEmpty))
         return None
+      if ((inSide eq a) && !mayShrink) return None // monotone growth
       import org.apache.spark.sql.functions.{col, not}
       import org.apache.spark.sql.graftbridge.Bridge
       def refsOf(m: Manifest) = spark.sparkContext.broadcast(

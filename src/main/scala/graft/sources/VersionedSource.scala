@@ -331,30 +331,47 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
     * pinned-schema delivery with `ignoreSchemaChanges = true`. Only a
     * change WITHIN `(fromV, toV]` trips the guard — a table that
     * evolved before stream start is simply the stream's schema. */
+  /** The newest version at source construction — the anchor the INITIAL
+    * batch's evolution guard diffs against (there is no `fromV` manifest
+    * for the snapshot batch, but a column added between schema pin and
+    * the first getBatch must still refuse, not silently drop). */
+  private val pinVersion: Int =
+    VersionedTable.currentVersion(spark, root).getOrElse(0)
+
   private def guardSchemaChange(fromV: Int, toV: Int): Unit = {
-    if (ignoreSchemaChanges || fromV == 0) return
+    if (ignoreSchemaChanges) return
     // names + types only: a rewrite (compaction) may relax NOT NULL on
     // its output files' schema — nullability-widening delivers the same
     // columns and must not kill the feed
     def shape(s: StructType): Seq[(String, String)] =
       s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
-    val before = VersionedTable.schemaOf(spark, root, Some(fromV))
-    val after = VersionedTable.schemaOf(spark, root, Some(toV))
-    if (shape(before) == shape(after)) return // no change in range
-    // the change is only a problem for a stream that predates it: a
-    // RESTARTED stream re-pins the current schema, so its replay of the
-    // crossing range (and everything after) delivers correctly —
-    // pre-evolution files null-fill under the pinned schema. Refusing
-    // here on fromV≠toV alone would wedge the restart forever and make
-    // the error's own remedy a lie.
+    val anchorV = if (fromV == 0) pinVersion else fromV
+    if (anchorV == 0) return // stream started before the table existed
+    val after = shape(VersionedTable.schemaOf(spark, root, Some(toV)))
+    val unchanged =
+      try shape(VersionedTable.schemaOf(spark, root, Some(anchorV))) == after
+      catch { case _: IllegalArgumentException => false } // anchor expired
+    if (unchanged) return // no change in range
+    // the change is only a problem for a stream that predates it. A
+    // (re)started stream pins the table's schema at start, so it passes
+    // when the range's END schema equals its pin — and also when its
+    // pin equals the CURRENT schema even though toV's doesn't (a SECOND
+    // change landed above this replayed range while the stream was
+    // down: delivering the old range under the final pinned schema,
+    // null-filled, is exactly the correct replay). Refusing either case
+    // would wedge the restart forever and make the error's own remedy
+    // a lie.
     val pinned = shape(StructType(schema.filterNot(_.name == "_change_type")))
-    if (shape(after) == pinned) return
+    if (after == pinned) return
+    val current =
+      try shape(VersionedTable.schemaOf(spark, root))
+      catch { case _: IllegalArgumentException => Seq.empty }
+    if (pinned == current) return
     throw new IllegalStateException(
-      s"versions ($fromV, $toV] of $root changed the table schema from " +
-        s"<${before.toDDL}> to <${after.toDDL}>; this stream pinned its " +
-        "schema before the change, so delivering would silently drop it. " +
-        "Restart the stream to adopt the new schema, or set " +
-        "ignoreSchemaChanges=true to keep delivering the pinned columns.")
+      s"versions ($fromV, $toV] of $root changed the table schema; this " +
+        "stream pinned its schema before the change, so delivering would " +
+        "silently drop it. Restart the stream to adopt the new schema, or " +
+        "set ignoreSchemaChanges=true to keep delivering the pinned columns.")
   }
 
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],

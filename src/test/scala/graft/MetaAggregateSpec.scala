@@ -468,6 +468,30 @@ class MetaAggregateSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("a fully-vectored file exempts from filtered/grouped answers, never refuses them") {
+    import spark.implicits._
+    val root = freshRoot()
+    // two g-clustered files; vector away ALL of g=0's rows — that file's
+    // refreshable stats drop with its last survivors, and without the
+    // dead-file exemption every filtered/grouped metadata query on the
+    // table would silently fall back to a full scan forever
+    VersionedTable.create(spark, root,
+      (0L until 20L).toDF("id").withColumn("g", lit(0L)).coalesce(1))
+    VersionedTable.append(spark, root,
+      (20L until 40L).toDF("id").withColumn("g", lit(1L)).coalesce(1))
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty, col("g") === 0)
+    val fm = VersionedTable.metaFiles(spark, root)
+    assert(fm.exists(f => f.rows.contains(20L) && f.dvCard == 20L),
+      "fixture: one file must be fully vectored")
+    val f = rel(root).filter(col("g") === 1).agg(count(lit(1)).as("n"))
+    assert(metaAnswered(f), "the dead file is exempt from WHERE decidability")
+    assert(f.collect().head.getLong(0) == 20L)
+    val g = rel(root).groupBy("g").agg(count(lit(1)).as("n"), min("id").as("lo"))
+    assert(metaAnswered(g), "the dead file is exempt from GROUP BY keying")
+    assert(g.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap == Map(1L -> ((20L, 20L))))
+  }
+
   test("the rewrite can be disabled by conf") {
     import spark.implicits._
     val root = freshRoot()
