@@ -224,14 +224,24 @@ object GraftCatalog {
       (spark, in) => {
         val cond = org.apache.spark.sql.functions.expr(str(in, 1))
         // quote-aware split: a ';' inside a SQL string literal is part
-        // of the expression, not a separator ('' is the escape)
+        // of the expression, not a separator. Handles BOTH escapes
+        // Spark's parser accepts: backslash (the default) and '' —
+        // a backslash inside a literal consumes the next char verbatim
         val parts = scala.collection.mutable.ArrayBuffer.empty[String]
         val sb = new StringBuilder
+        val s = str(in, 2)
+        var i = 0
         var inQuote = false
-        str(in, 2).foreach {
-          case '\'' => inQuote = !inQuote; sb += '\''
-          case ';' if !inQuote => parts += sb.toString; sb.clear()
-          case c => sb += c
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (inQuote && c == '\\' && i + 1 < s.length) {
+            sb += c += s.charAt(i + 1); i += 2
+          } else {
+            if (c == '\'') inQuote = !inQuote
+            if (c == ';' && !inQuote) { parts += sb.toString; sb.clear() }
+            else sb += c
+            i += 1
+          }
         }
         parts += sb.toString
         val set = parts.map(_.trim).filter(_.nonEmpty).map { a =>

@@ -90,8 +90,13 @@ object DvDeletedLazyExpr {
   // the query and its broadcast die — pooled task threads live for the
   // executor lifetime, so a streaming CDF creating fresh refs per
   // micro-batch would accumulate one dead cache per thread
-  private val last =
-    new ThreadLocal[(java.lang.ref.WeakReference[AnyRef], UTF8String, Array[Long])]
+  // the WHOLE memo tuple sits behind the weak reference: the tuple holds
+  // the map strongly, so when the broadcast dies the tuple (and with it
+  // the last decoded position ARRAY — megabytes on a wide delete, per
+  // pooled task thread) becomes unreachable together; weakening only the
+  // map key would still pin every thread's last array forever
+  private val last = new ThreadLocal[
+    java.lang.ref.WeakReference[(AnyRef, UTF8String, Array[Long])]]
 
   // per-executor decoded-vector cache, one inner map per broadcast refs
   // value: lives exactly as long as the broadcast, concurrent tasks of
@@ -113,9 +118,9 @@ object DvDeletedLazyExpr {
   def contains(refsBc: Broadcast[_], root: String, confBc: Broadcast[_],
                file: UTF8String, pos: Long): Boolean = {
     val refs = refsBc.value.asInstanceOf[Map[String, String]]
-    val memo = last.get()
+    val memo = Option(last.get()).map(_.get).orNull
     val arr =
-      if (memo != null && (memo._1.get eq refs) && memo._2.equals(file)) memo._3
+      if (memo != null && (memo._1 eq refs) && memo._2.equals(file)) memo._3
       else {
         val a = DvDeletedExpr.cachedResolverFor(refs, refs.keys)(file.toString)
           .map { entry =>
@@ -134,7 +139,7 @@ object DvDeletedLazyExpr {
               }
             })
           }.getOrElse(Array.emptyLongArray)
-        last.set((new java.lang.ref.WeakReference[AnyRef](refs), file.clone(), a))
+        last.set(new java.lang.ref.WeakReference((refs: AnyRef, file.clone(), a)))
         a
       }
     arr.length > 0 && java.util.Arrays.binarySearch(arr, pos) >= 0
@@ -150,8 +155,8 @@ object DvDeletedExpr {
   // deletes to the other. Weakly referenced: a pooled task thread must
   // not pin a dead broadcast's position map (and with it the resolver
   // cache entry) for the executor's lifetime.
-  private val last =
-    new ThreadLocal[(java.lang.ref.WeakReference[AnyRef], UTF8String, Array[Long])]
+  private val last = new ThreadLocal[
+    java.lang.ref.WeakReference[(AnyRef, UTF8String, Array[Long])]]
 
   /** The manifest entry (relative "data/…" or absolute clone path) that
     * `path` — a full scan-reported file path, scheme included — refers
@@ -216,13 +221,13 @@ object DvDeletedExpr {
     cachedResolverFor(m, m.keys)
 
   def contains(m: Map[String, Array[Long]], file: UTF8String, pos: Long): Boolean = {
-    val memo = last.get()
+    val memo = Option(last.get()).map(_.get).orNull
     val arr =
-      if (memo != null && (memo._1.get eq m) && memo._2.equals(file)) memo._3
+      if (memo != null && (memo._1 eq m) && memo._2.equals(file)) memo._3
       else {
         val a = cachedResolver(m)(file.toString)
           .map(m).getOrElse(Array.emptyLongArray)
-        last.set((new java.lang.ref.WeakReference[AnyRef](m), file.clone(), a))
+        last.set(new java.lang.ref.WeakReference((m: AnyRef, file.clone(), a)))
         a
       }
     arr.length > 0 && java.util.Arrays.binarySearch(arr, pos) >= 0

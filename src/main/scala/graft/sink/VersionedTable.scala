@@ -2412,46 +2412,58 @@ object VersionedTable {
                           condition: org.apache.spark.sql.Column,
                           set: Map[String, org.apache.spark.sql.Column]): Int = {
     import org.apache.spark.sql.functions.{col, lit}
-    import org.apache.spark.sql.graftbridge.Bridge
     require(set.nonEmpty, "updateWhereVectored needs at least one SET column")
-    // a random-valued condition would mark DIFFERENT rows in the vector
-    // pass and the rewrite scan — rows silently lost or duplicated (the
-    // reason Delta refuses nondeterministic UPDATE conditions)
-    require(!Bridge.toExpression(condition).exists(e => !e.deterministic),
-      "updateWhereVectored refuses a nondeterministic condition: the two " +
-        "halves of the update (vector away, re-write) must mark the SAME rows")
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
     val unknown = set.keys.filterNot(c => schema.fieldNames.contains(c))
     require(unknown.isEmpty, s"SET on unknown column(s): ${unknown.mkString(", ")}")
+    // a random-valued condition would mark DIFFERENT rows in the vector
+    // pass and the rewrite — rows silently lost or duplicated (the
+    // reason Delta refuses nondeterministic UPDATE conditions). The
+    // check runs on the ANALYZED predicate: an unresolved
+    // expr("rand() < 0.5") reports deterministic until resolution turns
+    // the function call into the real Rand expression.
+    val analyzedCond = readPaths(spark, m.schemaDdl, Seq.empty)
+      .filter(condition).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    require(analyzedCond.forall(c => !c.exists(e => !e.deterministic)),
+      "updateWhereVectored refuses a nondeterministic condition: the two " +
+        "halves of the update (vector away, re-write) must mark the SAME rows")
     val touched = prunedFiles(spark, root, preds, Some(cur))
-    if (touched.isEmpty) return cur // nothing can match: no-op, no commit
     val v = cur + 1
     // ONE evaluation of the condition feeds BOTH halves: the marked scan
     // is cached, so the vector pass and the rewrite read the same
     // verdicts even for time-dependent predicates (now() resolves per
     // QUERY — two independent jobs would run at different instants and
-    // rows crossing the boundary would vector away without re-landing)
+    // rows crossing the boundary would vector away without re-landing).
+    // The cache is released on EVERY exit path, including a failure
+    // inside the vector pass itself.
     var marked: Option[DataFrame] = None
-    val (updated, refreshed) = vectoredDmlPass(spark, root, v, m, touched,
-      df => {
-        val mk = df.withColumn(DelCol, condition <=> lit(true)).persist()
-        marked = Some(mk)
-        mk
-      })
-    // the updated copies: the matched rows of the SAME marked scan,
-    // re-projected with every SET expression over the OLD row (single
-    // select — chained withColumn would leak new values into later
-    // expressions), cast back to the declared column types
-    val newRows = marked.get.filter(col(DelCol))
-      .select(schema.fields.toSeq.map(f =>
-        set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
-          .as(f.name)): _*)
-    val added =
-      try writeDataFiles(spark, root, newRows, v, m.partitionCols)
-      finally marked.foreach(_.unpersist())
+    val (updated, refreshed, added) =
+      try {
+        val (u, r) = vectoredDmlPass(spark, root, v, m, touched,
+          df => {
+            val mk = df.withColumn(DelCol, condition <=> lit(true)).persist()
+            marked = Some(mk)
+            mk
+          })
+        // the updated copies: the matched rows of the SAME marked scan,
+        // re-projected with every SET expression over the OLD row
+        // (single select — chained withColumn would leak new values into
+        // later expressions), cast back to the declared column types.
+        // An empty touched set still COMMITS (an empty version) so every
+        // DML bumps the version exactly once, like the deletes.
+        val newRows = marked
+          .map(_.filter(col(DelCol)))
+          .getOrElse(readPaths(spark, m.schemaDdl, Seq.empty))
+          .select(schema.fields.toSeq.map(f =>
+            set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
+              .as(f.name)): _*)
+        (u, r, writeDataFiles(spark, root, newRows, v, m.partitionCols))
+      } finally marked.foreach(_.unpersist())
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
     writeManifest(spark, root, Manifest(v, m.schemaDdl,
       m.files ++ added, None,
@@ -2637,9 +2649,17 @@ object VersionedTable {
     // subset of toV's on every carried file and the RE-ADDED side is
     // provably empty without opening anything. This keeps the
     // delete-only CDC flow at ONE scan of the changed files.
-    lazy val mayShrink = ((fromV + 1) to toV).exists { v =>
-      val op = readManifest(spark, root, v).op
-      op.isEmpty || op == "rollback"
+    lazy val mayShrink = {
+      // bound the walk: an unbounded catch-up range (stream restart after
+      // thousands of commits) must not serially parse every manifest just
+      // to skip ONE scan — past the checkpoint-spaced bound, scanning is
+      // cheaper than proving
+      val lo = fromV + 1
+      if (toV - lo > 8 * CheckpointEvery) true
+      else (lo to toV).exists { v =>
+        val op = if (v == toV) b.op else readManifest(spark, root, v).op
+        op.isEmpty || op == "rollback"
+      }
     }
     def vectorDeltaRows(inSide: Manifest, notSide: Manifest): Option[DataFrame] = {
       // metadata-decidable emptiness: a side whose vectors are ABSENT on

@@ -454,6 +454,15 @@ class DeletionVectorSpec extends SparkSpec {
       VersionedTable.updateWhereVectored(spark, root, Map.empty,
         col("id") === 1, Map("nope" -> col("a")))
     }
+    // a nondeterministic condition would mark different rows in the two
+    // halves (and a cache-evicted recompute could diverge even within
+    // one) — refused, and the check must see through the UNRESOLVED
+    // expr() face the SQL procedure hands over
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhereVectored(spark, root, Map.empty,
+        org.apache.spark.sql.functions.expr("rand() < 0.5"),
+        Map("a" -> col("a")))
+    }
   }
 
   test("a vectored delete on a timestamp table survives survivor-sum overflow (ANSI)") {
