@@ -118,7 +118,10 @@ object DvDeletedLazyExpr {
   def contains(refsBc: Broadcast[_], root: String, confBc: Broadcast[_],
                file: UTF8String, pos: Long): Boolean = {
     val refs = refsBc.value.asInstanceOf[Map[String, String]]
-    val memo = Option(last.get()).map(_.get).orNull
+    // plain null checks: this runs per ROW inside the scan filter —
+    // an Option wrap here would allocate on every memo hit
+    val memoRef = last.get()
+    val memo = if (memoRef == null) null else memoRef.get()
     val arr =
       if (memo != null && (memo._1 eq refs) && memo._2.equals(file)) memo._3
       else {
@@ -221,7 +224,8 @@ object DvDeletedExpr {
     cachedResolverFor(m, m.keys)
 
   def contains(m: Map[String, Array[Long]], file: UTF8String, pos: Long): Boolean = {
-    val memo = Option(last.get()).map(_.get).orNull
+    val memoRef = last.get()
+    val memo = if (memoRef == null) null else memoRef.get()
     val arr =
       if (memo != null && (memo._1 eq m) && memo._2.equals(file)) memo._3
       else {
