@@ -44,28 +44,42 @@ object VersionedTable {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Serializes [[writeDataFiles]]' outputTimestampType set→write→restore
-    * (see the comment there) across concurrent committers. */
-  private val tsConfLock = new Object
-
-  /** One Hadoop-configuration broadcast per SparkContext, shared by every
-    * DV-lazy read and DML pass — re-broadcasting an identical serialized
-    * Configuration per read would leak one broadcast per snapshot read
-    * until the ContextCleaner catches up. Cached per context (tests
-    * recreate sessions); conf mutations AFTER first use are not
-    * reflected, which matches Hadoop configuration being launch-time
-    * state. */
+  /** One Hadoop-configuration broadcast per (SparkContext, conf
+    * fingerprint), shared by every DV-lazy read and DML pass —
+    * re-broadcasting an identical serialized Configuration per read
+    * would leak one broadcast per snapshot read until the
+    * ContextCleaner catches up. Keyed on a content fingerprint (not
+    * just the context): credentials or filesystem settings added AFTER
+    * the first DV read — a second table on a newly configured store —
+    * must reach executor-side sidecar loads, exactly as the live
+    * driver-side conf always did. A stale conf's broadcast is freed so
+    * the reconfigure doesn't strand executor memory. */
   @volatile private var confBcCache:
-      (org.apache.spark.SparkContext,
+      (org.apache.spark.SparkContext, Long,
        org.apache.spark.broadcast.Broadcast[SerializableHadoopConf]) = null
+  private def confFingerprint(c: org.apache.hadoop.conf.Configuration): Long = {
+    // order-independent: sum of per-entry hashes (iteration order of a
+    // Hadoop Configuration is not stable across instances)
+    var h = 0L
+    val it = c.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      h += e.getKey.hashCode.toLong * 1000003L + e.getValue.hashCode.toLong
+    }
+    h
+  }
   private def hadoopConfBc(spark: SparkSession)
       : org.apache.spark.broadcast.Broadcast[SerializableHadoopConf] =
     synchronized {
       val sc = spark.sparkContext
-      if (confBcCache == null || (confBcCache._1 ne sc))
+      val fp = confFingerprint(sc.hadoopConfiguration)
+      if (confBcCache == null || (confBcCache._1 ne sc) || confBcCache._2 != fp) {
+        if (confBcCache != null && (confBcCache._1 eq sc))
+          scala.util.Try(confBcCache._3.unpersist(blocking = false))
         confBcCache =
-          (sc, sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration)))
-      confBcCache._2
+          (sc, fp, sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration)))
+      }
+      confBcCache._3
     }
 
   private def logDir(root: String) = new Path(root, "_log")
@@ -738,13 +752,13 @@ object VersionedTable {
     // emits, which downstream naive-timestamp readers may not expect.
     // There is no per-write parquet option for this (checked: Spark 4's
     // ParquetOptions carries only compression/mergeSchema/rebase), so
-    // timestamp-bearing writes take a set→write→restore critical section
-    // under a lock — two unsynchronized committers could interleave
-    // restore-vs-set and strand the session retyped (or write INT96 and
-    // silently lose their stats). Schema-gated: the common ts-free write
-    // never touches the conf and never contends.
-    def writeJob(): Unit = {
-      val w = df.write.mode("overwrite").option("compression", "zstd")
+    // timestamp-bearing writes run on a CLONED session (same
+    // SparkContext, copied-then-private SQLConf): the retype can never
+    // leak into an unrelated parquet write the user runs concurrently
+    // on the original session, and no lock is needed. Schema-gated: the
+    // common ts-free write stays on the caller's session untouched.
+    def writeJob(frame: DataFrame): Unit = {
+      val w = frame.write.mode("overwrite").option("compression", "zstd")
       (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
         .parquet(scratch.toString)
     }
@@ -756,12 +770,12 @@ object VersionedTable {
       case m: org.apache.spark.sql.types.MapType => hasTs(m.keyType) || hasTs(m.valueType)
       case _ => false
     }
-    if (!df.schema.fields.exists(x => hasTs(x.dataType))) writeJob()
-    else tsConfLock.synchronized {
-      val tsKey = "spark.sql.parquet.outputTimestampType"
-      val prevTs = spark.conf.get(tsKey)
-      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try writeJob() finally spark.conf.set(tsKey, prevTs)
+    if (!df.schema.fields.exists(x => hasTs(x.dataType))) writeJob(df)
+    else {
+      import org.apache.spark.sql.graftbridge.Bridge
+      val scoped = Bridge.cloneSession(spark)
+      scoped.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      writeJob(Bridge.ofRows(scoped, df))
     }
     f.mkdirs(dataDir(root))
     // collect staged part files with their partition subpath (k=v dirs
@@ -2657,8 +2671,14 @@ object VersionedTable {
       val lo = fromV + 1
       if (toV - lo > 8 * CheckpointEvery) true
       else (lo to toV).exists { v =>
-        val op = if (v == toV) b.op else readManifest(spark, root, v).op
-        op.isEmpty || op == "rollback"
+        // an intermediate manifest can be GONE (expire keeps a txn-pinned
+        // fromV alive while dropping versions between it and the tail) —
+        // an unreadable manifest's op is exactly as unknowable as the
+        // pre-op-field case, so it forfeits the skip, never the batch
+        val op =
+          if (v == toV) Some(b.op)
+          else scala.util.Try(readManifest(spark, root, v).op).toOption
+        op.forall(o => o.isEmpty || o == "rollback")
       }
     }
     def vectorDeltaRows(inSide: Manifest, notSide: Manifest): Option[DataFrame] = {

@@ -331,13 +331,6 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
     * pinned-schema delivery with `ignoreSchemaChanges = true`. Only a
     * change WITHIN `(fromV, toV]` trips the guard — a table that
     * evolved before stream start is simply the stream's schema. */
-  /** The newest version at source construction — the anchor the INITIAL
-    * batch's evolution guard diffs against (there is no `fromV` manifest
-    * for the snapshot batch, but a column added between schema pin and
-    * the first getBatch must still refuse, not silently drop). */
-  private val pinVersion: Int =
-    VersionedTable.currentVersion(spark, root).getOrElse(0)
-
   private def guardSchemaChange(fromV: Int, toV: Int): Unit = {
     if (ignoreSchemaChanges) return
     // names + types only: a rewrite (compaction) may relax NOT NULL on
@@ -345,13 +338,20 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
     // columns and must not kill the feed
     def shape(s: StructType): Seq[(String, String)] =
       s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
-    val anchorV = if (fromV == 0) pinVersion else fromV
-    if (anchorV == 0) return // stream started before the table existed
     val after = shape(VersionedTable.schemaOf(spark, root, Some(toV)))
-    val unchanged =
-      try shape(VersionedTable.schemaOf(spark, root, Some(anchorV))) == after
-      catch { case _: IllegalArgumentException => false } // anchor expired
-    if (unchanged) return // no change in range
+    if (fromV > 0) {
+      val unchanged =
+        try shape(VersionedTable.schemaOf(spark, root, Some(fromV))) == after
+        catch { case _: IllegalArgumentException => false } // anchor expired
+      if (unchanged) return // no change in range
+    }
+    // the INITIAL batch (fromV == 0) anchors on the PINNED SCHEMA
+    // ITSELF, never on a separately-captured construction-time version:
+    // a column added between sourceSchema's pin and source construction
+    // would make any version-vs-toV compare see two post-change schemas
+    // and pass — while the stream delivers the pre-change pin, silently
+    // dropping the new column. Falling through to the pinned-schema
+    // compares below decides it from the one artifact that cannot race.
     // the change is only a problem for a stream that predates it. A
     // (re)started stream pins the table's schema at start, so it passes
     // when the range's END schema equals its pin — and also when its

@@ -157,6 +157,27 @@ class DeletionVectorSpec extends SparkSpec {
     assert(rem23.count() == 0)
   }
 
+  test("changesBetween survives an expired intermediate manifest (falls back to the scan)") {
+    // expire can drop versions BETWEEN a txn-pinned fromV and the kept
+    // tail; the monotone-growth shortcut walks those manifests to prove
+    // "no rollback in range", and an unreadable one must forfeit the
+    // shortcut (scan both sides), never fail the CDC batch.
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 6L: _*))           // v1
+    VersionedTable.append(spark, root, df(7, 8))                   // v2
+    VersionedTable.deleteWhereVectored(spark, root,
+      Map("id" -> (Some(2L), Some(3L))), col("id").between(2, 3))  // v3
+    // simulate retention dropping the intermediate v2 manifest while
+    // v1 survives under a txn pin
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_log", "v00000002.manifest.json"))
+    val (add13, rem13) = VersionedTable.changesBetween(spark, root, 1, 3)
+    assert(idsOf(add13) == Seq(7L, 8L),
+      "the appended file's rows still surface as adds across the hole")
+    assert(idsOf(rem13) == Seq(2L, 3L),
+      "the vectored delete still surfaces as removes across the hole")
+  }
+
   test("append after a vectored delete carries the vector; new file unaffected") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1, 2, 3))

@@ -315,6 +315,28 @@ class VersionedStreamSourceSpec extends SparkSpec {
       "post-restart delivery carries the new column")
   }
 
+  test("a commit racing between schema pin and source construction still refuses") {
+    // the guard must anchor on the PINNED SCHEMA, not a version captured
+    // at construction: an addColumn landing between sourceSchema's pin
+    // and the source's construction makes any construction-time anchor
+    // agree with toV (both post-change) while the stream would deliver
+    // the pre-change pin — silently dropping the new column.
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))                   // v1
+    val pinned = VersionedTable.schemaOf(spark, root)              // pin at v1
+    VersionedTable.addColumn(spark, root, "score", "double")       // v2 (the race)
+    VersionedTable.append(spark, root,
+      df(3).withColumn("score", lit(0.5)))                         // v3
+    val src = new graft.sources.VersionedStreamSource(
+      spark.sqlContext, root, pinned,
+      startingVersion = None, ignoreChanges = false)
+    val e = intercept[IllegalStateException] {
+      src.getBatch(None, graft.sources.VersionOffset(3L))
+    }
+    assert(e.getMessage.contains("changed the table schema"),
+      s"the initial batch must refuse the raced evolution, got: ${e.getMessage}")
+  }
+
   test("ignoreSchemaChanges keeps a live stream delivering under its pinned schema") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1, 2)) // v1
