@@ -674,6 +674,44 @@ object LakehouseQueries {
       rollup.unionByName(meta)
     }),
 
+    // The disjoint-file conflict taxonomy, end to end: a streaming-style
+    // APPEND lands inside a vectored DELETE's commit window (the race is
+    // injected deterministically through the commit seam), and BOTH
+    // commit — the delete loses the version CAS, proves the interleaved
+    // append's file footprint disjoint from its own, rebases its
+    // vectors onto the new head, and publishes on top. Semantics are
+    // snapshot-at-read (the WriteSerializable shape): appended rows are
+    // NOT subject to the delete's predicate even where they match it —
+    // the 'raced_matching' row counts exactly those survivors. At
+    // 100 TB this is what lets continuous ingest and GDPR erasure run
+    // concurrently instead of the DML starving on refuse-and-rescan.
+    "q205_concurrent_dml" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_ccd_q205")
+      val root = work.resolve("li").toString
+      val li = Tables.lineitem(s, d)
+      VersionedTable.create(s, root,
+        li.filter(col("l_orderkey") <= 30000)
+          .repartitionByRange(4, col("l_orderkey")))                  // v1
+      VersionedTable.raceBeforePublish = () =>
+        VersionedTable.append(s, root,
+          li.filter(col("l_orderkey") > 30000).repartition(2))        // v2 races in
+      val v = VersionedTable.deleteWhereVectored(s, root,
+        Map("l_orderkey" -> (None, Some(30000L))),
+        col("l_quantity") <= 5)                                       // rebases to v3
+      require(v == 3, s"the delete must rebase onto the raced append, got v$v")
+      def agg(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+          .select(lit(tag).as("tag"), col("n"), col("revenue"))
+      val head = VersionedTable.read(s, root)
+      agg(head, "head")
+        .unionByName(agg(head.filter(
+          col("l_orderkey") > 30000 && col("l_quantity") <= 5),
+          "raced_matching"))
+        .unionByName(agg(VersionedTable.read(s, root, Some(2)), "v2_appended"))
+    }),
+
     // Metadata-only SUM: per-file exact sums attached by
     // CALL graft.index_sums (wrapping Long addition is associative, so
     // Σ per-file sums is BIT-EXACTLY the scan's non-ANSI sum at any
@@ -1060,6 +1098,29 @@ object LakehouseQueries {
          UNION ALL
          SELECT '_versions', 2,
                 CAST((SELECT count(*) FROM final) AS DOUBLE)""",
+
+    // The interleaved lifecycle recomputed from raw lineitem under
+    // snapshot-at-read semantics: head = base survivors ∪ ALL appended
+    // rows (the racer's matching rows survive the delete);
+    // 'raced_matching' counts exactly those survivors; v2 is the
+    // pre-delete union the rebased history must still time-travel to.
+    "q205_concurrent_dml" ->
+      """WITH base AS (SELECT * FROM lineitem WHERE l_orderkey <= 30000),
+              app AS (SELECT * FROM lineitem WHERE l_orderkey > 30000),
+              head AS (SELECT * FROM base WHERE NOT (l_quantity <= 5)
+                       UNION ALL SELECT * FROM app)
+         SELECT 'head' AS tag, count(*)::BIGINT AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS revenue
+         FROM head
+         UNION ALL
+         SELECT 'raced_matching', count(*)::BIGINT,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM app WHERE l_quantity <= 5
+         UNION ALL
+         SELECT 'v2_appended', count(*)::BIGINT,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM (SELECT * FROM base UNION ALL SELECT * FROM app)""",
 
     // The summed dashboard recomputed from raw survivors — any drift in
     // the per-file sums, the wrap-add equivalence, or the DV refresh

@@ -33,11 +33,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Concurrency: the manifest name itself is the CAS — exactly one writer
   * can claim a version number (hard link on local FS, fail-if-exists
   * rename on HDFS), so a racing commit is REFUSED, never lost.
-  * [[appendCas]] turns that refusal into retry-with-rebase for the one
-  * conflict class (append/append) that composes automatically; the
-  * read-modify-write DMLs (deleteWhere/mergeInto/compact) pin their base
-  * version and surface the conflict to the caller, whose semantics must
-  * decide (like Delta/Iceberg's conflict taxonomy, public designs).
+  * [[appendCas]] rebases append/append automatically; the
+  * read-modify-write DMLs and maintenance commits (deleteWhere /
+  * mergeInto / the vectored DMLs / compact / zorder) publish through the
+  * disjoint-file taxonomy (like Delta/Iceberg's conflict rules, public
+  * designs): losing the CAS, they rebase across interleaved commits
+  * whose file footprints don't overlap theirs (a streaming append
+  * landing during a GDPR delete: both commit), and refuse —
+  * ConcurrentModificationException — only a genuine overlap, a schema /
+  * layout change, or an unprovable (unreadable) interleaving.
   */
 object VersionedTable {
 
@@ -1005,6 +1009,122 @@ object VersionedTable {
         op),
       parent)
     v
+  }
+
+  private val NoRaceHook: () => Unit = () => ()
+
+  /** Test-only seam consumed (and reset) by the next [[commitDelta]]
+    * publish: runs after that writer resolved its base snapshot and
+    * before its first CAS attempt — the window a concurrent commit
+    * races in. Lets specs pin the conflict taxonomy deterministically
+    * instead of with timing-dependent threads. */
+  @volatile private[graft] var raceBeforePublish: () => Unit = NoRaceHook
+
+  /** One non-append writer's commit, expressed RELATIVE to the base
+    * snapshot it read — exactly the information a conflict check and a
+    * rebase need. `removedFiles` are base files the commit drops (CoW
+    * rewrites, compaction inputs); `dvUpdates` are base files whose
+    * deletion vector it replaces (MoR DMLs — the new vector MERGED the
+    * base vector, so it is only valid while no one else re-vectors the
+    * file); `addedFiles` are its new data files with their computed
+    * metadata. The commit's file-level FOOTPRINT — the set a concurrent
+    * commit must not have touched for a rebase to be sound — is
+    * `removedFiles ∪ dvUpdates.keySet`. */
+  private case class CommitDelta(
+      removedFiles: Set[String],
+      addedFiles: Seq[String] = Seq.empty,
+      addedStats: Map[String, Seq[ColStat]] = Map.empty,
+      addedRows: Map[String, Long] = Map.empty,
+      dvUpdates: Map[String, FileDv] = Map.empty,
+      refreshedStats: Map[String, Seq[ColStat]] = Map.empty,
+      op: String = "overwrite",
+      txn: Option[Long] = None)
+
+  /** Publish `delta` on top of `base`, REBASING across concurrent
+    * commits whose file footprints are DISJOINT — the Delta/Iceberg
+    * conflict-taxonomy shape (public designs), where a GDPR delete and
+    * a streaming append running together both land instead of the DML
+    * refusing and re-scanning forever. Losing the version CAS walks
+    * every interleaved commit and refuses
+    * ([[java.util.ConcurrentModificationException]]) iff one of them
+    * removed or re-vectored a file this commit's result depends on, or
+    * changed the table's schema/partition layout (or is unreadable —
+    * disjointness must be PROVEN); otherwise the delta re-applies onto
+    * the new head and retries. Rebased semantics are snapshot-at-read:
+    * rows committed by interleaved appends were not visible to the
+    * DML's predicate and are carried through untouched (the
+    * WriteSerializable contract Delta documents — the DML serializes
+    * BEFORE the appends it rebased across). An interleaved commit
+    * carrying this delta's own `txn` id makes the retry a no-op (the
+    * idempotence ledger already applied it). */
+  private def commitDelta(spark: SparkSession, root: String, base: Manifest,
+                          delta: CommitDelta, maxRebases: Int = 16): Int = {
+    // test seam: land a racing commit deterministically inside the CAS
+    // window (after this writer read its base, before it publishes) —
+    // swap-then-call so the racer's own commit can't re-enter the hook
+    locally {
+      val h = raceBeforePublish
+      if (h ne NoRaceHook) { raceBeforePublish = NoRaceHook; h() }
+    }
+    val footprint = delta.removedFiles ++ delta.dvUpdates.keySet
+    var m = base
+    var rebases = 0
+    while (true) {
+      val v = m.version + 1
+      val gone = delta.removedFiles
+      val manifest = Manifest(v, m.schemaDdl,
+        m.files.filterNot(gone) ++ delta.addedFiles, delta.txn,
+        m.stats.view.filterKeys(!gone(_)).toMap ++ delta.refreshedStats ++
+          delta.addedStats,
+        m.blooms.view.filterKeys(!gone(_)).toMap,
+        m.partitionCols,
+        m.hlls.view.filterKeys(!gone(_)).toMap,
+        m.dvs.view.filterKeys(!gone(_)).toMap ++ delta.dvUpdates,
+        m.rows.view.filterKeys(!gone(_)).toMap ++ delta.addedRows,
+        delta.op)
+      try { writeManifest(spark, root, manifest, Some(m)); return v }
+      catch {
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("already committed") =>
+          rebases += 1
+          if (rebases > maxRebases)
+            throw new java.io.IOException(
+              s"${delta.op} lost the commit race $maxRebases times at $root", e)
+          val newCur = currentVersion(spark, root).getOrElse(
+            throw new IllegalStateException(s"table vanished under commit at $root"))
+          def refuse(why: String): Nothing =
+            throw new java.util.ConcurrentModificationException(
+              s"${delta.op} at $root (base v${base.version}) conflicts with a " +
+                s"concurrent commit: $why. Re-run the operation against the " +
+                "current version.")
+          var prev = m
+          var x = m.version + 1
+          while (x <= newCur) {
+            val wx = scala.util.Try(readManifest(spark, root, x)).getOrElse(
+              refuse(s"interleaved v$x is unreadable, so disjointness " +
+                "cannot be proven"))
+            if (delta.txn.nonEmpty && wx.txn == delta.txn)
+              return x // the idempotence ledger already carries this txn
+            if (wx.schemaDdl != m.schemaDdl)
+              refuse(s"v$x (${wx.op}) changed the table schema")
+            if (wx.partitionCols != m.partitionCols)
+              refuse(s"v$x (${wx.op}) changed the partition layout")
+            val prevSet = prev.files.toSet
+            val touchedByX = (prevSet -- wx.files.toSet) ++
+              wx.files.filter(f => prevSet.contains(f) &&
+                prev.dvs.get(f) != wx.dvs.get(f))
+            val overlap = touchedByX.intersect(footprint)
+            if (overlap.nonEmpty)
+              refuse(s"v$x (${wx.op}) removed or re-vectored " +
+                s"${overlap.size} file(s) this commit read, e.g. " +
+                overlap.head)
+            prev = wx
+            x += 1
+          }
+          m = prev // disjoint: rebase onto the new head and retry
+      }
+    }
+    -1 // unreachable
   }
 
   /** Write-compatibility: same column names, order, and types; the write
@@ -2136,7 +2256,6 @@ object VersionedTable {
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
     val touched = prunedFiles(spark, root, preds, Some(cur)).toSet
-    val untouched = m.files.filterNot(touched)
     val v = cur + 1
     val rewritten =
       if (touched.isEmpty) Seq.empty
@@ -2155,17 +2274,9 @@ object VersionedTable {
       }
     val (rewrittenStats, rewrittenRows) =
       addedMeta(spark, root, m.schemaDdl, rewritten)
-    writeManifest(spark, root, Manifest(v, m.schemaDdl,
-      untouched ++ rewritten, None,
-      m.stats.view.filterKeys(untouched.contains).toMap ++ rewrittenStats,
-      m.blooms.view.filterKeys(untouched.contains).toMap,
-      m.partitionCols,
-      m.hlls.view.filterKeys(untouched.contains).toMap,
-      m.dvs.view.filterKeys(untouched.contains).toMap,
-      m.rows.view.filterKeys(untouched.contains).toMap ++ rewrittenRows,
-      op = "delete"),
-      Some(m))
-    v
+    commitDelta(spark, root, m, CommitDelta(
+      removedFiles = touched, addedFiles = rewritten,
+      addedStats = rewrittenStats, addedRows = rewrittenRows, op = "delete"))
   }
 
   /** The per-row delete verdict column [[vectoredDmlPass]] aggregates on. */
@@ -2396,10 +2507,9 @@ object VersionedTable {
     // same files, new vectors; touched files get survivor-exact stats
     // (blooms/HLLs stay conservative over-approximations — pruning may
     // open a file whose matches are all deleted; it returns nothing)
-    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, None,
-      m.stats ++ refreshed, m.blooms, m.partitionCols, m.hlls,
-      m.dvs ++ updated, m.rows, op = "delete-vectored"), Some(m))
-    v
+    commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
+      dvUpdates = updated, refreshedStats = refreshed,
+      op = "delete-vectored"))
   }
 
   /** UPDATE WHERE as a MERGE-ON-READ commit — the third MoR DML next to
@@ -2479,12 +2589,10 @@ object VersionedTable {
         (u, r, writeDataFiles(spark, root, newRows, v, m.partitionCols))
       } finally marked.foreach(_.unpersist())
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
-    writeManifest(spark, root, Manifest(v, m.schemaDdl,
-      m.files ++ added, None,
-      m.stats ++ refreshed ++ addedStats, m.blooms, m.partitionCols, m.hlls,
-      m.dvs ++ updated, m.rows ++ addedRows, op = "update-vectored"),
-      Some(m))
-    v
+    commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
+      addedFiles = added, addedStats = addedStats, addedRows = addedRows,
+      dvUpdates = updated, refreshedStats = refreshed,
+      op = "update-vectored"))
   }
 
   /** MERGE INTO (upsert by key) as a commit — the third copy-on-write DML
@@ -2532,7 +2640,6 @@ object VersionedTable {
       }
     }.toMap
     val touched = prunedFiles(spark, root, preds, Some(cur)).toSet
-    val untouched = m.files.filterNot(touched)
     val v = cur + 1
     val merged =
       if (touched.isEmpty) source
@@ -2541,17 +2648,10 @@ object VersionedTable {
         .unionByName(source)
     val added = writeDataFiles(spark, root, merged, v, m.partitionCols)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
-    writeManifest(spark, root, Manifest(v, m.schemaDdl,
-      untouched ++ added, txn,
-      m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats,
-      m.blooms.view.filterKeys(untouched.contains).toMap,
-      m.partitionCols,
-      m.hlls.view.filterKeys(untouched.contains).toMap,
-      m.dvs.view.filterKeys(untouched.contains).toMap,
-      m.rows.view.filterKeys(untouched.contains).toMap ++ addedRows,
-      op = "merge"),
-      Some(m))
-    v
+    commitDelta(spark, root, m, CommitDelta(
+      removedFiles = touched, addedFiles = added,
+      addedStats = addedStats, addedRows = addedRows, op = "merge",
+      txn = txn))
   }
 
   /** MERGE INTO as a MERGE-ON-READ commit: same contract as
@@ -2605,12 +2705,10 @@ object VersionedTable {
         .withColumn(DelCol, col("__graft_mk").isNotNull))
     val added = writeDataFiles(spark, root, source, v, m.partitionCols)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
-    writeManifest(spark, root, Manifest(v, m.schemaDdl,
-      m.files ++ added, txn,
-      m.stats ++ refreshed ++ addedStats, m.blooms, m.partitionCols, m.hlls,
-      m.dvs ++ updated, m.rows ++ addedRows, op = "merge-vectored"),
-      Some(m))
-    v
+    commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
+      addedFiles = added, addedStats = addedStats, addedRows = addedRows,
+      dvUpdates = updated, refreshedStats = refreshed,
+      op = "merge-vectored", txn = txn))
   }
 
   /** Change data feed between two committed versions: (rowsAdded,
@@ -2805,7 +2903,15 @@ object VersionedTable {
         val ks = clusterBy.map(col)
         base.repartitionByRange(target, ks: _*).sortWithinPartitions(ks: _*)
       }
-    overwrite(spark, root, df, baseVersion = Some(cur), op = "compact")
+    val added = writeDataFiles(spark, root, df, cur + 1, m.partitionCols)
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
+    // footprint = every base file (the rewrite read them all), so the
+    // commit rebases across concurrent APPENDS (their files carry over
+    // un-compacted — the next maintenance pass picks them up) and
+    // refuses anything that removed or re-vectored a rewritten file
+    commitDelta(spark, root, m, CommitDelta(
+      removedFiles = m.files.toSet, addedFiles = added,
+      addedStats = addedStats, addedRows = addedRows, op = "compact"))
   }
 
   /** Rewrite the table Z-ORDERED on `cols` — multi-dimensional
@@ -2901,7 +3007,11 @@ object VersionedTable {
       .repartitionByRange(target, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z")
-    overwrite(spark, root, df, baseVersion = Some(cur), op = "zorder")
+    val added = writeDataFiles(spark, root, df, cur + 1, m.partitionCols)
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
+    commitDelta(spark, root, m, CommitDelta(
+      removedFiles = m.files.toSet, addedFiles = added,
+      addedStats = addedStats, addedRows = addedRows, op = "zorder"))
   }
 
   /** Incremental compaction — OPTIMIZE scoped by predicate: only files
@@ -2926,7 +3036,6 @@ object VersionedTable {
     // vector — materializing the vector is the point of the rewrite
     if (touched.size <= 1 && clusterBy.isEmpty &&
       !touched.exists(m.dvs.contains)) return cur
-    val untouched = m.files.filterNot(touched.toSet)
     val f = fs(spark, new Path(root))
     val bytes = touched.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
@@ -2943,17 +3052,9 @@ object VersionedTable {
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
     // rewritten files MATERIALIZE their deletion vectors (the read above
     // applied them), so the compacted files carry none
-    writeManifest(spark, root, Manifest(v, m.schemaDdl,
-      untouched ++ added, None,
-      m.stats.view.filterKeys(untouched.contains).toMap ++ addedStats,
-      m.blooms.view.filterKeys(untouched.contains).toMap,
-      m.partitionCols,
-      m.hlls.view.filterKeys(untouched.contains).toMap,
-      m.dvs.view.filterKeys(untouched.contains).toMap,
-      m.rows.view.filterKeys(untouched.contains).toMap ++ addedRows,
-      op = "compact"),
-      Some(m))
-    v
+    commitDelta(spark, root, m, CommitDelta(
+      removedFiles = touched.toSet, addedFiles = added,
+      addedStats = addedStats, addedRows = addedRows, op = "compact"))
   }
 
   /** Time-based retention — the "keep 7 days of history" shape, built on

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sink.VersionedTable
+
+/** The disjoint-file conflict taxonomy: non-append writers (vectored
+  * DMLs, CoW DMLs, compact, zorder) losing the version CAS REBASE
+  * across interleaved commits whose file footprints are disjoint, and
+  * refuse (ConcurrentModificationException) a genuine overlap or a
+  * schema change. Races land deterministically through
+  * [[VersionedTable.raceBeforePublish]] — the seam fires after the
+  * writer resolved its base snapshot, inside the CAS window.
+  * Semantics under test are snapshot-at-read (the WriteSerializable
+  * shape Delta documents): rows a racing append commits are NOT
+  * subject to the rebased DML's predicate. */
+class ConcurrentCommitSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterEach {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_ccc").resolve("t").toString
+
+  private def df(ids: Long*) = {
+    import spark.implicits._
+    ids.toSeq.toDF("id").withColumn("payload", col("id") * 10).coalesce(1)
+  }
+
+  private def idsOf(frame: org.apache.spark.sql.DataFrame): Seq[Long] =
+    frame.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  override def afterEach(): Unit = {
+    VersionedTable.raceBeforePublish = () => () // never leak a hook
+    super.afterEach()
+  }
+
+  test("an append racing a vectored delete: BOTH commit (disjoint rebase)") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 6L: _*))          // v1
+    VersionedTable.raceBeforePublish =
+      () => VersionedTable.append(spark, root, df(100, 3))        // v2 races in
+    val v = VersionedTable.deleteWhereVectored(spark, root,
+      Map("id" -> (Some(2L), Some(4L))), col("id").between(2, 4)) // rebases to v3
+    assert(v == 3, s"the delete must land ON TOP of the racing append, got v$v")
+    // snapshot-at-read: id=3 from the RACING append survives even though
+    // it matches the delete predicate — the DML serialized before the
+    // append it rebased across
+    assert(idsOf(VersionedTable.read(spark, root)) ==
+      Seq(1L, 3L, 5L, 6L, 100L))
+    val ops = VersionedTable.describeHistory(spark, root)
+      .select("version", "op").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(ops(2) == "append" && ops(3) == "delete-vectored",
+      s"history shows both commits in order, got $ops")
+  }
+
+  test("two vectored deletes on DISJOINT files: both commit") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2, 3))               // v1: file A
+    VersionedTable.append(spark, root, df(10, 11, 12))            // v2: file B
+    VersionedTable.raceBeforePublish = () =>
+      VersionedTable.deleteWhereVectored(spark, root,
+        Map("id" -> (Some(11L), Some(11L))), col("id") === 11)    // v3 on file B
+    val v = VersionedTable.deleteWhereVectored(spark, root,
+      Map("id" -> (Some(2L), Some(2L))), col("id") === 2)         // rebases: file A
+    assert(v == 4)
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 3L, 10L, 12L),
+      "both deletes' effects survive — neither vector clobbered the other")
+  }
+
+  test("overlapping writers refuse: a rewrite racing a vectored delete on the same file") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 6L: _*))          // v1, one file
+    VersionedTable.raceBeforePublish = () =>
+      VersionedTable.deleteWhere(spark, root,
+        Map("id" -> (Some(6L), Some(6L))), col("id") === 6)       // CoW rewrite of THE file
+    val e = intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.deleteWhereVectored(spark, root,
+        Map("id" -> (Some(2L), Some(2L))), col("id") === 2)
+    }
+    assert(e.getMessage.contains("conflicts with a concurrent commit"),
+      s"got: ${e.getMessage}")
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 2L, 3L, 4L, 5L),
+      "the racer's commit stands; the refused DML changed nothing")
+  }
+
+  test("two vectored deletes re-vectoring the SAME file refuse (no lost positions)") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 6L: _*))          // v1, one file
+    VersionedTable.raceBeforePublish = () =>
+      VersionedTable.deleteWhereVectored(spark, root,
+        Map("id" -> (Some(5L), Some(5L))), col("id") === 5)
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.deleteWhereVectored(spark, root,
+        Map("id" -> (Some(2L), Some(2L))), col("id") === 2)
+    }
+    assert(idsOf(VersionedTable.read(spark, root)) ==
+      Seq(1L, 2L, 3L, 4L, 6L),
+      "the winner's vector stands untouched — a blind rebase would have " +
+        "restored id=5 when merging the loser's base vector")
+  }
+
+  test("compact rebases across a racing append; the appended file carries over") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1))                     // v1
+    VersionedTable.append(spark, root, df(2))                     // v2
+    VersionedTable.raceBeforePublish =
+      () => VersionedTable.append(spark, root, df(3))             // v3 races in
+    val v = VersionedTable.compact(spark, root, targetBytes = 1L << 30)
+    assert(v == 4, "compaction lands on top of the racing append")
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 2L, 3L),
+      "no appended row lost to the rewrite")
+    val compacted = VersionedTable.filesOf(spark, root)
+    assert(compacted.size == 2,
+      s"one compacted output + the un-compacted raced append, got $compacted")
+  }
+
+  test("a racing schema change refuses the DML (stale schema must not publish)") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 4L: _*))          // v1
+    VersionedTable.raceBeforePublish =
+      () => VersionedTable.addColumn(spark, root, "score", "double")
+    intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.deleteWhereVectored(spark, root,
+        Map("id" -> (Some(2L), Some(2L))), col("id") === 2)
+    }
+    assert(VersionedTable.schemaOf(spark, root).fieldNames.contains("score"),
+      "the schema change stands")
+  }
+
+  test("merge-on-read upsert rebases across a racing append") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2, 3))               // v1
+    VersionedTable.raceBeforePublish =
+      () => VersionedTable.append(spark, root, df(50))            // races in
+    val src = df(2).withColumn("payload", lit(999L))
+    val v = VersionedTable.mergeIntoVectored(spark, root, src, Seq("id"))
+    assert(v == 3)
+    val got = VersionedTable.read(spark, root)
+    assert(idsOf(got) == Seq(1L, 2L, 3L, 50L))
+    assert(got.filter(col("id") === 2).select("payload")
+      .collect().head.getLong(0) == 999L, "the upsert applied")
+  }
+}
