@@ -302,7 +302,24 @@ object GraftCatalog {
       "shallow-clone a table (or a pinned version) by reference",
       Seq("src" -> StringType, "dst" -> StringType), versionResult,
       (spark, in) => versionRow(
-        VersionedTable.cloneShallow(spark, str(in, 0), str(in, 1))))
+        VersionedTable.cloneShallow(spark, str(in, 0), str(in, 1)))),
+
+    new Proc("rename_column",
+      "RENAME COLUMN as a metadata-only commit (field-id column " +
+        "mapping): no data file is touched; time travel reads each " +
+        "version under its own names; partition columns refuse",
+      Seq("path" -> StringType, "from" -> StringType, "to" -> StringType),
+      versionResult,
+      (spark, in) => versionRow(VersionedTable.renameColumn(
+        spark, str(in, 0), str(in, 1), str(in, 2)))),
+
+    new Proc("drop_column",
+      "DROP COLUMN as a metadata-only commit: the physical column stays " +
+        "in old files, never projected again; a later add_column of the " +
+        "same name is a fresh field (dead data never resurrects)",
+      Seq("path" -> StringType, "column" -> StringType), versionResult,
+      (spark, in) => versionRow(VersionedTable.dropColumn(
+        spark, str(in, 0), str(in, 1))))
 
   ).map(p => p.name() -> p).toMap
 }

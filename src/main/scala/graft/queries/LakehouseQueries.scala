@@ -712,6 +712,37 @@ object LakehouseQueries {
         .unionByName(agg(VersionedTable.read(s, root, Some(2)), "v2_appended"))
     }),
 
+    // Field-id column mapping, end to end through the SQL faces: RENAME
+    // COLUMN is a metadata-only commit (zero data files move — the spec
+    // pins the file set; here the HASH pins the semantics), a
+    // merge-on-read DELETE then runs against the NEW name, an append
+    // writes under it (physically landing on the frozen original name),
+    // and time travel still reads the pre-rename version under ITS
+    // name. At 100 TB a rename without mapping is a full-table rewrite;
+    // with it, an O(1) catalog commit — the same class as add_column.
+    "q206_column_mapping" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_cm_q206")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      VersionedTable.create(s, root, ev.repartition(4))               // v1
+      s.sql(s"CALL graft.rename_column('$root', 'value', 'amount')")  // v2
+      VersionedTable.deleteWhereVectored(s, root, Map.empty,
+        col("amount") < 10.0 && col("event_type") === "view")         // v3
+      VersionedTable.append(s, root,
+        ev.filter(col("event_id") % 1000 === 0)
+          .withColumnRenamed("value", "amount").repartition(1))       // v4
+      def agg(df: DataFrame, vcol: String, tag: String) =
+        df.agg(count(lit(1)).as("n"),
+          sum(col(vcol).cast("decimal(18,2)")).cast("double").as("sum_amount"))
+          .select(lit(tag).as("tag"), col("n"), col("sum_amount"))
+      agg(VersionedTable.read(s, root), "amount", "head")
+        .unionByName(agg(VersionedTable.read(s, root, Some(1)), "value",
+          "v1_time_travel"))
+        .unionByName(agg(VersionedTable.read(s, root, Some(3))
+          .filter(col("event_type") === "view"), "amount", "v3_views"))
+    }),
+
     // Metadata-only SUM: per-file exact sums attached by
     // CALL graft.index_sums (wrapping Long addition is associative, so
     // Σ per-file sums is BIT-EXACTLY the scan's non-ANSI sum at any
@@ -1098,6 +1129,28 @@ object LakehouseQueries {
          UNION ALL
          SELECT '_versions', 2,
                 CAST((SELECT count(*) FROM final) AS DOUBLE)""",
+
+    // The rename lifecycle recomputed from raw events: head = survivors
+    // of the post-rename delete plus the appended %1000 slice (under
+    // either name — a rename changes no value); v1 = everything.
+    "q206_column_mapping" ->
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+              surv AS (SELECT * FROM ev
+                       WHERE NOT (value < 10.0 AND event_type = 'view')),
+              app AS (SELECT * FROM ev WHERE event_id % 1000 = 0),
+              head AS (SELECT * FROM surv UNION ALL SELECT * FROM app)
+         SELECT 'head' AS tag, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_amount
+         FROM head
+         UNION ALL
+         SELECT 'v1_time_travel', count(*)::BIGINT,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         FROM ev
+         UNION ALL
+         SELECT 'v3_views', count(*)::BIGINT,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         FROM surv WHERE event_type = 'view'""",
 
     // The interleaved lifecycle recomputed from raw lineitem under
     // snapshot-at-read semantics: head = base survivors ∪ ALL appended

@@ -282,6 +282,15 @@ object VersionedTable {
     * opening the sidecar. */
   final case class FileDv(dvFile: String, card: Long)
 
+  /** Column-mapping record: one live field's stable identity. `id` is
+    * assigned once and never reused (dropped-then-re-added columns get a
+    * FRESH id, so old data never resurrects under the new name); `phys`
+    * is the name the field is written under in parquet — frozen at field
+    * creation, which is what makes RENAME a metadata-only commit (every
+    * data file ever written carries the physical name; only the
+    * manifest's logical name moves). */
+  final case class FieldMap(id: Int, name: String, phys: String)
+
   private case class Manifest(version: Int, schemaDdl: String, files: Seq[String],
                               txn: Option[Long] = None,
                               stats: Map[String, Seq[ColStat]] = Map.empty,
@@ -290,7 +299,14 @@ object VersionedTable {
                               hlls: Map[String, Seq[FileHll]] = Map.empty,
                               dvs: Map[String, FileDv] = Map.empty,
                               rows: Map[String, Long] = Map.empty,
-                              op: String = "")
+                              op: String = "",
+                              colMap: Seq[FieldMap] = Seq.empty,
+                              maxCid: Int = 0) {
+    /** logical → physical, only where they differ (empty = identity:
+      * tables that never renamed/dropped pay nothing anywhere). */
+    def physMap: Map[String, String] =
+      colMap.collect { case f if f.name != f.phys => f.name -> f.phys }.toMap
+  }
 
   // Minimal JSON (de)serialization — file names are commit-generated
   // (uuid-free parquet part names under our own prefix, no escapes
@@ -377,10 +393,18 @@ object VersionedTable {
       else s""" "partitionCols": [${m.partitionCols
         .map(c => "\"" + esc(c) + "\"").mkString(", ")}],\n"""
     s"""{"version": ${m.version},
-       |$opField$txnField$partsField "schema": "${esc(m.schemaDdl)}",
+       |$opField$txnField$partsField${colMapJson(m)} "schema": "${esc(m.schemaDdl)}",
        | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
        | ${perFileJson(m.stats, m.blooms, m.hlls, m.dvs, m.rows)}}""".stripMargin
   }
+
+  /** Column-mapping JSON field — absent entirely until mapping
+    * activates, so pre-mapping manifests are byte-identical. */
+  private def colMapJson(m: Manifest): String =
+    if (m.colMap.isEmpty) ""
+    else s""" "maxcid": ${m.maxCid}, "colmap": [${m.colMap.map(f =>
+      s"""{"cid": ${f.id}, "cname": "${esc(f.name)}", "cphys": "${esc(f.phys)}"}""")
+      .mkString(", ")}],\n"""
 
   /** `m` as a DELTA against its parent snapshot `p`: removed file
     * entries, appended ones, and the metadata of exactly the files this
@@ -414,7 +438,7 @@ object VersionedTable {
     Some(
       s"""{"version": ${m.version},
          | "delta": true,
-         |$opField$txnField$partsField "schema": "${esc(m.schemaDdl)}",
+         |$opField$txnField$partsField${colMapJson(m)} "schema": "${esc(m.schemaDdl)}",
          | "removes": [${names(removes)}],
          | "adds": [${names(adds)}],
          | "touch": [${names(touch)}],
@@ -647,11 +671,21 @@ object VersionedTable {
     """"op": "((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
       .map(m => unesc(m.group(1))).getOrElse("")
 
+  private def parseColMap(text: String): (Seq[FieldMap], Int) = {
+    val C = """\{"cid": (\d+), "cname": "((?:[^"\\]|\\.)*)", "cphys": "((?:[^"\\]|\\.)*)"\}""".r
+    val cm = C.findAllMatchIn(text).map(m =>
+      FieldMap(m.group(1).toInt, unesc(m.group(2)), unesc(m.group(3)))).toSeq
+    val maxCid = """"maxcid": (\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toInt).getOrElse(0)
+    (cm, maxCid)
+  }
+
   private def parseFullManifest(v: Int, text: String): Manifest = {
     val (schema, txn, partitionCols, stats, blooms, hlls, dvs, rows) =
       parseCommon(text)
+    val (cm, maxCid) = parseColMap(text)
     Manifest(v, schema, parseNameList(text, "files"), txn, stats, blooms,
-      partitionCols, hlls, dvs, rows, parseOp(text))
+      partitionCols, hlls, dvs, rows, parseOp(text), cm, maxCid)
   }
 
   /** Replay a delta manifest over its parent snapshot: removed entries
@@ -666,10 +700,11 @@ object VersionedTable {
     val sel = (parseNameList(text, "touch") ++ adds).toSet
     def merge[T](pm: Map[String, T], dm: Map[String, T]): Map[String, T] =
       (pm -- removes -- sel) ++ dm
+    val (cm, maxCid) = parseColMap(text)
     Manifest(v, schema, parent.files.filterNot(removes) ++ adds, txn,
       merge(parent.stats, stats), merge(parent.blooms, blooms),
       partitionCols, merge(parent.hlls, hlls), merge(parent.dvs, dvs),
-      merge(parent.rows, rows), parseOp(text))
+      merge(parent.rows, rows), parseOp(text), cm, maxCid)
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -738,9 +773,17 @@ object VersionedTable {
     * prefix and return their table-relative paths. The parquet job writes
     * to a scratch dir; files are MOVED (renamed) under data/ — cheap and
     * local to the table root. */
-  private def writeDataFiles(spark: SparkSession, root: String, df: DataFrame,
+  private def writeDataFiles(spark: SparkSession, root: String, df0: DataFrame,
                              version: Int,
-                             partitionCols: Seq[String] = Seq.empty): Seq[String] = {
+                             partitionCols: Seq[String] = Seq.empty,
+                             physMap: Map[String, String] = Map.empty): Seq[String] = {
+    // column mapping: data files always carry the PHYSICAL names, so a
+    // post-rename append's files resolve identically to pre-rename ones
+    val df =
+      if (physMap.isEmpty) df0
+      else df0.select(df0.schema.fields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name)
+          .as(physMap.getOrElse(f.name, f.name))): _*)
     // writer-unique nonce: two writers optimistically staging the SAME
     // next version must not share a scratch dir or collide on data-file
     // names — isolation holds all the way to the manifest rename, which
@@ -936,10 +979,16 @@ object VersionedTable {
     * and exact per-file row counts — one footer open per file, zero data
     * re-scan. Shared by every path that adds data files to a manifest. */
   private def addedMeta(spark: SparkSession, root: String, ddl: String,
-                        added: Seq[String])
+                        added: Seq[String],
+                        physMap: Map[String, String] = Map.empty)
       : (Map[String, Seq[ColStat]], Map[String, Long]) = {
+    // footers record PHYSICAL column names; manifest metadata is keyed
+    // by LOGICAL names everywhere (pruning, meta-aggregates, indexes)
+    val toLogical: Map[String, String] = physMap.map(_.swap)
     val metas = added.map { f =>
-      val (cs, n) = footerMeta(spark, root, f)
+      val (cs0, n) = footerMeta(spark, root, f)
+      val cs = if (toLogical.isEmpty) cs0
+        else cs0.map(s => s.copy(col = toLogical.getOrElse(s.col, s.col)))
       (f, cs ++ partitionStats(ddl, f), n)
     }
     (metas.collect { case (f, cs, _) if cs.nonEmpty => f -> cs }.toMap,
@@ -990,11 +1039,12 @@ object VersionedTable {
     val v = baseVersion.map(_ + 1)
       .getOrElse(currentVersion(spark, root).getOrElse(0) + 1)
     val ddl = tableDdl.getOrElse(df.schema.toDDL)
-    val added = writeDataFiles(spark, root, df, v, partitionCols)
+    val pm = parent.map(_.physMap).getOrElse(Map.empty)
+    val added = writeDataFiles(spark, root, df, v, partitionCols, pm)
     // footer stats for file columns + degenerate [v, v] stats for
     // partition columns (hive dirs carry exactly one value per file),
     // plus exact per-file row counts — one footer open per added file
-    val (addedStats, addedRows) = addedMeta(spark, root, ddl, added)
+    val (addedStats, addedRows) = addedMeta(spark, root, ddl, added, pm)
     val files = carryOver ++ added
     // the TABLE schema stays authoritative across appends: a write whose
     // columns are merely non-nullable variants must not narrow it
@@ -1006,7 +1056,9 @@ object VersionedTable {
         carryHlls.view.filterKeys(carryOver.contains).toMap,
         carryDvs.view.filterKeys(carryOver.contains).toMap,
         carryRows.view.filterKeys(carryOver.contains).toMap ++ addedRows,
-        op),
+        op,
+        parent.map(_.colMap).getOrElse(Seq.empty),
+        parent.map(_.maxCid).getOrElse(0)),
       parent)
     v
   }
@@ -1081,7 +1133,7 @@ object VersionedTable {
         m.hlls.view.filterKeys(!gone(_)).toMap,
         m.dvs.view.filterKeys(!gone(_)).toMap ++ delta.dvUpdates,
         m.rows.view.filterKeys(!gone(_)).toMap ++ delta.addedRows,
-        delta.op)
+        delta.op, m.colMap, m.maxCid)
       try { writeManifest(spark, root, manifest, Some(m)); return v }
       catch {
         case e: java.io.IOException
@@ -1340,9 +1392,22 @@ object VersionedTable {
                         paths: Seq[String],
                         partitioned: Boolean = false,
                         root: String = "",
-                        withMeta: Boolean = false): DataFrame = {
+                        withMeta: Boolean = false,
+                        physMap: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.col
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    // column mapping: the SCAN resolves the field's frozen PHYSICAL name
+    // (what every data file was written under), then the projection
+    // restores the logical name — a rename never touches data files
+    val physSchema =
+      if (physMap.isEmpty) schema
+      else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        f.copy(name = physMap.getOrElse(f.name, f.name))))
+    def toLogical(df: DataFrame): DataFrame =
+      if (physMap.isEmpty) df
+      else df.select(schema.fields.toSeq.map(f =>
+        col(physMap.getOrElse(f.name, f.name)).as(f.name)) ++
+        (if (withMeta) Seq(col(DvFileCol), col(DvPosCol)) else Seq.empty): _*)
     val metaCols =
       if (!withMeta) Seq.empty
       else Seq(col("_metadata.file_path").as(DvFileCol),
@@ -1360,16 +1425,16 @@ object VersionedTable {
       // cloned-from files still resolves every value; the final select
       // restores the declared column order, since the scan appends
       // partition columns after the file columns
-      paths.groupBy(partitionBaseOf).toSeq.sortBy(_._1).map { case (base, ps) =>
-        spark.read.schema(schema).option("basePath", base).parquet(ps: _*)
+      toLogical(paths.groupBy(partitionBaseOf).toSeq.sortBy(_._1).map { case (base, ps) =>
+        spark.read.schema(physSchema).option("basePath", base).parquet(ps: _*)
           .select(col("*") +: metaCols: _*)
       }.reduce(_ unionByName _)
-        .select(schema.fieldNames.map(col) ++
-          (if (withMeta) Seq(col(DvFileCol), col(DvPosCol)) else Seq.empty): _*)
+        .select(physSchema.fieldNames.map(col) ++
+          (if (withMeta) Seq(col(DvFileCol), col(DvPosCol)) else Seq.empty): _*))
     }
     else {
-      val df = spark.read.schema(schema).parquet(paths: _*)
-      if (!withMeta) df else df.select(col("*") +: metaCols: _*)
+      val df = spark.read.schema(physSchema).parquet(paths: _*)
+      toLogical(if (!withMeta) df else df.select(col("*") +: metaCols: _*))
     }
   }
 
@@ -1382,13 +1447,15 @@ object VersionedTable {
     * manifest blooms. */
   private def readSnapshotFiles(spark: SparkSession, root: String, m: Manifest,
                                 files: Seq[String],
-                                schemaDdl: Option[String] = None): DataFrame = {
+                                schemaDdl: Option[String] = None,
+                                physMap: Option[Map[String, String]] = None): DataFrame = {
     val ddl = schemaDdl.getOrElse(m.schemaDdl)
+    val pm = physMap.getOrElse(m.physMap)
     val (dvd, plain) = files.partition(m.dvs.contains)
     val plainDf = readPaths(spark, ddl, plain.map(f => new Path(root, f).toString),
-      m.partitionCols.nonEmpty, root)
+      m.partitionCols.nonEmpty, root, physMap = pm)
     if (dvd.isEmpty) plainDf
-    else plainDf.unionByName(dvSurvivorRows(spark, root, m, ddl, dvd))
+    else plainDf.unionByName(dvSurvivorRows(spark, root, m, ddl, dvd, pm))
   }
 
   /** DV-applied scan of `files` (each carrying a vector in `m`),
@@ -1399,7 +1466,8 @@ object VersionedTable {
     * driver must never materialize); executors load and cache exactly
     * the vectors of the files their tasks scan. */
   private def dvSurvivorRows(spark: SparkSession, root: String, m: Manifest,
-                             ddl: String, files: Seq[String]): DataFrame = {
+                             ddl: String, files: Seq[String],
+                             physMap: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{col, not}
     import org.apache.spark.sql.graftbridge.Bridge
     val refs = spark.sparkContext.broadcast(
@@ -1407,7 +1475,7 @@ object VersionedTable {
     val confB = hadoopConfBc(spark)
     val scanned = readPaths(spark, ddl,
       files.sorted.map(f => new Path(root, f).toString),
-      m.partitionCols.nonEmpty, root, withMeta = true)
+      m.partitionCols.nonEmpty, root, withMeta = true, physMap = physMap)
     val member = Bridge.toColumn(graft.functions.DvDeletedLazyExpr(
       Bridge.toExpression(col(DvFileCol)),
       Bridge.toExpression(col(DvPosCol)), refs, root, confB))
@@ -1420,8 +1488,8 @@ object VersionedTable {
     * this is the difference between an O(1) catalog operation and a
     * full-table rewrite. The new column has no stats anywhere, so it can
     * never mis-prune; earlier versions time-travel to the old schema.
-    * Drop/rename stay out of scope — they need column-id indirection to
-    * be safe against re-add, and nothing in the pipeline requires them. */
+    * Rename/drop are [[renameColumn]]/[[dropColumn]] — metadata-only
+    * through the field-id column mapping. */
   def addColumn(spark: SparkSession, root: String, name: String,
                 sqlType: String): Int = {
     val cur = currentVersion(spark, root)
@@ -1432,9 +1500,106 @@ object VersionedTable {
       s"column $name already exists")
     val widened = schema.add(name, sqlType, nullable = true)
     val v = cur + 1
+    // with column mapping active, the new field gets a fresh id and a
+    // physical name guaranteed never to collide with any name a data
+    // file has EVER carried (a dropped column's physical name lives on
+    // in old files; re-using it would resurrect dead data)
+    val (cm2, maxCid2) =
+      if (m.colMap.isEmpty) (m.colMap, m.maxCid)
+      else {
+        val id = m.maxCid + 1
+        (m.colMap :+ FieldMap(id, name, s"_gc$id"), id)
+      }
     writeManifest(spark, root, Manifest(v, widened.toDDL, m.files,
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
-      hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-column"), Some(m))
+      hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-column",
+      colMap = cm2, maxCid = maxCid2), Some(m))
+    v
+  }
+
+  /** The column mapping with every live field listed — activation (the
+    * first rename/drop) assigns field ids in schema order and freezes
+    * each field's CURRENT name as its physical name, which every data
+    * file already carries. Until activation the manifest stores nothing
+    * and every read/write path stays byte-identical to the unmapped
+    * format. */
+  private def activeColMap(m: Manifest): (Seq[FieldMap], Int) =
+    if (m.colMap.nonEmpty) (m.colMap, m.maxCid)
+    else {
+      val fields = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl).fields
+      (fields.zipWithIndex.toSeq.map { case (f, i) =>
+        FieldMap(i + 1, f.name, f.name) }, fields.length)
+    }
+
+  /** RENAME COLUMN as a METADATA-ONLY commit, via field-id column
+    * mapping: the field keeps its id and its frozen PHYSICAL name (what
+    * every data file was and will be written under); only the manifest's
+    * logical name moves, and the per-file metadata (stats, blooms, HLLs
+    * — all logical-keyed) re-keys with it. No data file is touched, so
+    * at 100 TB this is O(1) I/O like [[addColumn]]; time travel to a
+    * pre-rename version reads under THAT version's names; a running
+    * stream refuses the change exactly like any schema evolution
+    * (restart adopts the new name). Partition columns refuse — their
+    * name is baked into every hive directory path. */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String): Int = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    require(schema.fieldNames.contains(from), s"no column $from")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column $to already exists")
+    require(!m.partitionCols.contains(from),
+      s"cannot rename partition column $from: its name is the hive " +
+        "directory layout itself — repartition into a new table instead")
+    val (cm0, maxCid) = activeColMap(m)
+    val cm2 = cm0.map(f => if (f.name == from) f.copy(name = to) else f)
+    val renamed = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    def rekey(ss: Seq[ColStat]) =
+      ss.map(s => if (s.col == from) s.copy(col = to) else s)
+    val v = cur + 1
+    writeManifest(spark, root, Manifest(v, renamed.toDDL, m.files,
+      stats = m.stats.view.mapValues(rekey).toMap,
+      blooms = m.blooms.view.mapValues(_.map(b =>
+        if (b.col == from) b.copy(col = to) else b)).toMap,
+      partitionCols = m.partitionCols,
+      hlls = m.hlls.view.mapValues(_.map(h =>
+        if (h.col == from) h.copy(col = to) else h)).toMap,
+      dvs = m.dvs, rows = m.rows, op = "rename-column",
+      colMap = cm2, maxCid = maxCid), Some(m))
+    v
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit: the field leaves the logical
+    * schema and the column mapping; its physical column stays in every
+    * already-written file, simply never projected again (reads resolve
+    * the remaining fields' physical names). Its per-file metadata is
+    * stripped. A later [[addColumn]] of the same name is a NEW field
+    * with a fresh id and a synthetic physical name, so the dead data can
+    * never resurrect under it — the re-add hazard that makes name-keyed
+    * drops unsafe. Partition columns and the last column refuse. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    require(schema.fieldNames.contains(name), s"no column $name")
+    require(!m.partitionCols.contains(name),
+      s"cannot drop partition column $name")
+    require(schema.length > 1, "cannot drop the last column")
+    val (cm0, maxCid) = activeColMap(m)
+    val narrowed = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    val v = cur + 1
+    writeManifest(spark, root, Manifest(v, narrowed.toDDL, m.files,
+      stats = m.stats.view.mapValues(_.filterNot(_.col == name)).toMap,
+      blooms = m.blooms.view.mapValues(_.filterNot(_.col == name)).toMap,
+      partitionCols = m.partitionCols,
+      hlls = m.hlls.view.mapValues(_.filterNot(_.col == name)).toMap,
+      dvs = m.dvs, rows = m.rows, op = "drop-column",
+      colMap = cm0.filterNot(_.name == name), maxCid = maxCid), Some(m))
     v
   }
 
@@ -1523,8 +1688,8 @@ object VersionedTable {
     }.toMap
     val built: Map[String, Seq[FileBloom]] =
       if (paths.isEmpty) Map.empty
-      else buildBlooms(readPaths(spark, m.schemaDdl, paths), byPath,
-        cols, mBits, k)
+      else buildBlooms(readPaths(spark, m.schemaDdl, paths,
+        physMap = m.physMap), byPath, cols, mBits, k)
     // a scanned file with NO non-null values of a column gets an explicit
     // all-zero bloom — "indexed, contains nothing" (mayContain always
     // false, sound for that file) — so it cannot read as an un-indexed
@@ -1543,7 +1708,7 @@ object VersionedTable {
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms ++ newBlooms, hlls = m.hlls,
       partitionCols = m.partitionCols, dvs = m.dvs, rows = m.rows,
-      op = "index-bloom"), Some(m))
+      op = "index-bloom", colMap = m.colMap, maxCid = m.maxCid), Some(m))
     v
   }
 
@@ -1748,7 +1913,7 @@ object VersionedTable {
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms ++ merged, hlls = m.hlls,
       partitionCols = m.partitionCols, dvs = m.dvs, rows = m.rows,
-      op = "attach-blooms"), Some(m))
+      op = "attach-blooms", colMap = m.colMap, maxCid = m.maxCid), Some(m))
     v
   }
 
@@ -1817,7 +1982,8 @@ object VersionedTable {
       if (paths.isEmpty) Map.empty
       else {
         val perCol = cols.map { c =>
-          readPaths(spark, man.schemaDdl, paths, man.partitionCols.nonEmpty, root)
+          readPaths(spark, man.schemaDdl, paths, man.partitionCols.nonEmpty,
+            root, physMap = man.physMap)
             .select(input_file_name().as("f"), col(c).cast("string").as("k"))
             .where(col("k").isNotNull)
             .select(col("f"), hllHash(col("k")).as("h0"))
@@ -1855,7 +2021,7 @@ object VersionedTable {
     writeManifest(spark, root, Manifest(v, man.schemaDdl, man.files, None,
       stats = man.stats, blooms = man.blooms, partitionCols = man.partitionCols,
       hlls = man.hlls ++ newHlls, dvs = man.dvs, rows = man.rows,
-      op = "index-hll"), Some(man))
+      op = "index-hll", colMap = man.colMap, maxCid = man.maxCid), Some(man))
     v
   }
 
@@ -2014,7 +2180,8 @@ object VersionedTable {
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, None,
       stats = m.stats, blooms = m.blooms ++ newBlooms,
       partitionCols = m.partitionCols, hlls = m.hlls ++ newHlls,
-      dvs = m.dvs, rows = m.rows, op = "reindex"), Some(m))
+      dvs = m.dvs, rows = m.rows, op = "reindex",
+      colMap = m.colMap, maxCid = m.maxCid), Some(m))
     v
   }
 
@@ -2096,7 +2263,8 @@ object VersionedTable {
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, None,
       stats = m.stats ++ merged, blooms = m.blooms,
       partitionCols = m.partitionCols, hlls = m.hlls, dvs = m.dvs,
-      rows = m.rows, op = "index-sums"), Some(m))
+      rows = m.rows, op = "index-sums",
+      colMap = m.colMap, maxCid = m.maxCid), Some(m))
     v
   }
 
@@ -2270,10 +2438,10 @@ object VersionedTable {
           .filter(org.apache.spark.sql.functions.not(
             org.apache.spark.sql.functions.coalesce(
               condition, org.apache.spark.sql.functions.lit(false))))
-        writeDataFiles(spark, root, df, v, m.partitionCols)
+        writeDataFiles(spark, root, df, v, m.partitionCols, m.physMap)
       }
     val (rewrittenStats, rewrittenRows) =
-      addedMeta(spark, root, m.schemaDdl, rewritten)
+      addedMeta(spark, root, m.schemaDdl, rewritten, m.physMap)
     commitDelta(spark, root, m, CommitDelta(
       removedFiles = touched, addedFiles = rewritten,
       addedStats = rewrittenStats, addedRows = rewrittenRows, op = "delete"))
@@ -2337,7 +2505,7 @@ object VersionedTable {
     val confB = hadoopConfBc(spark)
     val scanned0 = readPaths(spark, m.schemaDdl,
       touched.map(f => new Path(root, f).toString),
-      m.partitionCols.nonEmpty, root, withMeta = true)
+      m.partitionCols.nonEmpty, root, withMeta = true, physMap = m.physMap)
     // rows a prior vector hides are already deleted: not survivors, and
     // never re-marked — fresh positions stay disjoint from the prior
     // vector, so the executor-side sidecar merge is a sorted-array
@@ -2586,9 +2754,11 @@ object VersionedTable {
           .select(schema.fields.toSeq.map(f =>
             set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
               .as(f.name)): _*)
-        (u, r, writeDataFiles(spark, root, newRows, v, m.partitionCols))
+        (u, r, writeDataFiles(spark, root, newRows, v, m.partitionCols,
+          m.physMap))
       } finally marked.foreach(_.unpersist())
-    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
+      m.physMap)
     commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
       addedFiles = added, addedStats = addedStats, addedRows = addedRows,
       dvUpdates = updated, refreshedStats = refreshed,
@@ -2646,8 +2816,10 @@ object VersionedTable {
       else readSnapshotFiles(spark, root, m, touched.toSeq)
         .join(allKeys, keys, "left_anti")
         .unionByName(source)
-    val added = writeDataFiles(spark, root, merged, v, m.partitionCols)
-    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
+    val added = writeDataFiles(spark, root, merged, v, m.partitionCols,
+      m.physMap)
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
+      m.physMap)
     commitDelta(spark, root, m, CommitDelta(
       removedFiles = touched, addedFiles = added,
       addedStats = addedStats, addedRows = addedRows, op = "merge",
@@ -2703,8 +2875,10 @@ object VersionedTable {
     val (updated, refreshed) = vectoredDmlPass(spark, root, v, m, touched,
       _.join(markKeys, keys, "left")
         .withColumn(DelCol, col("__graft_mk").isNotNull))
-    val added = writeDataFiles(spark, root, source, v, m.partitionCols)
-    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
+    val added = writeDataFiles(spark, root, source, v, m.partitionCols,
+      m.physMap)
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
+      m.physMap)
     commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
       addedFiles = added, addedStats = addedStats, addedRows = addedRows,
       dvUpdates = updated, refreshedStats = refreshed,
@@ -2736,7 +2910,7 @@ object VersionedTable {
     val onlyNew = readSnapshotFiles(spark, root, b,
       b.files.filterNot(aSet), Some(b.schemaDdl))
     val onlyOld = readSnapshotFiles(spark, root, a,
-      a.files.filterNot(bSet), Some(b.schemaDdl))
+      a.files.filterNot(bSet), Some(b.schemaDdl), Some(b.physMap))
     // files carried BY NAME whose vectors changed: a position deleted in
     // (fromV, toV] is a REMOVED row; a position released (rollback across
     // a vectored delete) is an ADDED row. The CHANGED set is decided
@@ -2793,7 +2967,8 @@ object VersionedTable {
       val confB = hadoopConfBc(spark)
       val scanned = readPaths(spark, b.schemaDdl,
         changed.sorted.map(f => new Path(root, f).toString),
-        b.partitionCols.nonEmpty, root, withMeta = true)
+        b.partitionCols.nonEmpty, root, withMeta = true,
+        physMap = b.physMap)
       def member(m: Manifest) = Bridge.toColumn(graft.functions.DvDeletedLazyExpr(
         Bridge.toExpression(col(DvFileCol)),
         Bridge.toExpression(col(DvPosCol)), refsOf(m), root, confB))
@@ -2864,7 +3039,8 @@ object VersionedTable {
     val v = currentVersion(spark, root).get + 1
     writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
-      hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "rollback"))
+      hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "rollback",
+      colMap = m.colMap, maxCid = m.maxCid))
     v
   }
 
@@ -2903,8 +3079,10 @@ object VersionedTable {
         val ks = clusterBy.map(col)
         base.repartitionByRange(target, ks: _*).sortWithinPartitions(ks: _*)
       }
-    val added = writeDataFiles(spark, root, df, cur + 1, m.partitionCols)
-    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
+    val added = writeDataFiles(spark, root, df, cur + 1, m.partitionCols,
+      m.physMap)
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
+      m.physMap)
     // footprint = every base file (the rewrite read them all), so the
     // commit rebases across concurrent APPENDS (their files carry over
     // un-compacted — the next maintenance pass picks them up) and
@@ -3007,8 +3185,10 @@ object VersionedTable {
       .repartitionByRange(target, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z")
-    val added = writeDataFiles(spark, root, df, cur + 1, m.partitionCols)
-    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
+    val added = writeDataFiles(spark, root, df, cur + 1, m.partitionCols,
+      m.physMap)
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
+      m.physMap)
     commitDelta(spark, root, m, CommitDelta(
       removedFiles = m.files.toSet, addedFiles = added,
       addedStats = addedStats, addedRows = addedRows, op = "zorder"))
@@ -3048,8 +3228,9 @@ object VersionedTable {
         base.repartitionByRange(target, ks: _*).sortWithinPartitions(ks: _*)
       }
     val v = cur + 1
-    val added = writeDataFiles(spark, root, df, v, m.partitionCols)
-    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added)
+    val added = writeDataFiles(spark, root, df, v, m.partitionCols, m.physMap)
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
+      m.physMap)
     // rewritten files MATERIALIZE their deletion vectors (the read above
     // applied them), so the compacted files carry none
     commitDelta(spark, root, m, CommitDelta(
@@ -3290,7 +3471,11 @@ object VersionedTable {
       case Some(m) =>
         // apply the resolved version's deletion vectors (files absent from
         // that manifest simply have none) under the caller's FIXED schema
-        readSnapshotFiles(spark, root, m, files, Some(schema.toDDL))
+        // the caller's FIXED schema resolves by NAME against the files
+        // (a pre-rename pinned schema's names ARE the physical names) —
+        // never through the current version's logical mapping
+        readSnapshotFiles(spark, root, m, files, Some(schema.toDDL),
+          Some(Map.empty))
       case None =>
         readPaths(spark, schema.toDDL,
           files.map(f => new Path(root, f).toString), partitioned = false, root)
@@ -3348,7 +3533,7 @@ object VersionedTable {
       hlls = m.hlls.map { case (k, h) => remap.getOrElse(k, k) -> h },
       partitionCols = m.partitionCols, dvs = absDv,
       rows = m.rows.map { case (k, n) => remap.getOrElse(k, k) -> n },
-      op = "clone"))
+      op = "clone", colMap = m.colMap, maxCid = m.maxCid))
     // back-reference every owning root (a clone OF a clone references
     // the original's files — the marker must land with the owner)
     (abs ++ absDv.values.map(_.dvFile)).flatMap(ownerRootOf).distinct.foreach { owner =>
