@@ -102,10 +102,14 @@ object MetaAggregates extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  /** Integral types (Long-typed `sum` output) — the domain where a
-    * representable Σ per-file sums is bit-exactly the scan's sum. */
+  /** Integral types (Long-typed `sum` output) plus DECIMAL(p<=18) —
+    * the domains where a representable Σ per-file sums is bit-exactly
+    * the scan's sum (decimals sum exactly as unscaled longs; the
+    * manifest stores them in that domain with the scale in the stat's
+    * unit field). */
   private def summableType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType => true
+    case d: DecimalType if d.precision <= 18 => true
     case _ => false
   }
 
@@ -163,26 +167,62 @@ object MetaAggregates extends Rule[LogicalPlan] {
     * (avg, distinct, expressions over aggregates) must bail here,
     * not after an O(files) metadata walk — at 10⁶ manifest entries that
     * walk per iteration is real driver time for zero benefit. */
-  private def shapeAnswerable(agg: Aggregate, conds: Seq[Expression]): Boolean =
-    conds.forall(_.deterministic) && agg.aggregateExpressions.forall {
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
+  /** Whether ONE aggregate call is metadata-answerable in principle. */
+  private def aggFnAnswerable(ae: AggregateExpression): Boolean =
+    ae.filter.isEmpty && {
+      if (ae.isDistinct)
+        // count(DISTINCT col): answerable when every live file is
+        // single-valued and null-free on col (partition columns,
+        // clustered layouts) — the distinct set is the per-file values
         ae.aggregateFunction match {
-          case Count(Seq(l: Literal)) => l.value != null
           case Count(Seq(_: AttributeReference)) => true
-          case Min(a: AttributeReference) => boundableType(a.dataType)
-          case Max(a: AttributeReference) => boundableType(a.dataType)
-          case s: Sum => s.child match {
-            case a: AttributeReference => summableType(a.dataType)
+          case _ => false
+        }
+      else ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) => l.value != null
+        case Count(Seq(_: AttributeReference)) => true
+        case Min(a: AttributeReference) => boundableType(a.dataType)
+        case Max(a: AttributeReference) => boundableType(a.dataType)
+        case s: Sum => s.child match {
+          case a: AttributeReference => summableType(a.dataType)
+          case _ => false
+        }
+        // avg answers ONLY for decimal children: there the buffer sum
+        // is the exact decimal total metadata reproduces bit-for-bit.
+        // Integral/double avg accumulates a DOUBLE buffer whose value
+        // depends on addition order — unknowable from metadata.
+        case av: Average => av.child match {
+          case a: AttributeReference => a.dataType match {
+            case d: DecimalType => d.precision <= 18
             case _ => false
           }
           case _ => false
         }
+        case _ => false
+      }
+    }
+
+  /** Attributes of `e` OUTSIDE any aggregate call — with grouping, these
+    * must all be grouping attributes for the projection to be constant
+    * per group (CollapseProject folds `avg(x) * 1e6` or `tag` literals
+    * into the aggregate list; the rewrite evaluates them after
+    * substituting each inner aggregate's metadata answer). */
+  private def outsideAggAttrs(e: Expression): Seq[AttributeReference] =
+    e match {
+      case _: AggregateExpression => Seq.empty
+      case a: AttributeReference => Seq(a)
+      case other => other.children.flatMap(outsideAggAttrs)
+    }
+
+  private def shapeAnswerable(agg: Aggregate, conds: Seq[Expression]): Boolean =
+    conds.forall(_.deterministic) && agg.aggregateExpressions.forall {
       case a: AttributeReference =>
         agg.groupingExpressions.exists(_.semanticEquals(a))
-      case Alias(a: AttributeReference, _) =>
-        agg.groupingExpressions.exists(_.semanticEquals(a))
-      case Alias(e, _) => e.foldable && e.deterministic
+      case Alias(e, _) if e.deterministic =>
+        e.collect { case ae: AggregateExpression => ae }
+          .forall(aggFnAnswerable) &&
+          outsideAggAttrs(e).forall(a =>
+            agg.groupingExpressions.exists(_.semanticEquals(a)))
       case _ => false
     }
 
@@ -204,7 +244,7 @@ object MetaAggregates extends Rule[LogicalPlan] {
         if (decided.exists(_.isEmpty)) return None
         decided.flatten.collect { case (f, true) => f }
       }
-    if (agg.groupingExpressions.isEmpty) answerGlobal(agg, included)
+    if (agg.groupingExpressions.isEmpty) answerGlobal(agg, included, partCols)
     else answerGrouped(agg, included, partCols)
   }
 
@@ -260,15 +300,10 @@ object MetaAggregates extends Rule[LogicalPlan] {
         else internalValue(a.dataType, s.typ, s.lo)
       }
 
-  private def answerGlobal(agg: Aggregate,
-                           fs: Seq[FileMeta]): Option[LogicalPlan] = {
+  private def answerGlobal(agg: Aggregate, fs: Seq[FileMeta],
+                           partCols: Set[String]): Option[LogicalPlan] = {
     val values = agg.aggregateExpressions.map {
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        aggValue(ae.aggregateFunction, fs)
-      // CollapseProject folds tag columns (`lit("v2").as("tag")`) into the
-      // aggregate list — a constant rides along as its evaluated value
-      case Alias(e, _) if e.foldable && e.deterministic => Some(e.eval())
+      case Alias(e, _) => exprValue(e, fs, partCols, Map.empty)
       case _ => None
     }
     if (values.exists(_.isEmpty)) None
@@ -285,17 +320,6 @@ object MetaAggregates extends Rule[LogicalPlan] {
   private def answerGrouped(agg: Aggregate, fs: Seq[FileMeta],
                             partCols: Set[String]): Option[LogicalPlan] = {
     val groupAttrs = agg.groupingExpressions.map(_.asInstanceOf[AttributeReference])
-    // GROUP BY normalizes -0.0 to 0.0 before hashing (Spark's
-    // NormalizeFloatingNumbers); boxed Seq[Any] equality doesn't — a
-    // double-typed hive dir x=-0.0 next to x=0.0 must land in ONE group,
-    // and the emitted key must be the normalized value the scan shows
-    def normKey(v: Any): Any = v match {
-      case d: java.lang.Double if d.doubleValue() == 0.0 =>
-        java.lang.Double.valueOf(0.0)
-      case fl: java.lang.Float if fl.floatValue() == 0.0f =>
-        java.lang.Float.valueOf(0.0f)
-      case x => x
-    }
     def keyOf(f: FileMeta): Option[Seq[Any]] = {
       val vs = groupAttrs.map(a => singleValue(a, f, partCols))
       if (vs.exists(_.isEmpty)) None else Some(vs.map(v => normKey(v.get)))
@@ -328,14 +352,10 @@ object MetaAggregates extends Rule[LogicalPlan] {
       if (live.flatten.sum == 0L) None
       else {
         val byAttr = groupAttrs.zip(key).toMap
+        val byId = byAttr.map { case (a, v) => a.exprId -> (v, a.dataType) }
         val values = agg.aggregateExpressions.map {
           case a: AttributeReference if byAttr.contains(a) => Some(byAttr(a))
-          case Alias(a: AttributeReference, _) if byAttr.contains(a) =>
-            Some(byAttr(a))
-          case Alias(ae: AggregateExpression, _)
-              if !ae.isDistinct && ae.filter.isEmpty =>
-            aggValue(ae.aggregateFunction, members)
-          case Alias(e, _) if e.foldable && e.deterministic => Some(e.eval())
+          case Alias(e, _) => exprValue(e, members, partCols, byId)
           case _ => None
         }
         if (values.exists(_.isEmpty)) return None
@@ -374,32 +394,148 @@ object MetaAggregates extends Rule[LogicalPlan] {
       case s: Sum if s.child.isInstanceOf[AttributeReference] =>
         val a = s.child.asInstanceOf[AttributeReference]
         if (!summableType(a.dataType)) None
-        else {
-          // per file: (sum, live non-null count). A DV-bearing file needs
-          // a LIVE sum; a fully-vectored file contributes (0, 0) free.
-          val per = fs.map { f =>
-            f.rows match {
-              case Some(n) if n == f.dvCard => Some((0L, 0L))
-              case Some(n) => f.stats.get(a.name)
-                .filter(s0 => s0.sum.isDefined && s0.nulls >= 0 &&
-                  (f.dvCard == 0L || s0.live))
-                .map(s0 => (s0.sum.get, (n - f.dvCard) - s0.nulls))
-              case None => None
-            }
+        else sumAndCount(a, fs).flatMap { case (total, nonNull) =>
+          // sum over zero non-null values is NULL, like the scan's
+          if (nonNull == 0L) Some(Some(null))
+          else a.dataType match {
+            case d: DecimalType =>
+              // exact unscaled total back as Sum's own result type;
+              // a total past its precision refuses (the scan then
+              // applies its own eval mode's overflow semantics)
+              val rt = s.dataType.asInstanceOf[DecimalType]
+              val dec = org.apache.spark.sql.types.Decimal(
+                BigDecimal(java.math.BigDecimal.valueOf(total, d.scale)))
+              if (dec.changePrecision(rt.precision, rt.scale)) Some(Some(dec))
+              else None
+            case _ => Some(Some(total))
           }
-          if (per.exists(_.isEmpty)) None
-          else {
-            val vals = per.flatten
-            // sum over zero non-null values is NULL, like the scan's
-            if (vals.map(_._2).sum == 0L) Some(null)
-            else try Some(vals.foldLeft(0L)((a, b) => Math.addExact(a, b._1)))
-            catch { // representable-total-only: overflow falls to the scan
-              case _: ArithmeticException => None
+        }.map(_.orNull)
+      // avg(decimal) = the exact decimal total ÷ live non-null count,
+      // pushed through Spark's OWN Average.evaluateExpression (its
+      // buffer attributes substituted with the metadata values), so
+      // division precision/rounding are bit-identical to the scan's
+      case av: Average if av.child.isInstanceOf[AttributeReference] =>
+        val a = av.child.asInstanceOf[AttributeReference]
+        a.dataType match {
+          case d: DecimalType if d.precision <= 18 =>
+            sumAndCount(a, fs).flatMap { case (total, nonNull) =>
+              if (nonNull == 0L) Some(null) // avg over no values is NULL
+              else {
+                val sumAttr = av.aggBufferAttributes.head
+                val cntAttr = av.aggBufferAttributes(1)
+                val st = sumAttr.dataType.asInstanceOf[DecimalType]
+                val dec = org.apache.spark.sql.types.Decimal(
+                  BigDecimal(java.math.BigDecimal.valueOf(total, d.scale)))
+                if (!dec.changePrecision(st.precision, st.scale)) None
+                else {
+                  val sub = av.evaluateExpression.transform {
+                    case ar: AttributeReference if ar.exprId == sumAttr.exprId =>
+                      Literal(dec, sumAttr.dataType)
+                    case ar: AttributeReference if ar.exprId == cntAttr.exprId =>
+                      Literal(nonNull)
+                  }
+                  try Some(sub.eval(InternalRow.empty))
+                  catch { case scala.util.control.NonFatal(_) => None }
+                }
+              }
             }
-          }
+          case _ => None
         }
       case _ => None
     }
+
+  /** Evaluate one output expression from metadata: every inner aggregate
+    * call substitutes its metadata answer as a literal, every grouping
+    * attribute its group value, and the residue (casts, arithmetic, tag
+    * literals — whatever CollapseProject folded in) evaluates with
+    * Spark's own expression semantics. None if any inner aggregate
+    * refuses or anything non-substitutable remains. */
+  private def exprValue(e: Expression, fs: Seq[FileMeta],
+                        partCols: Set[String],
+                        groupVals: Map[org.apache.spark.sql.catalyst.expressions.ExprId,
+                                       (Any, DataType)]): Option[Any] = {
+    var ok = true
+    val sub = e.transformUp {
+      case ae: AggregateExpression if ae.filter.isEmpty =>
+        val v = if (ae.isDistinct) distinctValue(ae.aggregateFunction, fs, partCols)
+          else aggValue(ae.aggregateFunction, fs)
+        v match {
+          case Some(x) => Literal(x, ae.dataType)
+          case None => ok = false; ae
+        }
+      case a: AttributeReference if groupVals.contains(a.exprId) =>
+        val (v, dt) = groupVals(a.exprId)
+        Literal(v, dt)
+    }
+    if (!ok || sub.exists(x => x.isInstanceOf[AttributeReference] ||
+        x.isInstanceOf[AggregateExpression])) None
+    else try Some(sub.eval(InternalRow.empty))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** (exact unscaled/integral total, live non-null count) over a file
+    * subset — the shared Σ for sum and avg. Per file: a DV-bearing file
+    * needs a LIVE sum; a fully-vectored file contributes (0, 0) free;
+    * decimal stats must carry the column's own scale in their unit
+    * (type/scale integrity across schema evolution). None = some file
+    * can't answer, or the exact fold overflowed Long. */
+  private def sumAndCount(a: AttributeReference,
+                          fs: Seq[FileMeta]): Option[(Long, Long)] = {
+    val wantTyp = a.dataType match {
+      case _: DecimalType => "dec"
+      case _ => "long"
+    }
+    val wantUnit = a.dataType match {
+      case d: DecimalType => s"dec${d.scale}"
+      case _ => ""
+    }
+    val per = fs.map { f =>
+      f.rows match {
+        case Some(n) if n == f.dvCard => Some((0L, 0L))
+        case Some(n) => f.stats.get(a.name)
+          .filter(s0 => s0.typ == wantTyp && s0.unit == wantUnit &&
+            s0.sum.isDefined && s0.nulls >= 0 && (f.dvCard == 0L || s0.live))
+          .map(s0 => (s0.sum.get, (n - f.dvCard) - s0.nulls))
+        case None => None
+      }
+    }
+    if (per.exists(_.isEmpty)) None
+    else {
+      val vals = per.flatten
+      try Some((vals.foldLeft(0L)((acc, b) => Math.addExact(acc, b._1)),
+        vals.map(_._2).sum))
+      catch { case _: ArithmeticException => None }
+    }
+  }
+
+  /** count(DISTINCT col) over a file subset where every live file is
+    * single-valued and null-free on col — the distinct set is exactly
+    * the set of per-file values. A file with an unrecorded row count AND
+    * a deletion vector might be live-empty (its value would be a
+    * phantom), so it refuses. */
+  private def distinctValue(fn: AggregateFunction, fs: Seq[FileMeta],
+                            partCols: Set[String]): Option[Any] =
+    fn match {
+      case Count(Seq(a: AttributeReference)) =>
+        val counted = fs.filterNot(f =>
+          f.rows.contains(0L) || f.rows.exists(_ == f.dvCard))
+        if (counted.exists(f => f.rows.isEmpty && f.dvCard > 0L)) return None
+        val vs = counted.map(f => singleValue(a, f, partCols))
+        if (vs.exists(_.isEmpty)) None
+        else Some(vs.flatten.map(normKey).distinct.size.toLong)
+      case _ => None
+    }
+
+  /** GROUP BY / DISTINCT normalize -0.0 to 0.0 before comparing (Spark's
+    * NormalizeFloatingNumbers); boxed Any equality doesn't — normalize
+    * so a double-typed x=-0.0 next to x=0.0 lands in ONE group/value. */
+  private def normKey(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0 =>
+      java.lang.Double.valueOf(0.0)
+    case fl: java.lang.Float if fl.floatValue() == 0.0f =>
+      java.lang.Float.valueOf(0.0f)
+    case x => x
+  }
 
   /** min/max over a file subset, only for logical types whose manifest
     * "long" stat domain is exact AND unambiguous (see class doc for why

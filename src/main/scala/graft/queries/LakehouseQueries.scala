@@ -767,6 +767,43 @@ object LakehouseQueries {
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
     }),
 
+    // Metadata aggregates over MONEY: decimal(12,2) sums index as exact
+    // unscaled longs (CALL graft.index_sums now takes decimal columns),
+    // a vectored delete refreshes them survivor-exact, and the grouped
+    // dashboard (bucket, count, sum, avg) answers from the MANIFEST with
+    // zero scans (MetaAggregateSpec pins the plan) — including avg,
+    // whose decimal division runs through Spark's own Average evaluate
+    // expression so precision/rounding are bit-identical to a scan.
+    // count(DISTINCT bucket) rides the same metadata (per-file
+    // single-valued partition values). The oracle recomputes everything
+    // from raw events; avg surfaces as exact micros (×10⁶ of the
+    // 6-decimal quotient) so DuckDB's integer arithmetic can reproduce
+    // Spark's HALF_UP decimal division exactly.
+    "q207_meta_decimal" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_dec_q207")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"),
+          col("value").cast("decimal(12,2)").as("amount"),
+          (col("user_id") % 4).cast("int").as("bucket"))
+      VersionedTable.create(s, root, ev, partitionBy = Seq("bucket"))     // v1
+      s.sql(s"CALL graft.index_sums('$root', 'amount')")                  // v2
+      VersionedTable.deleteWhereVectored(s, root, Map.empty,
+        col("event_id") % 7 === 0)                                        // v3
+      val t = s.read.format("graft-versioned").load(root)
+      val grouped = t.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount")).cast("double").as("sum_amount"),
+          (avg(col("amount")) * lit(1000000)).cast("long").as("avg_micros"))
+        .select(col("bucket").cast("long").as("bucket"), col("n"),
+          col("sum_amount"), col("avg_micros"))
+      val global = t.agg(countDistinct(col("bucket")).as("n"))
+        .select(lit(-1L).as("bucket"), col("n"),
+          lit(null).cast("double").as("sum_amount"),
+          lit(null).cast("long").as("avg_micros"))
+      grouped.unionByName(global)
+    }),
+
     // OPTIMIZE…ZORDER as a commit (CALL graft.zorder): a deliberately
     // scattered events table is rewritten Morton-ordered on
     // (event_id, user_id), then the 2-D box query runs through the
@@ -1129,6 +1166,26 @@ object LakehouseQueries {
          UNION ALL
          SELECT '_versions', 2,
                 CAST((SELECT count(*) FROM final) AS DOUBLE)""",
+
+    // The money dashboard recomputed from raw events. avg_micros
+    // reproduces Spark's HALF_UP decimal-division (scale 6) with pure
+    // integer arithmetic: floor((2·cents·10⁴ + n) / (2n)) — exact for
+    // the non-negative amounts here; sums compare as doubles of the
+    // exact decimal totals.
+    "q207_meta_decimal" ->
+      """WITH ev AS (SELECT event_id,
+                            CAST(value AS DECIMAL(12,2)) AS amount,
+                            CAST(user_id % 4 AS BIGINT) AS bucket
+                     FROM events),
+              surv AS (SELECT * FROM ev WHERE event_id % 7 <> 0)
+         SELECT bucket, count(*)::BIGINT AS n,
+                CAST(sum(amount) AS DOUBLE) AS sum_amount,
+                CAST((2 * CAST(sum(CAST(amount * 100 AS BIGINT)) AS BIGINT)
+                        * 10000 + count(amount))
+                     // (2 * count(amount)) AS BIGINT) AS avg_micros
+         FROM surv GROUP BY 1
+         UNION ALL
+         SELECT -1, count(DISTINCT bucket)::BIGINT, NULL, NULL FROM surv""",
 
     // The rename lifecycle recomputed from raw events: head = survivors
     // of the post-rename delete plus the appended %1000 slice (under

@@ -1625,9 +1625,15 @@ object VersionedTable {
       val stats = m.stats.getOrElse(f, Seq.empty).map(s => s.col -> s).toMap
       preds.forall { case (col, (lo, hi)) =>
         stats.get(col).forall { s =>
-          val missesLow = hi.exists(h => cmp(s.typ, s.lo, h) > 0)  // file entirely above range
-          val missesHigh = lo.exists(l => cmp(s.typ, s.hi, l) < 0) // file entirely below range
-          !(missesLow || missesHigh)
+          // "dec" stats live in the UNSCALED domain (for metadata SUM) —
+          // a caller's scaled predicate value must never compare against
+          // them, so they answer "might match" like an absent stat
+          if (s.typ == "dec") true
+          else {
+            val missesLow = hi.exists(h => cmp(s.typ, s.lo, h) > 0)  // file entirely above range
+            val missesHigh = lo.exists(l => cmp(s.typ, s.hi, l) < 0) // file entirely below range
+            !(missesLow || missesHigh)
+          }
         }
       }
     }
@@ -2209,13 +2215,22 @@ object VersionedTable {
     val m = readManifest(spark, root, cur)
     val schema = StructType.fromDDL(m.schemaDdl)
     val partSet = m.partitionCols.toSet
+    // DECIMAL(p<=18, s): sums are EXACT as unscaled longs (value × 10^s
+    // is integral and fits Long), the money-column case every dashboard
+    // sums. Wider decimals refuse — their unscaled values don't fit the
+    // manifest's long sum field.
+    def sumScale(dt: DataType): Option[Int] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(0)
+      case d: DecimalType if d.precision <= 18 => Some(d.scale)
+      case _ => None
+    }
+    val colType: Map[String, DataType] =
+      schema.fields.map(f => f.name -> f.dataType).toMap
     val bad = cols.filter(c => partSet.contains(c) ||
-      !schema.fields.find(_.name == c).map(_.dataType).exists {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      })
+      !colType.get(c).exists(dt => sumScale(dt).isDefined))
     require(bad.isEmpty,
-      s"indexSums needs integral non-partition columns; refused: $bad")
+      s"indexSums needs integral or decimal(p<=18) non-partition columns; " +
+        s"refused: $bad")
     val targets =
       if (!onlyMissing) m.files
       else m.files.filter(f => cols.exists(c =>
@@ -2225,9 +2240,15 @@ object VersionedTable {
     val byPath: Map[String, String] = targets.map { rel =>
       fsys.makeQualified(new Path(root, rel)).toUri.getPath -> rel
     }.toMap
+    val scales: Seq[Int] = cols.map(c => sumScale(colType(c)).get)
     val aggs = Seq(count(lit(1)).as("__live")) ++
       cols.zipWithIndex.flatMap { case (c, i) =>
-        val lc = col(c).cast(LongType)
+        // decimals index in the UNSCALED long domain (× 10^s — exact,
+        // p<=18 guarantees the fit); integrals as themselves
+        val lc =
+          if (scales(i) == 0) col(c).cast(LongType)
+          else (col(c) * lit(java.math.BigDecimal.ONE.scaleByPowerOfTen(scales(i))))
+            .cast(LongType)
         // try_sum: a file whose total overflows Long gets bounds and
         // null count but NO sum (stored sums are always exact) — and
         // the build itself cannot abort under ANSI
@@ -2243,9 +2264,13 @@ object VersionedTable {
       val live = r.getLong(1)
       f -> cols.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(2 + 4 * i)) None // all-null (or no) survivors
-        else Some(ColStat(c, "long", r.getLong(2 + 4 * i).toString,
+        else Some(ColStat(c,
+          if (scales(i) == 0) "long" else "dec",
+          r.getLong(2 + 4 * i).toString,
           r.getLong(3 + 4 * i).toString,
-          nulls = live - r.getLong(4 + 4 * i), live = true,
+          nulls = live - r.getLong(4 + 4 * i),
+          unit = if (scales(i) == 0) "" else s"dec${scales(i)}",
+          live = true,
           sum = if (r.isNullAt(5 + 4 * i)) None // try_sum overflow
                 else Some(r.getLong(5 + 4 * i))))
       }
@@ -2524,6 +2549,9 @@ object VersionedTable {
     val del = col(DelCol) <=> lit(true)
     val surv = !del
     // refreshable columns: canonical long-domain rendering per type
+    // (decimals ride in the UNSCALED domain — exact for p<=18, the same
+    // encoding indexSums stores, so attached decimal sums stay fresh
+    // through vectored deletes exactly like integral ones)
     val statCols: Seq[(String, Column, String)] =
       schema.fields.toSeq.filterNot(f => partCols.contains(f.name)).flatMap { f =>
         val c = col(f.name)
@@ -2532,6 +2560,10 @@ object VersionedTable {
             Some((f.name, c.cast(LongType), ""))
           case DateType => Some((f.name, unix_date(c).cast(LongType), "date"))
           case TimestampType => Some((f.name, unix_micros(c), "ts-micros"))
+          case d: DecimalType if d.precision <= 18 =>
+            Some((f.name,
+              (c * lit(java.math.BigDecimal.ONE.scaleByPowerOfTen(d.scale)))
+                .cast(LongType), s"dec${d.scale}"))
           case _ => None
         }
       }
@@ -2626,11 +2658,13 @@ object VersionedTable {
         .filterNot(s => refreshable.contains(s.col))
       val fresh = sts.map { case (i, lo, hi, nonNull, sm) =>
         val (name, _, unit) = statCols(i)
-        // sums only for the genuinely integral columns (unit "") — a
-        // "sum of epoch micros" invites misuse and answers nothing
-        ColStat(name, "long", lo.toString, hi.toString,
+        // sums only for the summable domains: integrals (unit "") and
+        // unscaled decimals ("dec<s>") — a "sum of epoch micros"
+        // invites misuse and answers nothing
+        ColStat(name, if (unit.startsWith("dec")) "dec" else "long",
+          lo.toString, hi.toString,
           nulls = live - nonNull, unit = unit, live = true,
-          sum = if (unit.isEmpty) sm else None)
+          sum = if (unit.isEmpty || unit.startsWith("dec")) sm else None)
       }
       e -> (kept ++ fresh)
     }.toMap

@@ -450,6 +450,74 @@ class MetaAggregateSpec extends SparkSpec {
       "absent sums refuse to the scan (which keeps its own mode's semantics)")
   }
 
+  test("decimal sum/avg answer from metadata and stay exact through a vectored delete") {
+    import spark.implicits._
+    val root = freshRoot()
+    val base = (0L until 300L).toDF("id")
+      .withColumn("amount",
+        when(col("id") % 5 =!= 0,
+          (col("id") * 7 + 3).cast("decimal(12,2)") / 4)) // 1/5 null
+      .repartition(3)
+    // decimal(14,2) after the divide? pin the declared type explicitly
+    val typed = base.select(col("id"), col("amount").cast("decimal(12,2)").as("amount"))
+    VersionedTable.create(spark, root, typed)
+    val expSum = typed.agg(sum("amount")).collect().head.getDecimal(0)
+    val expAvg = typed.agg(avg("amount")).collect().head.getDecimal(0)
+    // un-indexed: refuses (footers record no sums), still right
+    assert(!metaAnswered(rel(root).agg(sum("amount").as("s"))))
+    VersionedTable.indexSums(spark, root, Seq("amount"))
+    val q = rel(root).agg(sum("amount").as("s"), avg("amount").as("a"),
+      count(lit(1)).as("n"))
+    assert(metaAnswered(q), q.queryExecution.optimizedPlan.toString)
+    val r = q.collect().head
+    assert(r.getDecimal(0) == expSum, s"${r.getDecimal(0)} vs $expSum")
+    assert(r.getDecimal(1) == expAvg, s"${r.getDecimal(1)} vs $expAvg")
+    assert(r.getLong(2) == 300L)
+    // the DML refresh keeps decimal sums live-exact
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty,
+      col("id") % 3 === 0)
+    val q2 = rel(root).agg(sum("amount").as("s"), avg("amount").as("a"))
+    assert(metaAnswered(q2), "decimal sums must survive a vectored delete")
+    val surv = typed.filter(col("id") % 3 =!= 0)
+    val r2 = q2.collect().head
+    assert(r2.getDecimal(0) == surv.agg(sum("amount")).collect().head.getDecimal(0))
+    assert(r2.getDecimal(1) == surv.agg(avg("amount")).collect().head.getDecimal(0))
+    // avg over an INTEGRAL column refuses: the scan's double buffer is
+    // order-dependent, metadata cannot reproduce it bit-for-bit
+    VersionedTable.indexSums(spark, root, Seq("id"))
+    assert(!metaAnswered(rel(root).agg(avg("id").as("a"))))
+  }
+
+  test("count(DISTINCT part) answers from the manifest; multi-valued files refuse") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = (0L until 120L).toDF("id")
+      .withColumn("bucket", (col("id") % 6).cast("int"))
+      .withColumn("s", concat(lit("v"), col("id")))
+    VersionedTable.create(spark, root, df, partitionBy = Seq("bucket"))
+    val q = rel(root).agg(countDistinct("bucket").as("nb"),
+      count(lit(1)).as("n"))
+    assert(metaAnswered(q), q.queryExecution.optimizedPlan.toString)
+    val r = q.collect().head
+    assert(r.getLong(0) == 6L && r.getLong(1) == 120L)
+    // filtered: the distinct count narrows with the decided file set
+    val qf = rel(root).filter(col("bucket") >= 4)
+      .agg(countDistinct("bucket").as("nb"))
+    assert(metaAnswered(qf), qf.queryExecution.optimizedPlan.toString)
+    assert(qf.collect().head.getLong(0) == 2L)
+    // a fully-vectored partition's value disappears from the distinct set
+    VersionedTable.deleteWhereVectored(spark, root,
+      Map("bucket" -> (Some(5L), Some(5L))), col("bucket") === 5)
+    val qd = rel(root).agg(countDistinct("bucket").as("nb"))
+    assert(metaAnswered(qd))
+    assert(qd.collect().head.getLong(0) == 5L,
+      "a deleted partition must not be a phantom distinct value")
+    // multi-valued column: refuses, stays correct
+    val qm = rel(root).agg(countDistinct("id").as("n"))
+    assert(!metaAnswered(qm))
+    assert(qm.collect().head.getLong(0) == 100L)
+  }
+
   test("q202: the summed partition dashboard runs with zero scans") {
     val df = graft.queries.LakehouseQueries.defs("q202_meta_sums")(spark, sf)
     val scans = df.queryExecution.optimizedPlan.collect {
@@ -465,6 +533,29 @@ class MetaAggregateSpec extends SparkSpec {
       .groupBy((col("user_id") % 8).cast("int").as("bucket"))
       .agg(count(lit(1)), sum(col("event_id")))
       .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp)
+  }
+
+  test("q207: the decimal money dashboard (sum/avg/count-distinct) runs with zero scans") {
+    val df = graft.queries.LakehouseQueries.defs("q207_meta_decimal")(spark, sf)
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr
+    }
+    assert(scans.isEmpty,
+      s"decimal sum/avg + count(distinct) after index_sums + vectored " +
+        s"delete must be scan-free, got ${scans.size} relations")
+    // spot-check against a raw recompute (the oracle gate does the full
+    // hash; this pins it inside ScalaTest too)
+    val surv = Tables.events(spark, sf)
+      .select(col("event_id"), col("value").cast("decimal(12,2)").as("amount"),
+        (col("user_id") % 4).cast("int").as("bucket"))
+      .filter(col("event_id") % 7 =!= 0)
+    val got = df.filter(col("bucket") >= 0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val exp = surv.groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("amount").cast("double").as("s"),
+        (avg("amount") * lit(1000000)).cast("long").as("am"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
     assert(got == exp)
   }
 
