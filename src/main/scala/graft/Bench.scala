@@ -16,6 +16,40 @@ object Bench {
     val factor = if (b >= 2.0) 1.3 else 1.5
     v > factor * b && v - b > 0.3
   }
+
+  /** A probe run this much over its committed time means the machine was
+    * NOT idle around the stable pass — its numbers adjudicate nothing. */
+  private[graft] val ProbeContendedFactor = 1.3
+
+  /** Calibration-aware verdicts: the gate's regression set, SUPPRESSED
+    * (empty, contended=true) when the calibration probe — a fixed
+    * reference query re-timed immediately before and after the stable
+    * pass — deviated more than [[ProbeContendedFactor]] from its
+    * committed baseline. Round 11's driver emitted four false
+    * regressions because its "stable" re-runs landed on a degraded box
+    * (stable 6.84 s vs its own sweep min 2.41 s); the probe makes that
+    * condition measurable instead of judge-adjudicated. A contended run
+    * reports the would-be entries separately (`suppressed`) so a reader
+    * can still see what to re-check on an idle machine; no probe
+    * baseline (first round, renamed query) leaves the gate exactly as
+    * before. */
+  private[graft] def calibratedRegressions(
+      adjudicated: Map[String, Double], baseline: Map[String, Double],
+      probeRatio: Option[Double])
+      : (Seq[(String, Double, Double)], Boolean) = {
+    val contended = probeRatio.exists(_ > ProbeContendedFactor)
+    if (contended) (Seq.empty, true)
+    else (rawRegressions(adjudicated, baseline), false)
+  }
+
+  /** The would-be regression set regardless of calibration — what a
+    * contended run records as `suppressed`. */
+  private[graft] def rawRegressions(
+      adjudicated: Map[String, Double], baseline: Map[String, Double])
+      : Seq[(String, Double, Double)] =
+    adjudicated.toSeq.sortBy(_._1).flatMap { case (n, v) =>
+      baseline.get(n).filter(b => isRegression(v, b)).map(b => (n, v, b))
+    }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -129,6 +163,20 @@ object Bench {
       case (k, Some((mn, _, _))) if mn >= 2.0 => k
     }
     val flagged = (wideSpread ++ vsBaseline ++ heavyTail).distinct
+    // Calibration probe: a fixed reference query with a committed
+    // baseline, re-timed immediately BEFORE and AFTER the stable pass.
+    // If even the better probe runs > ProbeContendedFactor over its
+    // committed time, the "stable" window wasn't idle and its verdicts
+    // are suppressed (contended=true) — the round-11 failure mode where
+    // stable re-runs landed slower than the sweep's own mins and four
+    // false regressions needed hand adjudication. max(before, after):
+    // contention at either end taints the window between them.
+    val probeName: Option[String] =
+      if (baseline.get("q13_star_join").exists(_ > 0)) Some("q13_star_join")
+      else baseline.filter(_._2 >= 0.5).keys.toSeq.sorted.headOption
+    def probeOnce(): Option[Double] =
+      probeName.map(n => timeOnce(n, SparkEntry.queries(n))).filter(_ >= 0)
+    val probeBefore = if (stableRuns <= 0) None else probeOnce()
     val stableMin: Map[String, Double] =
       if (stableRuns <= 0) Map.empty
       else flagged.map { n =>
@@ -136,6 +184,13 @@ object Bench {
           .filter(_ >= 0)
         n -> (if (ts.isEmpty) -1.0 else ts.min)
       }.toMap
+    val probeAfter = if (stableRuns <= 0) None else probeOnce()
+    val probeRatio: Option[Double] = for {
+      n <- probeName
+      b <- baseline.get(n)
+      pb <- probeBefore
+      pa <- probeAfter
+    } yield math.max(pb, pa) / b
     // The GATE: a query is a REGRESSION when even its adjudicated min
     // (stable re-run when one happened, else the sweep min) exceeds
     // 1.5× its committed baseline. Contention and cache-eviction noise
@@ -149,12 +204,19 @@ object Bench {
         case (a, b) => a.orElse(b)
       }
     }
-    val regressions: Seq[(String, Double, Double)] = results.flatMap {
-      case (name, Some(_)) =>
-        adjudicated(name).filter(v => regressed(name, v))
-          .map(v => (name, v, baseline(name)))
+    val adjMap: Map[String, Double] = results.flatMap {
+      case (name, Some(_)) => adjudicated(name).map(name -> _)
       case _ => None
-    }
+    }.toMap
+    val (regressions, contended) =
+      calibratedRegressions(adjMap, baseline, probeRatio)
+    val suppressed: Seq[(String, Double, Double)] =
+      if (contended) rawRegressions(adjMap, baseline) else Seq.empty
+    if (contended)
+      System.err.println(f"[bench] CONTENDED run (probe ratio " +
+        f"${probeRatio.get}%.2f > $ProbeContendedFactor): regression " +
+        s"verdicts suppressed; ${suppressed.size} candidate(s) need an " +
+        "idle-machine re-run: " + suppressed.map(_._1).mkString(", "))
     if (regressions.nonEmpty)
       System.err.println(s"[bench] ${regressions.size} REGRESSION(S) vs " +
         s"stable baseline: " + regressions.map { case (n, v, b) =>
@@ -163,7 +225,11 @@ object Bench {
     // adjudicated mins for every query, carrying the old entry when a
     // query was dropped this round.
     if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("1")
-        && only.isEmpty) {
+        && only.isEmpty && contended) {
+      System.err.println("[bench] baseline refresh SKIPPED: contended run")
+    }
+    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("1")
+        && only.isEmpty && !contended) {
       val fresh = results.collect { case (k, Some(_)) =>
         k -> adjudicated(k).getOrElse(-1.0) }.filter(_._2 >= 0).toMap
       val merged = (baseline ++ fresh).toSeq.sortBy(_._1)
@@ -199,8 +265,15 @@ object Bench {
     val regJson = regressions.sortBy(_._1)
       .map { case (k, v, b) => s"\"" + k + "\":[" + r3(v) + "," + r3(b) + "]" }
       .mkString("{", ",", "}")
+    val suppJson = suppressed.sortBy(_._1)
+      .map { case (k, v, b) => s"\"" + k + "\":[" + r3(v) + "," + r3(b) + "]" }
+      .mkString("{", ",", "}")
+    val probeJson = (probeName, probeRatio) match {
+      case (Some(n), Some(r)) => s"""{"name":"$n","ratio":${r3(r)}}"""
+      case _ => "null"
+    }
     val fullLine =
-      s"""{"metric":"total_full","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,"unit":"sec","queries":$qsFull,"stable_min":$stableJson,"regressions":$regJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,"unit":"sec","queries":$qsFull,"stable_min":$stableJson,"regressions":$regJson,"contended":$contended,"probe":$probeJson,"suppressed":$suppJson,"sf":"$sfDir"}"""
     println(fullLine)
     // FULL sweeps only: a filtered dev run (SPARK_GRAFT_BENCH_ONLY) must
     // never clobber the committed full-sweep artifact with a 1-query file

@@ -32,4 +32,30 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.isRegression(2.61, 2.0))
     assert(!Bench.isRegression(1.5, 1.0))   // exactly 1.5× on light
   }
+
+  test("a contended stable pass suppresses verdicts (regressions={}, contended=true)") {
+    // round 11's exact failure shape: q128 "stable" 6.84 vs baseline
+    // 1.20 on a degraded box — with the probe 1.5× over its committed
+    // time, the verdict set must come back EMPTY and marked contended
+    val adj = Map("q128_triangles" -> 6.84, "q144_kcore" -> 3.87)
+    val base = Map("q128_triangles" -> 1.20, "q144_kcore" -> 0.33)
+    val (regs, contended) = Bench.calibratedRegressions(adj, base, Some(1.5))
+    assert(contended && regs.isEmpty)
+    // ...but the candidates stay visible for an idle-machine re-check
+    assert(Bench.rawRegressions(adj, base).map(_._1) ==
+      Seq("q128_triangles", "q144_kcore"))
+  }
+
+  test("a genuine regression still trips on a calibrated (idle) run") {
+    val adj = Map("q126_setsim" -> 7.0)
+    val base = Map("q126_setsim" -> 4.0)
+    val (regs, contended) = Bench.calibratedRegressions(adj, base, Some(1.05))
+    assert(!contended && regs == Seq(("q126_setsim", 7.0, 4.0)))
+    // exactly at the probe factor is still calibrated (strict >)
+    assert(!Bench.calibratedRegressions(adj, base,
+      Some(Bench.ProbeContendedFactor))._2)
+    // no probe baseline (first round / renamed probe): gate unchanged
+    val (r2, c2) = Bench.calibratedRegressions(adj, base, None)
+    assert(!c2 && r2.nonEmpty)
+  }
 }
