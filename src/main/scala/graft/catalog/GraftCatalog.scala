@@ -319,7 +319,67 @@ object GraftCatalog {
         "same name is a fresh field (dead data never resurrects)",
       Seq("path" -> StringType, "column" -> StringType), versionResult,
       (spark, in) => versionRow(VersionedTable.dropColumn(
-        spark, str(in, 0), str(in, 1))))
+        spark, str(in, 0), str(in, 1)))),
+
+    // The multi-table transaction face: the K9 stage-commit-ordering
+    // story (aois → full → clipped → viz visible together or not at
+    // all) drivable from pure SQL. Staging rides normal table commits;
+    // the txn catalog's single hard-link CAS is the atomicity point.
+    new Proc("txn_apply",
+      "stage each comma-separated source view/table into its paired " +
+        "target table (create or overwrite under <cat_root>/tables/" +
+        "<name>) and publish ONE atomic cross-table transaction " +
+        "pinning the batch — catalog readers see every table move " +
+        "together or none; a crash mid-staging leaves them on the " +
+        "previous consistent snapshot",
+      Seq("cat_root" -> StringType, "tables" -> StringType,
+        "sources" -> StringType),
+      StructType(Seq(StructField("txn", IntegerType, nullable = false))),
+      (spark, in) => {
+        val cat = str(in, 0)
+        val names = str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val srcs = str(in, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(names.nonEmpty && names.size == srcs.size,
+          s"tables (${names.size}) and sources (${srcs.size}) must pair up")
+        val frames = names.zip(srcs).map { case (n, s) => n -> spark.table(s) }
+        Seq(InternalRow(graft.sink.TxnCatalog.commitTables(
+          spark, cat, frames, n => s"$cat/tables/$n")))
+      }),
+
+    new Proc("txn_snapshot",
+      "register every table of a committed transaction (default the " +
+        "newest) as temp views <prefix>_<table> pinned to their exact " +
+        "versions — the consistent cross-table snapshot read; pass " +
+        "txn >= 1 for cross-table time travel",
+      Seq("cat_root" -> StringType, "prefix" -> StringType,
+        "txn" -> IntegerType),
+      StructType(Seq(StructField("view", StringType, nullable = false))),
+      (spark, in) => {
+        val t = Some(in.getInt(2)).filter(_ >= 1)
+        graft.sink.TxnCatalog.registerViews(spark, str(in, 0), str(in, 1), t)
+          .map(v => InternalRow(UTF8String.fromString(v)))
+      },
+      defaults = Map("prefix" -> "'txn'", "txn" -> "-1")),
+
+    new Proc("txn_history",
+      "the catalog's committed transactions: one row per (txn, table) " +
+        "pin — every row is a readable consistent cross-table snapshot",
+      Seq("cat_root" -> StringType),
+      StructType(Seq(
+        StructField("txn", IntegerType, nullable = false),
+        StructField("table", StringType, nullable = false),
+        StructField("root", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false))),
+      (spark, in) => {
+        val cat = str(in, 0)
+        graft.sink.TxnCatalog.txns(spark, cat).flatMap { t =>
+          graft.sink.TxnCatalog.snapshot(spark, cat, Some(t))
+            .tables.toSeq.sortBy(_._1).map { case (n, (root, v)) =>
+              InternalRow(t, UTF8String.fromString(n),
+                UTF8String.fromString(root), v)
+            }
+        }
+      })
 
   ).map(p => p.name() -> p).toMap
 }

@@ -283,6 +283,53 @@ object LakehouseQueries {
            FROM q190_by_month""")
     }),
 
+    // The multi-table transaction face from PURE SQL (CALL
+    // graft.txn_apply / txn_snapshot): two derived tables staged from
+    // temp views and published atomically, twice; the snapshot views
+    // then read the newest consistent pair AND time-travel to txn 1's —
+    // q190's K9 stage-ordering story with zero Scala in the driver
+    // seat, the way a scheduler or BI tool would run it. The oracle
+    // recomputes all four rollups from raw orders at both cuts.
+    "q208_sql_txn" -> ((s, d) => {
+      val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
+      val cat = s"$dir/cat"
+      def stage(cut: String): Unit = {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+        o.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          .createOrReplaceTempView("q208_src_cust")
+        o.groupBy(col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+          .createOrReplaceTempView("q208_src_prio")
+        s.sql(s"CALL graft.txn_apply('$cat', 'by_cust,by_prio', " +
+          "'q208_src_cust,q208_src_prio')")
+      }
+      stage("1995-01-01")                                   // txn 1
+      stage("1997-01-01")                                   // txn 2
+      s.sql(s"CALL graft.txn_snapshot('$cat', 'q208c')")    // newest pair
+      s.sql(s"CALL graft.txn_snapshot('$cat', 'q208o', 1)") // txn-1 pair
+      s.sql(
+        """SELECT 'cur_cust' AS tag, CAST(count(*) AS BIGINT) AS n_groups,
+                  CAST(sum(n) AS BIGINT) AS n_orders,
+                  CAST(sum(total) AS DOUBLE) AS total
+           FROM q208c_by_cust
+           UNION ALL
+           SELECT 'cur_prio', CAST(count(*) AS BIGINT),
+                  CAST(sum(n) AS BIGINT), CAST(sum(rev) AS DOUBLE)
+           FROM q208c_by_prio
+           UNION ALL
+           SELECT 'old_cust', CAST(count(*) AS BIGINT),
+                  CAST(sum(n) AS BIGINT), CAST(sum(total) AS DOUBLE)
+           FROM q208o_by_cust
+           UNION ALL
+           SELECT 'old_prio', CAST(count(*) AS BIGINT),
+                  CAST(sum(n) AS BIGINT), CAST(sum(rev) AS DOUBLE)
+           FROM q208o_by_prio""")
+    }),
+
     // Cross-table exactly-once streaming: each micro-batch dedups
     // against the base (at-least-once landing: a duplicate slice file),
     // appends the base, incrementally merges the per-user MV (decimal
@@ -953,6 +1000,38 @@ object LakehouseQueries {
          SELECT 'by_month' AS src, count(*)::BIGINT AS n_groups,
                 sum(n)::BIGINT AS n_orders, sum(rev)::DOUBLE AS total
          FROM b""",
+
+    // The four pinned-view rollups recomputed from raw orders at both
+    // cuts — the current pair from the 1997 cut, the time-traveled pair
+    // from the 1995 cut.
+    "q208_sql_txn" ->
+      """WITH cur AS (SELECT * FROM orders
+                      WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+              old AS (SELECT * FROM orders
+                      WHERE o_orderdate < TIMESTAMP '1995-01-01'),
+              cc AS (SELECT o_custkey, count(*)::BIGINT AS n,
+                            sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+                     FROM cur GROUP BY 1),
+              cp AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+                            sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+                     FROM cur GROUP BY 1),
+              oc AS (SELECT o_custkey, count(*)::BIGINT AS n,
+                            sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+                     FROM old GROUP BY 1),
+              op AS (SELECT o_orderpriority, count(*)::BIGINT AS n,
+                            sum(CAST(o_totalprice AS DECIMAL(18,2))) AS t
+                     FROM old GROUP BY 1)
+         SELECT 'cur_cust' AS tag, count(*)::BIGINT AS n_groups,
+                sum(n)::BIGINT AS n_orders, sum(t)::DOUBLE AS total FROM cc
+         UNION ALL
+         SELECT 'cur_prio', count(*)::BIGINT, sum(n)::BIGINT,
+                sum(t)::DOUBLE FROM cp
+         UNION ALL
+         SELECT 'old_cust', count(*)::BIGINT, sum(n)::BIGINT,
+                sum(t)::DOUBLE FROM oc
+         UNION ALL
+         SELECT 'old_prio', count(*)::BIGINT, sum(n)::BIGINT,
+                sum(t)::DOUBLE FROM op""",
 
     // The streamed, deduped, txn-committed MV must equal the one-shot
     // batch rollup — slices, duplicate delivery, replay and the catalog

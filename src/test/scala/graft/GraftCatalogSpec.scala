@@ -149,6 +149,46 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("txn_apply / txn_snapshot / txn_history: multi-table transactions from SQL") {
+    import spark.implicits._
+    ensureCatalog()
+    val cat = java.nio.file.Files.createTempDirectory("graft_txn_sql")
+      .resolve("cat").toString
+    // txn 1: two derived tables land ATOMICALLY from registered views
+    (1L to 6L).toDF("id").withColumn("v", col("id") * 2)
+      .createOrReplaceTempView("src_full")
+    (1L to 3L).toDF("id").withColumn("v", col("id") * 2)
+      .createOrReplaceTempView("src_clip")
+    val t1 = spark.sql(s"CALL graft.txn_apply('$cat', 'full,clipped', " +
+      "'src_full,src_clip')").collect().head.getInt(0)
+    assert(t1 == 1)
+    // txn 2: both tables move together
+    (1L to 8L).toDF("id").withColumn("v", col("id") * 3)
+      .createOrReplaceTempView("src_full")
+    (1L to 4L).toDF("id").withColumn("v", col("id") * 3)
+      .createOrReplaceTempView("src_clip")
+    val t2 = spark.sql(s"CALL graft.txn_apply('$cat', 'full,clipped', " +
+      "'src_full,src_clip')").collect().head.getInt(0)
+    assert(t2 == 2)
+    // snapshot read: the NEWEST consistent pair through temp views
+    val views = spark.sql(s"CALL graft.txn_snapshot('$cat', 'cur')")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(views == Seq("cur_clipped", "cur_full"))
+    assert(spark.table("cur_full").count() == 8)
+    assert(spark.table("cur_clipped").count() == 4)
+    // cross-table TIME TRAVEL: txn 1's pair, both pre-update
+    spark.sql(s"CALL graft.txn_snapshot('$cat', 'old', 1)")
+    assert(spark.table("old_full").count() == 6)
+    assert(spark.table("old_clipped").count() == 3)
+    assert(spark.table("old_full").select(sum("v")).collect().head.getLong(0)
+      == (1L to 6L).map(_ * 2).sum)
+    // audit: one row per (txn, table) pin, versions advancing in step
+    val hist = spark.sql(s"CALL graft.txn_history('$cat')")
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getInt(3)).toMap
+    assert(hist((1, "full")) == 1 && hist((1, "clipped")) == 1)
+    assert(hist((2, "full")) == 2 && hist((2, "clipped")) == 2)
+  }
+
   test("merge_into through CALL: CoW and vectored, source as a temp view") {
     import spark.implicits._
     ensureCatalog()
