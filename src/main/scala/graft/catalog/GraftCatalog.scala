@@ -260,11 +260,11 @@ object GraftCatalog {
         "range narrows at once, so conjunctive range filters prune on " +
         "all dimensions)",
       Seq("path" -> StringType, "columns" -> StringType,
-        "target_bytes" -> LongType), versionResult,
+        "target_bytes" -> LongType, "curve" -> StringType), versionResult,
       (spark, in) => versionRow(VersionedTable.zorderBy(spark, str(in, 0),
         str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-        targetBytes = in.getLong(2))),
-      defaults = Map("target_bytes" -> "134217728")),
+        targetBytes = in.getLong(2), curve = str(in, 3))),
+      defaults = Map("target_bytes" -> "134217728", "curve" -> "'morton'")),
 
     new Proc("index_sums",
       "attach exact per-file sums (and live-exact bounds/null counts) " +

@@ -46,26 +46,13 @@ object ScaleQueries {
 
   /** Hilbert-curve geometry (q123): 8 bits per dimension (n = 256), the
     * same (price, order-day) quantization as q109's Z-order so the two
-    * layouts are directly comparable; bucket = h div 1024. */
-  val HilbertN = 256L
+    * layouts are directly comparable; bucket = h div 1024. The level
+    * construction lives in [[graft.functions.SpaceCurves]] — shared with
+    * the physical `zorderBy(curve = "hilbert")` commit. */
+  val HilbertN: Long = graft.functions.SpaceCurves.HilbertN
   val HbBucketDiv = 1024L
-  /** One xy2d level (s = 2^k) over the packed state acc = d·2^16 + x·2^8
-    * + y, as engine-neutral integer SQL (`divOp` is `div` for Spark,
-    * `//` for DuckDB). Wikipedia's public xy2d construction: quadrant
-    * digit (3·rx) XOR ry = 2·rx + (rx+ry) mod 2, then the ry=0 rotation
-    * (flip at full n width when rx=1, then swap x/y). */
-  def hilbertLevelSql(s: Long, acc: String, divOp: String): String = {
-    val d = s"(($acc) $divOp 65536)"
-    val x = s"((($acc) $divOp 256) % 256)"
-    val y = s"(($acc) % 256)"
-    val rx = s"(($x $divOp $s) % 2)"
-    val ry = s"(($y $divOp $s) % 2)"
-    val quad = s"(2 * $rx + ($rx + $ry) % 2)"
-    val d1 = s"($d + ${s * s} * $quad)"
-    val x1 = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${HilbertN - 1} - $y ELSE $y END) ELSE $x END)"
-    val y1 = s"(CASE WHEN $ry = 0 THEN (CASE WHEN $rx = 1 THEN ${HilbertN - 1} - $x ELSE $x END) ELSE $y END)"
-    s"($d1 * 65536 + $x1 * 256 + $y1)"
-  }
+  def hilbertLevelSql(s: Long, acc: String, divOp: String): String =
+    graft.functions.SpaceCurves.hilbertLevelSql(s, acc, divOp)
 
   /** Decontamination keep-threshold on q58's shared-shingle ratio. */
   val DecontamMaxRatio = 0.25

@@ -3128,10 +3128,16 @@ object VersionedTable {
 
   /** Rewrite the table Z-ORDERED on `cols` — multi-dimensional
     * clustering as a commit (the OPTIMIZE…ZORDER BY shape): each
-    * dimension quantizes to 8 bits over its live [min, max] (equal-width
-    * buckets from ONE aggregate over the current snapshot), the
-    * per-dimension bits INTERLEAVE into a Morton key, and the rewrite
-    * range-partitions + sorts on that key before writing. Why not plain
+    * dimension quantizes over its live [min, max] (equal-width buckets,
+    * bounds from manifest stats or one aggregate) into an ADAPTIVE bit
+    * width — integral dimensions take only the bits their value range
+    * needs, so a low-cardinality dimension stops diluting the others'
+    * locality (see the bitsD comment) — and the per-dimension bits
+    * INTERLEAVE into a Morton key (`curve = "morton"`), or map through
+    * the 2-D Hilbert xy2d construction (`curve = "hilbert"`, q123's
+    * curve: consecutive keys always grid-adjacent, tighter per-file
+    * boxes at equal file counts). The rewrite range-partitions + sorts
+    * on the key before writing. Why not plain
     * `compact(clusterBy = cols)`: lexicographic clustering narrows
     * per-file [lo, hi] on the LEADING column only — a filter on the
     * second column alone still opens every file. On the Morton layout
@@ -3145,13 +3151,18 @@ object VersionedTable {
     * NULLs land in bucket 0. Deletion vectors materialize like every
     * copy-on-write rewrite. Returns the new version. */
   def zorderBy(spark: SparkSession, root: String, cols: Seq[String],
-               targetBytes: Long = 128L * 1024 * 1024): Int = {
+               targetBytes: Long = 128L * 1024 * 1024,
+               curve: String = "morton"): Int = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     require(cols.size >= 2,
       "zorderBy needs at least two columns (one column: use compact(clusterBy))")
     require(cols.size <= 4, "zorderBy supports at most 4 dimensions")
+    require(curve == "morton" || curve == "hilbert",
+      s"unknown curve '$curve' (morton | hilbert)")
+    require(curve == "morton" || cols.size == 2,
+      "the hilbert curve layout is 2-D; use morton for 3-4 dimensions")
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
@@ -3197,25 +3208,88 @@ object VersionedTable {
         (if (boundsRow.isNullAt(2 * d)) 0.0 else boundsRow.getDouble(2 * d),
          if (boundsRow.isNullAt(2 * d + 1)) 0.0 else boundsRow.getDouble(2 * d + 1)))
     }
-    val bits = 8
-    val buckets = 1 << bits
-    val zc = cols.zipWithIndex.map { case (c, d) =>
+    // ADAPTIVE bits per dimension (morton): an integral dimension takes
+    // only the bits its live value RANGE needs (a 4-value enum takes 2,
+    // never 8). This is not about dropping constant-zero high bits —
+    // those wouldn't change the order — it's the BUCKETING: fixed 8-bit
+    // equal-width buckets smear a 4-value domain across the full 0..255
+    // range, so every one of its 8 interleave positions carries
+    // information and dilutes the other dimensions' locality at every
+    // level. Sized to the domain, the skewed dimension occupies exactly
+    // its log2(range+1) positions and the wide dimensions' per-file
+    // ranges tighten (ZOrderSpec measures it). Continuous domains
+    // (double/decimal/timestamp) keep 8; bounds come from the same
+    // manifest stats as the bucket widths — zero extra scan.
+    def integralDim(c: String): Boolean =
+      schema.fields.find(_.name == c).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType | DateType => true
+        case _ => false
+      }
+    val bitsD: Seq[Int] = cols.zipWithIndex.map { case (c, d) =>
+      if (curve == "hilbert") 8
+      else {
+        val (lo, hi) = bounds(d)
+        if (hi <= lo) 1 // constant (or all-null) dimension: one bucket
+        else if (!integralDim(c)) 8
+        else {
+          val range = hi - lo // (range + 1) integer values need
+          if (!range.isFinite || range >= 255.0) 8 // ceil(log2(range+1)) bits
+          else math.max(1,
+            64 - java.lang.Long.numberOfLeadingZeros(math.ceil(range).toLong))
+        }
+      }
+    }
+    def bucket(c: String, d: Int): Column = {
       val (lo, hi) = bounds(d)
+      val buckets = 1 << bitsD(d)
       val b =
         if (hi <= lo) lit(0L) // constant (or all-null) dimension
         else least(greatest(
           floor((dim(c) - lit(lo)) / lit((hi - lo) / buckets)), lit(0.0)),
           lit((buckets - 1).toDouble)).cast(LongType)
-      val bn = coalesce(b, lit(0L))
-      // spread dimension d's bit i to position i*k + d of the Morton key
-      (0 until bits).map(i =>
-        shiftleft(shiftright(bn, i).bitwiseAND(lit(1L)),
-          i * cols.size + d)).reduce(_ bitwiseOR _)
-    }.reduce(_ bitwiseOR _)
+      coalesce(b, lit(0L))
+    }
     val f = fs(spark, new Path(root))
     val bytes = m.files.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = base.withColumn("__graft_z", zc)
+    val keyed =
+      if (curve == "hilbert") {
+        // 2-D Hilbert (q123's layered xy2d, 256×256): consecutive keys
+        // are always grid-ADJACENT — no Morton "jumps" — so per-file
+        // boxes on a key-sorted layout are tighter for the same file
+        // count. Each level is one projected column (acc referenced
+        // many times → CollapseProject keeps them as attributes, not an
+        // exponentially inlined tree).
+        var df = base
+          .withColumn("__graft_zacc",
+            bucket(cols.head, 0) * lit(256L) + bucket(cols(1), 1))
+        for (k <- 7 to 0 by -1)
+          df = df.withColumn("__graft_zacc", expr(
+            graft.functions.SpaceCurves.hilbertLevelSql(
+              1L << k, "__graft_zacc", "div")))
+        df.withColumn("__graft_z", expr("__graft_zacc div 65536"))
+          .drop("__graft_zacc")
+      } else {
+        // variable-width Morton: round-robin the dimensions' bits into
+        // key positions; a dimension out of bits drops out of the cycle
+        val dstPos: Seq[Seq[Int]] = {
+          val acc = Seq.fill(cols.size)(scala.collection.mutable.ArrayBuffer.empty[Int])
+          var p = 0
+          for (i <- 0 until bitsD.max; d <- cols.indices if i < bitsD(d)) {
+            acc(d) += p
+            p += 1
+          }
+          acc.map(_.toSeq)
+        }
+        val zc = cols.zipWithIndex.map { case (c, d) =>
+          val bn = bucket(c, d)
+          (0 until bitsD(d)).map(i =>
+            shiftleft(shiftright(bn, i).bitwiseAND(lit(1L)),
+              dstPos(d)(i))).reduce(_ bitwiseOR _)
+        }.reduce(_ bitwiseOR _)
+        base.withColumn("__graft_z", zc)
+      }
+    val df = keyed
       .repartitionByRange(target, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z")
