@@ -92,7 +92,9 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
         .orElse(parameters.get("maxVersionsPerTrigger")).map(_.toInt),
       changeFeed = cdf,
       ignoreSchemaChanges = parameters.get("ignoreschemachanges")
-        .orElse(parameters.get("ignoreSchemaChanges")).exists(_.toBoolean))
+        .orElse(parameters.get("ignoreSchemaChanges")).exists(_.toBoolean),
+      maxBytesPerTrigger = parameters.get("maxbytespertrigger")
+        .orElse(parameters.get("maxBytesPerTrigger")).map(_.toLong))
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -234,12 +236,16 @@ class VersionedRelation(override val sqlContext: SQLContext, val root: String,
   }
 }
 
-/** V1 streaming offset carrying a committed version number. Serialized
-  * form is the bare number, so a checkpoint-recovered `SerializedOffset`
-  * parses back losslessly. */
-final case class VersionOffset(v: Long)
+/** V1 streaming offset carrying a committed version number, optionally
+  * mid-version: `part >= 0` means only the first `part` of the
+  * version's ADDED files (in manifest order — immutable, so the prefix
+  * is stable) have been delivered; -1 means the version is complete.
+  * Serialized form is the bare number for complete offsets — a
+  * checkpoint written before byte-capped admission existed parses back
+  * losslessly — and `v#part` mid-version. */
+final case class VersionOffset(v: Long, part: Int = -1)
     extends org.apache.spark.sql.execution.streaming.Offset {
-  override def json: String = v.toString
+  override def json: String = if (part < 0) v.toString else s"$v#$part"
 }
 
 /** Stream a versioned table by following its commit log: offset =
@@ -270,7 +276,8 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
                             ignoreChanges: Boolean,
                             maxVersionsPerTrigger: Option[Int] = None,
                             changeFeed: Boolean = false,
-                            ignoreSchemaChanges: Boolean = false)
+                            ignoreSchemaChanges: Boolean = false,
+                            maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -287,10 +294,36 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
   @volatile private var availableNowCap: Option[Long] = None
 
   private def versionOf(o: org.apache.spark.sql.execution.streaming.Offset): Int =
+    partsOf(o)._1
+
+  /** (version, part) of an offset; part -1 = the version is complete.
+    * A bare-number checkpoint from before byte-capped admission parses
+    * as complete. */
+  private def partsOf(o: org.apache.spark.sql.execution.streaming.Offset)
+      : (Int, Int) =
     o match {
-      case VersionOffset(v) => v.toInt
-      case other => other.json.trim.toInt // SerializedOffset from the checkpoint
+      case VersionOffset(v, p) => (v.toInt, p)
+      case other => // SerializedOffset from the checkpoint
+        val t = other.json.trim
+        val i = t.indexOf('#')
+        if (i < 0) (t.toInt, -1)
+        else (t.substring(0, i).toInt, t.substring(i + 1).toInt)
     }
+
+  /** Version `x`'s ADDED files in manifest order (immutable — the
+    * stable sequence mid-version offsets index into). */
+  private def addedOf(x: Int): Seq[String] = {
+    val prev =
+      if (x <= 1) Set.empty[String]
+      else VersionedTable.filesOf(spark, root, Some(x - 1)).toSet
+    VersionedTable.filesOf(spark, root, Some(x)).filterNot(prev)
+  }
+
+  private def fileLen(rel: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(root, rel)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getLen
+  }
 
   override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
     VersionedTable.currentVersion(spark, root)
@@ -309,8 +342,11 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
       .getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val startV: Long = Option(startOffset)
-      .map(o => o.json.trim.toLong).getOrElse(floorVersion.toLong)
+    val (startV0, startPart) = Option(startOffset)
+      .map(o => partsOf(
+        org.apache.spark.sql.execution.streaming.SerializedOffset(o.json)))
+      .getOrElse((floorVersion, -1))
+    val startV = math.max(startV0, floorVersion).toLong
     val current = VersionedTable.currentVersion(spark, root).map(_.toLong)
     val pinned = availableNowCap
       .map(cap => current.map(math.min(_, cap))).getOrElse(current)
@@ -318,8 +354,67 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
       case r: ReadMaxRows => pinned.map(math.min(_, startV + r.maxRows))
       case _ => pinned
     }
-    limited.filter(_ > math.max(startV, floorVersion.toLong))
-      .map(VersionOffset).orNull
+    maxBytesPerTrigger match {
+      case Some(budget) =>
+        limited.map(_.toInt).flatMap(maxV =>
+          byteCappedOffset(startV.toInt, startPart, maxV, budget)).orNull
+      case None =>
+        // a partially-delivered head version (a byte-capped run whose
+        // option was since removed) still has files to finish: complete
+        // it even when no NEWER version exists
+        limited.filter(mx => mx > startV || (startPart >= 0 && mx >= startV))
+          .map(mx => VersionOffset(math.max(mx, startV))).orNull
+    }
+  }
+
+  /** Byte-capped admission: walk versions (and within a version, its
+    * added files in manifest order) from the start offset, admitting
+    * files until the next one would cross `budget` — always at least
+    * one, so a single file larger than the budget still progresses. A
+    * version with no added files (metadata-only commit: addColumn,
+    * index builds) passes through for free, so schema guards still
+    * fire on it. The change feed is version-granular (its diffs read
+    * whole commits), so there admission rounds DOWN to complete
+    * versions — never below one. */
+  private def byteCappedOffset(startV: Int, startPart: Int, maxV: Int,
+                               budget: Long): Option[VersionOffset] = {
+    if (maxV <= startV && startPart < 0) return None
+    var bytes = 0L
+    var admitted = 0
+    var lastV = startV
+    var lastPart = startPart
+    val firstV = if (startPart >= 0) startV else startV + 1
+    var x = firstV
+    while (x <= maxV) {
+      val a = addedOf(x)
+      var i = if (x == startV && startPart >= 0) startPart else 0
+      while (i < a.size) {
+        val len = fileLen(a(i))
+        if (admitted > 0 && bytes + len > budget) {
+          // the change feed cannot split a version: round down to the
+          // last COMPLETE version (but never refuse all progress)
+          return Some(
+            if (!changeFeed) {
+              if (i == 0) VersionOffset(x - 1) else VersionOffset(x, i)
+            }
+            else if (x - 1 > startV) VersionOffset(x - 1)
+            else VersionOffset(x)) // never round down to no progress
+        }
+        bytes += len
+        admitted += 1
+        lastV = x
+        lastPart = i + 1
+        i += 1
+      }
+      if (lastV == x && lastPart == a.size) lastPart = -1 // version complete
+      if (a.isEmpty) { lastV = x; lastPart = -1 }
+      x += 1
+    }
+    if (lastPart < 0 || changeFeed) {
+      // complete through lastV (metadata-only tail versions included)
+      val endV = math.max(lastV, maxV)
+      if (endV > startV || startPart >= 0) Some(VersionOffset(endV)) else None
+    } else Some(VersionOffset(lastV, lastPart))
   }
 
   /** Mid-stream schema evolution guard, shared by BOTH delivery modes:
@@ -376,8 +471,9 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
 
   override def getBatch(start: Option[org.apache.spark.sql.execution.streaming.Offset],
                         end: org.apache.spark.sql.execution.streaming.Offset): DataFrame = {
-    val fromV = start.map(versionOf).getOrElse(floorVersion)
-    val toV = versionOf(end)
+    val (fromV0, fromPart) = start.map(partsOf).getOrElse((floorVersion, -1))
+    val fromV = math.max(fromV0, floorVersion)
+    val (toV, toPart) = partsOf(end)
     guardSchemaChange(fromV, toV)
     if (changeFeed) return changeFeedBatch(fromV, toV)
     val before =
@@ -405,7 +501,24 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
           "(merge-on-read delete): not an append-only feed. Set " +
           "ignoreChanges=true to continue (removed rows are never " +
           "re-delivered).")
-    val fresh = after.filterNot(before)
+    val fresh =
+      if (fromPart < 0 && toPart < 0) after.filterNot(before)
+      else {
+        // MID-VERSION batch (byte-capped admission): the file list is a
+        // deterministic function of the two offsets alone — per-version
+        // ADDED lists in manifest order, sliced by the offsets' part
+        // indices — so a checkpoint replay rebuilds the identical batch.
+        // Under ignoreChanges a file rewritten away later in the range
+        // is dropped like the whole-version path's net difference.
+        val afterSet = after.toSet
+        val firstV = if (fromPart >= 0) fromV else fromV + 1
+        (firstV to toV).flatMap { x =>
+          val a = addedOf(x)
+          val lo = if (x == fromV && fromPart >= 0) fromPart else 0
+          val hi = if (x == toV && toPart >= 0) toPart else a.size
+          a.slice(lo, hi)
+        }.filter(f => !ignoreChanges || afterSet.contains(f))
+      }
     // partition-aware read under the stream's PINNED schema (partition
     // values resolve from the k=v dir names, clones included); rows a
     // vector already deleted AT toV are not delivered — a replay of this

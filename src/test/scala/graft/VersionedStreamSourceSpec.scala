@@ -315,6 +315,46 @@ class VersionedStreamSourceSpec extends SparkSpec {
       "post-restart delivery carries the new column")
   }
 
+  test("maxBytesPerTrigger splits a large commit across triggers, exactly once") {
+    val root = freshRoot()
+    import spark.implicits._
+    // v1: one big snapshot commit in 8 files; v2: 4 more
+    VersionedTable.create(spark, root,
+      (1L to 400L).toDF("id").withColumn("payload", col("id") * 10)
+        .repartition(8))
+    VersionedTable.append(spark, root,
+      (401L to 500L).toDF("id").withColumn("payload", col("id") * 10)
+        .repartition(4))
+    val ckpt = Files.createTempDirectory("vss_bytes_ck").toString
+    val out = Files.createTempDirectory("vss_bytes_out").toString
+    val opts = Map("maxBytesPerTrigger" -> "2500")
+    assert(drain(root, ckpt, out, opts) == (1L to 500L),
+      "every row arrives exactly once despite the byte cap")
+    val batches = new java.io.File(ckpt, "offsets").list()
+      .count(!_.startsWith("."))
+    assert(batches > 3,
+      s"a ~2.5 KB budget must split the 12-file log into many " +
+        s"micro-batches, got $batches")
+    // restart on the same checkpoint: nothing re-delivers
+    assert(drain(root, ckpt, out, opts) == (1L to 500L))
+    // the feed keeps following new commits, still byte-capped
+    VersionedTable.append(spark, root,
+      (501L to 520L).toDF("id").withColumn("payload", col("id") * 10)
+        .coalesce(1))
+    assert(drain(root, ckpt, out, opts) == (1L to 520L))
+    // a budget smaller than any single file still progresses (one file
+    // per batch), and a version-cap composes with the byte cap
+    val root2 = freshRoot()
+    VersionedTable.create(spark, root2,
+      (1L to 50L).toDF("id").withColumn("payload", col("id")).repartition(5))
+    val ck2 = Files.createTempDirectory("vss_bytes_ck2").toString
+    val out2 = Files.createTempDirectory("vss_bytes_out2").toString
+    assert(drain(root2, ck2, out2, Map("maxBytesPerTrigger" -> "10"))
+      == (1L to 50L))
+    assert(new java.io.File(ck2, "offsets").list().count(!_.startsWith("."))
+      >= 5, "a sub-file budget admits exactly one file per batch")
+  }
+
   test("a commit racing between schema pin and source construction still refuses") {
     // the guard must anchor on the PINNED SCHEMA, not a version captured
     // at construction: an addColumn landing between sourceSchema's pin
