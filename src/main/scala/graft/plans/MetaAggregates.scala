@@ -120,6 +120,10 @@ object MetaAggregates extends Rule[LogicalPlan] {
   private def boundableType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DateType | ShortType | ByteType => true
     case TimestampType | TimestampNTZType => true
+    // decimal bounds live in the exact UNSCALED domain (indexSums / the
+    // DML refresh store them; footers are skipped for decimals) -- same
+    // scale => same order, so min/max convert back exactly
+    case d: DecimalType if d.precision <= 18 => true
     case _ => false
   }
 
@@ -143,6 +147,7 @@ object MetaAggregates extends Rule[LogicalPlan] {
         case _ => None
       }
       case LongType | IntegerType | DateType | ShortType | ByteType => Some(v)
+      case d: DecimalType if s.unit == s"dec${d.scale}" => Some(v)
       case _ => None
     }
   } catch {
@@ -158,6 +163,8 @@ object MetaAggregates extends Rule[LogicalPlan] {
     case IntegerType | DateType => Some(v.toInt)
     case ShortType => Some(v.toShort)
     case ByteType => Some(v.toByte)
+    case d: DecimalType => Some(
+      org.apache.spark.sql.types.Decimal(v, d.precision, d.scale))
     case _ => None
   }
 
@@ -548,11 +555,16 @@ object MetaAggregates extends Rule[LogicalPlan] {
                     isMin: Boolean): Option[Any] = {
     val counted = fs.filterNot(f =>
       f.rows.contains(0L) || f.rows.exists(_ == f.dvCard))
-    // per-file: the stat must exist, be long-domain, be live when the
-    // file carries a vector, and prove its unit for the attribute type
+    // per-file: the stat must exist, live in the attribute's exact
+    // domain ("long", or "dec" for decimals — whose unit must carry the
+    // column's own scale), and be live when the file carries a vector
+    val wantTyp = a.dataType match {
+      case _: DecimalType => "dec"
+      case _ => "long"
+    }
     val vals = counted.map { f =>
       f.stats.get(a.name)
-        .filter(s => s.typ == "long" && (f.dvCard == 0L || s.live))
+        .filter(s => s.typ == wantTyp && (f.dvCard == 0L || s.live))
         .flatMap(s => statLong(a.dataType, s, isMin))
     }
     if (vals.isEmpty || vals.exists(_.isEmpty)) return None

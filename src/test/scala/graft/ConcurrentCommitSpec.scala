@@ -67,6 +67,22 @@ class ConcurrentCommitSpec extends SparkSpec
       "both deletes' effects survive — neither vector clobbered the other")
   }
 
+  test("the rebase walks MULTIPLE interleaved commits, all disjoint") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 6L: _*))          // v1
+    VersionedTable.raceBeforePublish = () => {
+      VersionedTable.append(spark, root, df(100))                 // v2
+      VersionedTable.append(spark, root, df(200, 3))              // v3
+    }
+    val v = VersionedTable.deleteWhereVectored(spark, root,
+      Map("id" -> (Some(3L), Some(4L))), col("id").between(3, 4))
+    assert(v == 4, s"the delete must rebase over BOTH appends, got v$v")
+    assert(idsOf(VersionedTable.read(spark, root)) ==
+      Seq(1L, 2L, 3L, 5L, 6L, 100L, 200L),
+      "both raced appends survive — including the id=3 copy inside the " +
+        "delete's own predicate range (snapshot-at-read)")
+  }
+
   test("overlapping writers refuse: a rewrite racing a vectored delete on the same file") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1L to 6L: _*))          // v1, one file

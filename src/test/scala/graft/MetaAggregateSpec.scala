@@ -488,6 +488,53 @@ class MetaAggregateSpec extends SparkSpec {
     assert(!metaAnswered(rel(root).agg(avg("id").as("a"))))
   }
 
+  test("decimal min/max answer from the unscaled index; un-indexed refuses") {
+    import spark.implicits._
+    val root = freshRoot()
+    val typed = (0L until 200L).toDF("id")
+      .withColumn("amount",
+        when(col("id") % 7 =!= 0, (col("id") * 3 + 1).cast("decimal(10,2)") / 8)
+          .cast("decimal(10,2)"))
+      .repartition(3)
+    VersionedTable.create(spark, root, typed)
+    // footers skip decimal stats entirely: min/max must refuse pre-index
+    assert(!metaAnswered(rel(root).agg(min("amount").as("lo"))))
+    VersionedTable.indexSums(spark, root, Seq("amount"))
+    val q = rel(root).agg(min("amount").as("lo"), max("amount").as("hi"))
+    assert(metaAnswered(q), q.queryExecution.optimizedPlan.toString)
+    val r = q.collect().head
+    val exp = typed.agg(min("amount"), max("amount")).collect().head
+    assert(r.getDecimal(0) == exp.getDecimal(0) &&
+      r.getDecimal(1) == exp.getDecimal(1))
+    // stays live-exact through a vectored delete of the extremes
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty,
+      col("id") < 20 || col("id") >= 180)
+    val q2 = rel(root).agg(min("amount").as("lo"), max("amount").as("hi"))
+    assert(metaAnswered(q2))
+    val surv = typed.filter(col("id") >= 20 && col("id") < 180)
+    val exp2 = surv.agg(min("amount"), max("amount")).collect().head
+    val r2 = q2.collect().head
+    assert(r2.getDecimal(0) == exp2.getDecimal(0) &&
+      r2.getDecimal(1) == exp2.getDecimal(1),
+      "post-delete bounds must be survivor-exact, not the raw extremes")
+  }
+
+  test("metadata aggregates survive a column rename (stats re-key with the name)") {
+    import spark.implicits._
+    val root = freshRoot()
+    val typed = (0L until 100L).toDF("id")
+      .withColumn("v", col("id") * 2).repartition(2)
+    VersionedTable.create(spark, root, typed)
+    VersionedTable.indexSums(spark, root, Seq("v"))
+    VersionedTable.renameColumn(spark, root, "v", "weight")
+    val q = rel(root).agg(sum("weight").as("s"), min("weight").as("lo"),
+      max("weight").as("hi"), count(lit(1)).as("n"))
+    assert(metaAnswered(q), q.queryExecution.optimizedPlan.toString)
+    val r = q.collect().head
+    assert(r.getLong(0) == (0L until 100L).map(_ * 2).sum)
+    assert(r.getLong(1) == 0L && r.getLong(2) == 198L && r.getLong(3) == 100L)
+  }
+
   test("count(DISTINCT part) answers from the manifest; multi-valued files refuse") {
     import spark.implicits._
     val root = freshRoot()
