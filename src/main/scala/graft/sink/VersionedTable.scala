@@ -3577,13 +3577,15 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root))
     v.map(readManifest(spark, root, _)) match {
       case Some(m) =>
-        // apply the resolved version's deletion vectors (files absent from
-        // that manifest simply have none) under the caller's FIXED schema
-        // the caller's FIXED schema resolves by NAME against the files
-        // (a pre-rename pinned schema's names ARE the physical names) —
-        // never through the current version's logical mapping
-        readSnapshotFiles(spark, root, m, files, Some(schema.toDDL),
-          Some(Map.empty))
+        // apply the resolved version's deletion vectors (files absent
+        // from that manifest simply have none) under the caller's FIXED
+        // schema, resolved through the version's column mapping: a
+        // schema pinned AFTER a rename names fields by their CURRENT
+        // logical name — mapped to the frozen physical one every file
+        // carries — while a pre-rename pinned schema's names ARE
+        // physical names, absent from the mapping, falling through to
+        // by-name resolution. Both delivery modes read correctly.
+        readSnapshotFiles(spark, root, m, files, Some(schema.toDDL))
       case None =>
         readPaths(spark, schema.toDDL,
           files.map(f => new Path(root, f).toString), partitioned = false, root)

@@ -170,6 +170,64 @@ class ColumnMappingSpec extends SparkSpec {
     assert(rems.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("a stream STARTED AFTER a rename delivers pre-rename files under the new name") {
+    // the stream pins the post-rename logical schema; pre-rename files
+    // physically carry the old name — delivery must resolve through the
+    // column mapping, or every historical row's renamed column reads
+    // NULL (the silent-corruption shape this spec exists to refuse)
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))                  // v1 (phys: payload)
+    VersionedTable.renameColumn(spark, root, "payload", "amount") // v2
+    VersionedTable.append(spark, root,
+      df(3).withColumnRenamed("payload", "amount"))               // v3
+    val out = Files.createTempDirectory("cm_out2").toString
+    val q = spark.readStream.format("graft-versioned").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cm_ck2").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq == Seq("id", "amount"))
+    assert(got.select("amount").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L, 30L),
+      "pre-rename files' values must arrive under the new logical name")
+  }
+
+  test("ignoreSchemaChanges: a pre-rename pinned stream keeps its OLD name") {
+    // the complementary delivery mode: the stream pinned 'payload'
+    // before the rename; with the escape hatch it keeps delivering
+    // under that name — which IS the frozen physical name, so both
+    // pre- and post-rename files resolve by fall-through
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))                  // v1
+    val out = Files.createTempDirectory("cm_out3").toString
+    val ckpt = Files.createTempDirectory("cm_ck3").toString
+    // ONE continuous query: a restart legitimately re-pins the current
+    // (post-rename) schema, so the pre-rename pin only exists live
+    val q = spark.readStream.format("graft-versioned")
+      .option("ignoreSchemaChanges", "true").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable() // pins (id, payload), snapshot delivered
+      VersionedTable.renameColumn(spark, root, "payload", "amount") // v2
+      VersionedTable.append(spark, root,
+        df(3).withColumnRenamed("payload", "amount"))               // v3
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq == Seq("id", "payload"),
+      "the pinned stream keeps its pre-rename column name")
+    assert(got.select("payload").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L, 30L),
+      "post-rename appends' values still arrive (they physically carry " +
+        "the frozen old name)")
+  }
+
   test("a live stream refuses a mid-stream rename like any schema change") {
     import org.apache.spark.sql.streaming.Trigger
     val root = freshRoot()
