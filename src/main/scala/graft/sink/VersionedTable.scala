@@ -3603,6 +3603,18 @@ object VersionedTable {
     readManifest(spark, root, v).dvs.map { case (f, d) => f -> (d.dvFile, d.card) }
   }
 
+  /** `version`'s column mapping as physical → current-logical name, only
+    * where they differ — lets a consumer holding a PRE-RENAME schema
+    * (a pinned stream) recognize a field that lives on under a new
+    * logical name. Empty until mapping activates. */
+  private[graft] def physToLogical(spark: SparkSession, root: String,
+                                   version: Option[Int] = None): Map[String, String] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    readManifest(spark, root, v).colMap
+      .collect { case f if f.name != f.phys => f.phys -> f.name }.toMap
+  }
+
   /** Shallow clone: publish `srcRoot`'s chosen snapshot (default
     * newest) as version 1 of a NEW table at `dstRoot`, referencing the
     * SOURCE's immutable data files by absolute path — zero data copied,

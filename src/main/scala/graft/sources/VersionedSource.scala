@@ -547,11 +547,19 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
     // later addColumn while the restarted source already pinned the
     // widened schema — pre-evolution rows null-fill the new column
     // (exactly what a batch read of the evolved table shows for them)
+    // a pinned PRE-RENAME name isn't gone — the field lives on under its
+    // new logical name (the column mapping's physical side is the old
+    // name); resolve it before null-filling, or a pinned CDF stream
+    // silently loses every renamed column's values
+    lazy val p2l = VersionedTable.physToLogical(spark, root, Some(toV))
     def align(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
       df.select(dataFields.map(f =>
         if (have.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)): _*)
+        else p2l.get(f.name).filter(have.contains) match {
+          case Some(cur) => col(cur).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }): _*)
     }
     val (add, rem) =
       if (fromV == 0) {

@@ -228,6 +228,33 @@ class ColumnMappingSpec extends SparkSpec {
         "the frozen old name)")
   }
 
+  test("CDF: a pinned pre-rename stream keeps values through the rename") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))                  // v1
+    val out = Files.createTempDirectory("cm_cdf_out").toString
+    val q = spark.readStream.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("ignoreSchemaChanges", "true").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cm_cdf_ck").toString).start()
+    try {
+      q.processAllAvailable() // pinned (id, payload, _change_type)
+      VersionedTable.renameColumn(spark, root, "payload", "amount") // v2
+      VersionedTable.append(spark, root,
+        df(3).withColumnRenamed("payload", "amount"))               // v3
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.columns.contains("payload"))
+    assert(got.filter(col("_change_type") === "insert")
+      .select("payload").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L, 30L),
+      "the renamed column's post-rename values must flow under the pin, " +
+        "never null-fill")
+  }
+
   test("a live stream refuses a mid-stream rename like any schema change") {
     import org.apache.spark.sql.streaming.Trigger
     val root = freshRoot()
