@@ -1208,17 +1208,24 @@ object VersionedTable {
 
   /** Append: new version = previous files + the new rows' files. The
     * incoming schema must match the table schema (same DDL) — the
-    * guard a schema-on-write table enforces. */
-  def append(spark: SparkSession, root: String, df: DataFrame): Int = {
+    * guard a schema-on-write table enforces. A blind append's file
+    * footprint is EMPTY, so it rebases across any concurrent commit
+    * (the Delta rule: appends conflict with nothing) — data files are
+    * staged once and only the manifest publish retries; a concurrent
+    * schema/layout change still refuses. */
+  def append(spark: SparkSession, root: String, df: DataFrame,
+             txn: Option[Long] = None): Int = {
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
     requireWriteCompatible(m.schemaDdl, df, "append")
-    commit(spark, root, df, m.files, carryStats = m.stats,
-      tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
-      baseVersion = Some(cur), partitionCols = m.partitionCols,
-      carryHlls = m.hlls, carryDvs = m.dvs, parent = Some(m),
-      carryRows = m.rows, op = "append")
+    val added = writeDataFiles(spark, root, df, cur + 1, m.partitionCols,
+      m.physMap)
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
+      m.physMap)
+    commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
+      addedFiles = added, addedStats = addedStats, addedRows = addedRows,
+      op = "append", txn = txn))
   }
 
   /** Overwrite: new version references ONLY the new rows' files (logical
@@ -1235,32 +1242,17 @@ object VersionedTable {
         .map(v => readManifest(spark, root, v).partitionCols)
         .getOrElse(Seq.empty), op = op)
 
-  /** Optimistic-concurrency append: the multi-writer entry point. Each
-    * attempt stages its data files under a writer-unique nonce, reads
-    * the CURRENT manifest, and tries to publish version cur+1; losing
-    * the manifest-rename race (the CAS point) means another writer
-    * committed first — an APPEND conflicts with nothing, so the retry
-    * simply REBASES: re-read the winner's file list as the new
-    * carry-over and publish as the next version. Orphaned data files
-    * from lost attempts are unreferenced and swept by [[expire]].
-    * Overwrite/delete conflicts need application-level semantics and
+  /** Optimistic-concurrency append — kept as the historical multi-writer
+    * entry point, now an alias: [[append]] itself rebases through the
+    * disjoint-file taxonomy (an append's footprint is empty, so it
+    * composes with any concurrent commit and stages its data files only
+    * ONCE — the old retry loop re-staged per attempt). Orphaned data
+    * files from lost attempts are unreferenced and swept by [[expire]].
+    * Overwrite conflicts still need application-level semantics and
     * deliberately have no retrying variant. */
   def appendCas(spark: SparkSession, root: String, df: DataFrame,
-                maxRetries: Int = 16): Int = {
-    var attempt = 0
-    while (true) {
-      try return append(spark, root, df)
-      catch {
-        case e: java.io.IOException
-            if e.getMessage != null && e.getMessage.contains("already committed") =>
-          attempt += 1
-          if (attempt > maxRetries)
-            throw new java.io.IOException(
-              s"append lost the commit race $maxRetries times at $root", e)
-      }
-    }
-    -1 // unreachable
-  }
+                maxRetries: Int = 16): Int =
+    append(spark, root, df)
 
   /** Idempotent transactional overwrite — for read-merge-write streaming
     * maintenance (a composite/MV table rebuilt per micro-batch from its
@@ -1296,15 +1288,11 @@ object VersionedTable {
           partitionCols = partitionBy, op = "create")
       case Some(cur) =>
         if (committedTxns(spark, root).contains(txn)) cur
-        else {
-          val m = readManifest(spark, root, cur)
-          requireWriteCompatible(m.schemaDdl, df, "append")
-          commit(spark, root, df, m.files, Some(txn), carryStats = m.stats,
-            tableDdl = Some(m.schemaDdl), carryBlooms = m.blooms,
-            baseVersion = Some(cur), partitionCols = m.partitionCols,
-            carryHlls = m.hlls, carryDvs = m.dvs, parent = Some(m),
-            carryRows = m.rows, op = "append")
-        }
+        // the rebasing append: a streaming sink's micro-batch no longer
+        // fails because a GDPR delete / compaction interleaved (the
+        // advertised concurrent deployment); a racing replay of the
+        // SAME txn short-circuits to the ledger inside the rebase walk
+        else append(spark, root, df, txn = Some(txn))
     }
 
   /** Snapshot-isolated read of `version` (default: newest). The returned

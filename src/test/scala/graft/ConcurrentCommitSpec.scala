@@ -143,6 +143,38 @@ class ConcurrentCommitSpec extends SparkSpec
       "the schema change stands")
   }
 
+  test("a txn append rebases across a racing vectored delete (streaming ingest + GDPR)") {
+    // the advertised concurrent deployment (q189-style sink + q191-style
+    // delete): the sink's micro-batch must not FAIL because maintenance
+    // interleaved — the append's empty footprint rebases over the DML
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 5L: _*))          // v1
+    VersionedTable.raceBeforePublish = () =>
+      VersionedTable.deleteWhereVectored(spark, root,
+        Map("id" -> (Some(2L), Some(2L))), col("id") === 2)       // v2 races in
+    val v = VersionedTable.appendTxn(spark, root, df(50), txn = 7L)
+    assert(v == 3, s"the txn append must land on top of the delete, got v$v")
+    assert(idsOf(VersionedTable.read(spark, root)) ==
+      Seq(1L, 3L, 4L, 5L, 50L),
+      "both the delete's effect and the appended batch survive")
+    // the ledger carries the txn: replay is refused as applied
+    assert(VersionedTable.appendTxn(spark, root, df(50), txn = 7L) == 3)
+    assert(VersionedTable.read(spark, root).count() == 5)
+  }
+
+  test("a SAME-txn race short-circuits to the ledger (no double-apply)") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1))                     // v1
+    // another replica lands txn 9 INSIDE our commit window: our retry
+    // must recognize the interleaved commit's txn id and apply nothing
+    VersionedTable.raceBeforePublish = () =>
+      VersionedTable.appendTxn(spark, root, df(60), txn = 9L)     // v2 races in
+    val v = VersionedTable.appendTxn(spark, root, df(61), txn = 9L)
+    assert(v == 2, s"the loser must adopt the winner's commit, got v$v")
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 60L),
+      "exactly-once: the losing replica's batch must NOT double-apply")
+  }
+
   test("merge-on-read upsert rebases across a racing append") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1, 2, 3))               // v1
