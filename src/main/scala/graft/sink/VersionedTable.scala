@@ -1018,48 +1018,29 @@ object VersionedTable {
     ordering(typ).compare(parse(typ, a), bv)
   }
 
+  /** FRESH-CONTENT commit — create / overwrite: the new version
+    * references ONLY the written files (appends and every carrying
+    * writer publish through [[commitDelta]], which rebases). A pinned
+    * `baseVersion` targets exactly base+1 so a commit landing in
+    * between refuses the stale rewrite instead of being silently
+    * replaced. An overwrite resets the column mapping with the data —
+    * every file is new, so logical names ARE physical again. */
   private def commit(spark: SparkSession, root: String, df: DataFrame,
-                     carryOver: Seq[String], txn: Option[Long] = None,
-                     carryStats: Map[String, Seq[ColStat]] = Map.empty,
-                     tableDdl: Option[String] = None,
-                     carryBlooms: Map[String, Seq[FileBloom]] = Map.empty,
+                     txn: Option[Long] = None,
                      baseVersion: Option[Int] = None,
                      partitionCols: Seq[String] = Seq.empty,
-                     carryHlls: Map[String, Seq[FileHll]] = Map.empty,
-                     carryDvs: Map[String, FileDv] = Map.empty,
-                     parent: Option[Manifest] = None,
-                     carryRows: Map[String, Long] = Map.empty,
                      op: String = "append"): Int = {
-    // When the caller read a manifest to build carryOver, the commit MUST
-    // target exactly base+1: re-resolving the version here would let a
-    // writer that landed in between be silently overwritten by our stale
-    // carry-over at a fresh number (lost update with no failed rename).
-    // Publishing at base+1 instead makes the manifest rename refuse the
-    // stale commit — the CAS failure appendCas rebases on.
     val v = baseVersion.map(_ + 1)
       .getOrElse(currentVersion(spark, root).getOrElse(0) + 1)
-    val ddl = tableDdl.getOrElse(df.schema.toDDL)
-    val pm = parent.map(_.physMap).getOrElse(Map.empty)
-    val added = writeDataFiles(spark, root, df, v, partitionCols, pm)
+    val ddl = df.schema.toDDL
+    val added = writeDataFiles(spark, root, df, v, partitionCols)
     // footer stats for file columns + degenerate [v, v] stats for
     // partition columns (hive dirs carry exactly one value per file),
     // plus exact per-file row counts — one footer open per added file
-    val (addedStats, addedRows) = addedMeta(spark, root, ddl, added, pm)
-    val files = carryOver ++ added
-    // the TABLE schema stays authoritative across appends: a write whose
-    // columns are merely non-nullable variants must not narrow it
+    val (addedStats, addedRows) = addedMeta(spark, root, ddl, added)
     writeManifest(spark, root,
-      Manifest(v, ddl, files, txn,
-        carryStats.view.filterKeys(carryOver.contains).toMap ++ addedStats,
-        carryBlooms.view.filterKeys(carryOver.contains).toMap,
-        partitionCols,
-        carryHlls.view.filterKeys(carryOver.contains).toMap,
-        carryDvs.view.filterKeys(carryOver.contains).toMap,
-        carryRows.view.filterKeys(carryOver.contains).toMap ++ addedRows,
-        op,
-        parent.map(_.colMap).getOrElse(Seq.empty),
-        parent.map(_.maxCid).getOrElse(0)),
-      parent)
+      Manifest(v, ddl, added, txn, addedStats,
+        partitionCols = partitionCols, rows = addedRows, op = op))
     v
   }
 
@@ -1202,8 +1183,7 @@ object VersionedTable {
     require(currentVersion(spark, root).isEmpty, s"table exists at $root")
     require(partitionBy.forall(df.schema.fieldNames.contains),
       s"partition columns ${partitionBy.filterNot(df.schema.fieldNames.contains)} not in schema")
-    commit(spark, root, df, Seq.empty, partitionCols = partitionBy,
-      op = "create")
+    commit(spark, root, df, partitionCols = partitionBy, op = "create")
   }
 
   /** Append: new version = previous files + the new rows' files. The
@@ -1237,7 +1217,7 @@ object VersionedTable {
   def overwrite(spark: SparkSession, root: String, df: DataFrame,
                 baseVersion: Option[Int] = None,
                 op: String = "overwrite"): Int =
-    commit(spark, root, df, Seq.empty, baseVersion = baseVersion,
+    commit(spark, root, df, baseVersion = baseVersion,
       partitionCols = currentVersion(spark, root)
         .map(v => readManifest(spark, root, v).partitionCols)
         .getOrElse(Seq.empty), op = op)
@@ -1263,11 +1243,11 @@ object VersionedTable {
                    txn: Long, partitionBy: Seq[String] = Seq.empty): Int =
     currentVersion(spark, root) match {
       case None =>
-        commit(spark, root, df, Seq.empty, Some(txn),
+        commit(spark, root, df, Some(txn),
           partitionCols = partitionBy, op = "create")
       case Some(cur) =>
         if (committedTxns(spark, root).contains(txn)) cur
-        else commit(spark, root, df, Seq.empty, Some(txn),
+        else commit(spark, root, df, Some(txn),
           partitionCols = readManifest(spark, root, cur).partitionCols,
           op = "overwrite")
     }
@@ -1284,7 +1264,7 @@ object VersionedTable {
     currentVersion(spark, root) match {
       case None =>
         // first commit fixes the layout (the streaming sink's create path)
-        commit(spark, root, df, Seq.empty, Some(txn),
+        commit(spark, root, df, Some(txn),
           partitionCols = partitionBy, op = "create")
       case Some(cur) =>
         if (committedTxns(spark, root).contains(txn)) cur
