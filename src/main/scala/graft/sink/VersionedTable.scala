@@ -1071,7 +1071,17 @@ object VersionedTable {
       dvUpdates: Map[String, FileDv] = Map.empty,
       refreshedStats: Map[String, Seq[ColStat]] = Map.empty,
       op: String = "overwrite",
-      txn: Option[Long] = None)
+      txn: Option[Long] = None,
+      // INDEX deltas: per-file, per-column metadata merges (indexSums /
+      // indexBloom / indexHll / reindex). They read file CONTENT but
+      // replace nothing, so their footprint is empty and they rebase
+      // across anything — except that an entry for a file an interleaved
+      // commit removed or RE-VECTORED is stale (computed over the old
+      // survivor set) and silently DROPS on rebase instead of refusing:
+      // an index is a cache of derivable facts, missing is always sound.
+      metaStats: Map[String, Seq[ColStat]] = Map.empty,
+      metaBlooms: Map[String, Seq[FileBloom]] = Map.empty,
+      metaHlls: Map[String, Seq[FileHll]] = Map.empty)
 
   /** Publish `delta` on top of `base`, REBASING across concurrent
     * commits whose file footprints are DISJOINT — the Delta/Iceberg
@@ -1102,16 +1112,37 @@ object VersionedTable {
     val footprint = delta.removedFiles ++ delta.dvUpdates.keySet
     var m = base
     var rebases = 0
+    // files whose index entries went stale during rebase (removed or
+    // re-vectored by an interleaved commit) — dropped, never refused
+    var stale = Set.empty[String]
+    // per-file, per-COLUMN merge: replace only the delta's columns,
+    // keep whatever else the (possibly rebased-onto) head carries
+    def mergeCols[T](basem: Map[String, Seq[T]], fresh: Map[String, Seq[T]],
+                     colOf: T => String, live: Set[String]): Map[String, Seq[T]] =
+      fresh.foldLeft(basem) { case (acc, (f, es)) =>
+        if (stale.contains(f) || !live.contains(f)) acc
+        else {
+          val cols = es.map(colOf).toSet
+          acc.updated(f,
+            acc.getOrElse(f, Seq.empty).filterNot(e => cols.contains(colOf(e))) ++ es)
+        }
+      }
     while (true) {
       val v = m.version + 1
       val gone = delta.removedFiles
+      val files = m.files.filterNot(gone) ++ delta.addedFiles
+      val liveSet = files.toSet
       val manifest = Manifest(v, m.schemaDdl,
-        m.files.filterNot(gone) ++ delta.addedFiles, delta.txn,
-        m.stats.view.filterKeys(!gone(_)).toMap ++ delta.refreshedStats ++
-          delta.addedStats,
-        m.blooms.view.filterKeys(!gone(_)).toMap,
+        files, delta.txn,
+        mergeCols[ColStat](
+          m.stats.view.filterKeys(!gone(_)).toMap ++ delta.refreshedStats ++
+            delta.addedStats,
+          delta.metaStats, _.col, liveSet),
+        mergeCols[FileBloom](m.blooms.view.filterKeys(!gone(_)).toMap,
+          delta.metaBlooms, _.col, liveSet),
         m.partitionCols,
-        m.hlls.view.filterKeys(!gone(_)).toMap,
+        mergeCols[FileHll](m.hlls.view.filterKeys(!gone(_)).toMap,
+          delta.metaHlls, _.col, liveSet),
         m.dvs.view.filterKeys(!gone(_)).toMap ++ delta.dvUpdates,
         m.rows.view.filterKeys(!gone(_)).toMap ++ delta.addedRows,
         delta.op, m.colMap, m.maxCid)
@@ -1151,6 +1182,7 @@ object VersionedTable {
               refuse(s"v$x (${wx.op}) removed or re-vectored " +
                 s"${overlap.size} file(s) this commit read, e.g. " +
                 overlap.head)
+            stale = stale ++ touchedByX // index entries for these drop
             prev = wx
             x += 1
           }
@@ -1670,20 +1702,15 @@ object VersionedTable {
     // append forever (the indexHll zero-register discipline)
     val zeroBloom = FileBloom("", mBits, k,
       java.util.Base64.getEncoder.encodeToString(new Array[Byte](mBits / 8)))
-    val newBlooms: Map[String, Seq[FileBloom]] = targets.map { f =>
+    val fresh: Map[String, Seq[FileBloom]] = targets.map { f =>
       val have = built.getOrElse(f, Seq.empty)
-      val filled = have ++ cols.filterNot(c => have.exists(_.col == c))
-        .map(c => zeroBloom.copy(col = c))
-      // merge per file: re-indexed columns replace, others carry over
-      f -> (m.blooms.getOrElse(f, Seq.empty)
-        .filterNot(b => cols.contains(b.col)) ++ filled)
+      f -> (have ++ cols.filterNot(c => have.exists(_.col == c))
+        .map(c => zeroBloom.copy(col = c)))
     }.toMap
-    val v = cur + 1
-    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
-      stats = m.stats, blooms = m.blooms ++ newBlooms, hlls = m.hlls,
-      partitionCols = m.partitionCols, dvs = m.dvs, rows = m.rows,
-      op = "index-bloom", colMap = m.colMap, maxCid = m.maxCid), Some(m))
-    v
+    // per-column merge through the delta: the indexed columns replace,
+    // others carry over; racing commits rebase (stale files drop)
+    commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
+      metaBlooms = fresh, op = "index-bloom"))
   }
 
   /** `input_file_name()` URI → the manifest's own entry for that file,
@@ -1878,17 +1905,8 @@ object VersionedTable {
     val known = m.files.toSet
     require(blooms.keys.forall(known.contains),
       s"files not in version $cur: ${blooms.keys.filterNot(known.contains).take(3)}")
-    val merged = blooms.map { case (f, bs) =>
-      val cols = bs.map(_.col).toSet
-      f -> (m.blooms.getOrElse(f, Seq.empty)
-        .filterNot(b => cols.contains(b.col)) ++ bs)
-    }
-    val v = cur + 1
-    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
-      stats = m.stats, blooms = m.blooms ++ merged, hlls = m.hlls,
-      partitionCols = m.partitionCols, dvs = m.dvs, rows = m.rows,
-      op = "attach-blooms", colMap = m.colMap, maxCid = m.maxCid), Some(m))
-    v
+    commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
+      metaBlooms = blooms, op = "attach-blooms"))
   }
 
   /** Per-file blooms of `version` for `column` — (mBits, k) by file.
@@ -1991,12 +2009,11 @@ object VersionedTable {
           f -> (have ++ missing)
         }.toMap
       }
-    val v = cur + 1
-    writeManifest(spark, root, Manifest(v, man.schemaDdl, man.files, None,
-      stats = man.stats, blooms = man.blooms, partitionCols = man.partitionCols,
-      hlls = man.hlls ++ newHlls, dvs = man.dvs, rows = man.rows,
-      op = "index-hll", colMap = man.colMap, maxCid = man.maxCid), Some(man))
-    v
+    // per-column merge through the delta: indexing column B no longer
+    // drops a file's column-A registers (the old wholesale per-file
+    // replacement did), and racing commits rebase (stale files drop)
+    commitDelta(spark, root, man, CommitDelta(removedFiles = Set.empty,
+      metaHlls = newHlls, op = "index-hll"))
   }
 
   /** One distributed bloom-position build over `frame` for `cols` at
@@ -2095,13 +2112,11 @@ object VersionedTable {
     val newBlooms: Map[String, Seq[FileBloom]] = targets.map { f =>
       val have = built.getOrElse(f, Seq.empty)
       // all survivors of a column deleted/null -> explicit contains-nothing
-      val filled = have ++ cols.filterNot(c => have.exists(_.col == c)).map { c =>
+      f -> (have ++ cols.filterNot(c => have.exists(_.col == c)).map { c =>
         val (mb, kk) = shapeOf(f, c)
         FileBloom(c, mb, kk,
           java.util.Base64.getEncoder.encodeToString(new Array[Byte](mb / 8)))
-      }
-      f -> (m.blooms.getOrElse(f, Seq.empty)
-        .filterNot(b => cols.contains(b.col)) ++ filled)
+      })
     }.toMap
     // HLL refresh only where registers for the column already exist, at
     // their recorded bucket count
@@ -2145,18 +2160,9 @@ object VersionedTable {
       }.foldLeft(Map.empty[String, Seq[FileHll]]) { (acc, mp) =>
         (acc.keySet ++ mp.keySet).map(f =>
           f -> (acc.getOrElse(f, Seq.empty) ++ mp.getOrElse(f, Seq.empty))).toSeq.toMap
-      }.map { case (f, fresh) =>
-        val freshCols = fresh.map(_.col).toSet
-        f -> (m.hlls.getOrElse(f, Seq.empty)
-          .filterNot(h => freshCols.contains(h.col)) ++ fresh)
       }
-    val v = cur + 1
-    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, None,
-      stats = m.stats, blooms = m.blooms ++ newBlooms,
-      partitionCols = m.partitionCols, hlls = m.hlls ++ newHlls,
-      dvs = m.dvs, rows = m.rows, op = "reindex",
-      colMap = m.colMap, maxCid = m.maxCid), Some(m))
-    v
+    commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
+      metaBlooms = newBlooms, metaHlls = newHlls, op = "reindex"))
   }
 
   /** Attach EXACT per-file column sums (with live-exact bounds and null
@@ -2246,19 +2252,8 @@ object VersionedTable {
     // files the scan saw no live rows of (fully vectored, empty) produce
     // no group — they keep their old stats untouched, and the
     // rows-==-dvCard exemption answers for them
-    val merged = targets.flatMap { f =>
-      fresh.get(f).map { sts =>
-        f -> (m.stats.getOrElse(f, Seq.empty)
-          .filterNot(s => sts.exists(_.col == s.col)) ++ sts)
-      }
-    }.toMap
-    val v = cur + 1
-    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files, None,
-      stats = m.stats ++ merged, blooms = m.blooms,
-      partitionCols = m.partitionCols, hlls = m.hlls, dvs = m.dvs,
-      rows = m.rows, op = "index-sums",
-      colMap = m.colMap, maxCid = m.maxCid), Some(m))
-    v
+    commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
+      metaStats = fresh, op = "index-sums"))
   }
 
   // ── Metadata-only exact aggregates ─────────────────────────────────────

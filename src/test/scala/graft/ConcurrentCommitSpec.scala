@@ -175,6 +175,36 @@ class ConcurrentCommitSpec extends SparkSpec
       "exactly-once: the losing replica's batch must NOT double-apply")
   }
 
+  test("index builds rebase across racing commits; stale entries drop, never refuse") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2, 3))               // v1: file A
+    VersionedTable.append(spark, root, df(10, 11, 12))            // v2: file B
+    // an append racing the sum index: the build rebases, its entries land
+    VersionedTable.raceBeforePublish =
+      () => VersionedTable.append(spark, root, df(100))           // v3 races in
+    val v = VersionedTable.indexSums(spark, root, Seq("id"))
+    assert(v == 4, s"the index build must land on top of the append, got v$v")
+    val withSums = VersionedTable.metaFiles(spark, root)
+      .count(_.stats.get("id").exists(_.sum.isDefined))
+    assert(withSums == 2, s"A and B carry sums; the raced file is simply " +
+      s"un-indexed until the next only_missing pass (got $withSums)")
+    // a vectored delete racing a bloom build RE-VECTORS file A: the
+    // build still commits, A's now-stale bloom silently drops
+    VersionedTable.raceBeforePublish = () =>
+      VersionedTable.deleteWhereVectored(spark, root,
+        Map("id" -> (Some(2L), Some(2L))), col("id") === 2)       // v5 races in
+    val v2 = VersionedTable.indexBloom(spark, root, Seq("id"))
+    assert(v2 == 6)
+    assert(idsOf(VersionedTable.read(spark, root)) ==
+      Seq(1L, 3L, 10L, 11L, 12L, 100L),
+      "the racing delete's effect stands under the index commit")
+    val shapes = VersionedTable.bloomShapes(spark, root, "id")
+    assert(!shapes.keys.exists(f => VersionedTable.dvRefs(spark, root)
+      .contains(f)),
+      "the re-vectored file's raw-scan bloom is stale and must be absent")
+    assert(shapes.size >= 2, "un-raced files keep their fresh blooms")
+  }
+
   test("merge-on-read upsert rebases across a racing append") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1, 2, 3))               // v1

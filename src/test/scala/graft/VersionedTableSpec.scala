@@ -992,6 +992,20 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.hllRelevantFiles(spark, root, "id", Some(3)).isDefined)
   }
 
+  test("indexHll on a second column keeps the first column's registers") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (0L until 100L).toDF("id").withColumn("payload", col("id") * 10)
+        .repartition(2))
+    VersionedTable.indexHll(spark, root, Seq("id"))
+    VersionedTable.indexHll(spark, root, Seq("payload"))
+    // the old wholesale per-file replacement dropped id's registers here
+    assert(VersionedTable.mergedHllRegisters(spark, root, "id").isDefined,
+      "indexing payload must not drop id's registers")
+    assert(VersionedTable.mergedHllRegisters(spark, root, "payload").isDefined)
+  }
+
   test("manifest claim refuses non-atomic schemes (object-store lost-update guard)") {
     import spark.implicits._
     // a scheme whose rename is NOT fail-if-exists (the object-store
