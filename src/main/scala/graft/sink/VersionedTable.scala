@@ -1192,6 +1192,40 @@ object VersionedTable {
     -1 // unreachable
   }
 
+  /** Publish a METADATA-ONLY transform of the newest manifest (schema
+    * DDLs, rollback), retrying against the new head on a lost CAS: the
+    * transform re-derives its whole output from whatever manifest it is
+    * handed — and re-runs its own validation — so racing a schema change
+    * against continuous ingest just re-applies it on top (a table under
+    * a streaming sink can addColumn without quiescing). A racing commit
+    * that invalidates the transform (renaming the same column away)
+    * fails ITS requires with the semantic error, not a CAS artifact. */
+  private def commitMetaTransform(spark: SparkSession, root: String,
+                                  transform: Manifest => Manifest,
+                                  maxRetries: Int = 16): Int = {
+    locally {
+      val h = raceBeforePublish
+      if (h ne NoRaceHook) { raceBeforePublish = NoRaceHook; h() }
+    }
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+        .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+      val m = readManifest(spark, root, cur)
+      val out = transform(m)
+      try { writeManifest(spark, root, out, Some(m)); return out.version }
+      catch {
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("already committed") =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new java.io.IOException(
+              s"metadata commit lost the race $maxRetries times at $root", e)
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Write-compatibility: same column names, order, and types; the write
     * may be NOT NULL where the table is nullable (strictly narrower is
     * safe), never the reverse. */
@@ -1491,15 +1525,12 @@ object VersionedTable {
     * Rename/drop are [[renameColumn]]/[[dropColumn]] — metadata-only
     * through the field-id column mapping. */
   def addColumn(spark: SparkSession, root: String, name: String,
-                sqlType: String): Int = {
-    val cur = currentVersion(spark, root)
-      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
-    val m = readManifest(spark, root, cur)
+                sqlType: String): Int = commitMetaTransform(spark, root, { m =>
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column $name already exists")
     val widened = schema.add(name, sqlType, nullable = true)
-    val v = cur + 1
+    val v = m.version + 1
     // with column mapping active, the new field gets a fresh id and a
     // physical name guaranteed never to collide with any name a data
     // file has EVER carried (a dropped column's physical name lives on
@@ -1510,12 +1541,11 @@ object VersionedTable {
         val id = m.maxCid + 1
         (m.colMap :+ FieldMap(id, name, s"_gc$id"), id)
       }
-    writeManifest(spark, root, Manifest(v, widened.toDDL, m.files,
+    Manifest(v, widened.toDDL, m.files,
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
       hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-column",
-      colMap = cm2, maxCid = maxCid2), Some(m))
-    v
-  }
+      colMap = cm2, maxCid = maxCid2)
+  })
 
   /** The column mapping with every live field listed — activation (the
     * first rename/drop) assigns field ids in schema order and freezes
@@ -1542,10 +1572,7 @@ object VersionedTable {
     * (restart adopts the new name). Partition columns refuse — their
     * name is baked into every hive directory path. */
   def renameColumn(spark: SparkSession, root: String, from: String,
-                   to: String): Int = {
-    val cur = currentVersion(spark, root)
-      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
-    val m = readManifest(spark, root, cur)
+                   to: String): Int = commitMetaTransform(spark, root, { m =>
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
     require(schema.fieldNames.contains(from), s"no column $from")
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
@@ -1559,8 +1586,8 @@ object VersionedTable {
       schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
     def rekey(ss: Seq[ColStat]) =
       ss.map(s => if (s.col == from) s.copy(col = to) else s)
-    val v = cur + 1
-    writeManifest(spark, root, Manifest(v, renamed.toDDL, m.files,
+    val v = m.version + 1
+    Manifest(v, renamed.toDDL, m.files,
       stats = m.stats.view.mapValues(rekey).toMap,
       blooms = m.blooms.view.mapValues(_.map(b =>
         if (b.col == from) b.copy(col = to) else b)).toMap,
@@ -1568,9 +1595,8 @@ object VersionedTable {
       hlls = m.hlls.view.mapValues(_.map(h =>
         if (h.col == from) h.copy(col = to) else h)).toMap,
       dvs = m.dvs, rows = m.rows, op = "rename-column",
-      colMap = cm2, maxCid = maxCid), Some(m))
-    v
-  }
+      colMap = cm2, maxCid = maxCid)
+  })
 
   /** DROP COLUMN as a METADATA-ONLY commit: the field leaves the logical
     * schema and the column mapping; its physical column stays in every
@@ -1580,10 +1606,8 @@ object VersionedTable {
     * with a fresh id and a synthetic physical name, so the dead data can
     * never resurrect under it — the re-add hazard that makes name-keyed
     * drops unsafe. Partition columns and the last column refuse. */
-  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
-    val cur = currentVersion(spark, root)
-      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
-    val m = readManifest(spark, root, cur)
+  def dropColumn(spark: SparkSession, root: String,
+                 name: String): Int = commitMetaTransform(spark, root, { m =>
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
     require(schema.fieldNames.contains(name), s"no column $name")
     require(!m.partitionCols.contains(name),
@@ -1592,16 +1616,15 @@ object VersionedTable {
     val (cm0, maxCid) = activeColMap(m)
     val narrowed = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
-    val v = cur + 1
-    writeManifest(spark, root, Manifest(v, narrowed.toDDL, m.files,
+    val v = m.version + 1
+    Manifest(v, narrowed.toDDL, m.files,
       stats = m.stats.view.mapValues(_.filterNot(_.col == name)).toMap,
       blooms = m.blooms.view.mapValues(_.filterNot(_.col == name)).toMap,
       partitionCols = m.partitionCols,
       hlls = m.hlls.view.mapValues(_.filterNot(_.col == name)).toMap,
       dvs = m.dvs, rows = m.rows, op = "drop-column",
-      colMap = cm0.filterNot(_.name == name), maxCid = maxCid), Some(m))
-    v
-  }
+      colMap = cm0.filterNot(_.name == name), maxCid = maxCid)
+  })
 
   /** Inclusive range predicates for manifest-level data skipping:
     * column -> (lo, hi), either bound open. Values compare in the
@@ -3033,12 +3056,14 @@ object VersionedTable {
     * newest version (history is preserved — undo is itself a commit). */
   def rollback(spark: SparkSession, root: String, to: Int): Int = {
     val m = readManifest(spark, root, to)
-    val v = currentVersion(spark, root).get + 1
-    writeManifest(spark, root, Manifest(v, m.schemaDdl, m.files,
-      stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
-      hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "rollback",
-      colMap = m.colMap, maxCid = m.maxCid))
-    v
+    // retry-on-race is semantically free here: a rollback re-applied on
+    // a newer head still publishes `to`'s exact content as the newest
+    // version — undoing the raced commit is what rollback MEANS
+    commitMetaTransform(spark, root, head =>
+      Manifest(head.version + 1, m.schemaDdl, m.files,
+        stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
+        hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "rollback",
+        colMap = m.colMap, maxCid = m.maxCid))
   }
 
   /** Compaction as a commit: rewrite the newest version into

@@ -130,6 +130,52 @@ class ConcurrentCommitSpec extends SparkSpec
       s"one compacted output + the un-compacted raced append, got $compacted")
   }
 
+  test("schema DDLs re-apply over racing commits (evolve without quiescing ingest)") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))                  // v1
+    VersionedTable.raceBeforePublish =
+      () => VersionedTable.append(spark, root, df(3))             // v2 races in
+    val v = VersionedTable.addColumn(spark, root, "score", "double")
+    assert(v == 3, s"addColumn must re-apply on top of the append, got v$v")
+    val got = VersionedTable.read(spark, root)
+    assert(got.columns.toSeq == Seq("id", "payload", "score"))
+    assert(got.count() == 3, "the raced append's rows are all there")
+    // rename racing an append: same re-apply; the appended file (written
+    // pre-rename under the then-current name) still resolves
+    VersionedTable.raceBeforePublish =
+      () => VersionedTable.append(spark, root,
+        df(4).withColumn("score", lit(0.5)))                      // races in
+    val v2 = VersionedTable.renameColumn(spark, root, "payload", "amount")
+    assert(v2 == 5)
+    assert(VersionedTable.read(spark, root)
+      .select("amount").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L, 30L, 40L))
+    // a SEMANTIC race still fails with the semantic error: the column
+    // this rename wants was renamed away by the racer
+    VersionedTable.raceBeforePublish =
+      () => VersionedTable.renameColumn(spark, root, "amount", "total")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, root, "amount", "value2")
+    }
+    assert(e.getMessage.contains("no column amount"), e.getMessage)
+    assert(VersionedTable.schemaOf(spark, root).fieldNames.contains("total"),
+      "the racing rename stands")
+  }
+
+  test("rollback re-applies over a racing append (undoing it is what rollback means)") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))                  // v1
+    VersionedTable.append(spark, root, df(3))                     // v2
+    VersionedTable.raceBeforePublish =
+      () => VersionedTable.append(spark, root, df(99))            // v3 races in
+    val v = VersionedTable.rollback(spark, root, to = 1)
+    assert(v == 4)
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 2L),
+      "rollback publishes v1's exact content over the raced head")
+    assert(idsOf(VersionedTable.read(spark, root, Some(3))) ==
+      Seq(1L, 2L, 3L, 99L), "the raced append stays in history")
+  }
+
   test("a racing schema change refuses the DML (stale schema must not publish)") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1L to 4L: _*))          // v1
