@@ -32,16 +32,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Concurrency: the manifest name itself is the CAS — exactly one writer
   * can claim a version number (hard link on local FS, fail-if-exists
-  * rename on HDFS), so a racing commit is REFUSED, never lost.
-  * [[appendCas]] rebases append/append automatically; the
-  * read-modify-write DMLs and maintenance commits (deleteWhere /
-  * mergeInto / the vectored DMLs / compact / zorder) publish through the
-  * disjoint-file taxonomy (like Delta/Iceberg's conflict rules, public
-  * designs): losing the CAS, they rebase across interleaved commits
-  * whose file footprints don't overlap theirs (a streaming append
-  * landing during a GDPR delete: both commit), and refuse —
-  * ConcurrentModificationException — only a genuine overlap, a schema /
-  * layout change, or an unprovable (unreadable) interleaving.
+  * rename on HDFS), so a racing commit is never LOST. On top sits a
+  * complete conflict taxonomy (like Delta/Iceberg's rules, public
+  * designs), one discipline per writer class:
+  *  - APPENDS (incl. txn appends): empty file footprint — stage once,
+  *    rebase across anything; a racing same-txn replay short-circuits
+  *    to the idempotence ledger.
+  *  - READ-MODIFY-WRITE (CoW + vectored DMLs, merges, compact, zorder):
+  *    rebase iff every interleaved commit's removed/re-vectored set is
+  *    disjoint from this commit's footprint; genuine overlap, a schema
+  *    or layout change, or an unprovable (unreadable) interleaving
+  *    refuses with ConcurrentModificationException. Semantics are
+  *    snapshot-at-read (WriteSerializable): raced appends' rows are not
+  *    subject to the DML's predicate.
+  *  - INDEX BUILDS (sums/blooms/HLLs/reindex): always rebase; an entry
+  *    for a file a racer removed or re-vectored is stale and silently
+  *    DROPS (an index is a cache — missing is sound, wrong never is).
+  *  - SCHEMA DDLs + ROLLBACK: metadata-only transforms re-derived from
+  *    whatever head they land on — a lost race re-applies them, with
+  *    their own validation re-run (evolve without quiescing ingest).
+  *  - OVERWRITE stays refuse-only by design: its content derives from a
+  *    snapshot, and silently replacing a commit it never saw is the
+  *    lost update everything above exists to prevent.
   */
 object VersionedTable {
 
