@@ -39,7 +39,22 @@ object Bench {
       : (Seq[(String, Double, Double)], Boolean) = {
     val contended = probeRatio.exists(_ > ProbeContendedFactor)
     if (contended) (Seq.empty, true)
-    else (rawRegressions(adjudicated, baseline), false)
+    else {
+      // NORMALIZE by the probe ratio below the suppression threshold: a
+      // box running uniformly 1.25× slow scales every query INCLUDING
+      // the probe, so dividing compares like-for-like — a borderline
+      // 1.32×-of-baseline heavy query on that box is 1.06× in box-speed
+      // terms, not a regression (the exact false flag a 1.3-threshold
+      // gate lets through at 1.29× degradation). The divisor is capped
+      // at ProbeContendedFactor by construction, so a genuine 1.7×+
+      // slowdown still trips after normalization.
+      val scale = probeRatio.filter(_ > 1.0).getOrElse(1.0)
+      val flagged = adjudicated.toSeq.sortBy(_._1).flatMap { case (n, v) =>
+        baseline.get(n).filter(b => isRegression(v / scale, b))
+          .map(b => (n, v, b)) // report the RAW time; gate on normalized
+      }
+      (flagged, false)
+    }
   }
 
   /** The would-be regression set regardless of calibration — what a

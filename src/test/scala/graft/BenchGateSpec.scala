@@ -58,4 +58,22 @@ class BenchGateSpec extends AnyFunSuite {
     val (r2, c2) = Bench.calibratedRegressions(adj, base, None)
     assert(!c2 && r2.nonEmpty)
   }
+
+  test("sub-threshold degradation normalizes: a box-speed artifact is not a regression") {
+    // the exact shape this round's second sweep produced: the box runs
+    // 1.24x slow (probe under the 1.3 suppression bar), an untouched
+    // heavy query lands at 1.32x of baseline — 1.06x in box-speed
+    // terms, no flag; a GENUINE 2x slowdown still trips after dividing
+    val base = Map("q126" -> 4.02)
+    val (r1, c1) = Bench.calibratedRegressions(
+      Map("q126" -> 5.29), base, Some(1.244))
+    assert(!c1 && r1.isEmpty,
+      "1.32x on a 1.24x-slow box is the box, not the code")
+    val (r2, _) = Bench.calibratedRegressions(
+      Map("q126" -> 8.0), base, Some(1.244))
+    assert(r2.map(_._1) == Seq("q126"),
+      "2x of baseline trips even after probe normalization")
+    assert(r2.head._2 == 8.0, "the reported time stays RAW, only the " +
+      "verdict normalizes")
+  }
 }
