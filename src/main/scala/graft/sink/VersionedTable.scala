@@ -1240,7 +1240,9 @@ object VersionedTable {
 
   /** Write-compatibility: same column names, order, and types; the write
     * may be NOT NULL where the table is nullable (strictly narrower is
-    * safe), never the reverse. */
+    * safe), never the reverse. The strict form — merges REPLACE whole
+    * target rows, so a missing source column there would silently null a
+    * matched row's value (data loss); appends use [[alignForAppend]]. */
   private def requireWriteCompatible(tableDdl: String, df: DataFrame,
                                      what: String): Unit = {
     val t = org.apache.spark.sql.types.StructType.fromDDL(tableDdl)
@@ -1249,6 +1251,39 @@ object VersionedTable {
       tf.name == sf.name && tf.dataType == sf.dataType &&
         (tf.nullable || !sf.nullable)
     }, s"schema mismatch: table has [$tableDdl], $what has [${s.toDDL}]")
+  }
+
+  /** Append-compatibility, by NAME: present columns must match the
+    * table's type (nullable-narrowing allowed), table columns MISSING
+    * from the frame null-fill iff nullable (the Delta rule — after an
+    * addColumn, existing writers keep appending without redeploying),
+    * columns the table doesn't have refuse, and the select restores the
+    * declared order. A new row's value for an un-supplied column is
+    * exactly what a pre-evolution FILE would read for it: NULL. */
+  private def alignForAppend(tableDdl: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val t = org.apache.spark.sql.types.StructType.fromDDL(tableDdl)
+    val have = df.schema.fields.map(f => f.name -> f).toMap
+    val extra = df.schema.fieldNames.filterNot(t.fieldNames.contains)
+    require(extra.isEmpty,
+      s"append has column(s) not in the table: ${extra.mkString(", ")} " +
+        s"(table: [$tableDdl])")
+    df.select(t.fields.toSeq.map { tf =>
+      have.get(tf.name) match {
+        case Some(sf) =>
+          require(sf.dataType == tf.dataType,
+            s"schema mismatch on ${tf.name}: table has " +
+              s"${tf.dataType.catalogString}, append has " +
+              s"${sf.dataType.catalogString}")
+          require(tf.nullable || !sf.nullable,
+            s"append would widen non-nullable column ${tf.name}")
+          col(tf.name)
+        case None =>
+          require(tf.nullable,
+            s"append is missing non-nullable column ${tf.name}")
+          lit(null).cast(tf.dataType).as(tf.name)
+      }
+    }: _*)
   }
 
   /** Create version 1 of a new table (fails if the table exists).
@@ -1276,8 +1311,8 @@ object VersionedTable {
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
-    requireWriteCompatible(m.schemaDdl, df, "append")
-    val added = writeDataFiles(spark, root, df, cur + 1, m.partitionCols,
+    val aligned = alignForAppend(m.schemaDdl, df)
+    val added = writeDataFiles(spark, root, aligned, cur + 1, m.partitionCols,
       m.physMap)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
       m.physMap)

@@ -251,6 +251,78 @@ class ConcurrentCommitSpec extends SparkSpec
     assert(shapes.size >= 2, "un-raced files keep their fresh blooms")
   }
 
+  test("full-taxonomy churn: appends, DMLs, index builds and DDLs race with REAL threads") {
+    // the deterministic seam proves each pairwise rule; this proves the
+    // composition under genuine thread interleaving. Actors: 3 txn
+    // appenders (unique ids >= 1000), a vectored-delete loop on the
+    // id < 100 range (disjoint from appends — snapshot semantics make
+    // its outcome append-independent), an index maintainer, and one
+    // schema widen. Any actor may refuse (ConcurrentModificationException
+    // is a legal outcome under overlap/schema races) — the INVARIANTS
+    // are: no exception of any other kind, a dense version sequence,
+    // every version readable, and the final state = initial survivors
+    // of the successful deletes ∪ every successful append, exactly once.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L to 50L: _*))
+    val appended = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val deleted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def tolerated[A](body: => A): Unit =
+      try { body; () } catch {
+        case _: java.util.ConcurrentModificationException => () // legal refusal
+      }
+    val appenders = (1 to 3).map { w =>
+      Future {
+        (1 to 4).foreach { k =>
+          val id = 1000L * w + k
+          tolerated {
+            VersionedTable.appendTxn(spark, root, df(id), txn = id)
+            appended.add(id)
+          }
+        }
+      }
+    }
+    val deleter = Future {
+      (1 to 3).foreach { k =>
+        val target = 10L * k // 10, 20, 30
+        tolerated {
+          VersionedTable.deleteWhereVectored(spark, root,
+            Map("id" -> (Some(target), Some(target))), col("id") === target)
+          deleted.add(target)
+        }
+        Thread.sleep(15)
+      }
+    }
+    val indexer = Future {
+      (1 to 3).foreach { _ =>
+        tolerated(VersionedTable.indexSums(spark, root, Seq("id"),
+          onlyMissing = true))
+        Thread.sleep(25)
+      }
+    }
+    val ddl = Future {
+      Thread.sleep(40)
+      tolerated(VersionedTable.addColumn(spark, root, "note", "string"))
+    }
+    Await.result(Future.sequence(appenders :+ deleter :+ indexer :+ ddl),
+      120.seconds)
+    // versions are DENSE (the CAS can never skip or reuse a number)
+    val vs = VersionedTable.history(spark, root).map(_._1).sorted
+    assert(vs == (1 to vs.max), s"non-dense version sequence: $vs")
+    // every version is a readable snapshot (no torn manifest ever landed)
+    vs.foreach(v => VersionedTable.read(spark, root, Some(v)).count())
+    // exactly-once content: initial ∪ successes, nothing lost or doubled
+    import scala.jdk.CollectionConverters._
+    val expected = ((1L to 50L).toSet -- deleted.asScala.toSet) ++
+      appended.asScala.toSet
+    assert(idsOf(VersionedTable.read(spark, root)) ==
+      expected.toSeq.sorted,
+      "final state must be exactly the successful operations' composition")
+    assert(appended.size > 0, "some appends must have landed")
+  }
+
   test("merge-on-read upsert rebases across a racing append") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1, 2, 3))               // v1

@@ -89,16 +89,41 @@ class VersionedTableSpec extends SparkSpec {
     assert(idsOf(VersionedTable.read(spark, root, Some(2))) == Seq(2L))
   }
 
-  test("append enforces the table schema") {
+  test("append enforces the table schema by NAME; missing nullable columns null-fill") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1))
     import spark.implicits._
+    // unknown columns refuse
     val bad = Seq(("x", 1)).toDF("name", "n")
     val e = intercept[IllegalArgumentException] {
       VersionedTable.append(spark, root, bad)
     }
-    assert(e.getMessage.contains("schema mismatch"))
+    assert(e.getMessage.contains("not in the table"))
+    // type mismatches refuse
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, root,
+        Seq(("2", 20L)).toDF("id", "payload"))
+    }
+    assert(e2.getMessage.contains("schema mismatch on id"))
     assert(VersionedTable.versions(spark, root) == Seq(1))
+    // column ORDER aligns by name
+    VersionedTable.append(spark, root,
+      Seq((20L, 2L)).toDF("payload", "id"))
+    assert(VersionedTable.read(spark, root).filter(col("id") === 2)
+      .select("payload").collect().head.getLong(0) == 20L)
+    // the Delta rule: after an addColumn, an OLD writer's frame (missing
+    // the new nullable column) still appends — the column null-fills,
+    // exactly what a pre-evolution file reads for it
+    VersionedTable.addColumn(spark, root, "note", "string")
+    VersionedTable.append(spark, root, df(3))
+    val r3 = VersionedTable.read(spark, root).filter(col("id") === 3)
+      .select("payload", "note").collect().head
+    assert(r3.getLong(0) == 30L && r3.isNullAt(1))
+    // missing NON-nullable columns still refuse (id/payload are NOT NULL)
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedTable.append(spark, root, Seq(4L).toDF("id"))
+    }
+    assert(e3.getMessage.contains("missing non-nullable column payload"))
   }
 
   test("compact reduces file count as a new version; old versions intact") {
