@@ -124,6 +124,109 @@ object Multimodal {
         i => substring(col("payload"), (i * segmentBytes + 1).cast("int"), lit(segmentBytes)))
         .as("segments"))
 
+  // ----- Video frames: REAL multi-frame container decode (GIF) -----------
+
+  /** One extracted frame: container-reported sequence length, this
+    * frame's index, dims, and the decoded-PIXEL checksum (the charFold
+    * recurrence over row-major 8-bit luminance — codec-verified content
+    * identity, not byte identity). */
+  case class FrameRow(media_id: Long, n_frames: Long, frame_idx: Long,
+                      width: Int, height: Int, checksum: Long)
+
+  /** Encode row-major 8-bit GRAY frames as ONE animated GIF through the
+    * JDK's ImageIO sequence writer — the multi-frame container format
+    * the JDK ships a real codec for. Lossless by construction: ≤256
+    * grays fit the GIF palette exactly, so decode returns the pixels
+    * bit-for-bit (MultimodalDecodeSpec pins the round trip). */
+  def encodeGifFrames(frames: Seq[Array[Int]], w: Int, h: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      frames.foreach { px =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var p = 0
+        while (p < w * h) {
+          img.getRaster.setSample(p % w, p / w, 0, px(p) & 0xff)
+          p += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
+  /** REAL frame extraction: parse a multi-frame payload's frame
+    * directory through the codec and return every frame's decoded
+    * luminance — (frame index, width, height, row-major 0..255). Byte
+    * ranges never appear; this is the container walk a video curation
+    * stage needs. Corrupt/undecodable payloads return empty (the K7
+    * row-isolation posture — one bad file must not kill a 100 TB
+    * batch). */
+  def decodeFrames(payload: Array[Byte]): Seq[(Int, Int, Int, Array[Int])] =
+    try {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) { in.close(); return Seq.empty }
+      val reader = readers.next()
+      try {
+        reader.setInput(in, false, true)
+        val n = reader.getNumImages(true)
+        (0 until n).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth; val h = img.getHeight
+          val px = new Array[Int](w * h)
+          var p = 0
+          while (p < w * h) {
+            px(p) = img.getRGB(p % w, p / w) & 0xff
+            p += 1
+          }
+          (i, w, h, px)
+        }
+      } finally { reader.dispose(); in.close() }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  /** The decoded-pixel checksum: the charFold recurrence over row-major
+    * luminance — h = fold(0, (acc, v) => (acc*31 + v) % 1000003). */
+  def pixelFold(px: Array[Int]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < px.length) { h = (h * 31 + (px(i) & 0xff)) % 1000003L; i += 1 }
+    h
+  }
+
+  /** Frame-extraction stage: decode each payload's REAL frame sequence
+    * (container walk, not byte ranges), keep every `everyK`-th frame,
+    * checksum the decoded pixels. Batch-iterating mapPartitions kernel
+    * like [[decodeStage]]: partition-preserving, payload bytes never
+    * shuffle. */
+  def frameStage(spark: SparkSession, media: Dataset[MediaRow],
+                 everyK: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val frames = decodeFrames(m.payload)
+      frames.iterator.filter(_._1 % everyK == 0).map { case (i, w, h, px) =>
+        FrameRow(m.media_id, frames.length.toLong, i.toLong, w, h,
+          pixelFold(px))
+      }
+    })
+  }
+
+  /** Deterministic synthetic VIDEO: an n-frame 8×8 animated GIF whose
+    * frame f's pixel p is `(media_id*131 + f*31 + p*7) mod 256` — a
+    * closed form a SQL oracle can reproduce without any codec, while
+    * the Spark side must round-trip it through the REAL encoder and
+    * decoder to agree (GIF's exact gray palette makes that lossless). */
+  def syntheticVideo(mediaId: Long, nFrames: Long): Array[Byte] =
+    encodeGifFrames(
+      (0L until nFrames).map(f => Array.tabulate(64)(p =>
+        ((mediaId * 131 + f * 31 + p * 7) % 256).toInt)), 8, 8)
+
   /** Build a media table from the documents fixture (text bytes as the
     * opaque payload — deterministic, codec-free). */
   def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

@@ -49,6 +49,39 @@ object GeoJson {
     spark.createDataFrame(rows.toSeq)
   }
 
+  /** K10 — AOI bootstrap (reference `ensure_aoi_geojson_from_bbox`,
+    * main.py:68-91, called from main.py:100): write a GeoJSON
+    * FeatureCollection holding the bbox polygon at `path` IF MISSING
+    * (idempotent — an existing file is never touched), creating parent
+    * directories, and return the absolute path. The ring matches the
+    * reference's shapely `box(minx, miny, maxx, maxy)` CCW vertex
+    * order. Driver-side file I/O like the reference: the AOI is
+    * dimension-sized configuration, not data. */
+  def ensureAoiFromBbox(bbox: Seq[Double], path: String): String = {
+    require(bbox.length == 4,
+      s"bbox must be [minLon, minLat, maxLon, maxLat], got $bbox")
+    val p = java.nio.file.Paths.get(path).toAbsolutePath
+    if (!java.nio.file.Files.exists(p)) {
+      Option(p.getParent).foreach(d => java.nio.file.Files.createDirectories(d))
+      val Seq(minLon, minLat, maxLon, maxLat) = bbox
+      def pt(x: Double, y: Double) = s"[$x, $y]"
+      val ring = Seq(
+        pt(maxLon, minLat), pt(maxLon, maxLat), pt(minLon, maxLat),
+        pt(minLon, minLat), pt(maxLon, minLat)).mkString("[", ", ", "]")
+      val fc = s"""{"type": "FeatureCollection", "features": [{"type": "Feature", "geometry": {"type": "Polygon", "coordinates": [$ring]}, "properties": {"name": "AOI", "crs": "EPSG:4326"}}]}"""
+      java.nio.file.Files.write(p, fc.getBytes("UTF-8"))
+    }
+    p.toString
+  }
+
+  /** The reference's AOI entry path (main.py:100): bootstrap the GeoJSON
+    * from the settings bbox if missing, then read it — so a bbox-only
+    * configuration (the reference's default) runs end to end. */
+  def ensureAndReadAoi(spark: SparkSession,
+                       settings: graft.config.Settings): DataFrame =
+    readAoi(spark,
+      ensureAoiFromBbox(settings.aoi.bbox, settings.aoi.geojsonPath))
+
   private def asSeq(v: Any): Seq[Any] = v match {
     case s: Seq[_] => s
     case a: scala.collection.mutable.ArraySeq[_] => a.toSeq

@@ -60,6 +60,22 @@ object NdviPipeline {
                     overviews: Option[DataFrame], mean: DataFrame,
                     summary: RunSummary)
 
+  /** [[run]] from a bbox-only configuration — the reference's default
+    * entry (main.py:100): bootstrap the AOI GeoJSON from
+    * `settings.aoi.bbox` if the configured file is missing (K10,
+    * `ensure_aoi_geojson_from_bbox`, main.py:68-91), read it back, and
+    * run. Idempotent: an existing AOI file is used as-is. */
+  def runFromSettings(spark: SparkSession,
+                      settings: graft.config.Settings,
+                      catalog: DataFrame,
+                      tiles: DataFrame,
+                      existingFull: DataFrame,
+                      existingClipped: DataFrame,
+                      runLog: graft.sink.RunLog = graft.sink.RunLog.Noop): Result =
+    run(spark, settings, catalog, tiles,
+      graft.geo.GeoJson.ensureAndReadAoi(spark, settings),
+      existingFull, existingClipped, runLog)
+
   /** The complete reference trace on one lazy lineage (main.py:94-158):
     * settings → catalog predicates → band pairing + NDVI kernel → AOI
     * clip → overview pyramid → viz warp to products.reproject_crs →

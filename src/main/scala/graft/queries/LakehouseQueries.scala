@@ -739,12 +739,18 @@ object LakehouseQueries {
       VersionedTable.create(s, root,
         li.filter(col("l_orderkey") <= 30000)
           .repartitionByRange(4, col("l_orderkey")))                  // v1
+      // The race seam is a process-global one-shot consumed by the NEXT
+      // commitDelta anywhere; clear it in a finally so a failure before
+      // (or inside) the delete can't leak the racer into an unrelated
+      // table's commit window.
       VersionedTable.raceBeforePublish = () =>
         VersionedTable.append(s, root,
           li.filter(col("l_orderkey") > 30000).repartition(2))        // v2 races in
-      val v = VersionedTable.deleteWhereVectored(s, root,
-        Map("l_orderkey" -> (None, Some(30000L))),
-        col("l_quantity") <= 5)                                       // rebases to v3
+      val v =
+        try VersionedTable.deleteWhereVectored(s, root,
+          Map("l_orderkey" -> (None, Some(30000L))),
+          col("l_quantity") <= 5)                                     // rebases to v3
+        finally VersionedTable.raceBeforePublish = VersionedTable.NoRaceHook
       require(v == 3, s"the delete must rebase onto the raced append, got v$v")
       def agg(df: DataFrame, tag: String) =
         df.agg(count(lit(1)).as("n"),

@@ -300,8 +300,13 @@ object VersionedTable {
     * is the name the field is written under in parquet — frozen at field
     * creation, which is what makes RENAME a metadata-only commit (every
     * data file ever written carries the physical name; only the
-    * manifest's logical name moves). */
-  final case class FieldMap(id: Int, name: String, phys: String)
+    * manifest's logical name moves). `prior` is the field's rename
+    * lineage — every logical name it held before the current one — so a
+    * consumer that pinned a HISTORICAL name (a stream started between
+    * two renames) can still find the field; without it, a double-rename
+    * makes the intermediate name resolve to nothing and null-fill. */
+  final case class FieldMap(id: Int, name: String, phys: String,
+                            prior: Seq[String] = Seq.empty)
 
   private case class Manifest(version: Int, schemaDdl: String, files: Seq[String],
                               txn: Option[Long] = None,
@@ -318,6 +323,22 @@ object VersionedTable {
       * tables that never renamed/dropped pay nothing anywhere). */
     def physMap: Map[String, String] =
       colMap.collect { case f if f.name != f.phys => f.name -> f.phys }.toMap
+
+    /** Any HISTORICAL logical name (a field's rename lineage, plus its
+      * frozen physical name) → the field's CURRENT logical name, for
+      * names no longer in the live schema. A name held by more than one
+      * field over history maps to None — resolution must refuse, never
+      * guess. Lets a consumer that pinned its schema between two renames
+      * (a stream) find the field it meant instead of null-filling. */
+    def lineage: Map[String, Option[String]] = {
+      val live = colMap.map(_.name).toSet
+      colMap.flatMap(f =>
+          (f.prior :+ f.phys).distinct.filterNot(live).map(_ -> f.name))
+        .groupBy(_._1).view.mapValues { vs =>
+          val cur = vs.map(_._2).distinct
+          if (cur.size == 1) Some(cur.head) else None
+        }.toMap
+    }
   }
 
   // Minimal JSON (de)serialization — file names are commit-generated
@@ -414,9 +435,13 @@ object VersionedTable {
     * activates, so pre-mapping manifests are byte-identical. */
   private def colMapJson(m: Manifest): String =
     if (m.colMap.isEmpty) ""
-    else s""" "maxcid": ${m.maxCid}, "colmap": [${m.colMap.map(f =>
-      s"""{"cid": ${f.id}, "cname": "${esc(f.name)}", "cphys": "${esc(f.phys)}"}""")
-      .mkString(", ")}],\n"""
+    else s""" "maxcid": ${m.maxCid}, "colmap": [${m.colMap.map { f =>
+      val priorField =
+        if (f.prior.isEmpty) ""
+        else s""", "cprior": [${f.prior.map(p => "\"" + esc(p) + "\"")
+          .mkString(", ")}]"""
+      s"""{"cid": ${f.id}, "cname": "${esc(f.name)}", "cphys": "${esc(f.phys)}"$priorField}"""
+    }.mkString(", ")}],\n"""
 
   /** `m` as a DELTA against its parent snapshot `p`: removed file
     * entries, appended ones, and the metadata of exactly the files this
@@ -684,9 +709,14 @@ object VersionedTable {
       .map(m => unesc(m.group(1))).getOrElse("")
 
   private def parseColMap(text: String): (Seq[FieldMap], Int) = {
-    val C = """\{"cid": (\d+), "cname": "((?:[^"\\]|\\.)*)", "cphys": "((?:[^"\\]|\\.)*)"\}""".r
+    val Q = """"((?:[^"\\]|\\.)*)"""".r
+    val C = ("""\{"cid": (\d+), "cname": "((?:[^"\\]|\\.)*)", """ +
+      """"cphys": "((?:[^"\\]|\\.)*)"""" +
+      """(?:, "cprior": \[((?:"(?:[^"\\]|\\.)*"(?:, )?)*)\])?\}""").r
     val cm = C.findAllMatchIn(text).map(m =>
-      FieldMap(m.group(1).toInt, unesc(m.group(2)), unesc(m.group(3)))).toSeq
+      FieldMap(m.group(1).toInt, unesc(m.group(2)), unesc(m.group(3)),
+        Option(m.group(4)).toSeq.flatMap(ps =>
+          Q.findAllMatchIn(ps).map(q => unesc(q.group(1))).toSeq))).toSeq
     val maxCid = """"maxcid": (\d+)""".r.findFirstMatchIn(text)
       .map(_.group(1).toInt).getOrElse(0)
     (cm, maxCid)
@@ -1056,7 +1086,7 @@ object VersionedTable {
     v
   }
 
-  private val NoRaceHook: () => Unit = () => ()
+  private[graft] val NoRaceHook: () => Unit = () => ()
 
   /** Test-only seam consumed (and reset) by the next [[commitDelta]]
     * publish: runs after that writer resolved its base snapshot and
@@ -1585,7 +1615,15 @@ object VersionedTable {
     val (cm2, maxCid2) =
       if (m.colMap.isEmpty) (m.colMap, m.maxCid)
       else {
-        val id = m.maxCid + 1
+        // a user column literally named _gc<N> freezes as its own
+        // physical name at activation; assigning id N here would alias
+        // two fields onto one parquet column and resurrect its data in
+        // pre-existing files. Activation and dropColumn keep maxCid past
+        // every such N; the skip loop guards tables activated before
+        // that invariant existed.
+        val used = m.colMap.map(_.phys).toSet
+        var id = m.maxCid + 1
+        while (used.contains(s"_gc$id")) id += 1
         (m.colMap :+ FieldMap(id, name, s"_gc$id"), id)
       }
     Manifest(v, widened.toDDL, m.files,
@@ -1604,9 +1642,18 @@ object VersionedTable {
     if (m.colMap.nonEmpty) (m.colMap, m.maxCid)
     else {
       val fields = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl).fields
+      // a user column named like a synthetic (_gc<N>) freezes as its own
+      // physical name here; start maxCid past every such N so addColumn
+      // can never assign an id whose _gc<id> aliases it
+      val gcLike = fields.map(_.name).collect {
+        case GcPhys(n) => n.toInt }
       (fields.zipWithIndex.toSeq.map { case (f, i) =>
-        FieldMap(i + 1, f.name, f.name) }, fields.length)
+        FieldMap(i + 1, f.name, f.name) },
+        (fields.length +: gcLike).max)
     }
+
+  /** The synthetic physical-name shape [[addColumn]] assigns. */
+  private val GcPhys = """_gc(\d+)""".r
 
   /** RENAME COLUMN as a METADATA-ONLY commit, via field-id column
     * mapping: the field keeps its id and its frozen PHYSICAL name (what
@@ -1628,7 +1675,14 @@ object VersionedTable {
       s"cannot rename partition column $from: its name is the hive " +
         "directory layout itself — repartition into a new table instead")
     val (cm0, maxCid) = activeColMap(m)
-    val cm2 = cm0.map(f => if (f.name == from) f.copy(name = to) else f)
+    // record the lineage: the old name joins the field's prior-name
+    // history (minus the new name, if this rename reclaims one), so a
+    // stream pinned on ANY historical name still resolves the field
+    val cm2 = cm0.map(f =>
+      if (f.name == from)
+        f.copy(name = to,
+          prior = (f.prior :+ from).distinct.filterNot(_ == to))
+      else f)
     val renamed = org.apache.spark.sql.types.StructType(
       schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
     def rekey(ss: Seq[ColStat]) =
@@ -1670,7 +1724,15 @@ object VersionedTable {
       partitionCols = m.partitionCols,
       hlls = m.hlls.view.mapValues(_.filterNot(_.col == name)).toMap,
       dvs = m.dvs, rows = m.rows, op = "drop-column",
-      colMap = cm0.filterNot(_.name == name), maxCid = maxCid)
+      colMap = cm0.filterNot(_.name == name),
+      // the dropped field's physical name lives on in old data files; if
+      // it looks like a synthetic (_gc<N>, possible in tables activated
+      // before activation bounded maxCid) keep maxCid past N so a later
+      // addColumn can never re-assign it and resurrect the dead column
+      maxCid = cm0.find(_.name == name).map(_.phys) match {
+        case Some(GcPhys(n)) => math.max(maxCid, n.toInt)
+        case _ => maxCid
+      })
   })
 
   /** Inclusive range predicates for manifest-level data skipping:
@@ -3617,14 +3679,43 @@ object VersionedTable {
         // schema, resolved through the version's column mapping: a
         // schema pinned AFTER a rename names fields by their CURRENT
         // logical name — mapped to the frozen physical one every file
-        // carries — while a pre-rename pinned schema's names ARE
-        // physical names, absent from the mapping, falling through to
-        // by-name resolution. Both delivery modes read correctly.
-        readSnapshotFiles(spark, root, m, files, Some(schema.toDDL))
+        // carries — while a name pinned BEFORE a rename resolves
+        // through the field's recorded lineage to the same frozen
+        // physical name (a double-rename's intermediate name included).
+        // Only a name NO field ever held falls through to by-name
+        // parquet resolution (null-fills — a column the version
+        // genuinely doesn't have); a name two fields held over history
+        // refuses rather than guesses.
+        readSnapshotFiles(spark, root, m, files, Some(schema.toDDL),
+          Some(pinnedPhysMap(schema, m)))
       case None =>
         readPaths(spark, schema.toDDL,
           files.map(f => new Path(root, f).toString), partitioned = false, root)
     }
+  }
+
+  /** The pinned schema's logical-name → frozen-physical-name map against
+    * `m`'s column mapping, resolving HISTORICAL names through each
+    * field's rename lineage. Ambiguous historical names (held by more
+    * than one field over history) refuse. */
+  private def pinnedPhysMap(schema: org.apache.spark.sql.types.StructType,
+                            m: Manifest): Map[String, String] = {
+    if (m.colMap.isEmpty) return Map.empty
+    val pm = m.physMap
+    val live = m.colMap.map(_.name).toSet
+    lazy val lin = m.lineage
+    schema.fields.iterator.flatMap { f =>
+      if (live.contains(f.name))
+        pm.get(f.name).map(f.name -> _)
+      else lin.get(f.name) match {
+        case Some(Some(cur)) =>
+          Some(f.name -> pm.getOrElse(cur, cur))
+        case Some(None) => throw new IllegalStateException(
+          s"pinned column ${f.name} matches the rename lineage of more " +
+            "than one field; restart the stream to adopt the current schema")
+        case None => None // never a field's name: by-name null-fill
+      }
+    }.toMap
   }
 
   /** `version`'s deletion-vector references: data file → (sidecar, deleted
@@ -3638,16 +3729,18 @@ object VersionedTable {
     readManifest(spark, root, v).dvs.map { case (f, d) => f -> (d.dvFile, d.card) }
   }
 
-  /** `version`'s column mapping as physical → current-logical name, only
-    * where they differ — lets a consumer holding a PRE-RENAME schema
-    * (a pinned stream) recognize a field that lives on under a new
-    * logical name. Empty until mapping activates. */
-  private[graft] def physToLogical(spark: SparkSession, root: String,
-                                   version: Option[Int] = None): Map[String, String] = {
+  /** `version`'s rename lineage as historical-name → current-logical
+    * name: every logical name a field EVER held (plus its frozen
+    * physical name), for names no longer live — lets a consumer holding
+    * a schema pinned before any number of renames recognize the field
+    * under its current name. A name held by more than one field over
+    * history maps to None (ambiguous — refuse, never guess). Empty
+    * until mapping activates. */
+  private[graft] def historicalToCurrent(spark: SparkSession, root: String,
+                                         version: Option[Int] = None): Map[String, Option[String]] = {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
-    readManifest(spark, root, v).colMap
-      .collect { case f if f.name != f.phys => f.phys -> f.name }.toMap
+    readManifest(spark, root, v).lineage
   }
 
   /** Shallow clone: publish `srcRoot`'s chosen snapshot (default

@@ -55,12 +55,29 @@ object AssetFetch {
     if (isTiff) "image/tiff" else "application/octet-stream"
   }
 
-  /** Fetch ONE asset; failures become rows. Runs on executors. */
-  private[sources] def fetchOne(sceneId: String, band: String, href: String): Fetched = {
+  /** Asset-URL signing hook (reference `pc.sign(item)` before every
+    * download, download_landsat_stac.py:139): an opaque href →
+    * signed-href function applied to each URL immediately before the
+    * fetch opens it. Catalog hrefs expire; the reference re-signs every
+    * asset PER DOWNLOAD rather than once up front so a long queue can't
+    * outlive the token. The hook mirrors that: it runs on the EXECUTOR
+    * right before the connection opens (so it must be serializable),
+    * and the [[Fetched]] row keeps the ORIGINAL unsigned href — signed
+    * URLs carry credentials and must never persist into result tables.
+    * Identity by default (offline/`file:` paths need no signing). */
+  type UrlSigner = String => String
+
+  /** The default no-op signer. */
+  val NoSigner: UrlSigner = identity[String]
+
+  /** Fetch ONE asset; failures become rows. Runs on executors. The row
+    * records `href` (unsigned); the transfer uses `signed(href)`. */
+  private[sources] def fetchOne(sceneId: String, band: String, href: String,
+                                signer: UrlSigner = NoSigner): Fetched = {
     def fail(msg: String) =
       Fetched(sceneId, band, href, "", 0L, Array.emptyByteArray, Some(msg))
     try {
-      val uri = new java.net.URI(href)
+      val uri = new java.net.URI(signer(href))
       uri.getScheme match {
         case "file" =>
           val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(uri))
@@ -96,11 +113,12 @@ object AssetFetch {
     * (scene_id, band, href). One connection per row, rows fetched
     * partition-parallel; a dead link is a row with `error`, not a failed
     * stage. */
-  def fetch(spark: SparkSession, assets: DataFrame): Dataset[Fetched] = {
+  def fetch(spark: SparkSession, assets: DataFrame,
+            urlSigner: UrlSigner = NoSigner): Dataset[Fetched] = {
     import spark.implicits._
     assets.select(col("scene_id"), col("band"), col("href"))
       .as[(String, String, String)]
-      .mapPartitions(_.map { case (s, b, h) => fetchOne(s, b, h) })
+      .mapPartitions(_.map { case (s, b, h) => fetchOne(s, b, h, urlSigner) })
   }
 
   /** fetch → K7 validation split → GeoTIFF decode. Returns the
@@ -110,9 +128,10 @@ object AssetFetch {
     * `minBytes` is the reference's 1 MiB floor by default; tests pass a
     * smaller floor for synthetic fixtures. */
   def fetchToTiles(spark: SparkSession, assets: DataFrame,
-                   minBytes: Long = 1024L * 1024L): (Dataset[BandTile], DataFrame) = {
+                   minBytes: Long = 1024L * 1024L,
+                   urlSigner: UrlSigner = NoSigner): (Dataset[BandTile], DataFrame) = {
     import spark.implicits._
-    val fetched = fetch(spark, assets).toDF()
+    val fetched = fetch(spark, assets, urlSigner).toDF()
     val ok = col("error").isNull &&
       SceneCatalog.validDownload(col("content_type"), col("size_bytes"), minBytes)
     val (valid, rejected) = Writers.splitRejects(fetched, ok, "invalid_download")

@@ -377,7 +377,21 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
     * whole commits), so there admission rounds DOWN to complete
     * versions — never below one. */
   private def byteCappedOffset(startV: Int, startPart: Int, maxV: Int,
-                               budget: Long): Option[VersionOffset] = {
+                               budget: Long): Option[VersionOffset] =
+    try byteCappedWalk(startV, startPart, maxV, budget)
+    catch {
+      // retention expired an intermediate manifest (addedOf(x) needs x
+      // AND x−1): the range cannot be SIZED, but whole-version delivery
+      // needs only the endpoint manifests — forfeit the byte cap for
+      // this range instead of failing the feed, mirroring
+      // changesBetween's forfeit-the-skip on expired intermediates
+      case _: IllegalArgumentException =>
+        if (maxV > startV || startPart >= 0) Some(VersionOffset(maxV))
+        else None
+    }
+
+  private def byteCappedWalk(startV: Int, startPart: Int, maxV: Int,
+                             budget: Long): Option[VersionOffset] = {
     if (maxV <= startV && startPart < 0) return None
     var bytes = 0L
     var admitted = 0
@@ -512,12 +526,34 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
         // is dropped like the whole-version path's net difference.
         val afterSet = after.toSet
         val firstV = if (fromPart >= 0) fromV else fromV + 1
-        (firstV to toV).flatMap { x =>
+        try (firstV to toV).flatMap { x =>
           val a = addedOf(x)
           val lo = if (x == fromV && fromPart >= 0) fromPart else 0
           val hi = if (x == toV && toPart >= 0) toPart else a.size
           a.slice(lo, hi)
         }.filter(f => !ignoreChanges || afterSet.contains(f))
+        catch {
+          // retention expired an intermediate manifest of the range. For
+          // a complete-version END offset the same batch is derivable
+          // from the ENDPOINTS alone: everything net-new minus the
+          // already-delivered prefix of fromV's added list (whose two
+          // manifests are the checkpointed restart point — if THOSE are
+          // gone the feed is genuinely unrecoverable and the error
+          // stands). A mid-version end offset references the expired
+          // order itself; nothing sound can rebuild it.
+          case e: IllegalArgumentException if toPart < 0 =>
+            // fromV's UNDELIVERED tail sits inside `before` (filesOf
+            // already includes the whole version) — add it back
+            val tail =
+              if (fromPart < 0) Seq.empty[String]
+              else addedOf(fromV).drop(fromPart)
+            (tail ++ after.filterNot(before))
+              .filter(f => !ignoreChanges || afterSet.contains(f))
+          case e: IllegalArgumentException => throw new IllegalStateException(
+            s"cannot rebuild mid-version batch ($fromV#$fromPart, $toV#$toPart] " +
+              s"of $root: an intermediate manifest expired (${e.getMessage}). " +
+              "Raise manifest retention above checkpoint replay depth.", e)
+        }
       }
     // partition-aware read under the stream's PINNED schema (partition
     // values resolve from the k=v dir names, clones included); rows a
@@ -548,17 +584,22 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
     // widened schema — pre-evolution rows null-fill the new column
     // (exactly what a batch read of the evolved table shows for them)
     // a pinned PRE-RENAME name isn't gone — the field lives on under its
-    // new logical name (the column mapping's physical side is the old
-    // name); resolve it before null-filling, or a pinned CDF stream
-    // silently loses every renamed column's values
-    lazy val p2l = VersionedTable.physToLogical(spark, root, Some(toV))
+    // current logical name; resolve it through the recorded rename
+    // LINEAGE (any historical name, a double-rename's intermediate one
+    // included) before null-filling, or a pinned CDF stream silently
+    // loses every renamed column's values. A name two fields held over
+    // history refuses rather than guesses.
+    lazy val h2c = VersionedTable.historicalToCurrent(spark, root, Some(toV))
     def align(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
       df.select(dataFields.map(f =>
         if (have.contains(f.name)) col(f.name)
-        else p2l.get(f.name).filter(have.contains) match {
-          case Some(cur) => col(cur).as(f.name)
-          case None => lit(null).cast(f.dataType).as(f.name)
+        else h2c.get(f.name) match {
+          case Some(Some(cur)) if have.contains(cur) => col(cur).as(f.name)
+          case Some(None) => throw new IllegalStateException(
+            s"pinned column ${f.name} matches the rename lineage of more " +
+              "than one field; restart the stream to adopt the current schema")
+          case _ => lit(null).cast(f.dataType).as(f.name)
         }): _*)
     }
     val (add, rem) =

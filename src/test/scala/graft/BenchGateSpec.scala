@@ -76,4 +76,36 @@ class BenchGateSpec extends AnyFunSuite {
     assert(r2.head._2 == 8.0, "the reported time stays RAW, only the " +
       "verdict normalizes")
   }
+
+  test("two probes disagreeing: the round stays LIVE (one clean probe " +
+    "proves the box is not uniformly slow)") {
+    // shuffle probe 1.5x but join probe 1.02x: NOT box-wide contention —
+    // either shuffle-path contention or the shuffle probe's own
+    // regression. Verdicts must stay live, and normalization must use
+    // the CLEAN probe (scale 1.02), so a genuinely regressed query
+    // still trips instead of being divided away by the troubled probe.
+    val adj = Map("q126_setsim" -> 7.0)
+    val base = Map("q126_setsim" -> 4.0)
+    val (regs, contended) =
+      Bench.calibratedRegressions(adj, base, Seq(1.02, 1.5))
+    assert(!contended, "one clean probe must block suppression")
+    assert(regs.map(_._1) == Seq("q126_setsim"),
+      "the regression verdict survives the elevated second probe")
+    // the same query on a run where BOTH probes are elevated: suppressed
+    val (r2, c2) = Bench.calibratedRegressions(adj, base, Seq(1.45, 1.5))
+    assert(c2 && r2.isEmpty, "every probe elevated = box-wide contention")
+  }
+
+  test("normalization scale is the SMALLEST probe ratio above 1.0") {
+    assert(Bench.probeScale(Seq(1.2, 1.5)) == 1.2)
+    assert(Bench.probeScale(Seq(0.97, 1.5)) == 1.0,
+      "a clean probe (≤1.0) pins the scale at 1.0 — the box is not slow")
+    assert(Bench.probeScale(Seq.empty) == 1.0)
+    // a sub-threshold shared slowdown still normalizes: both probes at
+    // ~1.25 → scale 1.24, a 1.32x heavy query passes as box speed
+    val base = Map("q126" -> 4.02)
+    val (r1, c1) = Bench.calibratedRegressions(
+      Map("q126" -> 5.29), base, Seq(1.244, 1.27))
+    assert(!c1 && r1.isEmpty)
+  }
 }

@@ -255,6 +255,99 @@ class ColumnMappingSpec extends SparkSpec {
         "never null-fill")
   }
 
+  test("DOUBLE rename: a stream pinned on the INTERMEDIATE name still " +
+    "delivers values (rename lineage, not just phys fall-through)") {
+    // payload -> amount -> total, stream pinned between the renames on
+    // 'amount'. The pinned name is neither the frozen physical name
+    // ('payload', what files carry) nor the current logical ('total'),
+    // so both the by-name fall-through and a (phys -> logical) map miss
+    // it — only the recorded rename lineage resolves it. Without the
+    // lineage every value silently read NULL.
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))                  // v1
+    VersionedTable.renameColumn(spark, root, "payload", "amount") // v2
+    val out = Files.createTempDirectory("cm_out_dbl").toString
+    val q = spark.readStream.format("graft-versioned")
+      .option("ignoreSchemaChanges", "true").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cm_ck_dbl").toString).start()
+    try {
+      q.processAllAvailable() // pins (id, amount), snapshot delivered
+      VersionedTable.renameColumn(spark, root, "amount", "total")  // v3
+      VersionedTable.append(spark, root,
+        df(3).withColumnRenamed("payload", "total"))               // v4
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSeq == Seq("id", "amount"))
+    assert(got.select("amount").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L, 30L),
+      "values pinned on the intermediate name must flow, never null-fill")
+  }
+
+  test("DOUBLE rename: a pinned CDF stream resolves the intermediate name") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))                  // v1
+    VersionedTable.renameColumn(spark, root, "payload", "amount") // v2
+    val out = Files.createTempDirectory("cm_cdf_dbl").toString
+    val q = spark.readStream.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("ignoreSchemaChanges", "true").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("cm_cdf_ck_dbl").toString).start()
+    try {
+      q.processAllAvailable() // pinned (id, amount, _change_type)
+      VersionedTable.renameColumn(spark, root, "amount", "total")  // v3
+      VersionedTable.append(spark, root,
+        df(3).withColumnRenamed("payload", "total"))               // v4
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out)
+    assert(got.columns.contains("amount"))
+    assert(got.filter(col("_change_type") === "insert")
+      .select("amount").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L, 30L),
+      "CDF pinned on the intermediate name must resolve through lineage")
+  }
+
+  test("rename lineage: reclaiming a historical name and the ambiguity refusal") {
+    // reclaim: payload -> amount -> payload; 'amount' still resolves to
+    // the field (its current name never lists itself in the lineage)
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1))
+    VersionedTable.renameColumn(spark, root, "payload", "amount")
+    VersionedTable.renameColumn(spark, root, "amount", "payload")
+    val read = VersionedTable.read(spark, root)
+    assert(read.columns.toSeq == Seq("id", "payload"))
+    assert(read.select("payload").head.getLong(0) == 10L)
+    assert(VersionedTable.historicalToCurrent(spark, root)
+      .get("amount").contains(Some("payload")))
+    // a chain's every historical name resolves to the head
+    VersionedTable.renameColumn(spark, root, "payload", "zz")
+    val lin = VersionedTable.historicalToCurrent(spark, root)
+    assert(lin.get("amount").contains(Some("zz")) &&
+      lin.get("payload").contains(Some("zz")))
+    // AMBIGUITY, built through the public API: field A once held
+    // 'shared' (A: shared -> a1), a NEW column is added under 'shared'
+    // and renamed away too (B: shared -> b1) — now BOTH fields carry
+    // 'shared' in their lineage, and resolution must map it to None
+    // (the readers refuse rather than guess which field a pinned
+    // 'shared' meant)
+    val root2 = freshRoot()
+    VersionedTable.create(spark, root2,
+      df(1).withColumnRenamed("payload", "shared"))
+    VersionedTable.renameColumn(spark, root2, "shared", "a1")
+    VersionedTable.addColumn(spark, root2, "shared", "bigint")
+    VersionedTable.renameColumn(spark, root2, "shared", "b1")
+    assert(VersionedTable.historicalToCurrent(spark, root2)
+      .get("shared").contains(None),
+      "a name two fields held over history is ambiguous: None, not a guess")
+  }
+
   test("a live stream refuses a mid-stream rename like any schema change") {
     import org.apache.spark.sql.streaming.Trigger
     val root = freshRoot()

@@ -105,6 +105,48 @@ class PipelineSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("S2 url signing: the hook signs each href at fetch time; unsigned " +
+    "requests reject and rows keep the UNSIGNED href (loopback server)") {
+    // the reference re-signs every asset URL before download
+    // (download_landsat_stac.py:139 pc.sign); the engine analog is an
+    // opaque signer applied executor-side right before the connection
+    import graft.sources.{AssetFetch, GeoTiff}
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val w = 64; val h = 64
+    val tf2 = Seq(30.0, 0.0, 600000.0, 0.0, -30.0, 6700000.0)
+    val tifBytes = GeoTiff.write(Array.fill(w * h)(1000), w, h, 32635, tf2, Some(0.0), 32)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    // the asset endpoint demands ?token=tk-123 — 403 without it
+    server.createContext("/signed.tif", (ex: HttpExchange) => {
+      if (Option(ex.getRequestURI.getQuery).contains("token=tk-123")) {
+        ex.getResponseHeaders.add("Content-Type", "image/tiff")
+        ex.sendResponseHeaders(200, tifBytes.length.toLong)
+        ex.getResponseBody.write(tifBytes)
+      } else ex.sendResponseHeaders(403, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val assets = Seq(("S1", "red", s"$base/signed.tif"))
+        .toDF("scene_id", "band", "href")
+      // unsigned: the server refuses, the failure is a ROW
+      val un = AssetFetch.fetch(spark, assets).collect()
+      assert(un.head.error.contains("HTTP 403"))
+      // signed: fetch succeeds, and the row keeps the UNSIGNED href
+      // (signed URLs carry credentials — they must never persist)
+      val signer: AssetFetch.UrlSigner = u => s"$u?token=tk-123"
+      val sg = AssetFetch.fetch(spark, assets, signer).collect()
+      assert(sg.head.error.isEmpty && sg.head.content_type == "image/tiff")
+      assert(sg.head.href == s"$base/signed.tif",
+        "the persisted href must stay unsigned")
+      // end-to-end through the K7 split + decode
+      val (tiles, rejects) =
+        AssetFetch.fetchToTiles(spark, assets, minBytes = 1024L, urlSigner = signer)
+      assert(rejects.isEmpty && tiles.count() == 4) // 2x2 grid
+    } finally server.stop(0)
+  }
+
   test("S2 extract: file: URLs fetch -> K7 validation split -> NDVI, rejects counted") {
     import java.nio.file.{Files, Paths}
     import graft.sources.{AssetFetch, GeoTiff}

@@ -355,6 +355,35 @@ class VersionedStreamSourceSpec extends SparkSpec {
       >= 5, "a sub-file budget admits exactly one file per batch")
   }
 
+  test("byte-capped admission survives retention-expired intermediate manifests") {
+    // Byte-capped admission sizes each version's ADDED files, which
+    // needs every intermediate manifest (addedOf(x) reads x AND x-1);
+    // a fresh byte-capped stream on a table whose early history was
+    // expired would die in latestOffset. The contract: forfeit the
+    // byte cap for the unsizable range and deliver whole-version (the
+    // endpoint manifests are all that path needs) — never fail a feed
+    // that an UNCAPPED stream would serve fine.
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))  // v1
+    VersionedTable.append(spark, root, df(3))     // v2
+    VersionedTable.append(spark, root, df(4))     // v3
+    // expire v1's manifest; v3 still references the surviving files
+    VersionedTable.expire(spark, root, keepLast = 2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.filesOf(spark, root, Some(1))
+    }
+    val ckpt = Files.createTempDirectory("vss_exp_ck").toString
+    val out = Files.createTempDirectory("vss_exp_out").toString
+    assert(drain(root, ckpt, out, Map("maxBytesPerTrigger" -> "10"))
+      == Seq(1L, 2L, 3L, 4L),
+      "the feed delivers the snapshot despite the unsizable range")
+    // new commits AFTER the expired range are sizable again: the byte
+    // cap re-engages and the delta arrives exactly once
+    VersionedTable.append(spark, root, df(5))     // v4
+    assert(drain(root, ckpt, out, Map("maxBytesPerTrigger" -> "10"))
+      == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("a commit racing between schema pin and source construction still refuses") {
     // the guard must anchor on the PINNED SCHEMA, not a version captured
     // at construction: an addColumn landing between sourceSchema's pin
