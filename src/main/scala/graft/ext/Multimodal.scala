@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
   * javax.sound.sampled, both pure-JVM, headless-safe — and falls back to
   * a deterministic payload-derived fake for opaque payloads (so the
   * pipeline, and the q42 oracle over text-byte payloads, stay
-  * reproducible with no codec installed for that format). Video remains
-  * byte-range sampling only (no JDK video codec): frame extraction is the
-  * one genuinely stubbed step.
+  * reproducible with no codec installed for that format). Video frame
+  * extraction is REAL too, over the multi-frame container format the
+  * JDK ships a codec for (animated GIF): [[decodeFrames]] walks the
+  * container's frame directory and returns decoded pixels, and
+  * [[frameStage]] is the distributed sampling kernel (q83 runs it
+  * against a closed-form pixel oracle). Byte-range [[sampleSegments]]
+  * remains for genuinely opaque payloads.
   *
   * The Spark-side contract: schema (binary payload + metadata struct),
   * partition-preserving batch iteration (mapPartitions over the typed

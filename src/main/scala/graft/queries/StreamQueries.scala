@@ -69,26 +69,30 @@ object StreamQueries {
     "q158_stream_cdc_apply" -> ((s, d) =>
       graft.streaming.CdcStream.cdcApplyStreaming(s, d)),
 
-    // Multimodal decode stage: binary payloads → typed metadata via the
-    // batch-iterating kernel (deterministic fake decode; ASCII payloads
-    // make the checksum reproducible in SQL as the char fold).
-    // Frame sampling over the video subset: every 2nd 16-byte frame of the
-    // (ASCII) payload, with a portable per-frame checksum — the
-    // frame-sample stage of a video-curation pipeline as pure column
-    // expressions (no decode needed for byte-range frames); one
-    // explode, no shuffle.
+    // Video frame extraction over REAL multi-frame containers: each
+    // "video" document becomes an animated GIF (frame pixels a closed
+    // form of (media_id, frame, pixel) — the oracle's no-codec side),
+    // the Spark side must round-trip it through the JDK's actual GIF
+    // encoder AND decoder — frameStage walks the container's frame
+    // directory, samples every 2nd frame, and checksums the DECODED
+    // pixels, so a codec bug (frame order, palette, dims) breaks the
+    // hash. Batch-iterating mapPartitions kernel (the sanctioned
+    // custom-kernel slot); the id list repartitions before the
+    // CPU-bound encode/decode so all cores work; payload bytes are
+    // born and die inside one task — nothing binary ever shuffles.
     "q83_media_frames" -> ((s, d) => {
-      import graft.functions.Portable.charFold
-      documents(s, d)
+      import s.implicits._
+      import graft.ext.Multimodal
+      val vids = documents(s, d)
         .filter(col("doc_id") % 3 === 2 && length(col("text")) >= 16)
-        .select(col("doc_id").as("media_id"),
-          floor(length(col("text")) / 16).cast("long").as("n_frames"),
-          col("text"))
-        .select(col("media_id"), col("n_frames"), col("text"),
-          explode(sequence(lit(0L), col("n_frames") - 1, lit(2L))).as("frame_idx"))
+        .select(col("doc_id"), floor(length(col("text")) / 16).cast("long"))
+        .as[(Long, Long)]
+        .repartition(32)
+      val media = vids.mapPartitions(_.map { case (mid, nf) =>
+        Multimodal.MediaRow(mid, "video", Multimodal.syntheticVideo(mid, nf)) })
+      Multimodal.frameStage(s, media, everyK = 2).toDF()
         .select(col("media_id"), col("n_frames"), col("frame_idx"),
-          charFold(col("text").substr((col("frame_idx") * 16 + 1).cast("int"),
-            lit(16))).as("checksum"))
+          col("checksum"))
     }),
 
     // Perceptual image near-dup: synthetic PNGs with constructed
@@ -273,17 +277,21 @@ object StreamQueries {
                 min(epoch_ns(ts) // 1000000000) AS start_s,
                 max(epoch_ns(ts) // 1000000000) AS end_s
          FROM sess GROUP BY user_id, sid""",
-    "q83_media_frames" -> {
-      val ck = charFoldSql("substring(text, (frame_idx*16+1)::INT, 16)")
-      s"""SELECT media_id, n_frames, frame_idx, $ck AS checksum
-          FROM (
-            SELECT media_id, n_frames, text,
-                   unnest(range(0, n_frames, 2)) AS frame_idx
-            FROM (
-              SELECT doc_id AS media_id, length(text) // 16 AS n_frames, text
-              FROM documents
-              WHERE doc_id % 3 = 2 AND length(text) >= 16))"""
-    },
+    "q83_media_frames" ->
+      // the Spark side checksums PIXELS DECODED from a real GIF round
+      // trip; the oracle reproduces them from the synthetic frames'
+      // closed form (frame f, pixel p of media m = (m*131+f*31+p*7)%256)
+      // — agreement proves the codec walk was lossless and in order
+      """SELECT media_id, n_frames, frame_idx,
+                list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 64),
+                  p -> ((media_id*131 + frame_idx*31 + p*7) % 256)::BIGINT)),
+                  (a, b) -> (a*31 + b) % 1000003) AS checksum
+         FROM (
+           SELECT media_id, n_frames, unnest(range(0, n_frames, 2)) AS frame_idx
+           FROM (
+             SELECT doc_id AS media_id, length(text) // 16 AS n_frames
+             FROM documents
+             WHERE doc_id % 3 = 2 AND length(text) >= 16))""",
     "q42_media_meta" -> {
       val h = charFoldSql("text")
       s"""SELECT doc_id AS media_id,

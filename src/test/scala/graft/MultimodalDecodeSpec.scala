@@ -86,4 +86,52 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(metas(2L).sample_rate == 8000 && metas(2L).n_frames == 100L)
     assert(metas(1L).codec == "png" && metas(3L).codec == "opaque")
   }
+
+  test("multi-frame GIF: encode -> decode round trip is lossless, ordered, " +
+    "and dimension-faithful") {
+    // 3 frames of distinct 8x8 gray patterns; the decoded pixels must
+    // come back bit-for-bit in frame order (256 grays fit the GIF
+    // palette exactly — no quantization loss possible)
+    val frames = Seq(
+      Array.tabulate(64)(p => p * 4 % 256),
+      Array.tabulate(64)(p => 255 - (p * 3 % 256)),
+      Array.tabulate(64)(p => (p * p + 7) % 256))
+    val payload = Multimodal.encodeGifFrames(frames, 8, 8)
+    assert(Multimodal.sniffCodec(payload) == "gif")
+    val decoded = Multimodal.decodeFrames(payload)
+    assert(decoded.length == 3, "the container walk must find every frame")
+    decoded.zip(frames).zipWithIndex.foreach { case (((i, w, h, px), want), k) =>
+      assert(i == k && w == 8 && h == 8)
+      assert(px.toSeq == want.toSeq, s"frame $k pixels must round-trip exactly")
+    }
+    // invariance: re-encoding the decoded frames yields identical
+    // decoded content again (the codec is a fixed point on its range)
+    val re = Multimodal.decodeFrames(Multimodal.encodeGifFrames(
+      decoded.map(_._4), 8, 8))
+    assert(re.map(_._4.toSeq) == decoded.map(_._4.toSeq))
+    // corrupt payloads return empty, never throw (K7 row isolation)
+    assert(Multimodal.decodeFrames("not a gif".getBytes).isEmpty)
+    assert(Multimodal.decodeFrames(payload.take(20)).isEmpty)
+  }
+
+  test("frameStage samples every k-th REAL frame with pixel checksums") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(7L, "video", Multimodal.syntheticVideo(7L, 5)),
+      Multimodal.MediaRow(9L, "video", Multimodal.syntheticVideo(9L, 2))).toDS()
+    val rows = Multimodal.frameStage(spark, media, everyK = 2).collect()
+    val by = rows.map(r => (r.media_id, r.frame_idx) -> r).toMap
+    assert(by.keySet == Set((7L, 0L), (7L, 2L), (7L, 4L), (9L, 0L)),
+      "every 2nd frame of each container, from its REAL frame count")
+    assert(rows.forall(r => r.width == 8 && r.height == 8))
+    assert(by((7L, 0L)).n_frames == 5L && by((9L, 0L)).n_frames == 2L)
+    // the checksum is over DECODED pixels and must equal the synthetic
+    // closed form (m*131 + f*31 + p*7) % 256 folded — the same identity
+    // the q83 oracle recomputes in SQL
+    def expect(m: Long, f: Long): Long =
+      Multimodal.pixelFold(Array.tabulate(64)(p =>
+        ((m * 131 + f * 31 + p * 7) % 256).toInt))
+    assert(by((7L, 2L)).checksum == expect(7L, 2L))
+    assert(by((9L, 0L)).checksum == expect(9L, 0L))
+  }
 }
