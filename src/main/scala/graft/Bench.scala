@@ -230,6 +230,12 @@ object Bench {
       if (stableRuns <= 0) Map.empty
       else probeNames.flatMap(n =>
         Some(timeOnce(n, SparkEntry.queries(n))).filter(_ >= 0).map(n -> _)).toMap
+    // a probe the sweep filter excluded never warmed: its first timed
+    // run would pay plan compile + codegen and read as a 3x "alert";
+    // warm it once untimed (full sweeps skip this — the passes warmed it)
+    if (stableRuns > 0) probeNames
+      .filter(n => only.exists(!_.contains(n)))
+      .foreach(n => timeOnce(n, SparkEntry.queries(n)))
     val probesBefore = probePass()
     val stableMin: Map[String, Double] =
       if (stableRuns <= 0) Map.empty
