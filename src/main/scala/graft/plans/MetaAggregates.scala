@@ -194,13 +194,18 @@ object MetaAggregates extends Rule[LogicalPlan] {
           case a: AttributeReference => summableType(a.dataType)
           case _ => false
         }
-        // avg answers ONLY for decimal children: there the buffer sum
-        // is the exact decimal total metadata reproduces bit-for-bit.
-        // Integral/double avg accumulates a DOUBLE buffer whose value
-        // depends on addition order — unknowable from metadata.
+        // avg answers for decimal children (the buffer sum is the exact
+        // decimal total metadata reproduces bit-for-bit) and for
+        // INTEGRAL children (the scan's DOUBLE buffer provably
+        // accumulates exactly when the worst-case Σ|v| stays under
+        // 2^53 — gated per-snapshot in aggValue from the same stats;
+        // past the bound the scan's own result is addition-order-
+        // dependent and metadata refuses). Double/float avg stays
+        // refused: its buffer rounds from the first addition.
         case av: Average => av.child match {
           case a: AttributeReference => a.dataType match {
             case d: DecimalType => d.precision <= 18
+            case LongType | IntegerType | ShortType | ByteType => true
             case _ => false
           }
           case _ => false
@@ -446,10 +451,67 @@ object MetaAggregates extends Rule[LogicalPlan] {
                 }
               }
             }
+          // avg(integral) = exact long total ÷ live count through
+          // Spark's OWN evaluateExpression — answerable only when the
+          // scan's double buffer provably accumulates the same value on
+          // EVERY addition order: all partial sums are exact in a
+          // double iff the worst-case Σ|v| < 2^53 (integers are exact
+          // doubles there). Σ|v| is bounded from the same metadata:
+          // Σ_files live_rows · max(|lo|, |hi|). Past the bound the
+          // scan's own answer is addition-order-dependent — refuse and
+          // let it run.
+          case LongType | IntegerType | ShortType | ByteType =>
+            sumAndCount(a, fs).flatMap { case (total, nonNull) =>
+              if (nonNull == 0L) Some(null)
+              else integralAbsBound(a, fs).flatMap { worstAbsSum =>
+                if (worstAbsSum >= (1L << 53)) None
+                else {
+                  val sumAttr = av.aggBufferAttributes.head
+                  val cntAttr = av.aggBufferAttributes(1)
+                  val sub = av.evaluateExpression.transform {
+                    case ar: AttributeReference if ar.exprId == sumAttr.exprId =>
+                      Literal(total.toDouble, sumAttr.dataType)
+                    case ar: AttributeReference if ar.exprId == cntAttr.exprId =>
+                      Literal(nonNull)
+                  }
+                  try Some(sub.eval(InternalRow.empty))
+                  catch { case scala.util.control.NonFatal(_) => None }
+                }
+              }
+            }
           case _ => None
         }
       case _ => None
     }
+
+  /** Upper bound on Σ|v| of a column's LIVE non-null values over a file
+    * subset: Σ_files live_rows · max(|lo|, |hi|), from per-file range
+    * stats in the exact "long" domain. None when any live file lacks a
+    * usable stat or the bound itself overflows (then nothing can be
+    * proven — refuse). */
+  private def integralAbsBound(a: AttributeReference,
+                               fs: Seq[FileMeta]): Option[Long] = {
+    val per = fs.map { f =>
+      f.rows match {
+        case Some(n) if n == f.dvCard => Some(0L)
+        case Some(n) => f.stats.get(a.name)
+          .filter(s => s.typ == "long" && s.unit == "" &&
+            (f.dvCard == 0L || s.live))
+          .flatMap { s =>
+            try {
+              val lo = s.lo.toLong; val hi = s.hi.toLong
+              if (lo == Long.MinValue) None
+              else Some(Math.multiplyExact(n - f.dvCard,
+                math.max(math.abs(lo), math.abs(hi))))
+            } catch { case _: Exception => None }
+          }
+        case None => None
+      }
+    }
+    if (per.exists(_.isEmpty)) None
+    else try Some(per.flatten.foldLeft(0L)(Math.addExact))
+    catch { case _: ArithmeticException => None }
+  }
 
   /** Evaluate one output expression from metadata: every inner aggregate
     * call substitutes its metadata answer as a literal, every grouping

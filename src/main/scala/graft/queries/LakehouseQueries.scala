@@ -815,9 +815,16 @@ object LakehouseQueries {
       s.sql(s"CALL graft.index_sums('$root', 'event_id')")              // v2
       VersionedTable.deleteWhereVectored(s, root, Map.empty,
         col("event_id") % 9 === 0)                                      // v3
+      // count, exact sum AND integral avg all answer from the manifest
+      // with zero scans (avg = exact long total ÷ live count — sound
+      // here because the snapshot's worst-case Σ|v| is far under 2^53,
+      // where the scan's double buffer is exact on any addition order;
+      // MetaAggregateSpec pins both the plan and the refusal past the
+      // bound)
       s.read.format("graft-versioned").load(root)
         .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+          avg(col("event_id")).as("avg_id"))
     }),
 
     // Metadata aggregates over MONEY: decimal(12,2) sums index as exact
@@ -1321,9 +1328,13 @@ object LakehouseQueries {
     // the per-file sums, the wrap-add equivalence, or the DV refresh
     // breaks the hash.
     "q202_meta_sums" ->
+      // avg_id reproduces Spark's integral avg EXACTLY: one IEEE
+      // division of the exact BIGINT total by the count (never DuckDB's
+      // own avg, whose accumulation strategy is unspecified)
       """SELECT CAST(user_id % 8 AS INTEGER) AS bucket,
                 count(*)::BIGINT AS n,
-                CAST(sum(event_id) AS BIGINT) AS sum_id
+                CAST(sum(event_id) AS BIGINT) AS sum_id,
+                CAST(sum(event_id) AS DOUBLE) / count(*) AS avg_id
          FROM events WHERE event_id % 9 <> 0
          GROUP BY 1""",
 

@@ -482,10 +482,48 @@ class MetaAggregateSpec extends SparkSpec {
     val r2 = q2.collect().head
     assert(r2.getDecimal(0) == surv.agg(sum("amount")).collect().head.getDecimal(0))
     assert(r2.getDecimal(1) == surv.agg(avg("amount")).collect().head.getDecimal(0))
-    // avg over an INTEGRAL column refuses: the scan's double buffer is
-    // order-dependent, metadata cannot reproduce it bit-for-bit
+    // avg over an INTEGRAL column answers too (exact long total ÷ live
+    // count — sound here because the worst-case Σ|v| is far under 2^53,
+    // where the scan's double buffer is exact on every addition order),
+    // and matches the scan bit-for-bit on the DV-bearing snapshot
     VersionedTable.indexSums(spark, root, Seq("id"))
-    assert(!metaAnswered(rel(root).agg(avg("id").as("a"))))
+    val qa = rel(root).agg(avg("id").as("a"))
+    assert(metaAnswered(qa), "in-bound integral avg must answer")
+    assert(qa.collect().head.getDouble(0) ==
+      surv.agg(avg("id")).collect().head.getDouble(0))
+  }
+
+  test("integral avg: zero-scan in bounds, refuses past the 2^53 exactness bound") {
+    import spark.implicits._
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      (0L until 300L).toDF("id")
+        .withColumn("v", when(col("id") % 6 =!= 0, col("id") * 11)) // nulls
+        .repartition(3))
+    VersionedTable.indexSums(spark, root, Seq("v"))
+    val q = rel(root).agg(avg("v").as("a"), count(lit(1)).as("n"))
+    assert(metaAnswered(q), q.queryExecution.optimizedPlan.toString)
+    val exp = (0L until 300L).filter(_ % 6 != 0).map(_ * 11)
+    assert(q.collect().head.getDouble(0) == exp.sum.toDouble / exp.size)
+    // survives a vectored delete (the DML refresh keeps sums live-exact)
+    VersionedTable.deleteWhereVectored(spark, root, Map.empty,
+      col("id") % 5 === 0)
+    val q2 = rel(root).agg(avg("v").as("a"))
+    assert(metaAnswered(q2), "integral avg must survive a vectored delete")
+    val exp2 = (0L until 300L).filter(i => i % 6 != 0 && i % 5 != 0).map(_ * 11)
+    assert(q2.collect().head.getDouble(0) == exp2.sum.toDouble / exp2.size)
+    // past the bound: rows·max|v| ≥ 2^53 means some addition order could
+    // round in the scan's double buffer — metadata must refuse, and the
+    // scan keeps its own semantics
+    val root2 = freshRoot()
+    VersionedTable.create(spark, root2,
+      (0L until 100L).toDF("n")
+        .select((lit(1L << 51) + col("n")).as("big")).coalesce(1))
+    VersionedTable.indexSums(spark, root2, Seq("big"))
+    assert(metaAnswered(rel(root2).agg(sum(col("big")).as("s"))),
+      "the exact long SUM still answers")
+    assert(!metaAnswered(rel(root2).agg(avg(col("big")).as("a"))),
+      "avg past the 2^53 worst-case bound must refuse to the scan")
   }
 
   test("decimal min/max answer from the unscaled index; un-indexed refuses") {
