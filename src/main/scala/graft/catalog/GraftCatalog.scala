@@ -313,6 +313,19 @@ object GraftCatalog {
       (spark, in) => versionRow(VersionedTable.renameColumn(
         spark, str(in, 0), str(in, 1), str(in, 2)))),
 
+    new Proc("column_lineage",
+      "the column mapping as a table: field id, current logical name, " +
+        "frozen physical name, rename lineage — which historical name " +
+        "maps where (empty until a rename/drop activates the mapping)",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("field_id", IntegerType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("physical_name", StringType, nullable = false),
+        StructField("prior_names", StringType, nullable = false))),
+      (spark, in) => VersionedTable.describeColumnLineage(spark, str(in, 0))
+        .queryExecution.executedPlan.executeCollect().toSeq),
+
     new Proc("drop_column",
       "DROP COLUMN as a metadata-only commit: the physical column stays " +
         "in old files, never projected again; a later add_column of the " +

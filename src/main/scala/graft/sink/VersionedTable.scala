@@ -2449,6 +2449,28 @@ object VersionedTable {
     * vectored-away rows, and the commit's transaction id. The whole
     * answer is manifest reads — `DESCRIBE HISTORY` for a 100 TB table
     * costs its version count, never its data. */
+  /** The column mapping as a TABLE: (field id, current logical name,
+    * frozen physical name, rename lineage oldest-first). Empty until
+    * the mapping activates (first rename/drop) — the inspection face
+    * for "which historical name maps where", the question a pinned
+    * stream's operator asks before restarting it. */
+  def describeColumnLineage(spark: SparkSession, root: String,
+                            version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val rows = readManifest(spark, root, v).colMap.map(f =>
+      Row(f.id, f.name, f.phys, f.prior.mkString(",")))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("field_id", IntegerType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("physical_name", StringType, nullable = false),
+        StructField("prior_names", StringType, nullable = false))))
+  }
+
   def describeHistory(spark: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

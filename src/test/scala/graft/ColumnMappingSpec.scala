@@ -331,6 +331,13 @@ class ColumnMappingSpec extends SparkSpec {
     val lin = VersionedTable.historicalToCurrent(spark, root)
     assert(lin.get("amount").contains(Some("zz")) &&
       lin.get("payload").contains(Some("zz")))
+    // the SQL inspection face shows the same lineage (ordered by when
+    // each name was last relinquished — payload was reclaimed then
+    // given up again, so it re-enters after amount)
+    val face = spark.sql(s"CALL graft.column_lineage('$root')")
+      .collect().map(r => r.getString(1) -> r.getString(3)).toMap
+    assert(face("zz") == "amount,payload",
+      s"column_lineage must list the full rename chain, got $face")
     // AMBIGUITY, built through the public API: field A once held
     // 'shared' (A: shared -> a1), a NEW column is added under 'shared'
     // and renamed away too (B: shared -> b1) — now BOTH fields carry
