@@ -13,8 +13,17 @@ import org.apache.spark.sql.functions._
   * ANN families keep a natural candidate rate instead of factor-clique
   * duplicate clusters that would quadratically distort any scaling
   * measurement:
-  *  - document text: copy k>0 drops every (k+2)-th word — scattered
-  *    deletions shift almost every shingle, so cross-copy Jaccard is low;
+  *  - document text: copy k>0 suffixes EVERY word with the copy id, so
+  *    copies are token-disjoint — no cross-copy shingle, set-overlap or
+  *    MinHash matches survive, and each copy reproduces the original
+  *    corpus's internal duplication exactly. The scaled corpus is then
+  *    `factor` independent instances of the original workload: a linear
+  *    engine shows ~factor×, and any excess is the engine's own
+  *    super-linearity, not constructed duplicate cliques. (An earlier
+  *    word-DROPPING mutation kept word sets ~75% overlapping across
+  *    copies, which made every doc a genuine set-similarity match of its
+  *    9 siblings — a useful high-duplication STRESS, but a confounded
+  *    scaling measurement; see PERF.md round 13 for both readings.)
   *  - embeddings: copy k rotates the vector by 7k positions — norm
   *    preserved, direction decorrelated;
   *  - ids multiply by `factor` and add k (FK integrity preserved across
@@ -55,8 +64,8 @@ object MakeSf {
     write(fanned("documents").select(
       remap("doc_id"),
       when(col("k") === 0, col("text")).otherwise(
-        array_join(filter(split(col("text"), " "),
-          (w, i) => i % (col("k") + 2) =!= 0), " ")).as("text"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("·"), col("k"))), " ")).as("text"),
       col("lang"), col("source")).withColumn("n_chars", length(col("text"))),
       "documents")
 
