@@ -313,6 +313,32 @@ object GraftCatalog {
       (spark, in) => versionRow(VersionedTable.renameColumn(
         spark, str(in, 0), str(in, 1), str(in, 2)))),
 
+    new Proc("add_constraint",
+      "ADD a named CHECK constraint (SQL semantics: NULL passes, FALSE " +
+        "violates); validates existing data first, then every " +
+        "row-adding writer enforces it on staged files before commit",
+      Seq("path" -> StringType, "name" -> StringType,
+        "expr" -> StringType), versionResult,
+      (spark, in) => versionRow(VersionedTable.addConstraint(
+        spark, str(in, 0), str(in, 1), str(in, 2)))),
+
+    new Proc("drop_constraint",
+      "DROP a CHECK constraint (metadata-only)",
+      Seq("path" -> StringType, "name" -> StringType), versionResult,
+      (spark, in) => versionRow(VersionedTable.dropConstraint(
+        spark, str(in, 0), str(in, 1)))),
+
+    new Proc("constraints",
+      "the table's CHECK constraints as (name, expr) rows",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("expr", StringType, nullable = false))),
+      (spark, in) => VersionedTable.constraintsOf(spark, str(in, 0))
+        .map(c => org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(c.name),
+          org.apache.spark.unsafe.types.UTF8String.fromString(c.expr)))),
+
     new Proc("column_lineage",
       "the column mapping as a table: field id, current logical name, " +
         "frozen physical name, rename lineage — which historical name " +

@@ -290,6 +290,44 @@ object LakehouseQueries {
     // q190's K9 stage-ordering story with zero Scala in the driver
     // seat, the way a scheduler or BI tool would run it. The oracle
     // recomputes all four rollups from raw orders at both cuts.
+    // CHECK constraints end to end: ADD validates the existing snapshot,
+    // a conforming append lands, a violating batch is REFUSED atomically
+    // (nothing commits, staged files swept — the 'refused' row proves
+    // the gate fired: had the batch landed, head's count AND sum both
+    // diverge from the oracle), DROP lifts the contract and the same
+    // batch lands. At 100 TB this is schema-on-write data quality as a
+    // table property — the writer-side gate that keeps a million-file
+    // table free of the rows a downstream join would silently mangle.
+    "q209_constraints" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_ck_q209")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      VersionedTable.create(s, root,
+        ev.filter(col("event_id") % 3 === 0).repartition(4))          // v1
+      s.sql(s"CALL graft.add_constraint('$root', 'val_cap', " +
+        "'value <= 1000000.0')")                                      // v2
+      VersionedTable.append(s, root,
+        ev.filter(col("event_id") % 3 === 1).repartition(2))          // v3
+      val hot = ev.filter(col("event_id") % 3 === 2)
+        .withColumn("value", col("value") + lit(2000000.0))
+      val refused =
+        try { VersionedTable.append(s, root, hot.repartition(2)); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      s.sql(s"CALL graft.drop_constraint('$root', 'val_cap')")        // v4
+      VersionedTable.append(s, root, hot.repartition(2))              // v5
+      import s.implicits._
+      VersionedTable.read(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(lit("head").as("tag"), col("n"), col("sum_value"))
+        .unionByName(Seq((refused,
+            VersionedTable.constraintsOf(s, root).size.toLong))
+          .toDF("n", "sum0")
+          .select(lit("refused").as("tag"), col("n"),
+            col("sum0").cast("double").as("sum_value")))
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -1017,6 +1055,22 @@ object LakehouseQueries {
     // The four pinned-view rollups recomputed from raw orders at both
     // cuts — the current pair from the 1997 cut, the time-traveled pair
     // from the 1995 cut.
+    "q209_constraints" ->
+      // the oracle recomputes the FINAL table assuming the violating
+      // batch was refused exactly once and landed only after the drop;
+      // 'refused' carries (1, live-constraint-count 0) as literals —
+      // any enforcement failure shifts head's n AND sum off the oracle
+      """WITH ev AS (SELECT event_id, event_type, value FROM events),
+              head AS (
+                SELECT value FROM ev WHERE event_id % 3 = 0
+                UNION ALL SELECT value FROM ev WHERE event_id % 3 = 1
+                UNION ALL SELECT value + 2000000.0 FROM ev WHERE event_id % 3 = 2)
+         SELECT 'head' AS tag, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM head
+         UNION ALL
+         SELECT 'refused', 1::BIGINT, 0.0""",
+
     "q208_sql_txn" ->
       """WITH cur AS (SELECT * FROM orders
                       WHERE o_orderdate < TIMESTAMP '1997-01-01'),

@@ -308,6 +308,12 @@ object VersionedTable {
   final case class FieldMap(id: Int, name: String, phys: String,
                             prior: Seq[String] = Seq.empty)
 
+  /** One table CHECK constraint: a named boolean SQL expression every
+    * row must satisfy (SQL semantics: NULL passes, only FALSE
+    * violates). Stored in the manifest, so constraints time-travel with
+    * the snapshot and roll back with [[rollback]]. */
+  final case class TableCheck(name: String, expr: String)
+
   private case class Manifest(version: Int, schemaDdl: String, files: Seq[String],
                               txn: Option[Long] = None,
                               stats: Map[String, Seq[ColStat]] = Map.empty,
@@ -318,7 +324,8 @@ object VersionedTable {
                               rows: Map[String, Long] = Map.empty,
                               op: String = "",
                               colMap: Seq[FieldMap] = Seq.empty,
-                              maxCid: Int = 0) {
+                              maxCid: Int = 0,
+                              checks: Seq[TableCheck] = Seq.empty) {
     /** logical → physical, only where they differ (empty = identity:
       * tables that never renamed/dropped pay nothing anywhere). */
     def physMap: Map[String, String] =
@@ -426,9 +433,25 @@ object VersionedTable {
       else s""" "partitionCols": [${m.partitionCols
         .map(c => "\"" + esc(c) + "\"").mkString(", ")}],\n"""
     s"""{"version": ${m.version},
-       |$opField$txnField$partsField${colMapJson(m)} "schema": "${esc(m.schemaDdl)}",
+       |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)} "schema": "${esc(m.schemaDdl)}",
        | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
        | ${perFileJson(m.stats, m.blooms, m.hlls, m.dvs, m.rows)}}""".stripMargin
+  }
+
+  /** CHECK-constraints JSON field — absent when the table has none, so
+    * unconstrained manifests are byte-identical. Emitted in BOTH full
+    * and delta manifests (like the column mapping), so every manifest
+    * is self-contained and parse needs no inheritance walk. */
+  private def checksJson(m: Manifest): String =
+    if (m.checks.isEmpty) ""
+    else s""" "checks": [${m.checks.map(c =>
+      s"""{"kname": "${esc(c.name)}", "kexpr": "${esc(c.expr)}"}""")
+      .mkString(", ")}],\n"""
+
+  private def parseChecks(text: String): Seq[TableCheck] = {
+    val C = """\{"kname": "((?:[^"\\]|\\.)*)", "kexpr": "((?:[^"\\]|\\.)*)"\}""".r
+    C.findAllMatchIn(text).map(m =>
+      TableCheck(unesc(m.group(1)), unesc(m.group(2)))).toSeq
   }
 
   /** Column-mapping JSON field — absent entirely until mapping
@@ -475,7 +498,7 @@ object VersionedTable {
     Some(
       s"""{"version": ${m.version},
          | "delta": true,
-         |$opField$txnField$partsField${colMapJson(m)} "schema": "${esc(m.schemaDdl)}",
+         |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)} "schema": "${esc(m.schemaDdl)}",
          | "removes": [${names(removes)}],
          | "adds": [${names(adds)}],
          | "touch": [${names(touch)}],
@@ -727,7 +750,8 @@ object VersionedTable {
       parseCommon(text)
     val (cm, maxCid) = parseColMap(text)
     Manifest(v, schema, parseNameList(text, "files"), txn, stats, blooms,
-      partitionCols, hlls, dvs, rows, parseOp(text), cm, maxCid)
+      partitionCols, hlls, dvs, rows, parseOp(text), cm, maxCid,
+      parseChecks(text))
   }
 
   /** Replay a delta manifest over its parent snapshot: removed entries
@@ -746,7 +770,8 @@ object VersionedTable {
     Manifest(v, schema, parent.files.filterNot(removes) ++ adds, txn,
       merge(parent.stats, stats), merge(parent.blooms, blooms),
       partitionCols, merge(parent.hlls, hlls), merge(parent.dvs, dvs),
-      merge(parent.rows, rows), parseOp(text), cm, maxCid)
+      merge(parent.rows, rows), parseOp(text), cm, maxCid,
+      parseChecks(text))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -1072,17 +1097,26 @@ object VersionedTable {
                      baseVersion: Option[Int] = None,
                      partitionCols: Seq[String] = Seq.empty,
                      op: String = "append"): Int = {
-    val v = baseVersion.map(_ + 1)
-      .getOrElse(currentVersion(spark, root).getOrElse(0) + 1)
+    val cur = currentVersion(spark, root)
+    val v = baseVersion.map(_ + 1).getOrElse(cur.getOrElse(0) + 1)
+    // CHECK constraints are TABLE metadata: an overwrite replaces the
+    // DATA, not the contract — the new content must satisfy the
+    // existing checks and the new version carries them (create starts
+    // with none)
+    val checks = cur.map(readManifest(spark, root, _).checks)
+      .getOrElse(Seq.empty)
     val ddl = df.schema.toDDL
     val added = writeDataFiles(spark, root, df, v, partitionCols)
+    enforceChecks(spark, root, checks, ddl, partitionCols.nonEmpty,
+      Map.empty, added)
     // footer stats for file columns + degenerate [v, v] stats for
     // partition columns (hive dirs carry exactly one value per file),
     // plus exact per-file row counts — one footer open per added file
     val (addedStats, addedRows) = addedMeta(spark, root, ddl, added)
     writeManifest(spark, root,
       Manifest(v, ddl, added, txn, addedStats,
-        partitionCols = partitionCols, rows = addedRows, op = op))
+        partitionCols = partitionCols, rows = addedRows, op = op,
+        checks = checks))
     v
   }
 
@@ -1187,7 +1221,7 @@ object VersionedTable {
           delta.metaHlls, _.col, liveSet),
         m.dvs.view.filterKeys(!gone(_)).toMap ++ delta.dvUpdates,
         m.rows.view.filterKeys(!gone(_)).toMap ++ delta.addedRows,
-        delta.op, m.colMap, m.maxCid)
+        delta.op, m.colMap, m.maxCid, m.checks)
       try { writeManifest(spark, root, manifest, Some(m)); return v }
       catch {
         case e: java.io.IOException
@@ -1215,6 +1249,11 @@ object VersionedTable {
               refuse(s"v$x (${wx.op}) changed the table schema")
             if (wx.partitionCols != m.partitionCols)
               refuse(s"v$x (${wx.op}) changed the partition layout")
+            // a constraint added mid-flight was never validated against
+            // this commit's staged rows — refuse rather than publish
+            // around it (Delta refuses any metadata change the same way)
+            if (wx.checks != m.checks)
+              refuse(s"v$x (${wx.op}) changed the table's CHECK constraints")
             val prevSet = prev.files.toSet
             val touchedByX = (prevSet -- wx.files.toSet) ++
               wx.files.filter(f => prevSet.contains(f) &&
@@ -1344,6 +1383,8 @@ object VersionedTable {
     val aligned = alignForAppend(m.schemaDdl, df)
     val added = writeDataFiles(spark, root, aligned, cur + 1, m.partitionCols,
       m.physMap)
+    enforceChecks(spark, root, m.checks, m.schemaDdl,
+      m.partitionCols.nonEmpty, m.physMap, added)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
       m.physMap)
     commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
@@ -1629,8 +1670,98 @@ object VersionedTable {
     Manifest(v, widened.toDDL, m.files,
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
       hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-column",
-      colMap = cm2, maxCid = maxCid2)
+      colMap = cm2, maxCid = maxCid2, checks = m.checks)
   })
+
+  /** ADD CONSTRAINT: a named CHECK every row of the table must satisfy
+    * (SQL semantics: NULL passes, only FALSE violates), stored in the
+    * manifest so it time-travels and rolls back with the snapshot.
+    * EXISTING data is validated first, INSIDE the commit-retry
+    * transform — a violating append racing the validation scan forces a
+    * retry that re-validates against the new head, so a published
+    * constraint is never already broken. Every subsequent row-adding
+    * writer (append, overwrite, merge, update) validates its STAGED
+    * files against the table's checks and refuses the commit on the
+    * first violation. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    sqlExpr: String): Int = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_'), s"bad constraint name $name")
+    commitMetaTransform(spark, root, { m =>
+      require(!m.checks.exists(_.name == name),
+        s"constraint $name already exists")
+      val check = TableCheck(name, sqlExpr)
+      // validate the expression parses + existing data satisfies it;
+      // runs per retry against the handed head, so the scan cannot
+      // straddle a racing violating write
+      val snap = readSnapshotFiles(spark, root, m, m.files)
+      val bad = violations(snap, check).limit(1).collect()
+      require(bad.isEmpty,
+        s"cannot add constraint $name (${check.expr}): existing rows " +
+          s"violate it, e.g. ${bad.headOption.getOrElse("")}")
+      m.copy(version = m.version + 1, op = "add-constraint",
+        checks = m.checks :+ check)
+    })
+  }
+
+  /** DROP CONSTRAINT — metadata-only. */
+  def dropConstraint(spark: SparkSession, root: String, name: String): Int =
+    commitMetaTransform(spark, root, { m =>
+      require(m.checks.exists(_.name == name), s"no constraint $name")
+      m.copy(version = m.version + 1, op = "drop-constraint",
+        checks = m.checks.filterNot(_.name == name))
+    })
+
+  /** `version`'s CHECK constraints (default newest). */
+  def constraintsOf(spark: SparkSession, root: String,
+                    version: Option[Int] = None): Seq[TableCheck] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    readManifest(spark, root, v).checks
+  }
+
+  /** Rows of `df` violating `check` — SQL CHECK semantics: a NULL
+    * evaluation PASSES, only literal FALSE violates. */
+  private def violations(df: DataFrame, check: TableCheck): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    df.filter(not(coalesce(expr(check.expr), lit(true))))
+  }
+
+  /** Validate freshly-STAGED data files against the table's checks,
+    * refusing the commit (and sweeping the staged files) on the first
+    * violation. Validating what was actually WRITTEN — not the incoming
+    * frame — means a nondeterministic expression cannot pass a
+    * frame-level pre-check and still stage violating rows. O(new files)
+    * re-read, paid only by constrained tables. */
+  private def enforceChecks(spark: SparkSession, root: String,
+                            checks: Seq[TableCheck], ddl: String,
+                            partitioned: Boolean,
+                            physMap: Map[String, String],
+                            staged: Seq[String]): Unit = {
+    if (checks.isEmpty || staged.isEmpty) return
+    val df = readPaths(spark, ddl,
+      staged.map(f => new Path(root, f).toString), partitioned, root,
+      physMap = physMap)
+    checks.foreach { c =>
+      val bad = violations(df, c).limit(1).collect()
+      if (bad.nonEmpty) {
+        val f = fs(spark, new Path(root))
+        staged.foreach(p =>
+          scala.util.Try(f.delete(new Path(root, p), false)))
+        throw new IllegalArgumentException(
+          s"CHECK constraint ${c.name} (${c.expr}) violated by this " +
+            s"write, e.g. ${bad.head}; nothing was committed")
+      }
+    }
+  }
+
+  /** The top-level column names `sqlExpr` references — the guard input
+    * for renaming/dropping a column a CHECK depends on. */
+  private def checkRefs(spark: SparkSession, sqlExpr: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(sqlExpr).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }.toSet
 
   /** The column mapping with every live field listed — activation (the
     * first rename/drop) assigns field ids in schema order and freezes
@@ -1674,6 +1805,12 @@ object VersionedTable {
     require(!m.partitionCols.contains(from),
       s"cannot rename partition column $from: its name is the hive " +
         "directory layout itself — repartition into a new table instead")
+    // a CHECK referencing the column would silently stop binding (its
+    // expression is name-keyed text) — refuse, like Delta
+    m.checks.filter(c => checkRefs(spark, c.expr).contains(from))
+      .foreach(c => throw new IllegalArgumentException(
+        s"cannot rename $from: CHECK constraint ${c.name} (${c.expr}) " +
+          "references it; drop the constraint first"))
     val (cm0, maxCid) = activeColMap(m)
     // record the lineage: the old name joins the field's prior-name
     // history (minus the new name, if this rename reclaims one), so a
@@ -1696,7 +1833,7 @@ object VersionedTable {
       hlls = m.hlls.view.mapValues(_.map(h =>
         if (h.col == from) h.copy(col = to) else h)).toMap,
       dvs = m.dvs, rows = m.rows, op = "rename-column",
-      colMap = cm2, maxCid = maxCid)
+      colMap = cm2, maxCid = maxCid, checks = m.checks)
   })
 
   /** DROP COLUMN as a METADATA-ONLY commit: the field leaves the logical
@@ -1714,6 +1851,10 @@ object VersionedTable {
     require(!m.partitionCols.contains(name),
       s"cannot drop partition column $name")
     require(schema.length > 1, "cannot drop the last column")
+    m.checks.filter(c => checkRefs(spark, c.expr).contains(name))
+      .foreach(c => throw new IllegalArgumentException(
+        s"cannot drop $name: CHECK constraint ${c.name} (${c.expr}) " +
+          "references it; drop the constraint first"))
     val (cm0, maxCid) = activeColMap(m)
     val narrowed = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
@@ -1732,7 +1873,8 @@ object VersionedTable {
       maxCid = cm0.find(_.name == name).map(_.phys) match {
         case Some(GcPhys(n)) => math.max(maxCid, n.toInt)
         case _ => maxCid
-      })
+      },
+      checks = m.checks)
   })
 
   /** Inclusive range predicates for manifest-level data skipping:
@@ -2908,6 +3050,8 @@ object VersionedTable {
         (u, r, writeDataFiles(spark, root, newRows, v, m.partitionCols,
           m.physMap))
       } finally marked.foreach(_.unpersist())
+    enforceChecks(spark, root, m.checks, m.schemaDdl,
+      m.partitionCols.nonEmpty, m.physMap, added)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
       m.physMap)
     commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
@@ -2969,6 +3113,8 @@ object VersionedTable {
         .unionByName(source)
     val added = writeDataFiles(spark, root, merged, v, m.partitionCols,
       m.physMap)
+    enforceChecks(spark, root, m.checks, m.schemaDdl,
+      m.partitionCols.nonEmpty, m.physMap, added)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
       m.physMap)
     commitDelta(spark, root, m, CommitDelta(
@@ -3028,6 +3174,8 @@ object VersionedTable {
         .withColumn(DelCol, col("__graft_mk").isNotNull))
     val added = writeDataFiles(spark, root, source, v, m.partitionCols,
       m.physMap)
+    enforceChecks(spark, root, m.checks, m.schemaDdl,
+      m.partitionCols.nonEmpty, m.physMap, added)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
       m.physMap)
     commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
@@ -3194,7 +3342,7 @@ object VersionedTable {
       Manifest(head.version + 1, m.schemaDdl, m.files,
         stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
         hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "rollback",
-        colMap = m.colMap, maxCid = m.maxCid))
+        colMap = m.colMap, maxCid = m.maxCid, checks = m.checks))
   }
 
   /** Compaction as a commit: rewrite the newest version into
@@ -3805,7 +3953,8 @@ object VersionedTable {
       hlls = m.hlls.map { case (k, h) => remap.getOrElse(k, k) -> h },
       partitionCols = m.partitionCols, dvs = absDv,
       rows = m.rows.map { case (k, n) => remap.getOrElse(k, k) -> n },
-      op = "clone", colMap = m.colMap, maxCid = m.maxCid))
+      op = "clone", colMap = m.colMap, maxCid = m.maxCid,
+      checks = m.checks))
     // back-reference every owning root (a clone OF a clone references
     // the original's files — the marker must land with the owner)
     (abs ++ absDv.values.map(_.dvFile)).flatMap(ownerRootOf).distinct.foreach { owner =>

@@ -79,14 +79,26 @@ class ConcurrentFuzzSpec extends SparkSpec {
             val rr = rnd.nextInt(kk.toInt).toLong
             VersionedTable.updateWhereVectored(spark, root, Map.empty,
               col("id") % kk === rr, Map("val" -> (col("val") + lit(1))))
+          } else if (roll < 73 + 3) {
+            // merge-on-read upsert: updates existing ids in place
+            // (remove+insert of the same id in the CDF — multiset
+            // fixed), inserts fresh ones (tracked like appends)
+            val lo = 5000000L + t * 1000000L + k * 10L
+            val ids = Seq(lo, lo + 1)
+            VersionedTable.mergeIntoVectored(spark, root,
+              ids.toDF("id").withColumn("val", col("id") * 3).coalesce(1),
+              Seq("id"))
+            ids.foreach(appended.add)
           } else if (roll < 78) {
             VersionedTable.indexSums(spark, root, Seq("val"),
               onlyMissing = true)
           } else if (roll < 82) {
             VersionedTable.indexBloom(spark, root, Seq("id"),
               onlyMissing = true)
-          } else if (roll < 88) {
+          } else if (roll < 86) {
             VersionedTable.compact(spark, root)
+          } else if (roll < 88) {
+            VersionedTable.zorderBy(spark, root, Seq("id", "val"))
           } else if (roll < 92) {
             VersionedTable.addColumn(spark, root, s"c_${t}_$k", "bigint")
           } else if (roll < 96) {
