@@ -80,13 +80,22 @@ class ConcurrentFuzzSpec extends SparkSpec {
             VersionedTable.updateWhereVectored(spark, root, Map.empty,
               col("id") % kk === rr, Map("val" -> (col("val") + lit(1))))
           } else if (roll < 73 + 3) {
-            // merge-on-read upsert: updates existing ids in place
-            // (remove+insert of the same id in the CDF — multiset
-            // fixed), inserts fresh ones (tracked like appends)
+            // merge-on-read upsert: inserts fresh ids (tracked like
+            // appends). The merge is schema-STRICT, so the source
+            // aligns to the schema read at call time — a rename/add
+            // racing in between legitimately refuses (schema mismatch
+            // counts as a refusal below, like any DDL race)
             val lo = 5000000L + t * 1000000L + k * 10L
             val ids = Seq(lo, lo + 1)
-            VersionedTable.mergeIntoVectored(spark, root,
-              ids.toDF("id").withColumn("val", col("id") * 3).coalesce(1),
+            val schema = VersionedTable.schemaOf(spark, root)
+            val src = ids.toDF("id").select(schema.fields.toSeq.map { f =>
+              f.name match {
+                case "id" => col("id")
+                case "val" => (col("id") * 3).as("val")
+                case other => lit(null).cast(f.dataType).as(other)
+              }
+            }: _*)
+            VersionedTable.mergeIntoVectored(spark, root, src.coalesce(1),
               Seq("id"))
             ids.foreach(appended.add)
           } else if (roll < 78) {
@@ -112,9 +121,10 @@ class ConcurrentFuzzSpec extends SparkSpec {
         } catch {
           case _: java.util.ConcurrentModificationException =>
             refusals.incrementAndGet()
-          case _: IllegalArgumentException if roll >= 88 =>
+          case _: IllegalArgumentException if roll >= 88 || (roll >= 73 && roll < 76) =>
             // schema/rollback target raced away (rename chain broken by
-            // a rollback, duplicate column after a rollback re-add)
+            // a rollback, duplicate column after a rollback re-add, a
+            // strict-schema merge racing a DDL)
             refusals.incrementAndGet()
           case e: Throwable => fatals.add(e); k = OpsPerThread
         }
