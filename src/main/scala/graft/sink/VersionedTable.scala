@@ -1699,8 +1699,11 @@ object VersionedTable {
       require(bad.isEmpty,
         s"cannot add constraint $name (${check.expr}): existing rows " +
           s"violate it, e.g. ${bad.headOption.getOrElse("")}")
+      // txn = None: carrying the head's txn id would duplicate it in
+      // the idempotence ledger (filesAddedByTxn would resolve to this
+      // metadata commit instead of the true append)
       m.copy(version = m.version + 1, op = "add-constraint",
-        checks = m.checks :+ check)
+        checks = m.checks :+ check, txn = None)
     })
   }
 
@@ -1709,7 +1712,7 @@ object VersionedTable {
     commitMetaTransform(spark, root, { m =>
       require(m.checks.exists(_.name == name), s"no constraint $name")
       m.copy(version = m.version + 1, op = "drop-constraint",
-        checks = m.checks.filterNot(_.name == name))
+        checks = m.checks.filterNot(_.name == name), txn = None)
     })
 
   /** `version`'s CHECK constraints (default newest). */

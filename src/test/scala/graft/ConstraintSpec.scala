@@ -93,6 +93,25 @@ class ConstraintSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 4)
   }
 
+  test("constraint commits never carry the head's txn id (ledger integrity)") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1L -> 10L))
+    VersionedTable.appendTxn(spark, root, df(2L -> 20L), txn = 7L)
+    val txnFiles = VersionedTable.filesAddedByTxn(spark, root, 7L)
+    assert(txnFiles.nonEmpty)
+    // a metadata commit right after must NOT replay txn 7 into the
+    // ledger: filesAddedByTxn still resolves the TRUE append, and the
+    // txn replay stays a no-op
+    VersionedTable.addConstraint(spark, root, "v_pos", "v > 0")
+    assert(VersionedTable.filesAddedByTxn(spark, root, 7L) == txnFiles,
+      "the constraint commit must not adopt the append's txn id")
+    val cur = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.appendTxn(spark, root, df(9L -> 90L), txn = 7L) == cur,
+      "replaying txn 7 is still a no-op")
+    VersionedTable.dropConstraint(spark, root, "v_pos")
+    assert(VersionedTable.filesAddedByTxn(spark, root, 7L) == txnFiles)
+  }
+
   test("constraints time-travel and roll back with the snapshot") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1L -> 10L))         // v1
