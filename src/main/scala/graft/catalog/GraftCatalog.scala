@@ -400,6 +400,88 @@ object GraftCatalog {
       },
       defaults = Map("prefix" -> "'txn'", "txn" -> "-1")),
 
+    // Named refs: tags pin versions against retention (reproducible
+    // training snapshots); branches stage audited writes that publish
+    // with a metadata-only fast-forward — write-audit-publish from SQL.
+    new Proc("create_tag",
+      "tag a version (default newest) with an immutable name; a tagged " +
+        "version survives expire until the tag is dropped",
+      Seq("path" -> StringType, "name" -> StringType,
+        "version" -> IntegerType), versionResult,
+      (spark, in) => versionRow(VersionedTable.createTag(spark, str(in, 0),
+        str(in, 1), Some(in.getInt(2)).filter(_ >= 1))),
+      defaults = Map("version" -> "-1")),
+
+    new Proc("drop_tag",
+      "drop a tag, releasing its retention pin; returns the version it pinned",
+      Seq("path" -> StringType, "name" -> StringType), versionResult,
+      (spark, in) => versionRow(
+        VersionedTable.dropTag(spark, str(in, 0), str(in, 1)))),
+
+    new Proc("tags",
+      "all tags as (name, pinned version)",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false))),
+      (spark, in) => VersionedTable.tags(spark, str(in, 0))
+        .map { case (n, v) => InternalRow(UTF8String.fromString(n), v) }),
+
+    new Proc("tag_snapshot",
+      "register the version a tag pins as temp view <view> — time " +
+        "travel by name from pure SQL",
+      Seq("path" -> StringType, "name" -> StringType,
+        "view" -> StringType),
+      StructType(Seq(StructField("view", StringType, nullable = false))),
+      (spark, in) => {
+        VersionedTable.readTag(spark, str(in, 0), str(in, 1))
+          .createOrReplaceTempView(str(in, 2))
+        Seq(InternalRow(UTF8String.fromString(str(in, 2))))
+      }),
+
+    new Proc("create_branch",
+      "shallow-branch a table (write-audit-publish staging): data " +
+        "shared by reference, schema and CHECK constraints carried; " +
+        "write/audit against the returned root, then fast_forward",
+      Seq("path" -> StringType, "name" -> StringType,
+        "version" -> IntegerType),
+      StructType(Seq(StructField("branch_root", StringType, nullable = false))),
+      (spark, in) => Seq(InternalRow(UTF8String.fromString(
+        VersionedTable.createBranch(spark, str(in, 0), str(in, 1),
+          Some(in.getInt(2)).filter(_ >= 1))))),
+      defaults = Map("version" -> "-1")),
+
+    new Proc("fast_forward",
+      "publish a branch onto main as ONE metadata-only commit (files " +
+        "adopted by reference); refuses if main advanced since the " +
+        "fork — the audited snapshot would be stale",
+      Seq("path" -> StringType, "name" -> StringType), versionResult,
+      (spark, in) => versionRow(
+        VersionedTable.fastForward(spark, str(in, 0), str(in, 1)))),
+
+    new Proc("drop_branch",
+      "drop a branch: manifests go; data files survive only where a " +
+        "fast-forward published them into main",
+      Seq("path" -> StringType, "name" -> StringType),
+      StructType(Seq(
+        StructField("removed_versions", IntegerType, nullable = false),
+        StructField("removed_files", IntegerType, nullable = false))),
+      (spark, in) => {
+        val (vs, files) = VersionedTable.dropBranch(spark, str(in, 0), str(in, 1))
+        Seq(InternalRow(vs, files))
+      }),
+
+    new Proc("branches",
+      "all branches as (name, fork base on main, branch head version)",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("fork_base", IntegerType, nullable = false),
+        StructField("head_version", IntegerType, nullable = false))),
+      (spark, in) => VersionedTable.branches(spark, str(in, 0))
+        .map { case (n, fb, h) =>
+          InternalRow(UTF8String.fromString(n), fb, h) }),
+
     new Proc("txn_history",
       "the catalog's committed transactions: one row per (txn, table) " +
         "pin — every row is a readable consistent cross-table snapshot",

@@ -328,6 +328,63 @@ object LakehouseQueries {
             col("sum0").cast("double").as("sum_value")))
     }),
 
+    // Named refs + write-audit-publish end to end, all through the SQL
+    // face: a tag pins the training snapshot (v1), a branch stages the
+    // next delivery AWAY from readers — the branch carries the table's
+    // CHECK constraint, so the audit gate fires THERE (the violating
+    // 1997 batch is refused on the branch; main never sees a byte of
+    // it) — and the publish is ONE metadata-only fast-forward commit
+    // adopting the branch head by reference. Then the hostile cleanup:
+    // drop_branch (published files must survive under the marker
+    // protocol) and expire keep_last=1 (the tag must pin v1's manifest
+    // AND files). The result reads head (through branch-owned files —
+    // proves the drop swept nothing main references) and the tag
+    // (proves retention honored the pin); 'audit' carries main's
+    // row count DURING staging plus refused+live-constraint counts.
+    // At 100 TB: branch, tag, publish, drop are all O(1) metadata —
+    // the delivery pipeline revalidates and publishes without touching
+    // or copying a single data file.
+    "q210_wap" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_wap_q210")
+      val root = work.resolve("ord").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      VersionedTable.create(s, root,
+        o.filter(year(col("o_orderdate")) <= 1995).repartition(4))  // v1
+      s.sql(s"CALL graft.create_tag('$root', 'train-v1')")
+      s.sql(s"CALL graft.add_constraint('$root', 'price_pos', " +
+        "'o_totalprice > 0.0')")                                    // v2
+      s.sql(s"CALL graft.create_branch('$root', 'wap')")
+      val bRoot = VersionedTable.branchRoot(root, "wap")
+      VersionedTable.append(s, bRoot,
+        o.filter(year(col("o_orderdate")) === 1996).repartition(2)) // stage
+      val refused =                                                 // audit
+        try {
+          VersionedTable.append(s, bRoot,
+            o.filter(year(col("o_orderdate")) === 1997)
+              .withColumn("o_totalprice", -col("o_totalprice"))
+              .repartition(2))
+          0L
+        } catch { case _: IllegalArgumentException => 1L }
+      val mainPre = VersionedTable.read(s, root).count()
+      s.sql(s"CALL graft.fast_forward('$root', 'wap')")             // v3
+      s.sql(s"CALL graft.drop_branch('$root', 'wap')")
+      s.sql(s"CALL graft.expire('$root', 1, 0)")
+      val nChecks = VersionedTable.constraintsOf(s, root).size.toLong
+      def snap(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+          .select(lit(tag).as("tag"), col("n"), col("sum_price"))
+      import s.implicits._
+      snap(VersionedTable.read(s, root), "head")
+        .unionByName(snap(
+          VersionedTable.readTag(s, root, "train-v1"), "tag_train_v1"))
+        .unionByName(Seq((mainPre, (refused + nChecks).toDouble))
+          .toDF("n", "sum_price")
+          .select(lit("audit").as("tag"), col("n"), col("sum_price")))
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -1070,6 +1127,28 @@ object LakehouseQueries {
          FROM head
          UNION ALL
          SELECT 'refused', 1::BIGINT, 0.0""",
+
+    // The WAP pipeline's three faces recomputed from raw orders: head =
+    // v1 (≤1995) plus the audited 1996 delivery (the violating 1997
+    // batch refused on the branch, so it contributes NOTHING); the tag
+    // re-reads v1 exactly, even after expire keep_last=1; 'audit' pins
+    // (main's count during staging, refused=1 + live constraints=1).
+    "q210_wap" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                           o_orderdate FROM orders),
+              v1 AS (SELECT * FROM o WHERE year(o_orderdate) <= 1995),
+              a96 AS (SELECT * FROM o WHERE year(o_orderdate) = 1996),
+              head AS (SELECT * FROM v1 UNION ALL SELECT * FROM a96)
+         SELECT 'head' AS tag, count(*)::BIGINT AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM head
+         UNION ALL
+         SELECT 'tag_train_v1', count(*)::BIGINT,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM v1
+         UNION ALL
+         SELECT 'audit', (SELECT count(*) FROM v1)::BIGINT, 2.0""",
 
     "q208_sql_txn" ->
       """WITH cur AS (SELECT * FROM orders

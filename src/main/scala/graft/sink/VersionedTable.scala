@@ -3687,9 +3687,15 @@ object VersionedTable {
               })
           }
         }.toSet
+    // tag pins: a TAGGED version (a reproducible training snapshot, a
+    // release) survives retention — manifest and files — until the tag
+    // is dropped. Same protection class as txn pins: GC of tagged
+    // history is a two-step (drop_tag, then expire), never a surprise.
+    val tagPinned = tags(spark, root).map(_._2).toSet
+    val keepVersion = pinned ++ tagPinned
     val (dropAged, keepTail) = vs.splitAt(math.max(0, vs.size - keepLast))
-    val drop = dropAged.filterNot(pinned)
-    val keep = keepTail ++ dropAged.filter(pinned)
+    val drop = dropAged.filterNot(keepVersion)
+    val keep = keepTail ++ dropAged.filter(keepVersion)
     val keptManifests = keep.map(v => readManifest(spark, root, v))
     val live = keptManifests.flatMap(_.files).toSet
     val liveDv = keptManifests.flatMap(_.dvs.values.map(_.dvFile)).toSet
@@ -3969,6 +3975,233 @@ object VersionedTable {
       try out.write(dstRoot.getBytes("UTF-8")) finally out.close()
     }
     1
+  }
+
+  // ---- named refs: tags and branches (write-audit-publish) ----------------
+  // The Iceberg refs design re-expressed on the manifest chain: a TAG is
+  // a named, retention-pinned version (reproducible training snapshots);
+  // a BRANCH is a shallow-cloned staging table whose head publishes back
+  // onto main as ONE metadata-only fast-forward commit — the
+  // write-audit-publish pattern. Both are O(1) metadata: no data file
+  // moves at tag, branch, or publish time.
+
+  private def tagPath(root: String, name: String) =
+    new Path(logDir(root), s".tag-$name")
+
+  private def requireRefName(name: String): Unit =
+    require(name.nonEmpty && name.length <= 64 && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"ref name '$name' must match [A-Za-z0-9._-]{1,64}")
+
+  /** TAG `version` (default newest) as `name`. Tags are immutable —
+    * re-tagging an existing name refuses (drop first); creation is a
+    * CAS on the tag file, so two racing creates resolve to one winner.
+    * A tagged version is pinned: [[expire]] keeps its manifest AND its
+    * files no matter how old, until [[dropTag]]. Returns the tagged
+    * version. */
+  def createTag(spark: SparkSession, root: String, name: String,
+                version: Option[Int] = None): Int = {
+    requireRefName(name)
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no table at $root")
+    val v = version.getOrElse(vs.max)
+    require(vs.contains(v), s"version $v does not exist at $root")
+    val f = fs(spark, new Path(root))
+    val tmp = new Path(logDir(root),
+      s".reftmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    require(atomicClaim(f, tmp, tagPath(root, name)),
+      s"tag '$name' already exists at $root (drop it first; tags are immutable)")
+    v
+  }
+
+  /** The version tag `name` pins. */
+  def tagVersion(spark: SparkSession, root: String, name: String): Int = {
+    requireRefName(name)
+    val f = fs(spark, new Path(root))
+    val p = tagPath(root, name)
+    require(f.exists(p), s"no tag '$name' at $root")
+    readText(f, p).trim.toInt
+  }
+
+  /** All tags as (name, pinned version), name-sorted. */
+  def tags(spark: SparkSession, root: String): Seq[(String, Int)] = {
+    val f = fs(spark, new Path(root))
+    if (!f.exists(logDir(root))) Seq.empty
+    else f.listStatus(logDir(root)).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(".tag-"))
+      .map { p =>
+        p.getName.stripPrefix(".tag-") -> readText(f, p).trim.toInt
+      }.sortBy(_._1)
+  }
+
+  /** Drop tag `name`, releasing its retention pin. Returns the version
+    * it pinned (now eligible for [[expire]] like any other). */
+  def dropTag(spark: SparkSession, root: String, name: String): Int = {
+    val v = tagVersion(spark, root, name)
+    fs(spark, new Path(root)).delete(tagPath(root, name), false)
+    v
+  }
+
+  /** Snapshot read of the version tag `name` pins — time travel by name
+    * instead of number. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    read(spark, root, Some(tagVersion(spark, root, name)))
+
+  /** Where branch `name`'s staging table lives: under the parent so the
+    * branch travels with the table (backup, mv) and its data files sort
+    * under one namespace. */
+  def branchRoot(root: String, name: String): String = {
+    requireRefName(name)
+    s"${root.stripSuffix("/")}/_branch/$name"
+  }
+
+  private def forkPath(bRoot: String) = new Path(logDir(bRoot), ".fork")
+
+  private def writeForkBase(spark: SparkSession, bRoot: String, base: Int): Unit = {
+    val f = fs(spark, new Path(bRoot))
+    f.mkdirs(logDir(bRoot))
+    val out = f.create(forkPath(bRoot), true)
+    try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The main-table version branch `name` forked from — the version
+    * [[fastForward]] CASes against. Advanced to the published version on
+    * every successful fast-forward, so one branch sustains repeated
+    * write-audit-publish cycles. */
+  def forkBaseOf(spark: SparkSession, root: String, name: String): Int = {
+    val bRoot = branchRoot(root, name)
+    val f = fs(spark, new Path(bRoot))
+    require(f.exists(forkPath(bRoot)), s"no branch '$name' at $root")
+    readText(f, forkPath(bRoot)).trim.toInt
+  }
+
+  /** Create branch `name` from `version` (default newest): a shallow
+    * clone — data files shared by reference, schema, column mapping and
+    * CHECK constraints carried — that stages writes AWAY from readers of
+    * main. Writers use the ordinary table API against [[branchRoot]];
+    * constraints validate there, audits read there; [[fastForward]]
+    * publishes. Refuses if the branch already exists. */
+  def createBranch(spark: SparkSession, root: String, name: String,
+                   version: Option[Int] = None): String = {
+    val bRoot = branchRoot(root, name)
+    val base = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    cloneShallow(spark, root, bRoot, Some(base))
+    writeForkBase(spark, bRoot, base)
+    bRoot
+  }
+
+  /** All branches as (name, fork base, branch head version). */
+  def branches(spark: SparkSession, root: String): Seq[(String, Int, Int)] = {
+    val dir = new Path(root, "_branch")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .flatMap { n =>
+        currentVersion(spark, branchRoot(root, n))
+          .map(h => (n, forkBaseOf(spark, root, n), h))
+      }.sortBy(_._1)
+  }
+
+  /** PUBLISH branch `name`: one metadata-only commit on main adopting
+    * the branch head wholesale — files (by reference — zero data
+    * movement), schema, column mapping, deletion vectors, stats/blooms/
+    * HLLs, and CHECK constraints. The commit CASes on the fork base: if
+    * main advanced since the branch forked, it REFUSES — the audited
+    * snapshot is not what would result, so re-branch and re-audit (the
+    * WAP contract; racing appends belong on the branch or after the
+    * publish). On success the branch re-forks from the published
+    * version, ready for the next cycle. Returns main's new version.
+    *
+    * GC safety is the clone-marker protocol in both directions: branch
+    * files main now references get a back-reference marker in the
+    * BRANCH's log (its expire/drop keeps them), and files main already
+    * owned return to root-relative form so main's own expire accounts
+    * for them natively. */
+  def fastForward(spark: SparkSession, root: String, name: String): Int = {
+    val bRoot = branchRoot(root, name)
+    val bHead = currentVersion(spark, bRoot)
+      .getOrElse(throw new IllegalArgumentException(s"no branch '$name' at $root"))
+    val fork = forkBaseOf(spark, root, name)
+    val bm = readManifest(spark, bRoot, bHead)
+    val f = fs(spark, new Path(root))
+    val rootAbs = f.makeQualified(new Path(root)).toUri.getPath
+    // normalize every file reference into MAIN's namespace: branch-owned
+    // paths go absolute (shared by reference, the clone convention);
+    // paths under main's own data/dv dirs return to relative form
+    def normalize(p: String): String = {
+      val abs =
+        if (p.startsWith("/")) p
+        else f.makeQualified(new Path(bRoot, p)).toUri.getPath
+      if (abs.startsWith(s"$rootAbs/data/") || abs.startsWith(s"$rootAbs/dv/"))
+        abs.stripPrefix(s"$rootAbs/")
+      else abs
+    }
+    val files2 = bm.files.map(normalize)
+    val remap = bm.files.zip(files2).toMap
+    def rekey[T](m: Map[String, T]): Map[String, T] =
+      m.map { case (k, v) => remap.getOrElse(k, normalize(k)) -> v }
+    val dvs2 = bm.dvs.map { case (k, d) =>
+      remap.getOrElse(k, normalize(k)) -> d.copy(dvFile = normalize(d.dvFile))
+    }
+    val published = commitMetaTransform(spark, root, { head =>
+      require(head.version == fork,
+        s"cannot fast-forward branch '$name': the table advanced to " +
+          s"v${head.version} since the fork at v$fork — the audited " +
+          "snapshot is stale; re-branch from the current head and re-audit")
+      require(head.partitionCols == bm.partitionCols,
+        s"branch '$name' changed the partition layout " +
+          s"(${head.partitionCols} -> ${bm.partitionCols})")
+      Manifest(head.version + 1, bm.schemaDdl, files2,
+        stats = rekey(bm.stats), blooms = rekey(bm.blooms),
+        partitionCols = bm.partitionCols, hlls = rekey(bm.hlls),
+        dvs = dvs2, rows = rekey(bm.rows), op = s"fast-forward:$name",
+        colMap = bm.colMap, maxCid = bm.maxCid, checks = bm.checks)
+    })
+    // back-reference markers with every FOREIGN owner (the branch; for a
+    // branch-of-a-clone, the original): their GC must keep what main
+    // now references
+    (files2 ++ dvs2.values.map(_.dvFile)).filter(_.startsWith("/"))
+      .flatMap(ownerRootOf).distinct.filterNot(_ == rootAbs)
+      .foreach { owner =>
+        val fo = fs(spark, new Path(owner))
+        fo.mkdirs(logDir(owner))
+        val marker = new Path(logDir(owner),
+          s".clone-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = fo.create(marker, true)
+        try out.write(root.getBytes("UTF-8")) finally out.close()
+      }
+    writeForkBase(spark, bRoot, published)
+    published
+  }
+
+  /** Drop branch `name`: its manifests and fork record go; its data/DV
+    * files are swept EXCEPT what a clone marker protects — i.e. files a
+    * fast-forward published into main survive under the branch directory
+    * (main references them absolutely) until main itself stops
+    * referencing them. Returns (versions removed, files removed). A new
+    * branch may reuse the name afterwards. */
+  def dropBranch(spark: SparkSession, root: String, name: String): (Int, Int) = {
+    val bRoot = branchRoot(root, name)
+    val f = fs(spark, new Path(bRoot))
+    val vs = versions(spark, bRoot)
+    require(vs.nonEmpty, s"no branch '$name' at $root")
+    val protectedFiles = cloneProtected(spark, bRoot, f)
+    vs.foreach { v =>
+      f.delete(manifestPath(bRoot, v), false)
+      f.delete(checkpointPath(bRoot, v), false)
+    }
+    f.delete(forkPath(bRoot), false)
+    var removed = 0
+    Seq(dataDir(bRoot), dvDir(bRoot)).foreach { dir =>
+      if (f.exists(dir)) walkFiles(f, dir).foreach { p =>
+        val full = f.makeQualified(p).toUri.getPath
+        if (!protectedFiles.contains(full) && f.delete(p, false)) removed += 1
+      }
+    }
+    (vs.size, removed)
   }
 
   /** The table root owning an absolute data-file or DV-sidecar path
