@@ -400,6 +400,16 @@ object GraftCatalog {
       },
       defaults = Map("prefix" -> "'txn'", "txn" -> "-1")),
 
+    new Proc("set_partition_layout",
+      "partition evolution: change the hive layout FUTURE writes land " +
+        "under (comma-separated columns; empty = unpartitioned) as a " +
+        "metadata-only commit — existing files keep their layout and " +
+        "stay prunable; compact/zorder migrate them gradually",
+      Seq("path" -> StringType, "columns" -> StringType), versionResult,
+      (spark, in) => versionRow(VersionedTable.setPartitionLayout(
+        spark, str(in, 0),
+        str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))),
+
     // Named refs: tags pin versions against retention (reproducible
     // training snapshots); branches stage audited writes that publish
     // with a metadata-only fast-forward — write-audit-publish from SQL.

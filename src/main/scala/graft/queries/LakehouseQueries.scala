@@ -328,6 +328,36 @@ object LakehouseQueries {
             col("sum0").cast("double").as("sum_value")))
     }),
 
+    // PARTITION EVOLUTION end to end: the table starts unpartitioned,
+    // `CALL graft.set_partition_layout` re-clusters FUTURE writes by
+    // event_type as a metadata-only commit, the second half lands under
+    // the new hive layout, and a merge-on-read delete then spans BOTH
+    // layouts (vectors attach per file regardless of where its
+    // partition values live — data pages or directory names). The
+    // grouped rollup reads the mixed snapshot; any mis-resolved
+    // partition value or mis-applied vector shifts a group off the
+    // oracle. At 100 TB this is re-clustering for a new query pattern
+    // with one JSON commit: old files keep pruning on their footer
+    // stats, new files on their degenerate dir stats, and compaction
+    // migrates stragglers gradually instead of a multi-day rewrite.
+    "q211_partition_evolution" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_pevo_q211")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      VersionedTable.create(s, root,
+        ev.filter(col("event_id") % 2 === 0).repartition(4))        // v1 flat
+      s.sql(s"CALL graft.set_partition_layout('$root', 'event_type')") // v2
+      VersionedTable.append(s, root,
+        ev.filter(col("event_id") % 2 === 1).repartition(2))        // v3 hive
+      VersionedTable.deleteWhereVectored(s, root, Map.empty,
+        col("value") < lit(10.0))                                   // v4 DVs
+      VersionedTable.read(s, root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    }),
+
     // Named refs + write-audit-publish end to end, all through the SQL
     // face: a tag pins the training snapshot (v1), a branch stages the
     // next delivery AWAY from readers — the branch carries the table's
@@ -1127,6 +1157,17 @@ object LakehouseQueries {
          FROM head
          UNION ALL
          SELECT 'refused', 1::BIGINT, 0.0""",
+
+    // The evolved, vector-deleted table must equal the plain rollup of
+    // surviving events — layouts and vectors invisible in the result.
+    // Survivor rule mirrors the delete set: deleted where the predicate
+    // IS TRUE, so NULL values survive.
+    "q211_partition_evolution" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE NOT (value < 10.0) OR value IS NULL
+         GROUP BY 1""",
 
     // The WAP pipeline's three faces recomputed from raw orders: head =
     // v1 (≤1995) plus the audited 1996 delivery (the violating 1997

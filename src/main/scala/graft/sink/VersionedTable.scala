@@ -326,6 +326,16 @@ object VersionedTable {
                               colMap: Seq[FieldMap] = Seq.empty,
                               maxCid: Int = 0,
                               checks: Seq[TableCheck] = Seq.empty) {
+    /** Whether a READ of this snapshot must resolve hive partition
+      * directories. `partitionCols` alone is not enough once the layout
+      * EVOLVES ([[setPartitionLayout]]): a now-unpartitioned table may
+      * still reference files written under the old k=v layout, whose
+      * partition-column values live only in their directory names. File
+      * names are commit-generated (no '=' ever), so a k=v segment in
+      * any referenced path is the exact signal. */
+    def partitionedRead: Boolean =
+      partitionCols.nonEmpty || files.exists(_.contains("="))
+
     /** logical → physical, only where they differ (empty = identity:
       * tables that never renamed/dropped pay nothing anywhere). */
     def physMap: Map[String, String] =
@@ -1573,11 +1583,16 @@ object VersionedTable {
     else if (partitioned) {
       // hive layout: partition-column values resolve from the k=v
       // directory names (basePath anchors the discovery); files are
-      // grouped by their partition base so a snapshot mixing local and
-      // cloned-from files still resolves every value; the final select
-      // restores the declared column order, since the scan appends
-      // partition columns after the file columns
-      toLogical(paths.groupBy(partitionBaseOf).toSeq.sortBy(_._1).map { case (base, ps) =>
+      // grouped by (partition base, partition-column names in the path)
+      // so a snapshot mixing local and cloned-from files — or, after
+      // layout EVOLUTION, files written under DIFFERENT layouts beneath
+      // one base — still resolves every value (one discovery per
+      // layout; mixed layouts in a single discovery would conflict);
+      // the final select restores the declared column order, since the
+      // scan appends partition columns after the file columns
+      toLogical(paths.groupBy(p => partitionBaseOf(p) -> p.split('/')
+          .filter(_.contains("=")).map(_.takeWhile(_ != '=')).mkString(","))
+        .toSeq.sortBy(_._1).map { case ((base, _), ps) =>
         spark.read.schema(physSchema).option("basePath", base).parquet(ps: _*)
           .select(col("*") +: metaCols: _*)
       }.reduce(_ unionByName _)
@@ -1605,7 +1620,7 @@ object VersionedTable {
     val pm = physMap.getOrElse(m.physMap)
     val (dvd, plain) = files.partition(m.dvs.contains)
     val plainDf = readPaths(spark, ddl, plain.map(f => new Path(root, f).toString),
-      m.partitionCols.nonEmpty, root, physMap = pm)
+      m.partitionedRead, root, physMap = pm)
     if (dvd.isEmpty) plainDf
     else plainDf.unionByName(dvSurvivorRows(spark, root, m, ddl, dvd, pm))
   }
@@ -1627,7 +1642,7 @@ object VersionedTable {
     val confB = hadoopConfBc(spark)
     val scanned = readPaths(spark, ddl,
       files.sorted.map(f => new Path(root, f).toString),
-      m.partitionCols.nonEmpty, root, withMeta = true, physMap = physMap)
+      m.partitionedRead, root, withMeta = true, physMap = physMap)
     val member = Bridge.toColumn(graft.functions.DvDeletedLazyExpr(
       Bridge.toExpression(col(DvFileCol)),
       Bridge.toExpression(col(DvPosCol)), refs, root, confB))
@@ -1879,6 +1894,41 @@ object VersionedTable {
       },
       checks = m.checks)
   })
+
+  /** PARTITION EVOLUTION as a metadata-only commit (the Iceberg
+    * partition-spec-evolution recipe): change the hive layout FUTURE
+    * writes land under — to different columns, or to none — without
+    * touching a single existing file. Old files keep their k=v
+    * directories; their partition values still resolve per file (the
+    * read groups files by layout, and their degenerate [v, v] dir
+    * stats keep pruning them); new files land under the new layout.
+    * [[compact]]/[[zorderBy]] rewrites migrate data to the current
+    * layout as a side effect — the gradual-migration story. A DML that
+    * RACED a layout change refuses in the rebase walk (its files were
+    * staged under a layout the head no longer has).
+    *
+    * Columns renamed through the mapping refuse as layout columns:
+    * hive directories carry write-time names, and a mapped column's
+    * physical name would diverge from the directory key. At 100 TB
+    * this is the difference between re-clustering a table for a new
+    * query pattern with one JSON commit and a multi-day rewrite. */
+  def setPartitionLayout(spark: SparkSession, root: String,
+                         cols: Seq[String]): Int =
+    commitMetaTransform(spark, root, { m =>
+      val fields = org.apache.spark.sql.types.StructType
+        .fromDDL(m.schemaDdl).fieldNames.toSet
+      require(cols.forall(fields.contains),
+        s"layout columns ${cols.filterNot(fields.contains)} not in schema")
+      require(cols.distinct == cols, s"duplicate layout columns in $cols")
+      require(cols != m.partitionCols,
+        s"layout already is ${m.partitionCols}")
+      val mapped = m.colMap.filter(f => f.name != f.phys).map(_.name).toSet
+      require(cols.forall(!mapped.contains(_)),
+        s"renamed columns ${cols.filter(mapped)} cannot be layout columns " +
+          "(hive directories carry write-time names)")
+      m.copy(version = m.version + 1, op = "set-partition-layout",
+        partitionCols = cols, txn = None)
+    })
 
   /** Inclusive range predicates for manifest-level data skipping:
     * column -> (lo, hi), either bound open. Values compare in the
@@ -2251,7 +2301,7 @@ object VersionedTable {
       if (paths.isEmpty) Map.empty
       else {
         val perCol = cols.map { c =>
-          readPaths(spark, man.schemaDdl, paths, man.partitionCols.nonEmpty,
+          readPaths(spark, man.schemaDdl, paths, man.partitionedRead,
             root, physMap = man.physMap)
             .select(input_file_name().as("f"), col(c).cast("string").as("k"))
             .where(col("k").isNotNull)
@@ -2792,7 +2842,7 @@ object VersionedTable {
     val confB = hadoopConfBc(spark)
     val scanned0 = readPaths(spark, m.schemaDdl,
       touched.map(f => new Path(root, f).toString),
-      m.partitionCols.nonEmpty, root, withMeta = true, physMap = m.physMap)
+      m.partitionedRead, root, withMeta = true, physMap = m.physMap)
     // rows a prior vector hides are already deleted: not survivors, and
     // never re-marked — fresh positions stay disjoint from the prior
     // vector, so the executor-side sidecar merge is a sorted-array
@@ -3269,7 +3319,7 @@ object VersionedTable {
       val confB = hadoopConfBc(spark)
       val scanned = readPaths(spark, b.schemaDdl,
         changed.sorted.map(f => new Path(root, f).toString),
-        b.partitionCols.nonEmpty, root, withMeta = true,
+        b.partitionedRead, root, withMeta = true,
         physMap = b.physMap)
       def member(m: Manifest) = Bridge.toColumn(graft.functions.DvDeletedLazyExpr(
         Bridge.toExpression(col(DvFileCol)),
@@ -4151,9 +4201,8 @@ object VersionedTable {
         s"cannot fast-forward branch '$name': the table advanced to " +
           s"v${head.version} since the fork at v$fork — the audited " +
           "snapshot is stale; re-branch from the current head and re-audit")
-      require(head.partitionCols == bm.partitionCols,
-        s"branch '$name' changed the partition layout " +
-          s"(${head.partitionCols} -> ${bm.partitionCols})")
+      // layout may differ: the branch can stage a setPartitionLayout and
+      // publish it — per-file layout resolution makes the mix readable
       Manifest(head.version + 1, bm.schemaDdl, files2,
         stats = rekey(bm.stats), blooms = rekey(bm.blooms),
         partitionCols = bm.partitionCols, hlls = rekey(bm.hlls),
