@@ -304,6 +304,19 @@ object GraftCatalog {
       (spark, in) => versionRow(
         VersionedTable.cloneShallow(spark, str(in, 0), str(in, 1)))),
 
+    new Proc("add_column",
+      "ADD COLUMN as a metadata-only commit; an optional DEFAULT " +
+        "(deterministic constant SQL) is both the existence default — " +
+        "rows in files predating the column read it instead of NULL — " +
+        "and the write default for appends missing the column",
+      Seq("path" -> StringType, "name" -> StringType,
+        "sql_type" -> StringType, "default_expr" -> StringType),
+      versionResult,
+      (spark, in) => versionRow(VersionedTable.addColumn(
+        spark, str(in, 0), str(in, 1), str(in, 2),
+        Some(str(in, 3)).filter(_.nonEmpty))),
+      defaults = Map("default_expr" -> "''")),
+
     new Proc("rename_column",
       "RENAME COLUMN as a metadata-only commit (field-id column " +
         "mapping): no data file is touched; time travel reads each " +

@@ -328,6 +328,38 @@ object LakehouseQueries {
             col("sum0").cast("double").as("sum_value")))
     }),
 
+    // Column DEFAULT values end to end (the Iceberg-v3 initial+write
+    // default recipe, metadata-only): `CALL graft.add_column` with a
+    // DEFAULT makes every pre-existing row read 'backfill' instead of
+    // NULL — no file rewritten, the manifest records which files
+    // predate the column and the scan substitutes the literal for
+    // exactly those — while the appended half carries an explicit
+    // 'live'. The vectored DELETE then keys on the DEFAULTED column
+    // (source = 'backfill' AND returnflag 'R'): it can only hit the
+    // right rows if the DML pass substitutes too. The grouped rollup
+    // seals both halves. At 100 TB, backfilling a provenance column on
+    // a million-file corpus is one JSON commit instead of a rewrite.
+    "q212_default_values" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_dflt_q212")
+      val root = work.resolve("li").toString
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_quantity"), col("l_returnflag"))
+      VersionedTable.create(s, root,
+        li.filter(col("l_orderkey") % 2 === 0).repartition(4))        // v1
+      s.sql(s"CALL graft.add_column('$root', 'source', 'STRING', " +
+        "'''backfill''')")                                            // v2
+      VersionedTable.append(s, root,
+        li.filter(col("l_orderkey") % 2 === 1)
+          .withColumn("source", lit("live")).repartition(2))          // v3
+      VersionedTable.deleteWhereVectored(s, root, Map.empty,
+        col("source") === "backfill" && col("l_returnflag") === "R")  // v4
+      VersionedTable.read(s, root)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").as("sum_qty"))
+    }),
+
     // PARTITION EVOLUTION end to end: the table starts unpartitioned,
     // `CALL graft.set_partition_layout` re-clusters FUTURE writes by
     // event_type as a metadata-only commit, the second half lands under
@@ -1157,6 +1189,26 @@ object LakehouseQueries {
          FROM head
          UNION ALL
          SELECT 'refused', 1::BIGINT, 0.0""",
+
+    // The defaulted table must equal the rollup where every even-key
+    // row carries 'backfill' and every odd-key row 'live', minus the
+    // deleted (backfill, R) slice — substitution and the DML both
+    // invisible in the result.
+    "q212_default_values" ->
+      """WITH li AS (SELECT l_orderkey, l_quantity, l_returnflag
+                     FROM lineitem),
+              tagged AS (
+                SELECT l_quantity, l_returnflag, 'backfill' AS source
+                FROM li WHERE l_orderkey % 2 = 0
+                UNION ALL
+                SELECT l_quantity, l_returnflag, 'live'
+                FROM li WHERE l_orderkey % 2 = 1),
+              surv AS (SELECT * FROM tagged
+                       WHERE NOT (source = 'backfill' AND l_returnflag = 'R'))
+         SELECT source, count(*)::BIGINT AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty
+         FROM surv GROUP BY 1""",
 
     // The evolved, vector-deleted table must equal the plain rollup of
     // surviving events — layouts and vectors invisible in the result.

@@ -325,7 +325,9 @@ object VersionedTable {
                               op: String = "",
                               colMap: Seq[FieldMap] = Seq.empty,
                               maxCid: Int = 0,
-                              checks: Seq[TableCheck] = Seq.empty) {
+                              checks: Seq[TableCheck] = Seq.empty,
+                              defaults: Map[String, String] = Map.empty,
+                              noCol: Map[String, Seq[String]] = Map.empty) {
     /** Whether a READ of this snapshot must resolve hive partition
       * directories. `partitionCols` alone is not enough once the layout
       * EVOLVES ([[setPartitionLayout]]): a now-unpartitioned table may
@@ -392,7 +394,8 @@ object VersionedTable {
                           blooms: Map[String, Seq[FileBloom]],
                           hlls: Map[String, Seq[FileHll]],
                           dvs: Map[String, FileDv],
-                          rows: Map[String, Long]): String = {
+                          rows: Map[String, Long],
+                          noCol: Map[String, Seq[String]] = Map.empty): String = {
     val statsJson = stats.toSeq.sortBy(_._1).flatMap { case (file, cs) =>
       cs.map { c =>
         val nn = if (c.nulls >= 0) s""", "nn": ${c.nulls}""" else ""
@@ -429,7 +432,14 @@ object VersionedTable {
           s"""{"vfile": "${esc(file)}", "dv": "${esc(d.dvFile)}", """ +
             s""""card": ${d.card}}"""
       }.mkString("[", ", ", "]")
-    s""""stats": $statsJson$bloomsJson$hllsJson$dvsJson$rowsJson"""
+    val noColJson =
+      if (noCol.isEmpty) ""
+      else ",\n \"nocol\": " + noCol.toSeq.sortBy(_._1).map {
+        case (file, cs) =>
+          s"""{"ncfile": "${esc(file)}", "nccols": [${cs
+            .map(c => "\"" + esc(c) + "\"").mkString(", ")}]}"""
+      }.mkString("[", ", ", "]")
+    s""""stats": $statsJson$bloomsJson$hllsJson$dvsJson$rowsJson$noColJson"""
   }
 
   private def fullManifestJson(m: Manifest): String = {
@@ -443,9 +453,9 @@ object VersionedTable {
       else s""" "partitionCols": [${m.partitionCols
         .map(c => "\"" + esc(c) + "\"").mkString(", ")}],\n"""
     s"""{"version": ${m.version},
-       |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)} "schema": "${esc(m.schemaDdl)}",
+       |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)} "schema": "${esc(m.schemaDdl)}",
        | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
-       | ${perFileJson(m.stats, m.blooms, m.hlls, m.dvs, m.rows)}}""".stripMargin
+       | ${perFileJson(m.stats, m.blooms, m.hlls, m.dvs, m.rows, m.noCol)}}""".stripMargin
   }
 
   /** CHECK-constraints JSON field — absent when the table has none, so
@@ -462,6 +472,21 @@ object VersionedTable {
     val C = """\{"kname": "((?:[^"\\]|\\.)*)", "kexpr": "((?:[^"\\]|\\.)*)"\}""".r
     C.findAllMatchIn(text).map(m =>
       TableCheck(unesc(m.group(1)), unesc(m.group(2)))).toSeq
+  }
+
+  /** Column DEFAULT values JSON field — absent when the table has
+    * none. Emitted in BOTH full and delta manifests (like checks), so
+    * every manifest is self-contained. */
+  private def defaultsJson(m: Manifest): String =
+    if (m.defaults.isEmpty) ""
+    else s""" "defaults": [${m.defaults.toSeq.sortBy(_._1).map { case (c, e) =>
+      s"""{"dname": "${esc(c)}", "dexpr": "${esc(e)}"}""" }
+      .mkString(", ")}],\n"""
+
+  private def parseDefaults(text: String): Map[String, String] = {
+    val D = """\{"dname": "((?:[^"\\]|\\.)*)", "dexpr": "((?:[^"\\]|\\.)*)"\}""".r
+    D.findAllMatchIn(text).map(m =>
+      unesc(m.group(1)) -> unesc(m.group(2))).toMap
   }
 
   /** Column-mapping JSON field — absent entirely until mapping
@@ -493,7 +518,7 @@ object VersionedTable {
     val touch = m.files.filter(pset).filter(f =>
       m.stats.get(f) != p.stats.get(f) || m.blooms.get(f) != p.blooms.get(f) ||
         m.hlls.get(f) != p.hlls.get(f) || m.dvs.get(f) != p.dvs.get(f) ||
-        m.rows.get(f) != p.rows.get(f))
+        m.rows.get(f) != p.rows.get(f) || m.noCol.get(f) != p.noCol.get(f))
     val sel = (touch ++ adds).toSet
     def sub[T](mm: Map[String, T]): Map[String, T] =
       mm.view.filterKeys(sel).toMap
@@ -508,12 +533,12 @@ object VersionedTable {
     Some(
       s"""{"version": ${m.version},
          | "delta": true,
-         |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)} "schema": "${esc(m.schemaDdl)}",
+         |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)} "schema": "${esc(m.schemaDdl)}",
          | "removes": [${names(removes)}],
          | "adds": [${names(adds)}],
          | "touch": [${names(touch)}],
          | ${perFileJson(sub(m.stats), sub(m.blooms), sub(m.hlls), sub(m.dvs),
-                         sub(m.rows))}}"""
+                         sub(m.rows), sub(m.noCol))}}"""
         .stripMargin)
   }
 
@@ -693,7 +718,8 @@ object VersionedTable {
     * manifest JSON. */
   private def parseCommon(text: String): (String, Option[Long], Seq[String],
       Map[String, Seq[ColStat]], Map[String, Seq[FileBloom]],
-      Map[String, Seq[FileHll]], Map[String, FileDv], Map[String, Long]) = {
+      Map[String, Seq[FileHll]], Map[String, FileDv], Map[String, Long],
+      Map[String, Seq[String]]) = {
     val schema = """"schema": "((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(text).map(m => unesc(m.group(1))).getOrElse("")
     val txn = """"txn": (\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
@@ -728,7 +754,13 @@ object VersionedTable {
     val rows = R.findAllMatchIn(text).map { mm =>
       unesc(mm.group(1)) -> mm.group(2).toLong
     }.toMap
-    (schema, txn, partitionCols, stats, blooms, hlls, dvs, rows)
+    val NC = """\{"ncfile": "((?:[^"\\]|\\.)*)", "nccols": \[([^\]]*)\]\}""".r
+    val noCol = NC.findAllMatchIn(text).map { mm =>
+      unesc(mm.group(1)) -> mm.group(2).split(",").map(_.trim
+        .stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+        .map(unesc).toSeq
+    }.toMap
+    (schema, txn, partitionCols, stats, blooms, hlls, dvs, rows, noCol)
   }
 
   private def parseNameList(text: String, field: String): Seq[String] =
@@ -756,12 +788,12 @@ object VersionedTable {
   }
 
   private def parseFullManifest(v: Int, text: String): Manifest = {
-    val (schema, txn, partitionCols, stats, blooms, hlls, dvs, rows) =
+    val (schema, txn, partitionCols, stats, blooms, hlls, dvs, rows, noCol) =
       parseCommon(text)
     val (cm, maxCid) = parseColMap(text)
     Manifest(v, schema, parseNameList(text, "files"), txn, stats, blooms,
       partitionCols, hlls, dvs, rows, parseOp(text), cm, maxCid,
-      parseChecks(text))
+      parseChecks(text), parseDefaults(text), noCol)
   }
 
   /** Replay a delta manifest over its parent snapshot: removed entries
@@ -769,7 +801,7 @@ object VersionedTable {
     * and a touched-or-added file's metadata is REPLACED by exactly what
     * the delta carries. */
   private def applyDeltaManifest(v: Int, text: String, parent: Manifest): Manifest = {
-    val (schema, txn, partitionCols, stats, blooms, hlls, dvs, rows) =
+    val (schema, txn, partitionCols, stats, blooms, hlls, dvs, rows, noCol) =
       parseCommon(text)
     val removes = parseNameList(text, "removes").toSet
     val adds = parseNameList(text, "adds")
@@ -781,7 +813,7 @@ object VersionedTable {
       merge(parent.stats, stats), merge(parent.blooms, blooms),
       partitionCols, merge(parent.hlls, hlls), merge(parent.dvs, dvs),
       merge(parent.rows, rows), parseOp(text), cm, maxCid,
-      parseChecks(text))
+      parseChecks(text), parseDefaults(text), merge(parent.noCol, noCol))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -1113,8 +1145,12 @@ object VersionedTable {
     // DATA, not the contract — the new content must satisfy the
     // existing checks and the new version carries them (create starts
     // with none)
-    val checks = cur.map(readManifest(spark, root, _).checks)
-      .getOrElse(Seq.empty)
+    val curM = cur.map(readManifest(spark, root, _))
+    val checks = curM.map(_.checks).getOrElse(Seq.empty)
+    // DEFAULTS are table metadata like checks: an overwrite replaces the
+    // data, not the write-default contract (new files carry every column
+    // physically, so no noCol entries are needed)
+    val defaults = curM.map(_.defaults).getOrElse(Map.empty[String, String])
     val ddl = df.schema.toDDL
     val added = writeDataFiles(spark, root, df, v, partitionCols)
     enforceChecks(spark, root, checks, ddl, partitionCols.nonEmpty,
@@ -1126,7 +1162,7 @@ object VersionedTable {
     writeManifest(spark, root,
       Manifest(v, ddl, added, txn, addedStats,
         partitionCols = partitionCols, rows = addedRows, op = op,
-        checks = checks))
+        checks = checks, defaults = defaults))
     v
   }
 
@@ -1231,7 +1267,8 @@ object VersionedTable {
           delta.metaHlls, _.col, liveSet),
         m.dvs.view.filterKeys(!gone(_)).toMap ++ delta.dvUpdates,
         m.rows.view.filterKeys(!gone(_)).toMap ++ delta.addedRows,
-        delta.op, m.colMap, m.maxCid, m.checks)
+        delta.op, m.colMap, m.maxCid, m.checks, m.defaults,
+        m.noCol.view.filterKeys(!gone(_)).toMap)
       try { writeManifest(spark, root, manifest, Some(m)); return v }
       catch {
         case e: java.io.IOException
@@ -1339,8 +1376,9 @@ object VersionedTable {
     * columns the table doesn't have refuse, and the select restores the
     * declared order. A new row's value for an un-supplied column is
     * exactly what a pre-evolution FILE would read for it: NULL. */
-  private def alignForAppend(tableDdl: String, df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+  private def alignForAppend(tableDdl: String, df: DataFrame,
+                             defaults: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
     val t = org.apache.spark.sql.types.StructType.fromDDL(tableDdl)
     val have = df.schema.fields.map(f => f.name -> f).toMap
     val extra = df.schema.fieldNames.filterNot(t.fieldNames.contains)
@@ -1358,9 +1396,16 @@ object VersionedTable {
             s"append would widen non-nullable column ${tf.name}")
           col(tf.name)
         case None =>
-          require(tf.nullable,
-            s"append is missing non-nullable column ${tf.name}")
-          lit(null).cast(tf.dataType).as(tf.name)
+          // the WRITE default: an un-supplied defaulted column fills
+          // with the literal — physically, so the file never needs a
+          // read-time substitution record
+          defaults.get(tf.name) match {
+            case Some(d) => expr(d).cast(tf.dataType).as(tf.name)
+            case None =>
+              require(tf.nullable,
+                s"append is missing non-nullable column ${tf.name}")
+              lit(null).cast(tf.dataType).as(tf.name)
+          }
       }
     }: _*)
   }
@@ -1390,7 +1435,7 @@ object VersionedTable {
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
-    val aligned = alignForAppend(m.schemaDdl, df)
+    val aligned = alignForAppend(m.schemaDdl, df, m.defaults)
     val added = writeDataFiles(spark, root, aligned, cur + 1, m.partitionCols,
       m.physMap)
     enforceChecks(spark, root, m.checks, m.schemaDdl,
@@ -1616,6 +1661,55 @@ object VersionedTable {
                                 files: Seq[String],
                                 schemaDdl: Option[String] = None,
                                 physMap: Option[Map[String, String]] = None): DataFrame = {
+    // existence defaults: files recorded as physically LACKING a
+    // defaulted column scan in their own group with the literal
+    // substituted for the scan's null-fill; files carrying every
+    // column — the steady state after rewrites — pay nothing
+    val groups = defaultGroups(m, files)
+    val parts = groups.map { case (cols, fs) =>
+      substituteDefaults(
+        readSnapshotFilesRaw(spark, root, m, fs, schemaDdl, physMap),
+        m, schemaDdl.getOrElse(m.schemaDdl), cols)
+    }
+    if (parts.isEmpty)
+      readSnapshotFilesRaw(spark, root, m, files, schemaDdl, physMap)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** Files needing the same existence-default substitutions, grouped:
+    * (columns to substitute — empty for the common no-defaults group,
+    * files). */
+  private def defaultGroups(m: Manifest,
+                            files: Seq[String]): Seq[(Seq[String], Seq[String])] =
+    if (m.defaults.isEmpty || m.noCol.isEmpty)
+      if (files.isEmpty) Seq.empty else Seq(Seq.empty[String] -> files)
+    else files.groupBy(f =>
+        m.noCol.getOrElse(f, Seq.empty).filter(m.defaults.contains).sorted)
+      .toSeq.sortBy(_._1.mkString(","))
+
+  /** Replace `cols` (scanned as NULL — the files lack them physically)
+    * with their default literals, cast to the schema type. Columns the
+    * caller's schema doesn't carry (a pinned historical schema) skip. */
+  private def substituteDefaults(df: DataFrame, m: Manifest, ddl: String,
+                                 cols: Seq[String]): DataFrame =
+    if (cols.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{col, expr}
+      val types = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fields.map(f => f.name -> f.dataType).toMap
+      val subs = cols.filter(c => types.contains(c) &&
+        df.schema.fieldNames.contains(c)).toSet
+      if (subs.isEmpty) df
+      else df.select(df.schema.fieldNames.toSeq.map { c =>
+        if (subs.contains(c)) expr(m.defaults(c)).cast(types(c)).as(c)
+        else col(c)
+      }: _*)
+    }
+
+  private def readSnapshotFilesRaw(spark: SparkSession, root: String, m: Manifest,
+                                   files: Seq[String],
+                                   schemaDdl: Option[String] = None,
+                                   physMap: Option[Map[String, String]] = None): DataFrame = {
     val ddl = schemaDdl.getOrElse(m.schemaDdl)
     val pm = physMap.getOrElse(m.physMap)
     val (dvd, plain) = files.partition(m.dvs.contains)
@@ -1623,6 +1717,25 @@ object VersionedTable {
       m.partitionedRead, root, physMap = pm)
     if (dvd.isEmpty) plainDf
     else plainDf.unionByName(dvSurvivorRows(spark, root, m, ddl, dvd, pm))
+  }
+
+  /** Raw scan of `files` under `m`'s schema (NO deletion-vector
+    * filtering) with existence defaults substituted — the twin of
+    * [[readSnapshotFiles]] for callers that handle vectors themselves
+    * (vectored DML passes, CDF diffs, index builders). */
+  private def readRawWithDefaults(spark: SparkSession, root: String, m: Manifest,
+                                  files: Seq[String], partitioned: Boolean,
+                                  withMeta: Boolean = false): DataFrame = {
+    val parts = defaultGroups(m, files).map { case (cols, fs) =>
+      substituteDefaults(
+        readPaths(spark, m.schemaDdl, fs.map(f => new Path(root, f).toString),
+          partitioned, root, withMeta = withMeta, physMap = m.physMap),
+        m, m.schemaDdl, cols)
+    }
+    if (parts.isEmpty)
+      readPaths(spark, m.schemaDdl, Seq.empty, partitioned, root,
+        withMeta = withMeta, physMap = m.physMap)
+    else parts.reduce(_ unionByName _)
   }
 
   /** DV-applied scan of `files` (each carrying a vector in `m`),
@@ -1658,11 +1771,33 @@ object VersionedTable {
     * Rename/drop are [[renameColumn]]/[[dropColumn]] — metadata-only
     * through the field-id column mapping. */
   def addColumn(spark: SparkSession, root: String, name: String,
-                sqlType: String): Int = commitMetaTransform(spark, root, { m =>
+                sqlType: String, default: Option[String] = None): Int =
+    commitMetaTransform(spark, root, { m =>
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
       s"column $name already exists")
     val widened = schema.add(name, sqlType, nullable = true)
+    // DEFAULT (the Iceberg-v3 initial+write default recipe, still
+    // metadata-only): rows in files that PREDATE the column read the
+    // default instead of NULL — the manifest records, per existing
+    // file, that it physically lacks the column, and the scan
+    // substitutes the literal for exactly those files. Rewrites
+    // (compact/zorder) materialize the value and drop the record;
+    // appends missing the column fill it at write time (alignForAppend),
+    // so no new file ever needs an entry. The literal must be constant
+    // and cast to the column type — checked here, not at every scan.
+    default.foreach { d =>
+      val frame = spark.range(1).select(org.apache.spark.sql.functions
+        .expr(s"CAST(($d) AS $sqlType)").as(name))
+      val resolved = frame.queryExecution.analyzed.expressions.head
+      require(resolved.deterministic && resolved.references.isEmpty,
+        s"default for $name must be a deterministic constant: $d")
+      frame.collect() // one driver-side eval proves it computes and casts
+    }
+    val defaults2 = default.fold(m.defaults)(d => m.defaults + (name -> d))
+    val noCol2 =
+      if (default.isEmpty) m.noCol
+      else m.files.map(f => f -> (m.noCol.getOrElse(f, Seq.empty) :+ name)).toMap
     val v = m.version + 1
     // with column mapping active, the new field gets a fresh id and a
     // physical name guaranteed never to collide with any name a data
@@ -1685,7 +1820,8 @@ object VersionedTable {
     Manifest(v, widened.toDDL, m.files,
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
       hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-column",
-      colMap = cm2, maxCid = maxCid2, checks = m.checks)
+      colMap = cm2, maxCid = maxCid2, checks = m.checks,
+      defaults = defaults2, noCol = noCol2)
   })
 
   /** ADD CONSTRAINT: a named CHECK every row of the table must satisfy
@@ -1851,7 +1987,11 @@ object VersionedTable {
       hlls = m.hlls.view.mapValues(_.map(h =>
         if (h.col == from) h.copy(col = to) else h)).toMap,
       dvs = m.dvs, rows = m.rows, op = "rename-column",
-      colMap = cm2, maxCid = maxCid, checks = m.checks)
+      colMap = cm2, maxCid = maxCid, checks = m.checks,
+      defaults = m.defaults.map { case (c, d) =>
+        (if (c == from) to else c) -> d },
+      noCol = m.noCol.view.mapValues(_.map(c =>
+        if (c == from) to else c)).toMap)
   })
 
   /** DROP COLUMN as a METADATA-ONLY commit: the field leaves the logical
@@ -1892,7 +2032,10 @@ object VersionedTable {
         case Some(GcPhys(n)) => math.max(maxCid, n.toInt)
         case _ => maxCid
       },
-      checks = m.checks)
+      checks = m.checks,
+      defaults = m.defaults - name,
+      noCol = m.noCol.view.mapValues(_.filterNot(_ == name)).toMap
+        .filter(_._2.nonEmpty))
   })
 
   /** PARTITION EVOLUTION as a metadata-only commit (the Iceberg
@@ -2021,8 +2164,8 @@ object VersionedTable {
     }.toMap
     val built: Map[String, Seq[FileBloom]] =
       if (paths.isEmpty) Map.empty
-      else buildBlooms(readPaths(spark, m.schemaDdl, paths,
-        physMap = m.physMap), byPath, cols, mBits, k)
+      else buildBlooms(readRawWithDefaults(spark, root, m, targets,
+        partitioned = false), byPath, cols, mBits, k)
     // a scanned file with NO non-null values of a column gets an explicit
     // all-zero bloom — "indexed, contains nothing" (mayContain always
     // false, sound for that file) — so it cannot read as an un-indexed
@@ -2301,8 +2444,8 @@ object VersionedTable {
       if (paths.isEmpty) Map.empty
       else {
         val perCol = cols.map { c =>
-          readPaths(spark, man.schemaDdl, paths, man.partitionedRead,
-            root, physMap = man.physMap)
+          readRawWithDefaults(spark, root, man, man.files.toSeq,
+            man.partitionedRead)
             .select(input_file_name().as("f"), col(c).cast("string").as("k"))
             .where(col("k").isNotNull)
             .select(col("f"), hllHash(col("k")).as("h0"))
@@ -2840,9 +2983,8 @@ object VersionedTable {
     val priorDvs: Map[String, FileDv] =
       touched.flatMap(f => m.dvs.get(f).map(f -> _)).toMap
     val confB = hadoopConfBc(spark)
-    val scanned0 = readPaths(spark, m.schemaDdl,
-      touched.map(f => new Path(root, f).toString),
-      m.partitionedRead, root, withMeta = true, physMap = m.physMap)
+    val scanned0 = readRawWithDefaults(spark, root, m, touched.toSeq,
+      m.partitionedRead, withMeta = true)
     // rows a prior vector hides are already deleted: not survivors, and
     // never re-marked — fresh positions stay disjoint from the prior
     // vector, so the executor-side sidecar merge is a sorted-array
@@ -3317,10 +3459,8 @@ object VersionedTable {
       def refsOf(m: Manifest) = spark.sparkContext.broadcast(
         changed.flatMap(f => m.dvs.get(f).map(f -> _.dvFile)).toMap)
       val confB = hadoopConfBc(spark)
-      val scanned = readPaths(spark, b.schemaDdl,
-        changed.sorted.map(f => new Path(root, f).toString),
-        b.partitionedRead, root, withMeta = true,
-        physMap = b.physMap)
+      val scanned = readRawWithDefaults(spark, root, b, changed.sorted,
+        b.partitionedRead, withMeta = true)
       def member(m: Manifest) = Bridge.toColumn(graft.functions.DvDeletedLazyExpr(
         Bridge.toExpression(col(DvFileCol)),
         Bridge.toExpression(col(DvPosCol)), refsOf(m), root, confB))
@@ -3395,7 +3535,8 @@ object VersionedTable {
       Manifest(head.version + 1, m.schemaDdl, m.files,
         stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
         hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "rollback",
-        colMap = m.colMap, maxCid = m.maxCid, checks = m.checks))
+        colMap = m.colMap, maxCid = m.maxCid, checks = m.checks,
+        defaults = m.defaults, noCol = m.noCol))
   }
 
   /** Compaction as a commit: rewrite the newest version into
@@ -4013,7 +4154,8 @@ object VersionedTable {
       partitionCols = m.partitionCols, dvs = absDv,
       rows = m.rows.map { case (k, n) => remap.getOrElse(k, k) -> n },
       op = "clone", colMap = m.colMap, maxCid = m.maxCid,
-      checks = m.checks))
+      checks = m.checks, defaults = m.defaults,
+      noCol = m.noCol.map { case (k, cs) => remap.getOrElse(k, k) -> cs }))
     // back-reference every owning root (a clone OF a clone references
     // the original's files — the marker must land with the owner)
     (abs ++ absDv.values.map(_.dvFile)).flatMap(ownerRootOf).distinct.foreach { owner =>
@@ -4207,7 +4349,8 @@ object VersionedTable {
         stats = rekey(bm.stats), blooms = rekey(bm.blooms),
         partitionCols = bm.partitionCols, hlls = rekey(bm.hlls),
         dvs = dvs2, rows = rekey(bm.rows), op = s"fast-forward:$name",
-        colMap = bm.colMap, maxCid = bm.maxCid, checks = bm.checks)
+        colMap = bm.colMap, maxCid = bm.maxCid, checks = bm.checks,
+        defaults = bm.defaults, noCol = rekey(bm.noCol))
     })
     // back-reference markers with every FOREIGN owner (the branch; for a
     // branch-of-a-clone, the original): their GC must keep what main
