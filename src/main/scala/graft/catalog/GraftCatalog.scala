@@ -415,13 +415,14 @@ object GraftCatalog {
 
     new Proc("set_partition_layout",
       "partition evolution: change the hive layout FUTURE writes land " +
-        "under (comma-separated columns; empty = unpartitioned) as a " +
-        "metadata-only commit — existing files keep their layout and " +
-        "stay prunable; compact/zorder migrate them gradually",
+        "under (comma-separated entries — plain columns or transforms " +
+        "like days(ts), bucket(16, id), truncate(4, s); empty = " +
+        "unpartitioned) as a metadata-only commit — existing files keep " +
+        "their layout and stay prunable; compact/zorder migrate them " +
+        "gradually",
       Seq("path" -> StringType, "columns" -> StringType), versionResult,
       (spark, in) => versionRow(VersionedTable.setPartitionLayout(
-        spark, str(in, 0),
-        str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))),
+        spark, str(in, 0), graft.sink.Layout.split(str(in, 1))))),
 
     // Named refs: tags pin versions against retention (reproducible
     // training snapshots); branches stage audited writes that publish

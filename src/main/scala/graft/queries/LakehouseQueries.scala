@@ -360,6 +360,58 @@ object LakehouseQueries {
             .cast("double").as("sum_qty"))
     }),
 
+    // PARTITION TRANSFORMS end to end (the Iceberg partition-transform
+    // recipe): identity-partitioning a timestamp is useless (one dir
+    // per microsecond), so the layout evolves to days(ts) + bucket(8,
+    // user_id) — synthetic `_p_…` directories whose SOURCE columns
+    // stay in the data files with footer stats intact. The 'range'
+    // face reads a 3-day window through stats pruning (day-clustered
+    // files make the window prune to ~3/N of the data); the 'point'
+    // face fetches one user through bucket pruning (the driver hashes
+    // the probe with the same xxhash64 the writer used and opens ~1/8
+    // of the bucketed files). Both faces still apply the exact filter
+    // — pruning is coarse, never wrong. At 100 TB this is the
+    // difference between a point lookup scanning 12.5% vs 100% of a
+    // million files, with zero index maintenance.
+    "q213_partition_transforms" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_pxform_q213")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      VersionedTable.create(s, root,
+        ev.filter(col("event_id") % 2 === 0).repartition(4))          // v1 flat
+      s.sql(s"CALL graft.set_partition_layout('$root', " +
+        "'days(ts), bucket(8, user_id)')")                            // v2
+      VersionedTable.append(s, root,
+        ev.filter(col("event_id") % 2 === 1)
+          .repartition(col("ts"), col("user_id")))                    // v3
+      // window bounds: day-truncated min(ts) + [2 days, 5 days) — a
+      // 1-row driver scalar, then micros (the RangePreds stat domain)
+      val t0 = VersionedTable.read(s, root)
+        .agg(date_trunc("day", min(col("ts")))).first().getTimestamp(0)
+      val dayU = 86400L * 1000000L
+      val lo = t0.getTime * 1000L + 2 * dayU
+      val hi = t0.getTime * 1000L + 5 * dayU
+      val range = VersionedTable.readWhere(s, root,
+          Map("ts" -> (Some(lo), Some(hi - 1))))
+        .filter(unix_micros(col("ts")).between(lo, hi - 1))
+        .groupBy(col("event_type").as("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(lit("range").as("face"), col("k"), col("n"),
+          col("sum_value"))
+      val point = VersionedTable.readBucketEq(s, root, "user_id", 7L)
+        .filter(col("user_id") === 7L)
+        .groupBy(col("user_id").cast("string").as("k"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(lit("point").as("face"), col("k"), col("n"),
+          col("sum_value"))
+      range.unionByName(point)
+    }),
+
     // PARTITION EVOLUTION end to end: the table starts unpartitioned,
     // `CALL graft.set_partition_layout` re-clusters FUTURE writes by
     // event_type as a metadata-only commit, the second half lands under
@@ -1214,6 +1266,21 @@ object LakehouseQueries {
     // surviving events — layouts and vectors invisible in the result.
     // Survivor rule mirrors the delete set: deleted where the predicate
     // IS TRUE, so NULL values survive.
+    // Both pruned faces recomputed from raw events: the layouts and
+    // the pruning decisions must be invisible in the result.
+    "q213_partition_transforms" ->
+      """WITH b AS (SELECT date_trunc('day', min(ts)) AS t0 FROM events),
+              win AS (SELECT e.* FROM events e, b
+                      WHERE e.ts >= b.t0 + INTERVAL 2 DAY
+                        AND e.ts <  b.t0 + INTERVAL 5 DAY)
+         SELECT 'range' AS face, event_type AS k, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM win GROUP BY 1, 2
+         UNION ALL
+         SELECT 'point', CAST(user_id AS VARCHAR), count(*)::BIGINT,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         FROM events WHERE user_id = 7 GROUP BY 1, 2""",
+
     "q211_partition_evolution" ->
       """SELECT event_type, count(*)::BIGINT AS n,
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -888,11 +888,21 @@ object VersionedTable {
                              physMap: Map[String, String] = Map.empty): Seq[String] = {
     // column mapping: data files always carry the PHYSICAL names, so a
     // post-rename append's files resolve identically to pre-rename ones
-    val df =
+    val df1 =
       if (physMap.isEmpty) df0
       else df0.select(df0.schema.fields.toSeq.map(f =>
         org.apache.spark.sql.functions.col(f.name)
           .as(physMap.getOrElse(f.name, f.name))): _*)
+    // partition TRANSFORMS: derive the synthetic directory column(s);
+    // partitionBy removes exactly the dir columns from the data files,
+    // so a transform's SOURCE column stays in the file (footer stats
+    // keep range pruning exact) while an identity column moves to its
+    // k=v directory as before
+    val xforms = partitionCols.map(Layout.parse)
+    val df = xforms.filterNot(_.isInstanceOf[Layout.Identity])
+      .foldLeft(df1)((d, x) =>
+        d.withColumn(x.dirKey, Layout.writeExpr(x, df1.schema)))
+    val dirCols = xforms.map(_.dirKey)
     // writer-unique nonce: two writers optimistically staging the SAME
     // next version must not share a scratch dir or collide on data-file
     // names — isolation holds all the way to the manifest rename, which
@@ -915,7 +925,7 @@ object VersionedTable {
     // common ts-free write stays on the caller's session untouched.
     def writeJob(frame: DataFrame): Unit = {
       val w = frame.write.mode("overwrite").option("compression", "zstd")
-      (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      (if (dirCols.isEmpty) w else w.partitionBy(dirCols: _*))
         .parquet(scratch.toString)
     }
     def hasTs(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
@@ -1418,8 +1428,7 @@ object VersionedTable {
   def create(spark: SparkSession, root: String, df: DataFrame,
              partitionBy: Seq[String] = Seq.empty): Int = {
     require(currentVersion(spark, root).isEmpty, s"table exists at $root")
-    require(partitionBy.forall(df.schema.fieldNames.contains),
-      s"partition columns ${partitionBy.filterNot(df.schema.fieldNames.contains)} not in schema")
+    partitionBy.map(Layout.parse).foreach(Layout.validate(_, df.schema))
     commit(spark, root, df, partitionCols = partitionBy, op = "create")
   }
 
@@ -1635,14 +1644,21 @@ object VersionedTable {
       // layout; mixed layouts in a single discovery would conflict);
       // the final select restores the declared column order, since the
       // scan appends partition columns after the file columns
+      // transform layouts add SYNTHETIC `_p_…` dir keys that are not
+      // schema columns: admit them to the scan schema as strings (an
+      // explicit read schema must name every partition key discovery
+      // finds) and project them away per group — each group carries its
+      // own extras, so the projection must happen BEFORE the union
       toLogical(paths.groupBy(p => partitionBaseOf(p) -> p.split('/')
           .filter(_.contains("=")).map(_.takeWhile(_ != '=')).mkString(","))
-        .toSeq.sortBy(_._1).map { case ((base, _), ps) =>
-        spark.read.schema(physSchema).option("basePath", base).parquet(ps: _*)
-          .select(col("*") +: metaCols: _*)
-      }.reduce(_ unionByName _)
-        .select(physSchema.fieldNames.map(col) ++
-          (if (withMeta) Seq(col(DvFileCol), col(DvPosCol)) else Seq.empty): _*))
+        .toSeq.sortBy(_._1).map { case ((base, keys), ps) =>
+        val extras = keys.split(',').filter(_.nonEmpty)
+          .filterNot(physSchema.fieldNames.contains)
+        val readSchema = extras.foldLeft(physSchema)((s, k) =>
+          s.add(k, org.apache.spark.sql.types.StringType))
+        spark.read.schema(readSchema).option("basePath", base).parquet(ps: _*)
+          .select(physSchema.fieldNames.map(col).toSeq ++ metaCols: _*)
+      }.reduce(_ unionByName _))
     }
     else {
       val df = spark.read.schema(physSchema).parquet(paths: _*)
@@ -1956,7 +1972,7 @@ object VersionedTable {
     require(schema.fieldNames.contains(from), s"no column $from")
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"column $to already exists")
-    require(!m.partitionCols.contains(from),
+    require(!m.partitionCols.map(Layout.parse).exists(_.source == from),
       s"cannot rename partition column $from: its name is the hive " +
         "directory layout itself — repartition into a new table instead")
     // a CHECK referencing the column would silently stop binding (its
@@ -2006,7 +2022,7 @@ object VersionedTable {
                  name: String): Int = commitMetaTransform(spark, root, { m =>
     val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
     require(schema.fieldNames.contains(name), s"no column $name")
-    require(!m.partitionCols.contains(name),
+    require(!m.partitionCols.map(Layout.parse).exists(_.source == name),
       s"cannot drop partition column $name")
     require(schema.length > 1, "cannot drop the last column")
     m.checks.filter(c => checkRefs(spark, c.expr).contains(name))
@@ -2058,16 +2074,17 @@ object VersionedTable {
   def setPartitionLayout(spark: SparkSession, root: String,
                          cols: Seq[String]): Int =
     commitMetaTransform(spark, root, { m =>
-      val fields = org.apache.spark.sql.types.StructType
-        .fromDDL(m.schemaDdl).fieldNames.toSet
-      require(cols.forall(fields.contains),
-        s"layout columns ${cols.filterNot(fields.contains)} not in schema")
-      require(cols.distinct == cols, s"duplicate layout columns in $cols")
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      val xs = cols.map(Layout.parse) // refuses bad grammar
+      xs.foreach(Layout.validate(_, schema)) // source exists, type admits
+      require(xs.map(_.dirKey).distinct.size == xs.size,
+        s"duplicate layout directory keys in $cols")
       require(cols != m.partitionCols,
         s"layout already is ${m.partitionCols}")
       val mapped = m.colMap.filter(f => f.name != f.phys).map(_.name).toSet
-      require(cols.forall(!mapped.contains(_)),
-        s"renamed columns ${cols.filter(mapped)} cannot be layout columns " +
+      val badSrc = xs.map(_.source).filter(mapped)
+      require(badSrc.isEmpty,
+        s"renamed columns $badSrc cannot be layout columns " +
           "(hive directories carry write-time names)")
       m.copy(version = m.version + 1, op = "set-partition-layout",
         partitionCols = cols, txn = None)
@@ -2121,6 +2138,68 @@ object VersionedTable {
     val m = readManifest(spark, root, v)
     readSnapshotFiles(spark, root, m, keep)
   }
+
+  /** The files of `version` that can hold `column = value` for ANY of
+    * `values`, under a `bucket(n, column)` layout: each file written
+    * under the layout carries its bucket in its `_p_…` directory, so a
+    * point lookup opens ~1/n of the bucketed files. Files written
+    * BEFORE the layout (no bucket directory) always survive — absent
+    * layout is never wrong, only unhelpful — and a null-bucket
+    * directory is prunable because an equality probe never matches
+    * NULL. Range pruning is NOT this function's job: a transform
+    * source column keeps its footer stats, so [[prunedFiles]] already
+    * covers ranges. Compose the two (intersect the file lists) for a
+    * point lookup with a residual range predicate. */
+  def bucketPrunedFiles(spark: SparkSession, root: String, column: String,
+                        values: Seq[Any],
+                        version: Option[Int] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    m.partitionCols.map(Layout.parse)
+      .collectFirst { case b: Layout.Bucket if b.source == column => b }
+      .map { b =>
+        val dt = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+          .apply(column).dataType
+        val want = values.map(Layout.bucketOf(_, dt, b.n).toString).toSet
+        val key = b.dirKey + "="
+        m.files.filter { f =>
+          f.split('/').find(_.startsWith(key)) match {
+            case Some(seg) => want.contains(seg.substring(key.length))
+            case None => true // pre-layout file: no bucket recorded
+          }
+        }
+      }
+      .getOrElse(m.files)
+  }
+
+  /** Snapshot point-lookup read that opens ONLY the files surviving
+    * BOTH bucket-layout pruning and stats range pruning on `column =
+    * value` — the compound data-skipping decision for a keyed fetch.
+    * The caller still applies the exact filter (pruning is coarse). */
+  def readBucketEq(spark: SparkSession, root: String, column: String,
+                   value: Any, version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, root))
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, v)
+    val byBucket = bucketPrunedFiles(spark, root, column, Seq(value),
+      Some(v)).toSet
+    val byStats = statEligible(m, column, value).toSet
+    readSnapshotFiles(spark, root, m,
+      m.files.filter(f => byBucket.contains(f) && byStats.contains(f)))
+  }
+
+  /** Files whose recorded [lo, hi] for `column` might contain `value`
+    * (point form of [[prunedFiles]]' range test; "dec" stats and
+    * stat-less files always survive). */
+  private def statEligible(m: Manifest, column: String,
+                           value: Any): Seq[String] =
+    m.files.filter { f =>
+      m.stats.getOrElse(f, Seq.empty).find(_.col == column).forall { s =>
+        if (s.typ == "dec") true
+        else cmp(s.typ, s.lo, value) <= 0 && cmp(s.typ, s.hi, value) >= 0
+      }
+    }
 
   /** Build per-file bloom filters over `cols` and publish them as a new
     * version (same data files and stats — index maintenance as a commit,
@@ -2979,7 +3058,11 @@ object VersionedTable {
     import org.apache.spark.sql.types._
     import spark.implicits._
     val schema = StructType.fromDDL(m.schemaDdl)
-    val partCols = m.partitionCols.toSet
+    // only IDENTITY layout columns live solely in directories (absent
+    // from data files, so their stats can't refresh); a transform's
+    // source column is a normal file column and refreshes like any other
+    val partCols = m.partitionCols.map(Layout.parse)
+      .collect { case Layout.Identity(c) => c }.toSet
     val priorDvs: Map[String, FileDv] =
       touched.flatMap(f => m.dvs.get(f).map(f -> _)).toMap
     val confB = hadoopConfBc(spark)
