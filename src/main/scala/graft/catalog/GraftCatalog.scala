@@ -317,6 +317,17 @@ object GraftCatalog {
         Some(str(in, 3)).filter(_.nonEmpty))),
       defaults = Map("default_expr" -> "''")),
 
+    new Proc("alter_column_type",
+      "ALTER COLUMN TYPE as a metadata-only commit: lossless widening " +
+        "only (tinyint/smallint/int -> bigint/double, float -> double, " +
+        "decimal precision-up at fixed scale); each data file keeps its " +
+        "written physical type and the scan upcasts per file",
+      Seq("path" -> StringType, "name" -> StringType,
+        "sql_type" -> StringType),
+      versionResult,
+      (spark, in) => versionRow(VersionedTable.alterColumnType(
+        spark, str(in, 0), str(in, 1), str(in, 2)))),
+
     new Proc("rename_column",
       "RENAME COLUMN as a metadata-only commit (field-id column " +
         "mapping): no data file is touched; time travel reads each " +

@@ -360,6 +360,35 @@ object LakehouseQueries {
             .cast("double").as("sum_qty"))
     }),
 
+    // TYPE WIDENING end to end (the Iceberg-v3 type-promotion recipe,
+    // metadata-only): the table is created with INT quantities, `CALL
+    // graft.alter_column_type` widens the column to BIGINT without
+    // touching a file, the appended half lands as int64 — so the scan
+    // upcasts int32 files NEXT TO native int64 files under one schema —
+    // and the vectored DELETE keys on the widened column across both
+    // physical layouts. The rollup seals it: values exact, stats (and
+    // so the DML's file-pruning) still live in the shared long domain.
+    // At 100 TB, un-breaking an overflowing INT key is one JSON commit
+    // instead of a petabyte rewrite.
+    "q214_type_widening" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_widen_q214")
+      val root = work.resolve("li").toString
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_quantity").cast("int").as("qty"), col("l_returnflag"))
+      VersionedTable.create(s, root,
+        li.filter(col("l_orderkey") % 2 === 0).repartition(4))        // v1 int
+      s.sql(s"CALL graft.alter_column_type('$root', 'qty', 'BIGINT')") // v2
+      VersionedTable.append(s, root,
+        li.filter(col("l_orderkey") % 2 === 1)
+          .withColumn("qty", col("qty").cast("bigint"))
+          .repartition(2))                                            // v3 long
+      VersionedTable.deleteWhereVectored(s, root, Map.empty,
+        col("qty") >= 45L)                                            // v4
+      VersionedTable.read(s, root)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+    }),
+
     // PARTITION TRANSFORMS end to end (the Iceberg partition-transform
     // recipe): identity-partitioning a timestamp is useless (one dir
     // per microsecond), so the layout evolves to days(ts) + bucket(8,
@@ -1266,6 +1295,15 @@ object LakehouseQueries {
     // surviving events — layouts and vectors invisible in the result.
     // Survivor rule mirrors the delete set: deleted where the predicate
     // IS TRUE, so NULL values survive.
+    // The widened, vector-deleted table must equal the plain rollup of
+    // surviving quantities — the physical int32/int64 split invisible.
+    "q214_type_widening" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+                sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+         FROM lineitem
+         WHERE CAST(l_quantity AS BIGINT) < 45
+         GROUP BY 1""",
+
     // Both pruned faces recomputed from raw events: the layouts and
     // the pruning decisions must be invisible in the result.
     "q213_partition_transforms" ->

@@ -1398,13 +1398,18 @@ object VersionedTable {
     df.select(t.fields.toSeq.map { tf =>
       have.get(tf.name) match {
         case Some(sf) =>
-          require(sf.dataType == tf.dataType,
+          // after a type widen, un-redeployed writers still supply the
+          // old narrower type — upcast through the same lattice the
+          // widen itself allowed (never anything lossy)
+          require(sf.dataType == tf.dataType ||
+            canWiden(sf.dataType, tf.dataType),
             s"schema mismatch on ${tf.name}: table has " +
               s"${tf.dataType.catalogString}, append has " +
               s"${sf.dataType.catalogString}")
           require(tf.nullable || !sf.nullable,
             s"append would widen non-nullable column ${tf.name}")
-          col(tf.name)
+          if (sf.dataType == tf.dataType) col(tf.name)
+          else col(tf.name).cast(tf.dataType)
         case None =>
           // the WRITE default: an un-supplied defaulted column fills
           // with the literal — physically, so the file never needs a
@@ -1839,6 +1844,86 @@ object VersionedTable {
       colMap = cm2, maxCid = maxCid2, checks = m.checks,
       defaults = defaults2, noCol = noCol2)
   })
+
+  /** The widening lattice: conversions the parquet vectorized reader
+    * performs losslessly per file, so a type change needs NO rewrite
+    * (verified against Spark 4.1: int32→int64/double, float→double,
+    * decimal precision-up at fixed scale — the Iceberg v3 type-promotion
+    * set). Everything else — narrowing, scale changes, string↔numeric —
+    * refuses: a metadata-only commit must never reinterpret bytes. */
+  private def canWiden(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
+  /** ALTER COLUMN TYPE as a METADATA-ONLY commit (the Iceberg v3
+    * type-promotion / Delta type-widening recipe): the new version
+    * carries the same data files with the column's declared type
+    * widened; each file keeps its written physical type and the scan
+    * upcasts per file — int32 files and int64 files coexist under one
+    * BIGINT schema. Only lossless promotions are legal ([[canWiden]]).
+    *
+    * What survives: footer stats (int and long share the "long" stat
+    * domain, float and double the "double" one, a fixed-scale decimal
+    * its unscaled-long domain), attached sums (same domains), bloom/HLL
+    * indexes for integral and decimal columns (they hash the string
+    * rendering, identical across the widen). What drops: float→double
+    * blooms/HLLs (float and double renderings of one value differ, and
+    * a wrong bloom miss would prune a matching file). What refuses: a
+    * `bucket(n, col)` layout source (xxhash64 of int ≠ xxhash64 of the
+    * same value as long, so old directory assignments would contradict
+    * post-widen probe hashing).
+    *
+    * At 100 TB: promoting an overflowing INT key to BIGINT is one JSON
+    * commit instead of a full-table rewrite — the exact schema-debt
+    * story type widening exists for. */
+  def alterColumnType(spark: SparkSession, root: String, name: String,
+                      newSqlType: String): Int =
+    commitMetaTransform(spark, root, { m =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      require(schema.fieldNames.contains(name), s"no column $name")
+      val from = schema(name).dataType
+      val to = org.apache.spark.sql.types.StructType
+        .fromDDL(s"`$name` $newSqlType").head.dataType
+      require(canWiden(from, to),
+        s"cannot alter $name from ${from.simpleString} to ${to.simpleString}: " +
+          "only lossless widening (tinyint/smallint/int→bigint/double, " +
+          "float→double, decimal precision-up at fixed scale) is " +
+          "metadata-only; anything else needs a rewrite into a new table")
+      m.partitionCols.map(Layout.parse).foreach {
+        case b: Layout.Bucket if b.source == name =>
+          throw new IllegalArgumentException(
+            s"cannot widen $name: it is the source of layout entry $b, " +
+              "and the bucket hash is type-dependent — existing directory " +
+              "assignments would no longer match probe hashing")
+        case _ => ()
+      }
+      val ns = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f))
+      // float→double: the string-rendering hash domain shifts, so the
+      // column's blooms/HLLs come off (absent index = never pruned,
+      // always safe); integral and decimal renderings are identical
+      val dropIdx = from == org.apache.spark.sql.types.FloatType
+      Manifest(m.version + 1, ns.toDDL, m.files,
+        stats = m.stats,
+        blooms = if (dropIdx) m.blooms.view.mapValues(
+          _.filterNot(_.col == name)).toMap else m.blooms,
+        partitionCols = m.partitionCols,
+        hlls = if (dropIdx) m.hlls.view.mapValues(
+          _.filterNot(_.col == name)).toMap else m.hlls,
+        dvs = m.dvs, rows = m.rows, op = "widen-column",
+        colMap = m.colMap, maxCid = m.maxCid, checks = m.checks,
+        defaults = m.defaults, noCol = m.noCol)
+    })
 
   /** ADD CONSTRAINT: a named CHECK every row of the table must satisfy
     * (SQL semantics: NULL passes, only FALSE violates), stored in the
