@@ -360,6 +360,37 @@ object LakehouseQueries {
             .cast("double").as("sum_qty"))
     }),
 
+    // MERGE with SCHEMA EVOLUTION end to end (the Delta
+    // withSchemaEvolution recipe): the table starts WITHOUT
+    // o_orderpriority; a CDC-style source re-prices every third order
+    // and carries the new column. The evolve-merge adds the column
+    // (metadata-only), updates matched rows (merge-on-read — matched
+    // rows vectored away, source lands as new files), PRESERVES
+    // nothing here (source carries every old column) and leaves
+    // untouched rows reading NULL in the evolved column. The rollup
+    // groups by the evolved column's presence: the merge's three row
+    // classes (untouched, updated, none inserted) must reconstruct
+    // exactly. At 100 TB: absorbing an upstream schema change is one
+    // metadata commit + a delta-sized write, not a migration.
+    "q215_merge_evolve" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_mev_q215")
+      val root = work.resolve("ord").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      VersionedTable.create(s, root, o.repartition(4))                // v1
+      val src = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"),
+          col("o_orderpriority"))
+      VersionedTable.mergeIntoEvolve(s, root, src, Seq("o_orderkey"),
+        vectored = true)                                              // +cols, merge
+      VersionedTable.read(s, root)
+        .groupBy(coalesce(col("o_orderpriority"), lit("none")).as("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+    }),
+
     // TYPE WIDENING end to end (the Iceberg-v3 type-promotion recipe,
     // metadata-only): the table is created with INT quantities, `CALL
     // graft.alter_column_type` widens the column to BIGINT without
@@ -1295,6 +1326,21 @@ object LakehouseQueries {
     // surviving events — layouts and vectors invisible in the result.
     // Survivor rule mirrors the delete set: deleted where the predicate
     // IS TRUE, so NULL values survive.
+    // The evolved, merged table must equal the rollup where every third
+    // order is re-priced and prioritized and the rest read NULL.
+    "q215_merge_evolve" ->
+      """WITH cur AS (
+           SELECT o_totalprice, NULL AS o_orderpriority
+           FROM orders WHERE o_orderkey % 3 <> 0
+           UNION ALL
+           SELECT o_totalprice * 2, o_orderpriority
+           FROM orders WHERE o_orderkey % 3 = 0)
+         SELECT COALESCE(o_orderpriority, 'none') AS prio,
+                count(*)::BIGINT AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM cur GROUP BY 1""",
+
     // The widened, vector-deleted table must equal the plain rollup of
     // surviving quantities — the physical int32/int64 split invisible.
     "q214_type_widening" ->

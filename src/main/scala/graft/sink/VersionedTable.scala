@@ -3547,6 +3547,102 @@ object VersionedTable {
       op = "merge-vectored", txn = txn))
   }
 
+  /** MERGE with SCHEMA EVOLUTION (the Delta `withSchemaEvolution`
+    * recipe): before the merge, the table's schema grows to absorb the
+    * source — source-only columns are ADDED (metadata-only; existing
+    * rows read NULL), and a table column whose source type is strictly
+    * wider WIDENS through the same lossless lattice as
+    * [[alterColumnType]]. Then the merge itself preserves matched rows'
+    * values for table columns the source does NOT carry (Delta's
+    * `UPDATE SET *` semantics: unsupplied columns keep their old
+    * values, inserts get NULL) — one extra broadcast-or-shuffle join
+    * against ONLY the stats-pruned touched files, never the table.
+    *
+    * Schema changes and the merge are SEPARATE commits (schema DDLs are
+    * metadata-only and the conflict-rebase walk refuses racing schema
+    * changes, so folding both into one delta would weaken that
+    * protection). A crash between them leaves added nullable columns
+    * and no merge — harmless, and the txn ledger keeps the re-run
+    * idempotent. Keys must be unique in the target (the standing merge
+    * contract). `vectored = true` delegates to [[mergeIntoVectored]]
+    * (merge-on-read), else [[mergeInto]] (copy-on-write). */
+  def mergeIntoEvolve(spark: SparkSession, root: String, source: DataFrame,
+                      keys: Seq[String], deletes: Option[DataFrame] = None,
+                      txn: Option[Long] = None,
+                      vectored: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
+    require(keys.nonEmpty, "mergeIntoEvolve needs at least one key column")
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    if (txn.exists(committedTxns(spark, root).contains)) return cur
+    val schema0 = StructType.fromDDL(readManifest(spark, root, cur).schemaDdl)
+    require(keys.forall(k => schema0.fieldNames.contains(k) &&
+      source.schema.fieldNames.contains(k)),
+      s"merge keys $keys must exist in both table and source")
+    // 1. widen table columns the source carries strictly wider
+    source.schema.fields.foreach { sf =>
+      schema0.find(_.name == sf.name).foreach { tf =>
+        if (tf.dataType != sf.dataType) {
+          if (canWiden(tf.dataType, sf.dataType))
+            alterColumnType(spark, root, sf.name, sf.dataType.sql)
+          else require(canWiden(sf.dataType, tf.dataType),
+            s"merge cannot reconcile ${sf.name}: table has " +
+              s"${tf.dataType.simpleString}, source has " +
+              s"${sf.dataType.simpleString}, and neither widens to the other")
+        }
+      }
+    }
+    // 2. add source-only columns (nullable, no default — inserts and
+    // pre-existing rows both read NULL, the Delta evolution rule)
+    source.schema.fields
+      .filterNot(f => schema0.fieldNames.contains(f.name))
+      .foreach(f => addColumn(spark, root, f.name, f.dataType.sql))
+    val cur2 = currentVersion(spark, root).get
+    val m2 = readManifest(spark, root, cur2)
+    val schema2 = StructType.fromDDL(m2.schemaDdl)
+    // 3. cast the source onto the (possibly widened) table types
+    val srcCast = source.select(source.schema.fields.toSeq.map { f =>
+      val tf = schema2(f.name)
+      if (f.dataType == tf.dataType) col(f.name)
+      else col(f.name).cast(tf.dataType).as(f.name)
+    }: _*)
+    // 4. matched-row preservation for table columns the source lacks:
+    // left-join the source against the touched files' current rows —
+    // matched rows keep their values, inserts stay NULL
+    val srcNames = source.schema.fieldNames.toSet
+    val missing = schema2.fieldNames.filterNot(srcNames.contains).toSeq
+    val sourceEff =
+      if (missing.isEmpty) srcCast
+      else {
+        val touched = prunedFiles(spark, root,
+          keyRangePreds(srcCast.select(keys.map(col): _*), keys), Some(cur2))
+        val target = readSnapshotFiles(spark, root, m2, touched)
+          .select((keys ++ missing).map(col): _*)
+        srcCast.join(target, keys, "left")
+      }
+    val ordered = sourceEff.select(schema2.fieldNames.toSeq.map(col): _*)
+    if (vectored) mergeIntoVectored(spark, root, ordered, keys, deletes, txn)
+    else mergeInto(spark, root, ordered, keys, deletes, txn)
+  }
+
+  /** Touched-key bounds as range predicates — the stats-pruning input
+    * every merge shape shares; only stats-comparable domains prune. */
+  private def keyRangePreds(allKeys: DataFrame,
+                            keys: Seq[String]): RangePreds = {
+    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+    val aggCols = keys.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
+    val bounds = allKeys.agg(aggCols.head, aggCols.tail: _*).head
+    keys.zipWithIndex.flatMap { case (k, i) =>
+      (bounds.get(2 * i), bounds.get(2 * i + 1)) match {
+        case (lo: Any, hi: Any)
+          if lo.isInstanceOf[Number] || lo.isInstanceOf[String] =>
+          Some(k -> (Some(lo): Option[Any], Some(hi): Option[Any]))
+        case _ => None
+      }
+    }.toMap
+  }
+
   /** Change data feed between two committed versions: (rowsAdded,
     * rowsRemoved). Because data files are immutable and every commit
     * carries files over BY NAME, the diff reads ONLY the file-set
