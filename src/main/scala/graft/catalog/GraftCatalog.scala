@@ -337,6 +337,54 @@ object GraftCatalog {
       (spark, in) => versionRow(VersionedTable.renameColumn(
         spark, str(in, 0), str(in, 1), str(in, 2)))),
 
+    new Proc("add_generated_column",
+      "ADD a GENERATED ALWAYS AS (expr) column as a metadata-only " +
+        "commit: existing files compute the expression at read, appends " +
+        "missing it compute it at write, every writer validates " +
+        "g <=> expr on staged files, and updates recompute it when a " +
+        "source column changes",
+      Seq("path" -> StringType, "name" -> StringType,
+        "sql_type" -> StringType, "expr" -> StringType),
+      versionResult,
+      (spark, in) => versionRow(VersionedTable.addGeneratedColumn(
+        spark, str(in, 0), str(in, 1), str(in, 2), str(in, 3)))),
+
+    new Proc("generated_columns",
+      "the table's generated columns as (name, expr) rows",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("expr", StringType, nullable = false))),
+      (spark, in) => VersionedTable.generatedOf(spark, str(in, 0))
+        .toSeq.sortBy(_._1)
+        .map { case (n, e) => org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n),
+          org.apache.spark.unsafe.types.UTF8String.fromString(e)) }),
+
+    new Proc("add_identity_column",
+      "ADD a BIGINT IDENTITY column (GENERATED BY DEFAULT, START WITH " +
+        "start) as a metadata-only commit: appends missing it get " +
+        "unique engine-assigned values from the manifest's high-water " +
+        "mark (per-partition bands — sparse, shuffle-free); the mark " +
+        "auto-advances past every committed value",
+      Seq("path" -> StringType, "name" -> StringType,
+        "start" -> LongType),
+      versionResult,
+      (spark, in) => versionRow(VersionedTable.addIdentityColumn(
+        spark, str(in, 0), str(in, 1), in.getLong(2))),
+      defaults = Map("start" -> "1")),
+
+    new Proc("identity_columns",
+      "the table's identity columns as (name, next_value) rows",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("next_value", LongType, nullable = false))),
+      (spark, in) => VersionedTable.identityOf(spark, str(in, 0))
+        .toSeq.sortBy(_._1)
+        .map { case (n, hw) => org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n), hw) }),
+
     new Proc("add_constraint",
       "ADD a named CHECK constraint (SQL semantics: NULL passes, FALSE " +
         "violates); validates existing data first, then every " +

@@ -559,6 +559,118 @@ object LakehouseQueries {
           .select(lit("audit").as("tag"), col("n"), col("sum_price")))
     }),
 
+    // REPLACE WHERE: the partition-aligned reload. The table is hive-
+    // partitioned by order year, so every 1996 file is PROVABLY inside
+    // the replaced region from its partition stats alone — the require
+    // pins the metadata-only path: the reload drops those files UNREAD
+    // and lands only the recomputed slice. At 100 TB: "recompute
+    // yesterday" costs new-files + manifest arithmetic, zero old bytes
+    // moved, one atomic commit (readers never see the slice missing).
+    "q216_replace_where" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_rpw_q216")
+      val root = work.resolve("ord").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), year(col("o_orderdate")).as("yr"))
+      VersionedTable.create(s, root, o.repartition(4), partitionBy = Seq("yr"))
+      val preds: VersionedTable.RangePreds =
+        Map("yr" -> (Some(1996), Some(1996)))
+      require(VersionedTable.replaceContainedFiles(s, root, preds).nonEmpty,
+        "q216: the 1996 partition files must drop unread (metadata-only)")
+      // the recomputed slice: even keys only, price doubled
+      VersionedTable.replaceWhere(s, root,
+        o.filter(col("yr") === 1996 && col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .repartition(2),
+        preds)
+      VersionedTable.read(s, root).groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+    }),
+
+    // IDENTITY column: surrogate keys assigned shuffle-free from the
+    // manifest high-water mark. The output proves the contract with
+    // data-derivable aggregates (counts, uniqueness, the >= start
+    // bound) because the values themselves are deliberately sparse —
+    // uniqueness without density is what keeps assignment
+    // embarrassingly parallel at 100 TB (no row_number barrier).
+    "q217_identity" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_idc_q217")
+      val root = work.resolve("docs").toString
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      VersionedTable.create(s, root,
+        docs.filter(col("doc_id") % 3 === 0).repartition(2))
+      VersionedTable.addIdentityColumn(s, root, "rid", start = 1000L)
+      VersionedTable.append(s, root,
+        docs.filter(col("doc_id") % 3 =!= 0).repartition(4))
+      VersionedTable.read(s, root).agg(
+        count(lit(1)).as("n"),
+        count(col("rid")).as("n_assigned"),
+        countDistinct(col("rid")).as("n_distinct"),
+        min(when(col("rid").isNotNull,
+          (col("rid") >= 1000L).cast("int"))).as("all_ge_start"))
+    }),
+
+    // GENERATED ALWAYS AS (expr): the derived column is metadata at add
+    // time (historical files compute it at read), materialized by
+    // writes, and validated null-safe on every staged file. The final
+    // aggregate groups by the generated column across both populations.
+    "q218_generated" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_gen_q218")
+      val root = work.resolve("ord").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate"))
+      VersionedTable.create(s, root,
+        o.filter(col("o_orderkey") % 2 === 0).repartition(3))
+      VersionedTable.addGeneratedColumn(s, root, "yr", "int",
+        "year(o_orderdate)")
+      // the append does NOT supply yr — computed at write; the old
+      // files compute it at read
+      VersionedTable.append(s, root,
+        o.filter(col("o_orderkey") % 2 === 1).repartition(2))
+      VersionedTable.read(s, root).groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+    }),
+
+    // APPLY CHANGES: the stateful CDC fold. The changelog lands in TWO
+    // out-of-order calls (even sequences first, then odd — so half the
+    // keys see their newest row arrive BEFORE older ones), then a
+    // deletes-only batch. The persisted sequence column is what q97's
+    // pure-query fold cannot have: cross-batch regression protection.
+    // At 100 TB: an out-of-order partitioned CDC feed folds in at
+    // delta cost — stale-guard join reads only the key-pruned slice.
+    "q219_apply_changes" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_cdc_q219")
+      val root = work.resolve("cust").toString
+      VersionedTable.create(s, root,
+        Tables.customer(s, d).select(col("c_custkey").as("k"),
+          // `when` without otherwise (non-foldable condition) is
+          // NULLABLE — the table's seq must accept the merge source
+          when(col("c_custkey").isNotNull, lit(0L)).as("seq"),
+          col("c_acctbal").cast("double").as("bal"))
+          .repartition(4))
+      val chg = Tables.orders(s, d).select(col("o_custkey").as("k"),
+        col("o_orderkey").as("seq"), col("o_totalprice").as("bal"))
+      // out-of-order delivery: even seqs, then odd
+      VersionedTable.applyChanges(s, root,
+        chg.filter(col("seq") % 2 === 0), Seq("k"), "seq")
+      VersionedTable.applyChanges(s, root,
+        chg.filter(col("seq") % 2 === 1), Seq("k"), "seq")
+      // late deletes with a sequence beyond every order
+      VersionedTable.applyChanges(s, root,
+        Tables.customer(s, d).filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("k"),
+            (lit(100000000L) + col("c_custkey")).as("seq"),
+            lit(0.0).as("bal"), lit(true).as("del")),
+        Seq("k"), "seq", deleteCol = Some("del"))
+      VersionedTable.read(s, root).groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double").as("sum_bal"),
+          sum(col("seq")).as("sum_seq"))
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -1393,6 +1505,53 @@ object LakehouseQueries {
          FROM v1
          UNION ALL
          SELECT 'audit', (SELECT count(*) FROM v1)::BIGINT, 2.0""",
+
+    "q216_replace_where" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice,
+                              CAST(year(o_orderdate) AS INT) AS yr
+                       FROM orders),
+              fin AS (SELECT yr, o_totalprice FROM base WHERE yr <> 1996
+                      UNION ALL
+                      SELECT yr, o_totalprice * 2 FROM base
+                      WHERE yr = 1996 AND o_orderkey % 2 = 0)
+         SELECT yr, count(*)::BIGINT AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM fin GROUP BY yr""",
+
+    "q217_identity" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+              a AS (SELECT count(*)::BIGINT AS na FROM d
+                    WHERE doc_id % 3 <> 0)
+         SELECT (SELECT count(*) FROM d)::BIGINT AS n,
+                na AS n_assigned, na AS n_distinct,
+                1 AS all_ge_start
+         FROM a""",
+
+    "q218_generated" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                count(*)::BIGINT AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price
+         FROM orders GROUP BY yr""",
+
+    "q219_apply_changes" ->
+      """WITH chg AS (SELECT o_custkey AS k, o_orderkey AS seq,
+                             o_totalprice AS bal FROM orders),
+              win AS (SELECT k, seq, bal, row_number() OVER
+                        (PARTITION BY k ORDER BY seq DESC) AS rn
+                      FROM chg),
+              fin0 AS (SELECT c_custkey AS k, 0::BIGINT AS seq,
+                              CAST(c_acctbal AS DOUBLE) AS bal
+                       FROM customer
+                       WHERE c_custkey NOT IN (SELECT k FROM chg)
+                       UNION ALL
+                       SELECT k, seq, bal FROM win WHERE rn = 1),
+              fin AS (SELECT * FROM fin0 WHERE k % 97 <> 0)
+         SELECT k % 10 AS bucket, count(*)::BIGINT AS n,
+                CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+                sum(seq)::BIGINT AS sum_seq
+         FROM fin GROUP BY bucket""",
 
     "q208_sql_txn" ->
       """WITH cur AS (SELECT * FROM orders

@@ -327,7 +327,14 @@ object VersionedTable {
                               maxCid: Int = 0,
                               checks: Seq[TableCheck] = Seq.empty,
                               defaults: Map[String, String] = Map.empty,
-                              noCol: Map[String, Seq[String]] = Map.empty) {
+                              noCol: Map[String, Seq[String]] = Map.empty,
+                              gens: Map[String, String] = Map.empty,
+                              ids: Map[String, Long] = Map.empty) {
+    /** Every read-time fill expression: write DEFAULTS (constant
+      * literals) plus GENERATED columns (deterministic expressions over
+      * the row's other columns) — both substitute into files recorded
+      * as physically lacking the column. */
+    def fillExprs: Map[String, String] = defaults ++ gens
     /** Whether a READ of this snapshot must resolve hive partition
       * directories. `partitionCols` alone is not enough once the layout
       * EVOLVES ([[setPartitionLayout]]): a now-unpartitioned table may
@@ -453,7 +460,7 @@ object VersionedTable {
       else s""" "partitionCols": [${m.partitionCols
         .map(c => "\"" + esc(c) + "\"").mkString(", ")}],\n"""
     s"""{"version": ${m.version},
-       |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)} "schema": "${esc(m.schemaDdl)}",
+       |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)} "schema": "${esc(m.schemaDdl)}",
        | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
        | ${perFileJson(m.stats, m.blooms, m.hlls, m.dvs, m.rows, m.noCol)}}""".stripMargin
   }
@@ -487,6 +494,36 @@ object VersionedTable {
     val D = """\{"dname": "((?:[^"\\]|\\.)*)", "dexpr": "((?:[^"\\]|\\.)*)"\}""".r
     D.findAllMatchIn(text).map(m =>
       unesc(m.group(1)) -> unesc(m.group(2))).toMap
+  }
+
+  /** GENERATED-columns JSON field — absent when the table has none.
+    * Emitted in BOTH full and delta manifests (like checks/defaults),
+    * so every manifest is self-contained. */
+  private def gensJson(m: Manifest): String =
+    if (m.gens.isEmpty) ""
+    else s""" "gens": [${m.gens.toSeq.sortBy(_._1).map { case (c, e) =>
+      s"""{"gname": "${esc(c)}", "gexpr": "${esc(e)}"}""" }
+      .mkString(", ")}],\n"""
+
+  private def parseGens(text: String): Map[String, String] = {
+    val G = """\{"gname": "((?:[^"\\]|\\.)*)", "gexpr": "((?:[^"\\]|\\.)*)"\}""".r
+    G.findAllMatchIn(text).map(m =>
+      unesc(m.group(1)) -> unesc(m.group(2))).toMap
+  }
+
+  /** IDENTITY-columns JSON field (column → next value to assign) —
+    * absent when the table has none; self-contained in every manifest
+    * like checks/defaults/gens. */
+  private def idsJson(m: Manifest): String =
+    if (m.ids.isEmpty) ""
+    else s""" "ids": [${m.ids.toSeq.sortBy(_._1).map { case (c, hw) =>
+      s"""{"iname": "${esc(c)}", "ihw": $hw}""" }
+      .mkString(", ")}],\n"""
+
+  private def parseIds(text: String): Map[String, Long] = {
+    val I = """\{"iname": "((?:[^"\\]|\\.)*)", "ihw": (-?\d+)\}""".r
+    I.findAllMatchIn(text).map(m =>
+      unesc(m.group(1)) -> m.group(2).toLong).toMap
   }
 
   /** Column-mapping JSON field — absent entirely until mapping
@@ -533,7 +570,7 @@ object VersionedTable {
     Some(
       s"""{"version": ${m.version},
          | "delta": true,
-         |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)} "schema": "${esc(m.schemaDdl)}",
+         |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)} "schema": "${esc(m.schemaDdl)}",
          | "removes": [${names(removes)}],
          | "adds": [${names(adds)}],
          | "touch": [${names(touch)}],
@@ -793,7 +830,8 @@ object VersionedTable {
     val (cm, maxCid) = parseColMap(text)
     Manifest(v, schema, parseNameList(text, "files"), txn, stats, blooms,
       partitionCols, hlls, dvs, rows, parseOp(text), cm, maxCid,
-      parseChecks(text), parseDefaults(text), noCol)
+      parseChecks(text), parseDefaults(text), noCol, parseGens(text),
+      parseIds(text))
   }
 
   /** Replay a delta manifest over its parent snapshot: removed entries
@@ -813,7 +851,8 @@ object VersionedTable {
       merge(parent.stats, stats), merge(parent.blooms, blooms),
       partitionCols, merge(parent.hlls, hlls), merge(parent.dvs, dvs),
       merge(parent.rows, rows), parseOp(text), cm, maxCid,
-      parseChecks(text), parseDefaults(text), merge(parent.noCol, noCol))
+      parseChecks(text), parseDefaults(text), merge(parent.noCol, noCol),
+      parseGens(text), parseIds(text))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -1159,12 +1198,14 @@ object VersionedTable {
     val checks = curM.map(_.checks).getOrElse(Seq.empty)
     // DEFAULTS are table metadata like checks: an overwrite replaces the
     // data, not the write-default contract (new files carry every column
-    // physically, so no noCol entries are needed)
+    // physically, so no noCol entries are needed). GENERATED columns
+    // likewise carry — and the staged rows must still satisfy them.
     val defaults = curM.map(_.defaults).getOrElse(Map.empty[String, String])
+    val gens = curM.map(_.gens).getOrElse(Map.empty[String, String])
     val ddl = df.schema.toDDL
     val added = writeDataFiles(spark, root, df, v, partitionCols)
-    enforceChecks(spark, root, checks, ddl, partitionCols.nonEmpty,
-      Map.empty, added)
+    enforceChecks(spark, root, checks ++ genChecks(gens, ddl), ddl,
+      partitionCols.nonEmpty, Map.empty, added)
     // footer stats for file columns + degenerate [v, v] stats for
     // partition columns (hive dirs carry exactly one value per file),
     // plus exact per-file row counts — one footer open per added file
@@ -1172,7 +1213,16 @@ object VersionedTable {
     writeManifest(spark, root,
       Manifest(v, ddl, added, txn, addedStats,
         partitionCols = partitionCols, rows = addedRows, op = op,
-        checks = checks, defaults = defaults))
+        checks = checks, defaults = defaults, gens = gens,
+        // identity marks are MONOTONIC: an overwrite replaces the data,
+        // never the allocation history — and still advances past any
+        // value the fresh content carries
+        ids = curM.map(_.ids).getOrElse(Map.empty).map { case (c, hw) =>
+          val hi = addedStats.values.flatten
+            .filter(s => s.col == c && s.typ == "long")
+            .flatMap(s => scala.util.Try(s.hi.toLong).toOption)
+          c -> (if (hi.isEmpty) hw else math.max(hw, hi.max + 1L))
+        }))
     v
   }
 
@@ -1204,6 +1254,13 @@ object VersionedTable {
       refreshedStats: Map[String, Seq[ColStat]] = Map.empty,
       op: String = "overwrite",
       txn: Option[Long] = None,
+      // IDENTITY columns this commit ENGINE-ASSIGNED values for, from
+      // the base manifest's high-water mark: a rebase across any other
+      // commit that advanced the same column's mark must refuse (both
+      // writers allocated from the same range — values could collide);
+      // commits that merely carry SUPPLIED values rebase freely (the
+      // mark auto-advances past their stats either way)
+      assignedIds: Set[String] = Set.empty,
       // INDEX deltas: per-file, per-column metadata merges (indexSums /
       // indexBloom / indexHll / reindex). They read file CONTENT but
       // replace nothing, so their footprint is empty and they rebase
@@ -1259,6 +1316,19 @@ object VersionedTable {
             acc.getOrElse(f, Seq.empty).filterNot(e => cols.contains(colOf(e))) ++ es)
         }
       }
+    // identity high-water: advance past the largest value this commit's
+    // files carry for each identity column — read from the footer stats
+    // the commit already pays for, never a data scan. Engine-assigned
+    // AND caller-supplied (round-tripped) values both push the mark, so
+    // later assignment can never collide with anything already present.
+    def idAdvance(ids: Map[String, Long]): Map[String, Long] =
+      if (ids.isEmpty) ids
+      else ids.map { case (c, hw) =>
+        val hi = (delta.addedStats.values ++ delta.refreshedStats.values)
+          .flatten.filter(s => s.col == c && s.typ == "long")
+          .flatMap(s => scala.util.Try(s.hi.toLong).toOption)
+        c -> (if (hi.isEmpty) hw else math.max(hw, hi.max + 1L))
+      }
     while (true) {
       val v = m.version + 1
       val gone = delta.removedFiles
@@ -1278,7 +1348,7 @@ object VersionedTable {
         m.dvs.view.filterKeys(!gone(_)).toMap ++ delta.dvUpdates,
         m.rows.view.filterKeys(!gone(_)).toMap ++ delta.addedRows,
         delta.op, m.colMap, m.maxCid, m.checks, m.defaults,
-        m.noCol.view.filterKeys(!gone(_)).toMap)
+        m.noCol.view.filterKeys(!gone(_)).toMap, m.gens, idAdvance(m.ids))
       try { writeManifest(spark, root, manifest, Some(m)); return v }
       catch {
         case e: java.io.IOException
@@ -1311,6 +1381,12 @@ object VersionedTable {
             // around it (Delta refuses any metadata change the same way)
             if (wx.checks != m.checks)
               refuse(s"v$x (${wx.op}) changed the table's CHECK constraints")
+            // two writers that both engine-assigned from one high-water
+            // mark may have allocated overlapping identity values — the
+            // loser refuses and re-runs (re-assigning from the new mark)
+            delta.assignedIds.find(c => wx.ids.get(c) != prev.ids.get(c))
+              .foreach(c => refuse(s"v$x (${wx.op}) advanced the identity " +
+                s"high-water mark of $c this commit also assigned from"))
             val prevSet = prev.files.toSet
             val touchedByX = (prevSet -- wx.files.toSet) ++
               wx.files.filter(f => prevSet.contains(f) &&
@@ -1387,7 +1463,8 @@ object VersionedTable {
     * declared order. A new row's value for an un-supplied column is
     * exactly what a pre-evolution FILE would read for it: NULL. */
   private def alignForAppend(tableDdl: String, df: DataFrame,
-                             defaults: Map[String, String] = Map.empty): DataFrame = {
+                             defaults: Map[String, String] = Map.empty,
+                             gens: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     val t = org.apache.spark.sql.types.StructType.fromDDL(tableDdl)
     val have = df.schema.fields.map(f => f.name -> f).toMap
@@ -1395,6 +1472,24 @@ object VersionedTable {
     require(extra.isEmpty,
       s"append has column(s) not in the table: ${extra.mkString(", ")} " +
         s"(table: [$tableDdl])")
+    // GENERATED columns the frame doesn't supply compute AFTER the
+    // non-gen alignment below, so their expressions see every source
+    // column (null-filled or defaulted ones included); a supplied value
+    // passes through here and is validated by the staged genChecks
+    val missingGens = gens.view.filterKeys(g =>
+      t.fieldNames.contains(g) && !have.contains(g)).toMap
+    if (missingGens.nonEmpty) {
+      val nonGen = org.apache.spark.sql.types.StructType(
+        t.fields.filterNot(f => missingGens.contains(f.name)))
+      val base = alignForAppend(nonGen.toDDL, df, defaults)
+      val types = t.fields.map(f => f.name -> f.dataType).toMap
+      return base.select(t.fields.toSeq.map { tf =>
+        missingGens.get(tf.name) match {
+          case Some(e) => expr(e).cast(types(tf.name)).as(tf.name)
+          case None => col(tf.name)
+        }
+      }: _*)
+    }
     df.select(t.fields.toSeq.map { tf =>
       have.get(tf.name) match {
         case Some(sf) =>
@@ -1449,16 +1544,38 @@ object VersionedTable {
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
-    val aligned = alignForAppend(m.schemaDdl, df, m.defaults)
+    val (dfId, assigned) = assignIdentity(m, df)
+    val aligned = alignForAppend(m.schemaDdl, dfId, m.defaults, m.gens)
     val added = writeDataFiles(spark, root, aligned, cur + 1, m.partitionCols,
       m.physMap)
-    enforceChecks(spark, root, m.checks, m.schemaDdl,
-      m.partitionCols.nonEmpty, m.physMap, added)
+    enforceChecks(spark, root, m.checks ++ genChecks(m.gens, m.schemaDdl),
+      m.schemaDdl, m.partitionCols.nonEmpty, m.physMap, added)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
       m.physMap)
     commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
       addedFiles = added, addedStats = addedStats, addedRows = addedRows,
-      op = "append", txn = txn))
+      op = "append", txn = txn, assignedIds = assigned))
+  }
+
+  /** Assign engine values for every IDENTITY column the frame doesn't
+    * supply: `high-water + monotonically_increasing_id()` — a pure
+    * per-partition expression, no shuffle, no row_number barrier. The
+    * values are unique and >= the mark but deliberately SPARSE (each
+    * partition allocates from its own 2^33 band — the Delta identity
+    * contract guarantees uniqueness and monotonic growth, never
+    * density, which is what makes the assignment embarrassingly
+    * parallel at 100 TB). The next mark is derived downstream from the
+    * staged files' footer stats, not from a second scan. */
+  private def assignIdentity(m: Manifest,
+                             df: DataFrame): (DataFrame, Set[String]) = {
+    val missing = m.ids.keySet.filterNot(df.schema.fieldNames.contains)
+    if (missing.isEmpty) (df, Set.empty)
+    else {
+      import org.apache.spark.sql.functions._
+      (missing.foldLeft(df)((d, c) => d.withColumn(c,
+        (monotonically_increasing_id() + lit(m.ids(c))).cast("long"))),
+        missing)
+    }
   }
 
   /** Overwrite: new version references ONLY the new rows' files (logical
@@ -1702,15 +1819,17 @@ object VersionedTable {
     * files). */
   private def defaultGroups(m: Manifest,
                             files: Seq[String]): Seq[(Seq[String], Seq[String])] =
-    if (m.defaults.isEmpty || m.noCol.isEmpty)
+    if ((m.defaults.isEmpty && m.gens.isEmpty) || m.noCol.isEmpty)
       if (files.isEmpty) Seq.empty else Seq(Seq.empty[String] -> files)
     else files.groupBy(f =>
-        m.noCol.getOrElse(f, Seq.empty).filter(m.defaults.contains).sorted)
+        m.noCol.getOrElse(f, Seq.empty).filter(m.fillExprs.contains).sorted)
       .toSeq.sortBy(_._1.mkString(","))
 
   /** Replace `cols` (scanned as NULL — the files lack them physically)
-    * with their default literals, cast to the schema type. Columns the
-    * caller's schema doesn't carry (a pinned historical schema) skip. */
+    * with their fill expressions — DEFAULT literals, or GENERATED
+    * expressions over the row's other columns — cast to the schema
+    * type. Columns the caller's schema doesn't carry (a pinned
+    * historical schema) skip. */
   private def substituteDefaults(df: DataFrame, m: Manifest, ddl: String,
                                  cols: Seq[String]): DataFrame =
     if (cols.isEmpty) df
@@ -1722,7 +1841,7 @@ object VersionedTable {
         df.schema.fieldNames.contains(c)).toSet
       if (subs.isEmpty) df
       else df.select(df.schema.fieldNames.toSeq.map { c =>
-        if (subs.contains(c)) expr(m.defaults(c)).cast(types(c)).as(c)
+        if (subs.contains(c)) expr(m.fillExprs(c)).cast(types(c)).as(c)
         else col(c)
       }: _*)
     }
@@ -1842,8 +1961,136 @@ object VersionedTable {
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
       hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-column",
       colMap = cm2, maxCid = maxCid2, checks = m.checks,
-      defaults = defaults2, noCol = noCol2)
+      defaults = defaults2, noCol = noCol2, gens = m.gens, ids = m.ids)
   })
+
+  /** ADD a GENERATED column — `GENERATED ALWAYS AS (expr)` — as a
+    * METADATA-ONLY commit. The expression is a deterministic SQL
+    * expression over the row's OTHER columns; its contract is enforced
+    * end to end:
+    *
+    *  - EXISTING files (which physically lack the column) compute the
+    *    expression at READ, through the same per-file substitution
+    *    machinery as column DEFAULTS — so the add is O(1) I/O and every
+    *    historical row is immediately consistent.
+    *  - APPENDS that don't supply the column compute it at WRITE
+    *    ([[alignForAppend]], after null-fill/defaults so the expression
+    *    sees every source); rewrites (compact/zorder) materialize it.
+    *  - EVERY row-adding writer validates its staged files against the
+    *    null-safe synthetic check `g <=> CAST(expr AS type)` and refuses
+    *    atomically on divergence — a supplied value can never contradict
+    *    the expression ([[genChecks]]).
+    *  - [[updateWhereVectored]] RECOMPUTES generated columns not
+    *    explicitly SET, over the post-SET row.
+    *  - Renaming/dropping/widening a SOURCE column refuses (the
+    *    expression is name-keyed text, like CHECKs); dropping the
+    *    generated column itself removes the contract.
+    *
+    * The expression must not reference another generated or defaulted
+    * column: read-time substitution evaluates all fills in ONE select
+    * over the raw scan, so a chained reference would see the raw NULL,
+    * not the substituted value — refused here, once, instead of
+    * corrupting quietly at every scan.
+    *
+    * At 100 TB the payoff is the same as Delta's generated columns:
+    * derived columns (event dates from timestamps, normalized keys)
+    * stay consistent by construction, with zero backfill cost. */
+  def addGeneratedColumn(spark: SparkSession, root: String, name: String,
+                         sqlType: String, genExpr: String): Int =
+    commitMetaTransform(spark, root, { m =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists")
+      val refs = checkRefs(spark, genExpr)
+      val missing = refs.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"generated column $name references unknown column(s): " +
+          missing.mkString(", "))
+      val chained = refs.filter(m.fillExprs.contains)
+      require(chained.isEmpty,
+        s"generated column $name must not reference generated/defaulted " +
+          s"column(s) ${chained.mkString(", ")}: read-time substitution " +
+          "evaluates fills in one pass and would see the raw NULL")
+      // the expression must analyze, cast to the declared type, and be
+      // deterministic — proven once here against the table schema, not
+      // discovered at every scan
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .select(org.apache.spark.sql.functions
+          .expr(s"CAST(($genExpr) AS $sqlType)").as(name))
+      val resolved = probe.queryExecution.analyzed.expressions.head
+      require(resolved.deterministic,
+        s"generated column $name needs a deterministic expression: $genExpr")
+      val widened = schema.add(name, sqlType, nullable = true)
+      val noCol2 =
+        m.files.map(f => f -> (m.noCol.getOrElse(f, Seq.empty) :+ name)).toMap
+      val (cm2, maxCid2) =
+        if (m.colMap.isEmpty) (m.colMap, m.maxCid)
+        else {
+          val used = m.colMap.map(_.phys).toSet
+          var id = m.maxCid + 1
+          while (used.contains(s"_gc$id")) id += 1
+          (m.colMap :+ FieldMap(id, name, s"_gc$id"), id)
+        }
+      Manifest(m.version + 1, widened.toDDL, m.files,
+        stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
+        hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-generated",
+        colMap = cm2, maxCid = maxCid2, checks = m.checks,
+        defaults = m.defaults, noCol = noCol2,
+        gens = m.gens + (name -> genExpr))
+    })
+
+  /** The table's generated columns (name → expression) at the current
+    * version — the inspection face of [[addGeneratedColumn]]. */
+  def generatedOf(spark: SparkSession, root: String): Map[String, String] = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    readManifest(spark, root, cur).gens
+  }
+
+  /** ADD an IDENTITY column — `GENERATED BY DEFAULT AS IDENTITY
+    * (START WITH start)` — as a METADATA-ONLY commit. A BIGINT surrogate
+    * key the engine assigns for appends that don't supply it
+    * ([[assignIdentity]]): unique, >= the manifest's high-water mark,
+    * sparse (per-partition bands — no shuffle, no global row_number).
+    * The mark auto-advances in EVERY commit past the largest value the
+    * new files' footer stats carry, so round-tripped values (a merge
+    * writing back rows it read) can never collide with later
+    * assignment; two appends that both ENGINE-ASSIGNED from one mark
+    * refuse each other in the rebase walk and the loser re-runs.
+    * Rollback keeps the mark monotonic (history is never re-allocated).
+    * Rows in files predating the column read NULL — the backfill, if
+    * wanted, is an explicit UPDATE, not a hidden rewrite. */
+  def addIdentityColumn(spark: SparkSession, root: String, name: String,
+                        start: Long = 1L): Int =
+    commitMetaTransform(spark, root, { m =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists")
+      val widened = schema.add(name, "bigint", nullable = true)
+      val (cm2, maxCid2) =
+        if (m.colMap.isEmpty) (m.colMap, m.maxCid)
+        else {
+          val used = m.colMap.map(_.phys).toSet
+          var id = m.maxCid + 1
+          while (used.contains(s"_gc$id")) id += 1
+          (m.colMap :+ FieldMap(id, name, s"_gc$id"), id)
+        }
+      Manifest(m.version + 1, widened.toDDL, m.files,
+        stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
+        hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-identity",
+        colMap = cm2, maxCid = maxCid2, checks = m.checks,
+        defaults = m.defaults, noCol = m.noCol, gens = m.gens,
+        ids = m.ids + (name -> start))
+    })
+
+  /** The table's identity columns (name → next value to assign) at the
+    * current version — the inspection face of [[addIdentityColumn]]. */
+  def identityOf(spark: SparkSession, root: String): Map[String, Long] = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    readManifest(spark, root, cur).ids
+  }
 
   /** The widening lattice: conversions the parquet vectorized reader
     * performs losslessly per file, so a type change needs NO rewrite
@@ -1907,6 +2154,14 @@ object VersionedTable {
               "assignments would no longer match probe hashing")
         case _ => ()
       }
+      // a generated expression's result type can shift with a widened
+      // input (int sum → bigint sum), silently failing every write's
+      // g <=> expr validation — refuse, like checks on rename/drop
+      (m.gens.filter { case (_, e) => checkRefs(spark, e).contains(name) }
+        .keys ++ m.gens.keys.filter(_ == name))
+        .foreach(g => throw new IllegalArgumentException(
+          s"cannot widen $name: generated column $g (${m.gens(g)}) " +
+            "depends on it; drop the generated column first"))
       val ns = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
         if (f.name == name) f.copy(dataType = to) else f))
       // float→double: the string-rendering hash domain shifts, so the
@@ -1922,7 +2177,7 @@ object VersionedTable {
           _.filterNot(_.col == name)).toMap else m.hlls,
         dvs = m.dvs, rows = m.rows, op = "widen-column",
         colMap = m.colMap, maxCid = m.maxCid, checks = m.checks,
-        defaults = m.defaults, noCol = m.noCol)
+        defaults = m.defaults, noCol = m.noCol, gens = m.gens, ids = m.ids)
     })
 
   /** ADD CONSTRAINT: a named CHECK every row of the table must satisfy
@@ -1981,6 +2236,24 @@ object VersionedTable {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     df.filter(not(coalesce(expr(check.expr), lit(true))))
   }
+
+  /** GENERATED columns as synthetic CHECKs over staged rows: every
+    * row-adding writer validates `g <=> CAST(expr AS type)` — null-safe,
+    * so (unlike user CHECKs) a NULL mismatch still violates. One
+    * mechanism guarantees a generated column can never diverge from its
+    * expression no matter which writer (append computes it when absent;
+    * overwrite/merge/update must supply it consistently or refuse). */
+  private def genChecks(gens: Map[String, String],
+                        ddl: String): Seq[TableCheck] =
+    if (gens.isEmpty) Seq.empty
+    else {
+      val types = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fields.map(f => f.name -> f.dataType.catalogString).toMap
+      gens.toSeq.sortBy(_._1).flatMap { case (g, e) =>
+        types.get(g).map(t =>
+          TableCheck(s"generated:$g", s"`$g` <=> CAST(($e) AS $t)"))
+      }
+    }
 
   /** Validate freshly-STAGED data files against the table's checks,
     * refusing the commit (and sweeping the staged files) on the first
@@ -2066,6 +2339,12 @@ object VersionedTable {
       .foreach(c => throw new IllegalArgumentException(
         s"cannot rename $from: CHECK constraint ${c.name} (${c.expr}) " +
           "references it; drop the constraint first"))
+    // generated expressions are name-keyed text like checks — a rename
+    // of a SOURCE column would silently unbind them
+    m.gens.filter { case (_, e) => checkRefs(spark, e).contains(from) }
+      .foreach { case (g, e) => throw new IllegalArgumentException(
+        s"cannot rename $from: generated column $g ($e) references it; " +
+          "drop the generated column first") }
     val (cm0, maxCid) = activeColMap(m)
     // record the lineage: the old name joins the field's prior-name
     // history (minus the new name, if this rename reclaims one), so a
@@ -2092,7 +2371,11 @@ object VersionedTable {
       defaults = m.defaults.map { case (c, d) =>
         (if (c == from) to else c) -> d },
       noCol = m.noCol.view.mapValues(_.map(c =>
-        if (c == from) to else c)).toMap)
+        if (c == from) to else c)).toMap,
+      gens = m.gens.map { case (c, e) =>
+        (if (c == from) to else c) -> e },
+      ids = m.ids.map { case (c, hw) =>
+        (if (c == from) to else c) -> hw })
   })
 
   /** DROP COLUMN as a METADATA-ONLY commit: the field leaves the logical
@@ -2114,6 +2397,11 @@ object VersionedTable {
       .foreach(c => throw new IllegalArgumentException(
         s"cannot drop $name: CHECK constraint ${c.name} (${c.expr}) " +
           "references it; drop the constraint first"))
+    m.gens.filter { case (g, e) =>
+        g != name && checkRefs(spark, e).contains(name) }
+      .foreach { case (g, e) => throw new IllegalArgumentException(
+        s"cannot drop $name: generated column $g ($e) references it; " +
+          "drop the generated column first") }
     val (cm0, maxCid) = activeColMap(m)
     val narrowed = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
@@ -2136,7 +2424,8 @@ object VersionedTable {
       checks = m.checks,
       defaults = m.defaults - name,
       noCol = m.noCol.view.mapValues(_.filterNot(_ == name)).toMap
-        .filter(_._2.nonEmpty))
+        .filter(_._2.nonEmpty),
+      gens = m.gens - name, ids = m.ids - name)
   })
 
   /** PARTITION EVOLUTION as a metadata-only commit (the Iceberg
@@ -3052,6 +3341,132 @@ object VersionedTable {
     }
   }
 
+  /** REPLACE WHERE — predicate-scoped atomic overwrite (Delta's
+    * `replaceWhere`, Iceberg's overwrite-by-filter): ONE commit drops
+    * every existing row inside the range region and lands `df`'s rows in
+    * its place. The idiomatic 100 TB reload — "recompute yesterday's
+    * partition" — without a full-table overwrite and without a
+    * delete-then-append window where readers see the slice missing.
+    *
+    * The region is the conjunction of closed ranges in `preds` (None =
+    * open bound) — the same domain [[prunedFiles]] prunes on, so the
+    * predicate both PRUNES (untouched files never read) and DEFINES the
+    * replaced rows. Incoming rows are validated against the region AFTER
+    * staging — what was actually written, so a nondeterministic
+    * expression can't sneak rows outside the slice — and any row outside
+    * it (or NULL in a predicate column) refuses atomically, staged files
+    * swept.
+    *
+    * Files WHOLLY inside the region drop WITHOUT BEING READ: a recorded
+    * [lo, hi] contained in every predicate range plus zero recorded nulls
+    * on the predicate columns proves every live row matches. (Bounds are
+    * exact or survivor-over-approximate; containment of the bounds
+    * contains the survivors, and DV-hidden rows are already gone — the
+    * proof stays sound under vectors.) A partition-aligned reload
+    * therefore costs new-files + manifest arithmetic; no old bytes move.
+    * Files merely OVERLAPPING the region rewrite survivors with
+    * [[deleteWhere]]'s NOT-TRUE semantics (NULL keeps the row).
+    *
+    * Footprint = every touched file, so a concurrent DML on the same
+    * slice refuses through [[commitDelta]]'s taxonomy while disjoint
+    * appends rebase past. `txn` rides the idempotence ledger: a replay
+    * after checkpoint loss short-circuits to the already-committed
+    * version. */
+  def replaceWhere(spark: SparkSession, root: String, df: DataFrame,
+                   preds: RangePreds, txn: Option[Long] = None): Int = {
+    require(preds.nonEmpty, "replaceWhere needs at least one predicate range")
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    if (txn.exists(committedTxns(spark, root).contains)) return cur
+    val m = readManifest(spark, root, cur)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    preds.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"replaceWhere predicate column $c is not in the table schema " +
+        s"[${m.schemaDdl}]"))
+    val cond = preds.map { case (c, (lo, hi)) =>
+      val ge = lo.map(l => col(c) >= lit(l))
+      val le = hi.map(h => col(c) <= lit(h))
+      (ge, le) match {
+        case (Some(a), Some(b)) => a && b
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) => col(c).isNotNull // open-open: region = non-null
+      }
+    }.reduce(_ && _)
+    val (dfId, assigned) = assignIdentity(m, df)
+    val aligned = alignForAppend(m.schemaDdl, dfId, m.defaults, m.gens)
+    val v = cur + 1
+    val added = writeDataFiles(spark, root, aligned, v, m.partitionCols,
+      m.physMap)
+    def sweep(): Unit = {
+      val f = fs(spark, new Path(root))
+      added.foreach(p => scala.util.Try(f.delete(new Path(root, p), false)))
+    }
+    if (added.nonEmpty) {
+      val written = readPaths(spark, m.schemaDdl,
+        added.map(f => new Path(root, f).toString),
+        m.partitionCols.nonEmpty, root, physMap = m.physMap)
+      val out = written.filter(not(coalesce(cond, lit(false))))
+        .limit(1).collect()
+      if (out.nonEmpty) {
+        sweep()
+        throw new IllegalArgumentException(
+          "replaceWhere: a written row falls outside the replaced region " +
+            s"(${preds.keys.mkString(", ")}), e.g. ${out.head}; nothing " +
+            "was committed")
+      }
+    }
+    enforceChecks(spark, root, m.checks ++ genChecks(m.gens, m.schemaDdl),
+      m.schemaDdl, m.partitionCols.nonEmpty, m.physMap, added)
+    val touched = prunedFiles(spark, root, preds, Some(cur)).toSet
+    // the metadata-only drop set: every live row provably inside the region
+    val contained = touched.filter { f =>
+      val stats = m.stats.getOrElse(f, Seq.empty).map(s => s.col -> s).toMap
+      preds.forall { case (c, (lo, hi)) =>
+        stats.get(c).exists { s =>
+          s.typ != "dec" && s.nulls == 0 &&
+            lo.forall(l => cmp(s.typ, s.lo, l) >= 0) &&
+            hi.forall(h => cmp(s.typ, s.hi, h) <= 0)
+        }
+      }
+    }
+    val partial = (touched -- contained).toSeq
+    val rewritten =
+      if (partial.isEmpty) Seq.empty
+      else writeDataFiles(spark, root,
+        readSnapshotFiles(spark, root, m, partial)
+          .filter(not(coalesce(cond, lit(false)))),
+        v, m.partitionCols, m.physMap)
+    val (newStats, newRows) = addedMeta(spark, root, m.schemaDdl,
+      added ++ rewritten, m.physMap)
+    commitDelta(spark, root, m, CommitDelta(
+      removedFiles = touched, addedFiles = added ++ rewritten,
+      addedStats = newStats, addedRows = newRows,
+      op = "replaceWhere", txn = txn, assignedIds = assigned))
+  }
+
+  /** The drop-without-reading file set [[replaceWhere]] would use for
+    * `preds` at the current version — observability for the "no old
+    * bytes move on a partition-aligned reload" contract (specs pin it;
+    * an operator can ask before running the reload). */
+  def replaceContainedFiles(spark: SparkSession, root: String,
+                            preds: RangePreds): Seq[String] = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    prunedFiles(spark, root, preds, Some(cur)).filter { f =>
+      val stats = m.stats.getOrElse(f, Seq.empty).map(s => s.col -> s).toMap
+      preds.forall { case (c, (lo, hi)) =>
+        stats.get(c).exists { s =>
+          s.typ != "dec" && s.nulls == 0 &&
+            lo.forall(l => cmp(s.typ, s.lo, l) >= 0) &&
+            hi.forall(h => cmp(s.typ, s.hi, h) <= 0)
+        }
+      }
+    }
+  }
+
   /** DELETE WHERE as a commit — copy-on-write DML at FILE granularity,
     * with the manifest stats bounding write amplification: only files
     * whose recorded [lo, hi] can contain a matching row are read and
@@ -3404,17 +3819,30 @@ object VersionedTable {
         // later expressions), cast back to the declared column types.
         // An empty touched set still COMMITS (an empty version) so every
         // DML bumps the version exactly once, like the deletes.
-        val newRows = marked
+        val setRows = marked
           .map(_.filter(col(DelCol)))
           .getOrElse(readPaths(spark, m.schemaDdl, Seq.empty))
           .select(schema.fields.toSeq.map(f =>
             set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name))
               .as(f.name)): _*)
+        // GENERATED columns not explicitly SET recompute over the
+        // post-SET row (second select, so they see the new source
+        // values) — Delta's recipe: updating a source keeps the
+        // generated column consistent without the caller restating it
+        val newRows =
+          if (m.gens.isEmpty || m.gens.keys.forall(set.contains)) setRows
+          else setRows.select(schema.fields.toSeq.map { f =>
+            m.gens.get(f.name).filterNot(_ => set.contains(f.name)) match {
+              case Some(e) => org.apache.spark.sql.functions.expr(e)
+                .cast(f.dataType).as(f.name)
+              case None => col(f.name)
+            }
+          }: _*)
         (u, r, writeDataFiles(spark, root, newRows, v, m.partitionCols,
           m.physMap))
       } finally marked.foreach(_.unpersist())
-    enforceChecks(spark, root, m.checks, m.schemaDdl,
-      m.partitionCols.nonEmpty, m.physMap, added)
+    enforceChecks(spark, root, m.checks ++ genChecks(m.gens, m.schemaDdl),
+      m.schemaDdl, m.partitionCols.nonEmpty, m.physMap, added)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
       m.physMap)
     commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
@@ -3476,8 +3904,8 @@ object VersionedTable {
         .unionByName(source)
     val added = writeDataFiles(spark, root, merged, v, m.partitionCols,
       m.physMap)
-    enforceChecks(spark, root, m.checks, m.schemaDdl,
-      m.partitionCols.nonEmpty, m.physMap, added)
+    enforceChecks(spark, root, m.checks ++ genChecks(m.gens, m.schemaDdl),
+      m.schemaDdl, m.partitionCols.nonEmpty, m.physMap, added)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
       m.physMap)
     commitDelta(spark, root, m, CommitDelta(
@@ -3537,14 +3965,92 @@ object VersionedTable {
         .withColumn(DelCol, col("__graft_mk").isNotNull))
     val added = writeDataFiles(spark, root, source, v, m.partitionCols,
       m.physMap)
-    enforceChecks(spark, root, m.checks, m.schemaDdl,
-      m.partitionCols.nonEmpty, m.physMap, added)
+    enforceChecks(spark, root, m.checks ++ genChecks(m.gens, m.schemaDdl),
+      m.schemaDdl, m.partitionCols.nonEmpty, m.physMap, added)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
       m.physMap)
     commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
       addedFiles = added, addedStats = addedStats, addedRows = addedRows,
       dvUpdates = updated, refreshedStats = refreshed,
       op = "merge-vectored", txn = txn))
+  }
+
+  /** APPLY CHANGES — fold a CDC changelog into the table with
+    * SEQUENCE-GUARDED upserts (the Delta Live Tables APPLY CHANGES INTO
+    * analog). `changes` carries the table's columns (including
+    * `seqCol`, which the TABLE persists — that is what makes
+    * out-of-order delivery safe ACROSS calls) plus an optional boolean
+    * `deleteCol` op flag. Semantics, in one commit:
+    *
+    *  1. Within the batch, the winner per key is the max-`seqCol` row
+    *     (deterministic tiebreak on the row hash — but sequencing
+    *     SHOULD be unique per key, as in DLT).
+    *  2. A winner older than the row the table already holds — equal
+    *     or lower sequence — is DISCARDED: a late-arriving batch can
+    *     never regress a key, and replaying any batch is a no-op.
+    *  3. A surviving winner flagged `deleteCol` deletes the key; the
+    *     rest upsert ([[mergeIntoVectored]] — merge-on-read, one
+    *     commit, txn-idempotent). A guarded delete whose key holds a
+    *     NEWER row leaves it untouched.
+    *
+    * Scale shape: the stale-guard join reads ONLY the key-range-pruned
+    * touched files (the same bounds [[mergeIntoVectored]] prunes by),
+    * never the table; the changelog is aggregated once per key. At
+    * 100 TB an out-of-order CDC feed (the normal state of a partitioned
+    * log) folds in at delta cost with no coordinator ordering step. */
+  def applyChanges(spark: SparkSession, root: String, changes: DataFrame,
+                   keys: Seq[String], seqCol: String,
+                   deleteCol: Option[String] = None,
+                   txn: Option[Long] = None): Int = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "applyChanges needs at least one key column")
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    if (txn.exists(committedTxns(spark, root).contains)) return cur
+    val m = readManifest(spark, root, cur)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    require(schema.fieldNames.contains(seqCol),
+      s"applyChanges needs the table to persist the sequence column " +
+        s"$seqCol — that is what guards out-of-order delivery across calls")
+    deleteCol.foreach(dc => require(changes.schema.fieldNames.contains(dc),
+      s"changes frame lacks the delete-flag column $dc"))
+    // 1. batch-local winner per key
+    val dataCols = changes.schema.fieldNames.filterNot(deleteCol.contains)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc,
+        xxhash64(dataCols.map(col).toSeq: _*).desc)
+    val winners = changes
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    // 2. stale-guard against the CURRENT row, reading only the pruned
+    // key range; NULL target seq (new key, or pre-seq file) admits
+    val aggCols = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val bounds = winners.agg(aggCols.head, aggCols.tail: _*).head
+    val preds: RangePreds = keys.zipWithIndex.flatMap { case (k, i) =>
+      (bounds.get(2 * i), bounds.get(2 * i + 1)) match {
+        case (lo: Any, hi: Any)
+            if lo.isInstanceOf[Number] || lo.isInstanceOf[String] =>
+          Some(k -> (Some(lo): Option[Any], Some(hi): Option[Any]))
+        case _ => None
+      }
+    }.toMap
+    val curSeq = readWhere(spark, root, preds, Some(cur))
+      .select((keys.map(col) :+ col(seqCol).as("__graft_cur_seq")): _*)
+    val fresh = winners.join(curSeq, keys, "left")
+      .filter(col("__graft_cur_seq").isNull ||
+        col(seqCol) > col("__graft_cur_seq"))
+      .drop("__graft_cur_seq")
+    // 3. split ops and land as ONE merge-on-read commit
+    val (ups, dels) = deleteCol match {
+      case Some(dc) =>
+        (fresh.filter(!coalesce(col(dc), lit(false))).drop(dc),
+          Some(fresh.filter(coalesce(col(dc), lit(false)))
+            .select(keys.map(col): _*)))
+      case None => (fresh, None)
+    }
+    val ordered = ups.select(schema.fieldNames.toSeq.map(col): _*)
+    mergeIntoVectored(spark, root, ordered, keys, deletes = dels, txn = txn)
   }
 
   /** MERGE with SCHEMA EVOLUTION (the Delta `withSchemaEvolution`
@@ -3611,7 +4117,12 @@ object VersionedTable {
     // left-join the source against the touched files' current rows —
     // matched rows keep their values, inserts stay NULL
     val srcNames = source.schema.fieldNames.toSet
-    val missing = schema2.fieldNames.filterNot(srcNames.contains).toSeq
+    // a missing GENERATED column never joins from the target: its
+    // expression recomputes it exactly — for matched rows (the invariant
+    // already held there) AND for inserts (where a target join would
+    // leave NULL and the staged genCheck would refuse)
+    val missing = schema2.fieldNames.filterNot(c =>
+      srcNames.contains(c) || m2.gens.contains(c)).toSeq
     val sourceEff =
       if (missing.isEmpty) srcCast
       else {
@@ -3621,7 +4132,12 @@ object VersionedTable {
           .select((keys ++ missing).map(col): _*)
         srcCast.join(target, keys, "left")
       }
-    val ordered = sourceEff.select(schema2.fieldNames.toSeq.map(col): _*)
+    val ordered = sourceEff.select(schema2.fields.toSeq.map { f =>
+      if (!srcNames.contains(f.name) && m2.gens.contains(f.name))
+        org.apache.spark.sql.functions.expr(m2.gens(f.name))
+          .cast(f.dataType).as(f.name)
+      else col(f.name)
+    }: _*)
     if (vectored) mergeIntoVectored(spark, root, ordered, keys, deletes, txn)
     else mergeInto(spark, root, ordered, keys, deletes, txn)
   }
@@ -3800,7 +4316,12 @@ object VersionedTable {
         stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
         hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "rollback",
         colMap = m.colMap, maxCid = m.maxCid, checks = m.checks,
-        defaults = m.defaults, noCol = m.noCol))
+        defaults = m.defaults, noCol = m.noCol, gens = m.gens,
+        // allocation history is monotonic THROUGH a rollback: ids
+        // assigned after `to` must never be re-assigned, even though
+        // their rows are gone — the head's higher mark wins
+        ids = m.ids.map { case (c, hw) =>
+          c -> math.max(hw, head.ids.getOrElse(c, hw)) }))
   }
 
   /** Compaction as a commit: rewrite the newest version into
@@ -4419,7 +4940,8 @@ object VersionedTable {
       rows = m.rows.map { case (k, n) => remap.getOrElse(k, k) -> n },
       op = "clone", colMap = m.colMap, maxCid = m.maxCid,
       checks = m.checks, defaults = m.defaults,
-      noCol = m.noCol.map { case (k, cs) => remap.getOrElse(k, k) -> cs }))
+      noCol = m.noCol.map { case (k, cs) => remap.getOrElse(k, k) -> cs },
+      gens = m.gens, ids = m.ids))
     // back-reference every owning root (a clone OF a clone references
     // the original's files — the marker must land with the owner)
     (abs ++ absDv.values.map(_.dvFile)).flatMap(ownerRootOf).distinct.foreach { owner =>
@@ -4614,7 +5136,8 @@ object VersionedTable {
         partitionCols = bm.partitionCols, hlls = rekey(bm.hlls),
         dvs = dvs2, rows = rekey(bm.rows), op = s"fast-forward:$name",
         colMap = bm.colMap, maxCid = bm.maxCid, checks = bm.checks,
-        defaults = bm.defaults, noCol = rekey(bm.noCol))
+        defaults = bm.defaults, noCol = rekey(bm.noCol), gens = bm.gens,
+        ids = bm.ids)
     })
     // back-reference markers with every FOREIGN owner (the branch; for a
     // branch-of-a-clone, the original): their GC must keep what main

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sink.VersionedTable
+
+/** APPLY CHANGES — sequence-guarded CDC fold. Contract under test:
+  * last-writer-wins per key within a batch; a late batch (lower
+  * sequences) can never regress a key the table already advanced;
+  * batch order does not matter (applying B1;B2 ≡ B2;B1); deletes are
+  * guarded by sequence too; replaying a batch is a no-op; txn rides
+  * the idempotence ledger. */
+class ApplyChangesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_cdc").resolve("t").toString
+
+  private def snap(root: String): Map[Long, (Long, String)] =
+    VersionedTable.read(spark, root).select("k", "seq", "v")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("in-batch last-writer-wins; upserts and inserts land in one commit") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, 10L, "a0")).toDF("k", "seq", "v").coalesce(1))
+    val v0 = VersionedTable.currentVersion(spark, root).get
+    // key 1 updated twice in-batch (seq 11 then 12 wins), key 2 inserted
+    val v = VersionedTable.applyChanges(spark, root,
+      Seq((1L, 11L, "a1"), (1L, 12L, "a2"), (2L, 5L, "b0"))
+        .toDF("k", "seq", "v").coalesce(1), Seq("k"), "seq")
+    assert(v == v0 + 1, "applyChanges is ONE commit")
+    assert(snap(root) == Map(1L -> (12L, "a2"), 2L -> (5L, "b0")))
+  }
+
+  test("a late batch never regresses; apply order does not matter") {
+    val b1 = Seq((1L, 100L, "new"), (2L, 50L, "x")).toDF("k", "seq", "v")
+    val b2 = Seq((1L, 90L, "old"), (3L, 10L, "y")).toDF("k", "seq", "v")
+    def runOrder(batches: Seq[org.apache.spark.sql.DataFrame]) = {
+      val root = freshRoot()
+      VersionedTable.create(spark, root,
+        Seq((1L, 80L, "base")).toDF("k", "seq", "v").coalesce(1))
+      batches.foreach(b =>
+        VersionedTable.applyChanges(spark, root, b.coalesce(1), Seq("k"), "seq"))
+      snap(root)
+    }
+    val expected = Map(1L -> (100L, "new"), 2L -> (50L, "x"), 3L -> (10L, "y"))
+    assert(runOrder(Seq(b1, b2)) == expected,
+      "the late batch's seq-90 row must not regress key 1")
+    assert(runOrder(Seq(b2, b1)) == expected,
+      "reversed delivery must converge to the same state")
+  }
+
+  test("deletes drop the key but are sequence-guarded; replay is a no-op") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "seq", "v").coalesce(1))
+    // delete key 1 at seq 20; a STALE delete of key 2 at seq 5 is ignored
+    val batch = Seq((1L, 20L, "a", true), (2L, 5L, "b", true))
+      .toDF("k", "seq", "v", "del").coalesce(1)
+    VersionedTable.applyChanges(spark, root, batch, Seq("k"), "seq",
+      deleteCol = Some("del"), txn = Some(42L))
+    def live = VersionedTable.read(spark, root).select("k", "seq")
+      .as[(Long, Long)].collect().toSet
+    assert(live == Set((2L, 10L)),
+      "key 1 deleted at seq 20; key 2's stale delete ignored")
+    // replay of the same txn short-circuits to the ledger
+    val v = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.applyChanges(spark, root, batch, Seq("k"), "seq",
+      deleteCol = Some("del"), txn = Some(42L)) == v)
+    // replay WITHOUT the txn is still a semantic no-op (all rows stale)
+    VersionedTable.applyChanges(spark, root, batch, Seq("k"), "seq",
+      deleteCol = Some("del"))
+    assert(live == Set((2L, 10L)))
+    // a delete whose key was never present is a no-op, not an error
+    VersionedTable.applyChanges(spark, root,
+      Seq((9L, 1L, "z", true)).toDF("k", "seq", "v", "del").coalesce(1),
+      Seq("k"), "seq", deleteCol = Some("del"))
+    assert(live == Set((2L, 10L)))
+  }
+
+  test("a re-insert after a delete needs only a higher sequence") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, 10L, "a")).toDF("k", "seq", "v").coalesce(1))
+    VersionedTable.applyChanges(spark, root,
+      Seq((1L, 20L, "a", true)).toDF("k", "seq", "v", "del").coalesce(1),
+      Seq("k"), "seq", deleteCol = Some("del"))
+    assert(VersionedTable.read(spark, root).count() == 0)
+    // deleted keys leave no tombstone row, so ANY later sequence lands
+    VersionedTable.applyChanges(spark, root,
+      Seq((1L, 15L, "back", false)).toDF("k", "seq", "v", "del").coalesce(1),
+      Seq("k"), "seq", deleteCol = Some("del"))
+    assert(VersionedTable.read(spark, root).select("v").as[String]
+      .collect().toSeq == Seq("back"))
+  }
+}
