@@ -385,6 +385,17 @@ object GraftCatalog {
         .map { case (n, hw) => org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(n), hw) }),
 
+    new Proc("alter_column_nullability",
+      "ALTER COLUMN SET/DROP NOT NULL: loosening is pure metadata; " +
+        "tightening proves no live NULL from recorded per-file null " +
+        "counts where possible (zero-scan) and reads only the files " +
+        "lacking that proof",
+      Seq("path" -> StringType, "name" -> StringType,
+        "nullable" -> BooleanType),
+      versionResult,
+      (spark, in) => versionRow(VersionedTable.alterColumnNullability(
+        spark, str(in, 0), str(in, 1), in.getBoolean(2)))),
+
     new Proc("add_constraint",
       "ADD a named CHECK constraint (SQL semantics: NULL passes, FALSE " +
         "violates); validates existing data first, then every " +

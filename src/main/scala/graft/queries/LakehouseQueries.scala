@@ -671,6 +671,101 @@ object LakehouseQueries {
           sum(col("seq")).as("sum_seq"))
     }),
 
+    // The CDC REPLICATION pipeline end to end: a source table's change
+    // feed streams version-by-version into foreachBatch, each batch
+    // collapses update pairs (delete+insert at one commit version) to
+    // their net effect and folds into the TARGET via applyChanges —
+    // sequence = the CDF commit version, txn = the batch id, so the
+    // pipeline is exactly-once under checkpoint loss AND regression-safe
+    // under out-of-order redelivery. The target converges to the
+    // source's final live state. At 100 TB: replication cost is
+    // delta-sized per version (CDF admission) and the apply's
+    // stale-guard reads only the key-pruned slice of the target.
+    "q220_cdc_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.expressions.Window
+      val work = EventsStream.scratchDir("graft_cdcp_q220")
+      val src = work.resolve("src").toString
+      val dst = work.resolve("dst").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      VersionedTable.create(s, src, ev.filter(col("event_id") % 3 =!= 0)
+        .repartitionByRange(2, col("event_id")))                       // v1
+      VersionedTable.append(s, src, ev.filter(col("event_id") % 3 === 0)) // v2
+      VersionedTable.mergeInto(s, src,
+        ev.filter(col("event_id") % 5 === 0)
+          .withColumn("value", col("value") * 2), Seq("event_id"))     // v3
+      VersionedTable.deleteWhereVectored(s, src, Map.empty,
+        col("event_id") % 7 === 0)                                     // v4
+      // target: source schema + the persisted sequence column
+      VersionedTable.create(s, dst,
+        ev.limit(0).withColumn("seq",
+          when(col("event_id").isNotNull, lit(0L))))
+      // two versions per batch: still multi-batch (txn idempotence is
+      // exercised) at half the micro-batch machinery cost; a netted
+      // span carries its head version, which the seq-guard orders
+      // correctly (q219 owns the fine-grained out-of-order semantics)
+      val q = s.readStream.format("graft-versioned")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "2").load(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val collapsed = batch
+            .withColumn("__ins",
+              (col("_change_type") === "insert").cast("int"))
+            .withColumn("__rn", row_number().over(
+              Window.partitionBy(col("event_id"))
+                .orderBy(col("_commit_version").desc, col("__ins").desc)))
+            .filter(col("__rn") === 1)
+            .select(col("event_id"), col("user_id"), col("value"),
+              col("_commit_version").cast("long").as("seq"),
+              (col("__ins") === 0).as("del"))
+          VersionedTable.applyChanges(s, dst, collapsed, Seq("event_id"),
+            "seq", deleteCol = Some("del"), txn = Some(1000000L + id))
+          ()
+        }
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      VersionedTable.read(s, dst).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+    }),
+
+    // SET NOT NULL: the tighten is PROVEN from recorded per-file null
+    // counts (zero-scan — the created files' footers say nulls=0), the
+    // schema-on-write gate then refuses a DECLARED-nullable append
+    // outright (before any values are read — the contract that makes
+    // NOT NULL trustworthy at 100 TB), and a coalesce-asserted
+    // non-nullable frame lands. 'refused' audits that the gate fired:
+    // a leak would also shift n and sum off the oracle.
+    "q221_not_null" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_nn_q221")
+      val root = work.resolve("ord").toString
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      VersionedTable.create(s, root,
+        o.filter(col("o_orderkey") % 2 === 0).repartition(3))
+      s.sql(s"CALL graft.alter_column_nullability('$root', 'o_totalprice', " +
+        "false)")
+      val refused =
+        try {
+          VersionedTable.append(s, root,
+            o.filter(col("o_orderkey") % 2 === 1)) // declared nullable
+          0L
+        } catch { case _: IllegalArgumentException => 1L }
+      VersionedTable.append(s, root,
+        o.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_totalprice",
+            coalesce(col("o_totalprice"), lit(0.0)))) // asserted non-null
+      VersionedTable.read(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_price"))
+        .select(col("n"), col("sum_price"), lit(refused).as("refused"))
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -1534,6 +1629,23 @@ object LakehouseQueries {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_price
          FROM orders GROUP BY yr""",
+
+    "q221_not_null" ->
+      """SELECT count(*)::BIGINT AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price,
+                1::BIGINT AS refused
+         FROM orders""",
+
+    "q220_cdc_pipeline" ->
+      """WITH fin AS (SELECT event_id, user_id,
+                             CASE WHEN event_id % 5 = 0 THEN value * 2
+                                  ELSE value END AS value
+                      FROM events WHERE event_id % 7 <> 0)
+         SELECT user_id, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM fin GROUP BY user_id""",
 
     "q219_apply_changes" ->
       """WITH chg AS (SELECT o_custkey AS k, o_orderkey AS seq,

@@ -2214,6 +2214,63 @@ object VersionedTable {
     })
   }
 
+  /** ALTER COLUMN (SET | DROP) NOT NULL. Loosening is pure metadata.
+    * TIGHTENING must prove no live NULL exists — and proves it from the
+    * manifest when it can: a file whose footer recorded ZERO nulls for
+    * the column needs no read (at 100 TB, a freshly-ingested,
+    * well-formed column tightens without touching a byte); only files
+    * lacking that proof (no stat, unknown null count, or a recorded
+    * null that a deletion vector may since have hidden) are scanned,
+    * DV-aware, for a surviving NULL. Runs inside the commit retry like
+    * [[addConstraint]], so a racing null-bearing append forces
+    * re-validation against the new head; conversely an append staged
+    * under the still-nullable schema refuses in ITS rebase walk (the
+    * DDL string changed). Subsequent appends must declare the column
+    * non-nullable ([[alignForAppend]]'s existing rule) and can no
+    * longer omit it. */
+  def alterColumnNullability(spark: SparkSession, root: String,
+                             name: String, nullable: Boolean): Int =
+    commitMetaTransform(spark, root, { m =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      require(schema.fieldNames.contains(name), s"no column $name")
+      val field = schema(name)
+      require(field.nullable != nullable,
+        s"column $name is already ${if (nullable) "nullable" else "NOT NULL"}")
+      if (!nullable) {
+        // a write DEFAULT that evaluates to NULL would let every later
+        // column-omitting append violate the tighten — refuse now, once
+        m.defaults.get(name).foreach { d =>
+          val v = spark.range(1).select(org.apache.spark.sql.functions
+            .expr(s"CAST(($d) AS ${field.dataType.catalogString})")).head()
+          require(!v.isNullAt(0),
+            s"cannot set $name NOT NULL: its write DEFAULT ($d) " +
+              "evaluates to NULL; drop or change the default first")
+        }
+        // the zero-scan proof: a recorded null count of exactly 0 —
+        // footer-exact for plain files, survivor-exact ('live' stats)
+        // for vectored ones. Files without it (no stat for the column,
+        // unknown null count, or a column the file physically lacks)
+        // fall to the read below, which sees substituted fills and
+        // deletion vectors exactly as a query would.
+        val unproven = m.files.filterNot { f =>
+          m.stats.getOrElse(f, Seq.empty).find(_.col == name)
+            .exists(_.nulls == 0L)
+        }
+        if (unproven.nonEmpty) {
+          val bad = readSnapshotFiles(spark, root, m, unproven)
+            .filter(org.apache.spark.sql.functions.col(name).isNull)
+            .limit(1).collect()
+          require(bad.isEmpty,
+            s"cannot set $name NOT NULL: live rows hold NULL, " +
+              s"e.g. ${bad.headOption.getOrElse("")}")
+        }
+      }
+      val ns = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+        if (f.name == name) f.copy(nullable = nullable) else f))
+      m.copy(version = m.version + 1, schemaDdl = ns.toDDL,
+        op = if (nullable) "drop-not-null" else "set-not-null", txn = None)
+    })
+
   /** DROP CONSTRAINT — metadata-only. */
   def dropConstraint(spark: SparkSession, root: String, name: String): Int =
     commitMetaTransform(spark, root, { m =>
@@ -2247,11 +2304,18 @@ object VersionedTable {
                         ddl: String): Seq[TableCheck] =
     if (gens.isEmpty) Seq.empty
     else {
-      val types = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-        .fields.map(f => f.name -> f.dataType.catalogString).toMap
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      val fields = schema.fields.map(f => f.name -> f).toMap
       gens.toSeq.sortBy(_._1).flatMap { case (g, e) =>
-        types.get(g).map(t =>
-          TableCheck(s"generated:$g", s"`$g` <=> CAST(($e) AS $t)"))
+        fields.get(g).toSeq.flatMap { f =>
+          val t = f.dataType.catalogString
+          // a NOT NULL generated column also rejects a NULL expression
+          // result: the null-safe <=> alone would pass both-null, and
+          // nothing downstream re-checks declared nullability
+          TableCheck(s"generated:$g", s"`$g` <=> CAST(($e) AS $t)") +:
+            (if (f.nullable) Seq.empty
+             else Seq(TableCheck(s"notnull:$g", s"`$g` IS NOT NULL")))
+        }
       }
     }
 
@@ -4015,6 +4079,21 @@ object VersionedTable {
         s"$seqCol — that is what guards out-of-order delivery across calls")
     deleteCol.foreach(dc => require(changes.schema.fieldNames.contains(dc),
       s"changes frame lacks the delete-flag column $dc"))
+    // full-row-image contract, checked HERE so a schema change racing
+    // between the caller building `changes` and this call surfaces as
+    // the documented refusal — not as an AnalysisException leaking from
+    // an internal select (the focused rename/rollback race found this)
+    locally {
+      val have = changes.schema.fieldNames.toSet
+      val lacking = schema.fieldNames.filterNot(have.contains)
+      require(lacking.isEmpty,
+        s"applyChanges changes frame must carry every table column " +
+          s"(full row images); missing: ${lacking.mkString(", ")} — if a " +
+          "schema change raced this call, rebuild the frame and re-run")
+      keys.foreach(k => require(have.contains(k) &&
+        schema.fieldNames.contains(k), s"key column $k must exist in " +
+        "both the changes frame and the table"))
+    }
     // 1. batch-local winner per key
     val dataCols = changes.schema.fieldNames.filterNot(deleteCol.contains)
     val w = Window.partitionBy(keys.map(col): _*)

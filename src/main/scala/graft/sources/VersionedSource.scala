@@ -69,7 +69,9 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
     val base = schema.getOrElse(
       VersionedTable.schemaOf(sqlContext.sparkSession, rootOf(parameters)))
     (shortName(),
-      if (isChangeFeed(parameters)) base.add("_change_type", "string", nullable = false)
+      if (isChangeFeed(parameters))
+        base.add("_change_type", "string", nullable = false)
+          .add("_commit_version", "bigint", nullable = false)
       else base)
   }
 
@@ -79,10 +81,11 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
     val root = rootOf(parameters)
     val cdf = isChangeFeed(parameters)
     val dataSchema = schema
-      .map(s => StructType(s.filterNot(_.name == "_change_type")))
+      .map(s => StructType(s.filterNot(f => VersionedSource.CdfCols.contains(f.name))))
       .getOrElse(VersionedTable.schemaOf(sqlContext.sparkSession, root))
     new VersionedStreamSource(sqlContext, root,
       if (cdf) dataSchema.add("_change_type", "string", nullable = false)
+        .add("_commit_version", "bigint", nullable = false)
       else dataSchema,
       startingVersion = parameters.get("startingversion")
         .orElse(parameters.get("startingVersion")).map(_.toInt),
@@ -180,6 +183,12 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
 }
 
 object VersionedSource {
+  /** The change-feed's synthetic columns, appended after the table's
+    * own fields: the row's op ("insert"/"delete") and the commit
+    * version the delta is as-of (Delta CDF's `_commit_version` —
+    * exactly the sequence a downstream applyChanges folds by). */
+  val CdfCols: Set[String] = Set("_change_type", "_commit_version")
+
   /** Driver-side record of the last scan's pruning decision
     * (total files in the snapshot, files actually opened) — the
     * observable specs assert on, since a V1 relation's file pruning is
@@ -470,7 +479,8 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
     // null-filled, is exactly the correct replay). Refusing either case
     // would wedge the restart forever and make the error's own remedy
     // a lie.
-    val pinned = shape(StructType(schema.filterNot(_.name == "_change_type")))
+    val pinned = shape(StructType(schema.filterNot(f =>
+      VersionedSource.CdfCols.contains(f.name))))
     if (after == pinned) return
     val current =
       try shape(VersionedTable.schemaOf(spark, root))
@@ -577,7 +587,8 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
     * snapshot as inserts. */
   private def changeFeedBatch(fromV: Int, toV: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val dataFields = schema.filterNot(_.name == "_change_type")
+    val dataFields = schema.filterNot(f =>
+      VersionedSource.CdfCols.contains(f.name))
     // every delivered frame aligns to the STREAM's pinned schema: a
     // checkpoint-recovery replay re-reads versions that may PREDATE a
     // later addColumn while the restarted source already pinned the
@@ -607,10 +618,15 @@ class VersionedStreamSource(sqlContext: SQLContext, root: String,
         val first = VersionedTable.read(spark, root, Some(toV))
         (first, first.limit(0))
       } else VersionedTable.changesBetween(spark, root, fromV, toV)
+    // _commit_version: the version this delta is AS-OF — exact when
+    // the trigger admits one version per batch (maxVersionsPerTrigger=1,
+    // the CDC-pipeline setting); a multi-version batch NETS its span
+    // (carried rewrites cancel), so its rows all carry the span head
     val batch = align(add)
       .withColumn("_change_type", lit("insert"))
       .unionByName(align(rem)
         .withColumn("_change_type", lit("delete")))
+      .withColumn("_commit_version", lit(toV.toLong))
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(spark, batch, schema)
   }
 

@@ -57,59 +57,103 @@ class ConcurrentFuzzSpec extends SparkSpec {
       val rnd = new Random(Seed + t)
       var padName = s"pad$t"
       var k = 0
+      // a full-row-image source aligned to the schema read at call
+      // time: id/val as given, GENERATED columns computed in a SECOND
+      // select (so their expressions see the just-built val), all
+      // other columns null-filled. Racing DDLs legitimately refuse.
+      def fullRows(ids: Seq[Long], valOf: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.DataFrame = {
+        val schema = VersionedTable.schemaOf(spark, root)
+        val gens = VersionedTable.generatedOf(spark, root)
+        val base = ids.toDF("id").select(schema.fields.toSeq.map { f =>
+          f.name match {
+            case "id" => col("id")
+            case "val" => valOf.as("val")
+            case other => lit(null).cast(f.dataType).as(other)
+          }
+        }: _*)
+        if (gens.isEmpty) base
+        else base.select(schema.fields.toSeq.map { f =>
+          gens.get(f.name) match {
+            case Some(e) => expr(e).cast(f.dataType).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*)
+      }
       while (k < OpsPerThread) {
         val roll = rnd.nextInt(100)
         try {
-          if (roll < 50) {
+          if (roll < 42) {
             // append 3 globally-unique rows
             val lo = 1000L + t * 1000000L + k * 10L
             val ids = Seq(lo, lo + 1, lo + 2)
             val df = ids.toDF("id").withColumn("val", col("id") * 2)
             VersionedTable.append(spark, root, df.coalesce(1))
             ids.foreach(appended.add)
-          } else if (roll < 65) {
+          } else if (roll < 54) {
             val kk = 7L + rnd.nextInt(7)
             val rr = rnd.nextInt(kk.toInt).toLong
             val v = VersionedTable.deleteWhereVectored(spark, root,
               Map.empty, col("id") % kk === rr)
             deletes.add(DeleteRec(v, kk, rr))
-          } else if (roll < 73) {
+          } else if (roll < 60) {
             // update: removes+reinserts the same ids (id multiset fixed)
             val kk = 7L + rnd.nextInt(7)
             val rr = rnd.nextInt(kk.toInt).toLong
             VersionedTable.updateWhereVectored(spark, root, Map.empty,
               col("id") % kk === rr, Map("val" -> (col("val") + lit(1))))
-          } else if (roll < 73 + 3) {
+          } else if (roll < 63) {
             // merge-on-read upsert: inserts fresh ids (tracked like
-            // appends). The merge is schema-STRICT, so the source
-            // aligns to the schema read at call time — a rename/add
-            // racing in between legitimately refuses (schema mismatch
-            // counts as a refusal below, like any DDL race)
+            // appends). Schema-STRICT — a racing DDL refuses (legal)
             val lo = 5000000L + t * 1000000L + k * 10L
             val ids = Seq(lo, lo + 1)
-            val schema = VersionedTable.schemaOf(spark, root)
-            val src = ids.toDF("id").select(schema.fields.toSeq.map { f =>
-              f.name match {
-                case "id" => col("id")
-                case "val" => (col("id") * 3).as("val")
-                case other => lit(null).cast(f.dataType).as(other)
-              }
-            }: _*)
-            VersionedTable.mergeIntoVectored(spark, root, src.coalesce(1),
-              Seq("id"))
+            VersionedTable.mergeIntoVectored(spark, root,
+              fullRows(ids, col("id") * 3).coalesce(1), Seq("id"))
             ids.foreach(appended.add)
+          } else if (roll < 70) {
+            // REPLACE WHERE on the thread's private band: wipes whatever
+            // the band held and lands fresh in-region rows — one commit.
+            // The CDF replay sees removes (old band rows) + adds (fresh),
+            // both of which the model audits like any other delta.
+            val lo = 9000000L + t * 1000000L
+            val ids = (0 until 1 + rnd.nextInt(3)).map(i => lo + rnd.nextInt(100))
+              .distinct
+            VersionedTable.replaceWhere(spark, root,
+              fullRows(ids, col("id") * 5).coalesce(1),
+              Map("id" -> (Some(lo): Option[Any],
+                Some(lo + 99L): Option[Any])))
+            ids.foreach(appended.add)
+          } else if (roll < 75) {
+            // APPLY CHANGES keyed on id, sequenced by val: a huge
+            // always-advancing sequence so the upsert lands unless a
+            // racer refuses. Upserts one fresh band id + one genesis id.
+            val lo = 9500000L + t * 1000000L + k * 10L
+            val g = rnd.nextInt(100).toLong
+            val seqv = 1000000000000L + k.toLong * 1000L + t
+            VersionedTable.applyChanges(spark, root,
+              fullRows(Seq(lo, g), lit(seqv)).coalesce(1), Seq("id"), "val")
+            appended.add(lo); appended.add(g)
           } else if (roll < 78) {
             VersionedTable.indexSums(spark, root, Seq("val"),
               onlyMissing = true)
-          } else if (roll < 82) {
+          } else if (roll < 81) {
             VersionedTable.indexBloom(spark, root, Seq("id"),
               onlyMissing = true)
-          } else if (roll < 86) {
+          } else if (roll < 84) {
             VersionedTable.compact(spark, root)
-          } else if (roll < 88) {
+          } else if (roll < 86) {
             VersionedTable.zorderBy(spark, root, Seq("id", "val"))
-          } else if (roll < 92) {
+          } else if (roll < 89) {
             VersionedTable.addColumn(spark, root, s"c_${t}_$k", "bigint")
+          } else if (roll < 91) {
+            // GENERATED column (one per thread per run is plenty churn:
+            // every later writer must compute/validate it)
+            VersionedTable.addGeneratedColumn(spark, root, s"g_${t}_$k",
+              "bigint", "id * 2 + 1")
+          } else if (roll < 92) {
+            // IDENTITY column: concurrent ASSIGNING appends now refuse
+            // each other — the allocation race is part of the mix
+            VersionedTable.addIdentityColumn(spark, root, s"rid_${t}_$k")
           } else if (roll < 96) {
             val next = s"pad${t}_$k"
             VersionedTable.renameColumn(spark, root, padName, next)
@@ -121,12 +165,19 @@ class ConcurrentFuzzSpec extends SparkSpec {
         } catch {
           case _: java.util.ConcurrentModificationException =>
             refusals.incrementAndGet()
-          case _: IllegalArgumentException if roll >= 88 || (roll >= 73 && roll < 76) =>
+          case _: IllegalArgumentException if roll >= 60 && !(roll >= 75 && roll < 86) =>
             // schema/rollback target raced away (rename chain broken by
             // a rollback, duplicate column after a rollback re-add, a
-            // strict-schema merge racing a DDL)
+            // full-row-image writer racing a DDL, a generated column
+            // added between schema read and staging)
             refusals.incrementAndGet()
-          case e: Throwable => fatals.add(e); k = OpsPerThread
+          case e: java.io.IOException
+              if e.getMessage != null && e.getMessage.contains("lost the race") =>
+            // bounded-retry exhaustion under churn: a refusal, not a bug
+            refusals.incrementAndGet()
+          case e: Throwable =>
+            fatals.add(new RuntimeException(s"t=$t k=$k roll=$roll", e))
+            k = OpsPerThread
         }
         k += 1
       }
