@@ -138,14 +138,37 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
     val parts = parameters.get("partitionby").orElse(parameters.get("partitionBy"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(partitionColumns)
+    // APPLY CHANGES sink mode: option("mergeKeys", "k1,k2") +
+    // option("sequenceBy", "seq") [+ option("deleteFlag", "del")] turns
+    // every micro-batch into a sequence-guarded CDC fold
+    // ([[VersionedTable.applyChanges]]) instead of an append — the
+    // one-line CDC sink, no foreachBatch boilerplate. txn = batch id
+    // keeps it exactly-once; the persisted sequence keeps redelivered
+    // or out-of-order batches from regressing a key.
+    val mergeKeys = parameters.get("mergekeys").orElse(parameters.get("mergeKeys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val sequenceBy = parameters.get("sequenceby").orElse(parameters.get("sequenceBy"))
+    val deleteFlag = parameters.get("deleteflag").orElse(parameters.get("deleteFlag"))
+    require(mergeKeys.isEmpty == sequenceBy.isEmpty,
+      "applyChanges sink mode needs BOTH mergeKeys and sequenceBy")
+    require(mergeKeys.isEmpty || !complete,
+      "applyChanges sink mode is an update fold — use the default " +
+        "(append) output mode, not Complete")
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
         // the incoming frame is streaming-tagged; re-wrap its rows as a
         // batch frame before handing it to the commit path
         val spark = data.sparkSession
         val batch = org.apache.spark.sql.graft.StreamingBridge.asBatch(spark, data)
-        if (complete) VersionedTable.overwriteTxn(spark, root, batch, batchId, parts)
-        else VersionedTable.appendTxn(spark, root, batch, batchId, parts)
+        (mergeKeys, sequenceBy) match {
+          case (Some(keys), Some(seqCol)) =>
+            VersionedTable.applyChanges(spark, root, batch, keys, seqCol,
+              deleteCol = deleteFlag, txn = Some(batchId))
+          case _ =>
+            if (complete) VersionedTable.overwriteTxn(spark, root, batch, batchId, parts)
+            else VersionedTable.appendTxn(spark, root, batch, batchId, parts)
+        }
+        ()
       }
       override def toString: String = s"VersionedSink[$root]"
     }
