@@ -441,10 +441,18 @@ object LakehouseQueries {
       VersionedTable.create(s, root,
         ev.filter(col("event_id") % 2 === 0).repartition(4))          // v1 flat
       s.sql(s"CALL graft.set_partition_layout('$root', " +
-        "'days(ts), bucket(8, user_id)')")                            // v2
+        "'days(ts), bucket(4, user_id)')")                            // v2
+      // align the pre-write shuffle with the LAYOUT's own directory
+      // expressions: each (day, bucket) cell lands in one task, so the
+      // hive write emits ~one file per cell instead of (tasks x cells)
+      // small files — the at-scale discipline for transform layouts
+      // (footer-metadata cost is per file; this is the 9s -> ~3s fix)
+      val cells = Seq("days(ts)", "bucket(4, user_id)").map(e =>
+        graft.sink.Layout.writeExpr(graft.sink.Layout.parse(e),
+          ev.schema))
       VersionedTable.append(s, root,
         ev.filter(col("event_id") % 2 === 1)
-          .repartition(col("ts"), col("user_id")))                    // v3
+          .repartition(cells: _*))                                    // v3
       // window bounds: day-truncated min(ts) + [2 days, 5 days) — a
       // 1-row driver scalar, then micros (the RangePreds stat domain)
       val t0 = VersionedTable.read(s, root)

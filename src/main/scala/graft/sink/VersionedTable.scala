@@ -938,10 +938,21 @@ object VersionedTable {
     // keep range pruning exact) while an identity column moves to its
     // k=v directory as before
     val xforms = partitionCols.map(Layout.parse)
-    val df = xforms.filterNot(_.isInstanceOf[Layout.Identity])
+    val df2 = xforms.filterNot(_.isInstanceOf[Layout.Identity])
       .foldLeft(df1)((d, x) =>
         d.withColumn(x.dirKey, Layout.writeExpr(x, df1.schema)))
     val dirCols = xforms.map(_.dirKey)
+    // optimized write (opt-in, the Delta optimizeWrite shape): align
+    // the pre-write shuffle with the layout's own directory cells, so
+    // each (day x bucket x ...) cell lands in ~one task and the hive
+    // write emits ~one file per cell instead of (tasks x cells) small
+    // files. Off by default: a caller who pre-clustered (compact,
+    // zorder) must keep their ordering; an extra shuffle is not free.
+    val df =
+      if (dirCols.isEmpty || !spark.conf
+          .get("spark.graft.optimizeWrite", "false").toBoolean) df2
+      else df2.repartition(dirCols.map(
+        org.apache.spark.sql.functions.col): _*)
     // writer-unique nonce: two writers optimistically staging the SAME
     // next version must not share a scratch dir or collide on data-file
     // names — isolation holds all the way to the manifest rename, which
@@ -1143,12 +1154,30 @@ object VersionedTable {
     // footers record PHYSICAL column names; manifest metadata is keyed
     // by LOGICAL names everywhere (pruning, meta-aggregates, indexes)
     val toLogical: Map[String, String] = physMap.map(_.swap)
-    val metas = added.map { f =>
+    def oneFile(f: String): (String, Seq[ColStat], Long) = {
       val (cs0, n) = footerMeta(spark, root, f)
       val cs = if (toLogical.isEmpty) cs0
         else cs0.map(s => s.copy(col = toLogical.getOrElse(s.col, s.col)))
       (f, cs ++ partitionStats(ddl, f), n)
     }
+    // footer opens are independent, driver-local I/O: lift them on a
+    // bounded pool instead of one-at-a-time — a hive-transform commit
+    // lands one file per (day x bucket) cell, so a single append can
+    // legitimately add hundreds of files (at 100 TB, thousands), and a
+    // serial walk makes the COMMIT the bottleneck, not the write
+    val metas =
+      if (added.size <= 4) added.map(oneFile)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, added.size))
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          Await.result(Future.sequence(added.map(f => Future(oneFile(f)))),
+            scala.concurrent.duration.Duration(10, "min"))
+        } finally pool.shutdown()
+      }
     (metas.collect { case (f, cs, _) if cs.nonEmpty => f -> cs }.toMap,
      metas.map { case (f, _, n) => f -> n }.toMap)
   }
