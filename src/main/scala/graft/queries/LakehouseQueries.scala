@@ -666,11 +666,15 @@ object LakehouseQueries {
         chg.filter(col("seq") % 2 === 0), Seq("k"), "seq")
       VersionedTable.applyChanges(s, root,
         chg.filter(col("seq") % 2 === 1), Seq("k"), "seq")
-      // late deletes with a sequence beyond every order
+      // late deletes with a sequence beyond every order — derived from
+      // the data (a 1-row driver scalar), never a magic constant a
+      // larger scale factor could outgrow
+      val maxSeq = Tables.orders(s, d)
+        .agg(max(col("o_orderkey"))).head.getLong(0)
       VersionedTable.applyChanges(s, root,
         Tables.customer(s, d).filter(col("c_custkey") % 97 === 0)
           .select(col("c_custkey").as("k"),
-            (lit(100000000L) + col("c_custkey")).as("seq"),
+            (lit(maxSeq) + col("c_custkey")).as("seq"),
             lit(0.0).as("bal"), lit(true).as("del")),
         Seq("k"), "seq", deleteCol = Some("del"))
       VersionedTable.read(s, root).groupBy((col("k") % 10).as("bucket"))
@@ -772,6 +776,33 @@ object LakehouseQueries {
           sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("double").as("sum_price"))
         .select(col("n"), col("sum_price"), lit(refused).as("refused"))
+    }),
+
+    // BATCH table_changes: the whole history as per-version row deltas
+    // with EXACT _commit_version stamps — v1 the snapshot-as-inserts,
+    // v2 an append, v3 a CoW merge (its update pairs net to remove-old
+    // + insert-new at ONE version), v4 a vectored delete (removed rows
+    // carry their pre-delete values). Cost = sum of per-version deltas.
+    "q222_table_changes" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_tc_q222")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      VersionedTable.create(s, root, ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(2, col("event_id")))                      // v1
+      VersionedTable.append(s, root, ev.filter(col("event_id") % 2 === 1)) // v2
+      VersionedTable.mergeInto(s, root,
+        ev.filter(col("event_id") % 5 === 0)
+          .withColumn("value", col("value") * 2), Seq("event_id"))    // v3
+      VersionedTable.deleteWhereVectored(s, root, Map.empty,
+        col("event_id") % 7 === 0)                                    // v4
+      s.read.format("graft-versioned")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "1").load(root)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
     }),
 
     "q208_sql_txn" -> ((s, d) => {
@@ -1637,6 +1668,30 @@ object LakehouseQueries {
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_price
          FROM orders GROUP BY yr""",
+
+    "q222_table_changes" ->
+      """WITH ev AS (SELECT event_id, value FROM events),
+              v3s AS (SELECT event_id,
+                             CASE WHEN event_id % 5 = 0 THEN value * 2
+                                  ELSE value END AS value
+                      FROM ev),
+              chg AS (
+                SELECT 1::BIGINT AS _commit_version,
+                       'insert' AS _change_type, value
+                FROM ev WHERE event_id % 2 = 0
+                UNION ALL
+                SELECT 2, 'insert', value FROM ev WHERE event_id % 2 = 1
+                UNION ALL
+                SELECT 3, 'delete', value FROM ev WHERE event_id % 5 = 0
+                UNION ALL
+                SELECT 3, 'insert', value * 2 FROM ev
+                WHERE event_id % 5 = 0
+                UNION ALL
+                SELECT 4, 'delete', value FROM v3s WHERE event_id % 7 = 0)
+         SELECT _commit_version, _change_type, count(*)::BIGINT AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value
+         FROM chg GROUP BY 1, 2""",
 
     "q221_not_null" ->
       """SELECT count(*)::BIGINT AS n,

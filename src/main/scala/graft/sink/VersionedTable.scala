@@ -1229,9 +1229,19 @@ object VersionedTable {
     // data, not the write-default contract (new files carry every column
     // physically, so no noCol entries are needed). GENERATED columns
     // likewise carry — and the staged rows must still satisfy them.
-    val defaults = curM.map(_.defaults).getOrElse(Map.empty[String, String])
-    val gens = curM.map(_.gens).getOrElse(Map.empty[String, String])
+    // Column-KEYED contracts whose column the replacement schema DROPS
+    // are released with it: a dangling gens entry would resurrect its
+    // old expression if the name is ever re-added (addColumn's noCol +
+    // fillExprs would substitute it into historical files), and a
+    // dangling ids entry would make assignIdentity inject a column the
+    // schema no longer has — wedging every later append with no DDL
+    // able to remove it.
     val ddl = df.schema.toDDL
+    val names = df.schema.fieldNames.toSet
+    val defaults = curM.map(_.defaults).getOrElse(Map.empty[String, String])
+      .view.filterKeys(names.contains).toMap
+    val gens = curM.map(_.gens).getOrElse(Map.empty[String, String])
+      .view.filterKeys(names.contains).toMap
     val added = writeDataFiles(spark, root, df, v, partitionCols)
     enforceChecks(spark, root, checks ++ genChecks(gens, ddl), ddl,
       partitionCols.nonEmpty, Map.empty, added)
@@ -1246,12 +1256,13 @@ object VersionedTable {
         // identity marks are MONOTONIC: an overwrite replaces the data,
         // never the allocation history — and still advances past any
         // value the fresh content carries
-        ids = curM.map(_.ids).getOrElse(Map.empty).map { case (c, hw) =>
-          val hi = addedStats.values.flatten
-            .filter(s => s.col == c && s.typ == "long")
-            .flatMap(s => scala.util.Try(s.hi.toLong).toOption)
-          c -> (if (hi.isEmpty) hw else math.max(hw, hi.max + 1L))
-        }))
+        ids = curM.map(_.ids).getOrElse(Map.empty)
+          .view.filterKeys(names.contains).toMap.map { case (c, hw) =>
+            val hi = addedStats.values.flatten
+              .filter(s => s.col == c && s.typ == "long")
+              .flatMap(s => scala.util.Try(s.hi.toLong).toOption)
+            c -> (if (hi.isEmpty) hw else math.max(hw, hi.max + 1L))
+          }))
     v
   }
 
@@ -1968,24 +1979,7 @@ object VersionedTable {
       if (default.isEmpty) m.noCol
       else m.files.map(f => f -> (m.noCol.getOrElse(f, Seq.empty) :+ name)).toMap
     val v = m.version + 1
-    // with column mapping active, the new field gets a fresh id and a
-    // physical name guaranteed never to collide with any name a data
-    // file has EVER carried (a dropped column's physical name lives on
-    // in old files; re-using it would resurrect dead data)
-    val (cm2, maxCid2) =
-      if (m.colMap.isEmpty) (m.colMap, m.maxCid)
-      else {
-        // a user column literally named _gc<N> freezes as its own
-        // physical name at activation; assigning id N here would alias
-        // two fields onto one parquet column and resurrect its data in
-        // pre-existing files. Activation and dropColumn keep maxCid past
-        // every such N; the skip loop guards tables activated before
-        // that invariant existed.
-        val used = m.colMap.map(_.phys).toSet
-        var id = m.maxCid + 1
-        while (used.contains(s"_gc$id")) id += 1
-        (m.colMap :+ FieldMap(id, name, s"_gc$id"), id)
-      }
+    val (cm2, maxCid2) = extendColMap(m, name)
     Manifest(v, widened.toDDL, m.files,
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
       hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-column",
@@ -2053,14 +2047,7 @@ object VersionedTable {
       val widened = schema.add(name, sqlType, nullable = true)
       val noCol2 =
         m.files.map(f => f -> (m.noCol.getOrElse(f, Seq.empty) :+ name)).toMap
-      val (cm2, maxCid2) =
-        if (m.colMap.isEmpty) (m.colMap, m.maxCid)
-        else {
-          val used = m.colMap.map(_.phys).toSet
-          var id = m.maxCid + 1
-          while (used.contains(s"_gc$id")) id += 1
-          (m.colMap :+ FieldMap(id, name, s"_gc$id"), id)
-        }
+      val (cm2, maxCid2) = extendColMap(m, name)
       Manifest(m.version + 1, widened.toDDL, m.files,
         stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
         hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-generated",
@@ -2097,14 +2084,7 @@ object VersionedTable {
       require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"column $name already exists")
       val widened = schema.add(name, "bigint", nullable = true)
-      val (cm2, maxCid2) =
-        if (m.colMap.isEmpty) (m.colMap, m.maxCid)
-        else {
-          val used = m.colMap.map(_.phys).toSet
-          var id = m.maxCid + 1
-          while (used.contains(s"_gc$id")) id += 1
-          (m.colMap :+ FieldMap(id, name, s"_gc$id"), id)
-        }
+      val (cm2, maxCid2) = extendColMap(m, name)
       Manifest(m.version + 1, widened.toDDL, m.files,
         stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
         hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-identity",
@@ -2406,6 +2386,26 @@ object VersionedTable {
 
   /** The synthetic physical-name shape [[addColumn]] assigns. */
   private val GcPhys = """_gc(\d+)""".r
+
+  /** With column mapping active, assign the new field a fresh id and a
+    * physical name guaranteed never to collide with any name a data
+    * file has EVER carried (a dropped column's physical name lives on
+    * in old files; re-using it would resurrect dead data). A user
+    * column literally named _gc<N> freezes as its own physical name at
+    * activation; assigning id N would alias two fields onto one parquet
+    * column — activation and dropColumn keep maxCid past every such N,
+    * and the skip loop guards tables activated before that invariant
+    * existed. Shared by every column-adding DDL ([[addColumn]],
+    * [[addGeneratedColumn]], [[addIdentityColumn]]) so the aliasing
+    * invariant lives in exactly one place. */
+  private def extendColMap(m: Manifest, name: String): (Seq[FieldMap], Int) =
+    if (m.colMap.isEmpty) (m.colMap, m.maxCid)
+    else {
+      val used = m.colMap.map(_.phys).toSet
+      var id = m.maxCid + 1
+      while (used.contains(s"_gc$id")) id += 1
+      (m.colMap :+ FieldMap(id, name, s"_gc$id"), id)
+    }
 
   /** RENAME COLUMN as a METADATA-ONLY commit, via field-id column
     * mapping: the field keeps its id and its frozen PHYSICAL name (what
@@ -3514,16 +3514,7 @@ object VersionedTable {
       m.schemaDdl, m.partitionCols.nonEmpty, m.physMap, added)
     val touched = prunedFiles(spark, root, preds, Some(cur)).toSet
     // the metadata-only drop set: every live row provably inside the region
-    val contained = touched.filter { f =>
-      val stats = m.stats.getOrElse(f, Seq.empty).map(s => s.col -> s).toMap
-      preds.forall { case (c, (lo, hi)) =>
-        stats.get(c).exists { s =>
-          s.typ != "dec" && s.nulls == 0 &&
-            lo.forall(l => cmp(s.typ, s.lo, l) >= 0) &&
-            hi.forall(h => cmp(s.typ, s.hi, h) <= 0)
-        }
-      }
-    }
+    val contained = touched.filter(containedBy(m, _, preds))
     val partial = (touched -- contained).toSeq
     val rewritten =
       if (partial.isEmpty) Seq.empty
@@ -3539,6 +3530,23 @@ object VersionedTable {
       op = "replaceWhere", txn = txn, assignedIds = assigned))
   }
 
+  /** The containment PROOF shared by [[replaceWhere]] (the commit path)
+    * and [[replaceContainedFiles]] (its observability face — one
+    * predicate, so the face can never disagree with what the commit
+    * actually drops): every live row of `f` is provably inside the
+    * region — a recorded stat per predicate column, zero recorded
+    * nulls, bounds contained. */
+  private def containedBy(m: Manifest, f: String, preds: RangePreds): Boolean = {
+    val stats = m.stats.getOrElse(f, Seq.empty).map(s => s.col -> s).toMap
+    preds.forall { case (c, (lo, hi)) =>
+      stats.get(c).exists { s =>
+        s.typ != "dec" && s.nulls == 0 &&
+          lo.forall(l => cmp(s.typ, s.lo, l) >= 0) &&
+          hi.forall(h => cmp(s.typ, s.hi, h) <= 0)
+      }
+    }
+  }
+
   /** The drop-without-reading file set [[replaceWhere]] would use for
     * `preds` at the current version — observability for the "no old
     * bytes move on a partition-aligned reload" contract (specs pin it;
@@ -3548,16 +3556,7 @@ object VersionedTable {
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
-    prunedFiles(spark, root, preds, Some(cur)).filter { f =>
-      val stats = m.stats.getOrElse(f, Seq.empty).map(s => s.col -> s).toMap
-      preds.forall { case (c, (lo, hi)) =>
-        stats.get(c).exists { s =>
-          s.typ != "dec" && s.nulls == 0 &&
-            lo.forall(l => cmp(s.typ, s.lo, l) >= 0) &&
-            hi.forall(h => cmp(s.typ, s.hi, h) <= 0)
-        }
-      }
-    }
+    prunedFiles(spark, root, preds, Some(cur)).filter(containedBy(m, _, preds))
   }
 
   /** DELETE WHERE as a commit — copy-on-write DML at FILE granularity,
@@ -4128,37 +4127,39 @@ object VersionedTable {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc,
         xxhash64(dataCols.map(col).toSeq: _*).desc)
+    // PERSISTED: the winner set feeds the pruning bounds, the
+    // stale-guard join, and both op splits. One evaluation keeps a
+    // nondeterministic changes frame (a re-read of a moving source)
+    // from materializing keys OUTSIDE the bounds the first pass
+    // captured — which would prune away their target files, miss their
+    // current rows, and admit a STALE change — and saves re-running
+    // the window shuffle three times.
     val winners = changes
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1).drop("__graft_rn")
-    // 2. stale-guard against the CURRENT row, reading only the pruned
-    // key range; NULL target seq (new key, or pre-seq file) admits
-    val aggCols = keys.flatMap(k => Seq(min(col(k)), max(col(k))))
-    val bounds = winners.agg(aggCols.head, aggCols.tail: _*).head
-    val preds: RangePreds = keys.zipWithIndex.flatMap { case (k, i) =>
-      (bounds.get(2 * i), bounds.get(2 * i + 1)) match {
-        case (lo: Any, hi: Any)
-            if lo.isInstanceOf[Number] || lo.isInstanceOf[String] =>
-          Some(k -> (Some(lo): Option[Any], Some(hi): Option[Any]))
-        case _ => None
+      .persist()
+    try {
+      // 2. stale-guard against the CURRENT row, reading only the pruned
+      // key range; NULL target seq (new key, or pre-seq file) admits
+      val preds: RangePreds =
+        keyRangePreds(winners.select(keys.map(col): _*), keys)
+      val curSeq = readWhere(spark, root, preds, Some(cur))
+        .select((keys.map(col) :+ col(seqCol).as("__graft_cur_seq")): _*)
+      val fresh = winners.join(curSeq, keys, "left")
+        .filter(col("__graft_cur_seq").isNull ||
+          col(seqCol) > col("__graft_cur_seq"))
+        .drop("__graft_cur_seq")
+      // 3. split ops and land as ONE merge-on-read commit
+      val (ups, dels) = deleteCol match {
+        case Some(dc) =>
+          (fresh.filter(!coalesce(col(dc), lit(false))).drop(dc),
+            Some(fresh.filter(coalesce(col(dc), lit(false)))
+              .select(keys.map(col): _*)))
+        case None => (fresh, None)
       }
-    }.toMap
-    val curSeq = readWhere(spark, root, preds, Some(cur))
-      .select((keys.map(col) :+ col(seqCol).as("__graft_cur_seq")): _*)
-    val fresh = winners.join(curSeq, keys, "left")
-      .filter(col("__graft_cur_seq").isNull ||
-        col(seqCol) > col("__graft_cur_seq"))
-      .drop("__graft_cur_seq")
-    // 3. split ops and land as ONE merge-on-read commit
-    val (ups, dels) = deleteCol match {
-      case Some(dc) =>
-        (fresh.filter(!coalesce(col(dc), lit(false))).drop(dc),
-          Some(fresh.filter(coalesce(col(dc), lit(false)))
-            .select(keys.map(col): _*)))
-      case None => (fresh, None)
-    }
-    val ordered = ups.select(schema.fieldNames.toSeq.map(col): _*)
-    mergeIntoVectored(spark, root, ordered, keys, deletes = dels, txn = txn)
+      val ordered = ups.select(schema.fieldNames.toSeq.map(col): _*)
+      mergeIntoVectored(spark, root, ordered, keys, deletes = dels, txn = txn)
+    } finally winners.unpersist()
   }
 
   /** MERGE with SCHEMA EVOLUTION (the Delta `withSchemaEvolution`
@@ -4999,6 +5000,19 @@ object VersionedTable {
     * under its current name. A name held by more than one field over
     * history maps to None (ambiguous — refuse, never guess). Empty
     * until mapping activates. */
+  /** Whether version `v` changed any ROWS relative to v-1 — decided
+    * from manifest metadata alone (same file list AND same deletion
+    * vectors = metadata-only commit: DDLs, index builds, constraint
+    * and layout changes, tags). Lets a change-feed consumer skip the
+    * version without building a diff plan for it. */
+  private[graft] def versionChangedRows(spark: SparkSession, root: String,
+                                        v: Int): Boolean = {
+    require(v >= 2, s"version $v has no predecessor")
+    val a = readManifest(spark, root, v - 1)
+    val b = readManifest(spark, root, v)
+    a.files != b.files || a.dvs != b.dvs
+  }
+
   private[graft] def historicalToCurrent(spark: SparkSession, root: String,
                                          version: Option[Int] = None): Map[String, Option[String]] = {
     val v = version.orElse(currentVersion(spark, root))

@@ -103,6 +103,28 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val root = rootOf(parameters)
+    // BATCH change-feed face (Delta's table_changes): readChangeFeed +
+    // startingVersion [+ endingVersion] returns the per-version row
+    // deltas with _change_type and an EXACT per-version _commit_version
+    // (the batch face never nets a span — each version diffs its own
+    // predecessor, and version 1 is the initial snapshot as inserts)
+    if (isChangeFeed(parameters)) {
+      val cur = VersionedTable.currentVersion(
+        sqlContext.sparkSession, root).getOrElse(
+        throw new IllegalArgumentException(s"no table at $root"))
+      val from = parameters.get("startingversion")
+        .orElse(parameters.get("startingVersion")).map(_.toInt).getOrElse(1)
+      val to = parameters.get("endingversion")
+        .orElse(parameters.get("endingVersion")).map(_.toInt).getOrElse(cur)
+      require(from >= 1 && from <= to && to <= cur,
+        s"table_changes range [$from, $to] must sit inside [1, $cur]")
+      require(parameters.get("versionasof").isEmpty &&
+        parameters.get("versionAsOf").isEmpty &&
+        parameters.get("timestampasof").isEmpty &&
+        parameters.get("timestampAsOf").isEmpty,
+        "readChangeFeed and time travel are mutually exclusive")
+      return new ChangesRelation(sqlContext, root, from, to)
+    }
     val byVersion =
       parameters.get("versionasof").orElse(parameters.get("versionAsOf")).map(_.toInt)
     // timestampAsOf: epoch millis or an ISO instant / local datetime (UTC)
@@ -218,6 +240,83 @@ object VersionedSource {
     * invisible in the physical plan string. */
   final case class ScanInfo(root: String, totalFiles: Int, openedFiles: Int)
   @volatile var lastScan: Option[ScanInfo] = None
+}
+
+/** The BATCH change-feed relation — `spark.read
+  * .format("graft-versioned").option("readChangeFeed", "true")
+  * .option("startingVersion", n)[.option("endingVersion", m)]`: every
+  * version in [n, m] diffs its predecessor ([[VersionedTable
+  * .changesBetween]] — file-set difference + deletion-vector deltas,
+  * positions never on the driver), stamped with `_change_type` and the
+  * EXACT `_commit_version`. Version 1 delivers the initial snapshot as
+  * inserts. Cost is the sum of per-version deltas, not per-version
+  * snapshots — the honest CDC bill. Reads under each diff's to-version
+  * schema; a range crossing schema evolution unions by name with
+  * missing columns null-filled (what a batch read of the evolved table
+  * shows for pre-evolution rows). */
+private[graft] class ChangesRelation(override val sqlContext: SQLContext,
+                                     root: String, fromV: Int, toV: Int)
+    extends BaseRelation with TableScan {
+  import org.apache.spark.sql.functions.{col, lit}
+  private def spark = sqlContext.sparkSession
+
+  private lazy val frame: DataFrame = {
+    val finalSchema = VersionedTable.schemaOf(spark, root, Some(toV))
+    // every per-version diff aligns to the ENDING version's schema —
+    // exactly what a batch read of the evolved table shows. A column
+    // RENAMED inside the range resolves through the recorded lineage
+    // (its pre-rename changes surface under the current name, never as
+    // a second half-null column); a column DROPPED inside the range
+    // leaves the feed with the schema; one two fields held refuses.
+    lazy val h2c = VersionedTable.historicalToCurrent(spark, root, Some(toV))
+    val c2h: Map[String, String] = h2c.collect {
+      case (hist, Some(cur)) => cur -> hist
+    }.toMap
+    def align(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(finalSchema.fields.toSeq.map { f =>
+        if (have.contains(f.name)) col(f.name)
+        else c2h.get(f.name) match {
+          case Some(hist) if have.contains(hist) => col(hist).as(f.name)
+          case _ => lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
+    }
+    // metadata-only versions (DDLs, index builds, constraint changes)
+    // deliver no rows: skip them from the plan entirely — a long-lived
+    // table is MOSTLY such commits, and each skipped pair is two union
+    // children Catalyst never has to analyze
+    val perVersion = (fromV to toV).flatMap { v =>
+      val changed = v == 1 || VersionedTable.versionChangedRows(spark, root, v)
+      if (!changed) None
+      else Some {
+        val (adds, rems) =
+          if (v == 1) {
+            val first = VersionedTable.read(spark, root, Some(1))
+            (first, first.limit(0))
+          } else VersionedTable.changesBetween(spark, root, v - 1, v)
+        align(adds).withColumn("_change_type", lit("insert"))
+          .unionByName(align(rems).withColumn("_change_type", lit("delete")))
+          .withColumn("_commit_version", lit(v.toLong))
+      }
+    }
+    // balanced reduce: a left-deep union over thousands of versions is
+    // superlinear to analyze; the tree keeps it logarithmic in depth
+    def tree(fs: Seq[DataFrame]): DataFrame =
+      if (fs.size == 1) fs.head
+      else tree(fs.grouped(2).map(g =>
+        if (g.size == 2) g(0).unionByName(g(1)) else g(0)).toSeq)
+    if (perVersion.nonEmpty) tree(perVersion)
+    else {
+      val base = VersionedTable.read(spark, root, Some(toV)).limit(0)
+      align(base).withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(toV.toLong))
+    }
+  }
+
+  override def schema: StructType = frame.schema
+  override def buildScan(): RDD[Row] = frame.rdd
+  override def toString: String = s"ChangesRelation[$root, $fromV..$toV]"
 }
 
 /** One bound snapshot of a versioned table (root × optional version).
