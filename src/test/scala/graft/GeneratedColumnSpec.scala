@@ -149,6 +149,38 @@ class GeneratedColumnSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSet == Set((1L, 22.0), (5L, 100.0)))
   }
 
+  test("a generated column can BE the partition layout (the Delta recipe)") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, "2024-03-05"), (2L, "2024-03-06"))
+        .toDF("id", "day_str").coalesce(1))
+    // yr_mo derives from day_str; the layout then partitions on it —
+    // appends compute the value at write and land under its hive dirs
+    VersionedTable.addGeneratedColumn(spark, root, "yr_mo", "string",
+      "substring(day_str, 1, 7)")
+    VersionedTable.setPartitionLayout(spark, root, Seq("yr_mo"))
+    VersionedTable.append(spark, root,
+      Seq((3L, "2024-04-01"), (4L, "2024-03-07"))
+        .toDF("id", "day_str").coalesce(1))
+    // the appended files landed under yr_mo=... directories
+    val newFiles = VersionedTable.filesOf(spark, root)
+      .filter(_.contains("yr_mo="))
+    assert(newFiles.nonEmpty, "appends must land under the generated dirs")
+    // pruning on the GENERATED column opens only the matching cell
+    // (+ pre-layout files, which are never wrongly pruned)
+    val pruned = VersionedTable.prunedFiles(spark, root,
+      Map("yr_mo" -> (Some("2024-04"): Option[Any],
+        Some("2024-04"): Option[Any])))
+    assert(!pruned.exists(_.contains("yr_mo=2024-03")),
+      s"the 2024-03 cell must prune away, got $pruned")
+    assert(VersionedTable.read(spark, root)
+      .filter($"yr_mo" === "2024-04").select("id").as[Long]
+      .collect().toSeq == Seq(3L))
+    // full read: history computes the value, new files carry it
+    assert(VersionedTable.read(spark, root).filter($"yr_mo".startsWith("2024"))
+      .count() == 4)
+  }
+
   test("SQL face: add_generated_column and generated_columns procedures") {
     val root = freshRoot()
     VersionedTable.create(spark, root,
