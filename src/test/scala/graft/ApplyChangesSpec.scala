@@ -79,6 +79,25 @@ class ApplyChangesSpec extends SparkSpec {
     assert(live == Set((2L, 10L)))
   }
 
+  test("a nondeterministic changes frame is materialized once (no torn evaluation)") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, 10L, "a")).toDF("k", "seq", "v").coalesce(1))
+    // rand() in the frame forces the materialize-source path: the
+    // bounds, the stale-guard join and the splits must all see ONE
+    // evaluation — keys/seqs here are deterministic, so the fold's
+    // outcome is checkable even though v is not
+    val chg = Seq(1L -> 20L, 2L -> 5L).toDF("k", "seq")
+      .withColumn("v", concat(lit("r"), (rand(7) * 1000).cast("int")))
+    VersionedTable.applyChanges(spark, root, chg.coalesce(1), Seq("k"), "seq")
+    val rows = VersionedTable.read(spark, root)
+      .select("k", "seq").as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 20L), (2L, 5L)),
+      s"one consistent evaluation must land, got $rows")
+    assert(VersionedTable.read(spark, root).select("k").as[Long]
+      .collect().toSeq.distinct.size == 2)
+  }
+
   test("a re-insert after a delete needs only a higher sequence") {
     val root = freshRoot()
     VersionedTable.create(spark, root,
