@@ -385,6 +385,30 @@ object GraftCatalog {
         .map { case (n, hw) => org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(n), hw) }),
 
+    new Proc("analyze",
+      "CBO-grade column statistics from METADATA alone: exact live row " +
+        "count, exact null count where every file recorded one (-1 " +
+        "otherwise; survivor-exact under deletion vectors), [lo, hi] " +
+        "bounds where recorded, HLL NDV estimate where the column is " +
+        "indexed (-1 un-indexed). Zero data scanned. Empty columns = " +
+        "every column",
+      Seq("path" -> StringType, "columns" -> StringType),
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_nulls", LongType, nullable = false),
+        StructField("lo", StringType, nullable = false),
+        StructField("hi", StringType, nullable = false),
+        StructField("ndv", LongType, nullable = false))),
+      (spark, in) => VersionedTable.analyzeTable(spark, str(in, 0),
+        str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .map { case (c, n, nn, lo, hi, ndv) =>
+          org.apache.spark.sql.catalyst.InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(c), n, nn,
+            org.apache.spark.unsafe.types.UTF8String.fromString(lo),
+            org.apache.spark.unsafe.types.UTF8String.fromString(hi), ndv) },
+      defaults = Map("columns" -> "''")),
+
     new Proc("alter_column_nullability",
       "ALTER COLUMN SET/DROP NOT NULL: loosening is pure metadata; " +
         "tightening proves no live NULL from recorded per-file null " +
