@@ -385,6 +385,49 @@ object GraftCatalog {
         .map { case (n, hw) => org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(n), hw) }),
 
+    new Proc("apply_changes",
+      "fold a CDC changelog (a view/table of full row images + the " +
+        "sequence column, optionally a boolean delete-flag column) " +
+        "into the target with sequence-guarded upserts: last writer " +
+        "per key wins, stale/out-of-order rows never regress, deletes " +
+        "are guarded too; one merge-on-read commit, txn-idempotent " +
+        "when txn >= 0",
+      Seq("path" -> StringType, "source" -> StringType,
+        "keys" -> StringType, "sequence_by" -> StringType,
+        "delete_flag" -> StringType, "txn" -> LongType),
+      versionResult,
+      (spark, in) => versionRow(VersionedTable.applyChanges(
+        spark, str(in, 0), spark.table(str(in, 1)),
+        str(in, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        str(in, 3),
+        deleteCol = Some(str(in, 4)).filter(_.nonEmpty),
+        txn = Some(in.getLong(5)).filter(_ >= 0))),
+      defaults = Map("delete_flag" -> "''", "txn" -> "-1")),
+
+    new Proc("replace_where",
+      "predicate-scoped atomic overwrite: drop every row of the " +
+        "closed range region (col:lo:hi triples, ';'-separated; empty " +
+        "lo/hi = open bound) and land the source view's rows in ONE " +
+        "commit; rows outside the region refuse; files provably inside " +
+        "drop without being read",
+      Seq("path" -> StringType, "source" -> StringType,
+        "region" -> StringType),
+      versionResult,
+      (spark, in) => {
+        val preds: VersionedTable.RangePreds =
+          str(in, 2).split(";").map(_.trim).filter(_.nonEmpty).map { t =>
+            val parts = t.split(":", -1)
+            require(parts.length == 3,
+              s"region entry '$t' must be col:lo:hi (empty = open bound)")
+            def v(s: String): Option[Any] =
+              Some(s.trim).filter(_.nonEmpty).map(x =>
+                scala.util.Try(x.toLong: Any).getOrElse(x))
+            parts(0).trim -> (v(parts(1)), v(parts(2)))
+          }.toMap
+        versionRow(VersionedTable.replaceWhere(
+          spark, str(in, 0), spark.table(str(in, 1)), preds))
+      }),
+
     new Proc("analyze",
       "CBO-grade column statistics from METADATA alone: exact live row " +
         "count, exact null count where every file recorded one (-1 " +

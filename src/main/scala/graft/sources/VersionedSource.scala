@@ -137,9 +137,14 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
         }
         VersionedTable.versionAsOf(sqlContext.sparkSession, root, millis)
       }
-    require(byVersion.isEmpty || byTime.isEmpty,
-      "versionAsOf and timestampAsOf are mutually exclusive")
-    new VersionedRelation(sqlContext, root, byVersion.orElse(byTime))
+    // tag: time travel by NAME — the pinned-snapshot read a training
+    // run uses ("train-v1") without carrying version numbers around
+    val byTag = parameters.get("tag").map(t =>
+      VersionedTable.tagVersion(sqlContext.sparkSession, root, t))
+    require(Seq(byVersion, byTime, byTag).count(_.nonEmpty) <= 1,
+      "versionAsOf, timestampAsOf and tag are mutually exclusive")
+    new VersionedRelation(sqlContext, root,
+      byVersion.orElse(byTime).orElse(byTag))
   }
 
   /** Streaming SINK: `df.writeStream.format("graft-versioned")` — each

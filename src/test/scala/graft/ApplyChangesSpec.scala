@@ -98,6 +98,30 @@ class ApplyChangesSpec extends SparkSpec {
       .collect().toSeq.distinct.size == 2)
   }
 
+  test("SQL faces: CALL graft.apply_changes and graft.replace_where") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, 10L, "a"), (2L, 10L, "b")).toDF("k", "seq", "v").coalesce(1))
+    // apply_changes from a temp view, delete flag + txn included
+    Seq((1L, 20L, "a2", false), (2L, 5L, "stale", false), (3L, 1L, "c", false))
+      .toDF("k", "seq", "v", "del").createOrReplaceTempView("ac_chg")
+    spark.sql(s"CALL graft.apply_changes('$root', 'ac_chg', 'k', 'seq', " +
+      "'del', 900)")
+    assert(snap(root) == Map(1L -> (20L, "a2"), 2L -> (10L, "b"),
+      3L -> (1L, "c")))
+    // replay with the same txn short-circuits
+    val v = VersionedTable.currentVersion(spark, root).get
+    spark.sql(s"CALL graft.apply_changes('$root', 'ac_chg', 'k', 'seq', " +
+      "'del', 900)")
+    assert(VersionedTable.currentVersion(spark, root).contains(v))
+    // replace_where: swap the k in [2, 3] region for fresh rows
+    Seq((2L, 100L, "B"), (3L, 100L, "C")).toDF("k", "seq", "v")
+      .createOrReplaceTempView("rw_src")
+    spark.sql(s"CALL graft.replace_where('$root', 'rw_src', 'k:2:3')")
+    assert(snap(root) == Map(1L -> (20L, "a2"), 2L -> (100L, "B"),
+      3L -> (100L, "C")))
+  }
+
   test("a re-insert after a delete needs only a higher sequence") {
     val root = freshRoot()
     VersionedTable.create(spark, root,

@@ -42,6 +42,13 @@ class RefSpec extends SparkSpec {
     assert(VersionedTable.readTag(spark, root, "train-v1")
       .collect().map(_.getLong(0)).toSet == Set(1L))
     assert(VersionedTable.tagVersion(spark, root, "latest") == 2)
+    // the reader face: option("tag", ...) is time travel by name
+    assert(spark.read.format("graft-versioned").option("tag", "train-v1")
+      .load(root).collect().map(_.getLong(0)).toSet == Set(1L))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned").option("tag", "train-v1")
+        .option("versionAsOf", "2").load(root).collect()
+    }
     // bad names refuse before touching the filesystem
     intercept[IllegalArgumentException] {
       VersionedTable.createTag(spark, root, "no/slash")
