@@ -83,6 +83,25 @@ object Sketches {
     else eraw
   }
 
+  /** Driver-side estimate from a dense BYTE register array of any
+    * width (the manifest-index form [[graft.sink.VersionedTable
+    * .mergedHllRegisters]] hands over) — the same harmonic-mean +
+    * small-range-correction math as [[estimateFromRegisters]],
+    * generalized over m so the two estimators cannot drift. */
+  def estimateFromByteRegisters(u: Array[Byte]): Double = {
+    val m = u.length.toDouble
+    val alpha =
+      if (u.length <= 16) 0.673
+      else if (u.length <= 32) 0.697
+      else if (u.length <= 64) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    val harmonic = u.foldLeft(0.0)((a, r) => a + 1.0 / (1L << (r & 0xff)))
+    val eraw = alpha * m * m / harmonic
+    val zeros = u.count(_ == 0)
+    if (eraw <= 2.5 * m && zeros > 0) m * math.log(m / zeros)
+    else eraw
+  }
+
   /** alpha_m * m^2 for m = 64, computed (not hard-coded) so both engines
     * evaluate the same expression tree. */
   def hllAlphaM2: Column =

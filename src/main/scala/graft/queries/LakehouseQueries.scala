@@ -1682,10 +1682,13 @@ object LakehouseQueries {
                 UNION ALL
                 SELECT 2, 'insert', value FROM ev WHERE event_id % 2 = 1
                 UNION ALL
-                SELECT 3, 'delete', value FROM ev WHERE event_id % 5 = 0
+                SELECT 3, 'delete', value FROM ev
+                WHERE event_id % 5 = 0
+                  AND value IS DISTINCT FROM value * 2
                 UNION ALL
                 SELECT 3, 'insert', value * 2 FROM ev
                 WHERE event_id % 5 = 0
+                  AND value IS DISTINCT FROM value * 2
                 UNION ALL
                 SELECT 4, 'delete', value FROM v3s WHERE event_id % 7 = 0)
          SELECT _commit_version, _change_type, count(*)::BIGINT AS n,

@@ -3472,23 +3472,9 @@ object VersionedTable {
             present.map(_.hi).maxBy(parse(t, _))(ordering(t)))
         }
       }
-      val ndv = mergedHllRegisters(spark, root, c, Some(cur)).map { u =>
-        // standard HLL estimate over the unioned registers, with the
-        // small-range linear-counting correction
-        val mm = u.length.toDouble
-        val alpha =
-          if (u.length <= 16) 0.673
-          else if (u.length <= 32) 0.697
-          else if (u.length <= 64) 0.709
-          else 0.7213 / (1.0 + 1.079 / mm)
-        val harmonic = u.foldLeft(0.0)((a, r) => a + 1.0 / (1L << (r & 0xff)))
-        val eraw = alpha * mm * mm / harmonic
-        val zeros = u.count(_ == 0)
-        val e =
-          if (eraw <= 2.5 * mm && zeros > 0) mm * math.log(mm / zeros)
-          else eraw
-        math.round(e)
-      }.getOrElse(-1L)
+      val ndv = mergedHllRegisters(spark, root, c, Some(cur))
+        .map(u => math.round(graft.ext.Sketches.estimateFromByteRegisters(u)))
+        .getOrElse(-1L)
       (c, nRows, nNulls, lo, hi, ndv)
     }
   }
@@ -4187,18 +4173,35 @@ object VersionedTable {
       .orderBy(col(seqCol).desc,
         xxhash64(dataCols.map(col).toSeq: _*).desc)
     // The winner set feeds the pruning bounds, the stale-guard join,
-    // and both op splits — FOUR consumers of one frame. A
-    // NONDETERMINISTIC changes frame must be MATERIALIZED first (the
-    // Delta merge materializeSource rule): re-evaluation could yield
-    // keys OUTSIDE the bounds the first pass captured, pruning away
-    // their target files, missing their current rows, and admitting a
-    // STALE change. A deterministic frame skips the persist — its
-    // re-evaluations are identical by definition, snapshot-pinned
-    // sources don't move, and Spark's shuffle reuse already makes the
-    // repeated window nearly free (measured: the unconditional persist
-    // cost ~1.8x on the q219 changelog).
-    val needsMat = changes.queryExecution.analyzed.exists(
-      _.expressions.exists(_.exists(e => !e.deterministic)))
+    // and both op splits — FOUR consumers of one frame. It must be
+    // MATERIALIZED first (the Delta merge materializeSource rule)
+    // unless every re-evaluation provably yields the same rows:
+    // otherwise keys could appear OUTSIDE the bounds the first pass
+    // captured, their target files prune away, their current rows go
+    // unseen, and a STALE change slips the guard. Stable means
+    // deterministic expressions AND stable leaves — local rows,
+    // RDD-backed frames, file scans (their FileIndex resolves once per
+    // frame), or a version-PINNED graft relation. A JDBC/DSv2/other
+    // external leaf, or a current-version graft relation (it re-resolves
+    // the head per action), materializes. The happy path skips the
+    // persist: shuffle reuse already makes the repeated window nearly
+    // free (the unconditional persist measured ~1.8x on q219).
+    val plan = changes.queryExecution.analyzed
+    val hasNonDet =
+      plan.exists(_.expressions.exists(_.exists(e => !e.deterministic)))
+    val stableLeaves = plan.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case _: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            true
+          case r: graft.sources.VersionedRelation => r.version.isDefined
+          case _ => false
+        }
+      case _ => false
+    }
+    val needsMat = hasNonDet || !stableLeaves
     val winners0 = changes
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1).drop("__graft_rn")

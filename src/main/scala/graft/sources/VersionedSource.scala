@@ -118,11 +118,10 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
         .orElse(parameters.get("endingVersion")).map(_.toInt).getOrElse(cur)
       require(from >= 1 && from <= to && to <= cur,
         s"table_changes range [$from, $to] must sit inside [1, $cur]")
-      require(parameters.get("versionasof").isEmpty &&
-        parameters.get("versionAsOf").isEmpty &&
-        parameters.get("timestampasof").isEmpty &&
-        parameters.get("timestampAsOf").isEmpty,
-        "readChangeFeed and time travel are mutually exclusive")
+      require(Seq("versionasof", "versionAsOf", "timestampasof",
+        "timestampAsOf", "tag").forall(parameters.get(_).isEmpty),
+        "readChangeFeed and time travel (versionAsOf/timestampAsOf/tag) " +
+          "are mutually exclusive")
       return new ChangesRelation(sqlContext, root, from, to)
     }
     val byVersion =
@@ -265,25 +264,33 @@ private[graft] class ChangesRelation(override val sqlContext: SQLContext,
   import org.apache.spark.sql.functions.{col, lit}
   private def spark = sqlContext.sparkSession
 
+  private lazy val finalSchema: StructType =
+    VersionedTable.schemaOf(spark, root, Some(toV))
+
   private lazy val frame: DataFrame = {
-    val finalSchema = VersionedTable.schemaOf(spark, root, Some(toV))
     // every per-version diff aligns to the ENDING version's schema —
     // exactly what a batch read of the evolved table shows. A column
     // RENAMED inside the range resolves through the recorded lineage
     // (its pre-rename changes surface under the current name, never as
-    // a second half-null column); a column DROPPED inside the range
-    // leaves the feed with the schema; one two fields held refuses.
+    // a second half-null column) — trying EVERY historical alias, so a
+    // rename CHAIN (x→y→z) recovers the data written under each of its
+    // names; a column DROPPED inside the range leaves the feed with
+    // the schema; a name two fields held refuses upstream (lineage
+    // maps it to None and it simply never aliases here).
     lazy val h2c = VersionedTable.historicalToCurrent(spark, root, Some(toV))
-    val c2h: Map[String, String] = h2c.collect {
+    // .toSeq FIRST: collecting on the Map would collapse the duplicate
+    // current-name keys a rename CHAIN produces (x→z and y→z) down to
+    // one arbitrary alias, null-filling the other era's data
+    val c2h: Map[String, Seq[String]] = h2c.toSeq.collect {
       case (hist, Some(cur)) => cur -> hist
-    }.toMap
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     def align(df: DataFrame): DataFrame = {
       val have = df.columns.toSet
       df.select(finalSchema.fields.toSeq.map { f =>
         if (have.contains(f.name)) col(f.name)
-        else c2h.get(f.name) match {
-          case Some(hist) if have.contains(hist) => col(hist).as(f.name)
-          case _ => lit(null).cast(f.dataType).as(f.name)
+        else c2h.getOrElse(f.name, Seq.empty).find(have.contains) match {
+          case Some(hist) => col(hist).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
         }
       }: _*)
     }
@@ -319,7 +326,15 @@ private[graft] class ChangesRelation(override val sqlContext: SQLContext,
     }
   }
 
-  override def schema: StructType = frame.schema
+  // the schema is statically known — answering it must not force the
+  // per-version union plan (a schema-only consultation of a
+  // thousand-version feed would otherwise pay full plan construction).
+  // Data fields go NULLABLE: pre-evolution versions null-fill columns
+  // added later, whatever the live table declares.
+  override def schema: StructType =
+    StructType(finalSchema.fields.map(_.copy(nullable = true)))
+      .add("_change_type", "string", nullable = false)
+      .add("_commit_version", "bigint", nullable = false)
   override def buildScan(): RDD[Row] = frame.rdd
   override def toString: String = s"ChangesRelation[$root, $fromV..$toV]"
 }

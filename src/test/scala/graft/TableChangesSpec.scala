@@ -56,6 +56,29 @@ class TableChangesSpec extends SparkSpec {
     assert(del == Seq((2L, "delete", 5L)))
   }
 
+  test("a rename CHAIN inside the range recovers data written under every alias") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, 10.0)).toDF("id", "x").coalesce(1))                   // v1: x
+    VersionedTable.renameColumn(spark, root, "x", "y")               // v2
+    VersionedTable.append(spark, root,
+      Seq((2L, 20.0)).toDF("id", "y").coalesce(1))                   // v3: y
+    VersionedTable.renameColumn(spark, root, "y", "z")               // v4
+    VersionedTable.append(spark, root,
+      Seq((3L, 30.0)).toDF("id", "z").coalesce(1))                   // v5: z
+    val feed = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(root)
+    assert(feed.schema.fieldNames.count(_ == "z") == 1 &&
+      !feed.schema.fieldNames.exists(Set("x", "y")))
+    val rows = feed.select("id", "z").as[(Long, Double)].collect().toSet
+    assert(rows == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      s"x-era AND y-era values must both surface under z, got $rows")
+    // schema-only consultation must not force the union plan: cheap call
+    assert(feed.schema.fieldNames.takeRight(2).toSeq ==
+      Seq("_change_type", "_commit_version"))
+  }
+
   test("an overwrite dropping identity/generated columns releases their contracts") {
     val root = freshRoot()
     VersionedTable.create(spark, root,
