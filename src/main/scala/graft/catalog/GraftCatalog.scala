@@ -414,15 +414,35 @@ object GraftCatalog {
         "region" -> StringType),
       versionResult,
       (spark, in) => {
+        // Bounds parse in the PREDICATE COLUMN's stat domain, resolved
+        // from the table schema — never by numeric-looking guesswork: a
+        // zero-padded string value like '0123' must stay a string, or
+        // the stat-domain pruning (lexicographic) and the Spark row
+        // filter (numeric after implicit cast) would define two
+        // DIFFERENT regions and rows could survive a lexically-pruned
+        // file. Dates accept ISO form or epoch days; timestamps epoch
+        // micros (the recorded stat domains).
+        val schema = VersionedTable.schemaOf(spark, str(in, 0))
+        val types = schema.fields.map(f => f.name -> f.dataType).toMap
         val preds: VersionedTable.RangePreds =
           str(in, 2).split(";").map(_.trim).filter(_.nonEmpty).map { t =>
             val parts = t.split(":", -1)
             require(parts.length == 3,
               s"region entry '$t' must be col:lo:hi (empty = open bound)")
+            val c = parts(0).trim
             def v(s: String): Option[Any] =
-              Some(s.trim).filter(_.nonEmpty).map(x =>
-                scala.util.Try(x.toLong: Any).getOrElse(x))
-            parts(0).trim -> (v(parts(1)), v(parts(2)))
+              Some(s.trim).filter(_.nonEmpty).map { x =>
+                types.get(c) match {
+                  case Some(ByteType | ShortType | IntegerType | LongType) =>
+                    x.toLong
+                  case Some(FloatType | DoubleType) => x.toDouble
+                  case Some(DateType) => scala.util.Try(x.toLong: Any)
+                    .getOrElse(java.time.LocalDate.parse(x).toEpochDay)
+                  case Some(TimestampType) => x.toLong
+                  case _ => x // string & others: the value as written
+                }
+              }
+            c -> (v(parts(1)), v(parts(2)))
           }.toMap
         versionRow(VersionedTable.replaceWhere(
           spark, str(in, 0), spark.table(str(in, 1)), preds))

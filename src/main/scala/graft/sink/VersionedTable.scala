@@ -1242,6 +1242,21 @@ object VersionedTable {
       .view.filterKeys(names.contains).toMap
     val gens = curM.map(_.gens).getOrElse(Map.empty[String, String])
       .view.filterKeys(names.contains).toMap
+    // A KEPT generated column / CHECK whose referenced column the
+    // replacement schema DROPS would only surface at enforceChecks as
+    // an AnalysisException (unresolved column) AFTER staging — and that
+    // failure path never sweeps the staged files. Refuse cleanly here,
+    // before any file is written: drop the generated column/constraint
+    // first, or keep its source columns in the replacement schema.
+    (gens.toSeq.map { case (g, e) => s"generated column $g" -> e } ++
+      checks.map(c => s"CHECK constraint ${c.name}" -> c.expr))
+      .foreach { case (what, e) =>
+        val missing = checkRefs(spark, e).filterNot(names.contains)
+        require(missing.isEmpty,
+          s"$what references column(s) the replacement schema drops: " +
+            s"${missing.mkString(", ")} — drop it first or keep the " +
+            "column; nothing was committed")
+      }
     val added = writeDataFiles(spark, root, df, v, partitionCols)
     enforceChecks(spark, root, checks ++ genChecks(gens, ddl), ddl,
       partitionCols.nonEmpty, Map.empty, added)
@@ -1972,6 +1987,7 @@ object VersionedTable {
       val resolved = frame.queryExecution.analyzed.expressions.head
       require(resolved.deterministic && resolved.references.isEmpty,
         s"default for $name must be a deterministic constant: $d")
+      requireTimeIndependent(resolved, s"default for $name", d)
       frame.collect() // one driver-side eval proves it computes and casts
     }
     val defaults2 = default.fold(m.defaults)(d => m.defaults + (name -> d))
@@ -2044,6 +2060,7 @@ object VersionedTable {
       val resolved = probe.queryExecution.analyzed.expressions.head
       require(resolved.deterministic,
         s"generated column $name needs a deterministic expression: $genExpr")
+      requireTimeIndependent(resolved, s"generated column $name", genExpr)
       val widened = schema.add(name, sqlType, nullable = true)
       val noCol2 =
         m.files.map(f => f -> (m.noCol.getOrElse(f, Seq.empty) :+ name)).toMap
@@ -2354,6 +2371,29 @@ object VersionedTable {
             s"write, e.g. ${bad.head}; nothing was committed")
       }
     }
+  }
+
+  /** Refuse an expression Catalyst calls deterministic but that is
+    * fixed only PER-QUERY, not per-table: current_date()/now()/
+    * localtimestamp()/current_timezone() re-evaluate on every scan, so
+    * a read-time-substituted fill (generated column, default) would
+    * drift day to day and diverge from write-materialized files, and
+    * genChecks could refuse appends that merely cross a time boundary.
+    * Mirrors Delta's generated-column validation. */
+  private def requireTimeIndependent(
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression,
+      what: String, exprText: String): Unit = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val timeDep = resolved.collectFirst {
+      case e: CurrentDate => e
+      case e: CurrentTimestampLike => e // current_timestamp(), now()
+      case e: LocalTimestamp => e
+      case e: CurrentTimeZone => e
+    }
+    require(timeDep.isEmpty,
+      s"$what must not depend on evaluation time " +
+        s"(${timeDep.map(_.prettyName).getOrElse("")} in: $exprText) — " +
+        "read-time substitution would re-evaluate it on every scan")
   }
 
   /** The top-level column names `sqlExpr` references — the guard input
@@ -3522,9 +3562,24 @@ object VersionedTable {
     preds.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"replaceWhere predicate column $c is not in the table schema " +
         s"[${m.schemaDdl}]"))
+    // RangePreds values live in the recorded STAT domain (dates as
+    // epoch days, timestamps as epoch micros — see [[RangePreds]]); the
+    // row filter compares against the column's OWN type, so numeric
+    // bounds on date/timestamp columns convert here. One definition of
+    // the region for both the pruning and the filter.
+    def bound(c: String, v: Any): org.apache.spark.sql.Column =
+      (schema(schema.fieldIndex(c)).dataType, v) match {
+        case (org.apache.spark.sql.types.DateType, n: Long) =>
+          lit(java.time.LocalDate.ofEpochDay(n))
+        case (org.apache.spark.sql.types.DateType, n: Int) =>
+          lit(java.time.LocalDate.ofEpochDay(n.toLong))
+        case (org.apache.spark.sql.types.TimestampType, n: Long) =>
+          lit(java.time.Instant.EPOCH.plusNanos(n * 1000L))
+        case _ => lit(v)
+      }
     val cond = preds.map { case (c, (lo, hi)) =>
-      val ge = lo.map(l => col(c) >= lit(l))
-      val le = hi.map(h => col(c) <= lit(h))
+      val ge = lo.map(l => col(c) >= bound(c, l))
+      val le = hi.map(h => col(c) <= bound(c, h))
       (ge, le) match {
         case (Some(a), Some(b)) => a && b
         case (Some(a), None) => a
@@ -4169,9 +4224,14 @@ object VersionedTable {
     }
     // 1. batch-local winner per key
     val dataCols = changes.schema.fieldNames.filterNot(deleteCol.contains)
+    // the tiebreak hash must SEE the op: a same-key equal-sequence
+    // delete+upsert pair carrying identical row images would otherwise
+    // hash identically and row_number would pick delete-vs-keep
+    // arbitrarily — coalesce(flag, false) so NULL and false agree
+    val tieCols = dataCols.map(col).toSeq ++ deleteCol.map(dc =>
+      coalesce(col(dc).cast("boolean"), lit(false)))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc,
-        xxhash64(dataCols.map(col).toSeq: _*).desc)
+      .orderBy(col(seqCol).desc, xxhash64(tieCols: _*).desc)
     // The winner set feeds the pruning bounds, the stale-guard join,
     // and both op splits — FOUR consumers of one frame. It must be
     // MATERIALIZED first (the Delta merge materializeSource rule)

@@ -98,6 +98,33 @@ class ApplyChangesSpec extends SparkSpec {
       .collect().toSeq.distinct.size == 2)
   }
 
+  test("equal-seq delete+upsert with identical row images tiebreaks deterministically") {
+    // same key, same sequence, same row image — only the delete flag
+    // differs. The tiebreak hash must SEE the flag, or row_number picks
+    // delete-vs-keep by partition layout. Both input orders (and a
+    // NULL-flag variant, which coalesces to false) must converge.
+    def run(rows: Seq[(Long, Long, String, java.lang.Boolean)]): Set[Long] = {
+      val root = freshRoot()
+      VersionedTable.create(spark, root,
+        Seq((1L, 1L, "x")).toDF("k", "seq", "v").coalesce(1))
+      VersionedTable.applyChanges(spark, root,
+        rows.toDF("k", "seq", "v", "del").repartition(4),
+        Seq("k"), "seq", deleteCol = Some("del"))
+      VersionedTable.read(spark, root).select("k").as[Long].collect().toSet
+    }
+    val pair = Seq((1L, 9L, "same", java.lang.Boolean.TRUE),
+      (1L, 9L, "same", java.lang.Boolean.FALSE))
+    val a = run(pair)
+    assert(a == run(pair.reverse),
+      "input order must not flip the delete-vs-keep outcome")
+    // NULL flag and false flag carry identical images: coalesce makes
+    // them the SAME candidate, so the true-flag side of the tiebreak is
+    // stable whichever null-variant appears
+    val withNull = Seq((1L, 9L, "same", java.lang.Boolean.TRUE),
+      (1L, 9L, "same", null: java.lang.Boolean))
+    assert(run(withNull) == run(withNull.reverse))
+  }
+
   test("SQL faces: CALL graft.apply_changes and graft.replace_where") {
     val root = freshRoot()
     VersionedTable.create(spark, root,
@@ -120,6 +147,35 @@ class ApplyChangesSpec extends SparkSpec {
     spark.sql(s"CALL graft.replace_where('$root', 'rw_src', 'k:2:3')")
     assert(snap(root) == Map(1L -> (20L, "a2"), 2L -> (100L, "B"),
       3L -> (100L, "C")))
+  }
+
+  test("replace_where SQL face parses bounds in the column's type, not by numeric look") {
+    // zero-padded STRING keys: '0123' must compare lexicographically
+    // ('0100' <= '0123' <= '0200'), never as the number 123 — a Long
+    // coercion would define a different region for the row filter than
+    // the stat-domain pruning uses and rows could survive a replace
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq(("0123", 1L), ("12", 2L), ("0400", 3L))
+        .toDF("code", "n").coalesce(1))
+    Seq(("0150", 10L)).toDF("code", "n").createOrReplaceTempView("rw_str")
+    spark.sql(s"CALL graft.replace_where('$root', 'rw_str', 'code:0100:0200')")
+    val out = VersionedTable.read(spark, root)
+      .as[(String, Long)].collect().toMap
+    // '0123' (inside lexically) replaced; '12' and '0400' (outside) kept
+    assert(out == Map("0150" -> 10L, "12" -> 2L, "0400" -> 3L), out.toString)
+    // date columns: ISO bounds parse to the epoch-day stat domain
+    val root2 = freshRoot()
+    VersionedTable.create(spark, root2,
+      Seq((java.sql.Date.valueOf("2024-01-10"), 1L),
+        (java.sql.Date.valueOf("2024-03-10"), 2L))
+        .toDF("d", "n").coalesce(1))
+    Seq((java.sql.Date.valueOf("2024-01-20"), 9L)).toDF("d", "n")
+      .createOrReplaceTempView("rw_date")
+    spark.sql(
+      s"CALL graft.replace_where('$root2', 'rw_date', 'd:2024-01-01:2024-01-31')")
+    assert(VersionedTable.read(spark, root2).select("n").as[Long]
+      .collect().toSet == Set(9L, 2L))
   }
 
   test("a re-insert after a delete needs only a higher sequence") {

@@ -181,6 +181,62 @@ class GeneratedColumnSpec extends SparkSpec {
       .count() == 4)
   }
 
+  test("time-dependent expressions refuse: per-query 'deterministic' is not per-table") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, java.sql.Date.valueOf("2024-01-02"))).toDF("id", "d").coalesce(1))
+    // Catalyst reports current_date()/now() deterministic (fixed per
+    // query) — but read-time substitution re-evaluates per SCAN, so the
+    // same historical row would drift day to day. All refused.
+    for (e <- Seq("current_date()", "current_timestamp()", "now()",
+        "datediff(current_date(), d)"))
+      assert(intercept[IllegalArgumentException] {
+        VersionedTable.addGeneratedColumn(spark, root, "g", "string", e)
+      }.getMessage.contains("evaluation time"), s"expr $e must refuse")
+    // defaults read-time substitute the same way: same refusal
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.addColumn(spark, root, "c", "date",
+        default = Some("current_date()"))
+    }.getMessage.contains("evaluation time"))
+    // the plain time-independent forms still work
+    VersionedTable.addGeneratedColumn(spark, root, "yr", "int", "year(d)")
+    assert(VersionedTable.read(spark, root).select("yr").as[Int].head() == 2024)
+  }
+
+  test("overwrite refuses cleanly when a kept gen/CHECK references a dropped column") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, 2.0)).toDF("id", "v").coalesce(1))
+    VersionedTable.addGeneratedColumn(spark, root, "v2", "double", "v * 2")
+    val vBefore = VersionedTable.currentVersion(spark, root).get
+    val dataBefore = VersionedTable.filesOf(spark, root).toSet
+    // replacement schema keeps the generated column but drops its SOURCE:
+    // must be the documented refusal BEFORE staging (not an
+    // AnalysisException from genChecks after files were written)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.overwrite(spark, root,
+        Seq((1L, 4.0)).toDF("id", "v2").coalesce(1))
+    }
+    assert(ex.getMessage.contains("generated column v2") &&
+      ex.getMessage.contains("v"), ex.getMessage)
+    assert(VersionedTable.currentVersion(spark, root).contains(vBefore))
+    // nothing staged: the refusal fires before any file is written
+    def allParquet(d: java.io.File): Set[String] = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      kids.filter(_.isFile).map(_.getName).filter(_.endsWith(".parquet")).toSet ++
+        kids.filter(_.isDirectory).flatMap(allParquet)
+    }
+    assert(allParquet(new java.io.File(root)) ==
+      dataBefore.map(_.split('/').last),
+      "refusal must not leak staged files")
+    // same class of refusal for a CHECK whose column the schema drops
+    VersionedTable.dropColumn(spark, root, "v2")
+    VersionedTable.addConstraint(spark, root, "v_pos", "v > 0")
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.overwrite(spark, root, Seq(Tuple1(9L)).toDF("id").coalesce(1))
+    }.getMessage.contains("CHECK constraint v_pos"))
+  }
+
   test("SQL face: add_generated_column and generated_columns procedures") {
     val root = freshRoot()
     VersionedTable.create(spark, root,
