@@ -385,6 +385,48 @@ object GraftCatalog {
         .map { case (n, hw) => org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(n), hw) }),
 
+    new Proc("set_property",
+      "SET a table property (metadata-only commit; the tblproperties " +
+        "analog). Engine keys validate: graft.clusterBy must name live " +
+        "non-partition columns; graft.rowTracking refuses (use " +
+        "enable_row_tracking)",
+      Seq("path" -> StringType, "key" -> StringType,
+        "value" -> StringType),
+      versionResult,
+      (spark, in) => versionRow(VersionedTable.setTableProperty(
+        spark, str(in, 0), str(in, 1), str(in, 2)))),
+
+    new Proc("unset_property",
+      "UNSET a table property (metadata-only; unknown keys refuse)",
+      Seq("path" -> StringType, "key" -> StringType),
+      versionResult,
+      (spark, in) => versionRow(VersionedTable.unsetTableProperty(
+        spark, str(in, 0), str(in, 1)))),
+
+    new Proc("properties",
+      "the table's properties as (key, value) rows",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("key", StringType, nullable = false),
+        StructField("value", StringType, nullable = false))),
+      (spark, in) => VersionedTable.propertiesOf(spark, str(in, 0))
+        .toSeq.sortBy(_._1)
+        .map { case (k, v) => org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(k),
+          org.apache.spark.unsafe.types.UTF8String.fromString(v)) }),
+
+    new Proc("enable_row_tracking",
+      "enable STABLE ROW IDS: adds the engine-owned _row_id column + " +
+        "identity contract + property marker (one metadata commit), " +
+        "then backfills ids into files predating the column (one " +
+        "rewrite commit, skipped when none). Ids survive compact/" +
+        "zorder/update; merge and apply_changes preserve matched " +
+        "keys' ids and assign fresh ones to inserts",
+      Seq("path" -> StringType),
+      versionResult,
+      (spark, in) => versionRow(VersionedTable.enableRowTracking(
+        spark, str(in, 0)))),
+
     new Proc("apply_changes",
       "fold a CDC changelog (a view/table of full row images + the " +
         "sequence column, optionally a boolean delete-flag column) " +

@@ -805,6 +805,47 @@ object LakehouseQueries {
             .as("sum_value"))
     }),
 
+    // STABLE ROW IDS (Delta row tracking / Iceberg v3 row lineage): the
+    // engine-owned _row_id is enabled on an EXISTING table (metadata add
+    // + one backfill rewrite), then the table takes a CoW update (ids
+    // must travel with the rewritten rows), a merge WITHOUT the column
+    // (matched keys preserve their ids via the key-pruned lookup join;
+    // inserts get fresh band-assigned ones) and a compact (full
+    // rewrite). The aggregate proves the contract against the v1
+    // snapshot via time travel: every original key's id is UNCHANGED
+    // through all three rewrites, every inserted key's id is new, and
+    // the id set stays unique. At 100 TB this is what lets a CDF
+    // consumer pair an update's delete/insert images — identity without
+    // a natural key, surviving arbitrary file rewrites.
+    "q223_row_tracking" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_rowtrack_q223")
+      val root = work.resolve("cust").toString
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        col("c_acctbal").cast("double").as("bal"))
+      VersionedTable.create(s, root, c.repartition(3))
+      VersionedTable.enableRowTracking(s, root)
+      val v1 = VersionedTable.currentVersion(s, root).get
+      VersionedTable.updateWhereVectored(s, root, Map.empty,
+        col("k") % 5 === 0, Map("bal" -> (col("bal") + lit(100.0))))
+      // merge source deliberately LACKS _row_id: matched keys (k%7==0)
+      // must come back with their old ids, shifted keys are inserts
+      val src = c.filter(col("k") % 7 === 0)
+        .select(col("k"), (col("bal") * 2).as("bal"))
+        .unionByName(c.filter(col("k") % 13 === 0)
+          .select((col("k") + 10000000L).as("k"), col("bal")))
+      VersionedTable.mergeIntoVectored(s, root, src, Seq("k"))
+      VersionedTable.compact(s, root, targetBytes = 1L << 30)
+      val base = VersionedTable.read(s, root, Some(v1))
+        .select(col("k"), col(VersionedTable.RowIdCol).as("id0"))
+      val fin = VersionedTable.read(s, root)
+        .select(col("k"), col(VersionedTable.RowIdCol).as("id1"))
+      fin.join(base, Seq("k"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("id0") === col("id1"), 1)).as("n_stable"),
+          count(when(col("id0").isNull, 1)).as("n_fresh"),
+          countDistinct(col("id1")).as("n_distinct"))
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -1695,6 +1736,16 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q223_row_tracking" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer),
+              n AS (SELECT count(*) AS nc FROM c),
+              ins AS (SELECT count(*) AS ni FROM c WHERE k % 13 = 0)
+         SELECT (nc + ni)::BIGINT AS n_rows,
+                nc::BIGINT AS n_stable,
+                ni::BIGINT AS n_fresh,
+                (nc + ni)::BIGINT AS n_distinct
+         FROM n, ins""",
 
     "q221_not_null" ->
       """SELECT count(*)::BIGINT AS n,

@@ -329,7 +329,8 @@ object VersionedTable {
                               defaults: Map[String, String] = Map.empty,
                               noCol: Map[String, Seq[String]] = Map.empty,
                               gens: Map[String, String] = Map.empty,
-                              ids: Map[String, Long] = Map.empty) {
+                              ids: Map[String, Long] = Map.empty,
+                              props: Map[String, String] = Map.empty) {
     /** Every read-time fill expression: write DEFAULTS (constant
       * literals) plus GENERATED columns (deterministic expressions over
       * the row's other columns) — both substitute into files recorded
@@ -460,7 +461,7 @@ object VersionedTable {
       else s""" "partitionCols": [${m.partitionCols
         .map(c => "\"" + esc(c) + "\"").mkString(", ")}],\n"""
     s"""{"version": ${m.version},
-       |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)} "schema": "${esc(m.schemaDdl)}",
+       |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)}${propsJson(m)} "schema": "${esc(m.schemaDdl)}",
        | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
        | ${perFileJson(m.stats, m.blooms, m.hlls, m.dvs, m.rows, m.noCol)}}""".stripMargin
   }
@@ -526,6 +527,22 @@ object VersionedTable {
       unesc(m.group(1)) -> m.group(2).toLong).toMap
   }
 
+  /** TABLE-PROPERTIES JSON field (key → value; the Delta/Iceberg
+    * tblproperties analog — row tracking, clustering keys, user
+    * metadata) — absent when the table has none; self-contained in
+    * every manifest like checks/defaults/gens/ids. */
+  private def propsJson(m: Manifest): String =
+    if (m.props.isEmpty) ""
+    else s""" "props": [${m.props.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"""{"pkey": "${esc(k)}", "pval": "${esc(v)}"}""" }
+      .mkString(", ")}],\n"""
+
+  private def parseProps(text: String): Map[String, String] = {
+    val P = """\{"pkey": "((?:[^"\\]|\\.)*)", "pval": "((?:[^"\\]|\\.)*)"\}""".r
+    P.findAllMatchIn(text).map(m =>
+      unesc(m.group(1)) -> unesc(m.group(2))).toMap
+  }
+
   /** Column-mapping JSON field — absent entirely until mapping
     * activates, so pre-mapping manifests are byte-identical. */
   private def colMapJson(m: Manifest): String =
@@ -570,7 +587,7 @@ object VersionedTable {
     Some(
       s"""{"version": ${m.version},
          | "delta": true,
-         |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)} "schema": "${esc(m.schemaDdl)}",
+         |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)}${propsJson(m)} "schema": "${esc(m.schemaDdl)}",
          | "removes": [${names(removes)}],
          | "adds": [${names(adds)}],
          | "touch": [${names(touch)}],
@@ -831,7 +848,7 @@ object VersionedTable {
     Manifest(v, schema, parseNameList(text, "files"), txn, stats, blooms,
       partitionCols, hlls, dvs, rows, parseOp(text), cm, maxCid,
       parseChecks(text), parseDefaults(text), noCol, parseGens(text),
-      parseIds(text))
+      parseIds(text), parseProps(text))
   }
 
   /** Replay a delta manifest over its parent snapshot: removed entries
@@ -852,7 +869,7 @@ object VersionedTable {
       partitionCols, merge(parent.hlls, hlls), merge(parent.dvs, dvs),
       merge(parent.rows, rows), parseOp(text), cm, maxCid,
       parseChecks(text), parseDefaults(text), merge(parent.noCol, noCol),
-      parseGens(text), parseIds(text))
+      parseGens(text), parseIds(text), parseProps(text))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -1242,6 +1259,17 @@ object VersionedTable {
       .view.filterKeys(names.contains).toMap
     val gens = curM.map(_.gens).getOrElse(Map.empty[String, String])
       .view.filterKeys(names.contains).toMap
+    // table properties carry like checks; COLUMN-REFERENCING ones
+    // release with their columns (a rowTracking marker without its id
+    // column would wedge assignment; clusterBy keeps only live keys)
+    val props = curM.map(_.props).getOrElse(Map.empty[String, String])
+      .flatMap {
+        case (PropRowTracking, _) if !names.contains(RowIdCol) => None
+        case (PropClusterBy, v) =>
+          val kept = v.split(",").filter(names.contains)
+          if (kept.isEmpty) None else Some(PropClusterBy -> kept.mkString(","))
+        case kv => Some(kv)
+      }
     // A KEPT generated column / CHECK whose referenced column the
     // replacement schema DROPS would only surface at enforceChecks as
     // an AnalysisException (unresolved column) AFTER staging — and that
@@ -1267,7 +1295,7 @@ object VersionedTable {
     writeManifest(spark, root,
       Manifest(v, ddl, added, txn, addedStats,
         partitionCols = partitionCols, rows = addedRows, op = op,
-        checks = checks, defaults = defaults, gens = gens,
+        checks = checks, defaults = defaults, gens = gens, props = props,
         // identity marks are MONOTONIC: an overwrite replaces the data,
         // never the allocation history — and still advances past any
         // value the fresh content carries
@@ -1280,6 +1308,13 @@ object VersionedTable {
           }))
     v
   }
+
+  /** The engine-owned stable row-id column ([[enableRowTracking]]) and
+    * the table-property keys the engine itself interprets. */
+  val RowIdCol = "_row_id"
+  val PropRowTracking = "graft.rowTracking"
+  val PropClusterBy = "graft.clusterBy"
+  val PropClusterCurve = "graft.clusterCurve"
 
   private[graft] val NoRaceHook: () => Unit = () => ()
 
@@ -1403,7 +1438,8 @@ object VersionedTable {
         m.dvs.view.filterKeys(!gone(_)).toMap ++ delta.dvUpdates,
         m.rows.view.filterKeys(!gone(_)).toMap ++ delta.addedRows,
         delta.op, m.colMap, m.maxCid, m.checks, m.defaults,
-        m.noCol.view.filterKeys(!gone(_)).toMap, m.gens, idAdvance(m.ids))
+        m.noCol.view.filterKeys(!gone(_)).toMap, m.gens, idAdvance(m.ids),
+        m.props)
       try { writeManifest(spark, root, manifest, Some(m)); return v }
       catch {
         case e: java.io.IOException
@@ -1436,6 +1472,10 @@ object VersionedTable {
             // around it (Delta refuses any metadata change the same way)
             if (wx.checks != m.checks)
               refuse(s"v$x (${wx.op}) changed the table's CHECK constraints")
+            // properties steer write behavior (row tracking, clustering)
+            // — a commit planned under different properties must re-run
+            if (wx.props != m.props)
+              refuse(s"v$x (${wx.op}) changed the table properties")
             // two writers that both engine-assigned from one high-water
             // mark may have allocated overlapping identity values — the
             // loser refuses and re-runs (re-assigning from the new mark)
@@ -2000,7 +2040,8 @@ object VersionedTable {
       stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
       hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-column",
       colMap = cm2, maxCid = maxCid2, checks = m.checks,
-      defaults = defaults2, noCol = noCol2, gens = m.gens, ids = m.ids)
+      defaults = defaults2, noCol = noCol2, gens = m.gens, ids = m.ids,
+      props = m.props)
   })
 
   /** ADD a GENERATED column — `GENERATED ALWAYS AS (expr)` — as a
@@ -2070,7 +2111,9 @@ object VersionedTable {
         hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-generated",
         colMap = cm2, maxCid = maxCid2, checks = m.checks,
         defaults = m.defaults, noCol = noCol2,
-        gens = m.gens + (name -> genExpr))
+        // ids/props carried explicitly: this construction once dropped
+        // `ids`, silently resetting identity high-waters on add-generated
+        gens = m.gens + (name -> genExpr), ids = m.ids, props = m.props)
     })
 
   /** The table's generated columns (name → expression) at the current
@@ -2107,7 +2150,7 @@ object VersionedTable {
         hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "add-identity",
         colMap = cm2, maxCid = maxCid2, checks = m.checks,
         defaults = m.defaults, noCol = m.noCol, gens = m.gens,
-        ids = m.ids + (name -> start))
+        ids = m.ids + (name -> start), props = m.props)
     })
 
   /** The table's identity columns (name → next value to assign) at the
@@ -2116,6 +2159,155 @@ object VersionedTable {
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     readManifest(spark, root, cur).ids
+  }
+
+  /** SET a table property as a METADATA-ONLY commit — the Delta/Iceberg
+    * tblproperties analog, carried self-contained in every manifest.
+    * Engine-interpreted keys validate here: [[PropClusterBy]] must name
+    * live non-partition columns; [[PropRowTracking]] refuses (it rides
+    * the [[enableRowTracking]] machinery — the marker without the id
+    * contract would claim tracking the writers can't honor). */
+  def setTableProperty(spark: SparkSession, root: String, key: String,
+                       value: String): Int =
+    commitMetaTransform(spark, root, { m =>
+      require(key.trim.nonEmpty, "property key must be non-empty")
+      require(key != PropRowTracking,
+        s"$PropRowTracking is engine-managed: use enableRowTracking " +
+          "(it adds the id column, contract and backfill together)")
+      if (key == PropClusterBy) {
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        val cols = value.split(",").map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, s"$PropClusterBy needs at least one column")
+        val missing = cols.filterNot(schema.fieldNames.contains)
+        require(missing.isEmpty,
+          s"$PropClusterBy names unknown column(s): ${missing.mkString(", ")}")
+        val parts = m.partitionCols.map(Layout.parse(_).source).toSet
+        val overlap = cols.filter(parts.contains)
+        require(overlap.isEmpty,
+          s"$PropClusterBy must not repeat partition column(s): " +
+            s"${overlap.mkString(", ")} — the hive layout already " +
+            "co-locates them")
+      }
+      if (key == PropClusterCurve)
+        require(value == "morton" || value == "hilbert" || value == "lex",
+          s"unknown $PropClusterCurve '$value' (morton | hilbert | lex)")
+      m.copy(version = m.version + 1, op = s"set-property:$key",
+        props = m.props + (key -> value), txn = None)
+    })
+
+  /** UNSET a table property (metadata-only; unknown keys are a no-op
+    * refusal so a typo never silently "succeeds"). Unsetting
+    * [[PropRowTracking]] stops id preservation but keeps the column —
+    * dropColumn(_row_id) removes both. */
+  def unsetTableProperty(spark: SparkSession, root: String,
+                         key: String): Int =
+    commitMetaTransform(spark, root, { m =>
+      require(m.props.contains(key), s"no property $key on this table")
+      m.copy(version = m.version + 1, op = s"unset-property:$key",
+        props = m.props - key, txn = None)
+    })
+
+  /** The table's properties at the current version — the inspection
+    * face of [[setTableProperty]]. */
+  def propertiesOf(spark: SparkSession, root: String): Map[String, String] = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    readManifest(spark, root, cur).props
+  }
+
+  /** Record the table's CLUSTERING KEYS ([[PropClusterBy]]) — the
+    * declarative face of [[zorderBy]]: a fresh session (or a scheduled
+    * [[compact]]) reads the property and lays data out along these keys
+    * without the caller re-stating them. zorderBy records its columns
+    * here automatically; compact honors them as its default order. */
+  def setClusteringKeys(spark: SparkSession, root: String,
+                        cols: Seq[String]): Int =
+    setTableProperty(spark, root, PropClusterBy, cols.mkString(","))
+
+  /** The recorded clustering keys, empty when the table has none. */
+  def clusteringKeysOf(spark: SparkSession, root: String): Seq[String] =
+    propertiesOf(spark, root).get(PropClusterBy)
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  /** ENABLE ROW TRACKING — stable per-row ids that survive every
+    * rewrite, the Delta row-tracking / Iceberg-v3 row-lineage analog,
+    * MATERIALIZED as an engine-owned BIGINT column [[RowIdCol]] instead
+    * of a read-time base-id+ordinal derivation (the id must survive
+    * arbitrary file rewrites, so it has to travel WITH the row):
+    *
+    *  - Commit 1 (metadata): add `_row_id` + its identity contract +
+    *    the [[PropRowTracking]] marker. Appends from then on
+    *    engine-assign ids ([[assignIdentity]] — per-partition bands, no
+    *    shuffle, unique forever via the monotonic high-water mark).
+    *  - Commit 2 (backfill, only if live files predate the column):
+    *    rewrite exactly those files with ids assigned — the same
+    *    one-time cost Delta's enable pays. A table created empty (or
+    *    enabled before first append) backfills nothing.
+    *  - CoW rewrites (compact/zorder/update/deleteWhere survivors)
+    *    carry the column physically — stability is free.
+    *  - [[mergeIntoVectored]] / [[applyChanges]] PRESERVE the id for
+    *    matched keys (one extra key-pruned lookup join) and assign
+    *    fresh ids to inserts; [[replaceWhere]]/overwrite content is new
+    *    rows, so new ids — replace is delete+insert by definition.
+    *
+    * CDF consumers ([[tableChanges]]) see `_row_id` like any column, so
+    * an update pairs its delete/insert images by id across versions —
+    * the "track a row across updates" contract. At 100 TB the backfill
+    * is the only full-rewrite; steady-state cost is one BIGINT column
+    * and the merge-side lookup join over the key-pruned slice. */
+  def enableRowTracking(spark: SparkSession, root: String): Int = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m0 = readManifest(spark, root, cur)
+    require(!m0.props.get(PropRowTracking).contains("true"),
+      s"row tracking is already enabled at $root")
+    require(!org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
+        .fieldNames.contains(RowIdCol),
+      s"column $RowIdCol already exists: drop or rename it first — the " +
+        "engine owns that name under row tracking")
+    commitMetaTransform(spark, root, { m =>
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      val widened = schema.add(RowIdCol, "bigint", nullable = true)
+      val (cm2, maxCid2) = extendColMap(m, RowIdCol)
+      Manifest(m.version + 1, widened.toDDL, m.files,
+        stats = m.stats, blooms = m.blooms, partitionCols = m.partitionCols,
+        hlls = m.hlls, dvs = m.dvs, rows = m.rows, op = "enable-row-tracking",
+        colMap = cm2, maxCid = maxCid2, checks = m.checks,
+        defaults = m.defaults,
+        noCol = m.files.map(f =>
+          f -> (m.noCol.getOrElse(f, Seq.empty) :+ RowIdCol)).toMap,
+        gens = m.gens, ids = m.ids + (RowIdCol -> 1L),
+        props = m.props + (PropRowTracking -> "true"))
+    })
+    backfillRowIds(spark, root)
+  }
+
+  /** Rewrite exactly the live files that PREDATE [[RowIdCol]] (the
+    * manifest's noCol records them), assigning ids — [[enableRowTracking]]'s
+    * commit 2, public so an interrupted enable can resume. No-op when
+    * every file carries the column. */
+  def backfillRowIds(spark: SparkSession, root: String): Int = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    require(m.ids.contains(RowIdCol),
+      s"row tracking is not enabled at $root")
+    val lacking = m.files.filter(m.noCol.getOrElse(_, Seq.empty)
+      .contains(RowIdCol))
+    if (lacking.isEmpty) return cur
+    import org.apache.spark.sql.functions.{col, monotonically_increasing_id, lit}
+    val v = cur + 1
+    val filled = readSnapshotFiles(spark, root, m, lacking)
+      .withColumn(RowIdCol,
+        (monotonically_increasing_id() + lit(m.ids(RowIdCol))).cast("long"))
+    val added = writeDataFiles(spark, root, filled, v, m.partitionCols,
+      m.physMap)
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
+      m.physMap)
+    commitDelta(spark, root, m, CommitDelta(
+      removedFiles = lacking.toSet, addedFiles = added,
+      addedStats = addedStats, addedRows = addedRows,
+      op = "backfill-row-ids", assignedIds = Set(RowIdCol)))
   }
 
   /** The widening lattice: conversions the parquet vectorized reader
@@ -2203,7 +2395,8 @@ object VersionedTable {
           _.filterNot(_.col == name)).toMap else m.hlls,
         dvs = m.dvs, rows = m.rows, op = "widen-column",
         colMap = m.colMap, maxCid = m.maxCid, checks = m.checks,
-        defaults = m.defaults, noCol = m.noCol, gens = m.gens, ids = m.ids)
+        defaults = m.defaults, noCol = m.noCol, gens = m.gens, ids = m.ids,
+        props = m.props)
     })
 
   /** ADD CONSTRAINT: a named CHECK every row of the table must satisfy
@@ -2466,6 +2659,11 @@ object VersionedTable {
     require(!m.partitionCols.map(Layout.parse).exists(_.source == from),
       s"cannot rename partition column $from: its name is the hive " +
         "directory layout itself — repartition into a new table instead")
+    require(from != RowIdCol ||
+        !m.props.get(PropRowTracking).contains("true"),
+      s"cannot rename $RowIdCol while row tracking is enabled: the " +
+        "engine assigns and preserves it by that name; drop the column " +
+        "to disable tracking first")
     // a CHECK referencing the column would silently stop binding (its
     // expression is name-keyed text) — refuse, like Delta
     m.checks.filter(c => checkRefs(spark, c.expr).contains(from))
@@ -2508,7 +2706,12 @@ object VersionedTable {
       gens = m.gens.map { case (c, e) =>
         (if (c == from) to else c) -> e },
       ids = m.ids.map { case (c, hw) =>
-        (if (c == from) to else c) -> hw })
+        (if (c == from) to else c) -> hw },
+      props = m.props.map {
+        case (PropClusterBy, v) => PropClusterBy ->
+          v.split(",").map(c => if (c == from) to else c).mkString(",")
+        case kv => kv
+      })
   })
 
   /** DROP COLUMN as a METADATA-ONLY commit: the field leaves the logical
@@ -2558,7 +2761,16 @@ object VersionedTable {
       defaults = m.defaults - name,
       noCol = m.noCol.view.mapValues(_.filterNot(_ == name)).toMap
         .filter(_._2.nonEmpty),
-      gens = m.gens - name, ids = m.ids - name)
+      gens = m.gens - name, ids = m.ids - name,
+      // dropping _row_id IS disabling row tracking; a dropped cluster
+      // key leaves the remaining keys as the layout hint
+      props = m.props.flatMap {
+        case (PropRowTracking, _) if name == RowIdCol => None
+        case (PropClusterBy, v) =>
+          val kept = v.split(",").filterNot(_ == name)
+          if (kept.isEmpty) None else Some(PropClusterBy -> kept.mkString(","))
+        case kv => Some(kv)
+      })
   })
 
   /** PARTITION EVOLUTION as a metadata-only commit (the Iceberg
@@ -4127,8 +4339,16 @@ object VersionedTable {
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     if (txn.exists(committedTxns(spark, root).contains)) return cur
     val m = readManifest(spark, root, cur)
-    requireWriteCompatible(m.schemaDdl, source, "merge")
-    import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, col,
+      coalesce, lit, monotonically_increasing_id, max => fmax2}
+    // Row tracking: a source WITHOUT _row_id gets it engine-filled —
+    // matched keys PRESERVE the current row's id (one lookup join over
+    // the same key-pruned slice the vectored pass reads), inserts get
+    // fresh band-assigned ids. A source that supplies _row_id itself
+    // (a round-trip write-back) passes through untouched.
+    val tracked = m.props.get(PropRowTracking).contains("true") &&
+      !source.schema.fieldNames.contains(RowIdCol)
+    if (!tracked) requireWriteCompatible(m.schemaDdl, source, "merge")
     val allKeys = deletes match {
       case Some(d) => source.select(keys.map(col): _*)
         .unionByName(d.select(keys.map(col): _*))
@@ -4144,6 +4364,26 @@ object VersionedTable {
       }
     }.toMap
     val touched = prunedFiles(spark, root, preds, Some(cur))
+    val schemaFields = org.apache.spark.sql.types.StructType
+      .fromDDL(m.schemaDdl).fieldNames.toSeq
+    val source2 =
+      if (!tracked) source
+      else {
+        // max() deduplicates a key present in several files — the merge
+        // vectors ALL its rows away, so the preserved id must be ONE
+        // deterministic survivor
+        val idMap = readSnapshotFiles(spark, root, m, touched)
+          .groupBy(keys.map(col): _*)
+          .agg(fmax2(col(RowIdCol)).as("__graft_cur_rid"))
+        val enriched = source.join(idMap, keys, "left")
+          .withColumn(RowIdCol, coalesce(col("__graft_cur_rid"),
+            (monotonically_increasing_id() + lit(m.ids(RowIdCol)))
+              .cast("long")))
+          .drop("__graft_cur_rid")
+          .select(schemaFields.map(col): _*)
+        requireWriteCompatible(m.schemaDdl, enriched, "merge")
+        enriched
+      }
     val v = cur + 1
     // every matched target row (marked by key equality against the
     // touched keys) is vectored away — a key present in several files
@@ -4155,7 +4395,7 @@ object VersionedTable {
     val (updated, refreshed) = vectoredDmlPass(spark, root, v, m, touched,
       _.join(markKeys, keys, "left")
         .withColumn(DelCol, col("__graft_mk").isNotNull))
-    val added = writeDataFiles(spark, root, source, v, m.partitionCols,
+    val added = writeDataFiles(spark, root, source2, v, m.partitionCols,
       m.physMap)
     enforceChecks(spark, root, m.checks ++ genChecks(m.gens, m.schemaDdl),
       m.schemaDdl, m.partitionCols.nonEmpty, m.physMap, added)
@@ -4164,7 +4404,8 @@ object VersionedTable {
     commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
       addedFiles = added, addedStats = addedStats, addedRows = addedRows,
       dvUpdates = updated, refreshedStats = refreshed,
-      op = "merge-vectored", txn = txn))
+      op = "merge-vectored", txn = txn,
+      assignedIds = if (tracked) Set(RowIdCol) else Set.empty))
   }
 
   /** APPLY CHANGES — fold a CDC changelog into the table with
@@ -4213,7 +4454,14 @@ object VersionedTable {
     // an internal select (the focused rename/rollback race found this)
     locally {
       val have = changes.schema.fieldNames.toSet
-      val lacking = schema.fieldNames.filterNot(have.contains)
+      // under row tracking the engine OWNS _row_id: a CDC feed is not
+      // expected to carry it — the merge below preserves matched keys'
+      // ids and assigns fresh ones to inserts
+      val engineOwned =
+        if (m.props.get(PropRowTracking).contains("true")) Set(RowIdCol)
+        else Set.empty[String]
+      val lacking = schema.fieldNames
+        .filterNot(have.contains).filterNot(engineOwned.contains)
       require(lacking.isEmpty,
         s"applyChanges changes frame must carry every table column " +
           s"(full row images); missing: ${lacking.mkString(", ")} — if a " +
@@ -4285,7 +4533,8 @@ object VersionedTable {
               .select(keys.map(col): _*)))
         case None => (fresh, None)
       }
-      val ordered = ups.select(schema.fieldNames.toSeq.map(col): _*)
+      val ordered = ups.select(schema.fieldNames.toSeq
+        .filter(ups.columns.contains).map(col): _*)
       mergeIntoVectored(spark, root, ordered, keys, deletes = dels, txn = txn)
     } finally { if (needsMat) winners.unpersist(); () }
   }
@@ -4558,7 +4807,8 @@ object VersionedTable {
         // assigned after `to` must never be re-assigned, even though
         // their rows are gone — the head's higher mark wins
         ids = m.ids.map { case (c, hw) =>
-          c -> math.max(hw, head.ids.getOrElse(c, hw)) }))
+          c -> math.max(hw, head.ids.getOrElse(c, hw)) },
+        props = m.props))
   }
 
   /** Compaction as a commit: rewrite the newest version into
@@ -4572,13 +4822,28 @@ object VersionedTable {
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
+    // recorded clustering keys ([[setClusteringKeys]] / [[zorderBy]])
+    // are the DEFAULT layout: a scheduled maintenance compact in a
+    // fresh session preserves the table's clustering without the
+    // caller re-stating it; an explicit clusterBy still overrides
+    val cluster =
+      if (clusterBy.nonEmpty) clusterBy
+      else m.props.get(PropClusterBy)
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    // a recorded CURVE layout (zorderBy) re-optimizes along the curve,
+    // not lexicographically — plain range-clustering would destroy the
+    // multi-dimensional locality the table declared
+    val curve = m.props.get(PropClusterCurve)
+    if (clusterBy.isEmpty && cluster.size >= 2 &&
+        curve.exists(c => c == "morton" || c == "hilbert"))
+      return zorderBy(spark, root, cluster, targetBytes, curve.get)
     val f = fs(spark, new Path(root))
     val bytes = m.files.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     // a DV-bearing table is never a no-op: the rewrite is what
     // MATERIALIZES the vectors (the contract every CoW path carries —
     // compactWhere already had this carve-out)
-    if (clusterBy.isEmpty && target >= m.files.size && m.dvs.isEmpty)
+    if (cluster.isEmpty && target >= m.files.size && m.dvs.isEmpty)
       return cur
     val base = read(spark, root, Some(cur))
     // clustering: range-partition + sort on the cluster key, so each
@@ -4590,10 +4855,10 @@ object VersionedTable {
     // locality: cluster by the precomputed curve key to get 2-D pruning
     // out of 1-D range stats.
     val df =
-      if (clusterBy.isEmpty) base.repartition(target)
+      if (cluster.isEmpty) base.repartition(target)
       else {
         import org.apache.spark.sql.functions.col
-        val ks = clusterBy.map(col)
+        val ks = cluster.map(col)
         base.repartitionByRange(target, ks: _*).sortWithinPartitions(ks: _*)
       }
     val added = writeDataFiles(spark, root, df, cur + 1, m.partitionCols,
@@ -4780,9 +5045,20 @@ object VersionedTable {
       m.physMap)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
       m.physMap)
-    commitDelta(spark, root, m, CommitDelta(
+    val v = commitDelta(spark, root, m, CommitDelta(
       removedFiles = m.files.toSet, addedFiles = added,
       addedStats = addedStats, addedRows = addedRows, op = "zorder"))
+    // record the layout so a FRESH session knows the table is clustered:
+    // compact defaults to these keys, history/properties surface them.
+    // Best-effort separate commit — a raced property change loses
+    // nothing but the record (the data layout is already committed).
+    if (!m.props.get(PropClusterBy).contains(cols.mkString(",")) ||
+        !m.props.get(PropClusterCurve).contains(curve))
+      try {
+        setTableProperty(spark, root, PropClusterBy, cols.mkString(","))
+        setTableProperty(spark, root, PropClusterCurve, curve)
+      } catch { case _: RuntimeException => () }
+    currentVersion(spark, root).getOrElse(v)
   }
 
   /** Incremental compaction — OPTIMIZE scoped by predicate: only files
@@ -5191,7 +5467,7 @@ object VersionedTable {
       op = "clone", colMap = m.colMap, maxCid = m.maxCid,
       checks = m.checks, defaults = m.defaults,
       noCol = m.noCol.map { case (k, cs) => remap.getOrElse(k, k) -> cs },
-      gens = m.gens, ids = m.ids))
+      gens = m.gens, ids = m.ids, props = m.props))
     // back-reference every owning root (a clone OF a clone references
     // the original's files — the marker must land with the owner)
     (abs ++ absDv.values.map(_.dvFile)).flatMap(ownerRootOf).distinct.foreach { owner =>
@@ -5387,7 +5663,7 @@ object VersionedTable {
         dvs = dvs2, rows = rekey(bm.rows), op = s"fast-forward:$name",
         colMap = bm.colMap, maxCid = bm.maxCid, checks = bm.checks,
         defaults = bm.defaults, noCol = rekey(bm.noCol), gens = bm.gens,
-        ids = bm.ids)
+        ids = bm.ids, props = bm.props)
     })
     // back-reference markers with every FOREIGN owner (the branch; for a
     // branch-of-a-clone, the original): their GC must keep what main

@@ -154,6 +154,15 @@ class ConcurrentFuzzSpec extends SparkSpec {
             // IDENTITY column: concurrent ASSIGNING appends now refuse
             // each other — the allocation race is part of the mix
             VersionedTable.addIdentityColumn(spark, root, s"rid_${t}_$k")
+          } else if (roll < 93) {
+            // table property churn: every concurrent writer planned
+            // under the old props must refuse and re-run
+            VersionedTable.setTableProperty(spark, root, s"fuzz.p$t", s"$k")
+          } else if (roll < 94) {
+            // row tracking: first winner adds _row_id + backfills; later
+            // attempts refuse ("already enabled"); racing full-row-image
+            // writers refuse on the schema change like any DDL
+            VersionedTable.enableRowTracking(spark, root)
           } else if (roll < 96) {
             val next = s"pad${t}_$k"
             VersionedTable.renameColumn(spark, root, padName, next)
