@@ -143,6 +143,28 @@ object GraftCatalog {
       },
       defaults = Map("min_orphan_age_ms" -> "3600000")),
 
+    new Proc("vacuum",
+      "retention with a DRY RUN face: what expire(keep_last) would " +
+        "remove — dropped manifests, then data files / DV sidecars " +
+        "referenced only by dropped history (or by nothing: " +
+        "crashed-commit orphans) — with byte accounting from manifests " +
+        "+ one listing. dry_run true (the default) deletes NOTHING; " +
+        "false runs the sweep after computing the report. Shares the " +
+        "retention decision (txn pins, tag pins, clone protection) " +
+        "with expire, so report and sweep cannot disagree",
+      Seq("path" -> StringType, "keep_last" -> IntegerType,
+        "dry_run" -> BooleanType),
+      StructType(Seq(
+        StructField("kind", StringType, nullable = false),
+        StructField("file", StringType, nullable = false),
+        StructField("bytes", LongType, nullable = false))),
+      (spark, in) => VersionedTable.vacuum(spark, str(in, 0),
+        keepLast = in.getInt(1), dryRun = in.getBoolean(2))
+        .map { case (k, p, b) => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(k),
+          org.apache.spark.unsafe.types.UTF8String.fromString(p), b) },
+      defaults = Map("dry_run" -> "true")),
+
     new Proc("expire_older_than",
       "expire versions committed at or before ts_millis, keeping at " +
         "least keep_at_least newest; min_orphan_age_ms as in expire",

@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => EnvelopePrefilter)
     e.injectOptimizerRule(_ => MetaAggregates)
+    // SQL DDL face: ALTER TABLE '<path>' … / OPTIMIZE / VACUUM over
+    // graft tables; every unrecognized statement delegates untouched
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
     GraftExtensions.sqlFunctions.foreach(e.injectFunction)
   }
 }

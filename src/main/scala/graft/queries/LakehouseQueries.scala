@@ -305,8 +305,10 @@ object LakehouseQueries {
         .select(col("event_id"), col("event_type"), col("value"))
       VersionedTable.create(s, root,
         ev.filter(col("event_id") % 3 === 0).repartition(4))          // v1
-      s.sql(s"CALL graft.add_constraint('$root', 'val_cap', " +
-        "'value <= 1000000.0')")                                      // v2
+      // the SQL DDL face (GraftSqlParser): real ALTER TABLE, same
+      // committed contract as CALL graft.add_constraint
+      s.sql(s"ALTER TABLE '$root' ADD CONSTRAINT val_cap " +
+        "CHECK (value <= 1000000.0)")                                 // v2
       VersionedTable.append(s, root,
         ev.filter(col("event_id") % 3 === 1).repartition(2))          // v3
       val hot = ev.filter(col("event_id") % 3 === 2)
@@ -844,6 +846,81 @@ object LakehouseQueries {
           count(when(col("id0") === col("id1"), 1)).as("n_stable"),
           count(when(col("id0").isNull, 1)).as("n_fresh"),
           countDistinct(col("id1")).as("n_distinct"))
+    }),
+
+    // VACUUM with a DRY RUN face: retention planned from manifests +
+    // one listing, deleting NOTHING — the report then provably equals
+    // what the real sweep removes (same retentionPlan, by construction
+    // AND by this oracle: v1 stays time-travel-readable after the dry
+    // run, and the file/manifest counts match the committed history
+    // shape exactly). At 100 TB an operator sizes a GC from the report
+    // (counts + bytes) before any byte moves — the Delta VACUUM DRY RUN
+    // workflow over graft's pinned-retention rules (txn/tag/clone
+    // protection shared with expire, never re-implemented).
+    "q224_vacuum" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_vac_q224")
+      val root = work.resolve("t").toString
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("k"),
+          col("n_name").as("name"))
+      VersionedTable.create(s, root, n.coalesce(1))                  // v1
+      VersionedTable.overwrite(s, root, Tables.region(s, d)
+        .select(col("r_regionkey").cast("long").as("k"),
+          col("r_name").as("name"))
+        .coalesce(1))                                                // v2
+      VersionedTable.append(s, root,
+        n.filter(col("k") % 5 === 0)
+          .select((col("k") + 100L).as("k"), col("name"))
+          .coalesce(1))                                              // v3
+      val rep = s.sql(s"CALL graft.vacuum('$root', 1, true)")
+        .select(col("kind"), col("bytes")).collect()
+      // dry run deleted NOTHING: v1 still time-travels
+      val v1Rows = VersionedTable.read(s, root, Some(1)).count()
+      VersionedTable.vacuum(s, root, keepLast = 1, dryRun = false)
+      import s.implicits._
+      Seq((rep.count(_.getString(0) == "manifest").toLong,
+        rep.count(_.getString(0) == "data").toLong,
+        rep.forall(_.getLong(1) > 0L),
+        v1Rows,
+        VersionedTable.read(s, root).count()))
+        .toDF("n_manifests", "n_data", "bytes_positive", "v1_rows",
+          "rows_after")
+    }),
+
+    // The SQL DDL face end to end (GraftSqlParser): five ALTER forms +
+    // OPTIMIZE run as REAL SQL statements over a quoted-path graft
+    // table — each executing the same committed DDL as its CALL
+    // procedure — and the final aggregate is fully DuckDB-predictable:
+    // the defaulted column substitutes for pre-existing rows, the
+    // generated column computes at read over history, the constraint
+    // refuses the violating append (counted), the rename re-keys, and
+    // the compacted layout changes no answer.
+    "q225_sql_ddl" -> ((s, d) => {
+      import s.implicits._
+      val work = EventsStream.scratchDir("graft_sqlddl_q225")
+      val root = work.resolve("sup").toString
+      val sup = Tables.supplier(s, d).select(col("s_suppkey").as("k"),
+        col("s_acctbal").cast("double").as("bal"))
+      VersionedTable.create(s, root, sup.repartition(2))
+      s.sql(s"ALTER TABLE '$root' ADD COLUMN tier STRING DEFAULT 'std'")
+      s.sql(s"ALTER TABLE '$root' ADD COLUMN bal2 DOUBLE " +
+        "GENERATED ALWAYS AS (bal * 2)")
+      s.sql(s"ALTER TABLE '$root' ADD CONSTRAINT bal_cap " +
+        "CHECK (bal < 1e9)")
+      val refused =
+        try {
+          VersionedTable.append(s, root, Seq((0L, 2e9, "x", 4e9))
+            .toDF("k", "bal", "tier", "bal2").coalesce(1)); 0L
+        } catch { case _: IllegalArgumentException => 1L }
+      s.sql(s"ALTER TABLE '$root' RENAME COLUMN tier TO grade")
+      s.sql(s"ALTER TABLE '$root' SET TBLPROPERTIES ('owner' = 'etl')")
+      s.sql(s"OPTIMIZE '$root'")
+      VersionedTable.read(s, root).groupBy(col("grade"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("bal2").cast("decimal(18,2)")).cast("double")
+            .as("sum_bal2"))
+        .select(col("grade"), col("n"), col("sum_bal2"),
+          lit(refused).as("refused"))
     }),
 
     "q208_sql_txn" -> ((s, d) => {
@@ -1736,6 +1813,23 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q224_vacuum" ->
+      """WITH nc AS (SELECT count(*) AS c FROM nation),
+              rc AS (SELECT count(*) AS c FROM region),
+              ac AS (SELECT count(*) AS c FROM nation
+                     WHERE n_nationkey % 5 = 0)
+         SELECT 2::BIGINT AS n_manifests, 1::BIGINT AS n_data,
+                true AS bytes_positive, nc.c::BIGINT AS v1_rows,
+                (rc.c + ac.c)::BIGINT AS rows_after
+         FROM nc, rc, ac""",
+
+    "q225_sql_ddl" ->
+      """SELECT 'std' AS grade, count(*)::BIGINT AS n,
+                CAST(sum(CAST(CAST(s_acctbal AS DOUBLE) * 2
+                  AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal2,
+                1::BIGINT AS refused
+         FROM supplier GROUP BY 1""",
 
     "q223_row_tracking" ->
       """WITH c AS (SELECT c_custkey AS k FROM customer),

@@ -1351,6 +1351,9 @@ object VersionedTable {
       // commits that merely carry SUPPLIED values rebase freely (the
       // mark auto-advances past their stats either way)
       assignedIds: Set[String] = Set.empty,
+      // table-property updates riding the SAME commit (zorderBy records
+      // its layout atomically with the rewrite — never a second version)
+      propUpdates: Map[String, String] = Map.empty,
       // INDEX deltas: per-file, per-column metadata merges (indexSums /
       // indexBloom / indexHll / reindex). They read file CONTENT but
       // replace nothing, so their footprint is empty and they rebase
@@ -1439,7 +1442,7 @@ object VersionedTable {
         m.rows.view.filterKeys(!gone(_)).toMap ++ delta.addedRows,
         delta.op, m.colMap, m.maxCid, m.checks, m.defaults,
         m.noCol.view.filterKeys(!gone(_)).toMap, m.gens, idAdvance(m.ids),
-        m.props)
+        m.props ++ delta.propUpdates)
       try { writeManifest(spark, root, manifest, Some(m)); return v }
       catch {
         case e: java.io.IOException
@@ -5045,20 +5048,13 @@ object VersionedTable {
       m.physMap)
     val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
       m.physMap)
-    val v = commitDelta(spark, root, m, CommitDelta(
+    // the layout RECORD rides the same commit (a fresh session's
+    // compact then defaults to these keys; properties surface them)
+    commitDelta(spark, root, m, CommitDelta(
       removedFiles = m.files.toSet, addedFiles = added,
-      addedStats = addedStats, addedRows = addedRows, op = "zorder"))
-    // record the layout so a FRESH session knows the table is clustered:
-    // compact defaults to these keys, history/properties surface them.
-    // Best-effort separate commit — a raced property change loses
-    // nothing but the record (the data layout is already committed).
-    if (!m.props.get(PropClusterBy).contains(cols.mkString(",")) ||
-        !m.props.get(PropClusterCurve).contains(curve))
-      try {
-        setTableProperty(spark, root, PropClusterBy, cols.mkString(","))
-        setTableProperty(spark, root, PropClusterCurve, curve)
-      } catch { case _: RuntimeException => () }
-    currentVersion(spark, root).getOrElse(v)
+      addedStats = addedStats, addedRows = addedRows, op = "zorder",
+      propUpdates = Map(PropClusterBy -> cols.mkString(","),
+        PropClusterCurve -> curve)))
   }
 
   /** Incremental compaction — OPTIMIZE scoped by predicate: only files
@@ -5142,19 +5138,22 @@ object VersionedTable {
     * sweeps immediately; deployments running expire CONCURRENTLY with
     * writers should set it comfortably above their longest commit
     * (Delta's deleted-file-retention default solves the same race). */
-  def expire(spark: SparkSession, root: String, keepLast: Int,
-             minOrphanAgeMillis: Long = 0L): (Int, Int) = {
-    require(keepLast >= 1, "must keep at least the newest version")
+  /** What [[expire]]`(keepLast)` WOULD retire: (versions to drop,
+    * versions kept, kept manifests). ONE definition of the retention
+    * decision — txn pins (a live transaction of a registered catalog
+    * keeps its version readable), tag pins (a tagged version survives
+    * until the tag is dropped), then age — shared by expire (the
+    * deleter) and [[vacuum]]'s dry run (the reporter), so the report
+    * can never disagree with the sweep. */
+  private def retentionPlan(spark: SparkSession, root: String,
+                            keepLast: Int, f: FileSystem)
+      : (Seq[Int], Seq[Int], Seq[Manifest]) = {
     val vs = versions(spark, root)
-    val f = fs(spark, new Path(root))
     // transaction-catalog back-references: a version PINNED by a live txn
     // of a registered catalog stays fully readable — manifest and files —
     // no matter how old; GC of pinned history goes through the CATALOG's
     // own expire first (drop the txn, then the table version ages out).
-    // A marker whose catalog no longer exists is retired. Without this,
-    // a table-level expire would silently break every snapshot reader
-    // resolving through an older transaction — the cross-layer twin of
-    // the clone-marker rule below.
+    // A marker whose catalog no longer exists is retired.
     val pinned: Set[Int] =
       if (!f.exists(logDir(root))) Set.empty
       else f.listStatus(logDir(root)).map(_.getPath)
@@ -5185,7 +5184,53 @@ object VersionedTable {
     val (dropAged, keepTail) = vs.splitAt(math.max(0, vs.size - keepLast))
     val drop = dropAged.filterNot(keepVersion)
     val keep = keepTail ++ dropAged.filter(keepVersion)
-    val keptManifests = keep.map(v => readManifest(spark, root, v))
+    (drop, keep, keep.map(v => readManifest(spark, root, v)))
+  }
+
+  /** VACUUM with a DRY RUN face: what retention at `keepLast` would
+    * remove — dropped version manifests, then every data file and DV
+    * sidecar referenced ONLY by the dropped history (or by nothing at
+    * all: crashed-commit orphans) — with byte accounting, computed from
+    * manifests + one directory listing, deleting NOTHING. Rows are
+    * (kind ∈ manifest|data|dv, root-relative path, bytes).
+    * `dryRun = false` runs [[expire]] with the same retention after
+    * computing the report, so the caller sees exactly what was swept —
+    * the two can't disagree because [[retentionPlan]] is shared. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int,
+             dryRun: Boolean = true): Seq[(String, String, Long)] = {
+    require(keepLast >= 1, "must keep at least the newest version")
+    val f = fs(spark, new Path(root))
+    val (drop, _, keptManifests) = retentionPlan(spark, root, keepLast, f)
+    val live = keptManifests.flatMap(_.files).toSet
+    val liveDv = keptManifests.flatMap(_.dvs.values.map(_.dvFile)).toSet
+    val cloneLive = cloneProtected(spark, root, f)
+    def candidates(dir: Path, kind: String,
+                   isLive: String => Boolean): Seq[(String, String, Long)] =
+      if (!f.exists(dir)) Seq.empty
+      else {
+        val base = f.makeQualified(dir).toUri.getPath
+        walkFiles(f, dir).flatMap { p =>
+          val full = f.makeQualified(p).toUri.getPath
+          val rel = kind + full.stripPrefix(base)
+          if (isLive(rel) || cloneLive.contains(full)) None
+          else Some((kind, rel, f.getFileStatus(p).getLen))
+        }
+      }
+    val report =
+      drop.map(v => ("manifest", f"_log/v$v%08d.manifest.json",
+        scala.util.Try(f.getFileStatus(manifestPath(root, v)).getLen)
+          .getOrElse(0L))) ++
+        candidates(dataDir(root), "data", live.contains) ++
+        candidates(dvDir(root), "dv", liveDv.contains)
+    if (!dryRun) expire(spark, root, keepLast)
+    report.sortBy(r => (r._1, r._2))
+  }
+
+  def expire(spark: SparkSession, root: String, keepLast: Int,
+             minOrphanAgeMillis: Long = 0L): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the newest version")
+    val f = fs(spark, new Path(root))
+    val (drop, keep, keptManifests) = retentionPlan(spark, root, keepLast, f)
     val live = keptManifests.flatMap(_.files).toSet
     val liveDv = keptManifests.flatMap(_.dvs.values.map(_.dvFile)).toSet
     // delta chains must not dangle: any surviving version whose parent
