@@ -536,6 +536,25 @@ object GraftCatalog {
             org.apache.spark.unsafe.types.UTF8String.fromString(hi), ndv) },
       defaults = Map("columns" -> "''")),
 
+    new Proc("histogram",
+      "equi-width histogram for a numeric column from MANIFEST stats " +
+        "alone (zero data scanned): each file's non-null rows spread " +
+        "uniformly over its recorded [lo, hi], overlap-weighted into " +
+        "equal slices of the global range — exact under a " +
+        "range-clustered layout, graceful toward uniform otherwise; " +
+        "DV-bearing files contribute survivor counts",
+      Seq("path" -> StringType, "column" -> StringType,
+        "buckets" -> IntegerType),
+      StructType(Seq(
+        StructField("bucket", IntegerType, nullable = false),
+        StructField("lo", DoubleType, nullable = false),
+        StructField("hi", DoubleType, nullable = false),
+        StructField("est_rows", DoubleType, nullable = false))),
+      (spark, in) => VersionedTable.histogramOf(spark, str(in, 0),
+        str(in, 1), in.getInt(2))
+        .map { case (b, l, h, e) => InternalRow(b, l, h, e) },
+      defaults = Map("buckets" -> "16")),
+
     new Proc("alter_column_nullability",
       "ALTER COLUMN SET/DROP NOT NULL: loosening is pure metadata; " +
         "tightening proves no live NULL from recorded per-file null " +

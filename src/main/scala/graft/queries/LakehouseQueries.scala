@@ -923,6 +923,38 @@ object LakehouseQueries {
           lit(refused).as("refused"))
     }),
 
+    // METADATA-ONLY histogram (the zone-map equi-width construction):
+    // three range-disjoint files (thresholds derived from the data, so
+    // every SF produces non-empty files), then CALL-equivalent
+    // histogramOf spreads each file's rows uniformly over its recorded
+    // [lo, hi] into 8 global buckets — zero data scanned. The oracle
+    // replays the identical spread formula from the same three ranges,
+    // so the hash proves the implementation, not just the shape. This
+    // is the CBO input q172's sketch estimate complements: selectivity
+    // of a range predicate ≈ its buckets' mass, exact under the
+    // range-clustered layouts compact(clusterBy)/zorder produce.
+    "q226_histogram" -> ((s, d) => {
+      import s.implicits._
+      val work = EventsStream.scratchDir("graft_hist_q226")
+      val root = work.resolve("cust").toString
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_acctbal").cast("double").as("bal"))
+      val mk = c.agg(max(col("k"))).head.getLong(0)
+      val (t1, t2) = (mk / 5, mk / 2)
+      VersionedTable.create(s, root,
+        c.filter(col("k") <= t1).coalesce(1))
+      VersionedTable.append(s, root,
+        c.filter(col("k") > t1 && col("k") <= t2).coalesce(1))
+      VersionedTable.append(s, root,
+        c.filter(col("k") > t2).coalesce(1))
+      VersionedTable.histogramOf(s, root, "k", 8)
+        .toDF("bucket", "lo", "hi", "est_rows")
+        .select(col("bucket"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"),
+          round(col("est_rows"), 6).as("est_rows"))
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -1813,6 +1845,35 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q226_histogram" ->
+      """WITH mx AS (SELECT max(c_custkey) AS mk FROM customer),
+              f AS (
+                SELECT min(c_custkey)::DOUBLE AS flo,
+                       max(c_custkey)::DOUBLE AS fhi,
+                       count(*)::DOUBLE AS n
+                FROM customer, mx WHERE c_custkey <= mk // 5
+                UNION ALL
+                SELECT min(c_custkey)::DOUBLE, max(c_custkey)::DOUBLE,
+                       count(*)::DOUBLE
+                FROM customer, mx
+                WHERE c_custkey > mk // 5 AND c_custkey <= mk // 2
+                UNION ALL
+                SELECT min(c_custkey)::DOUBLE, max(c_custkey)::DOUBLE,
+                       count(*)::DOUBLE
+                FROM customer, mx WHERE c_custkey > mk // 2),
+              g AS (SELECT min(flo) AS lo,
+                           (max(fhi) - min(flo)) / 8 AS w FROM f),
+              b AS (SELECT i::INT AS bucket, lo + w * i AS bl,
+                           lo + w * (i + 1) AS bh
+                    FROM g, range(8) t(i)),
+              e AS (SELECT bucket, bl, bh,
+                           sum(n * greatest(0, least(bh, fhi) -
+                               greatest(bl, flo)) / (fhi - flo)) AS est
+                    FROM b, f GROUP BY 1, 2, 3)
+         SELECT bucket, round(bl, 6) AS lo, round(bh, 6) AS hi,
+                round(est, 6) AS est_rows
+         FROM e""",
 
     "q224_vacuum" ->
       """WITH nc AS (SELECT count(*) AS c FROM nation),

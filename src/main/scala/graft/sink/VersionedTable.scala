@@ -3734,6 +3734,68 @@ object VersionedTable {
     }
   }
 
+  /** EQUI-WIDTH HISTOGRAM for a numeric column from MANIFEST stats
+    * alone — zero data scanned: each live file's non-null rows spread
+    * UNIFORMLY over its recorded [lo, hi] (the standard zone-map
+    * histogram; a file with lo == hi is a point mass), contributions
+    * overlap-weighted into `buckets` equal slices of the global range.
+    * Rows are (bucket, bucket_lo, bucket_hi, est_rows). Feeds
+    * selectivity / join-size estimation (the CBO story [[analyzeTable]]
+    * starts): the estimate is exact when files are range-clustered on
+    * the column (compact(clusterBy)/zorder make precisely that layout)
+    * and degrades gracefully toward uniform for scattered layouts.
+    * DV-bearing files contribute their SURVIVOR count (footer rows
+    * minus vectored positions) — over-approximate per bucket, never
+    * under. Refuses (never guesses) when a live file lacks a recorded
+    * numeric stat or null count for the column. */
+  def histogramOf(spark: SparkSession, root: String, column: String,
+                  buckets: Int): Seq[(Int, Double, Double, Double)] = {
+    require(buckets >= 1, "need at least one bucket")
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    require(org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      .fieldNames.contains(column), s"no column $column in [${m.schemaDdl}]")
+    val perFile = m.files.flatMap { f =>
+      val live = m.rows.getOrElse(f,
+        throw new IllegalArgumentException(s"file $f has no row count")) -
+        m.dvs.get(f).map(_.card).getOrElse(0L)
+      if (live <= 0) None // fully-vectored: contributes nothing, needs no stat
+      else {
+        val s = m.stats.getOrElse(f, Seq.empty).find(_.col == column)
+          .getOrElse(throw new IllegalArgumentException(
+            s"file $f has no recorded stat for $column — reindex or " +
+              "compact before asking for a histogram"))
+        require(s.typ == "long" || s.typ == "double",
+          s"histogram needs a numeric column; $column is '${s.typ}'")
+        require(s.nulls >= 0,
+          s"file $f recorded no null count for $column")
+        Some((s.lo.toDouble, s.hi.toDouble,
+          math.max(0L, live - s.nulls).toDouble))
+      }
+    }.filter(_._3 > 0)
+    if (perFile.isEmpty)
+      return (0 until buckets).map(i => (i, 0.0, 0.0, 0.0))
+    val lo = perFile.map(_._1).min
+    val hi = perFile.map(_._2).max
+    val width = (hi - lo) / buckets
+    val est = Array.fill(buckets)(0.0)
+    perFile.foreach { case (flo, fhi, n) =>
+      if (fhi == flo || width == 0.0) {
+        val i = if (width == 0.0) 0
+          else math.min(buckets - 1, ((flo - lo) / width).toInt)
+        est(i) += n
+      } else (0 until buckets).foreach { i =>
+        val bl = lo + width * i
+        val bh = lo + width * (i + 1)
+        val ov = math.max(0.0, math.min(bh, fhi) - math.max(bl, flo))
+        if (ov > 0) est(i) += n * ov / (fhi - flo)
+      }
+    }
+    (0 until buckets).map(i =>
+      (i, lo + width * i, lo + width * (i + 1), est(i)))
+  }
+
   /** REPLACE WHERE — predicate-scoped atomic overwrite (Delta's
     * `replaceWhere`, Iceberg's overwrite-by-filter): ONE commit drops
     * every existing row inside the range region and lands `df`'s rows in

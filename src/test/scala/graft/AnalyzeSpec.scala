@@ -43,4 +43,39 @@ class AnalyzeSpec extends SparkSpec {
       .as[(String, Long, Long, String, String, Long)].collect()
     assert(rows.head._2 == 900L)
   }
+
+  test("histogram: zone-map spread, exact under a range-clustered layout") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft_an_hist").resolve("t").toString
+    import spark.implicits._
+    // three disjoint files: [0,99], [100,199], [200,399] — twice the mass
+    // in the last file's span
+    VersionedTable.create(spark, root,
+      (0L until 100L).map(k => (k, "a")).toDF("id", "s").coalesce(1))
+    VersionedTable.append(spark, root,
+      (100L until 200L).map(k => (k, "b")).toDF("id", "s").coalesce(1))
+    VersionedTable.append(spark, root,
+      (200L until 400L).map(k => (k, "c")).toDF("id", "s").coalesce(1))
+    val h = VersionedTable.histogramOf(spark, root, "id", 4)
+    assert(h.map(_._1) == Seq(0, 1, 2, 3))
+    assert(h.head._2 == 0.0 && h.last._3 == 399.0)
+    // each ~100-wide bucket holds ~100 rows (uniform data): within 5%
+    h.foreach { case (_, _, _, est) =>
+      assert(math.abs(est - 100.0) < 5.0, s"got $h") }
+    assert(math.abs(h.map(_._4).sum - 400.0) < 1e-6, "mass is conserved")
+    // a vectored delete shifts mass via survivor counts (file-granular)
+    VersionedTable.deleteWhereVectored(spark, root,
+      Map("id" -> (Some(0L): Option[Any], Some(99L): Option[Any])),
+      col("id") <= 99L)
+    val h2 = VersionedTable.histogramOf(spark, root, "id", 4)
+    assert(h2.head._2 == 100.0,
+      s"a fully-vectored file contributes nothing — range starts at the " +
+        s"survivors: $h2")
+    assert(math.abs(h2.map(_._4).sum - 300.0) < 1e-6)
+    // the SQL face; string columns refuse instead of guessing
+    assert(spark.sql(s"CALL graft.histogram('$root', 'id', 4)").count() == 4)
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.histogramOf(spark, root, "s", 4)
+    }.getMessage.contains("numeric"))
+  }
 }
