@@ -407,6 +407,35 @@ object GraftCatalog {
         .map { case (n, hw) => org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(n), hw) }),
 
+    new Proc("detail",
+      "DESCRIBE DETAIL: one operational summary row from the manifest " +
+        "+ one listing — version, live files/bytes/rows (DV-aware), " +
+        "partition layout, clustering keys/curve, row tracking, and " +
+        "the contract counts. Zero data scanned",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("num_files", LongType, nullable = false),
+        StructField("total_bytes", LongType, nullable = false),
+        StructField("num_rows", LongType, nullable = false),
+        StructField("partition_cols", StringType, nullable = false),
+        StructField("cluster_by", StringType, nullable = false),
+        StructField("cluster_curve", StringType, nullable = false),
+        StructField("row_tracking", BooleanType, nullable = false),
+        StructField("n_checks", IntegerType, nullable = false),
+        StructField("n_defaults", IntegerType, nullable = false),
+        StructField("n_generated", IntegerType, nullable = false),
+        StructField("n_identity", IntegerType, nullable = false),
+        StructField("n_properties", IntegerType, nullable = false))),
+      (spark, in) => {
+        val d = VersionedTable.detailOf(spark, str(in, 0))
+        Seq(InternalRow(d._1, d._2, d._3, d._4,
+          org.apache.spark.unsafe.types.UTF8String.fromString(d._5),
+          org.apache.spark.unsafe.types.UTF8String.fromString(d._6),
+          org.apache.spark.unsafe.types.UTF8String.fromString(d._7),
+          d._8, d._9, d._10, d._11, d._12, d._13))
+      }),
+
     new Proc("set_property",
       "SET a table property (metadata-only commit; the tblproperties " +
         "analog). Engine keys validate: graft.clusterBy must name live " +

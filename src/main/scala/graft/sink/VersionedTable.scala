@@ -2210,6 +2210,31 @@ object VersionedTable {
         props = m.props - key, txn = None)
     })
 
+  /** DESCRIBE DETAIL — the one-row operational summary (Delta's
+    * describe detail analog), from the manifest + one file listing:
+    * current version, live file count and bytes, exact live rows
+    * (DV-aware via [[metaRowCount]]), the partition layout, recorded
+    * clustering keys/curve, row-tracking state, and the contract counts
+    * (checks/defaults/gens/ids/props). Zero data scanned. */
+  def detailOf(spark: SparkSession, root: String)
+      : (Int, Long, Long, Long, String, String, String, Boolean,
+         Int, Int, Int, Int, Int) = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val f = fs(spark, new Path(root))
+    val bytes = m.files.map(p =>
+      f.getFileStatus(new Path(root, p)).getLen).sum
+    (cur, m.files.size.toLong, bytes,
+      metaRowCount(spark, root).getOrElse(-1L),
+      m.partitionCols.mkString(","),
+      m.props.getOrElse(PropClusterBy, ""),
+      m.props.getOrElse(PropClusterCurve, ""),
+      m.props.get(PropRowTracking).contains("true"),
+      m.checks.size, m.defaults.size, m.gens.size, m.ids.size,
+      m.props.size)
+  }
+
   /** The table's properties at the current version — the inspection
     * face of [[setTableProperty]]. */
   def propertiesOf(spark: SparkSession, root: String): Map[String, String] = {

@@ -98,6 +98,35 @@ class RowTrackingSpec extends SparkSpec {
       .select("v").as[String].head() == "a2")
   }
 
+  test("the change feed pairs an update's delete/insert images by _row_id") {
+    // the contract row tracking exists FOR: a CDF consumer sees a CoW
+    // update as remove-old + insert-new at one version, and the shared
+    // _row_id — not any natural key — is what pairs the two images
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v").coalesce(1))
+    VersionedTable.enableRowTracking(spark, root)
+    val vTracked = VersionedTable.currentVersion(spark, root).get
+    VersionedTable.updateWhereVectored(spark, root,
+      Map("k" -> (Some(2L): Option[Any], Some(2L): Option[Any])),
+      col("k") === 2L, Map("v" -> (col("v") + 1000)))
+    val vUpd = VersionedTable.currentVersion(spark, root).get
+    val feed = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", vUpd.toString).load(root)
+      .select(col(RowIdCol), col("k"), col("v"), col("_change_type"))
+      .as[(Long, Long, Double, String)].collect()
+    val dels = feed.filter(_._4 == "delete")
+    val ins = feed.filter(_._4 == "insert")
+    assert(dels.map(r => (r._2, r._3)).toSet == Set((2L, 20.0)))
+    assert(ins.map(r => (r._2, r._3)).toSet == Set((2L, 1020.0)))
+    assert(dels.head._1 == ins.head._1,
+      "the update's two images must share ONE _row_id")
+    // ids assigned by the enable are visible from the tracked version on
+    assert(VersionedTable.read(spark, root, Some(vTracked))
+      .select(RowIdCol).as[Long].collect().toSet.size == 3)
+  }
+
   test("properties: faces, survival, rename re-keys, drop disables") {
     val root = freshRoot()
     VersionedTable.create(spark, root,
