@@ -145,25 +145,29 @@ object GraftCatalog {
 
     new Proc("vacuum",
       "retention with a DRY RUN face: what expire(keep_last) would " +
-        "remove — dropped manifests, then data files / DV sidecars " +
-        "referenced only by dropped history (or by nothing: " +
-        "crashed-commit orphans) — with byte accounting from manifests " +
-        "+ one listing. dry_run true (the default) deletes NOTHING; " +
-        "false runs the sweep after computing the report. Shares the " +
-        "retention decision (txn pins, tag pins, clone protection) " +
-        "with expire, so report and sweep cannot disagree",
+        "remove — dropped manifests + their checkpoints, then data " +
+        "files / DV sidecars referenced only by dropped history (or by " +
+        "nothing: crashed-commit orphans) — with byte accounting from " +
+        "manifests + one listing. keep_last 0 (the default) keeps ALL " +
+        "history (orphans only); dry_run true (the default) deletes " +
+        "NOTHING; min_orphan_age_ms (default 1h) protects a concurrent " +
+        "writer's staged files like expire's. Shares the retention " +
+        "decision (txn/tag pins, clone protection) with expire, so " +
+        "report and sweep cannot disagree",
       Seq("path" -> StringType, "keep_last" -> IntegerType,
-        "dry_run" -> BooleanType),
+        "dry_run" -> BooleanType, "min_orphan_age_ms" -> LongType),
       StructType(Seq(
         StructField("kind", StringType, nullable = false),
         StructField("file", StringType, nullable = false),
         StructField("bytes", LongType, nullable = false))),
       (spark, in) => VersionedTable.vacuum(spark, str(in, 0),
-        keepLast = in.getInt(1), dryRun = in.getBoolean(2))
+        keepLast = in.getInt(1), dryRun = in.getBoolean(2),
+        minOrphanAgeMillis = in.getLong(3))
         .map { case (k, p, b) => InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(k),
           org.apache.spark.unsafe.types.UTF8String.fromString(p), b) },
-      defaults = Map("dry_run" -> "true")),
+      defaults = Map("keep_last" -> "0", "dry_run" -> "true",
+        "min_orphan_age_ms" -> "3600000")),
 
     new Proc("expire_older_than",
       "expire versions committed at or before ts_millis, keeping at " +
@@ -531,7 +535,17 @@ object GraftCatalog {
                   case Some(FloatType | DoubleType) => x.toDouble
                   case Some(DateType) => scala.util.Try(x.toLong: Any)
                     .getOrElse(java.time.LocalDate.parse(x).toEpochDay)
-                  case Some(TimestampType) => x.toLong
+                  case Some(TimestampType) =>
+                    // epoch micros, or ISO instant / space- or
+                    // T-separated local datetime (read as UTC) — the
+                    // same tolerance the date branch has
+                    scala.util.Try(x.toLong: Any).getOrElse {
+                      val inst = scala.util.Try(java.time.Instant.parse(x))
+                        .getOrElse(java.time.LocalDateTime
+                          .parse(x.replace(' ', 'T'))
+                          .toInstant(java.time.ZoneOffset.UTC))
+                      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+                    }
                   case _ => x // string & others: the value as written
                 }
               }

@@ -872,7 +872,7 @@ object LakehouseQueries {
         n.filter(col("k") % 5 === 0)
           .select((col("k") + 100L).as("k"), col("name"))
           .coalesce(1))                                              // v3
-      val rep = s.sql(s"CALL graft.vacuum('$root', 1, true)")
+      val rep = s.sql(s"CALL graft.vacuum('$root', 1, true, 0)")
         .select(col("kind"), col("bytes")).collect()
       // dry run deleted NOTHING: v1 still time-travels
       val v1Rows = VersionedTable.read(s, root, Some(1)).count()

@@ -1229,7 +1229,7 @@ object VersionedTable {
     * between refuses the stale rewrite instead of being silently
     * replaced. An overwrite resets the column mapping with the data —
     * every file is new, so logical names ARE physical again. */
-  private def commit(spark: SparkSession, root: String, df: DataFrame,
+  private def commit(spark: SparkSession, root: String, df0: DataFrame,
                      txn: Option[Long] = None,
                      baseVersion: Option[Int] = None,
                      partitionCols: Seq[String] = Seq.empty,
@@ -1242,6 +1242,20 @@ object VersionedTable {
     // with none)
     val curM = cur.map(readManifest(spark, root, _))
     val checks = curM.map(_.checks).getOrElse(Seq.empty)
+    // ROW TRACKING survives an overwrite: the content is new rows, so
+    // the engine assigns NEW ids (the documented contract) rather than
+    // silently dropping the marker because the business frame doesn't
+    // carry the engine-owned column. A frame that DOES supply _row_id
+    // (a round-trip write-back) passes through untouched.
+    val df = curM match {
+      case Some(mm) if mm.props.get(PropRowTracking).contains("true") &&
+          !df0.schema.fieldNames.contains(RowIdCol) =>
+        import org.apache.spark.sql.functions.{lit, monotonically_increasing_id}
+        df0.withColumn(RowIdCol,
+          (monotonically_increasing_id() +
+            lit(mm.ids.getOrElse(RowIdCol, 1L))).cast("long"))
+      case _ => df0
+    }
     // DEFAULTS are table metadata like checks: an overwrite replaces the
     // data, not the write-default contract (new files carry every column
     // physically, so no noCol entries are needed). GENERATED columns
@@ -2172,31 +2186,46 @@ object VersionedTable {
     * contract would claim tracking the writers can't honor). */
   def setTableProperty(spark: SparkSession, root: String, key: String,
                        value: String): Int =
+    setTableProperties(spark, root, Seq(key -> value))
+
+  /** SET several properties in ONE metadata commit — single-statement
+    * atomicity for the multi-pair TBLPROPERTIES SQL form: either every
+    * pair validates and lands together, or nothing commits (a refusal
+    * mid-list must never leave the statement half-applied). */
+  def setTableProperties(spark: SparkSession, root: String,
+                         pairs: Seq[(String, String)]): Int = {
+    require(pairs.nonEmpty, "no properties to set")
     commitMetaTransform(spark, root, { m =>
-      require(key.trim.nonEmpty, "property key must be non-empty")
-      require(key != PropRowTracking,
-        s"$PropRowTracking is engine-managed: use enableRowTracking " +
-          "(it adds the id column, contract and backfill together)")
-      if (key == PropClusterBy) {
-        val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-        val cols = value.split(",").map(_.trim).filter(_.nonEmpty)
-        require(cols.nonEmpty, s"$PropClusterBy needs at least one column")
-        val missing = cols.filterNot(schema.fieldNames.contains)
-        require(missing.isEmpty,
-          s"$PropClusterBy names unknown column(s): ${missing.mkString(", ")}")
-        val parts = m.partitionCols.map(Layout.parse(_).source).toSet
-        val overlap = cols.filter(parts.contains)
-        require(overlap.isEmpty,
-          s"$PropClusterBy must not repeat partition column(s): " +
-            s"${overlap.mkString(", ")} — the hive layout already " +
-            "co-locates them")
-      }
-      if (key == PropClusterCurve)
-        require(value == "morton" || value == "hilbert" || value == "lex",
-          s"unknown $PropClusterCurve '$value' (morton | hilbert | lex)")
-      m.copy(version = m.version + 1, op = s"set-property:$key",
-        props = m.props + (key -> value), txn = None)
+      pairs.foreach { case (key, value) => validateProp(m, key, value) }
+      val keys = pairs.map(_._1).mkString(",")
+      m.copy(version = m.version + 1, op = s"set-property:$keys",
+        props = m.props ++ pairs, txn = None)
     })
+  }
+
+  private def validateProp(m: Manifest, key: String, value: String): Unit = {
+    require(key.trim.nonEmpty, "property key must be non-empty")
+    require(key != PropRowTracking,
+      s"$PropRowTracking is engine-managed: use enableRowTracking " +
+        "(it adds the id column, contract and backfill together)")
+    if (key == PropClusterBy) {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      val cols = value.split(",").map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty, s"$PropClusterBy needs at least one column")
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"$PropClusterBy names unknown column(s): ${missing.mkString(", ")}")
+      val parts = m.partitionCols.map(Layout.parse(_).source).toSet
+      val overlap = cols.filter(parts.contains)
+      require(overlap.isEmpty,
+        s"$PropClusterBy must not repeat partition column(s): " +
+          s"${overlap.mkString(", ")} — the hive layout already " +
+          "co-locates them")
+    }
+    if (key == PropClusterCurve)
+      require(value == "morton" || value == "hilbert" || value == "lex",
+        s"unknown $PropClusterCurve '$value' (morton | hilbert | lex)")
+  }
 
   /** UNSET a table property (metadata-only; unknown keys are a no-op
     * refusal so a typo never silently "succeeds"). Unsetting
@@ -2204,11 +2233,23 @@ object VersionedTable {
     * dropColumn(_row_id) removes both. */
   def unsetTableProperty(spark: SparkSession, root: String,
                          key: String): Int =
+    unsetTableProperties(spark, root, Seq(key))
+
+  /** UNSET several properties in ONE metadata commit — same
+    * single-statement atomicity as [[setTableProperties]]; any unknown
+    * key refuses the whole list (a typo never silently "succeeds"). */
+  def unsetTableProperties(spark: SparkSession, root: String,
+                           keys: Seq[String]): Int = {
+    require(keys.nonEmpty, "no properties to unset")
     commitMetaTransform(spark, root, { m =>
-      require(m.props.contains(key), s"no property $key on this table")
-      m.copy(version = m.version + 1, op = s"unset-property:$key",
-        props = m.props - key, txn = None)
+      val missing = keys.filterNot(m.props.contains)
+      require(missing.isEmpty,
+        s"no property ${missing.mkString(", ")} on this table")
+      m.copy(version = m.version + 1,
+        op = s"unset-property:${keys.mkString(",")}",
+        props = m.props -- keys, txn = None)
     })
+  }
 
   /** DESCRIBE DETAIL — the one-row operational summary (Delta's
     * describe detail analog), from the manifest + one file listing:
@@ -2284,17 +2325,17 @@ object VersionedTable {
     * is the only full-rewrite; steady-state cost is one BIGINT column
     * and the merge-side lookup join over the key-pruned slice. */
   def enableRowTracking(spark: SparkSession, root: String): Int = {
-    val cur = currentVersion(spark, root)
-      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
-    val m0 = readManifest(spark, root, cur)
-    require(!m0.props.get(PropRowTracking).contains("true"),
-      s"row tracking is already enabled at $root")
-    require(!org.apache.spark.sql.types.StructType.fromDDL(m0.schemaDdl)
-        .fieldNames.contains(RowIdCol),
-      s"column $RowIdCol already exists: drop or rename it first — the " +
-        "engine owns that name under row tracking")
     commitMetaTransform(spark, root, { m =>
+      // validation lives INSIDE the transform: commitMetaTransform
+      // re-applies the lambda on a lost CAS, and a loser re-applying
+      // over the winner's manifest must REFUSE here — not append a
+      // duplicate _row_id field and reset the id high-water
+      require(!m.props.get(PropRowTracking).contains("true"),
+        s"row tracking is already enabled at $root")
       val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+      require(!schema.fieldNames.contains(RowIdCol),
+        s"column $RowIdCol already exists: drop or rename it first — " +
+          "the engine owns that name under row tracking")
       val widened = schema.add(RowIdCol, "bigint", nullable = true)
       val (cm2, maxCid2) = extendColMap(m, RowIdCol)
       Manifest(m.version + 1, widened.toDDL, m.files,
@@ -4920,6 +4961,14 @@ object VersionedTable {
       if (clusterBy.nonEmpty) clusterBy
       else m.props.get(PropClusterBy)
         .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    // a PARAMETERLESS maintenance compact on a property-clustered table
+    // no-ops when the head commit IS already the clustering rewrite
+    // (nothing landed since): an hourly OPTIMIZE loop must not
+    // full-rewrite 100 TB on every tick just because clustering is
+    // recorded. An explicit clusterBy argument still always rewrites.
+    if (clusterBy.isEmpty && cluster.nonEmpty && m.dvs.isEmpty &&
+        (m.op == "zorder" || m.op == "compact"))
+      return cur
     // a recorded CURVE layout (zorderBy) re-optimizes along the curve,
     // not lexicographically — plain range-clustering would destroy the
     // multi-dimensional locality the table declared
@@ -5275,41 +5324,59 @@ object VersionedTable {
   }
 
   /** VACUUM with a DRY RUN face: what retention at `keepLast` would
-    * remove — dropped version manifests, then every data file and DV
-    * sidecar referenced ONLY by the dropped history (or by nothing at
-    * all: crashed-commit orphans) — with byte accounting, computed from
-    * manifests + one directory listing, deleting NOTHING. Rows are
-    * (kind ∈ manifest|data|dv, root-relative path, bytes).
-    * `dryRun = false` runs [[expire]] with the same retention after
-    * computing the report, so the caller sees exactly what was swept —
-    * the two can't disagree because [[retentionPlan]] is shared. */
+    * remove — dropped version manifests (and their checkpoint files),
+    * then every data file and DV sidecar referenced ONLY by the dropped
+    * history (or by nothing at all: crashed-commit orphans) — with byte
+    * accounting, computed from manifests + one directory listing,
+    * deleting NOTHING. Rows are (kind ∈ manifest|checkpoint|data|dv,
+    * root-relative path, bytes). `keepLast = 0` means "keep ALL
+    * history": only orphans sweep (the Delta VACUUM default — retention
+    * drops must be asked for explicitly). `minOrphanAgeMillis` guards
+    * the commit-in-flight race exactly as [[expire]] documents: a
+    * concurrent writer's staged-but-unpublished files look unreferenced
+    * and must survive until they age past the floor. `dryRun = false`
+    * runs [[expire]] with the same retention and age floor after
+    * computing the report — the two can't disagree because
+    * [[retentionPlan]] and the age rule are shared. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int,
-             dryRun: Boolean = true): Seq[(String, String, Long)] = {
-    require(keepLast >= 1, "must keep at least the newest version")
+             dryRun: Boolean = true,
+             minOrphanAgeMillis: Long = 0L): Seq[(String, String, Long)] = {
+    require(keepLast >= 0, "keepLast: 0 = keep all history, n >= 1 = retention")
     val f = fs(spark, new Path(root))
-    val (drop, _, keptManifests) = retentionPlan(spark, root, keepLast, f)
+    val keep =
+      if (keepLast == 0) math.max(1, versions(spark, root).size)
+      else keepLast
+    val (drop, _, keptManifests) = retentionPlan(spark, root, keep, f)
     val live = keptManifests.flatMap(_.files).toSet
     val liveDv = keptManifests.flatMap(_.dvs.values.map(_.dvFile)).toSet
     val cloneLive = cloneProtected(spark, root, f)
+    val now = System.currentTimeMillis()
     def candidates(dir: Path, kind: String,
                    isLive: String => Boolean): Seq[(String, String, Long)] =
       if (!f.exists(dir)) Seq.empty
       else {
         val base = f.makeQualified(dir).toUri.getPath
         walkFiles(f, dir).flatMap { p =>
+          val st = f.getFileStatus(p)
           val full = f.makeQualified(p).toUri.getPath
           val rel = kind + full.stripPrefix(base)
-          if (isLive(rel) || cloneLive.contains(full)) None
-          else Some((kind, rel, f.getFileStatus(p).getLen))
+          val aged = minOrphanAgeMillis <= 0L ||
+            now - st.getModificationTime >= minOrphanAgeMillis
+          if (isLive(rel) || cloneLive.contains(full) || !aged) None
+          else Some((kind, rel, st.getLen))
         }
       }
     val report =
-      drop.map(v => ("manifest", f"_log/v$v%08d.manifest.json",
-        scala.util.Try(f.getFileStatus(manifestPath(root, v)).getLen)
-          .getOrElse(0L))) ++
+      drop.flatMap { v =>
+        Seq(manifestPath(root, v) -> "manifest",
+          checkpointPath(root, v) -> "checkpoint").flatMap {
+          case (p, kind) => scala.util.Try(f.getFileStatus(p).getLen)
+            .toOption.map(len => (kind, s"_log/${p.getName}", len))
+        }
+      } ++
         candidates(dataDir(root), "data", live.contains) ++
         candidates(dvDir(root), "dv", liveDv.contains)
-    if (!dryRun) expire(spark, root, keepLast)
+    if (!dryRun) expire(spark, root, keep, minOrphanAgeMillis)
     report.sortBy(r => (r._1, r._2))
   }
 

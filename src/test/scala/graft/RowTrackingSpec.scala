@@ -190,5 +190,34 @@ class RowTrackingSpec extends SparkSpec {
     assert(ops.count(_ == "zorder") >= 2,
       s"compact on a curve-clustered table must re-zorder, ops: $ops")
     assert(VersionedTable.read(spark, root).count() == 401)
+    // an hourly OPTIMIZE loop must not full-rewrite on every tick: with
+    // the head commit already the clustering rewrite, compact no-ops
+    val v = VersionedTable.currentVersion(spark, root).get
+    assert(VersionedTable.compact(spark, root, targetBytes = 16L * 1024) == v,
+      "parameterless compact right after the rewrite is a no-op")
+  }
+
+  test("overwrite keeps tracking alive: fresh ids for the new content") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    VersionedTable.enableRowTracking(spark, root)
+    val oldIds = VersionedTable.read(spark, root)
+      .select(RowIdCol).as[Long].collect().toSet
+    // the business frame does NOT carry _row_id — the engine assigns
+    VersionedTable.overwrite(spark, root,
+      Seq((3L, "c"), (4L, "d")).toDF("k", "v").coalesce(1))
+    assert(VersionedTable.propertiesOf(spark, root)
+      .get(PropRowTracking).contains("true"),
+      "overwrite must not silently disable tracking")
+    val newIds = VersionedTable.read(spark, root)
+      .select(RowIdCol).as[Long].collect().toSet
+    assert(newIds.size == 2 && newIds.intersect(oldIds).isEmpty,
+      s"overwrite content is new rows = new ids; got $newIds vs $oldIds")
+    // appends after the overwrite keep assigning uniquely
+    VersionedTable.append(spark, root,
+      Seq((5L, "e")).toDF("k", "v").coalesce(1))
+    assert(VersionedTable.read(spark, root)
+      .select(RowIdCol).as[Long].collect().toSet.size == 3)
   }
 }
