@@ -955,6 +955,31 @@ object LakehouseQueries {
           round(col("est_rows"), 6).as("est_rows"))
     }),
 
+    // The SQL DML face end to end: CTAS, INSERT INTO, UPDATE and DELETE
+    // run as REAL SQL over a quoted-path graft table (GraftSqlParser) —
+    // CTAS creates the versioned table from a query, the UPDATE is the
+    // vectored CoW (WHERE's col-literal conjuncts become manifest
+    // pruning bounds via rangePredsOf), the DELETE is merge-on-read.
+    // Every mutation is DuckDB-replayable, so the final aggregate
+    // hash-gates the whole statement chain.
+    "q227_sql_dml" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_dml_q227")
+      val root = work.resolve("ord").toString
+      s.sql(s"CREATE TABLE '$root' AS SELECT o_orderkey AS k, " +
+        s"CAST(o_totalprice AS DOUBLE) AS price " +
+        s"FROM parquet.`$d/orders.parquet`")
+      s.sql(s"INSERT INTO '$root' SELECT o_orderkey + 10000000 AS k, " +
+        s"CAST(50.0 AS DOUBLE) AS price FROM parquet.`$d/orders.parquet` " +
+        "WHERE o_orderkey % 13 = 0")
+      s.sql(s"UPDATE '$root' SET price = price + 100.0 WHERE k % 10 = 0")
+      s.sql(s"DELETE FROM '$root' WHERE k % 7 = 0")
+      VersionedTable.read(s, root)
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          count(when(col("k") >= 10000000L, 1)).as("n_inserted"))
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -1845,6 +1870,25 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q227_sql_dml" ->
+      """WITH base AS (
+              SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey + 10000000 AS k, CAST(50.0 AS DOUBLE)
+              FROM orders WHERE o_orderkey % 13 = 0),
+              upd AS (
+                SELECT k, CASE WHEN k % 10 = 0 THEN price + 100.0
+                               ELSE price END AS price
+                FROM base),
+              fin AS (SELECT * FROM upd WHERE k % 7 <> 0)
+         SELECT count(*)::BIGINT AS n,
+                CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_price,
+                count(CASE WHEN k >= 10000000 THEN 1 END)::BIGINT
+                  AS n_inserted
+         FROM fin""",
 
     "q226_histogram" ->
       """WITH mx AS (SELECT max(c_custkey) AS mk FROM customer),
