@@ -203,10 +203,21 @@ object VersionedTable {
     }.toSeq.sortBy(_._1)
   }
 
+  /** Every version's commit time: the IN-COMMIT stamp where recorded
+    * (manifests written since the field exists — immune to file copies
+    * mangling mtimes, monotonic past the parent by construction), the
+    * manifest file's mtime for older history. */
+  def commitTimestamps(spark: SparkSession, root: String): Seq[(Int, Long)] =
+    history(spark, root).map { case (v, mtime) =>
+      val ts = scala.util.Try(readManifest(spark, root, v).ts).getOrElse(0L)
+      v -> (if (ts > 0L) ts else mtime)
+    }
+
   /** Time travel by wall clock: the newest version committed at or
-    * before `tsMillis` (the snapshot a reader at that instant saw). */
+    * before `tsMillis` (the snapshot a reader at that instant saw),
+    * resolved against [[commitTimestamps]]. */
   def versionAsOf(spark: SparkSession, root: String, tsMillis: Long): Int =
-    history(spark, root).takeWhile(_._2 <= tsMillis).lastOption
+    commitTimestamps(spark, root).takeWhile(_._2 <= tsMillis).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no version committed at or before $tsMillis at $root"))._1
 
@@ -330,7 +341,11 @@ object VersionedTable {
                               noCol: Map[String, Seq[String]] = Map.empty,
                               gens: Map[String, String] = Map.empty,
                               ids: Map[String, Long] = Map.empty,
-                              props: Map[String, String] = Map.empty) {
+                              props: Map[String, String] = Map.empty,
+                              // IN-COMMIT timestamp (epoch millis), stamped
+                              // by writeManifest — 0 in manifests predating
+                              // the field (readers fall back to file mtime)
+                              ts: Long = 0L) {
     /** Every read-time fill expression: write DEFAULTS (constant
       * literals) plus GENERATED columns (deterministic expressions over
       * the row's other columns) — both substitute into files recorded
@@ -450,6 +465,13 @@ object VersionedTable {
     s""""stats": $statsJson$bloomsJson$hllsJson$dvsJson$rowsJson$noColJson"""
   }
 
+  private def tsField(m: Manifest): String =
+    if (m.ts <= 0L) "" else s""" "cts": ${m.ts},\n"""
+
+  private def parseTs(text: String): Long =
+    """"cts": (\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toLong).getOrElse(0L)
+
   private def fullManifestJson(m: Manifest): String = {
     val txnField = m.txn.map(t => s""" "txn": $t,\n""").getOrElse("")
     val opField =
@@ -461,7 +483,7 @@ object VersionedTable {
       else s""" "partitionCols": [${m.partitionCols
         .map(c => "\"" + esc(c) + "\"").mkString(", ")}],\n"""
     s"""{"version": ${m.version},
-       |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)}${propsJson(m)} "schema": "${esc(m.schemaDdl)}",
+       |$opField$txnField${tsField(m)}$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)}${propsJson(m)} "schema": "${esc(m.schemaDdl)}",
        | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
        | ${perFileJson(m.stats, m.blooms, m.hlls, m.dvs, m.rows, m.noCol)}}""".stripMargin
   }
@@ -587,7 +609,7 @@ object VersionedTable {
     Some(
       s"""{"version": ${m.version},
          | "delta": true,
-         |$opField$txnField$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)}${propsJson(m)} "schema": "${esc(m.schemaDdl)}",
+         |$opField$txnField${tsField(m)}$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)}${propsJson(m)} "schema": "${esc(m.schemaDdl)}",
          | "removes": [${names(removes)}],
          | "adds": [${names(adds)}],
          | "touch": [${names(touch)}],
@@ -596,8 +618,19 @@ object VersionedTable {
         .stripMargin)
   }
 
-  private def writeManifest(spark: SparkSession, root: String, m: Manifest,
+  private def writeManifest(spark: SparkSession, root: String, m0: Manifest,
                             parent: Option[Manifest] = None): Unit = {
+    // IN-COMMIT timestamp (Delta's in-commit-timestamps recipe): the
+    // commit time travels IN the manifest, immune to file copies /
+    // backup-restore mangling mtimes. Stamped here — the ONE place
+    // every commit funnels through — and kept monotonic past the
+    // parent's stamp so timestampAsOf resolves a total order even
+    // under writer clock skew. A manifest re-serialized with a stamp
+    // already set (checkpoint assembly) keeps it.
+    val m =
+      if (m0.ts > 0L) m0
+      else m0.copy(ts = math.max(System.currentTimeMillis(),
+        parent.map(_.ts + 1L).getOrElse(0L)))
     // every CheckpointEvery-th version is a full snapshot manifest, the
     // rest are deltas — commit metadata cost O(touched files), replay
     // bounded by the checkpoint spacing
@@ -848,7 +881,7 @@ object VersionedTable {
     Manifest(v, schema, parseNameList(text, "files"), txn, stats, blooms,
       partitionCols, hlls, dvs, rows, parseOp(text), cm, maxCid,
       parseChecks(text), parseDefaults(text), noCol, parseGens(text),
-      parseIds(text), parseProps(text))
+      parseIds(text), parseProps(text), parseTs(text))
   }
 
   /** Replay a delta manifest over its parent snapshot: removed entries
@@ -869,7 +902,7 @@ object VersionedTable {
       partitionCols, merge(parent.hlls, hlls), merge(parent.dvs, dvs),
       merge(parent.rows, rows), parseOp(text), cm, maxCid,
       parseChecks(text), parseDefaults(text), merge(parent.noCol, noCol),
-      parseGens(text), parseIds(text), parseProps(text))
+      parseGens(text), parseIds(text), parseProps(text), parseTs(text))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -3683,7 +3716,8 @@ object VersionedTable {
     val rows = versions(spark, root).map { v =>
       val m = readManifest(spark, root, v)
       val ts = new java.sql.Timestamp(
-        f.getFileStatus(manifestPath(root, v)).getModificationTime)
+        if (m.ts > 0L) m.ts
+        else f.getFileStatus(manifestPath(root, v)).getModificationTime)
       val live: Any =
         if (m.files.forall(m.rows.contains))
           m.files.map(m.rows).sum - m.files.flatMap(m.dvs.get).map(_.card).sum
@@ -5249,7 +5283,7 @@ object VersionedTable {
   def expireOlderThan(spark: SparkSession, root: String, tsMillis: Long,
                       keepAtLeast: Int = 1,
                       minOrphanAgeMillis: Long = 0L): (Int, Int) = {
-    val hist = history(spark, root).sortBy(_._1)
+    val hist = commitTimestamps(spark, root).sortBy(_._1)
     val firstYoung = hist.indexWhere(_._2 > tsMillis)
     val keep =
       if (firstYoung < 0) keepAtLeast

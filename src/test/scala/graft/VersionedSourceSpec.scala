@@ -142,6 +142,18 @@ class VersionedSourceSpec extends SparkSpec {
       VersionedTable.versionAsOf(spark, root, 1L)
     }
     assert(before.getMessage.contains("no version"))
+    // IN-COMMIT timestamps: the commit time travels in the manifest, so
+    // a backup-restore (or cp -r) that mangles every file mtime changes
+    // NOTHING — versionAsOf still resolves from the recorded stamps
+    new java.io.File(root, "_log").listFiles()
+      .foreach(f => assert(f.setLastModified(86400000L)))
+    assert(VersionedTable.versionAsOf(spark, root, between) == 1,
+      "time travel must survive mtime mangling")
+    val stamps = VersionedTable.commitTimestamps(spark, root)
+    assert(stamps.map(_._1) == Seq(1, 2) &&
+      stamps.forall(_._2 > 86400000L) &&
+      stamps(0)._2 < stamps(1)._2,
+      s"recorded stamps, monotonic, not the mangled mtime: $stamps")
   }
 
   test("truthful sizeInBytes lets a small snapshot broadcast in a join") {
