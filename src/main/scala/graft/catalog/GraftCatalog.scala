@@ -440,6 +440,23 @@ object GraftCatalog {
           d._8, d._9, d._10, d._11, d._12, d._13))
       }),
 
+    new Proc("partitions",
+      "per-partition stats from the manifest + one listing (the " +
+        "Iceberg partitions metadata table): k=v directory chain " +
+        "('' = unpartitioned files), file count, DV-aware live rows " +
+        "(-1 when a file predates row counts), bytes. Zero data " +
+        "scanned — the 'which partition needs compactWhere' answer",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("partition", StringType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false))),
+      (spark, in) => VersionedTable.partitionsOf(spark, str(in, 0))
+        .map { case (p, nf, nr, b) => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(p),
+          nf, nr, b) }),
+
     new Proc("set_property",
       "SET a table property (metadata-only commit; the tblproperties " +
         "analog). Engine keys validate: graft.clusterBy must name live " +

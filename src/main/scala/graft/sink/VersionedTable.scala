@@ -2309,6 +2309,33 @@ object VersionedTable {
       m.props.size)
   }
 
+  /** PER-PARTITION operational stats (the Iceberg `partitions` metadata
+    * table analog) from the manifest + one file listing, zero data
+    * scanned: each live file groups under the k=v directory chain it
+    * was written into ("" = the unpartitioned root — a table whose
+    * layout evolved reports both generations honestly), with file
+    * count, live rows (DV-aware; -1 when a file predates row counts)
+    * and bytes. The operational answer to "which partition is the
+    * small-file spray / the skew" that [[compactWhere]] then fixes. */
+  def partitionsOf(spark: SparkSession, root: String)
+      : Seq[(String, Long, Long, Long)] = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val f = fs(spark, new Path(root))
+    m.files.groupBy { rel =>
+      rel.split('/').init.filter(_.contains('=')).mkString("/")
+    }.map { case (part, files) =>
+      val rows =
+        if (!files.forall(m.rows.contains)) -1L
+        else files.map(fl => m.rows(fl) -
+          m.dvs.get(fl).map(_.card).getOrElse(0L)).sum
+      val bytes = files.map(fl =>
+        f.getFileStatus(new Path(root, fl)).getLen).sum
+      (part, files.size.toLong, rows, bytes)
+    }.toSeq.sortBy(_._1)
+  }
+
   /** The table's properties at the current version — the inspection
     * face of [[setTableProperty]]. */
   def propertiesOf(spark: SparkSession, root: String): Map[String, String] = {
