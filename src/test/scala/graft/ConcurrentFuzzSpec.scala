@@ -32,7 +32,10 @@ class ConcurrentFuzzSpec extends SparkSpec {
 
   private val Threads = 4
   private val OpsPerThread = 125 // 500 ops total (the round-13 target)
-  private val Seed = 20260814L
+  // overridable so a soak loop explores DIFFERENT interleavings:
+  // GRAFT_FUZZ_SEED=<n> sbt "testOnly graft.ConcurrentFuzzSpec"
+  private val Seed = sys.env.get("GRAFT_FUZZ_SEED")
+    .map(_.toLong).getOrElse(20260814L)
 
   case class DeleteRec(version: Int, k: Long, r: Long)
 
