@@ -207,11 +207,17 @@ object VersionedTable {
     * (manifests written since the field exists — immune to file copies
     * mangling mtimes, monotonic past the parent by construction), the
     * manifest file's mtime for older history. */
-  def commitTimestamps(spark: SparkSession, root: String): Seq[(Int, Long)] =
+  def commitTimestamps(spark: SparkSession, root: String): Seq[(Int, Long)] = {
+    // the stamp is self-contained in EVERY manifest's raw text (full
+    // and delta alike), so this is one readText + one regex per
+    // version — never a delta-chain replay or a stats parse
+    val f = fs(spark, new Path(root))
     history(spark, root).map { case (v, mtime) =>
-      val ts = scala.util.Try(readManifest(spark, root, v).ts).getOrElse(0L)
+      val ts = scala.util.Try(
+        parseTs(readText(f, manifestPath(root, v)))).getOrElse(0L)
       v -> (if (ts > 0L) ts else mtime)
     }
+  }
 
   /** Time travel by wall clock: the newest version committed at or
     * before `tsMillis` (the snapshot a reader at that instant saw),
@@ -623,14 +629,15 @@ object VersionedTable {
     // IN-COMMIT timestamp (Delta's in-commit-timestamps recipe): the
     // commit time travels IN the manifest, immune to file copies /
     // backup-restore mangling mtimes. Stamped here — the ONE place
-    // every commit funnels through — and kept monotonic past the
-    // parent's stamp so timestampAsOf resolves a total order even
-    // under writer clock skew. A manifest re-serialized with a stamp
-    // already set (checkpoint assembly) keeps it.
-    val m =
-      if (m0.ts > 0L) m0
-      else m0.copy(ts = math.max(System.currentTimeMillis(),
-        parent.map(_.ts + 1L).getOrElse(0L)))
+    // every commit publish funnels through — UNCONDITIONALLY: the
+    // metadata-only transforms build their manifest via m.copy, which
+    // would otherwise carry the PARENT's stamp and make a day-30
+    // property change time-travel-visible on day 1. Monotonic past the
+    // parent so timestampAsOf resolves a total order under clock skew.
+    // (Checkpoint assembly re-serializes via writeCheckpoint, not here,
+    // so an existing version's stamp is never rewritten.)
+    val m = m0.copy(ts = math.max(System.currentTimeMillis(),
+      parent.map(_.ts + 1L).getOrElse(0L)))
     // every CheckpointEvery-th version is a full snapshot manifest, the
     // rest are deltas — commit metadata cost O(touched files), replay
     // bounded by the checkpoint spacing
@@ -1845,8 +1852,7 @@ object VersionedTable {
     val v = version.orElse(currentVersion(spark, root))
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, v)
-    val f = fs(spark, new Path(root))
-    m.files.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
+    fileLengths(spark, root, m.files).values.sum
   }
 
   /** Read `paths` under the MANIFEST's schema (schema-on-read): files
@@ -2296,9 +2302,7 @@ object VersionedTable {
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
-    val f = fs(spark, new Path(root))
-    val bytes = m.files.map(p =>
-      f.getFileStatus(new Path(root, p)).getLen).sum
+    val bytes = fileLengths(spark, root, m.files).values.sum
     (cur, m.files.size.toLong, bytes,
       metaRowCount(spark, root).getOrElse(-1L),
       m.partitionCols.mkString(","),
@@ -2322,7 +2326,7 @@ object VersionedTable {
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val m = readManifest(spark, root, cur)
-    val f = fs(spark, new Path(root))
+    val lens = fileLengths(spark, root, m.files)
     m.files.groupBy { rel =>
       rel.split('/').init.filter(_.contains('=')).mkString("/")
     }.map { case (part, files) =>
@@ -2330,9 +2334,7 @@ object VersionedTable {
         if (!files.forall(m.rows.contains)) -1L
         else files.map(fl => m.rows(fl) -
           m.dvs.get(fl).map(_.card).getOrElse(0L)).sum
-      val bytes = files.map(fl =>
-        f.getFileStatus(new Path(root, fl)).getLen).sum
-      (part, files.size.toLong, rows, bytes)
+      (part, files.size.toLong, rows, files.map(lens).sum)
     }.toSeq.sortBy(_._1)
   }
 
@@ -5037,8 +5039,7 @@ object VersionedTable {
     if (clusterBy.isEmpty && cluster.size >= 2 &&
         curve.exists(c => c == "morton" || c == "hilbert"))
       return zorderBy(spark, root, cluster, targetBytes, curve.get)
-    val f = fs(spark, new Path(root))
-    val bytes = m.files.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
+    val bytes = fileLengths(spark, root, m.files).values.sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     // a DV-bearing table is never a no-op: the rewrite is what
     // MATERIALIZES the vectors (the contract every CoW path carries —
@@ -5197,8 +5198,7 @@ object VersionedTable {
           lit((buckets - 1).toDouble)).cast(LongType)
       coalesce(b, lit(0L))
     }
-    val f = fs(spark, new Path(root))
-    val bytes = m.files.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
+    val bytes = fileLengths(spark, root, m.files).values.sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val keyed =
       if (curve == "hilbert") {
@@ -5276,8 +5276,7 @@ object VersionedTable {
     // vector — materializing the vector is the point of the rewrite
     if (touched.size <= 1 && clusterBy.isEmpty &&
       !touched.exists(m.dvs.contains)) return cur
-    val f = fs(spark, new Path(root))
-    val bytes = touched.map(p => f.getFileStatus(new Path(root, p)).getLen).sum
+    val bytes = fileLengths(spark, root, touched).values.sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val base = readSnapshotFiles(spark, root, m, touched)
     val df =
@@ -5521,9 +5520,32 @@ object VersionedTable {
 
   /** Recursive listing: partitioned tables nest files under k=v dirs. */
   private def walkFiles(f: FileSystem, p: Path): Seq[Path] =
+    walkStatuses(f, p).map(_.getPath)
+
+  private def walkStatuses(f: FileSystem,
+                           p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     f.listStatus(p).toSeq.flatMap { st =>
-      if (st.isDirectory) walkFiles(f, st.getPath) else Seq(st.getPath)
+      if (st.isDirectory) walkStatuses(f, st.getPath) else Seq(st)
     }
+
+  /** Lengths of the manifest's live files from ONE recursive listing of
+    * data/ (a 100k-file table must not pay 100k getFileStatus round
+    * trips for a metadata-only inspection); entries resolving OUTSIDE
+    * it — a shallow clone's absolute references — fall back per file. */
+  private def fileLengths(spark: SparkSession, root: String,
+                          files: Seq[String]): Map[String, Long] = {
+    val f = fs(spark, new Path(root))
+    val dd = dataDir(root)
+    val byPath: Map[String, Long] =
+      if (!f.exists(dd)) Map.empty
+      else walkStatuses(f, dd).map(st =>
+        f.makeQualified(st.getPath).toUri.getPath -> st.getLen).toMap
+    files.map { rel =>
+      val p = new Path(root, rel)
+      rel -> byPath.getOrElse(f.makeQualified(p).toUri.getPath,
+        f.getFileStatus(p).getLen)
+    }.toMap
+  }
 
   /** Dry-run GC report: files under data/ and dv/ that NO existing
     * version references and no registered clone protects — the stranded
