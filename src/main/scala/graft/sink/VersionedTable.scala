@@ -5101,7 +5101,28 @@ object VersionedTable {
     * copy-on-write rewrite. Returns the new version. */
   def zorderBy(spark: SparkSession, root: String, cols: Seq[String],
                targetBytes: Long = 128L * 1024 * 1024,
-               curve: String = "morton"): Int = {
+               curve: String = "morton"): Int =
+    zorderImpl(spark, root, cols, targetBytes, curve, None)
+
+  /** Z-ORDER scoped by predicate — [[compactWhere]]'s incremental shape
+    * with [[zorderBy]]'s curve layout: only the stat-matching files
+    * (one hot partition, one day's spray) rewrite ALONG THE CURVE,
+    * everything else carries over by name. Bucket boundaries come from
+    * TABLE-WIDE bounds, so a slice-at-a-time re-cluster converges to
+    * the same cell grid an unscoped rewrite would build. Does not
+    * re-record the table's clustering properties (a slice rewrite is
+    * maintenance, not a layout declaration). */
+  def zorderWhere(spark: SparkSession, root: String, preds: RangePreds,
+                  cols: Seq[String],
+                  targetBytes: Long = 128L * 1024 * 1024,
+                  curve: String = "morton"): Int = {
+    require(preds.nonEmpty, "zorderWhere needs at least one predicate range")
+    zorderImpl(spark, root, cols, targetBytes, curve, Some(preds))
+  }
+
+  private def zorderImpl(spark: SparkSession, root: String, cols: Seq[String],
+                         targetBytes: Long, curve: String,
+                         scope: Option[RangePreds]): Int = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -5129,7 +5150,12 @@ object VersionedTable {
           s"zorderBy: column $c has unsupported type ${other.catalogString}")
       }
     }
-    val base = read(spark, root, Some(cur))
+    val touched = scope.map(p => prunedFiles(spark, root, p, Some(cur)))
+      .getOrElse(m.files)
+    // scoped no-op: nothing (or one un-vectored file) matches
+    if (scope.isDefined && touched.size <= 1 &&
+      !touched.exists(m.dvs.contains)) return cur
+    val base = readSnapshotFiles(spark, root, m, touched)
     // bucketing bounds: per-column [lo, hi] folded from MANIFEST stats
     // when every live file records one — zero extra scan. Bounds only
     // steer the layout (out-of-range values clamp; answers never depend
@@ -5198,7 +5224,7 @@ object VersionedTable {
           lit((buckets - 1).toDouble)).cast(LongType)
       coalesce(b, lit(0L))
     }
-    val bytes = fileLengths(spark, root, m.files).values.sum
+    val bytes = fileLengths(spark, root, touched).values.sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val keyed =
       if (curve == "hilbert") {
@@ -5247,11 +5273,17 @@ object VersionedTable {
       m.physMap)
     // the layout RECORD rides the same commit (a fresh session's
     // compact then defaults to these keys; properties surface them)
+    // a scoped rewrite gets its own op string: compact's "head is
+    // already the clustering rewrite" no-op must not trigger off a
+    // slice rewrite that left the bulk untouched
     commitDelta(spark, root, m, CommitDelta(
-      removedFiles = m.files.toSet, addedFiles = added,
-      addedStats = addedStats, addedRows = addedRows, op = "zorder",
-      propUpdates = Map(PropClusterBy -> cols.mkString(","),
-        PropClusterCurve -> curve)))
+      removedFiles = touched.toSet, addedFiles = added,
+      addedStats = addedStats, addedRows = addedRows,
+      op = if (scope.isDefined) "zorder-where" else "zorder",
+      propUpdates =
+        if (scope.isDefined) Map.empty
+        else Map(PropClusterBy -> cols.mkString(","),
+          PropClusterCurve -> curve)))
   }
 
   /** Incremental compaction — OPTIMIZE scoped by predicate: only files
