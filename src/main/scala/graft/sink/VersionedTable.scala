@@ -206,17 +206,30 @@ object VersionedTable {
   /** Every version's commit time: the IN-COMMIT stamp where recorded
     * (manifests written since the field exists — immune to file copies
     * mangling mtimes, monotonic past the parent by construction), the
-    * manifest file's mtime for older history. */
+    * manifest file's mtime for older history — ADJUSTED to version
+    * order by a running max (Delta's commit-timestamp adjustment), so
+    * mixed-provenance stamps always yield a monotone sequence and every
+    * consumer resolves a total order. */
   def commitTimestamps(spark: SparkSession, root: String): Seq[(Int, Long)] = {
     // the stamp is self-contained in EVERY manifest's raw text (full
     // and delta alike), so this is one readText + one regex per
     // version — never a delta-chain replay or a stats parse
     val f = fs(spark, new Path(root))
-    history(spark, root).map { case (v, mtime) =>
+    val raw = history(spark, root).map { case (v, mtime) =>
       val ts = scala.util.Try(
         parseTs(readText(f, manifestPath(root, v)))).getOrElse(0L)
       v -> (if (ts > 0L) ts else mtime)
     }
+    // MONOTONIZE over version order (Delta's commit-timestamp
+    // adjustment): mixed-provenance stamps — an mtime-fallback manifest
+    // restored by cp -r carries the COPY time, possibly newer than a
+    // later version's in-commit stamp — would otherwise make the
+    // sequence non-monotonic and takeWhile-based resolution wrong.
+    // Version order is the commit order; a running max restores the
+    // total order without touching any stored stamp.
+    raw.scanLeft((0, 0L)) { case ((_, hi), (v, ts)) =>
+      (v, math.max(hi, ts))
+    }.drop(1)
   }
 
   /** Time travel by wall clock: the newest version committed at or
@@ -1359,7 +1372,11 @@ object VersionedTable {
               .filter(s => s.col == c && s.typ == "long")
               .flatMap(s => scala.util.Try(s.hi.toLong).toOption)
             c -> (if (hi.isEmpty) hw else math.max(hw, hi.max + 1L))
-          }))
+          }),
+      // the parent manifest floors the in-commit stamp (parent.ts+1):
+      // without it a backwards clock step lets an overwrite stamp
+      // ts <= its parent, breaking versionAsOf/expireOlderThan ordering
+      curM)
     v
   }
 
@@ -4543,6 +4560,18 @@ object VersionedTable {
     val tracked = m.props.get(PropRowTracking).contains("true") &&
       !source.schema.fieldNames.contains(RowIdCol)
     if (!tracked) requireWriteCompatible(m.schemaDdl, source, "merge")
+    else {
+      // validate the RAW source up front, with the engine-owned id
+      // column exempted (the engine supplies it): an extra source
+      // column refuses like the untracked path instead of being
+      // silently select-dropped after enrichment, and a missing column
+      // gets the contract error, not a raw unresolved-column
+      // AnalysisException out of the id join below
+      val sansId = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+          .fields.filterNot(_.name == RowIdCol))
+      requireWriteCompatible(sansId.toDDL, source, "merge")
+    }
     val allKeys = deletes match {
       case Some(d) => source.select(keys.map(col): _*)
         .unionByName(d.select(keys.map(col): _*))

@@ -75,6 +75,20 @@ class RowTrackingSpec extends SparkSpec {
     assert(after.values.toSet.size == after.size, "ids stay unique")
     // a CDF consumer pairs the update's delete/insert by id
     assert((before.keySet + 61L) == after.keySet)
+    // the tracked path holds the SAME write contract as the untracked
+    // one: an extra source column refuses up front (never silently
+    // select-dropped), a missing one gets the contract error — not a
+    // raw unresolved-column AnalysisException out of the id join
+    val extra = intercept[IllegalArgumentException] {
+      VersionedTable.mergeIntoVectored(spark, root,
+        Seq((5L, 1.0, 5L, "x")).toDF("k", "v", "g", "oops"), Seq("k"))
+    }
+    assert(extra.getMessage.contains("schema mismatch"), extra.getMessage)
+    val missing = intercept[IllegalArgumentException] {
+      VersionedTable.mergeIntoVectored(spark, root,
+        Seq((5L, 1.0)).toDF("k", "v"), Seq("k"))
+    }
+    assert(missing.getMessage.contains("schema mismatch"), missing.getMessage)
   }
 
   test("applyChanges without _row_id preserves matched ids, seq-guards intact") {

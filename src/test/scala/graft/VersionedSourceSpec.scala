@@ -156,6 +156,35 @@ class VersionedSourceSpec extends SparkSpec {
       s"recorded stamps, monotonic, not the mangled mtime: $stamps")
   }
 
+  test("commitTimestamps monotonize mixed-provenance stamps") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq(1L).toDF("id").write.format("graft-versioned").save(root)   // v1
+    Seq(2L).toDF("id").write.format("graft-versioned")
+      .mode(SaveMode.Append).save(root)                              // v2
+    // simulate a backup-restore of a PRE-cts manifest: strip v1's
+    // in-commit stamp and stamp the file with the (future) restore
+    // time — the raw sequence [future, now] is non-monotonic, exactly
+    // the mangled-mtime scenario takeWhile-based resolution must not
+    // mis-resolve on. The running-max adjustment (Delta's recipe)
+    // restores version-order monotonicity.
+    val m1 = new java.io.File(root, "_log/v00000001.manifest.json")
+    val txt = new String(
+      java.nio.file.Files.readAllBytes(m1.toPath), "UTF-8")
+    java.nio.file.Files.write(m1.toPath,
+      txt.replaceAll(""""cts": \d+,\s*""", "").getBytes("UTF-8"))
+    val future = System.currentTimeMillis() + 86400000L
+    assert(m1.setLastModified(future))
+    val stamps = VersionedTable.commitTimestamps(spark, root)
+    assert(stamps.map(_._1) == Seq(1, 2), stamps.toString)
+    assert(stamps(0)._2 <= stamps(1)._2,
+      s"adjusted sequence must be monotone in version order: $stamps")
+    assert(stamps(0)._2 >= future, "v1 carries the restore-time fallback")
+    // resolution over the adjusted sequence is total-order consistent:
+    // at/after the newest adjusted stamp every version resolves
+    assert(VersionedTable.versionAsOf(spark, root, stamps(1)._2) == 2)
+  }
+
   test("truthful sizeInBytes lets a small snapshot broadcast in a join") {
     import spark.implicits._
     val root = freshRoot()
