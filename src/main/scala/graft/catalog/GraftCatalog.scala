@@ -4,8 +4,10 @@ import java.util.{Collections, Iterator => JIterator}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -33,7 +35,8 @@ import graft.sink.VersionedTable
   * scripts (`/root/reference/src/load/load_to_postgis.py` drives table
   * upkeep through SQL statements): same UX, but the statements commit
   * manifest versions instead of mutating rows in place. */
-class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog
+    with TableCatalog {
 
   private var catalogName: String = "graft"
 
@@ -54,6 +57,191 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
       throw new IllegalArgumentException(
         s"unknown procedure ${ident.name()}; have " +
           GraftCatalog.procedures.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  // ---- TableCatalog: named graft tables ([[GraftNames]] registry) ----
+  // `SELECT … FROM graft.t`, `INSERT INTO graft.t`, `CREATE TABLE
+  // graft.t AS …`, `ALTER TABLE graft.t ADD COLUMNS (…)` in vanilla
+  // Spark SQL — the reference's named-table surface
+  // (load_to_postgis.py:140-149) without the quoted-path marker.
+
+  private def spark = SparkSession.active
+
+  private def requireFlatNs(ident: Identifier): Unit =
+    require(ident.namespace().isEmpty,
+      s"the graft catalog has one flat namespace; got graft." +
+        s"${(ident.namespace() :+ ident.name()).mkString(".")}")
+
+  private def rootOf(ident: Identifier): String = {
+    requireFlatNs(ident)
+    GraftNames.lookup(spark, ident.name()).getOrElse(
+      throw new NoSuchTableException(ident))
+  }
+
+  private def qualified(ident: Identifier): String =
+    s"$catalogName.${ident.name()}"
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    require(namespace.isEmpty,
+      s"the graft catalog has one flat namespace; got ${namespace.mkString(".")}")
+    GraftNames.list(spark)
+      .map(n => Identifier.of(Array.empty[String], n)).toArray
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    GraftNamedTable(qualified(ident), rootOf(ident))
+
+  /** `VERSION AS OF n` — the integer manifest version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF takes the integer manifest version; got '$version'")
+    }
+    GraftNamedTable(qualified(ident), root, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands MICROseconds since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val root = rootOf(ident)
+    GraftNamedTable(qualified(ident), root,
+      Some(VersionedTable.versionAsOf(spark, root, timestampMicros / 1000L)))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty && GraftNames.lookup(spark, ident.name()).nonEmpty
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  /** One Spark transform → the engine's layout-grammar entry. The
+    * transform NAMES (years/months/days/hours/bucket/truncate) are the
+    * grammar's function names, so the mapping is mechanical. */
+  private def layoutOf(t: Transform): String = {
+    def render(e: V2Expression): String = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        r.fieldNames()(0)
+      case l: V2Literal[_] => String.valueOf(l.value())
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform argument: $other")
+    }
+    t.name().toLowerCase match {
+      case "identity" => render(t.arguments()(0))
+      case fn @ ("years" | "months" | "days" | "hours" | "bucket"
+                 | "truncate") =>
+        s"$fn(${t.arguments().map(render).mkString(", ")})"
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform $other (have: identity, " +
+          "years, months, days, hours, bucket, truncate)")
+    }
+  }
+
+  override def createTable(ident: Identifier,
+                           schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    requireFlatNs(ident)
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    val root = GraftNames.managedRoot(spark, ident.name())
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    VersionedTable.create(spark, root, empty,
+      partitionBy = partitions.map(layoutOf).toSeq)
+    // user table properties carry into the manifest; Spark's reserved
+    // bookkeeping keys (provider/location/owner/…) are not table state
+    import scala.jdk.CollectionConverters._
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_TABLE_TYPE,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_COLLATION)
+    val props = properties.asScala.toSeq
+      .filterNot { case (k, _) =>
+        reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
+      .sortBy(_._1)
+    if (props.nonEmpty) VersionedTable.setTableProperties(spark, root, props)
+    GraftNamedTable(qualified(ident), root)
+  }
+
+  /** `ALTER TABLE graft.t …` through Spark's OWN grammar: each
+    * TableChange maps onto the engine's committed DDL — the same code
+    * the CALL procedures and the quoted-path SQL face run. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    def one(names: Array[String]): String = {
+      require(names.length == 1,
+        s"nested columns are unsupported: ${names.mkString(".")}")
+      names(0)
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        VersionedTable.addColumn(spark, root, one(a.fieldNames()),
+          a.dataType().sql,
+          Option(a.defaultValue()).map(_.getSql))
+      case d: TableChange.DeleteColumn =>
+        VersionedTable.dropColumn(spark, root, one(d.fieldNames()))
+      case r: TableChange.RenameColumn =>
+        VersionedTable.renameColumn(spark, root, one(r.fieldNames()),
+          r.newName())
+      case u: TableChange.UpdateColumnType =>
+        VersionedTable.alterColumnType(spark, root, one(u.fieldNames()),
+          u.newDataType().sql)
+      case n: TableChange.UpdateColumnNullability =>
+        VersionedTable.alterColumnNullability(spark, root,
+          one(n.fieldNames()), nullable = n.nullable())
+      case p: TableChange.SetProperty =>
+        VersionedTable.setTableProperties(spark, root,
+          Seq(p.property() -> p.value()))
+      case p: TableChange.RemoveProperty =>
+        VersionedTable.unsetTableProperties(spark, root, Seq(p.property()))
+      case other => throw new IllegalArgumentException(
+        s"unsupported ALTER for graft tables: $other")
+    }
+    loadTable(ident)
+  }
+
+  /** DROP: a LINK unbinds the name and never touches data (the root may
+    * be shared); a MANAGED `<warehouse>/<name>` directory deletes. */
+  override def dropTable(ident: Identifier): Boolean = {
+    requireFlatNs(ident)
+    GraftNames.warehouse(spark).exists { w =>
+      if (GraftNames.unregister(spark, ident.name())) true
+      else {
+        val managed = new org.apache.hadoop.fs.Path(s"$w/${ident.name()}")
+        val f = managed.getFileSystem(spark.sessionState.newHadoopConf())
+        VersionedTable.currentVersion(spark, managed.toString).nonEmpty &&
+          f.delete(managed, true)
+      }
+    }
+  }
+
+  override def purgeTable(ident: Identifier): Boolean = dropTable(ident)
+
+  override def renameTable(oldIdent: Identifier, newIdent0: Identifier): Unit = {
+    // RENAME TO's target arrives catalog-UNRESOLVED (`RENAME TO
+    // graft.t2` keeps the catalog name in the namespace) — normalize
+    val newIdent =
+      if (newIdent0.namespace().sameElements(Array(catalogName)))
+        Identifier.of(Array.empty[String], newIdent0.name())
+      else newIdent0
+    requireFlatNs(oldIdent); requireFlatNs(newIdent)
+    if (tableExists(newIdent))
+      throw new TableAlreadyExistsException(newIdent)
+    val root = rootOf(oldIdent)
+    require(GraftNames.validName(newIdent.name()),
+      s"invalid table name ${newIdent.name()}")
+    val w = GraftNames.warehouse(spark).get // rootOf proved it's set
+    if (root == s"$w/${oldIdent.name()}") {
+      // managed: move the directory itself
+      val f = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      require(f.rename(new org.apache.hadoop.fs.Path(root),
+        new org.apache.hadoop.fs.Path(s"$w/${newIdent.name()}")),
+        s"rename failed: $root")
+    } else {
+      // link: re-bind, then drop the old name
+      GraftNames.register(spark, newIdent.name(), root)
+      GraftNames.unregister(spark, oldIdent.name())
+    }
   }
 }
 
@@ -96,6 +284,13 @@ object GraftCatalog {
 
   private def str(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
 
+  /** A procedure's table argument accepts BOTH spellings: a root path
+    * (anything with a '/') or a registered catalog NAME
+    * ([[GraftNames.resolve]]) — `CALL graft.history('ndvi_full')` works
+    * like `CALL graft.history('/path/to/ndvi_full')`. */
+  private def pathArg(r: InternalRow): String =
+    GraftNames.resolve(SparkSession.active, str(r, 0))
+
   private val historySchema = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
     StructField("op", StringType, nullable = true),
@@ -110,14 +305,14 @@ object GraftCatalog {
     new Proc("history",
       "the table's commit audit trail, from manifests alone",
       Seq("path" -> StringType), historySchema,
-      (spark, in) => VersionedTable.describeHistory(spark, str(in, 0))
+      (spark, in) => VersionedTable.describeHistory(spark, pathArg(in))
         .queryExecution.executedPlan.executeCollect().toSeq),
 
     new Proc("compact",
       "rewrite the newest version into ~target_bytes files (OPTIMIZE)",
       Seq("path" -> StringType, "target_bytes" -> LongType), versionResult,
       (spark, in) => versionRow(
-        VersionedTable.compact(spark, str(in, 0), targetBytes = in.getLong(1)))),
+        VersionedTable.compact(spark, pathArg(in), targetBytes = in.getLong(1)))),
 
     // The SQL face defaults min_orphan_age_ms to ONE HOUR, unlike the
     // library's explicit-0 default: a scheduled `CALL graft.expire` is
@@ -137,7 +332,7 @@ object GraftCatalog {
         StructField("removed_versions", IntegerType, nullable = false),
         StructField("removed_files", IntegerType, nullable = false))),
       (spark, in) => {
-        val (versions, files) = VersionedTable.expire(spark, str(in, 0),
+        val (versions, files) = VersionedTable.expire(spark, pathArg(in),
           keepLast = in.getInt(1), minOrphanAgeMillis = in.getLong(2))
         Seq(InternalRow(versions, files))
       },
@@ -160,7 +355,7 @@ object GraftCatalog {
         StructField("kind", StringType, nullable = false),
         StructField("file", StringType, nullable = false),
         StructField("bytes", LongType, nullable = false))),
-      (spark, in) => VersionedTable.vacuum(spark, str(in, 0),
+      (spark, in) => VersionedTable.vacuum(spark, pathArg(in),
         keepLast = in.getInt(1), dryRun = in.getBoolean(2),
         minOrphanAgeMillis = in.getLong(3))
         .map { case (k, p, b) => InternalRow(
@@ -179,7 +374,7 @@ object GraftCatalog {
         StructField("removed_files", IntegerType, nullable = false))),
       (spark, in) => {
         val (versions, files) = VersionedTable.expireOlderThan(
-          spark, str(in, 0), in.getLong(1), keepAtLeast = in.getInt(2),
+          spark, pathArg(in), in.getLong(1), keepAtLeast = in.getInt(2),
           minOrphanAgeMillis = in.getLong(3))
         Seq(InternalRow(versions, files))
       },
@@ -189,18 +384,18 @@ object GraftCatalog {
       "publish an old version's exact file list as the new newest version",
       Seq("path" -> StringType, "to_version" -> IntegerType), versionResult,
       (spark, in) => versionRow(
-        VersionedTable.rollback(spark, str(in, 0), to = in.getInt(1)))),
+        VersionedTable.rollback(spark, pathArg(in), to = in.getInt(1)))),
 
     new Proc("index_bloom",
       "attach per-file bloom filters over the given comma-separated columns",
       Seq("path" -> StringType, "columns" -> StringType), versionResult,
-      (spark, in) => versionRow(VersionedTable.indexBloom(spark, str(in, 0),
+      (spark, in) => versionRow(VersionedTable.indexBloom(spark, pathArg(in),
         str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))),
 
     new Proc("index_hll",
       "attach per-file HLL registers over the given comma-separated columns",
       Seq("path" -> StringType, "columns" -> StringType), versionResult,
-      (spark, in) => versionRow(VersionedTable.indexHll(spark, str(in, 0),
+      (spark, in) => versionRow(VersionedTable.indexHll(spark, pathArg(in),
         str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))),
 
     new Proc("delete_where",
@@ -212,9 +407,9 @@ object GraftCatalog {
         val cond = org.apache.spark.sql.functions.expr(str(in, 1))
         versionRow(
           if (in.getBoolean(2))
-            VersionedTable.deleteWhereVectored(spark, str(in, 0), Map.empty, cond)
+            VersionedTable.deleteWhereVectored(spark, pathArg(in), Map.empty, cond)
           else
-            VersionedTable.deleteWhere(spark, str(in, 0), Map.empty, cond))
+            VersionedTable.deleteWhere(spark, pathArg(in), Map.empty, cond))
       }),
 
     // The MoR DML face: scheduled CDC apply / upsert without dropping to
@@ -233,8 +428,8 @@ object GraftCatalog {
         val keys = str(in, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         versionRow(
           if (in.getBoolean(3))
-            VersionedTable.mergeIntoVectored(spark, str(in, 0), src, keys)
-          else VersionedTable.mergeInto(spark, str(in, 0), src, keys))
+            VersionedTable.mergeIntoVectored(spark, pathArg(in), src, keys)
+          else VersionedTable.mergeInto(spark, pathArg(in), src, keys))
       },
       defaults = Map("vectored" -> "false")),
 
@@ -277,7 +472,7 @@ object GraftCatalog {
             org.apache.spark.sql.functions.expr(a.substring(i + 1).trim)
         }.toMap
         versionRow(VersionedTable.updateWhereVectored(
-          spark, str(in, 0), Map.empty, cond, set))
+          spark, pathArg(in), Map.empty, cond, set))
       }),
 
     new Proc("zorder",
@@ -287,7 +482,7 @@ object GraftCatalog {
         "all dimensions)",
       Seq("path" -> StringType, "columns" -> StringType,
         "target_bytes" -> LongType, "curve" -> StringType), versionResult,
-      (spark, in) => versionRow(VersionedTable.zorderBy(spark, str(in, 0),
+      (spark, in) => versionRow(VersionedTable.zorderBy(spark, pathArg(in),
         str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         targetBytes = in.getLong(2), curve = str(in, 3))),
       defaults = Map("target_bytes" -> "134217728", "curve" -> "'morton'")),
@@ -299,7 +494,7 @@ object GraftCatalog {
         "(incremental, O(new files) after appends)",
       Seq("path" -> StringType, "columns" -> StringType,
         "only_missing" -> BooleanType), versionResult,
-      (spark, in) => versionRow(VersionedTable.indexSums(spark, str(in, 0),
+      (spark, in) => versionRow(VersionedTable.indexSums(spark, pathArg(in),
         str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         onlyMissing = in.getBoolean(2))),
       defaults = Map("only_missing" -> "false")),
@@ -310,7 +505,7 @@ object GraftCatalog {
         "rows only — restores skipping precision after wide vectored " +
         "deletes without rewriting data",
       Seq("path" -> StringType, "columns" -> StringType), versionResult,
-      (spark, in) => versionRow(VersionedTable.reindex(spark, str(in, 0),
+      (spark, in) => versionRow(VersionedTable.reindex(spark, pathArg(in),
         str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq))),
 
     new Proc("orphans",
@@ -320,7 +515,7 @@ object GraftCatalog {
       StructType(Seq(
         StructField("file", StringType, nullable = false),
         StructField("bytes", LongType, nullable = false))),
-      (spark, in) => VersionedTable.orphanFiles(spark, str(in, 0))
+      (spark, in) => VersionedTable.orphanFiles(spark, pathArg(in))
         .map { case (rel, bytes) =>
           InternalRow(UTF8String.fromString(rel), bytes) }),
 
@@ -328,7 +523,7 @@ object GraftCatalog {
       "shallow-clone a table (or a pinned version) by reference",
       Seq("src" -> StringType, "dst" -> StringType), versionResult,
       (spark, in) => versionRow(
-        VersionedTable.cloneShallow(spark, str(in, 0), str(in, 1)))),
+        VersionedTable.cloneShallow(spark, pathArg(in), str(in, 1)))),
 
     new Proc("add_column",
       "ADD COLUMN as a metadata-only commit; an optional DEFAULT " +
@@ -339,7 +534,7 @@ object GraftCatalog {
         "sql_type" -> StringType, "default_expr" -> StringType),
       versionResult,
       (spark, in) => versionRow(VersionedTable.addColumn(
-        spark, str(in, 0), str(in, 1), str(in, 2),
+        spark, pathArg(in), str(in, 1), str(in, 2),
         Some(str(in, 3)).filter(_.nonEmpty))),
       defaults = Map("default_expr" -> "''")),
 
@@ -352,7 +547,7 @@ object GraftCatalog {
         "sql_type" -> StringType),
       versionResult,
       (spark, in) => versionRow(VersionedTable.alterColumnType(
-        spark, str(in, 0), str(in, 1), str(in, 2)))),
+        spark, pathArg(in), str(in, 1), str(in, 2)))),
 
     new Proc("rename_column",
       "RENAME COLUMN as a metadata-only commit (field-id column " +
@@ -361,7 +556,7 @@ object GraftCatalog {
       Seq("path" -> StringType, "from" -> StringType, "to" -> StringType),
       versionResult,
       (spark, in) => versionRow(VersionedTable.renameColumn(
-        spark, str(in, 0), str(in, 1), str(in, 2)))),
+        spark, pathArg(in), str(in, 1), str(in, 2)))),
 
     new Proc("add_generated_column",
       "ADD a GENERATED ALWAYS AS (expr) column as a metadata-only " +
@@ -373,7 +568,7 @@ object GraftCatalog {
         "sql_type" -> StringType, "expr" -> StringType),
       versionResult,
       (spark, in) => versionRow(VersionedTable.addGeneratedColumn(
-        spark, str(in, 0), str(in, 1), str(in, 2), str(in, 3)))),
+        spark, pathArg(in), str(in, 1), str(in, 2), str(in, 3)))),
 
     new Proc("generated_columns",
       "the table's generated columns as (name, expr) rows",
@@ -381,7 +576,7 @@ object GraftCatalog {
       StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("expr", StringType, nullable = false))),
-      (spark, in) => VersionedTable.generatedOf(spark, str(in, 0))
+      (spark, in) => VersionedTable.generatedOf(spark, pathArg(in))
         .toSeq.sortBy(_._1)
         .map { case (n, e) => org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(n),
@@ -397,7 +592,7 @@ object GraftCatalog {
         "start" -> LongType),
       versionResult,
       (spark, in) => versionRow(VersionedTable.addIdentityColumn(
-        spark, str(in, 0), str(in, 1), in.getLong(2))),
+        spark, pathArg(in), str(in, 1), in.getLong(2))),
       defaults = Map("start" -> "1")),
 
     new Proc("identity_columns",
@@ -406,7 +601,7 @@ object GraftCatalog {
       StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("next_value", LongType, nullable = false))),
-      (spark, in) => VersionedTable.identityOf(spark, str(in, 0))
+      (spark, in) => VersionedTable.identityOf(spark, pathArg(in))
         .toSeq.sortBy(_._1)
         .map { case (n, hw) => org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(n), hw) }),
@@ -432,7 +627,7 @@ object GraftCatalog {
         StructField("n_identity", IntegerType, nullable = false),
         StructField("n_properties", IntegerType, nullable = false))),
       (spark, in) => {
-        val d = VersionedTable.detailOf(spark, str(in, 0))
+        val d = VersionedTable.detailOf(spark, pathArg(in))
         Seq(InternalRow(d._1, d._2, d._3, d._4,
           org.apache.spark.unsafe.types.UTF8String.fromString(d._5),
           org.apache.spark.unsafe.types.UTF8String.fromString(d._6),
@@ -452,7 +647,7 @@ object GraftCatalog {
         StructField("n_files", LongType, nullable = false),
         StructField("n_rows", LongType, nullable = false),
         StructField("bytes", LongType, nullable = false))),
-      (spark, in) => VersionedTable.partitionsOf(spark, str(in, 0))
+      (spark, in) => VersionedTable.partitionsOf(spark, pathArg(in))
         .map { case (p, nf, nr, b) => InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(p),
           nf, nr, b) }),
@@ -466,14 +661,14 @@ object GraftCatalog {
         "value" -> StringType),
       versionResult,
       (spark, in) => versionRow(VersionedTable.setTableProperty(
-        spark, str(in, 0), str(in, 1), str(in, 2)))),
+        spark, pathArg(in), str(in, 1), str(in, 2)))),
 
     new Proc("unset_property",
       "UNSET a table property (metadata-only; unknown keys refuse)",
       Seq("path" -> StringType, "key" -> StringType),
       versionResult,
       (spark, in) => versionRow(VersionedTable.unsetTableProperty(
-        spark, str(in, 0), str(in, 1)))),
+        spark, pathArg(in), str(in, 1)))),
 
     new Proc("properties",
       "the table's properties as (key, value) rows",
@@ -481,7 +676,7 @@ object GraftCatalog {
       StructType(Seq(
         StructField("key", StringType, nullable = false),
         StructField("value", StringType, nullable = false))),
-      (spark, in) => VersionedTable.propertiesOf(spark, str(in, 0))
+      (spark, in) => VersionedTable.propertiesOf(spark, pathArg(in))
         .toSeq.sortBy(_._1)
         .map { case (k, v) => org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(k),
@@ -497,7 +692,7 @@ object GraftCatalog {
       Seq("path" -> StringType),
       versionResult,
       (spark, in) => versionRow(VersionedTable.enableRowTracking(
-        spark, str(in, 0)))),
+        spark, pathArg(in)))),
 
     new Proc("apply_changes",
       "fold a CDC changelog (a view/table of full row images + the " +
@@ -511,7 +706,7 @@ object GraftCatalog {
         "delete_flag" -> StringType, "txn" -> LongType),
       versionResult,
       (spark, in) => versionRow(VersionedTable.applyChanges(
-        spark, str(in, 0), spark.table(str(in, 1)),
+        spark, pathArg(in), spark.table(str(in, 1)),
         str(in, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         str(in, 3),
         deleteCol = Some(str(in, 4)).filter(_.nonEmpty),
@@ -536,7 +731,7 @@ object GraftCatalog {
         // DIFFERENT regions and rows could survive a lexically-pruned
         // file. Dates accept ISO form or epoch days; timestamps epoch
         // micros (the recorded stat domains).
-        val schema = VersionedTable.schemaOf(spark, str(in, 0))
+        val schema = VersionedTable.schemaOf(spark, pathArg(in))
         val types = schema.fields.map(f => f.name -> f.dataType).toMap
         val preds: VersionedTable.RangePreds =
           str(in, 2).split(";").map(_.trim).filter(_.nonEmpty).map { t =>
@@ -569,7 +764,7 @@ object GraftCatalog {
             c -> (v(parts(1)), v(parts(2)))
           }.toMap
         versionRow(VersionedTable.replaceWhere(
-          spark, str(in, 0), spark.table(str(in, 1)), preds))
+          spark, pathArg(in), spark.table(str(in, 1)), preds))
       }),
 
     new Proc("analyze",
@@ -587,7 +782,7 @@ object GraftCatalog {
         StructField("lo", StringType, nullable = false),
         StructField("hi", StringType, nullable = false),
         StructField("ndv", LongType, nullable = false))),
-      (spark, in) => VersionedTable.analyzeTable(spark, str(in, 0),
+      (spark, in) => VersionedTable.analyzeTable(spark, pathArg(in),
         str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .map { case (c, n, nn, lo, hi, ndv) =>
           org.apache.spark.sql.catalyst.InternalRow(
@@ -610,7 +805,7 @@ object GraftCatalog {
         StructField("lo", DoubleType, nullable = false),
         StructField("hi", DoubleType, nullable = false),
         StructField("est_rows", DoubleType, nullable = false))),
-      (spark, in) => VersionedTable.histogramOf(spark, str(in, 0),
+      (spark, in) => VersionedTable.histogramOf(spark, pathArg(in),
         str(in, 1), in.getInt(2))
         .map { case (b, l, h, e) => InternalRow(b, l, h, e) },
       defaults = Map("buckets" -> "16")),
@@ -624,7 +819,7 @@ object GraftCatalog {
         "nullable" -> BooleanType),
       versionResult,
       (spark, in) => versionRow(VersionedTable.alterColumnNullability(
-        spark, str(in, 0), str(in, 1), in.getBoolean(2)))),
+        spark, pathArg(in), str(in, 1), in.getBoolean(2)))),
 
     new Proc("add_constraint",
       "ADD a named CHECK constraint (SQL semantics: NULL passes, FALSE " +
@@ -633,13 +828,13 @@ object GraftCatalog {
       Seq("path" -> StringType, "name" -> StringType,
         "expr" -> StringType), versionResult,
       (spark, in) => versionRow(VersionedTable.addConstraint(
-        spark, str(in, 0), str(in, 1), str(in, 2)))),
+        spark, pathArg(in), str(in, 1), str(in, 2)))),
 
     new Proc("drop_constraint",
       "DROP a CHECK constraint (metadata-only)",
       Seq("path" -> StringType, "name" -> StringType), versionResult,
       (spark, in) => versionRow(VersionedTable.dropConstraint(
-        spark, str(in, 0), str(in, 1)))),
+        spark, pathArg(in), str(in, 1)))),
 
     new Proc("constraints",
       "the table's CHECK constraints as (name, expr) rows",
@@ -647,7 +842,7 @@ object GraftCatalog {
       StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("expr", StringType, nullable = false))),
-      (spark, in) => VersionedTable.constraintsOf(spark, str(in, 0))
+      (spark, in) => VersionedTable.constraintsOf(spark, pathArg(in))
         .map(c => org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(c.name),
           org.apache.spark.unsafe.types.UTF8String.fromString(c.expr)))),
@@ -662,7 +857,7 @@ object GraftCatalog {
         StructField("name", StringType, nullable = false),
         StructField("physical_name", StringType, nullable = false),
         StructField("prior_names", StringType, nullable = false))),
-      (spark, in) => VersionedTable.describeColumnLineage(spark, str(in, 0))
+      (spark, in) => VersionedTable.describeColumnLineage(spark, pathArg(in))
         .queryExecution.executedPlan.executeCollect().toSeq),
 
     new Proc("drop_column",
@@ -671,12 +866,35 @@ object GraftCatalog {
         "same name is a fresh field (dead data never resurrects)",
       Seq("path" -> StringType, "column" -> StringType), versionResult,
       (spark, in) => versionRow(VersionedTable.dropColumn(
-        spark, str(in, 0), str(in, 1)))),
+        spark, pathArg(in), str(in, 1)))),
 
     // The multi-table transaction face: the K9 stage-commit-ordering
     // story (aois → full → clipped → viz visible together or not at
     // all) drivable from pure SQL. Staging rides normal table commits;
     // the txn catalog's single hard-link CAS is the atomicity point.
+    new Proc("register_table",
+      "bind a catalog NAME to an existing versioned-table root (a " +
+        "<warehouse>/_names link; warehouse = the runtime conf " +
+        "spark.sql.catalog.graft.warehouse) — after this, SQL " +
+        "addresses the table as graft.<name> and every CALL accepts " +
+        "the bare name where it takes a path",
+      Seq("name" -> StringType, "path" -> StringType),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("root", StringType, nullable = false))),
+      (spark, in) => {
+        GraftNames.register(spark, str(in, 0), str(in, 1))
+        Seq(InternalRow(UTF8String.fromString(str(in, 0)),
+          UTF8String.fromString(str(in, 1))))
+      }),
+
+    new Proc("unregister_table",
+      "drop a NAME binding — the link only, never the data",
+      Seq("name" -> StringType),
+      StructType(Seq(StructField("removed", BooleanType, nullable = false))),
+      (spark, in) =>
+        Seq(InternalRow(GraftNames.unregister(spark, str(in, 0))))),
+
     new Proc("txn_apply",
       "stage each comma-separated source view/table into its paired " +
         "target table (create or overwrite under <cat_root>/tables/" +
@@ -688,7 +906,7 @@ object GraftCatalog {
         "sources" -> StringType),
       StructType(Seq(StructField("txn", IntegerType, nullable = false))),
       (spark, in) => {
-        val cat = str(in, 0)
+        val cat = pathArg(in)
         val names = str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val srcs = str(in, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(names.nonEmpty && names.size == srcs.size,
@@ -708,7 +926,7 @@ object GraftCatalog {
       StructType(Seq(StructField("view", StringType, nullable = false))),
       (spark, in) => {
         val t = Some(in.getInt(2)).filter(_ >= 1)
-        graft.sink.TxnCatalog.registerViews(spark, str(in, 0), str(in, 1), t)
+        graft.sink.TxnCatalog.registerViews(spark, pathArg(in), str(in, 1), t)
           .map(v => InternalRow(UTF8String.fromString(v)))
       },
       defaults = Map("prefix" -> "'txn'", "txn" -> "-1")),
@@ -722,7 +940,7 @@ object GraftCatalog {
         "gradually",
       Seq("path" -> StringType, "columns" -> StringType), versionResult,
       (spark, in) => versionRow(VersionedTable.setPartitionLayout(
-        spark, str(in, 0), graft.sink.Layout.split(str(in, 1))))),
+        spark, pathArg(in), graft.sink.Layout.split(str(in, 1))))),
 
     // Named refs: tags pin versions against retention (reproducible
     // training snapshots); branches stage audited writes that publish
@@ -732,7 +950,7 @@ object GraftCatalog {
         "version survives expire until the tag is dropped",
       Seq("path" -> StringType, "name" -> StringType,
         "version" -> IntegerType), versionResult,
-      (spark, in) => versionRow(VersionedTable.createTag(spark, str(in, 0),
+      (spark, in) => versionRow(VersionedTable.createTag(spark, pathArg(in),
         str(in, 1), Some(in.getInt(2)).filter(_ >= 1))),
       defaults = Map("version" -> "-1")),
 
@@ -740,7 +958,7 @@ object GraftCatalog {
       "drop a tag, releasing its retention pin; returns the version it pinned",
       Seq("path" -> StringType, "name" -> StringType), versionResult,
       (spark, in) => versionRow(
-        VersionedTable.dropTag(spark, str(in, 0), str(in, 1)))),
+        VersionedTable.dropTag(spark, pathArg(in), str(in, 1)))),
 
     new Proc("tags",
       "all tags as (name, pinned version)",
@@ -748,7 +966,7 @@ object GraftCatalog {
       StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("version", IntegerType, nullable = false))),
-      (spark, in) => VersionedTable.tags(spark, str(in, 0))
+      (spark, in) => VersionedTable.tags(spark, pathArg(in))
         .map { case (n, v) => InternalRow(UTF8String.fromString(n), v) }),
 
     new Proc("tag_snapshot",
@@ -758,7 +976,7 @@ object GraftCatalog {
         "view" -> StringType),
       StructType(Seq(StructField("view", StringType, nullable = false))),
       (spark, in) => {
-        VersionedTable.readTag(spark, str(in, 0), str(in, 1))
+        VersionedTable.readTag(spark, pathArg(in), str(in, 1))
           .createOrReplaceTempView(str(in, 2))
         Seq(InternalRow(UTF8String.fromString(str(in, 2))))
       }),
@@ -771,7 +989,7 @@ object GraftCatalog {
         "version" -> IntegerType),
       StructType(Seq(StructField("branch_root", StringType, nullable = false))),
       (spark, in) => Seq(InternalRow(UTF8String.fromString(
-        VersionedTable.createBranch(spark, str(in, 0), str(in, 1),
+        VersionedTable.createBranch(spark, pathArg(in), str(in, 1),
           Some(in.getInt(2)).filter(_ >= 1))))),
       defaults = Map("version" -> "-1")),
 
@@ -781,7 +999,7 @@ object GraftCatalog {
         "fork — the audited snapshot would be stale",
       Seq("path" -> StringType, "name" -> StringType), versionResult,
       (spark, in) => versionRow(
-        VersionedTable.fastForward(spark, str(in, 0), str(in, 1)))),
+        VersionedTable.fastForward(spark, pathArg(in), str(in, 1)))),
 
     new Proc("drop_branch",
       "drop a branch: manifests go; data files survive only where a " +
@@ -791,7 +1009,7 @@ object GraftCatalog {
         StructField("removed_versions", IntegerType, nullable = false),
         StructField("removed_files", IntegerType, nullable = false))),
       (spark, in) => {
-        val (vs, files) = VersionedTable.dropBranch(spark, str(in, 0), str(in, 1))
+        val (vs, files) = VersionedTable.dropBranch(spark, pathArg(in), str(in, 1))
         Seq(InternalRow(vs, files))
       }),
 
@@ -802,7 +1020,7 @@ object GraftCatalog {
         StructField("name", StringType, nullable = false),
         StructField("fork_base", IntegerType, nullable = false),
         StructField("head_version", IntegerType, nullable = false))),
-      (spark, in) => VersionedTable.branches(spark, str(in, 0))
+      (spark, in) => VersionedTable.branches(spark, pathArg(in))
         .map { case (n, fb, h) =>
           InternalRow(UTF8String.fromString(n), fb, h) }),
 
@@ -816,7 +1034,7 @@ object GraftCatalog {
         StructField("root", StringType, nullable = false),
         StructField("version", IntegerType, nullable = false))),
       (spark, in) => {
-        val cat = str(in, 0)
+        val cat = pathArg(in)
         graft.sink.TxnCatalog.txns(spark, cat).flatMap { t =>
           graft.sink.TxnCatalog.snapshot(spark, cat, Some(t))
             .tables.toSeq.sortBy(_._1).map { case (n, (root, v)) =>

@@ -1,0 +1,223 @@
+package graft.catalog
+
+import java.util.{Map => JMap, Set => JSet}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+
+import graft.sink.VersionedTable
+
+/** The NAME → root registry behind the `graft` catalog's table face: the
+  * reference addresses its tables by NAME over a connection
+  * (`load_to_postgis.py:140-149` — `SELECT id FROM ndvi_full WHERE …`),
+  * so the engine's tables get the same UX through a Spark
+  * [[org.apache.spark.sql.connector.catalog.TableCatalog]]:
+  * `SELECT … FROM graft.ndvi_full`, `INSERT INTO graft.ndvi_full …`,
+  * `ALTER TABLE graft.ndvi_full ADD COLUMNS (…)` in vanilla Spark SQL.
+  *
+  * A name resolves in two ways, both rooted at the WAREHOUSE directory
+  * (the runtime conf `spark.sql.catalog.graft.warehouse` — read at each
+  * access, so a session can point at its warehouse after startup):
+  *
+  *   1. a LINK: `<warehouse>/_names/<name>.link` holds the absolute
+  *      root of an existing table anywhere on storage (written by
+  *      `CALL graft.register_table('name', '/path')`) — dropping the
+  *      name removes the link, never the data;
+  *   2. a MANAGED directory: `<warehouse>/<name>` with a `_log` — what
+  *      `CREATE TABLE graft.name …` makes; dropping deletes it.
+  *
+  * Resolution is one file read / one existence probe — O(1) driver
+  * metadata, nothing that grows with table size. */
+object GraftNames {
+  val WarehouseConf = "spark.sql.catalog.graft.warehouse"
+  private val NameRe = """[A-Za-z_][A-Za-z0-9_]*""".r
+
+  def warehouse(spark: SparkSession): Option[String] =
+    spark.conf.getOption(WarehouseConf).map(_.stripSuffix("/"))
+      .filter(_.nonEmpty)
+
+  private def requireWarehouse(spark: SparkSession): String =
+    warehouse(spark).getOrElse(throw new IllegalArgumentException(
+      s"named graft tables need the warehouse conf: SET $WarehouseConf = '/dir'"))
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def linkPath(w: String, name: String) =
+    new Path(s"$w/_names", s"$name.link")
+
+  def validName(name: String): Boolean = NameRe.matches(name)
+
+  /** Bind `name` to an EXISTING table root (the link form). Re-binding
+    * an existing name is an update — the link is the only state. */
+  def register(spark: SparkSession, name: String, root: String): Unit = {
+    require(validName(name), s"table name must match ${NameRe.regex}: $name")
+    require(VersionedTable.currentVersion(spark, root).nonEmpty,
+      s"no graft table at $root — create it first, then register")
+    val w = requireWarehouse(spark)
+    val lp = linkPath(w, name)
+    val f = fs(spark, lp)
+    f.mkdirs(lp.getParent)
+    val out = f.create(lp, true)
+    try out.write(root.getBytes("UTF-8")) finally out.close()
+  }
+
+  def unregister(spark: SparkSession, name: String): Boolean = {
+    val lp = linkPath(requireWarehouse(spark), name)
+    fs(spark, lp).delete(lp, false)
+  }
+
+  /** The root `name` resolves to: link first (explicit wins), then the
+    * managed `<warehouse>/<name>` directory if it holds a table. */
+  def lookup(spark: SparkSession, name: String): Option[String] =
+    warehouse(spark).flatMap { w =>
+      val lp = linkPath(w, name)
+      val f = fs(spark, lp)
+      if (f.exists(lp)) {
+        val in = f.open(lp)
+        val root = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+        Some(root)
+      } else {
+        val managed = s"$w/$name"
+        if (VersionedTable.currentVersion(spark, managed).nonEmpty) Some(managed)
+        else None
+      }
+    }
+
+  /** Accept either spelling where a procedure takes a table: a PATH
+    * (anything with a '/') passes through; a bare registered NAME
+    * resolves; an unknown bare token passes through unchanged so the
+    * downstream "no table at <x>" error names what the caller typed. */
+  def resolve(spark: SparkSession, pathOrName: String): String =
+    if (pathOrName.contains('/')) pathOrName
+    else lookup(spark, pathOrName).getOrElse(pathOrName)
+
+  /** resolve() for SQL named targets: unknown names REFUSE with the
+    * setup hint instead of falling through as a relative path. */
+  def resolveName(spark: SparkSession, name: String): String =
+    lookup(spark, name).getOrElse(throw new IllegalArgumentException(
+      s"no graft table named $name" + warehouse(spark).fold(
+        s" (warehouse conf $WarehouseConf is unset)")(w =>
+        s" under warehouse $w — CREATE TABLE graft.$name … or " +
+          s"CALL graft.register_table('$name', '/path')")))
+
+  /** Every visible name: links plus managed directories with a table. */
+  def list(spark: SparkSession): Seq[String] =
+    warehouse(spark).toSeq.flatMap { w =>
+      val wp = new Path(w)
+      val f = fs(spark, wp)
+      val links =
+        if (!f.exists(new Path(w, "_names"))) Seq.empty
+        else f.listStatus(new Path(w, "_names")).toSeq.map(_.getPath.getName)
+          .filter(_.endsWith(".link")).map(_.stripSuffix(".link"))
+      val managed =
+        if (!f.exists(wp)) Seq.empty
+        else f.listStatus(wp).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter(n => !n.startsWith("_"))
+          .filter(n => VersionedTable.currentVersion(spark, s"$w/$n").nonEmpty)
+      (links ++ managed).distinct.sorted
+    }
+
+  /** Managed location for CREATE TABLE graft.name. */
+  def managedRoot(spark: SparkSession, name: String): String = {
+    require(validName(name), s"table name must match ${NameRe.regex}: $name")
+    s"${requireWarehouse(spark)}/$name"
+  }
+}
+
+/** The DSv2 [[Table]] a name loads to. WRITES go through the V1 write
+  * bridge ([[V1Write]] → [[InsertableRelation]]): `INSERT INTO graft.t`
+  * and `INSERT OVERWRITE graft.t` become the engine's committed
+  * append/overwrite — the same write path `.format("graft-versioned")`
+  * uses, with its rebase-on-conflict and contract enforcement. READS
+  * never execute through this Table: [[GraftNamedTableReads]] swaps the
+  * resolved relation for the DSv1 versioned relation (stats pruning,
+  * truthful sizeInBytes, MetaAggregates) before planning, which is why
+  * no read capability is declared here. `asOf` pins time travel
+  * (`VERSION AS OF` / `TIMESTAMP AS OF` resolve it at loadTable). */
+case class GraftNamedTable(tableName: String, root: String,
+                           asOf: Option[Int] = None)
+    extends Table with SupportsWrite {
+  override def name(): String = tableName
+  // Table.version() is Spark's cache-invalidation token: the pinned
+  // time-travel version, or the table's current version otherwise
+  override def version(): String =
+    asOf.orElse(VersionedTable.currentVersion(SparkSession.active, root))
+      .map(_.toString).orNull
+  override def schema(): StructType =
+    VersionedTable.schemaOf(SparkSession.active, root, asOf)
+  override def capabilities(): JSet[TableCapability] =
+    java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def properties(): JMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("location", root)
+    asOf.foreach(v => m.put("versionAsOf", v.toString))
+    m
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteAll = false
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              val s = data.sparkSession
+              // positional like every SQL INSERT: Spark already cast the
+              // query to the table schema; restore the declared names
+              val aligned =
+                data.toDF(VersionedTable.schemaOf(s, root).fieldNames.toSeq: _*)
+              if (overwriteAll || overwrite)
+                VersionedTable.overwrite(s, root, aligned)
+              else VersionedTable.append(s, root, aligned)
+            }
+          }
+      }
+    }
+}
+
+/** Resolution rule (SparkSessionExtensions.injectResolutionRule): any
+  * [[GraftNamedTable]] relation the analyzer resolved from the catalog
+  * is swapped for the engine's DSv1 versioned relation — so
+  * `SELECT … FROM graft.t` plans EXACTLY like
+  * `spark.read.format("graft-versioned").load(root)`: manifest range/
+  * bloom file pruning in buildScan, truthful sizeInBytes for broadcast
+  * decisions, and the MetaAggregates manifest-only rewrites (which
+  * match on the DSv1 relation). The swap is attribute-preserving — an
+  * alias per column keeps the V2 relation's exprIds, so references
+  * already resolved against it stay bound. INSERT targets are left to
+  * the V1 write bridge (the rule descends only into the query side). */
+case class GraftNamedTableReads(session: SparkSession)
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    def go(p: LogicalPlan): LogicalPlan = p match {
+      case i: InsertIntoStatement =>
+        // the write TARGET stays a V2 relation (AppendDataExecV1 runs
+        // the engine append); only the source query rewrites
+        i.copy(query = go(i.query))
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftNamedTable] =>
+        val t = r.table.asInstanceOf[GraftNamedTable]
+        val reader0 = session.read.format("graft-versioned")
+        val reader =
+          t.asOf.fold(reader0)(v => reader0.option("versionAsOf", v.toString))
+        val resolved = reader.load(t.root).queryExecution.analyzed
+        Project(r.output.zip(resolved.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        }, resolved)
+      case other => other.mapChildren(go)
+    }
+    go(plan)
+  }
+}

@@ -54,6 +54,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL DDL face: ALTER TABLE '<path>' … / OPTIMIZE / VACUUM over
     // graft tables; every unrecognized statement delegates untouched
     e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // named graft tables: SELECT/INSERT resolve through the TableCatalog
+    // (graft.catalog.GraftCatalog); this rule swaps the resolved V2
+    // relation for the engine's DSv1 read path (stats pruning,
+    // truthful sizeInBytes, MetaAggregates)
+    e.injectResolutionRule(session =>
+      graft.catalog.GraftNamedTableReads(session))
     GraftExtensions.sqlFunctions.foreach(e.injectFunction)
   }
 }

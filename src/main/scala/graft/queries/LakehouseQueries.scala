@@ -980,6 +980,40 @@ object LakehouseQueries {
           count(when(col("k") >= 10000000L, 1)).as("n_inserted"))
     }),
 
+    // The NAMED-TABLE catalog face end to end (graft.catalog
+    // .GraftCatalog as a DSv2 TableCatalog + GraftNamedTableReads):
+    // CTAS by name through Spark's OWN grammar, INSERT INTO by name
+    // (V1 write bridge → committed append), UPDATE/DELETE by name
+    // (GraftSqlParser named targets → vectored CoW / MoR), time travel
+    // by name (VERSION AS OF through catalog loadTable), and a CALL
+    // accepting the bare name — the reference's named-table surface
+    // (load_to_postgis.py:140-149: SELECT id FROM ndvi_full WHERE …).
+    // Every mutation is DuckDB-replayable, so the final aggregate
+    // hash-gates the whole chain.
+    "q228_named_catalog" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_named_q228")
+      s.conf.set(graft.catalog.GraftNames.WarehouseConf, work.toString)
+      s.sql(s"CREATE TABLE graft.cust_q228 AS SELECT c_custkey AS k, " +
+        s"CAST(c_acctbal AS DOUBLE) AS bal, c_mktsegment AS seg " +
+        s"FROM parquet.`$d/customer.parquet`")
+      s.sql(s"INSERT INTO graft.cust_q228 " +
+        s"SELECT c_custkey + 1000000, CAST(10.0 AS DOUBLE), 'SYNTH' " +
+        s"FROM parquet.`$d/customer.parquet` WHERE c_custkey % 11 = 0")
+      s.sql("UPDATE graft.cust_q228 SET bal = bal + 50.0 WHERE k % 10 = 0")
+      s.sql("DELETE FROM graft.cust_q228 WHERE k % 13 = 0")
+      // time travel by NAME: version 2 is the CTAS content (v1 is the
+      // created empty table, v2 its population)
+      val v2 = s.sql(
+        "SELECT count(*) FROM graft.cust_q228 VERSION AS OF 2").head.getLong(0)
+      // the CALL face takes the bare catalog name where it takes paths
+      val commits = s.sql("CALL graft.history('cust_q228')").count()
+      s.sql("SELECT seg, count(*) AS n, " +
+        "CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal " +
+        "FROM graft.cust_q228 GROUP BY seg")
+        .withColumn("v2_rows", lit(v2))
+        .withColumn("n_commits", lit(commits))
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -1870,6 +1904,25 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q228_named_catalog" ->
+      """WITH base AS (
+              SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal,
+                     c_mktsegment AS seg
+              FROM customer
+              UNION ALL
+              SELECT c_custkey + 1000000, CAST(10.0 AS DOUBLE), 'SYNTH'
+              FROM customer WHERE c_custkey % 11 = 0),
+              upd AS (
+                SELECT k, CASE WHEN k % 10 = 0 THEN bal + 50.0
+                               ELSE bal END AS bal, seg
+                FROM base),
+              fin AS (SELECT * FROM upd WHERE k % 13 <> 0)
+         SELECT seg, count(*)::BIGINT AS n,
+                CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+                (SELECT count(*) FROM customer)::BIGINT AS v2_rows,
+                5::BIGINT AS n_commits
+         FROM fin GROUP BY seg""",
 
     "q227_sql_dml" ->
       """WITH base AS (

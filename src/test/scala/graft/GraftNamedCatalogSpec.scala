@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.GraftNames
+import graft.sink.VersionedTable
+
+/** The named-table face: `graft.<name>` in vanilla Spark SQL through
+  * the DSv2 TableCatalog (SELECT/INSERT/CTAS/ALTER/SHOW/DROP/RENAME,
+  * time travel) plus the GraftSqlParser named targets for the forms
+  * Spark cannot run against a custom catalog (UPDATE/DELETE/MERGE/
+  * OPTIMIZE/VACUUM) — the reference's named-table UX
+  * (load_to_postgis.py:140-149) without the quoted-path marker. */
+class GraftNamedCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshWarehouse(): String = {
+    val w = Files.createTempDirectory("graft_named_wh").toString
+    spark.conf.set(GraftNames.WarehouseConf, w)
+    w
+  }
+
+  test("register_table binds a name; SELECT and INSERT INTO run through it") {
+    val w = freshWarehouse()
+    val root = Files.createTempDirectory("graft_named").resolve("t").toString
+    VersionedTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1))
+    val reg = spark.sql(s"CALL graft.register_table('ndvi_full', '$root')")
+      .collect()
+    assert(reg.head.getString(0) == "ndvi_full")
+    // vanilla SQL SELECT by NAME — and the plan is the DSv1 engine read
+    assert(spark.sql("SELECT sum(k) FROM graft.ndvi_full").as[Long].head() == 3L)
+    assert(spark.sql(
+      "SELECT s FROM graft.ndvi_full WHERE k = 2").as[String].head() == "b")
+    // the read executed through the DSv1 engine relation (stats-pruned
+    // buildScan), not a V2 scan — GraftNamedTableReads did the swap
+    assert(graft.sources.VersionedSource.lastScan.exists(_.root == root),
+      s"named SELECT must run the engine read path; lastScan=" +
+        graft.sources.VersionedSource.lastScan)
+    // INSERT INTO by name = a committed engine append (V1 write bridge)
+    spark.sql("INSERT INTO graft.ndvi_full SELECT 3L, 'c'")
+    assert(VersionedTable.read(spark, root).count() == 3)
+    assert(VersionedTable.currentVersion(spark, root).contains(2))
+    // joins across named + ordinary relations resolve fine
+    val j = spark.sql(
+      """SELECT t.s FROM graft.ndvi_full t
+        |JOIN (SELECT 3L AS k) u ON t.k = u.k""".stripMargin)
+      .as[String].collect().toSeq
+    assert(j == Seq("c"))
+    // CALL procedures accept the registered name where they take a path
+    val hist = spark.sql("CALL graft.history('ndvi_full')").collect()
+    assert(hist.length == 2)
+    // INSERT OVERWRITE = the engine overwrite
+    spark.sql("INSERT OVERWRITE graft.ndvi_full SELECT 9L, 'z'")
+    assert(VersionedTable.read(spark, root).select("k").as[Long].head() == 9L)
+    spark.sql("CALL graft.unregister_table('ndvi_full')")
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM graft.ndvi_full").collect()) != null)
+    // the DATA survives an unregister (link only)
+    assert(VersionedTable.read(spark, root).count() == 1)
+  }
+
+  test("CTAS, time travel, SHOW TABLES, ALTER via Spark's grammar, RENAME, DROP") {
+    val w = freshWarehouse()
+    spark.sql("CREATE TABLE graft.scenes AS SELECT id AS k, id * 2 AS v " +
+      "FROM range(10)")
+    assert(VersionedTable.currentVersion(spark, s"$w/scenes").nonEmpty)
+    assert(spark.sql("SELECT sum(v) FROM graft.scenes").as[Long].head() == 90L)
+    spark.sql("INSERT INTO graft.scenes SELECT 100L, 200L")
+    // time travel through Spark's own grammar (catalog loadTable(v))
+    assert(spark.sql("SELECT count(*) FROM graft.scenes VERSION AS OF 2")
+      .as[Long].head() == 10L)
+    assert(spark.sql("SELECT count(*) FROM graft.scenes").as[Long].head() == 11L)
+    // SHOW TABLES sees it
+    assert(spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("scenes"))
+    // ALTER through Spark's own parser → TableCatalog.alterTable
+    spark.sql("ALTER TABLE graft.scenes ADD COLUMNS (note STRING)")
+    assert(VersionedTable.schemaOf(spark, s"$w/scenes").fieldNames
+      .contains("note"))
+    spark.sql("ALTER TABLE graft.scenes RENAME COLUMN note TO remark")
+    spark.sql("ALTER TABLE graft.scenes SET TBLPROPERTIES ('team' = 'etl')")
+    spark.sql("ALTER TABLE graft.scenes DROP COLUMN remark")
+    // RENAME TABLE moves the managed directory
+    spark.sql("ALTER TABLE graft.scenes RENAME TO graft.scenes2")
+    assert(spark.sql("SELECT count(*) FROM graft.scenes2").as[Long].head() == 11L)
+    assert(!spark.catalog.tableExists("graft.scenes"))
+    // DROP deletes the managed directory
+    spark.sql("DROP TABLE graft.scenes2")
+    assert(spark.sql("SHOW TABLES IN graft").collect().isEmpty)
+    assert(!new java.io.File(s"$w/scenes2").exists())
+  }
+
+  test("parser named targets: UPDATE / DELETE / MERGE / OPTIMIZE / VACUUM") {
+    val w = freshWarehouse()
+    spark.sql("CREATE TABLE graft.docs AS " +
+      "SELECT id AS k, CAST(id AS DOUBLE) AS score FROM range(20)")
+    spark.sql("UPDATE graft.docs SET score = score + 100.0 WHERE k < 5")
+    spark.sql("DELETE FROM graft.docs WHERE k >= 15")
+    spark.sql("MERGE INTO graft.docs USING " +
+      "(SELECT 3L AS k, CAST(0.5 AS DOUBLE) AS score) ON (k)")
+    val got = spark.sql(
+      "SELECT count(*) AS n, sum(score) AS s FROM graft.docs")
+      .as[(Long, Double)].head()
+    // rows 0..14 minus nothing; 0..4 +100 each; k=3 replaced by 0.5
+    val exp = (0 until 15).map(k =>
+      if (k == 3) 0.5 else if (k < 5) k + 100.0 else k.toDouble).sum
+    assert(got._1 == 15L && math.abs(got._2 - exp) < 1e-9, got.toString)
+    spark.sql("OPTIMIZE graft.docs")
+    spark.sql("VACUUM graft.docs DRY RUN")
+    assert(spark.sql("SELECT count(*) FROM graft.docs").as[Long].head() == 15L)
+    // an unknown name refuses with the setup hint, not a relative path
+    val e = intercept[Exception](spark.sql("DELETE FROM graft.nope WHERE k = 1"))
+    assert(e.getMessage.contains("no graft table named nope"), e.getMessage)
+  }
+
+  test("CREATE TABLE with partition transforms maps to the engine layout") {
+    freshWarehouse()
+    spark.sql("CREATE TABLE graft.ev PARTITIONED BY (bucket(4, k)) AS " +
+      "SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(40)")
+    assert(spark.sql("SELECT count(*) FROM graft.ev").as[Long].head() == 40L)
+    val parts = spark.sql("CALL graft.partitions('ev')").collect()
+    assert(parts.nonEmpty && parts.forall(_.getString(0).contains("=")))
+    spark.sql("DROP TABLE graft.ev")
+  }
+}
