@@ -1014,6 +1014,58 @@ object LakehouseQueries {
         .withColumn("n_commits", lit(commits))
     }),
 
+    // CONDITIONAL PARTIAL-ASSIGNMENT MERGE (the reference's K5
+    // `ON CONFLICT … DO UPDATE SET <assignments>`,
+    // load_to_postgis.py:260-269) through BOTH commit shapes on the
+    // same source: the SQL face (`WHEN MATCHED AND cond THEN UPDATE
+    // SET col = expr … WHEN NOT MATCHED THEN INSERT (cols) VALUES`)
+    // lands merge-on-read (mergeIntoWhen → mergeIntoVectored), the
+    // Scala face with vectored=false lands copy-on-write — matched
+    // rows failing the condition stay untouched, inserts NULL-fill
+    // unlisted columns, and the oracle replays the semantics once and
+    // demands both paths hash-match it.
+    "q229_merge_when" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_mw_q229")
+      val sup = Tables.supplier(s, d).select(
+        col("s_suppkey").cast("long").as("k"),
+        col("s_acctbal").cast("double").as("bal"),
+        col("s_nationkey").cast("long").as("nk"))
+      val vec = work.resolve("vec").toString
+      val cow = work.resolve("cow").toString
+      Seq(vec, cow).foreach(r =>
+        VersionedTable.create(s, r, sup.repartition(2)))
+      // matched keys: multiples of 3 — even ones arrive RICHER (cond
+      // true, update), odd ones POORER (cond false, untouched); new
+      // keys (+100000) insert with nk unlisted → NULL
+      val srcSql =
+        s"""SELECT CAST(s_suppkey AS BIGINT) AS k,
+                   CASE WHEN s_suppkey % 2 = 0
+                        THEN CAST(s_acctbal AS DOUBLE) + 1000.0
+                        ELSE CAST(s_acctbal AS DOUBLE) - 1000.0 END AS bal,
+                   CAST(s_nationkey AS BIGINT) AS nk
+            FROM parquet.`$d/supplier.parquet` WHERE s_suppkey % 3 = 0
+            UNION ALL
+            SELECT CAST(s_suppkey + 100000 AS BIGINT),
+                   CAST(77.0 AS DOUBLE), CAST(7 AS BIGINT)
+            FROM parquet.`$d/supplier.parquet` WHERE s_suppkey % 10 = 0"""
+      s.sql(s"MERGE INTO '$vec' USING ($srcSql) ON (k) " +
+        "WHEN MATCHED AND s.bal > t.bal THEN UPDATE SET bal = s.bal " +
+        "WHEN NOT MATCHED THEN INSERT (k, bal) VALUES (s.k, s.bal)")
+      VersionedTable.mergeIntoWhen(s, cow, s.sql(srcSql), Seq("k"),
+        matchedCond = Some(col("s.bal") > col("t.bal")),
+        set = Map("bal" -> col("s.bal")),
+        insert = Some(Map("bal" -> col("s.bal"))), vectored = false)
+      Seq("vec" -> vec, "cow" -> cow).map { case (tag, r) =>
+        VersionedTable.read(s, r).agg(
+          count(lit(1)).as("n"),
+          sum(col("bal").cast("decimal(18,2)")).cast("double")
+            .as("sum_bal"),
+          count(when(col("nk").isNull, 1)).as("n_null_nk"))
+          .select(lit(tag).as("path"), col("n"), col("sum_bal"),
+            col("n_null_nk"))
+      }.reduce(_ unionByName _)
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -1904,6 +1956,45 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q229_merge_when" ->
+      """WITH base AS (
+              SELECT CAST(s_suppkey AS BIGINT) AS k,
+                     CAST(s_acctbal AS DOUBLE) AS bal,
+                     CAST(s_nationkey AS BIGINT) AS nk
+              FROM supplier),
+              src AS (
+                SELECT CAST(s_suppkey AS BIGINT) AS k,
+                       CASE WHEN s_suppkey % 2 = 0
+                            THEN CAST(s_acctbal AS DOUBLE) + 1000.0
+                            ELSE CAST(s_acctbal AS DOUBLE) - 1000.0
+                       END AS bal
+                FROM supplier WHERE s_suppkey % 3 = 0
+                UNION ALL
+                SELECT CAST(s_suppkey + 100000 AS BIGINT),
+                       CAST(77.0 AS DOUBLE)
+                FROM supplier WHERE s_suppkey % 10 = 0),
+              upd AS (
+                SELECT b.k,
+                       CASE WHEN s.k IS NOT NULL AND s.bal > b.bal
+                            THEN s.bal ELSE b.bal END AS bal,
+                       b.nk
+                FROM base b LEFT JOIN src s ON b.k = s.k),
+              ins AS (
+                SELECT s.k, s.bal, CAST(NULL AS BIGINT) AS nk
+                FROM src s LEFT JOIN base b ON s.k = b.k
+                WHERE b.k IS NULL),
+              fin AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+              agg AS (
+                SELECT count(*)::BIGINT AS n,
+                       CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE)
+                         AS sum_bal,
+                       count(CASE WHEN nk IS NULL THEN 1 END)::BIGINT
+                         AS n_null_nk
+                FROM fin)
+         SELECT 'vec' AS path, n, sum_bal, n_null_nk FROM agg
+         UNION ALL
+         SELECT 'cow', n, sum_bal, n_null_nk FROM agg""",
 
     "q228_named_catalog" ->
       """WITH base AS (

@@ -4631,6 +4631,109 @@ object VersionedTable {
       assignedIds = if (tracked) Set(RowIdCol) else Set.empty))
   }
 
+  /** CONDITIONAL PARTIAL-ASSIGNMENT MERGE — the full `WHEN` grammar of
+    * SQL MERGE (the reference's K5 `ON CONFLICT … DO UPDATE SET
+    * <assignments>` semantics, load_to_postgis.py:260-269), compiled
+    * onto the existing merge paths:
+    *
+    *   WHEN MATCHED [AND matchedCond] THEN UPDATE SET set
+    *   [WHEN NOT MATCHED THEN INSERT insert]
+    *
+    * Inside `matchedCond` / `set` values / `insert` values the TARGET
+    * row is aliased `t` and the SOURCE row `s` (qualify clashing
+    * names). Semantics: a matched target row satisfying the condition
+    * is REPLACED by itself with the assignments applied (unassigned
+    * columns keep the target's values); a matched row failing it is
+    * UNTOUCHED; a source row matching nothing inserts `insert`'s
+    * values (unlisted columns NULL) — or nothing when `insert` is
+    * None. Source keys must be unique (the usual MERGE contract).
+    *
+    * The merged row set is BUILT here — one inner join over the
+    * key-range-pruned matched slice, never the table — and committed
+    * through [[mergeIntoVectored]] (`vectored = true`, the
+    * key-scattered CDC shape: matched positions vector away, updates
+    * land as new files) or [[mergeInto]] (CoW: touched files rewrite).
+    * Only keys whose rows actually CHANGE travel, so cond-false rows
+    * cost nothing in either path. Row-tracked tables keep matched ids
+    * and assign fresh insert ids through the vectored path's own
+    * enrichment. */
+  def mergeIntoWhen(spark: SparkSession, root: String, source: DataFrame,
+                    keys: Seq[String],
+                    matchedCond: Option[org.apache.spark.sql.Column],
+                    set: Map[String, org.apache.spark.sql.Column],
+                    insert: Option[Map[String, org.apache.spark.sql.Column]],
+                    vectored: Boolean = true,
+                    txn: Option[Long] = None): Int = {
+    import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax}
+    require(keys.nonEmpty, "mergeIntoWhen needs at least one key column")
+    require(set.nonEmpty, "WHEN MATCHED THEN UPDATE SET needs assignments")
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    if (txn.exists(committedTxns(spark, root).contains)) return cur
+    val m = readManifest(spark, root, cur)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val tracked = m.props.get(PropRowTracking).contains("true")
+    // the business columns: under row tracking the engine owns _row_id —
+    // assignments may not touch it, and the built row set omits it so
+    // the vectored path's enrichment preserves/assigns ids uniformly
+    val fields = schema.fields.filterNot(tracked && _.name == RowIdCol)
+    (set.keySet ++ insert.toSeq.flatMap(_.keySet)).foreach(c =>
+      require(fields.exists(_.name == c),
+        s"MERGE assigns unknown column $c (table: [${m.schemaDdl}])"))
+    // SET must not rewrite the key (it would re-key the match itself);
+    // INSERT listing the key is the normal spelling
+    set.keySet.foreach(c => require(!keys.contains(c),
+      s"MERGE must not assign the key column $c"))
+    keys.foreach(k => require(
+      source.schema.fieldNames.contains(k) && fields.exists(_.name == k),
+      s"key column $k must exist on both sides"))
+    // matched slice: stats-sound — every possible match lives in the
+    // key-range-pruned files (same bounds the apply pass prunes by)
+    val aggCols = keys.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
+    val bounds = source.select(keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*).head
+    val preds: RangePreds = keys.zipWithIndex.flatMap { case (k, i) =>
+      (bounds.get(2 * i), bounds.get(2 * i + 1)) match {
+        case (lo: Any, hi: Any)
+          if lo.isInstanceOf[Number] || lo.isInstanceOf[String] =>
+          Some(k -> (Some(lo), Some(hi)))
+        case _ => None
+      }
+    }.toMap
+    val touched = prunedFiles(spark, root, preds, Some(cur))
+    val tgt = readSnapshotFiles(spark, root, m, touched).alias("t")
+    val src = source.alias("s")
+    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+      .reduce(_ && _)
+    val updated = tgt.join(src, joinCond, "inner")
+      .filter(matchedCond.getOrElse(lit(true)))
+      .select(fields.toSeq.map { f =>
+        set.getOrElse(f.name, col(s"t.${f.name}"))
+          .cast(f.dataType).as(f.name)
+      }: _*)
+    val inserts = insert match {
+      case None => updated.limit(0)
+      case Some(vals) =>
+        // target keys under reserved names: a bare `k` on the right of
+        // the anti-join would be ambiguous against the source's own k
+        src.join(
+            tgt.select(keys.map(k => col(s"t.$k").as(s"__graft_t_$k")): _*),
+            keys.map(k => col(s"s.$k") === col(s"__graft_t_$k"))
+              .reduce(_ && _),
+            "left_anti")
+          .select(fields.toSeq.map { f =>
+            vals.get(f.name)
+              .orElse(if (keys.contains(f.name)) Some(col(s"s.${f.name}"))
+                      else None)
+              .getOrElse(lit(null))
+              .cast(f.dataType).as(f.name)
+          }: _*)
+    }
+    val merged = updated.unionByName(inserts)
+    if (vectored) mergeIntoVectored(spark, root, merged, keys, txn = txn)
+    else mergeInto(spark, root, merged, keys, txn = txn)
+  }
+
   /** APPLY CHANGES — fold a CDC changelog into the table with
     * SEQUENCE-GUARDED upserts (the Delta Live Tables APPLY CHANGES INTO
     * analog). `changes` carries the table's columns (including

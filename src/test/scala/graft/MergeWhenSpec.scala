@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sink.VersionedTable
+
+/** Conditional partial-assignment MERGE (the reference's K5
+  * `ON CONFLICT … DO UPDATE SET <assignments>`,
+  * load_to_postgis.py:260-269): WHEN MATCHED [AND cond] THEN UPDATE SET
+  * col = expr …, WHEN NOT MATCHED THEN INSERT (cols) VALUES (…) — both
+  * through the SQL face and the Scala mergeIntoWhen, vectored and CoW. */
+class MergeWhenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_mergewhen").resolve("t").toString
+
+  private def seed(root: String): Unit = {
+    // when(lit(true), …) makes every column NULLABLE — tuple frames are
+    // NOT NULL, which would refuse the (nullable) SQL merge sources
+    val df = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "v", "note")
+    VersionedTable.create(spark, root,
+      df.select(df.columns.map(c =>
+          when(col(c).isNotNull, col(c)).as(c)).toSeq: _*)
+        .coalesce(1))
+  }
+
+  private def state(root: String): Map[Long, (Double, String)] =
+    VersionedTable.read(spark, root).as[(Long, Double, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("SQL: WHEN MATCHED AND cond THEN UPDATE SET …, WHEN NOT MATCHED INSERT") {
+    val root = freshRoot(); seed(root)
+    // source: k=1 (bigger v → update), k=2 (smaller v → cond false,
+    // untouched), k=9 (no match → insert with note defaulted to NULL)
+    spark.sql(s"""MERGE INTO '$root' USING (
+        SELECT * FROM VALUES (1L, CAST(99.0 AS DOUBLE)),
+                             (2L, CAST(5.0 AS DOUBLE)),
+                             (9L, CAST(90.0 AS DOUBLE)) AS src(k, v)
+      ) ON (k)
+      WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v, note = 'upd'
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val got = state(root)
+    assert(got(1L) == (99.0, "upd"), got.toString)
+    assert(got(2L) == (20.0, "b"), "cond-false matched row stays untouched")
+    assert(got(3L) == (30.0, "c"), "unmatched target row stays untouched")
+    assert(got(9L)._1 == 90.0 && got(9L)._2 == null,
+      "insert takes listed values, unlisted columns NULL")
+    assert(got.size == 4)
+  }
+
+  test("no INSERT clause: unmatched source rows do nothing; CoW = vectored") {
+    val rootV = freshRoot(); seed(rootV)
+    val rootC = freshRoot(); seed(rootC)
+    val src = Seq((1L, 1.5), (9L, 9.5)).toDF("k", "v")
+    for ((root, vectored) <- Seq(rootV -> true, rootC -> false)) {
+      VersionedTable.mergeIntoWhen(spark, root, src, Seq("k"),
+        matchedCond = None,
+        set = Map("v" -> (col("t.v") + col("s.v"))),
+        insert = None, vectored = vectored)
+      val got = state(root)
+      assert(got.size == 3, "no insert clause — k=9 must NOT land")
+      assert(got(1L) == (11.5, "a"), got.toString)
+      assert(got(2L) == (20.0, "b") && got(3L) == (30.0, "c"))
+    }
+    // and the two paths committed different ops over identical results
+    assert(VersionedTable.describeHistory(spark, rootV)
+      .select("op").as[String].collect().contains("merge-vectored"))
+    assert(VersionedTable.describeHistory(spark, rootC)
+      .select("op").as[String].collect().contains("merge"))
+  }
+
+  test("row tracking: matched keeps its id, insert gets fresh, cond-false untouched") {
+    val root = freshRoot(); seed(root)
+    VersionedTable.enableRowTracking(spark, root)
+    def ids(): Map[Long, Long] = VersionedTable.read(spark, root)
+      .select(col("k"), col("_row_id")).as[(Long, Long)].collect().toMap
+    val before = ids()
+    VersionedTable.mergeIntoWhen(spark, root,
+      Seq((1L, 99.0), (2L, 5.0), (9L, 90.0)).toDF("k", "v"), Seq("k"),
+      matchedCond = Some(col("s.v") > col("t.v")),
+      set = Map("v" -> col("s.v")),
+      insert = Some(Map("v" -> col("s.v"))))
+    val after = ids()
+    assert(after(1L) == before(1L), "updated row keeps its id")
+    assert(after(2L) == before(2L) && after(3L) == before(3L))
+    assert(!before.values.toSet.contains(after(9L)), "fresh insert id")
+    assert(after.values.toSet.size == after.size)
+  }
+
+  test("contract: assigning a key or unknown column refuses") {
+    val root = freshRoot(); seed(root)
+    val src = Seq((1L, 2.0)).toDF("k", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      VersionedTable.mergeIntoWhen(spark, root, src, Seq("k"), None,
+        Map("k" -> lit(7L)), None)
+    }
+    assert(e1.getMessage.contains("key column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.mergeIntoWhen(spark, root, src, Seq("k"), None,
+        Map("nope" -> lit(7L)), None)
+    }
+    assert(e2.getMessage.contains("unknown column"), e2.getMessage)
+    // the canonical forms still parse through the new WHEN dispatch
+    spark.sql(s"MERGE INTO '$root' USING (SELECT 3L AS k, " +
+      "CAST(0.0 AS DOUBLE) AS v, 'z' AS note) ON (k) " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(state(root)(3L) == (0.0, "z"))
+    spark.sql(s"MERGE INTO '$root' USING (SELECT 2L AS k) ON (k) " +
+      "WHEN MATCHED THEN DELETE")
+    assert(!state(root).contains(2L))
+  }
+}
