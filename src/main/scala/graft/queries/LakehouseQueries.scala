@@ -1066,6 +1066,92 @@ object LakehouseQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // STREAMING CDF ROW-ID PAIRING (the q223 ledger's streaming twin):
+    // a row-tracked table's change feed streams per micro-batch, and
+    // each UPDATE's delete/insert images pair by (_row_id,
+    // _commit_version) INSIDE the batch — stable ids make the old→new
+    // join exact with no key heuristics. Pairs land in a result table
+    // with per-batch txn idempotence; a deliberate replay of batch 0's
+    // txn after the stream proves exactly-once (a leak would shift the
+    // totals off the oracle). Delete-only images (the v6 delete) and
+    // the snapshot-as-inserts batch pair with nothing.
+    "q230_stream_rowid_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val work = EventsStream.scratchDir("graft_ridp_q230")
+      val src = work.resolve("src").toString
+      val dst = work.resolve("pairs").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+      VersionedTable.create(s, src, ev.limit(0))
+      VersionedTable.enableRowTracking(s, src)
+      VersionedTable.append(s, src,
+        ev.repartitionByRange(2, col("event_id")))
+      VersionedTable.updateWhereVectored(s, src, Map.empty,
+        col("event_id") % 4 === 0,
+        Map("value" -> (col("value") + 1000.0)))
+      VersionedTable.updateWhereVectored(s, src, Map.empty,
+        col("event_id") % 6 === 0,
+        Map("value" -> (col("value") * 2.0)))
+      VersionedTable.deleteWhereVectored(s, src, Map.empty,
+        col("event_id") % 9 === 0)
+      VersionedTable.create(s, dst, ev.limit(0).select(
+        when(col("event_id").isNotNull, lit(0L)).as("ver"),
+        col("event_id"),
+        col("value").as("old_value"),
+        col("value").as("new_value")))
+      // ONE version per trigger — pairing is PER-VERSION semantics; a
+      // multi-version span NETS (insert-then-update collapses to the
+      // final insert, no delete image), which is q220's domain
+      val usedTxns = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = s.readStream.format("graft-versioned")
+        .option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1").load(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val del = batch.filter(col("_change_type") === "delete")
+            .select(col("_row_id").as("rid"),
+              col("_commit_version").cast("long").as("ver"),
+              col("event_id"), col("value").as("old_value"))
+          val ins = batch.filter(col("_change_type") === "insert")
+            .select(col("_row_id").as("rid2"),
+              col("_commit_version").cast("long").as("ver2"),
+              col("value").as("new_value"))
+          val pairs = del.join(ins,
+              col("rid") === col("rid2") && col("ver") === col("ver2"))
+            .select(col("ver"), col("event_id"), col("old_value"),
+              col("new_value"))
+          val txn = 3100000L + id
+          usedTxns.synchronized { usedTxns += txn }
+          // appendTxn = the idempotent streaming-sink entry point (the
+          // ledger check lives here, not in the raw append)
+          VersionedTable.appendTxn(s, dst, pairs, txn)
+          ()
+        }
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      // exactly-once: replaying a committed batch txn is a no-op —
+      // were it applied, ver -1 rows would land and break every total
+      val vBefore = VersionedTable.currentVersion(s, dst).get
+      VersionedTable.appendTxn(s, dst,
+        ev.limit(1).select(lit(-1L).as("ver"), col("event_id"),
+          col("value").as("old_value"), col("value").as("new_value")),
+        usedTxns.head)
+      val replayed = (VersionedTable.currentVersion(s, dst).get - vBefore)
+        .toLong
+      // versions normalize to STEPS (ver - min ver): the pairing
+      // contract is per-update-image, not tied to absolute version
+      // numbers (which depend on enableRowTracking's commit count)
+      val pairsDf = VersionedTable.read(s, dst)
+      val minVer = pairsDf.agg(min(col("ver"))).head.getLong(0)
+      pairsDf.groupBy((col("ver") - lit(minVer)).as("step"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("new_value") - col("old_value"))
+            .cast("decimal(18,2)")).cast("double").as("sum_delta"))
+        .select(col("step"), col("n_pairs"), col("sum_delta"),
+          lit(replayed).as("replayed"))
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -1956,6 +2042,28 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q230_stream_rowid_pairs" ->
+      """WITH ev AS (
+              SELECT event_id, CAST(value AS DOUBLE) AS value FROM events),
+              p0 AS (
+                SELECT 0 AS step, count(*) AS n_pairs,
+                       sum(CAST(CASE WHEN value IS NOT NULL
+                                     THEN 1000.0 END
+                                AS DECIMAL(18,2))) AS sum_delta
+                FROM ev WHERE event_id % 4 = 0),
+              p1 AS (
+                SELECT 1 AS step, count(*) AS n_pairs,
+                       sum(CAST(CASE WHEN value IS NOT NULL THEN
+                             CASE WHEN event_id % 4 = 0
+                                  THEN value + 1000.0 ELSE value END
+                           END AS DECIMAL(18,2))) AS sum_delta
+                FROM ev WHERE event_id % 6 = 0),
+              u AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+         SELECT step::BIGINT AS step, n_pairs::BIGINT AS n_pairs,
+                CAST(sum_delta AS DOUBLE) AS sum_delta,
+                0::BIGINT AS replayed
+         FROM u""",
 
     "q229_merge_when" ->
       """WITH base AS (
