@@ -652,6 +652,51 @@ object GraftCatalog {
           org.apache.spark.unsafe.types.UTF8String.fromString(p),
           nf, nr, b) }),
 
+    new Proc("files",
+      "per-file inventory from the manifest + one listing (the Iceberg " +
+        "files metadata table): path, partition chain, rows / DV-aware " +
+        "live rows (-1 when a file predates row counts), bytes, DV " +
+        "cardinality, bloom-indexed and HLL-register columns. Zero " +
+        "data scanned — the per-file face of CALL graft.partitions",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("partition", StringType, nullable = false),
+        StructField("rows", LongType, nullable = false),
+        StructField("live_rows", LongType, nullable = false),
+        StructField("bytes", LongType, nullable = false),
+        StructField("dv_card", LongType, nullable = false),
+        StructField("bloom_cols", StringType, nullable = false),
+        StructField("hll_cols", StringType, nullable = false))),
+      (spark, in) => VersionedTable.filesReport(spark, pathArg(in))
+        .map { case (f, p, r, lr, b, dv, bc, hc) => InternalRow(
+          UTF8String.fromString(f), UTF8String.fromString(p),
+          r, lr, b, dv,
+          UTF8String.fromString(bc), UTF8String.fromString(hc)) }),
+
+    new Proc("file_stats",
+      "per-(file, column) recorded stats from the manifest alone: stat " +
+        "domain, [lo, hi] canonical strings, null count (-1 unknown), " +
+        "whether the stat is DV-survivor-exact, and the exact column " +
+        "sum where indexed. col '' = every column. Zero data scanned",
+      Seq("path" -> StringType, "col" -> StringType),
+      StructType(Seq(
+        StructField("file", StringType, nullable = false),
+        StructField("col", StringType, nullable = false),
+        StructField("typ", StringType, nullable = false),
+        StructField("lo", StringType, nullable = false),
+        StructField("hi", StringType, nullable = false),
+        StructField("nulls", LongType, nullable = false),
+        StructField("live", BooleanType, nullable = false),
+        StructField("sum", LongType, nullable = true))),
+      (spark, in) => VersionedTable.fileColumnStats(spark, pathArg(in),
+          Some(str(in, 1)).filter(_.nonEmpty))
+        .map { case (f, c, t, lo, hi, n, lv, sm) => InternalRow(
+          UTF8String.fromString(f), UTF8String.fromString(c),
+          UTF8String.fromString(t), UTF8String.fromString(lo),
+          UTF8String.fromString(hi), n, lv, sm.getOrElse(null)) },
+      defaults = Map("col" -> "''")),
+
     new Proc("set_property",
       "SET a table property (metadata-only commit; the tblproperties " +
         "analog). Engine keys validate: graft.clusterBy must name live " +

@@ -1152,6 +1152,44 @@ object LakehouseQueries {
           lit(replayed).as("replayed"))
     }),
 
+    // CALL graft.files + graft.file_stats — the Iceberg files
+    // metadata-table analog: per-file rows / DV-aware live rows /
+    // bytes / DV cardinality / bloom presence and per-(file, column)
+    // [lo, hi] + null count + exact sum, ALL from the manifest + one
+    // listing, zero data scanned. Three range-disjoint files, a bloom
+    // + sums index (which upgrades every file's stats to live-exact),
+    // then a vectored delete touching only file 1 (its stats refresh
+    // to DV-survivor-exact values); the oracle recomputes
+    // every number from the same three ranges, so the hash proves the
+    // report IS the data's truth, not just its shape.
+    "q231_files_report" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_files_q231")
+      val root = work.resolve("cust").toString
+      val c = Tables.customer(s, d).select(
+        col("c_custkey").cast("long").as("k"),
+        col("c_acctbal").cast("double").as("bal"))
+      val mk = c.agg(max(col("k"))).head.getLong(0)
+      val (t1, t2) = (mk / 5, mk / 2)
+      VersionedTable.create(s, root, c.filter(col("k") <= t1).coalesce(1))
+      VersionedTable.append(s, root,
+        c.filter(col("k") > t1 && col("k") <= t2).coalesce(1))
+      VersionedTable.append(s, root, c.filter(col("k") > t2).coalesce(1))
+      s.sql(s"CALL graft.index_bloom('$root', 'k')")
+      s.sql(s"CALL graft.index_sums('$root', 'k')")
+      VersionedTable.deleteWhereVectored(s, root,
+        Map("k" -> (Some(1L): Option[Any], Some(t1): Option[Any])),
+        col("k") % 5 === 0 && col("k") <= t1)
+      val fr = s.sql(s"CALL graft.files('$root')")
+      val st = s.sql(s"CALL graft.file_stats('$root', 'k')")
+      fr.join(st, "file")
+        .select(col("rows"), col("live_rows"), col("dv_card"),
+          (col("bytes") > 0L).as("has_bytes"),
+          (col("bloom_cols") === "k").as("bloomed"),
+          col("lo").cast("long").as("lo_k"),
+          col("hi").cast("long").as("hi_k"),
+          col("nulls"), col("live"), col("sum"))
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -2042,6 +2080,32 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q231_files_report" ->
+      """WITH mx AS (SELECT max(c_custkey) AS mk FROM customer),
+              t AS (SELECT mk // 5 AS t1, mk // 2 AS t2 FROM mx),
+              base AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+              f AS (
+                SELECT 1 AS fid, k, (k % 5 = 0) AS del
+                FROM base, t WHERE k <= t1
+                UNION ALL
+                SELECT 2, k, false FROM base, t WHERE k > t1 AND k <= t2
+                UNION ALL
+                SELECT 3, k, false FROM base, t WHERE k > t2),
+              agg AS (
+                SELECT fid,
+                       count(*)::BIGINT AS n_rows,
+                       count(CASE WHEN NOT del THEN 1 END)::BIGINT
+                         AS live_rows,
+                       count(CASE WHEN del THEN 1 END)::BIGINT AS dv_card,
+                       min(CASE WHEN NOT del THEN k END)::BIGINT AS lo_k,
+                       max(CASE WHEN NOT del THEN k END)::BIGINT AS hi_k,
+                       sum(CASE WHEN NOT del THEN k END)::BIGINT AS sum
+                FROM f GROUP BY fid)
+         SELECT n_rows AS "rows", live_rows, dv_card, true AS has_bytes,
+                true AS bloomed, lo_k, hi_k, 0::BIGINT AS nulls,
+                true AS live, sum
+         FROM agg""",
 
     "q230_stream_rowid_pairs" ->
       """WITH ev AS (

@@ -2355,6 +2355,49 @@ object VersionedTable {
     }.toSeq.sortBy(_._1)
   }
 
+  /** Per-file inventory of the current version — the Iceberg `files`
+    * metadata-table analog (`CALL graft.files`), answered from the
+    * manifest + ONE recursive listing, zero data scanned: (file,
+    * partition, rows, live_rows, bytes, dv_card, bloom-indexed columns,
+    * HLL-register columns). `rows`/`live_rows` are −1 when a manifest
+    * predating the rows field can't answer. The inspection face q226/
+    * q202 consumers otherwise hand-roll; at 100 TB this is O(files)
+    * driver metadata feeding compaction/clustering decisions. */
+  def filesReport(spark: SparkSession, root: String)
+      : Seq[(String, String, Long, Long, Long, Long, String, String)] = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val lens = fileLengths(spark, root, m.files)
+    m.files.map { f =>
+      val part = f.split('/').init.filter(_.contains('=')).mkString("/")
+      val rows = m.rows.getOrElse(f, -1L)
+      val dv = m.dvs.get(f).map(_.card).getOrElse(0L)
+      (f, part, rows, if (rows < 0) -1L else rows - dv, lens(f), dv,
+        m.blooms.getOrElse(f, Seq.empty).map(_.col).sorted.mkString(","),
+        m.hlls.getOrElse(f, Seq.empty).map(_.col).sorted.mkString(","))
+    }.sortBy(_._1)
+  }
+
+  /** Per-(file, column) recorded stats of the current version (`CALL
+    * graft.file_stats`): stat domain `typ`, [lo, hi] canonical strings,
+    * null count (−1 = unknown), whether the stat is DV-SURVIVOR-exact
+    * (`live`), and the exact column sum where indexed. `column` filters
+    * to one column when non-empty. Manifest-only — zero scan. */
+  def fileColumnStats(spark: SparkSession, root: String,
+                      column: Option[String] = None)
+      : Seq[(String, String, String, String, String, Long, Boolean, Option[Long])] = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    m.files.flatMap { f =>
+      m.stats.getOrElse(f, Seq.empty)
+        .filter(st => column.forall(_ == st.col))
+        .map(st => (f, st.col, st.typ, st.lo, st.hi, st.nulls, st.live,
+          st.sum))
+    }.sortBy(r => (r._1, r._2))
+  }
+
   /** The table's properties at the current version — the inspection
     * face of [[setTableProperty]]. */
   def propertiesOf(spark: SparkSession, root: String): Map[String, String] = {
