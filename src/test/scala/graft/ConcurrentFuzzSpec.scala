@@ -96,23 +96,57 @@ class ConcurrentFuzzSpec extends SparkSpec {
           } else if (roll < 54) {
             val kk = 7L + rnd.nextInt(7)
             val rr = rnd.nextInt(kk.toInt).toLong
-            val v = VersionedTable.deleteWhereVectored(spark, root,
-              Map.empty, col("id") % kk === rr)
+            // half through the SQL face (GraftSqlParser DELETE —
+            // rangePredsOf bounds + the same vectored pass), half
+            // through the Scala face: the parser path inherits the
+            // race hardening
+            val v =
+              if (rnd.nextBoolean())
+                spark.sql(s"DELETE FROM '$root' WHERE id % $kk = $rr")
+                  .head.getInt(0)
+              else VersionedTable.deleteWhereVectored(spark, root,
+                Map.empty, col("id") % kk === rr)
             deletes.add(DeleteRec(v, kk, rr))
           } else if (roll < 60) {
-            // update: removes+reinserts the same ids (id multiset fixed)
+            // update: removes+reinserts the same ids (id multiset
+            // fixed); half as SQL UPDATE (vectored CoW via the parser)
             val kk = 7L + rnd.nextInt(7)
             val rr = rnd.nextInt(kk.toInt).toLong
-            VersionedTable.updateWhereVectored(spark, root, Map.empty,
+            if (rnd.nextBoolean())
+              spark.sql(
+                s"UPDATE '$root' SET val = val + 1 WHERE id % $kk = $rr")
+            else VersionedTable.updateWhereVectored(spark, root, Map.empty,
               col("id") % kk === rr, Map("val" -> (col("val") + lit(1))))
           } else if (roll < 63) {
             // merge-on-read upsert: inserts fresh ids (tracked like
-            // appends). Schema-STRICT — a racing DDL refuses (legal)
-            val lo = 5000000L + t * 1000000L + k * 10L
-            val ids = Seq(lo, lo + 1)
-            VersionedTable.mergeIntoVectored(spark, root,
-              fullRows(ids, col("id") * 3).coalesce(1), Seq("id"))
-            ids.foreach(appended.add)
+            // appends). Schema-STRICT — a racing DDL refuses (legal).
+            // Three spellings: Scala, SQL upsert-all over a per-thread
+            // temp view, and the conditional WHEN grammar (update-only,
+            // so the id multiset is preserved like the update op)
+            rnd.nextInt(3) match {
+              case 0 =>
+                val lo = 5000000L + t * 1000000L + k * 10L
+                val ids = Seq(lo, lo + 1)
+                VersionedTable.mergeIntoVectored(spark, root,
+                  fullRows(ids, col("id") * 3).coalesce(1), Seq("id"))
+                ids.foreach(appended.add)
+              case 1 =>
+                val lo = 5000000L + t * 1000000L + k * 10L
+                val ids = Seq(lo, lo + 1)
+                fullRows(ids, col("id") * 3).coalesce(1)
+                  .createOrReplaceTempView(s"fuzz_msrc_$t")
+                spark.sql(s"MERGE INTO '$root' USING " +
+                  s"(SELECT * FROM fuzz_msrc_$t) ON (id) " +
+                  "WHEN MATCHED THEN UPDATE SET * " +
+                  "WHEN NOT MATCHED THEN INSERT *")
+                ids.foreach(appended.add)
+              case _ =>
+                val g = rnd.nextInt(98).toLong
+                spark.sql(s"MERGE INTO '$root' USING " +
+                  s"(SELECT explode(sequence(${g}L, ${g + 2}L)) AS id) " +
+                  "ON (id) " +
+                  "WHEN MATCHED AND t.val >= 0 THEN UPDATE SET val = t.val + 1")
+            }
           } else if (roll < 70) {
             // REPLACE WHERE on the thread's private band: wipes whatever
             // the band held and lands fresh in-region rows — one commit.
@@ -143,7 +177,12 @@ class ConcurrentFuzzSpec extends SparkSpec {
             VersionedTable.indexBloom(spark, root, Seq("id"),
               onlyMissing = true)
           } else if (roll < 84) {
-            VersionedTable.compact(spark, root)
+            // half as SQL OPTIMIZE, sometimes predicate-scoped
+            if (rnd.nextBoolean())
+              spark.sql(s"OPTIMIZE '$root'" +
+                (if (rnd.nextBoolean()) " WHERE id >= 0 AND id <= 200"
+                 else ""))
+            else VersionedTable.compact(spark, root)
           } else if (roll < 86) {
             VersionedTable.zorderBy(spark, root, Seq("id", "val"))
           } else if (roll < 89) {
