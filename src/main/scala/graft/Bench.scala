@@ -226,10 +226,21 @@ object Bench {
       else baseline.filter(_._2 >= 0.5).keys.toSeq.sorted.take(1)
         .filter(SparkEntry.queries.contains)
     }
+    // Each probe is a MIN of 3 back-to-back runs: the committed
+    // denominator is an adjudicated min, so a single-shot numerator is
+    // systematically biased high (scheduling/GC tails — round 15
+    // measured q66 single-shot at 2.1x its baseline in the same run
+    // whose stable min sat at 1.14x, and q62's stable min UNDER its
+    // baseline), which made the 1.1 refresh bar unreachable on an idle
+    // box. Min-vs-min compares like for like; real contention still
+    // elevates all three runs and trips the bar.
     def probePass(): Map[String, Double] =
       if (stableRuns <= 0) Map.empty
-      else probeNames.flatMap(n =>
-        Some(timeOnce(n, SparkEntry.queries(n))).filter(_ >= 0).map(n -> _)).toMap
+      else probeNames.flatMap { n =>
+        val ts = (1 to 3).map(_ => timeOnce(n, SparkEntry.queries(n)))
+          .filter(_ >= 0)
+        ts.minOption.map(n -> _)
+      }.toMap
     // a probe the sweep filter excluded never warmed: its first timed
     // run would pay plan compile + codegen and read as a 3x "alert";
     // warm it once untimed (full sweeps skip this — the passes warmed it)
@@ -327,6 +338,68 @@ object Bench {
         java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json"), body)
       catch { case e: Throwable =>
         System.err.println(s"[bench] baseline write failed: ${e.getMessage}")
+      }
+    }
+    // EPOCH MINT (SPARK_GRAFT_BENCH_WRITE_BASELINE=epoch): replace the
+    // WHOLE committed baseline with this run's adjudicated mins — the
+    // structural fix for a baseline whose probe entries predate the
+    // box's current performance epoch. The normal refresh bar compares
+    // today's probes against exactly those stale entries, so once the
+    // box's floor moved past 1.1× of the old numbers the refresh is
+    // UNREACHABLE forever (round-14: ~12 refused windows, q66's idle
+    // floor ≈ 1.25× its epoch-1 entry) and every query added since
+    // stays ungated. The mint therefore swaps the evidence: instead of
+    // the old-epoch comparison (the thing being replaced), it demands
+    // INTERNAL stability — ≥ 3 full passes and every probe's own
+    // cross-pass spread ≤ 1.3 (box churn during the window shows up as
+    // spread; a contended run cannot fake three consistent passes).
+    // The previous epoch is preserved as BENCH_STABLE_BASELINE_epochN
+    // .json for cross-epoch comparison, and the new file records its
+    // epoch number as the `_epoch` pseudo-entry.
+    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("epoch")
+        && only.isEmpty) {
+      val mintSpreadBar = 1.3
+      val probeSpreads: Seq[(String, Double)] = probeNames.map { n =>
+        val ts = passes.map(_.getOrElse(n, -1.0)).filter(_ > 0)
+        n -> (if (ts.isEmpty) Double.MaxValue else ts.max / ts.min)
+      }
+      val unstable = probeSpreads.filter(_._2 > mintSpreadBar)
+      if (passesN < 3)
+        System.err.println("[bench] epoch mint SKIPPED: needs >= 3 " +
+          s"passes, got $passesN")
+      else if (unstable.nonEmpty)
+        System.err.println("[bench] epoch mint SKIPPED: probe cross-pass" +
+          s" spread over $mintSpreadBar: " + unstable.map { case (n, r) =>
+            f"$n $r%.2f" }.mkString(", "))
+      else {
+        val oldEpoch = """"_epoch":\s*([0-9]+)""".r
+          .findFirstMatchIn(scala.util.Try(java.nio.file.Files.readString(
+            java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json")))
+            .getOrElse(""))
+          .map(_.group(1).toInt).getOrElse(1)
+        val fresh = results.collect { case (k, Some(_)) =>
+          k -> adjudicated(k).getOrElse(-1.0) }.filter(_._2 >= 0)
+          .toSeq.sortBy(_._1)
+        val body = (Seq(s""""_epoch": ${oldEpoch + 1}""") ++
+          fresh.map { case (k, v) =>
+            s""""$k": ${BigDecimal(v).setScale(3,
+              BigDecimal.RoundingMode.HALF_UP)}""" })
+          .map("  " + _).mkString("{\n", ",\n", "\n}\n")
+        try {
+          val cur = java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json")
+          val keep = java.nio.file.Paths.get(
+            s"BENCH_STABLE_BASELINE_epoch$oldEpoch.json")
+          if (java.nio.file.Files.exists(cur) &&
+              !java.nio.file.Files.exists(keep))
+            java.nio.file.Files.copy(cur, keep)
+          java.nio.file.Files.writeString(cur, body)
+          System.err.println(s"[bench] epoch ${oldEpoch + 1} baseline " +
+            s"MINTED (${fresh.size} queries; probes " + probeSpreads
+              .map { case (n, r) => f"$n spread $r%.2f" }.mkString(", ") +
+            s"); epoch $oldEpoch preserved")
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] epoch mint write failed: ${e.getMessage}")
+        }
       }
     }
     def tot(f: ((Double, Double, Double)) => Double): Double =
