@@ -161,6 +161,10 @@ case class GraftNamedTable(tableName: String, root: String,
       TableCapability.TRUNCATE)
   override def properties(): JMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
+    // the manifest's table properties surface through Spark's own
+    // SHOW TBLPROPERTIES graft.t / DESCRIBE EXTENDED
+    VersionedTable.propertiesOf(SparkSession.active, root)
+      .foreach { case (k, v) => m.put(k, v) }
     m.put("location", root)
     asOf.foreach(v => m.put("versionAsOf", v.toString))
     m

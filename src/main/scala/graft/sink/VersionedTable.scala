@@ -4535,8 +4535,22 @@ object VersionedTable {
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     if (txn.exists(committedTxns(spark, root).contains)) return cur
     val m = readManifest(spark, root, cur)
-    requireWriteCompatible(m.schemaDdl, source, "merge")
-    import org.apache.spark.sql.functions.{min => fmin, max => fmax, col}
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax, col,
+      coalesce, lit, monotonically_increasing_id}
+    // Row tracking, SAME contract as the vectored path: a business
+    // source WITHOUT _row_id gets it engine-filled — matched keys
+    // preserve the current row's id via a lookup join over the touched
+    // slice, inserts get fresh band-assigned ids. The raw source
+    // validates against the schema sans the engine-owned column.
+    val tracked = m.props.get(PropRowTracking).contains("true") &&
+      !source.schema.fieldNames.contains(RowIdCol)
+    if (!tracked) requireWriteCompatible(m.schemaDdl, source, "merge")
+    else {
+      val sansId = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+          .fields.filterNot(_.name == RowIdCol))
+      requireWriteCompatible(sansId.toDDL, source, "merge")
+    }
     // every key this commit touches: upserted + deleted
     val allKeys = deletes match {
       case Some(d) => source.select(keys.map(col): _*)
@@ -4554,12 +4568,29 @@ object VersionedTable {
       }
     }.toMap
     val touched = prunedFiles(spark, root, preds, Some(cur)).toSet
+    val schemaFields = org.apache.spark.sql.types.StructType
+      .fromDDL(m.schemaDdl).fieldNames.toSeq
+    val source2 =
+      if (!tracked) source
+      else {
+        // max() deduplicates a key present in several files — ONE
+        // deterministic surviving id, like the vectored path
+        val idMap = readSnapshotFiles(spark, root, m, touched.toSeq)
+          .groupBy(keys.map(col): _*)
+          .agg(fmax(col(RowIdCol)).as("__graft_cur_rid"))
+        source.join(idMap, keys, "left")
+          .withColumn(RowIdCol, coalesce(col("__graft_cur_rid"),
+            (monotonically_increasing_id() + lit(m.ids(RowIdCol)))
+              .cast("long")))
+          .drop("__graft_cur_rid")
+          .select(schemaFields.map(col): _*)
+      }
     val v = cur + 1
     val merged =
-      if (touched.isEmpty) source
+      if (touched.isEmpty) source2
       else readSnapshotFiles(spark, root, m, touched.toSeq)
         .join(allKeys, keys, "left_anti")
-        .unionByName(source)
+        .unionByName(source2)
     val added = writeDataFiles(spark, root, merged, v, m.partitionCols,
       m.physMap)
     enforceChecks(spark, root, m.checks ++ genChecks(m.gens, m.schemaDdl),
@@ -4569,7 +4600,8 @@ object VersionedTable {
     commitDelta(spark, root, m, CommitDelta(
       removedFiles = touched, addedFiles = added,
       addedStats = addedStats, addedRows = addedRows, op = "merge",
-      txn = txn))
+      txn = txn,
+      assignedIds = if (tracked) Set(RowIdCol) else Set.empty))
   }
 
   /** MERGE INTO as a MERGE-ON-READ commit: same contract as
@@ -4680,6 +4712,7 @@ object VersionedTable {
     * onto the existing merge paths:
     *
     *   WHEN MATCHED [AND matchedCond] THEN UPDATE SET set
+    *                                 | THEN DELETE  (matchedDelete)
     *   [WHEN NOT MATCHED THEN INSERT insert]
     *
     * Inside `matchedCond` / `set` values / `insert` values the TARGET
@@ -4705,11 +4738,14 @@ object VersionedTable {
                     matchedCond: Option[org.apache.spark.sql.Column],
                     set: Map[String, org.apache.spark.sql.Column],
                     insert: Option[Map[String, org.apache.spark.sql.Column]],
+                    matchedDelete: Boolean = false,
                     vectored: Boolean = true,
                     txn: Option[Long] = None): Int = {
     import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax}
     require(keys.nonEmpty, "mergeIntoWhen needs at least one key column")
-    require(set.nonEmpty, "WHEN MATCHED THEN UPDATE SET needs assignments")
+    require(set.nonEmpty != matchedDelete,
+      "WHEN MATCHED takes exactly one action: UPDATE SET assignments " +
+        "or DELETE (matchedDelete)")
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     if (txn.exists(committedTxns(spark, root).contains)) return cur
@@ -4748,14 +4784,13 @@ object VersionedTable {
     val src = source.alias("s")
     val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
       .reduce(_ && _)
-    val updated = tgt.join(src, joinCond, "inner")
+    // matched target rows SATISFYING the condition — the action's scope
+    val matched = tgt.join(src, joinCond, "inner")
       .filter(matchedCond.getOrElse(lit(true)))
-      .select(fields.toSeq.map { f =>
-        set.getOrElse(f.name, col(s"t.${f.name}"))
-          .cast(f.dataType).as(f.name)
-      }: _*)
+    val targetShape = matched.select(fields.toSeq.map(f =>
+      col(s"t.${f.name}").cast(f.dataType).as(f.name)): _*)
     val inserts = insert match {
-      case None => updated.limit(0)
+      case None => targetShape.limit(0)
       case Some(vals) =>
         // target keys under reserved names: a bare `k` on the right of
         // the anti-join would be ambiguous against the source's own k
@@ -4772,9 +4807,23 @@ object VersionedTable {
               .cast(f.dataType).as(f.name)
           }: _*)
     }
-    val merged = updated.unionByName(inserts)
-    if (vectored) mergeIntoVectored(spark, root, merged, keys, txn = txn)
-    else mergeInto(spark, root, merged, keys, txn = txn)
+    if (matchedDelete) {
+      // WHEN MATCHED [AND cond] THEN DELETE: the cond-true matched keys
+      // vector away (or anti-join out, CoW); only the inserts land
+      val delKeys = matched.select(keys.map(k => col(s"t.$k").as(k)): _*)
+      if (vectored) mergeIntoVectored(spark, root, inserts, keys,
+        deletes = Some(delKeys), txn = txn)
+      else mergeInto(spark, root, inserts, keys,
+        deletes = Some(delKeys), txn = txn)
+    } else {
+      val updated = matched.select(fields.toSeq.map { f =>
+        set.getOrElse(f.name, col(s"t.${f.name}"))
+          .cast(f.dataType).as(f.name)
+      }: _*)
+      val merged = updated.unionByName(inserts)
+      if (vectored) mergeIntoVectored(spark, root, merged, keys, txn = txn)
+      else mergeInto(spark, root, merged, keys, txn = txn)
+    }
   }
 
   /** APPLY CHANGES — fold a CDC changelog into the table with

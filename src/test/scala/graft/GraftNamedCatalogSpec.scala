@@ -82,6 +82,10 @@ class GraftNamedCatalogSpec extends SparkSpec {
       .contains("note"))
     spark.sql("ALTER TABLE graft.scenes RENAME COLUMN note TO remark")
     spark.sql("ALTER TABLE graft.scenes SET TBLPROPERTIES ('team' = 'etl')")
+    // the manifest's properties surface through Spark's own grammar
+    val props = spark.sql("SHOW TBLPROPERTIES graft.scenes").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("team").contains("etl"), props.toString)
     spark.sql("ALTER TABLE graft.scenes DROP COLUMN remark")
     // RENAME TABLE moves the managed directory
     spark.sql("ALTER TABLE graft.scenes RENAME TO graft.scenes2")

@@ -29,7 +29,8 @@ class MergeWhenSpec extends SparkSpec {
   }
 
   private def state(root: String): Map[Long, (Double, String)] =
-    VersionedTable.read(spark, root).as[(Long, Double, String)]
+    VersionedTable.read(spark, root).select("k", "v", "note")
+      .as[(Long, Double, String)]
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
 
   test("SQL: WHEN MATCHED AND cond THEN UPDATE SET …, WHEN NOT MATCHED INSERT") {
@@ -89,6 +90,60 @@ class MergeWhenSpec extends SparkSpec {
     assert(after(2L) == before(2L) && after(3L) == before(3L))
     assert(!before.values.toSet.contains(after(9L)), "fresh insert id")
     assert(after.values.toSet.size == after.size)
+  }
+
+  test("WHEN MATCHED [AND cond] THEN DELETE, vectored and CoW, with insert") {
+    val rootV = freshRoot(); seed(rootV)
+    val rootC = freshRoot(); seed(rootC)
+    // delete matched rows with v < 25 (k=1 v=10, k=2 v=20 — not k=3),
+    // insert the unmatched k=9
+    spark.sql(s"""MERGE INTO '$rootV' USING (
+        SELECT * FROM VALUES (1L), (2L), (3L), (9L) AS src(k)
+      ) ON (k)
+      WHEN MATCHED AND t.v < 25.0 THEN DELETE
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, CAST(90.0 AS DOUBLE))""")
+    val gotV = state(rootV)
+    assert(gotV.keySet == Set(3L, 9L), gotV.toString)
+    assert(gotV(3L) == (30.0, "c") && gotV(9L)._1 == 90.0)
+    // CoW path, same semantics through the Scala face
+    VersionedTable.mergeIntoWhen(spark, rootC,
+      Seq(1L, 2L, 3L, 9L).toDF("k"), Seq("k"),
+      matchedCond = Some(col("t.v") < 25.0),
+      set = Map.empty, insert = Some(Map("v" -> lit(90.0))),
+      matchedDelete = true, vectored = false)
+    val gotC = state(rootC)
+    assert(gotC.keySet == Set(3L, 9L) && gotC(3L) == (30.0, "c") &&
+      gotC(9L)._1 == 90.0, gotC.toString)
+    // one action per WHEN MATCHED: SET + DELETE together refuses
+    assert(intercept[IllegalArgumentException] {
+      VersionedTable.mergeIntoWhen(spark, rootC, Seq(3L).toDF("k"),
+        Seq("k"), None, Map("v" -> lit(0.0)), None, matchedDelete = true)
+    }.getMessage.contains("exactly one action"))
+  }
+
+  test("row-tracked CoW merge preserves matched ids like the vectored path") {
+    val root = freshRoot(); seed(root)
+    VersionedTable.enableRowTracking(spark, root)
+    def ids(): Map[Long, Long] = VersionedTable.read(spark, root)
+      .select(col("k"), col("_row_id")).as[(Long, Long)].collect().toMap
+    val before = ids()
+    // a business frame WITHOUT _row_id through the CoW merge
+    VersionedTable.mergeInto(spark, root,
+      Seq((1L, 99.0, "upd"), (9L, 90.0, "new")).toDF("k", "v", "note"),
+      Seq("k"))
+    val after = ids()
+    assert(after(1L) == before(1L), "CoW-matched key keeps its id")
+    assert(after(2L) == before(2L) && after(3L) == before(3L))
+    assert(!before.values.toSet.contains(after(9L)), "fresh insert id")
+    assert(after.values.toSet.size == after.size, "ids stay unique")
+    assert(state(root)(1L) == (99.0, "upd"))
+    // and the raw-source contract matches the vectored path's
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.mergeInto(spark, root,
+        Seq((1L, 1.0, "x", "oops")).toDF("k", "v", "note", "extra"),
+        Seq("k"))
+    }
+    assert(e.getMessage.contains("schema mismatch"), e.getMessage)
   }
 
   test("contract: assigning a key or unknown column refuses") {
