@@ -185,7 +185,11 @@ object Bench {
         if (!java.nio.file.Files.exists(p)) Map.empty
         else """"([^"]+)":\s*([0-9.]+)""".r
           .findAllMatchIn(java.nio.file.Files.readString(p))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          // "_"-prefixed keys are file METADATA (the epoch stamp), not
+          // query entries — letting one through would e.g. make
+          // '_epoch' the sorted-first fallback probe candidate
+          .filterNot(_._1.startsWith("_")).toMap
       } catch { case _: Throwable => Map.empty }
     def regressed(name: String, v: Double): Boolean =
       baseline.get(name).exists(b => Bench.isRegression(v, b))
@@ -330,10 +334,16 @@ object Bench {
         && only.isEmpty && !refreshBlocked) {
       val fresh = results.collect { case (k, Some(_)) =>
         k -> adjudicated(k).getOrElse(-1.0) }.filter(_._2 >= 0).toMap
+      // carry the epoch stamp through a normal refresh
+      val epochStamp = """"_epoch":\s*([0-9]+)""".r
+        .findFirstMatchIn(scala.util.Try(java.nio.file.Files.readString(
+          java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json")))
+          .getOrElse(""))
+        .map(m => s"""  "_epoch": ${m.group(1)}""").toSeq
       val merged = (baseline ++ fresh).toSeq.sortBy(_._1)
-      val body = merged.map { case (k, v) =>
+      val body = (epochStamp ++ merged.map { case (k, v) =>
         s"""  "$k": ${BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)}"""
-      }.mkString("{\n", ",\n", "\n}\n")
+      }).mkString("{\n", ",\n", "\n}\n")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json"), body)
       catch { case e: Throwable =>

@@ -40,8 +40,18 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
 
   private var catalogName: String = "graft"
 
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    // the named-table surface is name-coupled by design: the parser's
+    // `graft.<name>` DML targets and the GraftNames warehouse conf key
+    // both spell the catalog 'graft' — registering this plugin under
+    // another name would leave SELECT working but UPDATE/DELETE/
+    // OPTIMIZE half-broken. Refuse up front instead of half-working.
+    require(name == "graft",
+      s"graft.catalog.GraftCatalog must be registered as 'graft' " +
+        s"(spark.sql.catalog.graft), got '$name' — the SQL DML faces " +
+        "and the warehouse conf are keyed to that name")
     catalogName = name
+  }
 
   override def name(): String = catalogName
 

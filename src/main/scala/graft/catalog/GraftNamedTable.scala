@@ -63,6 +63,12 @@ object GraftNames {
     require(VersionedTable.currentVersion(spark, root).nonEmpty,
       s"no graft table at $root — create it first, then register")
     val w = requireWarehouse(spark)
+    // a link may not SHADOW a managed table: the two-bindings state
+    // would make DROP ambiguous (remove the link and the name silently
+    // falls back to the managed directory)
+    require(VersionedTable.currentVersion(spark, s"$w/$name").isEmpty,
+      s"$name is a managed table at $w/$name — DROP it first, or pick " +
+        "another name")
     val lp = linkPath(w, name)
     val f = fs(spark, lp)
     f.mkdirs(lp.getParent)
@@ -70,15 +76,20 @@ object GraftNames {
     try out.write(root.getBytes("UTF-8")) finally out.close()
   }
 
-  def unregister(spark: SparkSession, name: String): Boolean = {
-    val lp = linkPath(requireWarehouse(spark), name)
-    fs(spark, lp).delete(lp, false)
-  }
+  def unregister(spark: SparkSession, name: String): Boolean =
+    validName(name) && {
+      val lp = linkPath(requireWarehouse(spark), name)
+      fs(spark, lp).delete(lp, false)
+    }
 
   /** The root `name` resolves to: link first (explicit wins), then the
     * managed `<warehouse>/<name>` directory if it holds a table. */
   def lookup(spark: SparkSession, name: String): Option[String] =
-    warehouse(spark).flatMap { w =>
+    // NameRe is also the traversal guard: a backticked name like `..`
+    // must never resolve (or worse, DROP) a directory outside the
+    // warehouse
+    if (!validName(name)) None
+    else warehouse(spark).flatMap { w =>
       val lp = linkPath(w, name)
       val f = fs(spark, lp)
       if (f.exists(lp)) {
@@ -149,13 +160,29 @@ case class GraftNamedTable(tableName: String, root: String,
                            asOf: Option[Int] = None)
     extends Table with SupportsWrite {
   override def name(): String = tableName
+  // ONE manifest read per Table instance: Spark calls schema()/
+  // version()/properties() several times per statement (resolution,
+  // cache-token checks, DESCRIBE paths), and loadTable hands out a
+  // fresh instance per resolution anyway — staleness is bounded to
+  // the statement, repeated metadata I/O is not.
+  private lazy val boundVersion: Option[Int] =
+    asOf.orElse(VersionedTable.currentVersion(SparkSession.active, root))
+  private lazy val fullSchema: StructType =
+    VersionedTable.schemaOf(SparkSession.active, root, asOf)
+  private lazy val tableProps: Map[String, String] =
+    VersionedTable.propertiesOf(SparkSession.active, root)
   // Table.version() is Spark's cache-invalidation token: the pinned
   // time-travel version, or the table's current version otherwise
   override def version(): String =
-    asOf.orElse(VersionedTable.currentVersion(SparkSession.active, root))
-      .map(_.toString).orNull
-  override def schema(): StructType =
-    VersionedTable.schemaOf(SparkSession.active, root, asOf)
+    boundVersion.map(_.toString).orNull
+  // The ENGINE-OWNED row-id column is hidden from the named-table
+  // face (like Delta's row tracking, surfaced via metadata, not a
+  // user column): exposing it would force every positional INSERT to
+  // supply it — and a supplied value would bypass the id-uniqueness
+  // machinery every other write face routes through assignIdentity.
+  // Row-id consumers (CDF pairing) read through the path-based faces.
+  override def schema(): StructType = StructType(
+    fullSchema.fields.filterNot(_.name == VersionedTable.RowIdCol))
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -163,8 +190,7 @@ case class GraftNamedTable(tableName: String, root: String,
     val m = new java.util.HashMap[String, String]()
     // the manifest's table properties surface through Spark's own
     // SHOW TBLPROPERTIES graft.t / DESCRIBE EXTENDED
-    VersionedTable.propertiesOf(SparkSession.active, root)
-      .foreach { case (k, v) => m.put(k, v) }
+    tableProps.foreach { case (k, v) => m.put(k, v) }
     m.put("location", root)
     asOf.foreach(v => m.put("versionAsOf", v.toString))
     m
@@ -180,9 +206,12 @@ case class GraftNamedTable(tableName: String, root: String,
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
               val s = data.sparkSession
               // positional like every SQL INSERT: Spark already cast the
-              // query to the table schema; restore the declared names
-              val aligned =
-                data.toDF(VersionedTable.schemaOf(s, root).fieldNames.toSeq: _*)
+              // query to the DECLARED schema (engine-owned columns
+              // hidden, see schema()); restore those names and let the
+              // engine's append assign row ids / identity values
+              val names = VersionedTable.schemaOf(s, root).fieldNames
+                .filterNot(_ == VersionedTable.RowIdCol).toSeq
+              val aligned = data.toDF(names: _*)
               if (overwriteAll || overwrite)
                 VersionedTable.overwrite(s, root, aligned)
               else VersionedTable.append(s, root, aligned)
@@ -217,8 +246,19 @@ case class GraftNamedTableReads(session: SparkSession)
         val reader =
           t.asOf.fold(reader0)(v => reader0.option("versionAsOf", v.toString))
         val resolved = reader.load(t.root).queryExecution.analyzed
-        Project(r.output.zip(resolved.output).map { case (o, n) =>
-          Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+        // match by NAME, not position: the fresh load may expose MORE
+        // columns than the catalog face (the hidden engine row id), and
+        // schema drift between loadTable and this rule must ERROR, not
+        // silently bind a reference to a different column
+        val byName = resolved.output.map(a => a.name -> a).toMap
+        Project(r.output.map { o =>
+          byName.get(o.name) match {
+            case Some(n) if n.dataType == o.dataType =>
+              Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+            case _ => throw new IllegalStateException(
+              s"${t.tableName}: column ${o.name} changed between catalog " +
+                "resolution and planning (concurrent DDL) — re-run the query")
+          }
         }, resolved)
       case other => other.mapChildren(go)
     }

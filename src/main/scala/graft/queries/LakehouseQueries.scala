@@ -1036,7 +1036,8 @@ object LakehouseQueries {
         VersionedTable.create(s, r, sup.repartition(2)))
       // matched keys: multiples of 3 — even ones arrive RICHER (cond
       // true, update), odd ones POORER (cond false, untouched); new
-      // keys (+100000) insert with nk unlisted → NULL
+      // keys (NEGATED — collision-free with the positive keyspace at
+      // every SF) insert with nk unlisted → NULL
       val srcSql =
         s"""SELECT CAST(s_suppkey AS BIGINT) AS k,
                    CASE WHEN s_suppkey % 2 = 0
@@ -1045,7 +1046,7 @@ object LakehouseQueries {
                    CAST(s_nationkey AS BIGINT) AS nk
             FROM parquet.`$d/supplier.parquet` WHERE s_suppkey % 3 = 0
             UNION ALL
-            SELECT CAST(s_suppkey + 100000 AS BIGINT),
+            SELECT CAST(-s_suppkey - 1 AS BIGINT),
                    CAST(77.0 AS DOUBLE), CAST(7 AS BIGINT)
             FROM parquet.`$d/supplier.parquet` WHERE s_suppkey % 10 = 0"""
       s.sql(s"MERGE INTO '$vec' USING ($srcSql) ON (k) " +
@@ -2143,7 +2144,7 @@ object LakehouseQueries {
                        END AS bal
                 FROM supplier WHERE s_suppkey % 3 = 0
                 UNION ALL
-                SELECT CAST(s_suppkey + 100000 AS BIGINT),
+                SELECT CAST(-s_suppkey - 1 AS BIGINT),
                        CAST(77.0 AS DOUBLE)
                 FROM supplier WHERE s_suppkey % 10 = 0),
               upd AS (

@@ -120,6 +120,58 @@ class GraftNamedCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no graft table named nope"), e.getMessage)
   }
 
+  test("row-tracked named table: engine owns _row_id through the SQL face") {
+    val w = freshWarehouse()
+    spark.sql("CREATE TABLE graft.rt AS SELECT id AS k, id * 2 AS v FROM range(5)")
+    spark.sql("CALL graft.enable_row_tracking('rt')")
+    // the engine-owned column is HIDDEN from the named face: positional
+    // INSERT needs no _row_id, and the engine assigns a fresh unique id
+    spark.sql("INSERT INTO graft.rt SELECT 100L, 200L")
+    assert(!spark.sql("SELECT * FROM graft.rt").schema.fieldNames
+      .contains("_row_id"), "engine column stays hidden from SELECT *")
+    val ids = VersionedTable.read(spark, s"$w/rt")
+      .select("_row_id").as[Long].collect()
+    assert(ids.length == 6 && ids.toSet.size == 6, s"unique ids: ${ids.toSeq}")
+    spark.sql("DROP TABLE graft.rt")
+  }
+
+  test("name guards: traversal never resolves, links may not shadow managed") {
+    val w = freshWarehouse()
+    spark.sql("CREATE TABLE graft.safe AS SELECT id FROM range(3)")
+    // a backticked traversal name must not resolve (or DROP) anything
+    assert(intercept[Exception](
+      spark.sql("SELECT * FROM graft.`..`").collect()) != null)
+    assert(GraftNames.lookup(spark, "..").isEmpty)
+    assert(!spark.sql("DROP TABLE IF EXISTS graft.`..`").collect().exists(_ => false) ||
+      new java.io.File(w).exists(), "warehouse survives traversal drop")
+    assert(new java.io.File(s"$w/safe").exists())
+    // a link may not shadow a managed table of the same name
+    val other = Files.createTempDirectory("graft_named_other").resolve("t").toString
+    VersionedTable.create(spark, other, Seq((1L, "x")).toDF("k", "s"))
+    val e = intercept[Exception](
+      spark.sql(s"CALL graft.register_table('safe', '$other')"))
+    assert(e.getMessage.contains("managed table"), e.getMessage)
+    spark.sql("DROP TABLE graft.safe")
+  }
+
+  test("unsupported trailing MERGE clauses delegate, never fold into SET") {
+    val w = freshWarehouse()
+    spark.sql("CREATE TABLE graft.mg AS SELECT id AS k, CAST(id AS DOUBLE) AS v FROM range(5)")
+    // 'INSERT *' after a partial SET is NOT our grammar: the statement
+    // must fall to the delegate's syntax error, not execute with the
+    // clause folded into the last assignment
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO graft.mg USING (SELECT 1L AS k) ON (k) " +
+        "WHEN MATCHED THEN UPDATE SET v = 1.0 " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e != null)
+    // and the table is untouched
+    assert(spark.sql("SELECT sum(v) FROM graft.mg")
+      .as[Double].head() == 10.0)
+    spark.sql("DROP TABLE graft.mg")
+  }
+
   test("CREATE TABLE with partition transforms maps to the engine layout") {
     freshWarehouse()
     spark.sql("CREATE TABLE graft.ev PARTITIONED BY (bucket(4, k)) AS " +
