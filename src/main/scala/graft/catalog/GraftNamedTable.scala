@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TruncatableTable}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.sources.InsertableRelation
@@ -158,7 +158,7 @@ object GraftNames {
   * (`VERSION AS OF` / `TIMESTAMP AS OF` resolve it at loadTable). */
 case class GraftNamedTable(tableName: String, root: String,
                            asOf: Option[Int] = None)
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with TruncatableTable {
   override def name(): String = tableName
   // ONE manifest read per Table instance: Spark calls schema()/
   // version()/properties() several times per statement (resolution,
@@ -194,6 +194,16 @@ case class GraftNamedTable(tableName: String, root: String,
     m.put("location", root)
     asOf.foreach(v => m.put("versionAsOf", v.toString))
     m
+  }
+
+  /** `TRUNCATE TABLE graft.t` — a committed LOGICAL truncate (an
+    * overwrite with zero rows): earlier versions stay time-travel
+    * readable until expired, like every other destructive face. */
+  override def truncateTable(): Boolean = {
+    val s = SparkSession.active
+    VersionedTable.overwrite(s, root,
+      VersionedTable.read(s, root).limit(0))
+    true
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -172,6 +172,19 @@ class GraftNamedCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.mg")
   }
 
+  test("TRUNCATE TABLE is a committed logical truncate, time travel intact") {
+    val w = freshWarehouse()
+    spark.sql("CREATE TABLE graft.tr AS SELECT id FROM range(7)")
+    spark.sql("TRUNCATE TABLE graft.tr")
+    assert(spark.sql("SELECT count(*) FROM graft.tr").as[Long].head() == 0L)
+    // the pre-truncate version stays readable
+    assert(spark.sql("SELECT count(*) FROM graft.tr VERSION AS OF 2")
+      .as[Long].head() == 7L)
+    spark.sql("INSERT INTO graft.tr SELECT 42L")
+    assert(spark.sql("SELECT count(*) FROM graft.tr").as[Long].head() == 1L)
+    spark.sql("DROP TABLE graft.tr")
+  }
+
   test("CREATE TABLE with partition transforms maps to the engine layout") {
     freshWarehouse()
     spark.sql("CREATE TABLE graft.ev PARTITIONED BY (bucket(4, k)) AS " +
