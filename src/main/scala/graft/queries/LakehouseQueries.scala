@@ -1191,6 +1191,61 @@ object LakehouseQueries {
           col("nulls"), col("live"), col("sum"))
     }),
 
+    // ORDERED MULTI-CLAUSE MERGE (Delta's WHEN MATCHED evaluation
+    // rule, the reference's K5 generalized): three matched clauses —
+    // richer rows update (first condition wins), collapsed rows
+    // delete, everything else tagged — plus the not-matched insert,
+    // through BOTH commit shapes on one source; the oracle replays the
+    // first-match-wins semantics once and both paths hash-match it.
+    "q232_merge_multi" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_mm_q232")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_totalprice").cast("double").as("price"))
+        .withColumn("status", when(col("k").isNotNull, lit("base")))
+      val vec = work.resolve("vec").toString
+      val cow = work.resolve("cow").toString
+      Seq(vec, cow).foreach(r =>
+        VersionedTable.create(s, r, o.repartition(2)))
+      val srcSql =
+        s"""SELECT CAST(o_orderkey AS BIGINT) AS k,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN CAST(o_totalprice AS DOUBLE) * 2.0
+                        WHEN o_orderkey % 5 = 0
+                        THEN CAST(o_totalprice AS DOUBLE) * 0.25
+                        ELSE CAST(o_totalprice AS DOUBLE) END AS price
+            FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT CAST(-o_orderkey - 1 AS BIGINT), CAST(55.0 AS DOUBLE)
+            FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 10 = 0"""
+      s.sql(s"MERGE INTO '$vec' USING ($srcSql) ON (k) " +
+        "WHEN MATCHED AND s.price > t.price THEN UPDATE SET " +
+        "price = s.price, status = 'up' " +
+        "WHEN MATCHED AND s.price < t.price * 0.5 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET status = 'meh' " +
+        "WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price)")
+      VersionedTable.mergeIntoWhenMulti(s, cow, s.sql(srcSql), Seq("k"),
+        Seq(
+          (Some(col("s.price") > col("t.price")): Option[org.apache.spark.sql.Column]) ->
+            (VersionedTable.MatchedUpdate(Map(
+              "price" -> col("s.price"),
+              "status" -> lit("up"))): VersionedTable.MatchedAction),
+          (Some(col("s.price") < col("t.price") * 0.5): Option[org.apache.spark.sql.Column]) ->
+            (VersionedTable.MatchedDelete: VersionedTable.MatchedAction),
+          (None: Option[org.apache.spark.sql.Column]) ->
+            (VersionedTable.MatchedUpdate(Map(
+              "status" -> lit("meh"))): VersionedTable.MatchedAction)),
+        insert = Some(Map("price" -> col("s.price"))), vectored = false)
+      Seq("vec" -> vec, "cow" -> cow).map { case (tag, r) =>
+        VersionedTable.read(s, r).groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("price").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .select(lit(tag).as("path"), col("status"), col("n"),
+            col("sum_price"))
+      }.reduce(_ unionByName _)
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -2081,6 +2136,52 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q232_merge_multi" ->
+      """WITH base AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k,
+                     CAST(o_totalprice AS DOUBLE) AS price,
+                     'base' AS status
+              FROM orders),
+              src AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS k,
+                       CASE WHEN o_orderkey % 2 = 0
+                            THEN CAST(o_totalprice AS DOUBLE) * 2.0
+                            WHEN o_orderkey % 5 = 0
+                            THEN CAST(o_totalprice AS DOUBLE) * 0.25
+                            ELSE CAST(o_totalprice AS DOUBLE)
+                       END AS price
+                FROM orders WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT CAST(-o_orderkey - 1 AS BIGINT),
+                       CAST(55.0 AS DOUBLE)
+                FROM orders WHERE o_orderkey % 10 = 0),
+              m AS (
+                SELECT b.k, b.price AS bp, b.status AS bs, s.price AS sp,
+                       (s.k IS NOT NULL) AS hit
+                FROM base b LEFT JOIN src s ON b.k = s.k),
+              kept AS (
+                SELECT k,
+                       CASE WHEN hit AND sp > bp THEN sp
+                            ELSE bp END AS price,
+                       CASE WHEN NOT hit THEN bs
+                            WHEN sp > bp THEN 'up'
+                            ELSE 'meh' END AS status
+                FROM m
+                WHERE NOT (hit AND NOT (sp > bp) AND sp < bp * 0.5)),
+              ins AS (
+                SELECT s.k, s.price, CAST(NULL AS VARCHAR) AS status
+                FROM src s LEFT JOIN base b ON s.k = b.k
+                WHERE b.k IS NULL),
+              fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+              agg AS (
+                SELECT status, count(*)::BIGINT AS n,
+                       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                         AS sum_price
+                FROM fin GROUP BY status)
+         SELECT 'vec' AS path, status, n, sum_price FROM agg
+         UNION ALL
+         SELECT 'cow', status, n, sum_price FROM agg""",
 
     "q231_files_report" ->
       """WITH mx AS (SELECT max(c_custkey) AS mk FROM customer),

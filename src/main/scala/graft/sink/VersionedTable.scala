@@ -4741,11 +4741,51 @@ object VersionedTable {
                     matchedDelete: Boolean = false,
                     vectored: Boolean = true,
                     txn: Option[Long] = None): Int = {
-    import org.apache.spark.sql.functions.{col, lit, min => fmin, max => fmax}
-    require(keys.nonEmpty, "mergeIntoWhen needs at least one key column")
     require(set.nonEmpty != matchedDelete,
       "WHEN MATCHED takes exactly one action: UPDATE SET assignments " +
         "or DELETE (matchedDelete)")
+    mergeIntoWhenMulti(spark, root, source, keys,
+      Seq(matchedCond ->
+        (if (matchedDelete) MatchedDelete else MatchedUpdate(set))),
+      insert, vectored, txn)
+  }
+
+  /** One WHEN MATCHED clause's action. */
+  sealed trait MatchedAction
+  final case class MatchedUpdate(
+      set: Map[String, org.apache.spark.sql.Column]) extends MatchedAction
+  case object MatchedDelete extends MatchedAction
+
+  /** The FULL ordered WHEN MATCHED grammar (Delta's evaluation rule:
+    * clauses evaluate in order, the FIRST condition-true clause
+    * applies, later clauses never see the row):
+    *
+    *   WHEN MATCHED [AND cond1] THEN UPDATE SET … | THEN DELETE
+    *   WHEN MATCHED [AND cond2] THEN …                  (in order)
+    *   [WHEN NOT MATCHED THEN INSERT insert]
+    *
+    * Every clause except the last must carry a condition (an
+    * unconditional clause earlier would shadow everything after it —
+    * the Delta contract). Target row aliased `t`, source `s`.
+    * Matched rows claimed by no clause are UNTOUCHED and never travel.
+    * Built from ONE inner join over the key-range-pruned matched
+    * slice; committed through [[mergeIntoVectored]] or [[mergeInto]]
+    * with updates landing as rows and delete-clause keys as the
+    * same-commit `deletes` — one atomic version either way. */
+  def mergeIntoWhenMulti(spark: SparkSession, root: String,
+                         source: DataFrame, keys: Seq[String],
+                         matched: Seq[(Option[org.apache.spark.sql.Column], MatchedAction)],
+                         insert: Option[Map[String, org.apache.spark.sql.Column]],
+                         vectored: Boolean = true,
+                         txn: Option[Long] = None): Int = {
+    import org.apache.spark.sql.functions.{col, lit, when,
+      min => fmin, max => fmax}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(matched.nonEmpty || insert.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    require(matched.dropRight(1).forall(_._1.nonEmpty),
+      "only the LAST WHEN MATCHED clause may omit its condition — an " +
+        "unconditional earlier clause would shadow everything after it")
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     if (txn.exists(committedTxns(spark, root).contains)) return cur
@@ -4754,14 +4794,18 @@ object VersionedTable {
     val tracked = m.props.get(PropRowTracking).contains("true")
     // the business columns: under row tracking the engine owns _row_id —
     // assignments may not touch it, and the built row set omits it so
-    // the vectored path's enrichment preserves/assigns ids uniformly
+    // the merge paths' own enrichment preserves/assigns ids uniformly
     val fields = schema.fields.filterNot(tracked && _.name == RowIdCol)
-    (set.keySet ++ insert.toSeq.flatMap(_.keySet)).foreach(c =>
+    val allSets = matched.collect { case (_, MatchedUpdate(set)) =>
+      require(set.nonEmpty, "WHEN MATCHED THEN UPDATE SET needs assignments")
+      set
+    }
+    (allSets.flatMap(_.keySet) ++ insert.toSeq.flatMap(_.keySet)).foreach(c =>
       require(fields.exists(_.name == c),
         s"MERGE assigns unknown column $c (table: [${m.schemaDdl}])"))
     // SET must not rewrite the key (it would re-key the match itself);
     // INSERT listing the key is the normal spelling
-    set.keySet.foreach(c => require(!keys.contains(c),
+    allSets.flatMap(_.keySet).foreach(c => require(!keys.contains(c),
       s"MERGE must not assign the key column $c"))
     keys.foreach(k => require(
       source.schema.fieldNames.contains(k) && fields.exists(_.name == k),
@@ -4784,11 +4828,31 @@ object VersionedTable {
     val src = source.alias("s")
     val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
       .reduce(_ && _)
-    // matched target rows SATISFYING the condition — the action's scope
-    val matched = tgt.join(src, joinCond, "inner")
-      .filter(matchedCond.getOrElse(lit(true)))
-    val targetShape = matched.select(fields.toSeq.map(f =>
+    // first-condition-true clause claims the row; -1 = no clause (the
+    // row stays untouched and never travels)
+    val clauseIdx = matched.zipWithIndex
+      .foldRight(lit(-1): org.apache.spark.sql.Column) {
+        case (((cond, _), i), rest) =>
+          when(cond.getOrElse(lit(true)), lit(i)).otherwise(rest)
+      }
+    val joined = tgt.join(src, joinCond, "inner")
+      .withColumn("__graft_clause", clauseIdx)
+    val targetShape = joined.select(fields.toSeq.map(f =>
       col(s"t.${f.name}").cast(f.dataType).as(f.name)): _*)
+    val updates = matched.zipWithIndex.collect {
+      case ((_, MatchedUpdate(set)), i) =>
+        joined.filter(col("__graft_clause") === i)
+          .select(fields.toSeq.map { f =>
+            set.getOrElse(f.name, col(s"t.${f.name}"))
+              .cast(f.dataType).as(f.name)
+          }: _*)
+    }
+    val delIdx = matched.zipWithIndex.collect {
+      case ((_, MatchedDelete), i) => i }
+    val delKeys =
+      if (delIdx.isEmpty) None
+      else Some(joined.filter(col("__graft_clause").isin(delIdx: _*))
+        .select(keys.map(k => col(s"t.$k").as(k)): _*))
     val inserts = insert match {
       case None => targetShape.limit(0)
       case Some(vals) =>
@@ -4807,23 +4871,10 @@ object VersionedTable {
               .cast(f.dataType).as(f.name)
           }: _*)
     }
-    if (matchedDelete) {
-      // WHEN MATCHED [AND cond] THEN DELETE: the cond-true matched keys
-      // vector away (or anti-join out, CoW); only the inserts land
-      val delKeys = matched.select(keys.map(k => col(s"t.$k").as(k)): _*)
-      if (vectored) mergeIntoVectored(spark, root, inserts, keys,
-        deletes = Some(delKeys), txn = txn)
-      else mergeInto(spark, root, inserts, keys,
-        deletes = Some(delKeys), txn = txn)
-    } else {
-      val updated = matched.select(fields.toSeq.map { f =>
-        set.getOrElse(f.name, col(s"t.${f.name}"))
-          .cast(f.dataType).as(f.name)
-      }: _*)
-      val merged = updated.unionByName(inserts)
-      if (vectored) mergeIntoVectored(spark, root, merged, keys, txn = txn)
-      else mergeInto(spark, root, merged, keys, txn = txn)
-    }
+    val merged = (updates :+ inserts).reduce(_ unionByName _)
+    if (vectored) mergeIntoVectored(spark, root, merged, keys,
+      deletes = delKeys, txn = txn)
+    else mergeInto(spark, root, merged, keys, deletes = delKeys, txn = txn)
   }
 
   /** APPLY CHANGES — fold a CDC changelog into the table with

@@ -146,6 +146,43 @@ class MergeWhenSpec extends SparkSpec {
     assert(e.getMessage.contains("schema mismatch"), e.getMessage)
   }
 
+  test("ordered multi-clause WHEN MATCHED: first condition-true wins") {
+    val root = freshRoot(); seed(root)
+    // k=1 (v=10): s.v=99 > t.v -> clause 1 (update up)
+    // k=2 (v=20): s.v=4 < t.v*0.5 -> clause 2 (delete)
+    // k=3 (v=30): s.v=30 -> neither -> clause 3 (unconditional tail)
+    // k=9: unmatched -> insert
+    spark.sql(s"""MERGE INTO '$root' USING (
+        SELECT * FROM VALUES (1L, CAST(99.0 AS DOUBLE)),
+                             (2L, CAST(4.0 AS DOUBLE)),
+                             (3L, CAST(30.0 AS DOUBLE)),
+                             (9L, CAST(90.0 AS DOUBLE)) AS src(k, v)
+      ) ON (k)
+      WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v, note = 'up'
+      WHEN MATCHED AND s.v < t.v * 0.5 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET note = 'meh'
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val got = state(root)
+    assert(got.keySet == Set(1L, 3L, 9L), got.toString)
+    assert(got(1L) == (99.0, "up"), got.toString)
+    assert(got(3L) == (30.0, "meh"), "unconditional tail clause claims the rest")
+    assert(got(9L)._1 == 90.0 && got(9L)._2 == null)
+    // an unconditional clause BEFORE the end refuses (it would shadow)
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO '$root' USING (SELECT 1L AS k) ON (k)
+        WHEN MATCHED THEN DELETE
+        WHEN MATCHED THEN UPDATE SET note = 'x'""")
+    }
+    assert(e.getMessage.contains("only the LAST"), e.getMessage)
+    // unparsed residue between clauses delegates, never reinterprets
+    assert(intercept[Exception] {
+      spark.sql(s"""MERGE INTO '$root' USING (SELECT 1L AS k) ON (k)
+        WHEN MATCHED AND t.v > 0 THEN UPDATE SET note = 'y'
+        WHEN MATCHED BY TARGET THEN DELETE""")
+    } != null)
+    assert(state(root)(1L) == (99.0, "up"), "failed statements change nothing")
+  }
+
   test("contract: assigning a key or unknown column refuses") {
     val root = freshRoot(); seed(root)
     val src = Seq((1L, 2.0)).toDF("k", "v")
