@@ -1246,6 +1246,115 @@ object LakehouseQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // FULL three-family MERGE grammar (Delta's clause set): ordered
+    // conditional WHEN MATCHED, ordered conditional WHEN NOT MATCHED
+    // inserts, and WHEN NOT MATCHED BY SOURCE delete/update — through
+    // BOTH commit shapes on one source; the oracle replays the
+    // per-family first-match-wins semantics once and both paths
+    // hash-match it.
+    "q233_merge_full" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_mf_q233")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").cast("long").as("k"),
+        col("o_totalprice").cast("double").as("price"))
+        .withColumn("status", when(col("k").isNotNull, lit("base")))
+      val vec = work.resolve("vec").toString
+      val cow = work.resolve("cow").toString
+      Seq(vec, cow).foreach(r =>
+        VersionedTable.create(s, r, o.repartition(2)))
+      val srcSql =
+        s"""SELECT CAST(o_orderkey AS BIGINT) AS k,
+                   CASE WHEN o_orderkey % 2 = 0
+                        THEN CAST(o_totalprice AS DOUBLE) * 2.0
+                        ELSE CAST(o_totalprice AS DOUBLE) * 0.5 END AS price
+            FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT CAST(-o_orderkey - 1 AS BIGINT),
+                   CASE WHEN o_orderkey % 20 = 0
+                        THEN CAST(155.0 AS DOUBLE)
+                        ELSE CAST(55.0 AS DOUBLE) END
+            FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 10 = 0"""
+      s.sql(s"MERGE INTO '$vec' USING ($srcSql) ON (k) " +
+        "WHEN MATCHED AND s.price > t.price THEN UPDATE SET " +
+        "price = s.price, status = 'up' " +
+        "WHEN MATCHED THEN UPDATE SET status = 'down' " +
+        "WHEN NOT MATCHED AND s.price > 100.0 THEN INSERT " +
+        "(k, price, status) VALUES (s.k, s.price, 'big') " +
+        "WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price) " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k % 7 = 0 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE AND t.k % 5 = 0 THEN UPDATE SET " +
+        "status = 'stale'")
+      import org.apache.spark.sql.Column
+      import VersionedTable.{MatchedAction, MatchedDelete, MatchedUpdate}
+      VersionedTable.mergeIntoWhenFull(s, cow, s.sql(srcSql), Seq("k"),
+        matched = Seq(
+          (Some(col("s.price") > col("t.price")): Option[Column]) ->
+            (MatchedUpdate(Map("price" -> col("s.price"),
+              "status" -> lit("up"))): MatchedAction),
+          (None: Option[Column]) ->
+            (MatchedUpdate(Map("status" -> lit("down"))): MatchedAction)),
+        notMatched = Seq(
+          (Some(col("s.price") > 100.0): Option[Column]) ->
+            Map("k" -> col("s.k"), "price" -> col("s.price"),
+              "status" -> lit("big")),
+          (None: Option[Column]) ->
+            Map[String, Column]("price" -> col("s.price"))),
+        bySource = Seq(
+          (Some(col("t.k") % 7 === 0): Option[Column]) ->
+            (MatchedDelete: MatchedAction),
+          (Some(col("t.k") % 5 === 0): Option[Column]) ->
+            (MatchedUpdate(Map("status" -> lit("stale"))): MatchedAction)),
+        vectored = false)
+      Seq("vec" -> vec, "cow" -> cow).map { case (tag, r) =>
+        VersionedTable.read(s, r).groupBy(col("status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("price").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+          .select(lit(tag).as("path"), col("status"), col("n"),
+            col("sum_price"))
+      }.reduce(_ unionByName _)
+    }),
+
+    // Plain CREATE TABLE DDL (contracts en bloc: NOT NULL, GENERATED,
+    // CHECK), INSERT through the contract, DELETE, RESTORE TO VERSION
+    // AS OF undoing it, and the SHOW CREATE script re-creating the
+    // shape on a fresh path — the oracle replays both tables' final
+    // states (restored = the full slice with the generated column;
+    // re-created = the k%3 slice through the same contracts).
+    "q234_create_restore" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_cr_q234")
+      val a = work.resolve("a").toString
+      val b = work.resolve("b").toString
+      s.sql(s"""CREATE TABLE '$a' (
+          k BIGINT,
+          price DOUBLE,
+          cat STRING,
+          dbl DOUBLE GENERATED ALWAYS AS (k * 2.0),
+          CONSTRAINT price_pos CHECK (price >= 0))""")
+      val srcSql =
+        s"""SELECT CAST(o_orderkey AS BIGINT) AS k,
+                   CAST(o_totalprice AS DOUBLE) AS price,
+                   o_orderpriority AS cat
+            FROM parquet.`$d/orders.parquet`"""
+      s.sql(s"INSERT INTO '$a' $srcSql")                     // v2
+      s.sql(s"DELETE FROM '$a' WHERE k % 2 = 0")             // v3
+      s.sql(s"RESTORE TABLE '$a' TO VERSION AS OF 2")        // v4
+      val script = s.sql(s"SHOW CREATE TABLE '$a'")
+        .collect().map(_.getString(0)).toSeq
+      script.map(_.replace(s"'$a'", s"'$b'")).foreach(s.sql(_))
+      s.sql(s"INSERT INTO '$b' $srcSql WHERE o_orderkey % 3 = 0")
+      Seq("restored" -> a, "recreated" -> b).map { case (tag, r) =>
+        VersionedTable.read(s, r).groupBy(col("cat"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("price").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"),
+            sum(col("dbl").cast("decimal(18,1)")).cast("double")
+              .as("sum_dbl"))
+          .select(lit(tag).as("tab"), col("cat"), col("n"),
+            col("sum_price"), col("sum_dbl"))
+      }.reduce(_ unionByName _)
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -2136,6 +2245,77 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q234_create_restore" ->
+      """WITH src AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k,
+                     CAST(o_totalprice AS DOUBLE) AS price,
+                     o_orderpriority AS cat
+              FROM orders),
+              agg_a AS (
+                SELECT 'restored' AS tab, cat, count(*)::BIGINT AS n,
+                       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                         AS sum_price,
+                       CAST(sum(CAST(k * 2.0 AS DECIMAL(18,1))) AS DOUBLE)
+                         AS sum_dbl
+                FROM src GROUP BY cat),
+              agg_b AS (
+                SELECT 'recreated' AS tab, cat, count(*)::BIGINT AS n,
+                       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                         AS sum_price,
+                       CAST(sum(CAST(k * 2.0 AS DECIMAL(18,1))) AS DOUBLE)
+                         AS sum_dbl
+                FROM src WHERE k % 3 = 0 GROUP BY cat)
+         SELECT * FROM agg_a UNION ALL SELECT * FROM agg_b""",
+
+    "q233_merge_full" ->
+      """WITH base AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k,
+                     CAST(o_totalprice AS DOUBLE) AS price,
+                     'base' AS status
+              FROM orders),
+              src AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS k,
+                       CASE WHEN o_orderkey % 2 = 0
+                            THEN CAST(o_totalprice AS DOUBLE) * 2.0
+                            ELSE CAST(o_totalprice AS DOUBLE) * 0.5
+                       END AS price
+                FROM orders WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT CAST(-o_orderkey - 1 AS BIGINT),
+                       CASE WHEN o_orderkey % 20 = 0
+                            THEN CAST(155.0 AS DOUBLE)
+                            ELSE CAST(55.0 AS DOUBLE) END
+                FROM orders WHERE o_orderkey % 10 = 0),
+              m AS (
+                SELECT b.k, b.price AS bp, s.price AS sp,
+                       (s.k IS NOT NULL) AS hit
+                FROM base b LEFT JOIN src s ON b.k = s.k),
+              kept AS (
+                SELECT k,
+                       CASE WHEN hit AND sp > bp THEN sp
+                            ELSE bp END AS price,
+                       CASE WHEN hit AND sp > bp THEN 'up'
+                            WHEN hit THEN 'down'
+                            WHEN k % 5 = 0 THEN 'stale'
+                            ELSE 'base' END AS status
+                FROM m
+                WHERE hit OR NOT (k % 7 = 0)),
+              ins AS (
+                SELECT s.k, s.price,
+                       CASE WHEN s.price > 100.0 THEN 'big'
+                            ELSE CAST(NULL AS VARCHAR) END AS status
+                FROM src s LEFT JOIN base b ON s.k = b.k
+                WHERE b.k IS NULL),
+              fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+              agg AS (
+                SELECT status, count(*)::BIGINT AS n,
+                       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+                         AS sum_price
+                FROM fin GROUP BY status)
+         SELECT 'vec' AS path, status, n, sum_price FROM agg
+         UNION ALL
+         SELECT 'cow', status, n, sum_price FROM agg""",
 
     "q232_merge_multi" ->
       """WITH base AS (

@@ -1701,6 +1701,79 @@ object VersionedTable {
     commit(spark, root, df, partitionCols = partitionBy, op = "create")
   }
 
+  /** CREATE TABLE from an explicit schema with NO rows — the plain-DDL
+    * twin of [[create]] (CTAS): version 1 is an empty table whose
+    * column contracts (DEFAULT / GENERATED ALWAYS AS / IDENTITY /
+    * CHECK constraints) and table properties land EN BLOC in the first
+    * commit, validated exactly like their ALTER faces — there is no
+    * window where a writer sees the bare schema without its contracts.
+    * (The reference creates its product tables schema-first the same
+    * way: load_to_postgis.py's CREATE TABLE IF NOT EXISTS DDL.) */
+  def createEmpty(spark: SparkSession, root: String, schemaDdl: String,
+                  partitionBy: Seq[String] = Seq.empty,
+                  defaults: Map[String, String] = Map.empty,
+                  gens: Map[String, String] = Map.empty,
+                  ids: Map[String, Long] = Map.empty,
+                  checks: Seq[TableCheck] = Seq.empty,
+                  props: Map[String, String] = Map.empty): Int = {
+    require(currentVersion(spark, root).isEmpty, s"table exists at $root")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val names = schema.fieldNames.toSet
+    partitionBy.map(Layout.parse).foreach(Layout.validate(_, schema))
+    ids.keys.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"identity column $c is not in the schema"))
+      require(f.dataType == org.apache.spark.sql.types.LongType,
+        s"identity column $c must be BIGINT")
+      require(!defaults.contains(c) && !gens.contains(c),
+        s"identity column $c cannot also carry a default/generated " +
+          "expression")
+    }
+    // fill expressions meet the same bar the ALTER faces set: resolve
+    // against the schema, deterministic, time-independent, and never
+    // chained onto another filled column (read-time substitution
+    // evaluates fills in ONE pass and would see the raw NULL)
+    val fillKeys = defaults.keySet ++ gens.keySet
+    val probeFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    (defaults.toSeq.map { case (c, e) => (s"default for $c", c, e) } ++
+      gens.toSeq.map { case (c, e) => (s"generated column $c", c, e) })
+      .foreach { case (what, c, e) =>
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"$what: column is not in the schema"))
+        val refs = checkRefs(spark, e)
+        val missing = refs.filterNot(names.contains)
+        require(missing.isEmpty,
+          s"$what references unknown column(s): ${missing.mkString(", ")}")
+        val chained = refs.filter(r => fillKeys.contains(r) && r != c)
+        require(chained.isEmpty,
+          s"$what must not reference generated/defaulted column(s) " +
+            s"${chained.mkString(", ")}: read-time substitution " +
+            "evaluates fills in one pass and would see the raw NULL")
+        val resolved = probeFrame.select(org.apache.spark.sql.functions
+            .expr(s"CAST(($e) AS ${f.dataType.sql})").as(c))
+          .queryExecution.analyzed.expressions.head
+        require(resolved.deterministic,
+          s"$what needs a deterministic expression: $e")
+        requireTimeIndependent(resolved, what, e)
+      }
+    checks.foreach { c =>
+      val missing = checkRefs(spark, c.expr).filterNot(names.contains)
+      require(missing.isEmpty, s"CHECK constraint ${c.name} references " +
+        s"unknown column(s): ${missing.mkString(", ")}")
+      probeFrame.filter(org.apache.spark.sql.functions.expr(c.expr))
+        .queryExecution.analyzed // must analyze as a boolean predicate
+    }
+    val m0 = Manifest(1, schema.toDDL, Seq.empty,
+      partitionCols = partitionBy, op = "create", checks = checks,
+      defaults = defaults, gens = gens, ids = ids)
+    props.foreach { case (k, v) => validateProp(m0, k, v) }
+    writeManifest(spark, root, m0.copy(props = props), None)
+    1
+  }
+
   /** Append: new version = previous files + the new rows' files. The
     * incoming schema must match the table schema (same DDL) — the
     * guard a schema-on-write table enforces. A blind append's file
@@ -2328,6 +2401,57 @@ object VersionedTable {
       m.props.get(PropRowTracking).contains("true"),
       m.checks.size, m.defaults.size, m.gens.size, m.ids.size,
       m.props.size)
+  }
+
+  /** SHOW CREATE TABLE: the statement script that re-creates the
+    * table's current SHAPE (schema, column contracts, layout,
+    * constraints, clustering, properties — not the data): one
+    * `CREATE TABLE '<path>' (…)` in the exact grammar
+    * [[graft.plans.GraftSqlParser]] accepts, followed by the ALTER/CALL
+    * statements for the pieces that are separate faces (clustering
+    * keys, user properties, row tracking). Every emitted line is
+    * EXECUTABLE against a fresh path — the round trip is the spec.
+    * Identity columns emit `START WITH <next>` from the live
+    * high-water mark, so a re-created table continues the sequence
+    * rather than re-allocating history. */
+  def showCreate(spark: SparkSession, root: String): Seq[String] = {
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val m = readManifest(spark, root, cur)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    val colDefs = schema.fields.toSeq
+      .filterNot(_.name == RowIdCol) // engine-owned; rides row tracking
+      .map { f =>
+        val base = s"${f.name} ${f.dataType.sql}"
+        m.ids.get(f.name) match {
+          case Some(next) =>
+            s"$base GENERATED BY DEFAULT AS IDENTITY (START WITH $next)"
+          case None => m.gens.get(f.name) match {
+            case Some(e) => s"$base GENERATED ALWAYS AS ($e)"
+            case None =>
+              val nn = if (f.nullable) "" else " NOT NULL"
+              val dflt = m.defaults.get(f.name)
+                .map(d => s" DEFAULT $d").getOrElse("")
+              s"$base$nn$dflt"
+          }
+        }
+      } ++ m.checks.map(c => s"CONSTRAINT ${c.name} CHECK (${c.expr})")
+    val part =
+      if (m.partitionCols.isEmpty) ""
+      else s" PARTITIONED BY (${m.partitionCols.mkString(", ")})"
+    val createStmt =
+      s"CREATE TABLE '$root' (${colDefs.mkString(", ")})$part"
+    val cluster = m.props.get(PropClusterBy).map(ks =>
+      s"ALTER TABLE '$root' CLUSTER BY ($ks)")
+    val tracking = m.props.get(PropRowTracking).filter(_ == "true")
+      .map(_ => s"CALL graft.enable_row_tracking('$root')")
+    val userProps = (m.props -
+      PropClusterBy - PropClusterCurve - PropRowTracking).toSeq.sorted
+    val propsStmt =
+      if (userProps.isEmpty) None
+      else Some(s"ALTER TABLE '$root' SET TBLPROPERTIES (" +
+        userProps.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
+    Seq(createStmt) ++ cluster ++ propsStmt ++ tracking
   }
 
   /** PER-PARTITION operational stats (the Iceberg `partitions` metadata
@@ -4756,36 +4880,68 @@ object VersionedTable {
       set: Map[String, org.apache.spark.sql.Column]) extends MatchedAction
   case object MatchedDelete extends MatchedAction
 
-  /** The FULL ordered WHEN MATCHED grammar (Delta's evaluation rule:
-    * clauses evaluate in order, the FIRST condition-true clause
-    * applies, later clauses never see the row):
-    *
-    *   WHEN MATCHED [AND cond1] THEN UPDATE SET … | THEN DELETE
-    *   WHEN MATCHED [AND cond2] THEN …                  (in order)
-    *   [WHEN NOT MATCHED THEN INSERT insert]
-    *
-    * Every clause except the last must carry a condition (an
-    * unconditional clause earlier would shadow everything after it —
-    * the Delta contract). Target row aliased `t`, source `s`.
-    * Matched rows claimed by no clause are UNTOUCHED and never travel.
-    * Built from ONE inner join over the key-range-pruned matched
-    * slice; committed through [[mergeIntoVectored]] or [[mergeInto]]
-    * with updates landing as rows and delete-clause keys as the
-    * same-commit `deletes` — one atomic version either way. */
+  /** The ordered WHEN MATCHED grammar with a single unconditional
+    * INSERT clause — see [[mergeIntoWhenFull]] for the complete
+    * three-family grammar this delegates to. */
   def mergeIntoWhenMulti(spark: SparkSession, root: String,
                          source: DataFrame, keys: Seq[String],
                          matched: Seq[(Option[org.apache.spark.sql.Column], MatchedAction)],
                          insert: Option[Map[String, org.apache.spark.sql.Column]],
                          vectored: Boolean = true,
-                         txn: Option[Long] = None): Int = {
+                         txn: Option[Long] = None): Int =
+    mergeIntoWhenFull(spark, root, source, keys, matched,
+      notMatched = insert.map(vals =>
+        (None: Option[org.apache.spark.sql.Column]) -> vals).toSeq,
+      bySource = Seq.empty, vectored = vectored, txn = txn)
+
+  /** The COMPLETE three-family MERGE grammar (Delta's evaluation
+    * rule: within each family clauses evaluate in order, the FIRST
+    * condition-true clause claims the row, later clauses never see it):
+    *
+    *   WHEN MATCHED [AND cond] THEN UPDATE SET … | THEN DELETE   (ordered)
+    *   WHEN NOT MATCHED [AND cond] THEN INSERT (cols) VALUES …   (ordered)
+    *   WHEN NOT MATCHED BY SOURCE [AND cond]
+    *     THEN UPDATE SET … | THEN DELETE                          (ordered)
+    *
+    * In each family every clause except the last must carry a
+    * condition (an unconditional earlier clause would shadow
+    * everything after it — the Delta contract). Target row aliased
+    * `t`, source row `s`; NOT MATCHED conditions/values may reference
+    * `s` only, NOT MATCHED BY SOURCE conditions/assignments `t` only
+    * (the other side does not exist for those rows). Rows claimed by
+    * no clause are UNTOUCHED and never travel.
+    *
+    * Scale shape: the matched and not-matched arms read only the
+    * key-range-pruned slice (manifest stats from the SOURCE's observed
+    * key bounds — never the table). The BY SOURCE arm inherently
+    * anti-joins the FULL live table against the source keys (any file
+    * anywhere may hold unmatched rows — the same full-target cost
+    * Delta's BY SOURCE pays); with broadcast-sized source keys that is
+    * one scan with no shuffle of the big side. Claimed rows travel as
+    * rebuilt rows / same-commit delete keys through
+    * [[mergeIntoVectored]] or [[mergeInto]] — one atomic version
+    * either way, and their keys widen the commit's own pruning bounds
+    * so the vector/rewrite pass still touches only stat-matching
+    * files. */
+  def mergeIntoWhenFull(spark: SparkSession, root: String,
+                        source: DataFrame, keys: Seq[String],
+                        matched: Seq[(Option[org.apache.spark.sql.Column], MatchedAction)],
+                        notMatched: Seq[(Option[org.apache.spark.sql.Column], Map[String, org.apache.spark.sql.Column])],
+                        bySource: Seq[(Option[org.apache.spark.sql.Column], MatchedAction)] = Seq.empty,
+                        vectored: Boolean = true,
+                        txn: Option[Long] = None): Int = {
     import org.apache.spark.sql.functions.{col, lit, when,
       min => fmin, max => fmax}
     require(keys.nonEmpty, "merge needs at least one key column")
-    require(matched.nonEmpty || insert.nonEmpty,
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "MERGE needs at least one WHEN clause")
-    require(matched.dropRight(1).forall(_._1.nonEmpty),
-      "only the LAST WHEN MATCHED clause may omit its condition — an " +
-        "unconditional earlier clause would shadow everything after it")
+    Seq("WHEN MATCHED" -> matched.map(_._1),
+        "WHEN NOT MATCHED" -> notMatched.map(_._1),
+        "WHEN NOT MATCHED BY SOURCE" -> bySource.map(_._1)).foreach {
+      case (family, conds) => require(conds.dropRight(1).forall(_.nonEmpty),
+        s"only the LAST $family clause may omit its condition — an " +
+          "unconditional earlier clause would shadow everything after it")
+    }
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     if (txn.exists(committedTxns(spark, root).contains)) return cur
@@ -4796,12 +4952,13 @@ object VersionedTable {
     // assignments may not touch it, and the built row set omits it so
     // the merge paths' own enrichment preserves/assigns ids uniformly
     val fields = schema.fields.filterNot(tracked && _.name == RowIdCol)
-    val allSets = matched.collect { case (_, MatchedUpdate(set)) =>
-      require(set.nonEmpty, "WHEN MATCHED THEN UPDATE SET needs assignments")
-      set
+    val allSets = (matched ++ bySource).collect {
+      case (_, MatchedUpdate(set)) =>
+        require(set.nonEmpty, "THEN UPDATE SET needs assignments")
+        set
     }
-    (allSets.flatMap(_.keySet) ++ insert.toSeq.flatMap(_.keySet)).foreach(c =>
-      require(fields.exists(_.name == c),
+    (allSets.flatMap(_.keySet) ++ notMatched.flatMap(_._2.keySet))
+      .foreach(c => require(fields.exists(_.name == c),
         s"MERGE assigns unknown column $c (table: [${m.schemaDdl}])"))
     // SET must not rewrite the key (it would re-key the match itself);
     // INSERT listing the key is the normal spelling
@@ -4853,28 +5010,78 @@ object VersionedTable {
       if (delIdx.isEmpty) None
       else Some(joined.filter(col("__graft_clause").isin(delIdx: _*))
         .select(keys.map(k => col(s"t.$k").as(k)): _*))
-    val inserts = insert match {
-      case None => targetShape.limit(0)
-      case Some(vals) =>
+    val inserts =
+      if (notMatched.isEmpty) targetShape.limit(0)
+      else {
         // target keys under reserved names: a bare `k` on the right of
         // the anti-join would be ambiguous against the source's own k
-        src.join(
+        val unmatchedSrc = src.join(
             tgt.select(keys.map(k => col(s"t.$k").as(s"__graft_t_$k")): _*),
             keys.map(k => col(s"s.$k") === col(s"__graft_t_$k"))
               .reduce(_ && _),
             "left_anti")
-          .select(fields.toSeq.map { f =>
-            vals.get(f.name)
-              .orElse(if (keys.contains(f.name)) Some(col(s"s.${f.name}"))
-                      else None)
-              .getOrElse(lit(null))
-              .cast(f.dataType).as(f.name)
-          }: _*)
+        val insIdx = notMatched.zipWithIndex
+          .foldRight(lit(-1): org.apache.spark.sql.Column) {
+            case (((cond, _), i), rest) =>
+              when(cond.getOrElse(lit(true)), lit(i)).otherwise(rest)
+          }
+        val tagged = unmatchedSrc.withColumn("__graft_ins", insIdx)
+        notMatched.zipWithIndex.map { case ((_, vals), i) =>
+          tagged.filter(col("__graft_ins") === i)
+            .select(fields.toSeq.map { f =>
+              vals.get(f.name)
+                .orElse(if (keys.contains(f.name)) Some(col(s"s.${f.name}"))
+                        else None)
+                .getOrElse(lit(null))
+                .cast(f.dataType).as(f.name)
+            }: _*)
+        }.reduce(_ unionByName _)
+      }
+    // BY SOURCE arm: target rows with NO source-key match, claimed by
+    // their first condition-true clause. Inherently a full-live-table
+    // anti-join (an unmatched row can live in any file — the same
+    // full-target cost Delta's BY SOURCE pays); unclaimed rows never
+    // travel, and claimed keys widen the commit's pruning bounds below.
+    val (bsUpdates, bsDelKeys) =
+      if (bySource.isEmpty) (Seq.empty[DataFrame], None)
+      else {
+        val allTgt = readSnapshotFiles(spark, root, m, m.files).alias("t")
+        val srcKeys = source
+          .select(keys.map(k => col(k).as(s"__graft_s_$k")): _*)
+        val unmatchedTgt = allTgt.join(srcKeys,
+          keys.map(k => col(s"t.$k") === col(s"__graft_s_$k"))
+            .reduce(_ && _),
+          "left_anti")
+        val bsIdx = bySource.zipWithIndex
+          .foldRight(lit(-1): org.apache.spark.sql.Column) {
+            case (((cond, _), i), rest) =>
+              when(cond.getOrElse(lit(true)), lit(i)).otherwise(rest)
+          }
+        val tagged = unmatchedTgt.withColumn("__graft_bys", bsIdx)
+        val ups = bySource.zipWithIndex.collect {
+          case ((_, MatchedUpdate(set)), i) =>
+            tagged.filter(col("__graft_bys") === i)
+              .select(fields.toSeq.map { f =>
+                set.getOrElse(f.name, col(s"t.${f.name}"))
+                  .cast(f.dataType).as(f.name)
+              }: _*)
+        }
+        val dIdx = bySource.zipWithIndex.collect {
+          case ((_, MatchedDelete), i) => i }
+        val dk =
+          if (dIdx.isEmpty) None
+          else Some(tagged.filter(col("__graft_bys").isin(dIdx: _*))
+            .select(keys.map(k => col(s"t.$k").as(k)): _*))
+        (ups.toSeq, dk)
+      }
+    val merged = ((updates ++ bsUpdates) :+ inserts).reduce(_ unionByName _)
+    val allDeletes = (delKeys, bsDelKeys) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
     }
-    val merged = (updates :+ inserts).reduce(_ unionByName _)
     if (vectored) mergeIntoVectored(spark, root, merged, keys,
-      deletes = delKeys, txn = txn)
-    else mergeInto(spark, root, merged, keys, deletes = delKeys, txn = txn)
+      deletes = allDeletes, txn = txn)
+    else mergeInto(spark, root, merged, keys, deletes = allDeletes, txn = txn)
   }
 
   /** APPLY CHANGES — fold a CDC changelog into the table with

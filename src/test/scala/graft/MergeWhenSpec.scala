@@ -183,6 +183,63 @@ class MergeWhenSpec extends SparkSpec {
     assert(state(root)(1L) == (99.0, "up"), "failed statements change nothing")
   }
 
+  test("WHEN NOT MATCHED BY SOURCE: ordered DELETE/UPDATE, SQL + Scala CoW") {
+    val rootV = freshRoot(); seed(rootV)
+    val rootC = freshRoot(); seed(rootC)
+    // source carries only k=1: k=2 (v=20 < 25) deletes by source,
+    // k=3 (v=30) takes the stale tag, k=1 updates from the source
+    spark.sql(s"""MERGE INTO '$rootV' USING (
+        SELECT 1L AS k, CAST(99.0 AS DOUBLE) AS v
+      ) ON (k)
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED BY SOURCE AND t.v < 25.0 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET note = 'stale'""")
+    val gotV = state(rootV)
+    assert(gotV.keySet == Set(1L, 3L), gotV.toString)
+    assert(gotV(1L) == (99.0, "a") && gotV(3L) == (30.0, "stale"))
+    // Scala face, CoW commit, same semantics
+    VersionedTable.mergeIntoWhenFull(spark, rootC,
+      Seq((1L, 99.0)).toDF("k", "v"), Seq("k"),
+      matched = Seq((None: Option[org.apache.spark.sql.Column]) ->
+        (VersionedTable.MatchedUpdate(Map("v" -> col("s.v")))
+          : VersionedTable.MatchedAction)),
+      notMatched = Seq.empty,
+      bySource = Seq(
+        (Some(col("t.v") < 25.0): Option[org.apache.spark.sql.Column]) ->
+          (VersionedTable.MatchedDelete: VersionedTable.MatchedAction),
+        (None: Option[org.apache.spark.sql.Column]) ->
+          (VersionedTable.MatchedUpdate(Map("note" -> lit("stale")))
+            : VersionedTable.MatchedAction)),
+      vectored = false)
+    assert(state(rootC) == gotV, "CoW path hash-matches the vectored SQL path")
+    // the ordering contract holds per family
+    val e = intercept[Exception] {
+      spark.sql(s"""MERGE INTO '$rootV' USING (SELECT 1L AS k) ON (k)
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        WHEN NOT MATCHED BY SOURCE AND t.v > 0 THEN UPDATE SET note = 'x'""")
+    }
+    assert(e.getMessage.contains("only the LAST"), e.getMessage)
+  }
+
+  test("ordered conditional WHEN NOT MATCHED clauses: first-true inserts") {
+    val root = freshRoot(); seed(root)
+    // k=8 (v=8): second clause; k=9 (v=90): first clause;
+    // k=7 (v=-1): NO clause — claimed by nothing, never lands
+    spark.sql(s"""MERGE INTO '$root' USING (
+        SELECT * FROM VALUES (8L, CAST(8.0 AS DOUBLE)),
+                             (9L, CAST(90.0 AS DOUBLE)),
+                             (7L, CAST(-1.0 AS DOUBLE)) AS src(k, v)
+      ) ON (k)
+      WHEN NOT MATCHED AND s.v > 50.0 THEN INSERT (k, v, note) VALUES (s.k, s.v, 'big')
+      WHEN NOT MATCHED AND s.v > 0.0 THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val got = state(root)
+    assert(got.keySet == Set(1L, 2L, 3L, 8L, 9L), got.toString)
+    assert(got(9L) == (90.0, "big"), got.toString)
+    assert(got(8L)._1 == 8.0 && got(8L)._2 == null,
+      "second clause's unlisted columns NULL")
+    assert(!got.contains(7L), "cond-false everywhere: row never lands")
+  }
+
   test("contract: assigning a key or unknown column refuses") {
     val root = freshRoot(); seed(root)
     val src = Seq((1L, 2.0)).toDF("k", "v")
