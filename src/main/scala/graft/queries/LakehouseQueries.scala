@@ -1355,6 +1355,47 @@ object LakehouseQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // COPY INTO — idempotent batch file ingest: three staged source
+    // files land across three statements (2 loaded, then a no-op
+    // replay, then 1 incremental); the manifest `loads` ledger is the
+    // dedup state. The oracle replays the slice arithmetic and the
+    // per-step loaded counts.
+    "q235_copy_into" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_ci_q235")
+      val root = work.resolve("t").toString
+      val in = work.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      def stageFile(name: String, modulo: Int): Unit = {
+        val tmp = work.resolve(s"stage_$name").toString
+        Tables.orders(s, d).filter(col("o_orderkey") % 3 === modulo)
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_totalprice").cast("double").as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          in.resolve(s"$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      s.sql(s"CREATE TABLE '$root' (k BIGINT, v DOUBLE)")
+      stageFile("a", 0); stageFile("b", 1)
+      val steps = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      def copy(): Unit = {
+        val r = s.sql(s"COPY INTO '$root' FROM '$in'").head()
+        steps += ((steps.size.toLong, r.getInt(1).toLong))
+      }
+      copy()                       // loads a + b
+      copy()                       // replay: no-op
+      stageFile("c", 2)
+      copy()                       // loads only c
+      import s.implicits._
+      val stepDf = steps.toSeq.toDF("step", "files_loaded")
+      val agg = VersionedTable.read(s, root)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("v").cast("decimal(18,2)")).cast("double").as("sum_v"))
+      stepDf.crossJoin(agg)
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -2245,6 +2286,19 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q235_copy_into" ->
+      """WITH agg AS (
+              SELECT count(*)::BIGINT AS n_rows,
+                     CAST(sum(CAST(CAST(o_totalprice AS DOUBLE)
+                       AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+              FROM orders),
+              steps AS (
+                SELECT 0::BIGINT AS step, 2::BIGINT AS files_loaded
+                UNION ALL SELECT 1, 0
+                UNION ALL SELECT 2, 1)
+         SELECT s.step, s.files_loaded, a.n_rows, a.sum_v
+         FROM steps s CROSS JOIN agg a""",
 
     "q234_create_restore" ->
       """WITH src AS (

@@ -364,7 +364,11 @@ object VersionedTable {
                               // IN-COMMIT timestamp (epoch millis), stamped
                               // by writeManifest — 0 in manifests predating
                               // the field (readers fall back to file mtime)
-                              ts: Long = 0L) {
+                              ts: Long = 0L,
+                              // SOURCE files THIS commit ingested (COPY
+                              // INTO's idempotence ledger) — per-commit
+                              // like op/txn, never cumulative
+                              loads: Seq[String] = Seq.empty) {
     /** Every read-time fill expression: write DEFAULTS (constant
       * literals) plus GENERATED columns (deterministic expressions over
       * the row's other columns) — both substitute into files recorded
@@ -487,6 +491,15 @@ object VersionedTable {
   private def tsField(m: Manifest): String =
     if (m.ts <= 0L) "" else s""" "cts": ${m.ts},\n"""
 
+  /** COPY INTO's ingested-source-file field — absent when the commit
+    * loaded nothing, per-commit like op/txn (the ledger is the UNION
+    * over live manifests; expired history forgets its loads — the same
+    * retention caveat Delta's COPY INTO state carries). */
+  private def loadsField(m: Manifest): String =
+    if (m.loads.isEmpty) ""
+    else s""" "loads": [${m.loads.map(f => "\"" + esc(f) + "\"")
+      .mkString(", ")}],\n"""
+
   private def parseTs(text: String): Long =
     """"cts": (\d+)""".r.findFirstMatchIn(text)
       .map(_.group(1).toLong).getOrElse(0L)
@@ -502,7 +515,7 @@ object VersionedTable {
       else s""" "partitionCols": [${m.partitionCols
         .map(c => "\"" + esc(c) + "\"").mkString(", ")}],\n"""
     s"""{"version": ${m.version},
-       |$opField$txnField${tsField(m)}$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)}${propsJson(m)} "schema": "${esc(m.schemaDdl)}",
+       |$opField$txnField${tsField(m)}${loadsField(m)}$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)}${propsJson(m)} "schema": "${esc(m.schemaDdl)}",
        | "files": [${m.files.map(f => "\"" + f + "\"").mkString(", ")}],
        | ${perFileJson(m.stats, m.blooms, m.hlls, m.dvs, m.rows, m.noCol)}}""".stripMargin
   }
@@ -628,7 +641,7 @@ object VersionedTable {
     Some(
       s"""{"version": ${m.version},
          | "delta": true,
-         |$opField$txnField${tsField(m)}$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)}${propsJson(m)} "schema": "${esc(m.schemaDdl)}",
+         |$opField$txnField${tsField(m)}${loadsField(m)}$partsField${colMapJson(m)}${checksJson(m)}${defaultsJson(m)}${gensJson(m)}${idsJson(m)}${propsJson(m)} "schema": "${esc(m.schemaDdl)}",
          | "removes": [${names(removes)}],
          | "adds": [${names(adds)}],
          | "touch": [${names(touch)}],
@@ -876,6 +889,9 @@ object VersionedTable {
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
 
+  private def parseLoads(text: String): Seq[String] =
+    parseNameList(text, "loads").map(unesc)
+
   private def parseOp(text: String): String =
     """"op": "((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
       .map(m => unesc(m.group(1))).getOrElse("")
@@ -901,7 +917,7 @@ object VersionedTable {
     Manifest(v, schema, parseNameList(text, "files"), txn, stats, blooms,
       partitionCols, hlls, dvs, rows, parseOp(text), cm, maxCid,
       parseChecks(text), parseDefaults(text), noCol, parseGens(text),
-      parseIds(text), parseProps(text), parseTs(text))
+      parseIds(text), parseProps(text), parseTs(text), parseLoads(text))
   }
 
   /** Replay a delta manifest over its parent snapshot: removed entries
@@ -922,7 +938,8 @@ object VersionedTable {
       partitionCols, merge(parent.hlls, hlls), merge(parent.dvs, dvs),
       merge(parent.rows, rows), parseOp(text), cm, maxCid,
       parseChecks(text), parseDefaults(text), merge(parent.noCol, noCol),
-      parseGens(text), parseIds(text), parseProps(text), parseTs(text))
+      parseGens(text), parseIds(text), parseProps(text), parseTs(text),
+      parseLoads(text))
   }
 
   private def readText(f: FileSystem, p: Path): String = {
@@ -1434,7 +1451,10 @@ object VersionedTable {
       // an index is a cache of derivable facts, missing is always sound.
       metaStats: Map[String, Seq[ColStat]] = Map.empty,
       metaBlooms: Map[String, Seq[FileBloom]] = Map.empty,
-      metaHlls: Map[String, Seq[FileHll]] = Map.empty)
+      metaHlls: Map[String, Seq[FileHll]] = Map.empty,
+      // COPY INTO's ingested source files — carried through rebases so
+      // a lost CAS can't drop the idempotence ledger entry
+      loads: Seq[String] = Seq.empty)
 
   /** Publish `delta` on top of `base`, REBASING across concurrent
     * commits whose file footprints are DISJOINT — the Delta/Iceberg
@@ -1513,7 +1533,7 @@ object VersionedTable {
         m.rows.view.filterKeys(!gone(_)).toMap ++ delta.addedRows,
         delta.op, m.colMap, m.maxCid, m.checks, m.defaults,
         m.noCol.view.filterKeys(!gone(_)).toMap, m.gens, idAdvance(m.ids),
-        m.props ++ delta.propUpdates)
+        m.props ++ delta.propUpdates, loads = delta.loads)
       try { writeManifest(spark, root, manifest, Some(m)); return v }
       catch {
         case e: java.io.IOException
@@ -1556,6 +1576,13 @@ object VersionedTable {
             delta.assignedIds.find(c => wx.ids.get(c) != prev.ids.get(c))
               .foreach(c => refuse(s"v$x (${wx.op}) advanced the identity " +
                 s"high-water mark of $c this commit also assigned from"))
+            // two COPY INTOs racing over shared source files: the loser
+            // refuses instead of double-loading — its re-run consults
+            // the ledger the winner just extended and skips the overlap
+            if (delta.loads.nonEmpty &&
+                wx.loads.exists(delta.loads.toSet.contains))
+              refuse(s"v$x (${wx.op}) already ingested source file(s) " +
+                "this COPY INTO staged — re-run to load only the rest")
             val prevSet = prev.files.toSet
             val touchedByX = (prevSet -- wx.files.toSet) ++
               wx.files.filter(f => prevSet.contains(f) &&
@@ -1797,6 +1824,58 @@ object VersionedTable {
     commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
       addedFiles = added, addedStats = addedStats, addedRows = addedRows,
       op = "append", txn = txn, assignedIds = assigned))
+  }
+
+  /** Every source file a LIVE manifest records as ingested — COPY
+    * INTO's idempotence ledger. O(history) manifest reads (the cache
+    * makes repeats free), zero data scanned. */
+  def loadedSourceFiles(spark: SparkSession, root: String): Set[String] =
+    versions(spark, root)
+      .flatMap(v => readManifest(spark, root, v).loads).toSet
+
+  /** COPY INTO — IDEMPOTENT batch file ingest (the Delta COPY INTO
+    * analog): list `srcDir`'s files matching `pattern`, skip every one
+    * a live manifest already records as loaded, and append the rest as
+    * ONE commit whose manifest carries the ingested-source list.
+    * Re-running the same statement is a no-op (returns filesLoaded 0);
+    * a partially-overlapping batch loads only its new files; two COPY
+    * INTOs racing over shared files refuse in the rebase walk instead
+    * of double-loading. Loaded rows go through the table's full append
+    * contract (defaults, generated columns, identity assignment, CHECK
+    * constraints, layout). The ledger is the union of `loads` over
+    * LIVE manifests — expired history forgets its loads, the same
+    * retention caveat Delta's COPY INTO state carries: keep retention
+    * longer than your slowest ingest replay. Returns
+    * (version, filesLoaded). */
+  def copyInto(spark: SparkSession, root: String, srcDir: String,
+               pattern: String = "*.parquet",
+               format: String = "parquet"): (Int, Int) = {
+    require(format.equalsIgnoreCase("parquet"),
+      s"COPY INTO supports FILEFORMAT = PARQUET (got $format)")
+    val cur = currentVersion(spark, root)
+      .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
+    val dir = new Path(srcDir)
+    val f = fs(spark, dir)
+    val cand = Option(f.globStatus(new Path(dir, pattern))).toSeq.flatten
+      .filterNot(_.isDirectory)
+      .map(_.getPath.toUri.toString).sorted
+    val fresh = cand.filterNot(loadedSourceFiles(spark, root).contains)
+    if (fresh.isEmpty) return (cur, 0)
+    val m = readManifest(spark, root, cur)
+    val df = spark.read.parquet(fresh: _*)
+    val (dfId, assigned) = assignIdentity(m, df)
+    val aligned = alignForAppend(m.schemaDdl, dfId, m.defaults, m.gens)
+    val added = writeDataFiles(spark, root, aligned, cur + 1,
+      m.partitionCols, m.physMap)
+    enforceChecks(spark, root, m.checks ++ genChecks(m.gens, m.schemaDdl),
+      m.schemaDdl, m.partitionCols.nonEmpty, m.physMap, added)
+    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
+      m.physMap)
+    val v = commitDelta(spark, root, m, CommitDelta(
+      removedFiles = Set.empty, addedFiles = added,
+      addedStats = addedStats, addedRows = addedRows,
+      op = "copy-into", assignedIds = assigned, loads = fresh))
+    (v, fresh.size)
   }
 
   /** Assign engine values for every IDENTITY column the frame doesn't

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sink.VersionedTable
+
+/** COPY INTO — idempotent batch file ingest: per-source-file dedup via
+  * the manifest `loads` ledger, full append contract on loaded rows,
+  * refusal (not double-load) when two COPY INTOs race shared files. */
+class CopyIntoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): java.nio.file.Path =
+    Files.createTempDirectory("graft_copyinto")
+
+  // when(isNotNull, …) keeps every column NULLABLE — tuple frames are
+  // NOT NULL, which would refuse the (nullable) parquet-read sources
+  private def seedTable(root: String, rows: Seq[(Long, Double)]): Unit = {
+    val df = rows.toDF("k", "v")
+    VersionedTable.create(spark, root,
+      df.select(df.columns.map(c =>
+        when(col(c).isNotNull, col(c)).as(c)).toSeq: _*).coalesce(1))
+  }
+
+  private def stage(dir: java.nio.file.Path, name: String,
+                    rows: Seq[(Long, Double)]): String = {
+    val tmp = dir.resolve(s"stage_$name").toString
+    rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dest = dir.resolve("in").resolve(s"$name.parquet")
+    Files.createDirectories(dest.getParent)
+    Files.move(part.toPath, dest)
+    dest.toString
+  }
+
+  test("idempotent ingest: re-copy is a no-op, new files load incrementally") {
+    val dir = freshDir()
+    val root = dir.resolve("t").toString
+    val in = dir.resolve("in").toString
+    stage(dir, "a", Seq((1L, 1.0), (2L, 2.0)))
+    stage(dir, "b", Seq((3L, 3.0)))
+    seedTable(root, Seq((0L, 0.0)))
+    val r1 = spark.sql(s"COPY INTO '$root' FROM '$in'")
+      .as[(Int, Int)].head()
+    assert(r1 == (2, 2), s"first copy loads both files: $r1")
+    assert(VersionedTable.read(spark, root).count() == 4)
+    // replay: ledger says both are loaded — no new version, no rows
+    val r2 = spark.sql(s"COPY INTO '$root' FROM '$in'")
+      .as[(Int, Int)].head()
+    assert(r2 == (2, 0), s"re-copy is a no-op: $r2")
+    assert(VersionedTable.read(spark, root).count() == 4)
+    // a new file lands: ONLY it loads
+    stage(dir, "c", Seq((4L, 4.0), (5L, 5.0)))
+    val r3 = spark.sql(s"COPY INTO '$root' FROM '$in'")
+      .as[(Int, Int)].head()
+    assert(r3 == (3, 1), s"incremental copy loads only the new file: $r3")
+    assert(VersionedTable.read(spark, root).select("k").as[Long]
+      .collect().toSet == (0L to 5L).toSet)
+    // the ledger face names exactly the ingested sources
+    assert(VersionedTable.loadedSourceFiles(spark, root)
+      .map(_.split('/').last) == Set("a.parquet", "b.parquet", "c.parquet"))
+  }
+
+  test("loaded rows pass through the full append contract") {
+    val dir = freshDir()
+    val root = dir.resolve("t").toString
+    val in = dir.resolve("in").toString
+    stage(dir, "a", Seq((10L, 5.0)))
+    spark.sql(s"""CREATE TABLE '$root' (
+        k BIGINT, v DOUBLE, dbl DOUBLE GENERATED ALWAYS AS (k * 2.0),
+        CONSTRAINT v_pos CHECK (v > 0))""")
+    spark.sql(s"COPY INTO '$root' FROM '$in' " +
+      "FILEFORMAT = PARQUET PATTERN = '*.parquet'")
+    val got = VersionedTable.read(spark, root)
+      .select("k", "v", "dbl").as[(Long, Double, Double)].head()
+    assert(got == ((10L, 5.0, 20.0)), got.toString)
+    // a violating source file refuses atomically — and stays UNLOADED
+    // so the fixed re-run can ingest it
+    stage(dir, "bad", Seq((11L, -1.0)))
+    assert(intercept[Exception] {
+      spark.sql(s"COPY INTO '$root' FROM '$in'")
+    }.getMessage.contains("v_pos"))
+    assert(VersionedTable.read(spark, root).count() == 1)
+    assert(!VersionedTable.loadedSourceFiles(spark, root)
+      .exists(_.contains("bad")), "failed ingest never enters the ledger")
+  }
+
+  test("racing COPY INTOs over shared files: the loser refuses, never double-loads") {
+    val dir = freshDir()
+    val root = dir.resolve("t").toString
+    val in = dir.resolve("in").toString
+    stage(dir, "a", Seq((1L, 1.0)))
+    seedTable(root, Seq((0L, 0.0)))
+    // deterministic race: the winner lands the same source file inside
+    // the loser's CAS window
+    VersionedTable.raceBeforePublish = () =>
+      VersionedTable.copyInto(spark, root, in)
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        VersionedTable.copyInto(spark, root, in)
+      }
+      assert(e.getMessage.contains("already ingested"), e.getMessage)
+    } finally VersionedTable.raceBeforePublish = VersionedTable.NoRaceHook
+    assert(VersionedTable.read(spark, root).count() == 2,
+      "exactly one ingest landed")
+    // the loser's re-run consults the extended ledger: clean no-op
+    val (_, n) = VersionedTable.copyInto(spark, root, in)
+    assert(n == 0)
+  }
+}
