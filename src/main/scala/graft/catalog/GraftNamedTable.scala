@@ -250,6 +250,40 @@ case class GraftNamedTableReads(session: SparkSession)
         // the write TARGET stays a V2 relation (AppendDataExecV1 runs
         // the engine append); only the source query rewrites
         i.copy(query = go(i.query))
+      case sr @ org.apache.spark.sql.catalyst.streaming.StreamingRelationV2(
+          _, _, t: GraftNamedTable, opts, output, _, _, _) =>
+        // `spark.readStream.table("graft.t")`: swap the V2 streaming
+        // relation for the V1 graft-versioned streaming source — the
+        // same plan `.readStream.format("graft-versioned").load(root)`
+        // builds, with reader options (startingVersion,
+        // maxVersionsPerTrigger, …) passed through. The change-feed
+        // face stays on the PATH spelling: the catalog face's schema
+        // cannot expose _change_type, so a readChangeFeed stream here
+        // would silently project the feed columns away — refuse it.
+        require(t.asOf.isEmpty,
+          s"${t.tableName}: cannot stream a version-pinned (AS OF) " +
+            "snapshot — use option(\"startingVersion\", …) instead")
+        require(!opts.containsKey("readChangeFeed") &&
+          !opts.containsKey("readchangefeed"),
+          s"${t.tableName}: stream the change feed through the path " +
+            "face (readStream.format(\"graft-versioned\")" +
+            ".option(\"readChangeFeed\", true).load(root)) — the named " +
+            "face cannot carry the _change_type column")
+        val rb = session.readStream.format("graft-versioned")
+        val withOpts = scala.jdk.CollectionConverters
+          .MapHasAsScala(opts).asScala.foldLeft(rb) {
+            case (b, (k, v)) => b.option(k, v) }
+        val resolved = withOpts.load(t.root).queryExecution.analyzed
+        val byName = resolved.output.map(a => a.name -> a).toMap
+        Project(output.map { o =>
+          byName.get(o.name) match {
+            case Some(n) if n.dataType == o.dataType =>
+              Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+            case _ => throw new IllegalStateException(
+              s"${t.tableName}: column ${o.name} changed between catalog " +
+                "resolution and planning (concurrent DDL) — re-run the query")
+          }
+        }, resolved)
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftNamedTable] =>
         val t = r.table.asInstanceOf[GraftNamedTable]
         val reader0 = session.read.format("graft-versioned")

@@ -1396,6 +1396,37 @@ object LakehouseQueries {
       stepDf.crossJoin(agg)
     }),
 
+    // Streaming through CATALOG NAMES: readStream.table("graft.t")
+    // swaps to the V1 versioned source (resolution-rule bridge), and
+    // the drained stream must reproduce the table exactly — two
+    // commits (CTAS populate + INSERT) delivered as the initial
+    // snapshot plus a version delta. Oracle = the plain batch rollup.
+    "q236_stream_named" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_ns_q236")
+      s.conf.set(graft.catalog.GraftNames.WarehouseConf,
+        work.resolve("wh").toString)
+      s.sql(s"CREATE TABLE graft.ord_q236 AS " +
+        "SELECT CAST(o_orderkey AS BIGINT) AS k, " +
+        "CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority AS prio " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO graft.ord_q236 " +
+        "SELECT CAST(o_orderkey AS BIGINT), " +
+        "CAST(o_totalprice AS DOUBLE), o_orderpriority " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 1")
+      val out = work.resolve("out").toString
+      val q = s.readStream.table("graft.ord_q236")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(out).groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -2286,6 +2317,12 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q236_stream_named" ->
+      """SELECT o_orderpriority AS prio, count(*)::BIGINT AS n,
+                CAST(sum(CAST(CAST(o_totalprice AS DOUBLE)
+                  AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1""",
 
     "q235_copy_into" ->
       """WITH agg AS (

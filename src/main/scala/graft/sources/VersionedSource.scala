@@ -48,8 +48,16 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
   override def shortName(): String = "graft-versioned"
 
   private def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-versioned requires a path option"))
+    parameters.get("path")
+      .orElse(parameters.get("table").map(n =>
+        // named spelling for the streaming faces: option("table",
+        // "graft.t" | "t") resolves through the catalog registry —
+        // the sink analog of readStream.table
+        graft.catalog.GraftNames.resolveName(
+          org.apache.spark.sql.SparkSession.active,
+          n.stripPrefix("graft."))))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-versioned requires a path or table option"))
 
   private def isChangeFeed(parameters: Map[String, String]): Boolean =
     parameters.get("readchangefeed").orElse(parameters.get("readChangeFeed"))
