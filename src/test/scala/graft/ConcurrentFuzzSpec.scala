@@ -42,9 +42,13 @@ class ConcurrentFuzzSpec extends SparkSpec {
   test(s"${Threads}x$OpsPerThread randomized writer ops keep the ledger serializable") {
     val root = Files.createTempDirectory("graft_fuzz").resolve("t").toString
     import spark.implicits._
-    // genesis: ids 0..99, one pad column per thread for rename chains
-    val base0 = (0L until 100L).toDF("id")
-      .withColumn("val", col("id") * 2)
+    // genesis: ids 0..99, one pad column per thread for rename chains.
+    // id/val are NULLABLE (when() wrapping) so COPY INTO's parquet-read
+    // sources (always nullable) align; NOT-NULL writers stay legal
+    // (strictly narrower is safe)
+    val base0 = (0L until 100L).toDF("id0")
+      .select(when(col("id0") >= 0, col("id0")).as("id"))
+      .withColumn("val", when(col("id") >= 0, col("id") * 2))
     // pads are NULLABLE (when() wrapping) so concurrent appends may
     // omit them and null-fill, like any post-evolution writer
     val base = (0 until Threads).foldLeft(base0)((d, t) =>
@@ -86,13 +90,27 @@ class ConcurrentFuzzSpec extends SparkSpec {
       while (k < OpsPerThread) {
         val roll = rnd.nextInt(100)
         try {
-          if (roll < 42) {
+          if (roll < 39) {
             // append 3 globally-unique rows
             val lo = 1000L + t * 1000000L + k * 10L
             val ids = Seq(lo, lo + 1, lo + 2)
             val df = ids.toDF("id").withColumn("val", col("id") * 2)
             VersionedTable.append(spark, root, df.coalesce(1))
             ids.foreach(appended.add)
+          } else if (roll < 42) {
+            // COPY INTO a per-op staged source file (fresh unique ids):
+            // behaves like an append in the taxonomy (empty footprint,
+            // rebases freely) plus the loads-ledger bookkeeping; a
+            // schema race refuses like any append rebase
+            val lo = 12000000L + t * 1000000L + k * 10L
+            val ids = Seq(lo, lo + 1)
+            val inDir = Files.createTempDirectory(s"fuzz_ci_$t")
+            ids.toDF("id").withColumn("val", col("id") * 2)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(inDir.resolve("in").toString)
+            val (_, n) = VersionedTable.copyInto(spark, root,
+              inDir.resolve("in").toString, pattern = "part-*.parquet")
+            if (n > 0) ids.foreach(appended.add)
           } else if (roll < 54) {
             val kk = 7L + rnd.nextInt(7)
             val rr = rnd.nextInt(kk.toInt).toLong
@@ -123,7 +141,7 @@ class ConcurrentFuzzSpec extends SparkSpec {
             // Three spellings: Scala, SQL upsert-all over a per-thread
             // temp view, and the conditional WHEN grammar (update-only,
             // so the id multiset is preserved like the update op)
-            rnd.nextInt(3) match {
+            rnd.nextInt(4) match {
               case 0 =>
                 val lo = 5000000L + t * 1000000L + k * 10L
                 val ids = Seq(lo, lo + 1)
@@ -140,12 +158,21 @@ class ConcurrentFuzzSpec extends SparkSpec {
                   "WHEN MATCHED THEN UPDATE SET * " +
                   "WHEN NOT MATCHED THEN INSERT *")
                 ids.foreach(appended.add)
-              case _ =>
+              case 2 =>
                 val g = rnd.nextInt(98).toLong
                 spark.sql(s"MERGE INTO '$root' USING " +
                   s"(SELECT explode(sequence(${g}L, ${g + 2}L)) AS id) " +
                   "ON (id) " +
                   "WHEN MATCHED AND t.val >= 0 THEN UPDATE SET val = t.val + 1")
+              case _ =>
+                // BY SOURCE arm: bump val on a narrow genesis band the
+                // source never mentions — id multiset preserved, so the
+                // CDF-replay model audits it like any update
+                val g = 50L + rnd.nextInt(40)
+                spark.sql(s"MERGE INTO '$root' USING " +
+                  "(SELECT explode(sequence(0L, 49L)) AS id) ON (id) " +
+                  s"WHEN NOT MATCHED BY SOURCE AND t.id >= ${g}L AND " +
+                  s"t.id <= ${g + 5}L THEN UPDATE SET val = t.val + 1")
             }
           } else if (roll < 70) {
             // REPLACE WHERE on the thread's private band: wipes whatever
