@@ -645,6 +645,17 @@ object GraftCatalog {
           d._8, d._9, d._10, d._11, d._12, d._13))
       }),
 
+    new Proc("loads",
+      "COPY INTO's idempotence ledger: every source file a LIVE " +
+        "manifest records as ingested (expired history forgets its " +
+        "loads — keep retention longer than your slowest ingest replay)",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("source_file", StringType, nullable = false))),
+      (spark, in) => VersionedTable.loadedSourceFiles(spark, pathArg(in))
+        .toSeq.sorted.map(f => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(f)))),
+
     new Proc("partitions",
       "per-partition stats from the manifest + one listing (the " +
         "Iceberg partitions metadata table): k=v directory chain " +

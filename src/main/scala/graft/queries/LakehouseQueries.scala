@@ -1427,6 +1427,44 @@ object LakehouseQueries {
             .as("sum_price"))
     }),
 
+    // SQL inspection statements: DESCRIBE HISTORY (per-version op +
+    // DV-aware live/deleted rows), DESCRIBE DETAIL (one summary row),
+    // CALL graft.loads (the COPY INTO ledger) — after a known
+    // create → insert → vectored delete → copy-into construction the
+    // oracle replays every number from orders arithmetic.
+    "q237_describe_sql" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_desc_q237")
+      val root = work.resolve("t").toString
+      val in = work.resolve("in")
+      java.nio.file.Files.createDirectories(in)
+      s.sql(s"CREATE TABLE '$root' (k BIGINT, v DOUBLE)")       // v1
+      s.sql(s"INSERT INTO '$root' SELECT CAST(o_orderkey AS BIGINT) AS k," +
+        s" CAST(o_totalprice AS DOUBLE) AS v " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 2 = 0") // v2
+      s.sql(s"DELETE FROM '$root' WHERE k % 5 = 0")             // v3
+      locally { // stage the %7 slice as one source file, then COPY INTO
+        val tmp = work.resolve("stage").toString
+        Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_totalprice").cast("double").as("v"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, in.resolve("seven.parquet"))
+      }
+      s.sql(s"COPY INTO '$root' FROM '$in'")                    // v4
+      val hist = s.sql(s"DESCRIBE HISTORY '$root'")
+        .select(col("version").cast("long").as("version"), col("op"),
+          col("n_live_rows").as("live"),
+          col("n_deleted_rows").as("deleted"))
+      val detail = s.sql(s"DESCRIBE DETAIL '$root'").head()
+      val loads = s.sql(s"CALL graft.loads('$root')").count()
+      import s.implicits._
+      hist.unionByName(Seq(
+        (99L, "detail", detail.getLong(3), loads))
+        .toDF("version", "op", "live", "deleted"))
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -2317,6 +2355,30 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q237_describe_sql" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+              c_even AS (SELECT count(*) AS n FROM o WHERE k % 2 = 0),
+              c_ten  AS (SELECT count(*) AS n FROM o WHERE k % 10 = 0),
+              c_sev  AS (SELECT count(*) AS n FROM o WHERE k % 7 = 0)
+         SELECT 1::BIGINT AS version, 'create' AS op,
+                0::BIGINT AS live, 0::BIGINT AS deleted
+         UNION ALL
+         SELECT 2, 'append', (SELECT n FROM c_even), 0
+         UNION ALL
+         SELECT 3, 'delete-vectored',
+                (SELECT n FROM c_even) - (SELECT n FROM c_ten),
+                (SELECT n FROM c_ten)
+         UNION ALL
+         SELECT 4, 'copy-into',
+                (SELECT n FROM c_even) - (SELECT n FROM c_ten)
+                  + (SELECT n FROM c_sev),
+                (SELECT n FROM c_ten)
+         UNION ALL
+         SELECT 99, 'detail',
+                (SELECT n FROM c_even) - (SELECT n FROM c_ten)
+                  + (SELECT n FROM c_sev),
+                1""",
 
     "q236_stream_named" ->
       """SELECT o_orderpriority AS prio, count(*)::BIGINT AS n,

@@ -59,9 +59,11 @@ class CopyIntoSpec extends SparkSpec {
     assert(r3 == (3, 1), s"incremental copy loads only the new file: $r3")
     assert(VersionedTable.read(spark, root).select("k").as[Long]
       .collect().toSet == (0L to 5L).toSet)
-    // the ledger face names exactly the ingested sources
+    // the ledger face names exactly the ingested sources — Scala and
+    // CALL spellings agree
     assert(VersionedTable.loadedSourceFiles(spark, root)
       .map(_.split('/').last) == Set("a.parquet", "b.parquet", "c.parquet"))
+    assert(spark.sql(s"CALL graft.loads('$root')").count() == 3)
   }
 
   test("loaded rows pass through the full append contract") {
