@@ -1465,6 +1465,33 @@ object LakehouseQueries {
         .toDF("version", "op", "live", "deleted"))
     }),
 
+    // CREATE OR REPLACE TABLE (wholesale shape replacement at
+    // version+1, contracts reset, old versions readable) + positional
+    // INSERT (column list): the swapped (price, k) list exercises the
+    // binding, the replace swaps the schema for a rollup, and time
+    // travel still reads the pre-replace shape. Oracle replays both.
+    "q238_replace_insert" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_ri_q238")
+      val root = work.resolve("t").toString
+      s.sql(s"CREATE TABLE '$root' (k BIGINT, price DOUBLE)")      // v1
+      s.sql(s"INSERT INTO '$root' (price, k) " +
+        "SELECT CAST(o_totalprice AS DOUBLE), CAST(o_orderkey AS BIGINT) " +
+        s"FROM parquet.`$d/orders.parquet` WHERE o_orderkey % 3 = 0") // v2
+      s.sql(s"CREATE OR REPLACE TABLE '$root' AS " +
+        "SELECT o_orderpriority AS cat, count(*) AS n, " +
+        "CAST(sum(CAST(CAST(o_totalprice AS DOUBLE) AS DECIMAL(18,2))) " +
+        "AS DOUBLE) AS total " +
+        s"FROM parquet.`$d/orders.parquet` GROUP BY 1")             // v3
+      val newShape = VersionedTable.read(s, root)
+        .select(col("cat"), col("n").cast("long").as("n"), col("total"))
+      val old = VersionedTable.read(s, root, Some(2))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .select(lit("v2").as("cat"), col("n"), col("total"))
+      newShape.unionByName(old)
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -2355,6 +2382,17 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q238_replace_insert" ->
+      """SELECT o_orderpriority AS cat, count(*) AS n,
+                CAST(sum(CAST(CAST(o_totalprice AS DOUBLE)
+                  AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders GROUP BY 1
+         UNION ALL
+         SELECT 'v2', count(*),
+                CAST(sum(CAST(CAST(o_totalprice AS DOUBLE)
+                  AS DECIMAL(18,2))) AS DOUBLE)
+         FROM orders WHERE o_orderkey % 3 = 0""",
 
     "q237_describe_sql" ->
       """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),

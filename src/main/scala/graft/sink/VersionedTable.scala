@@ -1744,6 +1744,26 @@ object VersionedTable {
                   checks: Seq[TableCheck] = Seq.empty,
                   props: Map[String, String] = Map.empty): Int = {
     require(currentVersion(spark, root).isEmpty, s"table exists at $root")
+    validateTableShape(spark, schemaDdl, partitionBy, defaults, gens, ids,
+      checks, props)
+    writeManifest(spark, root,
+      Manifest(1, org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+        .toDDL, Seq.empty, partitionCols = partitionBy, op = "create",
+        checks = checks, defaults = defaults, gens = gens, ids = ids,
+        props = props), None)
+    1
+  }
+
+  /** The declared-shape validation [[createEmpty]] and [[replaceTable]]
+    * share — the same bar the ALTER faces set, proven ONCE against the
+    * declared schema before anything commits. */
+  private def validateTableShape(spark: SparkSession, schemaDdl: String,
+                                 partitionBy: Seq[String],
+                                 defaults: Map[String, String],
+                                 gens: Map[String, String],
+                                 ids: Map[String, Long],
+                                 checks: Seq[TableCheck],
+                                 props: Map[String, String]): Unit = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
     val names = schema.fieldNames.toSet
     partitionBy.map(Layout.parse).foreach(Layout.validate(_, schema))
@@ -1797,8 +1817,76 @@ object VersionedTable {
       partitionCols = partitionBy, op = "create", checks = checks,
       defaults = defaults, gens = gens, ids = ids)
     props.foreach { case (k, v) => validateProp(m0, k, v) }
-    writeManifest(spark, root, m0.copy(props = props), None)
-    1
+  }
+
+  /** CREATE OR REPLACE TABLE: the table's SHAPE is replaced WHOLESALE
+    * at version+1 — schema, layout, contracts (DEFAULT / GENERATED /
+    * IDENTITY / CHECK) and properties become exactly the statement's,
+    * never carried over from the old shape ([[overwrite]] is the
+    * data-only sibling that KEEPS contracts; Delta's REPLACE semantics).
+    * `content` (the AS-SELECT form) stages through the new shape's own
+    * contracts; None = the empty-schema form. Earlier versions stay
+    * time-travel readable until expired; identity allocation restarts
+    * from the declared START (the restart is explicit in the statement).
+    * A missing table degrades to plain create. */
+  def replaceTable(spark: SparkSession, root: String, schemaDdl: String,
+                   partitionBy: Seq[String] = Seq.empty,
+                   defaults: Map[String, String] = Map.empty,
+                   gens: Map[String, String] = Map.empty,
+                   ids: Map[String, Long] = Map.empty,
+                   checks: Seq[TableCheck] = Seq.empty,
+                   props: Map[String, String] = Map.empty,
+                   content: Option[DataFrame] = None): Int = {
+    validateTableShape(spark, schemaDdl, partitionBy, defaults, gens, ids,
+      checks, props)
+    val ddl = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl).toDDL
+    var attempt = 0
+    while (true) {
+      val cur = currentVersion(spark, root)
+      val v = cur.getOrElse(0) + 1
+      val curM = cur.map(readManifest(spark, root, _))
+      val (added, stats, rows) = content match {
+        case None => (Seq.empty[String],
+          Map.empty[String, Seq[ColStat]], Map.empty[String, Long])
+        case Some(df) =>
+          // the NEW shape's own write contract: identity assignment,
+          // default/generated fill, CHECK enforcement — on declared
+          // metadata, independent of whatever the old table carried
+          val pre = ids.keySet.filterNot(df.schema.fieldNames.contains)
+            .foldLeft(df)((dd, c) => dd.withColumn(c,
+              (org.apache.spark.sql.functions.monotonically_increasing_id()
+                + org.apache.spark.sql.functions.lit(ids(c))).cast("long")))
+          val aligned = alignForAppend(ddl, pre, defaults, gens)
+          val a = writeDataFiles(spark, root, aligned, v, partitionBy)
+          enforceChecks(spark, root, checks ++ genChecks(gens, ddl), ddl,
+            partitionBy.nonEmpty, Map.empty, a)
+          val (st, rw) = addedMeta(spark, root, ddl, a)
+          (a, st, rw)
+      }
+      // identity marks advance past anything the staged content
+      // carries (engine-assigned or supplied), like every other commit
+      val ids2 = ids.map { case (c, hw) =>
+        val hi = stats.values.flatten
+          .filter(s => s.col == c && s.typ == "long")
+          .flatMap(s => scala.util.Try(s.hi.toLong).toOption)
+        c -> (if (hi.isEmpty) hw else math.max(hw, hi.max + 1L))
+      }
+      val m = Manifest(v, ddl, added, stats = stats,
+        partitionCols = partitionBy, rows = rows,
+        op = if (cur.isEmpty) "create" else "replace",
+        checks = checks, defaults = defaults, gens = gens, ids = ids2,
+        props = props)
+      try { writeManifest(spark, root, m, curM); return v }
+      catch {
+        case e: java.io.IOException
+            if e.getMessage != null &&
+              e.getMessage.contains("already committed") =>
+          attempt += 1
+          if (attempt > 16) throw new java.io.IOException(
+            s"replace lost the commit race 16 times at $root", e)
+      }
+    }
+    -1 // unreachable
   }
 
   /** Append: new version = previous files + the new rows' files. The
