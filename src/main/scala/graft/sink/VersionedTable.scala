@@ -232,6 +232,18 @@ object VersionedTable {
     }.drop(1)
   }
 
+  /** The ONE wall-clock-string parse every timestampAsOf face shares
+    * (reader option, RESTORE statement): epoch millis, an ISO instant
+    * with zone, or a local datetime interpreted as UTC. Divergent
+    * parses here would let the same string resolve DIFFERENT versions
+    * on different faces — silently wrong data. */
+  def parseTsMillis(t: String): Long =
+    scala.util.Try(t.toLong).getOrElse {
+      scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse(
+        java.time.LocalDateTime.parse(t.trim.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    }
+
   /** Time travel by wall clock: the newest version committed at or
     * before `tsMillis` (the snapshot a reader at that instant saw),
     * resolved against [[commitTimestamps]]. */
@@ -1840,29 +1852,34 @@ object VersionedTable {
     validateTableShape(spark, schemaDdl, partitionBy, defaults, gens, ids,
       checks, props)
     val ddl = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl).toDDL
+    // stage ONCE, outside the CAS-retry loop: a lost race re-publishes
+    // the SAME files under the new head instead of re-running the whole
+    // distributed write per attempt (file names are nonce-unique; the
+    // version prefix in them is cosmetic)
+    val stagedAt = currentVersion(spark, root).getOrElse(0) + 1
+    val (added, stats, rows) = content match {
+      case None => (Seq.empty[String],
+        Map.empty[String, Seq[ColStat]], Map.empty[String, Long])
+      case Some(df) =>
+        // the NEW shape's own write contract: identity assignment,
+        // default/generated fill, CHECK enforcement — on declared
+        // metadata, independent of whatever the old table carried
+        val pre = ids.keySet.filterNot(df.schema.fieldNames.contains)
+          .foldLeft(df)((dd, c) => dd.withColumn(c,
+            (org.apache.spark.sql.functions.monotonically_increasing_id()
+              + org.apache.spark.sql.functions.lit(ids(c))).cast("long")))
+        val aligned = alignForAppend(ddl, pre, defaults, gens)
+        val a = writeDataFiles(spark, root, aligned, stagedAt, partitionBy)
+        enforceChecks(spark, root, checks ++ genChecks(gens, ddl), ddl,
+          partitionBy.nonEmpty, Map.empty, a)
+        val (st, rw) = addedMeta(spark, root, ddl, a)
+        (a, st, rw)
+    }
     var attempt = 0
     while (true) {
       val cur = currentVersion(spark, root)
       val v = cur.getOrElse(0) + 1
       val curM = cur.map(readManifest(spark, root, _))
-      val (added, stats, rows) = content match {
-        case None => (Seq.empty[String],
-          Map.empty[String, Seq[ColStat]], Map.empty[String, Long])
-        case Some(df) =>
-          // the NEW shape's own write contract: identity assignment,
-          // default/generated fill, CHECK enforcement — on declared
-          // metadata, independent of whatever the old table carried
-          val pre = ids.keySet.filterNot(df.schema.fieldNames.contains)
-            .foldLeft(df)((dd, c) => dd.withColumn(c,
-              (org.apache.spark.sql.functions.monotonically_increasing_id()
-                + org.apache.spark.sql.functions.lit(ids(c))).cast("long")))
-          val aligned = alignForAppend(ddl, pre, defaults, gens)
-          val a = writeDataFiles(spark, root, aligned, v, partitionBy)
-          enforceChecks(spark, root, checks ++ genChecks(gens, ddl), ddl,
-            partitionBy.nonEmpty, Map.empty, a)
-          val (st, rw) = addedMeta(spark, root, ddl, a)
-          (a, st, rw)
-      }
       // identity marks advance past anything the staged content
       // carries (engine-assigned or supplied), like every other commit
       val ids2 = ids.map { case (c, hw) =>
@@ -1900,7 +1917,18 @@ object VersionedTable {
              txn: Option[Long] = None): Int = {
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
-    val m = readManifest(spark, root, cur)
+    stageAppendCommit(spark, root, readManifest(spark, root, cur), cur, df,
+      op = "append", txn = txn)
+  }
+
+  /** The ONE append pipeline — identity assignment, default/generated
+    * fill, staging, CHECK enforcement, footer lift, rebasing publish —
+    * shared by [[append]] and [[copyInto]] so the two faces can never
+    * diverge on the write contract. */
+  private def stageAppendCommit(spark: SparkSession, root: String,
+                                m: Manifest, cur: Int, df: DataFrame,
+                                op: String, txn: Option[Long],
+                                loads: Seq[String] = Seq.empty): Int = {
     val (dfId, assigned) = assignIdentity(m, df)
     val aligned = alignForAppend(m.schemaDdl, dfId, m.defaults, m.gens)
     val added = writeDataFiles(spark, root, aligned, cur + 1, m.partitionCols,
@@ -1911,15 +1939,22 @@ object VersionedTable {
       m.physMap)
     commitDelta(spark, root, m, CommitDelta(removedFiles = Set.empty,
       addedFiles = added, addedStats = addedStats, addedRows = addedRows,
-      op = "append", txn = txn, assignedIds = assigned))
+      op = op, txn = txn, assignedIds = assigned, loads = loads))
   }
 
   /** Every source file a LIVE manifest records as ingested — COPY
     * INTO's idempotence ledger. O(history) manifest reads (the cache
-    * makes repeats free), zero data scanned. */
+    * makes repeats free), zero data scanned. A `replace` commit
+    * (CREATE OR REPLACE TABLE) RESETS the ledger: the replaced table
+    * is a new incarnation and "nothing carries over from the old
+    * shape" includes its ingest history — without the reset, COPY INTO
+    * after a replace would silently no-op on files the OLD table
+    * loaded and the new one can never receive. */
   def loadedSourceFiles(spark: SparkSession, root: String): Set[String] =
-    versions(spark, root)
-      .flatMap(v => readManifest(spark, root, v).loads).toSet
+    versions(spark, root).foldLeft(Set.empty[String]) { (acc, v) =>
+      val m = readManifest(spark, root, v)
+      if (m.op == "replace") m.loads.toSet else acc ++ m.loads
+    }
 
   /** COPY INTO — IDEMPOTENT batch file ingest (the Delta COPY INTO
     * analog): list `srcDir`'s files matching `pattern`, skip every one
@@ -1937,7 +1972,8 @@ object VersionedTable {
     * (version, filesLoaded). */
   def copyInto(spark: SparkSession, root: String, srcDir: String,
                pattern: String = "*.parquet",
-               format: String = "parquet"): (Int, Int) = {
+               format: String = "parquet",
+               force: Boolean = false): (Int, Int) = {
     require(format.equalsIgnoreCase("parquet"),
       s"COPY INTO supports FILEFORMAT = PARQUET (got $format)")
     val cur = currentVersion(spark, root)
@@ -1947,22 +1983,17 @@ object VersionedTable {
     val cand = Option(f.globStatus(new Path(dir, pattern))).toSeq.flatten
       .filterNot(_.isDirectory)
       .map(_.getPath.toUri.toString).sorted
-    val fresh = cand.filterNot(loadedSourceFiles(spark, root).contains)
+    // FORCE = re-ingest regardless of the ledger (the deliberate
+    // duplicate-load escape hatch, Delta's COPY_OPTIONS force analog);
+    // the loaded files still record so a later plain COPY INTO skips
+    val fresh =
+      if (force) cand
+      else cand.filterNot(loadedSourceFiles(spark, root).contains)
     if (fresh.isEmpty) return (cur, 0)
     val m = readManifest(spark, root, cur)
-    val df = spark.read.parquet(fresh: _*)
-    val (dfId, assigned) = assignIdentity(m, df)
-    val aligned = alignForAppend(m.schemaDdl, dfId, m.defaults, m.gens)
-    val added = writeDataFiles(spark, root, aligned, cur + 1,
-      m.partitionCols, m.physMap)
-    enforceChecks(spark, root, m.checks ++ genChecks(m.gens, m.schemaDdl),
-      m.schemaDdl, m.partitionCols.nonEmpty, m.physMap, added)
-    val (addedStats, addedRows) = addedMeta(spark, root, m.schemaDdl, added,
-      m.physMap)
-    val v = commitDelta(spark, root, m, CommitDelta(
-      removedFiles = Set.empty, addedFiles = added,
-      addedStats = addedStats, addedRows = addedRows,
-      op = "copy-into", assignedIds = assigned, loads = fresh))
+    val v = stageAppendCommit(spark, root, m, cur,
+      spark.read.parquet(fresh: _*), op = "copy-into", txn = None,
+      loads = fresh)
     (v, fresh.size)
   }
 
@@ -2589,17 +2620,17 @@ object VersionedTable {
     val colDefs = schema.fields.toSeq
       .filterNot(_.name == RowIdCol) // engine-owned; rides row tracking
       .map { f =>
-        val base = s"${f.name} ${f.dataType.sql}"
+        val nn = if (f.nullable) "" else " NOT NULL"
+        val base = s"${f.name} ${f.dataType.sql}$nn"
         m.ids.get(f.name) match {
           case Some(next) =>
             s"$base GENERATED BY DEFAULT AS IDENTITY (START WITH $next)"
           case None => m.gens.get(f.name) match {
             case Some(e) => s"$base GENERATED ALWAYS AS ($e)"
             case None =>
-              val nn = if (f.nullable) "" else " NOT NULL"
               val dflt = m.defaults.get(f.name)
                 .map(d => s" DEFAULT $d").getOrElse("")
-              s"$base$nn$dflt"
+              s"$base$dflt"
           }
         }
       } ++ m.checks.map(c => s"CONSTRAINT ${c.name} CHECK (${c.expr})")
@@ -5134,35 +5165,46 @@ object VersionedTable {
     keys.foreach(k => require(
       source.schema.fieldNames.contains(k) && fields.exists(_.name == k),
       s"key column $k must exist on both sides"))
+    // tgt/joined are LAZY: a BY-SOURCE-only merge never consumes the
+    // matched slice, so it skips the source bounds scan and the
+    // manifest pruning pass entirely (mergeInto/mergeIntoVectored
+    // derive their own bounds from the built row set anyway).
+    // An empty frame in the declared row shape seeds the union when an
+    // arm contributes nothing.
+    val emptyShape = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(fields))
     // matched slice: stats-sound — every possible match lives in the
     // key-range-pruned files (same bounds the apply pass prunes by)
-    val aggCols = keys.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
-    val bounds = source.select(keys.map(col): _*)
-      .agg(aggCols.head, aggCols.tail: _*).head
-    val preds: RangePreds = keys.zipWithIndex.flatMap { case (k, i) =>
-      (bounds.get(2 * i), bounds.get(2 * i + 1)) match {
-        case (lo: Any, hi: Any)
-          if lo.isInstanceOf[Number] || lo.isInstanceOf[String] =>
-          Some(k -> (Some(lo), Some(hi)))
-        case _ => None
-      }
-    }.toMap
-    val touched = prunedFiles(spark, root, preds, Some(cur))
-    val tgt = readSnapshotFiles(spark, root, m, touched).alias("t")
+    lazy val tgt = {
+      val aggCols = keys.flatMap(k => Seq(fmin(col(k)), fmax(col(k))))
+      val bounds = source.select(keys.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*).head
+      val preds: RangePreds = keys.zipWithIndex.flatMap { case (k, i) =>
+        (bounds.get(2 * i), bounds.get(2 * i + 1)) match {
+          case (lo: Any, hi: Any)
+            if lo.isInstanceOf[Number] || lo.isInstanceOf[String] =>
+            Some(k -> (Some(lo), Some(hi)))
+          case _ => None
+        }
+      }.toMap
+      val touched = prunedFiles(spark, root, preds, Some(cur))
+      readSnapshotFiles(spark, root, m, touched).alias("t")
+    }
     val src = source.alias("s")
-    val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
-      .reduce(_ && _)
-    // first-condition-true clause claims the row; -1 = no clause (the
-    // row stays untouched and never travels)
-    val clauseIdx = matched.zipWithIndex
-      .foldRight(lit(-1): org.apache.spark.sql.Column) {
-        case (((cond, _), i), rest) =>
-          when(cond.getOrElse(lit(true)), lit(i)).otherwise(rest)
-      }
-    val joined = tgt.join(src, joinCond, "inner")
-      .withColumn("__graft_clause", clauseIdx)
-    val targetShape = joined.select(fields.toSeq.map(f =>
-      col(s"t.${f.name}").cast(f.dataType).as(f.name)): _*)
+    lazy val joined = {
+      val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+        .reduce(_ && _)
+      // first-condition-true clause claims the row; -1 = no clause (the
+      // row stays untouched and never travels)
+      val clauseIdx = matched.zipWithIndex
+        .foldRight(lit(-1): org.apache.spark.sql.Column) {
+          case (((cond, _), i), rest) =>
+            when(cond.getOrElse(lit(true)), lit(i)).otherwise(rest)
+        }
+      tgt.join(src, joinCond, "inner")
+        .withColumn("__graft_clause", clauseIdx)
+    }
     val updates = matched.zipWithIndex.collect {
       case ((_, MatchedUpdate(set)), i) =>
         joined.filter(col("__graft_clause") === i)
@@ -5178,7 +5220,7 @@ object VersionedTable {
       else Some(joined.filter(col("__graft_clause").isin(delIdx: _*))
         .select(keys.map(k => col(s"t.$k").as(k)): _*))
     val inserts =
-      if (notMatched.isEmpty) targetShape.limit(0)
+      if (notMatched.isEmpty) emptyShape
       else {
         // target keys under reserved names: a bare `k` on the right of
         // the anti-join would be ambiguous against the source's own k

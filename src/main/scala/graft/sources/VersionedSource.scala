@@ -134,15 +134,12 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
     }
     val byVersion =
       parameters.get("versionasof").orElse(parameters.get("versionAsOf")).map(_.toInt)
-    // timestampAsOf: epoch millis or an ISO instant / local datetime (UTC)
+    // timestampAsOf: epoch millis or an ISO instant / local datetime
+    // (UTC) — the parse shared with RESTORE (VersionedTable.parseTsMillis)
     val byTime = parameters.get("timestampasof")
       .orElse(parameters.get("timestampAsOf")).map { t =>
-        val millis = scala.util.Try(t.toLong).getOrElse {
-          scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse(
-            java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
-        }
-        VersionedTable.versionAsOf(sqlContext.sparkSession, root, millis)
+        VersionedTable.versionAsOf(sqlContext.sparkSession, root,
+          VersionedTable.parseTsMillis(t))
       }
     // tag: time travel by NAME — the pinned-snapshot read a training
     // run uses ("train-v1") without carrying version numbers around

@@ -90,6 +90,27 @@ class CopyIntoSpec extends SparkSpec {
       .exists(_.contains("bad")), "failed ingest never enters the ledger")
   }
 
+  test("CREATE OR REPLACE resets the ledger; FORCE re-ingests deliberately") {
+    val dir = freshDir()
+    val root = dir.resolve("t").toString
+    val in = dir.resolve("in").toString
+    stage(dir, "a", Seq((1L, 1.0)))
+    seedTable(root, Seq((0L, 0.0)))
+    VersionedTable.copyInto(spark, root, in)
+    assert(VersionedTable.read(spark, root).count() == 2)
+    // wholesale replacement: the new incarnation must be able to
+    // ingest the same landing files again — nothing carries over
+    spark.sql(s"CREATE OR REPLACE TABLE '$root' (k BIGINT, v DOUBLE)")
+    assert(VersionedTable.loadedSourceFiles(spark, root).isEmpty,
+      "replace resets the COPY INTO ledger")
+    val (_, n) = VersionedTable.copyInto(spark, root, in)
+    assert(n == 1 && VersionedTable.read(spark, root).count() == 1)
+    // FORCE: deliberate duplicate load through the SQL clause
+    val r = spark.sql(s"COPY INTO '$root' FROM '$in' FORCE").head()
+    assert(r.getInt(1) == 1, s"FORCE re-ingests: $r")
+    assert(VersionedTable.read(spark, root).count() == 2)
+  }
+
   test("racing COPY INTOs over shared files: the loser refuses, never double-loads") {
     val dir = freshDir()
     val root = dir.resolve("t").toString
