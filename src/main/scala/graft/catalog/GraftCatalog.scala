@@ -645,6 +645,27 @@ object GraftCatalog {
           d._8, d._9, d._10, d._11, d._12, d._13))
       }),
 
+    new Proc("operation_metrics",
+      "per-commit operation metrics from manifest pairs (Delta's " +
+        "operationMetrics analog): files/rows added and removed, and " +
+        "merge-on-read rows vectored away in place. Zero data scanned",
+      Seq("path" -> StringType),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("op", StringType, nullable = true),
+        StructField("files_added", LongType, nullable = false),
+        StructField("files_removed", LongType, nullable = false),
+        StructField("rows_added", LongType, nullable = false),
+        StructField("rows_removed", LongType, nullable = false),
+        StructField("dv_rows_deleted", LongType, nullable = false))),
+      (spark, in) => VersionedTable.operationMetrics(spark, pathArg(in))
+        .map { case (v, op, fa, fr, ra, rr, dv) =>
+          InternalRow(v,
+            if (op.isEmpty) null
+            else org.apache.spark.unsafe.types.UTF8String.fromString(op),
+            fa, fr, ra, rr, dv)
+        }),
+
     new Proc("loads",
       "COPY INTO's idempotence ledger: every source file a LIVE " +
         "manifest records as ingested (expired history forgets its " +

@@ -1492,6 +1492,30 @@ object LakehouseQueries {
       newShape.unionByName(old)
     }),
 
+    // Per-commit operation metrics (Delta's operationMetrics analog)
+    // from manifest pairs, zero data scanned: create → append →
+    // vectored delete (DV growth) → vectored update (vector + re-add)
+    // → compact (net-zero rewrite that folds the vectors in). The
+    // oracle replays every count from orders arithmetic. File counts
+    // are machine-dependent (split sizing) and spec-pinned instead.
+    "q239_op_metrics" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_om_q239")
+      val root = work.resolve("t").toString
+      s.sql(s"CREATE TABLE '$root' (k BIGINT, v DOUBLE)")       // v1
+      VersionedTable.append(s, root,
+        Tables.orders(s, d).select(
+          col("o_orderkey").cast("long").as("k"),
+          col("o_totalprice").cast("double").as("v")).coalesce(2)) // v2
+      s.sql(s"DELETE FROM '$root' WHERE k % 5 = 0")             // v3
+      s.sql(s"UPDATE '$root' SET v = v + 1.0 WHERE k % 7 = 0")  // v4
+      s.sql(s"OPTIMIZE '$root'")                                // v5
+      import s.implicits._
+      VersionedTable.operationMetrics(s, root)
+        .map { case (v, op, _, _, ra, rr, dv) => (v.toLong, op, ra, rr, dv) }
+        .toDF("version", "op", "rows_added", "rows_removed",
+          "dv_rows_deleted")
+    }),
+
     "q208_sql_txn" -> ((s, d) => {
       val dir = EventsStream.scratchDir("graft_txnsql_q208").toString
       val cat = s"$dir/cat"
@@ -2382,6 +2406,28 @@ object LakehouseQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                   AS sum_value
          FROM chg GROUP BY 1, 2""",
+
+    "q239_op_metrics" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders),
+              c_all AS (SELECT count(*) AS n FROM o),
+              c5    AS (SELECT count(*) AS n FROM o WHERE k % 5 = 0),
+              upd   AS (SELECT count(*) AS n FROM o
+                        WHERE k % 7 = 0 AND NOT k % 5 = 0),
+              live  AS (SELECT (SELECT n FROM c_all) - (SELECT n FROM c5)
+                          AS n)
+         SELECT 1::BIGINT AS version, 'create' AS op,
+                0::BIGINT AS rows_added, 0::BIGINT AS rows_removed,
+                0::BIGINT AS dv_rows_deleted
+         UNION ALL
+         SELECT 2, 'append', (SELECT n FROM c_all), 0, 0
+         UNION ALL
+         SELECT 3, 'delete-vectored', 0, 0, (SELECT n FROM c5)
+         UNION ALL
+         SELECT 4, 'update-vectored', (SELECT n FROM upd), 0,
+                (SELECT n FROM upd)
+         UNION ALL
+         SELECT 5, 'compact', (SELECT n FROM live), (SELECT n FROM live),
+                0""",
 
     "q238_replace_insert" ->
       """SELECT o_orderpriority AS cat, count(*) AS n,

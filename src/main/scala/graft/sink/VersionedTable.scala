@@ -2652,6 +2652,45 @@ object VersionedTable {
     Seq(createStmt) ++ cluster ++ propsStmt ++ tracking
   }
 
+  /** PER-COMMIT operation metrics (Delta's `operationMetrics` analog),
+    * from manifest pairs alone — zero data scanned: for each version,
+    * the files it added/removed with their recorded row counts, and
+    * the deletion-vector growth on carried files (merge-on-read DMLs
+    * delete rows without touching files). A compaction reports equal
+    * rows added and removed (net zero — the op column tells the
+    * story); counts are −1 (unknown) when a manifest predates per-file
+    * row recording. Tuple: (version, op, files_added, files_removed,
+    * rows_added, rows_removed, dv_rows_deleted). */
+  def operationMetrics(spark: SparkSession, root: String)
+      : Seq[(Int, String, Long, Long, Long, Long, Long)] = {
+    val vs = versions(spark, root)
+    vs.map { v =>
+      val m = readManifest(spark, root, v)
+      val prev: Option[Manifest] =
+        if (v == 1) None else Some(readManifest(spark, root, v - 1))
+      val prevFiles = prev.map(_.files.toSet).getOrElse(Set.empty)
+      val added = m.files.filterNot(prevFiles)
+      val removed = prev.map(_.files.filterNot(m.files.toSet))
+        .getOrElse(Seq.empty)
+      def rowsOf(mm: Manifest, fs: Seq[String]): Long =
+        if (!fs.forall(mm.rows.contains)) -1L
+        else fs.map(f => mm.rows(f) -
+          mm.dvs.get(f).map(_.card).getOrElse(0L)).sum
+      val rowsAdded = rowsOf(m, added)
+      val rowsRemoved = prev.map(p => rowsOf(p, removed)).getOrElse(0L)
+      // DV growth on files BOTH versions reference = rows this commit
+      // vectored away in place
+      val dvDelta = prev.map { p =>
+        m.files.filter(prevFiles).map { f =>
+          math.max(0L, m.dvs.get(f).map(_.card).getOrElse(0L) -
+            p.dvs.get(f).map(_.card).getOrElse(0L))
+        }.sum
+      }.getOrElse(0L)
+      (v, m.op, added.size.toLong, removed.size.toLong,
+        rowsAdded, rowsRemoved, dvDelta)
+    }
+  }
+
   /** PER-PARTITION operational stats (the Iceberg `partitions` metadata
     * table analog) from the manifest + one file listing, zero data
     * scanned: each live file groups under the k=v directory chain it
