@@ -236,7 +236,10 @@ object VersionedTable {
     * (reader option, RESTORE statement): epoch millis, an ISO instant
     * with zone, or a local datetime interpreted as UTC. Divergent
     * parses here would let the same string resolve DIFFERENT versions
-    * on different faces — silently wrong data. */
+    * on different faces — silently wrong data. DELIBERATE convention:
+    * naive strings bind as UTC (the engine's in-commit stamps are UTC
+    * wall clock), NOT the session zone Delta uses — zone-carrying ISO
+    * strings or epoch millis are the unambiguous spellings either way. */
   def parseTsMillis(t: String): Long =
     scala.util.Try(t.toLong).getOrElse {
       scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse(
@@ -1951,10 +1954,25 @@ object VersionedTable {
     * after a replace would silently no-op on files the OLD table
     * loaded and the new one can never receive. */
   def loadedSourceFiles(spark: SparkSession, root: String): Set[String] =
-    versions(spark, root).foldLeft(Set.empty[String]) { (acc, v) =>
-      val m = readManifest(spark, root, v)
-      if (m.op == "replace") m.loads.toSet else acc ++ m.loads
-    }
+    loadedAsOf(spark, root, Int.MaxValue)
+
+  /** The ledger fold, bounded at `upTo`: a `replace` RESETS state (new
+    * incarnation), a `rollback` SETS state to what its manifest carries
+    * — [[rollback]] snapshots the TARGET version's cumulative ledger
+    * into its own `loads`, so restoring a pre-replace version restores
+    * that version's ingest history with it (without this, a COPY INTO
+    * after RESTORE would re-ingest files whose rows the restore just
+    * brought back — silent duplicates). */
+  private def loadedAsOf(spark: SparkSession, root: String,
+                         upTo: Int): Set[String] =
+    versions(spark, root).takeWhile(_ <= upTo)
+      .foldLeft(Set.empty[String]) { (acc, v) =>
+        val m = readManifest(spark, root, v)
+        m.op match {
+          case "replace" | "rollback" => m.loads.toSet
+          case _ => acc ++ m.loads
+        }
+      }
 
   /** COPY INTO — IDEMPOTENT batch file ingest (the Delta COPY INTO
     * analog): list `srcDir`'s files matching `pattern`, skip every one
@@ -2664,8 +2682,16 @@ object VersionedTable {
   def operationMetrics(spark: SparkSession, root: String)
       : Seq[(Int, String, Long, Long, Long, Long, Long)] = {
     val vs = versions(spark, root)
+    val live = vs.toSet
     vs.map { v =>
       val m = readManifest(spark, root, v)
+      // a version whose DIRECT predecessor was expired has no sound
+      // diff base — report unknown (−1) rather than lie (the surviving
+      // ancestor would net a multi-commit span under one op label);
+      // v == 1 is the true genesis (everything added against nothing)
+      if (v > 1 && !live.contains(v - 1))
+        (v, m.op, -1L, -1L, -1L, -1L, -1L)
+      else {
       val prev: Option[Manifest] =
         if (v == 1) None else Some(readManifest(spark, root, v - 1))
       val prevFiles = prev.map(_.files.toSet).getOrElse(Set.empty)
@@ -2688,6 +2714,7 @@ object VersionedTable {
       }.getOrElse(0L)
       (v, m.op, added.size.toLong, removed.size.toLong,
         rowsAdded, rowsRemoved, dvDelta)
+      }
     }
   }
 
@@ -5718,6 +5745,11 @@ object VersionedTable {
     * newest version (history is preserved — undo is itself a commit). */
   def rollback(spark: SparkSession, root: String, to: Int): Int = {
     val m = readManifest(spark, root, to)
+    // the restored content carries its ingest history: the COPY INTO
+    // ledger fold treats a rollback as SET-to-this (loadedAsOf), so a
+    // later COPY INTO can't re-ingest files whose rows this restore
+    // just brought back
+    val ledgerAtTarget = loadedAsOf(spark, root, to).toSeq.sorted
     // retry-on-race is semantically free here: a rollback re-applied on
     // a newer head still publishes `to`'s exact content as the newest
     // version — undoing the raced commit is what rollback MEANS
@@ -5732,7 +5764,7 @@ object VersionedTable {
         // their rows are gone — the head's higher mark wins
         ids = m.ids.map { case (c, hw) =>
           c -> math.max(hw, head.ids.getOrElse(c, hw)) },
-        props = m.props))
+        props = m.props, loads = ledgerAtTarget))
   }
 
   /** Compaction as a commit: rewrite the newest version into

@@ -111,6 +111,24 @@ class CopyIntoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 2)
   }
 
+  test("RESTORE past a replace restores the ingest ledger with the content") {
+    val dir = freshDir()
+    val root = dir.resolve("t").toString
+    val in = dir.resolve("in").toString
+    stage(dir, "a", Seq((1L, 1.0)))
+    seedTable(root, Seq((0L, 0.0)))
+    VersionedTable.copyInto(spark, root, in)                  // v2: ledger {a}
+    spark.sql(s"CREATE OR REPLACE TABLE '$root' (k BIGINT, v DOUBLE)") // v3
+    spark.sql(s"RESTORE TABLE '$root' TO VERSION AS OF 2")    // v4
+    // a's rows are live again — its ledger entry must be back too, or
+    // the next sweep would silently duplicate them
+    assert(VersionedTable.loadedSourceFiles(spark, root)
+      .exists(_.endsWith("a.parquet")))
+    val (_, n) = VersionedTable.copyInto(spark, root, in)
+    assert(n == 0 && VersionedTable.read(spark, root).count() == 2,
+      "restored ledger makes the re-sweep a no-op")
+  }
+
   test("racing COPY INTOs over shared files: the loser refuses, never double-loads") {
     val dir = freshDir()
     val root = dir.resolve("t").toString
