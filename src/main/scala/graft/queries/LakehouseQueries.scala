@@ -1102,7 +1102,14 @@ object LakehouseQueries {
         col("value").as("new_value")))
       // ONE version per trigger — pairing is PER-VERSION semantics; a
       // multi-version span NETS (insert-then-update collapses to the
-      // final insert, no delete image), which is q220's domain
+      // final insert, no delete image), which is q220's domain.
+      // IDENTICAL-IMAGE updates (value*2 of 0.0, +1000 of NULL) are
+      // CDC-INVISIBLE by the feed's documented exceptAll contract —
+      // their delete/insert images cancel like a compaction rewrite's —
+      // so the oracle counts only rows whose image actually changed
+      // (caught live at sf0.1: event 63606, value 0.0, the one row the
+      // sweep's 16666-vs-16667 diff pointed at; the manifest's DV delta
+      // proves the engine vectored and re-added all 16667).
       val usedTxns = scala.collection.mutable.ArrayBuffer[Long]()
       val q = s.readStream.format("graft-versioned")
         .option("readChangeFeed", "true")
@@ -2631,17 +2638,20 @@ object LakehouseQueries {
               SELECT event_id, CAST(value AS DOUBLE) AS value FROM events),
               p0 AS (
                 SELECT 0 AS step, count(*) AS n_pairs,
-                       sum(CAST(CASE WHEN value IS NOT NULL
-                                     THEN 1000.0 END
-                                AS DECIMAL(18,2))) AS sum_delta
-                FROM ev WHERE event_id % 4 = 0),
+                       sum(CAST(1000.0 AS DECIMAL(18,2))) AS sum_delta
+                FROM ev WHERE event_id % 4 = 0
+                  AND (value + 1000.0) IS DISTINCT FROM value),
               p1 AS (
                 SELECT 1 AS step, count(*) AS n_pairs,
-                       sum(CAST(CASE WHEN value IS NOT NULL THEN
-                             CASE WHEN event_id % 4 = 0
-                                  THEN value + 1000.0 ELSE value END
-                           END AS DECIMAL(18,2))) AS sum_delta
-                FROM ev WHERE event_id % 6 = 0),
+                       sum(CAST(CASE WHEN event_id % 4 = 0
+                                     THEN value + 1000.0 ELSE value END
+                           AS DECIMAL(18,2))) AS sum_delta
+                FROM ev WHERE event_id % 6 = 0
+                  AND (CASE WHEN event_id % 4 = 0
+                            THEN value + 1000.0 ELSE value END) * 2.0
+                      IS DISTINCT FROM
+                      (CASE WHEN event_id % 4 = 0
+                            THEN value + 1000.0 ELSE value END)),
               u AS (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
          SELECT step::BIGINT AS step, n_pairs::BIGINT AS n_pairs,
                 CAST(sum_delta AS DOUBLE) AS sum_delta,
