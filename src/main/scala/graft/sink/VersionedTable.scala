@@ -234,17 +234,20 @@ object VersionedTable {
 
   /** The ONE wall-clock-string parse every timestampAsOf face shares
     * (reader option, RESTORE statement): epoch millis, an ISO instant
-    * with zone, or a local datetime interpreted as UTC. Divergent
-    * parses here would let the same string resolve DIFFERENT versions
-    * on different faces — silently wrong data. DELIBERATE convention:
-    * naive strings bind as UTC (the engine's in-commit stamps are UTC
-    * wall clock), NOT the session zone Delta uses — zone-carrying ISO
-    * strings or epoch millis are the unambiguous spellings either way. */
-  def parseTsMillis(t: String): Long =
+    * with zone, or a zone-less local datetime resolved in the SESSION
+    * timezone (`spark.sql.session.timeZone`) — Delta's convention, so a
+    * time-travel query ported from Delta resolves the same version.
+    * Divergent parses here would let the same string resolve DIFFERENT
+    * versions on different faces — silently wrong data; epoch millis
+    * and zone-carrying ISO strings are the unambiguous spellings. */
+  def parseTsMillis(spark: SparkSession, t: String): Long =
     scala.util.Try(t.toLong).getOrElse {
-      scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse(
+      scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse {
+        val zone = java.time.ZoneId.of(
+          spark.conf.get("spark.sql.session.timeZone"))
         java.time.LocalDateTime.parse(t.trim.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+          .atZone(zone).toInstant.toEpochMilli
+      }
     }
 
   /** Time travel by wall clock: the newest version committed at or
@@ -904,8 +907,19 @@ object VersionedTable {
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
 
-  private def parseLoads(text: String): Seq[String] =
-    parseNameList(text, "loads").map(unesc)
+  /** Loads entries are USER-supplied source URIs (unlike the engine's
+    * own uuid-free data-file names), so a path may legally contain ','
+    * ']' or '"'. Parse the ledger with the quote-aware shape the writer
+    * emits rather than comma-splitting: under parseNameList a path like
+    * `dir/a,b].csv` re-parses as corrupt fragments, the ledger never
+    * matches the file again, and every COPY INTO re-run silently
+    * re-ingests it — defeating the idempotence guarantee. */
+  private def parseLoads(text: String): Seq[String] = {
+    val body = """"loads": \[((?:"(?:[^"\\]|\\.)*"(?:, )?)*)\]""".r
+      .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+    """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body)
+      .map(m => unesc(m.group(1))).toSeq
+  }
 
   private def parseOp(text: String): String =
     """"op": "((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
@@ -1572,6 +1586,18 @@ object VersionedTable {
                 "cannot be proven"))
             if (delta.txn.nonEmpty && wx.txn == delta.txn)
               return x // the idempotence ledger already carries this txn
+            // a REPLACE is a NEW table incarnation and a ROLLBACK/RESTORE
+            // re-points at historical state: nothing staged against the
+            // old incarnation may carry over — even when the new DDL and
+            // properties happen to be shape-identical to the old (the
+            // field-equality checks below would then pass, and an
+            // empty-footprint append — deduped against the OLD loads
+            // ledger — would silently land old-incarnation rows in the
+            // "fresh" table). Delta fails any transaction concurrent
+            // with a metadata-replacing commit the same way.
+            if (wx.op == "replace" || wx.op == "rollback")
+              refuse(s"v$x (${wx.op}) replaced the table incarnation " +
+                "this commit was staged against")
             if (wx.schemaDdl != m.schemaDdl)
               refuse(s"v$x (${wx.op}) changed the table schema")
             if (wx.partitionCols != m.partitionCols)

@@ -135,11 +135,12 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
     val byVersion =
       parameters.get("versionasof").orElse(parameters.get("versionAsOf")).map(_.toInt)
     // timestampAsOf: epoch millis or an ISO instant / local datetime
-    // (UTC) — the parse shared with RESTORE (VersionedTable.parseTsMillis)
+    // (session zone) — the parse shared with RESTORE
+    // (VersionedTable.parseTsMillis)
     val byTime = parameters.get("timestampasof")
       .orElse(parameters.get("timestampAsOf")).map { t =>
         VersionedTable.versionAsOf(sqlContext.sparkSession, root,
-          VersionedTable.parseTsMillis(t))
+          VersionedTable.parseTsMillis(sqlContext.sparkSession, t))
       }
     // tag: time travel by NAME — the pinned-snapshot read a training
     // run uses ("train-v1") without carrying version numbers around
@@ -262,7 +263,15 @@ object VersionedSource {
   * snapshots — the honest CDC bill. Reads under each diff's to-version
   * schema; a range crossing schema evolution unions by name with
   * missing columns null-filled (what a batch read of the evolved table
-  * shows for pre-evolution rows). */
+  * shows for pre-evolution rows).
+  *
+  * CONTRACT — no-op updates are CDC-invisible: a rewritten row whose
+  * image is IDENTICAL before and after (e.g. `SET v = v * 2` over
+  * `v = 0.0`) produces NO update_preimage/update_postimage pair — the
+  * diff is the file-set difference, and equal rows cancel. This
+  * DIVERGES from Delta CDF, which emits a pair for every physically
+  * rewritten row even when nothing changed; audit pipelines ported
+  * from Delta must not treat the missing no-op pairs as data loss. */
 private[graft] class ChangesRelation(override val sqlContext: SQLContext,
                                      root: String, fromV: Int, toV: Int)
     extends BaseRelation with TableScan {

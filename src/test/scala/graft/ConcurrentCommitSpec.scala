@@ -176,6 +176,44 @@ class ConcurrentCommitSpec extends SparkSpec
       Seq(1L, 2L, 3L, 99L), "the raced append stays in history")
   }
 
+  test("an append racing a SHAPE-IDENTICAL replace refuses (no old-incarnation carry-over)") {
+    // CREATE OR REPLACE with the exact same DDL produces a manifest
+    // whose schema/layout/props EQUAL the append's base — the
+    // field-equality conflict checks all pass, and only the
+    // unconditional op check stands between the old incarnation's rows
+    // and the "fresh" table (Delta fails any txn concurrent with a
+    // metadata-replacing commit)
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))                  // v1
+    val ddl = VersionedTable.schemaOf(spark, root).toDDL
+    VersionedTable.raceBeforePublish =
+      () => VersionedTable.replaceTable(spark, root, ddl)         // v2 races in
+    val e = intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.append(spark, root, df(99))
+    }
+    assert(e.getMessage.contains("replaced the table incarnation"),
+      e.getMessage)
+    assert(VersionedTable.read(spark, root).count() == 0,
+      "the replace stands; the staged append never lands in the new incarnation")
+  }
+
+  test("an append racing a rollback refuses (restored state must not absorb stale stages)") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2))                  // v1
+    VersionedTable.append(spark, root, df(3))                     // v2
+    VersionedTable.raceBeforePublish =
+      () => VersionedTable.rollback(spark, root, to = 1)          // v3 races in
+    val e = intercept[java.util.ConcurrentModificationException] {
+      VersionedTable.append(spark, root, df(99))
+    }
+    assert(e.getMessage.contains("replaced the table incarnation"),
+      e.getMessage)
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 2L),
+      "the rollback stands untouched; the re-run appends cleanly")
+    VersionedTable.append(spark, root, df(99))
+    assert(idsOf(VersionedTable.read(spark, root)) == Seq(1L, 2L, 99L))
+  }
+
   test("a racing schema change refuses the DML (stale schema must not publish)") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1L to 4L: _*))          // v1

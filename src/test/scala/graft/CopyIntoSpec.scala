@@ -129,6 +129,31 @@ class CopyIntoSpec extends SparkSpec {
       "restored ledger makes the re-sweep a no-op")
   }
 
+  test("ledger survives source paths containing ',' (no silent re-ingest)") {
+    // loads entries are USER paths: a name like `a,b.parquet` must
+    // round-trip the manifest ledger intact, or the re-run re-ingests
+    // it forever (the parse-side comma-split bug class). ']' and '"'
+    // are URI-illegal in Spark DataSource paths, so such names cannot
+    // reach the ledger through copyInto in the first place — the
+    // quote-aware parser covers them anyway.
+    val dir = freshDir()
+    val root = dir.resolve("t").toString
+    val in = dir.resolve("in").toString
+    stage(dir, "evil_a,b_c", Seq((1L, 1.0)))
+    stage(dir, "plain", Seq((2L, 2.0)))
+    seedTable(root, Seq((0L, 0.0)))
+    val (_, n1) = VersionedTable.copyInto(spark, root, in)
+    assert(n1 == 2, s"both files ingest: $n1")
+    assert(VersionedTable.loadedSourceFiles(spark, root)
+      .map(_.split('/').last) ==
+      Set("evil_a,b_c.parquet", "plain.parquet"),
+      "ledger carries the exact user path, comma intact")
+    // the guarantee under test: the replay must see BOTH entries
+    val (_, n2) = VersionedTable.copyInto(spark, root, in)
+    assert(n2 == 0, "re-run is a no-op even for the hostile name")
+    assert(VersionedTable.read(spark, root).count() == 3)
+  }
+
   test("racing COPY INTOs over shared files: the loser refuses, never double-loads") {
     val dir = freshDir()
     val root = dir.resolve("t").toString

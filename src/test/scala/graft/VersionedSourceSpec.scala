@@ -156,6 +156,38 @@ class VersionedSourceSpec extends SparkSpec {
       s"recorded stamps, monotonic, not the mangled mtime: $stamps")
   }
 
+  test("naive timestampAsOf strings resolve in the SESSION timezone (Delta parity)") {
+    import spark.implicits._
+    val root = freshRoot()
+    Seq(1L).toDF("id").write.format("graft-versioned").save(root)   // v1
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    Seq(2L).toDF("id").write.format("graft-versioned")
+      .mode(SaveMode.Append).save(root)                              // v2
+    // the same WALL-CLOCK instant spelled as a naive local datetime in
+    // two different session zones must resolve the same version — a
+    // user porting a Delta time-travel query expects session binding
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (zone <- Seq("UTC", "Asia/Kolkata")) {
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        val naive = java.time.Instant.ofEpochMilli(between)
+          .atZone(java.time.ZoneId.of(zone)).toLocalDateTime.toString
+        assert(VersionedTable.versionAsOf(spark, root,
+          VersionedTable.parseTsMillis(spark, naive)) == 1,
+          s"naive '$naive' in session zone $zone must resolve v1")
+        assert(spark.read.format("graft-versioned")
+          .option("timestampAsOf", naive).load(root).count() == 1)
+      }
+      // zone-carrying ISO and epoch millis stay session-independent
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      val iso = java.time.Instant.ofEpochMilli(between).toString
+      assert(VersionedTable.parseTsMillis(spark, iso) == between)
+      assert(VersionedTable.parseTsMillis(spark, between.toString) == between)
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("commitTimestamps monotonize mixed-provenance stamps") {
     import spark.implicits._
     val root = freshRoot()
