@@ -88,6 +88,35 @@ object Bench {
       : (Seq[(String, Double, Double)], Boolean) =
     calibratedRegressions(adjudicated, baseline, probeRatio.toSeq)
 
+  /** The ALWAYS-SAFE baseline merge (`WRITE_BASELINE=tighten`): never
+    * raises an existing entry (min(old, fresh)), fills entries for
+    * queries that have none, and leaves the PROBE entries untouched.
+    * Rationale, per case:
+    *   - existing entries can only tighten → no future verdict's
+    *     denominator can inflate, so this merge needs no near-idle bar
+    *     (the bar exists purely to keep inflated raw times out);
+    *   - a new entry minted on a busy box is biased HIGH, which is the
+    *     safe direction for a first entry (a future regression still
+    *     trips; a false flag cannot) — the same argument PERF.md's
+    *     hand-adjudicated entries used, now automated;
+    *   - probe entries are the contention/refresh bar's denominators:
+    *     letting one fast window ratchet them DOWN is exactly how the
+    *     epoch-2 q13 floor made the 1.1 refresh bar unreachable for
+    *     four windows running (round 15) — so tighten never moves them.
+    * This structurally ends hand-adjudicated entries: every sweep may
+    * run tighten, new queries gate immediately, and existing entries
+    * converge downward to true idle floors over time. */
+  private[graft] def tightenedBaseline(
+      old: Map[String, Double], fresh: Map[String, Double],
+      probes: Set[String]): Map[String, Double] =
+    (old.keySet ++ fresh.keySet).iterator.map { k =>
+      k -> ((old.get(k), fresh.get(k)) match {
+        case (Some(o), Some(f)) => if (probes(k)) o else math.min(o, f)
+        case (Some(o), None) => o
+        case (None, f) => f.get
+      })
+    }.toMap
+
   /** The would-be regression set regardless of calibration — what a
     * contended run records as `suppressed`. */
   private[graft] def rawRegressions(
@@ -348,6 +377,44 @@ object Bench {
         java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json"), body)
       catch { case e: Throwable =>
         System.err.println(s"[bench] baseline write failed: ${e.getMessage}")
+      }
+    }
+    // TIGHTEN refresh (SPARK_GRAFT_BENCH_WRITE_BASELINE=tighten): the
+    // always-safe merge — see [[tightenedBaseline]]. Runs on any
+    // non-contended window (no near-idle bar: nothing here can inflate
+    // a denominator), which is what retires hand-adjudicated entries:
+    // new queries gate from their first sweep, and existing entries
+    // converge DOWNWARD to true idle floors as windows come and go.
+    if (sys.env.get("SPARK_GRAFT_BENCH_WRITE_BASELINE").contains("tighten")
+        && only.isEmpty) {
+      if (contended)
+        System.err.println("[bench] tighten refresh SKIPPED: contended run")
+      else {
+        val fresh = results.collect { case (k, Some(_)) =>
+          k -> adjudicated(k).getOrElse(-1.0) }.filter(_._2 >= 0).toMap
+        val merged = Bench.tightenedBaseline(baseline, fresh,
+          probeNames.toSet).toSeq.sortBy(_._1)
+        val epochStamp = """"_epoch":\s*([0-9]+)""".r
+          .findFirstMatchIn(scala.util.Try(java.nio.file.Files.readString(
+            java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json")))
+            .getOrElse(""))
+          .map(m => s"""  "_epoch": ${m.group(1)}""").toSeq
+        val body = (epochStamp ++ merged.map { case (k, v) =>
+          s"""  "$k": ${BigDecimal(v).setScale(3,
+            BigDecimal.RoundingMode.HALF_UP)}"""
+        }).mkString("{\n", ",\n", "\n}\n")
+        val added = fresh.keySet -- baseline.keySet
+        val lowered = fresh.filter { case (k, v) =>
+          baseline.get(k).exists(v < _) && !probeNames.contains(k) }
+        System.err.println(s"[bench] tighten refresh: ${added.size} new " +
+          s"entr${if (added.size == 1) "y" else "ies"}" +
+          (if (added.nonEmpty) s" (${added.toSeq.sorted.mkString(", ")})"
+           else "") + s", ${lowered.size} tightened")
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json"), body)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] baseline write failed: ${e.getMessage}")
+        }
       }
     }
     // EPOCH MINT (SPARK_GRAFT_BENCH_WRITE_BASELINE=epoch): replace the

@@ -4,8 +4,8 @@ import java.util.{Collections, Iterator => JIterator}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
@@ -36,7 +36,7 @@ import graft.sink.VersionedTable
   * upkeep through SQL statements): same UX, but the statements commit
   * manifest versions instead of mutating rows in place. */
 class GraftCatalog extends CatalogPlugin with ProcedureCatalog
-    with TableCatalog {
+    with TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = "graft"
 
@@ -77,25 +77,88 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
 
   private def spark = SparkSession.active
 
-  private def requireFlatNs(ident: Identifier): Unit =
-    require(ident.namespace().isEmpty,
-      s"the graft catalog has one flat namespace; got graft." +
-        s"${(ident.namespace() :+ ident.name()).mkString(".")}")
-
-  private def rootOf(ident: Identifier): String = {
-    requireFlatNs(ident)
-    GraftNames.lookup(spark, ident.name()).getOrElse(
-      throw new NoSuchTableException(ident))
+  /** One optional namespace level: `graft.t` or `graft.db.t` — the
+    * dotted registry name is the ident's segments joined, and the
+    * warehouse layout is the path join (one extra directory level;
+    * resolution stays one link read). */
+  private def nameOf(ident: Identifier): String = {
+    require(ident.namespace().length <= 1,
+      s"the graft catalog supports at most one namespace level; got " +
+        s"graft.${(ident.namespace() :+ ident.name()).mkString(".")}")
+    (ident.namespace() :+ ident.name()).mkString(".")
   }
 
+  private def rootOf(ident: Identifier): String =
+    GraftNames.lookup(spark, nameOf(ident)).getOrElse(
+      throw new NoSuchTableException(ident))
+
   private def qualified(ident: Identifier): String =
-    s"$catalogName.${ident.name()}"
+    s"$catalogName.${nameOf(ident)}"
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    require(namespace.isEmpty,
-      s"the graft catalog has one flat namespace; got ${namespace.mkString(".")}")
-    GraftNames.list(spark)
-      .map(n => Identifier.of(Array.empty[String], n)).toArray
+    require(namespace.length <= 1,
+      s"the graft catalog supports at most one namespace level; got " +
+        namespace.mkString("."))
+    GraftNames.list(spark, namespace.headOption)
+      .map(n => Identifier.of(namespace, n)).toArray
+  }
+
+  // ---- SupportsNamespaces: `graft.<db>` as one directory level ----
+
+  override def listNamespaces(): Array[Array[String]] =
+    GraftNames.listNamespaces(spark).map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // one level deep only
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || (namespace.length == 1 &&
+      GraftNames.listNamespaces(spark).contains(namespace(0)))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] =
+    if (namespaceExists(namespace)) Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  /** CREATE NAMESPACE graft.db — one warehouse directory. */
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graft namespaces are one level: ${namespace.mkString(".")}")
+    val w = GraftNames.warehouse(spark).getOrElse(
+      throw new IllegalArgumentException(
+        s"namespaces need the warehouse conf: SET " +
+          s"${GraftNames.WarehouseConf} = '/dir'"))
+    val p = new org.apache.hadoop.fs.Path(s"$w/${namespace(0)}")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces carry no mutable metadata")
+
+  /** DROP NAMESPACE: refuses while tables remain unless CASCADE. */
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    require(namespace.length == 1,
+      s"graft namespaces are one level: ${namespace.mkString(".")}")
+    val db = namespace(0)
+    if (!namespaceExists(namespace)) return false
+    val tables = GraftNames.list(spark, Some(db))
+    require(cascade || tables.isEmpty,
+      s"namespace $db still holds ${tables.size} table(s); " +
+        "use DROP NAMESPACE ... CASCADE")
+    tables.foreach(t => dropTable(Identifier.of(namespace, t)))
+    val w = GraftNames.warehouse(spark).get
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(s"$w/$db")
+    val linkDir = new org.apache.hadoop.fs.Path(s"$w/_names/$db")
+    val f = dir.getFileSystem(conf)
+    if (f.exists(linkDir)) f.delete(linkDir, true)
+    if (f.exists(dir)) f.delete(dir, true) else true
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -119,7 +182,8 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace().isEmpty && GraftNames.lookup(spark, ident.name()).nonEmpty
+    ident.namespace().length <= 1 &&
+      GraftNames.lookup(spark, nameOf(ident)).nonEmpty
 
   override def invalidateTable(ident: Identifier): Unit = ()
 
@@ -149,10 +213,9 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
                            schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    requireFlatNs(ident)
     if (tableExists(ident))
       throw new TableAlreadyExistsException(ident)
-    val root = GraftNames.managedRoot(spark, ident.name())
+    val root = GraftNames.managedRoot(spark, nameOf(ident))
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     VersionedTable.create(spark, root, empty,
@@ -212,11 +275,12 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
   /** DROP: a LINK unbinds the name and never touches data (the root may
     * be shared); a MANAGED `<warehouse>/<name>` directory deletes. */
   override def dropTable(ident: Identifier): Boolean = {
-    requireFlatNs(ident)
+    val name = nameOf(ident)
     GraftNames.warehouse(spark).exists { w =>
-      if (GraftNames.unregister(spark, ident.name())) true
+      if (GraftNames.unregister(spark, name)) true
       else {
-        val managed = new org.apache.hadoop.fs.Path(s"$w/${ident.name()}")
+        val managed = new org.apache.hadoop.fs.Path(
+          s"$w/${name.replace('.', '/')}")
         val f = managed.getFileSystem(spark.sessionState.newHadoopConf())
         VersionedTable.currentVersion(spark, managed.toString).nonEmpty &&
           f.delete(managed, true)
@@ -230,27 +294,30 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     // RENAME TO's target arrives catalog-UNRESOLVED (`RENAME TO
     // graft.t2` keeps the catalog name in the namespace) — normalize
     val newIdent =
-      if (newIdent0.namespace().sameElements(Array(catalogName)))
-        Identifier.of(Array.empty[String], newIdent0.name())
+      if (newIdent0.namespace().headOption.contains(catalogName))
+        Identifier.of(newIdent0.namespace().drop(1), newIdent0.name())
       else newIdent0
-    requireFlatNs(oldIdent); requireFlatNs(newIdent)
     if (tableExists(newIdent))
       throw new TableAlreadyExistsException(newIdent)
     val root = rootOf(oldIdent)
-    require(GraftNames.validName(newIdent.name()),
-      s"invalid table name ${newIdent.name()}")
+    val newName = nameOf(newIdent)
+    require(GraftNames.validName(newName),
+      s"invalid table name $newName")
     val w = GraftNames.warehouse(spark).get // rootOf proved it's set
-    if (root == s"$w/${oldIdent.name()}") {
-      // managed: move the directory itself
+    if (root == s"$w/${nameOf(oldIdent).replace('.', '/')}") {
+      // managed: move the directory itself (into the target's
+      // namespace directory, created on demand)
       val f = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      require(f.rename(new org.apache.hadoop.fs.Path(root),
-        new org.apache.hadoop.fs.Path(s"$w/${newIdent.name()}")),
+      val dest = new org.apache.hadoop.fs.Path(
+        s"$w/${newName.replace('.', '/')}")
+      f.mkdirs(dest.getParent)
+      require(f.rename(new org.apache.hadoop.fs.Path(root), dest),
         s"rename failed: $root")
     } else {
       // link: re-bind, then drop the old name
-      GraftNames.register(spark, newIdent.name(), root)
-      GraftNames.unregister(spark, oldIdent.name())
+      GraftNames.register(spark, newName, root)
+      GraftNames.unregister(spark, nameOf(oldIdent))
     }
   }
 }

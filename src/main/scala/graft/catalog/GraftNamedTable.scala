@@ -40,6 +40,15 @@ object GraftNames {
   val WarehouseConf = "spark.sql.catalog.graft.warehouse"
   private val NameRe = """[A-Za-z_][A-Za-z0-9_]*""".r
 
+  /** Names are one or two dot-separated segments: `t` (top level) or
+    * `db.t` (namespaced — `graft.db.t` in SQL). Each segment is
+    * word-only, which doubles as the path-traversal guard; the
+    * warehouse layout is the path join (`<warehouse>/db/t`,
+    * `<warehouse>/_names/db/t.link`), so a namespace is one directory
+    * level and resolution stays one link read. */
+  private def segments(name: String): Seq[String] = name.split('.').toSeq
+  private def rel(name: String): String = segments(name).mkString("/")
+
   def warehouse(spark: SparkSession): Option[String] =
     spark.conf.getOption(WarehouseConf).map(_.stripSuffix("/"))
       .filter(_.nonEmpty)
@@ -52,23 +61,27 @@ object GraftNames {
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
   private def linkPath(w: String, name: String) =
-    new Path(s"$w/_names", s"$name.link")
+    new Path(s"$w/_names", s"${rel(name)}.link")
 
-  def validName(name: String): Boolean = NameRe.matches(name)
+  def validName(name: String): Boolean = {
+    val segs = segments(name)
+    segs.nonEmpty && segs.length <= 2 && segs.forall(NameRe.matches)
+  }
 
   /** Bind `name` to an EXISTING table root (the link form). Re-binding
     * an existing name is an update — the link is the only state. */
   def register(spark: SparkSession, name: String, root: String): Unit = {
-    require(validName(name), s"table name must match ${NameRe.regex}: $name")
+    require(validName(name),
+      s"table name must be 1-2 dot-separated ${NameRe.regex} segments: $name")
     require(VersionedTable.currentVersion(spark, root).nonEmpty,
       s"no graft table at $root — create it first, then register")
     val w = requireWarehouse(spark)
     // a link may not SHADOW a managed table: the two-bindings state
     // would make DROP ambiguous (remove the link and the name silently
     // falls back to the managed directory)
-    require(VersionedTable.currentVersion(spark, s"$w/$name").isEmpty,
-      s"$name is a managed table at $w/$name — DROP it first, or pick " +
-        "another name")
+    require(VersionedTable.currentVersion(spark, s"$w/${rel(name)}").isEmpty,
+      s"$name is a managed table at $w/${rel(name)} — DROP it first, or " +
+        "pick another name")
     val lp = linkPath(w, name)
     val f = fs(spark, lp)
     f.mkdirs(lp.getParent)
@@ -99,7 +112,7 @@ object GraftNames {
         finally in.close()
         Some(root)
       } else {
-        val managed = s"$w/$name"
+        val managed = s"$w/${rel(name)}"
         if (VersionedTable.currentVersion(spark, managed).nonEmpty) Some(managed)
         else None
       }
@@ -122,27 +135,55 @@ object GraftNames {
         s" under warehouse $w — CREATE TABLE graft.$name … or " +
           s"CALL graft.register_table('$name', '/path')")))
 
-  /** Every visible name: links plus managed directories with a table. */
-  def list(spark: SparkSession): Seq[String] =
+  /** Every visible name in one namespace level: links plus managed
+    * directories with a table. `db = None` lists the TOP level (bare
+    * names); `db = Some(ns)` lists inside `graft.ns` (bare table
+    * segments, not re-qualified). */
+  def list(spark: SparkSession, db: Option[String] = None): Seq[String] =
     warehouse(spark).toSeq.flatMap { w =>
-      val wp = new Path(w)
+      require(db.forall(NameRe.matches), s"bad namespace: ${db.get}")
+      val sub = db.fold("")(x => s"/$x")
+      val wp = new Path(w + sub)
       val f = fs(spark, wp)
       val links =
-        if (!f.exists(new Path(w, "_names"))) Seq.empty
-        else f.listStatus(new Path(w, "_names")).toSeq.map(_.getPath.getName)
+        if (!f.exists(new Path(s"$w/_names$sub"))) Seq.empty
+        else f.listStatus(new Path(s"$w/_names$sub")).toSeq
+          .map(_.getPath.getName)
           .filter(_.endsWith(".link")).map(_.stripSuffix(".link"))
       val managed =
         if (!f.exists(wp)) Seq.empty
         else f.listStatus(wp).toSeq.filter(_.isDirectory)
           .map(_.getPath.getName).filter(n => !n.startsWith("_"))
-          .filter(n => VersionedTable.currentVersion(spark, s"$w/$n").nonEmpty)
+          .filter(n => VersionedTable.currentVersion(spark,
+            s"$w$sub/$n").nonEmpty)
       (links ++ managed).distinct.sorted
     }
 
-  /** Managed location for CREATE TABLE graft.name. */
+  /** Namespace directories the warehouse currently holds: top-level
+    * non-table directories plus `_names` subdirectories (a namespace
+    * that exists only as links still lists). */
+  def listNamespaces(spark: SparkSession): Seq[String] =
+    warehouse(spark).toSeq.flatMap { w =>
+      val wp = new Path(w)
+      val f = fs(spark, wp)
+      val dirs =
+        if (!f.exists(wp)) Seq.empty
+        else f.listStatus(wp).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter(n => !n.startsWith("_"))
+          .filter(n => NameRe.matches(n) &&
+            VersionedTable.currentVersion(spark, s"$w/$n").isEmpty)
+      val linkDirs =
+        if (!f.exists(new Path(w, "_names"))) Seq.empty
+        else f.listStatus(new Path(w, "_names")).toSeq.filter(_.isDirectory)
+          .map(_.getPath.getName).filter(NameRe.matches(_))
+      (dirs ++ linkDirs).distinct.sorted
+    }
+
+  /** Managed location for CREATE TABLE graft.name / graft.db.name. */
   def managedRoot(spark: SparkSession, name: String): String = {
-    require(validName(name), s"table name must match ${NameRe.regex}: $name")
-    s"${requireWarehouse(spark)}/$name"
+    require(validName(name),
+      s"table name must be 1-2 dot-separated ${NameRe.regex} segments: $name")
+    s"${requireWarehouse(spark)}/${rel(name)}"
   }
 }
 

@@ -1014,6 +1014,42 @@ object LakehouseQueries {
         .withColumn("n_commits", lit(commits))
     }),
 
+    // NAMESPACED catalog names (graft.<db>.<t> — the two-level face a
+    // BI tool browses): CREATE NAMESPACE, CTAS + INSERT + DML through
+    // the dotted spelling, SHOW TABLES scoped to the level (top never
+    // lists namespaced tables), RENAME across namespaces moving the
+    // managed directory, and the CALL face on the dotted name. Names
+    // stay one O(1) link/dir resolution — a namespace is one warehouse
+    // directory level. The final rollup + listing counts hash-gate it.
+    "q243_namespaced_catalog" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_ns_q243")
+      s.conf.set(graft.catalog.GraftNames.WarehouseConf, work.toString)
+      s.sql("CREATE NAMESPACE graft.bronze_q243")
+      s.sql("CREATE NAMESPACE graft.silver_q243")
+      s.sql(s"CREATE TABLE graft.bronze_q243.ord AS " +
+        "SELECT CAST(o_orderkey AS BIGINT) AS k, " +
+        "CAST(o_totalprice AS DOUBLE) AS price, o_orderpriority AS prio " +
+        s"FROM parquet.`$d/orders.parquet`")
+      s.sql("INSERT INTO graft.bronze_q243.ord " +
+        "SELECT k + 100000000, price, 'SYNTH' " +
+        "FROM graft.bronze_q243.ord WHERE k % 50 = 0")
+      s.sql("UPDATE graft.bronze_q243.ord SET price = price + 10.0 " +
+        "WHERE k % 20 = 0")
+      s.sql("DELETE FROM graft.bronze_q243.ord WHERE k % 30 = 0")
+      // promote: rename ACROSS namespaces (managed dir moves)
+      s.sql("ALTER TABLE graft.bronze_q243.ord RENAME TO " +
+        "graft.silver_q243.ord")
+      val nBronze = s.sql("SHOW TABLES IN graft.bronze_q243").count()
+      val nSilver = s.sql("SHOW TABLES IN graft.silver_q243").count()
+      val commits = s.sql("CALL graft.history('silver_q243.ord')").count()
+      s.sql("SELECT prio, count(*) AS n, " +
+        "CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM graft.silver_q243.ord GROUP BY prio")
+        .withColumn("n_bronze", lit(nBronze))
+        .withColumn("n_silver", lit(nSilver))
+        .withColumn("n_commits", lit(commits))
+    }),
+
     // CONDITIONAL PARTIAL-ASSIGNMENT MERGE (the reference's K5
     // `ON CONFLICT … DO UPDATE SET <assignments>`,
     // load_to_postgis.py:260-269) through BOTH commit shapes on the
@@ -1521,6 +1557,105 @@ object LakehouseQueries {
         .map { case (v, op, _, _, ra, rr, dv) => (v.toLong, op, ra, rr, dv) }
         .toDF("version", "op", "rows_added", "rows_removed",
           "dv_rows_deleted")
+    }),
+
+    // COPY INTO from a NON-parquet landing zone: FILEFORMAT = CSV /
+    // JSON read SCHEMA-ON-READ against the table's declared schema
+    // (CSV positionally in declared order + FORMAT_OPTIONS header,
+    // JSON by field name) — the formats a real ingest directory
+    // actually receives (the reference's loaders rescan a raw landing
+    // dir, load_to_postgis.py:173-174). Same loads-ledger idempotence
+    // as parquet: replay is a no-op, a late file loads incrementally.
+    // The oracle replays the slice arithmetic and per-step counts.
+    "q240_copy_formats" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_cf_q240")
+      def stage(sub: String, fmt: String, name: String, modulo: Int): Unit = {
+        val tmp = work.resolve(s"stage_${sub}_$name").toString
+        val df = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 3 === modulo)
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_totalprice").cast("double").as("v"),
+            col("o_orderpriority").as("prio"))
+          .coalesce(1)
+        if (fmt == "csv")
+          df.write.mode("overwrite").option("header", "true").csv(tmp)
+        else df.write.mode("overwrite").json(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(s".$fmt")).get
+        val dest = work.resolve(sub).resolve(s"$name.$fmt")
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val csvRoot = work.resolve("t_csv").toString
+      val jsonRoot = work.resolve("t_json").toString
+      s.sql(s"CREATE TABLE '$csvRoot' (k BIGINT, v DOUBLE, prio STRING)")
+      s.sql(s"CREATE TABLE '$jsonRoot' (k BIGINT, v DOUBLE, prio STRING)")
+      val steps =
+        scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      def copy(tag: String, root: String, in: String, clause: String,
+               step: Long): Unit = {
+        val r = s.sql(s"COPY INTO '$root' FROM '$in' $clause").head()
+        steps += ((tag, step, r.getInt(1).toLong))
+      }
+      val csvClause =
+        "FILEFORMAT = CSV FORMAT_OPTIONS ('header' = 'true')"
+      stage("in_csv", "csv", "a", 0); stage("in_csv", "csv", "b", 1)
+      val inCsv = work.resolve("in_csv").toString
+      copy("csv", csvRoot, inCsv, csvClause, 0)       // loads a + b
+      copy("csv", csvRoot, inCsv, csvClause, 1)       // replay: no-op
+      stage("in_csv", "csv", "c", 2)
+      copy("csv", csvRoot, inCsv, csvClause, 2)       // loads only c
+      stage("in_json", "json", "a", 0); stage("in_json", "json", "b", 2)
+      val inJson = work.resolve("in_json").toString
+      copy("json", jsonRoot, inJson, "FILEFORMAT = JSON", 0)
+      copy("json", jsonRoot, inJson, "FILEFORMAT = JSON", 1) // no-op
+      import s.implicits._
+      val stepDf = steps.toSeq.toDF("tab", "step", "files_loaded")
+      def agg(tag: String, root: String) =
+        stepDf.filter(col("tab") === tag).crossJoin(
+          VersionedTable.read(s, root)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("v").cast("decimal(18,2)")).cast("double")
+                .as("sum_v")))
+      agg("csv", csvRoot).unionByName(agg("json", jsonRoot))
+    }),
+
+    // Streaming from a WALL-CLOCK bound (startingTimestamp, Delta
+    // parity): the stream starts at the first version committed at or
+    // after the bound — resolved from in-commit stamps, so a backup-
+    // restore that mangles file mtimes changes nothing. Built mid-
+    // history (v2's exact stamp → v2 and v3 stream, v1 never does),
+    // drained exactly-once with AvailableNow, then replayed on the
+    // same checkpoint to prove the drain is idempotent. Oracle = the
+    // batch rollup of the v2+v3 slices.
+    "q241_stream_from_ts" -> ((s, d) => {
+      val work = EventsStream.scratchDir("graft_sts_q241")
+      val root = work.resolve("ev").toString
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+      VersionedTable.create(s, root, ev.filter(col("event_id") % 3 === 0)) // v1
+      VersionedTable.append(s, root, ev.filter(col("event_id") % 3 === 1)) // v2
+      VersionedTable.append(s, root, ev.filter(col("event_id") % 3 === 2)) // v3
+      val ts2 = VersionedTable.commitTimestamps(s, root).toMap.apply(2)
+      val out = work.resolve("out").toString
+      def drainOnce(): Unit = {
+        val q = s.readStream.format("graft-versioned")
+          .option("startingTimestamp", ts2.toString).load(root)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drainOnce()
+      drainOnce() // replay on the same checkpoint: no re-delivery
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
     }),
 
     "q208_sql_txn" -> ((s, d) => {
@@ -2489,6 +2624,58 @@ object LakehouseQueries {
                 UNION ALL SELECT 2, 1)
          SELECT s.step, s.files_loaded, a.n_rows, a.sum_v
          FROM steps s CROSS JOIN agg a""",
+
+    "q243_namespaced_catalog" ->
+      """WITH base AS (
+              SELECT CAST(o_orderkey AS BIGINT) AS k,
+                     CAST(o_totalprice AS DOUBLE) AS price,
+                     o_orderpriority AS prio
+              FROM orders),
+              ins AS (
+                SELECT k + 100000000 AS k, price, 'SYNTH' AS prio
+                FROM base WHERE k % 50 = 0),
+              allr AS (SELECT * FROM base UNION ALL SELECT * FROM ins),
+              upd AS (SELECT k,
+                        CASE WHEN k % 20 = 0 THEN price + 10.0
+                             ELSE price END AS price, prio
+                      FROM allr),
+              del AS (SELECT * FROM upd WHERE k % 30 <> 0)
+         SELECT prio, count(*)::BIGINT AS n,
+                CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                0::BIGINT AS n_bronze, 1::BIGINT AS n_silver,
+                5::BIGINT AS n_commits
+         FROM del GROUP BY prio""",
+
+    "q241_stream_from_ts" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+                CAST(sum(CAST(CAST(value AS DOUBLE)
+                  AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_id % 3 IN (1, 2)
+         GROUP BY event_type""",
+
+    "q240_copy_formats" ->
+      """WITH csv_agg AS (
+              SELECT count(*)::BIGINT AS n_rows,
+                     CAST(sum(CAST(CAST(o_totalprice AS DOUBLE)
+                       AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+              FROM orders),
+              json_agg AS (
+                SELECT count(*)::BIGINT AS n_rows,
+                       CAST(sum(CAST(CAST(o_totalprice AS DOUBLE)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+                FROM orders WHERE o_orderkey % 3 IN (0, 2)),
+              csv_steps AS (
+                SELECT 'csv' AS tab, 0::BIGINT AS step, 2::BIGINT AS files_loaded
+                UNION ALL SELECT 'csv', 1, 0
+                UNION ALL SELECT 'csv', 2, 1),
+              json_steps AS (
+                SELECT 'json' AS tab, 0::BIGINT AS step, 2::BIGINT AS files_loaded
+                UNION ALL SELECT 'json', 1, 0)
+         SELECT s.tab, s.step, s.files_loaded, a.n_rows, a.sum_v
+         FROM csv_steps s CROSS JOIN csv_agg a
+         UNION ALL
+         SELECT s.tab, s.step, s.files_loaded, a.n_rows, a.sum_v
+         FROM json_steps s CROSS JOIN json_agg a""",
 
     "q234_create_restore" ->
       """WITH src AS (

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.Portable._
-import graft.ext.Sketches
+import graft.ext.{Sketches, TextAnalysis}
 
 /** Round-4 training-data pipeline operators: frequency sketching,
   * corpus mixing, passage chunking, event-gap analysis, embedding
@@ -411,6 +411,58 @@ object TrainQueries {
     // distributed); lineage truncated per round. At 100 TB each round is
     // one scan + one vocabulary-sized aggregate — the textbook
     // distributed BPE trainer profile.
+    // Supervised quality-classifier TRAINING (the CCNet/fastText shape
+    // for the corpus quality filter): logistic-style regression of
+    // "is this document English" on quality signals, trained by batch
+    // gradient descent where each iteration is ONE distributed
+    // aggregate over the corpus + 4 broadcast weight scalars — the
+    // 100 TB-trainable shape (T passes, no per-row state, no driver
+    // data). Cross-engine EXACTNESS by construction: features quantize
+    // to integer grids (×1000), the per-row link output quantizes to
+    // ×1e6 (the sigmoid is the rational 0.5 + 0.5·z/(1+|z|) — algebraic
+    // IEEE ops only, so Spark and DuckDB bit-match where libm exp()
+    // would not), gradients are exact integer DECIMAL(38,0) sums that
+    // stay below 2^53 (exact as doubles), and the weight update is a
+    // fixed IEEE expression — so the whole weight TRAJECTORY bit-matches
+    // the oracle's closed-form replay. Feeds the existing evaluation
+    // chain (q117 P/R, q138 AUC, q170 calibration).
+    "q242_quality_train" -> ((s, d) => {
+      import s.implicits._
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stopN = TextAnalysis.countIn(toks, TextAnalysis.LangProfiles.head._2)
+      val base = documents(s, d).select(
+        (col("lang") === "en").cast("long").as("y"),
+        lit(1000L).as("x0"),
+        floor((lit(1000.0) * nTok) / (nTok + lit(50L))).cast("long").as("x1"),
+        when(nTok > lit(0L),
+          floor((lit(1000.0) * stopN) / nTok)).otherwise(lit(0L))
+          .cast("long").as("x2"),
+        floor((lit(1000.0) * col("n_chars")) / (col("n_chars") + lit(500L)))
+          .cast("long").as("x3"))
+        .localCheckpoint() // tokenize ONCE; iterations re-aggregate only
+      val w = Array(0.0, 0.0, 0.0, 0.0)
+      val hist = scala.collection.mutable.ArrayBuffer[(Long, Double, Double, Double, Double)]()
+      for (t <- 1L to 4L) {
+        val z = ((((lit(w(0)) * col("x0")) + (lit(w(1)) * col("x1"))) +
+          (lit(w(2)) * col("x2"))) + (lit(w(3)) * col("x3"))) / lit(1000.0)
+        val p = lit(0.5) + (lit(0.5) * z) / (lit(1.0) + abs(z))
+        val rq = floor(p * lit(1000000.0)).cast("long") -
+          col("y") * lit(1000000L)
+        val row = base.agg(
+          sum((rq * col("x0")).cast("decimal(38,0)")).as("g0"),
+          sum((rq * col("x1")).cast("decimal(38,0)")).as("g1"),
+          sum((rq * col("x2")).cast("decimal(38,0)")).as("g2"),
+          sum((rq * col("x3")).cast("decimal(38,0)")).as("g3"),
+          count(lit(1)).as("n")).head()
+        val n = row.getLong(4).toDouble
+        for (j <- 0 until 4)
+          w(j) = w(j) - 0.5 * (row.getDecimal(j).doubleValue / (n * 1.0e9))
+        hist += ((t, w(0), w(1), w(2), w(3)))
+      }
+      hist.toSeq.toDF("iter", "w0", "w1", "w2", "w3")
+    }),
+
     "q173_bpe_train" -> ((s, d) => {
       import s.implicits._
       var cur = documents(s, d).select(col("doc_id"),
@@ -650,6 +702,61 @@ object TrainQueries {
                      AS ratio_milli
             FROM ex, est"""
       },
+      "q242_quality_train" -> {
+        // The closed-form replay of the 4 gradient-descent iterations:
+        // wt{t} carries the weight 4-vector entering iteration t+1;
+        // every arithmetic step is the EXACT IEEE expression the Spark
+        // side runs (quantized features, rational sigmoid, integer
+        // gradient sums), so the weight trajectory bit-matches.
+        val stopEn = TextAnalysis.LangProfiles.head._2
+        val iters = (1 to 4).map { t =>
+          s"""g$t AS (
+                SELECT sum(CAST(rq * x0 AS DECIMAL(38,0))) AS g0,
+                       sum(CAST(rq * x1 AS DECIMAL(38,0))) AS g1,
+                       sum(CAST(rq * x2 AS DECIMAL(38,0))) AS g2,
+                       sum(CAST(rq * x3 AS DECIMAL(38,0))) AS g3,
+                       count(*)::BIGINT AS n
+                FROM (SELECT y, x0, x1, x2, x3,
+                             CAST(floor(p * 1000000.0) AS BIGINT)
+                               - y * 1000000 AS rq
+                      FROM (SELECT *,
+                              0.5 + (0.5 * z) / (1.0 + abs(z)) AS p
+                            FROM (SELECT f.*,
+                                    ((((w.c0 * x0) + (w.c1 * x1))
+                                      + (w.c2 * x2)) + (w.c3 * x3))
+                                      / 1000.0 AS z
+                                  FROM feat f CROSS JOIN wt${t - 1} w)))),
+              wt$t AS (
+                SELECT w.c0 - 0.5 * (CAST(g.g0 AS DOUBLE)
+                         / (CAST(g.n AS DOUBLE) * 1.0e9)) AS c0,
+                       w.c1 - 0.5 * (CAST(g.g1 AS DOUBLE)
+                         / (CAST(g.n AS DOUBLE) * 1.0e9)) AS c1,
+                       w.c2 - 0.5 * (CAST(g.g2 AS DOUBLE)
+                         / (CAST(g.n AS DOUBLE) * 1.0e9)) AS c2,
+                       w.c3 - 0.5 * (CAST(g.g3 AS DOUBLE)
+                         / (CAST(g.n AS DOUBLE) * 1.0e9)) AS c3
+                FROM g$t g CROSS JOIN wt${t - 1} w)"""
+        }.mkString(",\n")
+        val outs = (1 to 4).map(t =>
+          s"SELECT $t::BIGINT AS iter, c0 AS w0, c1 AS w1, c2 AS w2, c3 AS w3 FROM wt$t")
+          .mkString(" UNION ALL ")
+        s"""WITH feat AS (
+              SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+                     1000::BIGINT AS x0,
+                     CAST(floor((1000.0 * n_tok) / (n_tok + 50)) AS BIGINT) AS x1,
+                     CASE WHEN n_tok > 0
+                       THEN CAST(floor((1000.0 * stop_n) / n_tok) AS BIGINT)
+                       ELSE 0 END AS x2,
+                     CAST(floor((1000.0 * n_chars) / (n_chars + 500)) AS BIGINT) AS x3
+              FROM (SELECT lang, n_chars, len(tk)::BIGINT AS n_tok,
+                           ${TextAnalysis.countInSql("tk", stopEn)} AS stop_n
+                    FROM (SELECT lang, n_chars, ${tokensSql("text")} AS tk
+                          FROM documents))),
+            wt0 AS (SELECT 0.0 AS c0, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3),
+            $iters
+            $outs"""
+      },
+
       "q173_bpe_train" -> {
         // Same 3 rounds as CTE chain: tN holds the corpus strings entering
         // round N; bN the round's winning merge; replace() shares Spark's

@@ -250,6 +250,17 @@ object VersionedTable {
       }
     }
 
+  /** The streaming start a wall-clock bound resolves to: the FIRST
+    * version committed at or after `tsMillis` (Delta's
+    * `startingTimestamp` contract — "all changes committed at or after
+    * the timestamp"), or None when every live commit predates it (the
+    * caller then starts after the current head: future commits only).
+    * Same in-commit stamps and running-max monotonization as
+    * [[versionAsOf]], so the two bounds can never interleave. */
+  def versionSince(spark: SparkSession, root: String,
+                   tsMillis: Long): Option[Int] =
+    commitTimestamps(spark, root).find(_._2 >= tsMillis).map(_._1)
+
   /** Time travel by wall clock: the newest version committed at or
     * before `tsMillis` (the snapshot a reader at that instant saw),
     * resolved against [[commitTimestamps]]. */
@@ -733,6 +744,12 @@ object VersionedTable {
   private def cacheKey(f: FileSystem, p: Path,
                        st: org.apache.hadoop.fs.FileStatus): String =
     s"${f.makeQualified(p)}#${st.getLen}#${st.getModificationTime}"
+  /** TEST seam: drop the manifest cache — simulates a COLD reader (a
+    * different cluster/JVM) parsing committed manifest text from
+    * scratch, which is how round-trip parse bugs actually surface. */
+  private[graft] def dropManifestCache(): Unit =
+    manifestCache.synchronized(manifestCache.clear())
+
   private def cacheGet(key: String): Option[Manifest] =
     manifestCache.synchronized(Option(manifestCache.get(key)))
   private def cachePut(key: String, m: Manifest): Unit =
@@ -861,10 +878,16 @@ object VersionedTable {
     val schema = """"schema": "((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(text).map(m => unesc(m.group(1))).getOrElse("")
     val txn = """"txn": (\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
-    val partitionCols = """"partitionCols": \[([^\]]*)\]""".r
-      .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
-      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty).map(unesc).toSeq
+    // quote-aware (NOT comma-split): a layout TRANSFORM entry like
+    // `bucket(4, id)` legally contains a comma — splitting on it
+    // re-parses the committed layout as corrupt fragments ('bucket(4')
+    // and every later write fails at Layout.parse
+    val partitionCols = {
+      val body = """"partitionCols": \[((?:"(?:[^"\\]|\\.)*"(?:, )?)*)\]""".r
+        .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+      """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body)
+        .map(m => unesc(m.group(1))).toSeq
+    }
     val S = """\{"file": "((?:[^"\\]|\\.)*)", "col": "((?:[^"\\]|\\.)*)", "t": "(\w+)", "lo": "((?:[^"\\]|\\.)*)", "hi": "((?:[^"\\]|\\.)*)"(?:, "nn": (\d+))?(?:, "u": "([\w-]+)")?(?:, "lv": (true))?(?:, "sm": (-?\d+))?\}""".r
     val stats = S.findAllMatchIn(text).map { mm =>
       (unesc(mm.group(1)), ColStat(unesc(mm.group(2)), mm.group(3),
@@ -2012,19 +2035,33 @@ object VersionedTable {
     * constraints, layout). The ledger is the union of `loads` over
     * LIVE manifests — expired history forgets its loads, the same
     * retention caveat Delta's COPY INTO state carries: keep retention
-    * longer than your slowest ingest replay. Returns
-    * (version, filesLoaded). */
+    * longer than your slowest ingest replay.
+    *
+    * FILEFORMAT = PARQUET | CSV | JSON. Parquet sources carry their own
+    * schema; CSV/JSON — the formats a real landing zone actually
+    * receives (the reference's ingest writes raw blobs to a directory
+    * and loaders rescan it, download_landsat_stac.py:157-178,
+    * load_to_postgis.py:173-174) — are read SCHEMA-ON-READ against the
+    * table's declared schema (CSV positionally in declared column
+    * order, JSON by field name), so a malformed value fails the load
+    * rather than silently inferring a divergent type per file.
+    * `options` forwards reader options (header, delimiter, timestamp
+    * formats — Delta's FORMAT_OPTIONS). `pattern` defaults to
+    * `*.<format>`. Returns (version, filesLoaded). */
   def copyInto(spark: SparkSession, root: String, srcDir: String,
-               pattern: String = "*.parquet",
+               pattern: String = "",
                format: String = "parquet",
-               force: Boolean = false): (Int, Int) = {
-    require(format.equalsIgnoreCase("parquet"),
-      s"COPY INTO supports FILEFORMAT = PARQUET (got $format)")
+               force: Boolean = false,
+               options: Map[String, String] = Map.empty): (Int, Int) = {
+    val fmt = format.toLowerCase
+    require(Seq("parquet", "csv", "json").contains(fmt),
+      s"COPY INTO supports FILEFORMAT = PARQUET | CSV | JSON (got $format)")
+    val pat = if (pattern.nonEmpty) pattern else s"*.$fmt"
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     val dir = new Path(srcDir)
     val f = fs(spark, dir)
-    val cand = Option(f.globStatus(new Path(dir, pattern))).toSeq.flatten
+    val cand = Option(f.globStatus(new Path(dir, pat))).toSeq.flatten
       .filterNot(_.isDirectory)
       .map(_.getPath.toUri.toString).sorted
     // FORCE = re-ingest regardless of the ledger (the deliberate
@@ -2035,9 +2072,26 @@ object VersionedTable {
       else cand.filterNot(loadedSourceFiles(spark, root).contains)
     if (fresh.isEmpty) return (cur, 0)
     val m = readManifest(spark, root, cur)
-    val v = stageAppendCommit(spark, root, m, cur,
-      spark.read.parquet(fresh: _*), op = "copy-into", txn = None,
-      loads = fresh)
+    val src = fmt match {
+      case "parquet" => spark.read.options(options).parquet(fresh: _*)
+      case _ =>
+        // the read schema is the table's USER surface: engine-owned
+        // row ids and GENERATED columns are never in a landing file
+        // (the append contract computes them); fields read nullable so
+        // a missing value surfaces as the contract violation it is
+        // (CHECK / NOT NULL) instead of a reader crash
+        val declared = org.apache.spark.sql.types.StructType
+          .fromDDL(m.schemaDdl)
+        val readable = org.apache.spark.sql.types.StructType(declared
+          .filterNot(fd => fd.name == RowIdCol || m.gens.contains(fd.name))
+          .map(_.copy(nullable = true)))
+        val r = spark.read.options(options)
+          .option("mode", options.getOrElse("mode", "FAILFAST"))
+          .schema(readable)
+        if (fmt == "csv") r.csv(fresh: _*) else r.json(fresh: _*)
+    }
+    val v = stageAppendCommit(spark, root, m, cur, src,
+      op = "copy-into", txn = None, loads = fresh)
     (v, fresh.size)
   }
 

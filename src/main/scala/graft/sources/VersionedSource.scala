@@ -91,12 +91,28 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
     val dataSchema = schema
       .map(s => StructType(s.filterNot(f => VersionedSource.CdfCols.contains(f.name))))
       .getOrElse(VersionedTable.schemaOf(sqlContext.sparkSession, root))
+    val byVersion = parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion")).map(_.toInt)
+    // startingTimestamp (Delta parity): the stream starts at the FIRST
+    // version committed at or after the wall-clock bound — resolved
+    // from the manifests' in-commit stamps via the same parse as every
+    // other timestamp face. A bound past the newest commit starts the
+    // stream AFTER the current head (future commits only) rather than
+    // failing — the tail-a-live-table shape.
+    val byTimestamp = parameters.get("startingtimestamp")
+      .orElse(parameters.get("startingTimestamp")).map { t =>
+        val s = sqlContext.sparkSession
+        VersionedTable.versionSince(s, root,
+            VersionedTable.parseTsMillis(s, t))
+          .getOrElse(VersionedTable.currentVersion(s, root).getOrElse(0) + 1)
+      }
+    require(byVersion.isEmpty || byTimestamp.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
     new VersionedStreamSource(sqlContext, root,
       if (cdf) dataSchema.add("_change_type", "string", nullable = false)
         .add("_commit_version", "bigint", nullable = false)
       else dataSchema,
-      startingVersion = parameters.get("startingversion")
-        .orElse(parameters.get("startingVersion")).map(_.toInt),
+      startingVersion = byVersion.orElse(byTimestamp),
       ignoreChanges = parameters.get("ignorechanges")
         .orElse(parameters.get("ignoreChanges")).exists(_.toBoolean),
       maxVersionsPerTrigger = parameters.get("maxversionspertrigger")
@@ -117,13 +133,35 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
     // (the batch face never nets a span — each version diffs its own
     // predecessor, and version 1 is the initial snapshot as inserts)
     if (isChangeFeed(parameters)) {
-      val cur = VersionedTable.currentVersion(
-        sqlContext.sparkSession, root).getOrElse(
+      val s = sqlContext.sparkSession
+      val cur = VersionedTable.currentVersion(s, root).getOrElse(
         throw new IllegalArgumentException(s"no table at $root"))
-      val from = parameters.get("startingversion")
-        .orElse(parameters.get("startingVersion")).map(_.toInt).getOrElse(1)
-      val to = parameters.get("endingversion")
-        .orElse(parameters.get("endingVersion")).map(_.toInt).getOrElse(cur)
+      // wall-clock range bounds (Delta parity): startingTimestamp →
+      // the FIRST version committed at or after it (a bound past the
+      // head refuses — an empty batch CDF range is a caller bug, like
+      // Delta's table_changes); endingTimestamp → the NEWEST version
+      // committed at or before it (what a reader at that instant saw)
+      val fromTs = parameters.get("startingtimestamp")
+        .orElse(parameters.get("startingTimestamp")).map { t =>
+          VersionedTable.versionSince(s, root,
+              VersionedTable.parseTsMillis(s, t))
+            .getOrElse(throw new IllegalArgumentException(
+              s"startingTimestamp '$t' is after the newest commit at $root"))
+        }
+      val toTs = parameters.get("endingtimestamp")
+        .orElse(parameters.get("endingTimestamp")).map(t =>
+          VersionedTable.versionAsOf(s, root,
+            VersionedTable.parseTsMillis(s, t)))
+      val fromV = parameters.get("startingversion")
+        .orElse(parameters.get("startingVersion")).map(_.toInt)
+      val toV = parameters.get("endingversion")
+        .orElse(parameters.get("endingVersion")).map(_.toInt)
+      require(fromV.isEmpty || fromTs.isEmpty,
+        "startingVersion and startingTimestamp are mutually exclusive")
+      require(toV.isEmpty || toTs.isEmpty,
+        "endingVersion and endingTimestamp are mutually exclusive")
+      val from = fromV.orElse(fromTs).getOrElse(1)
+      val to = toV.orElse(toTs).getOrElse(cur)
       require(from >= 1 && from <= to && to <= cur,
         s"table_changes range [$from, $to] must sit inside [1, $cur]")
       require(Seq("versionasof", "versionAsOf", "timestampasof",

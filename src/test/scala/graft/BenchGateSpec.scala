@@ -96,6 +96,27 @@ class BenchGateSpec extends AnyFunSuite {
     assert(c2 && r2.isEmpty, "every probe elevated = box-wide contention")
   }
 
+  test("tighten merge: never raises, fills missing, leaves probes alone") {
+    val old = Map("q1" -> 1.0, "q2" -> 2.0, "q13_probe" -> 0.7,
+      "q_gone" -> 3.0)
+    val fresh = Map("q1" -> 0.8,        // faster → tightens
+      "q2" -> 2.9,                       // slower → old entry stands
+      "q13_probe" -> 0.5,                // probe → NEVER ratchets down
+      "q_new" -> 4.2)                    // no entry → fills (biased-high ok)
+    val merged = Bench.tightenedBaseline(old, fresh, Set("q13_probe"))
+    assert(merged("q1") == 0.8, "a faster window tightens the entry")
+    assert(merged("q2") == 2.0, "a slower window can NEVER inflate")
+    assert(merged("q13_probe") == 0.7,
+      "probe floors are the refresh bar's denominator — one fast " +
+        "window must not ratchet the bar unreachable")
+    assert(merged("q_new") == 4.2, "new queries gate from their first sweep")
+    assert(merged("q_gone") == 3.0, "dropped queries keep their entry")
+    // a probe with NO committed entry still gets a first one
+    val first = Bench.tightenedBaseline(Map.empty,
+      Map("q13_probe" -> 0.9), Set("q13_probe"))
+    assert(first("q13_probe") == 0.9)
+  }
+
   test("normalization scale is the SMALLEST probe ratio above 1.0") {
     assert(Bench.probeScale(Seq(1.2, 1.5)) == 1.2)
     assert(Bench.probeScale(Seq(0.97, 1.5)) == 1.0,

@@ -236,9 +236,33 @@ class ConcurrentFuzzSpec extends SparkSpec {
             val next = s"pad${t}_$k"
             VersionedTable.renameColumn(spark, root, padName, next)
             padName = next
-          } else {
+          } else if (roll == 96) {
             val cur = VersionedTable.currentVersion(spark, root).getOrElse(1)
             if (cur > 2) VersionedTable.rollback(spark, root, cur - 1)
+          } else if (roll == 97) {
+            // the SQL RESTORE spelling of the same undo — replace/
+            // rollback racing DML is the nastiest interleaving (the
+            // rebase walk refuses unconditionally on either op)
+            val cur = VersionedTable.currentVersion(spark, root).getOrElse(1)
+            if (cur > 2)
+              spark.sql(s"RESTORE TABLE '$root' TO VERSION AS OF ${cur - 1}")
+          } else if (roll == 98) {
+            // partition-layout churn: a metadata-only commit every
+            // concurrent writer staged under the old layout must refuse
+            if (rnd.nextBoolean())
+              spark.sql(s"ALTER TABLE '$root' SET PARTITIONED BY (bucket(4, id))")
+            else VersionedTable.setPartitionLayout(spark, root, Seq.empty)
+          } else {
+            // CREATE OR REPLACE: a NEW incarnation — everything live is
+            // removed, fresh band rows land through the new shape; every
+            // racer staged against the old incarnation must refuse. The
+            // CDF replay model audits the wipe as removes + adds.
+            val lo = 15000000L + t * 1000000L + k * 10L
+            val ids = Seq(lo, lo + 1)
+            VersionedTable.replaceTable(spark, root, "id BIGINT, val BIGINT",
+              content = Some(
+                ids.toDF("id").withColumn("val", col("id") * 7).coalesce(1)))
+            ids.foreach(appended.add)
           }
         } catch {
           case _: java.util.ConcurrentModificationException =>

@@ -154,6 +154,77 @@ class CopyIntoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 3)
   }
 
+  test("CSV ingest: schema-on-read in declared order, full append contract") {
+    val dir = freshDir()
+    val root = dir.resolve("t").toString
+    val in = dir.resolve("in")
+    Files.createDirectories(in)
+    spark.sql(s"""CREATE TABLE '$root' (
+        k BIGINT, v DOUBLE, dbl DOUBLE GENERATED ALWAYS AS (k * 2.0),
+        CONSTRAINT v_pos CHECK (v > 0))""")
+    // a raw landing file — no parquet anywhere; the GENERATED column
+    // is NOT in the file (the contract computes it)
+    Files.write(in.resolve("a.csv"),
+      "k,v\n10,5.5\n11,2.25\n".getBytes("UTF-8"))
+    val r1 = spark.sql(s"COPY INTO '$root' FROM '$in' FILEFORMAT = CSV " +
+      "FORMAT_OPTIONS ('header' = 'true')").head()
+    assert(r1.getInt(1) == 1, s"one file loads: $r1")
+    val got = VersionedTable.read(spark, root)
+      .select("k", "v", "dbl").as[(Long, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 5.5, 20.0), (11L, 2.25, 22.0)), got.toString)
+    // replay is a no-op — the ledger works across formats
+    assert(spark.sql(s"COPY INTO '$root' FROM '$in' FILEFORMAT = CSV " +
+      "FORMAT_OPTIONS ('header' = 'true')").head().getInt(1) == 0)
+    // a violating row refuses atomically and stays unloaded
+    Files.write(in.resolve("bad.csv"),
+      "k,v\n12,-1.0\n".getBytes("UTF-8"))
+    assert(intercept[Exception] {
+      spark.sql(s"COPY INTO '$root' FROM '$in' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header' = 'true')")
+    }.getMessage.contains("v_pos"))
+    assert(VersionedTable.read(spark, root).count() == 2)
+    assert(!VersionedTable.loadedSourceFiles(spark, root)
+      .exists(_.contains("bad")), "failed ingest never enters the ledger")
+    // a MALFORMED value fails the load (FAILFAST), never silently nulls
+    Files.delete(in.resolve("bad.csv"))
+    Files.write(in.resolve("mal.csv"),
+      "k,v\nnot_a_number,1.0\n".getBytes("UTF-8"))
+    intercept[Exception] {
+      spark.sql(s"COPY INTO '$root' FROM '$in' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header' = 'true')")
+    }
+    assert(VersionedTable.read(spark, root).count() == 2)
+  }
+
+  test("JSON ingest: fields resolve by NAME; a missing field reads NULL (Delta parity)") {
+    val dir = freshDir()
+    val root = dir.resolve("t").toString
+    val in = dir.resolve("in")
+    Files.createDirectories(in)
+    spark.sql(s"CREATE TABLE '$root' " +
+      "(k BIGINT, v DOUBLE, tag STRING DEFAULT 'none')")
+    // scrambled field order + one record missing a field: schema-on-
+    // read makes the column PRESENT (null), so the DEFAULT — which
+    // fills only ABSENT columns, like Delta's COPY INTO — does not
+    // apply; the record lands with NULL
+    Files.write(in.resolve("a.json"),
+      ("""{"v": 2.5, "k": 7, "tag": "x"}""" + "\n" +
+        """{"k": 8, "v": 1.25}""" + "\n").getBytes("UTF-8"))
+    val (_, n) = VersionedTable.copyInto(spark, root, in.toString,
+      format = "json")
+    assert(n == 1)
+    val got = VersionedTable.read(spark, root)
+      .select("k", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((7L, 2.5, Some("x")), (8L, 1.25, None)),
+      got.toString)
+    // replay no-op through the Scala face too
+    assert(VersionedTable.copyInto(spark, root, in.toString,
+      format = "json")._2 == 0)
+  }
+
   test("racing COPY INTOs over shared files: the loser refuses, never double-loads") {
     val dir = freshDir()
     val root = dir.resolve("t").toString

@@ -97,6 +97,62 @@ class GraftNamedCatalogSpec extends SparkSpec {
     assert(!new java.io.File(s"$w/scenes2").exists())
   }
 
+  test("namespaces: graft.db.t end to end — DDL, DML, SHOW, rename, drop") {
+    val w = freshWarehouse()
+    spark.sql("CREATE NAMESPACE graft.silver")
+    assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("silver"))
+    // CTAS into the namespace → managed at <warehouse>/silver/t
+    spark.sql("CREATE TABLE graft.silver.ev AS SELECT 1L AS k, 'a' AS s")
+    assert(VersionedTable.currentVersion(spark, s"$w/silver/ev").nonEmpty,
+      "namespaced managed table lives one directory level down")
+    spark.sql("INSERT INTO graft.silver.ev SELECT 2L, 'b'")
+    assert(spark.sql("SELECT sum(k) FROM graft.silver.ev")
+      .as[Long].head() == 3L)
+    // SHOW TABLES scopes to the namespace level — no cross-listing
+    assert(spark.sql("SHOW TABLES IN graft.silver").collect()
+      .map(_.getString(1)).toSeq == Seq("ev"))
+    spark.sql("CREATE TABLE graft.top AS SELECT 1L AS k")
+    assert(!spark.sql("SHOW TABLES IN graft").collect()
+      .map(_.getString(1)).contains("ev"),
+      "top level never lists namespaced tables")
+    // parser DML faces take the two-level spelling
+    spark.sql("UPDATE graft.silver.ev SET s = 'z' WHERE k = 2")
+    assert(spark.sql("SELECT s FROM graft.silver.ev WHERE k = 2")
+      .as[String].head() == "z")
+    spark.sql("DELETE FROM graft.silver.ev WHERE k = 1")
+    assert(spark.sql("SELECT count(*) FROM graft.silver.ev")
+      .as[Long].head() == 1L)
+    // CALL procedures accept the dotted name where they take a path
+    assert(spark.sql("CALL graft.history('silver.ev')").count() >= 3)
+    // links register into namespaces too
+    val ext = Files.createTempDirectory("graft_ns_ext").resolve("t").toString
+    VersionedTable.create(spark, ext, Seq((5L, "e")).toDF("k", "s"))
+    spark.sql(s"CALL graft.register_table('silver.linked', '$ext')")
+    assert(spark.sql("SELECT k FROM graft.silver.linked")
+      .as[Long].head() == 5L)
+    assert(spark.sql("SHOW TABLES IN graft.silver").collect()
+      .map(_.getString(1)).toSeq.sorted == Seq("ev", "linked"))
+    // rename ACROSS namespaces moves the managed dir
+    spark.sql("ALTER TABLE graft.silver.ev RENAME TO graft.gold.ev")
+    assert(spark.sql("SELECT count(*) FROM graft.gold.ev")
+      .as[Long].head() == 1L)
+    assert(VersionedTable.currentVersion(spark, s"$w/silver/ev").isEmpty)
+    // DROP NAMESPACE refuses while tables remain; CASCADE clears
+    assert(intercept[Exception](
+      spark.sql("DROP NAMESPACE graft.silver")).getMessage
+      .contains("still holds"))
+    spark.sql("DROP NAMESPACE graft.silver CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graft").collect()
+      .map(_.getString(0)).contains("silver"))
+    assert(VersionedTable.currentVersion(spark, ext).nonEmpty,
+      "dropping a namespace unbinds links, never deletes linked data")
+    // three-level names refuse
+    assert(intercept[Exception](
+      spark.sql("CREATE TABLE graft.a.b.c (k BIGINT)")).getMessage
+      .contains("namespace"))
+  }
+
   test("parser named targets: UPDATE / DELETE / MERGE / OPTIMIZE / VACUUM") {
     val w = freshWarehouse()
     spark.sql("CREATE TABLE graft.docs AS " +

@@ -91,6 +91,30 @@ class PartitionTransformSpec extends SparkSpec {
     assert(kept.size < files.size, "bucket pruning never pruned a file")
   }
 
+  test("bucket layout survives a COLD manifest re-parse (comma inside the transform)") {
+    // `bucket(4, uid)` carries a comma: a comma-splitting manifest
+    // parse re-reads the committed layout as corrupt fragments
+    // ('bucket(4'), and every write on a COLD reader (new cluster, or
+    // an evicted cache entry) then fails at Layout.parse — the warm
+    // in-JVM cache masks it, so this test drops the cache explicitly
+    val root = freshRoot()
+    VersionedTable.create(spark, root, evdf(week.take(2): _*))        // v1
+    VersionedTable.setPartitionLayout(spark, root, Seq("bucket(4, uid)"))
+    VersionedTable.append(spark, root, evdf(week.drop(2): _*))        // v3
+    VersionedTable.dropManifestCache()
+    assert(VersionedTable.read(spark, root).count() == week.size,
+      "cold read parses the transform layout intact")
+    VersionedTable.dropManifestCache()
+    VersionedTable.append(spark, root,
+      evdf((100L, ts("2024-03-09 03:00:00"), 1L, "click")))           // v4
+    assert(VersionedTable.read(spark, root).count() == week.size + 1,
+      "cold write stages under the parsed transform layout")
+    VersionedTable.dropManifestCache()
+    assert(spark.sql(s"SHOW CREATE TABLE '$root'").collect()
+      .map(_.getString(0)).mkString("\n").contains("bucket(4, uid)"),
+      "SHOW CREATE renders the transform exactly as declared")
+  }
+
   test("truncate layout: string prefixes and integer floor-to-multiple") {
     val root = freshRoot()
     val df = Seq((1L, "alpha", 7L), (2L, "alps", -3L), (3L, "beta", 12L),

@@ -85,6 +85,75 @@ class VersionedStreamSourceSpec extends SparkSpec {
       "versions before startingVersion never deliver")
   }
 
+  test("startingTimestamp resolves to the first commit at or after the bound") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2)) // v1
+    VersionedTable.append(spark, root, df(3))    // v2
+    VersionedTable.append(spark, root, df(4))    // v3
+    val stamps = VersionedTable.commitTimestamps(spark, root).toMap
+    // the bound = v2's exact in-commit stamp: v2 is "at or after" it
+    val ckpt = Files.createTempDirectory("vss_ckptT").toString
+    val out = Files.createTempDirectory("vss_outT").toString
+    assert(drain(root, ckpt, out,
+      Map("startingTimestamp" -> stamps(2).toString)) == Seq(3L, 4L),
+      "streaming from v2's stamp delivers v2 and v3, never v1")
+    // a bound past the newest commit: FUTURE commits only — the
+    // tail-a-live-table shape (nothing delivered until a new commit)
+    val ckpt2 = Files.createTempDirectory("vss_ckptT2").toString
+    val out2 = Files.createTempDirectory("vss_outT2").toString
+    val futureOpt = Map("startingTimestamp" -> (stamps(3) + 1L).toString)
+    locally { // drain without the parquet read-back (sink may be empty)
+      val reader = spark.readStream.format("graft-versioned")
+      futureOpt.foreach { case (k, v) => reader.option(k, v) }
+      val q = reader.load(root)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(!new java.io.File(out2).listFiles()
+      .exists(_.getName.endsWith(".parquet")),
+      "a future bound delivers nothing yet")
+    Thread.sleep(30) // v4's stamp must land past the bound
+    VersionedTable.append(spark, root, df(5))    // v4, after the bound
+    assert(drain(root, ckpt2, out2, futureOpt) == Seq(5L),
+      "the next commit streams")
+    // mutual exclusion with startingVersion
+    val e = intercept[Exception] {
+      drain(root, Files.createTempDirectory("x").toString,
+        Files.createTempDirectory("y").toString,
+        Map("startingTimestamp" -> "0", "startingVersion" -> "2"))
+    }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
+
+  test("batch CDF takes startingTimestamp/endingTimestamp range bounds") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1)) // v1
+    VersionedTable.append(spark, root, df(2)) // v2
+    VersionedTable.append(spark, root, df(3)) // v3
+    val stamps = VersionedTable.commitTimestamps(spark, root).toMap
+    val got = spark.read.format("graft-versioned")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", stamps(2).toString)
+      .option("endingTimestamp", stamps(2).toString)
+      .load(root)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((2L, "insert", 2L)),
+      s"the wall-clock range [v2, v2] is exactly v2's delta: $got")
+    // a starting bound past the head REFUSES on the batch face (an
+    // empty table_changes range is a caller bug, Delta parity)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-versioned")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", (stamps(3) + 60000L).toString)
+        .load(root).count()
+    }
+    assert(e.getMessage.contains("after the newest commit"), e.getMessage)
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch to N commits") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1)) // v1
