@@ -463,6 +463,47 @@ object TrainQueries {
       hist.toSeq.toDF("iter", "w0", "w1", "w2", "w3")
     }),
 
+    // HASHED-FEATURE quality classifier (the fastText bag-of-words
+    // shape proper, q242's dense-signal sibling): each document's
+    // features are PRESENCE bits over 16 hash buckets of its tokens
+    // (portable charFold % 16 — the dimensionality-fixed trick that
+    // makes vocabulary size irrelevant at 100 TB) plus a bias; 3
+    // gradient-descent iterations, each ONE distributed aggregate of
+    // 17 integer gradient sums + broadcast weights. Same cross-engine
+    // exactness discipline as q242 (quantized features, rational
+    // sigmoid, floor-quantized link, DECIMAL(38,0) integer sums below
+    // 2^53, fixed IEEE update): the per-bucket weight TRAJECTORY
+    // bit-matches the oracle's closed-form replay.
+    "q244_hashed_train" -> ((s, d) => {
+      import s.implicits._
+      val toks = tokens(col("text"))
+      val names = "bias" +: (0 until 16).map(b => s"x$b")
+      val feats = lit(1000L).as("bias") +: (0 until 16).map(b =>
+        when(exists(toks, t => charFold(t) % lit(16L) === lit(b.toLong)),
+          lit(1000L)).otherwise(lit(0L)).as(s"x$b"))
+      val base = documents(s, d).select(
+        ((col("lang") === "en").cast("long").as("y") +: feats): _*)
+        .localCheckpoint() // hash ONCE; iterations re-aggregate only
+      val w = Array.fill(17)(0.0)
+      val hist = scala.collection.mutable.ArrayBuffer[(Long, String, Double)]()
+      for (t <- 1L to 3L) {
+        val z = names.zipWithIndex.map { case (nm, i) => lit(w(i)) * col(nm) }
+          .reduceLeft(_ + _) / lit(1000.0)
+        val p = lit(0.5) + (lit(0.5) * z) / (lit(1.0) + abs(z))
+        val rq = floor(p * lit(1000000.0)).cast("long") -
+          col("y") * lit(1000000L)
+        val aggs = names.map(nm =>
+          sum((rq * col(nm)).cast("decimal(38,0)")).as(s"g_$nm")) :+
+          count(lit(1)).as("n")
+        val row = base.agg(aggs.head, aggs.tail: _*).head()
+        val n = row.getLong(17).toDouble
+        for (i <- 0 until 17)
+          w(i) = w(i) - 0.5 * (row.getDecimal(i).doubleValue / (n * 1.0e9))
+        names.zipWithIndex.foreach { case (nm, i) => hist += ((t, nm, w(i))) }
+      }
+      hist.toSeq.toDF("iter", "feat", "w")
+    }),
+
     "q173_bpe_train" -> ((s, d) => {
       import s.implicits._
       var cur = documents(s, d).select(col("doc_id"),
@@ -753,6 +794,62 @@ object TrainQueries {
                     FROM (SELECT lang, n_chars, ${tokensSql("text")} AS tk
                           FROM documents))),
             wt0 AS (SELECT 0.0 AS c0, 0.0 AS c1, 0.0 AS c2, 0.0 AS c3),
+            $iters
+            $outs"""
+      },
+
+      "q244_hashed_train" -> {
+        // Presence bits via unnest + per-doc MAX (no nested lambdas —
+        // the outer-capture form DuckDB's lambda support is shaky on);
+        // then the same closed-form iteration unroll as q242 with 17
+        // weight columns. Every arithmetic step is the exact IEEE
+        // expression the Spark side runs.
+        val names = "bias" +: (0 until 16).map(b => s"x$b")
+        val presCols = (0 until 16).map(b =>
+          s"max(CASE WHEN tb.b = $b THEN 1000 ELSE 0 END)::BIGINT AS x$b")
+          .mkString(",\n                       ")
+        val zExpr = names.map(nm => s"(w.c_$nm * $nm)")
+          .reduceLeft((a, b) => s"($a + $b)") + " / 1000.0"
+        val gCols = names.map(nm =>
+          s"sum(CAST(rq * $nm AS DECIMAL(38,0))) AS g_$nm")
+          .mkString(",\n                       ")
+        val featPass = names.map(nm => s"f.$nm").mkString(", ")
+        val iters = (1 to 3).map { t =>
+          s"""g$t AS (
+                SELECT $gCols,
+                       count(*)::BIGINT AS n
+                FROM (SELECT y, $featPass,
+                             CAST(floor(p * 1000000.0) AS BIGINT)
+                               - y * 1000000 AS rq
+                      FROM (SELECT f.*,
+                              0.5 + (0.5 * z) / (1.0 + abs(z)) AS p
+                            FROM (SELECT f.*, $zExpr AS z
+                                  FROM feat f CROSS JOIN wt${t - 1} w) f) f)),
+              wt$t AS (
+                SELECT ${names.map(nm =>
+                  s"w.c_$nm - 0.5 * (CAST(g.g_$nm AS DOUBLE) / " +
+                    s"(CAST(g.n AS DOUBLE) * 1.0e9)) AS c_$nm")
+                  .mkString(",\n                       ")}
+                FROM g$t g CROSS JOIN wt${t - 1} w)"""
+        }.mkString(",\n")
+        val outs = (1 to 3).flatMap(t => names.map(nm =>
+          s"SELECT $t::BIGINT AS iter, '$nm' AS feat, c_$nm AS w FROM wt$t"))
+          .mkString(" UNION ALL ")
+        s"""WITH docs AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END::BIGINT AS y,
+                     $tokSql AS tk
+              FROM documents),
+            tokbkt AS (
+              SELECT doc_id, (${charFoldSql("tok")}) % 16 AS b
+              FROM (SELECT doc_id, unnest(tk) AS tok FROM docs)),
+            feat AS (
+              SELECT d.doc_id, d.y, 1000::BIGINT AS bias,
+                     $presCols
+              FROM docs d LEFT JOIN tokbkt tb ON d.doc_id = tb.doc_id
+              GROUP BY d.doc_id, d.y),
+            wt0 AS (SELECT ${names.map(nm => s"0.0 AS c_$nm")
+              .mkString(", ")}),
             $iters
             $outs"""
       },
