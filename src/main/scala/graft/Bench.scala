@@ -117,6 +117,32 @@ object Bench {
       })
     }.toMap
 
+  /** The committed baseline file's epoch stamp ("_epoch": N), if any. */
+  private def committedEpoch(): Option[Int] =
+    """"_epoch":\s*([0-9]+)""".r
+      .findFirstMatchIn(scala.util.Try(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json")))
+        .getOrElse(""))
+      .map(_.group(1).toInt)
+
+  /** Serialize + write BENCH_STABLE_BASELINE.json — the ONE place that
+    * knows the file format, shared by the normal refresh, the tighten
+    * refresh and the epoch mint (a format tweak applied to one copy of
+    * three would silently diverge the files). */
+  private def writeBaselineFile(entries: Seq[(String, Double)],
+                                epoch: Option[Int]): Unit = {
+    val body = (epoch.map(e => s""""_epoch": $e""").toSeq ++
+      entries.map { case (k, v) =>
+        s""""$k": ${BigDecimal(v).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP)}"""
+      }).map("  " + _).mkString("{\n", ",\n", "\n}\n")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json"), body)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] baseline write failed: ${e.getMessage}")
+    }
+  }
+
   /** The would-be regression set regardless of calibration — what a
     * contended run records as `suppressed`. */
   private[graft] def rawRegressions(
@@ -364,20 +390,8 @@ object Bench {
       val fresh = results.collect { case (k, Some(_)) =>
         k -> adjudicated(k).getOrElse(-1.0) }.filter(_._2 >= 0).toMap
       // carry the epoch stamp through a normal refresh
-      val epochStamp = """"_epoch":\s*([0-9]+)""".r
-        .findFirstMatchIn(scala.util.Try(java.nio.file.Files.readString(
-          java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json")))
-          .getOrElse(""))
-        .map(m => s"""  "_epoch": ${m.group(1)}""").toSeq
-      val merged = (baseline ++ fresh).toSeq.sortBy(_._1)
-      val body = (epochStamp ++ merged.map { case (k, v) =>
-        s"""  "$k": ${BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)}"""
-      }).mkString("{\n", ",\n", "\n}\n")
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json"), body)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] baseline write failed: ${e.getMessage}")
-      }
+      Bench.writeBaselineFile((baseline ++ fresh).toSeq.sortBy(_._1),
+        Bench.committedEpoch())
     }
     // TIGHTEN refresh (SPARK_GRAFT_BENCH_WRITE_BASELINE=tighten): the
     // always-safe merge — see [[tightenedBaseline]]. Runs on any
@@ -394,15 +408,6 @@ object Bench {
           k -> adjudicated(k).getOrElse(-1.0) }.filter(_._2 >= 0).toMap
         val merged = Bench.tightenedBaseline(baseline, fresh,
           probeNames.toSet).toSeq.sortBy(_._1)
-        val epochStamp = """"_epoch":\s*([0-9]+)""".r
-          .findFirstMatchIn(scala.util.Try(java.nio.file.Files.readString(
-            java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json")))
-            .getOrElse(""))
-          .map(m => s"""  "_epoch": ${m.group(1)}""").toSeq
-        val body = (epochStamp ++ merged.map { case (k, v) =>
-          s"""  "$k": ${BigDecimal(v).setScale(3,
-            BigDecimal.RoundingMode.HALF_UP)}"""
-        }).mkString("{\n", ",\n", "\n}\n")
         val added = fresh.keySet -- baseline.keySet
         val lowered = fresh.filter { case (k, v) =>
           baseline.get(k).exists(v < _) && !probeNames.contains(k) }
@@ -410,11 +415,7 @@ object Bench {
           s"entr${if (added.size == 1) "y" else "ies"}" +
           (if (added.nonEmpty) s" (${added.toSeq.sorted.mkString(", ")})"
            else "") + s", ${lowered.size} tightened")
-        try java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json"), body)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] baseline write failed: ${e.getMessage}")
-        }
+        Bench.writeBaselineFile(merged, Bench.committedEpoch())
       }
     }
     // EPOCH MINT (SPARK_GRAFT_BENCH_WRITE_BASELINE=epoch): replace the
@@ -449,19 +450,10 @@ object Bench {
           s" spread over $mintSpreadBar: " + unstable.map { case (n, r) =>
             f"$n $r%.2f" }.mkString(", "))
       else {
-        val oldEpoch = """"_epoch":\s*([0-9]+)""".r
-          .findFirstMatchIn(scala.util.Try(java.nio.file.Files.readString(
-            java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json")))
-            .getOrElse(""))
-          .map(_.group(1).toInt).getOrElse(1)
+        val oldEpoch = Bench.committedEpoch().getOrElse(1)
         val fresh = results.collect { case (k, Some(_)) =>
           k -> adjudicated(k).getOrElse(-1.0) }.filter(_._2 >= 0)
           .toSeq.sortBy(_._1)
-        val body = (Seq(s""""_epoch": ${oldEpoch + 1}""") ++
-          fresh.map { case (k, v) =>
-            s""""$k": ${BigDecimal(v).setScale(3,
-              BigDecimal.RoundingMode.HALF_UP)}""" })
-          .map("  " + _).mkString("{\n", ",\n", "\n}\n")
         try {
           val cur = java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json")
           val keep = java.nio.file.Paths.get(
@@ -469,7 +461,7 @@ object Bench {
           if (java.nio.file.Files.exists(cur) &&
               !java.nio.file.Files.exists(keep))
             java.nio.file.Files.copy(cur, keep)
-          java.nio.file.Files.writeString(cur, body)
+          Bench.writeBaselineFile(fresh, Some(oldEpoch + 1))
           System.err.println(s"[bench] epoch ${oldEpoch + 1} baseline " +
             s"MINTED (${fresh.size} queries; probes " + probeSpreads
               .map { case (n, r) => f"$n spread $r%.2f" }.mkString(", ") +

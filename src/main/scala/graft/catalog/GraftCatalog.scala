@@ -99,6 +99,10 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     require(namespace.length <= 1,
       s"the graft catalog supports at most one namespace level; got " +
         namespace.mkString("."))
+    // a namespace typo must ERROR (the listTables contract), not read
+    // as an empty namespace
+    if (namespace.length == 1 && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
     GraftNames.list(spark, namespace.headOption)
       .map(n => Identifier.of(namespace, n)).toArray
   }
@@ -115,7 +119,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty || (namespace.length == 1 &&
-      GraftNames.listNamespaces(spark).contains(namespace(0)))
+      GraftNames.namespaceExists(spark, namespace(0)))
 
   override def loadNamespaceMetadata(namespace: Array[String])
       : java.util.Map[String, String] =
@@ -127,6 +131,11 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
                                metadata: java.util.Map[String, String]): Unit = {
     require(namespace.length == 1,
       s"graft namespaces are one level: ${namespace.mkString(".")}")
+    // the traversal guard every name-to-path join enforces: a
+    // backticked `../evil` must never mkdir outside the warehouse, and
+    // a name list/lookup would reject must not be creatable at all
+    require(GraftNames.validSegment(namespace(0)),
+      s"invalid namespace name: ${namespace(0)}")
     val w = GraftNames.warehouse(spark).getOrElse(
       throw new IllegalArgumentException(
         s"namespaces need the warehouse conf: SET " +
@@ -146,6 +155,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     require(namespace.length == 1,
       s"graft namespaces are one level: ${namespace.mkString(".")}")
     val db = namespace(0)
+    require(GraftNames.validSegment(db), s"invalid namespace name: $db")
     if (!namespaceExists(namespace)) return false
     val tables = GraftNames.list(spark, Some(db))
     require(cascade || tables.isEmpty,

@@ -68,6 +68,24 @@ object GraftNames {
     segs.nonEmpty && segs.length <= 2 && segs.forall(NameRe.matches)
   }
 
+  /** One namespace/table SEGMENT — the path-traversal guard for every
+    * name-to-path join (a backticked `../evil` must never escape the
+    * warehouse). */
+  def validSegment(s: String): Boolean = NameRe.matches(s)
+
+  /** O(1) namespace existence: a direct probe of the ONE candidate —
+    * the managed directory (that is not itself a table) or its link
+    * subdirectory — never a warehouse-wide listing (which is O(tables)
+    * filesystem round-trips and runs on every USE / name resolution). */
+  def namespaceExists(spark: SparkSession, db: String): Boolean =
+    validSegment(db) && warehouse(spark).exists { w =>
+      val dir = new Path(s"$w/$db")
+      val f = fs(spark, dir)
+      (f.exists(dir) &&
+        VersionedTable.currentVersion(spark, dir.toString).isEmpty) ||
+        f.exists(new Path(s"$w/_names/$db"))
+    }
+
   /** Bind `name` to an EXISTING table root (the link form). Re-binding
     * an existing name is an update — the link is the only state. */
   def register(spark: SparkSession, name: String, root: String): Unit = {

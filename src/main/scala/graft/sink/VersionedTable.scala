@@ -882,12 +882,7 @@ object VersionedTable {
     // `bucket(4, id)` legally contains a comma — splitting on it
     // re-parses the committed layout as corrupt fragments ('bucket(4')
     // and every later write fails at Layout.parse
-    val partitionCols = {
-      val body = """"partitionCols": \[((?:"(?:[^"\\]|\\.)*"(?:, )?)*)\]""".r
-        .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
-      """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body)
-        .map(m => unesc(m.group(1))).toSeq
-    }
+    val partitionCols = parseQuotedList(text, "partitionCols")
     val S = """\{"file": "((?:[^"\\]|\\.)*)", "col": "((?:[^"\\]|\\.)*)", "t": "(\w+)", "lo": "((?:[^"\\]|\\.)*)", "hi": "((?:[^"\\]|\\.)*)"(?:, "nn": (\d+))?(?:, "u": "([\w-]+)")?(?:, "lv": (true))?(?:, "sm": (-?\d+))?\}""".r
     val stats = S.findAllMatchIn(text).map { mm =>
       (unesc(mm.group(1)), ColStat(unesc(mm.group(2)), mm.group(3),
@@ -930,19 +925,25 @@ object VersionedTable {
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
       .filter(_.nonEmpty).toSeq
 
-  /** Loads entries are USER-supplied source URIs (unlike the engine's
-    * own uuid-free data-file names), so a path may legally contain ','
-    * ']' or '"'. Parse the ledger with the quote-aware shape the writer
-    * emits rather than comma-splitting: under parseNameList a path like
-    * `dir/a,b].csv` re-parses as corrupt fragments, the ledger never
+  /** The QUOTE-AWARE string-list parse (never comma-split): for fields
+    * whose entries legally contain ',' / ']' / '"' — `loads` carries
+    * USER-supplied source URIs (a path like `dir/a,b.csv` under a
+    * comma-split re-parses as corrupt fragments, the ledger never
     * matches the file again, and every COPY INTO re-run silently
-    * re-ingests it — defeating the idempotence guarantee. */
-  private def parseLoads(text: String): Seq[String] = {
-    val body = """"loads": \[((?:"(?:[^"\\]|\\.)*"(?:, )?)*)\]""".r
+    * re-ingests it) and `partitionCols` carries layout TRANSFORMS
+    * (`bucket(4, id)` would split into 'bucket(4' and every later
+    * write fail at Layout.parse). One shared construction so the two
+    * parses can never diverge on the quoting rules. */
+  private def parseQuotedList(text: String, field: String): Seq[String] = {
+    val body = (""""""" + field +
+      """": \[((?:"(?:[^"\\]|\\.)*"(?:, )?)*)\]""").r
       .findFirstMatchIn(text).map(_.group(1)).getOrElse("")
     """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body)
       .map(m => unesc(m.group(1))).toSeq
   }
+
+  private def parseLoads(text: String): Seq[String] =
+    parseQuotedList(text, "loads")
 
   private def parseOp(text: String): String =
     """"op": "((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
@@ -2076,19 +2077,40 @@ object VersionedTable {
       case "parquet" => spark.read.options(options).parquet(fresh: _*)
       case _ =>
         // the read schema is the table's USER surface: engine-owned
-        // row ids and GENERATED columns are never in a landing file
-        // (the append contract computes them); fields read nullable so
-        // a missing value surfaces as the contract violation it is
-        // (CHECK / NOT NULL) instead of a reader crash
+        // row ids, GENERATED columns and IDENTITY columns are never in
+        // a landing file (the append contract computes/assigns them —
+        // an identity field left in the read schema would arrive
+        // present-but-NULL and silently bypass assignment; in CSV it
+        // would additionally shift every positional column). Fields
+        // read NULLABLE — CSV/JSON readers cannot prove non-nullness —
+        // then each declared NOT NULL column is re-asserted below.
         val declared = org.apache.spark.sql.types.StructType
           .fromDDL(m.schemaDdl)
-        val readable = org.apache.spark.sql.types.StructType(declared
-          .filterNot(fd => fd.name == RowIdCol || m.gens.contains(fd.name))
-          .map(_.copy(nullable = true)))
+        val surface = declared.filterNot(fd =>
+          fd.name == RowIdCol || m.gens.contains(fd.name) ||
+            m.ids.contains(fd.name))
+        val readable = org.apache.spark.sql.types.StructType(
+          surface.map(_.copy(nullable = true)))
         val r = spark.read.options(options)
           .option("mode", options.getOrElse("mode", "FAILFAST"))
           .schema(readable)
-        if (fmt == "csv") r.csv(fresh: _*) else r.json(fresh: _*)
+        val raw = if (fmt == "csv") r.csv(fresh: _*) else r.json(fresh: _*)
+        // NOT NULL re-assertion (Delta's COPY INTO shape): the landing
+        // read is necessarily nullable, so a declared NOT NULL column
+        // gets a runtime null check that also RESTORES the non-null
+        // schema — without it alignForAppend would refuse the whole
+        // load up front ("would widen non-nullable") even when every
+        // value is present
+        import org.apache.spark.sql.functions.col
+        raw.select(surface.toSeq.map { fd =>
+          if (fd.nullable) col(fd.name)
+          else org.apache.spark.sql.graftbridge.Bridge.toColumn(
+            org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+              org.apache.spark.sql.graftbridge.Bridge
+                .toExpression(col(fd.name)),
+              Seq(s"COPY INTO: declared NOT NULL column ${fd.name} is " +
+                "null in a landing file"))).as(fd.name)
+        }: _*)
     }
     val v = stageAppendCommit(spark, root, m, cur, src,
       op = "copy-into", txn = None, loads = fresh)

@@ -225,6 +225,48 @@ class CopyIntoSpec extends SparkSpec {
       format = "json")._2 == 0)
   }
 
+  test("CSV into NOT NULL / IDENTITY tables: asserts nulls, assigns identities") {
+    val dir = freshDir()
+    val root = dir.resolve("t").toString
+    val in = dir.resolve("in")
+    Files.createDirectories(in)
+    // NOT NULL + IDENTITY: neither column is in the landing file — the
+    // identity is engine-assigned, the NOT NULL read re-asserts
+    spark.sql(s"""CREATE TABLE '$root' (
+        rid BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 100),
+        k BIGINT NOT NULL, v DOUBLE)""")
+    // an option value containing ')' must not end the FORMAT_OPTIONS
+    // clause (the quoted-pair body admits parens inside quotes)
+    Files.write(in.resolve("a.csv"),
+      "k;v\n1;5.0\n2;(n/a)\n".getBytes("UTF-8"))
+    spark.sql(s"COPY INTO '$root' FROM '$in' FILEFORMAT = CSV " +
+      "FORMAT_OPTIONS ('header' = 'true', 'delimiter' = ';', " +
+      "'nullValue' = '(n/a)')")
+    val got = VersionedTable.read(spark, root)
+      .select("rid", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._2).toSeq
+    assert(got.map(_._2) == Seq(1L, 2L), got.toString)
+    assert(got.forall(_._1 >= 100L), s"identities engine-assigned: $got")
+    assert(got.map(_._3) == Seq(Some(5.0), None),
+      s"the parenthesized nullValue option applied: $got")
+    // a NULL in the NOT NULL column refuses with the contract error
+    Files.write(in.resolve("bad.csv"),
+      "k;v\n(n/a);1.0\n".getBytes("UTF-8"))
+    val e = intercept[Exception] {
+      spark.sql(s"COPY INTO '$root' FROM '$in' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header' = 'true', 'delimiter' = ';', " +
+        "'nullValue' = '(n/a)')")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("NOT NULL")),
+      s"got: ${chain(e).mkString(" | ")}")
+    assert(VersionedTable.read(spark, root).count() == 2,
+      "the refused load changed nothing")
+  }
+
   test("racing COPY INTOs over shared files: the loser refuses, never double-loads") {
     val dir = freshDir()
     val root = dir.resolve("t").toString

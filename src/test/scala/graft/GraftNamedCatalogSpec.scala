@@ -153,6 +153,41 @@ class GraftNamedCatalogSpec extends SparkSpec {
       .contains("namespace"))
   }
 
+  test("namespace guards: traversal names refuse, a typo'd namespace errors") {
+    freshWarehouse()
+    // CREATE NAMESPACE must enforce the same traversal guard every
+    // other name-to-path join does — a backticked `..` would mkdir
+    // OUTSIDE the warehouse
+    assert(intercept[Exception](
+      spark.sql("CREATE NAMESPACE graft.`../evil`")).getMessage
+      .contains("invalid namespace"))
+    assert(intercept[Exception](
+      spark.sql("CREATE NAMESPACE graft.`my-db`")).getMessage
+      .contains("invalid namespace"))
+    // SHOW TABLES in a namespace that does not exist must ERROR, not
+    // read as an empty namespace
+    val e = intercept[Exception](
+      spark.sql("SHOW TABLES IN graft.typo_db").collect())
+    assert(e.getMessage.contains("SCHEMA_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("namespace"), e.getMessage)
+  }
+
+  test("USE graft.db sets the session namespace; bare names resolve inside it") {
+    freshWarehouse()
+    spark.sql("CREATE NAMESPACE graft.usedb")
+    spark.sql("CREATE TABLE graft.usedb.t AS SELECT 7L AS k")
+    spark.sql("USE graft.usedb")
+    try {
+      assert(spark.sql("SELECT k FROM t").as[Long].head() == 7L,
+        "bare name resolves in the current namespace")
+      assert(spark.sql("SHOW TABLES").collect()
+        .map(_.getString(1)).contains("t"),
+        "SHOW TABLES defaults to the current namespace")
+      spark.sql("INSERT INTO t SELECT 8L")
+      assert(spark.sql("SELECT sum(k) FROM t").as[Long].head() == 15L)
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("parser named targets: UPDATE / DELETE / MERGE / OPTIMIZE / VACUUM") {
     val w = freshWarehouse()
     spark.sql("CREATE TABLE graft.docs AS " +
