@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.Portable._
@@ -57,6 +58,38 @@ object SelectionQueries {
   /** ln rounded to 9 dp — the libm-determinism rule. */
   private def ln9(x: Column): Column = round(log(x), 9)
   private def ln9Sql(x: String): String = s"round(ln($x), 9)"
+
+  /** Per-document interpolated-bigram-LM score (doc_id, n_bigrams,
+    * avg_logprob) — q116's chain, shared with the CCNet bucket split
+    * (q246) so the two can never drift on the LM arithmetic. */
+  private def bigramLmScores(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
+    val big = base
+      .select(col("doc_id"), col("tk"), explode(sequence(lit(1), col("n") - 1)).as("i"))
+      .select(col("doc_id"), element_at(col("tk"), col("i")).as("t1"),
+        element_at(col("tk"), col("i") + 1).as("t2"))
+    val bc = big.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cb"))
+    val pfx = big.groupBy(col("t1")).agg(count(lit(1)).as("cp"))
+    val uni = documents(s, d)
+      .select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+    val tv = uni.agg(sum(col("cu")).as("tu"), count(lit(1)).as("v"))
+    val p = lit(LmLambda) * (col("cb").cast("double") / col("cp").cast("double")) +
+      lit(1.0 - LmLambda) *
+        ((col("cu") + 1).cast("double") / (col("tu") + col("v")).cast("double"))
+    big.join(bc, Seq("t1", "t2"))
+      .join(pfx, Seq("t1"))
+      .join(uni.select(col("t").as("t2"), col("cu")), Seq("t2"))
+      .crossJoin(broadcast(tv))
+      .select(col("doc_id"), ln9(p).cast("decimal(18,9)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(sum(col("lp")).cast("double") /
+             count(lit(1)).cast("double"), 6).as("avg_logprob"))
+  }
 
   /** Squared-L2 distance between two ARRAY<DOUBLE>, sequential fold
     * (bit-identical cross-engine: same squares, same summation order). */
@@ -221,33 +254,32 @@ object SelectionQueries {
     // pair key (at 100 TB every LM join hash-partitions on its key).
     // Per-position log-probs are 9 dp DECIMALs; the mean is one exact sum
     // and one IEEE division.
-    "q116_bigram_lm" -> ((s, d) => {
-      val base = documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(col("doc_id"), col("tk"), size(col("tk")).as("n"))
-      val big = base
-        .select(col("doc_id"), col("tk"), explode(sequence(lit(1), col("n") - 1)).as("i"))
-        .select(col("doc_id"), element_at(col("tk"), col("i")).as("t1"),
-          element_at(col("tk"), col("i") + 1).as("t2"))
-      val bc = big.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("cb"))
-      val pfx = big.groupBy(col("t1")).agg(count(lit(1)).as("cp"))
-      val uni = documents(s, d)
-        .select(explode(tokens(col("text"))).as("t"))
-        .groupBy(col("t")).agg(count(lit(1)).as("cu"))
-      val tv = uni.agg(sum(col("cu")).as("tu"), count(lit(1)).as("v"))
-      val p = lit(LmLambda) * (col("cb").cast("double") / col("cp").cast("double")) +
-        lit(1.0 - LmLambda) *
-          ((col("cu") + 1).cast("double") / (col("tu") + col("v")).cast("double"))
-      big.join(bc, Seq("t1", "t2"))
-        .join(pfx, Seq("t1"))
-        .join(uni.select(col("t").as("t2"), col("cu")), Seq("t2"))
-        .crossJoin(broadcast(tv))
-        .select(col("doc_id"), ln9(p).cast("decimal(18,9)").as("lp"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-             round(sum(col("lp")).cast("double") /
-               count(lit(1)).cast("double"), 6).as("avg_logprob"))
+    "q116_bigram_lm" -> ((s, d) => bigramLmScores(s, d)),
+
+    // CCNet's head/middle/tail split: rank every document by its LM
+    // score (q116's interpolated bigram model — shared helper, so the
+    // arithmetic cannot drift) and cut the corpus into perplexity
+    // TERCILES; report per (bucket, lang) how many documents land
+    // there and their mean score — the table that decides which third
+    // of a crawl a training run keeps. ntile over (score desc, doc_id)
+    // is deterministic and engine-portable. Scale note: ntile is one
+    // global sort — exactly what CCNet does; at 100 TB the cutoffs
+    // would come from approximate percentiles instead (one aggregate),
+    // with the bucketing a per-row comparison.
+    "q246_ccnet_buckets" -> ((s, d) => {
+      val scored = bigramLmScores(s, d)
+        .join(documents(s, d).select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+      scored
+        .withColumn("bucket",
+          ntile(3).over(Window.orderBy(col("avg_logprob").desc,
+            col("doc_id"))).cast("long"))
+        .groupBy(col("bucket"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("n_bigrams"),
+          round(sum(col("avg_logprob").cast("decimal(18,6)"))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("mean_logprob"))
     }),
 
     // Quality-filter evaluation: sweep the q26 quality score against a
@@ -384,6 +416,32 @@ object SelectionQueries {
 
   val oracle: Map[String, String] = {
     val tokSql = tokensSql("text")
+    // q116's per-doc LM score — also the CTE inside q246's bucket split
+    val bigramLmSql = {
+      val lam = LmLambda
+      s"""WITH base AS (
+            SELECT doc_id, tk, len(tk)::BIGINT AS n FROM (
+              SELECT doc_id, $tokSql AS tk FROM documents)
+            WHERE len(tk) >= 2),
+          big AS (SELECT doc_id, tk[i] AS t1, tk[i + 1] AS t2 FROM (
+                    SELECT doc_id, tk, unnest(range(1, n)) AS i FROM base)),
+          bc AS (SELECT t1, t2, count(*)::BIGINT AS cb FROM big GROUP BY 1, 2),
+          pfx AS (SELECT t1, count(*)::BIGINT AS cp FROM big GROUP BY 1),
+          uni AS (SELECT t AS t2, count(*)::BIGINT AS cu FROM (
+                    SELECT unnest($tokSql) AS t FROM documents) GROUP BY 1),
+          tv AS (SELECT sum(cu)::BIGINT AS tu, count(*)::BIGINT AS v FROM uni),
+          terms AS (
+            SELECT doc_id,
+                   CAST(${ln9Sql(
+                     s"$lam * (cb::DOUBLE / cp::DOUBLE) + ${1.0 - lam} * " +
+                     s"((cu + 1)::DOUBLE / (tu + v)::DOUBLE)")}
+                     AS DECIMAL(18,9)) AS lp
+            FROM big JOIN bc USING (t1, t2) JOIN pfx USING (t1)
+              JOIN uni USING (t2), tv)
+          SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                 round(CAST(sum(lp) AS DOUBLE) / count(*)::DOUBLE, 6) AS avg_logprob
+          FROM terms GROUP BY 1"""
+    }
     Map(
       "q111_dsir" -> {
         val B = DsirBuckets
@@ -477,31 +535,20 @@ object SelectionQueries {
                   FROM cells GROUP BY 1) m
             LEFT JOIN drops USING (cell)"""
       },
-      "q116_bigram_lm" -> {
-        val lam = LmLambda
-        s"""WITH base AS (
-              SELECT doc_id, tk, len(tk)::BIGINT AS n FROM (
-                SELECT doc_id, $tokSql AS tk FROM documents)
-              WHERE len(tk) >= 2),
-            big AS (SELECT doc_id, tk[i] AS t1, tk[i + 1] AS t2 FROM (
-                      SELECT doc_id, tk, unnest(range(1, n)) AS i FROM base)),
-            bc AS (SELECT t1, t2, count(*)::BIGINT AS cb FROM big GROUP BY 1, 2),
-            pfx AS (SELECT t1, count(*)::BIGINT AS cp FROM big GROUP BY 1),
-            uni AS (SELECT t AS t2, count(*)::BIGINT AS cu FROM (
-                      SELECT unnest($tokSql) AS t FROM documents) GROUP BY 1),
-            tv AS (SELECT sum(cu)::BIGINT AS tu, count(*)::BIGINT AS v FROM uni),
-            terms AS (
-              SELECT doc_id,
-                     CAST(${ln9Sql(
-                       s"$lam * (cb::DOUBLE / cp::DOUBLE) + ${1.0 - lam} * " +
-                       s"((cu + 1)::DOUBLE / (tu + v)::DOUBLE)")}
-                       AS DECIMAL(18,9)) AS lp
-              FROM big JOIN bc USING (t1, t2) JOIN pfx USING (t1)
-                JOIN uni USING (t2), tv)
-            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-                   round(CAST(sum(lp) AS DOUBLE) / count(*)::DOUBLE, 6) AS avg_logprob
-            FROM terms GROUP BY 1"""
-      },
+      "q116_bigram_lm" -> bigramLmSql,
+
+      "q246_ccnet_buckets" ->
+        s"""WITH scored AS ($bigramLmSql),
+              ranked AS (
+                SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob,
+                       ntile(3) OVER (ORDER BY s.avg_logprob DESC,
+                         s.doc_id)::BIGINT AS bucket
+                FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+           SELECT bucket, lang, count(*)::BIGINT AS n_docs,
+                  sum(n_bigrams)::BIGINT AS n_bigrams,
+                  round(CAST(sum(CAST(avg_logprob AS DECIMAL(18,6)))
+                    AS DOUBLE) / count(*)::DOUBLE, 6) AS mean_logprob
+           FROM ranked GROUP BY 1, 2""",
       "q117_filter_eval" -> {
         import graft.ext.TextAnalysis
         val nTok = s"len($tokSql)::BIGINT"

@@ -504,6 +504,40 @@ object TrainQueries {
       hist.toSeq.toDF("iter", "feat", "w")
     }),
 
+    // BPE APPLY — the ENCODE half of q173's trainer: re-derive the 3
+    // merges (same argmax loop) and apply them to the whole corpus,
+    // reporting per-document token counts before and after (the
+    // compression a tokenizer buys — the number every training-cost
+    // estimate starts from). Token count = '(' group count on the
+    // paren encoding, so the encode itself is pure string arithmetic
+    // the oracle replays exactly; merges are non-overlapping
+    // left-to-right replaces in both engines.
+    "q245_bpe_apply" -> ((s, d) => {
+      val nOf = "length(s) - length(replace(s, '(', ''))"
+      var cur = documents(s, d).select(col("doc_id"),
+        concat_ws("", transform(tokens(col("text")),
+          t => concat(lit("("), t, lit(")")))).as("s"))
+        .withColumn("n_before", expr(nOf).cast("long"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val toks = split(expr("substring(s, 2, length(s) - 2)"), "\\)\\(")
+        val pairs = cur.filter(length(col("s")) > 0)
+          .select(explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .agg(count(lit(1)).as("cnt"))
+        val best = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()(0) // ONE row per round (argmax decision)
+        val (bl, br) = (best.getString(0), best.getString(1))
+        cur = cur.withColumn("s",
+          expr(s"replace(s, '($bl)($br)', '($bl $br)')")).localCheckpoint()
+      }
+      cur.select(col("doc_id"), col("n_before"),
+        expr(nOf).cast("long").as("n_after"))
+    }),
+
     "q173_bpe_train" -> ((s, d) => {
       import s.implicits._
       var cur = documents(s, d).select(col("doc_id"),
@@ -852,6 +886,37 @@ object TrainQueries {
               .mkString(", ")}),
             $iters
             $outs"""
+      },
+
+      "q245_bpe_apply" -> {
+        // q173's CTE chain with doc_id + the before-count carried
+        // through every round; the output is the per-doc encode
+        // arithmetic on the final corpus strings.
+        val nOf = (s: String) =>
+          s"(length($s) - length(replace($s, '(', '')))::BIGINT"
+        val rounds = (1 to 3).map { r =>
+          s"""tk$r AS (SELECT string_split(s[2:length(s)-1], ')(') AS tk
+                       FROM t$r WHERE length(s) > 0),
+              p$r AS (SELECT tk[i] AS lhs, tk[i+1] AS rhs,
+                             count(*)::BIGINT AS cnt
+                      FROM (SELECT tk, unnest(range(1, len(tk))) AS i
+                            FROM tk$r)
+                      GROUP BY 1, 2),
+              b$r AS (SELECT lhs, rhs, cnt FROM p$r
+                      ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+              t${r + 1} AS (SELECT doc_id, n_before, replace(s,
+                              '(' || b.lhs || ')(' || b.rhs || ')',
+                              '(' || b.lhs || ' ' || b.rhs || ')') AS s
+                            FROM t$r, b$r b)"""
+        }.mkString(",\n")
+        s"""WITH t1 AS (
+              SELECT doc_id, ${nOf("s")} AS n_before, s
+              FROM (SELECT doc_id, array_to_string(
+                      list_transform(${tokensSql("text")},
+                        t -> '(' || t || ')'), '') AS s
+                    FROM documents)),
+            $rounds
+            SELECT doc_id, n_before, ${nOf("s")} AS n_after FROM t4"""
       },
 
       "q173_bpe_train" -> {
