@@ -130,16 +130,21 @@ object Bench {
     * refresh and the epoch mint (a format tweak applied to one copy of
     * three would silently diverge the files). */
   private def writeBaselineFile(entries: Seq[(String, Double)],
-                                epoch: Option[Int]): Unit = {
+                                epoch: Option[Int]): Boolean = {
     val body = (epoch.map(e => s""""_epoch": $e""").toSeq ++
       entries.map { case (k, v) =>
         s""""$k": ${BigDecimal(v).setScale(3,
           BigDecimal.RoundingMode.HALF_UP)}"""
       }).map("  " + _).mkString("{\n", ",\n", "\n}\n")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json"), body)
-    catch { case e: Throwable =>
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json"), body)
+      true
+    } catch { case e: Throwable =>
+      // swallowed-but-reported here; callers that announce success
+      // (the epoch mint's MINTED line) must check the return value
       System.err.println(s"[bench] baseline write failed: ${e.getMessage}")
+      false
     }
   }
 
@@ -461,11 +466,14 @@ object Bench {
           if (java.nio.file.Files.exists(cur) &&
               !java.nio.file.Files.exists(keep))
             java.nio.file.Files.copy(cur, keep)
-          Bench.writeBaselineFile(fresh, Some(oldEpoch + 1))
-          System.err.println(s"[bench] epoch ${oldEpoch + 1} baseline " +
-            s"MINTED (${fresh.size} queries; probes " + probeSpreads
-              .map { case (n, r) => f"$n spread $r%.2f" }.mkString(", ") +
-            s"); epoch $oldEpoch preserved")
+          // announce the mint ONLY on a confirmed write — a swallowed
+          // write failure followed by a MINTED line would leave the
+          // operator believing an epoch landed that never did
+          if (Bench.writeBaselineFile(fresh, Some(oldEpoch + 1)))
+            System.err.println(s"[bench] epoch ${oldEpoch + 1} baseline " +
+              s"MINTED (${fresh.size} queries; probes " + probeSpreads
+                .map { case (n, r) => f"$n spread $r%.2f" }.mkString(", ") +
+              s"); epoch $oldEpoch preserved")
         } catch { case e: Throwable =>
           System.err.println(s"[bench] epoch mint write failed: ${e.getMessage}")
         }

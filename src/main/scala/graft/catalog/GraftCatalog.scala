@@ -132,9 +132,10 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     require(namespace.length == 1,
       s"graft namespaces are one level: ${namespace.mkString(".")}")
     // the traversal guard every name-to-path join enforces: a
-    // backticked `../evil` must never mkdir outside the warehouse, and
-    // a name list/lookup would reject must not be creatable at all
-    require(GraftNames.validSegment(namespace(0)),
+    // backticked `../evil` must never mkdir outside the warehouse, a
+    // name list/lookup would reject must not be creatable at all, and
+    // '_'-prefixed names are engine state (_names is the link registry)
+    require(GraftNames.validNamespace(namespace(0)),
       s"invalid namespace name: ${namespace(0)}")
     val w = GraftNames.warehouse(spark).getOrElse(
       throw new IllegalArgumentException(
@@ -155,7 +156,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     require(namespace.length == 1,
       s"graft namespaces are one level: ${namespace.mkString(".")}")
     val db = namespace(0)
-    require(GraftNames.validSegment(db), s"invalid namespace name: $db")
+    require(GraftNames.validNamespace(db), s"invalid namespace name: $db")
     if (!namespaceExists(namespace)) return false
     val tables = GraftNames.list(spark, Some(db))
     require(cascade || tables.isEmpty,

@@ -65,7 +65,10 @@ object GraftNames {
 
   def validName(name: String): Boolean = {
     val segs = segments(name)
-    segs.nonEmpty && segs.length <= 2 && segs.forall(NameRe.matches)
+    segs.nonEmpty && segs.length <= 2 && segs.forall(NameRe.matches) &&
+      // a 2-segment name's FIRST segment is a namespace directory —
+      // the engine-state guard applies (no `_x.t` under `$w/_x`)
+      (segs.length == 1 || !segs.head.startsWith("_"))
   }
 
   /** One namespace/table SEGMENT — the path-traversal guard for every
@@ -73,17 +76,28 @@ object GraftNames {
     * warehouse). */
   def validSegment(s: String): Boolean = NameRe.matches(s)
 
+  /** A NAMESPACE segment additionally may not start with '_': the
+    * warehouse's '_'-prefixed directories are ENGINE state (`_names`
+    * is the link registry) — without this guard `DROP NAMESPACE
+    * graft._names` would probe as an existing empty namespace and
+    * recursively delete every registered table name. */
+  def validNamespace(db: String): Boolean =
+    validSegment(db) && !db.startsWith("_")
+
   /** O(1) namespace existence: a direct probe of the ONE candidate —
-    * the managed directory (that is not itself a table) or its link
-    * subdirectory — never a warehouse-wide listing (which is O(tables)
-    * filesystem round-trips and runs on every USE / name resolution). */
+    * the managed DIRECTORY (that is not itself a table; a stray plain
+    * file never reads as a namespace) or its link subdirectory — never
+    * a warehouse-wide listing (which is O(tables) filesystem
+    * round-trips and runs on every USE / name resolution). */
   def namespaceExists(spark: SparkSession, db: String): Boolean =
-    validSegment(db) && warehouse(spark).exists { w =>
+    validNamespace(db) && warehouse(spark).exists { w =>
       val dir = new Path(s"$w/$db")
       val f = fs(spark, dir)
-      (f.exists(dir) &&
+      def isDir(p: Path): Boolean =
+        f.exists(p) && f.getFileStatus(p).isDirectory
+      (isDir(dir) &&
         VersionedTable.currentVersion(spark, dir.toString).isEmpty) ||
-        f.exists(new Path(s"$w/_names/$db"))
+        isDir(new Path(s"$w/_names/$db"))
     }
 
   /** Bind `name` to an EXISTING table root (the link form). Re-binding
@@ -159,7 +173,7 @@ object GraftNames {
     * segments, not re-qualified). */
   def list(spark: SparkSession, db: Option[String] = None): Seq[String] =
     warehouse(spark).toSeq.flatMap { w =>
-      require(db.forall(NameRe.matches), s"bad namespace: ${db.get}")
+      require(db.forall(validNamespace), s"bad namespace: ${db.get}")
       val sub = db.fold("")(x => s"/$x")
       val wp = new Path(w + sub)
       val f = fs(spark, wp)

@@ -514,8 +514,11 @@ object TrainQueries {
     // left-to-right replaces in both engines.
     "q245_bpe_apply" -> ((s, d) => {
       val nOf = "length(s) - length(replace(s, '(', ''))"
+      // coalesce the text on BOTH sides: Spark's concat_ws collapses a
+      // null token array to "" while DuckDB's array_to_string stays
+      // NULL — a null document would silently diverge per-row
       var cur = documents(s, d).select(col("doc_id"),
-        concat_ws("", transform(tokens(col("text")),
+        concat_ws("", transform(tokens(coalesce(col("text"), lit(""))),
           t => concat(lit("("), t, lit(")")))).as("s"))
         .withColumn("n_before", expr(nOf).cast("long"))
         .localCheckpoint()
@@ -531,8 +534,12 @@ object TrainQueries {
         val best = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
           .limit(1).collect()(0) // ONE row per round (argmax decision)
         val (bl, br) = (best.getString(0), best.getString(1))
-        cur = cur.withColumn("s",
-          expr(s"replace(s, '($bl)($br)', '($bl $br)')")).localCheckpoint()
+        // Column-arg replace, NOT an expr() interpolation: a merge
+        // token containing a quote would break the generated SQL, and
+        // a backslash would be escape-interpreted by Spark's literal
+        // parser but taken raw by the oracle's concatenation
+        cur = cur.withColumn("s", replace(col("s"),
+          lit(s"($bl)($br)"), lit(s"($bl $br)"))).localCheckpoint()
       }
       cur.select(col("doc_id"), col("n_before"),
         expr(nOf).cast("long").as("n_after"))
@@ -561,8 +568,10 @@ object TrainQueries {
           .limit(1).collect()(0)
         val (bl, br, bc) = (best.getString(0), best.getString(1), best.getLong(2))
         merges += ((round, bl, br, bc))
-        cur = cur.withColumn("s",
-          expr(s"replace(s, '($bl)($br)', '($bl $br)')")).localCheckpoint()
+        // Column-arg replace (see q245): quote/backslash-safe for
+        // arbitrary merge tokens
+        cur = cur.withColumn("s", replace(col("s"),
+          lit(s"($bl)($br)"), lit(s"($bl $br)"))).localCheckpoint()
       }
       merges.toSeq.toDF("round", "lhs", "rhs", "cnt")
     }),
@@ -912,7 +921,7 @@ object TrainQueries {
         s"""WITH t1 AS (
               SELECT doc_id, ${nOf("s")} AS n_before, s
               FROM (SELECT doc_id, array_to_string(
-                      list_transform(${tokensSql("text")},
+                      list_transform(${tokensSql("coalesce(text, '')")},
                         t -> '(' || t || ')'), '') AS s
                     FROM documents)),
             $rounds

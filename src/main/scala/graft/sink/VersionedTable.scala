@@ -1981,8 +1981,13 @@ object VersionedTable {
   private def stageAppendCommit(spark: SparkSession, root: String,
                                 m: Manifest, cur: Int, df: DataFrame,
                                 op: String, txn: Option[Long],
-                                loads: Seq[String] = Seq.empty): Int = {
-    val (dfId, assigned) = assignIdentity(m, df)
+                                loads: Seq[String] = Seq.empty,
+                                preAssigned: Set[String] = Set.empty): Int = {
+    val (dfId, assigned0) = assignIdentity(m, df)
+    // identity columns the CALLER already engine-assigned (COPY INTO's
+    // JSON coalesce-fill) count as assignments for the rebase walk's
+    // allocation-race check
+    val assigned = assigned0 ++ preAssigned
     val aligned = alignForAppend(m.schemaDdl, dfId, m.defaults, m.gens)
     val added = writeDataFiles(spark, root, aligned, cur + 1, m.partitionCols,
       m.physMap)
@@ -2077,32 +2082,45 @@ object VersionedTable {
       case "parquet" => spark.read.options(options).parquet(fresh: _*)
       case _ =>
         // the read schema is the table's USER surface: engine-owned
-        // row ids, GENERATED columns and IDENTITY columns are never in
-        // a landing file (the append contract computes/assigns them —
-        // an identity field left in the read schema would arrive
-        // present-but-NULL and silently bypass assignment; in CSV it
-        // would additionally shift every positional column). Fields
-        // read NULLABLE — CSV/JSON readers cannot prove non-nullness —
-        // then each declared NOT NULL column is re-asserted below.
+        // row ids and GENERATED columns are never in a landing file
+        // (the append contract computes them). IDENTITY columns split
+        // by format: a JSON record MAY carry one (GENERATED BY DEFAULT
+        // honors explicit values — read nullable, then per-row
+        // coalesce-fill from the high-water mark: null-or-absent →
+        // engine-assigned); a positional CSV file never does (leaving
+        // it in the schema would shift every column), so CSV excludes
+        // it and the append contract assigns. Fields read NULLABLE —
+        // CSV/JSON readers cannot prove non-nullness — then each
+        // declared NOT NULL column is re-asserted below.
         val declared = org.apache.spark.sql.types.StructType
           .fromDDL(m.schemaDdl)
         val surface = declared.filterNot(fd =>
           fd.name == RowIdCol || m.gens.contains(fd.name) ||
-            m.ids.contains(fd.name))
+            (fmt == "csv" && m.ids.contains(fd.name)))
         val readable = org.apache.spark.sql.types.StructType(
           surface.map(_.copy(nullable = true)))
         val r = spark.read.options(options)
           .option("mode", options.getOrElse("mode", "FAILFAST"))
           .schema(readable)
         val raw = if (fmt == "csv") r.csv(fresh: _*) else r.json(fresh: _*)
+        import org.apache.spark.sql.functions.{coalesce, col, lit,
+          monotonically_increasing_id}
+        val idFilled =
+          if (fmt == "json" && surface.exists(fd => m.ids.contains(fd.name)))
+            raw.select(surface.toSeq.map { fd =>
+              m.ids.get(fd.name).fold(col(fd.name))(hw =>
+                coalesce(col(fd.name),
+                  (monotonically_increasing_id() + lit(hw)).cast("long"))
+                  .as(fd.name))
+            }: _*)
+          else raw
         // NOT NULL re-assertion (Delta's COPY INTO shape): the landing
         // read is necessarily nullable, so a declared NOT NULL column
         // gets a runtime null check that also RESTORES the non-null
         // schema — without it alignForAppend would refuse the whole
         // load up front ("would widen non-nullable") even when every
         // value is present
-        import org.apache.spark.sql.functions.col
-        raw.select(surface.toSeq.map { fd =>
+        idFilled.select(surface.toSeq.map { fd =>
           if (fd.nullable) col(fd.name)
           else org.apache.spark.sql.graftbridge.Bridge.toColumn(
             org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
@@ -2112,8 +2130,16 @@ object VersionedTable {
                 "null in a landing file"))).as(fd.name)
         }: _*)
     }
+    // the JSON coalesce-fill above ASSIGNS from the identity mark like
+    // any engine assignment — record it so the rebase walk's identity
+    // allocation-race check stays sound for racing JSON COPY INTOs
+    val preAssigned =
+      if (fmt == "json") m.ids.keySet.filterNot(c => m.gens.contains(c))
+        .filter(c => src.schema.fieldNames.contains(c))
+      else Set.empty[String]
     val v = stageAppendCommit(spark, root, m, cur, src,
-      op = "copy-into", txn = None, loads = fresh)
+      op = "copy-into", txn = None, loads = fresh,
+      preAssigned = preAssigned)
     (v, fresh.size)
   }
 

@@ -267,6 +267,34 @@ class CopyIntoSpec extends SparkSpec {
       "the refused load changed nothing")
   }
 
+  test("JSON honors supplied BY DEFAULT identity values; null/absent assign") {
+    val dir = freshDir()
+    val root = dir.resolve("t").toString
+    val in = dir.resolve("in")
+    Files.createDirectories(in)
+    spark.sql(s"""CREATE TABLE '$root' (
+        rid BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 100),
+        k BIGINT)""")
+    // one record supplies rid explicitly (BY DEFAULT honors it), one
+    // omits it (engine-assigned from the mark) — Delta's contract
+    Files.write(in.resolve("a.json"),
+      ("""{"rid": 5, "k": 1}""" + "\n" +
+        """{"k": 2}""" + "\n").getBytes("UTF-8"))
+    VersionedTable.copyInto(spark, root, in.toString, format = "json")
+    val got = VersionedTable.read(spark, root)
+      .select("k", "rid").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(got(0)._2 == 5L, s"explicit BY DEFAULT value honored: $got")
+    assert(got(1)._2 >= 100L, s"absent value engine-assigned: $got")
+    // a later plain append must allocate PAST the supplied value too
+    import org.apache.spark.sql.functions.{col => c, when}
+    VersionedTable.append(spark, root,
+      Seq(3L).toDF("k0").select(when(c("k0") > 0, c("k0")).as("k")))
+    val rids = VersionedTable.read(spark, root)
+      .select("rid").as[Long].collect().toSeq
+    assert(rids.distinct.size == rids.size, s"identity values unique: $rids")
+  }
+
   test("racing COPY INTOs over shared files: the loser refuses, never double-loads") {
     val dir = freshDir()
     val root = dir.resolve("t").toString

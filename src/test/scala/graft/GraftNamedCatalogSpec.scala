@@ -172,6 +172,37 @@ class GraftNamedCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("namespace"), e.getMessage)
   }
 
+  test("engine-state dirs never read as namespaces; plain files neither") {
+    val w = freshWarehouse()
+    // registering a link creates $w/_names — DROP NAMESPACE graft._names
+    // must NOT see it as an empty namespace and recursively delete the
+    // whole link registry
+    val ext = Files.createTempDirectory("graft_ns_guard").resolve("t").toString
+    VersionedTable.create(spark, ext, Seq((1L, "a")).toDF("k", "s"))
+    spark.sql(s"CALL graft.register_table('linked_g', '$ext')")
+    val eDrop = intercept[Exception](
+      spark.sql("DROP NAMESPACE graft.`_names`")).getMessage
+    assert(eDrop.contains("invalid namespace") ||
+      eDrop.contains("SCHEMA_NOT_FOUND"), eDrop)
+    assert(spark.sql("SELECT k FROM graft.linked_g").as[Long].head() == 1L,
+      "the link registry survived")
+    assert(intercept[Exception](
+      spark.sql("CREATE NAMESPACE graft.`_foo`")).getMessage
+      .contains("invalid namespace"))
+    // a STRAY PLAIN FILE in the warehouse is not a namespace: USE must
+    // refuse and DROP NAMESPACE must not delete the file
+    Files.write(java.nio.file.Paths.get(w, "notes"),
+      "not a namespace".getBytes("UTF-8"))
+    assert(intercept[Exception](spark.sql("USE graft.notes")) != null)
+    assert(spark.sql("DROP NAMESPACE IF EXISTS graft.notes").collect() != null)
+    assert(Files.exists(java.nio.file.Paths.get(w, "notes")),
+      "the stray file survived a namespace drop probe")
+    // namespaced tables cannot hide under engine-state dirs either
+    assert(intercept[Exception](
+      spark.sql("CREATE TABLE graft.`_names`.evil AS SELECT 1L AS k"))
+      != null)
+  }
+
   test("USE graft.db sets the session namespace; bare names resolve inside it") {
     freshWarehouse()
     spark.sql("CREATE NAMESPACE graft.usedb")
