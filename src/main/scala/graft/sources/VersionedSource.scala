@@ -91,8 +91,16 @@ class VersionedSource extends RelationProvider with CreatableRelationProvider
     val dataSchema = schema
       .map(s => StructType(s.filterNot(f => VersionedSource.CdfCols.contains(f.name))))
       .getOrElse(VersionedTable.schemaOf(sqlContext.sparkSession, root))
+    // `startingVersion = "latest"` (Delta parity): changes committed
+    // AFTER stream start only — the tail-a-live-table spelling without
+    // a wall-clock bound
     val byVersion = parameters.get("startingversion")
-      .orElse(parameters.get("startingVersion")).map(_.toInt)
+      .orElse(parameters.get("startingVersion")).map {
+        case v if v.equalsIgnoreCase("latest") =>
+          VersionedTable.currentVersion(sqlContext.sparkSession, root)
+            .getOrElse(0) + 1
+        case v => v.toInt
+      }
     // startingTimestamp (Delta parity): the stream starts at the FIRST
     // version committed at or after the wall-clock bound — resolved
     // from the manifests' in-commit stamps via the same parse as every

@@ -128,6 +128,34 @@ class VersionedStreamSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
   }
 
+  test("startingVersion = latest streams only post-start commits (Delta parity)") {
+    val root = freshRoot()
+    VersionedTable.create(spark, root, df(1, 2)) // v1
+    VersionedTable.append(spark, root, df(3))    // v2
+    val ckpt = Files.createTempDirectory("vss_ckptL").toString
+    val out = Files.createTempDirectory("vss_outL").toString
+    // ONE running stream: "latest" resolves at stream start (like
+    // Delta, the resolution persists through the checkpoint only once
+    // a batch commits, so the observable contract is within-run)
+    val q = spark.readStream.format("graft-versioned")
+      .option("startingVersion", "latest").load(root)
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(!new java.io.File(out).listFiles()
+        .exists(_.getName.endsWith(".parquet")),
+        "latest = nothing from pre-start history")
+      VersionedTable.append(spark, root, df(9))  // v3, post-start
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(out).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L),
+      "only the post-start commit streams")
+  }
+
   test("batch CDF takes startingTimestamp/endingTimestamp range bounds") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1)) // v1
