@@ -504,6 +504,30 @@ object TrainQueries {
       hist.toSeq.toDF("iter", "feat", "w")
     }),
 
+    // TEMPERATURE-BASED domain reweighting (the multilingual-sampling /
+    // DoReMi-lite mixing step, q88's principled sibling): per-source
+    // sampling weights w_s ∝ n_s^τ with τ = 0.5 — upweights small
+    // domains, tempers the head. τ = 0.5 makes the power a SQRT, which
+    // IEEE-754 requires correctly rounded — so unlike exp/pow the
+    // weights are bit-identical cross-engine; the normalizer is a
+    // DECIMAL(18,9) exact sum of the rounded weights (order-free), and
+    // the output is each source's share + its target document count
+    // for a 10k-doc training budget.
+    "q247_temperature_mix" -> ((s, d) => {
+      val counts = documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val w = counts.withColumn("w",
+        round(sqrt(col("n_docs").cast("double")), 9).cast("decimal(18,9)"))
+      val tot = w.agg(sum(col("w")).as("tw"))
+      w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("w").cast("double") / col("tw").cast("double"), 9)
+            .as("share"),
+          floor(lit(10000.0) *
+            (col("w").cast("double") / col("tw").cast("double")))
+            .cast("long").as("target_10k"))
+    }),
+
     // BPE APPLY — the ENCODE half of q173's trainer: re-derive the 3
     // merges (same argmax loop) and apply them to the whole corpus,
     // reporting per-document token counts before and after (the
@@ -896,6 +920,21 @@ object TrainQueries {
             $iters
             $outs"""
       },
+
+      "q247_temperature_mix" ->
+        """WITH c AS (
+              SELECT source, count(*)::BIGINT AS n_docs
+              FROM documents GROUP BY 1),
+            w AS (SELECT source, n_docs,
+                    CAST(round(sqrt(n_docs::DOUBLE), 9)
+                      AS DECIMAL(18,9)) AS w
+                  FROM c),
+            t AS (SELECT sum(w) AS tw FROM w)
+         SELECT source, n_docs,
+                round(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 9) AS share,
+                CAST(floor(10000.0 * (CAST(w AS DOUBLE)
+                  / CAST(tw AS DOUBLE))) AS BIGINT) AS target_10k
+         FROM w, t""",
 
       "q245_bpe_apply" -> {
         // q173's CTE chain with doc_id + the before-count carried
