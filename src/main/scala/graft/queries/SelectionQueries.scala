@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.Portable._
@@ -256,24 +255,58 @@ object SelectionQueries {
     // and one IEEE division.
     "q116_bigram_lm" -> ((s, d) => bigramLmScores(s, d)),
 
-    // CCNet's head/middle/tail split: rank every document by its LM
-    // score (q116's interpolated bigram model — shared helper, so the
+    // CCNet's head/middle/tail split: score every document with the LM
+    // (q116's interpolated bigram model — shared helper, so the
     // arithmetic cannot drift) and cut the corpus into perplexity
     // TERCILES; report per (bucket, lang) how many documents land
     // there and their mean score — the table that decides which third
-    // of a crawl a training run keeps. ntile over (score desc, doc_id)
-    // is deterministic and engine-portable. Scale note: ntile is one
-    // global sort — exactly what CCNet does; at 100 TB the cutoffs
-    // would come from approximate percentiles instead (one aggregate),
-    // with the bucketing a per-row comparison.
+    // of a crawl a training run keeps. The 100 TB shape: NO global-sort
+    // window — ONE exact `percentile` aggregate over a scaled-integer
+    // order key mints the two tercile cutoffs, and bucketing is a
+    // per-row comparison against the broadcast 1-row cutoff table.
+    //
+    // Engine-portability of the cutoffs: the key k = cast(avg_logprob
+    // as DECIMAL(16,6)) * 1e6 is an exact integer on both engines
+    // (avg_logprob is already round(·,6), so the decimal cast is
+    // lossless), and |k| < 2^53 so it survives the double math inside
+    // percentile. Cutoff positions sit at HALF ranks, (k1−0.5)/(N−1),
+    // so the interpolated cutoff lands strictly BETWEEN two adjacent
+    // integer keys (or exactly ON a tied key) — every per-row `>`
+    // comparison is then identical across engines no matter how each
+    // one rounds the interpolation, and the oracle can use a plain
+    // midpoint. Rank budget k1/k2 follows ntile-style sizes
+    // (first N mod 3 buckets get one extra row); score ties that
+    // straddle a boundary stay together in the better bucket — the
+    // deterministic tie rule a cutoff-based split implies (CCNet's own
+    // semantics: equal perplexity ⇒ same bucket).
     "q246_ccnet_buckets" -> ((s, d) => {
       val scored = bigramLmScores(s, d)
         .join(documents(s, d).select(col("doc_id"), col("lang")),
           Seq("doc_id"))
-      scored
-        .withColumn("bucket",
-          ntile(3).over(Window.orderBy(col("avg_logprob").desc,
-            col("doc_id"))).cast("long"))
+        .withColumn("k",
+          (col("avg_logprob").cast("decimal(16,6)") * lit(1000000))
+            .cast("long"))
+        .localCheckpoint()
+      val n = scored.count()
+      val grouped =
+        if (n < 3) scored.withColumn("bucket", lit(1L)) // degenerate corpus
+        else {
+          val q3 = n / 3; val r3 = n % 3
+          val k1 = q3 + (if (r3 >= 1) 1L else 0L)
+          val k2 = k1 + q3 + (if (r3 >= 2) 1L else 0L)
+          val p1 = (k1 - 0.5) / (n - 1).toDouble
+          val p2 = (k2 - 0.5) / (n - 1).toDouble
+          // neg key: ascending = best score first, matching desc rank.
+          val cuts = scored
+            .agg(percentile(-col("k"), array(lit(p1), lit(p2))).as("cs"))
+          val negk = -col("k").cast("double")
+          scored.join(broadcast(cuts))
+            .withColumn("bucket",
+              (lit(1) + when(negk > col("cs").getItem(0), 1).otherwise(0)
+                      + when(negk > col("cs").getItem(1), 1).otherwise(0))
+                .cast("long"))
+        }
+      grouped
         .groupBy(col("bucket"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_bigrams")).as("n_bigrams"),
@@ -537,18 +570,45 @@ object SelectionQueries {
       },
       "q116_bigram_lm" -> bigramLmSql,
 
+      // Cutoff equivalence with the Spark plan: Spark's exact percentile
+      // at half-rank positions yields a value strictly between the two
+      // adjacent integer keys (or exactly the tied key); the oracle's
+      // plain midpoint of the same two rank values lies in the same open
+      // interval, so every integer-key comparison agrees bit-for-bit.
       "q246_ccnet_buckets" ->
-        s"""WITH scored AS ($bigramLmSql),
-              ranked AS (
+        s"""WITH scored0 AS ($bigramLmSql),
+              scored AS (
                 SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob,
-                       ntile(3) OVER (ORDER BY s.avg_logprob DESC,
-                         s.doc_id)::BIGINT AS bucket
-                FROM scored s JOIN documents d ON s.doc_id = d.doc_id)
+                       CAST(CAST(s.avg_logprob AS DECIMAL(16,6)) * 1000000
+                         AS BIGINT) AS k
+                FROM scored0 s JOIN documents d ON s.doc_id = d.doc_id),
+              ks AS (
+                SELECT n, n // 3 + CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END AS k1,
+                       2 * (n // 3) + CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END
+                                    + CASE WHEN n % 3 >= 2 THEN 1 ELSE 0 END AS k2
+                FROM (SELECT count(*)::BIGINT AS n FROM scored)),
+              ranked AS (
+                SELECT k, row_number() OVER (ORDER BY k DESC) AS rk FROM scored),
+              cuts AS (
+                SELECT
+                  -(((SELECT k FROM ranked WHERE rk = ks.k1)::DOUBLE
+                   + (SELECT k FROM ranked WHERE rk = ks.k1 + 1)::DOUBLE) / 2.0)
+                    AS c1,
+                  -(((SELECT k FROM ranked WHERE rk = ks.k2)::DOUBLE
+                   + (SELECT k FROM ranked WHERE rk = ks.k2 + 1)::DOUBLE) / 2.0)
+                    AS c2
+                FROM ks),
+              bucketed AS (
+                SELECT (1 + CASE WHEN -(k::DOUBLE) > c1 THEN 1 ELSE 0 END
+                          + CASE WHEN -(k::DOUBLE) > c2 THEN 1 ELSE 0 END)::BIGINT
+                         AS bucket,
+                       lang, n_bigrams, avg_logprob
+                FROM scored, cuts)
            SELECT bucket, lang, count(*)::BIGINT AS n_docs,
                   sum(n_bigrams)::BIGINT AS n_bigrams,
                   round(CAST(sum(CAST(avg_logprob AS DECIMAL(18,6)))
                     AS DOUBLE) / count(*)::DOUBLE, 6) AS mean_logprob
-           FROM ranked GROUP BY 1, 2""",
+           FROM bucketed GROUP BY 1, 2""",
       "q117_filter_eval" -> {
         import graft.ext.TextAnalysis
         val nTok = s"len($tokSql)::BIGINT"

@@ -412,6 +412,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles <= 4, s"expected ≤4 exchanges, got $shuffles:\n$plan")
   }
 
+  test("q246 CCNet terciles: cutoffs come from ONE percentile aggregate — no window, no global sort") {
+    // the 100 TB posture the round-16 verdict asked for: the tercile split
+    // must never plan the unpartitioned ntile window (one task holding the
+    // whole corpus sort); instead the two cutoffs arrive as a broadcast
+    // 1-row frame and bucketing is a per-row comparison
+    val plan = executedPlan(SparkEntry.queries("q246_ccnet_buckets")(spark, sf))
+    assert(countIn(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    } == 0, s"tercile bucketing must not plan a window:\n$plan")
+    assert(countIn(plan) {
+      case t: org.apache.spark.sql.execution.SortExec => t
+    } == 0, s"tercile bucketing must not plan a sort:\n$plan")
+    assert(countIn(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    } >= 1, s"expected the 1-row percentile-cutoff broadcast:\n$plan")
+  }
+
   test("q163 embed-cov: the moment aggregate sees raw rows — no generator below any exchange, one agg exchange") {
     // q163's Gram matrix is ONE typed aggregate over the scan: nothing
     // explodes before aggregation (the dim² posexplode this replaced

@@ -162,4 +162,31 @@ class SelectionSpec extends SparkSpec {
     for (r <- rows) assert(r.getLong(1) <= math.ceil(2 * fair),
       s"shard ${r.getLong(0)} balanced")
   }
+
+  test("q246 tercile cutoffs match a brute-force ntile-with-ties-together split") {
+    // independent replay: sort per-doc LM scores (6 dp keys) descending,
+    // take ntile-style rank budgets k1/k2, then push boundary-straddling
+    // score ties into the better bucket — the cutoff semantics the
+    // percentile plan implements. Per-(bucket, lang) doc counts must match.
+    val scored = run("q116_bigram_lm")
+      .join(Tables.documents(spark, sf).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("avg_logprob")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 1e6)))
+    val n = scored.length
+    assert(n >= 3, "needs a non-degenerate corpus")
+    val q3 = n / 3; val r3 = n % 3
+    val k1 = q3 + (if (r3 >= 1) 1 else 0)
+    val k2 = k1 + q3 + (if (r3 >= 2) 1 else 0)
+    val desc = scored.sortBy(-_._3)
+    // ties-together: rows with k equal to the boundary value stay low
+    def bucketOf(k: Long): Int =
+      if (k >= desc(k1 - 1)._3) 1 else if (k >= desc(k2 - 1)._3) 2 else 3
+    val expect = scored.groupBy(t => (bucketOf(t._3).toLong, t._2))
+      .view.mapValues(_.length.toLong).toMap
+    val got = run("q246_ccnet_buckets").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
 }
