@@ -4,7 +4,7 @@ import java.util.{Collections, Iterator => JIterator}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, Literal => V2Literal, NamedReference, Transform}
@@ -137,12 +137,32 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     // '_'-prefixed names are engine state (_names is the link registry)
     require(GraftNames.validNamespace(namespace(0)),
       s"invalid namespace name: ${namespace(0)}")
+    // the SupportsNamespaces contract: existence is an error here (Spark's
+    // CreateNamespaceExec pre-checks for IF NOT EXISTS; a direct call must
+    // not silently "succeed")
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    // a namespace may not shadow a managed TABLE directory: mkdirs on an
+    // existing table root would "succeed" while namespaceExists keeps
+    // reporting the name absent
+    require(!GraftNames.tableShadowsNamespace(spark, namespace(0)),
+      s"cannot create namespace ${namespace(0)}: a managed table already " +
+        s"lives at that warehouse path — DROP TABLE graft.${namespace(0)} " +
+        "first, or pick another name")
     val w = GraftNames.warehouse(spark).getOrElse(
       throw new IllegalArgumentException(
         s"namespaces need the warehouse conf: SET " +
           s"${GraftNames.WarehouseConf} = '/dir'"))
     val p = new org.apache.hadoop.fs.Path(s"$w/${namespace(0)}")
     p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p)
+    // TOCTOU closure: a concurrent CREATE TABLE graft.<db> can land
+    // between the pre-check and the mkdirs (which silently no-ops on the
+    // table's root). Nothing to undo — the directory is the table's —
+    // but the caller must learn the namespace did NOT come into being.
+    if (GraftNames.tableShadowsNamespace(spark, namespace(0)))
+      throw new java.util.ConcurrentModificationException(
+        s"CREATE NAMESPACE ${namespace(0)} lost a table/namespace race — " +
+          "a managed table claimed the name; retry")
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -231,6 +251,30 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     VersionedTable.create(spark, root, empty,
       partitionBy = partitions.map(layoutOf).toSeq)
+    // TOCTOU closure for the shadow guards: managedRoot's pre-checks can
+    // race a concurrent CREATE on the OTHER side of the table/namespace
+    // invariant (namespace dir lands between our check and our create, or
+    // a table lands on our namespace segment). Re-verify AFTER our commit
+    // and self-undo on loss — two racers that both re-verify both undo,
+    // which is a double refusal, never a split-brain.
+    val lostRace = ident.namespace().headOption match {
+      case Some(db) => GraftNames.tableShadowsNamespace(spark, db)
+      case None =>
+        GraftNames.list(spark, Some(ident.name())).nonEmpty ||
+          // an empty namespace dir cannot be probed by namespaceExists
+          // anymore (our root IS that dir now) — the link registry's
+          // namespace subdir is the remaining witness
+          GraftNames.warehouse(spark).exists { w =>
+            val p = new org.apache.hadoop.fs.Path(s"$w/_names/${ident.name()}")
+            p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+          }
+    }
+    if (lostRace) {
+      dropTable(ident)
+      throw new java.util.ConcurrentModificationException(
+        s"CREATE TABLE ${qualified(ident)} lost a table/namespace race — " +
+          "the name resolved to the other side's commit; retry")
+    }
     // user table properties carry into the manifest; Spark's reserved
     // bookkeeping keys (provider/location/owner/…) are not table state
     import scala.jdk.CollectionConverters._

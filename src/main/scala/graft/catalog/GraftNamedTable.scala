@@ -100,6 +100,39 @@ object GraftNames {
         isDir(new Path(s"$w/_names/$db"))
     }
 
+  /** True when `$w/<db>` is an existing MANAGED TABLE root — a name
+    * that can never double as a namespace directory. Without this
+    * guard, `CREATE TABLE graft.db.t` with `db` an existing top-level
+    * table would nest t's data INSIDE that table's root: `DROP TABLE
+    * graft.db` then recursively deletes the nested table, while
+    * `SHOW TABLES IN graft.db` throws NoSuchNamespaceException even as
+    * `SELECT FROM graft.db.t` works — the split-brain the link-shadow
+    * guard already refuses for the flat case. */
+  def tableShadowsNamespace(spark: SparkSession, db: String): Boolean =
+    warehouse(spark).exists(w =>
+      VersionedTable.currentVersion(spark, s"$w/$db").nonEmpty)
+
+  /** The namespace-segment guard for every 2-segment name-to-path
+    * binding (managed create and link register). */
+  private def requireNamespaceSegmentFree(spark: SparkSession,
+                                          name: String): Unit = {
+    val segs = segments(name)
+    if (segs.length == 2)
+      require(!tableShadowsNamespace(spark, segs.head),
+        s"cannot use '${segs.head}' as a namespace: a managed table " +
+          s"already lives at that warehouse path — DROP TABLE " +
+          s"graft.${segs.head} first, or pick another namespace")
+  }
+
+  /** The SYMMETRIC shadow guard: a top-level managed CREATE may not land
+    * on an existing NAMESPACE (the table would swallow the namespace's
+    * directory — `SHOW TABLES IN graft.x` dies while `graft.x` reads as
+    * a table, and any tables inside become orphans). True when `x` is a
+    * live namespace OR its directory still holds nested tables/links. */
+  def namespaceShadowsTable(spark: SparkSession, x: String): Boolean =
+    validNamespace(x) &&
+      (namespaceExists(spark, x) || list(spark, Some(x)).nonEmpty)
+
   /** Bind `name` to an EXISTING table root (the link form). Re-binding
     * an existing name is an update — the link is the only state. */
   def register(spark: SparkSession, name: String, root: String): Unit = {
@@ -107,6 +140,7 @@ object GraftNames {
       s"table name must be 1-2 dot-separated ${NameRe.regex} segments: $name")
     require(VersionedTable.currentVersion(spark, root).nonEmpty,
       s"no graft table at $root — create it first, then register")
+    requireNamespaceSegmentFree(spark, name)
     val w = requireWarehouse(spark)
     // a link may not SHADOW a managed table: the two-bindings state
     // would make DROP ambiguous (remove the link and the name silently
@@ -215,6 +249,11 @@ object GraftNames {
   def managedRoot(spark: SparkSession, name: String): String = {
     require(validName(name),
       s"table name must be 1-2 dot-separated ${NameRe.regex} segments: $name")
+    val segs = segments(name)
+    if (segs.length == 2) requireNamespaceSegmentFree(spark, name)
+    else require(!namespaceShadowsTable(spark, name),
+      s"cannot create table '$name': a namespace with that name exists " +
+        s"— DROP NAMESPACE graft.$name first, or pick another name")
     s"${requireWarehouse(spark)}/${rel(name)}"
   }
 }

@@ -1635,9 +1635,17 @@ object LakehouseQueries {
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("event_type"), col("value"))
       VersionedTable.create(s, root, ev.filter(col("event_id") % 3 === 0)) // v1
+      // two commits landing in the same millisecond share a monotonized
+      // stamp, and an equal-stamp bound resolves to the EARLIER version
+      // ("at or after" is genuinely ambiguous on ties) — v1 would then
+      // re-deliver. Wait out v1's stamp so v2's is strictly greater and
+      // the v2-boundary below is deterministic.
+      val ts1 = VersionedTable.commitTimestamps(s, root).toMap.apply(1)
+      while (System.currentTimeMillis() <= ts1) Thread.sleep(1)
       VersionedTable.append(s, root, ev.filter(col("event_id") % 3 === 1)) // v2
       VersionedTable.append(s, root, ev.filter(col("event_id") % 3 === 2)) // v3
       val ts2 = VersionedTable.commitTimestamps(s, root).toMap.apply(2)
+      require(ts1 < ts2, s"v2's stamp must strictly follow v1's ($ts1, $ts2)")
       val out = work.resolve("out").toString
       def drainOnce(): Unit = {
         val q = s.readStream.format("graft-versioned")

@@ -98,18 +98,41 @@ class ConcurrentFuzzSpec extends SparkSpec {
             VersionedTable.append(spark, root, df.coalesce(1))
             ids.foreach(appended.add)
           } else if (roll < 42) {
-            // COPY INTO a per-op staged source file (fresh unique ids):
-            // behaves like an append in the taxonomy (empty footprint,
-            // rebases freely) plus the loads-ledger bookkeeping; a
-            // schema race refuses like any append rebase
+            // COPY INTO a per-op staged source file (fresh unique ids)
+            // in a RANDOM landing format. Parquet carries its own
+            // schema; CSV reads the table's user surface POSITIONALLY
+            // (staged from the schema read at stage time — a racing DDL
+            // between stage and load fails the FAILFAST read, a refusal:
+            // the seed-202 class); JSON matches by NAME, so absent
+            // fields null-fill and it rides out schema races.
             val lo = 12000000L + t * 1000000L + k * 10L
             val ids = Seq(lo, lo + 1)
             val inDir = Files.createTempDirectory(s"fuzz_ci_$t")
-            ids.toDF("id").withColumn("val", col("id") * 2)
-              .coalesce(1).write.mode("overwrite")
-              .parquet(inDir.resolve("in").toString)
-            val (_, n) = VersionedTable.copyInto(spark, root,
-              inDir.resolve("in").toString, pattern = "part-*.parquet")
+            val in = inDir.resolve("in").toString
+            val fmt = Seq("parquet", "csv", "json")(rnd.nextInt(3))
+            val src = ids.toDF("id").withColumn("val", col("id") * 2)
+            fmt match {
+              case "parquet" =>
+                src.coalesce(1).write.mode("overwrite").parquet(in)
+              case "json" =>
+                src.coalesce(1).write.mode("overwrite").json(in)
+              case _ =>
+                // the full user surface, positionally, minus the
+                // engine-owned columns COPY INTO's CSV read excludes
+                val schema = VersionedTable.schemaOf(spark, root)
+                val gens = VersionedTable.generatedOf(spark, root)
+                val idc = VersionedTable.identityOf(spark, root)
+                val surface = schema.fields.toSeq.map(_.name).filterNot(n =>
+                  n == VersionedTable.RowIdCol || gens.contains(n) ||
+                    idc.contains(n))
+                src.select(surface.map {
+                  case "id" => col("id")
+                  case "val" => col("val")
+                  case other => lit(null).cast(schema(other).dataType).as(other)
+                }: _*).coalesce(1).write.mode("overwrite").csv(in)
+            }
+            val (_, n) = VersionedTable.copyInto(spark, root, in,
+              pattern = "part-*", format = fmt)
             if (n > 0) ids.foreach(appended.add)
           } else if (roll < 54) {
             val kk = 7L + rnd.nextInt(7)
@@ -267,6 +290,14 @@ class ConcurrentFuzzSpec extends SparkSpec {
         } catch {
           case _: java.util.ConcurrentModificationException =>
             refusals.incrementAndGet()
+          case e: Throwable if roll >= 39 && roll < 42 &&
+              Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+                .exists(c => String.valueOf(c.getMessage).toLowerCase
+                  .contains("malformed")) =>
+            // a positional CSV staged under a schema a racing DDL then
+            // changed: the FAILFAST landing read refuses the whole load
+            // before anything commits — correct COPY INTO behavior
+            refusals.incrementAndGet()
           case _: IllegalArgumentException if roll >= 60 && !(roll >= 75 && roll < 86) =>
             // schema/rollback target raced away (rename chain broken by
             // a rollback, duplicate column after a rollback re-add, a
@@ -360,5 +391,108 @@ class ConcurrentFuzzSpec extends SparkSpec {
           "after churn (stale index entries may over-admit, never drop)")
     }
     info(s"fuzz: $maxV versions committed, ${refusals.get()} legal refusals")
+  }
+
+  private val NsThreads = 4
+  private val NsOpsPerThread = 40
+
+  test(s"${NsThreads}x$NsOpsPerThread namespace DDL racing DML keeps the name registry split-brain free") {
+    // CREATE/DROP NAMESPACE CASCADE racing CREATE TABLE / INSERT /
+    // SELECT / DROP TABLE on namespaced names, plus the table-vs-
+    // namespace shadow races the round-16 advice flagged. Writers may
+    // refuse (name raced away, shadow guard, CASCADE deleted the files
+    // mid-statement) — anything else is a bug. The end-state audit is
+    // the split-brain invariant: a name is a namespace XOR a table XOR
+    // absent, every visible table resolves AND reads, and no table
+    // nests inside another table's root.
+    import spark.implicits._
+    import graft.catalog.GraftNames
+    val w = Files.createTempDirectory("graft_fuzz_ns").toString
+    spark.conf.set(GraftNames.WarehouseConf, w)
+    val dbs = Seq("fz0", "fz1")
+    val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fatals = new ConcurrentLinkedQueue[Throwable]()
+    // every exception class a LEGAL loser can see: the engine's refusal
+    // (CME), analysis errors for names that raced away or shadow-guard
+    // requires (IllegalArgument / AnalysisException / NoSuch* /
+    // AlreadyExists), and file-level errors from CASCADE deleting data
+    // out from under an in-flight statement
+    def legal(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+        case _: java.util.ConcurrentModificationException => true
+        case _: IllegalArgumentException => true
+        case _: java.io.IOException => true
+        case x =>
+          val n = x.getClass.getName
+          n.contains("AnalysisException") || n.contains("NoSuch") ||
+            n.contains("AlreadyExists") ||
+            String.valueOf(x.getMessage).contains("FileNotFound")
+      }
+    def worker(t: Int): Thread = new Thread(() => {
+      val rnd = new Random(Seed + 97L * t)
+      var k = 0
+      while (k < NsOpsPerThread) {
+        val db = dbs(rnd.nextInt(dbs.length))
+        val roll = rnd.nextInt(100)
+        try {
+          if (roll < 18) spark.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$db")
+          else if (roll < 34)
+            spark.sql(s"CREATE TABLE graft.$db.t$t AS " +
+              s"SELECT ${k.toLong}L AS id, ${t.toLong}L AS src")
+          else if (roll < 52)
+            spark.sql(s"INSERT INTO graft.$db.t$t " +
+              s"SELECT ${1000L + k}L, ${t.toLong}L")
+          else if (roll < 62)
+            spark.sql(s"SELECT count(*) FROM graft.$db.t$t").collect()
+          else if (roll < 70)
+            spark.sql(s"SHOW TABLES IN graft.$db").collect()
+          else if (roll < 78)
+            spark.sql(s"DROP TABLE graft.$db.t$t")
+          else if (roll < 88)
+            // the shadow race: a top-level table on the namespace's name
+            // — at most ONE side of the invariant may ever be visible
+            spark.sql(s"CREATE TABLE graft.$db AS SELECT 1L AS id")
+          else
+            spark.sql(s"DROP NAMESPACE IF EXISTS graft.$db CASCADE")
+        } catch {
+          case e: Throwable if legal(e) => refusals.incrementAndGet()
+          case e: Throwable =>
+            fatals.add(new RuntimeException(s"t=$t k=$k roll=$roll db=$db", e))
+            k = NsOpsPerThread
+        }
+        k += 1
+      }
+    }, s"fuzz-ns-$t")
+    val threads = (0 until NsThreads).map(worker)
+    threads.foreach(_.start())
+    threads.foreach(_.join(900000))
+    if (!fatals.isEmpty) {
+      val e = fatals.peek(); e.printStackTrace()
+      fail(s"unexpected namespace-race failure: $e")
+    }
+    for (db <- dbs) {
+      val isNs = GraftNames.namespaceExists(spark, db)
+      val isTable = GraftNames.lookup(spark, db).nonEmpty
+      assert(!(isNs && isTable), s"$db is both a namespace and a table")
+      if (isTable) {
+        // the medium-advice split-brain: no table may nest inside the
+        // top-level table's root
+        (0 until NsThreads).foreach { t =>
+          assert(GraftNames.lookup(spark, s"$db.t$t").isEmpty,
+            s"$db.t$t resolves while graft.$db is a table — nested data")
+        }
+        spark.sql(s"SELECT count(*) FROM graft.$db").collect()
+      }
+      if (isNs) GraftNames.list(spark, Some(db)).foreach { tn =>
+        assert(GraftNames.lookup(spark, s"$db.$tn").nonEmpty,
+          s"listed table $db.$tn must resolve")
+        spark.sql(s"SELECT count(*) FROM graft.$db.`$tn`").collect()
+      }
+    }
+    info(s"ns fuzz: ${refusals.get()} legal refusals; final state " +
+      dbs.map(db => s"$db=" + (if (GraftNames.namespaceExists(spark, db))
+        s"ns(${GraftNames.list(spark, Some(db)).size})"
+      else if (GraftNames.lookup(spark, db).nonEmpty) "table"
+      else "absent")).mkString(", "))
   }
 }

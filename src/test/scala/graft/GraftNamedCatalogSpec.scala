@@ -172,6 +172,42 @@ class GraftNamedCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("namespace"), e.getMessage)
   }
 
+  test("a managed table root never doubles as a namespace: create/register/CREATE NAMESPACE all refuse") {
+    val w = freshWarehouse()
+    // a TOP-LEVEL MANAGED table named 'db'
+    spark.sql("CREATE TABLE graft.db AS SELECT 1L AS k")
+    assert(VersionedTable.currentVersion(spark, s"$w/db").nonEmpty)
+    // CREATE TABLE graft.db.t would nest t INSIDE the table's root:
+    // DROP TABLE graft.db would then recursively delete t's data while
+    // SHOW TABLES IN graft.db throws — refuse up front
+    val eCreate = intercept[Exception](
+      spark.sql("CREATE TABLE graft.db.t AS SELECT 2L AS k")).getMessage
+    assert(eCreate.contains("cannot use 'db' as a namespace"), eCreate)
+    // the link form takes the same guard
+    val ext = Files.createTempDirectory("graft_shadow").resolve("t").toString
+    VersionedTable.create(spark, ext, Seq((1L, "a")).toDF("k", "s"))
+    val eReg = intercept[Exception](
+      spark.sql(s"CALL graft.register_table('db.linked', '$ext')")).getMessage
+    assert(eReg.contains("cannot use 'db' as a namespace"), eReg)
+    // CREATE NAMESPACE on the table's name must refuse too (mkdirs on
+    // the table root would "succeed" while namespaceExists stays false)
+    val eNs = intercept[Exception](
+      spark.sql("CREATE NAMESPACE graft.db")).getMessage
+    assert(eNs.contains("cannot create namespace db"), eNs)
+    // and CREATE NAMESPACE without IF NOT EXISTS on an EXISTING
+    // namespace raises the contract error instead of silently passing
+    spark.sql("CREATE NAMESPACE graft.realdb")
+    val eDup = intercept[Exception](
+      spark.sql("CREATE NAMESPACE graft.realdb")).getMessage
+    assert(eDup.contains("SCHEMA_ALREADY_EXISTS") ||
+      eDup.toLowerCase.contains("already exists"), eDup)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.realdb") // no-op, no error
+    // the table itself is untouched by all the refusals
+    assert(spark.sql("SELECT k FROM graft.db").as[Long].head() == 1L)
+    spark.sql("DROP TABLE graft.db")
+    spark.sql("DROP NAMESPACE graft.realdb")
+  }
+
   test("engine-state dirs never read as namespaces; plain files neither") {
     val w = freshWarehouse()
     // registering a link creates $w/_names — DROP NAMESPACE graft._names

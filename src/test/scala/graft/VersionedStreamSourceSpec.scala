@@ -25,6 +25,13 @@ class VersionedStreamSourceSpec extends SparkSpec {
 
   /** Drain all available commits into a parquet sink (checkpointable),
     * return the accumulated ids (sorted, with duplicates preserved). */
+  /** Busy-wait until the wall clock strictly passed `ts` — the next
+    * commit's in-commit stamp is then strictly greater, making
+    * stamp-boundary assertions deterministic (same-millisecond commits
+    * legitimately share a monotonized stamp). */
+  private def awaitClockPast(ts: Long): Unit =
+    while (System.currentTimeMillis() <= ts) Thread.sleep(1)
+
   private def drain(root: String, checkpoint: String, outDir: String,
                     options: Map[String, String] = Map.empty): Seq[Long] = {
     val reader = spark.readStream.format("graft-versioned")
@@ -88,9 +95,14 @@ class VersionedStreamSourceSpec extends SparkSpec {
   test("startingTimestamp resolves to the first commit at or after the bound") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1, 2)) // v1
+    // same-millisecond commits share a monotonized stamp and an
+    // equal-stamp bound resolves to the EARLIER version — wait out v1's
+    // stamp so the v2 boundary below is deterministic, and assert it
+    awaitClockPast(VersionedTable.commitTimestamps(spark, root).toMap.apply(1))
     VersionedTable.append(spark, root, df(3))    // v2
     VersionedTable.append(spark, root, df(4))    // v3
     val stamps = VersionedTable.commitTimestamps(spark, root).toMap
+    assert(stamps(1) < stamps(2), "the boundary stamps must be strict")
     // the bound = v2's exact in-commit stamp: v2 is "at or after" it
     val ckpt = Files.createTempDirectory("vss_ckptT").toString
     val out = Files.createTempDirectory("vss_outT").toString
@@ -159,9 +171,14 @@ class VersionedStreamSourceSpec extends SparkSpec {
   test("batch CDF takes startingTimestamp/endingTimestamp range bounds") {
     val root = freshRoot()
     VersionedTable.create(spark, root, df(1)) // v1
+    // both [v2, v2] boundaries must be strict: a v1/v2 (or v2/v3) stamp
+    // tie would pull the neighbor version into the wall-clock range
+    awaitClockPast(VersionedTable.commitTimestamps(spark, root).toMap.apply(1))
     VersionedTable.append(spark, root, df(2)) // v2
+    awaitClockPast(VersionedTable.commitTimestamps(spark, root).toMap.apply(2))
     VersionedTable.append(spark, root, df(3)) // v3
     val stamps = VersionedTable.commitTimestamps(spark, root).toMap
+    assert(stamps(1) < stamps(2) && stamps(2) < stamps(3))
     val got = spark.read.format("graft-versioned")
       .option("readChangeFeed", "true")
       .option("startingTimestamp", stamps(2).toString)
