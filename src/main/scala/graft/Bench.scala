@@ -105,13 +105,23 @@ object Bench {
     *     four windows running (round 15) — so tighten never moves them.
     * This structurally ends hand-adjudicated entries: every sweep may
     * run tighten, new queries gate immediately, and existing entries
-    * converge downward to true idle floors over time. */
+    * converge downward to true idle floors over time.
+    *
+    * The ratchet is BOUNDED per window ([[TightenMinShrink]]): one
+    * anomalously fast window — warm page cache, partial work from a
+    * transient bug — may lower an entry at most 2×, not to an arbitrary
+    * floor no healthy run ever attains (the probe-entry failure mode,
+    * slower). A genuine large improvement still converges: each clean
+    * window halves the remaining gap, so two or three windows land it. */
+  private[graft] val TightenMinShrink = 0.5
   private[graft] def tightenedBaseline(
       old: Map[String, Double], fresh: Map[String, Double],
       probes: Set[String]): Map[String, Double] =
     (old.keySet ++ fresh.keySet).iterator.map { k =>
       k -> ((old.get(k), fresh.get(k)) match {
-        case (Some(o), Some(f)) => if (probes(k)) o else math.min(o, f)
+        case (Some(o), Some(f)) =>
+          if (probes(k)) o
+          else math.min(o, math.max(f, o * TightenMinShrink))
         case (Some(o), None) => o
         case (None, f) => f.get
       })
@@ -128,11 +138,19 @@ object Bench {
   /** Serialize + write BENCH_STABLE_BASELINE.json — the ONE place that
     * knows the file format, shared by the normal refresh, the tighten
     * refresh and the epoch mint (a format tweak applied to one copy of
-    * three would silently diverge the files). */
+    * three would silently diverge the files). `meta` carries the
+    * "_"-prefixed pseudo-entries other than the epoch stamp — today the
+    * same-window sweep-total companion ("_sweep_total" seconds over
+    * "_sweep_total_n" queries, minted only on near-idle windows): the
+    * per-query entries are a min-ENVELOPE no single sweep ever attains
+    * (their sum drifts the headline ratio up mechanically as entries
+    * tighten), so the headline compares a sweep total against a total
+    * one real window actually produced. */
   private def writeBaselineFile(entries: Seq[(String, Double)],
-                                epoch: Option[Int]): Boolean = {
+                                epoch: Option[Int],
+                                meta: Seq[(String, Double)] = Seq.empty): Boolean = {
     val body = (epoch.map(e => s""""_epoch": $e""").toSeq ++
-      entries.map { case (k, v) =>
+      (meta.sortBy(_._1) ++ entries).map { case (k, v) =>
         s""""$k": ${BigDecimal(v).setScale(3,
           BigDecimal.RoundingMode.HALF_UP)}"""
       }).map("  " + _).mkString("{\n", ",\n", "\n}\n")
@@ -239,18 +257,21 @@ object Bench {
     // re-run even with a TIGHT spread — round 9's q66 sat at 1.7 s in
     // EVERY pass (per-pass codegen-cache recompile) yet ran 0.8 s
     // isolated; spread-only flagging can never catch that class.
-    val baseline: Map[String, Double] =
+    val committedAll: Map[String, Double] =
       try {
         val p = java.nio.file.Paths.get("BENCH_STABLE_BASELINE.json")
         if (!java.nio.file.Files.exists(p)) Map.empty
         else """"([^"]+)":\s*([0-9.]+)""".r
           .findAllMatchIn(java.nio.file.Files.readString(p))
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          // "_"-prefixed keys are file METADATA (the epoch stamp), not
-          // query entries — letting one through would e.g. make
-          // '_epoch' the sorted-first fallback probe candidate
-          .filterNot(_._1.startsWith("_")).toMap
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // "_"-prefixed keys are file METADATA (the epoch stamp + the
+    // sweep-total companion), not query entries — letting one through
+    // would e.g. make '_epoch' the sorted-first fallback probe candidate
+    val baseline: Map[String, Double] =
+      committedAll.filterNot(_._1.startsWith("_"))
+    val committedMeta: Map[String, Double] =
+      committedAll.filter(_._1.startsWith("_")) - "_epoch"
     def regressed(name: String, v: Double): Boolean =
       baseline.get(name).exists(b => Bench.isRegression(v, b))
     val wideSpread = results.collect {
@@ -347,6 +368,22 @@ object Bench {
     val (regressions, contended) =
       calibratedRegressions(adjMap, baseline, probeRatios.map(_._2))
     val scale = probeScale(probeRatios.map(_._2))
+    def tot(f: ((Double, Double, Double)) => Double): Double =
+      results.flatMap(_._2).map(f).sum
+    val (minTotal, medTotal, maxTotal) = (tot(_._1), tot(_._2), tot(_._3))
+    // Same-window sweep-total companion: minted alongside a baseline
+    // write whenever the window is NEAR-IDLE (every probe under the
+    // refresh bar) and every query succeeded — the one artifact the
+    // min-envelope per-query entries cannot provide, a total that one
+    // real window actually produced. The count travels with it so a
+    // changed query set reports incomparable instead of silently wrong.
+    val nOk = results.count(_._2.isDefined)
+    val companionQualifies = probeRatios.nonEmpty &&
+      probeRatios.forall(_._2 <= BaselineRefreshProbeBar) && failed.isEmpty
+    val freshMeta: Map[String, Double] =
+      if (companionQualifies)
+        Map("_sweep_total" -> minTotal, "_sweep_total_n" -> nOk.toDouble)
+      else committedMeta
     val suppressed: Seq[(String, Double, Double)] =
       if (contended) rawRegressions(adjMap, baseline) else Seq.empty
     // A probe elevated past the contention bar while ANOTHER probe ran
@@ -394,9 +431,10 @@ object Bench {
         && only.isEmpty && !refreshBlocked) {
       val fresh = results.collect { case (k, Some(_)) =>
         k -> adjudicated(k).getOrElse(-1.0) }.filter(_._2 >= 0).toMap
-      // carry the epoch stamp through a normal refresh
+      // carry the epoch stamp through a normal refresh; the refresh bar
+      // already proved near-idle, so the companion re-mints here too
       Bench.writeBaselineFile((baseline ++ fresh).toSeq.sortBy(_._1),
-        Bench.committedEpoch())
+        Bench.committedEpoch(), freshMeta.toSeq)
     }
     // TIGHTEN refresh (SPARK_GRAFT_BENCH_WRITE_BASELINE=tighten): the
     // always-safe merge — see [[tightenedBaseline]]. Runs on any
@@ -419,8 +457,12 @@ object Bench {
         System.err.println(s"[bench] tighten refresh: ${added.size} new " +
           s"entr${if (added.size == 1) "y" else "ies"}" +
           (if (added.nonEmpty) s" (${added.toSeq.sorted.mkString(", ")})"
-           else "") + s", ${lowered.size} tightened")
-        Bench.writeBaselineFile(merged, Bench.committedEpoch())
+           else "") + s", ${lowered.size} tightened" +
+          (if (companionQualifies)
+             f"; sweep-total companion minted ($minTotal%.1f s / $nOk queries)"
+           else "; sweep-total companion carried (window not near-idle)"))
+        Bench.writeBaselineFile(merged, Bench.committedEpoch(),
+          freshMeta.toSeq)
       }
     }
     // EPOCH MINT (SPARK_GRAFT_BENCH_WRITE_BASELINE=epoch): replace the
@@ -469,7 +511,16 @@ object Bench {
           // announce the mint ONLY on a confirmed write — a swallowed
           // write failure followed by a MINTED line would leave the
           // operator believing an epoch landed that never did
-          if (Bench.writeBaselineFile(fresh, Some(oldEpoch + 1)))
+          // an epoch mint proved >= 3 internally-stable passes: mint the
+          // sweep-total companion from this window regardless of the
+          // probe-vs-old-epoch ratio (the old epoch is what's being
+          // replaced) — unless a query failed, which voids the total
+          val mintMeta =
+            if (failed.isEmpty)
+              Map("_sweep_total" -> minTotal, "_sweep_total_n" -> nOk.toDouble)
+            else committedMeta
+          if (Bench.writeBaselineFile(fresh, Some(oldEpoch + 1),
+              mintMeta.toSeq))
             System.err.println(s"[bench] epoch ${oldEpoch + 1} baseline " +
               s"MINTED (${fresh.size} queries; probes " + probeSpreads
                 .map { case (n, r) => f"$n spread $r%.2f" }.mkString(", ") +
@@ -479,9 +530,6 @@ object Bench {
         }
       }
     }
-    def tot(f: ((Double, Double, Double)) => Double): Double =
-      results.flatMap(_._2).map(f).sum
-    val (minTotal, medTotal, maxTotal) = (tot(_._1), tot(_._2), tot(_._3))
     def r3(v: Double): String =
       if (v < 0) "-1"
       else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -520,8 +568,24 @@ object Bench {
       s"""{"name":"$n","ratio":${r3(r)}}""" }.mkString("[", ",", "]")
     val alertsJson = probeAlerts.map { case (n, r) =>
       s"\"" + n + "\":" + r3(r) }.mkString("{", ",", "}")
+    // The HEADLINE total-vs-total comparison: this sweep's min-total vs
+    // the committed same-window companion (a total one real near-idle
+    // window produced), comparable only when the query set size matches.
+    // The sum-of-per-query-mins ratio is a FOOTNOTE: that denominator is
+    // a lower envelope no single sweep attains, so its ratio drifts up
+    // mechanically as entries tighten even on identical code.
+    val baseSweepTotal = committedMeta.get("_sweep_total").filter(_ > 0)
+    val baseSweepN = committedMeta.get("_sweep_total_n").map(_.toInt)
+    val vsSweepTotal: Option[Double] = for {
+      t <- baseSweepTotal; n <- baseSweepN
+      if only.isEmpty && n == nOk
+    } yield minTotal / t
+    val sweepJson =
+      s""""baseline_sweep_total":${baseSweepTotal.map(r3).getOrElse("null")},""" +
+      s""""baseline_sweep_n":${baseSweepN.map(_.toString).getOrElse("null")},""" +
+      s""""vs_sweep_total":${vsSweepTotal.map(r3).getOrElse("null")}"""
     val fullLine =
-      s"""{"metric":"total_full","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,"unit":"sec","queries":$qsFull,"stable_min":$stableJson,"regressions":$regJson,"normalized":$normJson,"contended":$contended,"probe":$probeJson,"probes":$probesJson,"probe_alerts":$alertsJson,"suppressed":$suppJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total_full","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,"unit":"sec",$sweepJson,"queries":$qsFull,"stable_min":$stableJson,"regressions":$regJson,"normalized":$normJson,"contended":$contended,"probe":$probeJson,"probes":$probesJson,"probe_alerts":$alertsJson,"suppressed":$suppJson,"sf":"$sfDir"}"""
     println(fullLine)
     // FULL sweeps only: a filtered dev run (SPARK_GRAFT_BENCH_ONLY) must
     // never clobber the committed full-sweep artifact with a 1-query file
@@ -554,6 +618,6 @@ object Bench {
       .take(5)
       .map { case (k, t) => s"\"" + k.takeWhile(_ != '_') + "\":" + triple(Some(t)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","queries":$qsShort,"sf":"$sfDir","unit":"sec","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,"noisiest":$noisiest}""")
+    println(s"""{"metric":"total","queries":$qsShort,"sf":"$sfDir","unit":"sec","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,$sweepJson,"noisiest":$noisiest}""")
   }
 }

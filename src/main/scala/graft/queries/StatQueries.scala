@@ -35,6 +35,14 @@ object StatQueries {
   /** Quantile grid for the drift table (q136). */
   val DriftGrid = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
 
+  /** Quantile grid for the mergeable fixed-point sketch (q248). */
+  val SketchGrid = Seq(0.25, 0.5, 0.75, 0.95)
+  /** q248 sketch resolution: values bucket to this many leading decimal
+    * digits (3 ⇒ cell width ≤ 1% of the value ⇒ midpoint estimates are
+    * within ±0.5% relative error — the DDSketch guarantee shape, but on
+    * a pure-decimal grid). */
+  val SketchSigDigits = 3
+
   /** Jaccard threshold sweep for the dedup calibration curve (q137). */
   val DedupThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
 
@@ -165,6 +173,52 @@ object StatQueries {
             element_at(col("qs"), i + 1).as(s"p${(p * 100).toInt}")
           } :+
           round(greatest(gaps: _*), 9).as("max_gap"): _*)
+    }),
+
+    // Mergeable FIXED-POINT quantile sketch (the register-style answer
+    // to q95/q136's histogram quantiles, and what retires global sorts
+    // for quantiles at 100 TB for real): every price buckets to its
+    // leading-3-significant-decimal-digits cell — a RELATIVE-ERROR grid
+    // like DDSketch's log buckets (Masson et al., VLDB '19) but computed
+    // with pure integer arithmetic (string length = decimal exponent),
+    // so both engines agree bit-for-bit with zero libm. The register is
+    // (group, cell) counts — bounded at ≤ 900 cells per decade, counts
+    // ADD under merge, so it tree-reduces exactly like the HLL/CMS
+    // registers (one partial-agg shuffle of register-sized state).
+    // Quantile read-out: rank r = ceil(p·N) into the per-group running
+    // count over the register (a window over ≤ thousands of rows per
+    // group — register-sized, never data-sized), estimate = cell
+    // midpoint ⇒ within ±0.5% relative error of the true quantile
+    // (StatSpec pins the bound against exact percentiles).
+    "q248_quantile_sketch" -> ((s, d) => {
+      val xi = lineitem(s, d).select(col("l_returnflag").as("flag"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("x"))
+      val cells = xi
+        .withColumn("w", pow(lit(10.0),
+          greatest(length(col("x").cast("string")) - SketchSigDigits,
+            lit(0)).cast("double")).cast("long"))
+        .select(col("flag"), (expr("x DIV w") * col("w")).as("cell"))
+        .groupBy(col("flag"), col("cell")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // the register: built once, read 3× below
+      val cum = cells.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("flag"))
+          .orderBy(col("cell"))))
+      val tot = cells.groupBy(col("flag"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_cells"))
+      val grid = tot.select(col("flag"), col("n"), col("n_cells"),
+          explode(array(SketchGrid.map(lit): _*)).as("p"))
+        .withColumn("rank_r",
+          ceil(col("p") * col("n").cast("double")).cast("long"))
+      grid.join(cum, Seq("flag"))
+        .filter(col("cum") >= col("rank_r") &&
+          col("cum") - col("cnt") < col("rank_r"))
+        .withColumn("cw", pow(lit(10.0),
+          greatest(length(col("cell").cast("string")) - SketchSigDigits,
+            lit(0)).cast("double")).cast("long"))
+        .select(col("flag").as("l_returnflag"), col("p"), col("rank_r"),
+          ((col("cell") * 2 + col("cw")).cast("double") / lit(200.0))
+            .as("est_price"),
+          col("n_cells"))
     }),
 
     // Dedup-threshold calibration curve: for each Jaccard cutoff, the
@@ -305,6 +359,40 @@ object StatQueries {
             SELECT source, $pcols,
                    round(greatest($gapTerms), 9) AS max_gap
             FROM bysrc, corpus"""
+      },
+      "q248_quantile_sketch" -> {
+        val sd = SketchSigDigits
+        val pList = SketchGrid.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
+        s"""WITH xi AS (
+              SELECT l_returnflag AS flag,
+                     CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS x
+              FROM lineitem),
+            cells AS (
+              SELECT flag, (x // w) * w AS cell, count(*)::BIGINT AS cnt
+              FROM (SELECT flag, x,
+                      CAST(power(10, greatest(
+                        length(CAST(x AS VARCHAR)) - $sd, 0)) AS BIGINT) AS w
+                    FROM xi)
+              GROUP BY 1, 2),
+            cum AS (
+              SELECT flag, cell, cnt,
+                     sum(cnt) OVER (PARTITION BY flag ORDER BY cell) AS cum
+              FROM cells),
+            tot AS (SELECT flag, sum(cnt)::BIGINT AS n,
+                           count(*)::BIGINT AS n_cells
+                    FROM cells GROUP BY 1),
+            grid AS (
+              SELECT flag, n, n_cells, p,
+                     CAST(ceil(p * n::DOUBLE) AS BIGINT) AS rank_r
+              FROM tot, (SELECT unnest($pList) AS p))
+            SELECT g.flag AS l_returnflag, g.p, g.rank_r,
+                   (c.cell * 2 + CAST(power(10, greatest(
+                      length(CAST(c.cell AS VARCHAR)) - $sd, 0)) AS BIGINT)
+                    )::DOUBLE / 200.0 AS est_price,
+                   g.n_cells
+            FROM grid g JOIN cum c
+              ON g.flag = c.flag AND c.cum >= g.rank_r
+              AND c.cum - c.cnt < g.rank_r"""
       },
       "q137_dedup_rate_curve" -> {
         val thrList = DedupThresholds.mkString("[", ", ", "]")

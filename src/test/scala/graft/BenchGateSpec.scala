@@ -117,6 +117,24 @@ class BenchGateSpec extends AnyFunSuite {
     assert(first("q13_probe") == 0.9)
   }
 
+  test("tighten ratchet is bounded: one anomalous window lowers at most 2x, repeated windows converge") {
+    // one anomalously fast window (warm cache, partial work from a
+    // transient bug) must not set a permanent floor no healthy run
+    // attains — the same failure mode the probe exclusion guards, slower
+    val m1 = Bench.tightenedBaseline(
+      Map("q1" -> 4.0), Map("q1" -> 0.3), Set.empty)
+    assert(m1("q1") == 2.0, s"one window shrinks at most 2x: ${m1("q1")}")
+    // a genuine large improvement still converges across clean windows
+    val m2 = Bench.tightenedBaseline(m1, Map("q1" -> 0.3), Set.empty)
+    val m3 = Bench.tightenedBaseline(m2, Map("q1" -> 0.3), Set.empty)
+    assert(m2("q1") == 1.0 && m3("q1") == 0.5,
+      s"each window halves the gap: ${m2("q1")}, ${m3("q1")}")
+    // within the bound the fresh value lands exactly (no distortion)
+    val m4 = Bench.tightenedBaseline(
+      Map("q1" -> 4.0), Map("q1" -> 2.5), Set.empty)
+    assert(m4("q1") == 2.5)
+  }
+
   test("normalization scale is the SMALLEST probe ratio above 1.0") {
     assert(Bench.probeScale(Seq(1.2, 1.5)) == 1.2)
     assert(Bench.probeScale(Seq(0.97, 1.5)) == 1.0,

@@ -120,4 +120,49 @@ class StatSpec extends SparkSpec {
       .toSet
     assert(got == brute, s"got=$got want=$brute")
   }
+
+  test("q248 sketch quantiles sit within the ±0.5% relative-error bound of the exact quantiles") {
+    // the property the sketch exists to provide: a 3-significant-digit
+    // relative-error grid means the cell containing the true rank-r
+    // value has width ≤ 1% of that value, and the midpoint estimate is
+    // within half of it. Exact reference: the rank-r order statistic
+    // over the same half-cent-rounded domain, computed by brute force.
+    val xs = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = run("q248_quantile_sketch").collect()
+    assert(rows.length == xs.size * SketchGrid.size,
+      "one row per (group, p)")
+    rows.foreach { r =>
+      val (flag, rank, est) =
+        (r.getString(0), r.getLong(2), r.getDouble(3))
+      val exact = xs(flag)(rank.toInt - 1).toDouble / 100.0
+      assert(math.abs(est - exact) <= 0.005 * exact + 0.01,
+        s"$flag p=${r.getDouble(1)}: est $est vs exact $exact " +
+          "breaks the relative-error bound")
+      // the register stays register-sized (the tree-reduce claim)
+      assert(r.getLong(4) < 10000, s"register blew up: ${r.getLong(4)} cells")
+    }
+    // MERGEABILITY: the register built from two disjoint halves and
+    // added cell-wise equals the register built in one pass — counts
+    // are the whole state, so the sketch tree-reduces/merges exactly
+    val xi = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("x"))
+    def register(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("w", pow(lit(10.0),
+        greatest(length(col("x").cast("string")) - SketchSigDigits,
+          lit(0)).cast("double")).cast("long"))
+      .select((expr("x DIV w") * col("w")).as("cell"))
+      .groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = register(xi)
+    val a = register(xi.filter(col("l_orderkey") % 2 === 0))
+    val b = register(xi.filter(col("l_orderkey") % 2 === 1))
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole, "cell-wise count addition must equal the one-pass register")
+  }
 }
