@@ -30,7 +30,9 @@ object ExplainAudit {
                "q146_containment", "q152_ivfpq", "q153_zonal_stats",
                "q163_embed_cov", "q186_phash_math", "q187_txn_snapshot",
                "q188_hll_file_skip", "q191_dv_delete", "q192_dv_cdc",
-               "q195_meta_agg", "q196_meta_filter_group", "q197_history")
+               "q195_meta_agg", "q196_meta_filter_group", "q197_history",
+               "q246_ccnet_buckets", "q248_quantile_sketch",
+               "q249_drift_sketch")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

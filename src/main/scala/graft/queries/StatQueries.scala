@@ -37,11 +37,21 @@ object StatQueries {
 
   /** Quantile grid for the mergeable fixed-point sketch (q248). */
   val SketchGrid = Seq(0.25, 0.5, 0.75, 0.95)
-  /** q248 sketch resolution: values bucket to this many leading decimal
-    * digits (3 ⇒ cell width ≤ 1% of the value ⇒ midpoint estimates are
-    * within ±0.5% relative error — the DDSketch guarantee shape, but on
-    * a pure-decimal grid). */
+  /** q248/q249 sketch resolution: values bucket to this many leading
+    * decimal digits (3 ⇒ cell width ≤ 1% of the value ⇒ midpoint
+    * estimates are within ±0.5% relative error — the DDSketch guarantee
+    * shape, but on a pure-decimal grid). */
   val SketchSigDigits = 3
+
+  /** The sketch's cell width for a positive scaled-integer value: 10^(
+    * decimal digits − SketchSigDigits), computed via string length so
+    * both engines agree with zero libm. */
+  private def sketchW(x: org.apache.spark.sql.Column) =
+    pow(lit(10.0), greatest(length(x.cast("string")) - SketchSigDigits,
+      lit(0)).cast("double")).cast("long")
+  private def sketchWSql(x: String): String =
+    s"CAST(power(10, greatest(length(CAST($x AS VARCHAR)) - " +
+      s"$SketchSigDigits, 0)) AS BIGINT)"
 
   /** Jaccard threshold sweep for the dedup calibration curve (q137). */
   val DedupThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
@@ -194,9 +204,7 @@ object StatQueries {
       val xi = lineitem(s, d).select(col("l_returnflag").as("flag"),
         floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("x"))
       val cells = xi
-        .withColumn("w", pow(lit(10.0),
-          greatest(length(col("x").cast("string")) - SketchSigDigits,
-            lit(0)).cast("double")).cast("long"))
+        .withColumn("w", sketchW(col("x")))
         .select(col("flag"), (expr("x DIV w") * col("w")).as("cell"))
         .groupBy(col("flag"), col("cell")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // the register: built once, read 3× below
@@ -212,13 +220,60 @@ object StatQueries {
       grid.join(cum, Seq("flag"))
         .filter(col("cum") >= col("rank_r") &&
           col("cum") - col("cnt") < col("rank_r"))
-        .withColumn("cw", pow(lit(10.0),
-          greatest(length(col("cell").cast("string")) - SketchSigDigits,
-            lit(0)).cast("double")).cast("long"))
+        .withColumn("cw", sketchW(col("cell")))
         .select(col("flag").as("l_returnflag"), col("p"), col("rank_r"),
           ((col("cell") * 2 + col("cw")).cast("double") / lit(200.0))
             .as("est_price"),
           col("n_cells"))
+    }),
+
+    // q136's drift table rebuilt ENTIRELY from q248-style registers —
+    // the 100 TB path q136's scaladoc promised ("at scale the swap is a
+    // sketch"), now real and oracle-gated: per-source AND corpus-wide
+    // quality-score quantiles read out of mergeable fixed-point
+    // registers (score at 6 dp fixed point, 3-significant-digit cells),
+    // per-probe |source − corpus| gaps and the per-source max gap (the
+    // KS statistic at fixed probes). ONE data-sized aggregate builds the
+    // per-source registers; the corpus register is the per-source one
+    // RE-AGGREGATED (register-sized input — the mergeability in action);
+    // everything downstream (rank walks, gap joins) runs on register-
+    // sized frames. No percentile over raw data anywhere.
+    "q249_drift_sketch" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stopN = TextAnalysis.countIn(toks, TextAnalysis.LangProfiles.head._2)
+      val si = floor(TextAnalysis.qualityScore(nTok, stopN,
+        length(col("text"))) * 1000000.0 + 0.5).cast("long")
+      val reg = documents(s, d).select(col("source"), si.as("x"))
+        .withColumn("w", sketchW(col("x")))
+        .select(col("source"), (expr("x DIV w") * col("w")).as("cell"))
+        .groupBy(col("source"), col("cell")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // the registers: one corpus pass, reused 3x
+      val corp = reg.groupBy(col("cell")).agg(sum(col("cnt")).as("cnt"))
+        .select(lit("__corpus__").as("source"), col("cell"), col("cnt"))
+      val all = reg.unionByName(corp)
+      val cum = all.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("source"))
+          .orderBy(col("cell"))))
+      val grid = all.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+        .select(col("source"), col("n"),
+          explode(array(DriftGrid.map(lit): _*)).as("p"))
+        .withColumn("rank_r",
+          ceil(col("p") * col("n").cast("double")).cast("long"))
+      val ests = grid.join(cum, Seq("source"))
+        .filter(col("cum") >= col("rank_r") &&
+          col("cum") - col("cnt") < col("rank_r"))
+        .select(col("source"), col("p"),
+          ((col("cell") * 2 + sketchW(col("cell"))).cast("double") /
+            lit(2000000.0)).as("est"))
+      val gaps = ests.filter(col("source") =!= "__corpus__")
+        .join(broadcast(ests.filter(col("source") === "__corpus__")
+          .select(col("p"), col("est").as("est_corpus"))), Seq("p"))
+        .withColumn("gap", abs(col("est") - col("est_corpus")))
+      gaps.join(gaps.groupBy(col("source")).agg(max(col("gap")).as("max_gap")),
+          Seq("source"))
+        .select(col("source"), col("p"), col("est").as("est_src"),
+          col("est_corpus"), col("gap"), col("max_gap"))
     }),
 
     // Dedup-threshold calibration curve: for each Jaccard cutoff, the
@@ -393,6 +448,49 @@ object StatQueries {
             FROM grid g JOIN cum c
               ON g.flag = c.flag AND c.cum >= g.rank_r
               AND c.cum - c.cnt < g.rank_r"""
+      },
+      "q249_drift_sketch" -> {
+        val q = TextAnalysis.qualityScoreSql(
+          "len(tk)::BIGINT",
+          TextAnalysis.countInSql("tk", TextAnalysis.LangProfiles.head._2),
+          "length(text)")
+        val pList = DriftGrid.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
+        s"""WITH scored AS (
+              SELECT source,
+                     CAST(floor(($q) * 1000000.0 + 0.5) AS BIGINT) AS x
+              FROM (SELECT source, text, $tokSql AS tk FROM documents)),
+            reg AS (
+              SELECT source, (x // w) * w AS cell, count(*)::BIGINT AS cnt
+              FROM (SELECT source, x, ${sketchWSql("x")} AS w FROM scored)
+              GROUP BY 1, 2),
+            allr AS (
+              SELECT source, cell, cnt FROM reg
+              UNION ALL
+              SELECT '__corpus__' AS source, cell, sum(cnt)::BIGINT AS cnt
+              FROM reg GROUP BY 2),
+            cum AS (
+              SELECT source, cell, cnt,
+                     sum(cnt) OVER (PARTITION BY source ORDER BY cell) AS cum
+              FROM allr),
+            grid AS (
+              SELECT source, n, p, CAST(ceil(p * n::DOUBLE) AS BIGINT) AS r
+              FROM (SELECT source, sum(cnt)::BIGINT AS n FROM allr GROUP BY 1),
+                   (SELECT unnest($pList) AS p)),
+            ests AS (
+              SELECT g.source, g.p,
+                     (c.cell * 2 + ${sketchWSql("c.cell")})::DOUBLE
+                       / 2000000.0 AS est
+              FROM grid g JOIN cum c
+                ON g.source = c.source AND c.cum >= g.r
+                AND c.cum - c.cnt < g.r),
+            gaps AS (
+              SELECT s.source, s.p, s.est AS est_src, c.est AS est_corpus,
+                     abs(s.est - c.est) AS gap
+              FROM ests s JOIN ests c ON c.source = '__corpus__' AND s.p = c.p
+              WHERE s.source <> '__corpus__')
+            SELECT source, p, est_src, est_corpus, gap,
+                   max(gap) OVER (PARTITION BY source) AS max_gap
+            FROM gaps"""
       },
       "q137_dedup_rate_curve" -> {
         val thrList = DedupThresholds.mkString("[", ", ", "]")

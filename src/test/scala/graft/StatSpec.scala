@@ -148,7 +148,7 @@ class StatSpec extends SparkSpec {
     // MERGEABILITY: the register built from two disjoint halves and
     // added cell-wise equals the register built in one pass — counts
     // are the whole state, so the sketch tree-reduces/merges exactly
-    val xi = Tables.lineitem(spark, sf)
+    val xiM = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"),
         floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("x"))
     def register(df: org.apache.spark.sql.DataFrame) = df
@@ -158,11 +158,41 @@ class StatSpec extends SparkSpec {
       .select((expr("x DIV w") * col("w")).as("cell"))
       .groupBy("cell").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val whole = register(xi)
-    val a = register(xi.filter(col("l_orderkey") % 2 === 0))
-    val b = register(xi.filter(col("l_orderkey") % 2 === 1))
+    val whole = register(xiM)
+    val a = register(xiM.filter(col("l_orderkey") % 2 === 0))
+    val b = register(xiM.filter(col("l_orderkey") % 2 === 1))
     val merged = (a.keySet ++ b.keySet).map(k =>
       k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
     assert(merged == whole, "cell-wise count addition must equal the one-pass register")
+  }
+
+  test("q249 drift-sketch quantiles honor the relative-error bound per source and corpus; gap arithmetic exact") {
+    val drift = run("q249_drift_sketch").collect()
+    val scoredDocs = {
+      val toks = graft.functions.Portable.tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stopN = graft.ext.TextAnalysis.countIn(toks,
+        graft.ext.TextAnalysis.LangProfiles.head._2)
+      Tables.documents(spark, sf).select(col("source"),
+          floor(graft.ext.TextAnalysis.qualityScore(nTok, stopN,
+            length(col("text"))) * 1000000.0 + 0.5).cast("long").as("x"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    }
+    val bySrc = scoredDocs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val corpus = scoredDocs.map(_._2).sorted
+    drift.foreach { r =>
+      val (src, p, estS, estC, gap, maxGap) = (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      def exactAt(xs: Array[Long]): Double =
+        xs(math.ceil(p * xs.length).toInt - 1).toDouble / 1e6
+      val (eS, eC) = (exactAt(bySrc(src)), exactAt(corpus))
+      assert(math.abs(estS - eS) <= 0.005 * eS + 1e-6,
+        s"$src p=$p: src est $estS vs exact $eS")
+      assert(math.abs(estC - eC) <= 0.005 * eC + 1e-6,
+        s"corpus p=$p: est $estC vs exact $eC")
+      assert(math.abs(gap - math.abs(estS - estC)) < 1e-12)
+      assert(maxGap >= gap - 1e-12)
+    }
+    assert(drift.length == bySrc.size * DriftGrid.size)
   }
 }
