@@ -46,10 +46,10 @@ object StatQueries {
   /** The sketch's cell width for a positive scaled-integer value: 10^(
     * decimal digits − SketchSigDigits), computed via string length so
     * both engines agree with zero libm. */
-  private def sketchW(x: org.apache.spark.sql.Column) =
+  private[graft] def sketchW(x: org.apache.spark.sql.Column) =
     pow(lit(10.0), greatest(length(x.cast("string")) - SketchSigDigits,
       lit(0)).cast("double")).cast("long")
-  private def sketchWSql(x: String): String =
+  private[graft] def sketchWSql(x: String): String =
     s"CAST(power(10, greatest(length(CAST($x AS VARCHAR)) - " +
       s"$SketchSigDigits, 0)) AS BIGINT)"
 

@@ -47,6 +47,16 @@ object StreamQueries {
     "q79_stream_enrich" -> ((s, d) =>
       EventsStream.enrichedRollupStreaming(s, d)),
 
+    // STREAMING quantile monitoring with bounded state: the q248
+    // register sketch as the streaming aggregation state (≤ ~900 cells
+    // per decade per event type, no matter how many events flow), batch
+    // rank-walk read-out at the SketchGrid probes — oracle is the
+    // identical register arithmetic replayed over the raw events
+    // (stream/batch parity; counts are order-free, so micro-batch
+    // boundaries cannot move a single cell).
+    "q250_stream_quantile_sketch" -> ((s, d) =>
+      EventsStream.quantileSketchStreaming(s, d)),
+
     // Stream-stream LEFT OUTER join: unmatched clicks emit (click, NULL)
     // on watermark expiry — the state-eviction semantics the inner join
     // never exercises. Oracle is the batch LEFT JOIN with the identical
@@ -245,6 +255,36 @@ object StreamQueries {
                 CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          GROUP BY n_name, event_type""",
+    "q250_stream_quantile_sketch" -> {
+      import graft.queries.StatQueries.{sketchWSql, SketchGrid}
+      val pList = SketchGrid.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
+      s"""WITH xi AS (
+            SELECT event_type,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+            FROM events),
+          cells AS (
+            SELECT event_type, (x // w) * w AS cell, count(*)::BIGINT AS cnt
+            FROM (SELECT event_type, x, ${sketchWSql("x")} AS w FROM xi)
+            GROUP BY 1, 2),
+          cum AS (
+            SELECT event_type, cell, cnt,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY cell) AS cum
+            FROM cells),
+          grid AS (
+            SELECT event_type, n, n_cells, p,
+                   CAST(ceil(p * n::DOUBLE) AS BIGINT) AS rank_r
+            FROM (SELECT event_type, sum(cnt)::BIGINT AS n,
+                         count(*)::BIGINT AS n_cells
+                  FROM cells GROUP BY 1),
+                 (SELECT unnest($pList) AS p))
+          SELECT g.event_type, g.p, g.rank_r,
+                 (c.cell * 2 + ${sketchWSql("c.cell")})::DOUBLE / 200.0
+                   AS est_value,
+                 g.n_cells
+          FROM grid g JOIN cum c
+            ON g.event_type = c.event_type AND c.cum >= g.rank_r
+            AND c.cum - c.cnt < g.rank_r"""
+    },
     "q181_stream_left_join" ->
       """SELECT c.user_id AS user_id,
                 c.event_id AS click_id,

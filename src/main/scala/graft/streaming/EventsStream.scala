@@ -101,6 +101,64 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Streaming quantile monitoring with BOUNDED state: the q248 register
+    * sketch (3-significant-decimal-digit relative-error cells, pure
+    * integer bucketing) maintained as a streaming aggregation keyed on
+    * (event_type, cell). The streaming STATE is the register — ≤ ~900
+    * cells per decade per event type, regardless of how many events
+    * flow — which is the whole point at 100 TB/day: exact-count
+    * quantile state that never grows with the stream. Counts are
+    * order-free, so the drained table is deterministic across
+    * micro-batch boundaries. The batch READ-OUT (rank walk at the
+    * SketchGrid probes, cell-midpoint estimates — ±0.5% relative) runs
+    * on the register-sized result, and the DuckDB oracle replays the
+    * identical arithmetic over the raw events (stream/batch parity). */
+  def quantileSketchStreaming(spark: SparkSession, sfDir: String,
+                              queryName: String = "graft_stream_qsketch"): DataFrame = {
+    import graft.queries.StatQueries.{sketchW, SketchGrid}
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .parquet(stageDir(sfDir, "events"))
+      .transform(graft.Tables.normalizeTs)
+    val reg = stream
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("x"))
+      .withColumn("w", sketchW(col("x")))
+      .select(col("event_type"), (expr("x DIV w") * col("w")).as("cell"))
+      .groupBy(col("event_type"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    withStreamPartitions(spark, 8) {
+      val q = reg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch read-out over the drained REGISTER (register-sized frames);
+    // checkpointed: the memory-sink view cannot self-join (duplicate
+    // attribute ids), and the register is tiny anyway
+    val cells = spark.table(queryName).localCheckpoint()
+    val cum = cells.withColumn("cum",
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("cell"))))
+    val grid = cells.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_cells"))
+      .select(col("event_type"), col("n"), col("n_cells"),
+        explode(array(SketchGrid.map(lit): _*)).as("p"))
+      .withColumn("rank_r",
+        ceil(col("p") * col("n").cast("double")).cast("long"))
+    grid.join(cum, Seq("event_type"))
+      .filter(col("cum") >= col("rank_r") &&
+        col("cum") - col("cnt") < col("rank_r"))
+      .select(col("event_type"), col("p"), col("rank_r"),
+        ((col("cell") * 2 + sketchW(col("cell"))).cast("double") /
+          lit(200.0)).as("est_value"),
+        col("n_cells"))
+  }
+
   /** Number of key-hash buckets the merge target is partitioned into.
     * Locally 32 keeps partition dirs ≈ core count; at 100 TB this is the
     * knob that bounds per-batch rewrite I/O to |touched buckets| / nBuckets

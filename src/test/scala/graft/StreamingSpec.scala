@@ -31,6 +31,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming quantile-sketch state is register-sized and estimates honor the error bound") {
+    val rows = EventsStream.quantileSketchStreaming(spark, sf, "t_qsketch")
+      .collect()
+    // one row per (event_type, probe); the streaming STATE (= the
+    // register the memory sink drained) stays register-sized
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(rows.length == types * graft.queries.StatQueries.SketchGrid.size)
+    rows.foreach(r => assert(r.getLong(4) < 5000,
+      s"register blew up: ${r.getLong(4)} cells"))
+    // parity + error bound vs exact per-type order statistics
+    val exact = Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val (t, p, rank, est) =
+        (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3))
+      val e = exact(t)(rank.toInt - 1).toDouble / 100.0
+      assert(math.abs(est - e) <= 0.005 * e + 0.01,
+        s"$t p=$p: est $est vs exact $e breaks the bound")
+    }
+  }
+
   test("multimodal decode: schema, determinism, partition preservation") {
     val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
     val decoded = Multimodal.decodeStage(spark, media)
