@@ -446,6 +446,66 @@ object GraftCatalog {
       (spark, in) => versionRow(
         VersionedTable.compact(spark, pathArg(in), targetBytes = in.getLong(1)))),
 
+    // Approximate quantiles over ANY numeric column of a lakehouse
+    // table via the mergeable fixed-point register sketch (q248's
+    // grid: 2 dp fixed point, 3-significant-digit relative-error
+    // cells): ONE distributed register aggregate (tree-reduces like
+    // the HLL/CMS registers), a register-sized collect, a driver-side
+    // rank walk. Estimates are cell midpoints — within ±0.5% relative
+    // (+½ grid step absolute) of the exact rank-r order statistic —
+    // with NO global sort and no t-digest nondeterminism: the same
+    // call on the same snapshot returns bit-identical rows on any
+    // cluster. Negative values ride the signed grid (integer DIV
+    // truncates toward zero, so cells stay value-ordered).
+    new Proc("quantile_sketch",
+      "approximate quantiles of a numeric column from one register-" +
+        "sketch aggregate (±0.5% relative, deterministic); probes is a " +
+        "comma-separated list in (0, 1]",
+      Seq("path" -> StringType, "column" -> StringType,
+        "probes" -> StringType),
+      StructType(Seq(
+        StructField("p", DoubleType, nullable = false),
+        StructField("rank_r", LongType, nullable = false),
+        StructField("estimate", DoubleType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_cells", LongType, nullable = false))),
+      (spark, in) => {
+        import org.apache.spark.sql.functions._
+        val root = pathArg(in)
+        val colName = str(in, 1)
+        val ps = str(in, 2).split(",").map(_.trim.toDouble).toSeq
+        require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+          s"probes must be in (0, 1]: ${str(in, 2)}")
+        val reg = VersionedTable.read(spark, root)
+          .select(col(colName).cast("double").as("v"))
+          .where(col("v").isNotNull)
+          .select(floor(col("v") * 100.0 + 0.5).cast("long").as("x"))
+          .withColumn("w", graft.queries.StatQueries.sketchW(abs(col("x"))))
+          .select((expr("x DIV w") * col("w")).as("cell"))
+          .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cell"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val n = reg.iterator.map(_._2).sum
+        require(n > 0, s"no non-null values in $colName")
+        val cum = reg.scanLeft(0L)(_ + _._2).drop(1)
+        def wOf(c: Long): Long = {
+          val digits = math.abs(c).toString.length
+          if (digits <= graft.queries.StatQueries.SketchSigDigits) 1L
+          else math.pow(10,
+            digits - graft.queries.StatQueries.SketchSigDigits).toLong
+        }
+        ps.map { p =>
+          val r = math.ceil(p * n.toDouble).toLong
+          val i = cum.indexWhere(_ >= r)
+          val c = reg(i)._1
+          val est =
+            if (c == 0L) 0.0
+            else (2 * c + (if (c > 0) wOf(c) else -wOf(c))).toDouble / 200.0
+          InternalRow(p, r, est, n, reg.length.toLong)
+        }
+      },
+      defaults = Map("probes" -> "'0.25,0.5,0.75,0.95'")),
+
     // The SQL face defaults min_orphan_age_ms to ONE HOUR, unlike the
     // library's explicit-0 default: a scheduled `CALL graft.expire` is
     // exactly the operator least likely to know about the single-writer

@@ -71,6 +71,45 @@ class GraftCatalogSpec extends SparkSpec {
     assert(idsOf(root) == (1L to 10L))
   }
 
+  test("quantile_sketch through CALL: register-exact, signed domain, error bound, determinism") {
+    import spark.implicits._
+    ensureCatalog()
+    val root = freshRoot()
+    // a signed, multi-decade domain: negatives exercise the signed grid
+    val vals = ((1 to 4000).map(i => i * 3.17 - 6000.0) ++
+      Seq(0.0, 0.004, -0.004)).toSeq
+    VersionedTable.create(spark, root,
+      vals.toDF("v").withColumn("id", monotonically_increasing_id())
+        .repartition(4))
+    val rows = spark.sql(
+      s"CALL graft.quantile_sketch('$root', 'v', '0.1,0.5,0.9')").collect()
+    assert(rows.length == 3)
+    // exact reference over the same half-cent-rounded domain
+    val xs = vals.map(v => math.floor(v * 100.0 + 0.5).toLong).sorted
+    rows.foreach { r =>
+      val (p, rank, est, n, nCells) = (r.getDouble(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4))
+      assert(n == vals.length && rank == math.ceil(p * n).toLong)
+      val exact = xs(rank.toInt - 1).toDouble / 100.0
+      assert(math.abs(est - exact) <= 0.005 * math.abs(exact) + 0.01,
+        s"p=$p: est $est vs exact $exact breaks the bound")
+      assert(nCells < 10000, s"register blew up: $nCells")
+    }
+    // deterministic: the same snapshot returns identical rows
+    val again = spark.sql(
+      s"CALL graft.quantile_sketch('$root', 'v', '0.1,0.5,0.9')").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // the default probe grid binds
+    assert(spark.sql(s"CALL graft.quantile_sketch('$root', 'v')")
+      .collect().length == 4)
+    // refusals: bad probe, unknown column
+    assert(intercept[Exception](spark.sql(
+      s"CALL graft.quantile_sketch('$root', 'v', '1.5')")).getMessage
+      .contains("probes"))
+    assert(intercept[Exception](spark.sql(
+      s"CALL graft.quantile_sketch('$root', 'nope', '0.5')")) != null)
+  }
+
   test("time-based retention and SHOW PROCEDURES") {
     import spark.implicits._
     ensureCatalog()
