@@ -429,6 +429,25 @@ class PlanShapeSpec extends SparkSpec {
     } >= 1, s"expected the 1-row percentile-cutoff broadcast:\n$plan")
   }
 
+  test("q248/q249 register sketches: tree-reduce aggregates, register-sized windows, no all-pairs") {
+    // the registers are built by ONE partial+final aggregate pair over
+    // the scan; every window/sort downstream runs on register-sized,
+    // group-partitioned frames. Pins: no cartesian anywhere, and the
+    // exchange count stays at the aggregate/window/readout handful — a
+    // data-sized extra shuffle (the thing the register design removes)
+    // would show up as exchange growth
+    Seq(("q248_quantile_sketch", 4), ("q249_drift_sketch", 8)).foreach {
+      case (q, maxShuffles) =>
+        val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
+        assert(countIn(plan) {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        } == 0, s"$q: register joins must never plan all-pairs:\n$plan")
+        val shuffles = countIn(plan) { case e: ShuffleExchangeExec => e }
+        assert(shuffles <= maxShuffles,
+          s"$q: expected <= $maxShuffles register-path exchanges, got $shuffles:\n$plan")
+    }
+  }
+
   test("q163 embed-cov: the moment aggregate sees raw rows — no generator below any exchange, one agg exchange") {
     // q163's Gram matrix is ONE typed aggregate over the scan: nothing
     // explodes before aggregation (the dim² posexplode this replaced
