@@ -371,18 +371,29 @@ object Bench {
     def tot(f: ((Double, Double, Double)) => Double): Double =
       results.flatMap(_._2).map(f).sum
     val (minTotal, medTotal, maxTotal) = (tot(_._1), tot(_._2), tot(_._3))
+    // The best SINGLE-PASS total: the smallest sum-of-one-pass's-times
+    // across the N passes — a total one contiguous pass actually
+    // produced, unlike minTotal (the per-query min-envelope, which no
+    // single pass attains; r17 ADVICE). Valid only when every query
+    // succeeded in every pass (a -1 would deflate a pass's sum).
+    val bestPassTotal: Option[Double] =
+      if (failed.nonEmpty || passes.isEmpty) None
+      else Some(passes.map(_.values.sum).min)
     // Same-window sweep-total companion: minted alongside a baseline
     // write whenever the window is NEAR-IDLE (every probe under the
     // refresh bar) and every query succeeded — the one artifact the
     // min-envelope per-query entries cannot provide, a total that one
-    // real window actually produced. The count travels with it so a
-    // changed query set reports incomparable instead of silently wrong.
+    // real window actually produced. Minted from the best single-pass
+    // total (not the within-window envelope — r17 ADVICE). The count
+    // travels with it so a changed query set reports incomparable
+    // instead of silently wrong.
     val nOk = results.count(_._2.isDefined)
     val companionQualifies = probeRatios.nonEmpty &&
-      probeRatios.forall(_._2 <= BaselineRefreshProbeBar) && failed.isEmpty
+      probeRatios.forall(_._2 <= BaselineRefreshProbeBar) &&
+      bestPassTotal.nonEmpty
     val freshMeta: Map[String, Double] =
       if (companionQualifies)
-        Map("_sweep_total" -> minTotal, "_sweep_total_n" -> nOk.toDouble)
+        Map("_sweep_total" -> bestPassTotal.get, "_sweep_total_n" -> nOk.toDouble)
       else committedMeta
     val suppressed: Seq[(String, Double, Double)] =
       if (contended) rawRegressions(adjMap, baseline) else Seq.empty
@@ -459,7 +470,7 @@ object Bench {
           (if (added.nonEmpty) s" (${added.toSeq.sorted.mkString(", ")})"
            else "") + s", ${lowered.size} tightened" +
           (if (companionQualifies)
-             f"; sweep-total companion minted ($minTotal%.1f s / $nOk queries)"
+             f"; sweep-total companion minted (${bestPassTotal.get}%.1f s / $nOk queries, best single pass)"
            else "; sweep-total companion carried (window not near-idle)"))
         Bench.writeBaselineFile(merged, Bench.committedEpoch(),
           freshMeta.toSeq)
@@ -515,10 +526,11 @@ object Bench {
           // sweep-total companion from this window regardless of the
           // probe-vs-old-epoch ratio (the old epoch is what's being
           // replaced) — unless a query failed, which voids the total
-          val mintMeta =
-            if (failed.isEmpty)
-              Map("_sweep_total" -> minTotal, "_sweep_total_n" -> nOk.toDouble)
-            else committedMeta
+          val mintMeta = bestPassTotal match {
+            case Some(t) =>
+              Map("_sweep_total" -> t, "_sweep_total_n" -> nOk.toDouble)
+            case None => committedMeta
+          }
           if (Bench.writeBaselineFile(fresh, Some(oldEpoch + 1),
               mintMeta.toSeq))
             System.err.println(s"[bench] epoch ${oldEpoch + 1} baseline " +
@@ -576,11 +588,15 @@ object Bench {
     // mechanically as entries tighten even on identical code.
     val baseSweepTotal = committedMeta.get("_sweep_total").filter(_ > 0)
     val baseSweepN = committedMeta.get("_sweep_total_n").map(_.toInt)
+    // totals-vs-totals, like for like: the numerator is this window's
+    // best SINGLE-PASS total (same construction as the committed
+    // companion), not the per-query min-envelope (r17 ADVICE)
     val vsSweepTotal: Option[Double] = for {
-      t <- baseSweepTotal; n <- baseSweepN
+      t <- baseSweepTotal; n <- baseSweepN; num <- bestPassTotal
       if only.isEmpty && n == nOk
-    } yield minTotal / t
+    } yield num / t
     val sweepJson =
+      s""""best_pass_total":${bestPassTotal.map(r3).getOrElse("null")},""" +
       s""""baseline_sweep_total":${baseSweepTotal.map(r3).getOrElse("null")},""" +
       s""""baseline_sweep_n":${baseSweepN.map(_.toString).getOrElse("null")},""" +
       s""""vs_sweep_total":${vsSweepTotal.map(r3).getOrElse("null")}"""
@@ -596,28 +612,30 @@ object Bench {
         System.err.println(s"[bench] BENCH_SPREAD.json write failed: ${e.getMessage}")
       }
     // The consumer of this output keeps only the LAST ~2000 characters and
-    // parses the JSON line out of that window. Two things have broken that
-    // in the past: (a) the full-named 110-query line is ~4 KB, so its
-    // opening brace fell outside the window; (b) Spark shutdown WARNs
-    // landed after the line and pushed it out entirely. So: silence
-    // logging, stop Spark FIRST, and only then print one compact line
-    // (short qNN keys, millisecond precision) as the final output. The
-    // line clips FRONT-first, so the spread summary (totals over N passes
-    // + the widest-spread queries) sits at the END, after the queries map.
+    // parses the JSON line out of that window. Three things have broken
+    // that in the past: (a) a full per-query map at 250 queries is ~4 KB,
+    // so the line's opening brace fell outside the window even with short
+    // keys (r17's committed artifact read parsed:null); (b) Spark
+    // shutdown WARNs landed after the line and pushed it out entirely;
+    // (c) front-clipping ate the summary fields. So: silence logging,
+    // stop Spark FIRST, and print one SMALL line — summary totals plus
+    // only the 12 most expensive queries (the tail that moves the total)
+    // — that fits the window whole. The complete per-query spread lives
+    // in BENCH_SPREAD.json (written above) and in the full-named line
+    // earlier in the log.
     org.apache.log4j.LogManager.getRootLogger.setLevel(org.apache.log4j.Level.OFF)
     try spark.stop() catch { case _: Throwable => () }
-    val qsShort = results.map { case (k, v) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + (v match {
-        case Some((mn, _, _)) => r3(mn)
-        case None => "-1"
-      })
-    }.mkString("{", ",", "}")
+    val qsShort = (results.collect { case (k, Some((mn, _, _))) => (k, mn) }
+      .sortBy(-_._2).take(12).sortBy(_._1)
+      .map { case (k, mn) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(mn) } ++
+      failed.map(k => s"\"" + k.takeWhile(_ != '_') + "\":-1"))
+      .mkString("{", ",", "}")
     val noisiest = results
       .collect { case (k, Some(t)) => (k, t) }
       .sortBy { case (_, (mn, _, mx)) => mn - mx } // widest absolute spread first
       .take(5)
       .map { case (k, t) => s"\"" + k.takeWhile(_ != '_') + "\":" + triple(Some(t)) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","queries":$qsShort,"sf":"$sfDir","unit":"sec","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,$sweepJson,"noisiest":$noisiest}""")
+    println(s"""{"metric":"total","n_queries":$nOk,"n_failed":${failed.size},"queries":$qsShort,"queries_full":"BENCH_SPREAD.json","sf":"$sfDir","unit":"sec","value":${r3(minTotal)},"med_total":${r3(medTotal)},"max_total":${r3(maxTotal)},"passes":$passesN,$sweepJson,"noisiest":$noisiest}""")
   }
 }

@@ -270,7 +270,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
           }
     }
     if (lostRace) {
-      dropTable(ident)
+      GraftCatalog.undoOwnCreate(spark, root)
       throw new java.util.ConcurrentModificationException(
         s"CREATE TABLE ${qualified(ident)} lost a table/namespace race — " +
           "the name resolved to the other side's commit; retry")
@@ -287,6 +287,13 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
         reserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) }
       .sortBy(_._1)
     if (props.nonEmpty) VersionedTable.setTableProperties(spark, root, props)
+    // final own-root re-verify (r17 ADVICE): a racer's undo or a CASCADE
+    // drop may have removed our commit between the re-verify above and
+    // here — never report success for a table whose manifest is gone
+    if (VersionedTable.currentVersion(spark, root).isEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"CREATE TABLE ${qualified(ident)} was removed by a concurrent " +
+          "operation before it completed; retry")
     GraftNamedTable(qualified(ident), root)
   }
 
@@ -411,6 +418,43 @@ object GraftCatalog {
   private val versionResult = StructType(Seq(
     StructField("version", IntegerType, nullable = false)))
 
+  /** Undo for a CREATE that lost the table/namespace race: delete only
+    * THIS create's own artifacts — the `_log` directory it wrote
+    * (exclusively ours: a racer's nested table logs live a level down,
+    * `<root>/<t>/_log`), its staged/committed data files (direct-child
+    * plain files, `.stage-*` scratch dirs, and hive `k=v` cell dirs —
+    * `=` and a `.` prefix can never appear in a table or namespace
+    * segment), then the root directory itself only if now EMPTY
+    * (non-recursive). The previous recursive `dropTable` here destroyed
+    * a nested table a concurrent `CREATE TABLE graft.<name>.t` had
+    * legitimately committed under the same directory, after which that
+    * racer's own lostRace re-verify saw no shadow and reported SUCCESS
+    * for a table whose files were just deleted (r17 ADVICE, medium). */
+  private[graft] def undoOwnCreate(spark: SparkSession, root: String): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val f = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    // `top` guards the one name that is ambiguous between the two
+    // layouts: `_log` at the root is OURS, but inside `data/` it could
+    // only be a racer's nested table legitimately NAMED `data` (its
+    // own files then live a level deeper still, in `data/data/`, which
+    // this sweep never enters)
+    def sweep(dir: org.apache.hadoop.fs.Path, top: Boolean): Unit =
+      if (f.exists(dir)) {
+        f.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (!st.isDirectory || n.startsWith(".") || n.contains("=") ||
+              (top && n == "_log"))
+            f.delete(st.getPath, true)
+          else if (top && n == "data") sweep(st.getPath, top = false)
+        }
+        // succeeds only when nothing else lives here; a racer's nested
+        // content keeps the dir alive as the namespace's directory
+        try f.delete(dir, false)
+        catch { case _: java.io.IOException => () }
+      }
+    sweep(rootP, top = true)
+  }
+
   private def versionRow(v: Int): Seq[InternalRow] =
     Seq(InternalRow(v))
 
@@ -480,8 +524,9 @@ object GraftCatalog {
           .select(col(colName).cast("double").as("v"))
           .where(col("v").isNotNull)
           .select(floor(col("v") * 100.0 + 0.5).cast("long").as("x"))
-          .withColumn("w", graft.queries.StatQueries.sketchW(abs(col("x"))))
-          .select((expr("x DIV w") * col("w")).as("cell"))
+          .withColumn("w", graft.queries.StatQueries.sketchW(col("x")))
+          .select(graft.queries.StatQueries.sketchCell(col("x"), col("w"))
+            .as("cell"))
           .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
           .orderBy(col("cell"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -599,11 +599,16 @@ object SelectionQueries {
                     AS c2
                 FROM ks),
               bucketed AS (
-                SELECT (1 + CASE WHEN -(k::DOUBLE) > c1 THEN 1 ELSE 0 END
-                          + CASE WHEN -(k::DOUBLE) > c2 THEN 1 ELSE 0 END)::BIGINT
-                         AS bucket,
+                -- n < 3 mirrors the Spark degenerate branch: all rows in
+                -- bucket 1 (otherwise the NULL rank-(k2+1) subquery would
+                -- leave only one binding cutoff and split 2 rows across
+                -- buckets 1 and 2 — r17 ADVICE)
+                SELECT (CASE WHEN ks.n < 3 THEN 1
+                        ELSE 1 + CASE WHEN -(k::DOUBLE) > c1 THEN 1 ELSE 0 END
+                             + CASE WHEN -(k::DOUBLE) > c2 THEN 1 ELSE 0 END
+                        END)::BIGINT AS bucket,
                        lang, n_bigrams, avg_logprob
-                FROM scored, cuts)
+                FROM scored, cuts, ks)
            SELECT bucket, lang, count(*)::BIGINT AS n_docs,
                   sum(n_bigrams)::BIGINT AS n_bigrams,
                   round(CAST(sum(CAST(avg_logprob AS DECIMAL(18,6)))

@@ -43,15 +43,44 @@ object StatQueries {
     * shape, but on a pure-decimal grid). */
   val SketchSigDigits = 3
 
-  /** The sketch's cell width for a positive scaled-integer value: 10^(
-    * decimal digits − SketchSigDigits), computed via string length so
-    * both engines agree with zero libm. */
+  /** The sketch's cell width for a scaled-integer value: 10^(decimal
+    * digits of |x| − SketchSigDigits), computed via string length so
+    * both engines agree with zero libm. abs-based so a '-' sign never
+    * counts as a digit — a negative value's cell is exactly as fine as
+    * its positive twin's (r17 ADVICE; matches the CALL proc's wOf). */
   private[graft] def sketchW(x: org.apache.spark.sql.Column) =
-    pow(lit(10.0), greatest(length(x.cast("string")) - SketchSigDigits,
+    pow(lit(10.0), greatest(length(abs(x).cast("string")) - SketchSigDigits,
       lit(0)).cast("double")).cast("long")
   private[graft] def sketchWSql(x: String): String =
-    s"CAST(power(10, greatest(length(CAST($x AS VARCHAR)) - " +
+    s"CAST(power(10, greatest(length(CAST(abs($x) AS VARCHAR)) - " +
       s"$SketchSigDigits, 0)) AS BIGINT)"
+
+  /** Cell assignment on the SIGNED grid: trunc-toward-zero division so
+    * cells stay value-ordered for negatives. Spark's `DIV` already
+    * truncates toward zero; DuckDB's `//` FLOORS, so the oracle spells
+    * trunc explicitly — without this the two engines put x = −155,
+    * w = 10 in different cells (−150 vs −160). */
+  private[graft] def sketchCell(x: org.apache.spark.sql.Column,
+                                w: org.apache.spark.sql.Column) =
+    expr("x DIV w") * w
+  private[graft] def sketchCellSql(x: String, w: String): String =
+    s"(CASE WHEN $x >= 0 THEN ($x // $w) ELSE -((-($x)) // $w) END) * $w"
+
+  /** Cell-midpoint read-out, signed: +half-width above a positive cell,
+    * −half-width below a negative one (the estimate must land INSIDE
+    * the cell — always adding +w put negative estimates a full cell
+    * off, r17 ADVICE); cell 0 holds exactly the value 0 (any |x| ≥ 1
+    * is its own cell at w = 1), so its estimate is exact. `scale` is
+    * 2 × the fixed-point scale (the ×2 of the midpoint fold). */
+  private[graft] def sketchMid(cell: org.apache.spark.sql.Column,
+                               scale: Double): org.apache.spark.sql.Column =
+    when(cell === 0, lit(0.0)).otherwise(
+      (cell * 2 + when(cell > 0, sketchW(cell)).otherwise(-sketchW(cell)))
+        .cast("double") / lit(scale))
+  private[graft] def sketchMidSql(cell: String, scale: String): String =
+    s"(CASE WHEN $cell = 0 THEN 0.0 ELSE ($cell * 2 + (CASE WHEN $cell > 0 " +
+      s"THEN ${sketchWSql(cell)} ELSE -${sketchWSql(cell)} END))::DOUBLE " +
+      s"/ $scale END)"
 
   /** Jaccard threshold sweep for the dedup calibration curve (q137). */
   val DedupThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
@@ -205,7 +234,7 @@ object StatQueries {
         floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("x"))
       val cells = xi
         .withColumn("w", sketchW(col("x")))
-        .select(col("flag"), (expr("x DIV w") * col("w")).as("cell"))
+        .select(col("flag"), sketchCell(col("x"), col("w")).as("cell"))
         .groupBy(col("flag"), col("cell")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // the register: built once, read 3× below
       val cum = cells.withColumn("cum",
@@ -220,10 +249,8 @@ object StatQueries {
       grid.join(cum, Seq("flag"))
         .filter(col("cum") >= col("rank_r") &&
           col("cum") - col("cnt") < col("rank_r"))
-        .withColumn("cw", sketchW(col("cell")))
         .select(col("flag").as("l_returnflag"), col("p"), col("rank_r"),
-          ((col("cell") * 2 + col("cw")).cast("double") / lit(200.0))
-            .as("est_price"),
+          sketchMid(col("cell"), 200.0).as("est_price"),
           col("n_cells"))
     }),
 
@@ -246,7 +273,7 @@ object StatQueries {
         length(col("text"))) * 1000000.0 + 0.5).cast("long")
       val reg = documents(s, d).select(col("source"), si.as("x"))
         .withColumn("w", sketchW(col("x")))
-        .select(col("source"), (expr("x DIV w") * col("w")).as("cell"))
+        .select(col("source"), sketchCell(col("x"), col("w")).as("cell"))
         .groupBy(col("source"), col("cell")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint() // the registers: one corpus pass, reused 3x
       val corp = reg.groupBy(col("cell")).agg(sum(col("cnt")).as("cnt"))
@@ -264,8 +291,7 @@ object StatQueries {
         .filter(col("cum") >= col("rank_r") &&
           col("cum") - col("cnt") < col("rank_r"))
         .select(col("source"), col("p"),
-          ((col("cell") * 2 + sketchW(col("cell"))).cast("double") /
-            lit(2000000.0)).as("est"))
+          sketchMid(col("cell"), 2000000.0).as("est"))
       val gaps = ests.filter(col("source") =!= "__corpus__")
         .join(broadcast(ests.filter(col("source") === "__corpus__")
           .select(col("p"), col("est").as("est_corpus"))), Seq("p"))
@@ -416,18 +442,15 @@ object StatQueries {
             FROM bysrc, corpus"""
       },
       "q248_quantile_sketch" -> {
-        val sd = SketchSigDigits
         val pList = SketchGrid.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
         s"""WITH xi AS (
               SELECT l_returnflag AS flag,
                      CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS x
               FROM lineitem),
             cells AS (
-              SELECT flag, (x // w) * w AS cell, count(*)::BIGINT AS cnt
-              FROM (SELECT flag, x,
-                      CAST(power(10, greatest(
-                        length(CAST(x AS VARCHAR)) - $sd, 0)) AS BIGINT) AS w
-                    FROM xi)
+              SELECT flag, ${sketchCellSql("x", "w")} AS cell,
+                     count(*)::BIGINT AS cnt
+              FROM (SELECT flag, x, ${sketchWSql("x")} AS w FROM xi)
               GROUP BY 1, 2),
             cum AS (
               SELECT flag, cell, cnt,
@@ -441,9 +464,7 @@ object StatQueries {
                      CAST(ceil(p * n::DOUBLE) AS BIGINT) AS rank_r
               FROM tot, (SELECT unnest($pList) AS p))
             SELECT g.flag AS l_returnflag, g.p, g.rank_r,
-                   (c.cell * 2 + CAST(power(10, greatest(
-                      length(CAST(c.cell AS VARCHAR)) - $sd, 0)) AS BIGINT)
-                    )::DOUBLE / 200.0 AS est_price,
+                   ${sketchMidSql("c.cell", "200.0")} AS est_price,
                    g.n_cells
             FROM grid g JOIN cum c
               ON g.flag = c.flag AND c.cum >= g.rank_r
@@ -460,7 +481,8 @@ object StatQueries {
                      CAST(floor(($q) * 1000000.0 + 0.5) AS BIGINT) AS x
               FROM (SELECT source, text, $tokSql AS tk FROM documents)),
             reg AS (
-              SELECT source, (x // w) * w AS cell, count(*)::BIGINT AS cnt
+              SELECT source, ${sketchCellSql("x", "w")} AS cell,
+                     count(*)::BIGINT AS cnt
               FROM (SELECT source, x, ${sketchWSql("x")} AS w FROM scored)
               GROUP BY 1, 2),
             allr AS (
@@ -478,8 +500,7 @@ object StatQueries {
                    (SELECT unnest($pList) AS p)),
             ests AS (
               SELECT g.source, g.p,
-                     (c.cell * 2 + ${sketchWSql("c.cell")})::DOUBLE
-                       / 2000000.0 AS est
+                     ${sketchMidSql("c.cell", "2000000.0")} AS est
               FROM grid g JOIN cum c
                 ON g.source = c.source AND c.cum >= g.r
                 AND c.cum - c.cnt < g.r),

@@ -256,14 +256,16 @@ object StreamQueries {
          FROM events JOIN nation ON user_id % 25 = n_nationkey
          GROUP BY n_name, event_type""",
     "q250_stream_quantile_sketch" -> {
-      import graft.queries.StatQueries.{sketchWSql, SketchGrid}
+      import graft.queries.StatQueries.{sketchWSql, sketchCellSql,
+        sketchMidSql, SketchGrid}
       val pList = SketchGrid.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
       s"""WITH xi AS (
             SELECT event_type,
                    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
             FROM events),
           cells AS (
-            SELECT event_type, (x // w) * w AS cell, count(*)::BIGINT AS cnt
+            SELECT event_type, ${sketchCellSql("x", "w")} AS cell,
+                   count(*)::BIGINT AS cnt
             FROM (SELECT event_type, x, ${sketchWSql("x")} AS w FROM xi)
             GROUP BY 1, 2),
           cum AS (
@@ -278,8 +280,7 @@ object StreamQueries {
                   FROM cells GROUP BY 1),
                  (SELECT unnest($pList) AS p))
           SELECT g.event_type, g.p, g.rank_r,
-                 (c.cell * 2 + ${sketchWSql("c.cell")})::DOUBLE / 200.0
-                   AS est_value,
+                 ${sketchMidSql("c.cell", "200.0")} AS est_value,
                  g.n_cells
           FROM grid g JOIN cum c
             ON g.event_type = c.event_type AND c.cum >= g.rank_r

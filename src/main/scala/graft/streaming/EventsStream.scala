@@ -115,7 +115,7 @@ object EventsStream {
     * identical arithmetic over the raw events (stream/batch parity). */
   def quantileSketchStreaming(spark: SparkSession, sfDir: String,
                               queryName: String = "graft_stream_qsketch"): DataFrame = {
-    import graft.queries.StatQueries.{sketchW, SketchGrid}
+    import graft.queries.StatQueries.{sketchW, sketchCell, sketchMid, SketchGrid}
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stream = spark.readStream
       .schema(batchSchema)
@@ -125,7 +125,7 @@ object EventsStream {
       .select(col("event_type"),
         floor(col("value") * 100.0 + 0.5).cast("long").as("x"))
       .withColumn("w", sketchW(col("x")))
-      .select(col("event_type"), (expr("x DIV w") * col("w")).as("cell"))
+      .select(col("event_type"), sketchCell(col("x"), col("w")).as("cell"))
       .groupBy(col("event_type"), col("cell"))
       .agg(count(lit(1)).as("cnt"))
     withStreamPartitions(spark, 8) {
@@ -154,8 +154,7 @@ object EventsStream {
       .filter(col("cum") >= col("rank_r") &&
         col("cum") - col("cnt") < col("rank_r"))
       .select(col("event_type"), col("p"), col("rank_r"),
-        ((col("cell") * 2 + sketchW(col("cell"))).cast("double") /
-          lit(200.0)).as("est_value"),
+        sketchMid(col("cell"), 200.0).as("est_value"),
         col("n_cells"))
   }
 

@@ -153,6 +153,37 @@ class GraftNamedCatalogSpec extends SparkSpec {
       .contains("namespace"))
   }
 
+  test("a lost CREATE race undoes only its own artifacts: a concurrently nested table survives (r17 ADVICE)") {
+    val w = freshWarehouse()
+    // our CREATE commits at $w/racy (schema-only create + an insert so
+    // the undo has real data files to sweep) ...
+    spark.sql("CREATE TABLE graft.racy (k BIGINT)")
+    spark.sql("INSERT INTO graft.racy SELECT 1L")
+    // ... and a racer's nested `CREATE TABLE graft.racy.t` lands under
+    // the same directory before our (simulated) lost-race undo runs —
+    // the interleaving the recursive dropTable destroyed
+    VersionedTable.create(spark, s"$w/racy/t",
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1))
+    graft.catalog.GraftCatalog.undoOwnCreate(spark, s"$w/racy")
+    // our create is fully undone: no manifest, no stray data files
+    assert(VersionedTable.currentVersion(spark, s"$w/racy").isEmpty,
+      "the losing create's own commit must be gone")
+    // the racer's nested table is INTACT — both its manifest and rows
+    assert(VersionedTable.currentVersion(spark, s"$w/racy/t").nonEmpty,
+      "the undo must not touch the racer's nested table")
+    assert(VersionedTable.read(spark, s"$w/racy/t").count() == 2)
+    // the directory survives as the namespace's directory (the racer's
+    // own re-verify can truthfully report success)
+    val f = new org.apache.hadoop.fs.Path(s"$w/racy")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$w/racy")))
+    // with NOTHING nested, the same undo removes the directory whole
+    spark.sql("CREATE TABLE graft.solo (k BIGINT)")
+    graft.catalog.GraftCatalog.undoOwnCreate(spark, s"$w/solo")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$w/solo")),
+      "an artifact-only root must be deleted entirely")
+  }
+
   test("namespace guards: traversal names refuse, a typo'd namespace errors") {
     freshWarehouse()
     // CREATE NAMESPACE must enforce the same traversal guard every

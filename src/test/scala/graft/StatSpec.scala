@@ -166,6 +166,58 @@ class StatSpec extends SparkSpec {
     assert(merged == whole, "cell-wise count addition must equal the one-pass register")
   }
 
+  test("sketch helpers on a SIGNED domain: width ignores the sign, cells are trunc-ordered, estimates keep the relative-error bound (r17 ADVICE)") {
+    import graft.queries.StatQueries.{sketchW, sketchCell, sketchMid}
+    // mixed-sign fixed-point domain spanning several decades, incl. the
+    // r17 ADVICE counter-examples (−155 with w=10 under the broken
+    // sign-counting width) and exact decade boundaries both sides of 0
+    val xs: Seq[Long] = Seq(-1234567L, -1000000L, -999999L, -1005L, -1000L,
+      -999L, -155L, -150L, -12L, -1L, 0L, 1L, 9L, 155L, 999L, 1000L,
+      1005L, 123456L) ++ (1 to 500).map(i => (i.toLong * i * 7) - 600000L)
+    val df = spark.createDataFrame(xs.map(Tuple1(_))).toDF("x")
+      .withColumn("w", sketchW(col("x")))
+      .withColumn("cell", sketchCell(col("x"), col("w")))
+      .withColumn("mid", sketchMid(col("cell"), 200.0))
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def wOf(v: Long): Long = {
+      val d = math.abs(v).toString.length - SketchSigDigits
+      if (d <= 0) 1L else math.pow(10, d).toLong
+    }
+    rows.foreach { case (x, w, cell, mid) =>
+      assert(w == wOf(x), s"x=$x: width $w counts the sign as a digit")
+      // trunc-toward-zero (Java semantics) — pins Spark's DIV to what
+      // sketchCellSql spells for DuckDB (whose // floors)
+      assert(cell == (x / w) * w, s"x=$x w=$w: cell $cell is not trunc")
+      // the estimate lands INSIDE the cell on the value scale: cell>0
+      // covers [c, c+w), cell<0 covers (c−w, c], cell 0 is exactly {0}
+      val v = x.toDouble / 100.0
+      if (cell == 0L) assert(mid == 0.0 && x == 0L)
+      else if (cell > 0)
+        assert(mid >= v - wOf(cell) / 100.0 && mid <= v + wOf(cell) / 100.0 &&
+          mid * 100.0 > cell - 1e-9 && mid * 100.0 < cell + wOf(cell) + 1e-9,
+          s"x=$x cell=$cell mid=$mid outside its cell")
+      else
+        assert(mid * 100.0 < cell + 1e-9 && mid * 100.0 > cell - wOf(cell) - 1e-9,
+          s"x=$x cell=$cell mid=$mid outside its cell")
+    }
+    // end-to-end rank walk on the signed register keeps the ±0.5%
+    // relative (+½ grid step absolute) bound vs exact order statistics
+    val reg = rows.groupBy(_._3).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val cum = reg.scanLeft(0L)(_ + _._2).drop(1)
+    val sorted = xs.sorted
+    SketchGrid.foreach { p =>
+      val r = math.ceil(p * xs.size).toLong
+      val c = reg(cum.indexWhere(_ >= r))._1
+      val est = if (c == 0L) 0.0
+        else (2 * c + (if (c > 0) wOf(c) else -wOf(c))).toDouble / 200.0
+      val exact = sorted(r.toInt - 1).toDouble / 100.0
+      assert(math.abs(est - exact) <= 0.005 * math.abs(exact) + 0.01,
+        s"p=$p: signed est $est vs exact $exact breaks the bound")
+    }
+  }
+
   test("q249 drift-sketch quantiles honor the relative-error bound per source and corpus; gap arithmetic exact") {
     val drift = run("q249_drift_sketch").collect()
     val scoredDocs = {
