@@ -455,6 +455,57 @@ object GraftCatalog {
     sweep(rootP, top = true)
   }
 
+  /** The q248 register of a lakehouse table's numeric column at the
+    * fixed 2-dp point: one distributed aggregate, register-sized output
+    * (cell BIGINT, cnt BIGINT). Shared by quantile_sketch (collect +
+    * walk) and quantile_sketch_save (commit as a table). */
+  private[catalog] def sketchRegisterOf(spark: SparkSession, root: String,
+                                        colName: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    VersionedTable.read(spark, root)
+      .select(col(colName).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .select(floor(col("v") * 100.0 + 0.5).cast("long").as("x"))
+      .withColumn("w", graft.queries.StatQueries.sketchW(col("x")))
+      .select(graft.queries.StatQueries.sketchCell(col("x"), col("w"))
+        .as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+  }
+
+  private[catalog] def parseProbes(s: String): Seq[Double] = {
+    val ps = s.split(",").map(_.trim.toDouble).toSeq
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"probes must be in (0, 1]: $s")
+    ps
+  }
+
+  /** Driver-side rank walk over a cell-sorted register: rank r =
+    * ceil(p·N) into the running count, estimate = signed cell midpoint
+    * (±0.5% relative + ½ grid step absolute of the exact rank-r order
+    * statistic). Register-sized input by construction. */
+  private[catalog] def sketchRankWalk(reg: Array[(Long, Long)],
+                                      ps: Seq[Double]): Seq[InternalRow] = {
+    val n = reg.iterator.map(_._2).sum
+    require(n > 0, "empty register")
+    val cum = reg.scanLeft(0L)(_ + _._2).drop(1)
+    def wOf(c: Long): Long = {
+      val digits = math.abs(c).toString.length
+      if (digits <= graft.queries.StatQueries.SketchSigDigits) 1L
+      else math.pow(10,
+        digits - graft.queries.StatQueries.SketchSigDigits).toLong
+    }
+    ps.map { p =>
+      val r = math.ceil(p * n.toDouble).toLong
+      val i = cum.indexWhere(_ >= r)
+      val c = reg(i)._1
+      val est =
+        if (c == 0L) 0.0
+        else (2 * c + (if (c > 0) wOf(c) else -wOf(c))).toDouble / 200.0
+      InternalRow(p, r, est, n, reg.length.toLong)
+    }
+  }
+
   private def versionRow(v: Int): Seq[InternalRow] =
     Seq(InternalRow(v))
 
@@ -514,40 +565,68 @@ object GraftCatalog {
         StructField("n_rows", LongType, nullable = false),
         StructField("n_cells", LongType, nullable = false))),
       (spark, in) => {
+        val reg = GraftCatalog.sketchRegisterOf(spark, pathArg(in), str(in, 1))
+          .orderBy(org.apache.spark.sql.functions.col("cell"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        require(reg.nonEmpty, s"no non-null values in ${str(in, 1)}")
+        GraftCatalog.sketchRankWalk(reg, GraftCatalog.parseProbes(str(in, 2)))
+      },
+      defaults = Map("probes" -> "'0.25,0.5,0.75,0.95'")),
+
+    // The register as a STORABLE artifact (the q251 pattern as a SQL
+    // face): per-ingest work builds and commits the register of the NEW
+    // table only; quantile_sketch_merge later answers union-wide
+    // quantiles from the saved registers alone — cell-wise count
+    // addition, never a rescan of any source table. Counts add exactly,
+    // so merge-of-registers ≡ one pass over the union, bit for bit.
+    new Proc("quantile_sketch_save",
+      "build the mergeable quantile register of a numeric column and " +
+        "commit it as its own versioned table (cell BIGINT, cnt " +
+        "BIGINT); merge saved registers with quantile_sketch_merge",
+      Seq("path" -> StringType, "column" -> StringType,
+        "out" -> StringType),
+      StructType(Seq(
+        StructField("n_cells", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("version", IntegerType, nullable = false))),
+      (spark, in) => {
         import org.apache.spark.sql.functions._
-        val root = pathArg(in)
-        val colName = str(in, 1)
-        val ps = str(in, 2).split(",").map(_.trim.toDouble).toSeq
-        require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
-          s"probes must be in (0, 1]: ${str(in, 2)}")
-        val reg = VersionedTable.read(spark, root)
-          .select(col(colName).cast("double").as("v"))
-          .where(col("v").isNotNull)
-          .select(floor(col("v") * 100.0 + 0.5).cast("long").as("x"))
-          .withColumn("w", graft.queries.StatQueries.sketchW(col("x")))
-          .select(graft.queries.StatQueries.sketchCell(col("x"), col("w"))
-            .as("cell"))
-          .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+        val reg = GraftCatalog.sketchRegisterOf(spark, pathArg(in), str(in, 1))
+          .orderBy(col("cell")).coalesce(1) // register-sized: one file
+        val out = GraftNames.resolve(spark, str(in, 2))
+        val v = VersionedTable.create(spark, out, reg)
+        val m = VersionedTable.read(spark, out)
+          .agg(count(lit(1)), coalesce(sum(col("cnt")), lit(0L)))
+          .collect().head
+        Seq(InternalRow(m.getLong(0), m.getLong(1), v))
+      }),
+
+    new Proc("quantile_sketch_merge",
+      "approximate quantiles over the UNION of saved registers (comma-" +
+        "separated paths) by cell-wise count addition — bit-identical " +
+        "to one pass over the union of the source tables, without " +
+        "rescanning any of them; probes as in quantile_sketch",
+      Seq("paths" -> StringType, "probes" -> StringType),
+      StructType(Seq(
+        StructField("p", DoubleType, nullable = false),
+        StructField("rank_r", LongType, nullable = false),
+        StructField("estimate", DoubleType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_cells", LongType, nullable = false))),
+      (spark, in) => {
+        import org.apache.spark.sql.functions._
+        val roots = str(in, 0).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(GraftNames.resolve(spark, _)).toSeq
+        require(roots.nonEmpty, "need at least one register path")
+        val reg = roots.map(VersionedTable.read(spark, _)
+            .select(col("cell").cast("long").as("cell"),
+              col("cnt").cast("long").as("cnt")))
+          .reduce(_ unionByName _)
+          .groupBy(col("cell")).agg(sum(col("cnt")).as("cnt"))
           .orderBy(col("cell"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
-        val n = reg.iterator.map(_._2).sum
-        require(n > 0, s"no non-null values in $colName")
-        val cum = reg.scanLeft(0L)(_ + _._2).drop(1)
-        def wOf(c: Long): Long = {
-          val digits = math.abs(c).toString.length
-          if (digits <= graft.queries.StatQueries.SketchSigDigits) 1L
-          else math.pow(10,
-            digits - graft.queries.StatQueries.SketchSigDigits).toLong
-        }
-        ps.map { p =>
-          val r = math.ceil(p * n.toDouble).toLong
-          val i = cum.indexWhere(_ >= r)
-          val c = reg(i)._1
-          val est =
-            if (c == 0L) 0.0
-            else (2 * c + (if (c > 0) wOf(c) else -wOf(c))).toDouble / 200.0
-          InternalRow(p, r, est, n, reg.length.toLong)
-        }
+        require(reg.nonEmpty, "all registers are empty")
+        GraftCatalog.sketchRankWalk(reg, GraftCatalog.parseProbes(str(in, 1)))
       },
       defaults = Map("probes" -> "'0.25,0.5,0.75,0.95'")),
 

@@ -302,6 +302,100 @@ object StatQueries {
           col("est_corpus"), col("gap"), col("max_gap"))
     }),
 
+    // The q248 register as a STORABLE, MERGEABLE table artifact — the
+    // user-visible face of the mergeability q248's spec proves (the way
+    // q86 does it for the HLL registers): the corpus arrives as two
+    // independent ingests, each ingest commits its own register as a
+    // versioned lakehouse table, and the corpus-wide quantile read-out
+    // runs over the UNION of the two PERSISTED registers — cell-wise
+    // count addition plus a register-sized rank walk — WITHOUT
+    // rescanning either ingest's raw rows. Counts add exactly, so the
+    // answer is bit-identical to the single-pass q248 register over the
+    // whole table; the oracle computes exactly that single-pass answer,
+    // which makes the driver's hash equality the merge-equals-one-pass
+    // proof, adversarially replayed by a second engine. At 100 TB:
+    // per-ingest work is one register aggregate over the NEW partition
+    // only; corpus quantiles then cost a union of register-sized tables
+    // — the same incremental pattern as q135's persisted dedup index.
+    // `CALL graft.quantile_sketch_save/_merge` expose the same artifact
+    // over any lakehouse table (GraftCatalogSpec pins those).
+    "q251_sketch_register_merge" -> ((s, d) => {
+      import graft.sink.VersionedTable
+      val work = graft.streaming.EventsStream.scratchDir("graft_sketchreg")
+      val xi = lineitem(s, d).select(col("l_returnflag").as("flag"),
+        col("l_orderkey"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("x"))
+      def registerOf(df: DataFrame): DataFrame = df
+        .withColumn("w", sketchW(col("x")))
+        .select(col("flag"), sketchCell(col("x"), col("w")).as("cell"))
+        .groupBy(col("flag"), col("cell")).agg(count(lit(1)).as("cnt"))
+      // two independent ingests, each committing its own register table
+      val roots = Seq(0, 1).map { h =>
+        val root = work.resolve(s"reg$h").toString
+        VersionedTable.create(s, root,
+          registerOf(xi.filter(col("l_orderkey") % 2 === h)).coalesce(1))
+        root
+      }
+      // merge = cell-wise count addition over the two PERSISTED registers
+      val merged = roots.map(VersionedTable.read(s, _))
+        .reduce(_ unionByName _)
+        .groupBy(col("flag"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+        .localCheckpoint() // register-sized; read twice below
+      val cum = merged.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("flag"))
+          .orderBy(col("cell"))))
+      val grid = merged.groupBy(col("flag"))
+        .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_cells"))
+        .select(col("flag"), col("n"), col("n_cells"),
+          explode(array(SketchGrid.map(lit): _*)).as("p"))
+        .withColumn("rank_r",
+          ceil(col("p") * col("n").cast("double")).cast("long"))
+      grid.join(cum, Seq("flag"))
+        .filter(col("cum") >= col("rank_r") &&
+          col("cum") - col("cnt") < col("rank_r"))
+        .select(col("flag").as("l_returnflag"), col("p"), col("rank_r"),
+          sketchMid(col("cell"), 200.0).as("est_price"),
+          col("n_cells"))
+    }),
+
+    // WEIGHTED quantiles on the same register grid — cells carry summed
+    // WEIGHTS (token counts) instead of row counts, so the read-out
+    // answers "the quality score below which p of the corpus's TOKENS
+    // sit": the quantity LLM-data curation actually thresholds on (a
+    // 10k-token document moves the cutoff 100× more than a 100-token
+    // one — a row-count quantile treats them alike). Everything else is
+    // unchanged: integer cells, ONE data-sized aggregate, weights still
+    // ADD under merge (the register stays mergeable/tree-reducible, a
+    // free generalization — counts were never load-bearing, only
+    // additivity), and the rank walk runs on cumulative WEIGHT at
+    // r = ceil(p·W). Oracle replays the identical integer arithmetic.
+    "q253_weighted_quantile_sketch" -> ((s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stopN = TextAnalysis.countIn(toks, TextAnalysis.LangProfiles.head._2)
+      val si = floor(TextAnalysis.qualityScore(nTok, stopN,
+        length(col("text"))) * 1000000.0 + 0.5).cast("long")
+      val reg = documents(s, d).select(si.as("x"), nTok.as("wt"))
+        .withColumn("w", sketchW(col("x")))
+        .select(sketchCell(col("x"), col("w")).as("cell"), col("wt"))
+        .groupBy(col("cell")).agg(sum(col("wt")).as("cnt"))
+        .localCheckpoint() // the register: built once, read 3× below
+      val cum = reg.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("cell")))) // register-sized
+      val grid = reg.agg(sum(col("cnt")).as("n_tokens"),
+          count(lit(1)).as("n_cells"))
+        .select(col("n_tokens"), col("n_cells"),
+          explode(array(DriftGrid.map(lit): _*)).as("p"))
+        .withColumn("rank_w",
+          ceil(col("p") * col("n_tokens").cast("double")).cast("long"))
+      grid.crossJoin(broadcast(cum))
+        .filter(col("cum") >= col("rank_w") &&
+          col("cum") - col("cnt") < col("rank_w"))
+        .select(col("p"), col("rank_w"),
+          sketchMid(col("cell"), 2000000.0).as("est_score"),
+          col("n_tokens"), col("n_cells"))
+    }),
+
     // Dedup-threshold calibration curve: for each Jaccard cutoff, the
     // verified near-dup pairs and the documents they touch — the table
     // that decides how aggressive a dedup pass should be BEFORE burning a
@@ -357,6 +451,40 @@ object StatQueries {
           col("sd"), col("z"))
     }),
   )
+
+  /** The single-pass register replay over the whole lineitem table —
+    * the oracle for BOTH q248 (which builds the register in one pass)
+    * and q251 (which merges two persisted half-registers: counts add
+    * exactly, so the merged answer must hash-match this). */
+  private lazy val sketchSinglePassSql: String = {
+    val pList = SketchGrid.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
+    s"""WITH xi AS (
+          SELECT l_returnflag AS flag,
+                 CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS x
+          FROM lineitem),
+        cells AS (
+          SELECT flag, ${sketchCellSql("x", "w")} AS cell,
+                 count(*)::BIGINT AS cnt
+          FROM (SELECT flag, x, ${sketchWSql("x")} AS w FROM xi)
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT flag, cell, cnt,
+                 sum(cnt) OVER (PARTITION BY flag ORDER BY cell) AS cum
+          FROM cells),
+        tot AS (SELECT flag, sum(cnt)::BIGINT AS n,
+                       count(*)::BIGINT AS n_cells
+                FROM cells GROUP BY 1),
+        grid AS (
+          SELECT flag, n, n_cells, p,
+                 CAST(ceil(p * n::DOUBLE) AS BIGINT) AS rank_r
+          FROM tot, (SELECT unnest($pList) AS p))
+        SELECT g.flag AS l_returnflag, g.p, g.rank_r,
+               ${sketchMidSql("c.cell", "200.0")} AS est_price,
+               g.n_cells
+        FROM grid g JOIN cum c
+          ON g.flag = c.flag AND c.cum >= g.rank_r
+          AND c.cum - c.cnt < g.rank_r"""
+  }
 
   val oracle: Map[String, String] = {
     val tokSql = tokensSql("text")
@@ -441,34 +569,40 @@ object StatQueries {
                    round(greatest($gapTerms), 9) AS max_gap
             FROM bysrc, corpus"""
       },
-      "q248_quantile_sketch" -> {
-        val pList = SketchGrid.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
-        s"""WITH xi AS (
-              SELECT l_returnflag AS flag,
-                     CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS x
-              FROM lineitem),
-            cells AS (
-              SELECT flag, ${sketchCellSql("x", "w")} AS cell,
-                     count(*)::BIGINT AS cnt
-              FROM (SELECT flag, x, ${sketchWSql("x")} AS w FROM xi)
-              GROUP BY 1, 2),
+      // q251's oracle is the SAME single-pass replay: the merged
+      // persisted registers must be bit-identical to one pass over the
+      // whole table — hash equality against this SQL is the proof
+      "q251_sketch_register_merge" -> sketchSinglePassSql,
+      "q248_quantile_sketch" -> sketchSinglePassSql,
+      "q253_weighted_quantile_sketch" -> {
+        val q = TextAnalysis.qualityScoreSql(
+          "len(tk)::BIGINT",
+          TextAnalysis.countInSql("tk", TextAnalysis.LangProfiles.head._2),
+          "length(text)")
+        val pList = DriftGrid.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
+        s"""WITH scored AS (
+              SELECT CAST(floor(($q) * 1000000.0 + 0.5) AS BIGINT) AS x,
+                     len(tk)::BIGINT AS wt
+              FROM (SELECT text, $tokSql AS tk FROM documents)),
+            reg AS (
+              SELECT ${sketchCellSql("x", "w")} AS cell,
+                     sum(wt)::BIGINT AS cnt
+              FROM (SELECT x, wt, ${sketchWSql("x")} AS w FROM scored)
+              GROUP BY 1),
             cum AS (
-              SELECT flag, cell, cnt,
-                     sum(cnt) OVER (PARTITION BY flag ORDER BY cell) AS cum
-              FROM cells),
-            tot AS (SELECT flag, sum(cnt)::BIGINT AS n,
-                           count(*)::BIGINT AS n_cells
-                    FROM cells GROUP BY 1),
+              SELECT cell, cnt, sum(cnt) OVER (ORDER BY cell) AS cum
+              FROM reg),
             grid AS (
-              SELECT flag, n, n_cells, p,
-                     CAST(ceil(p * n::DOUBLE) AS BIGINT) AS rank_r
-              FROM tot, (SELECT unnest($pList) AS p))
-            SELECT g.flag AS l_returnflag, g.p, g.rank_r,
-                   ${sketchMidSql("c.cell", "200.0")} AS est_price,
-                   g.n_cells
+              SELECT n_tokens, n_cells, p,
+                     CAST(ceil(p * n_tokens::DOUBLE) AS BIGINT) AS rank_w
+              FROM (SELECT sum(cnt)::BIGINT AS n_tokens,
+                           count(*)::BIGINT AS n_cells FROM reg),
+                   (SELECT unnest($pList) AS p))
+            SELECT g.p, g.rank_w,
+                   ${sketchMidSql("c.cell", "2000000.0")} AS est_score,
+                   g.n_tokens, g.n_cells
             FROM grid g JOIN cum c
-              ON g.flag = c.flag AND c.cum >= g.rank_r
-              AND c.cum - c.cnt < g.rank_r"""
+              ON c.cum >= g.rank_w AND c.cum - c.cnt < g.rank_w"""
       },
       "q249_drift_sketch" -> {
         val q = TextAnalysis.qualityScoreSql(

@@ -57,6 +57,16 @@ object StreamQueries {
     "q250_stream_quantile_sketch" -> ((s, d) =>
       EventsStream.quantileSketchStreaming(s, d)),
 
+    // Streaming drift ALERTING — q249's register-drift table composed
+    // with q250's register-as-streaming-state: one register per day
+    // maintained inside the stream (bounded state per window), the
+    // reference register is the per-day registers re-aggregated
+    // (mergeability — no second data pass), and days whose worst probe
+    // gap exceeds the threshold raise the alert flag. Oracle replays
+    // the identical register arithmetic per day over the raw events.
+    "q252_stream_drift_alert" -> ((s, d) =>
+      EventsStream.driftAlertStreaming(s, d)),
+
     // Stream-stream LEFT OUTER join: unmatched clicks emit (click, NULL)
     // on watermark expiry — the state-eviction semantics the inner join
     // never exercises. Oracle is the batch LEFT JOIN with the identical
@@ -285,6 +295,47 @@ object StreamQueries {
           FROM grid g JOIN cum c
             ON g.event_type = c.event_type AND c.cum >= g.rank_r
             AND c.cum - c.cnt < g.rank_r"""
+    },
+    "q252_stream_drift_alert" -> {
+      import graft.queries.StatQueries.{sketchWSql, sketchCellSql,
+        sketchMidSql, DriftGrid}
+      val pList = DriftGrid.map(p => s"$p::DOUBLE").mkString("[", ", ", "]")
+      s"""WITH xi AS (
+            SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS k,
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x
+            FROM events),
+          cells AS (
+            SELECT k, ${sketchCellSql("x", "w")} AS cell,
+                   count(*)::BIGINT AS cnt
+            FROM (SELECT k, x, ${sketchWSql("x")} AS w FROM xi)
+            GROUP BY 1, 2),
+          allr AS (
+            SELECT k, cell, cnt FROM cells
+            UNION ALL
+            SELECT '__ref__' AS k, cell, sum(cnt)::BIGINT AS cnt
+            FROM cells GROUP BY 2),
+          cum AS (
+            SELECT k, cell, cnt,
+                   sum(cnt) OVER (PARTITION BY k ORDER BY cell) AS cum
+            FROM allr),
+          grid AS (
+            SELECT k, n, p, CAST(ceil(p * n::DOUBLE) AS BIGINT) AS r
+            FROM (SELECT k, sum(cnt)::BIGINT AS n FROM allr GROUP BY 1),
+                 (SELECT unnest($pList) AS p)),
+          ests AS (
+            SELECT g.k, g.p, ${sketchMidSql("c.cell", "200.0")} AS est
+            FROM grid g JOIN cum c
+              ON g.k = c.k AND c.cum >= g.r AND c.cum - c.cnt < g.r),
+          gaps AS (
+            SELECT d.k, d.p, d.est AS est_day, r.est AS est_ref,
+                   abs(d.est - r.est) AS gap
+            FROM ests d JOIN ests r ON r.k = '__ref__' AND d.p = r.p
+            WHERE d.k <> '__ref__')
+          SELECT k AS day, p, est_day, est_ref, gap,
+                 max(gap) OVER (PARTITION BY k) AS max_gap,
+                 (max(gap) OVER (PARTITION BY k) >
+                  ${graft.streaming.EventsStream.DriftAlertGap}) AS alert
+          FROM gaps"""
     },
     "q181_stream_left_join" ->
       """SELECT c.user_id AS user_id,

@@ -158,6 +158,88 @@ object EventsStream {
         col("n_cells"))
   }
 
+  /** Drift-alert threshold for [[driftAlertStreaming]]: a day whose
+    * worst probe-gap vs the reference register exceeds this (in value
+    * units) alerts. Chosen between the observed quiet-day (~2–8) and
+    * shifted-day (~14–23) gaps of the synthetic stream so the flag
+    * actually discriminates; in production this is the operator's SLO
+    * knob, not a statistic. */
+  val DriftAlertGap = 10.0
+
+  /** Streaming drift ALERTING — q249 (register drift table) composed
+    * with q250 (register as streaming state): the stream maintains one
+    * register PER DAY keyed on (day, cell) — bounded state per window
+    * (≤ ~900 cells/decade/day) no matter how many events flow — and
+    * the read-out compares each day's quantile probes against the
+    * corpus-wide REFERENCE register, which is the per-day registers
+    * RE-AGGREGATED (mergeability: no second pass over the data). A day
+    * whose max probe gap exceeds [[DriftAlertGap]] raises the alert
+    * flag — the "traffic looks weird today" monitor computed entirely
+    * inside the stream's bounded state. Counts are order-free, so
+    * micro-batch boundaries cannot move a cell (stream/batch parity:
+    * the DuckDB oracle replays the identical register arithmetic over
+    * the raw events). At 100 TB/day the state is still registers —
+    * days × cells — and the comparison frames never leave
+    * register size. */
+  def driftAlertStreaming(spark: SparkSession, sfDir: String,
+                          queryName: String = "graft_stream_drift"): DataFrame = {
+    import graft.queries.StatQueries.{sketchW, sketchCell, sketchMid, DriftGrid}
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(batchSchema)
+      .parquet(stageDir(sfDir, "events"))
+      .transform(graft.Tables.normalizeTs)
+    val reg = stream
+      .select(date_trunc("day", col("ts")).as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("x"))
+      .withColumn("w", sketchW(col("x")))
+      .select(col("day"), sketchCell(col("x"), col("w")).as("cell"))
+      .groupBy(col("day"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    withStreamPartitions(spark, 8) {
+      val q = reg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch read-out over the drained per-day registers; the reference
+    // register is their cell-wise re-aggregation (merge, not rescan)
+    val cells = spark.table(queryName)
+      .select(col("day").cast("date").cast("string").as("k"),
+        col("cell"), col("cnt"))
+      .localCheckpoint()
+    val ref = cells.groupBy(col("cell")).agg(sum(col("cnt")).as("cnt"))
+      .select(lit("__ref__").as("k"), col("cell"), col("cnt"))
+    // register-sized; the checkpoint also sidesteps Catalyst's union
+    // constraint-rewrite over the shared-lineage (cells, agg-of-cells)
+    // pair under a Window (NoSuchElementException in rewriteConstraints)
+    val all = cells.unionByName(ref).localCheckpoint()
+    val cum = all.withColumn("cum",
+      sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("cell"))))
+    val grid = all.groupBy(col("k")).agg(sum(col("cnt")).as("n"))
+      .select(col("k"), col("n"),
+        explode(array(DriftGrid.map(lit): _*)).as("p"))
+      .withColumn("rank_r",
+        ceil(col("p") * col("n").cast("double")).cast("long"))
+    val ests = grid.join(cum, Seq("k"))
+      .filter(col("cum") >= col("rank_r") &&
+        col("cum") - col("cnt") < col("rank_r"))
+      .select(col("k"), col("p"), sketchMid(col("cell"), 200.0).as("est"))
+    val gaps = ests.filter(col("k") =!= "__ref__")
+      .join(broadcast(ests.filter(col("k") === "__ref__")
+        .select(col("p"), col("est").as("est_ref"))), Seq("p"))
+      .withColumn("gap", abs(col("est") - col("est_ref")))
+    gaps.join(gaps.groupBy(col("k")).agg(max(col("gap")).as("max_gap")),
+        Seq("k"))
+      .select(col("k").as("day"), col("p"), col("est").as("est_day"),
+        col("est_ref"), col("gap"), col("max_gap"),
+        (col("max_gap") > DriftAlertGap).as("alert"))
+  }
+
   /** Number of key-hash buckets the merge target is partitioned into.
     * Locally 32 keeps partition dirs ≈ core count; at 100 TB this is the
     * knob that bounds per-batch rewrite I/O to |touched buckets| / nBuckets

@@ -110,6 +110,48 @@ class GraftCatalogSpec extends SparkSpec {
       s"CALL graft.quantile_sketch('$root', 'nope', '0.5')")) != null)
   }
 
+  test("quantile_sketch_save / _merge: merged persisted registers are bit-identical to the one-pass sketch") {
+    import spark.implicits._
+    ensureCatalog()
+    val (t1, t2, whole) = (freshRoot(), freshRoot(), freshRoot())
+    val (r1, r2) = (freshRoot(), freshRoot())
+    // signed multi-decade domain split into two disjoint ingests
+    val vals = ((1 to 3000).map(i => i * 2.13 - 3000.0) ++ Seq(0.0)).toSeq
+    val (a, b) = vals.zipWithIndex.partition(_._2 % 2 == 0)
+    VersionedTable.create(spark, t1, a.map(_._1).toDF("v"))
+    VersionedTable.create(spark, t2, b.map(_._1).toDF("v"))
+    VersionedTable.create(spark, whole, vals.toDF("v"))
+    val s1 = spark.sql(
+      s"CALL graft.quantile_sketch_save('$t1', 'v', '$r1')").collect().head
+    val s2 = spark.sql(
+      s"CALL graft.quantile_sketch_save('$t2', 'v', '$r2')").collect().head
+    assert(s1.getLong(1) == a.length && s2.getLong(1) == b.length,
+      "save must report each ingest's row count")
+    // the saved register IS a versioned table with the register schema
+    assert(VersionedTable.read(spark, r1).columns.toSeq == Seq("cell", "cnt"))
+    assert(VersionedTable.read(spark, r1).count() < 10000, "register-sized")
+    // merge of the two persisted registers ≡ one pass over the union —
+    // without rescanning either source table
+    val merged = spark.sql(
+      s"CALL graft.quantile_sketch_merge('$r1,$r2', '0.1,0.5,0.9')").collect()
+    val onePass = spark.sql(
+      s"CALL graft.quantile_sketch('$whole', 'v', '0.1,0.5,0.9')").collect()
+    assert(merged.map(_.toString).toSeq == onePass.map(_.toString).toSeq,
+      "merged registers must be bit-identical to the one-pass sketch")
+    // a single-register merge degenerates to that register's sketch
+    val solo = spark.sql(
+      s"CALL graft.quantile_sketch_merge('$r1', '0.5')").collect().head
+    val soloDirect = spark.sql(
+      s"CALL graft.quantile_sketch('$t1', 'v', '0.5')").collect().head
+    assert(solo.toString == soloDirect.toString)
+    // refusals: empty path list, bad probes
+    assert(intercept[Exception](spark.sql(
+      "CALL graft.quantile_sketch_merge('', '0.5')")) != null)
+    assert(intercept[Exception](spark.sql(
+      s"CALL graft.quantile_sketch_merge('$r1', '2.0')")).getMessage
+      .contains("probes"))
+  }
+
   test("time-based retention and SHOW PROCEDURES") {
     import spark.implicits._
     ensureCatalog()

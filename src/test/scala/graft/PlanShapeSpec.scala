@@ -436,7 +436,12 @@ class PlanShapeSpec extends SparkSpec {
     // exchange count stays at the aggregate/window/readout handful — a
     // data-sized extra shuffle (the thing the register design removes)
     // would show up as exchange growth
-    Seq(("q248_quantile_sketch", 4), ("q249_drift_sketch", 8)).foreach {
+    // q251 reads two PERSISTED registers (its lineitem scan happened in
+    // the ingest commits, before the plan under test); q253's weighted
+    // register is one data-sized aggregate like q248's. Same pins.
+    Seq(("q248_quantile_sketch", 4), ("q249_drift_sketch", 8),
+        ("q251_sketch_register_merge", 6),
+        ("q253_weighted_quantile_sketch", 6)).foreach {
       case (q, maxShuffles) =>
         val plan = executedPlan(SparkEntry.queries(q)(spark, sf))
         assert(countIn(plan) {

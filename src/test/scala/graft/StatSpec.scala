@@ -166,6 +166,64 @@ class StatSpec extends SparkSpec {
     assert(merged == whole, "cell-wise count addition must equal the one-pass register")
   }
 
+  test("q251 merged persisted registers are bit-identical to the single-pass q248 answer") {
+    def rows(q: String) = run(q).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val one = rows("q248_quantile_sketch")
+    val merged = rows("q251_sketch_register_merge")
+    assert(merged == one,
+      "cell-wise addition of the two persisted half-registers must " +
+        s"reproduce the one-pass register exactly; diff=${merged.diff(one)}")
+  }
+
+  test("q253 weighted quantiles honor the error bound vs exact token-weighted order statistics") {
+    // exact (score, weight) pairs straight from the engine's own scalar
+    // pipeline — the spec tests the SKETCH, not the score definition
+    // (the score's own semantics are pinned by the q26/q249 suites)
+    val scored = {
+      import org.apache.spark.sql.functions._
+      val toks = graft.functions.Portable.tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val stopN = graft.ext.TextAnalysis.countIn(toks,
+        graft.ext.TextAnalysis.LangProfiles.head._2)
+      Tables.documents(spark, sf).select(
+          floor(graft.ext.TextAnalysis.qualityScore(nTok, stopN,
+            length(col("text"))) * 1000000.0 + 0.5).cast("long").as("x"),
+          nTok.as("wt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val sorted = scored.sortBy(_._1)
+    val totalW = sorted.map(_._2).sum
+    val cumW = sorted.scanLeft(0L)(_ + _._2).drop(1)
+    val rows = run("q253_weighted_quantile_sketch").collect()
+    assert(rows.length == graft.queries.StatQueries.DriftGrid.size)
+    rows.foreach { r =>
+      val (p, rankW, est, nTokens) =
+        (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(nTokens == totalW, "register must account every token")
+      assert(rankW == math.ceil(p * totalW).toLong)
+      // exact weighted quantile: the score at the first doc whose
+      // cumulative token weight reaches rank r
+      val exact = sorted(cumW.indexWhere(_ >= rankW))._1.toDouble / 1e6
+      assert(math.abs(est - exact) <= 0.005 * math.abs(exact) + 1e-6,
+        s"p=$p: weighted est $est vs exact $exact breaks the bound")
+    }
+    // token weighting MOVES the answer vs row counting on this corpus:
+    // the median by tokens differs from the median by docs (documents
+    // are length-skewed — precisely why curation weights by tokens)
+    val rowMedian = {
+      val xs = scored.map(_._1).sorted
+      xs(math.ceil(0.5 * xs.length).toInt - 1).toDouble / 1e6
+    }
+    val wMedianEst = rows.find(_.getDouble(0) == 0.5).get.getDouble(2)
+    val wMedianExact = sorted(
+      cumW.indexWhere(_ >= math.ceil(0.5 * totalW).toLong))._1.toDouble / 1e6
+    assert(math.abs(wMedianExact - rowMedian) > 1e-9 ||
+      math.abs(wMedianEst - rowMedian) > 1e-9,
+      "expected the token-weighted median to differ from the row median")
+  }
+
   test("sketch helpers on a SIGNED domain: width ignores the sign, cells are trunc-ordered, estimates keep the relative-error bound (r17 ADVICE)") {
     import graft.queries.StatQueries.{sketchW, sketchCell, sketchMid}
     // mixed-sign fixed-point domain spanning several decades, incl. the

@@ -55,6 +55,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming drift alert: per-day registers vs the merged reference, alert discriminates") {
+    val rows = EventsStream.driftAlertStreaming(spark, sf, "t_drift")
+      .collect()
+    val days = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts"))).distinct().count()
+    // one row per (day, probe)
+    assert(rows.length == days * graft.queries.StatQueries.DriftGrid.size)
+    // gap/max_gap arithmetic is internally consistent and the alert flag
+    // is exactly max_gap > DriftAlertGap
+    rows.foreach { r =>
+      val (gap, maxGap, alert) =
+        (r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+      assert(math.abs(gap - math.abs(r.getDouble(2) - r.getDouble(3))) < 1e-12)
+      assert(maxGap >= gap - 1e-12)
+      assert(alert == (maxGap > EventsStream.DriftAlertGap))
+    }
+    // the reference register is the per-day registers MERGED — its
+    // read-out must match the whole-corpus exact order statistics
+    // within the bound (the mergeability claim, observed end to end)
+    val exact = Tables.events(spark, sf)
+      .select(floor(col("value") * 100.0 + 0.5).cast("long").as("x"))
+      .collect().map(_.getLong(0)).sorted
+    rows.foreach { r =>
+      val (p, estRef) = (r.getDouble(1), r.getDouble(3))
+      val e = exact(math.ceil(p * exact.length).toInt - 1).toDouble / 100.0
+      assert(math.abs(estRef - e) <= 0.005 * math.abs(e) + 0.01,
+        s"p=$p: reference est $estRef vs exact corpus $e breaks the bound")
+    }
+  }
+
   test("multimodal decode: schema, determinism, partition preservation") {
     val media = Multimodal.mediaFromDocuments(spark, Tables.documents(spark, sf))
     val decoded = Multimodal.decodeStage(spark, media)
