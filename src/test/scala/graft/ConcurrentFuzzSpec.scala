@@ -90,13 +90,55 @@ class ConcurrentFuzzSpec extends SparkSpec {
       while (k < OpsPerThread) {
         val roll = rnd.nextInt(100)
         try {
-          if (roll < 39) {
+          if (roll < 36) {
             // append 3 globally-unique rows
             val lo = 1000L + t * 1000000L + k * 10L
             val ids = Seq(lo, lo + 1, lo + 2)
             val df = ids.toDF("id").withColumn("val", col("id") * 2)
             VersionedTable.append(spark, root, df.coalesce(1))
             ids.foreach(appended.add)
+          } else if (roll < 39) {
+            // READ-ONLY CALL faces racing the writer mix (r17 verdict
+            // task 3: a reader resolving a snapshot while writers
+            // rewrite layout is the seed-202 class). Each must answer
+            // from ONE consistent snapshot or refuse legally — a torn
+            // read shows up as a broken in-snapshot invariant below.
+            rnd.nextInt(5) match {
+              case 0 =>
+                val rows = spark.sql(s"CALL graft.quantile_sketch(" +
+                  s"'$root', 'val', '0.25,0.5,0.9')").collect()
+                // one snapshot's estimates are monotone in p (cells are
+                // value-ordered; a torn register breaks this)
+                assert(rows.length == 3 &&
+                  rows.map(_.getDouble(2)).sliding(2).forall(a =>
+                    a.length < 2 || a(0) <= a(1)),
+                  s"sketch read-out must be monotone: ${rows.mkString(",")}")
+              case 1 =>
+                assert(spark.sql(s"CALL graft.history('$root')")
+                  .collect().nonEmpty, "history must never read empty")
+              case 2 =>
+                spark.sql(s"CALL graft.files('$root')").collect()
+                spark.sql(s"CALL graft.file_stats('$root')").collect()
+              case 3 =>
+                spark.sql(s"CALL graft.loads('$root')").collect()
+                spark.sql(s"CALL graft.detail('$root')").collect()
+              case _ =>
+                // the new save→merge faces under churn: the saved
+                // register is itself a snapshot; merging it with ITSELF
+                // doubles every count, which must not move any quantile
+                // (rank doubles with the counts — scale invariance)
+                val out = Files.createTempDirectory(s"fuzz_reg_$t")
+                  .resolve("r").toString
+                spark.sql(s"CALL graft.quantile_sketch_save(" +
+                  s"'$root', 'val', '$out')")
+                val m = spark.sql(s"CALL graft.quantile_sketch_merge(" +
+                  s"'$out,$out', '0.25,0.5,0.9')").collect()
+                val s1 = spark.sql(s"CALL graft.quantile_sketch_merge(" +
+                  s"'$out', '0.25,0.5,0.9')").collect()
+                assert(m.map(_.getDouble(2)).toSeq ==
+                  s1.map(_.getDouble(2)).toSeq,
+                  "doubling every register count must not move a quantile")
+            }
           } else if (roll < 42) {
             // COPY INTO a per-op staged source file (fresh unique ids)
             // in a RANDOM landing format. Parquet carries its own
@@ -297,6 +339,15 @@ class ConcurrentFuzzSpec extends SparkSpec {
             // a positional CSV staged under a schema a racing DDL then
             // changed: the FAILFAST landing read refuses the whole load
             // before anything commits — correct COPY INTO behavior
+            refusals.incrementAndGet()
+          case e: Throwable if roll >= 36 && roll < 39 &&
+              !e.getClass.getName.startsWith("org.scalatest") && (
+              e.isInstanceOf[IllegalArgumentException] ||
+              e.isInstanceOf[java.io.FileNotFoundException] ||
+              e.getClass.getName.contains("AnalysisException")) =>
+            // a read-only CALL refusing mid-race (snapshot resolution
+            // raced a layout rewrite) is legal; its ASSERTION failures
+            // (scalatest) fall through to fatals — a torn read is a bug
             refusals.incrementAndGet()
           case _: IllegalArgumentException if roll >= 60 && !(roll >= 75 && roll < 86) =>
             // schema/rollback target raced away (rename chain broken by
