@@ -32,7 +32,8 @@ object ExplainAudit {
                "q188_hll_file_skip", "q191_dv_delete", "q192_dv_cdc",
                "q195_meta_agg", "q196_meta_filter_group", "q197_history",
                "q246_ccnet_buckets", "q248_quantile_sketch",
-               "q249_drift_sketch")
+               "q249_drift_sketch", "q251_sketch_register_merge",
+               "q253_weighted_quantile_sketch")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

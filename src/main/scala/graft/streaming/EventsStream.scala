@@ -47,9 +47,28 @@ object EventsStream {
     stagedDirs.computeIfAbsent((sfDir, table, copies), { _ =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val dir = scratchDir(s"graft_stream_$table")
+      val src = Paths.get(s"$sfDir/$table.parquet")
       (0 until copies).foreach { i =>
-        Files.copy(Paths.get(s"$sfDir/$table.parquet"),
-          dir.resolve(s"${table}_$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
+        if (Files.isDirectory(src)) {
+          // a Spark-written parquet DIRECTORY (the MakeSf sf1 corpus):
+          // stage its part files individually — Files.copy on the dir
+          // itself copies only an EMPTY directory entry, which silently
+          // turned every sf1 streaming measurement into an empty-stream
+          // drain (sublinear α for free — r18 find)
+          val it = Files.list(src).iterator()
+          var j = 0
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) {
+              Files.copy(p, dir.resolve(f"${table}%s_${i}%d_$j%05d.parquet"),
+                StandardCopyOption.REPLACE_EXISTING)
+              j += 1
+            }
+          }
+        } else {
+          Files.copy(src, dir.resolve(s"${table}_$i.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
       }
       dir.toString
     })
