@@ -391,10 +391,24 @@ object Bench {
     val companionQualifies = probeRatios.nonEmpty &&
       probeRatios.forall(_._2 <= BaselineRefreshProbeBar) &&
       bestPassTotal.nonEmpty
+    // The committed companion keeps the BEST qualifying single-pass
+    // total for the same query set: probes bracket the stable pass, not
+    // the whole sweep, so a window can read probe-clean yet degrade
+    // mid-sweep — letting such a window RAISE the companion 20%+
+    // (observed r18: 261.2 → 318.7) inflates the denominator every
+    // future headline divides by, the flattering direction. Min-keeping
+    // stays honest: each candidate is a total one real window actually
+    // produced, never a cross-pass or cross-query envelope. A changed
+    // query set always replaces (old total incomparable).
     val freshMeta: Map[String, Double] =
-      if (companionQualifies)
-        Map("_sweep_total" -> bestPassTotal.get, "_sweep_total_n" -> nOk.toDouble)
-      else committedMeta
+      if (companionQualifies) {
+        val keepOld =
+          committedMeta.get("_sweep_total_n").map(_.toInt).contains(nOk) &&
+          committedMeta.get("_sweep_total").exists(_ <= bestPassTotal.get)
+        if (keepOld) committedMeta
+        else Map("_sweep_total" -> bestPassTotal.get,
+          "_sweep_total_n" -> nOk.toDouble)
+      } else committedMeta
     val suppressed: Seq[(String, Double, Double)] =
       if (contended) rawRegressions(adjMap, baseline) else Seq.empty
     // A probe elevated past the contention bar while ANOTHER probe ran
@@ -469,9 +483,12 @@ object Bench {
           s"entr${if (added.size == 1) "y" else "ies"}" +
           (if (added.nonEmpty) s" (${added.toSeq.sorted.mkString(", ")})"
            else "") + s", ${lowered.size} tightened" +
-          (if (companionQualifies)
-             f"; sweep-total companion minted (${bestPassTotal.get}%.1f s / $nOk queries, best single pass)"
-           else "; sweep-total companion carried (window not near-idle)"))
+          (if (!companionQualifies)
+             "; sweep-total companion carried (window not near-idle)"
+           else if (freshMeta == committedMeta)
+             f"; sweep-total companion kept (this window's best pass ${bestPassTotal.get}%.1f s did not beat it)"
+           else
+             f"; sweep-total companion minted (${bestPassTotal.get}%.1f s / $nOk queries, best single pass)"))
         Bench.writeBaselineFile(merged, Bench.committedEpoch(),
           freshMeta.toSeq)
       }
