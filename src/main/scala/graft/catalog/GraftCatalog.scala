@@ -458,19 +458,29 @@ object GraftCatalog {
   /** The q248 register of a lakehouse table's numeric column at the
     * fixed 2-dp point: one distributed aggregate, register-sized output
     * (cell BIGINT, cnt BIGINT). Shared by quantile_sketch (collect +
-    * walk) and quantile_sketch_save (commit as a table). */
+    * walk) and quantile_sketch_save (commit as a table). `weightCol`
+    * (the q253 generalization) makes cnt the SUM of an integral weight
+    * column instead of the row count — rank walks then answer
+    * weight-quantiles (e.g. token-weighted score cutoffs); additivity,
+    * not counting, is what merge/tree-reduce rely on, so everything
+    * downstream is unchanged. */
   private[catalog] def sketchRegisterOf(spark: SparkSession, root: String,
-                                        colName: String)
+                                        colName: String,
+                                        weightCol: Option[String] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    VersionedTable.read(spark, root)
-      .select(col(colName).cast("double").as("v"))
-      .where(col("v").isNotNull)
-      .select(floor(col("v") * 100.0 + 0.5).cast("long").as("x"))
+    val base = VersionedTable.read(spark, root)
+      .select(col(colName).cast("double").as("v") +:
+        weightCol.map(w => col(w).cast("long").as("wt")).toSeq: _*)
+      .where(col("v").isNotNull &&
+        weightCol.map(_ => col("wt").isNotNull && col("wt") > 0)
+          .getOrElse(lit(true)))
+      .withColumn("x", floor(col("v") * 100.0 + 0.5).cast("long"))
       .withColumn("w", graft.queries.StatQueries.sketchW(col("x")))
-      .select(graft.queries.StatQueries.sketchCell(col("x"), col("w"))
-        .as("cell"))
-      .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cell",
+        graft.queries.StatQueries.sketchCell(col("x"), col("w")))
+    base.groupBy(col("cell")).agg(
+      weightCol.map(_ => sum(col("wt"))).getOrElse(count(lit(1))).as("cnt"))
   }
 
   private[catalog] def parseProbes(s: String): Seq[Double] = {
@@ -570,6 +580,34 @@ object GraftCatalog {
           .collect().map(r => (r.getLong(0), r.getLong(1)))
         require(reg.nonEmpty, s"no non-null values in ${str(in, 1)}")
         GraftCatalog.sketchRankWalk(reg, GraftCatalog.parseProbes(str(in, 2)))
+      },
+      defaults = Map("probes" -> "'0.25,0.5,0.75,0.95'")),
+
+    // The q253 weighted read-out as a SQL face: cells carry the SUM of
+    // an integral weight column (tokens, bytes, rows-represented), and
+    // the rank walk answers "the value below which p of the WEIGHT
+    // sits" — e.g. the quality-score cutoff for a token budget. Same
+    // register cost shape; same ±0.5% relative bound on the value axis.
+    new Proc("quantile_sketch_weighted",
+      "approximate WEIGHT-quantiles of a numeric column (ranks walk " +
+        "the cumulative integral weight column, not row counts) from " +
+        "one register aggregate; probes as in quantile_sketch",
+      Seq("path" -> StringType, "column" -> StringType,
+        "weight_column" -> StringType, "probes" -> StringType),
+      StructType(Seq(
+        StructField("p", DoubleType, nullable = false),
+        StructField("rank_w", LongType, nullable = false),
+        StructField("estimate", DoubleType, nullable = false),
+        StructField("n_weight", LongType, nullable = false),
+        StructField("n_cells", LongType, nullable = false))),
+      (spark, in) => {
+        val reg = GraftCatalog.sketchRegisterOf(spark, pathArg(in),
+            str(in, 1), Some(str(in, 2)))
+          .orderBy(org.apache.spark.sql.functions.col("cell"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        require(reg.nonEmpty,
+          s"no rows with non-null ${str(in, 1)} and positive ${str(in, 2)}")
+        GraftCatalog.sketchRankWalk(reg, GraftCatalog.parseProbes(str(in, 3)))
       },
       defaults = Map("probes" -> "'0.25,0.5,0.75,0.95'")),
 

@@ -152,6 +152,49 @@ class GraftCatalogSpec extends SparkSpec {
       .contains("probes"))
   }
 
+  test("quantile_sketch_weighted: ranks walk the weight, estimates honor the bound, weighting moves the answer") {
+    import spark.implicits._
+    ensureCatalog()
+    val root = freshRoot()
+    // heavy rows (weight 100) at LOW values, light rows (weight 1) at
+    // high values — row-median and weight-median must disagree
+    val rows = (1 to 200).map(i => (i * 1.5, if (i <= 50) 100L else 1L))
+    VersionedTable.create(spark, root, rows.toDF("v", "wt"))
+    val got = spark.sql(s"CALL graft.quantile_sketch_weighted(" +
+      s"'$root', 'v', 'wt', '0.25,0.5,0.9')").collect()
+    assert(got.length == 3)
+    // exact weighted reference over the half-cent-rounded domain
+    val xs = rows.map { case (v, w) =>
+      (math.floor(v * 100.0 + 0.5).toLong, w) }.sortBy(_._1)
+    val totalW = xs.map(_._2).sum
+    val cum = xs.scanLeft(0L)(_ + _._2).drop(1)
+    got.foreach { r =>
+      val (p, rankW, est, nW) =
+        (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(nW == totalW && rankW == math.ceil(p * totalW).toLong)
+      val exact = xs(cum.indexWhere(_ >= rankW))._1.toDouble / 100.0
+      assert(math.abs(est - exact) <= 0.005 * math.abs(exact) + 0.01,
+        s"p=$p: weighted est $est vs exact $exact breaks the bound")
+    }
+    // the weighting is doing work: the weight-median sits in the heavy
+    // low band while the row-median does not
+    val wMedian = got.find(_.getDouble(0) == 0.5).get.getDouble(2)
+    val rowMedian = spark.sql(
+      s"CALL graft.quantile_sketch('$root', 'v', '0.5')")
+      .collect().head.getDouble(2)
+    assert(wMedian < rowMedian,
+      s"heavy low-value rows must pull the weighted median down " +
+        s"($wMedian vs row $rowMedian)")
+    // zero/negative weights are excluded, not summed
+    val root2 = freshRoot()
+    VersionedTable.create(spark, root2,
+      Seq((1.0, 5L), (2.0, 0L), (3.0, -4L)).toDF("v", "wt"))
+    val one = spark.sql(s"CALL graft.quantile_sketch_weighted(" +
+      s"'$root2', 'v', 'wt', '0.99')").collect().head
+    assert(one.getLong(3) == 5L &&
+      math.abs(one.getDouble(2) - 1.0) <= 0.005 + 0.01)
+  }
+
   test("time-based retention and SHOW PROCEDURES") {
     import spark.implicits._
     ensureCatalog()
