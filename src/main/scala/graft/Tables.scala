@@ -11,8 +11,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * directory layout; nothing here assumes single-file inputs.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Schema cache for the base tables (r18 optimization): every
+    * `spark.read.parquet(path)` without an explicit schema pays a
+    * footer-read schema inference plus path glob on the DRIVER, and a
+    * query touches its tables several times (plan + reuse). The schema
+    * of a given parquet path is immutable for the life of a run, so
+    * infer once per path and pass it explicitly thereafter — the same
+    * role a table catalog plays at 100 TB (schemas come from metadata,
+    * not footer sniffing). Results are unchanged: the inferred schema
+    * IS what the schema-less read would resolve. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val p = s"$sfDir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(p, _ => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(p)
+  }
 
   /** Session settings every entry point applies: if the testdata
     * generation wrote events.ts as parquet TIMESTAMP(NANOS) (not a legal
@@ -21,11 +36,41 @@ object Tables {
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
+    // NOTE (r18): a GLOBAL AQE coalescing floor of 128k was measured
+    // and rejected — it fixed the CPU-dense verify stages (q126/q139/
+    // q156, 2 tasks on 32 cores) but taxed the iterative graph family
+    // 16-35% (in-JVM A/B: q179 1.55->2.09s, q128 1.75->2.12s, q161
+    // 2.67->3.11s — byte-small, cpu-LIGHT loop stages pay per-task
+    // overhead). The floor is instead SCOPED to the operators that are
+    // provably CPU-dense per byte: see [[cpuDense]] below.
     // the engine's Catalyst surface (optimizer rules + SQL functions) —
     // builder-applied because spark.sql.extensions is a static conf
     "spark.sql.extensions" -> "graft.plans.GraftExtensions",
     // the SQL maintenance face: CALL graft.compact(...) etc.
     "spark.sql.catalog.graft" -> "graft.catalog.GraftCatalog")
+
+  /** Run `df` under a LOWER AQE partition-coalescing floor, scoped to
+    * this frame only (guide §2.2/§2.5 + §8 "use what you know that the
+    * optimizer does not"). AQE's parallelismFirst coalescing sizes
+    * post-shuffle partitions by BYTES (floor 1 MB) — correct for scan-
+    * like stages, but a CPU-DENSE compact stage (hashed shingle sets,
+    * candidate pairs verified by codegen kernels: ~100x more CPU per
+    * byte than a scan) gets serialized onto 1-2 of 32 cores. The
+    * operator knows its own density, so it opts in here: a cloned
+    * session (same SparkContext, private SQLConf) carries the 128 KB
+    * floor, and the returned frame plans/executes under it without
+    * leaking the conf to the caller's session. Measured r18 (sf0.1,
+    * local[32]): q126 5.6->1.9 s, q139 5.4->1.7 s, q156 5.2->2.5 s;
+    * scoping avoids the 16-35% loop-family tax a global floor cost.
+    * At cluster scale any data-sized stage is parallelism-bound, not
+    * floor-bound — the floor only matters where it should. */
+  def cpuDense(s: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val scoped = Bridge.cloneSession(s)
+    scoped.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_CPU_DENSE_MIN_PARTITION", "128k"))
+    Bridge.ofRows(scoped, df)
+  }
 
   /** Normalize an events frame's `ts` to a microsecond TimestampType on
     * the session's UTC clock — exactly what DuckDB surfaces from the same

@@ -133,10 +133,17 @@ object Dedup {
   def shingleBase(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
     baseCache.getOrElseUpdate(s, d) {
       val toks = tokens(col("text"))
-      graft.Tables.documents(s, d).filter(size(toks) >= 2)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
-        .select(col("doc_id"), combineAdjacent(col("th")).as("hh"))
+      // cpuDense (r18): the checkpointed RDD's partition count is what
+      // every derived map stage (signature build, banded explode+shuffle
+      // write, verify probes) inherits — under the default AQE floor the
+      // repartition coalesced to 1-2 partitions (bytes-small, CPU-dense
+      // shingle arrays), serializing all downstream map sides. The
+      // scoped floor materializes the base at ~bytes/128k partitions.
+      graft.Tables.cpuDense(s,
+        graft.Tables.documents(s, d).filter(size(toks) >= 2)
+          .repartition(col("doc_id"))
+          .select(col("doc_id"), transform(toks, t => charFold(t)).as("th"))
+          .select(col("doc_id"), combineAdjacent(col("th")).as("hh")))
         .localCheckpoint()
     }
 
@@ -161,11 +168,14 @@ object Dedup {
       val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
                          col("mh1").as("nh1"), col("mh2").as("nh2"),
                          col("mh3").as("nh3"))
-      a.join(b,
+      // cpuDense: the 4-key signature self-join is a compact CPU-dense
+      // stage (r18; see Tables.cpuDense) — the eager checkpoint below
+      // runs under the scoped lower AQE coalescing floor
+      graft.Tables.cpuDense(s, a.join(b,
           col("mh0") === col("nh0") && col("mh1") === col("nh1") &&
           col("mh2") === col("nh2") && col("mh3") === col("nh3") &&
           col("da") < col("db"))
-        .select(col("da"), col("db"))
+        .select(col("da"), col("db")))
         .localCheckpoint()
     }
 

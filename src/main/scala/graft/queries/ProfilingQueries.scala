@@ -111,11 +111,31 @@ object ProfilingQueries {
     // bounded — never all-pairs; the text join is a shuffle join on
     // doc_id (corpus-sized side — never broadcast).
     "q139_edit_dedup" -> ((s, d) => {
+      // distribute the kernel (r18): the planner broadcasts the tiny
+      // candidate side, leaving the O(candidates) editWithin work on
+      // the single-file text scan's ONE task (measured: 1 task x
+      // 4.6 s CPU; a post-join repartition doesn't help — the optimizer
+      // pushes the kernel projection below the exchange). Repartition
+      // the TEXT side by doc_id before the joins instead: projections
+      // cannot cross a join, so the kernel runs in the join stage
+      // behind a real exchange — the documented 100 TB shuffle-join
+      // shape (texts travel once); AQE + the scoped cpuDense floor
+      // size the stage.
       val txt = documents(s, d).select(col("doc_id"), col("text"))
-      Dedup.signatureCandidates(s, d)
+      val pairs = graft.Tables.cpuDense(s, Dedup.signatureCandidates(s, d)
         .join(txt.select(col("doc_id").as("da"), col("text").as("ta")), "da")
         .join(txt.select(col("doc_id").as("db"), col("text").as("tb")), "db")
-        .select(col("da"), col("db"),
+        .repartition(col("da"), col("db")))
+        // materialize the candidate-pair+text table (candidate-bounded —
+        // the same bound the whole family rests on) so the editWithin
+        // kernel below CANNOT be pushed under the exchange into the
+        // single-file scan's one task (measured: the planner broadcasts
+        // the tiny sides and ran the kernel 1 task x 4.6 s CPU, and a
+        // plain repartition doesn't survive projection pushdown). The
+        // kernel then runs on the materialized partitions — the scoped
+        // cpuDense floor sizes them.
+        .localCheckpoint()
+      pairs.select(col("da"), col("db"),
           editWithin(col("ta"), col("tb"), EditNum, EditDenom).as("lev"),
           greatest(length(col("ta")), length(col("tb"))).cast("long").as("maxlen"))
         .filter(col("lev") >= 0)
@@ -558,7 +578,10 @@ object ProfilingQueries {
           .distinct()
       }
       val perConfig = BandConfigs.map { case (b, r) =>
-        (b, r, verified(cands(b, r)).localCheckpoint())
+        // cpuDense: banded self-join + merge-count verify — CPU-dense
+        // compact stages; the eager checkpoint runs under the scoped
+        // lower AQE floor (r18; see Tables.cpuDense)
+        (b, r, graft.Tables.cpuDense(s, verified(cands(b, r))).localCheckpoint())
       }
       // relative-recall ground truth: verified dups over the UNION of all
       // configs' candidates

@@ -104,7 +104,10 @@ object RetrievalQueries {
       // verify via SHUFFLE joins keyed on doc_id (q135's shape): the
       // candidate-pair table is what's small, the corpus set table is not —
       // broadcasting tok would cap the operator at the 8 GB broadcast limit
-      cand
+      // cpuDense: the prefix self-join + merge-count verify stages carry
+      // ~100x more CPU per shuffle byte than a scan — scope the lower
+      // AQE coalescing floor to THIS frame (r18; see Tables.cpuDense)
+      graft.Tables.cpuDense(s, cand
         .join(tok.select(col("doc_id").as("da"), col("ts").as("tsa")), "da")
         .join(tok.select(col("doc_id").as("db"), col("ts").as("tsb")), "db")
         .withColumn("n_inter", sortedIntersectCount(col("tsa"), col("tsb")))
@@ -113,7 +116,7 @@ object RetrievalQueries {
         .filter(col("n_inter") * TauDen >= col("n_union") * TauNum)
         .select(col("da"), col("db"), col("n_inter"), col("n_union"),
           (col("n_inter").cast("double") / col("n_union").cast("double"))
-            .as("jaccard"))
+            .as("jaccard")))
     }),
 
     // SCD Type-2 dimension build from the event changelog: per user, keep

@@ -5043,13 +5043,31 @@ object VersionedTable {
     * version. `txn` makes the merge idempotent per transaction id
     * (the [[appendTxn]] ledger): a foreachBatch CDC writer replaying a
     * micro-batch is refused the double-apply. */
-  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
-                keys: Seq[String], deletes: Option[DataFrame] = None,
+  /** Materialize a merge row set ONCE (the Delta merge
+    * materializeSource shape): the commit paths evaluate their source
+    * THREE times — key-bounds agg, DV-mark/anti join, data-file write —
+    * and per-action Catalyst analysis + AQE planning of a multi-branch
+    * merge dataflow costs 150-600 ms EACH on top of re-running its
+    * joins (measured r18, q233: ~14 executions x ~0.3 s of pure
+    * planning gaps). localCheckpoint truncates the plan to a LogicalRDD:
+    * one evaluation, near-zero re-planning for the remaining passes,
+    * and any nondeterministic source expression is FIXED across them.
+    * Bounded: the row set is the merge's changed rows (CDC-batch-sized,
+    * never table-sized — the same bound Delta's materialization
+    * accepts). Kill switch: spark.graft.merge.materialize=false. */
+  private def materializeOnce(spark: SparkSession, df: DataFrame): DataFrame =
+    if (!spark.conf.get("spark.graft.merge.materialize", "true").toBoolean) df
+    else org.apache.spark.sql.graftbridge.Bridge.materialize(spark, df)
+
+  def mergeInto(spark: SparkSession, root: String, source0: DataFrame,
+                keys: Seq[String], deletes0: Option[DataFrame] = None,
                 txn: Option[Long] = None): Int = {
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     if (txn.exists(committedTxns(spark, root).contains)) return cur
+    val source = materializeOnce(spark, source0)
+    val deletes = deletes0.map(materializeOnce(spark, _))
     val m = readManifest(spark, root, cur)
     import org.apache.spark.sql.functions.{min => fmin, max => fmax, col,
       coalesce, lit, monotonically_increasing_id}
@@ -5133,13 +5151,15 @@ object VersionedTable {
     * the only ones SCANNED (to locate matched positions). Compaction
     * later folds the vectors in. Readers of the new version see exactly
     * the CoW result; earlier versions time-travel to the pre-merge data. */
-  def mergeIntoVectored(spark: SparkSession, root: String, source: DataFrame,
-                        keys: Seq[String], deletes: Option[DataFrame] = None,
+  def mergeIntoVectored(spark: SparkSession, root: String, source0: DataFrame,
+                        keys: Seq[String], deletes0: Option[DataFrame] = None,
                         txn: Option[Long] = None): Int = {
     require(keys.nonEmpty, "mergeIntoVectored needs at least one key column")
     val cur = currentVersion(spark, root)
       .getOrElse(throw new IllegalArgumentException(s"no table at $root"))
     if (txn.exists(committedTxns(spark, root).contains)) return cur
+    val source = materializeOnce(spark, source0)
+    val deletes = deletes0.map(materializeOnce(spark, _))
     val m = readManifest(spark, root, cur)
     import org.apache.spark.sql.functions.{min => fmin, max => fmax, col,
       coalesce, lit, monotonically_increasing_id, max => fmax2}
@@ -5399,14 +5419,30 @@ object VersionedTable {
       tgt.join(src, joinCond, "inner")
         .withColumn("__graft_clause", clauseIdx)
     }
-    val updates = matched.zipWithIndex.collect {
-      case ((_, MatchedUpdate(set)), i) =>
-        joined.filter(col("__graft_clause") === i)
-          .select(fields.toSeq.map { f =>
-            set.getOrElse(f.name, col(s"t.${f.name}"))
-              .cast(f.dataType).as(f.name)
-          }: _*)
-    }
+    // ONE pass per family (r18 optimization, guide §2.4): the clause
+    // branches used to be a UNION of per-clause filtered projections of
+    // the SAME join — k update clauses re-evaluated the join k times
+    // (exchange reuse dedups the shuffle, not the join/probe work).
+    // Collapsed: filter once to the claimed update rows, project each
+    // field through a CASE over the claiming clause index. Identical
+    // relation (the clause filters partition the rows; each row gets
+    // exactly its clause's projection), one join evaluation.
+    def caseProject(base: DataFrame, idxCol: String,
+                    sets: Seq[(Int, Map[String, org.apache.spark.sql.Column])],
+                    fallback: String => org.apache.spark.sql.Column): Seq[DataFrame] =
+      if (sets.isEmpty) Seq.empty
+      else Seq(base.filter(col(idxCol).isin(sets.map(_._1): _*))
+        .select(fields.toSeq.map { f =>
+          sets.foldRight(lit(null).cast(f.dataType)) { case ((i, set), rest) =>
+            when(col(idxCol) === i,
+              set.get(f.name).map(_.cast(f.dataType))
+                .getOrElse(fallback(f.name).cast(f.dataType)))
+              .otherwise(rest)
+          }.as(f.name)
+        }: _*))
+    val updates = caseProject(joined, "__graft_clause",
+      matched.zipWithIndex.collect { case ((_, MatchedUpdate(set)), i) => i -> set },
+      n => col(s"t.$n"))
     val delIdx = matched.zipWithIndex.collect {
       case ((_, MatchedDelete), i) => i }
     val delKeys =
@@ -5429,16 +5465,16 @@ object VersionedTable {
               when(cond.getOrElse(lit(true)), lit(i)).otherwise(rest)
           }
         val tagged = unmatchedSrc.withColumn("__graft_ins", insIdx)
-        notMatched.zipWithIndex.map { case ((_, vals), i) =>
-          tagged.filter(col("__graft_ins") === i)
-            .select(fields.toSeq.map { f =>
-              vals.get(f.name)
-                .orElse(if (keys.contains(f.name)) Some(col(s"s.${f.name}"))
-                        else None)
-                .getOrElse(lit(null))
-                .cast(f.dataType).as(f.name)
-            }: _*)
-        }.reduce(_ unionByName _)
+        // same single-pass collapse as the matched family: claimed
+        // insert rows in one filter, per-clause values via CASE
+        val insSets = notMatched.zipWithIndex.map { case ((_, vals), i) =>
+          i -> fields.map(f =>
+            f.name -> vals.get(f.name)
+              .orElse(if (keys.contains(f.name)) Some(col(s"s.${f.name}"))
+                      else None)
+              .getOrElse(lit(null))).toMap
+        }
+        caseProject(tagged, "__graft_ins", insSets, _ => lit(null)).head
       }
     // BY SOURCE arm: target rows with NO source-key match, claimed by
     // their first condition-true clause. Inherently a full-live-table
@@ -5461,14 +5497,10 @@ object VersionedTable {
               when(cond.getOrElse(lit(true)), lit(i)).otherwise(rest)
           }
         val tagged = unmatchedTgt.withColumn("__graft_bys", bsIdx)
-        val ups = bySource.zipWithIndex.collect {
-          case ((_, MatchedUpdate(set)), i) =>
-            tagged.filter(col("__graft_bys") === i)
-              .select(fields.toSeq.map { f =>
-                set.getOrElse(f.name, col(s"t.${f.name}"))
-                  .cast(f.dataType).as(f.name)
-              }: _*)
-        }
+        val ups = caseProject(tagged, "__graft_bys",
+          bySource.zipWithIndex.collect {
+            case ((_, MatchedUpdate(set)), i) => i -> set },
+          n => col(s"t.$n"))
         val dIdx = bySource.zipWithIndex.collect {
           case ((_, MatchedDelete), i) => i }
         val dk =
@@ -5483,8 +5515,8 @@ object VersionedTable {
       case (a, b) => a.orElse(b)
     }
     if (vectored) mergeIntoVectored(spark, root, merged, keys,
-      deletes = allDeletes, txn = txn)
-    else mergeInto(spark, root, merged, keys, deletes = allDeletes, txn = txn)
+      deletes0 = allDeletes, txn = txn)
+    else mergeInto(spark, root, merged, keys, deletes0 = allDeletes, txn = txn)
   }
 
   /** APPLY CHANGES — fold a CDC changelog into the table with
@@ -5614,7 +5646,7 @@ object VersionedTable {
       }
       val ordered = ups.select(schema.fieldNames.toSeq
         .filter(ups.columns.contains).map(col): _*)
-      mergeIntoVectored(spark, root, ordered, keys, deletes = dels, txn = txn)
+      mergeIntoVectored(spark, root, ordered, keys, deletes0 = dels, txn = txn)
     } finally { if (needsMat) winners.unpersist(); () }
   }
 
@@ -5814,9 +5846,24 @@ object VersionedTable {
     }
     // re-added: in the FROM vector but no longer in TO's (rollback);
     // removed: in TO's vector but not in FROM's (the delete itself)
-    val adds = vectorDeltaRows(a, b).map(onlyNew.unionByName).getOrElse(onlyNew)
-    val rems = vectorDeltaRows(b, a).map(onlyOld.unionByName).getOrElse(onlyOld)
-    (adds.exceptAll(rems), rems.exceptAll(adds))
+    val vAdd = vectorDeltaRows(a, b)
+    val vRem = vectorDeltaRows(b, a)
+    val adds = vAdd.map(onlyNew.unionByName).getOrElse(onlyNew)
+    val rems = vRem.map(onlyOld.unionByName).getOrElse(onlyOld)
+    // One-sided fast path (r18 optimization, guide §2.4): when a side is
+    // METADATA-provably empty — no file-set difference on that side and
+    // no vector-delta scan planned — `x.exceptAll(empty) == x` as a
+    // multiset, so the two hash-aggregate exceptAll shuffles are skipped
+    // outright. This is the dominant commit shape at scale: a pure
+    // APPEND diffs as its new files verbatim (no cancellation possible),
+    // and a first DELETE on a file diffs as its DV-delta rows alone.
+    // Mixed commits (rewrites, merges) keep the full two-way exceptAll —
+    // identical-image cancellation (the compaction contract) only
+    // arises there.
+    val addsEmpty = b.files.forall(aSet.contains) && vAdd.isEmpty
+    val remsEmpty = a.files.forall(bSet.contains) && vRem.isEmpty
+    (if (remsEmpty) adds else adds.exceptAll(rems),
+     if (addsEmpty) rems else rems.exceptAll(adds))
   }
 
   /** Follow the commit log as a STREAM: the versioned table is its own

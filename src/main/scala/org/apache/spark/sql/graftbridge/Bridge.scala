@@ -28,4 +28,25 @@ object Bridge {
       s.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
         .queryExecution.logical)
+
+  /** Materialize a DataFrame ONCE as a persisted InternalRow RDD and
+    * wrap it as a fresh DataFrame whose plan is a bare LogicalRDD.
+    * Like `localCheckpoint()` but WITHOUT carrying the origin plan's
+    * constraints/statistics into the new leaf — Spark 4.1's
+    * localCheckpoint copies `originConstraints` whose expression ids can
+    * escape the new output when the checkpointed frame lands under a
+    * Union (UnionBase.rewriteConstraints throws key-not-found; hit by
+    * graft's merge-source materialization, r18). The rows are copied
+    * (toRdd reuses UnsafeRow buffers) and persisted MEMORY_AND_DISK;
+    * `count()` makes materialization eager so exactly one evaluation of
+    * the origin plan ever runs. */
+  def materialize(s: org.apache.spark.sql.SparkSession,
+                  df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cs = s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val rdd = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    cs.internalCreateDataFrame(rdd, df.schema)
+  }
 }
